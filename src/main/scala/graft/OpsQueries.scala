@@ -1,0 +1,291 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Catalog entries for the LLM-data-pipeline operators (dedup, similarity
+  * search, text analysis, multimodal) over the `documents` / `embeddings`
+  * fixtures. Every oracle mirrors the Spark expression 1:1 in DuckDB SQL —
+  * MD5-based hashing keeps both engines bit-identical, decimal-exact sums
+  * and rounded cosine scores keep floats reproducible (see Queries scaladoc).
+  *
+  * Near-dup fixtures: the synthetic corpus has no duplicates, so the dedup
+  * entries plant them deterministically — every doc with `doc_id % 5 = 0`
+  * gains a copy at `doc_id + 1000000` (exact copy for exact-dedup; a copy
+  * with the last 3 tokens dropped for near-dup).
+  */
+object OpsQueries {
+  import Queries.{t, Entry}
+
+  // Shared SQL fragments (DuckDB side).
+  private val TOKS = """regexp_split_to_array(trim(text), '\s+')"""
+  private def stopIn(words: Seq[String]) =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+  private def stopCnt(toksSql: String, words: Seq[String]) =
+    s"len(list_filter($toksSql, t -> t IN ${stopIn(words)}))"
+
+  /** Planted exact-duplicate corpus (SQL side). */
+  private val DupDocsSql =
+    """docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      |  WHERE doc_id % 5 = 0)""".stripMargin
+
+  /** Planted near-duplicate corpus: copies drop their last 3 tokens. */
+  private val NearDupDocsSql =
+    s"""docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |    array_to_string(w[1:greatest(len(w)-3, 1)], ' ') AS text
+      |  FROM (SELECT doc_id, $TOKS AS w FROM documents
+      |        WHERE doc_id % 5 = 0))""".stripMargin
+
+  /** Spark twins of the planted corpora. */
+  private def dupDocs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.union(d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+  }
+
+  private def nearDupDocs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val w = TextAnalysis.tokens(col("text"))
+    d.union(d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        array_join(slice(w, lit(1), greatest(size(w) - 3, lit(1))), " ")
+          .as("text")))
+  }
+
+  val catalog: Seq[(String, Entry)] = Seq(
+
+    // ----- X5 text analysis ------------------------------------------------
+
+    "q20_doc_tokens" -> Entry(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars_calc"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS n_tokens,
+              |CAST(length(text) AS BIGINT) AS n_chars_calc
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    "q21_doc_quality" -> Entry(
+      (s, dir) => {
+        val cols = TextAnalysis.qualityColumns(col("text"))
+          .map { case (n, c) => c.as(n) }
+        t(s, dir, "documents").select(col("doc_id") +: cols: _*)
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+              |CAST(length(text) AS BIGINT) AS n_chars,
+              |CAST(len($TOKS) AS BIGINT) AS n_tokens,
+              |CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+              |CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+              |CAST(${stopCnt(TOKS, TextAnalysis.EnStop)} AS DOUBLE)
+              |  / CAST(len($TOKS) AS DOUBLE) AS stop_ratio,
+              |CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+              |  / CAST(len($TOKS) AS DOUBLE) AS mean_tok_len
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    "q22_lang_id" -> Entry(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("pred"))
+        .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred"),
+      Some {
+        val lt = """regexp_split_to_array(trim(lower(text)), '\s+')"""
+        s"""SELECT lang, CASE WHEN zh > 0 THEN 'zh'
+           |  WHEN de > en AND de > fr AND de > es THEN 'de'
+           |  WHEN fr > en AND fr >= de AND fr > es THEN 'fr'
+           |  WHEN es > en AND es >= de AND es >= fr THEN 'es'
+           |  ELSE 'en' END AS pred, COUNT(*) AS n
+           |FROM (SELECT lang,
+           |  ${stopCnt(lt, TextAnalysis.EnStop)} AS en,
+           |  ${stopCnt(lt, TextAnalysis.DeStop)} AS de,
+           |  ${stopCnt(lt, TextAnalysis.FrStop)} AS fr,
+           |  ${stopCnt(lt, TextAnalysis.EsStop)} AS es,
+           |  len(regexp_extract_all(text, '[一-鿿]')) AS zh
+           |  FROM documents)
+           |GROUP BY 1, 2 ORDER BY lang, pred""".stripMargin
+      }),
+
+    "q23_doc_fingerprint" -> Entry(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ----- X1 exact dedup --------------------------------------------------
+
+    "q24_dedup_exact" -> Entry(
+      (s, dir) => Dedup.exact(dupDocs(s, dir), "doc_id", "text")
+        .orderBy("keep_id"),
+      Some(s"""WITH $DupDocsSql
+              |SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+              |  AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+              |FROM docs GROUP BY 1 ORDER BY keep_id""".stripMargin)),
+
+    // ----- X2 MinHash + LSH near-dup candidates ----------------------------
+
+    "q25_dedup_minhash" -> Entry(
+      (s, dir) => Dedup.minhashCandidates(nearDupDocs(s, dir),
+        "doc_id", "text", k = 8, rowsPerBand = 2, shingleN = 3)
+        .orderBy("doc_a", "doc_b"),
+      Some {
+        val mins = (0 until 8)
+          .map(i => s"min(md5('$i|' || s)) AS m$i").mkString(", ")
+        val bands = (0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band, md5(m${2 * b} || m${2 * b + 1}) AS bv FROM sig")
+          .mkString(" UNION ALL ")
+        s"""WITH $NearDupDocsSql,
+           |toks AS (SELECT doc_id, $TOKS AS w FROM docs),
+           |sh AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s
+           |  FROM toks, unnest(CASE WHEN len(w) >= 3
+           |    THEN generate_series(1, len(w)-2) ELSE [] END) AS u(i)),
+           |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+           |bands AS ($bands)
+           |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |FROM bands a JOIN bands b
+           |  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }),
+
+    // ----- X2 SimHash signatures -------------------------------------------
+
+    "q26_dedup_simhash" -> Entry(
+      (s, dir) => Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some {
+        val votes = (0 until 32)
+          .map(b => s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+          .mkString(", ")
+        val sig = (0 until 32)
+          .map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH tok AS (SELECT doc_id, unnest($TOKS) AS tok FROM documents),
+           |h AS (SELECT doc_id,
+           |  CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT) AS BIGINT)
+           |  AS h FROM tok),
+           |v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id)
+           |SELECT doc_id, CAST($sig AS BIGINT) AS simhash
+           |FROM v ORDER BY doc_id""".stripMargin
+      }),
+
+    // ----- X2 exact n-gram Jaccard verification ----------------------------
+
+    "q27_ngram_jaccard" -> Entry(
+      (s, dir) => {
+        val base = t(s, dir, "documents")
+          .filter(col("doc_id") % 5 === 0).select(col("doc_id"), col("text"))
+        val w = TextAnalysis.tokens(col("text"))
+        val pert = base.select((col("doc_id") + 1000000).as("doc_b"),
+          array_join(slice(w, lit(1), greatest(size(w) - 3, lit(1))), " ")
+            .as("text_b"))
+        base.join(pert, col("doc_id") + 1000000 === col("doc_b"))
+          .select(col("doc_id").as("doc_a"), col("doc_b"),
+            Dedup.jaccard(
+              Dedup.shingles(TextAnalysis.tokens(col("text")), 3),
+              Dedup.shingles(TextAnalysis.tokens(col("text_b")), 3))
+              .as("jac"))
+          .orderBy("doc_a")
+      },
+      Some(s"""WITH base AS (SELECT doc_id, $TOKS AS w FROM documents
+              |  WHERE doc_id % 5 = 0),
+              |pair AS (SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b,
+              |  w AS wa, w[1:greatest(len(w)-3, 1)] AS wb FROM base),
+              |sh AS (SELECT doc_a, doc_b,
+              |  list_distinct(CASE WHEN len(wa) >= 3 THEN
+              |    [array_to_string(wa[i:i+2], ' ')
+              |     for i in generate_series(1, len(wa)-2)] ELSE [] END) AS sa,
+              |  list_distinct(CASE WHEN len(wb) >= 3 THEN
+              |    [array_to_string(wb[i:i+2], ' ')
+              |     for i in generate_series(1, len(wb)-2)] ELSE [] END) AS sb
+              |  FROM pair)
+              |SELECT doc_a, doc_b,
+              |  CAST(len(list_intersect(sa, sb)) AS DOUBLE) /
+              |  (CAST(len(sa) AS DOUBLE) + CAST(len(sb) AS DOUBLE)
+              |   - CAST(len(list_intersect(sa, sb)) AS DOUBLE)) AS jac
+              |FROM sh ORDER BY doc_a""".stripMargin)),
+
+    // ----- X2/X3 embedding cosine ------------------------------------------
+
+    "q28_embed_neardup" -> Entry(
+      (s, dir) => Similarity.nearDupPairs(
+        t(s, dir, "embeddings").filter(col("vec_id") % 20 === 0),
+        "vec_id", "embedding", threshold = -1.0)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH sub AS (SELECT vec_id, embedding FROM embeddings
+             |  WHERE vec_id % 20 = 0)
+             |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  round(
+             |    list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+             |      for i in generate_series(1, len(a.embedding))]) /
+             |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+             |      for i in generate_series(1, len(a.embedding))])) *
+             |     sqrt(list_sum([b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+             |      for i in generate_series(1, len(b.embedding))]))), 6)
+             |  AS score
+             |FROM sub a, sub b WHERE a.vec_id < b.vec_id
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    "q30_cosine_topk" -> Entry(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.cosineTopK(emb.filter(col("vec_id") < 5), emb,
+          "vec_id", "embedding", k = 10)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy("query_id", "rnk")
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+             |  FROM embeddings WHERE vec_id < 5),
+             |c AS (SELECT vec_id AS corpus_id, embedding AS cv
+             |  FROM embeddings),
+             |s AS (SELECT query_id, corpus_id,
+             |  round(
+             |    list_sum([qv[i]::DOUBLE * cv[i]::DOUBLE
+             |      for i in generate_series(1, len(qv))]) /
+             |    (sqrt(list_sum([qv[i]::DOUBLE * qv[i]::DOUBLE
+             |      for i in generate_series(1, len(qv))])) *
+             |     sqrt(list_sum([cv[i]::DOUBLE * cv[i]::DOUBLE
+             |      for i in generate_series(1, len(cv))]))), 6) AS score
+             |  FROM q, c WHERE query_id <> corpus_id),
+             |r AS (SELECT query_id, corpus_id, score,
+             |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             |    ORDER BY score DESC, corpus_id) AS BIGINT) AS rnk FROM s)
+             |SELECT query_id, corpus_id, score, rnk FROM r
+             |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)),
+
+    // ----- X4 multimodal ---------------------------------------------------
+
+    "q40_multimodal_meta" -> Entry(
+      (s, dir) => Multimodal.payloadMeta(
+        Multimodal.withPayload(t(s, dir, "documents"), "doc_id", "text"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |CASE WHEN length(text) % 2 = 0 THEN 'image' ELSE 'audio' END
+             |  AS kind,
+             |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |md5(text) AS digest
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Partition-parallel decode pipeline (deterministic stubbed codec) —
+    // not SQL-expressible; driver records the weaker rows-only check.
+    "q41_multimodal_decode" -> Entry(
+      (s, dir) => {
+        import s.implicits._
+        val media = Multimodal
+          .withPayload(t(s, dir, "documents"), "doc_id", "text")
+          .as[Multimodal.MediaRecord]
+        Multimodal.decodeStub(media).toDF().orderBy("doc_id")
+      },
+      None)
+  )
+}

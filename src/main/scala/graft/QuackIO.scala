@@ -1,0 +1,440 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Column selection entry: plain name, or name → alias.
+  *
+  * Mirrors the reference's `select=` kwarg, which accepts an iterator of
+  * names/Symbols or Pairs for rename (reference `src/QuackIO.jl:17-18`,
+  * `:79-82`; tested `test/runtests.jl:136-142` including names with spaces).
+  */
+final case class Sel(name: String, as: Option[String] = None)
+object Sel {
+  import scala.language.implicitConversions
+  implicit def fromString(s: String): Sel = Sel(s)
+  implicit def fromPair(p: (String, String)): Sel = Sel(p._1, Some(p._2))
+}
+
+/** Read-side options (the reference's kwargs pass-through surface,
+  * `src/QuackIO.jl:91-121`; tested option matrix `test/runtests.jl:25-76`).
+  *
+  *  - `select`/`limit`: query kwargs (Q1/Q2, `src/QuackIO.jl:17-19`)
+  *  - `delim`: CSV delimiter (O1)
+  *  - `header`: CSV header presence (default sniffed-true like DuckDB)
+  *  - `columns`: ordered (name → type-name) full schema override, disables
+  *    inference, casts on parse (O3, `test/runtests.jl:67-71`)
+  *  - `names`: positional column-name override, header row consumed (O4)
+  *  - `autoTypeCandidates`: restrict type inference to a candidate set; any
+  *    inferred type outside the set is widened to the narrowest allowed
+  *    super-type (O2, `test/runtests.jl:66`)
+  *  - `extra`: raw passthrough to the Spark `DataFrameReader`
+  */
+final case class ReadOptions(
+    select: Seq[Sel] = Nil,
+    limit: Option[Int] = None,
+    delim: Option[String] = None,
+    header: Option[Boolean] = None,
+    columns: Seq[(String, String)] = Nil,
+    names: Seq[String] = Nil,
+    autoTypeCandidates: Seq[String] = Nil,
+    widenIntegers: Boolean = true,
+    extra: Map[String, String] = Map.empty)
+
+/** Write-side options (reference `write_table` kwargs, `src/QuackIO.jl:33-42`).
+  *
+  *  - `format`: explicit lowercase format name; inferred from the file
+  *    extension when empty (DuckDB COPY filename inference,
+  *    `test/runtests.jl:15,31,37,42`)
+  *  - `delim`/`header`: CSV shape (K2/K3)
+  *  - `compression`: codec; also inferred from `.gz`/`.zst` extension (K5)
+  *  - `forceQuote`: quote exactly these columns in CSV output (K4,
+  *    `test/runtests.jl:61-64`)
+  *  - `kvMetadata`: parquet footer key/value metadata (K9,
+  *    `src/QuackIO.jl:126-132`); silently ignored for non-parquet formats
+  *    like the reference (`test/runtests.jl:171-173`)
+  *  - `useTmpFile`: compat knob — writes here are always staged + renamed
+  */
+final case class WriteOptions(
+    format: Option[String] = None,
+    delim: Option[String] = None,
+    header: Option[Boolean] = None,
+    compression: Option[String] = None,
+    forceQuote: Seq[String] = Nil,
+    kvMetadata: Map[String, String] = Map.empty,
+    useTmpFile: Boolean = true,
+    extra: Map[String, String] = Map.empty)
+
+/** Spark-native re-expression of the reference's whole API surface
+  * (`JuliaAPlavin/QuackIO.jl`, snapshot at /root/reference).
+  *
+  * The reference is an I/O + query-pushdown frontend over DuckDB: `read_*`
+  * builds `SELECT <select> FROM read_fmt(file, opts) LIMIT n`
+  * (`src/QuackIO.jl:70`) and `write_table` builds `COPY my_tbl TO file (...)`
+  * (`src/QuackIO.jl:39`). Here the same intent is declared through
+  * `DataFrameReader`/`DataFrameWriter` and Catalyst performs the pushdown
+  * (column pruning / limit / predicate reach the file scan natively).
+  *
+  * Everything returns a *lazy* `DataFrame` — the reference's eager/lazy split
+  * (`ext/SQLCollectionsExt.jl`) collapses because a Spark DataFrame IS the
+  * lazy relational collection; `.collect()` is the materializer.
+  */
+object QuackIO {
+
+  // ---------------------------------------------------------------- sources
+
+  /** S1: CSV scan. Multi-path reads union rows in path order (S5). */
+  def readCsv(spark: SparkSession, rawPaths: Seq[String],
+      opts: ReadOptions = ReadOptions()): DataFrame = {
+    require(rawPaths.nonEmpty, "at least one path required")
+    val paths = globSafe(rawPaths)
+    val reader = spark.read
+      .option("header", opts.header.getOrElse(true).toString)
+      .option("sep", opts.delim.getOrElse(","))
+      .options(opts.extra)
+
+    val base =
+      if (opts.columns.nonEmpty) {
+        // O3: explicit per-column types. DuckDB *casts on parse* (reads
+        // "1.0" into an int column as 1, test/runtests.jl:67-71) while
+        // Spark's CSV parser would null out "1.0" for an integral field —
+        // so parse numerics as double, then cast to the declared type.
+        val parseSchema = StructType(opts.columns.map { case (n, t) =>
+          StructField(n, parseTypeFor(duckTypeToSpark(t)), nullable = true)
+        })
+        val raw = reader.schema(parseSchema).csv(paths: _*)
+        raw.select(opts.columns.map { case (n, t) =>
+          col(quoted(n)).cast(duckTypeToSpark(t)).as(n)
+        }: _*)
+      } else {
+        val inferred = reader.option("inferSchema", "true").csv(paths: _*)
+        val downgraded =
+          if (opts.autoTypeCandidates.isEmpty) inferred
+          else {
+            // O2: re-read with each inferred type downgraded to the
+            // narrowest allowed candidate that can still represent it.
+            val allowed = opts.autoTypeCandidates.map(duckTypeToSpark).toSet
+            val schema = StructType(inferred.schema.map { f =>
+              f.copy(dataType = narrowestAllowed(f.dataType, allowed))
+            })
+            reader.schema(schema).csv(paths: _*)
+          }
+        if (opts.widenIntegers) widenIntegral(downgraded) else downgraded
+      }
+
+    val named =
+      if (opts.names.isEmpty) base
+      else base.toDF(opts.names: _*) // O4: positional rename, header consumed
+    applySelectLimit(named, opts)
+  }
+
+  /** S2: Parquet scan (self-describing schema; no inference options). */
+  def readParquet(spark: SparkSession, paths: Seq[String],
+      opts: ReadOptions = ReadOptions()): DataFrame =
+    applySelectLimit(
+      spark.read.options(opts.extra).parquet(globSafe(paths): _*), opts)
+
+  /** S3: newline-delimited JSON scan (NDJSON is Spark's native JSON model,
+    * matching the reference's one-object-per-line files,
+    * `test/runtests.jl:43`). */
+  def readJson(spark: SparkSession, paths: Seq[String],
+      opts: ReadOptions = ReadOptions()): DataFrame = {
+    val df = spark.read.options(opts.extra).json(globSafe(paths): _*)
+    val widened = if (opts.widenIntegers) widenIntegral(df) else df
+    applySelectLimit(
+      if (opts.names.isEmpty) widened else widened.toDF(opts.names: _*),
+      opts)
+  }
+
+  /** S4: format-guessing entry point (reference `read_file` with
+    * `filetype=nothing`, `src/QuackIO.jl:53-67`). When the format is guessed
+    * from the extension, format-specific options are forbidden — same guard
+    * as the reference (`src/QuackIO.jl:84-90`, tested
+    * `test/runtests.jl:116-126`). */
+  def readFile(spark: SparkSession, paths: Seq[String],
+      filetype: Option[String] = None,
+      opts: ReadOptions = ReadOptions()): DataFrame = {
+    val fmt = filetype.getOrElse {
+      require(!hasFormatOptions(opts),
+        "cannot pass format-specific options when the file format is guessed" +
+          " from the extension; pass filetype= explicitly")
+      guessFormat(paths.head).getOrElse(
+        throw new IllegalArgumentException(
+          s"cannot guess file format from '${paths.head}'"))
+    }
+    fmt match {
+      case "csv"     => readCsv(spark, paths, opts)
+      case "parquet" => readParquet(spark, paths, opts)
+      case "json"    => readJson(spark, paths, opts)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported format '$other'")
+    }
+  }
+
+  /** S6: in-memory buffer source (reference spills an `IOBuffer` to a temp
+    * file, `src/QuackIO.jl:108-112`; here the content becomes a
+    * `Dataset[String]` scanned directly — no temp file needed). */
+  def readCsvString(spark: SparkSession, content: String,
+      opts: ReadOptions = ReadOptions()): DataFrame = {
+    import spark.implicits._
+    val ds = spark.createDataset(content.split("\n", -1).toIndexedSeq
+      .filter(_.nonEmpty))
+    val df = spark.read
+      .option("header", opts.header.getOrElse(true).toString)
+      .option("sep", opts.delim.getOrElse(","))
+      .option("inferSchema", "true")
+      .options(opts.extra)
+      .csv(ds)
+    val widened = if (opts.widenIntegers) widenIntegral(df) else df
+    applySelectLimit(
+      if (opts.names.isEmpty) widened else widened.toDF(opts.names: _*),
+      opts)
+  }
+
+  /** S7: remote URL source. The reference delegates to DuckDB httpfs
+    * (README.md:43); Spark has no http(s) filesystem by default, so the
+    * content is downloaded to a local temp file first, then scanned. */
+  def readUrl(spark: SparkSession, url: String,
+      filetype: Option[String] = None,
+      opts: ReadOptions = ReadOptions()): DataFrame = {
+    val fmt = filetype.orElse(guessFormat(url)).getOrElse(
+      throw new IllegalArgumentException(s"cannot guess format of '$url'"))
+    val suffix = "." + (if (fmt == "parquet") "parquet" else fmt)
+    val tmp = java.nio.file.Files.createTempFile("quackio-url-", suffix)
+    val in = new java.net.URI(url).toURL.openStream()
+    try java.nio.file.Files.copy(in, tmp,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    finally in.close()
+    tmp.toFile.deleteOnExit()
+    readFile(spark, Seq(tmp.toString), Some(fmt), opts)
+  }
+
+  // ------------------------------------------------------------------ sinks
+
+  /** The reference's single write operator (`write_table`,
+    * `src/QuackIO.jl:33-42`): writes `df` as ONE plain file at exactly
+    * `path` (not a directory of part files), with the format taken from
+    * `opts.format` or inferred from the extension.
+    *
+    * The uppercase-format guard throws BEFORE anything is created, matching
+    * `test/runtests.jl:35-36`. The write is staged into a temp directory and
+    * renamed into place (the reference's `use_tmp_file` semantics).
+    *
+    * Scale note: a single output file is inherently one task — this method
+    * exists for reference parity on small results. For large data use
+    * [[writeTableDir]], which keeps the parallel many-part-file layout.
+    */
+  def writeTable(df: DataFrame, path: String,
+      opts: WriteOptions = WriteOptions()): Unit = {
+    val fmt = resolveFormat(path, opts) // throws on uppercase/unknown first
+    // compression must be inferred from the FINAL path (.gz/.zst), not the
+    // staging path the data is first written to
+    val staged = opts.copy(
+      compression = opts.compression.orElse(inferCompression(path)))
+    val parent = java.nio.file.Paths.get(path).toAbsolutePath.getParent
+    java.nio.file.Files.createDirectories(parent)
+    val stage = java.nio.file.Files.createTempDirectory(parent, ".quackio-tmp-")
+    val stageOut = stage.resolve("out").toString
+    try {
+      writeDir(df.coalesce(1), stageOut, fmt, staged)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(stageOut))
+        .filter(p => p.getFileName.toString.startsWith("part-"))
+        .findFirst.orElseThrow(() =>
+          new IllegalStateException(s"no part file produced under $stageOut"))
+      java.nio.file.Files.move(part, java.nio.file.Paths.get(path),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally {
+      // best-effort cleanup of the staging dir
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(stage).iterator().asScala.toSeq.reverse
+        .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch {
+          case _: Throwable => ()
+        })
+    }
+    if (fmt == "parquet" && opts.kvMetadata.nonEmpty)
+      ParquetMetadata.attach(path, opts.kvMetadata)
+  }
+
+  /** Scale-path sink: normal Spark directory-of-part-files write, fully
+    * parallel. Same option surface as [[writeTable]]. */
+  def writeTableDir(df: DataFrame, path: String,
+      opts: WriteOptions = WriteOptions()): Unit =
+    writeDir(df, path, resolveFormat(path, opts), opts)
+
+  private def writeDir(df: DataFrame, path: String, fmt: String,
+      opts: WriteOptions): Unit = {
+    val compression = opts.compression.orElse(inferCompression(path))
+    fmt match {
+      case "csv" =>
+        val (out, extraCsv) =
+          if (opts.forceQuote.isEmpty) (df, Map.empty[String, String])
+          else (forceQuoteShim(df, opts), Map("quote" -> ""))
+        var w = out.write
+          .option("header", opts.header.getOrElse(true).toString)
+          .option("sep", opts.delim.getOrElse(","))
+          .options(extraCsv)
+          .options(opts.extra)
+        compression.foreach(c => w = w.option("compression", c))
+        w.mode("overwrite").csv(path)
+      case "parquet" =>
+        var w = df.write.options(opts.extra)
+        compression.foreach(c => w = w.option("compression", c))
+        w.mode("overwrite").parquet(path)
+      case "json" =>
+        // DuckDB writes explicit nulls (`{"c":null}`, test/runtests.jl:43);
+        // Spark omits null fields by default — force them on.
+        var w = df.write.option("ignoreNullFields", "false")
+          .options(opts.extra)
+        compression.foreach(c => w = w.option("compression", c))
+        w.mode("overwrite").json(path)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported format '$other'")
+    }
+  }
+
+  /** K4: per-column `force_quote`. Spark CSV only has all-or-nothing
+    * `quoteAll`, so quoting is done in the plan: every column is rendered to
+    * its final string (forced columns always quoted, other columns quoted
+    * only when they contain delimiter/quote/newline) and the writer's own
+    * quoting is disabled. NULL stays an unquoted empty field even in forced
+    * columns (`test/runtests.jl:62`: `"2",yz,`). */
+  private def forceQuoteShim(df: DataFrame, opts: WriteOptions): DataFrame = {
+    val sep = opts.delim.getOrElse(",")
+    val forced = opts.forceQuote.toSet
+    df.select(df.schema.fields.map { f =>
+      val s = col(quoted(f.name)).cast(StringType)
+      val escaped = concat(lit("\""),
+        regexp_replace(s, "\"", "\"\""), lit("\""))
+      val needsQuote = s.contains(sep) || s.contains("\"") ||
+        s.contains("\n") || s.contains("\r")
+      val rendered =
+        if (forced.contains(f.name)) escaped
+        else when(needsQuote, escaped).otherwise(s)
+      when(s.isNull, lit(null).cast(StringType)).otherwise(rendered)
+        .as(f.name)
+    }.toIndexedSeq: _*)
+  }
+
+  // ------------------------------------------------------------- internals
+
+  private def quoted(name: String): String =
+    "`" + name.replace("`", "``") + "`"
+
+  /** Spark/Hadoop read paths are glob patterns, where `\` escapes the next
+    * character — a literal backslash in a filename (legal on linux, tested
+    * adversarially by the reference, `test/runtests.jl:52`) must itself be
+    * escaped. `*?[]{}` are left alone so intentional globs still work,
+    * matching DuckDB's globbing read_* functions. */
+  private def globSafe(paths: Seq[String]): Seq[String] =
+    paths.map(_.replace("\\", "\\\\"))
+
+  /** Q1 (projection + rename, order-preserving, arbitrary names) and
+    * Q2 (limit) — the reference's whole eager query surface
+    * (`src/QuackIO.jl:70,79-82,96-97`). */
+  private def applySelectLimit(df: DataFrame, opts: ReadOptions): DataFrame = {
+    val projected =
+      if (opts.select.isEmpty) df
+      else df.select(opts.select.map { s =>
+        val c = col(quoted(s.name))
+        s.as.fold(c)(a => c.as(a))
+      }: _*)
+    opts.limit.fold(projected)(projected.limit)
+  }
+
+  /** DuckDB type-name → Spark type (reference declares types with DuckDB
+    * names, `test/runtests.jl:66-71`). Integrals widen to long to match
+    * DuckDB's BIGINT default (SURVEY §7.4). */
+  private[graft] def duckTypeToSpark(t: String): DataType =
+    t.trim.toLowerCase match {
+      case "tinyint" | "smallint" | "int" | "integer" | "int4" | "bigint" |
+           "int8" | "long" | "hugeint" | "ubigint" | "uinteger" => LongType
+      case "float" | "float4" | "real" | "double" | "float8" | "decimal" =>
+        DoubleType
+      case "varchar" | "text" | "string" | "char" | "bpchar" => StringType
+      case "bool" | "boolean" | "logical" => BooleanType
+      case "date" => DateType
+      case "timestamp" | "datetime" | "timestamptz" => TimestampType
+      case other =>
+        throw new IllegalArgumentException(s"unknown column type '$other'")
+    }
+
+  /** Parse-time type for an O3 declared type: numeric targets parse as
+    * double so that e.g. "1.0" survives an int declaration (DuckDB
+    * cast-on-parse semantics). */
+  private def parseTypeFor(target: DataType): DataType = target match {
+    case LongType | DoubleType => DoubleType
+    case other => other
+  }
+
+  /** Widening order used by the O2 candidate-set downgrade. */
+  private val widening: Seq[DataType] =
+    Seq(BooleanType, LongType, DoubleType, TimestampType, StringType)
+
+  private def narrowestAllowed(inferred: DataType, allowed: Set[DataType])
+      : DataType = {
+    val norm = inferred match {
+      case _: IntegerType | _: ShortType | _: ByteType => LongType
+      case _: FloatType | _: DecimalType => DoubleType
+      case other => other
+    }
+    if (allowed.contains(norm)) norm
+    else widening.dropWhile(_ != norm).drop(1).find(allowed.contains)
+      .getOrElse(StringType)
+  }
+
+  /** DuckDB sniffs every integral CSV/JSON column as BIGINT; Spark infers
+    * IntegerType when values fit — widen for parity (SURVEY §7.4 item 4). */
+  private def widenIntegral(df: DataFrame): DataFrame = {
+    val needs = df.schema.fields.exists(f => f.dataType match {
+      case IntegerType | ShortType | ByteType => true
+      case _ => false
+    })
+    if (!needs) df
+    else df.select(df.schema.fields.map { f =>
+      f.dataType match {
+        case IntegerType | ShortType | ByteType =>
+          col(quoted(f.name)).cast(LongType).as(f.name)
+        case _ => col(quoted(f.name))
+      }
+    }.toIndexedSeq: _*)
+  }
+
+  private def hasFormatOptions(opts: ReadOptions): Boolean =
+    opts.delim.nonEmpty || opts.header.nonEmpty || opts.columns.nonEmpty ||
+      opts.names.nonEmpty || opts.autoTypeCandidates.nonEmpty ||
+      opts.extra.nonEmpty
+
+  /** Extension-based format guess (reference defers to DuckDB's
+    * `read_file`/COPY filename sniffing; same extensions honored). */
+  private[graft] def guessFormat(path: String): Option[String] = {
+    val base = path.toLowerCase
+      .stripSuffix(".gz").stripSuffix(".zst").stripSuffix(".gzip")
+    base.split('.').lastOption.collect {
+      case "csv" | "tsv"              => "csv"
+      case "parquet" | "pq"           => "parquet"
+      case "json" | "ndjson" | "jsonl" => "json"
+    }
+  }
+
+  private def inferCompression(path: String): Option[String] = {
+    val p = path.toLowerCase
+    if (p.endsWith(".gz") || p.endsWith(".gzip")) Some("gzip")
+    else if (p.endsWith(".zst")) Some("zstd")
+    else None
+  }
+
+  /** Format resolution with the reference's lowercase guard: an uppercase
+    * format name throws before any file is created (`src/QuackIO.jl:34`,
+    * `test/runtests.jl:35-36`). */
+  private[graft] def resolveFormat(path: String, opts: WriteOptions): String =
+    opts.format match {
+      case Some(f) =>
+        require(f == f.toLowerCase,
+          s"format name must be lowercase, got '$f'")
+        f
+      case None =>
+        guessFormat(path).getOrElse(throw new IllegalArgumentException(
+          s"cannot infer output format from '$path'; pass format="))
+    }
+}

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (SURVEY.md §2.4
+  * X1/X2): exact (hash-groupBy), MinHash+LSH banding, SimHash, and exact
+  * n-gram Jaccard verification.
+  *
+  * Scale posture (100 TB design point):
+  *  - everything is shuffle-on-key DataFrame ops — no driver collects, no
+  *    cross joins; LSH candidate generation is ONE aggregation keyed on
+  *    (band, value) followed by per-bucket pair expansion, so the whole
+  *    corpus is shuffled exactly once and nothing is computed twice (a
+  *    naive bands-self-join would recompute the signature pipeline on both
+  *    sides and double-scan);
+  *  - intermediate arrays (tokens, shingles) are materialized as real
+  *    attributes in their own projections, NOT inlined expressions — an
+  *    inlined `split()` re-evaluates per transform-lambda element (O(n²)
+  *    per doc) and the duplicated subtree blows up codegen;
+  *  - signatures are fixed-width (k columns) per doc: the groupBy(doc)
+  *    aggregation map-side combines, so the shuffle carries one row per
+  *    doc, not one per shingle;
+  *  - MD5 is the hash family (seeded by prefix) so results are
+  *    reproducible across engines and runs — the DuckDB oracle replays the
+  *    exact same arithmetic;
+  *  - known LSH caveat at scale: a pathological bucket (thousands of
+  *    identical docs) expands quadratically — cap with `maxBucket` which
+  *    drops oversized buckets (they are exact-dup territory, handled by
+  *    [[exact]] first in a real pipeline).
+  */
+object Dedup {
+
+  /** X1 exact dedup: one representative (min id) per fingerprint.
+    * Returns (fingerprint, keep_id, n_copies). */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Word n-gram shingles of a token array, joined with single spaces.
+    * Empty result when the doc has fewer than n tokens.
+    *
+    * IMPORTANT: pass an *attribute* (a column materialized by a previous
+    * projection), not a computed expression — the lambda references `toks`
+    * once per element and an inlined expression would be re-evaluated
+    * n times per row. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+
+  /** One row per (doc, shingle): tokens and shingles staged as their own
+    * projections so each is computed exactly once per row. */
+  private def explodedShingles(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), explode(shingles(col("toks"), shingleN)).as("s"))
+
+  /** MinHash signature: k columns m0..m{k-1}, where m_i = lexicographic min
+    * of md5("i|" + shingle) over the doc's shingles. One row per doc.
+    *
+    * (Lexicographic min over a seeded-MD5 family is a valid MinHash — the
+    * hex strings are uniform — and makes every engine agree byte-for-byte.)
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      k: Int, shingleN: Int = 3): DataFrame = {
+    val hashed = explodedShingles(df, idCol, textCol, shingleN)
+      .select(col("doc_id") +:
+        (0 until k).map(i => md5(concat(lit(s"$i|"), col("s"))).as(s"h$i")): _*)
+    val aggs = (0 until k).map(i => min(col(s"h$i")).as(s"m$i"))
+    hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding over a MinHash signature: bands of `rowsPerBand` signature
+    * columns re-hash to a single value; docs sharing any (band index, band
+    * value) become candidate pairs. Returns (doc_a, doc_b), doc_a < doc_b,
+    * distinct.
+    *
+    * Single-pass plan: explode to (doc, band, value) → ONE groupBy(band,
+    * value) collecting the bucket's sorted doc ids → expand each bucket
+    * into its pairs → distinct. The corpus shuffles once, keyed by band
+    * value (i.e. hash-partitioned across executors). */
+  def lshCandidates(sigs: DataFrame, k: Int, rowsPerBand: Int,
+      maxBucket: Int = 10000): DataFrame = {
+    require(k % rowsPerBand == 0, "k must be divisible by rowsPerBand")
+    val nBands = k / rowsPerBand
+    val bandCols = (0 until nBands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat(parts: _*)).as("bv"))
+    }
+    val bands = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("e"))
+      .select(col("doc_id"), col("e.band").as("band"), col("e.bv").as("bv"))
+    val buckets = bands.groupBy("band", "bv")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+    // expand each bucket into its (a < b) pairs
+    buckets
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
+  }
+
+  /** End-to-end MinHash near-dup candidates (X2). */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, rowsPerBand: Int = 2, shingleN: Int = 3): DataFrame =
+    lshCandidates(minhashSignatures(df, idCol, textCol, k, shingleN),
+      k, rowsPerBand)
+
+  /** 32-bit SimHash over whitespace tokens. Per token, the first 8 hex
+    * chars of md5(token) give a 32-bit value; each bit votes ±1; the
+    * signature sets bits with positive vote sums. Returns (doc_id, simhash).
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 32): DataFrame = {
+    val tok = df
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("h"))
+    val voteAggs = (0 until bits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L)
+        .otherwise(-1L)).as(s"v$b")
+    }
+    val votes = tok.groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
+    val sig = (0 until bits).map(b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    votes.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** Exact token-set Jaccard similarity between two token-array columns
+    * (X2 verification stage / n-gram Jaccard dedup). Pass attributes, not
+    * computed expressions (see [[shingles]] note). */
+  def jaccard(a: Column, b: Column): Column = {
+    val da = array_distinct(a)
+    val db = array_distinct(b)
+    val inter = size(array_intersect(da, db)).cast("double")
+    inter / (size(da).cast("double") + size(db).cast("double") - inter)
+  }
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for large-scale training-data pipelines
+  * (driver mandate; SURVEY.md §2.4 X5). All pure Catalyst column
+  * expressions — codegen'd, no UDFs, fully distributed.
+  *
+  * Design note: hashes are MD5-based because MD5 is bit-identical across
+  * engines (the DuckDB oracle mirrors every expression here 1:1), unlike
+  * engine-specific murmur/xxhash builtins.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Characters matching a regex, as a count (quality-scoring feature). */
+  def regexCount(text: Column, pattern: String): Column =
+    regexp_count(text, lit(pattern)).cast("long")
+
+  val EnStop: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+  val DeStop: Seq[String] = Seq("der", "die", "und", "ist", "das", "nicht")
+  val FrStop: Seq[String] = Seq("le", "la", "et", "les", "des", "une")
+  val EsStop: Seq[String] = Seq("el", "los", "las", "de", "y", "una")
+
+  def stopwordCount(toks: Column, stop: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(stop))).cast("long")
+
+  /** Quality features: length, token count, punctuation/digit counts,
+    * stopword ratio, mean token length. */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("long")
+    val nStop = stopwordCount(toks, EnStop)
+    Seq(
+      "n_chars" -> length(text).cast("long"),
+      "n_tokens" -> nTok,
+      "n_punct" -> regexCount(text, "[.,!?;:]"),
+      "n_digit" -> regexCount(text, "[0-9]"),
+      "stop_ratio" -> nStop.cast("double") / nTok.cast("double"),
+      "mean_tok_len" ->
+        length(regexp_replace(trim(text), "\\s+", "")).cast("double") /
+          nTok.cast("double"))
+  }
+
+  /** n-gram-free heuristic language ID: per-language stopword hit counts,
+    * CJK character presence for zh, strict argmax with a fixed tie order
+    * (de > fr > es > en). Deterministic; mirrored exactly by the oracle. */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val en = stopwordCount(toks, EnStop)
+    val de = stopwordCount(toks, DeStop)
+    val fr = stopwordCount(toks, FrStop)
+    val es = stopwordCount(toks, EsStop)
+    val zh = regexp_count(text, lit("[一-鿿]"))
+    when(zh > 0, "zh")
+      .when(de > en && de > fr && de > es, "de")
+      .when(fr > en && fr >= de && fr > es, "fr")
+      .when(es > en && es >= de && es >= fr, "es")
+      .otherwise("en")
+  }
+
+  /** Document fingerprint: MD5 of whitespace-normalized lowercase text.
+    * The exact-dedup key (X1). */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+}

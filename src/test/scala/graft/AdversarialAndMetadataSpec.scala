@@ -1,0 +1,60 @@
+package graft
+
+/** Mirrors the reference's adversarial-filename testitem
+  * (`test/runtests.jl:47-64`) and the metadata testitem (`:150-173`). */
+class AdversarialAndMetadataSpec extends TestBase {
+
+  test("filenames with spaces/quotes/backslashes round-trip (K11)") {
+    val dir = tmpDir()
+    val p = s"$dir/ \\ ''' abc '' def ' .csv"
+    QuackIO.writeTable(fixture, p)
+    assert(readLines(p) == Seq("a,b,c", "1,x,1.0", "2,yz,"))
+    assertSameRows(QuackIO.readCsv(spark, Seq(p)), fixture)
+  }
+
+  test("column name with space renames via select pair (Q1 adversarial)") {
+    val dir = tmpDir()
+    val p = s"$dir/t.csv"
+    val f = fixture
+    val df = f.select(f("a").as("a b"))
+    QuackIO.writeTable(df, p)
+    val back = QuackIO.readCsv(spark, Seq(p),
+      ReadOptions(select = Seq(Sel("a b", Some("c d")))))
+    assert(back.schema.fieldNames.toSeq == Seq("c d"))
+    assert(back.count() == 2)
+  }
+
+  test("parquet KV metadata round-trips incl. quotes in values (K9)") {
+    val dir = tmpDir()
+    val p = s"$dir/meta.parquet"
+    val kv = Map("writer" -> "Quack'IO", "1" -> "2")
+    QuackIO.writeTable(fixture, p,
+      WriteOptions(kvMetadata = kv, compression = Some("zstd")))
+    assert(ParquetMetadata.read(p) == kv)
+    // data survives the footer rewrite
+    assertSameRows(QuackIO.readParquet(spark, Seq(p)), fixture)
+  }
+
+  test("KV metadata on adversarial path (K9 + K11)") {
+    val dir = tmpDir()
+    val p = s"$dir/ quote' file .parquet"
+    QuackIO.writeTable(fixture, p, WriteOptions(kvMetadata = Map("k" -> "v")))
+    assert(ParquetMetadata.read(p) == Map("k" -> "v"))
+  }
+
+  test("metadata silently ignored for CSV format (K9 contract)") {
+    val dir = tmpDir()
+    val p = s"$dir/m.csv"
+    QuackIO.writeTable(fixture, p,
+      WriteOptions(kvMetadata = Map("writer" -> "w")))
+    assert(readLines(p).head == "a,b,c")
+  }
+
+  test("attach merges without clobbering existing user keys") {
+    val dir = tmpDir()
+    val p = s"$dir/m2.parquet"
+    QuackIO.writeTable(fixture, p, WriteOptions(kvMetadata = Map("a" -> "1")))
+    ParquetMetadata.attach(p, Map("b" -> "2"))
+    assert(ParquetMetadata.read(p) == Map("a" -> "1", "b" -> "2"))
+  }
+}

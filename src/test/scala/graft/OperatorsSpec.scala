@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Specs for the LLM-pipeline operators (dedup, similarity, text,
+  * multimodal) over small in-memory corpora with planted duplicates. */
+class OperatorsSpec extends TestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river"),
+    (3L, "completely different content about spark query engines and scale"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (5L, "unrelated short text")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical normalized text (X1)") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .orderBy("keep_id").collect()
+    assert(out.length == 4)
+    val dupGroup = out.find(_.getLong(1) == 1L).get
+    assert(dupGroup.getLong(2) == 2L) // docs 1 and 4
+  }
+
+  test("minhash LSH surfaces near-duplicate candidate pairs (X2)") {
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)), "exact copies must share all bands")
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)),
+      "near-dup (one-token diff) should share at least one band")
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(3L) },
+      "unrelated doc must not pair")
+  }
+
+  test("simhash: identical docs equal, near-dups close, unrelated far (X2)") {
+    val sigs = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sigs(1L) == sigs(4L))
+    assert(hamming(sigs(1L), sigs(2L)) <= 8)
+    assert(hamming(sigs(1L), sigs(3L)) > 8)
+  }
+
+  test("token-set jaccard exact values (X2 verify)") {
+    val j = docs.as("a").join(docs.as("b"),
+        col("a.doc_id") === 1 && col("b.doc_id") === 4)
+      .select(Dedup.jaccard(
+        TextAnalysis.tokens(col("a.text")),
+        TextAnalysis.tokens(col("b.text"))).as("j"))
+      .head().getDouble(0)
+    assert(j == 1.0)
+  }
+
+  test("shingles produce n-grams; short docs yield empty (X2)") {
+    val sh = docs.select(col("doc_id"),
+      Dedup.shingles(TextAnalysis.tokens(col("text")), 3).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(5L).length == 1) // 3 tokens -> 1 shingle
+    assert(sh(1L).head == "the quick brown")
+  }
+
+  private lazy val vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.9f, 0.1f, 0.0f)),
+    (3L, Array(0.0f, 1.0f, 0.0f)),
+    (4L, Array(0.0f, 0.0f, 1.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force cosine top-k ranks by similarity (X3)") {
+    val out = Similarity.cosineTopK(
+      vecs.filter(col("vec_id") === 1), vecs, "vec_id", "embedding", 2)
+      .orderBy("rank").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(1) == 2L) // nearest neighbor
+    assert(out(0).getDouble(2) > 0.99 && out(0).getDouble(2) <= 1.0)
+  }
+
+  test("LSH buckets agree between identical vectors (X3 scale path)") {
+    val pl = Similarity.planes(spark, 4, 3)
+    val b = Similarity.lshBuckets(vecs, "vec_id", "embedding", pl, 4)
+      .select("vec_id", "bucket")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b.values.forall(v => v >= 0 && v < 16))
+  }
+
+  test("text analysis: tokens, quality, langid, fingerprint (X5)") {
+    val row = docs.filter(col("doc_id") === 1)
+      .select(
+        TextAnalysis.tokenCount(col("text")).as("nt"),
+        TextAnalysis.langId(col("text")).as("lang"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      .head()
+    assert(row.getLong(0) == 13L)
+    assert(row.getString(1) == "en")
+    assert(row.getString(2).length == 32)
+  }
+
+  test("multimodal payload + stubbed decode pipeline shape (X4)") {
+    val media = Multimodal.withPayload(docs, "doc_id", "text")
+    assert(media.schema("payload").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val feats = Multimodal.decodeStub(media.as[Multimodal.MediaRecord])
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(feats.size == 5)
+    assert(feats(5L).n_bytes == "unrelated short text".length)
+    assert(feats(5L).mean_byte > 0)
+    val meta = Multimodal.payloadMeta(media)
+    assert(meta.columns.toSeq ==
+      Seq("doc_id", "kind", "n_bytes", "digest"))
+  }
+}
