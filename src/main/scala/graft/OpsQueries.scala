@@ -93,8 +93,7 @@ object OpsQueries {
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
     "q22_lang_id" -> Entry(
-      (s, dir) => t(s, dir, "documents")
-        .select(col("lang"), TextAnalysis.langId(col("text")).as("pred"))
+      (s, dir) => TextAnalysis.withLangId(t(s, dir, "documents"), "text")
         .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
         .orderBy("lang", "pred"),
       Some {
@@ -257,6 +256,54 @@ object OpsQueries {
              |     sqrt(list_sum([cv[i]::DOUBLE * cv[i]::DOUBLE
              |      for i in generate_series(1, len(cv))]))), 6) AS score
              |  FROM q, c WHERE query_id <> corpus_id),
+             |r AS (SELECT query_id, corpus_id, score,
+             |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             |    ORDER BY score DESC, corpus_id) AS BIGINT) AS rnk FROM s)
+             |SELECT query_id, corpus_id, score, rnk FROM r
+             |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)),
+
+    // ----- X3 scale path: sign-LSH bucketed ANN ----------------------------
+    // Buckets come from MD5-derived pseudo-random hyperplanes, so both
+    // engines compute identical projections; only same-bucket candidates
+    // are scored (the join is an equi-join on bucket id — the shape that
+    // replaces the brute-force corpus scan at scale).
+    "q31_ann_lsh" -> Entry(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.annTopK(emb.filter(col("vec_id") < 5), emb,
+          "vec_id", "embedding", k = 10, nPlanes = 8)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy("query_id", "rnk")
+      },
+      Some("""WITH pl AS (
+             |  SELECT p.plane, j.j,
+             |    CAST(CAST(('0x' || substr(md5(p.plane::VARCHAR || '_'
+             |      || j.j::VARCHAR), 1, 8)) AS UBIGINT) AS DOUBLE)
+             |      / 4294967296.0 - 0.5 AS r
+             |  FROM (SELECT unnest(generate_series(0, 7)) AS plane) p,
+             |       (SELECT unnest(generate_series(1, 64)) AS j) j),
+             |comp AS (SELECT vec_id, j, embedding[j]::DOUBLE AS x
+             |  FROM embeddings, unnest(generate_series(1, len(embedding)))
+             |    AS u(j)),
+             |dots AS (SELECT vec_id, plane, SUM(x * r) AS d
+             |  FROM comp JOIN pl USING (j) GROUP BY 1, 2),
+             |bkt AS (SELECT vec_id, CAST(SUM(CASE WHEN d > 0
+             |    THEN (1::BIGINT << plane) ELSE 0 END) AS BIGINT) AS bucket
+             |  FROM dots GROUP BY 1),
+             |qb AS (SELECT b.vec_id AS query_id, e.embedding AS qv, b.bucket
+             |  FROM bkt b JOIN embeddings e USING (vec_id)
+             |  WHERE b.vec_id < 5),
+             |cb AS (SELECT b.vec_id AS corpus_id, e.embedding AS cv, b.bucket
+             |  FROM bkt b JOIN embeddings e USING (vec_id)),
+             |s AS (SELECT query_id, corpus_id,
+             |  round(
+             |    list_sum([qv[i]::DOUBLE * cv[i]::DOUBLE
+             |      for i in generate_series(1, len(qv))]) /
+             |    (sqrt(list_sum([qv[i]::DOUBLE * qv[i]::DOUBLE
+             |      for i in generate_series(1, len(qv))])) *
+             |     sqrt(list_sum([cv[i]::DOUBLE * cv[i]::DOUBLE
+             |      for i in generate_series(1, len(cv))]))), 6) AS score
+             |  FROM qb JOIN cb USING (bucket) WHERE query_id <> corpus_id),
              |r AS (SELECT query_id, corpus_id, score,
              |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
              |    ORDER BY score DESC, corpus_id) AS BIGINT) AS rnk FROM s)

@@ -50,51 +50,48 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Deterministic pseudo-random projection planes: plane p, dimension j
-    * (1-based) gets component uint32(md5(p + "_" + j)[0,8)) / 2^32 - 0.5.
-    * Returns (plane, j, r). `nPlanes` rows × `dim` — tiny; broadcast. */
-  def planes(spark: org.apache.spark.sql.SparkSession, nPlanes: Int,
-      dim: Int): DataFrame = {
-    val p = spark.range(nPlanes).select(col("id").as("plane"))
-    val j = spark.range(1, dim + 1).select(col("id").as("j"))
-    p.crossJoin(j).select(col("plane"), col("j"),
-      (conv(substring(md5(concat(col("plane").cast("string"), lit("_"),
-        col("j").cast("string"))), 1, 8), 16, 10).cast("double")
-        / lit(4294967296.0) - 0.5).as("r"))
+  /** Deterministic pseudo-random projection planes, computed driver-side:
+    * plane p, dimension j (1-based) gets component
+    * uint32(md5(p + "_" + j)[0,8)) / 2^32 - 0.5. The nPlanes × dim matrix
+    * is tiny (a few KB) and ships to executors as literals — bucketing
+    * then needs NO join and NO shuffle, just one projection over the
+    * vectors. */
+  def planeVectors(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nPlanes, dim) { (p, j0) =>
+      val hex = md.digest(s"${p}_${j0 + 1}".getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0 - 0.5
+    }
   }
 
-  /** Sign-LSH bucket id per vector: bit p of the bucket = 1 iff
-    * dot(vec, plane_p) > 0. Returns input plus a `bucket` long column. */
-  def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
-      planesDf: DataFrame, nPlanes: Int): DataFrame = {
-    val comp = df.select(col(idCol).as("vid"), posexplode(col(vecCol))
-        .as(Seq("pos", "x")))
-      .withColumn("j", col("pos") + 1).drop("pos")
-    val dots = comp.join(broadcast(planesDf), "j")
-      .groupBy("vid", "plane")
-      .agg(sum(col("x").cast("double") * col("r")).as("d"))
-    val buckets = dots.groupBy("vid")
-      .agg(sum(when(col("d") > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(plane AS INT))"))
-        .otherwise(0L)).as("bucket"))
-    df.join(buckets, df(idCol) === buckets("vid")).drop("vid")
-  }
+  /** Sign-LSH bucket id for a vector column: bit p of the bucket = 1 iff
+    * dot(vec, plane_p) > 0. Pure column expression — evaluated in a single
+    * scan, no shuffle. */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (row, p) =>
+      val d = aggregate(
+        zip_with(vec, typedlit(row.toSeq), (x, r) => x.cast("double") * r),
+        lit(0.0), (acc, v) => acc + v)
+      when(d > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   /** Approximate top-k: only corpus vectors sharing the query's LSH bucket
-    * are scored. Returns (query_id, corpus_id, score, rank). */
+    * are scored. One scan per side to bucket, one equi-join on bucket id —
+    * the shape that replaces a full corpus scan per query at scale.
+    * Returns (query_id, corpus_id, score, rank). */
   def annTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int, nPlanes: Int = 8): DataFrame = {
-    val spark = queries.sparkSession
-    val dim = 64 // embeddings fixture dimension; parameterize when needed
-    val pl = planes(spark, nPlanes, dim)
-    val qb = lshBuckets(queries, idCol, vecCol, pl, nPlanes)
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("bucket"))
-    val cb = lshBuckets(corpus, idCol, vecCol, pl, nPlanes)
-      .select(col(idCol).as("corpus_id"), col(vecCol).as("cv"), col("bucket"))
+      vecCol: String, k: Int, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val pl = planeVectors(nPlanes, dim)
+    val qb = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"), lshBucket(col(vecCol), pl).as("bucket"))
+    val cb = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"), lshBucket(col(vecCol), pl).as("bucket"))
     val scored = qb.join(cb, "bucket")
       .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
-        round(cosine(col("qv"), col("cv")), 6).as("score"))
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+          .as("score"))
     val w = Window.partitionBy("query_id")
       .orderBy(desc("score"), asc("corpus_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))

@@ -47,21 +47,34 @@ object TextAnalysis {
           nTok.cast("double"))
   }
 
-  /** n-gram-free heuristic language ID: per-language stopword hit counts,
-    * CJK character presence for zh, strict argmax with a fixed tie order
-    * (de > fr > es > en). Deterministic; mirrored exactly by the oracle. */
-  def langId(text: Column): Column = {
-    val toks = tokens(lower(text))
-    val en = stopwordCount(toks, EnStop)
-    val de = stopwordCount(toks, DeStop)
-    val fr = stopwordCount(toks, FrStop)
-    val es = stopwordCount(toks, EsStop)
-    val zh = regexp_count(text, lit("[一-鿿]"))
+  /** Language decision over pre-computed hit counts: strict argmax with a
+    * fixed tie order (zh by CJK presence, then de > fr > es > en).
+    * Deterministic; mirrored exactly by the oracle. */
+  def langDecision(en: Column, de: Column, fr: Column, es: Column,
+      zh: Column): Column =
     when(zh > 0, "zh")
       .when(de > en && de > fr && de > es, "de")
       .when(fr > en && fr >= de && fr > es, "fr")
       .when(es > en && es >= de && es >= fr, "es")
       .otherwise("en")
+
+  /** n-gram-free heuristic language ID. Tokens AND per-language counts are
+    * staged as attributes before the CASE: conditional branches are outside
+    * Spark's subexpression elimination, so an inlined count would re-run
+    * its (interpreted, HOF) token filter once per WHEN that mentions it —
+    * measured 3× slower on the fixture corpus. Adds `outCol` to `df`. */
+  def withLangId(df: org.apache.spark.sql.DataFrame, textCol: String,
+      outCol: String = "pred"): org.apache.spark.sql.DataFrame = {
+    val tmp = Seq("__toks", "__en", "__de", "__fr", "__es", "__zh")
+    df.withColumn("__toks", tokens(lower(col(textCol))))
+      .withColumn("__en", stopwordCount(col("__toks"), EnStop))
+      .withColumn("__de", stopwordCount(col("__toks"), DeStop))
+      .withColumn("__fr", stopwordCount(col("__toks"), FrStop))
+      .withColumn("__es", stopwordCount(col("__toks"), EsStop))
+      .withColumn("__zh", regexp_count(col(textCol), lit("[一-鿿]")))
+      .withColumn(outCol, langDecision(col("__en"), col("__de"),
+        col("__fr"), col("__es"), col("__zh")))
+      .drop(tmp: _*)
   }
 
   /** Document fingerprint: MD5 of whitespace-normalized lowercase text.

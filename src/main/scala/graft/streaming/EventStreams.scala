@@ -1,0 +1,95 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface over event streams (SURVEY.md §2: the
+  * reference has no streaming, but the engine's 100 TB mandate does —
+  * the same windowed/sessionized aggregations as the batch catalog
+  * entries q50/q51, expressed as unbounded streams).
+  *
+  * Design: file-source streams (`readStream.parquet`) so a directory of
+  * parquet drops becomes an incremental pipeline; watermarks bound state;
+  * sessionization keeps per-user state in `flatMapGroupsWithState`
+  * (timeout-driven flush), which scales horizontally because state is
+  * hash-partitioned by user.
+  */
+object EventStreams {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class SessionState(start: Long, last: Long, nEvents: Long)
+
+  case class Session(user_id: Long, start_ms: Long, end_ms: Long,
+      n_events: Long)
+
+  /** Incremental scan of a directory where event parquet files land. */
+  def readEventStream(spark: SparkSession, dir: String,
+      schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** Tumbling-window counts/sums per event type with a watermark bounding
+    * late data (and therefore state size). Append-mode compatible. */
+  def windowedStats(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Gap-based sessionization with explicit per-user state: a session
+    * closes when `gapMs` passes without an event — emitted as soon as a
+    * later event proves the gap, or (with `ProcessingTimeTimeout`) when
+    * the state times out. The default `NoTimeout` emits only gap-proven
+    * sessions, which keeps micro-batch draining deterministic; production
+    * pipelines that must flush idle users pass `ProcessingTimeTimeout`. */
+  def sessionize(events: Dataset[Event], gapMs: Long,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)
+      : Dataset[Session] = {
+    implicit val stateEnc: Encoder[SessionState] =
+      Encoders.product[SessionState]
+    implicit val outEnc: Encoder[Session] = Encoders.product[Session]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+
+    def update(userId: Long, rows: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        return Iterator(Session(userId, s.start, s.last, s.nEvents))
+      }
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      var cur = state.getOption
+      val closed = Seq.newBuilder[Session]
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.last > gapMs =>
+            closed += Session(userId, s.start, s.last, s.nEvents)
+            cur = Some(SessionState(t, t, 1))
+          case Some(s) =>
+            cur = Some(SessionState(s.start, math.max(s.last, t),
+              s.nEvents + 1))
+          case None =>
+            cur = Some(SessionState(t, t, 1))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
+          state.setTimeoutDuration(gapMs)
+      }
+      closed.result().iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(update)
+  }
+}

@@ -78,19 +78,33 @@ class OperatorsSpec extends TestBase {
     assert(out(0).getDouble(2) > 0.99 && out(0).getDouble(2) <= 1.0)
   }
 
-  test("LSH buckets agree between identical vectors (X3 scale path)") {
-    val pl = Similarity.planes(spark, 4, 3)
-    val b = Similarity.lshBuckets(vecs, "vec_id", "embedding", pl, 4)
-      .select("vec_id", "bucket")
+  test("LSH buckets: deterministic, bounded, equal for identical vectors") {
+    val pl = Similarity.planeVectors(4, 3)
+    val withDup = vecs.union(
+      vecs.filter(col("vec_id") === 1).select(lit(9L), col("embedding")))
+    val b = withDup
+      .select(col("vec_id"), Similarity.lshBucket(col("embedding"), pl)
+        .as("bucket"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(b.values.forall(v => v >= 0 && v < 16))
+    assert(b(1L) == b(9L), "identical vectors must share a bucket")
+  }
+
+  test("annTopK returns neighbors from the query's bucket only (X3)") {
+    val out = Similarity.annTopK(vecs.filter(col("vec_id") === 1), vecs,
+      "vec_id", "embedding", k = 3, nPlanes = 4, dim = 3)
+    // sanity: no self-pairs, ranks contiguous from 1
+    val rows = out.orderBy("rank").collect()
+    assert(rows.forall(_.getLong(1) != 1L))
+    assert(rows.zipWithIndex.forall { case (r, i) => r.getLong(3) == i + 1 })
   }
 
   test("text analysis: tokens, quality, langid, fingerprint (X5)") {
-    val row = docs.filter(col("doc_id") === 1)
+    val row = TextAnalysis.withLangId(docs.filter(col("doc_id") === 1),
+        "text", "lang")
       .select(
         TextAnalysis.tokenCount(col("text")).as("nt"),
-        TextAnalysis.langId(col("text")).as("lang"),
+        col("lang"),
         TextAnalysis.fingerprint(col("text")).as("fp"))
       .head()
     assert(row.getLong(0) == 13L)

@@ -1,0 +1,79 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+/** Drives the streaming surface synchronously: parquet drops into a dir
+  * feed a file-source stream; memory sink collects; processAllAvailable
+  * makes each "batch" deterministic. */
+class StreamingSpec extends TestBase {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("windowed stats over a file stream (watermark + tumbling window)") {
+    val dir = tmpDir().toString
+    val batch1 = Seq(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(5), 1, "click", 2.0),
+      Event(3, ts(10), 2, "view", 3.0))
+    batch1.toDF().write.mode("append").parquet(dir)
+
+    val stream = EventStreams.readEventStream(spark, dir,
+      batch1.toDF().schema)
+    val q = EventStreams.windowedStats(stream, "15 minutes", "30 minutes")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("win_out").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+
+    // second drop arrives, stream picks it up incrementally
+    Seq(Event(4, ts(20), 2, "click", 4.0)).toDF()
+      .write.mode("append").parquet(dir)
+    val q2 = EventStreams.windowedStats(
+        EventStreams.readEventStream(spark, dir, batch1.toDF().schema),
+        "15 minutes", "30 minutes")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("win_out2").trigger(Trigger.AvailableNow()).start()
+    q2.processAllAvailable()
+    q.stop(); q2.stop()
+
+    val rows = spark.table("win_out2")
+      .select("event_type", "n", "sum_value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows.contains(("click", 2L, 3.0))) // 10:00 window
+    assert(rows.contains(("click", 1L, 4.0))) // 10:15 window
+    assert(rows.contains(("view", 1L, 3.0)))
+  }
+
+  test("stateful sessionization closes sessions on gap (X-stream)") {
+    val dir = tmpDir().toString
+    // user 1: two sessions separated by a 40-minute gap within one batch
+    Seq(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(2), 1, "view", 1.0),
+      Event(3, ts(42), 1, "click", 1.0),
+      Event(4, ts(5), 2, "view", 1.0)
+    ).toDF().write.mode("append").parquet(dir)
+
+    val stream = EventStreams
+      .readEventStream(spark, dir, Seq.empty[Event].toDF().schema)
+      .as[Event]
+    val sessions = EventStreams.sessionize(stream, gapMs = 30 * 60 * 1000)
+    val q = sessions.writeStream.outputMode("append").format("memory")
+      .queryName("sess_out").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val closed = spark.table("sess_out")
+      .select("user_id", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // user 1's first session (2 events) closed by the 40-minute gap;
+    // the second session and user 2's stay open in state
+    assert(closed.contains((1L, 2L)))
+  }
+}
