@@ -257,14 +257,39 @@ object QuackIO {
   }
 
   /** Scale-path sink: normal Spark directory-of-part-files write, fully
-    * parallel. Same option surface as [[writeTable]]. */
+    * parallel. Same option surface as [[writeTable]], plus:
+    *
+    *  - `partitionBy`: hive-style directory partitioning — readers prune
+    *    entire partitions when filtering on these columns;
+    *  - `bucketBy`/`sortBy` are intentionally NOT exposed here: Spark only
+    *    supports bucketed output through `saveAsTable` (a metastore
+    *    table), not path-based writes — use [[writeBucketedTable]].
+    */
   def writeTableDir(df: DataFrame, path: String,
-      opts: WriteOptions = WriteOptions()): Unit =
-    writeDir(df, path, resolveFormat(path, opts), opts)
+      opts: WriteOptions = WriteOptions(),
+      partitionBy: Seq[String] = Nil): Unit =
+    writeDir(df, path, resolveFormat(path, opts), opts, partitionBy)
+
+  /** Bucketed metastore table for shuffle-free joins/aggregations on the
+    * bucket keys: two tables bucketed the same way join without exchanging
+    * either side — at 100 TB that is the difference between a co-located
+    * join and re-shuffling the fact table every query. */
+  def writeBucketedTable(df: DataFrame, table: String, format: String,
+      bucketCols: Seq[String], nBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty, "bucketBy requires at least one column")
+    var w = df.write.format(format).mode("overwrite")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
+    w.saveAsTable(table)
+  }
 
   private def writeDir(df: DataFrame, path: String, fmt: String,
-      opts: WriteOptions): Unit = {
+      opts: WriteOptions, partitionBy: Seq[String] = Nil): Unit = {
     val compression = opts.compression.orElse(inferCompression(path))
+    def part(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row])
+        : org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =
+      if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*)
     fmt match {
       case "csv" =>
         val (out, extraCsv) =
@@ -276,18 +301,18 @@ object QuackIO {
           .options(extraCsv)
           .options(opts.extra)
         compression.foreach(c => w = w.option("compression", c))
-        w.mode("overwrite").csv(path)
+        part(w).mode("overwrite").csv(path)
       case "parquet" =>
         var w = df.write.options(opts.extra)
         compression.foreach(c => w = w.option("compression", c))
-        w.mode("overwrite").parquet(path)
+        part(w).mode("overwrite").parquet(path)
       case "json" =>
         // DuckDB writes explicit nulls (`{"c":null}`, test/runtests.jl:43);
         // Spark omits null fields by default — force them on.
         var w = df.write.option("ignoreNullFields", "false")
           .options(opts.extra)
         compression.foreach(c => w = w.option("compression", c))
-        w.mode("overwrite").json(path)
+        part(w).mode("overwrite").json(path)
       case other =>
         throw new IllegalArgumentException(s"unsupported format '$other'")
     }

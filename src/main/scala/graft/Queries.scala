@@ -78,9 +78,11 @@ object Queries {
         QuackIO.readParquet(s, Seq(s"$dir/lineitem.parquet"),
             ReadOptions(select = Seq(Sel("l_orderkey", Some("ok")),
               Sel("l_linenumber", Some("ln")), Sel("l_quantity", Some("qty")))))
-          .orderBy("ok", "ln").limit(100),
+          // (ok, ln) is NOT unique in the fixture data — qty completes the
+          // sort key so the LIMIT cut is deterministic in both engines
+          .orderBy("ok", "ln", "qty").limit(100),
       Some("""SELECT l_orderkey AS ok, l_linenumber AS ln, l_quantity AS qty
-             |FROM lineitem ORDER BY ok, ln LIMIT 100""".stripMargin)),
+             |FROM lineitem ORDER BY ok, ln, qty LIMIT 100""".stripMargin)),
 
     // ----- L2: predicate pushdown (reference lazy filter, startswith)
     "q02_filter_prefix" -> Entry(
@@ -269,7 +271,12 @@ object Queries {
     // ----- window: running sum (exact decimal frame sum)
     "q15_window_running" -> Entry(
       (s, dir) => {
-        val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+        // (l_orderkey, l_linenumber) is not unique in the fixture data:
+        // l_quantity joins the frame ordering so the running sum is
+        // deterministic, and the output ordering includes running_qty so
+        // tied rows land in the same sequence in both engines
+        val w = Window.partitionBy("l_orderkey")
+          .orderBy("l_linenumber", "l_quantity")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         t(s, dir, "lineitem")
           .filter(col("l_orderkey") % 97 === 0)
@@ -277,15 +284,15 @@ object Queries {
             col("l_linenumber").as("ln"),
             sum(col("l_quantity").cast(d2)).over(w).cast("double")
               .as("running_qty"))
-          .orderBy("orderkey", "ln")
+          .orderBy("orderkey", "ln", "running_qty")
       },
       Some("""SELECT l_orderkey AS orderkey, l_linenumber AS ln,
              |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
-             |  PARTITION BY l_orderkey ORDER BY l_linenumber
+             |  PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
              |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
              |  AS running_qty
              |FROM lineitem WHERE l_orderkey % 97 = 0
-             |ORDER BY orderkey, ln""".stripMargin)),
+             |ORDER BY orderkey, ln, running_qty""".stripMargin)),
 
     // ----- rollup (grouping sets); NULLS FIRST pinned for subtotal rows
     "q16_rollup" -> Entry(

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Property form of the reference's spot-checked round-trip law
+  * (write ∘ read = id, `test/runtests.jl:18,40,44`): seeded random small
+  * tables survive CSV/JSON/parquet round-trips modulo the format's
+  * inherent ambiguities (CSV can't distinguish NULL from empty string, so
+  * generated strings are non-empty). */
+class RoundTripPropertySpec extends TestBase {
+
+  private val schema = StructType(Seq(
+    StructField("a", LongType, nullable = false),
+    StructField("b", StringType, nullable = false),
+    StructField("c", DoubleType, nullable = true)))
+
+  private def randomTable(rnd: scala.util.Random) = {
+    val n = 1 + rnd.nextInt(20)
+    val rows = (0 until n).map { i =>
+      val a = rnd.nextLong() / 2
+      // leading letter so CSV inference can't mistake it for a number
+      val b = "s" + rnd.alphanumeric.take(1 + rnd.nextInt(10)).mkString
+      // row 0 always non-null so an all-null column can't degrade the
+      // inferred type to string
+      val c = if (i == 0 || rnd.nextBoolean())
+        java.lang.Double.valueOf(math.rint(rnd.nextDouble() * 2e8 - 1e8) / 100)
+      else null
+      Row(a, b, c)
+    }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  for (ext <- Seq("csv", "json", "parquet")) {
+    test(s"random tables round-trip through $ext (5 seeded draws)") {
+      val rnd = new scala.util.Random(ext.hashCode + 42)
+      for (_ <- 1 to 5) {
+        val df = randomTable(rnd)
+        val p = s"${tmpDir()}/t.$ext"
+        QuackIO.writeTable(df, p)
+        assertSameRows(QuackIO.readFile(spark, Seq(p)), df)
+      }
+    }
+  }
+}

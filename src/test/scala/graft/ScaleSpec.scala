@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape assertions for the 100 TB posture: filters/projections must
+  * reach the parquet scan, small dims must broadcast, partitioned layout
+  * must prune, bucketed layout must join without an exchange. These guard
+  * against regressions that stay invisible at test scale but dominate at
+  * cluster scale. */
+class ScaleSpec extends TestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q05 pushes the shipdate filter and prunes columns at the scan") {
+    val p = plan(SparkEntry.queries("q05_agg_pricing")(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "LessThanOrEqual(l_shipdate"), s"filter not pushed:\n$p")
+    // only the 7 needed columns are read, not all 11
+    assert(p.contains("l_returnflag") && !p.contains("l_partkey"),
+      s"column pruning missing:\n$p")
+  }
+
+  test("q09 uses a broadcast hash join for the part dimension") {
+    val p = plan(SparkEntry.queries("q09_join_broadcast")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+  }
+
+  test("q02 prefix filter is pushed as StringStartsWith") {
+    val p = plan(SparkEntry.queries("q02_filter_prefix")(spark, sf))
+    assert(p.contains("StringStartsWith(c_mktsegment,B)"),
+      s"startswith not pushed:\n$p")
+  }
+
+  test("whole-stage codegen covers the aggregation pipeline") {
+    // AQE only shows codegen spans in the FINAL plan — execute first
+    val df = SparkEntry.queries("q05_agg_pricing")(spark, sf)
+    df.collect()
+    val p = plan(df)
+    // codegen stages render as "*(n) Operator" in the final plan string
+    assert(p.contains("*(1)") || p.contains("WholeStageCodegen"),
+      s"no codegen spans:\n$p")
+  }
+
+  test("partitionBy layout prunes partitions on read") {
+    val dir = s"${tmpDir()}/events_parted"
+    val df = spark.range(100).select(col("id"),
+      (col("id") % 4).cast("string").as("bucket4"))
+    QuackIO.writeTableDir(df, dir, WriteOptions(format = Some("parquet")),
+      partitionBy = Seq("bucket4"))
+    assert(new java.io.File(dir, "bucket4=0").exists)
+    val read = QuackIO.readParquet(spark, Seq(dir))
+      .filter(col("bucket4") === "1")
+    val p = plan(read)
+    assert(read.count() == 25)
+    assert(p.contains("PartitionFilters: [isnotnull(bucket4"),
+      s"partition pruning missing:\n$p")
+  }
+
+  test("bucketed tables join without an exchange on the bucket key") {
+    val a = spark.range(1000).select(col("id"), (col("id") * 2).as("va"))
+    val b = spark.range(1000).select(col("id"), (col("id") * 3).as("vb"))
+    QuackIO.writeBucketedTable(a, "bkt_a", "parquet", Seq("id"), 4)
+    QuackIO.writeBucketedTable(b, "bkt_b", "parquet", Seq("id"), 4)
+    val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "id")
+    val p = plan(joined)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n$p")
+    assert(joined.count() == 1000)
+    spark.sql("DROP TABLE IF EXISTS bkt_a")
+    spark.sql("DROP TABLE IF EXISTS bkt_b")
+  }
+
+  test("single-file writeTable is the parity path; writeTableDir stays parallel") {
+    val dir = s"${tmpDir()}/multi"
+    val df = spark.range(0, 1000, 1, 8).toDF("id") // 8 partitions
+    QuackIO.writeTableDir(df, dir, WriteOptions(format = Some("parquet")))
+    val parts = new java.io.File(dir).listFiles
+      .count(_.getName.startsWith("part-"))
+    assert(parts == 8, s"expected 8 part files, got $parts")
+  }
+}
