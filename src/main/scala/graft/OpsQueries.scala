@@ -214,6 +214,45 @@ object OpsQueries {
               |   - CAST(len(list_intersect(sa, sb)) AS DOUBLE)) AS jac
               |FROM sh ORDER BY doc_a""".stripMargin)),
 
+    // ----- X2 end-to-end: LSH candidates → exact Jaccard verification ------
+    // The canonical near-dup shape at scale: exact similarity only runs on
+    // the candidate set, never the n² pair space.
+    "q29_neardup_verified" -> Entry(
+      (s, dir) => Dedup.verifiedNearDups(nearDupDocs(s, dir),
+        "doc_id", "text", threshold = 0.5)
+        .orderBy("doc_a", "doc_b"),
+      Some {
+        val mins = (0 until 8)
+          .map(i => s"min(md5('$i|' || s)) AS m$i").mkString(", ")
+        val bands = (0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band, md5(m${2 * b} || m${2 * b + 1}) AS bv FROM sig")
+          .mkString(" UNION ALL ")
+        s"""WITH $NearDupDocsSql,
+           |toks AS (SELECT doc_id, $TOKS AS w FROM docs),
+           |sh AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s
+           |  FROM toks, unnest(CASE WHEN len(w) >= 3
+           |    THEN generate_series(1, len(w)-2) ELSE [] END) AS u(i)),
+           |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+           |bands AS ($bands),
+           |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+           |sets AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3 THEN
+           |    [array_to_string(w[i:i+2], ' ')
+           |     for i in generate_series(1, len(w)-2)] ELSE [] END) AS sh
+           |  FROM toks)
+           |SELECT doc_a, doc_b,
+           |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+           |  (CAST(len(sa.sh) AS DOUBLE) + CAST(len(sb.sh) AS DOUBLE)
+           |   - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)) AS jac
+           |FROM cands JOIN sets sa ON cands.doc_a = sa.doc_id
+           |  JOIN sets sb ON cands.doc_b = sb.doc_id
+           |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+           |  (CAST(len(sa.sh) AS DOUBLE) + CAST(len(sb.sh) AS DOUBLE)
+           |   - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)) >= 0.5
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }),
+
     // ----- X2/X3 embedding cosine ------------------------------------------
 
     "q28_embed_neardup" -> Entry(

@@ -111,6 +111,29 @@ object Dedup {
     lshCandidates(minhashSignatures(df, idCol, textCol, k, shingleN),
       k, rowsPerBand)
 
+  /** The canonical near-dup pipeline: MinHash+LSH candidate generation,
+    * then exact shingle-set Jaccard verification of only the candidate
+    * pairs. At corpus scale the expensive exact measure runs on the tiny
+    * candidate set, never on the n² pair space. Returns
+    * (doc_a, doc_b, jac) for pairs with jac ≥ threshold. */
+  def verifiedNearDups(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int = 8, rowsPerBand: Int = 2,
+      shingleN: Int = 3): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, k, rowsPerBand, shingleN)
+    val sets = df
+      .select(col(idCol).as("sid"), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col("sid"), array_distinct(shingles(col("toks"), shingleN)).as("sh"))
+    val a = sets.select(col("sid").as("doc_a"), col("sh").as("sha"))
+    val b = sets.select(col("sid").as("doc_b"), col("sh").as("shb"))
+    cands.join(a, "doc_a").join(b, "doc_b")
+      .select(col("doc_a"), col("doc_b"), {
+        val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
+        (inter / (size(col("sha")).cast("double")
+          + size(col("shb")).cast("double") - inter)).as("jac")
+      })
+      .filter(col("jac") >= threshold)
+  }
+
   /** 32-bit SimHash over whitespace tokens. Per token, the first 8 hex
     * chars of md5(token) give a 32-bit value; each bit votes ±1; the
     * signature sets bits with positive vote sums. Returns (doc_id, simhash).

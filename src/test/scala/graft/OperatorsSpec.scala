@@ -35,6 +35,14 @@ class OperatorsSpec extends TestBase {
       "unrelated doc must not pair")
   }
 
+  test("verified near-dup pipeline keeps true pairs, drops accidents (X2)") {
+    val out = Dedup.verifiedNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(out.contains((1L, 4L)) && out((1L, 4L)) == 1.0)
+    assert(out.keys.forall { case (a, b) => Set(a, b).intersect(Set(3L, 5L)).isEmpty })
+  }
+
   test("simhash: identical docs equal, near-dups close, unrelated far (X2)") {
     val sigs = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -87,6 +87,12 @@ class ReadOptionsSpec extends TestBase {
     assertSameRows(QuackIO.readFile(spark, Seq(pq)), fixture)
   }
 
+  test("readUrl downloads then scans (S7, file:// URL)") {
+    val p = writeFixtureCsv()
+    val url = java.nio.file.Paths.get(p).toUri.toString
+    assertSameRows(QuackIO.readUrl(spark, url), fixture)
+  }
+
   test("readFile guessing mode forbids format options (S4 guard)") {
     val p = writeFixtureCsv()
     intercept[IllegalArgumentException] {
