@@ -329,6 +329,64 @@ object Queries {
               |COUNT(*) AS n, ${A("l_quantity")} AS avg_qty
               |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin)),
 
+    // ----- distinct aggregation
+    "q19_count_distinct" -> Entry(
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey"), col("l_partkey")).as("n_sp"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("flag"),
+      Some("""SELECT l_returnflag AS flag,
+             |COUNT(DISTINCT l_partkey) AS n_parts,
+             |COUNT(DISTINCT (l_suppkey, l_partkey)) AS n_sp,
+             |COUNT(*) AS n_rows
+             |FROM lineitem GROUP BY 1 ORDER BY flag""".stripMargin)),
+
+    // ----- set operations: INTERSECT / EXCEPT between two key sets
+    "q19_setops" -> Entry(
+      (s, dir) => {
+        val before = t(s, dir, "orders")
+          .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .select(col("o_custkey"))
+        val after = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+          .select(col("o_custkey"))
+        val both = before.intersect(after).agg(count(lit(1)).as("n"))
+          .select(lit("both").as("grp"), col("n"))
+        val onlyBefore = before.except(after).agg(count(lit(1)).as("n"))
+          .select(lit("only_before").as("grp"), col("n"))
+        both.union(onlyBefore).orderBy("grp")
+      },
+      Some("""WITH b AS (SELECT o_custkey FROM orders
+             |  WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+             |a AS (SELECT o_custkey FROM orders
+             |  WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+             |SELECT 'both' AS grp, COUNT(*) AS n
+             |  FROM (SELECT * FROM b INTERSECT SELECT * FROM a)
+             |UNION ALL
+             |SELECT 'only_before' AS grp, COUNT(*) AS n
+             |  FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+             |ORDER BY grp""".stripMargin)),
+
+    // ----- skew path: two-phase salted aggregation. The result is
+    // identical to a plain groupBy (the oracle proves it); the plan shape
+    // is the one that survives a hot key at cluster scale — partial
+    // aggregation on (key, salt) spreads a skewed key over all
+    // executors before the narrow final combine.
+    "q32_salted_agg" -> Entry(
+      (s, dir) => t(s, dir, "lineitem")
+        .withColumn("salt", col("l_orderkey") % 16)
+        .groupBy(col("l_returnflag").as("flag"), col("salt"))
+        .agg(count(lit(1)).as("pc"), dsum(col("l_quantity")).as("ps"))
+        .groupBy("flag")
+        .agg(sum(col("pc")).as("cnt"),
+          sum(col("ps").cast(d2)).cast("double").as("sum_qty"))
+        .orderBy("flag"),
+      Some(s"""SELECT l_returnflag AS flag, COUNT(*) AS cnt,
+              |${S("l_quantity")} AS sum_qty
+              |FROM lineitem GROUP BY 1 ORDER BY flag""".stripMargin)),
+
     // ----- events: hourly tumbling aggregation.
     // The events table stores TIMESTAMP(NANOS), which Spark's parquet reader
     // only admits as raw long nanos (legacy.parquet.nanosAsLong); bucketing
