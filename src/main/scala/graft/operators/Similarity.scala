@@ -18,8 +18,16 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Dot product of two float-array columns, accumulated in double in
-    * index order (deterministic fold — same order the oracle sums in). */
+    * index order (deterministic fold — same order the oracle sums in).
+    * Backed by the codegen'd [[graft.functions.DotProduct]] expression —
+    * bit-identical to the composable HOF form (see [[dotHof]]) but without
+    * per-element lambda interpretation. */
   def dot(a: Column, b: Column): Column =
+    graft.functions.DotProduct.dotF(a, b)
+
+  /** Composable built-in form of [[dot]], for non-float arrays or as a
+    * reference implementation (bit-identical results). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)

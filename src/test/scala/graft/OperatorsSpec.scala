@@ -77,6 +77,19 @@ class OperatorsSpec extends TestBase {
     (4L, Array(0.0f, 0.0f, 1.0f))
   ).toDF("vec_id", "embedding")
 
+  test("native DotProduct is bit-identical to the HOF reference form") {
+    val rnd = new scala.util.Random(7)
+    val pairs = (0 until 50).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1),
+        Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    }.toDF("id", "va", "vb")
+    val diff = pairs.select(
+        (Similarity.dot(col("va"), col("vb")) -
+          Similarity.dotHof(col("va"), col("vb"))).as("d"))
+      .agg(max(abs(col("d")))).head().getDouble(0)
+    assert(diff == 0.0, s"native vs HOF dot differ by $diff")
+  }
+
   test("brute-force cosine top-k ranks by similarity (X3)") {
     val out = Similarity.cosineTopK(
       vecs.filter(col("vec_id") === 1), vecs, "vec_id", "embedding", 2)
