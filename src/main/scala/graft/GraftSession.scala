@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory encoding the engine's scale posture. The driver harness
+  * builds its own sessions (Bench/Verify contract); library users start
+  * here and override per deployment.
+  *
+  * The defaults target the 100 TB design point scaled to whatever cluster
+  * runs them: AQE re-plans shuffles at runtime (coalescing small
+  * partitions, splitting skewed joins), 128 MiB scan splits keep tasks
+  * uniform, UTC keeps timestamp semantics engine-portable.
+  */
+object GraftSession {
+
+  /** Conf defaults, exposed for inspection/tests. `shufflePartitions`
+    * should approximate total executor cores (set to 32 for the local[32]
+    * harness; thousands on a real cluster). */
+  def defaultConfs(shufflePartitions: Int): Map[String, String] = Map(
+    "spark.sql.shuffle.partitions" -> shufflePartitions.toString,
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.files.maxPartitionBytes" -> (128L * 1024 * 1024).toString,
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.parquet.filterPushdown" -> "true",
+    "spark.sql.parquet.aggregatePushdown" -> "true")
+
+  def builder(master: String = "local[32]", appName: String = "graft",
+      shufflePartitions: Int = 32): SparkSession.Builder = {
+    val b = SparkSession.builder().master(master).appName(appName)
+    defaultConfs(shufflePartitions).foldLeft(b) {
+      case (bb, (k, v)) => bb.config(k, v)
+    }
+  }
+}

@@ -73,6 +73,18 @@ class ScaleSpec extends TestBase {
     spark.sql("DROP TABLE IF EXISTS bkt_b")
   }
 
+  test("GraftSession defaults pin the scale posture") {
+    val c = GraftSession.defaultConfs(32)
+    assert(c("spark.sql.adaptive.skewJoin.enabled") == "true")
+    assert(c("spark.sql.shuffle.partitions") == "32")
+    assert(c("spark.sql.files.maxPartitionBytes") == "134217728")
+    assert(c("spark.sql.session.timeZone") == "UTC")
+  }
+
+  test("entry smoke: flagship query returns rows at sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("single-file writeTable is the parity path; writeTableDir stays parallel") {
     val dir = s"${tmpDir()}/multi"
     val df = spark.range(0, 1000, 1, 8).toDF("id") // 8 partitions
