@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Catalog entries for the LLM-data-pipeline operators (dedup, similarity
   * search, text analysis, multimodal) over the `documents` / `embeddings`
@@ -361,6 +361,37 @@ object OpsQueries {
              |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
              |md5(text) AS digest
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ----- as-of join: for each error event, the user's most recent click.
+    // Spark has no native as-of join; AsOfJoin composes it from a union +
+    // running window (one shuffle). DuckDB's native ASOF JOIN is the oracle.
+    "q52_asof_join" -> Entry(
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val ev = t(s, dir, "events")
+        // micros, not nanos: DuckDB's parquet reader truncates
+        // TIMESTAMP(NANOS) to microsecond TIMESTAMP, so the oracle can
+        // only see µs — both sides compare/subtract at µs precision
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"),
+            expr("ts div 1000").as("t"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            expr("ts div 1000").as("ct"))
+        AsOfJoin.asofJoin(errors, clicks, "user_id", "t", "ct", "click_id")
+          .select(col("left.event_id").as("event_id"),
+            col("left.user_id").as("user_id"),
+            col("right.click_id").as("click_id"),
+            (col("left.t") - col("right.ct")).as("gap_us"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t
+             |  FROM events WHERE event_type = 'error'),
+             |c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS ct
+             |  FROM events WHERE event_type = 'click')
+             |SELECT e.event_id, e.user_id, c.click_id, e.t - c.ct AS gap_us
+             |FROM e ASOF JOIN c ON e.user_id = c.user_id AND e.t >= c.ct
+             |ORDER BY e.event_id""".stripMargin)),
 
     // Partition-parallel decode pipeline (deterministic stubbed codec) —
     // not SQL-expressible; driver records the weaker rows-only check.

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Specs for the LLM-pipeline operators (dedup, similarity, text,
   * multimodal) over small in-memory corpora with planted duplicates. */
@@ -118,6 +118,19 @@ class OperatorsSpec extends TestBase {
     val rows = out.orderBy("rank").collect()
     assert(rows.forall(_.getLong(1) != 1L))
     assert(rows.zipWithIndex.forall { case (r, i) => r.getLong(3) == i + 1 })
+  }
+
+  test("as-of join picks the latest right row at or before each left ts") {
+    val trades = Seq((1L, 100L, 10L), (1L, 200L, 11L), (2L, 150L, 12L))
+      .toDF("k", "ts", "trade_id")
+    val quotes = Seq((1L, 90L, 1L), (1L, 100L, 2L), (1L, 180L, 3L),
+      (2L, 500L, 4L))
+      .toDF("k", "qts", "quote_id")
+    val out = AsOfJoin.asofJoin(trades, quotes, "k", "ts", "qts", "quote_id")
+      .select(col("left.trade_id"), col("right.quote_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(10L -> 2L, 11L -> 3L)) // equal-ts matches (>=);
+    // trade 12 dropped: no quote at or before ts=150 for k=2
   }
 
   test("text analysis: tokens, quality, langid, fingerprint (X5)") {
