@@ -301,6 +301,41 @@ object OpsQueries {
              |SELECT query_id, corpus_id, score, rnk FROM r
              |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)),
 
+    // ----- X2 scale path: bucketed embedding near-dup (no cross join) ------
+    "q33_embed_neardup_lsh" -> Entry(
+      (s, dir) => Similarity.nearDupPairsLsh(t(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = -1.0)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH pl AS (
+             |  SELECT p.plane, j.j,
+             |    CAST(CAST(('0x' || substr(md5(p.plane::VARCHAR || '_'
+             |      || j.j::VARCHAR), 1, 8)) AS UBIGINT) AS DOUBLE)
+             |      / 4294967296.0 - 0.5 AS r
+             |  FROM (SELECT unnest(generate_series(0, 7)) AS plane) p,
+             |       (SELECT unnest(generate_series(1, 64)) AS j) j),
+             |comp AS (SELECT vec_id, j, embedding[j]::DOUBLE AS x
+             |  FROM embeddings, unnest(generate_series(1, len(embedding)))
+             |    AS u(j)),
+             |dots AS (SELECT vec_id, plane, SUM(x * r) AS d
+             |  FROM comp JOIN pl USING (j) GROUP BY 1, 2),
+             |bkt AS (SELECT vec_id, CAST(SUM(CASE WHEN d > 0
+             |    THEN (1::BIGINT << plane) ELSE 0 END) AS BIGINT) AS bucket
+             |  FROM dots GROUP BY 1),
+             |v AS (SELECT b.vec_id, e.embedding, b.bucket
+             |  FROM bkt b JOIN embeddings e USING (vec_id))
+             |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  round(
+             |    list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+             |      for i in generate_series(1, len(a.embedding))]) /
+             |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+             |      for i in generate_series(1, len(a.embedding))])) *
+             |     sqrt(list_sum([b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+             |      for i in generate_series(1, len(b.embedding))]))), 6)
+             |  AS score
+             |FROM v a JOIN v b ON a.bucket = b.bucket
+             |  AND a.vec_id < b.vec_id
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // ----- X3 scale path: sign-LSH bucketed ANN ----------------------------
     // Buckets come from MD5-derived pseudo-random hyperplanes, so both
     // engines compute identical projections; only same-bucket candidates

@@ -106,6 +106,26 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Scale path for embedding near-dup: only pairs sharing a sign-LSH
+    * bucket are scored — one projection to bucket, one equi-join on bucket
+    * id, versus the n² cross join of [[nearDupPairs]]. Recall trades off
+    * with `nPlanes` (more planes → smaller buckets → fewer candidates). */
+  def nearDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val pl = planeVectors(nPlanes, dim)
+    val b = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nrm"), lshBucket(col(vecCol), pl).as("bucket"))
+    val x = b.select(col("id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"), col("bucket"))
+    val y = b.select(col("id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"), col("bucket"))
+    x.join(y, "bucket").filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          .as("score"))
+      .filter(col("score") >= threshold)
+  }
+
   /** X2 embedding near-dup: all pairs above a cosine threshold within a
     * (pre-bucketed or subset) DataFrame. Pairs are emitted once (a < b). */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
