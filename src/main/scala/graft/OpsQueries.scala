@@ -122,6 +122,25 @@ object OpsQueries {
              |md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    "q34_winnow_fingerprint" -> Entry(
+      (s, dir) => TextAnalysis.withWinnowFingerprint(
+        t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH n AS (SELECT doc_id,
+             |  regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nrm
+             |  FROM documents),
+             |g AS (SELECT doc_id, CASE WHEN length(nrm) < 8 THEN []
+             |  ELSE [substr(md5(nrm[i:i+7]), 1, 8)
+             |        for i in generate_series(1, length(nrm)-7)] END AS grams
+             |  FROM n),
+             |w AS (SELECT doc_id, CASE WHEN len(grams) < 4 THEN []
+             |  ELSE [list_min(grams[i:i+3])
+             |        for i in generate_series(1, len(grams)-3)] END AS wins
+             |  FROM g)
+             |SELECT doc_id, CAST(len(list_distinct(wins)) AS BIGINT) AS n_fp,
+             |  list_min(wins) AS fp_min
+             |FROM w ORDER BY doc_id""".stripMargin)),
+
     // ----- X1 exact dedup --------------------------------------------------
 
     "q24_dedup_exact" -> Entry(

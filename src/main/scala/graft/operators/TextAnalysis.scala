@@ -81,4 +81,29 @@ object TextAnalysis {
     * The exact-dedup key (X1). */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Winnowing-style rolling fingerprints (X5): hash every k-char gram of
+    * the normalized text, then keep the minimum hash of each w-gram
+    * window — the classic local document fingerprint (robust to small
+    * edits, position-independent). Adds `n_fp` (distinct fingerprint
+    * count) and `fp_min` (global minimum) to `df`.
+    *
+    * Stages norm/grams/wins as attributes (see [[withLangId]] note) and
+    * keeps every step SQL-expressible so the DuckDB oracle replays it. */
+  def withWinnowFingerprint(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, k: Int = 8, w: Int = 4)
+      : org.apache.spark.sql.DataFrame =
+    df.withColumn("__nrm",
+        regexp_replace(lower(trim(col(textCol))), "\\s+", " "))
+      .withColumn("__grams", expr(
+        s"""CASE WHEN length(__nrm) < $k THEN cast(array() AS array<string>)
+           |ELSE transform(sequence(1, length(__nrm) - ${k - 1}),
+           |  i -> substr(md5(substr(__nrm, i, $k)), 1, 8)) END""".stripMargin))
+      .withColumn("__wins", expr(
+        s"""CASE WHEN size(__grams) < $w THEN cast(array() AS array<string>)
+           |ELSE transform(sequence(1, size(__grams) - ${w - 1}),
+           |  i -> array_min(slice(__grams, i, $w))) END""".stripMargin))
+      .select(col(idCol),
+        size(array_distinct(col("__wins"))).cast("long").as("n_fp"),
+        array_min(col("__wins")).as("fp_min"))
 }
