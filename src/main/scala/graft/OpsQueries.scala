@@ -421,8 +421,7 @@ object OpsQueries {
     // running window (one shuffle). DuckDB's native ASOF JOIN is the oracle.
     "q52_asof_join" -> Entry(
       (s, dir) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val ev = t(s, dir, "events")
+        val ev = Queries.events(s, dir)
         // micros, not nanos: DuckDB's parquet reader truncates
         // TIMESTAMP(NANOS) to microsecond TIMESTAMP, so the oracle can
         // only see µs — both sides compare/subtract at µs precision
@@ -447,8 +446,11 @@ object OpsQueries {
              |FROM e ASOF JOIN c ON e.user_id = c.user_id AND e.t >= c.ct
              |ORDER BY e.event_id""".stripMargin)),
 
-    // Partition-parallel decode pipeline (deterministic stubbed codec) —
-    // not SQL-expressible; driver records the weaker rows-only check.
+    // Partition-parallel decode pipeline (deterministic stubbed codec).
+    // The stub's outputs are pure byte arithmetic over encode(text), so the
+    // oracle replays them in SQL: byte i of the payload is read out of the
+    // hex rendering ('0x' || substr(hex(blob), 2i-1, 2)), widths/heights
+    // are modular arithmetic on the byte count.
     "q41_multimodal_decode" -> Entry(
       (s, dir) => {
         import s.implicits._
@@ -457,6 +459,18 @@ object OpsQueries {
           .as[Multimodal.MediaRecord]
         Multimodal.decodeStub(media).toDF().orderBy("doc_id")
       },
-      None)
+      Some("""WITH b AS (SELECT doc_id,
+             |  CASE WHEN length(text) % 2 = 0 THEN 'image' ELSE 'audio' END
+             |    AS kind,
+             |  hex(encode(text)) AS h, octet_length(encode(text)) AS n
+             |  FROM documents)
+             |SELECT doc_id, kind, CAST(n AS BIGINT) AS n_bytes,
+             |  CAST(16 + n % 64 AS INT) AS width,
+             |  CAST(16 + (n // 64) % 64 AS INT) AS height,
+             |  CASE WHEN n = 0 THEN 0.0 ELSE
+             |    CAST(list_sum([('0x' || substr(h, 2*i-1, 2))::INT
+             |      for i in generate_series(1, n)]) AS DOUBLE)
+             |    / CAST(n AS DOUBLE) END AS mean_byte
+             |FROM b ORDER BY doc_id""".stripMargin))
   )
 }

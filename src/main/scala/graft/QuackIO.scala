@@ -172,25 +172,17 @@ object QuackIO {
     }
   }
 
-  /** S6: in-memory buffer source (reference spills an `IOBuffer` to a temp
-    * file, `src/QuackIO.jl:108-112`; here the content becomes a
-    * `Dataset[String]` scanned directly — no temp file needed). */
+  /** S6: in-memory buffer source. Mirrors the reference's
+    * `kwarg_val_to_db(io::IOBuffer)` path (`src/QuackIO.jl:108-112`): the
+    * content is spilled to a temp file and scanned through [[readCsv]] —
+    * NOT split on newlines driver-side, which would corrupt legal CSV
+    * with quoted newlines. `multiLine` is on so quoted newlines parse;
+    * fine for a buffer-sized file (multiLine scans are not splittable,
+    * but a driver-memory string was never distributed input). */
   def readCsvString(spark: SparkSession, content: String,
-      opts: ReadOptions = ReadOptions()): DataFrame = {
-    import spark.implicits._
-    val ds = spark.createDataset(content.split("\n", -1).toIndexedSeq
-      .filter(_.nonEmpty))
-    val df = spark.read
-      .option("header", opts.header.getOrElse(true).toString)
-      .option("sep", opts.delim.getOrElse(","))
-      .option("inferSchema", "true")
-      .options(opts.extra)
-      .csv(ds)
-    val widened = if (opts.widenIntegers) widenIntegral(df) else df
-    applySelectLimit(
-      if (opts.names.isEmpty) widened else widened.toDF(opts.names: _*),
-      opts)
-  }
+      opts: ReadOptions = ReadOptions()): DataFrame =
+    readCsv(spark, Seq(spillToTemp(content, ".csv")),
+      opts.copy(extra = Map("multiLine" -> "true") ++ opts.extra))
 
   /** S7: remote URL source. The reference delegates to DuckDB httpfs
     * (README.md:43); Spark has no http(s) filesystem by default, so the

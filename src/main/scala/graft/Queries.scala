@@ -37,6 +37,19 @@ object Queries {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** The events table stores TIMESTAMP(NANOS), which Spark's parquet
+    * reader only admits as raw int64 nanos
+    * (`spark.sql.legacy.parquet.nanosAsLong`). [[GraftSession]] sets the
+    * conf at construction; it is ensured here too — to a constant, so the
+    * ensure is idempotent and catalog entries stay order-independent even
+    * on bare sessions. (Not restored after the read: the conf is consulted
+    * again per file at execution time, so a scoped set/restore would break
+    * the scan.) */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+  }
+
   private val d2 = DecimalType(18, 2)
   private val d4 = DecimalType(18, 4)
 
@@ -387,15 +400,17 @@ object Queries {
               |${S("l_quantity")} AS sum_qty
               |FROM lineitem GROUP BY 1 ORDER BY flag""".stripMargin)),
 
-    // ----- events: hourly tumbling aggregation.
-    // The events table stores TIMESTAMP(NANOS), which Spark's parquet reader
-    // only admits as raw long nanos (legacy.parquet.nanosAsLong); bucketing
-    // arithmetic therefore runs on int64 nanos in both engines.
+    // ----- events: hourly tumbling aggregation over int64 nanos.
+    // hour_idx uses FLOOR division to match DuckDB's `//` for pre-1970
+    // (negative) timestamps: ts - pmod(ts, h) is always the largest
+    // multiple of h ≤ ts, and the final `div` is exact (never routed
+    // through double — epoch nanos exceed 2^53).
     "q50_events_hourly" -> Entry(
       (s, dir) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        t(s, dir, "events")
-          .groupBy(expr("ts div 3600000000000").as("hour_idx"),
+        events(s, dir)
+          .groupBy(
+            expr("(ts - pmod(ts, 3600000000000)) div 3600000000000")
+              .as("hour_idx"),
             col("event_type"))
           .agg(count(lit(1)).as("n"), dsum(col("value"), d4).as("sum_value"))
           .orderBy("hour_idx", "event_type")
@@ -408,9 +423,8 @@ object Queries {
     // ----- events: gap-based sessionization (30-minute inactivity window)
     "q51_events_sessionize" -> Entry(
       (s, dir) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        t(s, dir, "events")
+        events(s, dir)
           .withColumn("prev_ts", lag("ts", 1).over(byUser))
           .withColumn("new_session",
             when(col("prev_ts").isNull ||

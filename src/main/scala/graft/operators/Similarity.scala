@@ -107,22 +107,37 @@ object Similarity {
   }
 
   /** Scale path for embedding near-dup: only pairs sharing a sign-LSH
-    * bucket are scored — one projection to bucket, one equi-join on bucket
-    * id, versus the n² cross join of [[nearDupPairs]]. Recall trades off
-    * with `nPlanes` (more planes → smaller buckets → fewer candidates). */
+    * bucket are scored. Recall trades off with `nPlanes` (more planes →
+    * smaller buckets → fewer candidates).
+    *
+    * Single-pass plan (same shape as `Dedup.lshCandidates`): one scan
+    * projects (id, vec, norm, bucket), ONE groupBy(bucket) collects each
+    * bucket's rows sorted by id, and pairs expand in-bucket — versus a
+    * bucket self-join, which would scan and re-bucket the corpus twice
+    * (no exchange reuse across aliased subtrees) and expand degenerate
+    * buckets unboundedly. `maxBucket` drops oversized buckets (e.g.
+    * thousands of near-zero vectors landing in one bucket): those are
+    * exact-dup territory, handled by `Dedup.exact` first in a real
+    * pipeline. */
   def nearDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+      threshold: Double, nPlanes: Int = 8, dim: Int = 64,
+      maxBucket: Int = 10000): DataFrame = {
     val pl = planeVectors(nPlanes, dim)
     val b = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       norm(col(vecCol)).as("nrm"), lshBucket(col(vecCol), pl).as("bucket"))
-    val x = b.select(col("id").as("id_a"), col("v").as("va"),
-      col("nrm").as("na"), col("bucket"))
-    val y = b.select(col("id").as("id_b"), col("v").as("vb"),
-      col("nrm").as("nb"), col("bucket"))
-    x.join(y, "bucket").filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
-          .as("score"))
+    // struct ordering is field-by-field and id is unique, so sort_array
+    // orders each bucket by id — in-bucket (i < j) pairs give id_a < id_b
+    val buckets = b.groupBy("bucket")
+      .agg(sort_array(collect_list(struct(col("id"), col("v"),
+        col("nrm")))).as("rows"))
+      .filter(size(col("rows")) > 1 && size(col("rows")) <= maxBucket)
+    buckets
+      .select(explode(flatten(transform(col("rows"), (x, i) =>
+        transform(slice(col("rows"), i + 2, size(col("rows"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+        round(dot(col("p.a.v"), col("p.b.v"))
+          / (col("p.a.nrm") * col("p.b.nrm")), 6).as("score"))
       .filter(col("score") >= threshold)
   }
 
