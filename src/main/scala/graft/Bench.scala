@@ -28,13 +28,19 @@ object Bench {
     spark.range(16).repartition(4).count()
 
     var errors = List.empty[(String, String)]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    var failedSecs = 0.0
+    val results = SparkEntry.queries.flatMap { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        errors ::= (name -> e.toString.linesIterator.next().take(200))
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          errors ::= (name -> e.toString.linesIterator.next().take(200))
+          false
+        }
+      val secs = (System.nanoTime() - t0) / 1e9
+      // a failed query's time-to-exception must not pollute the headline
+      // total (early failure would look "fast", late failure "slow")
+      if (ok) Some(name -> secs) else { failedSecs += secs; None }
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -48,7 +54,7 @@ object Bench {
     val errJson = errors.reverse
       .map { case (k, m) => s"${jstr(k)}:${jstr(m)}" }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"failed_secs":$failedSecs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -184,6 +184,31 @@ object QuackIO {
     readCsv(spark, Seq(spillToTemp(content, ".csv")),
       opts.copy(extra = Map("multiLine" -> "true") ++ opts.extra))
 
+  /** Spill driver-memory content to a temp file so a `read_*` source can scan
+    * it — the same shape as [[readUrl]]'s download-then-scan. */
+  private def spillToTemp(content: String, suffix: String): String = {
+    val p = java.nio.file.Files.createTempFile("quackio-buf-", suffix)
+    java.nio.file.Files.writeString(p, content)
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  /** S6 (JSON): NDJSON-from-string buffer source, completing the reference's
+    * any-format `IOBuffer` path (`src/QuackIO.jl:108-112`) beyond CSV. */
+  def readJsonString(spark: SparkSession, content: String,
+      opts: ReadOptions = ReadOptions()): DataFrame =
+    readJson(spark, Seq(spillToTemp(content, ".json")), opts)
+
+  /** S6 (parquet): parquet-from-bytes buffer source. Parquet is binary, so the
+    * bytes are written verbatim and scanned through [[readParquet]]. */
+  def readParquetBytes(spark: SparkSession, content: Array[Byte],
+      opts: ReadOptions = ReadOptions()): DataFrame = {
+    val p = java.nio.file.Files.createTempFile("quackio-buf-", ".parquet")
+    java.nio.file.Files.write(p, content)
+    p.toFile.deleteOnExit()
+    readParquet(spark, Seq(p.toString), opts)
+  }
+
   /** S7: remote URL source. The reference delegates to DuckDB httpfs
     * (README.md:43); Spark has no http(s) filesystem by default, so the
     * content is downloaded to a local temp file first, then scanned. */

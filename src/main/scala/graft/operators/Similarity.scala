@@ -125,12 +125,19 @@ object Similarity {
     val pl = planeVectors(nPlanes, dim)
     val b = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       norm(col(vecCol)).as("nrm"), lshBucket(col(vecCol), pl).as("bucket"))
+    // Size-gate BEFORE any bucket is materialized in an agg buffer: a
+    // window count over the bucket partition is sort-based and SPILLS, so
+    // a degenerate giant bucket streams through disk instead of OOMing one
+    // executor's collect_list buffer. The window shuffles on bucket; the
+    // groupBy below reuses that exchange (same key) — still ONE shuffle.
+    val wb = Window.partitionBy("bucket")
+    val gated = b.withColumn("cnt", count(lit(1)).over(wb))
+      .filter(col("cnt") > 1 && col("cnt") <= maxBucket)
     // struct ordering is field-by-field and id is unique, so sort_array
     // orders each bucket by id — in-bucket (i < j) pairs give id_a < id_b
-    val buckets = b.groupBy("bucket")
+    val buckets = gated.groupBy("bucket")
       .agg(sort_array(collect_list(struct(col("id"), col("v"),
         col("nrm")))).as("rows"))
-      .filter(size(col("rows")) > 1 && size(col("rows")) <= maxBucket)
     buckets
       .select(explode(flatten(transform(col("rows"), (x, i) =>
         transform(slice(col("rows"), i + 2, size(col("rows"))),
@@ -139,6 +146,19 @@ object Similarity {
         round(dot(col("p.a.v"), col("p.b.v"))
           / (col("p.a.nrm") * col("p.b.nrm")), 6).as("score"))
       .filter(col("score") >= threshold)
+  }
+
+  /** Diagnostic companion to [[nearDupPairsLsh]]: the buckets its
+    * `maxBucket` gate would DROP (bucket id + row count), so the recall
+    * trade-off is observable instead of silent. Run it alongside the pair
+    * query (same one-scan projection) when auditing a corpus; a non-empty
+    * result means those ids should be routed through `Dedup.exact` first. */
+  def oversizedBuckets(df: DataFrame, vecCol: String,
+      nPlanes: Int = 8, dim: Int = 64, maxBucket: Int = 10000): DataFrame = {
+    val pl = planeVectors(nPlanes, dim)
+    df.select(lshBucket(col(vecCol), pl).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > maxBucket)
   }
 
   /** X2 embedding near-dup: all pairs above a cosine threshold within a
