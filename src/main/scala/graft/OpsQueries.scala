@@ -44,15 +44,33 @@ object OpsQueries {
       |  FROM (SELECT doc_id, $TOKS AS w FROM documents
       |        WHERE doc_id % 5 = 0))""".stripMargin
 
+  /** Input-split fan-out ahead of CPU-dense per-row stages (winnowing,
+    * minhash, shingling). The test corpus ships as ONE parquet row group,
+    * so the scan yields one task regardless of partition-size confs and a
+    * single core would run every hash. The repartition triggers ONLY when
+    * the scan is under-split relative to the cluster — at production
+    * scale a corpus arrives in thousands of splits and this is a no-op
+    * plan-wise; when it does trigger, it round-robins raw text that is by
+    * construction small (few splits ⇒ few hundred MB). */
+  private def fanOut(s: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
+  }
+
+  /** CPU-dense documents scan (see [[fanOut]]). */
+  private def docsFan(s: org.apache.spark.sql.SparkSession, dir: String) =
+    fanOut(s, t(s, dir, "documents"))
+
   /** Spark twins of the planted corpora. */
   private def dupDocs(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val d = docsFan(s, dir).select(col("doc_id"), col("text"))
     d.union(d.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
   }
 
   private def nearDupDocs(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val d = docsFan(s, dir).select(col("doc_id"), col("text"))
     val w = TextAnalysis.tokens(col("text"))
     d.union(d.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 1000000).as("doc_id"),
@@ -78,7 +96,7 @@ object OpsQueries {
       (s, dir) => {
         val cols = TextAnalysis.qualityColumns(col("text"))
           .map { case (n, c) => c.as(n) }
-        t(s, dir, "documents").select(col("doc_id") +: cols: _*)
+        docsFan(s, dir).select(col("doc_id") +: cols: _*)
           .orderBy("doc_id")
       },
       Some(s"""SELECT doc_id,
@@ -93,7 +111,7 @@ object OpsQueries {
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
     "q22_lang_id" -> Entry(
-      (s, dir) => TextAnalysis.withLangId(t(s, dir, "documents"), "text")
+      (s, dir) => TextAnalysis.withLangId(docsFan(s, dir), "text")
         .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
         .orderBy("lang", "pred"),
       Some {
@@ -124,7 +142,7 @@ object OpsQueries {
 
     "q34_winnow_fingerprint" -> Entry(
       (s, dir) => TextAnalysis.withWinnowFingerprint(
-        t(s, dir, "documents"), "doc_id", "text")
+        docsFan(s, dir), "doc_id", "text")
         .orderBy("doc_id"),
       Some("""WITH n AS (SELECT doc_id,
              |  regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nrm
@@ -179,7 +197,7 @@ object OpsQueries {
     // ----- X2 SimHash signatures -------------------------------------------
 
     "q26_dedup_simhash" -> Entry(
-      (s, dir) => Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
+      (s, dir) => Dedup.simhash(docsFan(s, dir), "doc_id", "text")
         .orderBy("doc_id"),
       Some {
         val votes = (0 until 32)
@@ -201,7 +219,7 @@ object OpsQueries {
 
     "q27_ngram_jaccard" -> Entry(
       (s, dir) => {
-        val base = t(s, dir, "documents")
+        val base = docsFan(s, dir)
           .filter(col("doc_id") % 5 === 0).select(col("doc_id"), col("text"))
         val w = TextAnalysis.tokens(col("text"))
         val pert = base.select((col("doc_id") + 1000000).as("doc_b"),

@@ -84,14 +84,19 @@ object QuackIO {
 
   // ---------------------------------------------------------------- sources
 
-  /** S1: CSV scan. Multi-path reads union rows in path order (S5). */
+  /** S1: CSV scan. Multi-path reads union rows in path order (S5).
+    * When `opts.header` is unset, the header is SNIFFED from the first
+    * row (the reference inherits this from DuckDB's sniffer,
+    * `src/QuackIO.jl:69-76`) — see [[sniffHeader]] for the heuristic. */
   def readCsv(spark: SparkSession, rawPaths: Seq[String],
       opts: ReadOptions = ReadOptions()): DataFrame = {
     require(rawPaths.nonEmpty, "at least one path required")
     val paths = globSafe(rawPaths)
+    val delim = opts.delim.getOrElse(",")
+    val header = opts.header.getOrElse(sniffHeader(spark, paths.head, delim))
     val reader = spark.read
-      .option("header", opts.header.getOrElse(true).toString)
-      .option("sep", opts.delim.getOrElse(","))
+      .option("header", header.toString)
+      .option("sep", delim)
       .options(opts.extra)
 
     val base =
@@ -134,6 +139,17 @@ object QuackIO {
       opts: ReadOptions = ReadOptions()): DataFrame =
     applySelectLimit(
       spark.read.options(opts.extra).parquet(globSafe(paths): _*), opts)
+
+  /** S2b: parquet scan + footer KV metadata in one call, matching the
+    * reference's auto-attach ergonomics (`read_parquet` hands metadata to
+    * metadata-capable tables, `src/QuackIO.jl:74`, `:134-147`). Metadata
+    * comes from the FIRST path's footer (single-file parity path); reading
+    * it is a driver-side footer fetch, not a job. */
+  def readParquetWithMetadata(spark: SparkSession, paths: Seq[String],
+      opts: ReadOptions = ReadOptions()): (DataFrame, Map[String, String]) = {
+    require(paths.nonEmpty, "at least one path required")
+    (readParquet(spark, paths, opts), ParquetMetadata.read(globSafe(paths).head))
+  }
 
   /** S3: newline-delimited JSON scan (NDJSON is Spark's native JSON model,
     * matching the reference's one-object-per-line files,
@@ -359,6 +375,45 @@ object QuackIO {
   }
 
   // ------------------------------------------------------------- internals
+
+  /** DuckDB-style CSV header sniffing (the reference inherits it,
+    * `src/QuackIO.jl:69-76`): evidence-of-data test on the FIRST row only.
+    * A field that parses as a number / boolean / ISO date(-time) cannot be
+    * a column name, so any typed field in row 1 ⇒ headerless (this is the
+    * case where the old hard default silently ate a data row); an all-text
+    * first row is treated as a header — the all-varchar corpus case is
+    * genuinely ambiguous and defaults to header, like DuckDB. Reads ONE
+    * line through Spark's text source (handles compression codecs and any
+    * Hadoop filesystem); metadata-scale cost, same class as schema
+    * inference. Callers needing certainty pass `header=Some(...)`. */
+  private def sniffHeader(spark: SparkSession, path: String,
+      delim: String): Boolean = {
+    val first = spark.read.text(path).limit(1).collect()
+    if (first.isEmpty) true
+    else !splitTopLevel(first(0).getString(0), delim.headOption.getOrElse(','))
+      .exists(looksTyped)
+  }
+
+  /** Split one CSV line on `delim` outside double quotes (sniffer-grade:
+    * no embedded-newline handling — one line in, fields out). */
+  private def splitTopLevel(line: String, delim: Char): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer(new StringBuilder)
+    var inQ = false
+    line.foreach {
+      case '"' => inQ = !inQ
+      case c if c == delim && !inQ => out += new StringBuilder
+      case c => out.last.append(c)
+    }
+    out.map(_.toString).toSeq
+  }
+
+  private val numRe = """[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?""".r
+  private val dateRe = """\d{4}-\d{2}-\d{2}([ T].*)?""".r
+  private def looksTyped(field: String): Boolean = {
+    val s = field.trim
+    s.nonEmpty && (numRe.matches(s) || dateRe.matches(s) ||
+      s.equalsIgnoreCase("true") || s.equalsIgnoreCase("false"))
+  }
 
   private def quoted(name: String): String =
     "`" + name.replace("`", "``") + "`"

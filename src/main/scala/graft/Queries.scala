@@ -263,6 +263,72 @@ object Queries {
              |  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
              |GROUP BY 1 ORDER BY nationkey""".stripMargin)),
 
+    // ----- left-outer join: unmatched rows survive with nulls, and the
+    // aggregation is null-aware (COUNT(col) skips the miss rows)
+    "q35_left_outer_join" -> Entry(
+      (s, dir) => {
+        val big = t(s, dir, "orders").filter(col("o_totalprice") > 450000)
+        t(s, dir, "customer")
+          .join(big, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_mktsegment").as("segment"))
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("o_orderkey")).as("n_matched"),
+            dsum(coalesce(col("o_totalprice"), lit(0.0))).as("sum_price"))
+          .orderBy("segment")
+      },
+      Some(s"""SELECT c_mktsegment AS segment, COUNT(*) AS n_rows,
+              |COUNT(o_orderkey) AS n_matched,
+              |${S("COALESCE(o_totalprice, 0)")} AS sum_price
+              |FROM customer LEFT JOIN
+              |  (SELECT * FROM orders WHERE o_totalprice > 450000) o
+              |  ON c_custkey = o_custkey
+              |GROUP BY 1 ORDER BY segment""".stripMargin)),
+
+    // ----- full-outer join: rare subsets on each side so BOTH null
+    // directions appear; keys coalesce across sides
+    "q36_full_outer_join" -> Entry(
+      (s, dir) => {
+        val c = t(s, dir, "customer").filter(col("c_acctbal") < -900)
+          .groupBy(col("c_nationkey").as("c_nk"))
+          .agg(count(lit(1)).as("n_cust"))
+        val sup = t(s, dir, "supplier").filter(col("s_acctbal") > 9000)
+          .groupBy(col("s_nationkey").as("s_nk"))
+          .agg(count(lit(1)).as("n_supp"))
+        c.join(sup, col("c_nk") === col("s_nk"), "full_outer")
+          .select(coalesce(col("c_nk"), col("s_nk")).as("nationkey"),
+            col("n_cust"), col("n_supp"))
+          .orderBy("nationkey")
+      },
+      Some("""SELECT COALESCE(c_nk, s_nk) AS nationkey, n_cust, n_supp
+             |FROM (SELECT c_nationkey AS c_nk, COUNT(*) AS n_cust
+             |      FROM customer WHERE c_acctbal < -900 GROUP BY 1) c
+             |FULL JOIN (SELECT s_nationkey AS s_nk, COUNT(*) AS n_supp
+             |      FROM supplier WHERE s_acctbal > 9000 GROUP BY 1) s
+             |  ON c_nk = s_nk
+             |ORDER BY nationkey""".stripMargin)),
+
+    // ----- null-heavy aggregation: NULL group key (nulls group together
+    // in both engines), null-skipping COUNT/SUM/MIN, and an all-null-group
+    // guard — the testdata has no natural nulls, so they are synthesized
+    // with NULLIF/CASE
+    "q37_null_agg" -> Entry(
+      (s, dir) => t(s, dir, "lineitem")
+        .select(
+          nullif(col("l_returnflag"), lit("N")).as("flagkey"),
+          when(col("l_discount") >= 0.03, col("l_quantity")).as("qty_n"))
+        .groupBy("flagkey")
+        .agg(count(lit(1)).as("n_rows"), count(col("qty_n")).as("n_qty"),
+          dsum(col("qty_n")).as("sum_qty"),
+          min(col("qty_n")).as("min_qty"))
+        .orderBy(asc_nulls_first("flagkey")),
+      Some(s"""SELECT NULLIF(l_returnflag, 'N') AS flagkey,
+              |COUNT(*) AS n_rows, COUNT(qty_n) AS n_qty,
+              |${S("qty_n")} AS sum_qty, MIN(qty_n) AS min_qty
+              |FROM (SELECT l_returnflag,
+              |  CASE WHEN l_discount >= 0.03 THEN l_quantity END AS qty_n
+              |  FROM lineitem)
+              |GROUP BY 1 ORDER BY flagkey NULLS FIRST""".stripMargin)),
+
     // ----- window: top-3 orders per customer
     "q14_window_topk" -> Entry(
       (s, dir) => {

@@ -88,9 +88,25 @@ object TextAnalysis {
     * edits, position-independent). Adds `n_fp` (distinct fingerprint
     * count) and `fp_min` (global minimum) to `df`.
     *
-    * Stages norm/grams/wins as attributes (see [[withLangId]] note) and
-    * keeps every step SQL-expressible so the DuckDB oracle replays it. */
+    * The window-min pass runs in the native one-pass
+    * [[graft.functions.WinnowWins]] expression (sliding-deque minimum; the
+    * two-interpreted-lambdas-per-character HOF form was half the sf0.1
+    * bench on its own). [[withWinnowFingerprintHof]] keeps the composable
+    * form as the semantics reference — a spec pins them equal — and the
+    * DuckDB oracle replays the HOF shape 1:1. */
   def withWinnowFingerprint(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, k: Int = 8, w: Int = 4)
+      : org.apache.spark.sql.DataFrame =
+    df.withColumn("__wins", graft.functions.WinnowWins.wins(
+        regexp_replace(lower(trim(col(textCol))), "\\s+", " "), k, w))
+      .select(col(idCol),
+        size(array_distinct(col("__wins"))).cast("long").as("n_fp"),
+        array_min(col("__wins")).as("fp_min"))
+
+  /** Built-in-only reference implementation of [[withWinnowFingerprint]]
+    * (bit-identical output, ~two orders of magnitude slower on long text:
+    * interpreted `transform`/`slice` lambdas per character position). */
+  def withWinnowFingerprintHof(df: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String, k: Int = 8, w: Int = 4)
       : org.apache.spark.sql.DataFrame =
     df.withColumn("__nrm",

@@ -90,6 +90,25 @@ class OperatorsSpec extends TestBase {
     assert(diff == 0.0, s"native vs HOF dot differ by $diff")
   }
 
+  test("native WinnowWins matches the HOF reference form (X5)") {
+    val rnd = new scala.util.Random(11)
+    // adversarial lengths around the k=8 / k+w-1=11 edges, plus unicode
+    val texts = Seq("", "short", "exactly8", "elevenchars",
+      "ünïcødé tëxt wíth áccents and 日本語 characters mixed in") ++
+      (0 until 40).map(i => rnd.alphanumeric.take(rnd.nextInt(80)).mkString
+        + (if (i % 3 == 0) "  multi  space " else ""))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val native = TextAnalysis.withWinnowFingerprint(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val hof = TextAnalysis.withWinnowFingerprintHof(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(native.length == hof.length)
+    native.zip(hof).foreach { case (n, h) =>
+      assert(n == h, s"native $n != hof $h")
+    }
+  }
+
   test("brute-force cosine top-k ranks by similarity (X3)") {
     val out = Similarity.cosineTopK(
       vecs.filter(col("vec_id") === 1), vecs, "vec_id", "embedding", 2)

@@ -77,6 +77,54 @@ class ReadOptionsSpec extends TestBase {
     assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("headerless numeric CSV is sniffed: first data row survives (S1)") {
+    val p = s"${tmpDir()}/noheader.csv"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+      "1,foo,2.5\n2,bar,3.5\n")
+    val df = QuackIO.readCsv(spark, Seq(p))
+    assert(df.count() == 2) // old hard default ate row 1 as a "header"
+    // explicit override still wins over the sniffer
+    assert(QuackIO.readCsv(spark, Seq(p),
+      ReadOptions(header = Some(true))).count() == 1)
+  }
+
+  test("sniffer treats all-text first row as header; ISO dates as data") {
+    val dir = tmpDir()
+    val dated = s"$dir/dated.csv"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dated),
+      "2024-01-01,x\n2024-01-02,y\n")
+    assert(QuackIO.readCsv(spark, Seq(dated)).count() == 2)
+    val headed = s"$dir/headed.csv"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(headed),
+      "day,name\n2024-01-01,x\n")
+    val df = QuackIO.readCsv(spark, Seq(headed))
+    assert(df.schema.fieldNames.toSeq == Seq("day", "name"))
+    assert(df.count() == 1)
+  }
+
+  test("JSON buffer source (S6 beyond CSV)") {
+    val df = QuackIO.readJsonString(spark,
+      """{"a":1,"b":"x"}""" + "\n" + """{"a":2,"b":"y"}""" + "\n")
+    assert(df.schema.fieldNames.sorted.toSeq == Seq("a", "b"))
+    assert(df.collect().map(_.getAs[Long]("a")).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("parquet-from-bytes buffer source (S6 beyond CSV)") {
+    val p = s"${tmpDir()}/bytes.parquet"
+    QuackIO.writeTable(fixture, p)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    assertSameRows(QuackIO.readParquetBytes(spark, bytes), fixture)
+  }
+
+  test("readParquetWithMetadata returns data + footer KV in one call (S2b)") {
+    val p = s"${tmpDir()}/meta.parquet"
+    QuackIO.writeTable(fixture, p,
+      WriteOptions(kvMetadata = Map("source" -> "spec", "k 2" -> "v \"q\"")))
+    val (df, kv) = QuackIO.readParquetWithMetadata(spark, Seq(p))
+    assertSameRows(df, fixture)
+    assert(kv == Map("source" -> "spec", "k 2" -> "v \"q\""))
+  }
+
   test("readFile guesses format from extension (S4)") {
     val dir = tmpDir()
     val csv = s"$dir/t.csv"

@@ -73,6 +73,17 @@ class ScaleSpec extends TestBase {
     spark.sql("DROP TABLE IF EXISTS bkt_b")
   }
 
+  test("q33 LSH near-dup scans embeddings ONCE and reuses one exchange") {
+    val p = plan(SparkEntry.queries("q33_embed_neardup_lsh")(spark, sf))
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected exactly one embeddings scan, got $scans:\n$p")
+    // the window's bucket shuffle is the only exchange before the pair
+    // expansion (the groupBy reuses it: same key, no second Exchange)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"expected one bucket exchange (window+groupBy fused), got $exchanges:\n$p")
+  }
+
   test("GraftSession defaults pin the scale posture") {
     val c = GraftSession.defaultConfs(32)
     assert(c("spark.sql.adaptive.skewJoin.enabled") == "true")
