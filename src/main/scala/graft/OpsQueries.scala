@@ -159,6 +159,25 @@ object OpsQueries {
              |  list_min(wins) AS fp_min
              |FROM w ORDER BY doc_id""".stripMargin)),
 
+    // ----- X5 BPE-ish token counting (LLM-budget estimation flavor) --------
+    // The token array is staged as an attribute so the regex runs once per
+    // row; the md5 over the joined tokens verifies the full tokenization,
+    // not just the count.
+    "q38_bpe_tokens" -> Entry(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.bpeTokens(col("text")).as("__bt"))
+        .select(col("doc_id"),
+          size(col("__bt")).cast("long").as("n_bpe"),
+          md5(concat_ws("|", col("__bt"))).as("toks_md5"))
+        .orderBy("doc_id"),
+      Some(s"""WITH b AS (SELECT doc_id, regexp_extract_all(text,
+              |  '${TextAnalysis.BpePattern.replace("'", "''")}') AS bt
+              |  FROM documents)
+              |SELECT doc_id, CAST(len(bt) AS BIGINT) AS n_bpe,
+              |  md5(array_to_string(bt, '|')) AS toks_md5
+              |FROM b ORDER BY doc_id""".stripMargin)),
+
     // ----- X1 exact dedup --------------------------------------------------
 
     "q24_dedup_exact" -> Entry(
@@ -420,6 +439,51 @@ object OpsQueries {
              |    ORDER BY score DESC, corpus_id) AS BIGINT) AS rnk FROM s)
              |SELECT query_id, corpus_id, score, rnk FROM r
              |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)),
+
+    // ----- X3 IVF-style ANN (the inverted-file counterpart of q31) ---------
+    // Centroids are a deterministic subset (lowest 4 ids; a k-means
+    // refinement would slot in unchanged); every vector is assigned to
+    // its nearest centroid via a broadcast of the tiny centroid set, and
+    // only same-cluster pairs are scored — the partition-pruning shape of
+    // a real IVF index.
+    "q39_ann_ivf" -> Entry(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfTopK(emb.filter(col("vec_id") % 100 === 0), emb,
+          emb.filter(col("vec_id") < 4), "vec_id", "embedding", k = 5,
+          "vec_id", "embedding")
+          .withColumnRenamed("rank", "rnk")
+          .orderBy("query_id", "rnk")
+      },
+      Some {
+        def cos(a: String, b: String) =
+          s"""round(
+             |    list_sum([$a[i]::DOUBLE * $b[i]::DOUBLE
+             |      for i in generate_series(1, len($a))]) /
+             |    (sqrt(list_sum([$a[i]::DOUBLE * $a[i]::DOUBLE
+             |      for i in generate_series(1, len($a))])) *
+             |     sqrt(list_sum([$b[i]::DOUBLE * $b[i]::DOUBLE
+             |      for i in generate_series(1, len($b))]))), 6)""".stripMargin
+        s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv
+           |  FROM embeddings WHERE vec_id < 4),
+           |sc AS (SELECT e.vec_id, e.embedding, c.cid,
+           |  ${cos("e.embedding", "c.cv")} AS cs
+           |  FROM embeddings e, c),
+           |asgn AS (SELECT vec_id, embedding, cid AS cluster FROM (
+           |  SELECT vec_id, embedding, cid, ROW_NUMBER() OVER (
+           |    PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn FROM sc)
+           |  WHERE rn = 1),
+           |q AS (SELECT vec_id AS query_id, embedding AS qv, cluster
+           |  FROM asgn WHERE vec_id % 100 = 0),
+           |s AS (SELECT query_id, a.vec_id AS corpus_id,
+           |  ${cos("qv", "a.embedding")} AS score
+           |  FROM q JOIN asgn a USING (cluster) WHERE query_id <> a.vec_id),
+           |r AS (SELECT query_id, corpus_id, score,
+           |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           |    ORDER BY score DESC, corpus_id) AS BIGINT) AS rnk FROM s)
+           |SELECT query_id, corpus_id, score, rnk FROM r
+           |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+      }),
 
     // ----- X4 multimodal ---------------------------------------------------
 

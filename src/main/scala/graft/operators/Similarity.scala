@@ -106,6 +106,57 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-style cluster assignment: every vector goes to its single nearest
+    * centroid (probe=1) by cosine, ties on centroid id. `centroids` is a
+    * SMALL (cent_id, vec) frame — broadcast, so assignment is a
+    * broadcast-nested-loop over C centroids per row: the standard IVF
+    * C×n assignment cost, no shuffle of the corpus. The centroid set is
+    * caller-supplied (deterministic subset here; a k-means refinement
+    * slots in unchanged). Returns df's (id, vec, norm) + `cluster`. */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centIdCol: String, centVecCol: String)
+      : DataFrame = {
+    val c = centroids.select(col(centIdCol).as("__cid"),
+      col(centVecCol).as("__cv"), norm(col(centVecCol)).as("__cn"))
+    val scored = df
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("nrm"))
+      .crossJoin(broadcast(c))
+      .select(col("id"), col("v"), col("nrm"), col("__cid"),
+        round(dot(col("v"), col("__cv")) / (col("nrm") * col("__cn")), 6)
+          .as("__cs"))
+    val w = Window.partitionBy("id").orderBy(desc("__cs"), asc("__cid"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("v"), col("nrm"), col("__cid").as("cluster"))
+  }
+
+  /** IVF approximate top-k (X3, the inverted-file counterpart of
+    * [[annTopK]]): queries and corpus are both assigned to their nearest
+    * centroid, and only same-cluster pairs are scored — an equi-join on
+    * cluster id, the partition-pruning shape of a real IVF index. Recall
+    * follows centroid quality and probe count (probe=1 here).
+    * Returns (query_id, corpus_id, score, rank). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      centIdCol: String, centVecCol: String): DataFrame = {
+    val qa = ivfAssign(queries, idCol, vecCol, centroids, centIdCol,
+      centVecCol).select(col("id").as("query_id"), col("v").as("qv"),
+      col("nrm").as("qn"), col("cluster"))
+    val ca = ivfAssign(corpus, idCol, vecCol, centroids, centIdCol,
+      centVecCol).select(col("id").as("corpus_id"), col("v").as("cv"),
+      col("nrm").as("cn"), col("cluster"))
+    val scored = qa.join(ca, "cluster")
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+          .as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("score"), asc("corpus_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Scale path for embedding near-dup: only pairs sharing a sign-LSH
     * bucket are scored. Recall trades off with `nPlanes` (more planes →
     * smaller buckets → fewer candidates).

@@ -77,6 +77,24 @@ object TextAnalysis {
       .drop(tmp: _*)
   }
 
+  /** BPE-style pre-tokenizer regex (GPT-2 family): contraction suffixes,
+    * space-prefixed letter runs, digit runs, punctuation runs. Restricted
+    * to constructs both Java regex (Spark) and RE2 (DuckDB) support — the
+    * original GPT-2 pattern's `\s+(?!\S)` lookahead is RE2-inexpressible,
+    * so trailing whitespace is simply not emitted (token counts for
+    * LLM-budget estimation don't count whitespace anyway). */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s']+"
+
+  /** BPE-ish tokens (X5 token counting, the budget-estimation flavor):
+    * every match of [[BpePattern]], in order, leading space attached —
+    * the shape a byte-pair-encoder's pre-tokenizer feeds its merges. */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
+  def bpeTokenCount(text: Column): Column =
+    size(bpeTokens(text)).cast("long")
+
   /** Document fingerprint: MD5 of whitespace-normalized lowercase text.
     * The exact-dedup key (X1). */
   def fingerprint(text: Column): Column =

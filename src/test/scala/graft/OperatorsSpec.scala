@@ -90,6 +90,32 @@ class OperatorsSpec extends TestBase {
     assert(diff == 0.0, s"native vs HOF dot differ by $diff")
   }
 
+  test("BPE-ish tokenization: contractions, digit runs, punct runs (X5)") {
+    val df = Seq((1L, "It's 42 degrees -- really?!"), (2L, ""))
+      .toDF("doc_id", "text")
+    val rows = df.select(col("doc_id"),
+        TextAnalysis.bpeTokens(col("text")).as("t"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[String](1), r.getLong(2)))
+      .toMap
+    assert(rows(1L)._1 == Seq("It", "'s", " 42", " degrees", " --", " really", "?!"))
+    assert(rows(1L)._2 == 7L && rows(2L)._2 == 0L)
+  }
+
+  test("IVF top-k: same-cluster candidates only, nearest centroid wins (X3)") {
+    // centroids = the two axis vectors; vectors cluster by dominant axis
+    val cents = Seq((0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(
+      vecs.filter(col("vec_id") === 1), vecs, cents,
+      "vec_id", "embedding", k = 3, "vec_id", "embedding").collect()
+    // query 1 = x-axis → cluster 0; only vec 2 (x-dominant) shares it
+    // (vec 3 is y-axis → cluster 1; vec 4 z-axis ties 0-score → cluster 0)
+    val ids = out.map(_.getLong(1)).toSet
+    assert(out.forall(_.getLong(0) == 1L))
+    assert(ids.contains(2L) && !ids.contains(3L))
+  }
+
   test("native WinnowWins matches the HOF reference form (X5)") {
     val rnd = new scala.util.Random(11)
     // adversarial lengths around the k=8 / k+w-1=11 edges, plus unicode
