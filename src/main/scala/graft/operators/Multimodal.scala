@@ -59,6 +59,47 @@ object Multimodal {
     }
   }
 
+  /** One sampled frame of a media payload. */
+  case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** STUB — "resize" a payload to exactly `outBytes` bytes by nearest-
+    * neighbor index mapping (the 1-D analog of image resampling). A real
+    * implementation decodes, resamples pixels, re-encodes; the byte
+    * arithmetic here keeps the schema/partitioning/batching identical. */
+  def resizeStub(media: Dataset[MediaRecord], outBytes: Int)
+      : Dataset[MediaRecord] = {
+    implicit val enc: org.apache.spark.sql.Encoder[MediaRecord] =
+      Encoders.product[MediaRecord]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val n = r.payload.length
+        val out =
+          if (n == 0) Array.empty[Byte]
+          else Array.tabulate(outBytes)(i => r.payload((i.toLong * n
+            / outBytes).toInt))
+        MediaRecord(r.doc_id, out, r.kind)
+      }
+    }
+  }
+
+  /** STUB — sample every `everyN`-th fixed-size frame from a payload
+    * treated as concatenated `frameBytes`-byte frames (the video
+    * frame-sampling shape: one row in, many frame rows out — a typed
+    * flatMap, Spark's one-to-many plumbing for codecs). Trailing partial
+    * frames are dropped, like a real demuxer. */
+  def frameSampleStub(media: Dataset[MediaRecord], frameBytes: Int,
+      everyN: Int): Dataset[Frame] = {
+    implicit val enc: org.apache.spark.sql.Encoder[Frame] =
+      Encoders.product[Frame]
+    media.flatMap { r =>
+      val nFrames = r.payload.length / frameBytes
+      (0 until nFrames by everyN).map { f =>
+        Frame(r.doc_id, f,
+          r.payload.slice(f * frameBytes, (f + 1) * frameBytes))
+      }
+    }
+  }
+
   /** SQL-expressible payload metadata (oracle-checkable subset): byte
     * length, content digest, kind tag. */
   def payloadMeta(media: DataFrame): DataFrame =

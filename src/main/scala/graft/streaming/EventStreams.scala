@@ -44,6 +44,23 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exact dedup: keep the FIRST occurrence of each fingerprint
+    * (the streaming counterpart of `Dedup.exact`, and the shape a
+    * continuously-ingesting training-data pipeline runs). State is the
+    * set of fingerprints seen, hash-partitioned across executors by
+    * `dropDuplicates`; the watermark on the event-time column bounds that
+    * state — duplicates arriving later than the watermark delay are the
+    * documented recall trade-off, the same one every bounded-state
+    * streaming dedup makes. */
+  def streamingDedup(records: DataFrame, tsCol: String, fpCol: String,
+      watermark: String = "2 hours"): DataFrame =
+    records
+      .withWatermark(tsCol, watermark)
+      // dedup on the fingerprint ALONE; state for a fingerprint expires
+      // once the watermark passes its first sighting (dropDuplicates(fp)
+      // would grow state forever; adding ts to the keys wouldn't dedup)
+      .dropDuplicatesWithinWatermark(fpCol)
+
   /** Gap-based sessionization with explicit per-user state: a session
     * closes when `gapMs` passes without an event — emitted as soon as a
     * later event proves the gap, or (with `ProcessingTimeTimeout`) when

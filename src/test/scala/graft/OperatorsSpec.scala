@@ -204,4 +204,22 @@ class OperatorsSpec extends TestBase {
     assert(meta.columns.toSeq ==
       Seq("doc_id", "kind", "n_bytes", "digest"))
   }
+
+  test("multimodal resize + frame-sample plumbing (X4)") {
+    val media = Multimodal.withPayload(docs, "doc_id", "text")
+      .as[Multimodal.MediaRecord]
+    // resize: every payload lands at exactly 8 bytes, nearest-neighbor
+    val resized = Multimodal.resizeStub(media, 8).collect()
+    assert(resized.forall(_.payload.length == 8))
+    val orig = media.collect().map(r => r.doc_id -> r.payload).toMap
+    resized.foreach { r =>
+      assert(r.payload(0) == orig(r.doc_id)(0)) // index 0 maps to 0
+    }
+    // frame-sample: 4-byte frames, every 2nd -> indices 0, 2, 4, ...
+    val frames = Multimodal.frameSampleStub(media, 4, 2).collect()
+    assert(frames.forall(_.frame.length == 4))
+    assert(frames.forall(_.frame_idx % 2 == 0))
+    val f5 = frames.filter(_.doc_id == 5L)
+    assert(f5.length == ("unrelated short text".length / 4 + 1) / 2)
+  }
 }

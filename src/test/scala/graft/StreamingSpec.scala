@@ -50,6 +50,34 @@ class StreamingSpec extends TestBase {
     assert(rows.contains(("view", 1L, 3.0)))
   }
 
+  test("streaming dedup keeps first sighting per fingerprint (X-stream)") {
+    val dir = tmpDir().toString
+    // fp "aaa" appears 3 times (one in a later batch), "bbb" once
+    Seq(
+      (1L, ts(0), "aaa"), (2L, ts(1), "aaa"), (3L, ts(2), "bbb")
+    ).toDF("id", "ts", "fp").write.mode("append").parquet(dir)
+
+    val schema = Seq((1L, ts(0), "x")).toDF("id", "ts", "fp").schema
+    val run1 = EventStreams.streamingDedup(
+        EventStreams.readEventStream(spark, dir, schema), "ts", "fp")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").trigger(Trigger.AvailableNow()).start()
+    run1.processAllAvailable(); run1.stop()
+
+    Seq((4L, ts(3), "aaa"), (5L, ts(4), "ccc"))
+      .toDF("id", "ts", "fp").write.mode("append").parquet(dir)
+    val run2 = EventStreams.streamingDedup(
+        EventStreams.readEventStream(spark, dir, schema), "ts", "fp")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out2").trigger(Trigger.AvailableNow()).start()
+    run2.processAllAvailable(); run2.stop()
+
+    val fps = spark.table("dedup_out2").groupBy("fp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fps == Map("aaa" -> 1L, "bbb" -> 1L, "ccc" -> 1L),
+      s"expected one survivor per fingerprint, got $fps")
+  }
+
   test("stateful sessionization closes sessions on gap (X-stream)") {
     val dir = tmpDir().toString
     // user 1: two sessions separated by a 40-minute gap within one batch
