@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data curation: the composition every large-scale
+  * pipeline runs, expressed as ONE declarative plan so Catalyst sees the
+  * whole thing (driver mandate; composes SURVEY §2.4 X1/X2/X5).
+  *
+  * Stages — each a library operator, chained lazily:
+  *   1. language ID filter        (projection, no shuffle)
+  *   2. token-count quality gate  (projection, no shuffle)
+  *   3. exact dedup, min-id wins  (one shuffle on fingerprint)
+  *   4. near-dup removal: MinHash→LSH candidates → exact-Jaccard verify →
+  *      drop the higher id of each verified pair (the candidates are a
+  *      tiny fraction of the corpus, so the expensive verify never runs
+  *      on the n² pair space; the final anti-join is broadcast-size)
+  *
+  * Scale posture: stages 1–2 are map-side only; stage 3 shuffles once,
+  * keyed on content fingerprint; stage 4 reuses the [[Dedup]] shapes
+  * (single-pass LSH banding, candidate-only verification).
+  */
+object Pipelines {
+
+  /** Returns the surviving documents as (idCol, pred, n_tokens), one row
+    * per kept doc. `keepLang` filters on the n-gram-free language ID;
+    * `minTokens` is the quality gate; `jaccardThreshold` drives near-dup
+    * removal (higher id of a verified pair is dropped). */
+  def curate(df: DataFrame, idCol: String, textCol: String,
+      keepLang: String = "en", minTokens: Long = 10,
+      jaccardThreshold: Double = 0.5): DataFrame = {
+    // 1-2: language + quality gates (pure projections)
+    val kept = TextAnalysis.withLangId(df, textCol, "pred")
+      .withColumn("__ntok", TextAnalysis.tokenCount(col(textCol)))
+      .filter(col("pred") === keepLang && col("__ntok") >= minTokens)
+    // 3: exact dedup — lowest id per fingerprint survives
+    val wfp = Window.partitionBy("__fp").orderBy(idCol)
+    val deduped = kept
+      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("__rn", row_number().over(wfp))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col(textCol), col("pred"), col("__ntok"))
+    // 4: near-dup removal on the deduped survivors
+    val pairs = Dedup.verifiedNearDups(
+      deduped.select(col(idCol), col(textCol)), idCol, textCol,
+      jaccardThreshold)
+    val dropIds = pairs.select(col("doc_b").as(idCol)).distinct()
+    deduped.join(dropIds, Seq(idCol), "left_anti")
+      .select(col(idCol), col("pred"), col("__ntok").as("n_tokens"))
+  }
+}

@@ -205,6 +205,25 @@ class OperatorsSpec extends TestBase {
       Seq("doc_id", "kind", "n_bytes", "digest"))
   }
 
+  test("curation pipeline drops non-lang, short, exact-dup, near-dup docs") {
+    val base = "the quick brown fox jumps over the lazy dog and runs to " +
+      "the old mill in the morning light"
+    val corpus = Seq(
+      (1L, base),                            // survives
+      (2L, base),                            // exact dup of 1 -> dropped
+      (3L, base + " extra"),                 // near dup of 1 -> dropped
+      (4L, "der hund ist nicht das problem und die katze der hund ist"), // de
+      (5L, "too short"),                     // quality gate
+      (6L, "a completely different english text about the sea and the " +
+        "ships that sail to the far islands of the north every summer")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Pipelines.curate(corpus, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 6L),
+      s"unexpected survivors: ${out.mkString(", ")}")
+    assert(out.forall(_.getString(1) == "en"))
+  }
+
   test("multimodal resize + frame-sample plumbing (X4)") {
     val media = Multimodal.withPayload(docs, "doc_id", "text")
       .as[Multimodal.MediaRecord]
