@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines (SURVEY.md §2.4
@@ -118,20 +119,64 @@ object Dedup {
     * (doc_a, doc_b, jac) for pairs with jac ≥ threshold. */
   def verifiedNearDups(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 8, rowsPerBand: Int = 2,
-      shingleN: Int = 3): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, k, rowsPerBand, shingleN)
-    val sets = df
-      .select(col(idCol).as("sid"), TextAnalysis.tokens(col(textCol)).as("toks"))
-      .select(col("sid"), array_distinct(shingles(col("toks"), shingleN)).as("sh"))
-    val a = sets.select(col("sid").as("doc_a"), col("sh").as("sha"))
-    val b = sets.select(col("sid").as("doc_b"), col("sh").as("shb"))
-    cands.join(a, "doc_a").join(b, "doc_b")
-      .select(col("doc_a"), col("doc_b"), {
-        val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
-        (inter / (size(col("sha")).cast("double")
-          + size(col("shb")).cast("double") - inter)).as("jac")
+      shingleN: Int = 3, maxBucket: Int = 10000): DataFrame = {
+    // Single linear flow — NO diamond: the naive shape (candidates from
+    // one subtree, then two joins back to a shingle-set subtree) scans
+    // the corpus 6× at sf0.1, because filter pushdown specializes each
+    // branch's scan and defeats ReuseExchange. Instead the shingle SET
+    // rides along: through the signature aggregation (first(sh) — every
+    // row of a doc carries the same set), into the bucket collect, and
+    // pairs verify in-bucket. One corpus scan, three shuffles (doc,
+    // bucket, pair-dedup), zero joins. The bucket shuffle carries the
+    // set nBands× — the price of never re-deriving it; `maxBucket`
+    // (window-count gated BEFORE the collect buffers anything, so a
+    // degenerate bucket spills instead of OOMing) bounds expansion.
+    //
+    // MinHash over the distinct-shingle set is value-identical to the
+    // raw-shingle pipeline: duplicates never change a min — so the
+    // DuckDB oracle (min over dup rows) agrees byte-for-byte.
+    require(k % rowsPerBand == 0, "k must be divisible by rowsPerBand")
+    val nBands = k / rowsPerBand
+    // one row per (doc, shingle); the SAME aggregation computes the k
+    // signature minima AND rebuilds the distinct shingle set
+    // (collect_set) — its order is engine-arbitrary, which is fine:
+    // every downstream use (intersect/size) is order-independent
+    val hashed = explodedShingles(df, idCol, textCol, shingleN)
+      .select(col("doc_id") +: col("s") +:
+        (0 until k).map(i => md5(concat(lit(s"$i|"), col("s"))).as(s"h$i")): _*)
+    val aggs = (0 until k).map(i => min(col(s"h$i")).as(s"m$i")) :+
+      collect_set(col("s")).as("sh")
+    val sigs = hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val bandCols = (0 until nBands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat(parts: _*)).as("bv"))
+    }
+    val bands = sigs
+      .select(col("doc_id"), col("sh"), explode(array(bandCols: _*)).as("e"))
+      .select(col("doc_id"), col("sh"),
+        col("e.band").as("band"), col("e.bv").as("bv"))
+    val wb = Window.partitionBy("band", "bv")
+    val gated = bands.withColumn("cnt", count(lit(1)).over(wb))
+      .filter(col("cnt") > 1 && col("cnt") <= maxBucket)
+    // struct ordering is field-by-field and doc_id is unique, so
+    // sort_array orders each bucket by id — (i < j) pairs give a < b
+    val buckets = gated.groupBy("band", "bv")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sh"))))
+        .as("rows"))
+    buckets
+      .select(explode(flatten(transform(col("rows"), (x, i) =>
+        transform(slice(col("rows"), i + 2, size(col("rows"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"), {
+        val inter = size(array_intersect(col("p.a.sh"), col("p.b.sh")))
+          .cast("double")
+        (inter / (size(col("p.a.sh")).cast("double")
+          + size(col("p.b.sh")).cast("double") - inter)).as("jac")
       })
       .filter(col("jac") >= threshold)
+      // a pair sharing several buckets verifies identically each time;
+      // keep it once (the oracle's DISTINCT-candidates-then-verify set)
+      .dropDuplicates("doc_a", "doc_b")
   }
 
   /** 32-bit SimHash over whitespace tokens. Per token, the first 8 hex
