@@ -84,6 +84,15 @@ class ScaleSpec extends TestBase {
       s"expected one bucket exchange (window+groupBy fused), got $exchanges:\n$p")
   }
 
+  test("q29 verified near-dups is join-free: set rides the LSH flow") {
+    val p = plan(SparkEntry.queries("q29_neardup_verified")(spark, sf))
+    // the planted-dup union reads the corpus twice by construction;
+    // anything beyond that means the diamond (sets joined back) is back
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 2, s"expected <=2 corpus scans, got $scans:\n$p")
+    assert(!p.contains("Join"), s"expected a join-free single flow:\n$p")
+  }
+
   test("GraftSession defaults pin the scale posture") {
     val c = GraftSession.defaultConfs(32)
     assert(c("spark.sql.adaptive.skewJoin.enabled") == "true")
