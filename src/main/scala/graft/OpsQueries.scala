@@ -178,6 +178,61 @@ object OpsQueries {
               |  md5(array_to_string(bt, '|')) AS toks_md5
               |FROM b ORDER BY doc_id""".stripMargin)),
 
+    // ----- X5 deterministic corpus split -----------------------------------
+    // Hash-bucket assignment (80/10/10): pure projection, identical on
+    // every engine/run/cluster size — what a reproducible split needs,
+    // unlike sample()'s partition-dependent RNG.
+    "q43_corpus_split" -> Entry(
+      (s, dir) => t(s, dir, "documents")
+        .select(TextAnalysis.splitBucket(col("doc_id"), Seq(8, 1, 1))
+          .cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket"),
+      Some("""SELECT CAST(CASE WHEN h < 8 THEN 0 WHEN h < 9 THEN 1 ELSE 2
+             |  END AS BIGINT) AS bucket, COUNT(*) AS n
+             |FROM (SELECT CAST(('0x' || substr(md5('split|' ||
+             |  CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 10 AS h
+             |  FROM documents)
+             |GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // ----- X5 PII redaction ------------------------------------------------
+    // The corpus has no planted PII, so adversarial strings are appended
+    // per row; the md5 over the redacted text verifies every replacement.
+    "q44_pii_redact" -> Entry(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), concat(col("text"),
+          lit(" mail bob.smith+x@corp.example.org or +1 (415) 555-0199" +
+            " at 10.0.42.7 ok")).as("__t"))
+        .select(col("doc_id"),
+          md5(TextAnalysis.redactPii(col("__t"))).as("red_md5"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, md5(
+              |  regexp_replace(
+              |    regexp_replace(
+              |      regexp_replace(
+              |        text || ' mail bob.smith+x@corp.example.org or' ||
+              |          ' +1 (415) 555-0199 at 10.0.42.7 ok',
+              |        '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+              |      '${TextAnalysis.Ipv4Re}', '<IP>', 'g'),
+              |    '${TextAnalysis.PhoneRe}', '<PHONE>', 'g')) AS red_md5
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ----- X5 token-window chunking ----------------------------------------
+    "q45_chunking" -> Entry(
+      (s, dir) => TextAnalysis.chunkTokens(t(s, dir, "documents"),
+        "doc_id", "text", chunkTokens = 32, overlap = 8)
+        .select(col("doc_id"), col("chunk_id"),
+          md5(col("chunk")).as("chunk_md5"), col("n_tokens"))
+        .orderBy("doc_id", "chunk_id"),
+      Some(s"""WITH tk AS (SELECT doc_id, $TOKS AS w FROM documents),
+              |c AS (SELECT doc_id, w, unnest(generate_series(0,
+              |    CAST(floor(greatest(len(w) - 1 - 8, 0) / 24) AS INT)))
+              |  AS c FROM tk)
+              |SELECT doc_id, CAST(c AS BIGINT) AS chunk_id,
+              |  md5(array_to_string(w[c*24+1:c*24+32], ' ')) AS chunk_md5,
+              |  CAST(least(len(w) - c*24, 32) AS BIGINT) AS n_tokens
+              |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
+
     // ----- X1 exact dedup --------------------------------------------------
 
     "q24_dedup_exact" -> Entry(

@@ -100,6 +100,62 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Deterministic train/val/test assignment: bucket = the first 8 hex
+    * chars of md5(salt + id) mod the weight total, mapped through the
+    * cumulative weights. Pure projection (no shuffle, no RNG state):
+    * every engine, run, and cluster size assigns each id identically —
+    * the property a reproducible corpus split actually needs, which
+    * `sample()`'s partition-dependent RNG does not give. */
+  def splitBucket(id: Column, weights: Seq[Int], salt: String = "split")
+      : Column = {
+    require(weights.nonEmpty && weights.forall(_ > 0))
+    val total = weights.sum
+    val h = conv(substring(md5(concat(lit(salt), lit("|"),
+      id.cast("string"))), 1, 8), 16, 10).cast("long") % total
+    val cum = weights.scanLeft(0)(_ + _).tail // cumulative upper bounds
+    cum.zipWithIndex.init.foldRight(lit(weights.size - 1): Column) {
+      case ((bound, i), acc) => when(h < bound, i).otherwise(acc)
+    }
+  }
+
+  /** PII redaction (X5, the scrubbing pass every pretraining corpus
+    * runs): emails, then bare IPv4s, then phone-like digit groups are
+    * replaced with typed placeholder tags. Order is load-bearing and
+    * pinned: emails contain digit runs, and an IPv4 *is* a phone-shaped
+    * digit group (digits with separators), so phones go LAST; patterns
+    * live in the Java-regex/RE2 common subset so the oracle replays
+    * them. */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PhoneRe = "\\+?[0-9][0-9() .-]{7,}[0-9]"
+  val Ipv4Re = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  def redactPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, EmailRe, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, Ipv4Re, "<IP>")
+    regexp_replace(noIp, PhoneRe, "<PHONE>")
+  }
+
+  /** Token-window chunking (X5): split the whitespace-token stream into
+    * chunks of `chunkTokens` with `overlap` tokens carried over — the
+    * context-window packing shape. One row per (doc, chunk): explode of
+    * a pure projection, so chunking is embarrassingly parallel and the
+    * downstream shuffle (if any) carries chunks, not documents. */
+  def chunkTokens(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, chunkTokens: Int = 32, overlap: Int = 8)
+      : org.apache.spark.sql.DataFrame = {
+    require(overlap < chunkTokens, "overlap must be < chunkTokens")
+    val stride = chunkTokens - overlap
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"), explode(sequence(lit(0),
+        floor(greatest(size(col("__toks")) - 1 - overlap, lit(0))
+          / stride).cast("int"))).as("__c"))
+      .select(col(idCol), col("__c").cast("long").as("chunk_id"),
+        array_join(slice(col("__toks"), col("__c") * stride + 1,
+          lit(chunkTokens)), " ").as("chunk"),
+        least(size(col("__toks")) - col("__c") * stride,
+          lit(chunkTokens)).cast("long").as("n_tokens"))
+  }
+
   /** Winnowing-style rolling fingerprints (X5): hash every k-char gram of
     * the normalized text, then keep the minimum hash of each w-gram
     * window — the classic local document fingerprint (robust to small

@@ -205,6 +205,39 @@ class OperatorsSpec extends TestBase {
       Seq("doc_id", "kind", "n_bytes", "digest"))
   }
 
+  test("deterministic split: stable across runs, covers all buckets (X5)") {
+    val ids = spark.range(1000).select(col("id"),
+      TextAnalysis.splitBucket(col("id"), Seq(8, 1, 1)).as("b"))
+    val again = spark.range(1000).select(col("id"),
+      TextAnalysis.splitBucket(col("id"), Seq(8, 1, 1)).as("b2"))
+    assert(ids.join(again, "id").filter(col("b") =!= col("b2")).count() == 0)
+    val byBucket = ids.groupBy("b").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byBucket.keySet == Set(0, 1, 2))
+    assert(byBucket(0) > 700 && byBucket(0) < 900) // ~80%
+  }
+
+  test("PII redaction replaces emails, IPs, phones in pinned order (X5)") {
+    val out = Seq("reach a.b+c@x-mail.example.net or +1 (415) 555-0199, " +
+      "server 192.168.0.1 ok").toDF("t")
+      .select(TextAnalysis.redactPii(col("t"))).head().getString(0)
+    assert(out == "reach <EMAIL> or <PHONE>, server <IP> ok", out)
+  }
+
+  test("token chunking: stride, overlap, ragged tail (X5)") {
+    val text = (1 to 50).map(i => s"t$i").mkString(" ") // 50 tokens
+    val rows = TextAnalysis.chunkTokens(
+        Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text",
+        chunkTokens = 32, overlap = 8)
+      .orderBy("chunk_id").collect()
+    assert(rows.length == 2)
+    val c0 = rows(0).getAs[String]("chunk").split(" ")
+    val c1 = rows(1).getAs[String]("chunk").split(" ")
+    assert(c0.length == 32 && c0.head == "t1" && c0.last == "t32")
+    assert(c1.head == "t25" && c1.last == "t50") // 8-token overlap
+    assert(rows(1).getAs[Long]("n_tokens") == 26L)
+  }
+
   test("curation pipeline drops non-lang, short, exact-dup, near-dup docs") {
     val base = "the quick brown fox jumps over the lazy dog and runs to " +
       "the old mill in the morning light"
