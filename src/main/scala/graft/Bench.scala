@@ -34,7 +34,11 @@ object Bench {
 
     var errors = List.empty[(String, String)]
     var failedSecs = 0.0
-    val results = SparkEntry.queries.flatMap { case (name, fn) =>
+    // name order, not hash-map order: per-query timings stay comparable
+    // across rounds even as the catalog grows (map order reshuffles on
+    // every insertion, silently moving the residual first-query warmup
+    // cost onto a different query each round)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -58,7 +62,7 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.reverse
       .map { case (k, m) => s"${jstr(k)}:${jstr(m)}" }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"failed_secs":$failedSecs,"sf":"$sfDir"}""")
     spark.stop()
   }
