@@ -93,6 +93,28 @@ class ScaleSpec extends TestBase {
     assert(!p.contains("Join"), s"expected a join-free single flow:\n$p")
   }
 
+  test("q39 IVF broadcasts only the centroid set, never the corpus") {
+    val p = plan(SparkEntry.queries("q39_ann_ivf")(spark, sf))
+    // assignment = corpus × broadcast(centroids): each BroadcastExchange's
+    // scan must carry the pushed centroid filter LessThan(vec_id,4) —
+    // a broadcast without it would be a corpus-side broadcast
+    val bSections = p.split("BroadcastExchange").drop(1)
+    assert(bSections.nonEmpty, s"expected broadcast assignment:\n$p")
+    bSections.foreach { s =>
+      val scanPart = s.split("\n").find(_.contains("Scan parquet"))
+      assert(scanPart.forall(_.contains("LessThan(vec_id,4)")),
+        s"corpus-side broadcast detected:\n$p")
+    }
+  }
+
+  test("q42 curation pipeline stays within its inherent scan budget") {
+    val p = plan(SparkEntry.queries("q42_curation_pipeline")(spark, sf))
+    // planted-dup union = 2 scans; the survivors anti-join diamond = ×2.
+    // More than 4 means a new recompute crept in.
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 4, s"expected <=4 scans, got $scans:\n$p")
+  }
+
   test("GraftSession defaults pin the scale posture") {
     val c = GraftSession.defaultConfs(32)
     assert(c("spark.sql.adaptive.skewJoin.enabled") == "true")
