@@ -233,6 +233,24 @@ object OpsQueries {
               |  CAST(least(len(w) - c*24, 32) AS BIGINT) AS n_tokens
               |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
 
+    // ----- X5 char-entropy quality signal ----------------------------------
+    "q46_char_entropy" -> Entry(
+      (s, dir) => TextAnalysis.withCharEntropy(
+        t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH ch AS (SELECT doc_id, unnest(string_split(text, ''))
+             |  AS ch FROM documents),
+             |cc AS (SELECT doc_id, ch, COUNT(*) AS cnt
+             |  FROM ch GROUP BY 1, 2),
+             |agg AS (SELECT doc_id,
+             |  list_sort(list(struct_pack(ch := ch, cnt := cnt))) AS cc,
+             |  CAST(SUM(cnt) AS BIGINT) AS n FROM cc GROUP BY 1)
+             |SELECT doc_id,
+             |  round(log2(n) - list_sum([x.cnt * log2(x.cnt) for x in cc])
+             |    / n, 6) AS entropy,
+             |  n AS n_chars
+             |FROM agg ORDER BY doc_id""".stripMargin)),
+
     // ----- X1 exact dedup --------------------------------------------------
 
     "q24_dedup_exact" -> Entry(

@@ -77,6 +77,26 @@ object TextAnalysis {
       .drop(tmp: _*)
   }
 
+  /** Character-level Shannon entropy (X5 quality signal: gibberish and
+    * boilerplate both sit far from natural-language entropy). Uses the
+    * count identity H = log2(n) − Σ cnt·log2(cnt) / n and folds the
+    * per-char counts in SORTED char order — a deterministic IEEE
+    * operation sequence, so the DuckDB oracle (same sorted fold)
+    * reproduces the double bit-for-bit before the 6-decimal round.
+    * Two keyed aggregations ((doc,char) then doc); empty text is the
+    * caller's edge (Spark splits "" into [""], DuckDB into []). */
+  def withCharEntropy(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), "")).as("ch"))
+      .groupBy(idCol, "ch").agg(count(lit(1)).as("cnt"))
+      .groupBy(idCol).agg(
+        sort_array(collect_list(struct(col("ch"), col("cnt")))).as("cc"),
+        sum(col("cnt")).as("n"))
+      .select(col(idCol),
+        round(expr("log2(n) - aggregate(cc, 0D," +
+          " (acc, x) -> acc + x.cnt * log2(x.cnt)) / n"), 6).as("entropy"),
+        col("n").cast("long").as("n_chars"))
+
   /** BPE-style pre-tokenizer regex (GPT-2 family): contraction suffixes,
     * space-prefixed letter runs, digit runs, punctuation runs. Restricted
     * to constructs both Java regex (Spark) and RE2 (DuckDB) support — the

@@ -205,6 +205,16 @@ class OperatorsSpec extends TestBase {
       Seq("doc_id", "kind", "n_bytes", "digest"))
   }
 
+  test("char entropy: uniform text maxes, repeated char zeroes (X5)") {
+    val df = Seq((1L, "abcd"), (2L, "aaaa"), (3L, "aabb"))
+      .toDF("doc_id", "text")
+    val e = TextAnalysis.withCharEntropy(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(e(1L) == 2.0) // 4 distinct chars -> log2(4)
+    assert(e(2L) == 0.0)
+    assert(e(3L) == 1.0)
+  }
+
   test("deterministic split: stable across runs, covers all buckets (X5)") {
     val ids = spark.range(1000).select(col("id"),
       TextAnalysis.splitBucket(col("id"), Seq(8, 1, 1)).as("b"))
