@@ -329,6 +329,23 @@ object Queries {
               |  FROM lineitem)
               |GROUP BY 1 ORDER BY flagkey NULLS FIRST""".stripMargin)),
 
+    // ----- exact percentiles (linear interpolation — Spark `percentile`
+    // and DuckDB `quantile_cont` share the definition; 6-decimal round
+    // absorbs any interpolation-arithmetic ulp)
+    "q47_percentiles" -> Entry(
+      (s, dir) => t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 6).as("med"),
+          round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("priority"),
+      Some("""SELECT o_orderpriority AS priority,
+             |round(quantile_cont(o_totalprice, 0.5), 6) AS med,
+             |round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+             |COUNT(*) AS n
+             |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin)),
+
     // ----- window: top-3 orders per customer
     "q14_window_topk" -> Entry(
       (s, dir) => {
