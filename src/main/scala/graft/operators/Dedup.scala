@@ -94,9 +94,15 @@ object Dedup {
     val bands = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("e"))
       .select(col("doc_id"), col("e.band").as("band"), col("e.bv").as("bv"))
-    val buckets = bands.groupBy("band", "bv")
+    // size-gate BEFORE the collect buffers anything: the window count is
+    // sort-based and spills, so a degenerate bucket streams through disk
+    // instead of OOMing the agg buffer; the groupBy reuses the window's
+    // exchange (same key) — still one shuffle
+    val wb = Window.partitionBy("band", "bv")
+    val gated = bands.withColumn("cnt", count(lit(1)).over(wb))
+      .filter(col("cnt") > 1 && col("cnt") <= maxBucket)
+    val buckets = gated.groupBy("band", "bv")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
     // expand each bucket into its (a < b) pairs
     buckets
       .select(explode(flatten(transform(col("ids"), (x, i) =>
