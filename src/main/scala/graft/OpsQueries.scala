@@ -251,6 +251,42 @@ object OpsQueries {
              |  n AS n_chars
              |FROM agg ORDER BY doc_id""".stripMargin)),
 
+    // ----- corpus profiling (ANALYZE-style, one scan for all columns) ------
+    "q48_profile" -> Entry(
+      (s, dir) => graft.operators.Profiles.summarize(
+        t(s, dir, "documents"), Seq("doc_id", "text", "lang"))
+        .withColumnRenamed("column", "col_name")
+        .orderBy("col_name"),
+      Some {
+        def one(c: String) =
+          s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+             |CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |  AS n_nulls,
+             |COUNT(DISTINCT $c) AS n_distinct,
+             |CAST(MIN($c) AS VARCHAR) AS min_val,
+             |CAST(MAX($c) AS VARCHAR) AS max_val
+             |FROM documents""".stripMargin
+        Seq("doc_id", "text", "lang").map(one)
+          .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+      }),
+
+    // ----- per-shard token packing (pretraining-stream binning) ------------
+    "q49_token_packing" -> Entry(
+      (s, dir) => graft.operators.Profiles.packTokens(
+        t(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("ntok")),
+        "doc_id", "ntok", budget = 512, nShards = 8)
+        .orderBy("doc_id"),
+      Some(s"""WITH tk AS (SELECT doc_id, len($TOKS) AS tok,
+              |  doc_id % 8 AS shard FROM documents),
+              |c AS (SELECT doc_id, shard, tok, SUM(tok) OVER (
+              |  PARTITION BY shard ORDER BY doc_id
+              |  ROWS UNBOUNDED PRECEDING) AS cum FROM tk)
+              |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+              |  CAST(floor((cum - tok) / 512) AS BIGINT) AS bin,
+              |  CAST(tok AS BIGINT) AS n_tokens
+              |FROM c ORDER BY doc_id""".stripMargin)),
+
     // ----- X1 exact dedup --------------------------------------------------
 
     "q24_dedup_exact" -> Entry(

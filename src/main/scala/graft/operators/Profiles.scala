@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus profiling: the ANALYZE-style per-column summary every ingest
+  * pipeline runs before trusting a new drop of data.
+  *
+  * One aggregation row computes every column's stats in a single scan
+  * (count/nulls/distinct/min/max all map-side combinable), then the row
+  * unpivots to one output row per column — no per-column scans, no
+  * driver loops; the scan stays columnar and whole-stage codegen'd.
+  * Values are rendered as strings so heterogeneous column types share
+  * one output schema (the cross-engine-stable way: both engines CAST
+  * the same typed value to VARCHAR).
+  */
+object Profiles {
+
+  /** Returns (column, n_rows, n_nulls, n_distinct, min_val, max_val),
+    * one row per profiled column, in `cols` order. */
+  def summarize(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one column required")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(lit(1)).as(s"__n_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+        countDistinct(col(c)).as(s"__dist_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("column"), col(s"__n_$c").as("n_rows"),
+        col(s"__nulls_$c").as("n_nulls"), col(s"__dist_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_val"), col(s"__max_$c").as("max_val"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select("r.*")
+  }
+
+  /** Contiguous token packing (the pretraining-stream shape): documents
+    * are packed into bins of `budget` tokens in id order WITHIN each of
+    * `nShards` hash shards. Global greedy packing is inherently
+    * sequential — per-shard packing is how it parallelizes at corpus
+    * scale: the window runs per shard (one shuffle, `nShards`-way
+    * parallel), and bin ids are (shard, bin) pairs. A doc that crosses
+    * a bin boundary opens the next bin (assignment by exclusive running
+    * total). */
+  def packTokens(df: DataFrame, idCol: String, tokenCountCol: String,
+      budget: Long, nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shard = pmod(col(idCol), lit(nShards)).as("shard")
+    val w = Window.partitionBy("shard").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), col(tokenCountCol).as("__tok"), shard)
+      .withColumn("__cum", sum(col("__tok")).over(w))
+      .select(col(idCol), col("shard").cast("long").as("shard"),
+        floor((col("__cum") - col("__tok")) / budget).as("bin"),
+        col("__tok").cast("long").as("n_tokens"))
+  }
+}

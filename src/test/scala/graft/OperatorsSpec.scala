@@ -205,6 +205,29 @@ class OperatorsSpec extends TestBase {
       Seq("doc_id", "kind", "n_bytes", "digest"))
   }
 
+  test("profiler: one row per column, nulls/distinct/minmax (profiling)") {
+    val df = Seq((1L, Some("a")), (2L, None), (3L, Some("b")))
+      .toDF("id", "v")
+    val rows = graft.operators.Profiles.summarize(df, Seq("id", "v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("id").getLong(1) == 3 && rows("id").getLong(2) == 0)
+    assert(rows("v").getLong(2) == 1)  // one null
+    assert(rows("v").getLong(3) == 2)  // distinct non-null
+    assert(rows("v").getString(4) == "a" && rows("v").getString(5) == "b")
+  }
+
+  test("token packing: bins fill to budget within shards (packing)") {
+    // one shard (ids ≡ 0 mod 8): 5 docs × 100 tokens, budget 250
+    val df = Seq(0L, 8L, 16L, 24L, 32L).map(i => (i, 100L))
+      .toDF("doc_id", "ntok")
+    val out = graft.operators.Profiles.packTokens(df, "doc_id", "ntok",
+        budget = 250, nShards = 8)
+      .orderBy("doc_id").collect()
+    // exclusive running totals 0,100,200,300,400 -> bins 0,0,0,1,1
+    assert(out.map(_.getAs[Long]("bin")).toSeq == Seq(0L, 0L, 0L, 1L, 1L))
+    assert(out.map(_.getAs[Long]("shard")).distinct.toSeq == Seq(0L))
+  }
+
   test("char entropy: uniform text maxes, repeated char zeroes (X5)") {
     val df = Seq((1L, "abcd"), (2L, "aaaa"), (3L, "aabb"))
       .toDF("doc_id", "text")
