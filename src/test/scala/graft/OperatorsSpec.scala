@@ -156,6 +156,22 @@ class OperatorsSpec extends TestBase {
     assert(b(1L) == b(9L), "identical vectors must share a bucket")
   }
 
+  test("maxBucket gate drops dense buckets; oversizedBuckets reports them") {
+    // 6 identical vectors land in one bucket; maxBucket=3 drops it
+    val dense = (1L to 6L).map(i => (i, Array(1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDupPairsLsh(dense, "vec_id", "embedding",
+      threshold = -1.0, nPlanes = 4, dim = 3, maxBucket = 3)
+    assert(pairs.count() == 0, "dense bucket should be gated out")
+    val reported = Similarity.oversizedBuckets(dense, "embedding",
+      nPlanes = 4, dim = 3, maxBucket = 3).collect()
+    assert(reported.length == 1 && reported(0).getLong(1) == 6L,
+      "the dropped bucket must be observable")
+    // with the cap lifted the same corpus yields all 15 pairs
+    assert(Similarity.nearDupPairsLsh(dense, "vec_id", "embedding",
+      threshold = -1.0, nPlanes = 4, dim = 3).count() == 15)
+  }
+
   test("annTopK returns neighbors from the query's bucket only (X3)") {
     val out = Similarity.annTopK(vecs.filter(col("vec_id") === 1), vecs,
       "vec_id", "embedding", k = 3, nPlanes = 4, dim = 3)
