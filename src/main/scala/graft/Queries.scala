@@ -402,6 +402,18 @@ object Queries {
               |FROM lineitem GROUP BY ROLLUP (1, 2)
               |ORDER BY flag NULLS FIRST, status NULLS FIRST""".stripMargin)),
 
+    // ----- CUBE grouping sets (all 4 combinations incl. both-null total)
+    "q53_cube" -> Entry(
+      (s, dir) => t(s, dir, "lineitem")
+        .cube(col("l_returnflag").as("flag"),
+          col("l_linestatus").as("status"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(asc_nulls_first("flag"), asc_nulls_first("status")),
+      Some(s"""SELECT l_returnflag AS flag, l_linestatus AS status,
+              |COUNT(*) AS cnt, ${S("l_quantity")} AS sum_qty
+              |FROM lineitem GROUP BY CUBE (1, 2)
+              |ORDER BY flag NULLS FIRST, status NULLS FIRST""".stripMargin)),
+
     // ----- date part extraction + aggregation
     "q17_date_agg" -> Entry(
       (s, dir) => t(s, dir, "orders")
