@@ -243,6 +243,26 @@ object QuackIO {
     readFile(spark, Seq(tmp.toString), Some(fmt), opts)
   }
 
+  /** S8 generalized: register every parquet table under `dir` as a temp
+    * view named by file stem, so `spark.sql("SELECT ... FROM lineitem")`
+    * works directly — the reference's register-table ergonomics
+    * (`src/QuackIO.jl:74`) over a directory layout. Returns the view
+    * names registered. Registration is metadata-only (no job). */
+  def registerTables(spark: SparkSession, dir: String): Seq[String] = {
+    // TIMESTAMP(NANOS) parquet columns are only admissible as int64 nanos;
+    // idempotent constant set (see Queries.events) so bare sessions work
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val files = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    files.map { f =>
+      val name = f.getName.stripSuffix(".parquet")
+      spark.read.parquet(f.toString).createOrReplaceTempView(name)
+      name
+    }.toSeq
+  }
+
   // ------------------------------------------------------------------ sinks
 
   /** The reference's single write operator (`write_table`,

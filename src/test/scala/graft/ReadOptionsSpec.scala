@@ -125,6 +125,15 @@ class ReadOptionsSpec extends TestBase {
     assert(kv == Map("source" -> "spec", "k 2" -> "v \"q\""))
   }
 
+  test("registerTables makes a directory SQL-queryable (S8)") {
+    val names = QuackIO.registerTables(spark, "/root/testdata/sf0.001")
+    assert(names.contains("lineitem") && names.contains("documents"))
+    val n = spark.sql(
+      "SELECT COUNT(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey")
+      .head().getLong(0)
+    assert(n > 0)
+  }
+
   test("readFile guesses format from extension (S4)") {
     val dir = tmpDir()
     val csv = s"$dir/t.csv"
