@@ -61,6 +61,17 @@ object EventStreams {
       // would grow state forever; adding ts to the keys wouldn't dedup)
       .dropDuplicatesWithinWatermark(fpCol)
 
+  /** Stream-static enrichment: join an unbounded stream against a batch
+    * dimension table. Spark plans the static side as a broadcast (or
+    * re-reads it per micro-batch if too large) — no state, no watermark
+    * needed for an inner equi-join; the streaming side never buffers.
+    * This is THE shape for attaching user/customer attributes to an
+    * event stream at ingest. */
+  def enrich(stream: DataFrame, dim: DataFrame, streamKey: String,
+      dimKey: String): DataFrame =
+    stream.join(dim, stream(streamKey) === dim(dimKey), "inner")
+      .drop(dim(dimKey))
+
   /** Gap-based sessionization with explicit per-user state: a session
     * closes when `gapMs` passes without an event — emitted as soon as a
     * later event proves the gap, or (with `ProcessingTimeTimeout`) when

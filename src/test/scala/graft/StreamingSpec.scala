@@ -50,6 +50,23 @@ class StreamingSpec extends TestBase {
     assert(rows.contains(("view", 1L, 3.0)))
   }
 
+  test("stream-static enrichment joins a dimension per micro-batch") {
+    val dir = tmpDir().toString
+    Seq(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 2, "view", 2.0))
+      .toDF().write.mode("append").parquet(dir)
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("uid", "tier")
+    val q = EventStreams.enrich(
+        EventStreams.readEventStream(spark, dir,
+          Seq.empty[Event].toDF().schema),
+        dim, "user_id", "uid")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("enrich_out").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val tiers = spark.table("enrich_out").select("event_id", "tier")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(tiers == Map(1L -> "gold", 2L -> "basic"))
+  }
+
   test("streaming dedup keeps first sighting per fingerprint (X-stream)") {
     val dir = tmpDir().toString
     // fp "aaa" appears 3 times (one in a later batch), "bbb" once
