@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Connected, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Catalog entries for the LLM-data-pipeline operators (dedup, similarity
   * search, text analysis, multimodal) over the `documents` / `embeddings`
@@ -43,6 +43,27 @@ object OpsQueries {
       |    array_to_string(w[1:greatest(len(w)-3, 1)], ' ') AS text
       |  FROM (SELECT doc_id, $TOKS AS w FROM documents
       |        WHERE doc_id % 5 = 0))""".stripMargin
+
+  /** SQL twin of `Dedup.minhashCandidates(k=8, rowsPerBand=2, shingleN=3)`
+    * as a CTE chain ending in `pairs(doc_a, doc_b)`; expects a `docs`
+    * CTE in scope. Shared by q25 (the pairs themselves) and q54 (their
+    * transitive closure). */
+  private val MinhashPairsSql = {
+    val mins = (0 until 8)
+      .map(i => s"min(md5('$i|' || s)) AS m$i").mkString(", ")
+    val bands = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, md5(m${2 * b} || m${2 * b + 1}) AS bv FROM sig")
+      .mkString(" UNION ALL ")
+    s"""toks AS (SELECT doc_id, $TOKS AS w FROM docs),
+       |sh AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s
+       |  FROM toks, unnest(CASE WHEN len(w) >= 3
+       |    THEN generate_series(1, len(w)-2) ELSE [] END) AS u(i)),
+       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |bands AS ($bands),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)""".stripMargin
+  }
 
   /** Input-split fan-out ahead of CPU-dense per-row stages (winnowing,
     * minhash, shingling). The test corpus ships as ONE parquet row group,
@@ -303,24 +324,10 @@ object OpsQueries {
       (s, dir) => Dedup.minhashCandidates(nearDupDocs(s, dir),
         "doc_id", "text", k = 8, rowsPerBand = 2, shingleN = 3)
         .orderBy("doc_a", "doc_b"),
-      Some {
-        val mins = (0 until 8)
-          .map(i => s"min(md5('$i|' || s)) AS m$i").mkString(", ")
-        val bands = (0 until 4).map(b =>
-          s"SELECT doc_id, $b AS band, md5(m${2 * b} || m${2 * b + 1}) AS bv FROM sig")
-          .mkString(" UNION ALL ")
-        s"""WITH $NearDupDocsSql,
-           |toks AS (SELECT doc_id, $TOKS AS w FROM docs),
-           |sh AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s
-           |  FROM toks, unnest(CASE WHEN len(w) >= 3
-           |    THEN generate_series(1, len(w)-2) ELSE [] END) AS u(i)),
-           |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
-           |bands AS ($bands)
-           |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |FROM bands a JOIN bands b
-           |  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
-           |ORDER BY doc_a, doc_b""".stripMargin
-      }),
+      Some(s"""WITH $NearDupDocsSql,
+              |$MinhashPairsSql
+              |SELECT doc_a, doc_b FROM pairs
+              |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // ----- X2 SimHash signatures -------------------------------------------
 
@@ -722,6 +729,31 @@ object OpsQueries {
              |    CAST(list_sum([('0x' || substr(h, 2*i-1, 2))::INT
              |      for i in generate_series(1, n)]) AS DOUBLE)
              |    / CAST(n AS DOUBLE) END AS mean_byte
-             |FROM b ORDER BY doc_id""".stripMargin))
+             |FROM b ORDER BY doc_id""".stripMargin)),
+
+    // ----- X2 duplicate clustering (transitive closure of near-dup pairs) --
+    // LSH pairs only relate docs pairwise; duplication is transitive. The
+    // oracle computes the same components as a recursive reachability
+    // closure — tractable because the pair graph is tiny relative to the
+    // corpus (which is also why the Spark iteration is cheap).
+
+    "q54_dup_clusters" -> Entry(
+      (s, dir) => {
+        val pairs = Dedup.minhashCandidates(nearDupDocs(s, dir),
+          "doc_id", "text", k = 8, rowsPerBand = 2, shingleN = 3)
+        Connected.components(pairs, "doc_a", "doc_b")
+          .select(col("id").as("doc_id"), col("comp").as("cluster"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $NearDupDocsSql,
+              |$MinhashPairsSql,
+              |e AS (SELECT doc_a AS eu, doc_b AS ev FROM pairs
+              |  UNION SELECT doc_b, doc_a FROM pairs),
+              |reach(id, r) AS (
+              |  SELECT eu, eu FROM e
+              |  UNION
+              |  SELECT reach.id, e.ev FROM reach JOIN e ON e.eu = reach.r)
+              |SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster
+              |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin))
   )
 }

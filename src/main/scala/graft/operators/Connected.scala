@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a duplicate-pair edge list — the step a real
+  * fuzzy-dedup pipeline runs AFTER LSH/verification: candidate pairs only
+  * relate docs pairwise, but duplication is transitive (A≈B, B≈C ⇒ one
+  * cluster), so keep-one-per-pair under-deletes. Components give every doc
+  * a cluster id (= min doc id in its component); keep the canonical id,
+  * drop the rest.
+  *
+  * Algorithm: hash-min label propagation. Every node starts labeled with
+  * its own id; each round every node takes the min of its own and its
+  * neighbors' labels; fixpoint = components. Rounds needed = graph
+  * diameter, and near-dup clusters are shallow (dups of one source doc),
+  * so convergence is a handful of rounds in practice.
+  *
+  * Scale posture (100 TB design point):
+  *  - the edge list is ALREADY the reduced space — candidate pairs are a
+  *    tiny fraction of the corpus (LSH's whole point), so the iteration
+  *    runs on pairs, never on the corpus;
+  *  - each round is one shuffle-on-id join + one groupBy(id) min — both
+  *    map-side combinable, keyed the same way;
+  *  - labels are `localCheckpoint`ed each round: the plan would otherwise
+  *    grow linearly with rounds and re-analyze from the scan every time
+  *    (lineage is truncated; on executor loss the round restarts from the
+  *    last checkpoint, acceptable for a label frame that is one row per
+  *    *paired* doc);
+  *  - the driver-side convergence check (`isEmpty` on improved labels) is
+  *    inherent to iterative fixpoints — same shape GraphX Pregel uses; it
+  *    launches one tiny job per round, not a collect of data;
+  *  - for adversarial diameters (long chains, which near-dup graphs don't
+  *    produce) the O(log n)-round large-star/small-star variant [Kiveris
+  *    et al., "Connected Components in MapReduce and Beyond"] slots in
+  *    behind the same signature.
+  */
+object Connected {
+
+  /** Component label per node of the (undirected) edge list: every node
+    * appearing in `edges` gets `comp` = min node id reachable from it.
+    * Returns (id, comp). Throws if `maxIter` rounds don't reach fixpoint
+    * (returning a half-propagated labeling would silently under-merge).
+    */
+  def components(edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    // symmetric edge list, staged once and reused every round
+    val sym = edges.select(col(aCol).cast("long").as("u"),
+        col(bCol).cast("long").as("v"))
+      .union(edges.select(col(bCol).cast("long").as("u"),
+        col(aCol).cast("long").as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = sym.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxIter) {
+      // each node also receives its neighbors' current labels...
+      val received = sym.select(col("u"), col("v").as("id"))
+        .join(labels, "id")
+        .select(col("u").as("id"), col("comp"))
+      // ...and keeps the min of own + received
+      val next = labels.union(received)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint(true)
+      val improved = next.join(
+        labels.select(col("id"), col("comp").as("prev")), "id")
+        .filter(col("comp") < col("prev"))
+      converged = improved.isEmpty
+      labels = next
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds")
+    labels
+  }
+
+  /** Cluster assignment for a whole corpus: docs that appear in `pairs`
+    * get their component's min id, all other docs are their own cluster.
+    * `keepCanonical` view: `filter(col(idCol) === col("cluster"))` is the
+    * post-dedup corpus. Returns `df` + `cluster`. */
+  def clusters(df: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
+    val comp = components(pairs, aCol, bCol, maxIter)
+      .select(col("id").as(idCol), col("comp"))
+    df.join(comp, Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("comp"), col(idCol).cast("long")))
+      .drop("comp")
+  }
+}

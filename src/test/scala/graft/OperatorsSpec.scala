@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Connected, Dedup, Multimodal, Similarity,
+  TextAnalysis}
 
 /** Specs for the LLM-pipeline operators (dedup, similarity, text,
   * multimodal) over small in-memory corpora with planted duplicates. */
@@ -322,5 +323,24 @@ class OperatorsSpec extends TestBase {
     assert(frames.forall(_.frame_idx % 2 == 0))
     val f5 = frames.filter(_.doc_id == 5L)
     assert(f5.length == ("unrelated short text".length / 4 + 1) / 2)
+  }
+
+  test("connected components: transitive merge, min-id labels (X2)") {
+    // two components: a 4-chain (propagation needs >1 round) + a pair
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("a", "b")
+    val got = Connected.components(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    // corpus-wide assignment: untouched docs are their own cluster
+    val corpus = Seq(1L, 2L, 3L, 4L, 10L, 11L, 99L).toDF("id")
+    val cl = Connected.clusters(corpus, "id", edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl(99L) == 99L && cl(4L) == 1L && cl(11L) == 10L)
+    // refusing to return a half-propagated labeling
+    assertThrows[IllegalStateException] {
+      Connected.components(edges, "a", "b", maxIter = 1).collect()
+    }
   }
 }
