@@ -85,15 +85,16 @@ object QuackIO {
   // ---------------------------------------------------------------- sources
 
   /** S1: CSV scan. Multi-path reads union rows in path order (S5).
-    * When `opts.header` is unset, the header is SNIFFED from the first
-    * row (the reference inherits this from DuckDB's sniffer,
-    * `src/QuackIO.jl:69-76`) — see [[sniffHeader]] for the heuristic. */
+    * When `opts.delim` is unset, the delimiter comes from the extension
+    * (`.tsv`/`.tsv.gz` → tab) or is SNIFFED from the first row; when
+    * `opts.header` is unset, header presence is sniffed from the same row
+    * (the reference inherits both from DuckDB's sniffer,
+    * `src/QuackIO.jl:69-76`) — see [[sniffDelim]]/[[resolveCsvShape]]. */
   def readCsv(spark: SparkSession, rawPaths: Seq[String],
       opts: ReadOptions = ReadOptions()): DataFrame = {
     require(rawPaths.nonEmpty, "at least one path required")
     val paths = globSafe(rawPaths)
-    val delim = opts.delim.getOrElse(",")
-    val header = opts.header.getOrElse(sniffHeader(spark, paths.head, delim))
+    val (delim, header) = resolveCsvShape(spark, paths.head, opts)
     val reader = spark.read
       .option("header", header.toString)
       .option("sep", delim)
@@ -281,10 +282,11 @@ object QuackIO {
   def writeTable(df: DataFrame, path: String,
       opts: WriteOptions = WriteOptions()): Unit = {
     val fmt = resolveFormat(path, opts) // throws on uppercase/unknown first
-    // compression must be inferred from the FINAL path (.gz/.zst), not the
-    // staging path the data is first written to
+    // compression and delimiter must be inferred from the FINAL path
+    // (.gz/.zst, .tsv), not the staging path the data is first written to
     val staged = opts.copy(
-      compression = opts.compression.orElse(inferCompression(path)))
+      compression = opts.compression.orElse(inferCompression(path)),
+      delim = opts.delim.orElse(extensionDelim(path)))
     val parent = java.nio.file.Paths.get(path).toAbsolutePath.getParent
     java.nio.file.Files.createDirectories(parent)
     val stage = java.nio.file.Files.createTempDirectory(parent, ".quackio-tmp-")
@@ -345,12 +347,15 @@ object QuackIO {
       if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*)
     fmt match {
       case "csv" =>
+        // `.tsv` implies tab-separated on the write side too — a `.tsv`
+        // written with commas would mis-parse on every tab-expecting reader
+        val sep = opts.delim.orElse(extensionDelim(path)).getOrElse(",")
         val (out, extraCsv) =
           if (opts.forceQuote.isEmpty) (df, Map.empty[String, String])
-          else (forceQuoteShim(df, opts), Map("quote" -> ""))
+          else (forceQuoteShim(df, opts, sep), Map("quote" -> ""))
         var w = out.write
           .option("header", opts.header.getOrElse(true).toString)
-          .option("sep", opts.delim.getOrElse(","))
+          .option("sep", sep)
           .options(extraCsv)
           .options(opts.extra)
         compression.foreach(c => w = w.option("compression", c))
@@ -377,8 +382,8 @@ object QuackIO {
     * only when they contain delimiter/quote/newline) and the writer's own
     * quoting is disabled. NULL stays an unquoted empty field even in forced
     * columns (`test/runtests.jl:62`: `"2",yz,`). */
-  private def forceQuoteShim(df: DataFrame, opts: WriteOptions): DataFrame = {
-    val sep = opts.delim.getOrElse(",")
+  private def forceQuoteShim(df: DataFrame, opts: WriteOptions,
+      sep: String): DataFrame = {
     val forced = opts.forceQuote.toSet
     df.select(df.schema.fields.map { f =>
       val s = col(quoted(f.name)).cast(StringType)
@@ -396,35 +401,71 @@ object QuackIO {
 
   // ------------------------------------------------------------- internals
 
-  /** DuckDB-style CSV header sniffing (the reference inherits it,
+  /** Resolve (delimiter, header) for a CSV read, sniffing whichever the
+    * caller left unset. Both sniffs share ONE first-line read — the line is
+    * only fetched when at least one of the two is actually sniffed.
+    *
+    * Header heuristic (DuckDB-style, the reference inherits it,
     * `src/QuackIO.jl:69-76`): evidence-of-data test on the FIRST row only.
     * A field that parses as a number / boolean / ISO date(-time) cannot be
-    * a column name, so any typed field in row 1 ⇒ headerless (this is the
-    * case where the old hard default silently ate a data row); an all-text
+    * a column name, so any typed field in row 1 ⇒ headerless; an all-text
     * first row is treated as a header — the all-varchar corpus case is
-    * genuinely ambiguous and defaults to header, like DuckDB. Reads ONE
-    * line through Spark's text source (handles compression codecs and any
-    * Hadoop filesystem); metadata-scale cost, same class as schema
-    * inference. Callers needing certainty pass `header=Some(...)`. */
-  private def sniffHeader(spark: SparkSession, path: String,
-      delim: String): Boolean = {
-    val first = spark.read.text(path).limit(1).collect()
-    if (first.isEmpty) true
-    else !splitTopLevel(first(0).getString(0), delim.headOption.getOrElse(','))
-      .exists(looksTyped)
+    * genuinely ambiguous and defaults to header, like DuckDB. Callers
+    * needing certainty pass `header=Some(...)`. */
+  private def resolveCsvShape(spark: SparkSession, path: String,
+      opts: ReadOptions): (String, Boolean) = {
+    lazy val firstLine = readFirstLine(spark, path)
+    val delim = opts.delim.getOrElse(
+      extensionDelim(path).getOrElse(firstLine.fold(",")(sniffDelim)))
+    val header = opts.header.getOrElse(
+      firstLine.fold(true)(l => !splitTopLevel(l, delim).exists(looksTyped)))
+    (delim, header)
   }
 
-  /** Split one CSV line on `delim` outside double quotes (sniffer-grade:
-    * no embedded-newline handling — one line in, fields out). */
-  private def splitTopLevel(line: String, delim: Char): Seq[String] = {
+  /** Read ONE line through Spark's text source (handles compression codecs
+    * and any Hadoop filesystem); metadata-scale cost, same class as schema
+    * inference. `None` for an empty file. */
+  private def readFirstLine(spark: SparkSession, path: String)
+      : Option[String] =
+    spark.read.text(path).limit(1).collect().headOption.map(_.getString(0))
+
+  /** DuckDB-style delimiter sniffing (the reference inherits it through
+    * `read_csv`'s auto-detection, `src/QuackIO.jl:69-76`): try each common
+    * delimiter on the first line and keep the one splitting into the most
+    * fields — a `;`/tab/`|` file reads correctly with no options. Comma
+    * wins ties (declaration order), so plain CSVs are unaffected; an
+    * explicit `delim=` always overrides (the O1 wrong-delimiter semantics,
+    * `test/runtests.jl:25`, stay reachable). First-line-only by design:
+    * sniffer-grade, same as the header sniff in [[resolveCsvShape]]. */
+  private[graft] def sniffDelim(firstLine: String): String = {
+    val candidates = Seq(",", ";", "\t", "|")
+    candidates.maxBy(d => splitTopLevel(firstLine, d).length)
+  }
+
+  /** Split one CSV line on the FULL (possibly multi-char) delimiter string
+    * outside double quotes (sniffer-grade: no embedded-newline handling —
+    * one line in, fields out). */
+  private def splitTopLevel(line: String, delim: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer(new StringBuilder)
     var inQ = false
-    line.foreach {
-      case '"' => inQ = !inQ
-      case c if c == delim && !inQ => out += new StringBuilder
-      case c => out.last.append(c)
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (c == '"') { inQ = !inQ; i += 1 } // quotes delimit, not content
+      else if (!inQ && delim.nonEmpty && line.startsWith(delim, i)) {
+        out += new StringBuilder; i += delim.length
+      } else { out.last.append(c); i += 1 }
     }
     out.map(_.toString).toSeq
+  }
+
+  /** Extension-implied delimiter: `.tsv` (optionally compressed) means
+    * tab-separated — `readFile("x.tsv")` must not silently yield one
+    * mega-column (the reference gets this from DuckDB's sniffer). */
+  private[graft] def extensionDelim(path: String): Option[String] = {
+    val base = path.toLowerCase
+      .stripSuffix(".gz").stripSuffix(".zst").stripSuffix(".gzip")
+    if (base.endsWith(".tsv")) Some("\t") else None
   }
 
   private val numRe = """[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?""".r

@@ -43,10 +43,12 @@ case class WinnowWins(child: Expression, k: Int, w: Int)
   private val hexDigits = "0123456789abcdef".toCharArray
 
   override def nullSafeEval(input: Any): Any = {
-    // character-based (not byte-based) substrings, matching Spark/DuckDB
-    // substr semantics on non-ASCII text
-    val s = input.asInstanceOf[UTF8String].toString
-    val n = s.length
+    // codepoint-based (not UTF-16-unit) substrings, matching Spark/DuckDB
+    // substr/length semantics: supplementary-plane chars (emoji, astral
+    // CJK) count as ONE position, so gram boundaries and the n<k gate
+    // agree with the HOF form and the oracle even off the BMP
+    val cps = input.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val n = cps.length
     if (n < k) return new GenericArrayData(Array.empty[Any])
     val nGrams = n - k + 1
     if (nGrams < w) return new GenericArrayData(Array.empty[Any])
@@ -55,7 +57,7 @@ case class WinnowWins(child: Expression, k: Int, w: Int)
     var i = 0
     while (i < nGrams) {
       md.reset()
-      val digest = md.digest(s.substring(i, i + k).getBytes("UTF-8"))
+      val digest = md.digest(new String(cps, i, k).getBytes("UTF-8"))
       // first 8 hex chars = first 4 digest bytes
       val hex = new Array[Char](8)
       var b = 0

@@ -121,7 +121,13 @@ class OperatorsSpec extends TestBase {
     val rnd = new scala.util.Random(11)
     // adversarial lengths around the k=8 / k+w-1=11 edges, plus unicode
     val texts = Seq("", "short", "exactly8", "elevenchars",
-      "ünïcødé tëxt wíth áccents and 日本語 characters mixed in") ++
+      "ünïcødé tëxt wíth áccents and 日本語 characters mixed in",
+      // supplementary-plane chars: each is 2 UTF-16 units but ONE codepoint,
+      // so UTF-16-based slicing would shift gram boundaries vs substr
+      "emoji 😀😃😄 and astral 𝕬𝕭𝕮 text 🚀 padded to be long enough",
+      "😀😃😄🚀𝕬𝕭𝕮𝖆𝖇𝖈", // 10 codepoints: exactly k..k+w-1 edge territory
+      "😀😃😄🚀𝕬𝕭𝕮", // 7 codepoints < k=8 → empty, but 14 UTF-16 units
+      "🎉🎊🎈🎆🎇✨🎋🎍🎎🎏🎐🎑") ++
       (0 until 40).map(i => rnd.alphanumeric.take(rnd.nextInt(80)).mkString
         + (if (i % 3 == 0) "  multi  space " else ""))
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }

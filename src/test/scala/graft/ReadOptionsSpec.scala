@@ -102,6 +102,50 @@ class ReadOptionsSpec extends TestBase {
     assert(df.count() == 1)
   }
 
+  test(".tsv write emits tabs and read round-trips with no options (S1)") {
+    val p = s"${tmpDir()}/tbl.tsv"
+    QuackIO.writeTable(fixture, p)
+    // tab-delimited golden lines — NOT commas
+    assert(readLines(p) == Seq("a\tb\tc", "1\tx\t1.0", "2\tyz\t"))
+    assertSameRows(QuackIO.readFile(spark, Seq(p)), fixture)
+    // explicit delim= still overrides the extension default
+    val mega = QuackIO.readCsv(spark, Seq(p), ReadOptions(delim = Some(";")))
+    assert(mega.schema.fieldNames.length == 1)
+  }
+
+  test(".tsv.gz write round-trips through extension-implied tab + gzip") {
+    val p = s"${tmpDir()}/tbl.tsv.gz"
+    QuackIO.writeTable(fixture, p)
+    val head = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(p)).take(2)
+    assert(head(0) == 0x1f.toByte && head(1) == 0x8b.toByte) // gzip magic
+    assertSameRows(QuackIO.readFile(spark, Seq(p)), fixture)
+  }
+
+  test("';'/'|' files read correctly with no options (delimiter sniffing)") {
+    val dir = tmpDir()
+    val semi = s"$dir/semi.csv"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(semi),
+      "a;b;c\n1;x;1.0\n2;yz;\n")
+    val df = QuackIO.readCsv(spark, Seq(semi))
+    assert(df.schema.fieldNames.toSeq == Seq("a", "b", "c"))
+    assert(df.count() == 2)
+    val pipe = s"$dir/pipe.csv"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(pipe),
+      "1|foo|2.5\n2|bar|3.5\n") // headerless AND non-comma, both sniffed
+    val pf = QuackIO.readCsv(spark, Seq(pipe))
+    assert(pf.schema.fieldNames.length == 3)
+    assert(pf.count() == 2)
+  }
+
+  test("delimiter sniffing ignores delimiters inside quoted fields") {
+    val p = s"${tmpDir()}/quoted.csv"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+      "name;\"note; with semis\"\nx;\"y;z\"\n")
+    val df = QuackIO.readCsv(spark, Seq(p))
+    assert(df.schema.fieldNames.length == 2)
+  }
+
   test("JSON buffer source (S6 beyond CSV)") {
     val df = QuackIO.readJsonString(spark,
       """{"a":1,"b":"x"}""" + "\n" + """{"a":2,"b":"y"}""" + "\n")
