@@ -490,7 +490,7 @@ object OpsQueries {
     "q28_embed_neardup" -> Entry(
       (s, dir) => Similarity.nearDupPairs(
         t(s, dir, "embeddings").filter(col("vec_id") % 20 === 0),
-        "vec_id", "embedding", threshold = -1.0)
+        "vec_id", "embedding", threshold = -1.0, assumeSmall = true)
         .orderBy("id_a", "id_b"),
       Some("""WITH sub AS (SELECT vec_id, embedding FROM embeddings
              |  WHERE vec_id % 20 = 0)
@@ -654,6 +654,67 @@ object OpsQueries {
            |s AS (SELECT query_id, a.vec_id AS corpus_id,
            |  ${cos("qv", "a.embedding")} AS score
            |  FROM q JOIN asgn a USING (cluster) WHERE query_id <> a.vec_id),
+           |r AS (SELECT query_id, corpus_id, score,
+           |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           |    ORDER BY score DESC, corpus_id) AS BIGINT) AS rnk FROM s)
+           |SELECT query_id, corpus_id, score, rnk FROM r
+           |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+      }),
+
+    // ----- X3 IVF with k-means-refined centroids ---------------------------
+    // One Lloyd iteration (spherical k-means) over q39's deterministic
+    // seed centroids, then the same cluster-pruned top-k. Means fold as
+    // exact decimal sums (order-independent) divided as double → float,
+    // so centroids are bit-stable and the oracle replays the identical
+    // arithmetic; assignments use the usual round-6 cosine.
+    "q55_ivf_kmeans" -> Entry(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val refined = Similarity.kmeansRefine(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 4), "vec_id", "embedding", iters = 1)
+        Similarity.ivfTopK(emb.filter(col("vec_id") % 100 === 0), emb,
+          refined, "vec_id", "embedding", k = 5, "vec_id", "embedding")
+          .withColumnRenamed("rank", "rnk")
+          .orderBy("query_id", "rnk")
+      },
+      Some {
+        def cos(a: String, b: String) =
+          s"""round(
+             |    list_sum([$a[i]::DOUBLE * $b[i]::DOUBLE
+             |      for i in generate_series(1, len($a))]) /
+             |    (sqrt(list_sum([$a[i]::DOUBLE * $a[i]::DOUBLE
+             |      for i in generate_series(1, len($a))])) *
+             |     sqrt(list_sum([$b[i]::DOUBLE * $b[i]::DOUBLE
+             |      for i in generate_series(1, len($b))]))), 6)""".stripMargin
+        s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS cv
+           |  FROM embeddings WHERE vec_id < 4),
+           |sc0 AS (SELECT e.vec_id, e.embedding, c0.cid,
+           |  ${cos("e.embedding", "c0.cv")} AS cs
+           |  FROM embeddings e, c0),
+           |a0 AS (SELECT vec_id, embedding, cid AS cluster FROM (
+           |  SELECT vec_id, embedding, cid, ROW_NUMBER() OVER (
+           |    PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn FROM sc0)
+           |  WHERE rn = 1),
+           |comp AS (SELECT cluster, j, embedding[j] AS x
+           |  FROM a0, unnest(generate_series(1, len(embedding))) AS u(j)),
+           |m AS (SELECT cluster, j,
+           |  CAST(CAST(SUM(CAST(x AS DECIMAL(27,10))) AS DOUBLE)
+           |    / CAST(COUNT(*) AS BIGINT)::DOUBLE AS REAL) AS mu
+           |  FROM comp GROUP BY 1, 2),
+           |c1 AS (SELECT cluster AS cid, list(mu ORDER BY j) AS cv
+           |  FROM m GROUP BY 1),
+           |sc1 AS (SELECT e.vec_id, e.embedding, c1.cid,
+           |  ${cos("e.embedding", "c1.cv")} AS cs
+           |  FROM embeddings e, c1),
+           |a1 AS (SELECT vec_id, embedding, cid AS cluster FROM (
+           |  SELECT vec_id, embedding, cid, ROW_NUMBER() OVER (
+           |    PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn FROM sc1)
+           |  WHERE rn = 1),
+           |q AS (SELECT vec_id AS query_id, embedding AS qv, cluster
+           |  FROM a1 WHERE vec_id % 100 = 0),
+           |s AS (SELECT query_id, a.vec_id AS corpus_id,
+           |  ${cos("qv", "a.embedding")} AS score
+           |  FROM q JOIN a1 a USING (cluster) WHERE query_id <> a.vec_id),
            |r AS (SELECT query_id, corpus_id, score,
            |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
            |    ORDER BY score DESC, corpus_id) AS BIGINT) AS rnk FROM s)

@@ -87,15 +87,27 @@ object Similarity {
   /** Approximate top-k: only corpus vectors sharing the query's LSH bucket
     * are scored. One scan per side to bucket, one equi-join on bucket id —
     * the shape that replaces a full corpus scan per query at scale.
+    *
+    * `maxBucket` gates the CORPUS side: join cost per bucket is
+    * |Q∩bucket| × |C∩bucket|, so a degenerate corpus bucket (thousands of
+    * near-zero vectors all hashing together) expands quadratically when
+    * the query set overlaps it. The gate is the same spill-safe window
+    * count as [[nearDupPairsLsh]]'s — it runs BEFORE the join, shuffled on
+    * bucket, and the join reuses that exchange. Dropped buckets are
+    * observable via [[oversizedBuckets]] with the same `maxBucket`.
     * Returns (query_id, corpus_id, score, rank). */
   def annTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+      vecCol: String, k: Int, nPlanes: Int = 8, dim: Int = 64,
+      maxBucket: Int = 100000): DataFrame = {
     val pl = planeVectors(nPlanes, dim)
     val qb = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       norm(col(vecCol)).as("qn"), lshBucket(col(vecCol), pl).as("bucket"))
     val cb = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
       norm(col(vecCol)).as("cn"), lshBucket(col(vecCol), pl).as("bucket"))
-    val scored = qb.join(cb, "bucket")
+    val cbGated = cb
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy("bucket")))
+      .filter(col("__cnt") <= maxBucket).drop("__cnt")
+    val scored = qb.join(cbGated, "bucket")
       .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
@@ -136,17 +148,26 @@ object Similarity {
     * centroid, and only same-cluster pairs are scored — an equi-join on
     * cluster id, the partition-pruning shape of a real IVF index. Recall
     * follows centroid quality and probe count (probe=1 here).
-    * Returns (query_id, corpus_id, score, rank). */
+    *
+    * `maxCluster` gates the CORPUS side against a degenerate centroid set
+    * funneling the whole corpus into one cluster (join cost per cluster is
+    * |Q∩cluster| × |C∩cluster|) — same spill-safe window-count shape as
+    * [[annTopK]]'s gate; dropped clusters are observable via
+    * [[oversizedClusters]]. Returns (query_id, corpus_id, score, rank). */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      centIdCol: String, centVecCol: String): DataFrame = {
+      centIdCol: String, centVecCol: String,
+      maxCluster: Int = 1000000): DataFrame = {
     val qa = ivfAssign(queries, idCol, vecCol, centroids, centIdCol,
       centVecCol).select(col("id").as("query_id"), col("v").as("qv"),
       col("nrm").as("qn"), col("cluster"))
     val ca = ivfAssign(corpus, idCol, vecCol, centroids, centIdCol,
       centVecCol).select(col("id").as("corpus_id"), col("v").as("cv"),
       col("nrm").as("cn"), col("cluster"))
-    val scored = qa.join(ca, "cluster")
+    val caGated = ca
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy("cluster")))
+      .filter(col("__cnt") <= maxCluster).drop("__cnt")
+    val scored = qa.join(caGated, "cluster")
       .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
@@ -212,10 +233,82 @@ object Similarity {
       .filter(col("cnt") > maxBucket)
   }
 
+  /** IVF centroid refinement: `iters` Lloyd iterations expressed as
+    * DataFrame ops, so [[ivfTopK]] recall stops depending on caller-chosen
+    * centroids (spherical k-means: cosine assignment + per-cluster mean;
+    * cosine normalizes the un-normalized mean at use time).
+    *
+    * Per iteration: (1) assign every corpus vector to its nearest current
+    * centroid — the [[ivfAssign]] broadcast shape, only the tiny centroid
+    * set ships; (2) recompute each centroid as the element-wise mean of
+    * its members via `posexplode` → groupBy(cluster, pos) — n×dim rows on
+    * the shuffle, never a collect_list of whole vectors; (3) collect the
+    * k×dim result (KB) to the driver for the next round's broadcast
+    * literals. A centroid that loses all members keeps its previous
+    * position.
+    *
+    * Determinism: the mean is computed as an EXACT decimal sum (order-
+    * independent — float summation order varies run to run across
+    * partitions) divided as double, cast back to float; with components
+    * bounded by ±10^16−1 the decimal→double hop is exact, so centroids are
+    * bit-stable and replayable in an oracle (same
+    * `SUM(CAST(x AS DECIMAL(27,10)))::DOUBLE / COUNT(*)::DOUBLE` fold).
+    * Returns a small (centIdCol, centVecCol) refined-centroid frame. */
+  def kmeansRefine(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centIdCol: String, centVecCol: String,
+      iters: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var cents: Seq[(Long, Seq[Float])] = centroids
+      .select(col(centIdCol).cast("long"), col(centVecCol).cast("array<float>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      .sortBy(_._1)
+    for (_ <- 1 to iters) {
+      val centDf = cents.toDF("cid", "cv")
+      val means = ivfAssign(df, idCol, vecCol, centDf, "cid", "cv")
+        .select(col("cluster"),
+          posexplode(col("v")).as(Seq("pos", "comp")))
+        .groupBy("cluster", "pos")
+        .agg((sum(col("comp").cast("decimal(27,10)")).cast("double") /
+          count(lit(1)).cast("double")).cast("float").as("mu"))
+        .groupBy("cluster")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("mu")))),
+          x => x.getField("mu")).as("cv"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+      cents = cents.map { case (id, v) => (id, means.getOrElse(id, v)) }
+    }
+    cents.toDF(centIdCol, centVecCol)
+  }
+
+  /** Diagnostic companion to [[ivfTopK]]: corpus clusters its `maxCluster`
+    * gate would DROP (cluster id + row count) under the given centroid set,
+    * so the recall trade-off is observable instead of silent. A non-empty
+    * result means the centroids need refinement (see [[kmeansRefine]]) or
+    * a higher `maxCluster`. */
+  def oversizedClusters(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centIdCol: String, centVecCol: String,
+      maxCluster: Int = 1000000): DataFrame =
+    ivfAssign(corpus, idCol, vecCol, centroids, centIdCol, centVecCol)
+      .groupBy("cluster").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > maxCluster)
+
   /** X2 embedding near-dup: all pairs above a cosine threshold within a
-    * (pre-bucketed or subset) DataFrame. Pairs are emitted once (a < b). */
+    * (pre-bucketed or subset) DataFrame. Pairs are emitted once (a < b).
+    *
+    * This is the library's ONE cartesian primitive — O(n²) pairs, every
+    * partition of one side replicated against the other. It exists for
+    * small pre-bucketed subsets only (the correctness baseline the LSH
+    * path is validated against), so the cartesian must be acknowledged
+    * explicitly: calls without `assumeSmall = true` throw and point at
+    * [[nearDupPairsLsh]], the one-scan bucket-gated form that survives a
+    * full corpus. */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, assumeSmall: Boolean = false): DataFrame = {
+    require(assumeSmall,
+      "nearDupPairs is a cartesian (all-pairs) primitive intended for " +
+        "SMALL pre-bucketed subsets; pass assumeSmall = true to " +
+        "acknowledge, or use nearDupPairsLsh for a full corpus")
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"),
       norm(col(vecCol)).as("na"))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"),

@@ -188,6 +188,67 @@ class OperatorsSpec extends TestBase {
     assert(rows.zipWithIndex.forall { case (r, i) => r.getLong(3) == i + 1 })
   }
 
+  test("annTopK/ivfTopK gate dense corpus buckets; diagnostics report them") {
+    // 6 identical corpus vectors share one LSH bucket / one cluster
+    val dense = (1L to 6L).map(i => (i, Array(1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val q = Seq((99L, Array(1f, 0f, 0f))).toDF("vec_id", "embedding")
+    assert(Similarity.annTopK(q, dense, "vec_id", "embedding", k = 3,
+      nPlanes = 4, dim = 3, maxBucket = 3).count() == 0,
+      "dense ANN bucket should be gated out")
+    assert(Similarity.annTopK(q, dense, "vec_id", "embedding", k = 3,
+      nPlanes = 4, dim = 3).count() == 3, "default gate must not trigger")
+    val cents = Seq((0L, Array(1f, 0f, 0f))).toDF("vec_id", "embedding")
+    assert(Similarity.ivfTopK(q, dense, cents, "vec_id", "embedding", k = 3,
+      "vec_id", "embedding", maxCluster = 3).count() == 0,
+      "dense IVF cluster should be gated out")
+    assert(Similarity.ivfTopK(q, dense, cents, "vec_id", "embedding", k = 3,
+      "vec_id", "embedding").count() == 3, "default gate must not trigger")
+    val oc = Similarity.oversizedClusters(dense, "vec_id", "embedding",
+      cents, "vec_id", "embedding", maxCluster = 3).collect()
+    assert(oc.length == 1 && oc(0).getLong(1) == 6L,
+      "the dropped cluster must be observable")
+  }
+
+  test("nearDupPairs cartesian requires explicit assumeSmall opt-in") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.nearDupPairs(vecs, "vec_id", "embedding", threshold = 0.5)
+    }
+    assert(e.getMessage.contains("nearDupPairsLsh"))
+    assert(Similarity.nearDupPairs(vecs, "vec_id", "embedding",
+      threshold = -1.0, assumeSmall = true).count() == 6) // 4 choose 2
+  }
+
+  test("kmeansRefine: bit-stable centroids, recall >= seed baseline (X3)") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val seeds = emb.filter(col("vec_id") < 4)
+    val r1 = Similarity.kmeansRefine(emb, "vec_id", "embedding",
+      seeds, "vec_id", "embedding", iters = 2)
+    assert(r1.count() == 4)
+    val rows = r1.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(rows.values.forall(_.length == 64))
+    // decimal-sum means are order-independent: a second run is bit-equal
+    val r2 = Similarity.kmeansRefine(emb, "vec_id", "embedding",
+      seeds, "vec_id", "embedding", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(rows == r2)
+    // recall@5 of the cluster-pruned search vs brute-force ground truth
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Similarity.cosineTopK(
+      queries, emb, "vec_id", "embedding", k = 5))
+    val base = pairs(Similarity.ivfTopK(queries, emb, seeds,
+      "vec_id", "embedding", k = 5, "vec_id", "embedding"))
+    val refined = pairs(Similarity.ivfTopK(queries, emb, r1,
+      "vec_id", "embedding", k = 5, "vec_id", "embedding"))
+    val baseRecall = (truth & base).size.toDouble / truth.size
+    val refinedRecall = (truth & refined).size.toDouble / truth.size
+    assert(refinedRecall >= baseRecall,
+      s"refined recall $refinedRecall < seed-centroid recall $baseRecall")
+  }
+
   test("as-of join picks the latest right row at or before each left ts") {
     val trades = Seq((1L, 100L, 10L), (1L, 200L, 11L), (2L, 150L, 12L))
       .toDF("k", "ts", "trade_id")
