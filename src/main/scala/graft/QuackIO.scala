@@ -231,28 +231,58 @@ object QuackIO {
     * content is downloaded to a local temp file first, then scanned. */
   def readUrl(spark: SparkSession, url: String,
       filetype: Option[String] = None,
+      opts: ReadOptions = ReadOptions()): DataFrame =
+    readUrls(spark, Seq(url), filetype, opts)
+
+  /** S7 generalized: multiple URLs, rows concatenated in URL order — the
+    * reference accepts vectors of files uniformly (`src/QuackIO.jl:115`,
+    * `:120-121`). All URLs must share one format (taken from the first
+    * when not passed). Downloads are driver-side spills, one temp file
+    * per URL; the scan itself is a normal multi-path read. */
+  def readUrls(spark: SparkSession, urls: Seq[String],
+      filetype: Option[String] = None,
       opts: ReadOptions = ReadOptions()): DataFrame = {
-    val fmt = filetype.orElse(guessFormat(url)).getOrElse(
-      throw new IllegalArgumentException(s"cannot guess format of '$url'"))
+    require(urls.nonEmpty, "at least one URL required")
+    val fmt = filetype.orElse(guessFormat(urls.head)).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot guess format of '${urls.head}'"))
     val suffix = "." + (if (fmt == "parquet") "parquet" else fmt)
-    val tmp = java.nio.file.Files.createTempFile("quackio-url-", suffix)
-    val in = new java.net.URI(url).toURL.openStream()
-    try java.nio.file.Files.copy(in, tmp,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    finally in.close()
-    tmp.toFile.deleteOnExit()
-    readFile(spark, Seq(tmp.toString), Some(fmt), opts)
+    val tmps = urls.map { url =>
+      val tmp = java.nio.file.Files.createTempFile("quackio-url-", suffix)
+      val in = new java.net.URI(url).toURL.openStream()
+      try java.nio.file.Files.copy(in, tmp,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      finally in.close()
+      tmp.toFile.deleteOnExit()
+      tmp.toString
+    }
+    readFile(spark, tmps, Some(fmt), opts)
   }
 
   /** S8 generalized: register every parquet table under `dir` as a temp
     * view named by file stem, so `spark.sql("SELECT ... FROM lineitem")`
     * works directly — the reference's register-table ergonomics
     * (`src/QuackIO.jl:74`) over a directory layout. Returns the view
-    * names registered. Registration is metadata-only (no job). */
+    * names registered. Registration is metadata-only (no job).
+    *
+    * Side effect: unless the session already sets it explicitly, this
+    * enables `spark.sql.legacy.parquet.nanosAsLong` for the WHOLE session
+    * (registered views are lazy — the conf must hold at query time, for
+    * any nanos-timestamp table in the directory to be readable). Sessions
+    * from [[GraftSession.builder]] carry the conf already; pass an
+    * explicit value at session build to opt out. */
   def registerTables(spark: SparkSession, dir: String): Seq[String] = {
-    // TIMESTAMP(NANOS) parquet columns are only admissible as int64 nanos;
-    // idempotent constant set (see Queries.events) so bare sessions work
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // TIMESTAMP(NANOS) parquet columns are only admissible as int64 nanos
+    // (see Queries.events). SESSION-STATE SIDE EFFECT, by design: views
+    // registered here are lazy, so the conf must hold for every later read
+    // through them — it cannot be scoped to this call. Set only when the
+    // caller hasn't explicitly chosen a value (GraftSession sessions carry
+    // it from defaultConfs; an explicit user `false` is respected, and
+    // nanos-timestamp tables will then fail to read through these views).
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    if (!org.apache.spark.sql.graftbridge.ConfBridge
+        .isExplicitlySet(spark, nanosKey))
+      spark.conf.set(nanosKey, "true")
     val files = Option(new java.io.File(dir).listFiles())
       .getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
@@ -262,6 +292,24 @@ object QuackIO {
       spark.read.parquet(f.toString).createOrReplaceTempView(name)
       name
     }.toSeq
+  }
+
+  // --------------------------------------------------------- materializers
+
+  /** Columnar materializer: the reference's `columntable` shape (named
+    * tuple of vectors, `src/QuackIO.jl:72-73`; round-trip tested
+    * `test/runtests.jl:18-20`). ONE `collect()` pivoted driver-side into
+    * per-column arrays; insertion order follows the schema, so iterating
+    * the result visits columns in select order. Missing values surface as
+    * `null` slots. Driver-memory-bounded by definition — same contract as
+    * `collect()` itself; the row-oriented materializer IS `collect()`. */
+  def collectColumns(df: DataFrame)
+      : scala.collection.immutable.ListMap[String, Array[Any]] = {
+    val rows = df.collect()
+    scala.collection.immutable.ListMap(
+      df.schema.fieldNames.zipWithIndex.map { case (n, i) =>
+        n -> rows.map(_.get(i))
+      }.toIndexedSeq: _*)
   }
 
   // ------------------------------------------------------------------ sinks

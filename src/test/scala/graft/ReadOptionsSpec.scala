@@ -178,6 +178,17 @@ class ReadOptionsSpec extends TestBase {
     assert(n > 0)
   }
 
+  test("registerTables respects an explicitly chosen nanosAsLong conf") {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val dir = tmpDir()
+    QuackIO.writeTable(fixture, s"$dir/plain.parquet")
+    spark.conf.set(key, "false") // the user's explicit choice
+    try {
+      assert(QuackIO.registerTables(spark, dir.toString) == Seq("plain"))
+      assert(spark.conf.get(key) == "false", "explicit choice must survive")
+    } finally spark.conf.set(key, "true")
+  }
+
   test("readFile guesses format from extension (S4)") {
     val dir = tmpDir()
     val csv = s"$dir/t.csv"
@@ -192,6 +203,26 @@ class ReadOptionsSpec extends TestBase {
     val p = writeFixtureCsv()
     val url = java.nio.file.Paths.get(p).toUri.toString
     assertSameRows(QuackIO.readUrl(spark, url), fixture)
+  }
+
+  test("readUrls concatenates multiple URLs in order (S7 vector-of-files)") {
+    val p = writeFixtureCsv()
+    val url = java.nio.file.Paths.get(p).toUri.toString
+    val df = QuackIO.readUrls(spark, Seq(url, url))
+    assert(df.schema.fieldNames.toSeq == Seq("a", "b", "c"))
+    assert(df.count() == 4)
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 1L, 2L, 2L))
+  }
+
+  test("collectColumns pivots to named column vectors (columntable parity)") {
+    // mirrors the reference's columntable round-trip (test/runtests.jl:18-20)
+    val p = writeFixtureCsv()
+    val cols = QuackIO.collectColumns(
+      QuackIO.readCsv(spark, Seq(p)).orderBy("a"))
+    assert(cols.keys.toSeq == Seq("a", "b", "c")) // schema order preserved
+    assert(cols("a").toSeq == Seq(1L, 2L))
+    assert(cols("b").toSeq == Seq("x", "yz"))
+    assert(cols("c").toSeq == Seq(1.0, null)) // missing -> null slot
   }
 
   test("readFile guessing mode forbids format options (S4 guard)") {
