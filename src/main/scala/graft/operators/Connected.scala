@@ -31,9 +31,8 @@ import org.apache.spark.sql.functions._
   *    inherent to iterative fixpoints — same shape GraphX Pregel uses; it
   *    launches one tiny job per round, not a collect of data;
   *  - for adversarial diameters (long chains, which near-dup graphs don't
-  *    produce) the O(log n)-round large-star/small-star variant [Kiveris
-  *    et al., "Connected Components in MapReduce and Beyond"] slots in
-  *    behind the same signature.
+  *    produce) the O(log n)-round large-star/small-star variant is
+  *    [[componentsStar]], same signature and contract.
   */
 object Connected {
 
@@ -76,6 +75,76 @@ object Connected {
       throw new IllegalStateException(
         s"connected components did not converge in $maxIter rounds")
     labels
+  }
+
+  /** Component labels via alternating large-star/small-star contractions
+    * [Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14] — same signature and output contract as [[components]], for
+    * ADVERSARIAL diameters: hash-min needs diameter-many rounds (a
+    * 10,000-link chain = 10,000 shuffles), star contraction converges in
+    * O(log n) rounds on any shape. Near-dup graphs are shallow, so
+    * hash-min stays the default; reach for this when a pair graph might
+    * chain (e.g. sliding-window shingle overlaps).
+    *
+    * Each round rewrites the EDGE SET (canonical larger→smaller):
+    *  - large-star: every node connects its strictly-larger neighbors to
+    *    the minimum of its neighborhood (incl. itself);
+    *  - small-star: every node connects its smaller-or-self neighbors to
+    *    that minimum.
+    * Fixpoint = disjoint stars centered on component minima; labels read
+    * off as each node's single remaining neighbor. Same per-round
+    * mechanics as [[components]]: shuffle-on-id aggregations,
+    * localCheckpoint lineage truncation, driver-side convergence probe,
+    * throw (never a silent under-merge) if `maxIter` rounds don't
+    * converge. */
+  def componentsStar(edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val canon = edges
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .distinct()
+    val nodes = canon.select(col("u").as("id"))
+      .union(canon.select(col("v").as("id"))).distinct()
+      .localCheckpoint(true)
+    var e = canon.localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxIter) {
+      // large-star: m(u) = min over u's neighborhood incl. u; each
+      // strictly-larger neighbor re-attaches to m(u)
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mL = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val large = sym.filter(col("v") > col("u")).join(mL, "u")
+        .filter(col("v") =!= col("m"))
+        .select(greatest(col("v"), col("m")).as("u"),
+          least(col("v"), col("m")).as("v"))
+        .distinct()
+      // small-star on the larger→smaller orientation: u's smaller
+      // neighbors (and u itself) re-attach to their minimum
+      val mS = large.groupBy("u").agg(min("v").as("m"))
+      val small = large.join(mS, "u")
+        .select(col("v"), col("m"))
+        .union(mS.select(col("u").as("v"), col("m")))
+        .filter(col("v") =!= col("m"))
+        .select(greatest(col("v"), col("m")).as("u"),
+          least(col("v"), col("m")).as("v"))
+        .distinct()
+        .localCheckpoint(true)
+      converged = small.exceptAll(e).isEmpty && e.exceptAll(small).isEmpty
+      e = small
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"star connected components did not converge in $maxIter rounds")
+    // stars: every non-center node has exactly one (u → center) edge
+    val lab = e.groupBy("u").agg(min("v").as("comp"))
+      .select(col("u").as("id"), col("comp"))
+    nodes.join(lab, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 
   /** Cluster assignment for a whole corpus: docs that appear in `pairs`

@@ -44,14 +44,22 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
-  /** Streaming exact dedup: keep the FIRST occurrence of each fingerprint
-    * (the streaming counterpart of `Dedup.exact`, and the shape a
-    * continuously-ingesting training-data pipeline runs). State is the
-    * set of fingerprints seen, hash-partitioned across executors by
-    * `dropDuplicates`; the watermark on the event-time column bounds that
-    * state — duplicates arriving later than the watermark delay are the
-    * documented recall trade-off, the same one every bounded-state
-    * streaming dedup makes. */
+  /** Streaming exact dedup (the streaming counterpart of `Dedup.exact`,
+    * and the shape a continuously-ingesting training-data pipeline runs).
+    * State is the set of fingerprints seen, hash-partitioned across
+    * executors; the watermark on the event-time column bounds that state.
+    *
+    * Contract — first-occurrence-WITHIN-THE-DELAY, not global first:
+    * `dropDuplicatesWithinWatermark` guarantees a fingerprint is emitted
+    * at most once among records whose event times fall within the
+    * watermark delay of each other. Once the watermark passes a
+    * fingerprint's state expiry, the state is dropped, and a duplicate
+    * arriving AFTER that is RE-EMITTED as a fresh first sighting. That
+    * re-emission-beyond-delay behavior is the bounded-state trade-off
+    * every streaming dedup makes (unbounded `dropDuplicates(fp)` state
+    * would be the alternative); size `watermark` to the duplicate window
+    * you need, and run a batch `Dedup.exact` pass downstream if global
+    * uniqueness is required. */
   def streamingDedup(records: DataFrame, tsCol: String, fpCol: String,
       watermark: String = "2 hours"): DataFrame =
     records

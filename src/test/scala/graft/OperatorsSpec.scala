@@ -249,6 +249,26 @@ class OperatorsSpec extends TestBase {
       s"refined recall $refinedRecall < seed-centroid recall $baseRecall")
   }
 
+  test("star contraction labels a 64-node chain in O(log n) rounds (X2)") {
+    // 0-1-2-...-63: diameter 63 — hash-min propagates one hop per round,
+    // so it provably cannot finish within the same 10-round cap
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
+    val star = Connected.componentsStar(chain, "a", "b", maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star.size == 64 && star.values.forall(_ == 0L))
+    intercept[IllegalStateException] {
+      Connected.components(chain, "a", "b", maxIter = 10)
+    }
+    // agreement with hash-min on a shallow multi-component pair graph
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 1L))
+      .toDF("a", "b")
+    val hashMin = Connected.components(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val starred = Connected.componentsStar(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashMin == starred)
+  }
+
   test("as-of join picks the latest right row at or before each left ts") {
     val trades = Seq((1L, 100L, 10L), (1L, 200L, 11L), (2L, 150L, 12L))
       .toDF("k", "ts", "trade_id")

@@ -69,27 +69,31 @@ class StreamingSpec extends TestBase {
 
   test("streaming dedup keeps first sighting per fingerprint (X-stream)") {
     val dir = tmpDir().toString
-    // fp "aaa" appears 3 times (one in a later batch), "bbb" once
+    val ckpt = tmpDir().toString
+    // fp "aaa" appears 3 times — once in a LATER batch of the SAME query,
+    // so dropping it exercises cross-batch operator state (not a fresh
+    // checkpoint re-reading everything)
     Seq(
       (1L, ts(0), "aaa"), (2L, ts(1), "aaa"), (3L, ts(2), "bbb")
     ).toDF("id", "ts", "fp").write.mode("append").parquet(dir)
 
     val schema = Seq((1L, ts(0), "x")).toDF("id", "ts", "fp").schema
-    val run1 = EventStreams.streamingDedup(
+    val q = EventStreams.streamingDedup(
         EventStreams.readEventStream(spark, dir, schema), "ts", "fp")
       .writeStream.outputMode("append").format("memory")
-      .queryName("dedup_out").trigger(Trigger.AvailableNow()).start()
-    run1.processAllAvailable(); run1.stop()
+      .queryName("dedup_out").option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    val afterBatch1 = spark.table("dedup_out").count()
+    assert(afterBatch1 == 2, s"batch 1 should emit aaa+bbb, got $afterBatch1")
 
+    // second drop into the SAME running checkpointed query: the repeated
+    // "aaa" (within the watermark delay) must be dropped by state carried
+    // across micro-batches
     Seq((4L, ts(3), "aaa"), (5L, ts(4), "ccc"))
       .toDF("id", "ts", "fp").write.mode("append").parquet(dir)
-    val run2 = EventStreams.streamingDedup(
-        EventStreams.readEventStream(spark, dir, schema), "ts", "fp")
-      .writeStream.outputMode("append").format("memory")
-      .queryName("dedup_out2").trigger(Trigger.AvailableNow()).start()
-    run2.processAllAvailable(); run2.stop()
+    q.processAllAvailable(); q.stop()
 
-    val fps = spark.table("dedup_out2").groupBy("fp").count().collect()
+    val fps = spark.table("dedup_out").groupBy("fp").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(fps == Map("aaa" -> 1L, "bbb" -> 1L, "ccc" -> 1L),
       s"expected one survivor per fingerprint, got $fps")
