@@ -76,7 +76,12 @@ object OpsQueries {
   private def fanOut(s: org.apache.spark.sql.SparkSession,
       df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val target = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
+    // file-count probe (driver-side metadata, no RDD materialization of
+    // the plan); at production split counts inputFiles >= cores and this
+    // correctly no-ops — the repartition only kicks in for the
+    // tiny-fixture case where one parquet file would serialize the
+    // CPU-dense text work onto a couple of tasks
+    if (df.inputFiles.length * 2 <= target) df.repartition(target) else df
   }
 
   /** CPU-dense documents scan (see [[fanOut]]). */
