@@ -76,12 +76,15 @@ object OpsQueries {
   private def fanOut(s: org.apache.spark.sql.SparkSession,
       df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val target = s.sparkContext.defaultParallelism
-    // file-count probe (driver-side metadata, no RDD materialization of
-    // the plan); at production split counts inputFiles >= cores and this
-    // correctly no-ops — the repartition only kicks in for the
-    // tiny-fixture case where one parquet file would serialize the
-    // CPU-dense text work onto a couple of tasks
-    if (df.inputFiles.length * 2 <= target) df.repartition(target) else df
+    // deliberately probe the RDD's partition count, NOT inputFiles: Spark
+    // splits even a single parquet file into ~defaultParallelism scan
+    // partitions (spark.sql.files.minPartitionNum), so a file-count probe
+    // would bolt a full shuffle of the corpus onto every doc query at
+    // exactly the sizes where the scan is already parallel (measured 2×
+    // on the LSH queries). df.rdd here is a driver-side plan conversion —
+    // no job runs; the repartition fires only when the scan genuinely
+    // yields too few partitions, and no-ops at production split counts.
+    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
   }
 
   /** CPU-dense documents scan (see [[fanOut]]). */
