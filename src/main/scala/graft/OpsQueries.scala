@@ -169,6 +169,35 @@ object OpsQueries {
              |md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Gopher-style repetition gate: fraction of 2-/3-gram occurrences
+    // that repeat an earlier occurrence. Integer-derived double division
+    // is deterministic in both engines; round(6) is belt-and-braces.
+    "q56_repetition" -> Entry(
+      (s, dir) => {
+        val r = TextAnalysis.withDupNgramRatio(
+          TextAnalysis.withDupNgramRatio(docsFan(s, dir), "text", 2, "__r2"),
+          "text", 3, "__r3")
+        r.select(col("doc_id"),
+          round(col("__r2"), 6).as("dup2_ratio"),
+          round(col("__r3"), 6).as("dup3_ratio"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $TOKS AS w FROM documents),
+           |g AS (SELECT doc_id,
+           |  CASE WHEN len(w) >= 2 THEN [array_to_string(w[i:i+1], ' ')
+           |    for i in generate_series(1, len(w)-1)] ELSE [] END AS g2,
+           |  CASE WHEN len(w) >= 3 THEN [array_to_string(w[i:i+2], ' ')
+           |    for i in generate_series(1, len(w)-2)] ELSE [] END AS g3
+           |  FROM toks)
+           |SELECT doc_id,
+           |  round(CASE WHEN len(g2) > 0 THEN
+           |    (len(g2) - len(list_distinct(g2)))::DOUBLE
+           |      / len(g2)::DOUBLE ELSE 0.0 END, 6) AS dup2_ratio,
+           |  round(CASE WHEN len(g3) > 0 THEN
+           |    (len(g3) - len(list_distinct(g3)))::DOUBLE
+           |      / len(g3)::DOUBLE ELSE 0.0 END, 6) AS dup3_ratio
+           |FROM g ORDER BY doc_id""".stripMargin)),
+
     "q34_winnow_fingerprint" -> Entry(
       (s, dir) => TextAnalysis.withWinnowFingerprint(
         docsFan(s, dir), "doc_id", "text")

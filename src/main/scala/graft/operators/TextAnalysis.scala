@@ -115,6 +115,26 @@ object TextAnalysis {
   def bpeTokenCount(text: Column): Column =
     size(bpeTokens(text)).cast("long")
 
+  /** Repetition signal (X5): the Gopher-style quality gate that catches
+    * machine-generated and boilerplate text — the fraction of token
+    * n-gram OCCURRENCES that are repeats of an earlier occurrence,
+    * `1 − distinct/total` (0 for docs shorter than `n` tokens). Pure
+    * per-row column expression over staged token/shingle attributes: no
+    * shuffle, embarrassingly parallel, and the integer-derived double
+    * division is deterministic across engines. Adds `outCol` to `df`. */
+  def withDupNgramRatio(df: org.apache.spark.sql.DataFrame, textCol: String,
+      n: Int, outCol: String): org.apache.spark.sql.DataFrame = {
+    require(n >= 2, "n must be >= 2 (unigram 'repetition' is vocabulary)")
+    df.withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__grams", Dedup.shingles(col("__toks"), n))
+      .withColumn(outCol,
+        when(size(col("__grams")) > 0,
+          (size(col("__grams")) - size(array_distinct(col("__grams"))))
+            .cast("double") / size(col("__grams")).cast("double"))
+          .otherwise(lit(0.0)))
+      .drop("__toks", "__grams")
+  }
+
   /** Document fingerprint: MD5 of whitespace-normalized lowercase text.
     * The exact-dedup key (X1). */
   def fingerprint(text: Column): Column =

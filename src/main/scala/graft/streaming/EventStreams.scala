@@ -80,6 +80,28 @@ object EventStreams {
     stream.join(dim, stream(streamKey) === dim(dimKey), "inner")
       .drop(dim(dimKey))
 
+  /** Watermarked stream-stream inner join: pair each left event with
+    * right events on the same key whose event time falls in
+    * `[leftTs, leftTs + withinMs]` — the ad-attribution /
+    * request-response correlation shape. Both sides carry watermarks AND
+    * the join condition bounds event-time distance, which is what lets
+    * Spark evict buffered rows once the watermark passes (an unbounded
+    * stream-stream join refuses to start in append mode). State is
+    * hash-partitioned by key, so it scales horizontally like the
+    * sessionizer; matches beyond the watermark delay are the same
+    * bounded-state trade-off [[streamingDedup]] documents. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTs: String, rightTs: String,
+      withinMs: Long, watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      l(leftKey) === r(rightKey) &&
+        r(rightTs) >= l(leftTs) &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $withinMs MILLISECOND"),
+      "inner")
+  }
+
   /** Gap-based sessionization with explicit per-user state: a session
     * closes when `gapMs` passes without an event — emitted as soon as a
     * later event proves the gap, or (with `ProcessingTimeTimeout`) when

@@ -282,6 +282,23 @@ class OperatorsSpec extends TestBase {
     // trade 12 dropped: no quote at or before ts=150 for k=2
   }
 
+  test("dup n-gram repetition ratio: golden values, short-doc zero (X5)") {
+    val df = Seq(
+      (1L, "a b a b a"), // 2-grams: ab,ba,ab,ba -> 2/4; 3-grams: 1/3
+      (2L, "all tokens distinct here"),
+      (3L, "x"),         // shorter than n -> 0
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.withDupNgramRatio(
+      TextAnalysis.withDupNgramRatio(df, "text", 2, "r2"), "text", 3, "r3")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getDouble(2), r.getDouble(3)))
+    assert(out(0) == ((0.5, 1.0 / 3)))
+    assert(out(1) == ((0.0, 0.0)))
+    assert(out(2) == ((0.0, 0.0)))
+    assert(out(3) == ((0.0, 0.0)))
+  }
+
   test("text analysis: tokens, quality, langid, fingerprint (X5)") {
     val row = TextAnalysis.withLangId(docs.filter(col("doc_id") === 1),
         "text", "lang")

@@ -107,6 +107,34 @@ class ScaleSpec extends TestBase {
     }
   }
 
+  test("q31 ANN gate windows the corpus pre-join with ONE bucket exchange") {
+    val p = plan(SparkEntry.queries("q31_ann_lsh")(spark, sf))
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 2, s"expected query+corpus scans only, got $scans:\n$p")
+    // the maxBucket gate (window count __cnt) must run on the corpus side
+    // BEFORE the join, and its bucket shuffle must be the only one — the
+    // join reuses it (same key); a second bucket exchange would mean the
+    // gate forced a re-shuffle
+    assert(p.contains("__cnt"), s"bucket-size gate missing from plan:\n$p")
+    val bucketExch =
+      "Exchange hashpartitioning\\(bucket".r.findAllIn(p).length
+    assert(bucketExch == 1,
+      s"expected one bucket exchange (gate+join fused), got $bucketExch:\n$p")
+  }
+
+  test("q55 k-means IVF broadcasts only centroid literals, never the corpus") {
+    val p = plan(SparkEntry.queries("q55_ivf_kmeans")(spark, sf))
+    // refined centroids are driver-side literals (KB): every broadcast
+    // subtree must be a LocalTableScan, never a parquet corpus scan
+    val bSections = p.split("BroadcastExchange").drop(1)
+    assert(bSections.nonEmpty, s"expected broadcast assignment:\n$p")
+    bSections.foreach { s =>
+      val scanLine = s.split("\n").find(_.contains("Scan"))
+      assert(scanLine.forall(_.contains("LocalTableScan")),
+        s"corpus-side broadcast detected: ${scanLine.get}\n$p")
+    }
+  }
+
   test("q42 curation pipeline stays within its inherent scan budget") {
     val p = plan(SparkEntry.queries("q42_curation_pipeline")(spark, sf))
     // planted-dup union = 2 scans; the survivors anti-join diamond = ×2.

@@ -99,6 +99,33 @@ class StreamingSpec extends TestBase {
       s"expected one survivor per fingerprint, got $fps")
   }
 
+  test("stream-stream join matches within the time bound only (X-stream)") {
+    val impDir = tmpDir().toString
+    val clickDir = tmpDir().toString
+    // user 1: click 5 min after impression (match); user 2: click 40 min
+    // after (outside the 10-min bound); user 3: click with no impression
+    Seq((10L, ts(0), 1L), (20L, ts(0), 2L))
+      .toDF("imp_id", "its", "uid").write.mode("append").parquet(impDir)
+    Seq((100L, ts(5), 1L), (200L, ts(40), 2L), (300L, ts(5), 3L))
+      .toDF("click_id", "cts", "uid2").write.mode("append").parquet(clickDir)
+
+    val impSchema = Seq((1L, ts(0), 1L)).toDF("imp_id", "its", "uid").schema
+    val clickSchema =
+      Seq((1L, ts(0), 1L)).toDF("click_id", "cts", "uid2").schema
+    val joined = EventStreams.streamStreamJoin(
+      EventStreams.readEventStream(spark, impDir, impSchema),
+      EventStreams.readEventStream(spark, clickDir, clickSchema),
+      "uid", "uid2", "its", "cts", withinMs = 10 * 60 * 1000)
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ssj_out").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val pairs = spark.table("ssj_out").select("imp_id", "click_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(pairs == Set(10L -> 100L),
+      s"only the within-bound same-user pair should match, got $pairs")
+  }
+
   test("stateful sessionization closes sessions on gap (X-stream)") {
     val dir = tmpDir().toString
     // user 1: two sessions separated by a 40-minute gap within one batch
