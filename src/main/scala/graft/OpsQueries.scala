@@ -698,6 +698,48 @@ object OpsQueries {
            |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
       }),
 
+    // ----- X3 IVF multi-probe (the nprobe recall knob) ---------------------
+    // Same shape as q39 but each query searches its TWO nearest clusters;
+    // corpus rows still live in exactly one, so pairs never duplicate.
+    "q57_ivf_multiprobe" -> Entry(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfTopK(emb.filter(col("vec_id") % 100 === 0), emb,
+          emb.filter(col("vec_id") < 4), "vec_id", "embedding", k = 5,
+          "vec_id", "embedding", probe = 2)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy("query_id", "rnk")
+      },
+      Some {
+        def cos(a: String, b: String) =
+          s"""round(
+             |    list_sum([$a[i]::DOUBLE * $b[i]::DOUBLE
+             |      for i in generate_series(1, len($a))]) /
+             |    (sqrt(list_sum([$a[i]::DOUBLE * $a[i]::DOUBLE
+             |      for i in generate_series(1, len($a))])) *
+             |     sqrt(list_sum([$b[i]::DOUBLE * $b[i]::DOUBLE
+             |      for i in generate_series(1, len($b))]))), 6)""".stripMargin
+        s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv
+           |  FROM embeddings WHERE vec_id < 4),
+           |sc AS (SELECT e.vec_id, e.embedding, c.cid,
+           |  ${cos("e.embedding", "c.cv")} AS cs
+           |  FROM embeddings e, c),
+           |rn AS (SELECT vec_id, embedding, cid, ROW_NUMBER() OVER (
+           |    PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn FROM sc),
+           |asgn AS (SELECT vec_id, embedding, cid AS cluster FROM rn
+           |  WHERE rn = 1),
+           |q AS (SELECT vec_id AS query_id, embedding AS qv,
+           |  cid AS cluster FROM rn WHERE rn <= 2 AND vec_id % 100 = 0),
+           |s AS (SELECT query_id, a.vec_id AS corpus_id,
+           |  ${cos("qv", "a.embedding")} AS score
+           |  FROM q JOIN asgn a USING (cluster) WHERE query_id <> a.vec_id),
+           |r AS (SELECT query_id, corpus_id, score,
+           |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           |    ORDER BY score DESC, corpus_id) AS BIGINT) AS rnk FROM s)
+           |SELECT query_id, corpus_id, score, rnk FROM r
+           |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+      }),
+
     // ----- X3 IVF with k-means-refined centroids ---------------------------
     // One Lloyd iteration (spherical k-means) over q39's deterministic
     // seed centroids, then the same cluster-pruned top-k. Means fold as

@@ -118,16 +118,18 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** IVF-style cluster assignment: every vector goes to its single nearest
-    * centroid (probe=1) by cosine, ties on centroid id. `centroids` is a
-    * SMALL (cent_id, vec) frame — broadcast, so assignment is a
-    * broadcast-nested-loop over C centroids per row: the standard IVF
-    * C×n assignment cost, no shuffle of the corpus. The centroid set is
-    * caller-supplied (deterministic subset here; a k-means refinement
-    * slots in unchanged). Returns df's (id, vec, norm) + `cluster`. */
+  /** IVF-style cluster assignment: every vector goes to its `probe`
+    * nearest centroids (default 1) by cosine, ties on centroid id.
+    * `centroids` is a SMALL (cent_id, vec) frame — broadcast, so
+    * assignment is a broadcast-nested-loop over C centroids per row: the
+    * standard IVF C×n assignment cost, no shuffle of the corpus. The
+    * centroid set is caller-supplied ([[kmeansRefine]] produces one).
+    * Returns df's (id, vec, norm) + `cluster` — `probe` rows per input
+    * row when probe > 1. */
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame, centIdCol: String, centVecCol: String)
-      : DataFrame = {
+      centroids: DataFrame, centIdCol: String, centVecCol: String,
+      probe: Int = 1): DataFrame = {
+    require(probe >= 1, "probe must be >= 1")
     val c = centroids.select(col(centIdCol).as("__cid"),
       col(centVecCol).as("__cv"), norm(col(centVecCol)).as("__cn"))
     val scored = df
@@ -139,7 +141,7 @@ object Similarity {
           .as("__cs"))
     val w = Window.partitionBy("id").orderBy(desc("__cs"), asc("__cid"))
     scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+      .filter(col("__rn") <= probe)
       .select(col("id"), col("v"), col("nrm"), col("__cid").as("cluster"))
   }
 
@@ -153,13 +155,20 @@ object Similarity {
     * funneling the whole corpus into one cluster (join cost per cluster is
     * |Q∩cluster| × |C∩cluster|) — same spill-safe window-count shape as
     * [[annTopK]]'s gate; dropped clusters are observable via
-    * [[oversizedClusters]]. Returns (query_id, corpus_id, score, rank). */
+    * [[oversizedClusters]].
+    *
+    * `probe` is the recall lever: each QUERY searches its `probe` nearest
+    * clusters (corpus rows always live in exactly one), multiplying the
+    * per-query candidate set without touching corpus layout — the
+    * standard IVF nprobe knob. A query meets each corpus row at most
+    * once, so no pair dedup is needed.
+    * Returns (query_id, corpus_id, score, rank). */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, k: Int,
       centIdCol: String, centVecCol: String,
-      maxCluster: Int = 1000000): DataFrame = {
+      maxCluster: Int = 1000000, probe: Int = 1): DataFrame = {
     val qa = ivfAssign(queries, idCol, vecCol, centroids, centIdCol,
-      centVecCol).select(col("id").as("query_id"), col("v").as("qv"),
+      centVecCol, probe).select(col("id").as("query_id"), col("v").as("qv"),
       col("nrm").as("qn"), col("cluster"))
     val ca = ivfAssign(corpus, idCol, vecCol, centroids, centIdCol,
       centVecCol).select(col("id").as("corpus_id"), col("v").as("cv"),

@@ -117,6 +117,24 @@ class OperatorsSpec extends TestBase {
     assert(ids.contains(2L) && !ids.contains(3L))
   }
 
+  test("multi-probe IVF: probe = #centroids recovers brute force (X3)") {
+    val cents = Seq((0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 1)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(1), r.getLong(3))).toSet
+    // probing every cluster = searching the whole corpus = brute force
+    val all = pairs(Similarity.ivfTopK(q, vecs, cents, "vec_id",
+      "embedding", k = 3, "vec_id", "embedding", probe = 2))
+    val brute = pairs(Similarity.cosineTopK(q, vecs, "vec_id",
+      "embedding", k = 3))
+    assert(all == brute, s"probe=all must equal brute force: $all vs $brute")
+    // and probe=1 finds a subset of probe=2's candidates
+    val one = pairs(Similarity.ivfTopK(q, vecs, cents, "vec_id",
+      "embedding", k = 3, "vec_id", "embedding"))
+    assert(one.map(_._1).subsetOf(all.map(_._1)))
+  }
+
   test("native WinnowWins matches the HOF reference form (X5)") {
     val rnd = new scala.util.Random(11)
     // adversarial lengths around the k=8 / k+w-1=11 edges, plus unicode
