@@ -387,6 +387,41 @@ object OpsQueries {
            |FROM v ORDER BY doc_id""".stripMargin
       }),
 
+    // ----- X2 SimHash banding: candidates without a pair space -------------
+    // Band pigeonhole over the 32-bit signature (4 × 8-bit bands): every
+    // pair within hamming 3 shares a band, so bucketing finds them all;
+    // exact bit_count(xor) verification filters the rest.
+    "q58_simhash_neardup" -> Entry(
+      (s, dir) => Dedup.simhashCandidates(
+        nearDupDocs(s, dir), "doc_id", "text")
+        .orderBy("doc_a", "doc_b"),
+      Some {
+        val votes = (0 until 32)
+          .map(b => s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+          .mkString(", ")
+        val sig = (0 until 32)
+          .map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH $NearDupDocsSql,
+           |tok AS (SELECT doc_id, unnest($TOKS) AS tok FROM docs),
+           |h AS (SELECT doc_id,
+           |  CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT) AS BIGINT)
+           |  AS h FROM tok),
+           |v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
+           |sg AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM v),
+           |bands AS (SELECT doc_id, simhash, b.band,
+           |  (simhash >> (b.band * 8)) & 255 AS bv
+           |  FROM sg, (SELECT unnest(generate_series(0, 3)) AS band) b),
+           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  a.simhash AS sa, b.simhash AS sb
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b,
+           |  CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+           |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }),
+
     // ----- X2 exact n-gram Jaccard verification ----------------------------
 
     "q27_ngram_jaccard" -> Entry(

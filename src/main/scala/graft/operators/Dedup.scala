@@ -208,6 +208,51 @@ object Dedup {
     votes.select(col("doc_id"), sig.as("simhash"))
   }
 
+  /** X2 SimHash near-dup candidates via the band pigeonhole: the
+    * `bits`-bit signature splits into `nBands` contiguous bands, and any
+    * pair within hamming distance nBands−1 must share at least one
+    * unchanged band — so bucketing on (band index, band value) finds ALL
+    * such pairs with no self-join and no n² space. Same single-pass
+    * shape as [[lshCandidates]]: one shuffle keyed on the band value,
+    * spill-safe window gate (`maxBucket`) before anything buffers, pairs
+    * expand in-bucket and verify exactly with `bit_count(xor)`. Requires
+    * `maxHamming < nBands` (the pigeonhole guarantee; a larger radius
+    * needs more/wider bands). Returns (doc_a, doc_b, hamming), a < b. */
+  def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, bits: Int = 32, nBands: Int = 4,
+      maxBucket: Int = 10000): DataFrame = {
+    require(bits % nBands == 0, "bits must be divisible by nBands")
+    require(maxHamming < nBands,
+      s"pigeonhole guarantee needs maxHamming < nBands ($maxHamming >= $nBands)")
+    val w = bits / nBands
+    val sigs = simhash(df, idCol, textCol, bits)
+    val bandCols = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * w).bitwiseAND(lit((1L << w) - 1))
+          .as("bv"))
+    }
+    val bands = sigs
+      .select(col("doc_id"), col("simhash"),
+        explode(array(bandCols: _*)).as("e"))
+      .select(col("doc_id"), col("simhash"),
+        col("e.band").as("band"), col("e.bv").as("bv"))
+    val wb = Window.partitionBy("band", "bv")
+    val gated = bands.withColumn("cnt", count(lit(1)).over(wb))
+      .filter(col("cnt") > 1 && col("cnt") <= maxBucket)
+    val buckets = gated.groupBy("band", "bv")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash"))))
+        .as("rows"))
+    buckets
+      .select(explode(flatten(transform(col("rows"), (x, i) =>
+        transform(slice(col("rows"), i + 2, size(col("rows"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        bit_count(col("p.a.simhash").bitwiseXOR(col("p.b.simhash")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
   /** Exact token-set Jaccard similarity between two token-array columns
     * (X2 verification stage / n-gram Jaccard dedup). Pass attributes, not
     * computed expressions (see [[shingles]] note). */

@@ -53,6 +53,21 @@ class OperatorsSpec extends TestBase {
     assert(hamming(sigs(1L), sigs(3L)) > 8)
   }
 
+  test("simhash banding surfaces hamming-close pairs, guards radius (X2)") {
+    // identical docs -> hamming 0, must surface through some band bucket
+    val planted = docs.select(col("doc_id"), col("text")).union(
+      docs.filter(col("doc_id") === 1)
+        .select((col("doc_id") + 100).as("doc_id"), col("text")))
+    val out = Dedup.simhashCandidates(planted, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.exists(p => p._1 == 1L && p._2 == 101L && p._3 == 0L),
+      s"identical pair must surface with hamming 0, got ${out.toSeq}")
+    // pigeonhole guarantee: radius must stay under the band count
+    intercept[IllegalArgumentException] {
+      Dedup.simhashCandidates(planted, "doc_id", "text", maxHamming = 4)
+    }
+  }
+
   test("token-set jaccard exact values (X2 verify)") {
     val j = docs.as("a").join(docs.as("b"),
         col("a.doc_id") === 1 && col("b.doc_id") === 4)

@@ -31,7 +31,7 @@ class RoundTripPropertySpec extends TestBase {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
-  for (ext <- Seq("csv", "json", "parquet")) {
+  for (ext <- Seq("csv", "tsv", "json", "parquet")) {
     test(s"random tables round-trip through $ext (5 seeded draws)") {
       val rnd = new scala.util.Random(ext.hashCode + 42)
       for (_ <- 1 to 5) {
@@ -40,6 +40,18 @@ class RoundTripPropertySpec extends TestBase {
         QuackIO.writeTable(df, p)
         assertSameRows(QuackIO.readFile(spark, Seq(p)), df)
       }
+    }
+  }
+
+  test("random tables round-trip through sniffed ';' delimiter (5 draws)") {
+    // written with an explicit odd delimiter, read back with NO options:
+    // the sniffer must recover both delimiter and header
+    val rnd = new scala.util.Random(4711)
+    for (_ <- 1 to 5) {
+      val df = randomTable(rnd)
+      val p = s"${tmpDir()}/t.csv"
+      QuackIO.writeTable(df, p, WriteOptions(delim = Some(";")))
+      assertSameRows(QuackIO.readCsv(spark, Seq(p)), df)
     }
   }
 }
