@@ -135,6 +135,15 @@ class ScaleSpec extends TestBase {
     }
   }
 
+  test("q58 simhash banding is join-free within its planted-union budget") {
+    val p = plan(SparkEntry.queries("q58_simhash_neardup")(spark, sf))
+    // the planted near-dup union reads the corpus twice by construction;
+    // candidates+verification must add NO joins and NO further scans
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 2, s"expected <=2 corpus scans, got $scans:\n$p")
+    assert(!p.contains("Join"), s"expected a join-free banding flow:\n$p")
+  }
+
   test("q42 curation pipeline stays within its inherent scan budget") {
     val p = plan(SparkEntry.queries("q42_curation_pipeline")(spark, sf))
     // planted-dup union = 2 scans; the survivors anti-join diamond = ×2.
