@@ -102,6 +102,26 @@ object EventStreams {
       "inner")
   }
 
+  /** Gap-based sessionization via the BUILT-IN `session_window` (merging
+    * event-time windows + watermark state eviction) — the declarative
+    * counterpart of [[sessionize]]. Prefer this when per-session output
+    * is aggregates only (count/min/max): Catalyst owns the state format
+    * and the sort-merge of overlapping windows. Reach for
+    * [[sessionize]]'s explicit `flatMapGroupsWithState` when the
+    * per-session logic needs arbitrary code (custom payloads, early
+    * emission, side effects). Append-mode: sessions emit once the
+    * watermark passes their close. */
+  def sessionizeWindowed(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
   /** Gap-based sessionization with explicit per-user state: a session
     * closes when `gapMs` passes without an event — emitted as soon as a
     * later event proves the gap, or (with `ProcessingTimeTimeout`) when

@@ -126,6 +126,27 @@ class StreamingSpec extends TestBase {
       s"only the within-bound same-user pair should match, got $pairs")
   }
 
+  test("session_window sessionization merges within gap, splits on gap") {
+    val dir = tmpDir().toString
+    Seq(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(2), 1, "view", 2.0),  // merges: 2 min < 30 min gap
+      Event(3, ts(42), 1, "click", 4.0), // splits: 40 min > gap
+      Event(4, ts(5), 2, "view", 8.0)
+    ).toDF().write.mode("append").parquet(dir)
+    val q = EventStreams.sessionizeWindowed(
+        EventStreams.readEventStream(spark, dir,
+          Seq.empty[Event].toDF().schema))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("sw_out").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val sessions = spark.table("sw_out")
+      .select("user_id", "n_events", "sum_value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(sessions == Set((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0)),
+      s"got $sessions")
+  }
+
   test("stateful sessionization closes sessions on gap (X-stream)") {
     val dir = tmpDir().toString
     // user 1: two sessions separated by a 40-minute gap within one batch
