@@ -836,6 +836,59 @@ object OpsQueries {
            |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
       }),
 
+    // ----- X3 PQ + ADC (the compression half of IVF-PQ) --------------------
+    // Corpus vectors compress to 4 codeword ids (argmin squared-L2 per
+    // 16-dim subspace, MD5-derived codebooks); queries keep full distance
+    // tables; approximate distance = 4 ordered table lookups. All
+    // arithmetic is a deterministic IEEE sequence both engines replay.
+    "q59_pq_adc" -> Entry(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.pqTopK(emb.filter(col("vec_id") % 100 === 0), emb,
+          "vec_id", "embedding", k = 5, Similarity.pqCodebooks())
+          .withColumnRenamed("rank", "rnk")
+          .orderBy("query_id", "rnk")
+      },
+      Some {
+        val encCols = (0 until 4).map(mi =>
+          s"any_value(CASE WHEN m = $mi THEN" +
+            s" list_position(dists, list_min(dists)) END) AS c$mi")
+          .mkString(",\n           |  ")
+        val qtCols = (0 until 4).map(mi =>
+          s"any_value(CASE WHEN m = $mi THEN dists END) AS dt$mi")
+          .mkString(",\n           |  ")
+        s"""WITH cbraw AS (SELECT m.m, k.k, j.j,
+           |  CAST(CAST(('0x' || substr(md5('pq_' || m.m || '_' || k.k
+           |    || '_' || j.j), 1, 8)) AS UBIGINT) AS DOUBLE)
+           |    / 4294967296.0 - 0.5 AS c
+           |  FROM (SELECT unnest(generate_series(0, 3)) AS m) m,
+           |       (SELECT unnest(generate_series(0, 15)) AS k) k,
+           |       (SELECT unnest(generate_series(1, 16)) AS j) j),
+           |cb AS (SELECT m, k, list(c ORDER BY j) AS cv
+           |  FROM cbraw GROUP BY 1, 2),
+           |d AS (SELECT e.vec_id, cb.m, cb.k,
+           |  list_sum([(e.embedding[cb.m*16+j]::DOUBLE - cv[j])
+           |    * (e.embedding[cb.m*16+j]::DOUBLE - cv[j])
+           |    for j in generate_series(1, 16)]) AS dist
+           |  FROM embeddings e, cb),
+           |dl AS (SELECT vec_id, m, list(dist ORDER BY k) AS dists
+           |  FROM d GROUP BY 1, 2),
+           |enc AS (SELECT vec_id,
+           |  $encCols
+           |  FROM dl GROUP BY vec_id),
+           |qt AS (SELECT vec_id AS query_id,
+           |  $qtCols
+           |  FROM dl WHERE vec_id % 100 = 0 GROUP BY 1),
+           |s AS (SELECT query_id, e.vec_id AS corpus_id,
+           |  round(dt0[c0] + dt1[c1] + dt2[c2] + dt3[c3], 6) AS adist
+           |  FROM qt, enc e WHERE query_id <> e.vec_id),
+           |r AS (SELECT query_id, corpus_id, adist,
+           |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           |    ORDER BY adist ASC, corpus_id) AS BIGINT) AS rnk FROM s)
+           |SELECT query_id, corpus_id, adist, rnk FROM r
+           |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+      }),
+
     // ----- X4 multimodal ---------------------------------------------------
 
     "q40_multimodal_meta" -> Entry(

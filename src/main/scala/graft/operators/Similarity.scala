@@ -302,6 +302,92 @@ object Similarity {
       .groupBy("cluster").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > maxCluster)
 
+  // ------------------------------------------------------ product quant
+
+  /** PQ codebooks: `m` subspaces × `k` codewords × `subDim` components,
+    * MD5-derived driver constants (same derivation family as
+    * [[planeVectors]]): component j (1-based) of codeword ki in subspace
+    * mi = uint32(md5("pq_mi_ki_j")[0,8)) / 2^32 − 0.5. A few KB — ships
+    * to executors as literals, so encoding is a pure projection. Random
+    * codebooks give working mechanics and a replayable oracle; per-
+    * subspace k-means (same [[kmeansRefine]] shape on sliced vectors)
+    * slots in for recall. */
+  def pqCodebooks(m: Int = 4, k: Int = 16, subDim: Int = 16)
+      : Array[Array[Array[Double]]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(m, k, subDim) { (mi, ki, j0) =>
+      val hex = md.digest(s"pq_${mi}_${ki}_${j0 + 1}".getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0 - 0.5
+    }
+  }
+
+  /** Squared L2 distance between subvector `mi` of `v` and a literal
+    * codeword, folded in component order (deterministic IEEE sequence —
+    * the oracle replays the identical ordered sum). */
+  private def pqSubDist(v: Column, mi: Int, cw: Array[Double]): Column =
+    cw.zipWithIndex.map { case (c, j) =>
+      val x = element_at(v, mi * cw.length + j + 1).cast("double") - lit(c)
+      x * x
+    }.reduce(_ + _)
+
+  /** Per-subspace distance-table columns `__s0..__s{m-1}` (each an array
+    * of `k` distances in codeword order), staged as ATTRIBUTES so argmin/
+    * lookups never duplicate the 16-term distance expressions. */
+  private def pqTables(df: DataFrame, idCol: String, vecCol: String,
+      cbs: Array[Array[Array[Double]]]): DataFrame =
+    df.select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .select(col("id") +: cbs.zipWithIndex.map { case (cb, mi) =>
+        array(cb.map(cw => pqSubDist(col("__v"), mi, cw)).toIndexedSeq: _*)
+          .as(s"__s$mi")
+      }.toIndexedSeq: _*)
+
+  /** PQ encoding (X3, the compression half of IVF-PQ): each vector is
+    * reduced to `m` codeword ids — `code_mi` = 1-based argmin of the
+    * squared-L2 table (first position on ties, deterministic). THE scale
+    * lever for ANN at 100 TB: downstream candidate scans carry `m` small
+    * ints per row instead of `dim` floats (64 floats → 4 codes here), so
+    * the re-scoring working set shrinks ~64× and the codes column fits
+    * memory long after raw vectors don't. Returns (id, code0..code{m-1}).
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      cbs: Array[Array[Array[Double]]]): DataFrame =
+    pqTables(df, idCol, vecCol, cbs)
+      .select(col("id") +: cbs.indices.map { mi =>
+        array_position(col(s"__s$mi"), array_min(col(s"__s$mi")))
+          .cast("int").as(s"code$mi")
+      }.toIndexedSeq: _*)
+
+  /** Asymmetric-distance (ADC) approximate top-k over PQ codes: each
+    * query keeps its FULL per-subspace distance tables (arrays of k
+    * doubles, `m·k` values — KB per query), the corpus side carries only
+    * its codes, and the approximate distance is `m` table lookups summed
+    * in subspace order. Queries broadcast (small by contract, like
+    * [[cosineTopK]]); the corpus is scanned once reading codes, never
+    * vectors — compose with [[pqEncode]] output persisted as the
+    * "index". Returns (query_id, corpus_id, adist, rank), distance
+    * ascending. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int,
+      cbs: Array[Array[Array[Double]]]): DataFrame = {
+    val q = pqTables(queries, idCol, vecCol, cbs)
+      .select(col("id").as("query_id") +:
+        cbs.indices.map(mi => col(s"__s$mi").as(s"dt$mi")).toIndexedSeq: _*)
+    val c = pqEncode(corpus, idCol, vecCol, cbs)
+      .withColumnRenamed("id", "corpus_id")
+    val approx = cbs.indices
+      .map(mi => expr(s"element_at(dt$mi, code$mi)"))
+      .reduce(_ + _)
+    val scored = broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        round(approx, 6).as("adist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(asc("adist"), asc("corpus_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** X2 embedding near-dup: all pairs above a cosine threshold within a
     * (pre-bucketed or subset) DataFrame. Pairs are emitted once (a < b).
     *

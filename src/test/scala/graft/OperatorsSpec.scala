@@ -150,6 +150,36 @@ class OperatorsSpec extends TestBase {
     assert(one.map(_._1).subsetOf(all.map(_._1)))
   }
 
+  test("PQ encode + ADC: codes bounded/deterministic, dup ranks first (X3)") {
+    val cbs = Similarity.pqCodebooks(m = 4, k = 16, subDim = 16)
+    val rnd = new scala.util.Random(23)
+    val corpus = (1L to 50L).map(i => (i, Array.fill(64)(rnd.nextFloat())))
+    val planted = (corpus :+ ((99L, corpus(4)._2))) // 99 duplicates vec 5
+      .toDF("vec_id", "embedding")
+    val enc = Similarity.pqEncode(planted, "vec_id", "embedding", cbs)
+      .collect().map(r => r.getLong(0) ->
+        (1 to 4).map(r.getInt).toSeq).toMap
+    assert(enc.values.flatten.forall(c => c >= 1 && c <= 16),
+      "codes must be 1-based codeword ids")
+    assert(enc(99L) == enc(5L), "identical vectors must encode identically")
+    // re-encode is bit-stable (pure projection, literal codebooks)
+    val enc2 = Similarity.pqEncode(planted, "vec_id", "embedding", cbs)
+      .collect().map(r => r.getLong(0) ->
+        (1 to 4).map(r.getInt).toSeq).toMap
+    assert(enc == enc2)
+    // ADC: the planted duplicate shares the query's own codes, so its
+    // table sum is the minimal possible — it must sit in the top tie
+    // group (other corpus vectors may quantize to the same codes; ties
+    // break on id, which is exactly the quantization-resolution limit)
+    val top = Similarity.pqTopK(planted.filter(col("vec_id") === 5),
+      planted, "vec_id", "embedding", k = 10, cbs)
+      .orderBy("rank").collect()
+    val minDist = top(0).getDouble(2)
+    val dup = top.find(_.getLong(1) == 99L)
+    assert(dup.exists(_.getDouble(2) == minDist),
+      s"duplicate must attain the minimal ADC distance, got ${top.toSeq}")
+  }
+
   test("native WinnowWins matches the HOF reference form (X5)") {
     val rnd = new scala.util.Random(11)
     // adversarial lengths around the k=8 / k+w-1=11 edges, plus unicode
