@@ -144,6 +144,22 @@ class ScaleSpec extends TestBase {
     assert(!p.contains("Join"), s"expected a join-free banding flow:\n$p")
   }
 
+  test("q59 PQ/ADC broadcasts the query tables, streams the coded corpus") {
+    val p = plan(SparkEntry.queries("q59_pq_adc")(spark, sf))
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 2, s"expected query+corpus scans only, got $scans:\n$p")
+    // every broadcast subtree must be the QUERY side (its scan carries
+    // the pushed query filter); a corpus-side broadcast would ship the
+    // full vector table instead of streaming codes
+    val bSections = p.split("BroadcastExchange").drop(1)
+    assert(bSections.nonEmpty, s"expected query-side broadcast:\n$p")
+    bSections.foreach { s =>
+      val scanLine = s.split("\n").find(_.contains("Scan parquet"))
+      assert(scanLine.forall(_.contains("% 100")),
+        s"corpus-side broadcast detected:\n$p")
+    }
+  }
+
   test("q42 curation pipeline stays within its inherent scan budget") {
     val p = plan(SparkEntry.queries("q42_curation_pipeline")(spark, sf))
     // planted-dup union = 2 scans; the survivors anti-join diamond = ×2.
