@@ -322,25 +322,38 @@ object Similarity {
     }
   }
 
-  /** Squared L2 distance between subvector `mi` of `v` and a literal
-    * codeword, folded in component order (deterministic IEEE sequence —
-    * the oracle replays the identical ordered sum). */
-  private def pqSubDist(v: Column, mi: Int, cw: Array[Double]): Column =
-    cw.zipWithIndex.map { case (c, j) =>
-      val x = element_at(v, mi * cw.length + j + 1).cast("double") - lit(c)
-      x * x
-    }.reduce(_ + _)
-
   /** Per-subspace distance-table columns `__s0..__s{m-1}` (each an array
-    * of `k` distances in codeword order), staged as ATTRIBUTES so argmin/
-    * lookups never duplicate the 16-term distance expressions. */
-  private def pqTables(df: DataFrame, idCol: String, vecCol: String,
-      cbs: Array[Array[Array[Double]]]): DataFrame =
+    * of `k` distances in codeword order). One native
+    * [[graft.functions.PqDists]] pass computes all m·k distances per row
+    * (the composable form below builds a ~4096-node expression tree that
+    * falls out of effective codegen — measured 8.8 s vs ~1 s for the
+    * sf0.1 ADC query); the flat table is staged as an ATTRIBUTE and
+    * sliced per subspace, so argmin/lookups never recompute it. */
+  private[graft] def pqTables(df: DataFrame, idCol: String, vecCol: String,
+      cbs: Array[Array[Array[Double]]]): DataFrame = {
+    val k = cbs.head.length
+    df.select(col(idCol).as("id"),
+        graft.functions.PqDists.dists(col(vecCol), cbs).as("__d"))
+      .select(col("id") +: cbs.indices.map(mi =>
+        slice(col("__d"), mi * k + 1, k).as(s"__s$mi")).toIndexedSeq: _*)
+  }
+
+  /** Built-in-only reference form of [[pqTables]] (bit-identical output,
+    * spec-pinned; kept as the semantics documentation the native
+    * expression is checked against). */
+  private[graft] def pqTablesHof(df: DataFrame, idCol: String,
+      vecCol: String, cbs: Array[Array[Array[Double]]]): DataFrame = {
+    def subDist(v: Column, mi: Int, cw: Array[Double]): Column =
+      cw.zipWithIndex.map { case (c, j) =>
+        val x = element_at(v, mi * cw.length + j + 1).cast("double") - lit(c)
+        x * x
+      }.reduce(_ + _)
     df.select(col(idCol).as("id"), col(vecCol).as("__v"))
       .select(col("id") +: cbs.zipWithIndex.map { case (cb, mi) =>
-        array(cb.map(cw => pqSubDist(col("__v"), mi, cw)).toIndexedSeq: _*)
+        array(cb.map(cw => subDist(col("__v"), mi, cw)).toIndexedSeq: _*)
           .as(s"__s$mi")
       }.toIndexedSeq: _*)
+  }
 
   /** PQ encoding (X3, the compression half of IVF-PQ): each vector is
     * reduced to `m` codeword ids — `code_mi` = 1-based argmin of the

@@ -150,6 +150,21 @@ class OperatorsSpec extends TestBase {
     assert(one.map(_._1).subsetOf(all.map(_._1)))
   }
 
+  test("native PqDists matches the composable column form bit-for-bit") {
+    val cbs = Similarity.pqCodebooks(m = 4, k = 16, subDim = 16)
+    val rnd = new scala.util.Random(31)
+    val df = (1L to 30L).map(i => (i, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val native = Similarity.pqTables(df, "vec_id", "embedding", cbs)
+      .orderBy("id").collect().map(_.toSeq)
+    val hof = Similarity.pqTablesHof(df, "vec_id", "embedding", cbs)
+      .orderBy("id").collect().map(_.toSeq)
+    assert(native.length == hof.length)
+    native.zip(hof).foreach { case (n, h) =>
+      assert(n == h, s"native $n != hof $h")
+    }
+  }
+
   test("PQ encode + ADC: codes bounded/deterministic, dup ranks first (X3)") {
     val cbs = Similarity.pqCodebooks(m = 4, k = 16, subDim = 16)
     val rnd = new scala.util.Random(23)
