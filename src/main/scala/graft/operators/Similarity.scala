@@ -401,6 +401,45 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Full IVF-PQ approximate top-k (X3): IVF cluster pruning composed
+    * with PQ/ADC scoring — the architecture real billion-vector indexes
+    * run. Both sides assign to centroids (queries fan to `probe`
+    * clusters); the corpus carries only (cluster, codes); candidates are
+    * the same-cluster pairs (equi-join on cluster — no corpus broadcast,
+    * no cross join) scored by `m` ordered table lookups. The two scale
+    * levers compose: candidate COUNT shrinks by the cluster fan-out,
+    * candidate WIDTH shrinks from `dim` floats to `m` codes.
+    * Returns (query_id, corpus_id, adist, rank), distance ascending. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      centIdCol: String, centVecCol: String,
+      cbs: Array[Array[Array[Double]]], probe: Int = 1,
+      maxCluster: Int = 1000000): DataFrame = {
+    val qa = ivfAssign(queries, idCol, vecCol, centroids, centIdCol,
+      centVecCol, probe).select(col("id"), col("cluster"))
+    val qt = pqTables(queries, idCol, vecCol, cbs)
+    val q = qa.join(qt, "id")
+      .select(col("id").as("query_id") +: col("cluster") +:
+        cbs.indices.map(mi => col(s"__s$mi").as(s"dt$mi")).toIndexedSeq: _*)
+    val ca = ivfAssign(corpus, idCol, vecCol, centroids, centIdCol,
+      centVecCol).select(col("id"), col("cluster"))
+    val ce = ca.join(pqEncode(corpus, idCol, vecCol, cbs), "id")
+      .withColumnRenamed("id", "corpus_id")
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy("cluster")))
+      .filter(col("__cnt") <= maxCluster).drop("__cnt")
+    val approx = cbs.indices
+      .map(mi => expr(s"element_at(dt$mi, code$mi)"))
+      .reduce(_ + _)
+    val scored = q.join(ce, "cluster")
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        round(approx, 6).as("adist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(asc("adist"), asc("corpus_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** X2 embedding near-dup: all pairs above a cosine threshold within a
     * (pre-bucketed or subset) DataFrame. Pairs are emitted once (a < b).
     *

