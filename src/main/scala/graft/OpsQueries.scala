@@ -889,6 +889,76 @@ object OpsQueries {
            |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
       }),
 
+    // ----- X3 two-stage ANN: ADC shortlist → exact cosine re-rank ----------
+    // PQ/ADC proposes 50 candidates per query; only those pairs get the
+    // exact cosine. Oracle = q59's chain with rnk <= 50, joined back to
+    // raw vectors for the re-rank.
+    "q61_pq_rerank" -> Entry(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.pqTopKReranked(emb.filter(col("vec_id") % 100 === 0),
+          emb, "vec_id", "embedding", k = 5, Similarity.pqCodebooks(),
+          shortlist = 50)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy("query_id", "rnk")
+      },
+      Some {
+        def cos(a: String, b: String) =
+          s"""round(
+             |    list_sum([$a[i]::DOUBLE * $b[i]::DOUBLE
+             |      for i in generate_series(1, len($a))]) /
+             |    (sqrt(list_sum([$a[i]::DOUBLE * $a[i]::DOUBLE
+             |      for i in generate_series(1, len($a))])) *
+             |     sqrt(list_sum([$b[i]::DOUBLE * $b[i]::DOUBLE
+             |      for i in generate_series(1, len($b))]))), 6)""".stripMargin
+        val encCols = (0 until 4).map(mi =>
+          s"any_value(CASE WHEN m = $mi THEN" +
+            s" list_position(dists, list_min(dists)) END) AS c$mi")
+          .mkString(",\n           |  ")
+        val qtCols = (0 until 4).map(mi =>
+          s"any_value(CASE WHEN m = $mi THEN dists END) AS dt$mi")
+          .mkString(",\n           |  ")
+        s"""WITH cbraw AS (SELECT m.m, k.k, j.j,
+           |  CAST(CAST(('0x' || substr(md5('pq_' || m.m || '_' || k.k
+           |    || '_' || j.j), 1, 8)) AS UBIGINT) AS DOUBLE)
+           |    / 4294967296.0 - 0.5 AS c
+           |  FROM (SELECT unnest(generate_series(0, 3)) AS m) m,
+           |       (SELECT unnest(generate_series(0, 15)) AS k) k,
+           |       (SELECT unnest(generate_series(1, 16)) AS j) j),
+           |cb AS (SELECT m, k, list(c ORDER BY j) AS cv
+           |  FROM cbraw GROUP BY 1, 2),
+           |d AS (SELECT e.vec_id, cb.m, cb.k,
+           |  list_sum([(e.embedding[cb.m*16+j]::DOUBLE - cv[j])
+           |    * (e.embedding[cb.m*16+j]::DOUBLE - cv[j])
+           |    for j in generate_series(1, 16)]) AS dist
+           |  FROM embeddings e, cb),
+           |dl AS (SELECT vec_id, m, list(dist ORDER BY k) AS dists
+           |  FROM d GROUP BY 1, 2),
+           |enc AS (SELECT vec_id,
+           |  $encCols
+           |  FROM dl GROUP BY vec_id),
+           |qt AS (SELECT vec_id AS query_id,
+           |  $qtCols
+           |  FROM dl WHERE vec_id % 100 = 0 GROUP BY 1),
+           |s AS (SELECT query_id, e.vec_id AS corpus_id,
+           |  round(dt0[c0] + dt1[c1] + dt2[c2] + dt3[c3], 6) AS adist
+           |  FROM qt, enc e WHERE query_id <> e.vec_id),
+           |shortl AS (SELECT query_id, corpus_id FROM (
+           |  SELECT query_id, corpus_id, ROW_NUMBER() OVER (
+           |    PARTITION BY query_id ORDER BY adist ASC, corpus_id) AS rnk
+           |  FROM s) WHERE rnk <= 50),
+           |ex AS (SELECT sl.query_id, sl.corpus_id,
+           |  ${cos("qe.embedding", "ce.embedding")} AS score
+           |  FROM shortl sl
+           |    JOIN embeddings qe ON qe.vec_id = sl.query_id
+           |    JOIN embeddings ce ON ce.vec_id = sl.corpus_id),
+           |r AS (SELECT query_id, corpus_id, score,
+           |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           |    ORDER BY score DESC, corpus_id) AS BIGINT) AS rnk FROM ex)
+           |SELECT query_id, corpus_id, score, rnk FROM r
+           |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+      }),
+
     // ----- X3 IVF-PQ: cluster pruning × code compression -------------------
     // The full approximate-index composition: queries fan to their 2
     // nearest centroids, candidates are same-cluster pairs, scores are

@@ -401,6 +401,36 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Two-stage ANN serving shape (X3): PQ/ADC proposes a `shortlist` of
+    * candidates per query (cheap, approximate, codes-only corpus scan),
+    * then ONLY those pairs are re-scored with exact cosine on raw
+    * vectors and re-ranked. The expensive exact math runs on
+    * |Q|·shortlist pairs, never |Q|·|C|; the vector fetch is one
+    * equi-join on corpus id with the (small) candidate set broadcast, so
+    * the corpus is scanned, never shuffled. Recall ≈ ADC recall at
+    * `shortlist`, precision = exact. Returns
+    * (query_id, corpus_id, score, rank), cosine descending. */
+  def pqTopKReranked(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, cbs: Array[Array[Array[Double]]],
+      shortlist: Int = 50): DataFrame = {
+    require(shortlist >= k, "shortlist must be >= k")
+    val short = pqTopK(queries, corpus, idCol, vecCol, shortlist, cbs)
+      .select(col("query_id"), col("corpus_id"))
+    val qv = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), norm(col(vecCol)).as("qn"))
+    val cv = corpus.select(col(idCol).as("corpus_id"),
+      col(vecCol).as("cv"), norm(col(vecCol)).as("cn"))
+    val cand = short.join(qv, "query_id") // both query-sized: stays small
+    val scored = cv.join(broadcast(cand), "corpus_id")
+      .select(col("query_id"), col("corpus_id"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+          .as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("score"), asc("corpus_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Full IVF-PQ approximate top-k (X3): IVF cluster pruning composed
     * with PQ/ADC scoring — the architecture real billion-vector indexes
     * run. Both sides assign to centroids (queries fan to `probe`

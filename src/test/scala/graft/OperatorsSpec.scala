@@ -195,6 +195,27 @@ class OperatorsSpec extends TestBase {
       s"duplicate must attain the minimal ADC distance, got ${top.toSeq}")
   }
 
+  test("ADC shortlist + exact re-rank recovers brute force at full list (X3)") {
+    val cbs = Similarity.pqCodebooks()
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 250 === 0) // 2 queries
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    // shortlist = whole corpus -> re-rank IS exact brute force
+    val reranked = rows(Similarity.pqTopKReranked(queries, emb, "vec_id",
+      "embedding", k = 5, cbs, shortlist = 500))
+    val brute = rows(Similarity.cosineTopK(queries, emb, "vec_id",
+      "embedding", k = 5))
+    assert(reranked == brute,
+      s"full-shortlist re-rank must equal brute force:\n$reranked\n$brute")
+    // a realistic shortlist still returns k exact-scored rows per query
+    val small = Similarity.pqTopKReranked(queries, emb, "vec_id",
+      "embedding", k = 5, cbs, shortlist = 50).collect()
+    assert(small.length == 10)
+  }
+
   test("IVF-PQ composition prunes to shared clusters, scores by ADC (X3)") {
     val cbs = Similarity.pqCodebooks()
     val emb = spark.read
