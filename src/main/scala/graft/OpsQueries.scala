@@ -959,6 +959,93 @@ object OpsQueries {
            |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
       }),
 
+    // ----- X3 trained PQ: one Lloyd iteration over the codebooks -----------
+    // pqTrain(iters=1) refines the MD5 seed codebooks on the corpus
+    // (decimal-exact per-(subspace, codeword, component) means), then the
+    // same ADC top-k runs under the trained books. The oracle replays
+    // assignment → means → re-encode → ADC end to end.
+    "q62_pq_trained" -> Entry(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val trained = Similarity.pqTrain(emb, "vec_id", "embedding",
+          Similarity.pqCodebooks(), iters = 1)
+        Similarity.pqTopK(emb.filter(col("vec_id") % 100 === 0), emb,
+          "vec_id", "embedding", k = 5, trained)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy("query_id", "rnk")
+      },
+      Some {
+        val encCols = (0 until 4).map(mi =>
+          s"any_value(CASE WHEN m = $mi THEN" +
+            s" list_position(dists, list_min(dists)) END) AS c$mi")
+          .mkString(",\n           |  ")
+        val enc2Cols = (0 until 4).map(mi =>
+          s"any_value(CASE WHEN m = $mi THEN" +
+            s" list_position(dists, list_min(dists)) END) AS c$mi")
+          .mkString(",\n           |  ")
+        val qtCols = (0 until 4).map(mi =>
+          s"any_value(CASE WHEN m = $mi THEN dists END) AS dt$mi")
+          .mkString(",\n           |  ")
+        val codesUnion = (0 until 4).map(mi =>
+          s"SELECT vec_id, $mi AS mi, c$mi AS code FROM enc")
+          .mkString("\n           |  UNION ALL ")
+        s"""WITH cbraw AS (SELECT m.m, k.k, j.j,
+           |  CAST(CAST(('0x' || substr(md5('pq_' || m.m || '_' || k.k
+           |    || '_' || j.j), 1, 8)) AS UBIGINT) AS DOUBLE)
+           |    / 4294967296.0 - 0.5 AS c
+           |  FROM (SELECT unnest(generate_series(0, 3)) AS m) m,
+           |       (SELECT unnest(generate_series(0, 15)) AS k) k,
+           |       (SELECT unnest(generate_series(1, 16)) AS j) j),
+           |cb AS (SELECT m, k, list(c ORDER BY j) AS cv
+           |  FROM cbraw GROUP BY 1, 2),
+           |d AS (SELECT e.vec_id, cb.m, cb.k,
+           |  list_sum([(e.embedding[cb.m*16+j]::DOUBLE - cv[j])
+           |    * (e.embedding[cb.m*16+j]::DOUBLE - cv[j])
+           |    for j in generate_series(1, 16)]) AS dist
+           |  FROM embeddings e, cb),
+           |dl AS (SELECT vec_id, m, list(dist ORDER BY k) AS dists
+           |  FROM d GROUP BY 1, 2),
+           |enc AS (SELECT vec_id,
+           |  $encCols
+           |  FROM dl GROUP BY vec_id),
+           |codes AS ($codesUnion),
+           |comp AS (SELECT vec_id, (j-1) // 16 AS mi,
+           |  ((j-1) % 16) + 1 AS jj, embedding[j]::DOUBLE AS x
+           |  FROM embeddings, unnest(generate_series(1, 64)) AS u(j)),
+           |mn AS (SELECT c.mi, c.code, comp.jj,
+           |  CAST(SUM(CAST(x AS DECIMAL(27,10))) AS DOUBLE)
+           |    / CAST(COUNT(*) AS BIGINT)::DOUBLE AS mu
+           |  FROM comp JOIN codes c
+           |    ON comp.vec_id = c.vec_id AND comp.mi = c.mi
+           |  GROUP BY 1, 2, 3),
+           |cb2 AS (SELECT cbraw.m, cbraw.k,
+           |  list(COALESCE(mn.mu, cbraw.c) ORDER BY cbraw.j) AS cv
+           |  FROM cbraw LEFT JOIN mn ON mn.mi = cbraw.m
+           |    AND mn.code = cbraw.k + 1 AND mn.jj = cbraw.j
+           |  GROUP BY 1, 2),
+           |d2 AS (SELECT e.vec_id, cb2.m, cb2.k,
+           |  list_sum([(e.embedding[cb2.m*16+j]::DOUBLE - cv[j])
+           |    * (e.embedding[cb2.m*16+j]::DOUBLE - cv[j])
+           |    for j in generate_series(1, 16)]) AS dist
+           |  FROM embeddings e, cb2),
+           |dl2 AS (SELECT vec_id, m, list(dist ORDER BY k) AS dists
+           |  FROM d2 GROUP BY 1, 2),
+           |enc2 AS (SELECT vec_id,
+           |  $enc2Cols
+           |  FROM dl2 GROUP BY vec_id),
+           |qt2 AS (SELECT vec_id AS query_id,
+           |  $qtCols
+           |  FROM dl2 WHERE vec_id % 100 = 0 GROUP BY 1),
+           |s AS (SELECT query_id, e.vec_id AS corpus_id,
+           |  round(dt0[c0] + dt1[c1] + dt2[c2] + dt3[c3], 6) AS adist
+           |  FROM qt2, enc2 e WHERE query_id <> e.vec_id),
+           |r AS (SELECT query_id, corpus_id, adist,
+           |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           |    ORDER BY adist ASC, corpus_id) AS BIGINT) AS rnk FROM s)
+           |SELECT query_id, corpus_id, adist, rnk FROM r
+           |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+      }),
+
     // ----- X3 IVF-PQ: cluster pruning × code compression -------------------
     // The full approximate-index composition: queries fan to their 2
     // nearest centroids, candidates are same-cluster pairs, scores are

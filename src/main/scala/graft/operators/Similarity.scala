@@ -401,6 +401,66 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Train PQ codebooks on the corpus (X3): per-subspace Lloyd
+    * iterations — the [[kmeansRefine]] shape on sliced subvectors —
+    * seeded from any codebook set (e.g. [[pqCodebooks]]'s MD5 constants).
+    * Per iteration: encode under the current books (one [[PqDists]] pass
+    * + argmin), then recompute each codeword as the element-wise mean of
+    * its assigned subvectors via `posexplode` → groupBy(subspace,
+    * codeword, component) — n·dim rows on the shuffle, decimal-exact
+    * order-independent means (same determinism contract as
+    * [[kmeansRefine]], so an oracle can replay the arithmetic). The
+    * m·k·subDim result (KB) collects to the driver each round — it IS
+    * the next round's literals. A codeword that loses all members keeps
+    * its previous position. */
+  def pqTrain(df: DataFrame, idCol: String, vecCol: String,
+      seeds: Array[Array[Array[Double]]], iters: Int = 2)
+      : Array[Array[Array[Double]]] = {
+    val m = seeds.length
+    val k = seeds.head.length
+    val subDim = seeds.head.head.length
+    var cbs = seeds
+    for (_ <- 1 to iters) {
+      val enc = pqEncode(df, idCol, vecCol, cbs)
+      val vecs = df.select(col(idCol).as("id"), col(vecCol).as("__v"))
+      val codeOf = (1 until m).foldLeft(
+        when(col("mi") === 0, col("code0"))) { (acc, mi) =>
+        acc.when(col("mi") === mi, col(s"code$mi"))
+      }
+      val means = vecs.join(enc, "id")
+        .select(col("id") +: (0 until m).map(mi => col(s"code$mi")) :+
+          posexplode(col("__v")).as(Seq("pos", "x")): _*)
+        .select((Seq(expr(s"pos div $subDim").cast("int").as("mi"),
+          expr(s"(pos % $subDim) + 1").cast("int").as("jj"), col("x")) ++
+          (0 until m).map(mi => col(s"code$mi"))): _*)
+        .withColumn("code", codeOf)
+        .groupBy("mi", "code", "jj")
+        .agg((sum(col("x").cast("decimal(27,10)")).cast("double") /
+          count(lit(1)).cast("double")).as("mu"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3))
+        .toMap
+      cbs = Array.tabulate(m, k, subDim) { (mi, ki, j0) =>
+        means.getOrElse((mi, ki + 1, j0 + 1), cbs(mi)(ki)(j0))
+      }
+    }
+    cbs
+  }
+
+  /** Total squared quantization error of `df` under codebooks `cbs`
+    * (Σ over rows and subspaces of the min table entry) — the quantity
+    * Lloyd training descends; exposed for training diagnostics/specs.
+    * Decimal-exact sum so the number is run-stable. */
+  def pqQuantizationError(df: DataFrame, idCol: String, vecCol: String,
+      cbs: Array[Array[Array[Double]]]): Double =
+    pqTables(df, idCol, vecCol, cbs)
+      .select(cbs.indices.map(mi =>
+        array_min(col(s"__s$mi")).as(s"e$mi")).toIndexedSeq: _*)
+      .select(cbs.indices.map(mi =>
+        sum(col(s"e$mi").cast("decimal(27,10)")).cast("double")
+          .as(s"s$mi")).toIndexedSeq: _*)
+      .head().toSeq.asInstanceOf[Seq[Double]].sum
+
   /** Two-stage ANN serving shape (X3): PQ/ADC proposes a `shortlist` of
     * candidates per query (cheap, approximate, codes-only corpus scan),
     * then ONLY those pairs are re-scored with exact cosine on raw

@@ -195,6 +195,26 @@ class OperatorsSpec extends TestBase {
       s"duplicate must attain the minimal ADC distance, got ${top.toSeq}")
   }
 
+  test("pqTrain descends quantization error, stays deterministic (X3)") {
+    val seeds = Similarity.pqCodebooks()
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val before = Similarity.pqQuantizationError(emb, "vec_id", "embedding",
+      seeds)
+    val trained = Similarity.pqTrain(emb, "vec_id", "embedding", seeds,
+      iters = 2)
+    val after = Similarity.pqQuantizationError(emb, "vec_id", "embedding",
+      trained)
+    assert(after < before,
+      s"Lloyd must descend quantization error: $before -> $after")
+    // decimal-exact means: retraining reproduces the books bit-for-bit
+    val trained2 = Similarity.pqTrain(emb, "vec_id", "embedding", seeds,
+      iters = 2)
+    assert(trained.flatten.flatten.toSeq == trained2.flatten.flatten.toSeq)
+    assert(trained.length == 4 && trained.head.length == 16 &&
+      trained.head.head.length == 16)
+  }
+
   test("ADC shortlist + exact re-rank recovers brute force at full list (X3)") {
     val cbs = Similarity.pqCodebooks()
     val emb = spark.read
