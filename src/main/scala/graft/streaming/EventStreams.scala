@@ -89,17 +89,24 @@ object EventStreams {
     * stream-stream join refuses to start in append mode). State is
     * hash-partitioned by key, so it scales horizontally like the
     * sessionizer; matches beyond the watermark delay are the same
-    * bounded-state trade-off [[streamingDedup]] documents. */
+    * bounded-state trade-off [[streamingDedup]] documents.
+    *
+    * `joinType` also admits "left_outer"/"right_outer"/"full_outer":
+    * outer rows (nulls on the unmatched side) emit only once the
+    * watermark proves no in-bound match can still arrive — i.e. a later
+    * batch must advance the watermark past the row's bound before the
+    * null-padded result appears. */
   def streamStreamJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String, leftTs: String, rightTs: String,
-      withinMs: Long, watermark: String = "2 hours"): DataFrame = {
+      withinMs: Long, watermark: String = "2 hours",
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, watermark)
     val r = right.withWatermark(rightTs, watermark)
     l.join(r,
       l(leftKey) === r(rightKey) &&
         r(rightTs) >= l(leftTs) &&
         r(rightTs) <= l(leftTs) + expr(s"INTERVAL $withinMs MILLISECOND"),
-      "inner")
+      joinType)
   }
 
   /** Gap-based sessionization via the BUILT-IN `session_window` (merging

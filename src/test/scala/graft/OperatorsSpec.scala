@@ -413,6 +413,22 @@ class OperatorsSpec extends TestBase {
     assert(hashMin == starred)
   }
 
+  test("star contraction agrees with hash-min on random graphs (X2)") {
+    val rnd = new scala.util.Random(97)
+    for (trial <- 1 to 3) {
+      val n = 40 + trial * 20
+      val edges = (1 to n).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter(e => e._1 != e._2).toDF("a", "b")
+      val hashMin = Connected.components(edges, "a", "b", maxIter = 60)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val starred = Connected.componentsStar(edges, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(hashMin == starred,
+        s"trial $trial: star labels diverge from hash-min")
+    }
+  }
+
   test("as-of join picks the latest right row at or before each left ts") {
     val trades = Seq((1L, 100L, 10L), (1L, 200L, 11L), (2L, 150L, 12L))
       .toDF("k", "ts", "trade_id")

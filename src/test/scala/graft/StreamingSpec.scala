@@ -147,6 +147,48 @@ class StreamingSpec extends TestBase {
       s"got $sessions")
   }
 
+  test("left-outer stream-stream join emits unmatched left after watermark") {
+    val impDir = tmpDir().toString
+    val clickDir = tmpDir().toString
+    val ckpt = tmpDir().toString
+    // user 1 clicks in-bound; user 2 never clicks -> must surface with a
+    // null click once the watermark passes its match window
+    Seq((10L, ts(0), 1L), (20L, ts(0), 2L))
+      .toDF("imp_id", "its", "uid").write.mode("append").parquet(impDir)
+    Seq((100L, ts(5), 1L))
+      .toDF("click_id", "cts", "uid2").write.mode("append").parquet(clickDir)
+    val impSchema = Seq((1L, ts(0), 1L)).toDF("imp_id", "its", "uid").schema
+    val clickSchema =
+      Seq((1L, ts(0), 1L)).toDF("click_id", "cts", "uid2").schema
+    val joined = EventStreams.streamStreamJoin(
+      EventStreams.readEventStream(spark, impDir, impSchema),
+      EventStreams.readEventStream(spark, clickDir, clickSchema),
+      "uid", "uid2", "its", "cts", withinMs = 10 * 60 * 1000,
+      watermark = "1 minute", joinType = "left_outer")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ssjo_out").option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    // the global watermark is the MIN across inputs — later events must
+    // land on BOTH sides to advance it past user 2's match window...
+    Seq((900L, ts(30), 9L))
+      .toDF("click_id", "cts", "uid2").write.mode("append").parquet(clickDir)
+    Seq((910L, ts(30), 9L))
+      .toDF("imp_id", "its", "uid").write.mode("append").parquet(impDir)
+    q.processAllAvailable()
+    // ...and one more micro-batch flushes the now-provably-unmatched row
+    Seq((901L, ts(45), 9L))
+      .toDF("click_id", "cts", "uid2").write.mode("append").parquet(clickDir)
+    Seq((911L, ts(45), 9L))
+      .toDF("imp_id", "its", "uid").write.mode("append").parquet(impDir)
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("ssjo_out").select("imp_id", "click_id")
+      .collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(rows.get(10L).contains(100L), s"matched pair missing: $rows")
+    assert(rows.get(20L).contains(-1L),
+      s"unmatched left row must emit null-padded: $rows")
+  }
+
   test("stateful sessionization closes sessions on gap (X-stream)") {
     val dir = tmpDir().toString
     // user 1: two sessions separated by a 40-minute gap within one batch
