@@ -37,6 +37,36 @@ object Profiles {
     one.select(explode(array(rows: _*)).as("r")).select("r.*")
   }
 
+  /** The 100 TB form of [[summarize]]: distinct counts via
+    * `approx_count_distinct` (HyperLogLog++). Exact multi-column
+    * DISTINCT aggregation plans an Expand — the input is replayed once
+    * per profiled column (rows × columns on the shuffle) — while the
+    * HLL sketch is one-pass, map-side combinable, and mergeable across
+    * partitions, which is the only shape that profiles a 100 TB drop in
+    * one scan. `rsd` is the target relative standard error (default
+    * 0.05 like Spark's). No DuckDB oracle: sketch estimates are
+    * engine-specific — the spec pins the estimate within tolerance of
+    * exact instead. */
+  def summarizeApprox(df: DataFrame, cols: Seq[String],
+      rsd: Double = 0.05): DataFrame = {
+    require(cols.nonEmpty, "at least one column required")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(lit(1)).as(s"__n_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+        approx_count_distinct(col(c), rsd).as(s"__dist_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("column"), col(s"__n_$c").as("n_rows"),
+        col(s"__nulls_$c").as("n_nulls"), col(s"__dist_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_val"), col(s"__max_$c").as("max_val"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select("r.*")
+  }
+
   /** Contiguous token packing (the pretraining-stream shape): documents
     * are packed into bins of `budget` tokens in id order WITHIN each of
     * `nShards` hash shards. Global greedy packing is inherently

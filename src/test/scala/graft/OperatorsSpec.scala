@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Connected, Dedup, Multimodal, Similarity,
+import graft.operators.{AsOfJoin, Connected, Dedup, Multimodal, Profiles, Similarity,
   TextAnalysis}
 
 /** Specs for the LLM-pipeline operators (dedup, similarity, text,
@@ -495,6 +495,26 @@ class OperatorsSpec extends TestBase {
     assert(rows("v").getLong(2) == 1)  // one null
     assert(rows("v").getLong(3) == 2)  // distinct non-null
     assert(rows("v").getString(4) == "a" && rows("v").getString(5) == "b")
+  }
+
+  test("approx profile: HLL distinct within 5% of exact, one-pass plan") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus")
+    val exact = Profiles.summarize(emb, cols).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    // rsd is a RELATIVE STANDARD ERROR, not a bound — the default 0.05
+    // sketch sits 6.7% off on o_orderkey; a 0.01 sketch stays well
+    // inside the 5% assertion (estimates are deterministic per dataset)
+    val approx = Profiles.summarizeApprox(emb, cols, rsd = 0.01).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    cols.foreach { c =>
+      val err = math.abs(approx(c) - exact(c)).toDouble / exact(c).max(1L)
+      assert(err <= 0.05, s"$c: approx ${approx(c)} vs exact ${exact(c)}")
+    }
+    // the scale property itself: no Expand (per-column input replay)
+    val plan = Profiles.summarizeApprox(emb, cols, rsd = 0.01)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"approx profile must be one-pass:\n$plan")
   }
 
   test("token packing: bins fill to budget within shards (packing)") {
