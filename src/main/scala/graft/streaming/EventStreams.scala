@@ -109,6 +109,25 @@ object EventStreams {
       joinType)
   }
 
+  /** ANN serving over a query STREAM (X3 × streaming): each micro-batch
+    * of query vectors runs the batch
+    * [[graft.operators.Similarity.cosineTopK]] (or any batch top-k the
+    * caller wraps) against the static, pre-indexed corpus via
+    * `foreachBatch` — the documented pattern for applying batch-only
+    * operators (windows, ranks) per micro-batch. Query rows are
+    * independent, so the operator is state-free; the corpus side is a
+    * plain DataFrame the caller can point at a PQ-coded or bucketed
+    * index. `sink` receives the scored micro-batch and its batch id. */
+  def serveTopK(queryStream: DataFrame,
+      score: DataFrame => DataFrame)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    queryStream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) => sink(score(batch), id)
+    }
+
   /** Gap-based sessionization via the BUILT-IN `session_window` (merging
     * event-time windows + watermark state eviction) — the declarative
     * counterpart of [[sessionize]]. Prefer this when per-session output

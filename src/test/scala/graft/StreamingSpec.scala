@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.streaming.EventStreams
@@ -187,6 +188,37 @@ class StreamingSpec extends TestBase {
     assert(rows.get(10L).contains(100L), s"matched pair missing: $rows")
     assert(rows.get(20L).contains(-1L),
       s"unmatched left row must emit null-padded: $rows")
+  }
+
+  test("streamed ANN serving: per-batch top-k against a static corpus") {
+    val qDir = tmpDir().toString
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // first drop: queries 0 and 100 arrive on the stream
+    corpus.filter(col("vec_id").isin(0L, 100L))
+      .write.mode("append").parquet(qDir)
+    val results = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]
+    val q = EventStreams.serveTopK(
+        EventStreams.readEventStream(spark, qDir, corpus.schema),
+        batch => graft.operators.Similarity.cosineTopK(
+          batch, corpus, "vec_id", "embedding", k = 3)) {
+        (scored, _) =>
+          results.synchronized {
+            results ++= scored.collect().map(r =>
+              (r.getLong(0), r.getLong(1), r.getLong(3)))
+          }
+      }.start() // default trigger: stays live for the second drop
+    q.processAllAvailable()
+    // second drop arrives: another query, scored incrementally
+    corpus.filter(col("vec_id") === 200L)
+      .write.mode("append").parquet(qDir)
+    q.processAllAvailable(); q.stop()
+    val byQuery = results.groupBy(_._1)
+    assert(byQuery.keySet == Set(0L, 100L, 200L), s"got ${byQuery.keySet}")
+    byQuery.values.foreach { rows =>
+      assert(rows.map(_._3).sorted.toSeq == Seq(1L, 2L, 3L))
+      assert(rows.forall(r => r._2 != r._1)) // no self-matches
+    }
   }
 
   test("stateful sessionization closes sessions on gap (X-stream)") {
