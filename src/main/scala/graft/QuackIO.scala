@@ -29,6 +29,9 @@ object Sel {
   *  - `autoTypeCandidates`: restrict type inference to a candidate set; any
   *    inferred type outside the set is widened to the narrowest allowed
   *    super-type (O2, `test/runtests.jl:66`)
+  *  - `nullstr`/`quote`/`escape`: the DuckDB read_csv kwargs of the same
+  *    names (the reference passes any kwarg through, `src/QuackIO.jl:91`);
+  *    they map 1:1 onto Spark CSV's nullValue/quote/escape
   *  - `extra`: raw passthrough to the Spark `DataFrameReader`
   */
 final case class ReadOptions(
@@ -40,6 +43,9 @@ final case class ReadOptions(
     names: Seq[String] = Nil,
     autoTypeCandidates: Seq[String] = Nil,
     widenIntegers: Boolean = true,
+    nullstr: Option[String] = None,
+    quote: Option[String] = None,
+    escape: Option[String] = None,
     extra: Map[String, String] = Map.empty)
 
 /** Write-side options (reference `write_table` kwargs, `src/QuackIO.jl:33-42`).
@@ -95,10 +101,13 @@ object QuackIO {
     require(rawPaths.nonEmpty, "at least one path required")
     val paths = globSafe(rawPaths)
     val (delim, header) = resolveCsvShape(spark, paths.head, opts)
-    val reader = spark.read
+    var reader = spark.read
       .option("header", header.toString)
       .option("sep", delim)
-      .options(opts.extra)
+    opts.nullstr.foreach(v => reader = reader.option("nullValue", v))
+    opts.quote.foreach(v => reader = reader.option("quote", v))
+    opts.escape.foreach(v => reader = reader.option("escape", v))
+    reader = reader.options(opts.extra)
 
     val base =
       if (opts.columns.nonEmpty) {
@@ -609,6 +618,7 @@ object QuackIO {
   private def hasFormatOptions(opts: ReadOptions): Boolean =
     opts.delim.nonEmpty || opts.header.nonEmpty || opts.columns.nonEmpty ||
       opts.names.nonEmpty || opts.autoTypeCandidates.nonEmpty ||
+      opts.nullstr.nonEmpty || opts.quote.nonEmpty || opts.escape.nonEmpty ||
       opts.extra.nonEmpty
 
   /** Extension-based format guess (reference defers to DuckDB's

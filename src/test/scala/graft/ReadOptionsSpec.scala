@@ -146,6 +146,33 @@ class ReadOptionsSpec extends TestBase {
     assert(df.schema.fieldNames.length == 2)
   }
 
+  test("nullstr / quote / escape kwargs map onto the CSV reader (O-pass)") {
+    val dir = tmpDir()
+    val na = s"$dir/na.csv"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(na),
+      "a,b\nNA,x\n1,NA\n")
+    val df = QuackIO.readCsv(spark, Seq(na),
+      ReadOptions(nullstr = Some("NA")))
+    val rows = df.orderBy("b").collect()
+    assert(rows(0).isNullAt(1) && rows(0).getLong(0) == 1L) // b=NA -> null
+    assert(rows(1).isNullAt(0) && rows(1).getString(1) == "x")
+    // custom quote char: fields wrapped in ' keep their embedded commas
+    val qf = s"$dir/quoted.csv"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(qf),
+      "a,b\n'x,y',1\n'z',2\n")
+    val qdf = QuackIO.readCsv(spark, Seq(qf),
+      ReadOptions(quote = Some("'"), header = Some(true)))
+    assert(qdf.orderBy("b").collect().map(_.getString(0)).toSeq ==
+      Seq("x,y", "z"))
+    // custom escape char: backslash-escaped quote stays literal
+    val ef = s"$dir/escaped.csv"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(ef),
+      "a,b\n\"x\\\"y\",1\n")
+    val edf = QuackIO.readCsv(spark, Seq(ef),
+      ReadOptions(escape = Some("\\"), header = Some(true)))
+    assert(edf.head().getString(0) == "x\"y")
+  }
+
   test("JSON buffer source (S6 beyond CSV)") {
     val df = QuackIO.readJsonString(spark,
       """{"a":1,"b":"x"}""" + "\n" + """{"a":2,"b":"y"}""" + "\n")
