@@ -70,6 +70,7 @@ final case class WriteOptions(
     forceQuote: Seq[String] = Nil,
     kvMetadata: Map[String, String] = Map.empty,
     useTmpFile: Boolean = true,
+    nullstr: Option[String] = None,
     extra: Map[String, String] = Map.empty)
 
 /** Spark-native re-expression of the reference's whole API surface
@@ -415,6 +416,7 @@ object QuackIO {
           .option("sep", sep)
           .options(extraCsv)
           .options(opts.extra)
+        opts.nullstr.foreach(v => w = w.option("nullValue", v))
         compression.foreach(c => w = w.option("compression", c))
         part(w).mode("overwrite").csv(path)
       case "parquet" =>

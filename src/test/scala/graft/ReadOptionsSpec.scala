@@ -173,6 +173,14 @@ class ReadOptionsSpec extends TestBase {
     assert(edf.head().getString(0) == "x\"y")
   }
 
+  test("write-side nullstr renders nulls as the token, round-trips back") {
+    val p = s"${tmpDir()}/na_out.csv"
+    QuackIO.writeTable(fixture, p, WriteOptions(nullstr = Some("NA")))
+    assert(readLines(p) == Seq("a,b,c", "1,x,1.0", "2,yz,NA"))
+    assertSameRows(QuackIO.readCsv(spark, Seq(p),
+      ReadOptions(nullstr = Some("NA"))), fixture)
+  }
+
   test("JSON buffer source (S6 beyond CSV)") {
     val df = QuackIO.readJsonString(spark,
       """{"a":1,"b":"x"}""" + "\n" + """{"a":2,"b":"y"}""" + "\n")
