@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted PQ index (SURVEY §2.4 X3, the operational half of the ANN
+  * story): build ONCE — train codebooks on the corpus, encode every
+  * vector, write the codes and codebooks as parquet — then serve any
+  * number of query batches from the codes alone.
+  *
+  * Scale rationale: the codes table is ~`dim·4 / m` times smaller than
+  * the raw vectors (64 floats → 4 ints here), so the serving scan reads
+  * a few bytes per corpus row and typically stays in page cache where
+  * the vector table never could. Codebooks round-trip through parquet
+  * (doubles are bit-exact), so a query served from the persisted index
+  * returns EXACTLY what [[Similarity.pqTopK]] on the live corpus would.
+  *
+  * Layout under `dir`:
+  *  - `codes/`      (corpus_id, code0..code{m-1}) — partition/bucket by
+  *    corpus_id like any fact table
+  *  - `codebooks/`  (m, k, j, c) — KB-sized, one row per component
+  */
+object AnnIndex {
+
+  /** Train (Lloyd `iters`) + encode + persist. Returns the trained
+    * codebooks for immediate use. */
+  def build(corpus: DataFrame, idCol: String, vecCol: String, dir: String,
+      m: Int = 4, k: Int = 16, subDim: Int = 16, iters: Int = 2)
+      : Array[Array[Array[Double]]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val trained = Similarity.pqTrain(corpus, idCol, vecCol,
+      Similarity.pqCodebooks(m, k, subDim), iters)
+    Similarity.pqEncode(corpus, idCol, vecCol, trained)
+      .withColumnRenamed("id", "corpus_id")
+      .write.mode("overwrite").parquet(s"$dir/codes")
+    val rows = for {
+      mi <- trained.indices
+      ki <- trained(mi).indices
+      j <- trained(mi)(ki).indices
+    } yield (mi, ki, j, trained(mi)(ki)(j))
+    rows.toDF("m", "k", "j", "c").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
+    trained
+  }
+
+  /** Load the codebooks (driver-side KB read) + the lazy codes scan. */
+  def load(spark: SparkSession, dir: String)
+      : (DataFrame, Array[Array[Array[Double]]]) = {
+    val raw = spark.read.parquet(s"$dir/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3))
+      .toMap
+    val m = raw.keys.map(_._1).max + 1
+    val k = raw.keys.map(_._2).max + 1
+    val subDim = raw.keys.map(_._3).max + 1
+    val cbs = Array.tabulate(m, k, subDim)((mi, ki, j) => raw((mi, ki, j)))
+    (spark.read.parquet(s"$dir/codes"), cbs)
+  }
+
+  /** ADC top-k served from the persisted index: the corpus-side scan
+    * reads CODES, never vectors. Bit-identical to
+    * `Similarity.pqTopK(queries, corpus, ...)` under the same trained
+    * codebooks. */
+  def query(spark: SparkSession, dir: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val (codes, cbs) = load(spark, dir)
+    Similarity.adcTopK(
+      Similarity.pqQueryTables(queries, idCol, vecCol, cbs),
+      codes, cbs.length, k)
+  }
+}

@@ -382,16 +382,25 @@ object Similarity {
     * ascending. */
   def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int,
-      cbs: Array[Array[Array[Double]]]): DataFrame = {
-    val q = pqTables(queries, idCol, vecCol, cbs)
-      .select(col("id").as("query_id") +:
-        cbs.indices.map(mi => col(s"__s$mi").as(s"dt$mi")).toIndexedSeq: _*)
-    val c = pqEncode(corpus, idCol, vecCol, cbs)
-      .withColumnRenamed("id", "corpus_id")
-    val approx = cbs.indices
+      cbs: Array[Array[Array[Double]]]): DataFrame =
+    adcTopK(
+      pqQueryTables(queries, idCol, vecCol, cbs),
+      pqEncode(corpus, idCol, vecCol, cbs)
+        .withColumnRenamed("id", "corpus_id"),
+      cbs.length, k)
+
+  /** ADC ranking over PRE-ENCODED corpus codes — the serving-time half
+    * of [[pqTopK]], split out so a persisted code table (see
+    * [[AnnIndex]]) can be queried without re-encoding the corpus:
+    * `q` = (query_id, dt0..dt{m-1}) distance tables, `codes` =
+    * (corpus_id, code0..code{m-1}). Queries broadcast; the codes scan
+    * streams. */
+  private[graft] def adcTopK(q: DataFrame, codes: DataFrame, m: Int,
+      k: Int): DataFrame = {
+    val approx = (0 until m)
       .map(mi => expr(s"element_at(dt$mi, code$mi)"))
       .reduce(_ + _)
-    val scored = broadcast(q).crossJoin(c)
+    val scored = broadcast(q).crossJoin(codes)
       .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
         round(approx, 6).as("adist"))
@@ -400,6 +409,14 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  /** Query-side distance tables keyed for [[adcTopK]]:
+    * (query_id, dt0..dt{m-1}). */
+  private[graft] def pqQueryTables(queries: DataFrame, idCol: String,
+      vecCol: String, cbs: Array[Array[Array[Double]]]): DataFrame =
+    pqTables(queries, idCol, vecCol, cbs)
+      .select(col("id").as("query_id") +: cbs.indices.map(mi =>
+        col(s"__s$mi").as(s"dt$mi")).toIndexedSeq: _*)
 
   /** Train PQ codebooks on the corpus (X3): per-subspace Lloyd
     * iterations — the [[kmeansRefine]] shape on sliced subvectors —

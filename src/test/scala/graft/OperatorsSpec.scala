@@ -215,6 +215,26 @@ class OperatorsSpec extends TestBase {
       trained.head.head.length == 16)
   }
 
+  test("persisted AnnIndex serves bit-identical results to live pqTopK") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 250 === 0)
+    val dir = s"${tmpDir()}/annidx"
+    val trained = graft.operators.AnnIndex.build(emb, "vec_id", "embedding",
+      dir, iters = 1)
+    assert(new java.io.File(s"$dir/codes").exists)
+    assert(new java.io.File(s"$dir/codebooks").exists)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val fromIndex = rows(graft.operators.AnnIndex.query(spark, dir,
+      queries, "vec_id", "embedding", k = 5))
+    val live = rows(Similarity.pqTopK(queries, emb, "vec_id", "embedding",
+      k = 5, trained))
+    assert(fromIndex == live,
+      "index-served results must be bit-identical to live encoding")
+  }
+
   test("ADC shortlist + exact re-rank recovers brute force at full list (X3)") {
     val cbs = Similarity.pqCodebooks()
     val emb = spark.read
