@@ -557,6 +557,72 @@ object OpsQueries {
            |ORDER BY doc_id""".stripMargin
       }),
 
+    // ----- X-pipe curation with the repetition gate ------------------------
+    // q42's pipeline plus the Gopher-style dup-2-gram gate between the
+    // quality gate and the dedup window — still a row-local projection,
+    // so it reaches the scan like the other gates.
+    "q63_curation_rep" -> Entry(
+      (s, dir) => graft.operators.Pipelines.curate(
+        nearDupDocs(s, dir), "doc_id", "text",
+        maxDupNgramRatio = Some(0.2))
+        .orderBy("doc_id"),
+      Some {
+        val lt = """regexp_split_to_array(trim(lower(text)), '\s+')"""
+        val mins = (0 until 8)
+          .map(i => s"min(md5('$i|' || s)) AS m$i").mkString(", ")
+        val bands = (0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band, md5(m${2 * b} || m${2 * b + 1}) AS bv FROM sig")
+          .mkString(" UNION ALL ")
+        s"""WITH $NearDupDocsSql,
+           |lid AS (SELECT doc_id, text, CASE WHEN zh > 0 THEN 'zh'
+           |    WHEN de > en AND de > fr AND de > es THEN 'de'
+           |    WHEN fr > en AND fr >= de AND fr > es THEN 'fr'
+           |    WHEN es > en AND es >= de AND es >= fr THEN 'es'
+           |    ELSE 'en' END AS pred, ntok,
+           |  CASE WHEN len(w) >= 2 THEN
+           |    (len(w) - 1 - CAST(len(list_distinct(
+           |      [array_to_string(w[i:i+1], ' ')
+           |       for i in generate_series(1, len(w)-1)])) AS BIGINT))::DOUBLE
+           |    / (len(w) - 1)::DOUBLE ELSE 0.0 END AS r2
+           |  FROM (SELECT doc_id, text,
+           |    ${stopCnt(lt, TextAnalysis.EnStop)} AS en,
+           |    ${stopCnt(lt, TextAnalysis.DeStop)} AS de,
+           |    ${stopCnt(lt, TextAnalysis.FrStop)} AS fr,
+           |    ${stopCnt(lt, TextAnalysis.EsStop)} AS es,
+           |    len(regexp_extract_all(text, '[一-鿿]')) AS zh,
+           |    len($TOKS) AS ntok, $TOKS AS w
+           |    FROM docs)),
+           |kept AS (SELECT doc_id, text, pred, ntok FROM lid
+           |  WHERE pred = 'en' AND ntok >= 10 AND r2 <= 0.2),
+           |ded AS (SELECT doc_id, text, pred, ntok FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY
+           |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+           |    ORDER BY doc_id) AS rn FROM kept) WHERE rn = 1),
+           |toks AS (SELECT doc_id, $TOKS AS w FROM ded),
+           |shing AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s
+           |  FROM toks, unnest(CASE WHEN len(w) >= 3
+           |    THEN generate_series(1, len(w)-2) ELSE [] END) AS u(i)),
+           |sig AS (SELECT doc_id, $mins FROM shing GROUP BY doc_id),
+           |bands AS ($bands),
+           |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+           |sets AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3 THEN
+           |    [array_to_string(w[i:i+2], ' ')
+           |     for i in generate_series(1, len(w)-2)] ELSE [] END) AS sh
+           |  FROM toks),
+           |jac AS (SELECT doc_a, doc_b,
+           |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+           |  (CAST(len(sa.sh) AS DOUBLE) + CAST(len(sb.sh) AS DOUBLE)
+           |   - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)) AS j
+           |  FROM cands JOIN sets sa ON cands.doc_a = sa.doc_id
+           |    JOIN sets sb ON cands.doc_b = sb.doc_id),
+           |dropids AS (SELECT DISTINCT doc_b FROM jac WHERE j >= 0.5)
+           |SELECT doc_id, pred, CAST(ntok AS BIGINT) AS n_tokens FROM ded
+           |WHERE doc_id NOT IN (SELECT doc_b FROM dropids)
+           |ORDER BY doc_id""".stripMargin
+      }),
+
     // ----- X2/X3 embedding cosine ------------------------------------------
 
     "q28_embed_neardup" -> Entry(

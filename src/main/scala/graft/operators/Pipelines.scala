@@ -25,19 +25,26 @@ object Pipelines {
 
   /** Returns the surviving documents as (idCol, pred, n_tokens), one row
     * per kept doc. `keepLang` filters on the n-gram-free language ID;
-    * `minTokens` is the quality gate; `jaccardThreshold` drives near-dup
+    * `minTokens` is the quality gate; `maxDupNgramRatio` (when set) adds
+    * the Gopher-style repetition gate — another row-local projection, so
+    * it too runs BEFORE any shuffle; `jaccardThreshold` drives near-dup
     * removal (higher id of a verified pair is dropped). */
   def curate(df: DataFrame, idCol: String, textCol: String,
       keepLang: String = "en", minTokens: Long = 10,
-      jaccardThreshold: Double = 0.5): DataFrame = {
+      jaccardThreshold: Double = 0.5,
+      maxDupNgramRatio: Option[Double] = None): DataFrame = {
     // Gates FIRST: they are row-local projections, so Catalyst keeps
     // them next to the scan and the fingerprint shuffle only carries
     // surviving rows (dedup-before-gates reads identically — exact
     // copies share text so gates decide identically — but a window
     // blocks filter pushdown, measured ~50% slower end-to-end).
-    val kept = TextAnalysis.withLangId(df, textCol, "pred")
+    val gated = TextAnalysis.withLangId(df, textCol, "pred")
       .withColumn("__ntok", TextAnalysis.tokenCount(col(textCol)))
       .filter(col("pred") === keepLang && col("__ntok") >= minTokens)
+    val kept = maxDupNgramRatio.fold(gated) { mx =>
+      TextAnalysis.withDupNgramRatio(gated, textCol, 2, "__r2")
+        .filter(col("__r2") <= mx).drop("__r2")
+    }
     // exact dedup — lowest id per fingerprint survives
     val wfp = Window.partitionBy("__fp").orderBy(idCol)
     val deduped = kept
