@@ -118,12 +118,27 @@ object TextAnalysis {
   /** Repetition signal (X5): the Gopher-style quality gate that catches
     * machine-generated and boilerplate text — the fraction of token
     * n-gram OCCURRENCES that are repeats of an earlier occurrence,
-    * `1 − distinct/total` (0 for docs shorter than `n` tokens). Pure
-    * per-row column expression over staged token/shingle attributes: no
-    * shuffle, embarrassingly parallel, and the integer-derived double
-    * division is deterministic across engines. Adds `outCol` to `df`. */
+    * `1 − distinct/total` (0 for docs shorter than `n` tokens, and for
+    * null text). Runs in the native one-pass
+    * [[graft.functions.DupNgramRatio]] — the composable form is kept as
+    * [[withDupNgramRatioHof]] and spec-pinned equal, but as a FILTER it
+    * falls to predicate-pushdown alias substitution (the inlined split
+    * re-evaluates per lambda element; measured 2.4× on the gated
+    * curation pipeline). No shuffle, embarrassingly parallel,
+    * integer-derived double division deterministic across engines.
+    * Adds `outCol` to `df`. */
   def withDupNgramRatio(df: org.apache.spark.sql.DataFrame, textCol: String,
-      n: Int, outCol: String): org.apache.spark.sql.DataFrame = {
+      n: Int, outCol: String): org.apache.spark.sql.DataFrame =
+    df.withColumn(outCol,
+      coalesce(graft.functions.DupNgramRatio.ratio(col(textCol), n),
+        lit(0.0)))
+
+  /** Built-in-only reference form of [[withDupNgramRatio]] (identical
+    * output; the semantics documentation the native expression is
+    * checked against). */
+  private[graft] def withDupNgramRatioHof(df: org.apache.spark.sql.DataFrame,
+      textCol: String, n: Int, outCol: String)
+      : org.apache.spark.sql.DataFrame = {
     require(n >= 2, "n must be >= 2 (unigram 'repetition' is vocabulary)")
     df.withColumn("__toks", tokens(col(textCol)))
       .withColumn("__grams", Dedup.shingles(col("__toks"), n))

@@ -462,6 +462,24 @@ class OperatorsSpec extends TestBase {
     // trade 12 dropped: no quote at or before ts=150 for k=2
   }
 
+  test("native DupNgramRatio matches the composable form (X5)") {
+    val rnd = new scala.util.Random(41)
+    val texts = Seq("", " ", "one", "a b a b a",
+      "ünïcødé tëxt 日本語 ünïcødé tëxt mixed  multi   space",
+      "tab\tseparated\ttokens tab\tseparated") ++
+      (0 until 30).map(_ => (0 until rnd.nextInt(40))
+        .map(_ => "w" + rnd.nextInt(6)).mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    for (n <- Seq(2, 3)) {
+      val native = TextAnalysis.withDupNgramRatio(df, "text", n, "r")
+        .orderBy("doc_id").collect().map(_.getDouble(2))
+      val hof = TextAnalysis.withDupNgramRatioHof(df, "text", n, "r")
+        .orderBy("doc_id").collect().map(_.getDouble(2))
+      assert(native.toSeq == hof.toSeq, s"n=$n: native vs composable diverge")
+    }
+  }
+
   test("dup n-gram repetition ratio: golden values, short-doc zero (X5)") {
     val df = Seq(
       (1L, "a b a b a"), // 2-grams: ab,ba,ab,ba -> 2/4; 3-grams: 1/3
