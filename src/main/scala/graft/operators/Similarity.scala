@@ -491,8 +491,37 @@ object Similarity {
       vecCol: String, k: Int, cbs: Array[Array[Array[Double]]],
       shortlist: Int = 50): DataFrame = {
     require(shortlist >= k, "shortlist must be >= k")
-    val short = pqTopK(queries, corpus, idCol, vecCol, shortlist, cbs)
-      .select(col("query_id"), col("corpus_id"))
+    exactRerank(
+      pqTopK(queries, corpus, idCol, vecCol, shortlist, cbs)
+        .select(col("query_id"), col("corpus_id")),
+      queries, corpus, idCol, vecCol, k)
+  }
+
+  /** The full serving composition (X3): IVF cluster pruning → PQ/ADC
+    * shortlist → exact cosine re-rank. Every stage keeps its scale
+    * shape: the corpus is pruned by cluster equi-join, scanned as codes
+    * for the shortlist, and touched with real vectors only for the
+    * |Q|·shortlist candidate pairs. */
+  def ivfPqTopKReranked(queries: DataFrame, corpus: DataFrame,
+      centroids: DataFrame, idCol: String, vecCol: String, k: Int,
+      centIdCol: String, centVecCol: String,
+      cbs: Array[Array[Array[Double]]], probe: Int = 1,
+      shortlist: Int = 50): DataFrame = {
+    require(shortlist >= k, "shortlist must be >= k")
+    exactRerank(
+      ivfPqTopK(queries, corpus, centroids, idCol, vecCol, shortlist,
+        centIdCol, centVecCol, cbs, probe)
+        .select(col("query_id"), col("corpus_id")),
+      queries, corpus, idCol, vecCol, k)
+  }
+
+  /** Shared exact-re-rank tail: score ONLY the shortlisted
+    * (query_id, corpus_id) pairs with exact cosine on raw vectors and
+    * re-rank. The candidate set (query-sized) broadcasts; the corpus is
+    * scanned once for the vector fetch, never shuffled. */
+  private def exactRerank(short: DataFrame, queries: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int)
+      : DataFrame = {
     val qv = queries.select(col(idCol).as("query_id"),
       col(vecCol).as("qv"), norm(col(vecCol)).as("qn"))
     val cv = corpus.select(col(idCol).as("corpus_id"),

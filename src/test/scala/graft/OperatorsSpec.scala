@@ -256,6 +256,25 @@ class OperatorsSpec extends TestBase {
     assert(small.length == 10)
   }
 
+  test("full serving chain: IVF → ADC shortlist → exact re-rank (X3)") {
+    val cbs = Similarity.pqCodebooks()
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 250 === 0)
+    val seeds = emb.filter(col("vec_id") < 4)
+    val out = Similarity.ivfPqTopKReranked(queries, emb, seeds, "vec_id",
+      "embedding", k = 5, "vec_id", "embedding", cbs, probe = 2,
+      shortlist = 50).collect()
+    assert(out.length == 10) // 2 queries x k
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq == (1L to 5L))
+      // re-ranked scores are exact cosine: descending within each query
+      val scores = rows.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("IVF-PQ composition prunes to shared clusters, scores by ADC (X3)") {
     val cbs = Similarity.pqCodebooks()
     val emb = spark.read
