@@ -315,6 +315,13 @@ object QuackIO {
     * `collect()` itself; the row-oriented materializer IS `collect()`. */
   def collectColumns(df: DataFrame)
       : scala.collection.immutable.ListMap[String, Array[Any]] = {
+    val dups = df.schema.fieldNames.groupBy(identity).collect {
+      case (n, occ) if occ.length > 1 => n
+    }
+    require(dups.isEmpty,
+      s"collectColumns requires distinct column names (a name-keyed map " +
+        s"would silently drop columns); duplicates: ${dups.mkString(", ")} " +
+        "— alias them apart, or use collect() for positional access")
     val rows = df.collect()
     scala.collection.immutable.ListMap(
       df.schema.fieldNames.zipWithIndex.map { case (n, i) =>

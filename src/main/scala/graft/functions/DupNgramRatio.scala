@@ -42,10 +42,13 @@ case class DupNgramRatio(child: Expression, n: Int)
 
   override def nullSafeEval(input: Any): Any = {
     // same tokenization as TextAnalysis.tokens = split(trim(text), "\s+"):
-    // Spark's StringSplit delegates to java.util.regex with limit -1, so
-    // String.split(regex, -1) over the trimmed string is semantics-equal
-    // (including the [""] result for empty input)
-    val toks = input.asInstanceOf[UTF8String].toString.trim
+    // SQL trim strips ONLY ASCII spaces (UTF8String.trim — NOT Java
+    // String.trim, which also eats \t/\n/\r and would drop the empty
+    // edge token the HOF/oracle forms produce), and Spark's StringSplit
+    // delegates to java.util.regex with limit -1, so String.split(regex,
+    // -1) over the space-trimmed string is semantics-equal (including
+    // the [""] result for empty input)
+    val toks = input.asInstanceOf[UTF8String].trim.toString
       .split("\\s+", -1)
     val total = toks.length - n + 1
     if (total <= 0) return java.lang.Double.valueOf(0.0)

@@ -38,10 +38,18 @@ case class PqDists(child: Expression, cb: Seq[Double], m: Int, k: Int,
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
+  // a too-short vector yields null (below), independent of child nullability
+  override def nullable: Boolean = true
+
   private val flat: Array[Double] = cb.toArray
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
+    // UnsafeArrayData.getFloat is unchecked — a vector shorter than
+    // m*subDim would silently read garbage. The composable form's
+    // element_at past the end yields null, so match that: null out,
+    // never wrong-but-plausible distances.
+    if (v.numElements() < m * subDim) return null
     val out = new Array[Any](m * k)
     var mi = 0
     while (mi < m) {

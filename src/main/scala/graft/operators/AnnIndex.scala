@@ -60,12 +60,17 @@ object AnnIndex {
   /** ADC top-k served from the persisted index: the corpus-side scan
     * reads CODES, never vectors. Bit-identical to
     * `Similarity.pqTopK(queries, corpus, ...)` under the same trained
-    * codebooks. */
+    * codebooks — except self-pair exclusion, which defaults OFF here:
+    * serving queries come from outside the corpus, so an id that
+    * happens to collide with a corpus id must not silently drop that
+    * corpus row from the results. Pass `excludeSelf = true` for
+    * dedup-style calls where queries are corpus rows. */
   def query(spark: SparkSession, dir: String, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int,
+      excludeSelf: Boolean = false): DataFrame = {
     val (codes, cbs) = load(spark, dir)
     Similarity.adcTopK(
       Similarity.pqQueryTables(queries, idCol, vecCol, cbs),
-      codes, cbs.length, k)
+      codes, cbs.length, k, excludeSelf)
   }
 }

@@ -382,26 +382,35 @@ object Similarity {
     * ascending. */
   def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int,
-      cbs: Array[Array[Array[Double]]]): DataFrame =
+      cbs: Array[Array[Array[Double]]],
+      excludeSelf: Boolean = true): DataFrame =
     adcTopK(
       pqQueryTables(queries, idCol, vecCol, cbs),
       pqEncode(corpus, idCol, vecCol, cbs)
         .withColumnRenamed("id", "corpus_id"),
-      cbs.length, k)
+      cbs.length, k, excludeSelf)
 
   /** ADC ranking over PRE-ENCODED corpus codes — the serving-time half
     * of [[pqTopK]], split out so a persisted code table (see
     * [[AnnIndex]]) can be queried without re-encoding the corpus:
     * `q` = (query_id, dt0..dt{m-1}) distance tables, `codes` =
     * (corpus_id, code0..code{m-1}). Queries broadcast; the codes scan
-    * streams. */
+    * streams.
+    *
+    * `excludeSelf` drops pairs whose ids collide — right for the
+    * dedup-style catalog queries where queries ARE corpus rows, wrong
+    * for serving externally-generated query batches against a persisted
+    * index, where an accidental id collision would silently drop a
+    * corpus row ([[AnnIndex.query]] passes false). */
   private[graft] def adcTopK(q: DataFrame, codes: DataFrame, m: Int,
-      k: Int): DataFrame = {
+      k: Int, excludeSelf: Boolean = true): DataFrame = {
     val approx = (0 until m)
       .map(mi => expr(s"element_at(dt$mi, code$mi)"))
       .reduce(_ + _)
-    val scored = broadcast(q).crossJoin(codes)
-      .filter(col("query_id") =!= col("corpus_id"))
+    val paired = broadcast(q).crossJoin(codes)
+    val scored = (if (excludeSelf)
+        paired.filter(col("query_id") =!= col("corpus_id"))
+      else paired)
       .select(col("query_id"), col("corpus_id"),
         round(approx, 6).as("adist"))
     val w = Window.partitionBy("query_id")

@@ -228,11 +228,33 @@ class OperatorsSpec extends TestBase {
       df.collect().map(r =>
         (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
     val fromIndex = rows(graft.operators.AnnIndex.query(spark, dir,
-      queries, "vec_id", "embedding", k = 5))
+      queries, "vec_id", "embedding", k = 5, excludeSelf = true))
     val live = rows(Similarity.pqTopK(queries, emb, "vec_id", "embedding",
       k = 5, trained))
     assert(fromIndex == live,
       "index-served results must be bit-identical to live encoding")
+    // serving default keeps id-colliding corpus rows: an external query
+    // batch whose ids happen to collide must not lose those corpus rows
+    val serving = graft.operators.AnnIndex.query(spark, dir,
+      queries, "vec_id", "embedding", k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    queries.collect().map(_.getLong(0)).foreach { qid =>
+      assert(serving.contains((qid, qid)),
+        s"serving default must keep the colliding corpus row for $qid " +
+          "(the query IS a corpus row, so it attains minimal distance)")
+    }
+  }
+
+  test("PqDists nulls out on a vector shorter than m*subDim") {
+    val cbs = Similarity.pqCodebooks(m = 4, k = 16, subDim = 16) // needs 64
+    val df = Seq((1L, Array.fill(64)(0.5f)), (2L, Array.fill(10)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val out = df.select(col("vec_id"),
+      graft.functions.PqDists.dists(col("embedding"), cbs).as("d"))
+      .orderBy("vec_id").collect()
+    assert(out(0).get(1) != null, "full-length vector must score")
+    assert(out(1).get(1) == null,
+      "short vector must yield null, never garbage distances")
   }
 
   test("ADC shortlist + exact re-rank recovers brute force at full list (X3)") {
@@ -485,7 +507,11 @@ class OperatorsSpec extends TestBase {
     val rnd = new scala.util.Random(41)
     val texts = Seq("", " ", "one", "a b a b a",
       "ünïcødé tëxt 日本語 ünïcødé tëxt mixed  multi   space",
-      "tab\tseparated\ttokens tab\tseparated") ++
+      "tab\tseparated\ttokens tab\tseparated",
+      // edge non-space whitespace: SQL trim strips ONLY spaces, so these
+      // keep an empty edge token after split — native must agree
+      "trailing newline trailing newline\n", "\tleading tab leading tab",
+      "\n", " \t mixed edge mixed edge \n ") ++
       (0 until 30).map(_ => (0 until rnd.nextInt(40))
         .map(_ => "w" + rnd.nextInt(6)).mkString(" "))
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }

@@ -258,6 +258,13 @@ class ReadOptionsSpec extends TestBase {
     assert(cols("a").toSeq == Seq(1L, 2L))
     assert(cols("b").toSeq == Seq("x", "yz"))
     assert(cols("c").toSeq == Seq(1.0, null)) // missing -> null slot
+    // duplicate column names would silently collapse in a name-keyed
+    // map — must refuse instead
+    val dup = QuackIO.readCsv(spark, Seq(p))
+    val err = intercept[IllegalArgumentException] {
+      QuackIO.collectColumns(dup.select(dup("a"), dup("b").as("a")))
+    }
+    assert(err.getMessage.contains("distinct column names"))
   }
 
   test("readFile guessing mode forbids format options (S4 guard)") {
