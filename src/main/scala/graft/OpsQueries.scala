@@ -1187,6 +1187,92 @@ object OpsQueries {
            |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
       }),
 
+    // ----- X3 the COMPLETE serving chain as one entry ----------------------
+    // IVF cluster pruning → PQ/ADC shortlist (50) → exact cosine re-rank:
+    // the three approximate-index stages composed end to end, the
+    // architecture a production vector index actually serves. Oracle =
+    // q60's IVF+ADC CTEs cut at rnk <= 50, finished with q61's exact
+    // re-rank tail.
+    "q64_ivfpq_rerank" -> Entry(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfPqTopKReranked(emb.filter(col("vec_id") % 100 === 0),
+          emb, emb.filter(col("vec_id") < 4), "vec_id", "embedding", k = 5,
+          "vec_id", "embedding", Similarity.pqCodebooks(), probe = 2,
+          shortlist = 50)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy("query_id", "rnk")
+      },
+      Some {
+        def cos(a: String, b: String) =
+          s"""round(
+             |    list_sum([$a[i]::DOUBLE * $b[i]::DOUBLE
+             |      for i in generate_series(1, len($a))]) /
+             |    (sqrt(list_sum([$a[i]::DOUBLE * $a[i]::DOUBLE
+             |      for i in generate_series(1, len($a))])) *
+             |     sqrt(list_sum([$b[i]::DOUBLE * $b[i]::DOUBLE
+             |      for i in generate_series(1, len($b))]))), 6)""".stripMargin
+        val encCols = (0 until 4).map(mi =>
+          s"any_value(CASE WHEN m = $mi THEN" +
+            s" list_position(dists, list_min(dists)) END) AS c$mi")
+          .mkString(",\n           |  ")
+        val qtCols = (0 until 4).map(mi =>
+          s"any_value(CASE WHEN m = $mi THEN dists END) AS dt$mi")
+          .mkString(",\n           |  ")
+        s"""WITH cen AS (SELECT vec_id AS cid, embedding AS cv
+           |  FROM embeddings WHERE vec_id < 4),
+           |sc AS (SELECT e.vec_id, e.embedding, cen.cid,
+           |  ${cos("e.embedding", "cen.cv")} AS cs
+           |  FROM embeddings e, cen),
+           |rnk0 AS (SELECT vec_id, cid, ROW_NUMBER() OVER (
+           |    PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn FROM sc),
+           |asgn AS (SELECT vec_id, cid AS cluster FROM rnk0 WHERE rn = 1),
+           |q AS (SELECT vec_id AS query_id, cid AS cluster FROM rnk0
+           |  WHERE rn <= 2 AND vec_id % 100 = 0),
+           |cbraw AS (SELECT m.m, k.k, j.j,
+           |  CAST(CAST(('0x' || substr(md5('pq_' || m.m || '_' || k.k
+           |    || '_' || j.j), 1, 8)) AS UBIGINT) AS DOUBLE)
+           |    / 4294967296.0 - 0.5 AS c
+           |  FROM (SELECT unnest(generate_series(0, 3)) AS m) m,
+           |       (SELECT unnest(generate_series(0, 15)) AS k) k,
+           |       (SELECT unnest(generate_series(1, 16)) AS j) j),
+           |cb AS (SELECT m, k, list(c ORDER BY j) AS cv
+           |  FROM cbraw GROUP BY 1, 2),
+           |d AS (SELECT e.vec_id, cb.m, cb.k,
+           |  list_sum([(e.embedding[cb.m*16+j]::DOUBLE - cv[j])
+           |    * (e.embedding[cb.m*16+j]::DOUBLE - cv[j])
+           |    for j in generate_series(1, 16)]) AS dist
+           |  FROM embeddings e, cb),
+           |dl AS (SELECT vec_id, m, list(dist ORDER BY k) AS dists
+           |  FROM d GROUP BY 1, 2),
+           |enc AS (SELECT vec_id,
+           |  $encCols
+           |  FROM dl GROUP BY vec_id),
+           |qt AS (SELECT vec_id AS query_id,
+           |  $qtCols
+           |  FROM dl WHERE vec_id % 100 = 0 GROUP BY 1),
+           |s AS (SELECT q.query_id, a.vec_id AS corpus_id,
+           |  round(dt0[c0] + dt1[c1] + dt2[c2] + dt3[c3], 6) AS adist
+           |  FROM q JOIN asgn a USING (cluster)
+           |    JOIN qt ON qt.query_id = q.query_id
+           |    JOIN enc e ON e.vec_id = a.vec_id
+           |  WHERE q.query_id <> a.vec_id),
+           |shortl AS (SELECT query_id, corpus_id FROM (
+           |  SELECT query_id, corpus_id, ROW_NUMBER() OVER (
+           |    PARTITION BY query_id ORDER BY adist ASC, corpus_id) AS rnk
+           |  FROM s) WHERE rnk <= 50),
+           |ex AS (SELECT sl.query_id, sl.corpus_id,
+           |  ${cos("qe.embedding", "ce.embedding")} AS score
+           |  FROM shortl sl
+           |    JOIN embeddings qe ON qe.vec_id = sl.query_id
+           |    JOIN embeddings ce ON ce.vec_id = sl.corpus_id),
+           |r AS (SELECT query_id, corpus_id, score,
+           |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           |    ORDER BY score DESC, corpus_id) AS BIGINT) AS rnk FROM ex)
+           |SELECT query_id, corpus_id, score, rnk FROM r
+           |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+      }),
+
     // ----- X4 multimodal ---------------------------------------------------
 
     "q40_multimodal_meta" -> Entry(
