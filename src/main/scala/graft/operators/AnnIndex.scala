@@ -47,14 +47,19 @@ object AnnIndex {
   /** Load the codebooks (driver-side KB read) + the lazy codes scan. */
   def load(spark: SparkSession, dir: String)
       : (DataFrame, Array[Array[Array[Double]]]) = {
-    val raw = spark.read.parquet(s"$dir/codebooks").collect()
+    val cbs = cbsOf(spark.read.parquet(s"$dir/codebooks"))
+    (spark.read.parquet(s"$dir/codes"), cbs)
+  }
+
+  /** Rebuild the in-memory codebook array from its (m, k, j, c) rows. */
+  private def cbsOf(df: DataFrame): Array[Array[Array[Double]]] = {
+    val raw = df.collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3))
       .toMap
     val m = raw.keys.map(_._1).max + 1
     val k = raw.keys.map(_._2).max + 1
     val subDim = raw.keys.map(_._3).max + 1
-    val cbs = Array.tabulate(m, k, subDim)((mi, ki, j) => raw((mi, ki, j)))
-    (spark.read.parquet(s"$dir/codes"), cbs)
+    Array.tabulate(m, k, subDim)((mi, ki, j) => raw((mi, ki, j)))
   }
 
   /** ADC top-k served from the persisted index: the corpus-side scan
@@ -72,5 +77,60 @@ object AnnIndex {
     Similarity.adcTopK(
       Similarity.pqQueryTables(queries, idCol, vecCol, cbs),
       codes, cbs.length, k, excludeSelf)
+  }
+
+  // ------------------------------------------------- IVF-structured index
+
+  /** IVF-PQ index persisted as metastore tables under `name`: train
+    * codebooks, assign every corpus vector to its nearest centroid,
+    * encode, and write `(corpus_id, cluster, code0..)` BUCKETED on
+    * `cluster` — so at serve time the cluster-size gate's window AND the
+    * candidate equi-join both ride the bucket layout and the corpus side
+    * never exchanges. At 100 TB that shuffle is the dominant serving
+    * cost; bucketing pays it once at build. Centroids and codebooks
+    * persist alongside (`<name>_centroids`, `<name>_codebooks` — both
+    * KB-to-MB sized). Returns the trained codebooks. */
+  def buildIvf(corpus: DataFrame, idCol: String, vecCol: String,
+      name: String, centroids: DataFrame, centIdCol: String,
+      centVecCol: String, m: Int = 4, k: Int = 16, subDim: Int = 16,
+      iters: Int = 2, nBuckets: Int = 16): Array[Array[Array[Double]]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val trained = Similarity.pqTrain(corpus, idCol, vecCol,
+      Similarity.pqCodebooks(m, k, subDim), iters)
+    val assigned = Similarity.ivfAssign(corpus, idCol, vecCol, centroids,
+      centIdCol, centVecCol).select(col("id"), col("cluster"))
+    val codes = assigned
+      .join(Similarity.pqEncode(corpus, idCol, vecCol, trained), "id")
+      .withColumnRenamed("id", "corpus_id")
+    graft.QuackIO.writeBucketedTable(codes, s"${name}_codes", "parquet",
+      Seq("cluster"), nBuckets)
+    centroids.select(col(centIdCol).as("cid"), col(centVecCol).as("cvec"))
+      .write.mode("overwrite").saveAsTable(s"${name}_centroids")
+    val rows = for {
+      mi <- trained.indices
+      ki <- trained(mi).indices
+      j <- trained(mi)(ki).indices
+    } yield (mi, ki, j, trained(mi)(ki)(j))
+    rows.toDF("m", "k", "j", "c").coalesce(1)
+      .write.mode("overwrite").saveAsTable(s"${name}_codebooks")
+    trained
+  }
+
+  /** Serve cluster-pruned ADC top-k from the persisted IVF index:
+    * queries fan to their `probe` nearest persisted centroids and carry
+    * distance tables; the bucketed codes table streams exchange-free.
+    * Bit-identical to `Similarity.ivfPqTopK` under the same codebooks,
+    * centroids, and probe — with serving's keep-colliding-ids default
+    * (see [[query]]). */
+  def queryIvf(spark: SparkSession, name: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, probe: Int = 1,
+      excludeSelf: Boolean = false,
+      maxCluster: Int = 1000000): DataFrame = {
+    val cbs = cbsOf(spark.table(s"${name}_codebooks"))
+    val q = Similarity.ivfQueryTables(queries, idCol, vecCol,
+      spark.table(s"${name}_centroids"), "cid", "cvec", cbs, probe)
+    Similarity.ivfAdcTopK(q, spark.table(s"${name}_codes"), cbs.length, k,
+      excludeSelf, maxCluster)
   }
 }

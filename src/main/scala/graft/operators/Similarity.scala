@@ -560,23 +560,51 @@ object Similarity {
       centIdCol: String, centVecCol: String,
       cbs: Array[Array[Array[Double]]], probe: Int = 1,
       maxCluster: Int = 1000000): DataFrame = {
-    val qa = ivfAssign(queries, idCol, vecCol, centroids, centIdCol,
-      centVecCol, probe).select(col("id"), col("cluster"))
-    val qt = pqTables(queries, idCol, vecCol, cbs)
-    val q = qa.join(qt, "id")
-      .select(col("id").as("query_id") +: col("cluster") +:
-        cbs.indices.map(mi => col(s"__s$mi").as(s"dt$mi")).toIndexedSeq: _*)
+    val q = ivfQueryTables(queries, idCol, vecCol, centroids, centIdCol,
+      centVecCol, cbs, probe)
     val ca = ivfAssign(corpus, idCol, vecCol, centroids, centIdCol,
       centVecCol).select(col("id"), col("cluster"))
     val ce = ca.join(pqEncode(corpus, idCol, vecCol, cbs), "id")
       .withColumnRenamed("id", "corpus_id")
+    ivfAdcTopK(q, ce, cbs.length, k, excludeSelf = true, maxCluster)
+  }
+
+  /** Query-side IVF+ADC state: cluster fan-out (`probe` nearest
+    * centroids) joined to per-subspace distance tables —
+    * (query_id, cluster, dt0..dt{m-1}), `probe` rows per query. */
+  private[graft] def ivfQueryTables(queries: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame, centIdCol: String,
+      centVecCol: String, cbs: Array[Array[Array[Double]]],
+      probe: Int): DataFrame = {
+    val qa = ivfAssign(queries, idCol, vecCol, centroids, centIdCol,
+      centVecCol, probe).select(col("id"), col("cluster"))
+    val qt = pqTables(queries, idCol, vecCol, cbs)
+    qa.join(qt, "id")
+      .select(col("id").as("query_id") +: col("cluster") +:
+        cbs.indices.map(mi => col(s"__s$mi").as(s"dt$mi")).toIndexedSeq: _*)
+  }
+
+  /** Cluster-pruned ADC ranking over PRE-ENCODED, PRE-ASSIGNED corpus
+    * codes — the serving-time half of [[ivfPqTopK]], split out so a
+    * persisted (cluster, codes) table (see [[AnnIndex.buildIvf]]) can be
+    * queried without re-assigning or re-encoding the corpus. `q` =
+    * (query_id, cluster, dt0..dt{m-1}); `ce` = (corpus_id, cluster,
+    * code0..code{m-1}). When `ce` scans a table bucketed on `cluster`,
+    * BOTH the `maxCluster` gate's window and the candidate equi-join
+    * ride the bucket layout — the corpus side never exchanges. */
+  private[graft] def ivfAdcTopK(q: DataFrame, ce: DataFrame, m: Int,
+      k: Int, excludeSelf: Boolean = true,
+      maxCluster: Int = 1000000): DataFrame = {
+    val gated = ce
       .withColumn("__cnt", count(lit(1)).over(Window.partitionBy("cluster")))
       .filter(col("__cnt") <= maxCluster).drop("__cnt")
-    val approx = cbs.indices
+    val approx = (0 until m)
       .map(mi => expr(s"element_at(dt$mi, code$mi)"))
       .reduce(_ + _)
-    val scored = q.join(ce, "cluster")
-      .filter(col("query_id") =!= col("corpus_id"))
+    val paired = q.join(gated, "cluster")
+    val scored = (if (excludeSelf)
+        paired.filter(col("query_id") =!= col("corpus_id"))
+      else paired)
       .select(col("query_id"), col("corpus_id"),
         round(approx, 6).as("adist"))
     val w = Window.partitionBy("query_id")

@@ -257,6 +257,28 @@ class OperatorsSpec extends TestBase {
       "short vector must yield null, never garbage distances")
   }
 
+  test("persisted bucketed IVF index serves bit-identical to live ivfPqTopK") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 250 === 0)
+    val cents = emb.filter(col("vec_id") < 4)
+    val trained = graft.operators.AnnIndex.buildIvf(emb, "vec_id",
+      "embedding", "annivf_t", cents, "vec_id", "embedding", iters = 1,
+      nBuckets = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val served = rows(graft.operators.AnnIndex.queryIvf(spark, "annivf_t",
+      queries, "vec_id", "embedding", k = 5, probe = 2,
+      excludeSelf = true))
+    val live = rows(Similarity.ivfPqTopK(queries, emb, cents, "vec_id",
+      "embedding", k = 5, "vec_id", "embedding", trained, probe = 2))
+    assert(served == live,
+      "index-served IVF results must be bit-identical to live pipeline")
+    Seq("annivf_t_codes", "annivf_t_centroids", "annivf_t_codebooks")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("ADC shortlist + exact re-rank recovers brute force at full list (X3)") {
     val cbs = Similarity.pqCodebooks()
     val emb = spark.read

@@ -73,6 +73,37 @@ class ScaleSpec extends TestBase {
     spark.sql("DROP TABLE IF EXISTS bkt_b")
   }
 
+  test("bucketed IVF index serving never exchanges the codes table") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = emb.filter(col("vec_id") < 4)
+    graft.operators.AnnIndex.buildIvf(emb, "vec_id", "embedding",
+      "annivf_scale", cents, "vec_id", "embedding", iters = 1,
+      nBuckets = 4)
+    val queries = emb.filter(col("vec_id") % 250 === 0)
+    // disable auto-broadcast so the candidate join is a real SMJ — the
+    // shape a 100 TB corpus with a LARGE query batch would take; the
+    // bucketed codes side must still satisfy the join + gate-window
+    // distribution without an Exchange
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.operators.AnnIndex.queryIvf(spark, "annivf_scale",
+        queries, "vec_id", "embedding", k = 5, probe = 2)
+      val p = plan(df)
+      val clusterExchanges =
+        "Exchange hashpartitioning\\(cluster".r.findAllIn(p).length
+      assert(clusterExchanges == 1,
+        s"only the query side may shuffle on cluster — the bucketed codes" +
+          s" scan must ride its layout:\n$p")
+      assert(df.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      Seq("annivf_scale_codes", "annivf_scale_centroids",
+        "annivf_scale_codebooks")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("q33 LSH near-dup scans embeddings ONCE and reuses one exchange") {
     val p = plan(SparkEntry.queries("q33_embed_neardup_lsh")(spark, sf))
     val scans = "Scan parquet".r.findAllIn(p).length
