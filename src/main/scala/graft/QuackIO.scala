@@ -32,6 +32,9 @@ object Sel {
   *  - `nullstr`/`quote`/`escape`: the DuckDB read_csv kwargs of the same
   *    names (the reference passes any kwarg through, `src/QuackIO.jl:91`);
   *    they map 1:1 onto Spark CSV's nullValue/quote/escape
+  *  - `skipRows`: DuckDB's `skip=` — drop N preamble lines from the top
+  *    of EACH file before the (optional) header line; Spark CSV has no
+  *    native equivalent, see [[QuackIO.readCsv]] for the emulation cost
   *  - `extra`: raw passthrough to the Spark `DataFrameReader`
   */
 final case class ReadOptions(
@@ -46,6 +49,7 @@ final case class ReadOptions(
     nullstr: Option[String] = None,
     quote: Option[String] = None,
     escape: Option[String] = None,
+    skipRows: Option[Int] = None,
     extra: Map[String, String] = Map.empty)
 
 /** Write-side options (reference `write_table` kwargs, `src/QuackIO.jl:33-42`).
@@ -110,6 +114,41 @@ object QuackIO {
     opts.escape.foreach(v => reader = reader.option("escape", v))
     reader = reader.options(opts.extra)
 
+    // DuckDB's `skip=` drops N preamble lines from the top of EACH file
+    // (then consumes the header, when present, per file). Spark's CSV
+    // parser has no skip knob, so the emulation parses a line-skipped
+    // text scan instead of the paths: per file, lines ride a
+    // zipWithIndex (costs one extra text pass per file — fine for the
+    // preamble-repair inputs skip exists for), headers are consumed
+    // manually, and names are restored positionally from the real
+    // header line.
+    val skip = opts.skipRows.getOrElse(0)
+    require(skip >= 0, "skipRows must be >= 0")
+    lazy val skippedDs: org.apache.spark.sql.Dataset[String] = {
+      import spark.implicits._
+      val drop = if (header) skip + 1 else skip
+      paths.map { p =>
+        spark.createDataset(spark.sparkContext.textFile(p)
+          .zipWithIndex().filter(_._2 >= drop).map(_._1))
+      }.reduce(_ union _)
+    }
+    lazy val headerNames: Seq[String] =
+      readLineAt(spark, paths.head, skip) match {
+        case Some(l) => splitTopLevel(l, delim).map(_.trim)
+        case None => throw new IllegalArgumentException(
+          s"skipRows=$skip skips past the end of ${paths.head}")
+      }
+    def parse(r: org.apache.spark.sql.DataFrameReader,
+        schemaNamed: Boolean): DataFrame =
+      if (skip == 0) r.csv(paths: _*)
+      else {
+        // resolve the real header BEFORE parsing so a skip past EOF
+        // fails with the skip error, not a downstream inference one
+        val names = if (header && !schemaNamed) Some(headerNames) else None
+        val df = r.option("header", "false").csv(skippedDs)
+        names.fold(df)(ns => df.toDF(ns: _*))
+      }
+
     val base =
       if (opts.columns.nonEmpty) {
         // O3: explicit per-column types. DuckDB *casts on parse* (reads
@@ -119,12 +158,13 @@ object QuackIO {
         val parseSchema = StructType(opts.columns.map { case (n, t) =>
           StructField(n, parseTypeFor(duckTypeToSpark(t)), nullable = true)
         })
-        val raw = reader.schema(parseSchema).csv(paths: _*)
+        val raw = parse(reader.schema(parseSchema), schemaNamed = true)
         raw.select(opts.columns.map { case (n, t) =>
           col(quoted(n)).cast(duckTypeToSpark(t)).as(n)
         }: _*)
       } else {
-        val inferred = reader.option("inferSchema", "true").csv(paths: _*)
+        val inferred = parse(reader.option("inferSchema", "true"),
+          schemaNamed = false)
         val downgraded =
           if (opts.autoTypeCandidates.isEmpty) inferred
           else {
@@ -134,7 +174,7 @@ object QuackIO {
             val schema = StructType(inferred.schema.map { f =>
               f.copy(dataType = narrowestAllowed(f.dataType, allowed))
             })
-            reader.schema(schema).csv(paths: _*)
+            parse(reader.schema(schema), schemaNamed = true)
           }
         if (opts.widenIntegers) widenIntegral(downgraded) else downgraded
       }
@@ -480,7 +520,9 @@ object QuackIO {
     * needing certainty pass `header=Some(...)`. */
   private def resolveCsvShape(spark: SparkSession, path: String,
       opts: ReadOptions): (String, Boolean) = {
-    lazy val firstLine = readFirstLine(spark, path)
+    // with skipRows the sniffed line is the first line that SURVIVES the
+    // skip — preamble junk must not drive the delimiter/header call
+    lazy val firstLine = readLineAt(spark, path, opts.skipRows.getOrElse(0))
     val delim = opts.delim.getOrElse(
       extensionDelim(path).getOrElse(firstLine.fold(",")(sniffDelim)))
     val header = opts.header.getOrElse(
@@ -488,12 +530,15 @@ object QuackIO {
     (delim, header)
   }
 
-  /** Read ONE line through Spark's text source (handles compression codecs
-    * and any Hadoop filesystem); metadata-scale cost, same class as schema
-    * inference. `None` for an empty file. */
-  private def readFirstLine(spark: SparkSession, path: String)
-      : Option[String] =
-    spark.read.text(path).limit(1).collect().headOption.map(_.getString(0))
+  /** Read line `idx` (0-based) through Spark's text source (handles
+    * compression codecs and any Hadoop filesystem); metadata-scale cost,
+    * same class as schema inference — `idx` is a small skip count, never
+    * data-sized. `None` when the file has fewer lines. */
+  private def readLineAt(spark: SparkSession, path: String, idx: Int)
+      : Option[String] = {
+    val ls = spark.read.text(path).limit(idx + 1).collect()
+    if (ls.length > idx) Some(ls(idx).getString(0)) else None
+  }
 
   /** DuckDB-style delimiter sniffing (the reference inherits it through
     * `read_csv`'s auto-detection, `src/QuackIO.jl:69-76`): try each common
@@ -628,7 +673,7 @@ object QuackIO {
     opts.delim.nonEmpty || opts.header.nonEmpty || opts.columns.nonEmpty ||
       opts.names.nonEmpty || opts.autoTypeCandidates.nonEmpty ||
       opts.nullstr.nonEmpty || opts.quote.nonEmpty || opts.escape.nonEmpty ||
-      opts.extra.nonEmpty
+      opts.skipRows.nonEmpty || opts.extra.nonEmpty
 
   /** Extension-based format guess (reference defers to DuckDB's
     * `read_file`/COPY filename sniffing; same extensions honored). */
