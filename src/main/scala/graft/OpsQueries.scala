@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.operators.{AsOfJoin, Connected, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Connected, Decontaminate, Dedup, Multimodal, Sampling, Similarity, TextAnalysis, Vocab}
 
 /** Catalog entries for the LLM-data-pipeline operators (dedup, similarity
   * search, text analysis, multimodal) over the `documents` / `embeddings`
@@ -1366,6 +1366,156 @@ object OpsQueries {
               |  UNION
               |  SELECT reach.id, e.ev FROM reach JOIN e ON e.eu = reach.r)
               |SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster
-              |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin))
+              |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
+
+    // ----- X5 benchmark decontamination ------------------------------------
+    // Docs with doc_id % 97 = 0 stand in for the eval set; their own rows
+    // score 1.0 by construction, everything else measures natural 5-gram
+    // overlap with them. The benchmark side broadcasts (see Decontaminate
+    // scaladoc); the only corpus shuffle is the per-doc count.
+
+    "q65_decontaminate" -> Entry(
+      (s, dir) => {
+        val docs = docsFan(s, dir)
+        Decontaminate.overlap(docs, "doc_id", "text",
+            docs.filter(col("doc_id") % 97 === 0), "text",
+            shingleN = 5, flagAt = 0.5)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $TOKS AS w FROM documents),
+              |shs AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 5 THEN
+              |    [array_to_string(w[i:i+4], ' ')
+              |     for i in generate_series(1, len(w)-4)] ELSE [] END) AS sh
+              |  FROM toks),
+              |bench AS (SELECT list(DISTINCT s) AS bs
+              |  FROM (SELECT unnest(sh) AS s FROM shs WHERE doc_id % 97 = 0)),
+              |m AS (SELECT doc_id, len(sh) AS n_sh,
+              |    len(list_intersect(sh, bs)) AS n_hit FROM shs, bench)
+              |SELECT doc_id, CAST(n_sh AS BIGINT) AS n_shingles,
+              |  CAST(n_hit AS BIGINT) AS n_overlap,
+              |  CASE WHEN n_sh = 0 THEN 0.0
+              |    ELSE CAST(n_hit AS DOUBLE) / CAST(n_sh AS DOUBLE)
+              |  END AS overlap_ratio,
+              |  (CASE WHEN n_sh = 0 THEN 0.0
+              |    ELSE CAST(n_hit AS DOUBLE) / CAST(n_sh AS DOUBLE)
+              |  END) >= 0.5 AS contaminated
+              |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // ----- X5 deterministic stratified sampling ----------------------------
+    // Downsample the over-represented language (the corpus-mixing move):
+    // en keeps 50%, de 25%, every other lang 10% — membership decided by
+    // md5 of the doc's own id, so the sample is a pure scan-level filter
+    // reproducible across engines, runs, and cluster sizes.
+
+    "q66_stratified_sample" -> Entry(
+      (s, dir) => Sampling.stratified(t(s, dir, "documents"),
+          col("doc_id"), col("lang"),
+          Map("en" -> 5000, "de" -> 2500), defaultBp = 1000)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang FROM documents
+             |WHERE CAST(('0x' || substr(md5('sample|' ||
+             |    CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 10000
+             |  < CASE WHEN lang = 'en' THEN 5000
+             |         WHEN lang = 'de' THEN 2500 ELSE 1000 END
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ----- X5 corpus vocabulary --------------------------------------------
+
+    "q67_vocab" -> Entry(
+      (s, dir) => Vocab.vocabulary(docsFan(s, dir), "doc_id", "text",
+          minDf = 25)
+        .orderBy(col("tf_total").desc, col("term"))
+        .limit(40),
+      Some(s"""SELECT t AS term, COUNT(*) AS tf_total,
+              |  COUNT(DISTINCT doc_id) AS df
+              |FROM (SELECT doc_id, unnest($TOKS) AS t FROM documents)
+              |GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 25
+              |ORDER BY tf_total DESC, term LIMIT 40""".stripMargin)),
+
+    // ----- X5 TF-IDF top terms ---------------------------------------------
+    // linearIdf (n/df) keeps the score a chain of exactly-rounded IEEE
+    // ops so both engines produce bit-identical doubles; the ranking it
+    // induces is the same as log IDF's (both strictly decrease in df).
+
+    "q68_tfidf" -> Entry(
+      (s, dir) => Vocab.tfIdfTopTerms(docsFan(s, dir), "doc_id", "text",
+          k = 3, idf = Vocab.linearIdf)
+        .select(col("doc_id"), col("rank").cast("long").as("rank"),
+          col("term"), col("score"))
+        .orderBy("doc_id", "rank"),
+      Some(s"""WITH tok AS (SELECT doc_id, $TOKS AS w FROM documents),
+              |dt AS (SELECT doc_id, len(w) AS doclen, unnest(w) AS term
+              |  FROM tok),
+              |cnts AS (SELECT doc_id, doclen, term, COUNT(*) AS cnt
+              |  FROM dt GROUP BY 1, 2, 3),
+              |tdf AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+              |  FROM cnts GROUP BY 1),
+              |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+              |scored AS (SELECT doc_id, term,
+              |    CAST(cnt AS DOUBLE) / CAST(doclen AS DOUBLE) *
+              |      (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS score
+              |  FROM cnts JOIN tdf USING (term), n),
+              |rk AS (SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY doc_id
+              |    ORDER BY score DESC, term) AS rank, term, score
+              |  FROM scored)
+              |SELECT doc_id, rank, term, score FROM rk
+              |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
+
+    // ----- X1 incremental dedup --------------------------------------------
+    // The production shape: a new batch (the planted-dup corpus) dedups
+    // against the accumulated seen-index (docs with doc_id % 3 = 0)
+    // instead of re-deduping the world. Copies of seen docs carry the
+    // same text, so they drop with their originals.
+
+    "q71_incremental_dedup" -> Entry(
+      (s, dir) => {
+        val seen = docsFan(s, dir).filter(col("doc_id") % 3 === 0)
+        Dedup.dedupAgainst(dupDocs(s, dir), "text", seen, "text")
+          .select(col("doc_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $DupDocsSql,
+              |seen AS (SELECT md5(regexp_replace(lower(trim(text)),
+              |    '\\s+', ' ', 'g')) AS fp
+              |  FROM documents WHERE doc_id % 3 = 0)
+              |SELECT doc_id FROM docs
+              |WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.fp =
+              |  md5(regexp_replace(lower(trim(docs.text)), '\\s+', ' ', 'g')))
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ----- X2 MinHash Jaccard estimation -----------------------------------
+    // Similarity from signatures alone — no text access — scored on the
+    // planted (original, truncated-copy) pairs. k=8 keeps the estimator
+    // coarse (stderr ~0.35) but every component is engine-bit-identical,
+    // so the estimates hash-match exactly.
+
+    "q72_minhash_est" -> Entry(
+      (s, dir) => {
+        val k = 8
+        val sigs = Dedup.minhashSignatures(nearDupDocs(s, dir),
+          "doc_id", "text", k = k, shingleN = 3)
+        val a = sigs.select(col("doc_id").as("doc_a") +:
+          (0 until k).map(i => col(s"m$i").as(s"a$i")): _*)
+        val b = sigs.select(col("doc_id").as("doc_b") +:
+          (0 until k).map(i => col(s"m$i").as(s"b$i")): _*)
+        a.join(b, col("doc_b") === col("doc_a") + 1000000)
+          .select(col("doc_a"), col("doc_b"),
+            Dedup.minhashEstimate(
+              (0 until k).map(i => col(s"a$i")),
+              (0 until k).map(i => col(s"b$i"))).as("jaccard_est"))
+          .orderBy("doc_a")
+      },
+      Some {
+        val agree = (0 until 8)
+          .map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH $NearDupDocsSql,
+           |$MinhashPairsSql
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  CAST($agree AS DOUBLE) / CAST(8 AS DOUBLE) AS jaccard_est
+           |FROM sig a JOIN sig b ON b.doc_id = a.doc_id + 1000000
+           |ORDER BY doc_a""".stripMargin
+      })
   )
 }

@@ -537,8 +537,54 @@ object Queries {
              |  FROM (SELECT user_id, ts, event_id, LAG(ts) OVER (
              |    PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
              |    FROM events))
-             |GROUP BY 1 ORDER BY user_id""".stripMargin))
+             |GROUP BY 1 ORDER BY user_id""".stripMargin)),
+
+    // ----- pivot: long → wide aggregation ----------------------------------
+    // Explicit pivot values keep the output schema static (one pass, no
+    // value-discovery job) — at 100 TB the implicit form's distinct-scan
+    // is a full extra read of the fact table.
+    "q69_pivot" -> Entry(
+      (s, dir) => t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("priority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(dsum(col("o_totalprice")))
+        .withColumnsRenamed(Map(
+          "F" -> "f_total", "O" -> "o_total", "P" -> "p_total"))
+        .orderBy("priority"),
+      Some(s"""SELECT o_orderpriority AS priority,
+              |${pivotCell("F", "f_total")},
+              |${pivotCell("O", "o_total")},
+              |${pivotCell("P", "p_total")}
+              |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin)),
+
+    // ----- unpivot/melt: wide → long ---------------------------------------
+    "q70_unpivot" -> Entry(
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(dsum(col("l_quantity")).as("qty"),
+          dsum(col("l_extendedprice")).as("price"),
+          dsum(col("l_discount")).as("disc"))
+        .unpivot(Array(col("flag")),
+          Array(col("qty"), col("price"), col("disc")),
+          "measure", "value")
+        .orderBy("flag", "measure"),
+      Some(s"""WITH w AS (SELECT l_returnflag AS flag,
+              |    ${S("l_quantity")} AS qty,
+              |    ${S("l_extendedprice")} AS price,
+              |    ${S("l_discount")} AS disc
+              |  FROM lineitem GROUP BY 1)
+              |SELECT flag, measure, value FROM (
+              |  SELECT flag, 'qty' AS measure, qty AS value FROM w
+              |  UNION ALL SELECT flag, 'price', price FROM w
+              |  UNION ALL SELECT flag, 'disc', disc FROM w)
+              |ORDER BY flag, measure""".stripMargin))
   )
+
+  /** SQL twin of one pivot cell: a filtered decimal-exact sum. */
+  private def pivotCell(status: String, alias: String): String =
+    s"""CAST(SUM(CASE WHEN o_orderstatus = '$status'
+       |  THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+       |  AS $alias""".stripMargin
 
   /** Full catalog: core relational + LLM-pipeline operators. */
   def catalog: Seq[(String, Entry)] = core ++ OpsQueries.catalog

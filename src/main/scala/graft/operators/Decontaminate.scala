@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination (X5): flag training documents whose word
+  * n-grams overlap an evaluation/benchmark set — the standard
+  * contamination check every pretraining pipeline runs before training
+  * (n-gram overlap against held-out eval sets, as popularized by the
+  * GPT-3/PaLM appendix methodology).
+  *
+  * Scale shape (the reason this is engine-worthy): the benchmark side is
+  * small by nature — eval sets are KB–MB even when the corpus is 100 TB —
+  * so its distinct shingle set builds in a dwarf aggregation and
+  * BROADCASTS. The corpus side is touched exactly once: shingle + explode
+  * are row-local projections, the membership probe is a broadcast-hash
+  * left join (no corpus exchange), and the only corpus shuffle is the
+  * final per-doc count keyed on `doc_id`.
+  */
+object Decontaminate {
+
+  /** Per-document overlap against the benchmark's shingle set.
+    *
+    * Output: `doc_id`, `n_shingles` (distinct word n-grams in the doc),
+    * `n_overlap` (how many of those appear anywhere in the benchmark),
+    * `overlap_ratio` (= n_overlap / n_shingles, 0.0 for docs shorter
+    * than one shingle), `contaminated` (ratio >= `flagAt`).
+    *
+    * `shingleN` defaults to 8: long enough that natural re-use of common
+    * phrases stays below any sane threshold, short enough to catch
+    * verbatim eval questions (the 8–13 range is the published norm).
+    */
+  def overlap(corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String,
+      shingleN: Int = 8, flagAt: Double = 0.5): DataFrame = {
+    require(shingleN >= 1, s"shingleN must be >= 1, got $shingleN")
+    val benchShingles = benchmark
+      .select(TextAnalysis.tokens(col(benchTextCol)).as("__btoks"))
+      .select(explode(Dedup.shingles(col("__btoks"), shingleN)).as("__bs"))
+      .distinct()
+    val docShingles = corpus
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"),
+        array_distinct(Dedup.shingles(col("__toks"), shingleN)).as("__sh"))
+    // explode_outer keeps sub-shingle-length docs (empty array -> one null
+    // row) so every input doc appears in the output with n_shingles = 0.
+    val probed = docShingles
+      .select(col("doc_id"), size(col("__sh")).as("__n"),
+        explode_outer(col("__sh")).as("__s"))
+      .join(broadcast(benchShingles), col("__s") === col("__bs"), "left")
+    val ratio =
+      when(col("n_shingles") === 0, lit(0.0))
+        .otherwise(col("n_overlap").cast("double") /
+          col("n_shingles").cast("double"))
+    probed.groupBy("doc_id")
+      .agg(max(col("__n")).cast("long").as("n_shingles"),
+        count(col("__bs")).as("n_overlap"))
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        ratio.as("overlap_ratio"),
+        (ratio >= flagAt).as("contaminated"))
+  }
+
+  /** The gate form: drop contaminated docs, keep everything else (all
+    * original columns). [[overlap]]'s verdict needs the per-doc
+    * aggregation, so the survivors left-semi join back onto the corpus
+    * by id; at 100 TB the survivor id set is not broadcastable, so this
+    * is a key-shuffle semi-join — the same cost class as exact dedup. */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String,
+      shingleN: Int = 8, flagAt: Double = 0.5): DataFrame = {
+    val clean = overlap(corpus, idCol, textCol, benchmark, benchTextCol,
+      shingleN, flagAt)
+      .filter(!col("contaminated")).select(col("doc_id").as("__keep"))
+    corpus.join(clean, col(idCol) === col("__keep"), "left_semi")
+  }
+}

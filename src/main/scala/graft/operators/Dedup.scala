@@ -38,6 +38,29 @@ object Dedup {
     df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** X1 incremental dedup: rows of `incoming` whose fingerprint does NOT
+    * already appear in `seen` (all incoming columns preserved). The
+    * everyday production shape — each new crawl/batch dedups against the
+    * accumulated corpus index rather than re-deduping the world.
+    *
+    * Plan: a left-anti join keyed on the md5 fingerprint. Both sides
+    * shuffle on the fingerprint — unavoidable when the seen-set is
+    * billions of keys (not broadcastable); at 100 TB the `seen` side is
+    * the persisted fingerprint index (a few bytes/row), not the corpus,
+    * so the exchange moves hashes, not documents. Incoming-side
+    * duplicates are NOT collapsed here (that is [[exact]]'s job);
+    * composing `exact` then `dedupAgainst` gives the full incremental
+    * pipeline. */
+  def dedupAgainst(incoming: DataFrame, textCol: String,
+      seen: DataFrame, seenTextCol: String): DataFrame = {
+    val seenFps = seen
+      .select(TextAnalysis.fingerprint(col(seenTextCol)).as("__seen_fp"))
+    incoming
+      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .join(seenFps, col("__fp") === col("__seen_fp"), "left_anti")
+      .drop("__fp")
+  }
+
   /** Word n-gram shingles of a token array, joined with single spaces.
     * Empty result when the doc has fewer than n tokens.
     *
@@ -261,5 +284,21 @@ object Dedup {
     val db = array_distinct(b)
     val inter = size(array_intersect(da, db)).cast("double")
     inter / (size(da).cast("double") + size(db).cast("double") - inter)
+  }
+
+  /** MinHash Jaccard ESTIMATE from two k-component signatures: the
+    * fraction of components that agree (the textbook unbiased estimator;
+    * stderr ≈ 1/sqrt(k)). This is what makes MinHash useful at 100 TB —
+    * similarity from 2k fixed-width hashes without touching either text.
+    * Pass the aligned signature columns of both docs (m0..m{k-1} from
+    * [[minhashSignatures]]); the division is one IEEE op of two exact
+    * ints, so the estimate is bit-identical across engines. */
+  def minhashEstimate(sigA: Seq[Column], sigB: Seq[Column]): Column = {
+    require(sigA.nonEmpty && sigA.size == sigB.size,
+      s"signature widths differ: ${sigA.size} vs ${sigB.size}")
+    val agree = sigA.zip(sigB)
+      .map { case (a, b) => when(a === b, 1).otherwise(0) }
+      .reduce(_ + _)
+    agree.cast("double") / lit(sigA.size).cast("double")
   }
 }

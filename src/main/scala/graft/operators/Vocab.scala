@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus vocabulary statistics and TF-IDF term scoring (X5).
+  *
+  * Scale shape: both operators key their shuffles on `term`. Term
+  * frequency is Zipf-skewed by nature, but the aggregations are
+  * partial-agg friendly (map-side combine collapses each partition's
+  * token stream to its distinct terms before the exchange), and AQE's
+  * skew handling covers the head terms; nothing here materializes on
+  * the driver.
+  */
+object Vocab {
+
+  /** Corpus vocabulary: one row per term with collection frequency
+    * (`tf_total`, total occurrences) and document frequency (`df`, how
+    * many docs contain it), keeping terms appearing in at least `minDf`
+    * docs. One scan; shuffles keyed on term only.
+    *
+    * `countDistinct(doc_id)` is exact; its partial aggregation dedups
+    * (term, doc) pairs map-side, so the exchange carries at most one row
+    * per distinct (term, doc) — the same row count a dedicated
+    * pre-distinct would produce.
+    */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String,
+      minDf: Int = 1): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("tf_total"), countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+
+  /** Standard smoothed log IDF: `ln((n+1)/(df+1)) + 1`. Engine libm
+    * implementations differ in final ulps, so oracle-checked pipelines
+    * should use [[linearIdf]]; ranking behavior is the same (both are
+    * strictly decreasing in df). */
+  def logIdf(nDocs: Column, df: Column): Column =
+    log((nDocs.cast("double") + 1.0) / (df.cast("double") + 1.0)) + 1.0
+
+  /** Rational IDF `n/df`: one IEEE division of two exact integers —
+    * bit-identical across engines, same relative ordering as log IDF. */
+  def linearIdf(nDocs: Column, df: Column): Column =
+    nDocs.cast("double") / df.cast("double")
+
+  /** Top-`k` terms per document by TF-IDF.
+    *
+    * Output: `doc_id`, `rank` (1-based), `term`, `score` where
+    * `score = (cnt/doclen) * idf(nDocs, df)` — term frequency normalized
+    * by document length times the chosen IDF. Ties break on term text so
+    * the ranking is total and reproducible.
+    *
+    * Plan: one scan; groupBy (doc, term) for counts (doclen rides along
+    * from a pre-explode projection, so no second per-doc pass); groupBy
+    * term for df; the corpus-wide doc count joins in as a broadcast
+    * 1-row aggregate; df joins back keyed on term; the final top-k is a
+    * row_number window keyed on doc. Every exchange is on a natural key
+    * of the stage that needs it.
+    */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int, idf: (Column, Column) => Column = logIdf): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val docTerms = df
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).as("doclen"),
+        explode(col("__toks")).as("term"))
+      .groupBy("doc_id", "doclen", "term")
+      .agg(count(lit(1)).as("cnt"))
+    val termDf = docTerms.groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val nDocs = df.select(
+      countDistinct(col(idCol)).as("n_docs"))
+    val scored = docTerms
+      .join(termDf, "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"),
+        (col("cnt").cast("double") / col("doclen").cast("double") *
+          idf(col("n_docs"), col("df"))).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    scored
+      .select(col("doc_id"), row_number().over(w).as("rank"),
+        col("term"), col("score"))
+      .filter(col("rank") <= k)
+  }
+}

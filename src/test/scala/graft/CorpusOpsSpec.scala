@@ -1,0 +1,200 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{Decontaminate, Dedup, Sampling, Vocab}
+
+/** Round-5 corpus operators: benchmark decontamination, deterministic
+  * sampling, vocabulary/TF-IDF, incremental dedup, MinHash estimation. */
+class CorpusOpsSpec extends TestBase {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toSeq.toDF("doc_id", "text")
+
+  // ---------- Decontaminate ------------------------------------------------
+
+  test("decontamination overlap: exact copy 1.0, disjoint 0.0, short doc 0") {
+    val bench = docs(900L -> "alpha beta gamma delta epsilon zeta")
+    val corpus = docs(
+      1L -> "alpha beta gamma delta epsilon zeta", // exact copy of bench
+      2L -> "alpha beta gamma delta other words here entirely", // partial
+      3L -> "one two three four five six seven", // disjoint
+      4L -> "tiny doc") // shorter than one 5-shingle
+    val out = Decontaminate.overlap(corpus, "doc_id", "text", bench, "text",
+      shingleN = 5, flagAt = 0.5).orderBy("doc_id").collect()
+
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(byId(1L) == ((2L, 2L, 1.0, true)))
+    // doc 2 shares a 4-token prefix with the bench doc, but every one of
+    // its 5-shingles contains at least one non-bench token — 5-gram
+    // granularity correctly scores word-level overlap as zero
+    assert(byId(2L)._2 == 0L && !byId(2L)._4)
+    assert(byId(3L) == ((3L, 0L, 0.0, false)))
+    assert(byId(4L) == ((0L, 0L, 0.0, false)))
+  }
+
+  test("decontamination gate keeps all original columns, drops flagged") {
+    val bench = docs(900L -> "alpha beta gamma delta epsilon zeta")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "web"),
+      (3L, "one two three four five six seven", "book"))
+      .toDF("doc_id", "text", "source")
+    val kept = Decontaminate.decontaminate(corpus, "doc_id", "text",
+      bench, "text", shingleN = 5, flagAt = 0.5)
+    assert(kept.columns.toSeq == Seq("doc_id", "text", "source"))
+    assert(kept.select("doc_id").as[Long].collect().toSeq == Seq(3L))
+  }
+
+  test("decontamination probe is a broadcast join — corpus never shuffles" +
+    " for the membership check") {
+    val bench = docs(900L -> "alpha beta gamma delta epsilon zeta")
+    val corpus = docs(1L -> "alpha beta gamma delta epsilon zeta")
+    val out = Decontaminate.overlap(corpus, "doc_id", "text", bench, "text")
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast probe:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus-side shuffle join crept in:\n$p")
+  }
+
+  // ---------- Sampling -----------------------------------------------------
+
+  test("bernoulli sample: bp=0 keeps none, bp=10000 keeps all, rate ~ bp") {
+    val ids = spark.range(10000).select(col("id"))
+    assert(Sampling.bernoulli(ids.toDF(), col("id"), 0).count() == 0L)
+    assert(Sampling.bernoulli(ids.toDF(), col("id"), 10000).count() == 10000L)
+    val n = Sampling.bernoulli(ids.toDF(), col("id"), 2500).count()
+    assert(n > 2200 && n < 2800, s"2500bp of 10000 drew $n")
+  }
+
+  test("sample membership is deterministic and repartition-invariant") {
+    val base = spark.range(5000).toDF()
+    val a = Sampling.bernoulli(base, col("id"), 3000)
+      .select("id").as[Long].collect().sorted.toSeq
+    val b = Sampling.bernoulli(base.repartition(17), col("id"), 3000)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+  }
+
+  test("samples are nested: bp=1000 sample is a subset of bp=5000") {
+    val base = spark.range(5000).toDF()
+    val small = Sampling.bernoulli(base, col("id"), 1000)
+      .select("id").as[Long].collect().toSet
+    val big = Sampling.bernoulli(base, col("id"), 5000)
+      .select("id").as[Long].collect().toSet
+    assert(small.subsetOf(big))
+  }
+
+  test("stratified sampling applies per-stratum rates with default") {
+    val df = spark.range(9000).select(col("id"),
+      (when(col("id") % 3 === 0, "en")
+        .when(col("id") % 3 === 1, "de").otherwise("fr")).as("lang"))
+    val out = Sampling.stratified(df, col("id"), col("lang"),
+      Map("en" -> 8000, "de" -> 1000), defaultBp = 0)
+    val counts = out.groupBy("lang").count().as[(String, Long)]
+      .collect().toMap
+    assert(!counts.contains("fr"), "default 0bp must drop the stratum")
+    assert(counts("en") > 2200 && counts("en") < 2700, counts.toString)
+    assert(counts("de") > 200 && counts("de") < 400, counts.toString)
+  }
+
+  test("stratified sample is a pure scan filter — no exchange in the plan") {
+    val dir = s"${tmpDir()}/strat_docs"
+    docs(1L -> "a", 2L -> "b").withColumn("lang", lit("en"))
+      .write.parquet(dir)
+    val out = Sampling.stratified(spark.read.parquet(dir),
+      col("doc_id"), col("lang"), Map("en" -> 5000), defaultBp = 1000)
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"sampling must not shuffle:\n$p")
+  }
+
+  // ---------- Vocab --------------------------------------------------------
+
+  test("vocabulary counts collection and document frequency") {
+    val corpus = docs(
+      1L -> "the cat sat",
+      2L -> "the the dog",
+      3L -> "a dog ran")
+    val v = Vocab.vocabulary(corpus, "doc_id", "text")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(v("the") == ((3L, 2L))) // 3 occurrences across 2 docs
+    assert(v("dog") == ((2L, 2L)))
+    assert(v("cat") == ((1L, 1L)))
+    val fDf = Vocab.vocabulary(corpus, "doc_id", "text", minDf = 2)
+      .select("term").as[String].collect().toSet
+    assert(fDf == Set("the", "dog"))
+  }
+
+  test("tfIdfTopTerms ranks rare terms above common ones, ties on term") {
+    // "zebra" appears once in doc 1 only; "the" appears once in every doc.
+    // Equal tf within a doc, so idf decides; ties break lexicographically.
+    val corpus = docs(
+      1L -> "the zebra runs",
+      2L -> "the dog barks",
+      3L -> "the cat sits")
+    val top = Vocab.tfIdfTopTerms(corpus, "doc_id", "text", k = 3,
+      idf = Vocab.linearIdf)
+      .filter(col("doc_id") === 1L).orderBy("rank")
+      .select("term", "score").as[(String, Double)].collect()
+    assert(top.head._1 == "runs" || top.head._1 == "zebra")
+    // runs/zebra both df=1 tf=1/3 → identical score, term tiebreak
+    assert(top.map(_._1).toSeq == Seq("runs", "zebra", "the"))
+    assert(top(0)._2 == top(1)._2 && top(1)._2 > top(2)._2)
+    // score of a df=1 term in a 3-token doc over 3 docs: (1/3) * (3/1)
+    assert(top(0)._2 == (1.0 / 3.0) * 3.0)
+  }
+
+  test("tfIdfTopTerms respects k and covers every doc") {
+    val corpus = docs(
+      1L -> "alpha beta gamma delta",
+      2L -> "beta gamma",
+      3L -> "gamma")
+    val out = Vocab.tfIdfTopTerms(corpus, "doc_id", "text", k = 2)
+    val byDoc = out.groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(byDoc(1L) == 2L && byDoc(2L) == 2L && byDoc(3L) == 1L)
+  }
+
+  // ---------- incremental dedup -------------------------------------------
+
+  test("dedupAgainst drops fingerprint matches, keeps the rest intact") {
+    val seen = docs(10L -> "Hello   World", 11L -> "old news")
+    val incoming = Seq(
+      (1L, "hello world", "keeps-nothing"), // same fingerprint as seen 10
+      (2L, "fresh content", "kept"),
+      (3L, "fresh content", "kept-dup")) // incoming dups NOT collapsed here
+      .toDF("doc_id", "text", "note")
+    val out = Dedup.dedupAgainst(incoming, "text", seen, "text")
+    assert(out.columns.toSeq == Seq("doc_id", "text", "note"))
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(2L, 3L))
+  }
+
+  // ---------- MinHash estimate --------------------------------------------
+
+  test("minhashEstimate: identical signatures 1.0, bounded, symmetric") {
+    val k = 8
+    val sigs = Dedup.minhashSignatures(
+      docs(1L -> "one two three four five six",
+        2L -> "one two three four five six",
+        3L -> "seven eight nine ten eleven twelve"),
+      "doc_id", "text", k = k, shingleN = 3)
+    val a = sigs.select(col("doc_id").as("ia") +:
+      (0 until k).map(i => col(s"m$i").as(s"a$i")): _*)
+    val b = sigs.select(col("doc_id").as("ib") +:
+      (0 until k).map(i => col(s"m$i").as(s"b$i")): _*)
+    val est = a.crossJoin(b).select(col("ia"), col("ib"),
+      Dedup.minhashEstimate((0 until k).map(i => col(s"a$i")),
+        (0 until k).map(i => col(s"b$i"))).as("e"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(est((1L, 2L)) == 1.0) // identical docs
+    assert(est((1L, 1L)) == 1.0)
+    est.values.foreach(e => assert(e >= 0.0 && e <= 1.0))
+    assert(est((1L, 3L)) == est((3L, 1L)))
+    assert(est((1L, 3L)) < 1.0) // disjoint shingle sets
+  }
+}
