@@ -202,6 +202,14 @@ object QuackIO {
     (readParquet(spark, paths, opts), ParquetMetadata.read(globSafe(paths).head))
   }
 
+  /** ORC scan (self-describing columnar format, same option surface as
+    * [[readParquet]]; DuckDB reads ORC through an extension — format
+    * parity for lakehouse interop). */
+  def readOrc(spark: SparkSession, paths: Seq[String],
+      opts: ReadOptions = ReadOptions()): DataFrame =
+    applySelectLimit(
+      spark.read.options(opts.extra).orc(globSafe(paths): _*), opts)
+
   /** S3: newline-delimited JSON scan (NDJSON is Spark's native JSON model,
     * matching the reference's one-object-per-line files,
     * `test/runtests.jl:43`). */
@@ -234,6 +242,7 @@ object QuackIO {
       case "csv"     => readCsv(spark, paths, opts)
       case "parquet" => readParquet(spark, paths, opts)
       case "json"    => readJson(spark, paths, opts)
+      case "orc"     => readOrc(spark, paths, opts)
       case other =>
         throw new IllegalArgumentException(s"unsupported format '$other'")
     }
@@ -444,6 +453,30 @@ object QuackIO {
     w.saveAsTable(table)
   }
 
+  /** Training-shard writer: the output layout a dataloader wants —
+    * globally range-partitioned by `sortCol` into `shards` disjoint key
+    * ranges, sorted within each shard, with `maxRecordsPerFile` capping
+    * every file so no shard produces an unsplittable multi-GB part.
+    *
+    * All three properties are plan-level and fully parallel:
+    * `repartitionByRange` samples the key distribution (AQE-sized
+    * exchange), `sortWithinPartitions` is a per-partition sort with no
+    * global merge, and the file cap is enforced by the writer per task.
+    * Sorted disjoint shards also give every downstream reader min/max
+    * file statistics that prune on the sort key. */
+  def writeShards(df: DataFrame, dir: String, sortCol: String,
+      shards: Int, maxRecordsPerFile: Long,
+      format: String = "parquet"): Unit = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    require(maxRecordsPerFile >= 1,
+      s"maxRecordsPerFile must be >= 1, got $maxRecordsPerFile")
+    df.repartitionByRange(shards, col(quoted(sortCol)))
+      .sortWithinPartitions(quoted(sortCol))
+      .write.format(format)
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .mode("overwrite").save(dir)
+  }
+
   private def writeDir(df: DataFrame, path: String, fmt: String,
       opts: WriteOptions, partitionBy: Seq[String] = Nil): Unit = {
     val compression = opts.compression.orElse(inferCompression(path))
@@ -470,6 +503,10 @@ object QuackIO {
         var w = df.write.options(opts.extra)
         compression.foreach(c => w = w.option("compression", c))
         part(w).mode("overwrite").parquet(path)
+      case "orc" =>
+        var w = df.write.options(opts.extra)
+        compression.foreach(c => w = w.option("compression", c))
+        part(w).mode("overwrite").orc(path)
       case "json" =>
         // DuckDB writes explicit nulls (`{"c":null}`, test/runtests.jl:43);
         // Spark omits null fields by default — force them on.
@@ -684,6 +721,7 @@ object QuackIO {
       case "csv" | "tsv"              => "csv"
       case "parquet" | "pq"           => "parquet"
       case "json" | "ndjson" | "jsonl" => "json"
+      case "orc"                      => "orc"
     }
   }
 

@@ -79,6 +79,54 @@ class WriteReadRoundTripSpec extends TestBase {
     assertSameRows(QuackIO.readJson(spark, Seq(p)), fixture)
   }
 
+  test("ORC round-trip: single-file writeTable, guessed readFile, dir form") {
+    val dir = tmpDir()
+    val p = s"$dir/tbl.orc"
+    QuackIO.writeTable(fixture, p)
+    assert(java.nio.file.Files.isRegularFile(java.nio.file.Paths.get(p)),
+      "writeTable must produce ONE file at the exact path")
+    assertSameRows(QuackIO.readOrc(spark, Seq(p)), fixture)
+    assertSameRows(QuackIO.readFile(spark, Seq(p)), fixture) // guessed
+    val d = s"$dir/tbl_dir.orc"
+    QuackIO.writeTableDir(fixture, d,
+      WriteOptions(compression = Some("zstd")))
+    assertSameRows(QuackIO.readOrc(spark, Seq(d)), fixture)
+  }
+
+  test("writeShards: capped file sizes, per-file sort, disjoint ranges") {
+    import org.apache.spark.sql.functions.col
+    val dir = s"${tmpDir()}/shards"
+    // write in scrambled order so the layout work is real
+    val df = spark.range(1000).select(
+      ((col("id") * 677) % 1000).as("key"), col("id").as("payload"))
+    QuackIO.writeShards(df, dir, "key", shards = 4, maxRecordsPerFile = 100)
+
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-")).toSeq
+    assert(files.size >= 10, s"4 shards of 250 rows capped at 100 → ≥10 " +
+      s"files, got ${files.size}")
+    // per-file: cap respected and rows sorted by key
+    val perFile = files.map { f =>
+      val keys = spark.read.parquet(f.toString)
+        .select("key").collect().map(_.getLong(0)).toSeq
+      assert(keys.size <= 100, s"${f.getName} has ${keys.size} rows")
+      assert(keys == keys.sorted, s"${f.getName} not sorted")
+      f.getName -> (keys.min, keys.max)
+    }
+    // shards (partition id = the part-NNNNN prefix) cover disjoint ranges
+    val byShard = perFile.groupBy(_._1.split("-")(1)).toSeq.sortBy(_._1)
+      .map { case (sid, fs) =>
+        sid -> (fs.map(_._2._1).min, fs.map(_._2._2).max) }
+    assert(byShard.size == 4, s"expected 4 shards, got ${byShard.map(_._1)}")
+    byShard.sliding(2).foreach {
+      case Seq((_, (_, maxA)), (_, (minB, _))) =>
+        assert(maxA <= minB, s"shard ranges overlap: $byShard")
+      case _ => ()
+    }
+    // nothing lost or duplicated
+    assert(spark.read.parquet(dir).count() == 1000L)
+  }
+
   test("uppercase format throws before creating the file (error contract)") {
     val dir = tmpDir()
     val p = s"$dir/tbl.csv"
