@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.operators.{AsOfJoin, Connected, Decontaminate, Dedup, Multimodal, Sampling, Similarity, TextAnalysis, Vocab}
+import graft.operators.{AsOfJoin, Connected, Decontaminate, Dedup, Multimodal, Pipelines, Sampling, Similarity, TextAnalysis, Vocab}
 
 /** Catalog entries for the LLM-data-pipeline operators (dedup, similarity
   * search, text analysis, multimodal) over the `documents` / `embeddings`
@@ -1516,6 +1516,85 @@ object OpsQueries {
            |  CAST($agree AS DOUBLE) / CAST(8 AS DOUBLE) AS jaccard_est
            |FROM sig a JOIN sig b ON b.doc_id = a.doc_id + 1000000
            |ORDER BY doc_a""".stripMargin
-      })
+      }),
+
+    // ----- X5 quantile-calibrated quality gate ----------------------------
+    // Keep the top length quartile without hand-picking a threshold.
+    // exact=true for the oracle (quantile interpolation lands on f=.25
+    // over integer scores — bit-exact in both engines); production uses
+    // the default percentile_approx sketch.
+
+    "q73_quantile_gate" -> Entry(
+      (s, dir) => {
+        val scored = t(s, dir, "documents").select(col("doc_id"),
+          col("lang"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        Pipelines.keepTopQuantile(scored, "n_tokens", 0.75, exact = true)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"), min("n_tokens").as("min_tokens"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH scored AS (SELECT doc_id, lang,
+              |    CAST(len($TOKS) AS BIGINT) AS n_tokens FROM documents),
+              |cut AS (SELECT quantile_cont(n_tokens, 0.75) AS c FROM scored)
+              |SELECT lang, COUNT(*) AS n, MIN(n_tokens) AS min_tokens
+              |FROM scored, cut WHERE CAST(n_tokens AS DOUBLE) >= c
+              |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ----- X3 per-label embedding centroids --------------------------------
+
+    "q74_label_centroids" -> Entry(
+      (s, dir) => Similarity.labelCentroids(
+          t(s, dir, "embeddings"), "label", "embedding")
+        .orderBy("label"),
+      Some("""WITH comp AS (SELECT label, j, embedding[j] AS x
+             |  FROM embeddings,
+             |    unnest(generate_series(1, len(embedding))) AS u(j)),
+             |m AS (SELECT label, j,
+             |    CAST(list_reduce(list_sort(list(CAST(x AS DOUBLE))),
+             |        (a, b) -> a + b)
+             |      / CAST(COUNT(*) AS BIGINT)::DOUBLE AS REAL) AS mu,
+             |    COUNT(*) AS n
+             |  FROM comp GROUP BY 1, 2)
+             |SELECT label, list(mu ORDER BY j) AS centroid,
+             |  MAX(n) AS n_vectors
+             |FROM m GROUP BY label ORDER BY label""".stripMargin)),
+
+    // ----- X2 keep-best representative per duplicate cluster ---------------
+    // q54 labels the near-dup clusters; this picks the member to KEEP —
+    // longest copy wins (min id on ties) instead of arbitrary min-id.
+    // Docs never paired keep themselves as singleton clusters.
+
+    "q75_keep_best" -> Entry(
+      (s, dir) => {
+        val docs = nearDupDocs(s, dir)
+        val pairs = Dedup.minhashCandidates(docs, "doc_id", "text",
+          k = 8, rowsPerBand = 2, shingleN = 3)
+        val clusters = Connected.components(pairs, "doc_a", "doc_b")
+        Dedup.keepBest(
+            docs.withColumn("n_tokens",
+              TextAnalysis.tokenCount(col("text"))),
+            "doc_id", "n_tokens", clusters, "id", "comp")
+          .orderBy("cluster")
+      },
+      Some(s"""WITH RECURSIVE $NearDupDocsSql,
+              |$MinhashPairsSql,
+              |e AS (SELECT doc_a AS eu, doc_b AS ev FROM pairs
+              |  UNION SELECT doc_b, doc_a FROM pairs),
+              |reach(id, r) AS (
+              |  SELECT eu, eu FROM e
+              |  UNION
+              |  SELECT reach.id, e.ev FROM reach JOIN e ON e.eu = reach.r),
+              |comp AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+              |labeled AS (SELECT COALESCE(comp.cluster, d.doc_id) AS cluster,
+              |    d.doc_id, CAST(len($TOKS) AS BIGINT) AS n_tokens
+              |  FROM docs d LEFT JOIN comp ON comp.id = d.doc_id),
+              |rk AS (SELECT cluster, doc_id, n_tokens,
+              |    ROW_NUMBER() OVER (PARTITION BY cluster
+              |      ORDER BY n_tokens DESC, doc_id) AS rn,
+              |    COUNT(*) OVER (PARTITION BY cluster) AS cluster_size
+              |  FROM labeled)
+              |SELECT cluster, doc_id AS keep_id, n_tokens AS score,
+              |  cluster_size
+              |FROM rk WHERE rn = 1 ORDER BY cluster""".stripMargin))
   )
 }

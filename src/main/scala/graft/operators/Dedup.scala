@@ -286,6 +286,40 @@ object Dedup {
     inter / (size(da).cast("double") + size(db).cast("double") - inter)
   }
 
+  /** Representative selection after duplicate clustering: one row per
+    * cluster keeping the BEST-scoring member (highest `scoreCol`, min id
+    * on ties) instead of [[exact]]'s arbitrary min-id — "of every
+    * near-dup cluster, keep the longest/highest-quality copy", the keep
+    * policy real curation wants.
+    *
+    * `clusters` is an (id → cluster) labeling, e.g.
+    * [[Connected.components]] output over near-dup pairs; docs absent
+    * from it (never paired) form their own singleton cluster. The argmax
+    * is a single `max(struct(score, -id))` aggregation — one shuffle
+    * keyed on cluster, no window sort — after a key-shuffle left join
+    * attaches labels (at 100 TB the pair-graph labeling is small but not
+    * broadcastable in general).
+    *
+    * Output: `cluster`, `keep_id`, `score` (the kept doc's),
+    * `cluster_size`. */
+  def keepBest(docs: DataFrame, idCol: String, scoreCol: String,
+      clusters: DataFrame, clusterIdCol: String, clusterLabelCol: String)
+      : DataFrame = {
+    val labeled = docs
+      .join(clusters, docs(idCol) === clusters(clusterIdCol), "left")
+      .select(
+        coalesce(col(clusterLabelCol), docs(idCol)).cast("long")
+          .as("cluster"),
+        docs(idCol).cast("long").as("__id"),
+        docs(scoreCol).as("__score"))
+    labeled.groupBy("cluster")
+      .agg(max(struct(col("__score").as("s"), (-col("__id")).as("negId")))
+          .as("__best"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("cluster"), (-col("__best.negId")).as("keep_id"),
+        col("__best.s").as("score"), col("cluster_size"))
+  }
+
   /** MinHash Jaccard ESTIMATE from two k-component signatures: the
     * fraction of components that agree (the textbook unbiased estimator;
     * stderr ≈ 1/sqrt(k)). This is what makes MinHash useful at 100 TB —

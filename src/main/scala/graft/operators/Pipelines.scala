@@ -64,4 +64,28 @@ object Pipelines {
     deduped.join(dropIds, Seq(idCol), "left_anti")
       .select(col(idCol), col("pred"), col("__ntok").as("n_tokens"))
   }
+
+  /** Quantile-calibrated quality gate: keep rows whose `scoreCol` sits at
+    * or above the corpus's `q`-quantile — "keep the best (1-q) fraction"
+    * without hand-picking a threshold that drifts with every corpus mix.
+    *
+    * The cutoff is a one-row aggregate broadcast back over the corpus, so
+    * the whole gate is one aggregation pass plus one filtered scan.
+    *
+    * `exact = false` (default) measures the cutoff with
+    * `percentile_approx` — a mergeable sketch whose partial aggregation
+    * scales to 100 TB. `exact = true` uses the exact interpolating
+    * percentile, which buffers every value of its (single) group on one
+    * reducer: right for tests and oracle parity, wrong at corpus scale.
+    */
+  def keepTopQuantile(df: DataFrame, scoreCol: String, q: Double,
+      exact: Boolean = false): DataFrame = {
+    require(q > 0.0 && q < 1.0, s"q must be in (0, 1), got $q")
+    val fn = if (exact) "percentile" else "percentile_approx"
+    val cut = df.agg(
+      expr(s"$fn(`$scoreCol`, $q)").cast("double").as("__cut"))
+    df.crossJoin(broadcast(cut))
+      .filter(col(scoreCol).cast("double") >= col("__cut"))
+      .drop("__cut")
+  }
 }

@@ -290,6 +290,42 @@ object Similarity {
     cents.toDF(centIdCol, centVecCol)
   }
 
+  /** Per-label embedding centroid (mean pooling): one row per label with
+    * the element-wise mean vector and the member count — class
+    * prototypes, cluster summaries, k-means initialization.
+    *
+    * Fully distributed, unlike [[kmeansRefine]] (whose centroid set is
+    * driver-bound by design): posexplode → per-(label, dim) mean →
+    * ordered re-assembly; two shuffles, keyed on (label, dim) then
+    * label, no driver materialization, so labels can number in the
+    * millions.
+    *
+    * The mean is a SORTED-FOLD in double (the q46 sorted-fold identity):
+    * collect the group's components, sort, fold left from 0.0 — order-
+    * independent across partitionings AND engine-bit-identical (every
+    * engine performs the same IEEE addition sequence; decimal casts of
+    * floats are NOT portable — Spark rounds the shortest decimal
+    * representation where DuckDB rounds the binary value, so their last
+    * ulps disagree). Per-group state is one float per member; for
+    * billion-member labels trade exactness for a plain `sum(cast)` mean.
+    */
+  def labelCentroids(df: DataFrame, labelCol: String, vecCol: String)
+      : DataFrame =
+    df.select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("pos", "comp")))
+      .groupBy("label", "pos")
+      .agg(sort_array(collect_list(col("comp"))).as("__xs"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        (aggregate(col("__xs"), lit(0.0), (a, x) => a + x.cast("double")) /
+          col("n").cast("double")).cast("float").as("mu"),
+        col("n"))
+      .groupBy("label")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("mu")))),
+        x => x.getField("mu")).as("centroid"),
+        max(col("n")).as("n_vectors"))
+
   /** Diagnostic companion to [[ivfTopK]]: corpus clusters its `maxCluster`
     * gate would DROP (cluster id + row count) under the given centroid set,
     * so the recall trade-off is observable instead of silent. A non-empty

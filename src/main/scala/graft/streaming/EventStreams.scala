@@ -69,6 +69,19 @@ object EventStreams {
       // would grow state forever; adding ts to the keys wouldn't dedup)
       .dropDuplicatesWithinWatermark(fpCol)
 
+  /** Stream-static incremental dedup: drop stream records whose content
+    * fingerprint already exists in a static seen-index — the streaming
+    * face of [[graft.operators.Dedup.dedupAgainst]] (new crawl batches
+    * arriving as a stream, deduped against the accumulated corpus). A
+    * stream-static LEFT ANTI join is stateless — the static side is
+    * planned per micro-batch, no watermark or state store — so it
+    * composes freely with [[streamingDedup]], which covers in-stream
+    * duplicates that a static index can't know about. */
+  def streamingDedupAgainst(stream: DataFrame, fpCol: String,
+      seen: DataFrame, seenFpCol: String): DataFrame =
+    stream.join(seen.select(col(seenFpCol).as("__seen_fp")),
+      stream(fpCol) === col("__seen_fp"), "left_anti")
+
   /** Stream-static enrichment: join an unbounded stream against a batch
     * dimension table. Spark plans the static side as a broadcast (or
     * re-reads it per micro-batch if too large) — no state, no watermark

@@ -173,6 +173,69 @@ class CorpusOpsSpec extends TestBase {
       Seq(2L, 3L))
   }
 
+  // ---------- quantile gate ------------------------------------------------
+
+  test("keepTopQuantile keeps the top quartile, exact and approx agree here") {
+    val df = spark.range(100).select(col("id"), (col("id") * 7 % 100)
+      .as("score"))
+    val exact = graft.operators.Pipelines
+      .keepTopQuantile(df, "score", 0.75, exact = true)
+    // scores are 0..99 once each; p75 of 0..99 = 74.25 → keep >= 74.25
+    assert(exact.count() == 25L)
+    assert(exact.agg(min("score")).head().getLong(0) == 75L)
+    val approx = graft.operators.Pipelines
+      .keepTopQuantile(df, "score", 0.75)
+    // percentile_approx returns a member value (74), not the
+    // interpolated 74.25 — so the approximate gate admits one more row
+    assert(approx.count() == 26L)
+    // all original columns survive
+    assert(exact.columns.toSeq == Seq("id", "score"))
+  }
+
+  // ---------- label centroids ---------------------------------------------
+
+  test("labelCentroids: hand-checked means, member counts, dim order") {
+    val df = Seq(
+      (0, Seq(1.0f, 10.0f)),
+      (0, Seq(3.0f, 30.0f)),
+      (1, Seq(5.0f, -5.0f)))
+      .toDF("label", "embedding")
+    val out = graft.operators.Similarity
+      .labelCentroids(df, "label", "embedding")
+      .orderBy("label")
+      .as[(Int, Seq[Float], Long)].collect()
+    assert(out.toSeq == Seq(
+      (0, Seq(2.0f, 20.0f), 2L),
+      (1, Seq(5.0f, -5.0f), 1L)))
+  }
+
+  test("labelCentroids means are partitioning-invariant (sorted fold)") {
+    val df = Seq.tabulate(97)(i =>
+      (i % 3, Seq((i * 0.317f) % 1.0f, (i * 0.713f) % 1.0f)))
+      .toDF("label", "embedding")
+    def run(d: org.apache.spark.sql.DataFrame) = graft.operators.Similarity
+      .labelCentroids(d, "label", "embedding")
+      .orderBy("label").as[(Int, Seq[Float], Long)].collect().toSeq
+    assert(run(df) == run(df.repartition(13)))
+  }
+
+  // ---------- keep-best representative ------------------------------------
+
+  test("keepBest keeps highest score (min id tie-break), singletons stay") {
+    val docsDf = Seq(
+      (1L, 10L), (2L, 99L), (3L, 99L), // cluster A: 2 and 3 tie on score
+      (7L, 5L)) // never clustered → singleton
+      .toDF("doc_id", "quality")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "comp")
+    val out = Dedup.keepBest(docsDf, "doc_id", "quality",
+        clusters, "id", "comp")
+      .orderBy("cluster")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 99L, 3L), // cluster 1: doc 2 wins the tie over doc 3
+      (7L, 7L, 5L, 1L))) // singleton keeps itself
+  }
+
   // ---------- MinHash estimate --------------------------------------------
 
   test("minhashEstimate: identical signatures 1.0, bounded, symmetric") {
