@@ -199,6 +199,50 @@ class ScaleSpec extends TestBase {
     assert(scans <= 4, s"expected <=4 scans, got $scans:\n$p")
   }
 
+  test("q65 decontamination probes via broadcast; one corpus-count shuffle") {
+    val p = plan(SparkEntry.queries("q65_decontaminate")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark probe must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus must not shuffle for the membership check:\n$p")
+  }
+
+  test("q71 incremental dedup ships fingerprints, not documents") {
+    val p = plan(SparkEntry.queries("q71_incremental_dedup")(spark, sf))
+    // the seen-side scan must prune to the text column that feeds the
+    // fingerprint — reading all columns would ship whole documents
+    val seenScans = p.linesIterator.filter(_.contains("Scan parquet")).toSeq
+    assert(seenScans.nonEmpty)
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("source"), // documents has lang/source/n_chars cols
+      s"seen side must not read non-fingerprint columns:\n$p")
+  }
+
+  test("q73 quantile gate: one broadcast cutoff, no corpus-wide sort") {
+    val p = plan(SparkEntry.queries("q73_quantile_gate")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"the 1-row cutoff must broadcast back over the corpus:\n$p")
+    // exact percentile aggregates; it must NOT appear as a global Sort
+    // of the corpus (the sort happens inside the aggregation buffer)
+    val sorts = p.linesIterator.count(l =>
+      l.contains("Sort ") && l.contains("global=true"))
+    assert(sorts <= 1, s"unexpected corpus-wide sorts:\n$p") // final orderBy only
+  }
+
+  test("q74 label centroids: exchanges keyed on (label,pos) then label only") {
+    val df = SparkEntry.queries("q74_label_centroids")(spark, sf)
+    df.collect()
+    val p = plan(df)
+    // AQE final plan: hashpartitioning on label,pos and label (+ the
+    // rangepartitioning of the final orderBy); nothing keyed on vec_id —
+    // the corpus is never reshuffled by row identity
+    assert(!p.contains("hashpartitioning(vec_id"),
+      s"centroids must not shuffle by row id:\n$p")
+    assert(p.contains("hashpartitioning(label"),
+      s"expected label-keyed aggregation exchanges:\n$p")
+  }
+
   test("GraftSession defaults pin the scale posture") {
     val c = GraftSession.defaultConfs(32)
     assert(c("spark.sql.adaptive.skewJoin.enabled") == "true")
