@@ -1595,6 +1595,51 @@ object OpsQueries {
               |  FROM labeled)
               |SELECT cluster, doc_id AS keep_id, n_tokens AS score,
               |  cluster_size
-              |FROM rk WHERE rn = 1 ORDER BY cluster""".stripMargin))
+              |FROM rk WHERE rn = 1 ORDER BY cluster""".stripMargin)),
+
+    // ----- X5 unigram LM quality score ("perplexity filter") ---------------
+    // Mean log2 p(token) under the corpus's own unigram distribution.
+    // round(6) absorbs engine libm log2 ulps (the q46 precedent); the
+    // per-doc sum folds over the SORTED (term, cnt, tf) list so both
+    // engines perform the identical IEEE addition sequence.
+
+    "q76_unigram_logprob" -> Entry(
+      (s, dir) => Vocab.unigramLogProb(docsFan(s, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(s"""WITH dt AS (SELECT doc_id, unnest($TOKS) AS term
+              |  FROM documents),
+              |cnts AS (SELECT doc_id, term, COUNT(*) AS cnt
+              |  FROM dt GROUP BY 1, 2),
+              |vocab AS (SELECT term, SUM(cnt) AS tf FROM cnts GROUP BY 1),
+              |tot AS (SELECT CAST(SUM(tf) AS DOUBLE) AS n_total FROM vocab),
+              |per AS (SELECT doc_id, n_total,
+              |    list_sort(list(struct_pack(term := term, cnt := cnt,
+              |      tf := tf))) AS xs,
+              |    CAST(SUM(cnt) AS BIGINT) AS n_tokens
+              |  FROM cnts JOIN vocab USING (term), tot
+              |  GROUP BY doc_id, n_total)
+              |SELECT doc_id, n_tokens,
+              |  round(list_reduce(
+              |    [CAST(x.cnt AS DOUBLE) *
+              |       log2(CAST(x.tf AS DOUBLE) / n_total) for x in xs],
+              |    (a, b) -> a + b) / CAST(n_tokens AS DOUBLE), 6)
+              |    AS logprob
+              |FROM per ORDER BY doc_id""".stripMargin)),
+
+    // ----- X5 quality-weighted sampling ------------------------------------
+    // Keep rate proportional to doc length (capped at 100%): the
+    // quality-weighted resampling move, deterministic per doc id.
+
+    "q77_weighted_sample" -> Entry(
+      (s, dir) => Sampling.weighted(t(s, dir, "documents"),
+          col("doc_id"),
+          TextAnalysis.tokenCount(col("text")) * lit(25))
+        .select(col("doc_id"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id FROM documents
+              |WHERE CAST(('0x' || substr(md5('sample|' ||
+              |    CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 10000
+              |  < GREATEST(0, LEAST(10000, len($TOKS) * 25))
+              |ORDER BY doc_id""".stripMargin))
   )
 }

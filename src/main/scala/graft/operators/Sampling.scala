@@ -30,6 +30,16 @@ object Sampling {
     df.filter(draw(key, salt) < bp)
   }
 
+  /** Weighted sample: per-ROW keep rate in basis points, from any column
+    * expression (clamped to [0, 10000]). The quality-weighted resampling
+    * move — upweight high-quality docs by keeping them at a higher rate —
+    * with the same determinism guarantees as [[bernoulli]]: membership
+    * depends only on (key, salt, weight), never on partitioning. */
+  def weighted(df: DataFrame, key: Column, weightBp: Column,
+      salt: String = "sample"): DataFrame =
+    df.filter(draw(key, salt) <
+      greatest(lit(0), least(lit(10000), weightBp)))
+
   /** Stratified sample: per-stratum rates in basis points with a default
     * for unlisted strata. The rate lookup is a CASE chain over the
     * (small, driver-known) strata map — still a pure projection; the

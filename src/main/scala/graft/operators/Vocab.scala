@@ -44,6 +44,46 @@ object Vocab {
   def linearIdf(nDocs: Column, df: Column): Column =
     nDocs.cast("double") / df.cast("double")
 
+  /** Unigram language-model quality score: each doc's mean per-token
+    * log2-probability under the corpus's own unigram distribution — the
+    * classic "perplexity filter" shape (docs of improbable tokens score
+    * low; boilerplate scores high), self-trained so it needs no external
+    * model.
+    *
+    * Output: `doc_id`, `n_tokens`, `logprob` (mean log2 p(token),
+    * rounded to 6 — libm log2 differs across engines in final ulps; the
+    * per-doc sum is a SORTED fold over the doc's (term, cnt) list so it
+    * is also order-independent across partitionings).
+    *
+    * Plan: groupBy (doc, term) → term-keyed join against the unigram
+    * table → per-doc fold. The corpus-total token count joins in as a
+    * broadcast 1-row aggregate. Every exchange is keyed on doc or term;
+    * nothing materializes on the driver. */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val docTerms = df
+      .select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("cnt"))
+    val unigrams = docTerms.groupBy("term").agg(sum(col("cnt")).as("tf"))
+    val total = unigrams.select(sum(col("tf")).cast("double").as("n_total"))
+    docTerms
+      .join(unigrams, "term")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id", "n_total")
+      .agg(sort_array(collect_list(struct(col("term"), col("cnt"),
+        col("tf")))).as("__xs"),
+        sum(col("cnt")).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(
+          aggregate(col("__xs"), lit(0.0), (acc, x) =>
+            acc + x.getField("cnt").cast("double") *
+              log2(x.getField("tf").cast("double") / col("n_total"))) /
+            col("n_tokens").cast("double"),
+          6).as("logprob"))
+  }
+
   /** Top-`k` terms per document by TF-IDF.
     *
     * Output: `doc_id`, `rank` (1-based), `term`, `score` where

@@ -158,6 +158,46 @@ class CorpusOpsSpec extends TestBase {
     assert(byDoc(1L) == 2L && byDoc(2L) == 2L && byDoc(3L) == 1L)
   }
 
+  // ---------- unigram LM quality score ------------------------------------
+
+  test("unigramLogProb: hand-checked means over the corpus distribution") {
+    // vocab: a->2, b->2, c->1, total 5
+    val corpus = docs(1L -> "a a b", 2L -> "b c")
+    val out = Vocab.unigramLogProb(corpus, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    // doc 1: every token has p = 2/5 → mean = log2(0.4)
+    // doc 2: (log2(2/5) + log2(1/5)) / 2
+    val l04 = math.log(0.4) / math.log(2.0)
+    val l02 = math.log(0.2) / math.log(2.0)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out == Seq(
+      (1L, 3L, r6(l04)),
+      (2L, 2L, r6((l04 + l02) / 2.0))))
+  }
+
+  test("unigramLogProb is partitioning-invariant (sorted fold)") {
+    val corpus = docs((0L until 60L).map(i =>
+      i -> s"tok${i % 7} tok${i % 3} tok${i % 11} shared words here"): _*)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Vocab.unigramLogProb(d, "doc_id", "text")
+        .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(run(corpus) == run(corpus.repartition(19)))
+  }
+
+  // ---------- weighted sampling --------------------------------------------
+
+  test("weighted sample: clamps, scales with weight, deterministic") {
+    val df = spark.range(4000).select(col("id"),
+      (col("id") % 2 * 10000).as("w")) // half weight-0, half weight-10000
+    val kept = Sampling.weighted(df, col("id"), col("w"))
+      .select("id").as[Long].collect()
+    assert(kept.forall(_ % 2 == 1), "weight-0 rows must never be kept")
+    assert(kept.length == 2000, "weight-10000 rows must always be kept")
+    // negative weights clamp to 0 instead of corrupting the draw
+    val neg = Sampling.weighted(df, col("id"), lit(-5) * col("id"))
+    assert(neg.count() == 0L)
+  }
+
   // ---------- incremental dedup -------------------------------------------
 
   test("dedupAgainst drops fingerprint matches, keeps the rest intact") {
