@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -472,6 +472,46 @@ object QuackIO {
       s"maxRecordsPerFile must be >= 1, got $maxRecordsPerFile")
     df.repartitionByRange(shards, col(quoted(sortCol)))
       .sortWithinPartitions(quoted(sortCol))
+      .write.format(format)
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .mode("overwrite").save(dir)
+  }
+
+  /** Morton/Z-value of two non-negative integer columns: their low
+    * `bits` bits interleaved (a in even positions, b in odd) — a pure
+    * column expression (shifts + ORs, codegen-friendly, no UDF).
+    * `bits <= 31` keeps the result in a positive long. */
+  def zValue(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a.cast("long"), i).bitwiseAND(1L),
+          2 * i))
+        .bitwiseOR(shiftleft(shiftright(b.cast("long"), i).bitwiseAND(1L),
+          2 * i + 1))
+    }
+  }
+
+  /** Z-ordered layout: [[writeShards]] on the Morton code of TWO columns
+    * instead of one sort key. A single-column sort gives parquet min/max
+    * pruning on that column only — every file spans the full range of
+    * the second column. Interleaving the bits bounds every file in BOTH
+    * dimensions, so scans filtering on either (or both) columns skip
+    * row groups; this is the standard lakehouse layout move for
+    * two-dimensional selective queries at 100 TB. Same fully-parallel
+    * plan as [[writeShards]]: sampled range exchange on the z-value,
+    * per-partition sort, per-task file cap. The helper z column is
+    * dropped before writing. */
+  def writeZOrdered(df: DataFrame, dir: String,
+      colA: String, colB: String, shards: Int, maxRecordsPerFile: Long,
+      bits: Int = 21, format: String = "parquet"): Unit = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    require(maxRecordsPerFile >= 1,
+      s"maxRecordsPerFile must be >= 1, got $maxRecordsPerFile")
+    df.withColumn("__z", zValue(col(quoted(colA)), col(quoted(colB)), bits))
+      .repartitionByRange(shards, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
       .write.format(format)
       .option("maxRecordsPerFile", maxRecordsPerFile.toString)
       .mode("overwrite").save(dir)

@@ -355,7 +355,11 @@ object Queries {
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 3)
           .select(col("o_custkey").as("custkey"),
-            col("o_orderkey").as("orderkey"), col("rn"))
+            col("o_orderkey").as("orderkey"),
+            // long, matching the oracle's BIGINT ROW_NUMBER exactly (the
+            // driver's compare tolerates int32-vs-int64, but exact types
+            // keep any stricter differ green too)
+            col("rn").cast("long").as("rn"))
           .orderBy("custkey", "rn")
       },
       Some("""SELECT o_custkey AS custkey, o_orderkey AS orderkey, rn

@@ -127,6 +127,61 @@ class WriteReadRoundTripSpec extends TestBase {
     assert(spark.read.parquet(dir).count() == 1000L)
   }
 
+  test("zValue interleaves bits and is a bijection on the grid") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    // 5 = 101, 3 = 011 → interleaved (a even, b odd) = 011011 = 27
+    val one = spark.range(1)
+      .select(QuackIO.zValue(lit(5L), lit(3L), 3).as("z"))
+      .head().getLong(0)
+    assert(one == 27L)
+    val grid = spark.range(64).select((col("id") / 8).cast("long").as("a"),
+      (col("id") % 8).cast("long").as("b"))
+    val zs = grid.select(QuackIO.zValue(col("a"), col("b"), 3).as("z"))
+      .as[Long].collect()
+    assert(zs.distinct.length == 64 && zs.min == 0L && zs.max == 63L)
+  }
+
+  test("writeZOrdered prunes second-column filters where a 1-key sort can't") {
+    import org.apache.spark.sql.functions.col
+    val base = tmpDir()
+    val zdir = s"$base/zorder"
+    val sdir = s"$base/asort"
+    val grid = spark.range(64 * 64).select(
+      (col("id") / 64).cast("long").as("a"),
+      (col("id") % 64).cast("long").as("b"))
+    QuackIO.writeZOrdered(grid, zdir, "a", "b",
+      shards = 4, maxRecordsPerFile = 256, bits = 6)
+    QuackIO.writeShards(grid, sdir, "a",
+      shards = 4, maxRecordsPerFile = 256)
+
+    // per-file b min/max — what parquet row-group stats pruning sees for
+    // the selective b-only predicate b IN [8, 15]
+    def touched(dir: String): (Int, Int) = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("part-")).toSeq
+      val hit = files.count { f =>
+        val bs = spark.read.parquet(f.toString)
+          .agg(org.apache.spark.sql.functions.min("b"),
+            org.apache.spark.sql.functions.max("b"))
+          .head()
+        bs.getLong(0) <= 15L && bs.getLong(1) >= 8L
+      }
+      (hit, files.size)
+    }
+    val (zHit, zAll) = touched(zdir)
+    val (sHit, sAll) = touched(sdir)
+    assert(zAll >= 16 && sAll >= 16, s"caps must split files: $zAll, $sAll")
+    // the a-sorted layout leaves b unordered inside every file → every
+    // file's b stats straddle [8, 15]; the z-layout keeps b locally
+    // bounded, so most files prune away
+    assert(sHit == sAll, s"1-key layout should touch all files: $sHit/$sAll")
+    assert(zHit * 2 <= zAll + 2,
+      s"z-layout should prune most files: touched $zHit of $zAll")
+    assert(spark.read.parquet(zdir).count() == 4096L)
+    assert(spark.read.parquet(zdir).columns.toSeq.sorted == Seq("a", "b"))
+  }
+
   test("uppercase format throws before creating the file (error contract)") {
     val dir = tmpDir()
     val p = s"$dir/tbl.csv"
