@@ -107,6 +107,61 @@ object OpsQueries {
           .as("text")))
   }
 
+  /** q42's full DuckDB oracle (curation pipeline: lang gate → quality
+    * gate → exact dedup → LSH near-dup removal), shared with q79 which
+    * splices decontamination CTEs into the same chain. */
+  private lazy val Q42Sql: String = {
+    val lt = """regexp_split_to_array(trim(lower(text)), '\s+')"""
+    val mins = (0 until 8)
+      .map(i => s"min(md5('$i|' || s)) AS m$i").mkString(", ")
+    val bands = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, md5(m${2 * b} || m${2 * b + 1}) AS bv FROM sig")
+      .mkString(" UNION ALL ")
+    s"""WITH $NearDupDocsSql,
+       |lid AS (SELECT doc_id, text, CASE WHEN zh > 0 THEN 'zh'
+       |    WHEN de > en AND de > fr AND de > es THEN 'de'
+       |    WHEN fr > en AND fr >= de AND fr > es THEN 'fr'
+       |    WHEN es > en AND es >= de AND es >= fr THEN 'es'
+       |    ELSE 'en' END AS pred, ntok
+       |  FROM (SELECT doc_id, text,
+       |    ${stopCnt(lt, TextAnalysis.EnStop)} AS en,
+       |    ${stopCnt(lt, TextAnalysis.DeStop)} AS de,
+       |    ${stopCnt(lt, TextAnalysis.FrStop)} AS fr,
+       |    ${stopCnt(lt, TextAnalysis.EsStop)} AS es,
+       |    len(regexp_extract_all(text, '[一-鿿]')) AS zh,
+       |    len($TOKS) AS ntok
+       |    FROM docs)),
+       |kept AS (SELECT doc_id, text, pred, ntok FROM lid
+       |  WHERE pred = 'en' AND ntok >= 10),
+       |ded AS (SELECT doc_id, text, pred, ntok FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY
+       |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+       |    ORDER BY doc_id) AS rn FROM kept) WHERE rn = 1),
+       |toks AS (SELECT doc_id, $TOKS AS w FROM ded),
+       |shing AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s
+       |  FROM toks, unnest(CASE WHEN len(w) >= 3
+       |    THEN generate_series(1, len(w)-2) ELSE [] END) AS u(i)),
+       |sig AS (SELECT doc_id, $mins FROM shing GROUP BY doc_id),
+       |bands AS ($bands),
+       |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+       |sets AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3 THEN
+       |    [array_to_string(w[i:i+2], ' ')
+       |     for i in generate_series(1, len(w)-2)] ELSE [] END) AS sh
+       |  FROM toks),
+       |jac AS (SELECT doc_a, doc_b,
+       |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |  (CAST(len(sa.sh) AS DOUBLE) + CAST(len(sb.sh) AS DOUBLE)
+       |   - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)) AS j
+       |  FROM cands JOIN sets sa ON cands.doc_a = sa.doc_id
+       |    JOIN sets sb ON cands.doc_b = sb.doc_id),
+       |dropids AS (SELECT DISTINCT doc_b FROM jac WHERE j >= 0.5)
+       |SELECT doc_id, pred, CAST(ntok AS BIGINT) AS n_tokens FROM ded
+       |WHERE doc_id NOT IN (SELECT doc_b FROM dropids)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val catalog: Seq[(String, Entry)] = Seq(
 
     // ----- X5 text analysis ------------------------------------------------
@@ -505,57 +560,8 @@ object OpsQueries {
       (s, dir) => graft.operators.Pipelines.curate(
         nearDupDocs(s, dir), "doc_id", "text")
         .orderBy("doc_id"),
-      Some {
-        val lt = """regexp_split_to_array(trim(lower(text)), '\s+')"""
-        val mins = (0 until 8)
-          .map(i => s"min(md5('$i|' || s)) AS m$i").mkString(", ")
-        val bands = (0 until 4).map(b =>
-          s"SELECT doc_id, $b AS band, md5(m${2 * b} || m${2 * b + 1}) AS bv FROM sig")
-          .mkString(" UNION ALL ")
-        s"""WITH $NearDupDocsSql,
-           |lid AS (SELECT doc_id, text, CASE WHEN zh > 0 THEN 'zh'
-           |    WHEN de > en AND de > fr AND de > es THEN 'de'
-           |    WHEN fr > en AND fr >= de AND fr > es THEN 'fr'
-           |    WHEN es > en AND es >= de AND es >= fr THEN 'es'
-           |    ELSE 'en' END AS pred, ntok
-           |  FROM (SELECT doc_id, text,
-           |    ${stopCnt(lt, TextAnalysis.EnStop)} AS en,
-           |    ${stopCnt(lt, TextAnalysis.DeStop)} AS de,
-           |    ${stopCnt(lt, TextAnalysis.FrStop)} AS fr,
-           |    ${stopCnt(lt, TextAnalysis.EsStop)} AS es,
-           |    len(regexp_extract_all(text, '[一-鿿]')) AS zh,
-           |    len($TOKS) AS ntok
-           |    FROM docs)),
-           |kept AS (SELECT doc_id, text, pred, ntok FROM lid
-           |  WHERE pred = 'en' AND ntok >= 10),
-           |ded AS (SELECT doc_id, text, pred, ntok FROM (
-           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY
-           |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
-           |    ORDER BY doc_id) AS rn FROM kept) WHERE rn = 1),
-           |toks AS (SELECT doc_id, $TOKS AS w FROM ded),
-           |shing AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s
-           |  FROM toks, unnest(CASE WHEN len(w) >= 3
-           |    THEN generate_series(1, len(w)-2) ELSE [] END) AS u(i)),
-           |sig AS (SELECT doc_id, $mins FROM shing GROUP BY doc_id),
-           |bands AS ($bands),
-           |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM bands a JOIN bands b
-           |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
-           |sets AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3 THEN
-           |    [array_to_string(w[i:i+2], ' ')
-           |     for i in generate_series(1, len(w)-2)] ELSE [] END) AS sh
-           |  FROM toks),
-           |jac AS (SELECT doc_a, doc_b,
-           |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-           |  (CAST(len(sa.sh) AS DOUBLE) + CAST(len(sb.sh) AS DOUBLE)
-           |   - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)) AS j
-           |  FROM cands JOIN sets sa ON cands.doc_a = sa.doc_id
-           |    JOIN sets sb ON cands.doc_b = sb.doc_id),
-           |dropids AS (SELECT DISTINCT doc_b FROM jac WHERE j >= 0.5)
-           |SELECT doc_id, pred, CAST(ntok AS BIGINT) AS n_tokens FROM ded
-           |WHERE doc_id NOT IN (SELECT doc_b FROM dropids)
-           |ORDER BY doc_id""".stripMargin
-      }),
+      Some(Q42Sql)),
+
 
     // ----- X-pipe curation with the repetition gate ------------------------
     // q42's pipeline plus the Gopher-style dup-2-gram gate between the
@@ -1640,6 +1646,63 @@ object OpsQueries {
               |WHERE CAST(('0x' || substr(md5('sample|' ||
               |    CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 10000
               |  < GREATEST(0, LEAST(10000, len($TOKS) * 25))
-              |ORDER BY doc_id""".stripMargin))
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ----- X2 cross-document repeated passages -----------------------------
+    // The substring-dedup signal: 10-gram windows shared by ≥2 docs.
+    // The planted-copy corpus guarantees repeats; fixed-width output per
+    // passage keeps a million-doc boilerplate block as cheap as a pair.
+
+    "q78_repeated_passages" -> Entry(
+      (s, dir) => Dedup.repeatedPassages(dupDocs(s, dir),
+          "doc_id", "text", n = 10, minDocs = 2)
+        .orderBy("passage"),
+      Some(s"""WITH $DupDocsSql,
+              |toks AS (SELECT doc_id, $TOKS AS w FROM docs),
+              |sh AS (SELECT DISTINCT doc_id,
+              |    array_to_string(w[i:i+9], ' ') AS s
+              |  FROM toks, unnest(CASE WHEN len(w) >= 10
+              |    THEN generate_series(1, len(w)-9) ELSE [] END) AS u(i)),
+              |g AS (SELECT s, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc,
+              |    MAX(doc_id) AS last_doc
+              |  FROM sh GROUP BY s HAVING COUNT(*) >= 2)
+              |SELECT md5(s) AS passage, s AS passage_text, n_docs,
+              |  first_doc, last_doc
+              |FROM g ORDER BY passage""".stripMargin)),
+
+    // ----- X-pipe full curation: gates → dedup → near-dup → decon ----------
+    // q42's pipeline with benchmark decontamination as the final stage
+    // (eval set = original docs with doc_id % 97 = 0, 5-gram overlap).
+
+    "q79_curation_decon" -> Entry(
+      (s, dir) => graft.operators.Pipelines.curate(
+          nearDupDocs(s, dir), "doc_id", "text",
+          benchmark = Some(docsFan(s, dir)
+            .filter(col("doc_id") % 97 === 0).select(col("text"))),
+          deconShingleN = 5, deconFlagAt = 0.5)
+        .orderBy("doc_id"),
+      Some {
+        val deconCtes =
+          s""",bt AS (SELECT $TOKS AS w FROM documents WHERE doc_id % 97 = 0),
+             |bench AS (SELECT list(DISTINCT s) AS bs FROM (
+             |  SELECT array_to_string(w[i:i+4], ' ') AS s FROM bt,
+             |    unnest(CASE WHEN len(w) >= 5
+             |      THEN generate_series(1, len(w)-4) ELSE [] END) AS u(i))),
+             |dsh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 5 THEN
+             |    [array_to_string(w[i:i+4], ' ')
+             |     for i in generate_series(1, len(w)-4)] ELSE [] END) AS sh
+             |  FROM (SELECT doc_id, $TOKS AS w FROM docs)),
+             |contam AS (SELECT doc_id FROM dsh, bench
+             |  WHERE len(sh) > 0 AND CAST(len(list_intersect(sh, bs)) AS
+             |    DOUBLE) / CAST(len(sh) AS DOUBLE) >= 0.5)
+             |SELECT""".stripMargin
+        // splice: reuse q42's CTE chain verbatim, add the decon CTEs
+        // before its final SELECT and the NOT-IN-contaminated predicate
+        Q42Sql
+          .replace("\nSELECT doc_id, pred,", deconCtes + " doc_id, pred,")
+          .replace("WHERE doc_id NOT IN (SELECT doc_b FROM dropids)",
+            "WHERE doc_id NOT IN (SELECT doc_b FROM dropids)\n" +
+              "  AND doc_id NOT IN (SELECT doc_id FROM contam)")
+      })
   )
 }

@@ -286,6 +286,33 @@ object Dedup {
     inter / (size(da).cast("double") + size(db).cast("double") - inter)
   }
 
+  /** Cross-document repeated passages (the signal substring-level dedup
+    * à la ExactSubstr targets): word `n`-gram windows occurring in at
+    * least `minDocs` DISTINCT documents — boilerplate headers, license
+    * blocks, templated spam that whole-doc dedup never sees.
+    *
+    * Output is fixed-width per passage (hash, text, doc count, min/max
+    * doc id): no per-group collections, so a passage shared by millions
+    * of docs costs the same as one shared by two. One corpus scan;
+    * both shuffles key on the window text — the (doc, window) distinct
+    * and the count combine map-side. */
+  def repeatedPassages(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 50, minDocs: Int = 2): DataFrame = {
+    require(n >= 1 && minDocs >= 2,
+      s"need n >= 1 and minDocs >= 2, got n=$n minDocs=$minDocs")
+    df.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), explode(shingles(col("__toks"), n)).as("s"))
+      .distinct() // one (doc, window) pair even when repeated in-doc
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .filter(col("n_docs") >= minDocs)
+      .select(md5(col("s")).as("passage"), col("s").as("passage_text"),
+        col("n_docs"), col("first_doc"), col("last_doc"))
+  }
+
   /** Representative selection after duplicate clustering: one row per
     * cluster keeping the BEST-scoring member (highest `scoreCol`, min id
     * on ties) instead of [[exact]]'s arbitrary min-id — "of every

@@ -28,11 +28,17 @@ object Pipelines {
     * `minTokens` is the quality gate; `maxDupNgramRatio` (when set) adds
     * the Gopher-style repetition gate — another row-local projection, so
     * it too runs BEFORE any shuffle; `jaccardThreshold` drives near-dup
-    * removal (higher id of a verified pair is dropped). */
+    * removal (higher id of a verified pair is dropped); `benchmark`
+    * (when set) appends [[Decontaminate]] as the final stage — the
+    * eval-set shingles broadcast and the near-dup survivors are the only
+    * rows that pay the contamination count, since the verdict is per-doc
+    * and gate-independent. */
   def curate(df: DataFrame, idCol: String, textCol: String,
       keepLang: String = "en", minTokens: Long = 10,
       jaccardThreshold: Double = 0.5,
-      maxDupNgramRatio: Option[Double] = None): DataFrame = {
+      maxDupNgramRatio: Option[Double] = None,
+      benchmark: Option[DataFrame] = None, benchTextCol: String = "text",
+      deconShingleN: Int = 8, deconFlagAt: Double = 0.5): DataFrame = {
     // Gates FIRST: they are row-local projections, so Catalyst keeps
     // them next to the scan and the fingerprint shuffle only carries
     // surviving rows (dedup-before-gates reads identically — exact
@@ -61,8 +67,17 @@ object Pipelines {
       deduped.select(col(idCol), col(textCol)), idCol, textCol,
       jaccardThreshold)
     val dropIds = pairs.select(col("doc_b").as(idCol)).distinct()
-    deduped.join(dropIds, Seq(idCol), "left_anti")
-      .select(col(idCol), col("pred"), col("__ntok").as("n_tokens"))
+    val survivors = deduped.join(dropIds, Seq(idCol), "left_anti")
+    val deconned = benchmark.fold(survivors) { b =>
+      val contaminated = Decontaminate.overlap(
+          survivors.select(col(idCol), col(textCol)), idCol, textCol,
+          b, benchTextCol, deconShingleN, deconFlagAt)
+        .filter(col("contaminated"))
+        .select(col("doc_id").as("__contam"))
+      survivors.join(contaminated,
+        survivors(idCol) === col("__contam"), "left_anti")
+    }
+    deconned.select(col(idCol), col("pred"), col("__ntok").as("n_tokens"))
   }
 
   /** Quantile-calibrated quality gate: keep rows whose `scoreCol` sits at

@@ -276,6 +276,43 @@ class CorpusOpsSpec extends TestBase {
       (7L, 7L, 5L, 1L))) // singleton keeps itself
   }
 
+  // ---------- repeated passages -------------------------------------------
+
+  test("repeatedPassages finds cross-doc windows, ignores in-doc repeats") {
+    val corpus = docs(
+      1L -> "the quick brown fox jumps",
+      2L -> "said the quick brown fox yesterday",
+      3L -> "the quick brown fox the quick brown fox", // in-doc repeat only
+      4L -> "completely unrelated text here")
+    val out = Dedup.repeatedPassages(corpus, "doc_id", "text",
+        n = 4, minDocs = 2)
+      .orderBy("passage_text")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    // "the quick brown fox" appears in docs 1, 2, 3 (once each after the
+    // per-doc distinct); no other 4-gram is shared
+    assert(out.map(_._2) == Seq("the quick brown fox"))
+    assert(out.head._3 == 3L && out.head._4 == 1L && out.head._5 == 3L)
+  }
+
+  test("curate with a benchmark drops contaminated survivors only") {
+    val bench = docs(900L ->
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    val corpus = docs(
+      // clean doc: survives every gate (en stopwords, >=10 tokens)
+      1L -> ("the cat and the dog are in the house with a bird " +
+        "and the mouse is here too"),
+      // contaminated: same gates pass, but text IS the benchmark + filler
+      2L -> ("the alpha beta gamma delta epsilon zeta eta theta iota " +
+        "kappa and the end is here with more of the filler"))
+    val withB = graft.operators.Pipelines.curate(corpus, "doc_id", "text",
+      benchmark = Some(bench), deconShingleN = 5, deconFlagAt = 0.2)
+      .select("doc_id").as[Long].collect().toSeq
+    val withoutB = graft.operators.Pipelines.curate(corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(withoutB == Seq(1L, 2L), s"both docs pass the base gates: $withoutB")
+    assert(withB == Seq(1L), s"benchmark stage must drop doc 2: $withB")
+  }
+
   // ---------- MinHash estimate --------------------------------------------
 
   test("minhashEstimate: identical signatures 1.0, bounded, symmetric") {
