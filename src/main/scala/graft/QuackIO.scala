@@ -50,6 +50,7 @@ final case class ReadOptions(
     quote: Option[String] = None,
     escape: Option[String] = None,
     skipRows: Option[Int] = None,
+    unionByName: Boolean = false,
     extra: Map[String, String] = Map.empty)
 
 /** Write-side options (reference `write_table` kwargs, `src/QuackIO.jl:33-42`).
@@ -185,11 +186,18 @@ object QuackIO {
     applySelectLimit(named, opts)
   }
 
-  /** S2: Parquet scan (self-describing schema; no inference options). */
+  /** S2: Parquet scan (self-describing schema; no inference options).
+    * `unionByName` is DuckDB's `union_by_name=true` kwarg (the reference
+    * passes any kwarg through): files with different-but-compatible
+    * schemas scan as the union of their columns, absent columns null —
+    * Spark's `mergeSchema`. Off by default, like DuckDB: schema merging
+    * reads every file's footer up front, a real cost at 100 TB. */
   def readParquet(spark: SparkSession, paths: Seq[String],
-      opts: ReadOptions = ReadOptions()): DataFrame =
-    applySelectLimit(
-      spark.read.options(opts.extra).parquet(globSafe(paths): _*), opts)
+      opts: ReadOptions = ReadOptions()): DataFrame = {
+    val r = spark.read.options(opts.extra)
+    val r2 = if (opts.unionByName) r.option("mergeSchema", "true") else r
+    applySelectLimit(r2.parquet(globSafe(paths): _*), opts)
+  }
 
   /** S2b: parquet scan + footer KV metadata in one call, matching the
     * reference's auto-attach ergonomics (`read_parquet` hands metadata to

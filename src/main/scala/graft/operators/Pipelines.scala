@@ -68,9 +68,14 @@ object Pipelines {
       jaccardThreshold)
     val dropIds = pairs.select(col("doc_b").as(idCol)).distinct()
     val survivors = deduped.join(dropIds, Seq(idCol), "left_anti")
+    // contamination flags come from the RAW corpus, not the survivors:
+    // the verdict is per-doc and gate-independent, and the survivors
+    // subtree is unmaterialized — feeding it to Decontaminate would
+    // recompute the whole gates→dedup→near-dup pipeline a second time
+    // (measured: 9 scans instead of 6 on the catalog entry)
     val deconned = benchmark.fold(survivors) { b =>
       val contaminated = Decontaminate.overlap(
-          survivors.select(col(idCol), col(textCol)), idCol, textCol,
+          df.select(col(idCol), col(textCol)), idCol, textCol,
           b, benchTextCol, deconShingleN, deconFlagAt)
         .filter(col("contaminated"))
         .select(col("doc_id").as("__contam"))

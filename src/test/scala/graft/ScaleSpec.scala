@@ -243,6 +243,15 @@ class ScaleSpec extends TestBase {
       s"expected label-keyed aggregation exchanges:\n$p")
   }
 
+  test("q79 decon stage adds corpus+bench scans, not a pipeline recompute") {
+    val p = plan(SparkEntry.queries("q79_curation_decon")(spark, sf))
+    // q42's 4-scan budget + the raw-corpus contamination pass (2 scans —
+    // the planted union) + the benchmark scan. Feeding the SURVIVORS to
+    // Decontaminate instead recomputes the whole pipeline (9 scans).
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 7, s"expected <=7 scans, got $scans:\n$p")
+  }
+
   test("GraftSession defaults pin the scale posture") {
     val c = GraftSession.defaultConfs(32)
     assert(c("spark.sql.adaptive.skewJoin.enabled") == "true")
