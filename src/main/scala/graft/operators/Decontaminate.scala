@@ -32,12 +32,19 @@ object Decontaminate {
     */
   def overlap(corpus: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchTextCol: String,
-      shingleN: Int = 8, flagAt: Double = 0.5): DataFrame = {
+      shingleN: Int = 8, flagAt: Double = 0.5,
+      broadcastBench: Boolean = true): DataFrame = {
     require(shingleN >= 1, s"shingleN must be >= 1, got $shingleN")
-    val benchShingles = benchmark
+    // broadcastBench=false drops the hint for the rare giant benchmark
+    // (the probe becomes a fingerprint-keyed shuffle join instead of
+    // forcing an executor-OOM broadcast); eval sets are normally KB-MB,
+    // so the broadcast is the default
+    val benchShingles0 = benchmark
       .select(TextAnalysis.tokens(col(benchTextCol)).as("__btoks"))
       .select(explode(Dedup.shingles(col("__btoks"), shingleN)).as("__bs"))
       .distinct()
+    val benchShingles =
+      if (broadcastBench) broadcast(benchShingles0) else benchShingles0
     val docShingles = corpus
       .select(col(idCol).as("doc_id"),
         TextAnalysis.tokens(col(textCol)).as("__toks"))
@@ -48,7 +55,7 @@ object Decontaminate {
     val probed = docShingles
       .select(col("doc_id"), size(col("__sh")).as("__n"),
         explode_outer(col("__sh")).as("__s"))
-      .join(broadcast(benchShingles), col("__s") === col("__bs"), "left")
+      .join(benchShingles, col("__s") === col("__bs"), "left")
     val ratio =
       when(col("n_shingles") === 0, lit(0.0))
         .otherwise(col("n_overlap").cast("double") /

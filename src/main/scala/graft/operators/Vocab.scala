@@ -58,7 +58,10 @@ object Vocab {
     * Plan: groupBy (doc, term) → term-keyed join against the unigram
     * table → per-doc fold. The corpus-total token count joins in as a
     * broadcast 1-row aggregate. Every exchange is keyed on doc or term;
-    * nothing materializes on the driver. */
+    * nothing materializes on the driver. (Like [[tfIdfTopTerms]], the
+    * unigram table is a second aggregation pass rather than a
+    * term-partitioned window — head-term window partitions skew to one
+    * task, while aggregation+join stays combinable and AQE-splittable.) */
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     val docTerms = df
@@ -97,6 +100,14 @@ object Vocab {
     * 1-row aggregate; df joins back keyed on term; the final top-k is a
     * row_number window keyed on doc. Every exchange is on a natural key
     * of the stage that needs it.
+    *
+    * Deliberate trade-off: `df` could avoid its recompute of the
+    * (doc, term) aggregate by becoming `count(*) over (partition by
+    * term)` — but term frequency is Zipf-skewed, and a window partition
+    * is ONE task per term (a head term's partition holds a row per
+    * containing doc — billions at corpus scale), whereas the two-pass
+    * aggregation combines map-side and AQE splits the skewed join. Extra
+    * scans are linear; skew is not.
     */
   def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
       k: Int, idf: (Column, Column) => Column = logIdf): DataFrame = {
