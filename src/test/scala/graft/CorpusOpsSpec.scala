@@ -313,6 +313,31 @@ class CorpusOpsSpec extends TestBase {
     assert(withB == Seq(1L), s"benchmark stage must drop doc 2: $withB")
   }
 
+  // ---------- degenerate inputs -------------------------------------------
+
+  test("corpus ops degrade cleanly on an empty corpus") {
+    val empty = docs().select(col("doc_id"), col("text"))
+    val bench = docs(1L -> "a b c d e f g h")
+    assert(Decontaminate.overlap(empty, "doc_id", "text",
+      bench, "text").count() == 0L)
+    assert(Vocab.vocabulary(empty, "doc_id", "text").count() == 0L)
+    assert(Vocab.tfIdfTopTerms(empty, "doc_id", "text", 3).count() == 0L)
+    assert(Vocab.unigramLogProb(empty, "doc_id", "text").count() == 0L)
+    assert(Dedup.repeatedPassages(empty, "doc_id", "text").count() == 0L)
+    assert(Sampling.bernoulli(empty, col("doc_id"), 5000).count() == 0L)
+    // quantile gate: the cutoff aggregate is NULL on empty input; the
+    // >= comparison is then never true — empty out, no crash
+    assert(graft.operators.Pipelines
+      .keepTopQuantile(empty.withColumn("s", lit(1)), "s", 0.5)
+      .count() == 0L)
+    // empty benchmark: nothing can be contaminated
+    val corpus = docs(1L -> "a b c d e f g h")
+    val out = Decontaminate.overlap(corpus, "doc_id", "text",
+      empty, "text").orderBy("doc_id").collect()
+    assert(out.length == 1 && out.head.getLong(2) == 0L &&
+      !out.head.getBoolean(4))
+  }
+
   // ---------- MinHash estimate --------------------------------------------
 
   test("minhashEstimate: identical signatures 1.0, bounded, symmetric") {
