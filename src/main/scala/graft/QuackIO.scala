@@ -211,12 +211,14 @@ object QuackIO {
   }
 
   /** ORC scan (self-describing columnar format, same option surface as
-    * [[readParquet]]; DuckDB reads ORC through an extension — format
-    * parity for lakehouse interop). */
+    * [[readParquet]] including `unionByName` schema merging; DuckDB reads
+    * ORC through an extension — format parity for lakehouse interop). */
   def readOrc(spark: SparkSession, paths: Seq[String],
-      opts: ReadOptions = ReadOptions()): DataFrame =
-    applySelectLimit(
-      spark.read.options(opts.extra).orc(globSafe(paths): _*), opts)
+      opts: ReadOptions = ReadOptions()): DataFrame = {
+    val r = spark.read.options(opts.extra)
+    val r2 = if (opts.unionByName) r.option("mergeSchema", "true") else r
+    applySelectLimit(r2.orc(globSafe(paths): _*), opts)
+  }
 
   /** S3: newline-delimited JSON scan (NDJSON is Spark's native JSON model,
     * matching the reference's one-object-per-line files,
@@ -488,15 +490,26 @@ object QuackIO {
   /** Morton/Z-value of two non-negative integer columns: their low
     * `bits` bits interleaved (a in even positions, b in odd) — a pure
     * column expression (shifts + ORs, codegen-friendly, no UDF).
-    * `bits <= 31` keeps the result in a positive long. */
+    * `bits <= 31` keeps the result in a positive long.
+    *
+    * Inputs outside `[0, 2^bits)` raise at execution time rather than
+    * silently colliding (x and x + 2^bits would otherwise interleave to
+    * the SAME code, quietly destroying the layout's pruning guarantee;
+    * a negative value would arithmetic-shift to all ones). Pre-bucket
+    * wider domains — e.g. `pmod(hash(c), 1 << bits)` — before calling. */
   def zValue(a: Column, b: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    val lim = 1L << bits
+    def checked(c: Column, side: String): Column =
+      when(c < 0L || c >= lim, raise_error(concat(
+        lit(s"zValue: $side operand out of [0, $lim): "), c.cast("string"))))
+        .otherwise(c)
+    val ca = checked(a.cast("long"), "first")
+    val cb = checked(b.cast("long"), "second")
     (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
       acc
-        .bitwiseOR(shiftleft(shiftright(a.cast("long"), i).bitwiseAND(1L),
-          2 * i))
-        .bitwiseOR(shiftleft(shiftright(b.cast("long"), i).bitwiseAND(1L),
-          2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(ca, i).bitwiseAND(1L), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(cb, i).bitwiseAND(1L), 2 * i + 1))
     }
   }
 
@@ -758,7 +771,7 @@ object QuackIO {
     opts.delim.nonEmpty || opts.header.nonEmpty || opts.columns.nonEmpty ||
       opts.names.nonEmpty || opts.autoTypeCandidates.nonEmpty ||
       opts.nullstr.nonEmpty || opts.quote.nonEmpty || opts.escape.nonEmpty ||
-      opts.skipRows.nonEmpty || opts.extra.nonEmpty
+      opts.skipRows.nonEmpty || opts.unionByName || opts.extra.nonEmpty
 
   /** Extension-based format guess (reference defers to DuckDB's
     * `read_file`/COPY filename sniffing; same extensions honored). */

@@ -45,11 +45,16 @@ object Decontaminate {
       .distinct()
     val benchShingles =
       if (broadcastBench) broadcast(benchShingles0) else benchShingles0
+    // coalesce: a NULL text tokenizes to NULL, which would flow through
+    // as n_shingles = null / contaminated = null — and a null verdict
+    // silently fails BOTH a keep-filter and a drop-filter. Null text is
+    // a doc with nothing in it: zero shingles, ratio 0, not contaminated.
     val docShingles = corpus
       .select(col(idCol).as("doc_id"),
         TextAnalysis.tokens(col(textCol)).as("__toks"))
       .select(col("doc_id"),
-        array_distinct(Dedup.shingles(col("__toks"), shingleN)).as("__sh"))
+        coalesce(array_distinct(Dedup.shingles(col("__toks"), shingleN)),
+          array().cast("array<string>")).as("__sh"))
     // explode_outer keeps sub-shingle-length docs (empty array -> one null
     // row) so every input doc appears in the output with n_shingles = 0.
     val probed = docShingles

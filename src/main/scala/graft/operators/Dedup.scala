@@ -332,6 +332,17 @@ object Dedup {
   def keepBest(docs: DataFrame, idCol: String, scoreCol: String,
       clusters: DataFrame, clusterIdCol: String, clusterLabelCol: String)
       : DataFrame = {
+    // ids must be integral: the min-id tie-break rides max(struct(score,
+    // -id)), and the long cast below would silently null out (and merge)
+    // non-numeric ids instead of erroring
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integral: Set[org.apache.spark.sql.types.DataType] =
+      Set(ByteType, ShortType, IntegerType, LongType)
+    for ((df, c) <- Seq((docs, idCol), (clusters, clusterIdCol),
+        (clusters, clusterLabelCol)))
+      require(integral.contains(df.schema(c).dataType),
+        s"keepBest requires integral id/label columns; '$c' is " +
+          df.schema(c).dataType.simpleString)
     val labeled = docs
       .join(clusters, docs(idCol) === clusters(clusterIdCol), "left")
       .select(

@@ -102,10 +102,12 @@ object Pipelines {
       exact: Boolean = false): DataFrame = {
     require(q > 0.0 && q < 1.0, s"q must be in (0, 1), got $q")
     val fn = if (exact) "percentile" else "percentile_approx"
+    // both expr() and col() parse attribute names, so quote once for both
+    val qn = "`" + scoreCol.replace("`", "``") + "`"
     val cut = df.agg(
-      expr(s"$fn(`$scoreCol`, $q)").cast("double").as("__cut"))
+      expr(s"$fn($qn, $q)").cast("double").as("__cut"))
     df.crossJoin(broadcast(cut))
-      .filter(col(scoreCol).cast("double") >= col("__cut"))
+      .filter(col(qn).cast("double") >= col("__cut"))
       .drop("__cut")
   }
 }

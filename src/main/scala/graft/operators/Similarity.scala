@@ -324,7 +324,17 @@ object Similarity {
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("mu")))),
         x => x.getField("mu")).as("centroid"),
-        max(col("n")).as("n_vectors"))
+        max(col("n")).as("n_vectors"), min(col("n")).as("__min_n"))
+      // ragged vector lengths within a label would silently blend
+      // different denominators per dimension (pos >= the shortest length
+      // averages fewer members) — fail loudly instead. NULL/empty
+      // embeddings contribute no rows at all (posexplode drops them) and
+      // are excluded from both the mean and n_vectors by design.
+      .select(col("label"), col("centroid"),
+        when(col("__min_n") =!= col("n_vectors"), raise_error(concat(
+          lit("labelCentroids: ragged embedding lengths within label "),
+          col("label").cast("string"))))
+          .otherwise(col("n_vectors")).as("n_vectors"))
 
   /** Diagnostic companion to [[ivfTopK]]: corpus clusters its `maxCluster`
     * gate would DROP (cluster id + row count) under the given centroid set,

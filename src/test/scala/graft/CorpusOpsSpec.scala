@@ -313,6 +313,57 @@ class CorpusOpsSpec extends TestBase {
     assert(withB == Seq(1L), s"benchmark stage must drop doc 2: $withB")
   }
 
+  // ---------- review-hardening behaviors ----------------------------------
+
+  test("null text scores as an empty doc, never a null verdict") {
+    val bench = docs(9L -> "a b c d e f g h")
+    val corpus = Seq((1L, "a b c d e f g h"), (2L, null))
+      .toDF("doc_id", "text")
+    val out = Decontaminate.overlap(corpus, "doc_id", "text", bench, "text",
+        shingleN = 5, flagAt = 0.5)
+      .orderBy("doc_id").collect()
+    assert(out.length == 2)
+    assert(out(1).getLong(1) == 0L && out(1).getDouble(3) == 0.0 &&
+      !out(1).getBoolean(4))
+    // and the gate KEEPS the null-text doc (it is not contaminated)
+    val kept = Decontaminate.decontaminate(corpus, "doc_id", "text",
+      bench, "text", shingleN = 5, flagAt = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L), s"doc 1 is the benchmark copy; got $kept")
+  }
+
+  test("keepBest refuses non-integral id columns instead of null-merging") {
+    val sdocs = Seq(("doc-1", 10L)).toDF("doc_id", "q")
+    val sclusters = Seq(("doc-1", "doc-1")).toDF("id", "comp")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.keepBest(sdocs, "doc_id", "q", sclusters, "id", "comp")
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
+  test("labelCentroids raises on ragged vector lengths, excludes empties") {
+    val ragged = Seq((0, Seq(1.0f)), (0, Seq(3.0f, 5.0f)))
+      .toDF("label", "embedding")
+    val err = intercept[Exception] {
+      graft.operators.Similarity
+        .labelCentroids(ragged, "label", "embedding").collect()
+    }
+    assert(err.getMessage.contains("ragged"))
+    val withEmpty = Seq((0, Seq(2.0f, 4.0f)), (0, Seq.empty[Float]))
+      .toDF("label", "embedding")
+    val ok = graft.operators.Similarity
+      .labelCentroids(withEmpty, "label", "embedding")
+      .as[(Int, Seq[Float], Long)].collect().toSeq
+    assert(ok == Seq((0, Seq(2.0f, 4.0f), 1L))) // empty excluded
+  }
+
+  test("keepTopQuantile escapes backticked column names") {
+    val df = spark.range(100).select(col("id"), col("id").as("sc`ore"))
+    val kept = graft.operators.Pipelines
+      .keepTopQuantile(df, "sc`ore", 0.75, exact = true)
+    assert(kept.count() == 25L)
+  }
+
   // ---------- degenerate inputs -------------------------------------------
 
   test("corpus ops degrade cleanly on an empty corpus") {
