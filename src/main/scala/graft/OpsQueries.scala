@@ -1703,6 +1703,25 @@ object OpsQueries {
           .replace("WHERE doc_id NOT IN (SELECT doc_b FROM dropids)",
             "WHERE doc_id NOT IN (SELECT doc_b FROM dropids)\n" +
               "  AND doc_id NOT IN (SELECT doc_id FROM contam)")
-      })
+      }),
+
+    // ----- X5 profiling: fixed-width histogram -----------------------------
+    // Distribution shape in one aggregation; 500-char bins over n_chars,
+    // outliers clamped into the edge buckets. Integer-valued data with
+    // power-of-two-friendly width keeps the bin arithmetic IEEE-identical
+    // across engines.
+
+    "q80_histogram" -> Entry(
+      (s, dir) => graft.operators.Profiles.histogram(
+          t(s, dir, "documents"), "n_chars", lo = 0.0, hi = 5000.0,
+          bins = 10)
+        .orderBy("bin"),
+      Some("""SELECT bin, 0.0 + bin * 500.0 AS bin_lo,
+             |  0.0 + (bin + 1) * 500.0 AS bin_hi, COUNT(*) AS n
+             |FROM (SELECT CAST(LEAST(GREATEST(
+             |    FLOOR((CAST(n_chars AS DOUBLE) - 0.0) / 500.0),
+             |    0.0), 9.0) AS BIGINT) AS bin
+             |  FROM documents WHERE n_chars IS NOT NULL)
+             |GROUP BY bin ORDER BY bin""".stripMargin))
   )
 }

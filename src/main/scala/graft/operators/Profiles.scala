@@ -87,4 +87,27 @@ object Profiles {
         floor((col("__cum") - col("__tok")) / budget).as("bin"),
         col("__tok").cast("long").as("n_tokens"))
   }
+
+  /** Fixed-width histogram of a numeric column: ONE aggregation pass,
+    * bin id computed row-locally (clamped to the edge bins, so outliers
+    * land in the first/last bucket instead of vanishing), nulls
+    * excluded. The profiling companion to [[summarize]] — distribution
+    * shape, not just min/max. Bins with no rows are simply absent.
+    * Output: `bin` (0-based), `bin_lo`/`bin_hi` (edges), `n`. */
+  def histogram(df: DataFrame, colName: String,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    val width = (hi - lo) / bins
+    val x = col(colName).cast("double")
+    val bin = least(greatest(floor((x - lo) / width), lit(0.0)),
+      lit((bins - 1).toDouble)).cast("long")
+    df.filter(x.isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"),
+        (lit(lo) + col("bin") * width).as("bin_lo"),
+        (lit(lo) + (col("bin") + 1) * width).as("bin_hi"),
+        col("n"))
+  }
 }

@@ -313,6 +313,20 @@ class CorpusOpsSpec extends TestBase {
     assert(withB == Seq(1L), s"benchmark stage must drop doc 2: $withB")
   }
 
+  // ---------- histogram ----------------------------------------------------
+
+  test("histogram bins with clamped outliers, null exclusion, exact edges") {
+    val df = Seq[java.lang.Double](-5.0, 0.0, 9.9, 10.0, 25.0, 99.0, 150.0,
+      null).toDF("x")
+    val h = graft.operators.Profiles.histogram(df, "x", 0.0, 100.0, 10)
+      .orderBy("bin").as[(Long, Double, Double, Long)].collect().toSeq
+    assert(h == Seq(
+      (0L, 0.0, 10.0, 3L),   // -5 clamped in, 0.0, 9.9
+      (1L, 10.0, 20.0, 1L),  // 10.0 sits on the boundary -> bin 1
+      (2L, 20.0, 30.0, 1L),
+      (9L, 90.0, 100.0, 2L))) // 99 + clamped 150; null excluded
+  }
+
   // ---------- review-hardening behaviors ----------------------------------
 
   test("null text scores as an empty doc, never a null verdict") {
