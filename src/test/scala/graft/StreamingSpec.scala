@@ -288,6 +288,37 @@ class StreamingSpec extends TestBase {
       .collect().sorted.toSeq == Seq(1L, 3L, 5L))
   }
 
+  test("streaming ingest curation: gates + seen-index dedup in one flow") {
+    // the streaming face of Pipelines.curate's row-local stages: quality
+    // gate (projection) -> dedup against the accumulated corpus (stream-
+    // static anti join), end to end on a file stream
+    val dir = tmpDir().toString
+    Seq(
+      (1L, "a fresh document with plenty of words inside it"),
+      (2L, "too short"),                           // fails the gate
+      (3L, "previously ingested content right here okay yes"), // seen
+      (4L, "another novel document that satisfies every filter"))
+      .toDF("doc_id", "text").write.mode("append").parquet(dir)
+    val seen = Seq("previously   ingested CONTENT right here okay yes")
+      .toDF("stext")
+      .select(graft.operators.TextAnalysis.fingerprint(col("stext"))
+        .as("fp"))
+
+    val stream = spark.readStream
+      .schema(Seq.empty[(Long, String)].toDF("doc_id", "text").schema)
+      .parquet(dir)
+      .filter(graft.operators.TextAnalysis.tokenCount(col("text")) >= 5)
+      .withColumn("fp",
+        graft.operators.TextAnalysis.fingerprint(col("text")))
+    val q = EventStreams.streamingDedupAgainst(stream, "fp", seen, "fp")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("scurate_out").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    assert(spark.table("scurate_out").select("doc_id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 4L))
+  }
+
   test("stateless corpus ops (sampling, redaction) compose on streams") {
     // Sampling and PII redaction are pure projections/filters, so the
     // same library calls run unchanged on a streaming DataFrame — the

@@ -142,6 +142,29 @@ class WriteReadRoundTripSpec extends TestBase {
     assert(zs.distinct.length == 64 && zs.min == 0L && zs.max == 63L)
   }
 
+  test("zValue round-trips: de-interleaving recovers both operands") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // deterministic pseudo-random 21-bit pairs, one distributed pass
+    val n = 200
+    val lim = 1L << 21
+    val pairs = (0 until n).map { i =>
+      (math.abs(i * 2654435761L) % lim, math.abs(i * 40503L + 7) % lim)
+    }
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"),
+        QuackIO.zValue(col("a"), col("b"), 21).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (a, b, z) =>
+      var (ra, rb) = (0L, 0L)
+      for (i <- 0 until 21) {
+        ra |= ((z >> (2 * i)) & 1L) << i
+        rb |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      assert(ra == a && rb == b, s"z=$z decoded to ($ra,$rb), not ($a,$b)")
+    }
+  }
+
   test("writeZOrdered prunes second-column filters where a 1-key sort can't") {
     import org.apache.spark.sql.functions.col
     val base = tmpDir()
