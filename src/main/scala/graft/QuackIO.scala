@@ -35,6 +35,11 @@ object Sel {
   *  - `skipRows`: DuckDB's `skip=` — drop N preamble lines from the top
   *    of EACH file before the (optional) header line; Spark CSV has no
   *    native equivalent, see [[QuackIO.readCsv]] for the emulation cost
+  *  - `unionByName`: DuckDB's `union_by_name=` for self-describing
+  *    formats (parquet/ORC): scan multi-file inputs as the union of
+  *    their schemas, absent columns null. Off by default — schema
+  *    merging reads every file's footer up front, a real cost at scale.
+  *    CSV/JSON readers reject it loudly rather than silently ignoring it
   *  - `extra`: raw passthrough to the Spark `DataFrameReader`
   */
 final case class ReadOptions(
@@ -105,6 +110,8 @@ object QuackIO {
   def readCsv(spark: SparkSession, rawPaths: Seq[String],
       opts: ReadOptions = ReadOptions()): DataFrame = {
     require(rawPaths.nonEmpty, "at least one path required")
+    require(!opts.unionByName,
+      "unionByName applies to self-describing formats (parquet/orc) only")
     val paths = globSafe(rawPaths)
     val (delim, header) = resolveCsvShape(spark, paths.head, opts)
     var reader = spark.read
@@ -186,6 +193,13 @@ object QuackIO {
     applySelectLimit(named, opts)
   }
 
+  /** Reader for self-describing formats: shared `extra` + `unionByName`
+    * (→ `mergeSchema`) handling for parquet and ORC. */
+  private def selfDescribingReader(spark: SparkSession, opts: ReadOptions) = {
+    val r = spark.read.options(opts.extra)
+    if (opts.unionByName) r.option("mergeSchema", "true") else r
+  }
+
   /** S2: Parquet scan (self-describing schema; no inference options).
     * `unionByName` is DuckDB's `union_by_name=true` kwarg (the reference
     * passes any kwarg through): files with different-but-compatible
@@ -193,11 +207,9 @@ object QuackIO {
     * Spark's `mergeSchema`. Off by default, like DuckDB: schema merging
     * reads every file's footer up front, a real cost at 100 TB. */
   def readParquet(spark: SparkSession, paths: Seq[String],
-      opts: ReadOptions = ReadOptions()): DataFrame = {
-    val r = spark.read.options(opts.extra)
-    val r2 = if (opts.unionByName) r.option("mergeSchema", "true") else r
-    applySelectLimit(r2.parquet(globSafe(paths): _*), opts)
-  }
+      opts: ReadOptions = ReadOptions()): DataFrame =
+    applySelectLimit(
+      selfDescribingReader(spark, opts).parquet(globSafe(paths): _*), opts)
 
   /** S2b: parquet scan + footer KV metadata in one call, matching the
     * reference's auto-attach ergonomics (`read_parquet` hands metadata to
@@ -214,17 +226,18 @@ object QuackIO {
     * [[readParquet]] including `unionByName` schema merging; DuckDB reads
     * ORC through an extension — format parity for lakehouse interop). */
   def readOrc(spark: SparkSession, paths: Seq[String],
-      opts: ReadOptions = ReadOptions()): DataFrame = {
-    val r = spark.read.options(opts.extra)
-    val r2 = if (opts.unionByName) r.option("mergeSchema", "true") else r
-    applySelectLimit(r2.orc(globSafe(paths): _*), opts)
-  }
+      opts: ReadOptions = ReadOptions()): DataFrame =
+    applySelectLimit(
+      selfDescribingReader(spark, opts).orc(globSafe(paths): _*), opts)
 
   /** S3: newline-delimited JSON scan (NDJSON is Spark's native JSON model,
     * matching the reference's one-object-per-line files,
     * `test/runtests.jl:43`). */
   def readJson(spark: SparkSession, paths: Seq[String],
       opts: ReadOptions = ReadOptions()): DataFrame = {
+    require(!opts.unionByName,
+      "unionByName applies to self-describing formats (parquet/orc) only" +
+        " — Spark JSON already infers the union schema across files")
     val df = spark.read.options(opts.extra).json(globSafe(paths): _*)
     val widened = if (opts.widenIntegers) widenIntegral(df) else df
     applySelectLimit(
@@ -500,17 +513,19 @@ object QuackIO {
   def zValue(a: Column, b: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
     val lim = 1L << bits
-    def checked(c: Column, side: String): Column =
-      when(c < 0L || c >= lim, raise_error(concat(
-        lit(s"zValue: $side operand out of [0, $lim): "), c.cast("string"))))
-        .otherwise(c)
-    val ca = checked(a.cast("long"), "first")
-    val cb = checked(b.cast("long"), "second")
-    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+    val ca = a.cast("long")
+    val cb = b.cast("long")
+    val z = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
       acc
         .bitwiseOR(shiftleft(shiftright(ca, i).bitwiseAND(1L), 2 * i))
         .bitwiseOR(shiftleft(shiftright(cb, i).bitwiseAND(1L), 2 * i + 1))
     }
+    // ONE guard wrapping the result — a per-operand checked() column
+    // would embed the CaseWhen subtree 2*bits times in the fold
+    when(ca < 0L || ca >= lim || cb < 0L || cb >= lim,
+      raise_error(concat(lit(s"zValue: operand out of [0, $lim): ("),
+        ca.cast("string"), lit(", "), cb.cast("string"), lit(")"))))
+      .otherwise(z)
   }
 
   /** Z-ordered layout: [[writeShards]] on the Morton code of TWO columns

@@ -332,17 +332,29 @@ object Dedup {
   def keepBest(docs: DataFrame, idCol: String, scoreCol: String,
       clusters: DataFrame, clusterIdCol: String, clusterLabelCol: String)
       : DataFrame = {
-    // ids must be integral: the min-id tie-break rides max(struct(score,
-    // -id)), and the long cast below would silently null out (and merge)
-    // non-numeric ids instead of erroring
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    val integral: Set[org.apache.spark.sql.types.DataType] =
-      Set(ByteType, ShortType, IntegerType, LongType)
+    // ids must be integer-valued: the min-id tie-break rides
+    // max(struct(score, -id)), and the long cast below would silently
+    // null out (and merge) non-numeric ids instead of erroring
+    import org.apache.spark.sql.types.{ByteType, DataType, DecimalType,
+      IntegerType, LongType, ShortType}
+    def fieldType(df: DataFrame, c: String): DataType =
+      df.schema.fields.find(_.name == c)
+        .orElse(df.schema.fields.find(_.name.equalsIgnoreCase(c)))
+        .getOrElse(throw new IllegalArgumentException(
+          s"keepBest: column '$c' not found"))
+        .dataType
+    def idLike(t: DataType): Boolean = t match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case d: DecimalType => d.scale == 0 // warehouse-style DECIMAL(p,0) id
+      case _ => false
+    }
     for ((df, c) <- Seq((docs, idCol), (clusters, clusterIdCol),
-        (clusters, clusterLabelCol)))
-      require(integral.contains(df.schema(c).dataType),
-        s"keepBest requires integral id/label columns; '$c' is " +
-          df.schema(c).dataType.simpleString)
+        (clusters, clusterLabelCol))) {
+      val t = fieldType(df, c)
+      require(idLike(t),
+        s"keepBest requires integer-valued id/label columns; '$c' is " +
+          t.simpleString)
+    }
     val labeled = docs
       .join(clusters, docs(idCol) === clusters(clusterIdCol), "left")
       .select(

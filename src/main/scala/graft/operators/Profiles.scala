@@ -90,19 +90,31 @@ object Profiles {
 
   /** Fixed-width histogram of a numeric column: ONE aggregation pass,
     * bin id computed row-locally (clamped to the edge bins, so outliers
-    * land in the first/last bucket instead of vanishing), nulls
-    * excluded. The profiling companion to [[summarize]] — distribution
-    * shape, not just min/max. Bins with no rows are simply absent.
+    * land in the first/last bucket instead of vanishing), nulls AND NaNs
+    * excluded (a NaN belongs to no bucket — and engines disagree on
+    * where a clamped NaN would land: Spark's floor→long maps it to 0,
+    * DuckDB's LEAST chain to the top bin). Requires a numeric column —
+    * a non-numeric input errors loudly rather than cast-to-null-ing
+    * every row into an empty histogram. The profiling companion to
+    * [[summarize]] — distribution shape, not just min/max. Bins with no
+    * rows are simply absent.
     * Output: `bin` (0-based), `bin_lo`/`bin_hi` (edges), `n`. */
   def histogram(df: DataFrame, colName: String,
       lo: Double, hi: Double, bins: Int): DataFrame = {
     require(bins >= 1, s"bins must be >= 1, got $bins")
     require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    val field = df.schema.fields.find(_.name == colName)
+      .orElse(df.schema.fields.find(_.name.equalsIgnoreCase(colName)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"histogram: column '$colName' not found"))
+    require(field.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"histogram requires a numeric column; '$colName' is " +
+        field.dataType.simpleString)
     val width = (hi - lo) / bins
-    val x = col(colName).cast("double")
+    val x = col("`" + field.name.replace("`", "``") + "`").cast("double")
     val bin = least(greatest(floor((x - lo) / width), lit(0.0)),
       lit((bins - 1).toDouble)).cast("long")
-    df.filter(x.isNotNull)
+    df.filter(x.isNotNull && !isnan(x))
       .groupBy(bin.as("bin"))
       .agg(count(lit(1)).as("n"))
       .select(col("bin"),

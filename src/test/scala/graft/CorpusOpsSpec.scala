@@ -315,16 +315,23 @@ class CorpusOpsSpec extends TestBase {
 
   // ---------- histogram ----------------------------------------------------
 
-  test("histogram bins with clamped outliers, null exclusion, exact edges") {
+  test("histogram bins with clamped outliers, null/NaN exclusion, edges") {
     val df = Seq[java.lang.Double](-5.0, 0.0, 9.9, 10.0, 25.0, 99.0, 150.0,
-      null).toDF("x")
+      Double.NaN, null).toDF("x")
     val h = graft.operators.Profiles.histogram(df, "x", 0.0, 100.0, 10)
       .orderBy("bin").as[(Long, Double, Double, Long)].collect().toSeq
     assert(h == Seq(
       (0L, 0.0, 10.0, 3L),   // -5 clamped in, 0.0, 9.9
       (1L, 10.0, 20.0, 1L),  // 10.0 sits on the boundary -> bin 1
       (2L, 20.0, 30.0, 1L),
-      (9L, 90.0, 100.0, 2L))) // 99 + clamped 150; null excluded
+      (9L, 90.0, 100.0, 2L))) // 99 + clamped 150; null AND NaN excluded
+    // non-numeric input errors loudly instead of casting every row to
+    // null and returning an empty histogram
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Profiles.histogram(
+        docs(1L -> "words").toDF(), "text", 0.0, 10.0, 2)
+    }
+    assert(e.getMessage.contains("numeric"))
   }
 
   // ---------- review-hardening behaviors ----------------------------------
@@ -352,7 +359,7 @@ class CorpusOpsSpec extends TestBase {
     val e = intercept[IllegalArgumentException] {
       Dedup.keepBest(sdocs, "doc_id", "q", sclusters, "id", "comp")
     }
-    assert(e.getMessage.contains("integral"))
+    assert(e.getMessage.contains("integer-valued"))
   }
 
   test("labelCentroids raises on ragged vector lengths, excludes empties") {
