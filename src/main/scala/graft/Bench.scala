@@ -32,6 +32,7 @@ object Bench {
       .filter(_.getName.endsWith(".parquet"))
       .foreach(f => spark.read.parquet(f.toString).schema)
 
+    val loadStart = readLoadAvg()
     var errors = List.empty[(String, String)]
     var failedSecs = 0.0
     // name order, not hash-map order: per-query timings stay comparable
@@ -63,7 +64,18 @@ object Bench {
     val errJson = errors.reverse
       .map { case (k, m) => s"${jstr(k)}:${jstr(m)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"failed_secs":$failedSecs,"sf":"$sfDir"}""")
+    // 1-minute system load at start/end of the run: timings on a shared
+    // machine inflate uniformly under concurrent-JVM contention (observed
+    // 2-30x on unrelated trivial queries), and the load numbers let a
+    // reader distinguish engine regressions from ambient noise
+    val loadEnd = readLoadAvg()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"failed_secs":$failedSecs,"load_start":$loadStart,"load_end":$loadEnd,"sf":"$sfDir"}""")
     spark.stop()
   }
+
+  /** 1-minute load average, or -1 when /proc is unavailable. */
+  private def readLoadAvg(): Double =
+    try java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
 }
