@@ -17,7 +17,7 @@ import graft.operators.{AsOfJoin, Connected, Decontaminate, Dedup, Multimodal, P
   * with the last 3 tokens dropped for near-dup).
   */
 object OpsQueries {
-  import Queries.{t, Entry}
+  import Queries.{t, events, Entry}
 
   // Shared SQL fragments (DuckDB side).
   private val TOKS = """regexp_split_to_array(trim(text), '\s+')"""
@@ -1722,6 +1722,19 @@ object OpsQueries {
              |    FLOOR((CAST(n_chars AS DOUBLE) - 0.0) / 500.0),
              |    0.0), 9.0) AS BIGINT) AS bin
              |  FROM documents WHERE n_chars IS NOT NULL)
-             |GROUP BY bin ORDER BY bin""".stripMargin))
+             |GROUP BY bin ORDER BY bin""".stripMargin)),
+
+    // ----- X5 profiling: key-skew heavy hitters ----------------------------
+    // The pre-shuffle measurement behind the q32 salted path: which keys
+    // dominate, and by how much. Exact fraction = long/long in double.
+
+    "q81_key_skew" -> Entry(
+      (s, dir) => graft.operators.Profiles.keySkew(
+          events(s, dir), "user_id", k = 15), // events(): nanos conf ensured
+      Some("""WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key,
+             |    COUNT(*) AS n FROM events GROUP BY 1),
+             |t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM events)
+             |SELECT key, n, CAST(n AS DOUBLE) / total AS fraction
+             |FROM c, t ORDER BY n DESC, key LIMIT 15""".stripMargin))
   )
 }

@@ -88,6 +88,27 @@ object Profiles {
         col("__tok").cast("long").as("n_tokens"))
   }
 
+  /** Heavy-hitter diagnostic for join/aggregation keys: the `k` most
+    * frequent values of a key column with their counts and corpus
+    * fraction — the measurement you take BEFORE picking a salt factor
+    * for a skewed shuffle (q32's salted-aggregation path) or trusting
+    * AQE's skew-join split. One aggregation (map-side combined) plus a
+    * top-k sort of the distinct-key table, never the corpus.
+    * Output: `key` (as string, null rendered distinct from "null" text
+    * by Spark semantics), `n`, `fraction`. */
+  def keySkew(df: DataFrame, keyCol: String, k: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val qn = "`" + keyCol.replace("`", "``") + "`"
+    val counts = df.groupBy(col(qn).cast("string").as("key"))
+      .agg(count(lit(1)).as("n"))
+    val total = df.select(count(lit(1)).cast("double").as("__total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("key"), col("n"),
+        (col("n").cast("double") / col("__total")).as("fraction"))
+      .orderBy(col("n").desc, col("key"))
+      .limit(k)
+  }
+
   /** Fixed-width histogram of a numeric column: ONE aggregation pass,
     * bin id computed row-locally (clamped to the edge bins, so outliers
     * land in the first/last bucket instead of vanishing), nulls AND NaNs

@@ -334,6 +334,14 @@ class CorpusOpsSpec extends TestBase {
     assert(e.getMessage.contains("numeric"))
   }
 
+  test("keySkew surfaces heavy hitters with exact fractions") {
+    val df = (Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++ Seq("cold"))
+      .toDF("k")
+    val out = graft.operators.Profiles.keySkew(df, "k", k = 2)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out == Seq(("hot", 6L, 0.6), ("warm", 3L, 0.3)))
+  }
+
   // ---------- review-hardening behaviors ----------------------------------
 
   test("null text scores as an empty doc, never a null verdict") {
