@@ -1548,10 +1548,20 @@ object OpsQueries {
 
     // ----- X3 per-label embedding centroids --------------------------------
 
+    // The catalog entry unpivots the array<float> centroid to fixed-width
+    // (label, pos, mu, n_vectors) rows: the driver's pandas differ cannot
+    // sort/factorize array cells, and the oracle's `m` CTE already computes
+    // exactly this shape. The labelCentroids API itself still returns the
+    // assembled array (partition-invariance spec unchanged).
     "q74_label_centroids" -> Entry(
       (s, dir) => Similarity.labelCentroids(
           t(s, dir, "embeddings"), "label", "embedding")
-        .orderBy("label"),
+        .select(col("label"),
+          posexplode(col("centroid")).as(Seq("pos", "mu")),
+          col("n_vectors"))
+        .select(col("label"), col("pos").cast("long").as("pos"),
+          col("mu"), col("n_vectors"))
+        .orderBy("label", "pos"),
       Some("""WITH comp AS (SELECT label, j, embedding[j] AS x
              |  FROM embeddings,
              |    unnest(generate_series(1, len(embedding))) AS u(j)),
@@ -1561,9 +1571,8 @@ object OpsQueries {
              |      / CAST(COUNT(*) AS BIGINT)::DOUBLE AS REAL) AS mu,
              |    COUNT(*) AS n
              |  FROM comp GROUP BY 1, 2)
-             |SELECT label, list(mu ORDER BY j) AS centroid,
-             |  MAX(n) AS n_vectors
-             |FROM m GROUP BY label ORDER BY label""".stripMargin)),
+             |SELECT label, j - 1 AS pos, mu, n AS n_vectors
+             |FROM m ORDER BY label, pos""".stripMargin)),
 
     // ----- X2 keep-best representative per duplicate cluster ---------------
     // q54 labels the near-dup clusters; this picks the member to KEEP —

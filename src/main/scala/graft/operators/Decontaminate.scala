@@ -77,13 +77,21 @@ object Decontaminate {
     * original columns). [[overlap]]'s verdict needs the per-doc
     * aggregation, so the survivors left-semi join back onto the corpus
     * by id; at 100 TB the survivor id set is not broadcastable, so this
-    * is a key-shuffle semi-join — the same cost class as exact dedup. */
+    * is a key-shuffle semi-join — the same cost class as exact dedup.
+    *
+    * The join is NULL-SAFE (`<=>`) so the gate agrees with [[overlap]]'s
+    * own verdict for null-id docs: a plain equi-join would drop every
+    * null-id row unconditionally even when overlap() scores it clean.
+    * Caveat (inherited from overlap's groupBy): ALL null-id docs share
+    * one verdict — their shingles merge into a single group — so ids
+    * should be non-null for per-doc gating; the null-safe form just
+    * keeps the two APIs consistent instead of silently stricter. */
   def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchTextCol: String,
       shingleN: Int = 8, flagAt: Double = 0.5): DataFrame = {
     val clean = overlap(corpus, idCol, textCol, benchmark, benchTextCol,
       shingleN, flagAt)
       .filter(!col("contaminated")).select(col("doc_id").as("__keep"))
-    corpus.join(clean, col(idCol) === col("__keep"), "left_semi")
+    corpus.join(clean, col(idCol) <=> col("__keep"), "left_semi")
   }
 }

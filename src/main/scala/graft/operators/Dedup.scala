@@ -50,9 +50,22 @@ object Dedup {
     * so the exchange moves hashes, not documents. Incoming-side
     * duplicates are NOT collapsed here (that is [[exact]]'s job);
     * composing `exact` then `dedupAgainst` gives the full incremental
-    * pipeline. */
+    * pipeline.
+    *
+    * NULL text never matches (null fp != anything, even another null
+    * fp), so null-text incoming rows are ALWAYS kept — deliberate: an
+    * empty doc is not "a duplicate of the other empty docs", and
+    * dropping it here would make the anti-join's verdict depend on
+    * whether `seen` happens to contain a null. Filter null text
+    * upstream if empties should die. */
   def dedupAgainst(incoming: DataFrame, textCol: String,
       seen: DataFrame, seenTextCol: String): DataFrame = {
+    // a caller-owned __fp (plausible: persisted fingerprint indexes use
+    // exactly this name) would be silently overwritten by withColumn —
+    // refuse loudly instead of corrupting the caller's column
+    require(!incoming.columns.contains("__fp"),
+      "dedupAgainst: incoming already has a '__fp' column; rename it " +
+        "(it would be overwritten by the internal fingerprint)")
     val seenFps = seen
       .select(TextAnalysis.fingerprint(col(seenTextCol)).as("__seen_fp"))
     incoming

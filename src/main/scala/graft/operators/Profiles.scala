@@ -101,7 +101,10 @@ object Profiles {
     val qn = "`" + keyCol.replace("`", "``") + "`"
     val counts = df.groupBy(col(qn).cast("string").as("key"))
       .agg(count(lit(1)).as("n"))
-    val total = df.select(count(lit(1)).cast("double").as("__total"))
+    // total from the already-aggregated key table, NOT a second corpus
+    // count: both branches share the identical scan→partial-agg exchange,
+    // so ReuseExchange computes the corpus aggregation once (spec-pinned).
+    val total = counts.agg(sum(col("n")).cast("double").as("__total"))
     counts.crossJoin(broadcast(total))
       .select(col("key"), col("n"),
         (col("n").cast("double") / col("__total")).as("fraction"))

@@ -15,10 +15,20 @@ import org.apache.spark.sql.functions._
   * Rates are in basis points (1/10000) so the cut is integer-exact:
   * `bp = 2500` keeps a doc iff `md5(salt|key) mod 10000 < 2500` —
   * no float rounding at the boundary.
+  *
+  * NULL handling (deliberate, uniform across all three samplers): a row
+  * with a NULL key is ALWAYS excluded — a null key has no hash, so it
+  * has no reproducible draw; admitting it under any fixed rule would
+  * put every null-key row on the same side of every cut, which is not a
+  * sample. Callers sampling corpora with nullable ids should
+  * `coalesce`/filter ids first. A NULL `weightBp` in [[weighted]] is
+  * explicitly 0 bp (never kept); a NULL `stratum` in [[stratified]]
+  * falls to `defaultBp` (a CASE branch on null is not-true).
   */
 object Sampling {
 
-  /** `md5(salt|key) mod 10000`, the uniform [0, 10000) draw. */
+  /** `md5(salt|key) mod 10000`, the uniform [0, 10000) draw.
+    * NULL key → NULL draw → every comparison is not-true → excluded. */
   private def draw(key: Column, salt: String): Column =
     conv(substring(md5(concat(lit(salt), lit("|"), key.cast("string"))),
       1, 8), 16, 10).cast("long") % 10000
@@ -37,8 +47,10 @@ object Sampling {
     * depends only on (key, salt, weight), never on partitioning. */
   def weighted(df: DataFrame, key: Column, weightBp: Column,
       salt: String = "sample"): DataFrame =
+    // coalesce, not null-propagate: a NULL weight means "never keep"
+    // (0 bp) by contract, not "silently fall out of the filter"
     df.filter(draw(key, salt) <
-      greatest(lit(0), least(lit(10000), weightBp)))
+      greatest(lit(0), least(lit(10000), coalesce(weightBp, lit(0)))))
 
   /** Stratified sample: per-stratum rates in basis points with a default
     * for unlisted strata. The rate lookup is a CASE chain over the

@@ -442,4 +442,80 @@ class CorpusOpsSpec extends TestBase {
     assert(est((1L, 3L)) == est((3L, 1L)))
     assert(est((1L, 3L)) < 1.0) // disjoint shingle sets
   }
+
+  // ---------- round-6 hardening (ADVICE r5) --------------------------------
+
+  test("sampling: null key always excluded, null weight means 0 bp") {
+    val df = Seq(
+      (java.lang.Long.valueOf(1L), java.lang.Long.valueOf(10000L)),
+      (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(10000L)),
+      (java.lang.Long.valueOf(3L), null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "w")
+    // bernoulli at 100%: the null-key row still has no draw → excluded
+    assert(Sampling.bernoulli(df, col("id"), 10000)
+      .select("id").as[java.lang.Long].collect().toSet == Set(1L, 3L))
+    // weighted: null weight is explicitly 0 bp (row 3 dropped), null key
+    // excluded regardless of weight (row 2 dropped)
+    assert(Sampling.weighted(df, col("id"), col("w"))
+      .select("id").as[java.lang.Long].collect().toSet == Set(1L))
+    // stratified: null stratum falls to defaultBp, not to null-verdict
+    val s = Seq((1L, "en"), (2L, null.asInstanceOf[String])).toDF("id", "lang")
+    assert(Sampling.stratified(s, col("id"), col("lang"),
+      Map("en" -> 0), defaultBp = 10000)
+      .select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("dedupAgainst refuses a caller-owned __fp column") {
+    val seen = docs(10L -> "x")
+    val incoming = docs(1L -> "y").withColumn("__fp", lit("caller-data"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dedupAgainst(incoming, "text", seen, "text")
+    }
+    assert(e.getMessage.contains("__fp"))
+  }
+
+  test("dedupAgainst: null-text incoming rows are always kept") {
+    val seen = Seq((10L, null.asInstanceOf[String]), (11L, "known"))
+      .toDF("doc_id", "text")
+    val incoming = Seq((1L, null.asInstanceOf[String]), (2L, "known"),
+      (3L, "fresh")).toDF("doc_id", "text")
+    val out = Dedup.dedupAgainst(incoming, "text", seen, "text")
+      .select("doc_id").as[Long].collect().toSet
+    // null fp never equi-matches even against seen's own null fp
+    assert(out == Set(1L, 3L))
+  }
+
+  test("decontaminate gate agrees with overlap() for null-id docs") {
+    val bench = docs(900L -> "alpha beta gamma delta epsilon zeta")
+    val corpus = Seq(
+      (java.lang.Long.valueOf(1L), "alpha beta gamma delta epsilon zeta"),
+      (null.asInstanceOf[java.lang.Long], "one two three four five six"))
+      .toDF("doc_id", "text")
+    // overlap scores the null-id doc clean; the null-safe semi-join must
+    // therefore KEEP it (a plain equi-join would drop it unconditionally)
+    val kept = Decontaminate.decontaminate(corpus, "doc_id", "text",
+      bench, "text", shingleN = 5, flagAt = 0.5)
+      .select("doc_id").as[java.lang.Long].collect().toSet
+    assert(kept == Set(null.asInstanceOf[java.lang.Long]))
+  }
+
+  test("keySkew computes the corpus aggregation once (exchange reuse)") {
+    val dir = tmpDir()
+    (Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++ Seq("cold"))
+      .toDF("k").write.parquet(dir.resolve("t").toString)
+    val df = spark.read.parquet(dir.resolve("t").toString)
+    val out = graft.operators.Profiles.keySkew(df, "k", k = 2)
+    val rows = out.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows == Seq(("hot", 6L, 0.6), ("warm", 3L, 0.3)))
+    // AQE's toString appends the pre-execution "Initial Plan" (which
+    // legitimately shows two scans); judge only what actually ran
+    val p = out.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==").head
+    assert(finalP.contains("ReusedExchange"),
+      s"total must reuse the key-table exchange:\n$p")
+    val scans = "Scan parquet".r.findAllIn(finalP).length
+    assert(scans == 1, s"total must not rescan the corpus; " +
+      s"got $scans scans:\n$p")
+  }
 }
