@@ -62,5 +62,12 @@ object ParquetMetadata {
     writer.appendFile(new LocalInputFile(src))
     writer.end((existing ++ kv).asJava)
     Files.move(tmp, src, StandardCopyOption.REPLACE_EXISTING)
+    // Hadoop's LocalFileSystem writes a `.<name>.crc` sidecar next to
+    // files it creates (directory writes do; single-file staging moves
+    // don't) — after the footer rewrite the old checksum is stale and
+    // every subsequent read fails with ChecksumException. Drop it.
+    val crc = src.toAbsolutePath.getParent
+      .resolve("." + src.getFileName.toString + ".crc")
+    Files.deleteIfExists(crc)
   }
 }

@@ -35,11 +35,12 @@ object Sel {
   *  - `skipRows`: DuckDB's `skip=` — drop N preamble lines from the top
   *    of EACH file before the (optional) header line; Spark CSV has no
   *    native equivalent, see [[QuackIO.readCsv]] for the emulation cost
-  *  - `unionByName`: DuckDB's `union_by_name=` for self-describing
-  *    formats (parquet/ORC): scan multi-file inputs as the union of
-  *    their schemas, absent columns null. Off by default — schema
-  *    merging reads every file's footer up front, a real cost at scale.
-  *    CSV/JSON readers reject it loudly rather than silently ignoring it
+  *  - `unionByName`: DuckDB's `union_by_name=`: scan multi-file inputs
+  *    as the union of their schemas aligned by column name, absent
+  *    columns null. Off by default — schema merging reads every file's
+  *    footer (parquet/ORC) or runs per-file inference (CSV) up front, a
+  *    real cost at scale. JSON accepts it as a documented no-op (Spark's
+  *    JSON inference already unions fields across files)
   *  - `extra`: raw passthrough to the Spark `DataFrameReader`
   */
 final case class ReadOptions(
@@ -110,9 +111,26 @@ object QuackIO {
   def readCsv(spark: SparkSession, rawPaths: Seq[String],
       opts: ReadOptions = ReadOptions()): DataFrame = {
     require(rawPaths.nonEmpty, "at least one path required")
-    require(!opts.unionByName,
-      "unionByName applies to self-describing formats (parquet/orc) only")
     val paths = globSafe(rawPaths)
+    // DuckDB's read_csv(union_by_name=true): each file is read under its
+    // OWN header/sniffed shape, then rows align by column NAME with nulls
+    // for columns a file lacks — the evolving-crawl-drop case where files
+    // gained columns over time. Emulated as per-file reads + unionByName
+    // (CSV is not self-describing, so there is no footer-merge shortcut);
+    // per-file inference costs one schema pass per file, same as DuckDB.
+    // select/limit apply AFTER the union (they may name columns only some
+    // files carry); `names` is positional and contradicts name-driven
+    // alignment, so the combination is rejected.
+    if (opts.unionByName && paths.length > 1) {
+      require(opts.names.isEmpty,
+        "unionByName aligns columns by name; the positional `names` " +
+          "override cannot apply across files with different schemas")
+      val perFile = opts.copy(unionByName = false, select = Nil, limit = None)
+      return applySelectLimit(
+        paths.map(p => readCsv(spark, Seq(p), perFile))
+          .reduce(_.unionByName(_, allowMissingColumns = true)),
+        opts)
+    }
     val (delim, header) = resolveCsvShape(spark, paths.head, opts)
     var reader = spark.read
       .option("header", header.toString)
@@ -141,7 +159,7 @@ object QuackIO {
       }.reduce(_ union _)
     }
     lazy val headerNames: Seq[String] =
-      readLineAt(spark, paths.head, skip) match {
+      readLinesAt(spark, paths.head, skip, 1).headOption match {
         case Some(l) => splitTopLevel(l, delim).map(_.trim)
         case None => throw new IllegalArgumentException(
           s"skipRows=$skip skips past the end of ${paths.head}")
@@ -232,12 +250,12 @@ object QuackIO {
 
   /** S3: newline-delimited JSON scan (NDJSON is Spark's native JSON model,
     * matching the reference's one-object-per-line files,
-    * `test/runtests.jl:43`). */
+    * `test/runtests.jl:43`). `unionByName` is accepted and is a no-op by
+    * construction: Spark's JSON inference already unions fields across
+    * every file (absent fields null) — exactly DuckDB's
+    * `union_by_name=true` semantics, at no extra cost. */
   def readJson(spark: SparkSession, paths: Seq[String],
       opts: ReadOptions = ReadOptions()): DataFrame = {
-    require(!opts.unionByName,
-      "unionByName applies to self-describing formats (parquet/orc) only" +
-        " — Spark JSON already infers the union schema across files")
     val df = spark.read.options(opts.extra).json(globSafe(paths): _*)
     val widened = if (opts.widenIntegers) widenIntegral(df) else df
     applySelectLimit(
@@ -319,26 +337,79 @@ object QuackIO {
   /** S7 generalized: multiple URLs, rows concatenated in URL order — the
     * reference accepts vectors of files uniformly (`src/QuackIO.jl:115`,
     * `:120-121`). All URLs must share one format (taken from the first
-    * when not passed). Downloads are driver-side spills, one temp file
-    * per URL; the scan itself is a normal multi-path read. */
+    * when not passed).
+    *
+    * Scale shape: up to `distributeAbove` URLs (the reference's
+    * one-or-two-URL parity case) download as driver-side spills; past
+    * that, an ingest list of thousands of URLs would serialize through
+    * one driver thread and fill driver-local disk, so the fetch runs as
+    * a Spark job — `mapPartitions` over a URL dataset, every executor
+    * downloading its slice into `stagingDir` concurrently — and only the
+    * resulting PATHS return to the driver (KB-scale). Files are named by
+    * URL index so the multi-path scan preserves URL order either way.
+    *
+    * `stagingDir` must be visible to driver AND executors: the JVM temp
+    * dir (default) is fine on local mode; on a real cluster pass a
+    * shared-filesystem/object-store mount. */
   def readUrls(spark: SparkSession, urls: Seq[String],
       filetype: Option[String] = None,
-      opts: ReadOptions = ReadOptions()): DataFrame = {
+      opts: ReadOptions = ReadOptions(),
+      distributeAbove: Int = 8,
+      stagingDir: Option[String] = None): DataFrame = {
     require(urls.nonEmpty, "at least one URL required")
+    require(distributeAbove >= 1,
+      s"distributeAbove must be >= 1, got $distributeAbove")
     val fmt = filetype.orElse(guessFormat(urls.head)).getOrElse(
       throw new IllegalArgumentException(
         s"cannot guess format of '${urls.head}'"))
     val suffix = "." + (if (fmt == "parquet") "parquet" else fmt)
-    val tmps = urls.map { url =>
-      val tmp = java.nio.file.Files.createTempFile("quackio-url-", suffix)
-      val in = new java.net.URI(url).toURL.openStream()
-      try java.nio.file.Files.copy(in, tmp,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      finally in.close()
-      tmp.toFile.deleteOnExit()
-      tmp.toString
-    }
+    val tmps: Seq[String] =
+      if (urls.length <= distributeAbove) urls.map { url =>
+        val tmp = java.nio.file.Files.createTempFile("quackio-url-", suffix)
+        fetchUrlTo(url, tmp.toString)
+        tmp.toFile.deleteOnExit()
+        tmp.toString
+      } else {
+        val destRoot = stagingDir.getOrElse(java.nio.file.Files
+          .createTempDirectory("quackio-urls-").toString)
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(destRoot))
+        // capture plain strings only — the closure ships to executors
+        import spark.implicits._
+        val parallelism = math.min(urls.length,
+          spark.sparkContext.defaultParallelism * 2)
+        spark.createDataset(urls.zipWithIndex)
+          .repartition(parallelism)
+          .mapPartitions { it =>
+            it.map { case (url, i) =>
+              val dest = java.nio.file.Paths
+                .get(destRoot, f"u$i%08d$suffix").toString
+              fetchUrlTo(url, dest)
+              dest
+            }
+          }
+          .collect().sorted.toSeq // index-named → sorted = URL order
+      }
     readFile(spark, tmps, Some(fmt), opts)
+  }
+
+  /** Stream one URL into `dest` (atomic move via a sibling temp so a
+    * partially-downloaded file is never scanned). Runs on the driver for
+    * small URL lists and inside executor tasks for large ones. */
+  private def fetchUrlTo(url: String, dest: String): Unit = {
+    val destPath = java.nio.file.Paths.get(dest)
+    val tmp = java.nio.file.Files.createTempFile(
+      destPath.toAbsolutePath.getParent, ".quackio-dl-", ".tmp")
+    val in = new java.net.URI(url).toURL.openStream()
+    try {
+      java.nio.file.Files.copy(in, tmp,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.move(tmp, destPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally {
+      in.close()
+      java.nio.file.Files.deleteIfExists(tmp)
+    }
   }
 
   /** S8 generalized: register every parquet table under `dir` as a temp
@@ -459,8 +530,28 @@ object QuackIO {
     */
   def writeTableDir(df: DataFrame, path: String,
       opts: WriteOptions = WriteOptions(),
-      partitionBy: Seq[String] = Nil): Unit =
-    writeDir(df, path, resolveFormat(path, opts), opts, partitionBy)
+      partitionBy: Seq[String] = Nil): Unit = {
+    val fmt = resolveFormat(path, opts)
+    writeDir(df, path, fmt, opts, partitionBy)
+    // kvMetadata lands in EVERY part file's footer (previously it was
+    // silently dropped on the dir path — the one wrong behavior): any
+    // single part read back via readParquetWithMetadata carries the full
+    // KV map, same as the single-file writeTable. Cost note: attach
+    // rewrites each part (row groups copied verbatim, footer
+    // re-serialized) — one extra I/O pass over the output, driver-local
+    // here; for metadata on huge outputs prefer a sidecar table.
+    // Non-parquet formats ignore kvMetadata, same as writeTable and the
+    // reference (test/runtests.jl:171-173).
+    if (fmt == "parquet" && opts.kvMetadata.nonEmpty) {
+      import scala.jdk.CollectionConverters._
+      val parts = java.nio.file.Files
+        .walk(java.nio.file.Paths.get(path)).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("part-") &&
+          p.getFileName.toString.contains(".parquet"))
+        .toSeq
+      parts.foreach(p => ParquetMetadata.attach(p.toString, opts.kvMetadata))
+    }
+  }
 
   /** Bucketed metastore table for shuffle-free joins/aggregations on the
     * bucket keys: two tables bucketed the same way join without exchanging
@@ -620,50 +711,70 @@ object QuackIO {
 
   // ------------------------------------------------------------- internals
 
+  /** How many lines the CSV shape sniffer samples. Sniffer-grade,
+    * metadata-cost: the same class as schema inference, never data-sized. */
+  private val SniffSampleLines = 8
+
   /** Resolve (delimiter, header) for a CSV read, sniffing whichever the
-    * caller left unset. Both sniffs share ONE first-line read — the line is
-    * only fetched when at least one of the two is actually sniffed.
+    * caller left unset. Both sniffs share ONE k-line sample read — fetched
+    * only when at least one of the two is actually sniffed.
     *
     * Header heuristic (DuckDB-style, the reference inherits it,
-    * `src/QuackIO.jl:69-76`): evidence-of-data test on the FIRST row only.
-    * A field that parses as a number / boolean / ISO date(-time) cannot be
-    * a column name, so any typed field in row 1 ⇒ headerless; an all-text
-    * first row is treated as a header — the all-varchar corpus case is
+    * `src/QuackIO.jl:69-76`): evidence-of-data test on the first
+    * SURVIVING row, judged under the sample-voted delimiter. A field that
+    * parses as a number / boolean / ISO date(-time) cannot be a column
+    * name, so any typed field in row 1 ⇒ headerless; an all-text first
+    * row is treated as a header — the all-varchar corpus case is
     * genuinely ambiguous and defaults to header, like DuckDB. Callers
     * needing certainty pass `header=Some(...)`. */
   private def resolveCsvShape(spark: SparkSession, path: String,
       opts: ReadOptions): (String, Boolean) = {
-    // with skipRows the sniffed line is the first line that SURVIVES the
+    // with skipRows the sample starts at the first line that SURVIVES the
     // skip — preamble junk must not drive the delimiter/header call
-    lazy val firstLine = readLineAt(spark, path, opts.skipRows.getOrElse(0))
+    lazy val sample = readLinesAt(spark, path,
+      opts.skipRows.getOrElse(0), SniffSampleLines)
     val delim = opts.delim.getOrElse(
-      extensionDelim(path).getOrElse(firstLine.fold(",")(sniffDelim)))
+      extensionDelim(path).getOrElse(
+        if (sample.isEmpty) "," else sniffDelim(sample)))
     val header = opts.header.getOrElse(
-      firstLine.fold(true)(l => !splitTopLevel(l, delim).exists(looksTyped)))
+      sample.headOption.fold(true)(l =>
+        !splitTopLevel(l, delim).exists(looksTyped)))
     (delim, header)
   }
 
-  /** Read line `idx` (0-based) through Spark's text source (handles
-    * compression codecs and any Hadoop filesystem); metadata-scale cost,
-    * same class as schema inference — `idx` is a small skip count, never
-    * data-sized. `None` when the file has fewer lines. */
-  private def readLineAt(spark: SparkSession, path: String, idx: Int)
-      : Option[String] = {
-    val ls = spark.read.text(path).limit(idx + 1).collect()
-    if (ls.length > idx) Some(ls(idx).getString(0)) else None
-  }
+  /** Read up to `k` lines starting at line `from` (0-based) through
+    * Spark's text source (handles compression codecs and any Hadoop
+    * filesystem); metadata-scale cost, same class as schema inference —
+    * `from` is a small skip count, never data-sized. Empty when the file
+    * has fewer than `from` + 1 lines. */
+  private def readLinesAt(spark: SparkSession, path: String, from: Int,
+      k: Int): Seq[String] =
+    spark.read.text(path).limit(from + k).collect()
+      .drop(from).map(_.getString(0)).toSeq
 
   /** DuckDB-style delimiter sniffing (the reference inherits it through
-    * `read_csv`'s auto-detection, `src/QuackIO.jl:69-76`): try each common
-    * delimiter on the first line and keep the one splitting into the most
-    * fields — a `;`/tab/`|` file reads correctly with no options. Comma
-    * wins ties (declaration order), so plain CSVs are unaffected; an
-    * explicit `delim=` always overrides (the O1 wrong-delimiter semantics,
-    * `test/runtests.jl:25`, stay reachable). First-line-only by design:
-    * sniffer-grade, same as the header sniff in [[resolveCsvShape]]. */
-  private[graft] def sniffDelim(firstLine: String): String = {
+    * `read_csv`'s auto-detection, `src/QuackIO.jl:69-76`), MAJORITY-VOTED
+    * over a k-line sample rather than the first line alone: for each
+    * candidate, every sample line votes for the field count it would
+    * split into, and the candidate's score is (lines agreeing on its
+    * modal field count, that field count) — a delimiter that splits
+    * every data line into the same 5 fields beats one that only splits
+    * the header. A modal count of 1 scores zero (splitting nothing is
+    * not evidence). This survives an unrepresentative first line (e.g. a
+    * header whose column NAMES contain commas while the data is
+    * semicolon-delimited) that single-line sniffing miscalls. Comma wins
+    * ties (declaration order), so plain CSVs are unaffected; an explicit
+    * `delim=` always overrides (the O1 wrong-delimiter semantics,
+    * `test/runtests.jl:25`, stay reachable). */
+  private[graft] def sniffDelim(sample: Seq[String]): String = {
     val candidates = Seq(",", ";", "\t", "|")
-    candidates.maxBy(d => splitTopLevel(firstLine, d).length)
+    candidates.maxBy { d =>
+      val counts = sample.map(l => splitTopLevel(l, d).length)
+      val (modal, votes) = counts.groupBy(identity)
+        .map { case (c, ls) => (c, ls.size) }
+        .maxBy { case (c, v) => (v, c) } // most lines; wider on vote ties
+      if (modal <= 1) (0, 0) else (votes, modal)
+    } // maxBy keeps the FIRST max → comma wins score ties
   }
 
   /** Split one CSV line on the FULL (possibly multi-char) delimiter string
@@ -782,11 +893,14 @@ object QuackIO {
     }.toIndexedSeq: _*)
   }
 
+  // unionByName is deliberately absent: every reader (csv/json/parquet/
+  // orc) accepts it now, so it is format-agnostic — like DuckDB, where
+  // union_by_name is a kwarg of read_csv, read_parquet AND read_json
   private def hasFormatOptions(opts: ReadOptions): Boolean =
     opts.delim.nonEmpty || opts.header.nonEmpty || opts.columns.nonEmpty ||
       opts.names.nonEmpty || opts.autoTypeCandidates.nonEmpty ||
       opts.nullstr.nonEmpty || opts.quote.nonEmpty || opts.escape.nonEmpty ||
-      opts.skipRows.nonEmpty || opts.unionByName || opts.extra.nonEmpty
+      opts.skipRows.nonEmpty || opts.extra.nonEmpty
 
   /** Extension-based format guess (reference defers to DuckDB's
     * `read_file`/COPY filename sniffing; same extensions honored). */

@@ -336,6 +336,42 @@ object Similarity {
           col("label").cast("string"))))
           .otherwise(col("n_vectors")).as("n_vectors"))
 
+  /** Recall@k of an approximate top-k result against the exact one — the
+    * measurement that makes the probe/nPlanes/maxBucket trade-offs of
+    * [[annTopK]]/[[ivfTopK]]/[[pqTopK]] tunable in production instead of
+    * guessed (the observability companion to [[oversizedBuckets]]/
+    * [[oversizedClusters]], which explain WHERE recall went).
+    *
+    * Both inputs use the engine's top-k shape (`query_id`, `corpus_id`,
+    * `rank`, ...): `exact` from [[cosineTopK]] on a query SAMPLE (exact
+    * truth over the full corpus is a per-query corpus scan — sample the
+    * queries, not the corpus), `approx` from any approximate variant.
+    * Per query: the fraction of the exact top-k the approximate search
+    * found, counted by membership not rank agreement (rank permutations
+    * within the top-k are not recall loss). Queries the approximate
+    * search returned NOTHING for (e.g. their bucket was gated away)
+    * score recall 0 rather than vanishing — those are exactly the rows
+    * the diagnostic exists to surface.
+    *
+    * Scale shape: top-k results are k rows per query regardless of
+    * corpus size, so both sides are query-keyed dwarf tables; one
+    * semi-join + two aggregations, all keyed on query_id.
+    * Output: (query_id, n_exact, n_hit, recall), one row per exact-side
+    * query. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val a = approx.filter(col("rank") <= k).select("query_id", "corpus_id")
+    val e = exact.filter(col("rank") <= k).select("query_id", "corpus_id")
+    val hits = e.join(a, Seq("query_id", "corpus_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    e.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_exact").cast("double")).as("recall"))
+  }
+
   /** Diagnostic companion to [[ivfTopK]]: corpus clusters its `maxCluster`
     * gate would DROP (cluster id + row count) under the given centroid set,
     * so the recall trade-off is observable instead of silent. A non-empty

@@ -28,10 +28,33 @@ object EventStreams {
   case class Session(user_id: Long, start_ms: Long, end_ms: Long,
       n_events: Long)
 
-  /** Incremental scan of a directory where event parquet files land. */
+  /** Incremental scan of a directory where event parquet files land.
+    *
+    * Ingest-rate knobs (Spark file-source options, surfaced because the
+    * two ingest regimes want opposite settings):
+    *  - `maxFilesPerTrigger`: cap files consumed per micro-batch. A
+    *    BACKFILL over months of drops would otherwise plan one giant
+    *    first batch (every historical file) — bound it so state stores,
+    *    shuffles, and checkpoints stay micro-batch-sized.
+    *  - `latestFirst`: process newest files first. Steady-state serving
+    *    behind on a backlog catches up to fresh data before draining
+    *    history; combine with `maxFilesPerTrigger` for bounded batches.
+    *    Note: out-of-order file processing makes event-time watermarks
+    *    advance on the NEWEST data, so late historical windows may be
+    *    dropped as late — leave it off for backfills that must be
+    *    complete. */
   def readEventStream(spark: SparkSession, dir: String,
-      schema: StructType): DataFrame =
-    spark.readStream.schema(schema).parquet(dir)
+      schema: StructType,
+      maxFilesPerTrigger: Option[Int] = None,
+      latestFirst: Boolean = false): DataFrame = {
+    maxFilesPerTrigger.foreach(n => require(n >= 1,
+      s"maxFilesPerTrigger must be >= 1, got $n"))
+    var r = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n =>
+      r = r.option("maxFilesPerTrigger", n.toString))
+    if (latestFirst) r = r.option("latestFirst", "true")
+    r.parquet(dir)
+  }
 
   /** Tumbling-window counts/sums per event type with a watermark bounding
     * late data (and therefore state size). Append-mode compatible. */

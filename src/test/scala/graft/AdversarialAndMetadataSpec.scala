@@ -57,4 +57,26 @@ class AdversarialAndMetadataSpec extends TestBase {
     ParquetMetadata.attach(p, Map("b" -> "2"))
     assert(ParquetMetadata.read(p) == Map("a" -> "1", "b" -> "2"))
   }
+
+  test("writeTableDir attaches kvMetadata to EVERY part file") {
+    import scala.jdk.CollectionConverters._
+    val d = s"${tmpDir()}/sharded"
+    val kv = Map("writer" -> "quackio", "run" -> "r6")
+    // repartition(3) forces multiple part files; each must carry the KV
+    QuackIO.writeTableDir(fixture.repartition(3), d,
+      WriteOptions(format = Some("parquet"), kvMetadata = kv))
+    val parts = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+      .iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-")).toSeq
+    assert(parts.size > 1, s"expected multiple parts, got $parts")
+    parts.foreach(p => assert(ParquetMetadata.read(p.toString) == kv,
+      s"missing/incomplete KV on $p"))
+    // data survives every footer rewrite, dir still reads as one table
+    assertSameRows(QuackIO.readParquet(spark, Seq(d)), fixture)
+    // and the dir path still ignores kvMetadata for non-parquet formats
+    val c = s"${tmpDir()}/csvdir"
+    QuackIO.writeTableDir(fixture, c,
+      WriteOptions(format = Some("csv"), kvMetadata = kv))
+    assert(QuackIO.readCsv(spark, Seq(c)).count() == 2)
+  }
 }

@@ -437,6 +437,33 @@ class OperatorsSpec extends TestBase {
       "the dropped cluster must be observable")
   }
 
+  test("recallAtK: exact-vs-itself is 1.0; gated-away queries score 0") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val exact = Similarity.cosineTopK(queries, emb, "vec_id", "embedding",
+      k = 5)
+    // the exact result against itself: every query at recall exactly 1.0
+    val self = Similarity.recallAtK(exact, exact, k = 5).collect()
+    assert(self.nonEmpty)
+    assert(self.forall(_.getDouble(3) == 1.0))
+    assert(self.forall(r => r.getLong(1) == r.getLong(2)))
+    // approximate search: recall is in [0, 1] per query, and every
+    // exact-side query appears even when ANN returned nothing for it
+    val approx = Similarity.annTopK(queries, emb, "vec_id", "embedding",
+      k = 5, nPlanes = 4)
+    val rec = Similarity.recallAtK(approx, exact, k = 5)
+    val rows = rec.collect()
+    assert(rows.length == self.length, "one row per exact-side query")
+    assert(rows.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+    // a query whose every neighbor was gated away must surface at 0.0,
+    // not vanish: empty approx == everything gated
+    val none = Similarity.recallAtK(approx.filter(lit(false)), exact, k = 5)
+      .collect()
+    assert(none.length == self.length)
+    assert(none.forall(r => r.getDouble(3) == 0.0 && r.getLong(2) == 0L))
+  }
+
   test("nearDupPairs cartesian requires explicit assumeSmall opt-in") {
     val e = intercept[IllegalArgumentException] {
       Similarity.nearDupPairs(vecs, "vec_id", "embedding", threshold = 0.5)

@@ -347,4 +347,32 @@ class StreamingSpec extends TestBase {
     assert(got.map(_._1).toSet == batchIds)
     assert(got.nonEmpty && got.forall(!_._2.contains("@")))
   }
+
+  test("maxFilesPerTrigger bounds each micro-batch (backfill ingest knob)") {
+    val dir = tmpDir().toString
+    // three separate drops = three files (coalesce(1) each)
+    (0 until 3).foreach { i =>
+      Seq(Event(i.toLong, ts(i), 1, "click", i.toDouble)).toDF()
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val stream = EventStreams.readEventStream(spark, dir,
+      Seq.empty[Event].toDF().schema, maxFilesPerTrigger = Some(1))
+    val q = stream.writeStream.outputMode("append").format("memory")
+      .queryName("bounded_out").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    q.stop()
+    // one file per micro-batch: the 3-file backlog drains in 3 batches
+    // of 1 row each, never one giant batch
+    assert(spark.table("bounded_out").count() == 3)
+    assert(batches.length == 3,
+      s"expected 3 bounded batches, got ${batches.length}")
+    assert(batches.forall(_.numInputRows == 1))
+    // knob validation is loud
+    val e = intercept[IllegalArgumentException] {
+      EventStreams.readEventStream(spark, dir,
+        Seq.empty[Event].toDF().schema, maxFilesPerTrigger = Some(0))
+    }
+    assert(e.getMessage.contains("maxFilesPerTrigger"))
+  }
 }
