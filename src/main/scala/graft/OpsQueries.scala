@@ -1744,6 +1744,78 @@ object OpsQueries {
              |    COUNT(*) AS n FROM events GROUP BY 1),
              |t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM events)
              |SELECT key, n, CAST(n AS DOUBLE) / total AS fraction
-             |FROM c, t ORDER BY n DESC, key LIMIT 15""".stripMargin))
+             |FROM c, t ORDER BY n DESC, key LIMIT 15""".stripMargin)),
+
+    // ----- X3 ANN recall diagnostic ----------------------------------------
+    // recall@10 of the sign-LSH ANN (q31's exact configuration) against
+    // brute-force truth (q30's), per query — the measurement that turns
+    // probe/nPlanes/maxBucket tuning from guesswork into observation.
+    // Membership-counted, not rank-agreement; queries whose bucket gated
+    // every neighbor away surface at recall 0 instead of vanishing.
+
+    "q82_ann_recall" -> Entry(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 5)
+        Similarity.recallAtK(
+            Similarity.annTopK(queries, emb, "vec_id", "embedding",
+              k = 10, nPlanes = 8),
+            Similarity.cosineTopK(queries, emb, "vec_id", "embedding",
+              k = 10),
+            k = 10)
+          .orderBy("query_id")
+      },
+      Some {
+        def cos(a: String, b: String) =
+          s"""round(
+             |    list_sum([$a[i]::DOUBLE * $b[i]::DOUBLE
+             |      for i in generate_series(1, len($a))]) /
+             |    (sqrt(list_sum([$a[i]::DOUBLE * $a[i]::DOUBLE
+             |      for i in generate_series(1, len($a))])) *
+             |     sqrt(list_sum([$b[i]::DOUBLE * $b[i]::DOUBLE
+             |      for i in generate_series(1, len($b))]))), 6)""".stripMargin
+        s"""WITH pl AS (
+           |  SELECT p.plane, j.j,
+           |    CAST(CAST(('0x' || substr(md5(p.plane::VARCHAR || '_'
+           |      || j.j::VARCHAR), 1, 8)) AS UBIGINT) AS DOUBLE)
+           |      / 4294967296.0 - 0.5 AS r
+           |  FROM (SELECT unnest(generate_series(0, 7)) AS plane) p,
+           |       (SELECT unnest(generate_series(1, 64)) AS j) j),
+           |comp AS (SELECT vec_id, j, embedding[j]::DOUBLE AS x
+           |  FROM embeddings, unnest(generate_series(1, len(embedding)))
+           |    AS u(j)),
+           |dots AS (SELECT vec_id, plane, SUM(x * r) AS d
+           |  FROM comp JOIN pl USING (j) GROUP BY 1, 2),
+           |bkt AS (SELECT vec_id, CAST(SUM(CASE WHEN d > 0
+           |    THEN (1::BIGINT << plane) ELSE 0 END) AS BIGINT) AS bucket
+           |  FROM dots GROUP BY 1),
+           |qb AS (SELECT b.vec_id AS query_id, e.embedding AS qv, b.bucket
+           |  FROM bkt b JOIN embeddings e USING (vec_id)
+           |  WHERE b.vec_id < 5),
+           |cb AS (SELECT b.vec_id AS corpus_id, e.embedding AS cv, b.bucket
+           |  FROM bkt b JOIN embeddings e USING (vec_id)),
+           |sa AS (SELECT query_id, corpus_id, ${cos("qv", "cv")} AS score
+           |  FROM qb JOIN cb USING (bucket) WHERE query_id <> corpus_id),
+           |ra AS (SELECT query_id, corpus_id,
+           |  ROW_NUMBER() OVER (PARTITION BY query_id
+           |    ORDER BY score DESC, corpus_id) AS rnk FROM sa),
+           |a AS (SELECT query_id, corpus_id FROM ra WHERE rnk <= 10),
+           |q AS (SELECT vec_id AS query_id, embedding AS qv
+           |  FROM embeddings WHERE vec_id < 5),
+           |c AS (SELECT vec_id AS corpus_id, embedding AS cv
+           |  FROM embeddings),
+           |se AS (SELECT query_id, corpus_id, ${cos("qv", "cv")} AS score
+           |  FROM q, c WHERE query_id <> corpus_id),
+           |re AS (SELECT query_id, corpus_id,
+           |  ROW_NUMBER() OVER (PARTITION BY query_id
+           |    ORDER BY score DESC, corpus_id) AS rnk FROM se),
+           |e AS (SELECT query_id, corpus_id FROM re WHERE rnk <= 10),
+           |h AS (SELECT e.query_id, COUNT(*) AS n_hit
+           |  FROM e JOIN a USING (query_id, corpus_id) GROUP BY 1),
+           |tt AS (SELECT query_id, COUNT(*) AS n_exact FROM e GROUP BY 1)
+           |SELECT tt.query_id, tt.n_exact, COALESCE(h.n_hit, 0) AS n_hit,
+           |  COALESCE(h.n_hit, 0)::DOUBLE / tt.n_exact::DOUBLE AS recall
+           |FROM tt LEFT JOIN h USING (query_id) ORDER BY query_id""".stripMargin
+      })
   )
 }
