@@ -1816,6 +1816,106 @@ object OpsQueries {
            |SELECT tt.query_id, tt.n_exact, COALESCE(h.n_hit, 0) AS n_hit,
            |  COALESCE(h.n_hit, 0)::DOUBLE / tt.n_exact::DOUBLE AS recall
            |FROM tt LEFT JOIN h USING (query_id) ORDER BY query_id""".stripMargin
-      })
+      }),
+
+    // ----- X5 per-domain quota cap -----------------------------------------
+    // Keep the 30 highest-quality (longest) docs per source — the
+    // cap-per-host move that stops boilerplate farms from dominating a
+    // crawl. Deterministic survivors: n_chars DESC, md5 hash tie-break.
+    // ScaleSpec pins the WindowGroupLimit (map-side top-n per key before
+    // the exchange).
+
+    "q83_domain_cap" -> Entry(
+      (s, dir) => Sampling.perKeyCap(t(s, dir, "documents"),
+          col("source"), col("doc_id"), n = 30, score = col("n_chars"))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id"),
+      Some("""WITH rk AS (SELECT doc_id, source, n_chars,
+             |    ROW_NUMBER() OVER (PARTITION BY source
+             |      ORDER BY n_chars DESC NULLS LAST,
+             |        md5('cap|' || CAST(doc_id AS VARCHAR))) AS rn
+             |  FROM documents)
+             |SELECT doc_id, source, n_chars FROM rk
+             |WHERE rn <= 30 ORDER BY doc_id""".stripMargin)),
+
+    // ----- X5 corpus mixture -----------------------------------------------
+    // Assemble a training mix: 30% of the "web" sources, 80% of the rest,
+    // one reproducible plan with provenance tags. Each source's rate
+    // filter sits on its own scan (no-exchange pin shared with q66's
+    // sampler family); draws are decorrelated across sources by the
+    // per-tag salt.
+
+    "q84_corpus_mixture" -> Entry(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val web = docs.filter(col("source").isin("src0", "src1"))
+        val other = docs.filter(!col("source").isin("src0", "src1"))
+        Sampling.mixture(Seq(("web", web, 3000), ("other", other, 8000)),
+            "doc_id")
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("source_tag"))
+          .orderBy("source_tag", "doc_id")
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id, lang, source, 'web' AS source_tag
+             |  FROM documents WHERE source IN ('src0', 'src1')
+             |    AND CAST(('0x' || substr(md5('mix|web|' ||
+             |      CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+             |      % 10000 < 3000
+             |  UNION ALL
+             |  SELECT doc_id, lang, source, 'other' AS source_tag
+             |  FROM documents WHERE source NOT IN ('src0', 'src1')
+             |    AND CAST(('0x' || substr(md5('mix|other|' ||
+             |      CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+             |      % 10000 < 8000)
+             |SELECT doc_id, lang, source, source_tag FROM m
+             |ORDER BY source_tag, doc_id""".stripMargin)),
+
+    // ----- X5 Unicode canonicalization before dedup ------------------------
+    // The corpus is ASCII, so the entry plants two variants per 7th doc:
+    // one with a precomposed-accent suffix (é = U+00E9), one with the
+    // SAME text in decomposed form (e + U+0301) plus case/whitespace
+    // noise. fingerprint() alone folds case and whitespace but NOT
+    // composition — only the NFC step makes the pair collapse; the
+    // oracle replays chr(233)/chr(769) byte-for-byte.
+
+    "q85_normalize_dedup" -> Entry(
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val sev = d.filter(col("doc_id") % 7 === 0)
+        val composedV = sev.select(
+          (col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(" résumé café"))
+            .as("text"))
+        val decomposedV = sev.select(
+          (col("doc_id") + 3000000).as("doc_id"),
+          concat(col("text"),
+            lit("  RÉSUMÉ   café ")).as("text"))
+        val all = d.union(composedV).union(decomposedV)
+        Dedup.exact(
+            all.withColumn("text", TextAnalysis.normalize(col("text"))),
+            "doc_id", "text")
+          .orderBy("keep_id")
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 2000000,
+             |    text || ' r' || chr(233) || 'sum' || chr(233) ||
+             |      ' caf' || chr(233)
+             |  FROM documents WHERE doc_id % 7 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 3000000,
+             |    text || '  RE' || chr(769) || 'SUME' || chr(769) ||
+             |      '   cafe' || chr(769) || ' '
+             |  FROM documents WHERE doc_id % 7 = 0),
+             |norm AS (SELECT doc_id,
+             |    trim(regexp_replace(lower(nfc_normalize(text)),
+             |      '\s+', ' ', 'g')) AS text
+             |  FROM docs)
+             |SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+             |    AS fp,
+             |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+             |FROM norm GROUP BY 1 ORDER BY keep_id""".stripMargin))
   )
 }

@@ -74,6 +74,68 @@ object Dedup {
       .drop("__fp")
   }
 
+  /** X1 incremental dedup, Bloom-filter path: like [[dedupAgainst]] but
+    * the seen-set is compressed into a Bloom filter that ships with every
+    * task, so the incoming batch is filtered AT ITS SCAN — zero shuffle
+    * on either side, where the anti-join exchanges both. The trade:
+    *
+    *  - '''false positives drop extra rows''' at rate ≈ `fpp`: a never-
+    *    seen doc whose hash collides is wrongly "already seen". For
+    *    dedup that errs on the safe side (no duplicate ever survives;
+    *    ~fpp of fresh docs are lost). When exactness matters, use this
+    *    as a cheap PRE-filter and confirm survivors-to-drop with the
+    *    anti-join, or use [[dedupAgainst]] alone.
+    *  - '''the sketch must fit on the driver/executors''': ~1.2 bytes ×
+    *    `expectedItems` at fpp=1% (120 MB at 100M keys). Billions of
+    *    seen keys → the anti-join is the right tool; this path is for
+    *    the many-batches-against-a-medium-index regime where paying one
+    *    sketch build amortizes over every subsequent batch scan.
+    *
+    * The membership test is Spark's own codegen'd
+    * `BloomFilterMightContain` over `xxhash64(fingerprint)` — the exact
+    * expression pair runtime row-group filtering uses; no UDF. Build the
+    * sketch once per seen-index version and reuse it across batches.
+    *
+    * NULL text never probes the filter (same contract as
+    * [[dedupAgainst]]): null-fingerprint rows are always kept.
+    */
+  def dedupAgainstBloom(incoming: DataFrame, textCol: String,
+      seenBloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      seenBloom.writeTo(bos)
+      bos.toByteArray
+    }
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    val might = ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        ColumnBridge.expression(lit(bytes)),
+        ColumnBridge.expression(xxhash64(fp))))
+    incoming.filter(fp.isNull || !might)
+  }
+
+  /** Build the seen-set Bloom filter for [[dedupAgainstBloom]]: one
+    * aggregation over the seen index (tree-merged per-partition sketches;
+    * the corpus never moves), keyed on `xxhash64(fingerprint)` to match
+    * the probe side bit-for-bit. Persist the returned sketch alongside
+    * the index and rebuild only when the index version changes. */
+  def seenBloomFilter(seen: DataFrame, seenTextCol: String,
+      expectedItems: Long,
+      fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter = {
+    require(expectedItems > 0, "expectedItems must be positive")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
+    // filter the FINGERPRINT, not the hash: xxhash64 never returns null
+    // (a null input hashes to the seed), and planting that seed-hash
+    // would be a wasted slot — the probe side never consults the filter
+    // for null text
+    seen
+      .select(TextAnalysis.fingerprint(col(seenTextCol)).as("__fp"))
+      .filter(col("__fp").isNotNull)
+      .select(xxhash64(col("__fp")).as("__h"))
+      .stat.bloomFilter("__h", expectedItems, fpp)
+  }
+
   /** Word n-gram shingles of a token array, joined with single spaces.
     * Empty result when the doc has fewer than n tokens.
     *

@@ -73,4 +73,67 @@ object Sampling {
     }
     df.filter(draw(key, salt) < rate)
   }
+
+  /** Per-key quota cap: keep at most `n` rows per `key` — the
+    * cap-docs-per-domain move that stops a handful of boilerplate-heavy
+    * hosts from dominating a crawl corpus. Which rows survive is
+    * deterministic: highest `score` first (NULLS LAST — an unscored doc
+    * never beats a scored one), ties broken by `md5(salt|id)` so the
+    * survivors are an unbiased fixed draw rather than
+    * lowest-id-wins (which would systematically favor early crawl order).
+    * Pass `score = lit(0)` for a pure hash-random cap.
+    *
+    * Plan: ROW_NUMBER over (key) ordered by (score DESC, hash) then
+    * `rn <= n` — ONE shuffle keyed on `key`, and Spark ≥3.5 plans the
+    * rank filter as a WindowGroupLimit: each map task keeps only its
+    * local top-n per key BEFORE the exchange, so a million-doc host
+    * ships ~n·tasks rows, not a million (spec-pinned in ScaleSpec).
+    *
+    * NULL keys form their own group (SQL window semantics) and are
+    * capped together — "unknown domain" is itself a quota bucket.
+    */
+  def perKeyCap(df: DataFrame, key: Column, id: Column, n: Int,
+      score: Column, salt: String = "cap"): DataFrame = {
+    require(n > 0, s"per-key cap must be positive, got $n")
+    require(!df.columns.contains("__rn"),
+      "perKeyCap: input already has a '__rn' column; rename it " +
+        "(it would be overwritten by the internal rank)")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(key)
+      .orderBy(score.desc_nulls_last,
+        md5(concat(lit(salt), lit("|"), id.cast("string"))))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
+  /** Corpus mixture: union several sources, each kept at its own rate (in
+    * basis points, same determinism contract as [[bernoulli]]), with a
+    * `source` tag column identifying provenance. The assemble-the-
+    * training-mix step: 100% of curated books + 15% of web crawl + 40% of
+    * code, as one reproducible plan.
+    *
+    * Columns are aligned by name across sources with nulls for columns a
+    * source lacks ([[org.apache.spark.sql.Dataset.unionByName]]) — corpus
+    * schemas rarely agree exactly. Each source's filter is a pure
+    * projection on its own scan (no shuffle is introduced by the mix
+    * itself), so at 100 TB this costs exactly the union of the
+    * per-source sampled scans.
+    */
+  def mixture(sources: Seq[(String, DataFrame, Int)], key: String,
+      salt: String = "mix"): DataFrame = {
+    require(sources.nonEmpty, "mixture of zero sources")
+    val tags = sources.map(_._1)
+    require(tags.distinct.size == tags.size,
+      s"mixture source tags must be distinct, got $tags")
+    // withColumn would silently overwrite a caller's provenance column
+    sources.foreach { case (tag, df, _) =>
+      require(!df.columns.contains("source_tag"),
+        s"mixture: source '$tag' already has a 'source_tag' column; " +
+          "rename it (it would be overwritten by the mixture tag)")
+    }
+    sources.map { case (tag, df, bp) =>
+      bernoulli(df, col(key), bp, s"$salt|$tag")
+        .withColumn("source_tag", lit(tag))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 }

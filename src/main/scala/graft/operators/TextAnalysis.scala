@@ -16,6 +16,23 @@ object TextAnalysis {
   /** Whitespace tokenization. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** Canonicalize text before hash-based dedup: Unicode NFC (composition
+    * variants of the same glyphs hash differently — see
+    * [[graft.functions.NfcNormalize]]), optional casefold, whitespace
+    * runs collapsed to single spaces, trimmed. Two crawls of the same
+    * page that differ only in encoding form, case, or layout whitespace
+    * fingerprint identically after this; compose with [[Dedup.exact]] /
+    * minhash as `dedup(normalize(text))`.
+    *
+    * Pure projection — sits on the scan, no shuffle. The DuckDB oracle
+    * mirrors it 1:1 (`nfc_normalize`, `lower`, `regexp_replace`, `trim`).
+    */
+  def normalize(text: Column, casefold: Boolean = true): Column = {
+    val nfc = graft.functions.NfcNormalize.nfcNormalize(text)
+    val cased = if (casefold) lower(nfc) else nfc
+    trim(regexp_replace(cased, "\\s+", " "))
+  }
+
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
   /** Characters matching a regex, as a count (quality-scoring feature). */

@@ -518,4 +518,170 @@ class CorpusOpsSpec extends TestBase {
     assert(scans == 1, s"total must not rescan the corpus; " +
       s"got $scans scans:\n$p")
   }
+
+  // ---------- perKeyCap ----------------------------------------------------
+
+  test("perKeyCap keeps at most n per key, highest score first") {
+    val df = Seq(
+      ("a.com", 1L, 0.9), ("a.com", 2L, 0.5), ("a.com", 3L, 0.7),
+      ("b.com", 4L, 0.1))
+      .toDF("domain", "doc_id", "score")
+    val kept = Sampling.perKeyCap(df, col("domain"), col("doc_id"), 2,
+        col("score"))
+      .select("doc_id").as[Long].collect().toSet
+    // a.com keeps its two best (1: 0.9, 3: 0.7); b.com keeps its only doc
+    assert(kept == Set(1L, 3L, 4L))
+  }
+
+  test("perKeyCap: null scores lose to scored rows; null keys are their " +
+    "own capped group; survivors are partition-invariant") {
+    val df = Seq(
+      ("a.com", 1L, Some(0.1)), ("a.com", 2L, None),
+      (null.asInstanceOf[String], 3L, Some(1.0)),
+      (null.asInstanceOf[String], 4L, Some(0.5)))
+      .toDF("domain", "doc_id", "score")
+    val kept = Sampling.perKeyCap(df, col("domain"), col("doc_id"), 1,
+        col("score"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L)) // scored beats null-scored; nulls grouped
+    val keptRepart = Sampling.perKeyCap(df.repartition(7), col("domain"),
+        col("doc_id"), 1, col("score"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptRepart == kept)
+  }
+
+  test("perKeyCap plans a WindowGroupLimit: map-side top-n before the " +
+    "exchange, so a million-doc host ships ~n rows per task") {
+    val dir = tmpDir()
+    (1L to 100L).map(i => ("host" + (i % 3), i))
+      .toDF("domain", "doc_id")
+      .write.parquet(dir.resolve("t").toString)
+    val df = spark.read.parquet(dir.resolve("t").toString)
+    val out = Sampling.perKeyCap(df, col("domain"), col("doc_id"), 5, lit(0))
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter must push a partial group limit below the exchange:\n$p")
+  }
+
+  // ---------- mixture ------------------------------------------------------
+
+  test("mixture unions sources at per-source rates with provenance tags") {
+    val web = (1L to 2000L).map(i => (i, s"web doc $i")).toDF("doc_id", "text")
+    val books = (1L to 100L).map(i => (i, s"book $i", s"title $i"))
+      .toDF("doc_id", "text", "title")
+    val out = Sampling.mixture(Seq(
+      ("web", web, 2500), ("books", books, 10000)), "doc_id")
+    assert(out.columns.toSeq == Seq("doc_id", "text", "source_tag", "title"))
+    val byTag = out.groupBy("source_tag").count()
+      .as[(String, Long)].collect().toMap
+    assert(byTag("books") == 100L) // 10000 bp = keep all
+    assert(byTag("web") > 350 && byTag("web") < 650) // ~25% of 2000
+    // a web row has null title (unionByName fills missing columns)
+    assert(out.filter($"source_tag" === "web" && $"title".isNotNull)
+      .count() == 0L)
+  }
+
+  test("mixture draws are independent per source (same key, different salt)") {
+    val a = (1L to 1000L).map(i => (i, "x")).toDF("doc_id", "text")
+    val out = Sampling.mixture(Seq(("a", a, 5000), ("b", a, 5000)), "doc_id")
+    val keptA = out.filter($"source_tag" === "a")
+      .select("doc_id").as[Long].collect().toSet
+    val keptB = out.filter($"source_tag" === "b")
+      .select("doc_id").as[Long].collect().toSet
+    // identical rates over the identical table: same-salt draws would make
+    // the two kept-sets equal; per-source salts decorrelate them
+    assert(keptA != keptB)
+    assert(!Sampling.mixture(Seq(("a", a, 10000)), "doc_id").columns
+      .contains("__dup"))
+    intercept[IllegalArgumentException] {
+      Sampling.mixture(Seq(("a", a, 100), ("a", a, 200)), "doc_id")
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.mixture(
+        Seq(("a", a.withColumn("source_tag", lit("x")), 100)), "doc_id")
+    }
+  }
+
+  // ---------- Bloom-filter incremental dedup -------------------------------
+
+  test("dedupAgainstBloom drops seen docs, keeps fresh and null-text docs") {
+    val seen = docs(1L -> "alpha beta", 2L -> "gamma delta")
+    val incoming = Seq(
+      (10L, "alpha beta"), // seen — must drop
+      (11L, "fresh document here"), // fresh — must keep (fpp tiny at n=2)
+      (12L, null.asInstanceOf[String])) // null text — always kept
+      .toDF("doc_id", "text")
+    val bloom = Dedup.seenBloomFilter(seen, "text", expectedItems = 100)
+    val kept = Dedup.dedupAgainstBloom(incoming, "text", bloom)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(11L, 12L))
+  }
+
+  test("dedupAgainstBloom agrees with the exact anti-join (no false " +
+    "negatives by construction; no false positives at this fpp/n)") {
+    val seen = docs((1L to 200L).map(i => i -> s"seen doc number $i"): _*)
+    val incoming = docs(
+      ((1L to 100L).map(i => (1000 + i) -> s"seen doc number $i") ++
+       (1L to 100L).map(i => (2000 + i) -> s"fresh doc number $i")): _*)
+    val bloom = Dedup.seenBloomFilter(seen, "text", expectedItems = 1000,
+      fpp = 0.001)
+    val bloomKept = Dedup.dedupAgainstBloom(incoming, "text", bloom)
+      .select("doc_id").as[Long].collect().toSet
+    val exactKept = Dedup.dedupAgainst(incoming, "text", seen, "text")
+      .select("doc_id").as[Long].collect().toSet
+    // every bloom survivor is an exact survivor (bloom never keeps a dup)
+    assert(bloomKept.subsetOf(exactKept))
+    // at fpp=0.1% over 100 fresh docs, zero collisions is the overwhelming
+    // expectation; equality here means no false positives either
+    assert(bloomKept == exactKept)
+  }
+
+  test("dedupAgainstBloom filters at the scan — no shuffle in the plan") {
+    val dir = tmpDir()
+    docs((1L to 50L).map(i => i -> s"doc $i"): _*)
+      .write.parquet(dir.resolve("in").toString)
+    val incoming = spark.read.parquet(dir.resolve("in").toString)
+    val bloom = Dedup.seenBloomFilter(docs(1L -> "doc 1"), "text", 10)
+    val out = Dedup.dedupAgainstBloom(incoming, "text", bloom)
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"bloom path must be a pure scan filter, no exchange:\n$p")
+    assert(!p.contains("Join"), s"bloom path must not join:\n$p")
+  }
+
+  // ---------- normalize ----------------------------------------------------
+
+  test("normalize: NFC composition, casefold, whitespace collapse") {
+    import graft.operators.TextAnalysis
+    val decomposed = "Café   Menu\n\tWelcome " // e + combining acute
+    val composed = "café menu welcome" // precomposed é, canonical form
+    val df = Seq((1L, decomposed), (2L, "CAFÉ MENU WELCOME"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+        TextAnalysis.normalize($"text").as("norm"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == composed)
+    assert(out(2L) == composed)
+    assert(out(3L) == null)
+    // casefold off: case preserved, NFC + whitespace still applied
+    val keepCase = df.filter($"doc_id" === 1L)
+      .select(TextAnalysis.normalize($"text", casefold = false))
+      .as[String].head()
+    assert(keepCase == "Café Menu Welcome")
+  }
+
+  test("normalize makes composition/case/layout variants dedup together") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "Café  du   Parc"), // decomposed, extra spaces
+      (2L, "café du parc"), // composed, lowercase
+      (3L, "something else")).toDF("doc_id", "text")
+    val normed = df.withColumn("text", TextAnalysis.normalize($"text"))
+    val out = Dedup.exact(normed, "doc_id", "text").collect()
+    assert(out.length == 2) // 1 and 2 collapse; raw text would give 3
+    val dupRow = out.find(_.getLong(2) == 2L).get
+    assert(dupRow.getLong(1) == 1L) // min-id representative
+  }
 }
