@@ -144,6 +144,13 @@ object Dedup {
     * once per element and an inlined expression would be re-evaluated
     * n times per row. */
   def shingles(toks: Column, n: Int): Column =
+    graft.functions.Shingles.shingles(toks, n)
+
+  /** Composable HOF reference form of [[shingles]] (sequence → slice →
+    * array_join lambdas). Kept as the cross-checkable twin the native
+    * expression is spec-asserted byte-identical to; the native form
+    * avoids three interpreted lambdas per shingle. */
+  def shinglesHof(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(transform(
         sequence(lit(1), size(toks) - (n - 1)),
@@ -162,9 +169,41 @@ object Dedup {
     *
     * (Lexicographic min over a seeded-MD5 family is a valid MinHash — the
     * hex strings are uniform — and makes every engine agree byte-for-byte.)
+    *
+    * Computed by the native one-pass [[graft.functions.MinHashSig]]
+    * expression — a pure scan projection, NO shuffle. The relational form
+    * ([[minhashSignaturesViaExplode]]) exchanged one row per SHINGLE
+    * through a k-column min aggregation; the per-doc fold belongs inside
+    * the row. Spec-pinned bit-identical to the twin; the size filter
+    * mirrors the twin's explode, which drops docs with no shingles
+    * (fewer than `shingleN` tokens, or null text). The signature array is
+    * staged as its own projection so the k `element_at` references read
+    * one computed attribute (CollapseProject keeps expensive expressions
+    * un-inlined, and the twin spec would catch a k× recompute as a
+    * timing regression).
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      k: Int, shingleN: Int = 3): DataFrame = {
+      k: Int, shingleN: Int = 3): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      // drop docs with no shingles on the CHEAP equivalent condition
+      // (size >= n ⟺ non-empty shingle array; null toks → not-true):
+      // a filter on the shingle array itself gets pushed below the
+      // projection with the whole shingle expression substituted into
+      // the scan filter — computing every shingle twice per row
+      .filter(size(col("toks")) >= shingleN)
+      .select(col("doc_id"), shingles(col("toks"), shingleN).as("shArr"))
+      .select(col("doc_id"),
+        graft.functions.MinHashSig.minhashSig(col("shArr"), k).as("sig"))
+      .select(col("doc_id") +:
+        (0 until k).map(i => element_at(col("sig"), i + 1).as(s"m$i")): _*)
+
+  /** Composable reference form of [[minhashSignatures]] (explode → k min
+    * aggregations). Kept as the cross-checkable twin the native
+    * expression is spec-asserted bit-identical to. Not for production
+    * use: it shuffles one row per SHINGLE. */
+  def minhashSignaturesViaExplode(df: DataFrame, idCol: String,
+      textCol: String, k: Int, shingleN: Int = 3): DataFrame = {
     val hashed = explodedShingles(df, idCol, textCol, shingleN)
       .select(col("doc_id") +:
         (0 until k).map(i => md5(concat(lit(s"$i|"), col("s"))).as(s"h$i")): _*)
@@ -228,29 +267,37 @@ object Dedup {
     // one subtree, then two joins back to a shingle-set subtree) scans
     // the corpus 6× at sf0.1, because filter pushdown specializes each
     // branch's scan and defeats ReuseExchange. Instead the shingle SET
-    // rides along: through the signature aggregation (first(sh) — every
-    // row of a doc carries the same set), into the bucket collect, and
-    // pairs verify in-bucket. One corpus scan, three shuffles (doc,
-    // bucket, pair-dedup), zero joins. The bucket shuffle carries the
-    // set nBands× — the price of never re-deriving it; `maxBucket`
+    // rides along with the signature into the bucket collect, and pairs
+    // verify in-bucket. One corpus scan, two shuffles (bucket,
+    // pair-dedup), zero joins — the doc-level signature aggregation the
+    // old shape needed is gone entirely: the native MinHashSig fold runs
+    // inside the scan projection. The bucket shuffle carries the set
+    // nBands× — the price of never re-deriving it; `maxBucket`
     // (window-count gated BEFORE the collect buffers anything, so a
     // degenerate bucket spills instead of OOMing) bounds expansion.
     //
     // MinHash over the distinct-shingle set is value-identical to the
     // raw-shingle pipeline: duplicates never change a min — so the
-    // DuckDB oracle (min over dup rows) agrees byte-for-byte.
+    // DuckDB oracle (min over dup rows) agrees byte-for-byte; the
+    // distinct set's order is engine-arbitrary, which is fine: every
+    // downstream use (intersect/size) is order-independent.
     require(k % rowsPerBand == 0, "k must be divisible by rowsPerBand")
     val nBands = k / rowsPerBand
-    // one row per (doc, shingle); the SAME aggregation computes the k
-    // signature minima AND rebuilds the distinct shingle set
-    // (collect_set) — its order is engine-arbitrary, which is fine:
-    // every downstream use (intersect/size) is order-independent
-    val hashed = explodedShingles(df, idCol, textCol, shingleN)
-      .select(col("doc_id") +: col("s") +:
-        (0 until k).map(i => md5(concat(lit(s"$i|"), col("s"))).as(s"h$i")): _*)
-    val aggs = (0 until k).map(i => min(col(s"h$i")).as(s"m$i")) :+
-      collect_set(col("s")).as("sh")
-    val sigs = hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val sigs = df
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      // cheap-equivalent gate; see minhashSignatures for why the filter
+      // must not reference the shingle array itself
+      .filter(size(col("toks")) >= shingleN)
+      .select(col("doc_id"), shingles(col("toks"), shingleN).as("shArr"))
+      // shArr is referenced twice below — CollapseProject keeps a
+      // twice-referenced non-cheap alias materialized, so the shingle
+      // array is computed once per row
+      .select(col("doc_id"),
+        graft.functions.MinHashSig.minhashSig(col("shArr"), k).as("sig"),
+        array_distinct(col("shArr")).as("sh"))
+      .select(col("doc_id") +: col("sh") +:
+        (0 until k).map(i => element_at(col("sig"), i + 1).as(s"m$i")): _*)
     val bandCols = (0 until nBands).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), md5(concat(parts: _*)).as("bv"))
@@ -286,8 +333,29 @@ object Dedup {
   /** 32-bit SimHash over whitespace tokens. Per token, the first 8 hex
     * chars of md5(token) give a 32-bit value; each bit votes ±1; the
     * signature sets bits with positive vote sums. Returns (doc_id, simhash).
+    *
+    * Computed by the native one-pass [[graft.functions.SimHash]]
+    * expression — a pure scan projection, NO shuffle. The relational
+    * vote-aggregation form ([[simhashViaVotes]]) exchanged the entire
+    * tokenized corpus (one row per token) just to fold votes per doc;
+    * the fold belongs inside the row. Spec-pinned bit-identical to the
+    * twin; the null-array filter mirrors the twin's explode, which drops
+    * null-token-array (null-text) docs.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 32): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      .filter(col("toks").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.SimHash.simhash(col("toks"), bits).as("simhash"))
+
+  /** Composable reference form of [[simhash]] (explode → per-bit ±1 vote
+    * sums → sign threshold). Kept as the cross-checkable twin the native
+    * expression is spec-asserted bit-identical to — the same pattern as
+    * `DotProduct`/`WinnowWins`/`PqDists`/`DupNgramRatio`. Not for
+    * production use: it shuffles one row per TOKEN. */
+  def simhashViaVotes(df: DataFrame, idCol: String, textCol: String,
       bits: Int = 32): DataFrame = {
     val tok = df
       .select(col(idCol).as("doc_id"),

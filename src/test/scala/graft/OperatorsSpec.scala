@@ -53,6 +53,96 @@ class OperatorsSpec extends TestBase {
     assert(hamming(sigs(1L), sigs(3L)) > 8)
   }
 
+  test("native shingles are byte-identical to the HOF twin") {
+    val adversarial = Seq(
+      (1L, Seq("a", "b", "c", "d")), // normal window walk
+      (2L, Seq("a", "b")), // below width → empty array
+      (3L, Seq("naïve", "café", "東京", "x")), // unicode bytes
+      (4L, Seq("", "a", "")), // empty-string tokens survive the join
+      (5L, null.asInstanceOf[Seq[String]])) // null array → null
+      .toDF("doc_id", "toks")
+    for (n <- Seq(1, 3)) {
+      val native = adversarial
+        .select($"doc_id", Dedup.shingles($"toks", n).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val twin = adversarial
+        .select($"doc_id", Dedup.shinglesHof($"toks", n).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(native == twin, s"native != twin at n=$n")
+    }
+    // null ELEMENTS: concatWs must skip them exactly like array_join
+    val withNullTok = Seq((1L, Seq("a", null, "c"))).toDF("doc_id", "toks")
+    val nat = withNullTok.select(Dedup.shingles($"toks", 3))
+      .as[Seq[String]].head()
+    val hof = withNullTok.select(Dedup.shinglesHof($"toks", 3))
+      .as[Seq[String]].head()
+    assert(nat == hof && nat == Seq("a c"))
+  }
+
+  test("native minhash signatures are bit-identical to the explode twin " +
+    "and plan as a pure projection (no exchange)") {
+    val adversarial = Seq(
+      (1L, "a b c"), // exactly one 3-shingle
+      (2L, "same same same same same"), // duplicate shingles
+      (3L, "naïve café 東京 emoji mixed tokens here"), // unicode
+      (4L, (1 to 100).map(i => s"t$i").mkString(" ")), // many shingles
+      (5L, "two tokens"), // below shingle width — twin drops the doc
+      (6L, null.asInstanceOf[String])) // null text — twin drops the doc
+      .toDF("doc_id", "text")
+    for (k <- Seq(4, 8)) {
+      val native = Dedup.minhashSignatures(adversarial, "doc_id", "text", k)
+        .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      val twin = Dedup
+        .minhashSignaturesViaExplode(adversarial, "doc_id", "text", k)
+        .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      assert(native == twin, s"native != twin at k=$k")
+      assert(!native.keySet.exists(Set(5L, 6L)),
+        "docs without shingles must be dropped like the twin's explode")
+    }
+    // signature computation is a projection on the scan — zero exchanges
+    // (the explode twin shuffled one row per SHINGLE here)
+    val dir = tmpDir()
+    adversarial.write.parquet(dir.resolve("t").toString)
+    val scanned = spark.read.parquet(dir.resolve("t").toString)
+    val out = Dedup.minhashSignatures(scanned, "doc_id", "text", 8)
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"native minhash signatures must not shuffle:\n$p")
+  }
+
+  test("native simhash is bit-identical to the vote-aggregation twin and " +
+    "plans as a pure projection (no exchange)") {
+    val adversarial = Seq(
+      (1L, "a"), // single token
+      (2L, "same same same same same"), // repeated tokens
+      (3L, "naïve café 東京 emoji mixed"), // unicode + nbsp token
+      (4L, "x " + (1 to 200).map(i => s"t$i").mkString(" ")), // many tokens
+      (5L, "punct!@# 123 -tail-")).toDF("doc_id", "text")
+    for (bits <- Seq(16, 32, 64)) {
+      val native = Dedup.simhash(adversarial, "doc_id", "text", bits)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val twin = Dedup.simhashViaVotes(adversarial, "doc_id", "text", bits)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(native == twin, s"native != twin at bits=$bits")
+    }
+    // null text: the twin's explode drops the doc; native must too
+    val withNull = Seq((1L, "alpha beta"),
+      (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    assert(Dedup.simhash(withNull, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    // the signature stage is a projection on the scan — zero exchanges
+    // (the vote-agg twin shuffled one row per TOKEN here)
+    val dir = tmpDir()
+    adversarial.write.parquet(dir.resolve("t").toString)
+    val scanned = spark.read.parquet(dir.resolve("t").toString)
+    val out = Dedup.simhash(scanned, "doc_id", "text")
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"native simhash must not shuffle:\n$p")
+  }
+
   test("simhash banding surfaces hamming-close pairs, guards radius (X2)") {
     // identical docs -> hamming 0, must surface through some band bucket
     val planted = docs.select(col("doc_id"), col("text")).union(
