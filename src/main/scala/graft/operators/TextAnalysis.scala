@@ -44,7 +44,18 @@ object TextAnalysis {
   val FrStop: Seq[String] = Seq("le", "la", "et", "les", "des", "une")
   val EsStop: Seq[String] = Seq("el", "los", "las", "de", "y", "una")
 
+  /** Tokens belonging to a fixed word list, as a count. Native one-probe-
+    * per-token expression ([[graft.functions.CountInSet]]); language ID
+    * runs five lists over every doc, so the HOF form paid ~5·tokens
+    * interpreted lambda calls per doc at the curation pipelines' first
+    * gate. Spec-pinned identical to [[stopwordCountHof]]. */
   def stopwordCount(toks: Column, stop: Seq[String]): Column =
+    graft.functions.CountInSet.countInSet(toks, stop)
+
+  /** Composable HOF reference form of [[stopwordCount]], kept as the
+    * cross-checkable twin (interpreted lambda per token — not for the
+    * hot path). */
+  def stopwordCountHof(toks: Column, stop: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(stop))).cast("long")
 
   /** Quality features: length, token count, punctuation/digit counts,

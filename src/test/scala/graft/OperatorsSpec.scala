@@ -53,6 +53,28 @@ class OperatorsSpec extends TestBase {
     assert(hamming(sigs(1L), sigs(3L)) > 8)
   }
 
+  test("native stopword count matches the HOF twin (nulls, unicode, dups)") {
+    import graft.operators.TextAnalysis
+    val adversarial = Seq(
+      (1L, Seq("the", "cat", "the", "the")), // duplicates all counted
+      (2L, Seq("THE", "The")), // case-sensitive: no hits
+      (3L, Seq("naïve", "東京", "of")), // unicode neighbors
+      (4L, Seq("a", null, "of")), // null element not counted
+      (5L, null.asInstanceOf[Seq[String]])) // null array → null
+      .toDF("doc_id", "toks")
+    val stop = TextAnalysis.EnStop
+    val native = adversarial.select($"doc_id",
+        TextAnalysis.stopwordCount($"toks", stop).as("n"))
+      .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    val twin = adversarial.select($"doc_id",
+        TextAnalysis.stopwordCountHof($"toks", stop).as("n"))
+      .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(native == twin)
+    // doc 4: "a" and "of" hit, the null element is skipped
+    assert(native(1L) == 3L && native(2L) == 0L && native(4L) == 2L &&
+      native(5L) == null)
+  }
+
   test("native shingles are byte-identical to the HOF twin") {
     val adversarial = Seq(
       (1L, Seq("a", "b", "c", "d")), // normal window walk
