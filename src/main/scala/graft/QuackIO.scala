@@ -378,7 +378,7 @@ object QuackIO {
         import spark.implicits._
         val parallelism = math.min(urls.length,
           spark.sparkContext.defaultParallelism * 2)
-        spark.createDataset(urls.zipWithIndex)
+        val fetched = spark.createDataset(urls.zipWithIndex)
           .repartition(parallelism)
           .mapPartitions { it =>
             it.map { case (url, i) =>
@@ -389,6 +389,19 @@ object QuackIO {
             }
           }
           .collect().sorted.toSeq // index-named → sorted = URL order
+        // a caller-passed stagingDir is caller-owned; the default temp
+        // dir is OURS to clean — without this, every ingest run leaves a
+        // full dataset copy in the JVM temp dir (the small-list branch
+        // registers deleteOnExit per file; mirror it here, driver-side,
+        // since the staging contract requires driver visibility)
+        if (stagingDir.isEmpty) {
+          // deleteOnExit runs in REVERSE registration order: register
+          // the dir first so the files go first and the dir is empty
+          // by the time its own delete fires
+          new java.io.File(destRoot).deleteOnExit()
+          fetched.foreach(p => new java.io.File(p).deleteOnExit())
+        }
+        fetched
       }
     readFile(spark, tmps, Some(fmt), opts)
   }
@@ -532,6 +545,16 @@ object QuackIO {
       opts: WriteOptions = WriteOptions(),
       partitionBy: Seq[String] = Nil): Unit = {
     val fmt = resolveFormat(path, opts)
+    // the footer-rewrite pass below walks the output with java.nio —
+    // driver-local paths only. Refuse a remote URI BEFORE the data
+    // write, not after it succeeded (a post-write throw would push a
+    // retry loop into rewriting a complete, valid output).
+    if (fmt == "parquet" && opts.kvMetadata.nonEmpty)
+      require(!path.matches("^[a-zA-Z][a-zA-Z0-9+.\\-]*:.*"),
+        s"writeTableDir(kvMetadata=) rewrites part footers via local " +
+          s"I/O and supports only driver-local paths, got '$path'; " +
+          "use a sidecar metadata table for remote outputs, or " +
+          "writeTable for a single local file")
     writeDir(df, path, fmt, opts, partitionBy)
     // kvMetadata lands in EVERY part file's footer (previously it was
     // silently dropped on the dir path — the one wrong behavior): any
@@ -544,12 +567,14 @@ object QuackIO {
     // reference (test/runtests.jl:171-173).
     if (fmt == "parquet" && opts.kvMetadata.nonEmpty) {
       import scala.jdk.CollectionConverters._
-      val parts = java.nio.file.Files
-        .walk(java.nio.file.Paths.get(path)).iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith("part-") &&
-          p.getFileName.toString.contains(".parquet"))
-        .toSeq
-      parts.foreach(p => ParquetMetadata.attach(p.toString, opts.kvMetadata))
+      val stream = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      val parts =
+        try stream.iterator().asScala
+          .filter(p => p.getFileName.toString.startsWith("part-") &&
+            p.getFileName.toString.contains(".parquet"))
+          .map(_.toString).toList
+        finally stream.close()
+      parts.foreach(p => ParquetMetadata.attach(p, opts.kvMetadata))
     }
   }
 
@@ -765,7 +790,14 @@ object QuackIO {
     * semicolon-delimited) that single-line sniffing miscalls. Comma wins
     * ties (declaration order), so plain CSVs are unaffected; an explicit
     * `delim=` always overrides (the O1 wrong-delimiter semantics,
-    * `test/runtests.jl:25`, stay reachable). */
+    * `test/runtests.jl:25`, stay reachable).
+    *
+    * The score is votes × modal width, not (votes, modal) lexicographic:
+    * vote count alone would let a delimiter with a perfectly consistent
+    * low field count (a char that happens to appear exactly twice on
+    * every line) beat the true delimiter the moment ONE sampled line is
+    * ragged — 8 lines agreeing on 3 junk fields must not outrank 7 of 8
+    * agreeing on 5 real ones (8·3 < 7·5). */
   private[graft] def sniffDelim(sample: Seq[String]): String = {
     val candidates = Seq(",", ";", "\t", "|")
     candidates.maxBy { d =>
@@ -773,7 +805,7 @@ object QuackIO {
       val (modal, votes) = counts.groupBy(identity)
         .map { case (c, ls) => (c, ls.size) }
         .maxBy { case (c, v) => (v, c) } // most lines; wider on vote ties
-      if (modal <= 1) (0, 0) else (votes, modal)
+      if (modal <= 1) 0 else votes * modal
     } // maxBy keeps the FIRST max → comma wins score ties
   }
 

@@ -75,6 +75,22 @@ object MinHashSig {
 
   private val hexChars = "0123456789abcdef".toCharArray
 
+  // seed prefixes depend only on k — cache per k instead of re-encoding
+  // k strings on every row of the hottest projection in the pipeline
+  private val prefixCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]()
+
+  private def prefixesFor(k: Int): Array[Array[Byte]] =
+    prefixCache.computeIfAbsent(k, k => {
+      val ps = new Array[Array[Byte]](k)
+      var j = 0
+      while (j < k) {
+        ps(j) = s"$j|".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        j += 1
+      }
+      ps
+    })
+
   /** unsigned byte-wise comparison: is a < b? (equal lengths) */
   private def less(a: Array[Byte], b: Array[Byte]): Boolean = {
     var i = 0
@@ -93,12 +109,7 @@ object MinHashSig {
     val n = arr.numElements()
     if (n == 0) return null
     val digest = md5.get()
-    val prefixes = new Array[Array[Byte]](k)
-    var j = 0
-    while (j < k) {
-      prefixes(j) = s"$j|".getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      j += 1
-    }
+    val prefixes = prefixesFor(k)
     val minima = new Array[Array[Byte]](k)
     var any = false
     var i = 0

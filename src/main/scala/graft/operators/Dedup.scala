@@ -66,6 +66,9 @@ object Dedup {
     require(!incoming.columns.contains("__fp"),
       "dedupAgainst: incoming already has a '__fp' column; rename it " +
         "(it would be overwritten by the internal fingerprint)")
+    require(!incoming.columns.contains("__seen_fp"),
+      "dedupAgainst: incoming already has a '__seen_fp' column; rename " +
+        "it (the join condition would become ambiguous)")
     val seenFps = seen
       .select(TextAnalysis.fingerprint(col(seenTextCol)).as("__seen_fp"))
     incoming
@@ -181,6 +184,12 @@ object Dedup {
     * one computed attribute (CollapseProject keeps expensive expressions
     * un-inlined, and the twin spec would catch a k× recompute as a
     * timing regression).
+    *
+    * Doc ids are assumed UNIQUE (the contract throughout this library):
+    * being a projection, this emits one signature row per input ROW,
+    * where the twin's groupBy would collapse a duplicated id — dedup a
+    * duplicated-id batch with [[exact]] first. The candidate generators
+    * downstream additionally never emit self-pairs.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       k: Int, shingleN: Int = 3): DataFrame =
@@ -246,6 +255,11 @@ object Dedup {
         transform(slice(col("ids"), i + 2, size(col("ids"))),
           y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      // duplicate-id defense: a doc_id appearing twice in the input puts
+      // two identical rows in its buckets and the i<j expansion pairs
+      // them as (X, X) — ids are documented unique, but never emit a
+      // self-pair even on contract-violating input
+      .filter(col("doc_a") =!= col("doc_b"))
       .distinct()
   }
 
@@ -324,6 +338,8 @@ object Dedup {
         (inter / (size(col("p.a.sh")).cast("double")
           + size(col("p.b.sh")).cast("double") - inter)).as("jac")
       })
+      // duplicate-id defense (see lshCandidates): never a self-pair
+      .filter(col("doc_a") =!= col("doc_b"))
       .filter(col("jac") >= threshold)
       // a pair sharing several buckets verifies identically each time;
       // keep it once (the oracle's DISTINCT-candidates-then-verify set)
@@ -340,7 +356,9 @@ object Dedup {
     * tokenized corpus (one row per token) just to fold votes per doc;
     * the fold belongs inside the row. Spec-pinned bit-identical to the
     * twin; the null-array filter mirrors the twin's explode, which drops
-    * null-token-array (null-text) docs.
+    * null-token-array (null-text) docs. Doc ids are assumed UNIQUE (see
+    * [[minhashSignatures]] — a duplicated id yields one row per input
+    * row here, not the twin's collapsed single row).
     */
   def simhash(df: DataFrame, idCol: String, textCol: String,
       bits: Int = 32): DataFrame =
@@ -415,6 +433,8 @@ object Dedup {
       .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
         bit_count(col("p.a.simhash").bitwiseXOR(col("p.b.simhash")))
           .cast("long").as("hamming"))
+      // duplicate-id defense (see lshCandidates): never a self-pair
+      .filter(col("doc_a") =!= col("doc_b"))
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("doc_a", "doc_b")
   }

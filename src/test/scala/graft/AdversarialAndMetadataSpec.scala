@@ -79,4 +79,22 @@ class AdversarialAndMetadataSpec extends TestBase {
       WriteOptions(format = Some("csv"), kvMetadata = kv))
     assert(QuackIO.readCsv(spark, Seq(c)).count() == 2)
   }
+
+  test("writeTableDir + kvMetadata refuses a remote URI BEFORE writing " +
+    "(the footer rewrite is local-only; a post-write throw would be " +
+    "worse than the old silent ignore)") {
+    val e = intercept[IllegalArgumentException] {
+      QuackIO.writeTableDir(fixture, "s3a://bucket/out",
+        WriteOptions(format = Some("parquet"),
+          kvMetadata = Map("k" -> "v")))
+    }
+    assert(e.getMessage.contains("driver-local"))
+    // no kvMetadata → no local-path requirement: the guard must not
+    // reject remote URIs for plain dir writes (this fails on the
+    // MISSING s3a filesystem, proving the write was attempted)
+    intercept[Exception] {
+      QuackIO.writeTableDir(fixture, "s3a://bucket/out",
+        WriteOptions(format = Some("parquet")))
+    }
+  }
 }

@@ -53,6 +53,24 @@ class OperatorsSpec extends TestBase {
     assert(hamming(sigs(1L), sigs(3L)) > 8)
   }
 
+  test("duplicated doc ids never produce self-pairs from the candidate " +
+    "generators (unique-id contract violated defensively)") {
+    // same id twice: both rows share every band bucket; the in-bucket
+    // i<j expansion would emit (7,7) without the self-pair filter
+    val dup = Seq((7L, "alpha beta gamma delta epsilon"),
+      (7L, "alpha beta gamma delta epsilon"),
+      (9L, "one two three four five")).toDF("doc_id", "text")
+    val mh = Dedup.minhashCandidates(dup, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!mh.exists(p => p._1 == p._2), s"minhash self-pair: ${mh.toSeq}")
+    val sh = Dedup.simhashCandidates(dup, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!sh.exists(p => p._1 == p._2), s"simhash self-pair: ${sh.toSeq}")
+    val vn = Dedup.verifiedNearDups(dup, "doc_id", "text", threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!vn.exists(p => p._1 == p._2), s"verified self-pair: ${vn.toSeq}")
+  }
+
   test("native stopword count matches the HOF twin (nulls, unicode, dups)") {
     import graft.operators.TextAnalysis
     val adversarial = Seq(
