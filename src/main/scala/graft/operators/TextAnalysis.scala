@@ -115,6 +115,28 @@ object TextAnalysis {
     * caller's edge (Spark splits "" into [""], DuckDB into []). */
   def withCharEntropy(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame =
+    // the sorted (ch, cnt) table comes from the native one-pass
+    // [[graft.functions.CharCounts]] — a pure scan projection where the
+    // explode twin ([[withCharEntropyViaExplode]], spec-pinned identical)
+    // shuffled one row per CHARACTER twice; the entropy FORMULA below is
+    // the twin's expression tree verbatim, so the IEEE fold is
+    // structurally identical. The null filter mirrors the twin's explode
+    // (null text drops the row).
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        graft.functions.CharCounts.charCounts(col(textCol)).as("cc"))
+      .select(col(idCol), col("cc"),
+        expr("aggregate(cc, 0L, (a, x) -> a + x.cnt)").as("n"))
+      .select(col(idCol),
+        round(expr("log2(n) - aggregate(cc, 0D," +
+          " (acc, x) -> acc + x.cnt * log2(x.cnt)) / n"), 6).as("entropy"),
+        col("n").cast("long").as("n_chars"))
+
+  /** Composable reference form of [[withCharEntropy]] (explode per char →
+    * two keyed aggregations). Kept as the cross-checkable twin; not for
+    * production use — it exchanges the corpus as single-character rows. */
+  def withCharEntropyViaExplode(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame =
     df.select(col(idCol), explode(split(col(textCol), "")).as("ch"))
       .groupBy(idCol, "ch").agg(count(lit(1)).as("cnt"))
       .groupBy(idCol).agg(

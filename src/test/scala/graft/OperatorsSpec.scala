@@ -53,6 +53,41 @@ class OperatorsSpec extends TestBase {
     assert(hamming(sigs(1L), sigs(3L)) > 8)
   }
 
+  test("native char entropy is identical to the explode twin and plans " +
+    "without exchanges") {
+    import graft.operators.TextAnalysis
+    val adversarial = Seq(
+      (1L, "aabbbb"), // skewed counts
+      (2L, ""), // empty string — [\"\"] single pseudo-char, entropy 0
+      (3L, "aé東😀a"), // code-point split; surrogate pair stays whole
+      (4L, "zzzz"), // single char — entropy 0
+      (5L, null.asInstanceOf[String])) // null — both forms drop the row
+      .toDF("doc_id", "text")
+    val native = TextAnalysis.withCharEntropy(adversarial, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    val twin = TextAnalysis
+      .withCharEntropyViaExplode(adversarial, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    assert(native == twin)
+    assert(native(2L)._1 == 0.0 && native(4L)._1 == 0.0)
+    assert(!native.contains(5L))
+    // code-point check: "aé東😀a" = 5 code points (😀 is ONE, not two
+    // UTF-16 units and not four bytes)
+    assert(native(3L)._2 == 5L)
+    // projection plan: the twin needed two exchanges here
+    val dir = tmpDir()
+    adversarial.filter($"text".isNotNull)
+      .write.parquet(dir.resolve("t").toString)
+    val scanned = spark.read.parquet(dir.resolve("t").toString)
+    val out = TextAnalysis.withCharEntropy(scanned, "doc_id", "text")
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"native char entropy must not shuffle:\n$p")
+  }
+
   test("duplicated doc ids never produce self-pairs from the candidate " +
     "generators (unique-id contract violated defensively)") {
     // same id twice: both rows share every band bucket; the in-bucket

@@ -348,6 +348,36 @@ class StreamingSpec extends TestBase {
     assert(got.nonEmpty && got.forall(!_._2.contains("@")))
   }
 
+  test("Bloom incremental dedup composes on streams (stateless filter, " +
+    "no join state)") {
+    // dedupAgainstBloom is a pure scan filter (the sketch ships as a
+    // literal), so unlike the anti-join form it needs NO stream-static
+    // join machinery and no state store — the zero-shuffle property
+    // carries to streaming ingest unchanged.
+    val dir = tmpDir().toString
+    val rows = (0L until 30L).map(i =>
+      (i, if (i < 10) s"known doc $i" else s"fresh doc $i"))
+    rows.toDF("doc_id", "text").write.mode("append").parquet(dir)
+
+    val seen = (0L until 10L).map(i => (i, s"known doc $i"))
+      .toDF("doc_id", "text")
+    val bloom = graft.operators.Dedup.seenBloomFilter(seen, "text",
+      expectedItems = 100, fpp = 0.001)
+
+    val stream = spark.readStream
+      .schema(Seq.empty[(Long, String)].toDF("doc_id", "text").schema)
+      .parquet(dir)
+    val fresh = graft.operators.Dedup.dedupAgainstBloom(stream, "text", bloom)
+    val q = fresh.writeStream.outputMode("append").format("memory")
+      .queryName("bloom_stream_out").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("bloom_stream_out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == (10L until 30L).toSet,
+      s"known docs must drop, fresh must survive; got $got")
+  }
+
   test("maxFilesPerTrigger bounds each micro-batch (backfill ingest knob)") {
     val dir = tmpDir().toString
     // three separate drops = three files (coalesce(1) each)
