@@ -124,6 +124,27 @@ class ScaleSpec extends TestBase {
     assert(!p.contains("Join"), s"expected a join-free single flow:\n$p")
   }
 
+  test("native-signature budgets: q25/q58 shuffle only at band buckets " +
+    "and pair-dedup, q46 entropy never shuffles per character") {
+    // the relational signature forms exchanged one row per shingle/token/
+    // character; the native expressions moved that fold into the scan.
+    // These budgets pin the exchange COUNT so a refactor reintroducing
+    // the signature shuffle fails here, not on a 100 TB cluster.
+    // q25 minhash LSH: bucket window+groupBy (fused, 1) + distinct (1)
+    val p25 = plan(SparkEntry.queries("q25_dedup_minhash")(spark, sf))
+    val e25 = "Exchange hashpartitioning".r.findAllIn(p25).length
+    assert(e25 <= 2, s"q25 expected <=2 exchanges, got $e25:\n$p25")
+    // q58 simhash banding: bucket window+groupBy (fused, 1) + dedup (1)
+    val p58 = plan(SparkEntry.queries("q58_simhash_neardup")(spark, sf))
+    val e58 = "Exchange hashpartitioning".r.findAllIn(p58).length
+    assert(e58 <= 2, s"q58 expected <=2 exchanges, got $e58:\n$p58")
+    // q46 char entropy: pure projection + the final orderBy only — no
+    // hash exchange at all (the twin needed two)
+    val p46 = plan(SparkEntry.queries("q46_char_entropy")(spark, sf))
+    val e46 = "Exchange hashpartitioning".r.findAllIn(p46).length
+    assert(e46 == 0, s"q46 expected zero hash exchanges, got $e46:\n$p46")
+  }
+
   test("q39 IVF broadcasts only the centroid set, never the corpus") {
     val p = plan(SparkEntry.queries("q39_ann_ivf")(spark, sf))
     // assignment = corpus × broadcast(centroids): each BroadcastExchange's
