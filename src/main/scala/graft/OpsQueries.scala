@@ -1871,6 +1871,104 @@ object OpsQueries {
              |SELECT doc_id, lang, source, source_tag FROM m
              |ORDER BY source_tag, doc_id""".stripMargin)),
 
+    // ----- X2/X3 semantic dedup (SemDeDup) ---------------------------------
+    // End-to-end: LSH near-dup pairs at cosine ≥ 0.3 → transitive
+    // closure → min-id representative survives per cluster, unpaired
+    // vectors self-keep. The oracle replays the full q33 chain, then the
+    // q54-style recursive closure, then the survivor filter. (0.3 is
+    // calibrated to the synthetic fixture: its in-bucket cosines top out
+    // at 0.45, and 0.3 yields ~24 pairs so the closure and survivor
+    // stages genuinely collapse clusters instead of passing everything.)
+
+    "q87_semantic_dedup" -> Entry(
+      (s, dir) => Similarity.semanticDedup(t(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.3)
+        .select(col("vec_id"), col("label"))
+        .orderBy("vec_id"),
+      Some("""WITH RECURSIVE pl AS (
+             |  SELECT p.plane, j.j,
+             |    CAST(CAST(('0x' || substr(md5(p.plane::VARCHAR || '_'
+             |      || j.j::VARCHAR), 1, 8)) AS UBIGINT) AS DOUBLE)
+             |      / 4294967296.0 - 0.5 AS r
+             |  FROM (SELECT unnest(generate_series(0, 7)) AS plane) p,
+             |       (SELECT unnest(generate_series(1, 64)) AS j) j),
+             |cmp AS (SELECT vec_id, j, embedding[j]::DOUBLE AS x
+             |  FROM embeddings, unnest(generate_series(1, len(embedding)))
+             |    AS u(j)),
+             |dots AS (SELECT vec_id, plane, SUM(x * r) AS d
+             |  FROM cmp JOIN pl USING (j) GROUP BY 1, 2),
+             |bkt AS (SELECT vec_id, CAST(SUM(CASE WHEN d > 0
+             |    THEN (1::BIGINT << plane) ELSE 0 END) AS BIGINT) AS bucket
+             |  FROM dots GROUP BY 1),
+             |v AS (SELECT b.vec_id, e.embedding, b.bucket
+             |  FROM bkt b JOIN embeddings e USING (vec_id)),
+             |prs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             |  FROM v a JOIN v b ON a.bucket = b.bucket
+             |    AND a.vec_id < b.vec_id
+             |  WHERE round(
+             |    list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+             |      for i in generate_series(1, len(a.embedding))]) /
+             |    (sqrt(list_sum([a.embedding[i]::DOUBLE
+             |        * a.embedding[i]::DOUBLE
+             |      for i in generate_series(1, len(a.embedding))])) *
+             |     sqrt(list_sum([b.embedding[i]::DOUBLE
+             |        * b.embedding[i]::DOUBLE
+             |      for i in generate_series(1, len(b.embedding))]))), 6)
+             |    >= 0.3),
+             |e AS (SELECT id_a AS eu, id_b AS ev FROM prs
+             |  UNION SELECT id_b, id_a FROM prs),
+             |reach(id, r) AS (
+             |  SELECT eu, eu FROM e
+             |  UNION
+             |  SELECT reach.id, e.ev FROM reach JOIN e ON e.eu = reach.r),
+             |cl AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id)
+             |SELECT em.vec_id, em.label FROM embeddings em
+             |LEFT JOIN cl ON cl.id = em.vec_id
+             |WHERE cl.comp IS NULL OR cl.comp = em.vec_id
+             |ORDER BY vec_id""".stripMargin)),
+
+    // ----- X5 token-budget mixture -----------------------------------------
+    // The mix specified the way training recipes specify it: token
+    // TARGETS per source, rates calibrated in-plan from each source's
+    // token total (broadcast 1-row aggregate — q73's shape). The "web"
+    // branch lands near its 20k-char budget; "other"'s 1M target
+    // exceeds its total, so the rate caps at 10000 bp = keep-all.
+
+    "q86_budget_mixture" -> Entry(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val web = docs.filter(col("source").isin("src0", "src1"))
+        val other = docs.filter(!col("source").isin("src0", "src1"))
+        Sampling.mixtureByBudget(
+            Seq(("web", web, 20000L), ("other", other, 1000000L)),
+            "doc_id", "n_chars")
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            col("source_tag"))
+          .orderBy("source_tag", "doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, source, n_chars FROM documents
+             |  WHERE source IN ('src0', 'src1')),
+             |o AS (SELECT doc_id, source, n_chars FROM documents
+             |  WHERE source NOT IN ('src0', 'src1')),
+             |wt AS (SELECT CAST(SUM(n_chars) AS DOUBLE) AS total FROM w),
+             |ot AS (SELECT CAST(SUM(n_chars) AS DOUBLE) AS total FROM o),
+             |m AS (
+             |  SELECT doc_id, source, n_chars, 'web' AS source_tag
+             |  FROM w, wt
+             |  WHERE CAST(('0x' || substr(md5('mix|web|' ||
+             |      CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 10000
+             |    < greatest(0, least(10000,
+             |        coalesce(round(20000 * 10000.0 / total), 0)))
+             |  UNION ALL
+             |  SELECT doc_id, source, n_chars, 'other' AS source_tag
+             |  FROM o, ot
+             |  WHERE CAST(('0x' || substr(md5('mix|other|' ||
+             |      CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 10000
+             |    < greatest(0, least(10000,
+             |        coalesce(round(1000000 * 10000.0 / total), 0))))
+             |SELECT doc_id, source, n_chars, source_tag FROM m
+             |ORDER BY source_tag, doc_id""".stripMargin)),
+
     // ----- X5 Unicode canonicalization before dedup ------------------------
     // The corpus is ASCII, so the entry plants two variants per 7th doc:
     // one with a precomposed-accent suffix (é = U+00E9), one with the

@@ -136,4 +136,49 @@ object Sampling {
         .withColumn("source_tag", lit(tag))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
+
+  /** Token-budget mixture: like [[mixture]], but each source's keep rate
+    * is CALIBRATED so its sampled token count lands on `targetTokens` in
+    * expectation — the way training mixes are actually specified ("300B
+    * web tokens, 50B code tokens"), not in keep fractions someone
+    * hand-derived from corpus sizes that drift between crawls.
+    *
+    * rate_bp = min(10000, round(target · 10000 / total_tokens)), where
+    * `total_tokens` comes from a one-row aggregate cross-joined back as
+    * a broadcast (the [[Pipelines.keepTopQuantile]] shape) — the rate
+    * lives IN the plan, no driver-side action at plan-build time. Each
+    * source therefore costs one counting scan plus one filtered scan;
+    * at 100 TB, substitute persisted table statistics for the counting
+    * scan by calling [[mixture]] with precomputed rates. A source whose
+    * token total is 0 or NULL contributes nothing (its rate coalesces
+    * to 0 via [[weighted]]'s null contract). Sampling is per-DOC, so
+    * realized token counts concentrate around the target with relative
+    * deviation ~1/√docs_kept.
+    */
+  def mixtureByBudget(sources: Seq[(String, DataFrame, Long)], key: String,
+      tokensCol: String, salt: String = "mix"): DataFrame = {
+    require(sources.nonEmpty, "mixture of zero sources")
+    val tags = sources.map(_._1)
+    require(tags.distinct.size == tags.size,
+      s"mixtureByBudget source tags must be distinct, got $tags")
+    sources.foreach { case (tag, df, target) =>
+      require(target >= 0, s"negative token target for source '$tag'")
+      require(!df.columns.contains("source_tag"),
+        s"mixtureByBudget: source '$tag' already has a 'source_tag' " +
+          "column; rename it")
+      require(!df.columns.contains("__total"),
+        s"mixtureByBudget: source '$tag' already has a '__total' " +
+          "column; rename it")
+    }
+    sources.map { case (tag, df, target) =>
+      val total = df.agg(
+        sum(col(tokensCol)).cast("double").as("__total"))
+      val rated = df.crossJoin(broadcast(total))
+      weighted(rated, col(key),
+          round(lit(target.toDouble) * 10000d / col("__total")),
+          s"$salt|$tag")
+        .drop("__total")
+        .withColumn("source_tag", lit(tag))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 }

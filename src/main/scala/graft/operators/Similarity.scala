@@ -721,4 +721,41 @@ object Similarity {
           .as("score"))
       .filter(col("score") >= threshold)
   }
+
+  /** X2/X3 semantic dedup (the SemDeDup move): drop all but one
+    * representative of every group of embedding-near-duplicate documents.
+    * Composition, per the prefer-composition order — every stage already
+    * exists and carries its own scale pins:
+    *
+    *   1. candidate pairs from the bucket-gated LSH path
+    *      ([[nearDupPairsLsh]]: one corpus scan, one exchange, cosine ≥
+    *      `threshold` verified in-bucket);
+    *   2. transitive closure over the PAIR graph only
+    *      ([[Connected.components]] — iterations touch pairs, never the
+    *      corpus);
+    *   3. the member whose id equals its cluster label (= the cluster's
+    *      min id) survives; vectors in no pair keep themselves.
+    *
+    * Returns the surviving rows of `df` with original columns. The final
+    * join ships (id, cluster) pairs — bytes per duplicate, not vectors.
+    * Known LSH caveat inherited from stage 1: near-dup pairs split
+    * across every band bucket (probability falls geometrically with
+    * `nPlanes`) are missed; raise recall with fewer planes or the
+    * [[nearDupPairs]] exact baseline on small subsets.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nPlanes: Int = 8, dim: Int = 64,
+      maxBucket: Int = 10000): DataFrame = {
+    Seq("__sd_id", "__sd_comp").foreach(c => require(
+      !df.columns.contains(c),
+      s"semanticDedup: input already has a '$c' column; rename it " +
+        "(it collides with the internal cluster join)"))
+    val pairs = nearDupPairsLsh(df, idCol, vecCol, threshold, nPlanes,
+      dim, maxBucket).select("id_a", "id_b")
+    val clusters = Connected.components(pairs, "id_a", "id_b")
+      .select(col("id").as("__sd_id"), col("comp").as("__sd_comp"))
+    df.join(clusters, df(idCol) === col("__sd_id"), "left")
+      .filter(col("__sd_comp").isNull || col("__sd_comp") === df(idCol))
+      .drop("__sd_id", "__sd_comp")
+  }
 }

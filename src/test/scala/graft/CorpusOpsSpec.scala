@@ -603,6 +603,35 @@ class CorpusOpsSpec extends TestBase {
     }
   }
 
+  test("mixtureByBudget calibrates keep rates to token targets") {
+    // source A: 1000 docs x 100 tokens = 100k total; target 25k -> 2500bp
+    val a = (1L to 1000L).map(i => (i, 100L)).toDF("doc_id", "n_tok")
+    // source B: 100 docs x 50 tokens = 5k total; target 50k -> capped 10000bp
+    val b = (1L to 100L).map(i => (i, 50L)).toDF("doc_id", "n_tok")
+    val out = Sampling.mixtureByBudget(
+      Seq(("a", a, 25000L), ("b", b, 50000L)), "doc_id", "n_tok")
+    val byTag = out.groupBy("source_tag")
+      .agg(sum("n_tok").as("toks"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(byTag("b") == ((5000L, 100L))) // over-budget source keeps all
+    // a's realized tokens concentrate around the 25k target (~±4 sigma)
+    assert(byTag("a")._1 > 18000L && byTag("a")._1 < 32000L,
+      s"expected ~25k tokens from a, got ${byTag("a")}")
+    // calibrated rate == the equivalent hand-computed mixture() rate:
+    // same salt, same bp -> identical membership, not just similar
+    val handRated = Sampling.mixture(Seq(("a", a, 2500)), "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    val calibrated = out.filter($"source_tag" === "a")
+      .select("doc_id").as[Long].collect().toSet
+    assert(calibrated == handRated)
+    // an all-null/zero-token source contributes nothing (null contract)
+    val z = Seq((1L, null.asInstanceOf[java.lang.Long]))
+      .toDF("doc_id", "n_tok")
+    assert(Sampling.mixtureByBudget(Seq(("z", z, 100L)), "doc_id", "n_tok")
+      .count() == 0L)
+  }
+
   // ---------- Bloom-filter incremental dedup -------------------------------
 
   test("dedupAgainstBloom drops seen docs, keeps fresh and null-text docs") {

@@ -53,6 +53,25 @@ class OperatorsSpec extends TestBase {
     assert(hamming(sigs(1L), sigs(3L)) > 8)
   }
 
+  test("semantic dedup keeps one representative per near-dup cluster, " +
+    "unpaired vectors self-keep (X2/X3)") {
+    import graft.operators.Similarity
+    // 1,2,3 identical (one cluster, min id 1 survives); 9 orthogonal
+    val vec = Array.fill(64)(0.1f)
+    val other = Array.tabulate(64)(i => if (i == 0) 1f else 0f)
+    val df = Seq((1L, vec), (2L, vec), (3L, vec), (9L, other))
+      .toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedup(df, "vec_id", "embedding",
+        threshold = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 9L), s"got $kept")
+    // collision guard
+    intercept[IllegalArgumentException] {
+      Similarity.semanticDedup(df.withColumn("__sd_id", lit(1)),
+        "vec_id", "embedding", 0.9)
+    }
+  }
+
   test("native char entropy is identical to the explode twin and plans " +
     "without exchanges") {
     import graft.operators.TextAnalysis

@@ -54,4 +54,47 @@ class RoundTripPropertySpec extends TestBase {
       assertSameRows(QuackIO.readCsv(spark, Seq(p)), df)
     }
   }
+
+  test("native expressions equal their composable twins on random unicode " +
+    "corpora (property form of the twin pins, 3 seeded draws)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Dedup, TextAnalysis}
+    import spark.implicits._
+    // vocabulary mixes ASCII, accents, CJK, an astral-plane emoji
+    // (surrogate pair), stopwords, and an empty-ish token shape
+    val vocab = Vector("the", "a", "of", "data", "café", "naïve", "東京",
+      "x", "😀ok", "word1", "zz", "Straße")
+    val rnd = new scala.util.Random(20260813)
+    for (draw <- 1 to 3) {
+      val docs = (1L to 25L).map { i =>
+        val n = rnd.nextInt(30) // 0..29 tokens — includes sub-shingle docs
+        val sep = if (rnd.nextBoolean()) " " else "  \t "
+        (i, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size)))
+          .mkString(sep))
+      }.toDF("doc_id", "text")
+
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.toSeq).sortBy(_.mkString("|")).toSeq
+
+      assert(rows(Dedup.simhash(docs, "doc_id", "text")) ==
+        rows(Dedup.simhashViaVotes(docs, "doc_id", "text")),
+        s"simhash twin diverged on draw $draw")
+      assert(rows(Dedup.minhashSignatures(docs, "doc_id", "text", 8)) ==
+        rows(Dedup.minhashSignaturesViaExplode(docs, "doc_id", "text", 8)),
+        s"minhash twin diverged on draw $draw")
+      val toks = docs.select($"doc_id",
+        TextAnalysis.tokens($"text").as("toks"))
+      assert(rows(toks.select($"doc_id", Dedup.shingles($"toks", 3))) ==
+        rows(toks.select($"doc_id", Dedup.shinglesHof($"toks", 3))),
+        s"shingles twin diverged on draw $draw")
+      assert(rows(TextAnalysis.withCharEntropy(docs, "doc_id", "text")) ==
+        rows(TextAnalysis.withCharEntropyViaExplode(docs, "doc_id", "text")),
+        s"char-entropy twin diverged on draw $draw")
+      assert(rows(toks.select($"doc_id",
+          TextAnalysis.stopwordCount($"toks", TextAnalysis.EnStop))) ==
+        rows(toks.select($"doc_id",
+          TextAnalysis.stopwordCountHof($"toks", TextAnalysis.EnStop))),
+        s"stopword twin diverged on draw $draw")
+    }
+  }
 }
