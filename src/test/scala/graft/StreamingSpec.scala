@@ -378,6 +378,37 @@ class StreamingSpec extends TestBase {
       s"known docs must drop, fresh must survive; got $got")
   }
 
+  test("native signatures stream: minhash/simhash are projections, so " +
+    "signature computation runs per micro-batch with no state") {
+    // the relational signature forms aggregated per doc and could not
+    // run on an append stream without state; the native expressions are
+    // scan projections, so incremental signature extraction (the feeder
+    // of every incremental-dedup index) streams for free
+    val dir = tmpDir().toString
+    val rows = (1L to 20L).map(i => (i, s"tok$i alpha beta gamma delta"))
+    rows.toDF("doc_id", "text").write.mode("append").parquet(dir)
+
+    val stream = spark.readStream
+      .schema(Seq.empty[(Long, String)].toDF("doc_id", "text").schema)
+      .parquet(dir)
+    val sigs = graft.operators.Dedup.minhashSignatures(
+      stream, "doc_id", "text", k = 4)
+    val withSim = graft.operators.Dedup.simhash(stream, "doc_id", "text")
+    val q1 = sigs.writeStream.outputMode("append").format("memory")
+      .queryName("mh_stream").trigger(Trigger.AvailableNow()).start()
+    val q2 = withSim.writeStream.outputMode("append").format("memory")
+      .queryName("sh_stream").trigger(Trigger.AvailableNow()).start()
+    q1.processAllAvailable(); q1.stop()
+    q2.processAllAvailable(); q2.stop()
+
+    // batch parity: identical signatures from the same rows
+    val batch = rows.toDF("doc_id", "text")
+    assertSameRows(spark.table("mh_stream"),
+      graft.operators.Dedup.minhashSignatures(batch, "doc_id", "text", 4))
+    assertSameRows(spark.table("sh_stream"),
+      graft.operators.Dedup.simhash(batch, "doc_id", "text"))
+  }
+
   test("maxFilesPerTrigger bounds each micro-batch (backfill ingest knob)") {
     val dir = tmpDir().toString
     // three separate drops = three files (coalesce(1) each)
