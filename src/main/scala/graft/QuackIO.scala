@@ -792,12 +792,15 @@ object QuackIO {
     * `delim=` always overrides (the O1 wrong-delimiter semantics,
     * `test/runtests.jl:25`, stay reachable).
     *
-    * The score is votes × modal width, not (votes, modal) lexicographic:
-    * vote count alone would let a delimiter with a perfectly consistent
-    * low field count (a char that happens to appear exactly twice on
+    * Scoring, two tiers: a candidate whose modal field count holds on a
+    * STRICT MAJORITY of sampled lines always beats one that splits only
+    * a minority (a junk char appearing many times on 4 of 8 lines must
+    * not outrank a unanimous true delimiter, however wide its splits);
+    * within a tier, votes × modal width — vote count alone would let a
+    * consistent low-field-count char (one appearing exactly twice on
     * every line) beat the true delimiter the moment ONE sampled line is
-    * ragged — 8 lines agreeing on 3 junk fields must not outrank 7 of 8
-    * agreeing on 5 real ones (8·3 < 7·5). */
+    * ragged (8 lines agreeing on 3 junk fields must not outrank 7 of 8
+    * agreeing on 5 real ones: 8·3 < 7·5). */
   private[graft] def sniffDelim(sample: Seq[String]): String = {
     val candidates = Seq(",", ";", "\t", "|")
     candidates.maxBy { d =>
@@ -805,7 +808,8 @@ object QuackIO {
       val (modal, votes) = counts.groupBy(identity)
         .map { case (c, ls) => (c, ls.size) }
         .maxBy { case (c, v) => (v, c) } // most lines; wider on vote ties
-      if (modal <= 1) 0 else votes * modal
+      if (modal <= 1) (false, 0)
+      else (votes * 2 > sample.length, votes * modal)
     } // maxBy keeps the FIRST max → comma wins score ties
   }
 

@@ -174,8 +174,14 @@ object Sampling {
       val total = df.agg(
         sum(col(tokensCol)).cast("double").as("__total"))
       val rated = df.crossJoin(broadcast(total))
+      // explicit zero-total guard: IEEE division by 0.0 is Infinity and
+      // round(Infinity) stays Infinity, which weighted's clamp would
+      // turn into keep-ALL — the opposite of the documented
+      // contributes-nothing contract for an empty source
       weighted(rated, col(key),
-          round(lit(target.toDouble) * 10000d / col("__total")),
+          when(col("__total") > 0d,
+            round(lit(target.toDouble) * 10000d / col("__total")))
+            .otherwise(lit(0d)),
           s"$salt|$tag")
         .drop("__total")
         .withColumn("source_tag", lit(tag))

@@ -226,6 +226,10 @@ object Similarity {
       .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
         round(dot(col("p.a.v"), col("p.b.v"))
           / (col("p.a.nrm") * col("p.b.nrm")), 6).as("score"))
+      // duplicate-id defense (same as Dedup.lshCandidates): ids are
+      // documented unique, but a duplicated id puts two identical rows
+      // in every bucket and the i<j expansion would pair them (X, X)
+      .filter(col("id_a") =!= col("id_b"))
       .filter(col("score") >= threshold)
   }
 
@@ -750,6 +754,25 @@ object Similarity {
       !df.columns.contains(c),
       s"semanticDedup: input already has a '$c' column; rename it " +
         "(it collides with the internal cluster join)"))
+    // ids must be integer-valued (the keepBest guard, for the same
+    // reason): Connected.components casts ids to long, and a string/UUID
+    // id would either throw an opaque CAST error (ANSI on) or null out
+    // silently (ANSI off) — the null path would return the input
+    // UNCHANGED, quietly retaining every duplicate
+    locally {
+      import org.apache.spark.sql.types.{ByteType, DecimalType,
+        IntegerType, LongType, ShortType}
+      val t = df.schema.fields.find(_.name == idCol)
+        .getOrElse(throw new IllegalArgumentException(
+          s"semanticDedup: column '$idCol' not found")).dataType
+      val ok = t match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case d: DecimalType => d.scale == 0
+        case _ => false
+      }
+      require(ok, s"semanticDedup requires an integer-valued id column; " +
+        s"'$idCol' is ${t.simpleString}")
+    }
     val pairs = nearDupPairsLsh(df, idCol, vecCol, threshold, nPlanes,
       dim, maxBucket).select("id_a", "id_b")
     val clusters = Connected.components(pairs, "id_a", "id_b")

@@ -111,8 +111,9 @@ object TextAnalysis {
     * per-char counts in SORTED char order — a deterministic IEEE
     * operation sequence, so the DuckDB oracle (same sorted fold)
     * reproduces the double bit-for-bit before the 6-decimal round.
-    * Two keyed aggregations ((doc,char) then doc); empty text is the
-    * caller's edge (Spark splits "" into [""], DuckDB into []). */
+    * A zero-exchange scan projection (the counts are native, see below);
+    * empty text is the caller's edge (Spark splits "" into [""], DuckDB
+    * into []). */
   def withCharEntropy(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame =
     // the sorted (ch, cnt) table comes from the native one-pass
@@ -133,8 +134,9 @@ object TextAnalysis {
         col("n").cast("long").as("n_chars"))
 
   /** Composable reference form of [[withCharEntropy]] (explode per char →
-    * two keyed aggregations). Kept as the cross-checkable twin; not for
-    * production use — it exchanges the corpus as single-character rows. */
+    * two keyed aggregations, (doc,char) then doc). Kept as the
+    * cross-checkable twin; not for production use — it exchanges the
+    * corpus as single-character rows, twice. */
   def withCharEntropyViaExplode(df: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String): org.apache.spark.sql.DataFrame =
     df.select(col(idCol), explode(split(col(textCol), "")).as("ch"))

@@ -630,6 +630,12 @@ class CorpusOpsSpec extends TestBase {
       .toDF("doc_id", "n_tok")
     assert(Sampling.mixtureByBudget(Seq(("z", z, 100L)), "doc_id", "n_tok")
       .count() == 0L)
+    // zero-token total likewise: without the explicit guard, IEEE
+    // division by 0.0 gives Infinity, round keeps it, and the clamp
+    // would turn an empty source into keep-ALL
+    val zeros = (1L to 50L).map(i => (i, 0L)).toDF("doc_id", "n_tok")
+    assert(Sampling.mixtureByBudget(Seq(("zz", zeros, 100L)),
+      "doc_id", "n_tok").count() == 0L)
   }
 
   // ---------- Bloom-filter incremental dedup -------------------------------

@@ -123,6 +123,16 @@ class OperatorsSpec extends TestBase {
     val vn = Dedup.verifiedNearDups(dup, "doc_id", "text", threshold = 0.1)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(!vn.exists(p => p._1 == p._2), s"verified self-pair: ${vn.toSeq}")
+    // the embedding LSH generator has the identical bucket-expansion
+    // shape — same defense
+    val vec = Array.fill(64)(0.5f)
+    val dupVec = Seq((7L, vec), (7L, vec), (9L, vec))
+      .toDF("vec_id", "embedding")
+    val ep = graft.operators.Similarity.nearDupPairsLsh(
+        dupVec, "vec_id", "embedding", threshold = -1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!ep.exists(p => p._1 == p._2), s"embed self-pair: ${ep.toSeq}")
+    assert(ep.contains((7L, 9L))) // real pairs still emitted
   }
 
   test("native stopword count matches the HOF twin (nulls, unicode, dups)") {

@@ -51,17 +51,27 @@ def cmp_cell(a, b):
     return a == b
 
 def main():
+    if len(sys.argv) < 3:
+        print(__doc__)
+        sys.exit(2)
     outdir, sfdir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     sqls = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+    unknown = only - set(sqls)
+    if unknown:
+        # a typo'd filter must not skip everything and read as a pass
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        sys.exit(2)
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sfdir, t + ".parquet")
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     fails = 0
+    ran = 0
     for name, sql in sorted(sqls.items()):
         if only and name not in only: continue
+        ran += 1
         try:
             oracle = canon(con.execute(sql).df())
             spark = canon(load_spark(outdir, name))
@@ -89,7 +99,8 @@ def main():
         except Exception as e:
             fails += 1
             print(f"ERR  {name}: {type(e).__name__}: {str(e)[:300]}")
-    print(f"\n{'ALL GREEN' if fails == 0 else str(fails) + ' FAILURES'}")
+    verdict = "ALL GREEN" if fails == 0 else f"{fails} FAILURES"
+    print(f"\n{verdict} ({ran} queries checked)")
     sys.exit(1 if fails else 0)
 
 main()
