@@ -51,6 +51,28 @@ object AnnIndex {
     (spark.read.parquet(s"$dir/codes"), cbs)
   }
 
+  /** Incremental index maintenance: encode a new vector batch with the
+    * index's EXISTING codebooks and append its codes — the steady-state
+    * ingest move (each crawl batch lands in the index without touching
+    * the accumulated corpus; compose with [[Dedup.dedupAgainst]] /
+    * [[Dedup.dedupAgainstBloom]] upstream so duplicate ids never reach
+    * the index, which — like any fact-table append — does not dedup).
+    *
+    * No retraining: a query over the appended index is bit-identical to
+    * [[Similarity.pqTopK]] over the UNION corpus under the same
+    * codebooks (spec-pinned). The trade is quantization drift — if the
+    * batch's distribution has moved from what the codebooks were
+    * trained on, its ADC error grows silently; monitor with
+    * [[Similarity.pqQuantizationError]] on the batch and rebuild when
+    * it departs from the build-time figure. */
+  def append(spark: SparkSession, dir: String, batch: DataFrame,
+      idCol: String, vecCol: String): Unit = {
+    val cbs = cbsOf(spark.read.parquet(s"$dir/codebooks"))
+    Similarity.pqEncode(batch, idCol, vecCol, cbs)
+      .withColumnRenamed("id", "corpus_id")
+      .write.mode("append").parquet(s"$dir/codes")
+  }
+
   /** Rebuild the in-memory codebook array from its (m, k, j, c) rows. */
   private def cbsOf(df: DataFrame): Array[Array[Array[Double]]] = {
     val raw = df.collect()

@@ -439,6 +439,33 @@ class OperatorsSpec extends TestBase {
     }
   }
 
+  test("AnnIndex.append: incrementally indexed batches serve bit-identical " +
+    "to live encoding over the union corpus") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") % 2 === 1)
+    val queries = emb.filter(col("vec_id") % 250 === 0)
+    val dir = s"${tmpDir()}/annidx_inc"
+    val trained = graft.operators.AnnIndex.build(base, "vec_id",
+      "embedding", dir, iters = 1)
+    graft.operators.AnnIndex.append(spark, dir, batch, "vec_id",
+      "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val served = rows(graft.operators.AnnIndex.query(spark, dir,
+      queries, "vec_id", "embedding", k = 5, excludeSelf = true))
+    // same codebooks (trained on base only), live encoding of the UNION
+    val live = rows(Similarity.pqTopK(queries, emb, "vec_id", "embedding",
+      k = 5, trained))
+    assert(served == live,
+      "append-maintained index must serve exactly like live encoding")
+    // appended rows actually participate: at least one odd-id neighbor
+    assert(served.exists(_._2 % 2 == 1),
+      s"no appended (odd-id) vector ever surfaced: $served")
+  }
+
   test("PqDists nulls out on a vector shorter than m*subDim") {
     val cbs = Similarity.pqCodebooks(m = 4, k = 16, subDim = 16) // needs 64
     val df = Seq((1L, Array.fill(64)(0.5f)), (2L, Array.fill(10)(0.5f)))
