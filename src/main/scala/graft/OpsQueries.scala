@@ -1957,19 +1957,17 @@ object OpsQueries {
              |  FROM w, wt
              |  WHERE CAST(('0x' || substr(md5('mix|web|' ||
              |      CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 10000
-             |    < greatest(0, least(10000, coalesce(
+             |    < greatest(0, least(10000,
              |        CASE WHEN total > 0
-             |          THEN round(20000 * 10000.0 / total) ELSE 0 END,
-             |        0)))
+             |          THEN round(20000 * 10000.0 / total) ELSE 0 END))
              |  UNION ALL
              |  SELECT doc_id, source, n_chars, 'other' AS source_tag
              |  FROM o, ot
              |  WHERE CAST(('0x' || substr(md5('mix|other|' ||
              |      CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 10000
-             |    < greatest(0, least(10000, coalesce(
+             |    < greatest(0, least(10000,
              |        CASE WHEN total > 0
-             |          THEN round(1000000 * 10000.0 / total) ELSE 0 END,
-             |        0))))
+             |          THEN round(1000000 * 10000.0 / total) ELSE 0 END)))
              |SELECT doc_id, source, n_chars, source_tag FROM m
              |ORDER BY source_tag, doc_id""".stripMargin)),
 

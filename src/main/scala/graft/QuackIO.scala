@@ -792,15 +792,19 @@ object QuackIO {
     * `delim=` always overrides (the O1 wrong-delimiter semantics,
     * `test/runtests.jl:25`, stay reachable).
     *
-    * Scoring, two tiers: a candidate whose modal field count holds on a
-    * STRICT MAJORITY of sampled lines always beats one that splits only
-    * a minority (a junk char appearing many times on 4 of 8 lines must
-    * not outrank a unanimous true delimiter, however wide its splits);
-    * within a tier, votes × modal width — vote count alone would let a
-    * consistent low-field-count char (one appearing exactly twice on
-    * every line) beat the true delimiter the moment ONE sampled line is
-    * ragged (8 lines agreeing on 3 junk fields must not outrank 7 of 8
-    * agreeing on 5 real ones: 8·3 < 7·5). */
+    * Score: votes² × modal width — consistency weighted above width,
+    * but neither a hard tier nor a bare product, because both ends
+    * miscall a real file class:
+    *  - votes alone: one ragged line lets a consistent low-field-count
+    *    char beat the true delimiter (8 lines at 3 junk fields vs 7 of
+    *    8 at 5 real ones: votes² keeps 49·5 > 64·3);
+    *  - votes × width: a junk char appearing many times on HALF the
+    *    lines outranks a unanimous true delimiter (4 votes · 10 fields
+    *    = 40 > 8·3; squared: 160 < 192);
+    *  - a strict-majority tier: a true delimiter ragged on exactly half
+    *    the sample is demoted below a narrow bare-majority junk char
+    *    (4 votes · 5 fields vs 5 votes · 2: squared keeps 80 > 50
+    *    where the tier inverted it). */
   private[graft] def sniffDelim(sample: Seq[String]): String = {
     val candidates = Seq(",", ";", "\t", "|")
     candidates.maxBy { d =>
@@ -808,8 +812,7 @@ object QuackIO {
       val (modal, votes) = counts.groupBy(identity)
         .map { case (c, ls) => (c, ls.size) }
         .maxBy { case (c, v) => (v, c) } // most lines; wider on vote ties
-      if (modal <= 1) (false, 0)
-      else (votes * 2 > sample.length, votes * modal)
+      if (modal <= 1) 0 else votes * votes * modal
     } // maxBy keeps the FIRST max → comma wins score ties
   }
 

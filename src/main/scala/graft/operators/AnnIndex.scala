@@ -31,7 +31,7 @@ object AnnIndex {
     import spark.implicits._
     val trained = Similarity.pqTrain(corpus, idCol, vecCol,
       Similarity.pqCodebooks(m, k, subDim), iters)
-    Similarity.pqEncode(corpus, idCol, vecCol, trained)
+    guardedEncode(corpus, idCol, vecCol, trained, "build")
       .withColumnRenamed("id", "corpus_id")
       .write.mode("overwrite").parquet(s"$dir/codes")
     val rows = for {
@@ -68,10 +68,26 @@ object AnnIndex {
   def append(spark: SparkSession, dir: String, batch: DataFrame,
       idCol: String, vecCol: String): Unit = {
     val cbs = cbsOf(spark.read.parquet(s"$dir/codebooks"))
-    Similarity.pqEncode(batch, idCol, vecCol, cbs)
+    guardedEncode(batch, idCol, vecCol, cbs, "append")
       .withColumnRenamed("id", "corpus_id")
       .write.mode("append").parquet(s"$dir/codes")
   }
+
+  /** Encode, failing LOUDLY on null codes: PqDists (and therefore
+    * pqEncode) nulls out a vector shorter than m·subDim, and adcTopK's
+    * ascending distance sort would rank a null-distance row FIRST — a
+    * dim-drifted ingest batch written as null codes corrupts every
+    * subsequent query's top-k until a rebuild. The write job aborts on
+    * the first such row instead. */
+  private def guardedEncode(df: DataFrame, idCol: String, vecCol: String,
+      cbs: Array[Array[Array[Double]]], op: String): DataFrame =
+    Similarity.pqEncode(df, idCol, vecCol, cbs)
+      .withColumn("code0",
+        when(col("code0").isNull, raise_error(lit(
+          s"AnnIndex.$op: batch contains a vector shorter than the " +
+            "index's m*subDim — null codes would permanently corrupt " +
+            "the index (they sort FIRST in every ADC top-k)")))
+          .otherwise(col("code0")))
 
   /** Rebuild the in-memory codebook array from its (m, k, j, c) rows. */
   private def cbsOf(df: DataFrame): Array[Array[Array[Double]]] = {
@@ -123,7 +139,7 @@ object AnnIndex {
     val assigned = Similarity.ivfAssign(corpus, idCol, vecCol, centroids,
       centIdCol, centVecCol).select(col("id"), col("cluster"))
     val codes = assigned
-      .join(Similarity.pqEncode(corpus, idCol, vecCol, trained), "id")
+      .join(guardedEncode(corpus, idCol, vecCol, trained, "buildIvf"), "id")
       .withColumnRenamed("id", "corpus_id")
     graft.QuackIO.writeBucketedTable(codes, s"${name}_codes", "parquet",
       Seq("cluster"), nBuckets)

@@ -174,12 +174,15 @@ object Sampling {
       val total = df.agg(
         sum(col(tokensCol)).cast("double").as("__total"))
       val rated = df.crossJoin(broadcast(total))
-      // explicit zero-total guard: IEEE division by 0.0 is Infinity and
-      // round(Infinity) stays Infinity, which weighted's clamp would
+      // explicit zero/NaN-total guard: IEEE division by 0.0 is Infinity
+      // and round(Infinity) stays Infinity, which weighted's clamp would
       // turn into keep-ALL — the opposite of the documented
-      // contributes-nothing contract for an empty source
+      // contributes-nothing contract for an empty source. NaN needs its
+      // own check: under Spark's total ordering NaN > 0.0 is TRUE and
+      // least(10000, NaN) = 10000, so a single NaN token count would
+      // likewise keep everything
       weighted(rated, col(key),
-          when(col("__total") > 0d,
+          when(col("__total") > 0d && !isnan(col("__total")),
             round(lit(target.toDouble) * 10000d / col("__total")))
             .otherwise(lit(0d)),
           s"$salt|$tag")

@@ -226,9 +226,14 @@ object Similarity {
       .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
         round(dot(col("p.a.v"), col("p.b.v"))
           / (col("p.a.nrm") * col("p.b.nrm")), 6).as("score"))
-      // duplicate-id defense (same as Dedup.lshCandidates): ids are
-      // documented unique, but a duplicated id puts two identical rows
-      // in every bucket and the i<j expansion would pair them (X, X)
+      // duplicate-id defense (the filter half of Dedup.lshCandidates'
+      // defense): ids are documented unique, but a duplicated id puts
+      // two identical rows in every bucket and the i<j expansion would
+      // pair them (X, X). Unlike lshCandidates there is deliberately NO
+      // distinct here — a pair sharing several buckets appears once per
+      // shared bucket (the q33 oracle replays the same multiplicity);
+      // dropDuplicates("id_a","id_b") downstream if unique edges are
+      // needed, as semanticDedup does
       .filter(col("id_a") =!= col("id_b"))
       .filter(col("score") >= threshold)
   }
@@ -762,7 +767,10 @@ object Similarity {
     locally {
       import org.apache.spark.sql.types.{ByteType, DecimalType,
         IntegerType, LongType, ShortType}
+      // case-insensitive fallback like keepBest's guard: col() resolves
+      // case-insensitively under the default spark.sql.caseSensitive
       val t = df.schema.fields.find(_.name == idCol)
+        .orElse(df.schema.fields.find(_.name.equalsIgnoreCase(idCol)))
         .getOrElse(throw new IllegalArgumentException(
           s"semanticDedup: column '$idCol' not found")).dataType
       val ok = t match {
@@ -773,8 +781,11 @@ object Similarity {
       require(ok, s"semanticDedup requires an integer-valued id column; " +
         s"'$idCol' is ${t.simpleString}")
     }
+    // unique edges: a pair sharing several buckets (or duplicated ids)
+    // repeats in nearDupPairsLsh's output; the closure only needs each
+    // edge once
     val pairs = nearDupPairsLsh(df, idCol, vecCol, threshold, nPlanes,
-      dim, maxBucket).select("id_a", "id_b")
+      dim, maxBucket).select("id_a", "id_b").dropDuplicates()
     val clusters = Connected.components(pairs, "id_a", "id_b")
       .select(col("id").as("__sd_id"), col("comp").as("__sd_comp"))
     df.join(clusters, df(idCol) === col("__sd_id"), "left")

@@ -636,6 +636,12 @@ class CorpusOpsSpec extends TestBase {
     val zeros = (1L to 50L).map(i => (i, 0L)).toDF("doc_id", "n_tok")
     assert(Sampling.mixtureByBudget(Seq(("zz", zeros, 100L)),
       "doc_id", "n_tok").count() == 0L)
+    // NaN total: NaN > 0 is TRUE under Spark's total ordering and
+    // least(10000, NaN) = 10000, so without the isnan guard one NaN
+    // token count would keep the whole source
+    val nans = Seq((1L, 1.0), (2L, Double.NaN)).toDF("doc_id", "n_tok")
+    assert(Sampling.mixtureByBudget(Seq(("nn", nans, 100L)),
+      "doc_id", "n_tok").count() == 0L)
   }
 
   // ---------- Bloom-filter incremental dedup -------------------------------

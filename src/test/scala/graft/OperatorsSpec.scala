@@ -464,6 +464,17 @@ class OperatorsSpec extends TestBase {
     // appended rows actually participate: at least one odd-id neighbor
     assert(served.exists(_._2 % 2 == 1),
       s"no appended (odd-id) vector ever surfaced: $served")
+    // a dim-drifted batch must abort the append, never persist null
+    // codes (they'd sort FIRST in every subsequent ADC top-k)
+    val short = Seq((99999L, Array.fill(10)(0.5f)))
+      .toDF("vec_id", "embedding")
+    intercept[Exception] {
+      graft.operators.AnnIndex.append(spark, dir, short, "vec_id",
+        "embedding")
+    }
+    // and the failed append did not corrupt serving
+    assert(rows(graft.operators.AnnIndex.query(spark, dir,
+      queries, "vec_id", "embedding", k = 5, excludeSelf = true)) == live)
   }
 
   test("PqDists nulls out on a vector shorter than m*subDim") {
