@@ -1871,6 +1871,63 @@ object OpsQueries {
              |SELECT doc_id, lang, source, source_tag FROM m
              |ORDER BY source_tag, doc_id""".stripMargin)),
 
+    // ----- X2 incremental near-dup dedup -----------------------------------
+    // The fuzzy member of the incremental family: a "new batch" of
+    // planted last-3-tokens-dropped variants (which MUST band-collide
+    // with their sources and drop) plus reversed-token docs (disjoint
+    // shingles — fresh content that MUST survive) deduped against the
+    // base corpus's SIGNATURE index (no text on the seen side).
+
+    "q88_neardup_against" -> Entry(
+      (s, dir) => {
+        val base = docsFan(s, dir).select(col("doc_id"), col("text"))
+        val seenSigs = Dedup.minhashSignatures(base, "doc_id", "text", 8)
+        val w = TextAnalysis.tokens(col("text"))
+        val variants = base.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            array_join(slice(w, lit(1), greatest(size(w) - 3, lit(1))), " ")
+              .as("text"))
+        val fresh = base.filter(col("doc_id") % 7 === 3)
+          .select((col("doc_id") + 2000000).as("doc_id"),
+            array_join(reverse(w), " ").as("text"))
+        Dedup.nearDupAgainst(variants.union(fresh), "doc_id", "text",
+            seenSigs)
+          .select(col("doc_id"), md5(col("text")).as("fp"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val mins = (0 until 8)
+          .map(i => s"min(md5('$i|' || s)) AS m$i").mkString(", ")
+        def bandsSql(sig: String) = (0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band, md5(m${2 * b} || m${2 * b + 1}) " +
+            s"AS bv FROM $sig").mkString(" UNION ALL ")
+        s"""WITH tk AS (SELECT doc_id, $TOKS AS w FROM documents),
+           |shs AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s
+           |  FROM tk, unnest(CASE WHEN len(w) >= 3
+           |    THEN generate_series(1, len(w)-2) ELSE [] END) AS u(i)),
+           |sgs AS (SELECT doc_id, $mins FROM shs GROUP BY doc_id),
+           |bs AS (${bandsSql("sgs")}),
+           |inc AS (SELECT doc_id + 1000000 AS doc_id,
+           |    array_to_string(w[1:greatest(len(w)-3, 1)], ' ') AS text
+           |  FROM tk WHERE doc_id % 5 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 2000000 AS doc_id,
+           |    array_to_string(list_reverse(w), ' ') AS text
+           |  FROM tk WHERE doc_id % 7 = 3),
+           |ti AS (SELECT doc_id,
+           |    regexp_split_to_array(trim(text), '\\s+') AS w FROM inc),
+           |shi AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s
+           |  FROM ti, unnest(CASE WHEN len(w) >= 3
+           |    THEN generate_series(1, len(w)-2) ELSE [] END) AS u(i)),
+           |sgi AS (SELECT doc_id, $mins FROM shi GROUP BY doc_id),
+           |bi AS (${bandsSql("sgi")}),
+           |dup AS (SELECT DISTINCT bi.doc_id FROM bi JOIN bs
+           |  ON bi.band = bs.band AND bi.bv = bs.bv)
+           |SELECT inc.doc_id, md5(inc.text) AS fp FROM inc
+           |LEFT JOIN dup ON dup.doc_id = inc.doc_id
+           |WHERE dup.doc_id IS NULL ORDER BY inc.doc_id""".stripMargin
+      }),
+
     // ----- X2/X3 semantic dedup (SemDeDup) ---------------------------------
     // End-to-end: LSH near-dup pairs at cosine ≥ 0.3 → transitive
     // closure → min-id representative survives per cluster, unpaired

@@ -269,6 +269,61 @@ object Dedup {
     lshCandidates(minhashSignatures(df, idCol, textCol, k, shingleN),
       k, rowsPerBand)
 
+  /** X2 incremental NEAR-dup dedup: rows of `incoming` with no LSH-banded
+    * near-duplicate in the accumulated SIGNATURE index — completing the
+    * incremental family ([[dedupAgainst]] exact / [[dedupAgainstBloom]]
+    * sketch / this for fuzzy). `seenSigs` is exactly the output shape of
+    * [[minhashSignatures]] (`doc_id, m0..m{k-1}`) persisted per batch: a
+    * few hex strings per document, so the index is orders of magnitude
+    * smaller than the corpus and the exchanges below move signatures,
+    * never text.
+    *
+    * Semantics are CANDIDATE-level (any shared band ⇒ near-dup), the
+    * same recall/precision surface as [[lshCandidates]] tuned by
+    * (k, rowsPerBand): the index stores no text, so exact-Jaccard
+    * verification is impossible by design — persist text alongside and
+    * verify downstream where precision matters.
+    *
+    * Plan: both sides project to (doc, band, bv); a left-SEMI join marks
+    * incoming docs sharing any band bucket with the index (the "dup"
+    * id-set, bytes per dup); a left-ANTI join on ids keeps the rest.
+    * The incoming corpus itself is scanned once and shuffles only by id
+    * for the final anti-join.
+    *
+    * Docs with no shingles (fewer than `shingleN` tokens, null text)
+    * have no signature — they are ALWAYS kept, mirroring
+    * [[dedupAgainst]]'s null-text contract. */
+  def nearDupAgainst(incoming: DataFrame, idCol: String, textCol: String,
+      seenSigs: DataFrame, k: Int = 8, rowsPerBand: Int = 2,
+      shingleN: Int = 3): DataFrame = {
+    require(!incoming.columns.contains("__nd_id"),
+      "nearDupAgainst: incoming already has a '__nd_id' column; rename it")
+    require(seenSigs.columns.contains("doc_id") &&
+      (0 until k).forall(i => seenSigs.columns.contains(s"m$i")),
+      s"nearDupAgainst: seenSigs must have (doc_id, m0..m${k - 1}) — " +
+        "the minhashSignatures output shape")
+    def bandsOf(sigs: DataFrame): DataFrame = {
+      require(k % rowsPerBand == 0, "k must be divisible by rowsPerBand")
+      val nBands = k / rowsPerBand
+      val bandCols = (0 until nBands).map { b =>
+        val parts =
+          (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
+        struct(lit(b).as("band"), md5(concat(parts: _*)).as("bv"))
+      }
+      sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("e"))
+        .select(col("doc_id"), col("e.band").as("band"),
+          col("e.bv").as("bv"))
+    }
+    val inBands = bandsOf(
+      minhashSignatures(incoming, idCol, textCol, k, shingleN))
+    val seenBands = bandsOf(seenSigs).select("band", "bv")
+    val dupIds = inBands
+      .join(seenBands, Seq("band", "bv"), "left_semi")
+      .select(col("doc_id").as("__nd_id")).distinct()
+    incoming
+      .join(dupIds, incoming(idCol) === col("__nd_id"), "left_anti")
+  }
+
   /** The canonical near-dup pipeline: MinHash+LSH candidate generation,
     * then exact shingle-set Jaccard verification of only the candidate
     * pairs. At corpus scale the expensive exact measure runs on the tiny

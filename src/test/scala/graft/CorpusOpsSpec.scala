@@ -644,6 +644,30 @@ class CorpusOpsSpec extends TestBase {
       "doc_id", "n_tok").count() == 0L)
   }
 
+  test("nearDupAgainst drops batch docs banding with the seen signature " +
+    "index, keeps fresh and sub-shingle docs") {
+    val seen = docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "one two three four five six seven eight")
+    val seenSigs = Dedup.minhashSignatures(seen, "doc_id", "text", 8)
+    val incoming = docs(
+      10L -> "alpha beta gamma delta epsilon zeta eta theta", // exact copy
+      11L -> "alpha beta gamma delta epsilon zeta eta", // last token gone
+      12L -> "totally different fresh document here entirely", // fresh
+      13L -> "tiny doc") // sub-shingle — no signature, always kept
+    val kept = Dedup.nearDupAgainst(incoming, "doc_id", "text", seenSigs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(10L), "exact copy must band-collide and drop")
+    assert(!kept.contains(11L),
+      "near-copy sharing most shingles must band-collide and drop")
+    assert(kept.contains(12L) && kept.contains(13L),
+      s"fresh + sub-shingle docs must survive, got $kept")
+    // shape guard: a frame that is not a signature index is rejected
+    intercept[IllegalArgumentException] {
+      Dedup.nearDupAgainst(incoming, "doc_id", "text", seen)
+    }
+  }
+
   // ---------- Bloom-filter incremental dedup -------------------------------
 
   test("dedupAgainstBloom drops seen docs, keeps fresh and null-text docs") {
