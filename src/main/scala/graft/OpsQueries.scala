@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.operators.{AsOfJoin, Connected, Decontaminate, Dedup, Multimodal, Pipelines, Sampling, Similarity, TextAnalysis, Vocab}
+import graft.operators.{AsOfJoin, Connected, Decontaminate, Dedup, Multimodal, Pipelines, RangeJoin, Sampling, Similarity, TextAnalysis, Vocab}
 
 /** Catalog entries for the LLM-data-pipeline operators (dedup, similarity
   * search, text analysis, multimodal) over the `documents` / `embeddings`
@@ -1321,6 +1321,35 @@ object OpsQueries {
              |SELECT e.event_id, e.user_id, c.click_id, e.t - c.ct AS gap_us
              |FROM e ASOF JOIN c ON e.user_id = c.user_id AND e.t >= c.ct
              |ORDER BY e.event_id""".stripMargin)),
+
+    // ----- range join: orders landing in each ship date's 7-day lookback.
+    // Catalyst plans `p >= lo AND p < hi` as a nested loop; RangeJoin
+    // rewrites containment as an equi-join on a bucketized day axis
+    // (each 7-day interval explodes to at most 2 width-7 buckets).
+    // DuckDB's native inequality join is the oracle.
+    "q89_range_join" -> Entry(
+      (s, dir) => {
+        def day(c: org.apache.spark.sql.Column) =
+          datediff(c.cast("date"), lit("1970-01-01").cast("date"))
+            .cast("long")
+        val ship = Queries.t(s, dir, "lineitem")
+          .select(day(col("l_shipdate")).as("ship_day")).distinct()
+          .select(col("ship_day"), (col("ship_day") - 7).as("lo"),
+            col("ship_day").as("hi"))
+        val ord = Queries.t(s, dir, "orders")
+          .select(day(col("o_orderdate")).as("od"))
+        RangeJoin.pointInRange(ord, ship, "od", "lo", "hi", bucketWidth = 7)
+          .groupBy(col("range.ship_day").as("ship_day"))
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy("ship_day")
+      },
+      Some("""WITH sd AS (SELECT DISTINCT CAST(CAST(l_shipdate AS DATE)
+             |    - DATE '1970-01-01' AS BIGINT) AS ship_day FROM lineitem),
+             |od AS (SELECT CAST(CAST(o_orderdate AS DATE)
+             |    - DATE '1970-01-01' AS BIGINT) AS od FROM orders)
+             |SELECT sd.ship_day, count(*) AS n_orders FROM sd JOIN od
+             |ON od.od >= sd.ship_day - 7 AND od.od < sd.ship_day
+             |GROUP BY ship_day ORDER BY ship_day""".stripMargin)),
 
     // Partition-parallel decode pipeline (deterministic stubbed codec).
     // The stub's outputs are pure byte arithmetic over encode(text), so the
