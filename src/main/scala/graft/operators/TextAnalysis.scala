@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis building blocks for large-scale training-data pipelines
@@ -57,6 +57,38 @@ object TextAnalysis {
     * hot path). */
   def stopwordCountHof(toks: Column, stop: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(stop))).cast("long")
+
+  /** Linear lexicon score: Σ weight(token) for a driver-known term→weight
+    * lexicon — the linear layer of a fastText-style shallow classifier.
+    * Native one-probe-per-token expression
+    * ([[graft.functions.LexiconScore]]); spec-pinned bit-identical to
+    * [[lexiconScoreHof]]. Misses and null tokens add 0.0; a null array
+    * scores null. */
+  def lexiconScore(toks: Column, lexicon: Seq[(String, Double)]): Column =
+    graft.functions.LexiconScore.lexiconScore(toks, lexicon)
+
+  /** Composable HOF twin of [[lexiconScore]] (interpreted lambda + map
+    * probe per token — the cross-checkable reference, not the hot path). */
+  def lexiconScoreHof(toks: Column, lexicon: Seq[(String, Double)]): Column =
+    aggregate(toks, lit(0.0),
+      (acc, t) => acc + coalesce(element_at(typedlit(lexicon.toMap), t),
+        lit(0.0)))
+
+  /** fastText-style shallow quality classifier:
+    * `sigmoid(bias + lexiconScore / n_tokens)` (mean pooling, so long
+    * documents aren't favored just for repeating lexicon hits). One
+    * map-only pass over the corpus — no exchange, ScaleSpec-pinned.
+    * Null text yields a null probability (gate or coalesce downstream);
+    * thresholding into keep/drop labels composes on top. */
+  def withLexiconQuality(df: DataFrame, textCol: String,
+      lexicon: Seq[(String, Double)], bias: Double = 0.0,
+      out: String = "quality_p"): DataFrame = {
+    require(!df.columns.contains(out),
+      s"withLexiconQuality: column '$out' already exists; pass out=")
+    val toks = tokens(col(textCol))
+    df.withColumn(out, lit(1.0) / (lit(1.0) +
+      exp(-(lit(bias) + lexiconScore(toks, lexicon) / size(toks)))))
+  }
 
   /** Quality features: length, token count, punctuation/digit counts,
     * stopword ratio, mean token length. */
