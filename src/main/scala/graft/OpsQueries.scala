@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.operators.{AsOfJoin, Connected, Decontaminate, Dedup, Multimodal, Pipelines, RangeJoin, Sampling, Similarity, TextAnalysis, Vocab}
+import graft.operators.{AsOfJoin, Connected, Decontaminate, Dedup, Multimodal, Pipelines, Quantize, RangeJoin, Sampling, Similarity, TextAnalysis, Vocab}
 
 /** Catalog entries for the LLM-data-pipeline operators (dedup, similarity
   * search, text analysis, multimodal) over the `documents` / `embeddings`
@@ -25,6 +25,16 @@ object OpsQueries {
     words.map(w => s"'$w'").mkString("(", ", ", ")")
   private def stopCnt(toksSql: String, words: Seq[String]) =
     s"len(list_filter($toksSql, t -> t IN ${stopIn(words)}))"
+
+  /** fastText-style demo lexicon over the corpus vocabulary (shared by
+    * the q90 entry and its oracle so the two can never drift). */
+  private val QualityLex: Seq[(String, Double)] = Seq(
+    "fast" -> 1.2, "merge" -> 0.9, "spark" -> 0.8, "big" -> 0.6,
+    "scan" -> -0.3, "small" -> -0.5, "the" -> -0.1, "slow" -> -1.4)
+  private def lexCaseSql: String =
+    QualityLex.map { case (t, w) =>
+      s"WHEN t = '${t.replace("'", "''")}' THEN $w"
+    }.mkString("CASE ", " ", " ELSE 0.0 END")
 
   /** Planted exact-duplicate corpus (SQL side). */
   private val DupDocsSql =
@@ -1350,6 +1360,81 @@ object OpsQueries {
              |SELECT sd.ship_day, count(*) AS n_orders FROM sd JOIN od
              |ON od.od >= sd.ship_day - 7 AND od.od < sd.ship_day
              |GROUP BY ship_day ORDER BY ship_day""".stripMargin)),
+
+    // ----- X5 lexicon quality classifier -----------------------------------
+    // fastText-style shallow linear classifier: sigmoid(bias + mean token
+    // weight) under a driver-known lexicon. One map-only corpus pass (the
+    // native one-probe-per-token LexiconScore expression); the oracle
+    // replays the linear layer as an in-order list_sum over a CASE-mapped
+    // token list, so both engines fold the same doubles in the same order.
+    "q90_lexicon_quality" -> Entry(
+      (s, dir) => {
+        val d = Queries.t(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        TextAnalysis.withLexiconQuality(d, "text", QualityLex, bias = -0.2)
+          .select(col("doc_id"), round(col("quality_p"), 6).as("quality_p"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, $TOKS AS w FROM documents)
+             |SELECT doc_id, round(1.0 / (1.0 + exp(-(-0.2 +
+             |  list_sum(list_transform(w, t -> $lexCaseSql)) / len(w)))), 6)
+             |  AS quality_p
+             |FROM tk ORDER BY doc_id""".stripMargin)),
+
+    // ----- X3 int8 scalar quantization -------------------------------------
+    // Per-dimension global [lo, hi] affine mapping to 256 levels — 4×
+    // smaller than float32 before ANN serving. Floor-based level
+    // assignment: the same IEEE sub/mul/div tree in the same order on
+    // both engines, no rounding-tie ambiguity. Stats collapse to one
+    // broadcast row; the corpus never re-shuffles (ScaleSpec-pinned).
+    "q91_int8_quant" -> Entry(
+      (s, dir) => {
+        val emb = Queries.t(s, dir, "embeddings")
+        Quantize.int8Encode(emb, "vec_id", "embedding",
+            Quantize.int8Stats(emb, "embedding"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |x AS (SELECT unnest(v) AS val, generate_subscripts(v, 1) AS i
+             |  FROM e),
+             |st AS (SELECT i, min(val) AS lo, max(val) AS hi FROM x
+             |  GROUP BY i),
+             |a AS (SELECT list(lo ORDER BY i) AS los,
+             |  list(hi ORDER BY i) AS his FROM st)
+             |SELECT vec_id, [CAST(CASE WHEN a.his[i] = a.los[i] THEN 0.0
+             |    ELSE greatest(0.0, least(255.0, floor((v[i] - a.los[i])
+             |      * 256.0 / (a.his[i] - a.los[i])))) END - 128.0 AS INT)
+             |  FOR i IN generate_series(1, len(v))] AS codes
+             |FROM e, a ORDER BY vec_id""".stripMargin)),
+
+    // ----- X3 random-projection dimensionality reduction -------------------
+    // Johnson–Lindenstrauss-style cheap projection to 8 dims using the
+    // deterministic seeded plane family the LSH bucketer signs; the
+    // oracle carries the SAME plane constants as double literals
+    // (shortest-repr printing round-trips exactly) and sums products in
+    // index order.
+    "q92_random_projection" -> Entry(
+      (s, dir) => {
+        val planes = Similarity.planeVectors(8, 64)
+        Quantize.randomProject(
+            Queries.t(s, dir, "embeddings"), "embedding", planes)
+          .select(col("vec_id"),
+            transform(col("proj"), x => round(x, 6)).as("proj"))
+          .orderBy("vec_id")
+      },
+      Some {
+        val planes = Similarity.planeVectors(8, 64)
+        val lits = planes.map(_.mkString("[", ", ", "]"))
+          .mkString("[", ", ", "]")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |  FROM embeddings),
+           |p AS (SELECT $lits AS planes)
+           |SELECT vec_id, [round(list_sum([v[i] * planes[j][i]
+           |    FOR i IN generate_series(1, len(v))]), 6)
+           |  FOR j IN generate_series(1, ${planes.length})] AS proj
+           |FROM e, p ORDER BY vec_id""".stripMargin
+      }),
 
     // Partition-parallel decode pipeline (deterministic stubbed codec).
     // The stub's outputs are pure byte arithmetic over encode(text), so the

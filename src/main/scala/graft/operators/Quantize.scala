@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding compression (X3 storage path): int8 scalar quantization and
+  * random-projection dimensionality reduction — the two standard levers
+  * for shrinking an embedding corpus before ANN serving (4× from
+  * float32→int8, dim/outDim× from projection; compose them for both).
+  *
+  * Scale shape: quantization stats are ONE partial-agg-friendly
+  * aggregation whose exchange carries at most `dim` rows per partition,
+  * collapsed to a single 2-array row that BROADCASTS to the encoder —
+  * the corpus itself is scanned once per step and never re-shuffles.
+  * Level assignment is floor-based (no round-half-even vs half-up
+  * ambiguity), so codes are engine-bit-identical: the same IEEE
+  * sub/mul/div tree in the same order on both sides of the oracle.
+  */
+object Quantize {
+
+  /** Per-dimension global `[lo, hi]` over the corpus, as ONE row
+    * `(los: array<double>, his: array<double>)` ordered by dimension.
+    * Null/empty vectors contribute no elements; ragged lengths are fine
+    * here (short vectors simply have no say in the tail dimensions) but
+    * will fail loudly in [[int8Encode]]. */
+  def int8Stats(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode(col(vecCol).cast("array<double>"))
+        .as(Seq("pos", "v")))
+      .groupBy("pos").agg(min("v").as("lo"), max("v").as("hi"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("lo"),
+        col("hi")))).as("s"))
+      .select(transform(col("s"), x => x.getField("lo")).as("los"),
+        transform(col("s"), x => x.getField("hi")).as("his"))
+
+  /** Affine int8 codes: level `min(255, floor((v - lo) * 256 / (hi - lo)))`
+    * shifted to `[-128, 127]`; degenerate dimensions (`hi == lo`) map to
+    * level 0. `stats` is the [[int8Stats]] 1-row frame (broadcast; pass a
+    * TRAINING sample's stats to encode a much larger corpus — values
+    * outside the trained range clamp to the edge levels). Vectors longer
+    * than the stats arrays fail loudly (null lo) rather than emitting
+    * silently-null code tails; null vectors stay null. */
+  def int8Encode(df: DataFrame, idCol: String, vecCol: String,
+      stats: DataFrame): DataFrame = {
+    require(stats.columns.toSeq == Seq("los", "his"),
+      "int8Encode: stats must be the int8Stats output (los, his)")
+    df.crossJoin(broadcast(stats))
+      .select(col(idCol), transform(col(vecCol).cast("array<double>"),
+        (x, i) => {
+          // try_element_at: out-of-bounds yields null (ANSI element_at
+          // throws a generic index error) so the named guard below owns
+          // the failure message
+          val lo = try_element_at(col("los"), i + 1)
+          val hi = try_element_at(col("his"), i + 1)
+          val level = when(lo.isNull, raise_error(concat(
+              lit("int8Encode: vector dimension "), (i + 1).cast("string"),
+              lit(" exceeds the stats arrays — encode with stats trained " +
+                "on vectors at least this long"))))
+            .when(hi === lo, lit(0.0))
+            .otherwise(greatest(lit(0.0), least(lit(255.0),
+              floor((x - lo) * lit(256.0) / (hi - lo)))))
+          (level - lit(128.0)).cast("int")
+        }).as("codes"))
+  }
+
+  /** Dequantized reconstruction: each level maps back to its cell
+    * midpoint `lo + (level + 128 + 0.5) * (hi - lo) / 256`, bounding
+    * per-element error by half a cell width. Output `recon` is
+    * array<double>. */
+  def int8Decode(df: DataFrame, idCol: String, codesCol: String,
+      stats: DataFrame): DataFrame = {
+    require(stats.columns.toSeq == Seq("los", "his"),
+      "int8Decode: stats must be the int8Stats output (los, his)")
+    df.crossJoin(broadcast(stats))
+      .select(col(idCol), transform(col(codesCol), (c, i) => {
+        val lo = try_element_at(col("los"), i + 1)
+        val hi = try_element_at(col("his"), i + 1)
+        lo + (c.cast("double") + lit(128.5)) * (hi - lo) / lit(256.0)
+      }).as("recon"))
+  }
+
+  /** Random-projection dimensionality reduction: `out_j = <vec, plane_j>`
+    * for the `planes.length` fixed hyperplanes (pass
+    * [[Similarity.planeVectors]] for the deterministic seeded set — the
+    * Johnson–Lindenstrauss-style cheap projection, and the same plane
+    * family the LSH bucketer signs). Double accumulation in index order
+    * per plane; null/short vectors null-propagate per plane (a short
+    * vector zips to a short product array — its projection sums only the
+    * overlapping prefix; gate upstream if that matters). */
+  def randomProject(df: DataFrame, vecCol: String,
+      planes: Array[Array[Double]], out: String = "proj"): DataFrame = {
+    require(planes.nonEmpty, "randomProject: need at least one plane")
+    require(planes.map(_.length).distinct.length == 1,
+      "randomProject: planes must share one dimensionality")
+    df.withColumn(out, array(planes.map(p =>
+      Similarity.dotHof(col(vecCol), typedlit(p.toSeq))).toIndexedSeq: _*))
+  }
+}

@@ -749,4 +749,109 @@ class CorpusOpsSpec extends TestBase {
     val dupRow = out.find(_.getLong(2) == 2L).get
     assert(dupRow.getLong(1) == 1L) // min-id representative
   }
+
+  // ---------- lexicon quality classifier -----------------------------------
+
+  test("lexiconScore: native expression is bit-identical to the HOF twin " +
+    "on unicode, misses, duplicates, empties, and null arrays") {
+    import graft.operators.TextAnalysis
+    val lex = Seq("fast" -> 1.2, "slow" -> -1.4, "é" -> 0.25)
+    val df = Seq(
+      Tuple1(Seq("fast", "slow", "miss")),
+      Tuple1(Seq("é", "é", "fast")),
+      Tuple1(Seq.empty[String]),
+      Tuple1(Seq("miss", "miss")),
+      Tuple1(null: Seq[String])).toDF("toks")
+    val out = df.select(
+      TextAnalysis.lexiconScore(col("toks"), lex).as("n"),
+      TextAnalysis.lexiconScoreHof(col("toks"), lex).as("h"))
+    assert(out.filter(not(col("n") <=> col("h"))).count() == 0,
+      s"native and HOF lexicon scores diverge: ${out.collect().toSeq}")
+    val scores = out.select("n").as[Option[Double]].collect().toSeq
+    assert(scores.contains(Some(1.2 + -1.4)), s"fast+slow+miss: $scores")
+    assert(scores.contains(Some(0.0)) && scores.contains(None))
+  }
+
+  test("withLexiconQuality: mean-pooled sigmoid orders docs by lexicon " +
+    "sentiment; null text propagates; existing column is rejected") {
+    import graft.operators.TextAnalysis
+    val lex = Seq("good" -> 2.0, "bad" -> -2.0)
+    val df = Seq(
+      (1L, "good good good"), (2L, "bad bad bad"),
+      (3L, "good bad neutral"), (4L, null: String)).toDF("doc_id", "text")
+    val p = TextAnalysis.withLexiconQuality(df, "text", lex, bias = 0.0)
+      .select("doc_id", "quality_p").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(p(1L).get > 0.5 && p(2L).get < 0.5, s"sentiment order: $p")
+    assert(p(1L).get > p(3L).get && p(3L).get > p(2L).get, s"order: $p")
+    assert(p.values.flatten.forall(v => v > 0.0 && v < 1.0))
+    assert(p(4L).isEmpty, "null text must stay null, not score 0.5")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.withLexiconQuality(
+        TextAnalysis.withLexiconQuality(df, "text", lex), "text", lex)
+    }
+  }
+
+  // ---------- embedding compression (int8 + random projection) ------------
+
+  private def vecs(rows: (Long, Seq[Float])*) =
+    rows.toSeq.toDF("id", "vec")
+
+  test("int8 quantization: codes bounded, constant dims at the zero " +
+    "level, reconstruction within half a cell per dimension") {
+    import graft.operators.Quantize
+    val df = vecs(1L -> Seq(0.0f, 10f, -5f), 2L -> Seq(1.0f, 20f, -5f),
+      3L -> Seq(0.25f, 15f, -5f))
+    val stats = Quantize.int8Stats(df, "vec")
+    val codes = Quantize.int8Encode(df, "id", "vec", stats)
+    val cs = codes.select("id", "codes").as[(Long, Seq[Int])]
+      .collect().toMap
+    assert(cs.values.forall(_.forall(c => c >= -128 && c <= 127)))
+    assert(cs.values.forall(_(2) == -128),
+      s"constant dim must sit at the zero level (code -128): $cs")
+    assert(cs(2L)(0) == 127 && cs(1L)(0) == -128,
+      s"range endpoints must hit the edge levels: $cs")
+    val err = Quantize.int8Decode(codes, "id", "codes", stats)
+      .join(df, "id")
+      .select(zip_with(col("vec").cast("array<double>"), col("recon"),
+        (v, r) => abs(v - r)).as("e"))
+      .select(explode(col("e")).as("e")).agg(max("e")).as[Double].head()
+    // widest dim spans 10.0 → half a cell is 10/512
+    assert(err <= 10.0 / 512 + 1e-12, s"reconstruction error $err")
+  }
+
+  test("int8Encode: sample-trained stats clamp out-of-range values to " +
+    "edge levels; longer vectors than the stats fail loudly") {
+    import graft.operators.Quantize
+    val train = vecs(1L -> Seq(0.0f, 0.0f), 2L -> Seq(1.0f, 1.0f))
+    val stats = Quantize.int8Stats(train, "vec")
+    val out = Quantize.int8Encode(
+      vecs(9L -> Seq(-5.0f, 7.0f)), "id", "vec", stats)
+      .select("codes").as[Seq[Int]].head()
+    assert(out == Seq(-128, 127), s"clamped codes: $out")
+    val e = intercept[Exception] {
+      Quantize.int8Encode(vecs(9L -> Seq(0.5f, 0.5f, 0.5f)), "id", "vec",
+        stats).collect()
+    }
+    assert(e.getMessage.contains("exceeds the stats arrays"),
+      s"expected the ragged-vector guard, got: ${e.getMessage}")
+  }
+
+  test("randomProject: in-order double dots of the seeded plane family; " +
+    "plane-shape guards") {
+    import graft.operators.{Quantize, Similarity}
+    val planes = Similarity.planeVectors(4, 3)
+    val proj = Quantize.randomProject(vecs(1L -> Seq(1.0f, 0.5f, 2.0f)),
+      "vec", planes).select("proj").as[Seq[Double]].head()
+    val expect = planes.toSeq.map(p =>
+      0.0 + 1.0 * p(0) + 0.5 * p(1) + 2.0 * p(2))
+    assert(proj == expect, s"$proj vs $expect")
+    intercept[IllegalArgumentException] {
+      Quantize.randomProject(vecs(), "vec", Array.empty[Array[Double]])
+    }
+    intercept[IllegalArgumentException] {
+      Quantize.randomProject(vecs(), "vec",
+        Array(Array(1.0), Array(1.0, 2.0)))
+    }
+  }
 }

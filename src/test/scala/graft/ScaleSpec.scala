@@ -293,4 +293,36 @@ class ScaleSpec extends TestBase {
       .count(_.getName.startsWith("part-"))
     assert(parts == 8, s"expected 8 part files, got $parts")
   }
+
+  test("lexicon quality classification is map-only: zero exchanges") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.operators.TextAnalysis.withLexiconQuality(
+      d, "text", Seq("fast" -> 1.0, "slow" -> -1.0)))
+    assert(!p.contains("Exchange"), s"expected a pure map plan:\n$p")
+  }
+
+  test("int8 quantization: the dim-keyed stats aggregation is the only " +
+    "hash exchange; the 1-row stats broadcast to the encoder") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = plan(graft.operators.Quantize.int8Encode(emb, "vec_id",
+      "embedding", graft.operators.Quantize.int8Stats(emb, "embedding")))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"stats agg should be the only hash exchange:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"stats row must broadcast to the encoder, not shuffle it:\n$p")
+  }
+
+  test("random projection is map-only: zero exchanges") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = plan(graft.operators.Quantize.randomProject(emb, "embedding",
+      graft.operators.Similarity.planeVectors(4, 64)))
+    assert(!p.contains("Exchange"), s"expected a pure map plan:\n$p")
+  }
+
+  test("q89 range join: equi-join on the bucket key, no nested loop") {
+    val p = plan(SparkEntry.queries("q89_range_join")(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"range join must meet in an equi-join:\n$p")
+  }
 }
