@@ -1436,6 +1436,56 @@ object OpsQueries {
            |FROM e, p ORDER BY vec_id""".stripMargin
       }),
 
+    // ----- X3 compressed-corpus serving ------------------------------------
+    // The compression payoff end-to-end: cosine top-k where the corpus
+    // side is the 4×-smaller int8 codes table, dequantized on the fly.
+    // Scores stay comparable with q30 (same round-6 / tiebreak shape),
+    // so recallAtK measures the quantization cost directly. The oracle
+    // re-derives codes exactly (floor arithmetic, q91) and ranks over
+    // the same dequantized doubles.
+    "q93_int8_topk" -> Entry(
+      (s, dir) => {
+        val emb = Queries.t(s, dir, "embeddings")
+        val stats = Quantize.int8Stats(emb, "embedding")
+        val codes = Quantize.int8Encode(emb, "vec_id", "embedding", stats)
+        Quantize.int8TopK(emb.filter(col("vec_id") < 5), "vec_id",
+            "embedding", codes, "vec_id", stats, k = 10)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy("query_id", "rnk")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |x AS (SELECT unnest(v) AS val, generate_subscripts(v, 1) AS i
+             |  FROM e),
+             |st AS (SELECT i, min(val) AS lo, max(val) AS hi FROM x
+             |  GROUP BY i),
+             |a AS (SELECT list(lo ORDER BY i) AS los,
+             |  list(hi ORDER BY i) AS his FROM st),
+             |cd AS (SELECT vec_id, [CAST(CASE WHEN a.his[i] = a.los[i]
+             |    THEN 0.0 ELSE greatest(0.0, least(255.0,
+             |      floor((v[i] - a.los[i]) * 256.0
+             |        / (a.his[i] - a.los[i])))) END - 128.0 AS INT)
+             |  FOR i IN generate_series(1, len(v))] AS c FROM e, a),
+             |rec AS (SELECT vec_id AS corpus_id,
+             |  [a.los[i] + (c[i] + 128.5) * (a.his[i] - a.los[i]) / 256.0
+             |    FOR i IN generate_series(1, len(c))] AS cv FROM cd, a),
+             |q AS (SELECT vec_id AS query_id,
+             |  CAST(embedding AS DOUBLE[]) AS qv
+             |  FROM embeddings WHERE vec_id < 5),
+             |s AS (SELECT query_id, corpus_id,
+             |  round(list_sum([qv[i] * cv[i]
+             |      FOR i IN generate_series(1, len(qv))]) /
+             |    (sqrt(list_sum([qv[i] * qv[i]
+             |      FOR i IN generate_series(1, len(qv))])) *
+             |     sqrt(list_sum([cv[i] * cv[i]
+             |      FOR i IN generate_series(1, len(cv))]))), 6) AS score
+             |  FROM q, rec WHERE query_id <> corpus_id),
+             |r AS (SELECT query_id, corpus_id, score,
+             |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             |    ORDER BY score DESC, corpus_id) AS BIGINT) AS rnk FROM s)
+             |SELECT query_id, corpus_id, score, rnk FROM r
+             |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)),
+
     // Partition-parallel decode pipeline (deterministic stubbed codec).
     // The stub's outputs are pure byte arithmetic over encode(text), so the
     // oracle replays them in SQL: byte i of the payload is read out of the

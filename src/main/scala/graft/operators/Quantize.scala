@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding compression (X3 storage path): int8 scalar quantization and
@@ -93,5 +94,40 @@ object Quantize {
       "randomProject: planes must share one dimensionality")
     df.withColumn(out, array(planes.map(p =>
       Similarity.dotHof(col(vecCol), typedlit(p.toSeq))).toIndexedSeq: _*))
+  }
+
+  /** Brute-force cosine top-k SERVED FROM THE COMPRESSED CORPUS: the
+    * scan side is int8 codes dequantized on the fly — 4× less I/O than
+    * the float corpus, the decisive term at 100 TB — while the (small)
+    * query set broadcasts. Score/rank shape is identical to
+    * [[Similarity.cosineTopK]] (round-6 scores, corpus-id tiebreak,
+    * self-pairs excluded), so [[Similarity.recallAtK]] measures the
+    * quantization recall cost directly against the exact float path.
+    *
+    * At production scale compute [[int8Stats]] ONCE and persist it with
+    * the codes (this signature takes both precomputed) — re-deriving
+    * stats per serving call would rescan the corpus.
+    */
+  def int8TopK(queries: DataFrame, idCol: String, vecCol: String,
+      codes: DataFrame, codesIdCol: String, stats: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 1, s"int8TopK: k must be >= 1, got $k")
+    import Similarity.dotHof
+    // norms precomputed per side (n + m evaluations, not n × m)
+    val c = int8Decode(codes, codesIdCol, "codes", stats)
+      .select(col(codesIdCol).as("corpus_id"), col("recon").as("cv"))
+      .withColumn("cn", sqrt(dotHof(col("cv"), col("cv"))))
+    val q = queries.select(col(idCol).as("query_id"),
+        transform(col(vecCol), x => x.cast("double")).as("qv"))
+      .withColumn("qn", sqrt(dotHof(col("qv"), col("qv"))))
+    val scored = broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        round(dotHof(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+          .as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("score"), asc("corpus_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
   }
 }

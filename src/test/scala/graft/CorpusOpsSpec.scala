@@ -837,6 +837,34 @@ class CorpusOpsSpec extends TestBase {
       s"expected the ragged-vector guard, got: ${e.getMessage}")
   }
 
+  test("int8TopK: compressed-corpus search recovers the exact float " +
+    "ranking on well-separated vectors; k guard") {
+    import graft.operators.{Quantize, Similarity}
+    // 20 deterministic 8-dim vectors spread on distinct directions
+    val df = vecs((0 until 20).map { i =>
+      i.toLong -> (0 until 8).map(d =>
+        (math.sin(i * 1.7 + d) + 0.1 * d).toFloat).toSeq
+    }: _*)
+    val stats = Quantize.int8Stats(df, "vec")
+    val codes = Quantize.int8Encode(df, "id", "vec", stats)
+    val queries = df.filter(col("id") < 3)
+    val approx = Quantize.int8TopK(queries, "id", "vec", codes, "id",
+      stats, k = 5)
+    val exact = Similarity.cosineTopK(queries, df, "id", "vec", k = 5)
+    val minRecall = Similarity.recallAtK(approx, exact, 5)
+      .agg(min("recall")).as[Double].head()
+    assert(minRecall >= 0.8, s"int8 recall collapsed: $minRecall")
+    // self-pairs excluded, ranks dense from 1
+    val ranks = approx.groupBy("query_id")
+      .agg(collect_list("rank").as("r")).select("r").as[Seq[Long]]
+      .collect()
+    assert(ranks.forall(_.sorted == (1L to 5L)), s"ranks: ${ranks.toSeq}")
+    assert(approx.filter(col("query_id") === col("corpus_id")).count() == 0)
+    intercept[IllegalArgumentException] {
+      Quantize.int8TopK(queries, "id", "vec", codes, "id", stats, k = 0)
+    }
+  }
+
   test("randomProject: in-order double dots of the seeded plane family; " +
     "plane-shape guards") {
     import graft.operators.{Quantize, Similarity}

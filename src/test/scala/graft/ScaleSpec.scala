@@ -319,6 +319,24 @@ class ScaleSpec extends TestBase {
     assert(!p.contains("Exchange"), s"expected a pure map plan:\n$p")
   }
 
+  test("int8TopK serves from codes with broadcast queries: the hash " +
+    "exchanges are the stats aggregations and the per-query rank only") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val stats = graft.operators.Quantize.int8Stats(emb, "embedding")
+    val codes = graft.operators.Quantize.int8Encode(emb, "vec_id",
+      "embedding", stats)
+    val p = plan(graft.operators.Quantize.int8TopK(
+      emb.filter(col("vec_id") < 3), "vec_id", "embedding", codes,
+      "vec_id", stats, k = 5))
+    // stats subtree appears twice (encode + decode; persist it in
+    // production) + the query_id rank window = 3; the CORPUS itself
+    // never hash-shuffles
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n <= 3, s"expected at most 3 hash exchanges, got $n:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(corpus_id"),
+      s"corpus side must stream, not shuffle:\n$p")
+  }
+
   test("q89 range join: equi-join on the bucket key, no nested loop") {
     val p = plan(SparkEntry.queries("q89_range_join")(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin") &&

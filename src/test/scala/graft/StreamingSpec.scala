@@ -348,6 +348,48 @@ class StreamingSpec extends TestBase {
     assert(got.nonEmpty && got.forall(!_._2.contains("@")))
   }
 
+  test("lexicon quality gate and int8 encoding compose on streams " +
+    "(map-only ops; stats is a static broadcast side)") {
+    val dir = tmpDir().toString
+    val rows = (0L until 30L).map(i =>
+      (i, if (i % 3 == 0) "fast fast merge" else "slow slow scan"))
+    rows.toDF("doc_id", "text").write.mode("append").parquet(dir)
+    val lex = Seq("fast" -> 1.0, "merge" -> 0.5, "slow" -> -1.0,
+      "scan" -> -0.5)
+
+    val stream = spark.readStream
+      .schema(Seq.empty[(Long, String)].toDF("doc_id", "text").schema)
+      .parquet(dir)
+    val gated = graft.operators.TextAnalysis
+      .withLexiconQuality(stream, "text", lex)
+      .filter(col("quality_p") > 0.5)
+    val q = gated.writeStream.outputMode("append").format("memory")
+      .queryName("lex_stream_out").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("lex_stream_out").select("doc_id")
+      .as[Long].collect().toSet
+    assert(kept == (0L until 30L).filter(_ % 3 == 0).toSet, s"kept $kept")
+
+    // int8 encode on a stream: static 1-row stats broadcast per batch
+    val vecsBatch = (0L until 10L).map(i =>
+      (i, Seq(i.toFloat, (10 - i).toFloat))).toDF("id", "vec")
+    val vdir = tmpDir().toString
+    vecsBatch.write.mode("append").parquet(vdir)
+    val stats = graft.operators.Quantize.int8Stats(vecsBatch, "vec")
+    val vstream = spark.readStream.schema(vecsBatch.schema).parquet(vdir)
+    val enc = graft.operators.Quantize.int8Encode(
+      vstream, "id", "vec", stats)
+    val q2 = enc.writeStream.outputMode("append").format("memory")
+      .queryName("int8_stream_out").trigger(Trigger.AvailableNow()).start()
+    q2.processAllAvailable(); q2.stop()
+    val streamed = spark.table("int8_stream_out")
+      .select("id", "codes").as[(Long, Seq[Int])].collect().toMap
+    val batch = graft.operators.Quantize.int8Encode(
+        vecsBatch, "id", "vec", stats)
+      .select("id", "codes").as[(Long, Seq[Int])].collect().toMap
+    assert(streamed == batch, "stream/batch int8 codes must be identical")
+  }
+
   test("Bloom incremental dedup composes on streams (stateless filter, " +
     "no join state)") {
     // dedupAgainstBloom is a pure scan filter (the sketch ships as a
