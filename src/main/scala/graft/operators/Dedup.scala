@@ -220,6 +220,31 @@ object Dedup {
     hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** THE MinHash band projection — the single definition every banding
+    * consumer shares ([[lshCandidates]], [[verifiedNearDups]],
+    * [[nearDupAgainst]]), so bands built from the same signatures can
+    * never drift incompatible: band `b` re-hashes its `rowsPerBand`
+    * signature components (md5 of their concatenation) into one bucket
+    * value. Input is the [[minhashSignatures]] shape (`doc_id,
+    * m0..m{k-1}`); output `(doc_id, carry..., band, bv)`. `carry`
+    * columns ride along unchanged (the verified pipeline carries its
+    * shingle sets into the buckets this way). */
+  private def minhashBands(sigs: DataFrame, k: Int, rowsPerBand: Int,
+      carry: Seq[String] = Nil): DataFrame = {
+    require(k % rowsPerBand == 0, "k must be divisible by rowsPerBand")
+    val nBands = k / rowsPerBand
+    val bandCols = (0 until nBands).map { b =>
+      val parts =
+        (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat(parts: _*)).as("bv"))
+    }
+    val carried = carry.map(col)
+    sigs.select(col("doc_id") +: carried :+
+        explode(array(bandCols: _*)).as("e"): _*)
+      .select(col("doc_id") +: carried :+
+        col("e.band").as("band") :+ col("e.bv").as("bv"): _*)
+  }
+
   /** LSH banding over a MinHash signature: bands of `rowsPerBand` signature
     * columns re-hash to a single value; docs sharing any (band index, band
     * value) become candidate pairs. Returns (doc_a, doc_b), doc_a < doc_b,
@@ -231,15 +256,7 @@ object Dedup {
     * value (i.e. hash-partitioned across executors). */
   def lshCandidates(sigs: DataFrame, k: Int, rowsPerBand: Int,
       maxBucket: Int = 10000): DataFrame = {
-    require(k % rowsPerBand == 0, "k must be divisible by rowsPerBand")
-    val nBands = k / rowsPerBand
-    val bandCols = (0 until nBands).map { b =>
-      val parts = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), md5(concat(parts: _*)).as("bv"))
-    }
-    val bands = sigs
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("e"))
-      .select(col("doc_id"), col("e.band").as("band"), col("e.bv").as("bv"))
+    val bands = minhashBands(sigs, k, rowsPerBand)
     // size-gate BEFORE the collect buffers anything: the window count is
     // sort-based and spills, so a degenerate bucket streams through disk
     // instead of OOMing the agg buffer; the groupBy reuses the window's
@@ -287,8 +304,9 @@ object Dedup {
     * Plan: both sides project to (doc, band, bv); a left-SEMI join marks
     * incoming docs sharing any band bucket with the index (the "dup"
     * id-set, bytes per dup); a left-ANTI join on ids keeps the rest.
-    * The incoming corpus itself is scanned once and shuffles only by id
-    * for the final anti-join.
+    * The incoming source is scanned twice — once projected to its band
+    * signatures, once as the anti-join's left side — but every exchange
+    * moves signatures or ids only, never text.
     *
     * Docs with no shingles (fewer than `shingleN` tokens, null text)
     * have no signature — they are ALWAYS kept, mirroring
@@ -302,21 +320,11 @@ object Dedup {
       (0 until k).forall(i => seenSigs.columns.contains(s"m$i")),
       s"nearDupAgainst: seenSigs must have (doc_id, m0..m${k - 1}) — " +
         "the minhashSignatures output shape")
-    def bandsOf(sigs: DataFrame): DataFrame = {
-      require(k % rowsPerBand == 0, "k must be divisible by rowsPerBand")
-      val nBands = k / rowsPerBand
-      val bandCols = (0 until nBands).map { b =>
-        val parts =
-          (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
-        struct(lit(b).as("band"), md5(concat(parts: _*)).as("bv"))
-      }
-      sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("e"))
-        .select(col("doc_id"), col("e.band").as("band"),
-          col("e.bv").as("bv"))
-    }
-    val inBands = bandsOf(
-      minhashSignatures(incoming, idCol, textCol, k, shingleN))
-    val seenBands = bandsOf(seenSigs).select("band", "bv")
+    val inBands = minhashBands(
+      minhashSignatures(incoming, idCol, textCol, k, shingleN),
+      k, rowsPerBand)
+    val seenBands = minhashBands(seenSigs, k, rowsPerBand)
+      .select("band", "bv")
     val dupIds = inBands
       .join(seenBands, Seq("band", "bv"), "left_semi")
       .select(col("doc_id").as("__nd_id")).distinct()
@@ -350,8 +358,6 @@ object Dedup {
     // DuckDB oracle (min over dup rows) agrees byte-for-byte; the
     // distinct set's order is engine-arbitrary, which is fine: every
     // downstream use (intersect/size) is order-independent.
-    require(k % rowsPerBand == 0, "k must be divisible by rowsPerBand")
-    val nBands = k / rowsPerBand
     val sigs = df
       .select(col(idCol).as("doc_id"),
         TextAnalysis.tokens(col(textCol)).as("toks"))
@@ -367,14 +373,7 @@ object Dedup {
         array_distinct(col("shArr")).as("sh"))
       .select(col("doc_id") +: col("sh") +:
         (0 until k).map(i => element_at(col("sig"), i + 1).as(s"m$i")): _*)
-    val bandCols = (0 until nBands).map { b =>
-      val parts = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), md5(concat(parts: _*)).as("bv"))
-    }
-    val bands = sigs
-      .select(col("doc_id"), col("sh"), explode(array(bandCols: _*)).as("e"))
-      .select(col("doc_id"), col("sh"),
-        col("e.band").as("band"), col("e.bv").as("bv"))
+    val bands = minhashBands(sigs, k, rowsPerBand, carry = Seq("sh"))
     val wb = Window.partitionBy("band", "bv")
     val gated = bands.withColumn("cnt", count(lit(1)).over(wb))
       .filter(col("cnt") > 1 && col("cnt") <= maxBucket)

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding compression (X3 storage path): int8 scalar quantization and
@@ -39,7 +38,10 @@ object Quantize {
     * TRAINING sample's stats to encode a much larger corpus — values
     * outside the trained range clamp to the edge levels). Vectors longer
     * than the stats arrays fail loudly (null lo) rather than emitting
-    * silently-null code tails; null vectors stay null. */
+    * silently-null code tails; null ELEMENTS fail loudly too (Spark's
+    * least/greatest skip nulls, so a null element would otherwise
+    * silently take the TOP edge level and fabricate a large component);
+    * whole-null vectors stay null. */
   def int8Encode(df: DataFrame, idCol: String, vecCol: String,
       stats: DataFrame): DataFrame = {
     require(stats.columns.toSeq == Seq("los", "his"),
@@ -56,6 +58,11 @@ object Quantize {
               lit("int8Encode: vector dimension "), (i + 1).cast("string"),
               lit(" exceeds the stats arrays — encode with stats trained " +
                 "on vectors at least this long"))))
+            .when(x.isNull, raise_error(concat(
+              lit("int8Encode: null element at dimension "),
+              (i + 1).cast("string"),
+              lit(" — it would silently clamp to the top level and " +
+                "fabricate a large component; clean or impute upstream"))))
             .when(hi === lo, lit(0.0))
             .otherwise(greatest(lit(0.0), least(lit(255.0),
               floor((x - lo) * lit(256.0) / (hi - lo)))))
@@ -66,7 +73,10 @@ object Quantize {
   /** Dequantized reconstruction: each level maps back to its cell
     * midpoint `lo + (level + 128 + 0.5) * (hi - lo) / 256`, bounding
     * per-element error by half a cell width. Output `recon` is
-    * array<double>. */
+    * array<double>. The same loud contracts as [[int8Encode]]: codes
+    * longer than the stats arrays and null code elements raise (a
+    * silently-null recon element would null the row's norm downstream
+    * and sink it to the bottom of every ranking with no error). */
   def int8Decode(df: DataFrame, idCol: String, codesCol: String,
       stats: DataFrame): DataFrame = {
     require(stats.columns.toSeq == Seq("los", "his"),
@@ -75,7 +85,15 @@ object Quantize {
       .select(col(idCol), transform(col(codesCol), (c, i) => {
         val lo = try_element_at(col("los"), i + 1)
         val hi = try_element_at(col("his"), i + 1)
-        lo + (c.cast("double") + lit(128.5)) * (hi - lo) / lit(256.0)
+        when(lo.isNull, raise_error(concat(
+            lit("int8Decode: code dimension "), (i + 1).cast("string"),
+            lit(" exceeds the stats arrays — decode with the stats the " +
+              "codes were encoded with"))))
+          .when(c.isNull, raise_error(lit(
+            "int8Decode: null code element — the codes table is " +
+              "corrupted (int8Encode never emits null elements)")))
+          .otherwise(
+            lo + (c.cast("double") + lit(128.5)) * (hi - lo) / lit(256.0))
       }).as("recon"))
   }
 
@@ -84,9 +102,10 @@ object Quantize {
     * [[Similarity.planeVectors]] for the deterministic seeded set — the
     * Johnson–Lindenstrauss-style cheap projection, and the same plane
     * family the LSH bucketer signs). Double accumulation in index order
-    * per plane; null/short vectors null-propagate per plane (a short
-    * vector zips to a short product array — its projection sums only the
-    * overlapping prefix; gate upstream if that matters). */
+    * per plane. Null vectors AND vectors whose length differs from the
+    * planes' dimensionality yield a NULL projection (zip_with pads the
+    * shorter side with nulls and the in-order sum carries them) — gate
+    * or pad to the plane dimension upstream. */
   def randomProject(df: DataFrame, vecCol: String,
       planes: Array[Array[Double]], out: String = "proj"): DataFrame = {
     require(planes.nonEmpty, "randomProject: need at least one plane")
@@ -113,21 +132,15 @@ object Quantize {
       k: Int): DataFrame = {
     require(k >= 1, s"int8TopK: k must be >= 1, got $k")
     import Similarity.dotHof
-    // norms precomputed per side (n + m evaluations, not n × m)
+    // norms precomputed per side (n + m evaluations, not n × m); the
+    // scoring/ranking shape is Similarity.broadcastTopK — shared with
+    // cosineTopK, so recallAtK comparability is structural
     val c = int8Decode(codes, codesIdCol, "codes", stats)
       .select(col(codesIdCol).as("corpus_id"), col("recon").as("cv"))
       .withColumn("cn", sqrt(dotHof(col("cv"), col("cv"))))
     val q = queries.select(col(idCol).as("query_id"),
         transform(col(vecCol), x => x.cast("double")).as("qv"))
       .withColumn("qn", sqrt(dotHof(col("qv"), col("qv"))))
-    val scored = broadcast(q).crossJoin(c)
-      .filter(col("query_id") =!= col("corpus_id"))
-      .select(col("query_id"), col("corpus_id"),
-        round(dotHof(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
-          .as("score"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(desc("score"), asc("corpus_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    Similarity.broadcastTopK(q, c, dotHof, k)
   }
 }

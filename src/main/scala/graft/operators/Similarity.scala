@@ -47,10 +47,22 @@ object Similarity {
       norm(col(vecCol)).as("qn"))
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
       norm(col(vecCol)).as("cn"))
+    broadcastTopK(q, c, dot, k)
+  }
+
+  /** THE broadcast brute-force ranking shape — the single definition
+    * [[cosineTopK]] and [[graft.operators.Quantize.int8TopK]] share, so
+    * their scores/ranks stay recallAtK-comparable by construction
+    * (round-6 scores, self-pairs excluded, corpus-id tiebreak). Inputs
+    * are pre-normed sides `(query_id, qv, qn)` / `(corpus_id, cv, cn)`;
+    * `dotFn` is the dot for the sides' element types ([[dot]] for float
+    * arrays, [[dotHof]] for double). */
+  private[operators] def broadcastTopK(q: DataFrame, c: DataFrame,
+      dotFn: (Column, Column) => Column, k: Int): DataFrame = {
     val scored = broadcast(q).crossJoin(c)
       .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
-        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+        round(dotFn(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
           .as("score"))
     val w = Window.partitionBy("query_id")
       .orderBy(desc("score"), asc("corpus_id"))

@@ -837,6 +837,32 @@ class CorpusOpsSpec extends TestBase {
       s"expected the ragged-vector guard, got: ${e.getMessage}")
   }
 
+  test("int8 guards: null vector elements fail loudly on encode; codes " +
+    "longer than the stats fail loudly on decode; null vectors pass") {
+    import graft.operators.Quantize
+    val train = vecs(1L -> Seq(0.0f, 0.0f), 2L -> Seq(1.0f, 1.0f))
+    val stats = Quantize.int8Stats(train, "vec")
+    // least/greatest skip nulls, so without the guard a null element
+    // would silently clamp to the TOP level (code 127)
+    val withNullElem = Seq((9L, Seq[java.lang.Float](0.5f, null)))
+      .toDF("id", "vec")
+    val e1 = intercept[Exception] {
+      Quantize.int8Encode(withNullElem, "id", "vec", stats).collect()
+    }
+    assert(e1.getMessage.contains("null element at dimension 2"),
+      s"expected the null-element guard, got: ${e1.getMessage}")
+    // whole-null vectors null-propagate instead
+    val nullVec = Seq((9L, null: Seq[java.lang.Float])).toDF("id", "vec")
+    assert(Quantize.int8Encode(nullVec, "id", "vec", stats)
+      .filter(col("codes").isNull).count() == 1L)
+    val longCodes = Seq((9L, Seq(0, 0, 0))).toDF("id", "codes")
+    val e2 = intercept[Exception] {
+      Quantize.int8Decode(longCodes, "id", "codes", stats).collect()
+    }
+    assert(e2.getMessage.contains("exceeds the stats arrays"),
+      s"expected the decode ragged guard, got: ${e2.getMessage}")
+  }
+
   test("int8TopK: compressed-corpus search recovers the exact float " +
     "ranking on well-separated vectors; k guard") {
     import graft.operators.{Quantize, Similarity}
