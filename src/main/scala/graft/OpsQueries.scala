@@ -1486,6 +1486,33 @@ object OpsQueries {
              |SELECT query_id, corpus_id, score, rnk FROM r
              |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)),
 
+    // ----- X5 temperature mixture ------------------------------------------
+    // The mT5 sampling rule: keep probability ∝ n_source^(α-1), scaled
+    // to a document budget — flattens head-source dominance. α = 0.5
+    // routes through IEEE-exact sqrt and the Z fold is sorted-source
+    // ordered, so the realized per-source rates are bit-identical in
+    // both engines.
+    "q94_temperature_mixture" -> Entry(
+      (s, dir) => Sampling.temperatureMixture(
+          Queries.t(s, dir, "documents").select(col("doc_id"),
+            col("source")),
+          col("doc_id"), "source", targetDocs = 300, alpha = 0.5,
+          salt = "tmix")
+        .orderBy("doc_id"),
+      Some("""WITH c AS (SELECT source, count(*) AS n FROM documents
+             |  GROUP BY source),
+             |z AS (SELECT list_sum(list(sqrt(n) ORDER BY source)) AS z
+             |  FROM c),
+             |r AS (SELECT source, CAST(LEAST(10000.0,
+             |    round(300 * 10000.0 * sqrt(n) / (z.z * n))) AS BIGINT)
+             |  AS bp FROM c, z)
+             |SELECT d.doc_id, d.source FROM documents d
+             |JOIN r ON d.source = r.source
+             |WHERE CAST(('0x' || substr(md5('tmix|' ||
+             |    CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 10000
+             |  < GREATEST(0, LEAST(10000, r.bp))
+             |ORDER BY d.doc_id""".stripMargin)),
+
     // Partition-parallel decode pipeline (deterministic stubbed codec).
     // The stub's outputs are pure byte arithmetic over encode(text), so the
     // oracle replays them in SQL: byte i of the payload is read out of the

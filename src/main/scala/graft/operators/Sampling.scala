@@ -190,4 +190,50 @@ object Sampling {
         .withColumn("source_tag", lit(tag))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
+
+  /** Temperature-controlled mixture rebalancing — the mT5/multilingual
+    * sampling rule: a document from source s is kept with probability
+    * proportional to n_s^(α-1), scaled so the whole mixture lands on
+    * `targetDocs` in expectation. α = 1 keeps natural proportions;
+    * α → 0 flattens toward per-source-uniform — the standard lever
+    * against head-language/head-domain dominance in training mixes.
+    *
+    * rate_bp(s) = min(10⁴, round(targetDocs · 10⁴ · w_s / (Z · n_s)))
+    * with w_s = n_s^α and Z = Σ w_s. Rates derive from ONE count
+    * aggregation; Z folds over the per-source weights in SORTED source
+    * order (order-independent AND engine-bit-identical — the
+    * labelCentroids convention), and the tiny rate table broadcast-joins
+    * back. Two corpus scans total (count + filtered), like
+    * [[mixtureByBudget]]; substitute persisted stats for the counting
+    * scan where available.
+    *
+    * α = 0.5 (the common default) routes through IEEE-exact `sqrt`, so
+    * mixtures are cross-engine reproducible; other α go through `pow`,
+    * which carries ~1-ulp engine variance — fine in production, not
+    * oracle-exact. Null-source docs match no rate row and are dropped
+    * (consistent with [[weighted]]'s null-means-never-keep contract).
+    */
+  def temperatureMixture(df: DataFrame, key: Column, sourceCol: String,
+      targetDocs: Long, alpha: Double = 0.5, salt: String = "mix"):
+      DataFrame = {
+    require(targetDocs > 0, s"targetDocs must be positive: $targetDocs")
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")
+    Seq("__src", "__bp").foreach(c => require(!df.columns.contains(c),
+      s"temperatureMixture: df already has a '$c' column; rename it"))
+    val wCol = if (alpha == 0.5) sqrt(col("__n"))
+      else if (alpha == 1.0) col("__n").cast("double")
+      else pow(col("__n"), lit(alpha))
+    val weights = df.groupBy(col(sourceCol).as("__src"))
+      .agg(count(lit(1)).as("__n")).withColumn("__w", wCol)
+    val z = weights.agg(aggregate(
+      sort_array(collect_list(struct(col("__src"), col("__w")))),
+      lit(0.0), (acc, x) => acc + x.getField("__w")).as("__z"))
+    val rates = weights.crossJoin(broadcast(z))
+      .select(col("__src"),
+        least(lit(10000.0), round(lit(targetDocs) * lit(10000.0)
+          * col("__w") / (col("__z") * col("__n")))).cast("long")
+          .as("__bp"))
+    val joined = df.join(broadcast(rates), df(sourceCol) === col("__src"))
+    weighted(joined, key, col("__bp"), salt).drop("__src", "__bp")
+  }
 }

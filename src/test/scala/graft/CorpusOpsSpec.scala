@@ -792,6 +792,43 @@ class CorpusOpsSpec extends TestBase {
     }
   }
 
+  // ---------- temperature mixture ------------------------------------------
+
+  test("temperatureMixture: α=1 reduces to the uniform natural-proportion " +
+    "rate; α=0.5 rebalances toward small sources; null source dropped") {
+    val df = (0L until 1000L).map(i =>
+      (i, if (i < 100) "small" else "big")).toDF("doc_id", "source")
+    // α = 1: every source keeps at the same T/N rate — identical to one
+    // global bernoulli at round(10000·200/1000) = 2000 bp
+    val nat = Sampling.temperatureMixture(df, col("doc_id"), "source",
+      targetDocs = 200, alpha = 1.0, salt = "t").select("doc_id")
+      .as[Long].collect().toSet
+    val uni = Sampling.bernoulli(df, col("doc_id"), bp = 2000, salt = "t")
+      .select("doc_id").as[Long].collect().toSet
+    assert(nat == uni, "α=1 must keep natural proportions")
+    // α = 0.5: w=(10,30), Z=40 → small rate 200·10/(40·100) = 50%,
+    // big 200·30/(40·900) = 16.7% — deterministic draws land near these
+    val bySrc = Sampling.temperatureMixture(df, col("doc_id"), "source",
+        targetDocs = 200, alpha = 0.5, salt = "t")
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySrc("small") > 30 && bySrc("small") < 70, s"$bySrc")
+    assert(bySrc("big") > 110 && bySrc("big") < 190, s"$bySrc")
+    // flattening: small's kept share rises far above its natural 10%
+    assert(bySrc("small").toDouble / (bySrc("small") + bySrc("big")) > 0.2)
+    val withNull = df.union(
+      Seq((5000L, null: String)).toDF("doc_id", "source"))
+    assert(!Sampling.temperatureMixture(withNull, col("doc_id"), "source",
+        100, 0.5, "t")
+      .select("doc_id").as[Long].collect().contains(5000L))
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMixture(df, col("doc_id"), "source", 100, 1.5)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMixture(df.withColumn("__bp", lit(1)),
+        col("doc_id"), "source", 100)
+    }
+  }
+
   // ---------- embedding compression (int8 + random projection) ------------
 
   private def vecs(rows: (Long, Seq[Float])*) =

@@ -337,6 +337,21 @@ class ScaleSpec extends TestBase {
       s"corpus side must stream, not shuffle:\n$p")
   }
 
+  test("temperature mixture: source-keyed count exchanges only; rates " +
+    "broadcast back to an unshuffled corpus filter") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"))
+    val p = plan(graft.operators.Sampling.temperatureMixture(
+      d, col("doc_id"), "source", targetDocs = 100))
+    // the weights subtree feeds both Z and the rates (≤2 with reuse);
+    // the corpus filter side itself never hash-shuffles
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n <= 2, s"expected at most the count aggregations, got $n:\n$p")
+    assert(p.contains("BroadcastExchange"), s"rates must broadcast:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(doc_id"),
+      s"corpus side must stream, not shuffle:\n$p")
+  }
+
   test("q89 range join: equi-join on the bucket key, no nested loop") {
     val p = plan(SparkEntry.queries("q89_range_join")(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin") &&
