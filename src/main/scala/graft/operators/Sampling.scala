@@ -210,8 +210,13 @@ object Sampling {
     * α = 0.5 (the common default) routes through IEEE-exact `sqrt`, so
     * mixtures are cross-engine reproducible; other α go through `pow`,
     * which carries ~1-ulp engine variance — fine in production, not
-    * oracle-exact. Null-source docs match no rate row and are dropped
-    * (consistent with [[weighted]]'s null-means-never-keep contract).
+    * oracle-exact. Null-source docs are excluded from BOTH the output
+    * and the rate derivation (consistent with [[weighted]]'s
+    * null-means-never-keep contract) — counting them would silently
+    * deflate every real source's rate with weight from rows that can
+    * never be kept, and a null group in the sorted Z fold would break
+    * bit-identity (Spark sorts null structs first, SQL `ORDER BY`
+    * defaults to nulls last).
     */
   def temperatureMixture(df: DataFrame, key: Column, sourceCol: String,
       targetDocs: Long, alpha: Double = 0.5, salt: String = "mix"):
@@ -223,7 +228,8 @@ object Sampling {
     val wCol = if (alpha == 0.5) sqrt(col("__n"))
       else if (alpha == 1.0) col("__n").cast("double")
       else pow(col("__n"), lit(alpha))
-    val weights = df.groupBy(col(sourceCol).as("__src"))
+    val weights = df.filter(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol).as("__src"))
       .agg(count(lit(1)).as("__n")).withColumn("__w", wCol)
     val z = weights.agg(aggregate(
       sort_array(collect_list(struct(col("__src"), col("__w")))),

@@ -820,6 +820,14 @@ class CorpusOpsSpec extends TestBase {
     assert(!Sampling.temperatureMixture(withNull, col("doc_id"), "source",
         100, 0.5, "t")
       .select("doc_id").as[Long].collect().contains(5000L))
+    // null-source rows must be excluded from the RATE DERIVATION too —
+    // counting them would deflate every real source's rate with weight
+    // from rows that can never be kept
+    val natWithNull = Sampling.temperatureMixture(withNull, col("doc_id"),
+        "source", targetDocs = 200, alpha = 1.0, salt = "t")
+      .select("doc_id").as[Long].collect().toSet
+    assert(natWithNull == uni,
+      "a null-source row must not shift any real source's keep rate")
     intercept[IllegalArgumentException] {
       Sampling.temperatureMixture(df, col("doc_id"), "source", 100, 1.5)
     }
