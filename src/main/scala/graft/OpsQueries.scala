@@ -1513,6 +1513,69 @@ object OpsQueries {
              |  < GREATEST(0, LEAST(10000, r.bp))
              |ORDER BY d.doc_id""".stripMargin)),
 
+    // ----- X3 int8 shortlist + exact re-rank -------------------------------
+    // The two-stage serving shape at the int8 compression point: codes
+    // produce the shortlist (q93's plan), the wide float corpus is
+    // touched only for |Q|·shortlist candidate pairs. Oracle = q93's
+    // CTEs cut at rnk <= 20, finished with the exact-cosine re-rank
+    // tail over float vectors.
+    "q95_int8_rerank" -> Entry(
+      (s, dir) => {
+        val emb = Queries.t(s, dir, "embeddings")
+        val stats = Quantize.int8Stats(emb, "embedding")
+        val codes = Quantize.int8Encode(emb, "vec_id", "embedding", stats)
+        Quantize.int8TopKReranked(emb.filter(col("vec_id") < 5), "vec_id",
+            "embedding", codes, "vec_id", stats, corpus = emb, k = 10,
+            shortlist = 20)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy("query_id", "rnk")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |x AS (SELECT unnest(v) AS val, generate_subscripts(v, 1) AS i
+             |  FROM e),
+             |st AS (SELECT i, min(val) AS lo, max(val) AS hi FROM x
+             |  GROUP BY i),
+             |a AS (SELECT list(lo ORDER BY i) AS los,
+             |  list(hi ORDER BY i) AS his FROM st),
+             |cd AS (SELECT vec_id, [CAST(CASE WHEN a.his[i] = a.los[i]
+             |    THEN 0.0 ELSE greatest(0.0, least(255.0,
+             |      floor((v[i] - a.los[i]) * 256.0
+             |        / (a.his[i] - a.los[i])))) END - 128.0 AS INT)
+             |  FOR i IN generate_series(1, len(v))] AS c FROM e, a),
+             |rec AS (SELECT vec_id AS corpus_id,
+             |  [a.los[i] + (c[i] + 128.5) * (a.his[i] - a.los[i]) / 256.0
+             |    FOR i IN generate_series(1, len(c))] AS cv FROM cd, a),
+             |q AS (SELECT vec_id AS query_id,
+             |  CAST(embedding AS DOUBLE[]) AS qv
+             |  FROM embeddings WHERE vec_id < 5),
+             |s AS (SELECT query_id, corpus_id,
+             |  round(list_sum([qv[i] * cv[i]
+             |      FOR i IN generate_series(1, len(qv))]) /
+             |    (sqrt(list_sum([qv[i] * qv[i]
+             |      FOR i IN generate_series(1, len(qv))])) *
+             |     sqrt(list_sum([cv[i] * cv[i]
+             |      FOR i IN generate_series(1, len(cv))]))), 6) AS score
+             |  FROM q, rec WHERE query_id <> corpus_id),
+             |r AS (SELECT query_id, corpus_id,
+             |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             |    ORDER BY score DESC, corpus_id) AS BIGINT) AS rnk FROM s),
+             |cand AS (SELECT query_id, corpus_id FROM r WHERE rnk <= 20),
+             |rr AS (SELECT cand.query_id, cand.corpus_id,
+             |  round(list_sum([qe.v[i] * ce.v[i]
+             |      FOR i IN generate_series(1, len(qe.v))]) /
+             |    (sqrt(list_sum([qe.v[i] * qe.v[i]
+             |      FOR i IN generate_series(1, len(qe.v))])) *
+             |     sqrt(list_sum([ce.v[i] * ce.v[i]
+             |      FOR i IN generate_series(1, len(ce.v))]))), 6) AS score
+             |  FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+             |  JOIN e ce ON ce.vec_id = cand.corpus_id),
+             |r2 AS (SELECT query_id, corpus_id, score,
+             |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             |    ORDER BY score DESC, corpus_id) AS BIGINT) AS rnk FROM rr)
+             |SELECT query_id, corpus_id, score, rnk FROM r2
+             |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)),
+
     // Partition-parallel decode pipeline (deterministic stubbed codec).
     // The stub's outputs are pure byte arithmetic over encode(text), so the
     // oracle replays them in SQL: byte i of the payload is read out of the

@@ -143,4 +143,20 @@ object Quantize {
       .withColumn("qn", sqrt(dotHof(col("qv"), col("qv"))))
     Similarity.broadcastTopK(q, c, dotHof, k)
   }
+
+  /** Two-stage serving at the int8 compression point — the PQ-rerank
+    * architecture ([[Similarity.pqTopKReranked]]) with codes as the
+    * cheap stage: [[int8TopK]] shortlists from the 4×-smaller corpus,
+    * then only the |Q|·shortlist candidate pairs are re-scored exactly
+    * against the float vectors. Wide floats are touched for candidates
+    * only; ranks/scores use the exact path's shape. */
+  def int8TopKReranked(queries: DataFrame, idCol: String, vecCol: String,
+      codes: DataFrame, codesIdCol: String, stats: DataFrame,
+      corpus: DataFrame, k: Int, shortlist: Int = 50): DataFrame = {
+    require(shortlist >= k, "shortlist must be >= k")
+    Similarity.exactRerank(
+      int8TopK(queries, idCol, vecCol, codes, codesIdCol, stats,
+        shortlist).select(col("query_id"), col("corpus_id")),
+      queries, corpus, idCol, vecCol, k)
+  }
 }

@@ -631,7 +631,7 @@ object Similarity {
     * (query_id, corpus_id) pairs with exact cosine on raw vectors and
     * re-rank. The candidate set (query-sized) broadcasts; the corpus is
     * scanned once for the vector fetch, never shuffled. */
-  private def exactRerank(short: DataFrame, queries: DataFrame,
+  private[operators] def exactRerank(short: DataFrame, queries: DataFrame,
       corpus: DataFrame, idCol: String, vecCol: String, k: Int)
       : DataFrame = {
     val qv = queries.select(col(idCol).as("query_id"),

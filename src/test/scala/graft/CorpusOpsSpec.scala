@@ -936,6 +936,32 @@ class CorpusOpsSpec extends TestBase {
     }
   }
 
+  test("int8TopKReranked: with a covering shortlist the exact re-rank " +
+    "recovers the float top-k exactly; shortlist guard") {
+    import graft.operators.{Quantize, Similarity}
+    val df = vecs((0 until 20).map { i =>
+      i.toLong -> (0 until 8).map(d =>
+        (math.sin(i * 1.7 + d) + 0.1 * d).toFloat).toSeq
+    }: _*)
+    val stats = Quantize.int8Stats(df, "vec")
+    val codes = Quantize.int8Encode(df, "id", "vec", stats)
+    val queries = df.filter(col("id") < 3)
+    // shortlist = full corpus ⇒ the re-rank IS the exact ranking
+    val rr = Quantize.int8TopKReranked(queries, "id", "vec", codes, "id",
+        stats, corpus = df, k = 5, shortlist = 19)
+      .select("query_id", "corpus_id", "score", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val exact = Similarity.cosineTopK(queries, df, "id", "vec", k = 5)
+      .select("query_id", "corpus_id", "score", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(rr == exact,
+      s"covering re-rank must equal the exact path: ${rr diff exact}")
+    intercept[IllegalArgumentException] {
+      Quantize.int8TopKReranked(queries, "id", "vec", codes, "id", stats,
+        df, k = 5, shortlist = 3)
+    }
+  }
+
   test("randomProject: in-order double dots of the seeded plane family; " +
     "plane-shape guards") {
     import graft.operators.{Quantize, Similarity}
