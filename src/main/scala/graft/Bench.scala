@@ -31,6 +31,18 @@ object Bench {
     Option(new java.io.File(sfDir).listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".parquet"))
       .foreach(f => spark.read.parquet(f.toString).schema)
+    // warm-up: run a scan-heavy agg and a broadcast join from the catalog
+    // UNTIMED through the same noop sink, so one-time Janino codegen /
+    // JIT / parquet-reader classloading lands outside the measured loop.
+    // Cold-vs-warm on this box is 3-10x on the first heavy query
+    // (BASELINE.md "contention vs regression"); without this the cost
+    // lands on whichever query sorts first and reads as a regression.
+    Seq("q05_agg_pricing", "q09_join_broadcast").foreach { w =>
+      SparkEntry.queries.get(w).foreach { fn =>
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
+    }
 
     val loadStart = readLoadAvg()
     var errors = List.empty[(String, String)]

@@ -1387,41 +1387,46 @@ object OpsQueries {
     // assignment: the same IEEE sub/mul/div tree in the same order on
     // both engines, no rounding-tie ambiguity. Stats collapse to one
     // broadcast row; the corpus never re-shuffles (ScaleSpec-pinned).
+    // Output is unpivoted to fixed-width (vec_id, pos, code) rows: the
+    // driver's differ cannot canonicalize array cells (the q74 lesson),
+    // and the oracle gets SHORTER (unnest instead of a comprehension).
     "q91_int8_quant" -> Entry(
       (s, dir) => {
         val emb = Queries.t(s, dir, "embeddings")
         Quantize.int8Encode(emb, "vec_id", "embedding",
             Quantize.int8Stats(emb, "embedding"))
-          .orderBy("vec_id")
+          .select(col("vec_id"), posexplode(col("codes")).as(Seq("pos", "code")))
+          .orderBy("vec_id", "pos")
       },
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
              |  FROM embeddings),
-             |x AS (SELECT unnest(v) AS val, generate_subscripts(v, 1) AS i
-             |  FROM e),
+             |x AS (SELECT vec_id, unnest(v) AS val,
+             |  generate_subscripts(v, 1) AS i FROM e),
              |st AS (SELECT i, min(val) AS lo, max(val) AS hi FROM x
-             |  GROUP BY i),
-             |a AS (SELECT list(lo ORDER BY i) AS los,
-             |  list(hi ORDER BY i) AS his FROM st)
-             |SELECT vec_id, [CAST(CASE WHEN a.his[i] = a.los[i] THEN 0.0
-             |    ELSE greatest(0.0, least(255.0, floor((v[i] - a.los[i])
-             |      * 256.0 / (a.his[i] - a.los[i])))) END - 128.0 AS INT)
-             |  FOR i IN generate_series(1, len(v))] AS codes
-             |FROM e, a ORDER BY vec_id""".stripMargin)),
+             |  GROUP BY i)
+             |SELECT x.vec_id, CAST(x.i - 1 AS INT) AS pos,
+             |  CAST(CASE WHEN st.hi = st.lo THEN 0.0
+             |    ELSE greatest(0.0, least(255.0, floor((x.val - st.lo)
+             |      * 256.0 / (st.hi - st.lo)))) END - 128.0 AS INT) AS code
+             |FROM x JOIN st USING (i) ORDER BY vec_id, pos""".stripMargin)),
 
     // ----- X3 random-projection dimensionality reduction -------------------
     // Johnson–Lindenstrauss-style cheap projection to 8 dims using the
     // deterministic seeded plane family the LSH bucketer signs; the
     // oracle carries the SAME plane constants as double literals
     // (shortest-repr printing round-trips exactly) and sums products in
-    // index order.
+    // index order. Unpivoted to (vec_id, plane, value) rows for the
+    // driver's differ (see q91).
     "q92_random_projection" -> Entry(
       (s, dir) => {
         val planes = Similarity.planeVectors(8, 64)
         Quantize.randomProject(
             Queries.t(s, dir, "embeddings"), "embedding", planes)
           .select(col("vec_id"),
-            transform(col("proj"), x => round(x, 6)).as("proj"))
-          .orderBy("vec_id")
+            posexplode(col("proj")).as(Seq("plane", "value")))
+          .select(col("vec_id"), col("plane"),
+            round(col("value"), 6).as("value"))
+          .orderBy("vec_id", "plane")
       },
       Some {
         val planes = Similarity.planeVectors(8, 64)
@@ -1430,10 +1435,11 @@ object OpsQueries {
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
            |  FROM embeddings),
            |p AS (SELECT $lits AS planes)
-           |SELECT vec_id, [round(list_sum([v[i] * planes[j][i]
-           |    FOR i IN generate_series(1, len(v))]), 6)
-           |  FOR j IN generate_series(1, ${planes.length})] AS proj
-           |FROM e, p ORDER BY vec_id""".stripMargin
+           |SELECT vec_id, CAST(j - 1 AS INT) AS plane,
+           |  round(list_sum([v[i] * planes[j][i]
+           |    FOR i IN generate_series(1, len(v))]), 6) AS value
+           |FROM e, p, generate_series(1, ${planes.length}) AS g(j)
+           |ORDER BY vec_id, plane""".stripMargin
       }),
 
     // ----- X3 compressed-corpus serving ------------------------------------

@@ -4,6 +4,21 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Column names whose type the driver's pandas differ cannot
+    * canonicalize (it sorts rows by every column; ndarray/dict cells
+    * raise `unhashable type`). Catalog entries must be fixed-width —
+    * unpivot arrays with `posexplode` (the q74/q91/q92 lesson). Shared
+    * with the spec that sweeps every catalog entry. */
+  private[graft] def differIncompatibleColumns(
+      schema: org.apache.spark.sql.types.StructType): Seq[String] =
+    schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]
+        || f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType]
+        || f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] =>
+        f.name
+    }.toSeq
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -17,9 +32,15 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        val bad = differIncompatibleColumns(df.schema)
+        if (bad.nonEmpty) throw new IllegalStateException(
+          s"catalog entry '$name' outputs array/map/struct column(s) " +
+            s"${bad.mkString(", ")} — the driver's differ cannot sort " +
+            "them; unpivot to fixed-width rows (posexplode) instead")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -22,11 +22,22 @@ object Quantize {
     * `(los: array<double>, his: array<double>)` ordered by dimension.
     * Null/empty vectors contribute no elements; ragged lengths are fine
     * here (short vectors simply have no say in the tail dimensions) but
-    * will fail loudly in [[int8Encode]]. */
+    * will fail loudly in [[int8Encode]]. A dimension where EVERY element
+    * is null raises here by name (min/max skip nulls, so its stats would
+    * be null and [[int8Encode]]'s out-of-bounds guard would blame the
+    * wrong thing — "exceeds the stats arrays" for an in-bounds
+    * dimension). */
   def int8Stats(df: DataFrame, vecCol: String): DataFrame =
     df.select(posexplode(col(vecCol).cast("array<double>"))
         .as(Seq("pos", "v")))
       .groupBy("pos").agg(min("v").as("lo"), max("v").as("hi"))
+      .select(col("pos"),
+        when(col("lo").isNull, raise_error(concat(
+          lit("int8Stats: dimension "), col("pos").cast("string"),
+          lit(" has no non-null values in the corpus — its range is " +
+            "undefined; clean or impute upstream")))).otherwise(col("lo"))
+          .as("lo"),
+        col("hi"))
       .agg(sort_array(collect_list(struct(col("pos"), col("lo"),
         col("hi")))).as("s"))
       .select(transform(col("s"), x => x.getField("lo")).as("los"),
@@ -124,8 +135,14 @@ object Quantize {
     * quantization recall cost directly against the exact float path.
     *
     * At production scale compute [[int8Stats]] ONCE and persist it with
-    * the codes (this signature takes both precomputed) — re-deriving
-    * stats per serving call would rescan the corpus.
+    * the codes (this signature takes both precomputed; [[Int8Index]]
+    * packages exactly that) — re-deriving stats per serving call would
+    * rescan the corpus.
+    *
+    * Contract symmetry: corpus-side null codes / length drift raise in
+    * [[int8Decode]]; query-side null vectors, null elements, and length
+    * drift vs the stats dimensionality raise here — every silent
+    * null-score sink-to-bottom path is closed on both sides.
     */
   def int8TopK(queries: DataFrame, idCol: String, vecCol: String,
       codes: DataFrame, codesIdCol: String, stats: DataFrame,
@@ -138,8 +155,28 @@ object Quantize {
     val c = int8Decode(codes, codesIdCol, "codes", stats)
       .select(col(codesIdCol).as("corpus_id"), col("recon").as("cv"))
       .withColumn("cn", sqrt(dotHof(col("cv"), col("cv"))))
-    val q = queries.select(col(idCol).as("query_id"),
-        transform(col(vecCol), x => x.cast("double")).as("qv"))
+    // the query side gets the same loud contract the corpus side has: a
+    // null element or a length mismatch vs the stats dimensionality
+    // would otherwise null the score via zip_with padding and silently
+    // sink those pairs to the bottom of every ranking. (A whole-null
+    // query vector also raises — serving a null query is a caller bug,
+    // not a rankable input.)
+    val q = queries.crossJoin(broadcast(stats))
+      .select(col(idCol).as("query_id"),
+        when(col(vecCol).isNull, raise_error(lit(
+          "int8TopK: null query vector — it has no defined ranking; " +
+            "filter null queries upstream")))
+        .when(size(col(vecCol)) =!= size(col("los")), raise_error(concat(
+          lit("int8TopK: query vector length "),
+          size(col(vecCol)).cast("string"),
+          lit(" != stats dimensionality "),
+          size(col("los")).cast("string"),
+          lit(" — scores would silently null out via zip_with padding"))))
+        .otherwise(transform(col(vecCol), x =>
+          when(x.isNull, raise_error(lit(
+            "int8TopK: null element in a query vector — the score " +
+              "would silently null out; clean or impute upstream")))
+          .otherwise(x.cast("double")))).as("qv"))
       .withColumn("qn", sqrt(dotHof(col("qv"), col("qv"))))
     Similarity.broadcastTopK(q, c, dotHof, k)
   }

@@ -26,10 +26,18 @@ def load_spark(outdir, name):
 
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
-    # arrays -> tuples so sort/compare works
+    # REFUSE array/map/struct cells instead of papering over them: the
+    # driver's differ crashes on them ('unhashable type: numpy.ndarray'),
+    # so a local pass here would not mean a pass at the driver. Entries
+    # must be unpivoted to fixed-width rows (posexplode) — the
+    # q74/q91/q92 lesson.
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].map(lambda v: tuple(v.tolist()) if isinstance(v, np.ndarray) else v)
+            bad = df[c].map(lambda v: isinstance(v, (np.ndarray, list, tuple, dict))).any()
+            if bad:
+                raise RuntimeError(
+                    f"column '{c}' holds array/map cells — the driver differ cannot "
+                    "sort arrays; unpivot the entry to fixed-width rows (posexplode)")
     df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
@@ -46,8 +54,6 @@ def cmp_cell(a, b):
             return abs(fa - fb) <= 1e-6 * max(1.0, abs(fa), abs(fb))
         except (TypeError, ValueError):
             return False
-    if isinstance(a, tuple) and isinstance(b, tuple):
-        return len(a) == len(b) and all(cmp_cell(x, y) for x, y in zip(a, b))
     return a == b
 
 def main():
