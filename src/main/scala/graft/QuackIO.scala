@@ -546,11 +546,20 @@ object QuackIO {
       partitionBy: Seq[String] = Nil): Unit = {
     val fmt = resolveFormat(path, opts)
     // the footer-rewrite pass below walks the output with java.nio —
-    // driver-local paths only. Refuse a remote URI BEFORE the data
-    // write, not after it succeeded (a post-write throw would push a
-    // retry loop into rewriting a complete, valid output).
+    // driver-local paths only. 'file:' URIs ARE driver-local (Spark's
+    // default fs on local mode renders paths that way), so strip that
+    // scheme for the nio pass; every other scheme is refused BEFORE the
+    // data write, not after it succeeded (a post-write throw would push
+    // a retry loop into rewriting a complete, valid output).
+    // lazy: only the kvMetadata footer pass needs the nio form, and a
+    // malformed file: URI must not break a plain data write that would
+    // never walk the output
+    lazy val localPath =
+      if (path.startsWith("file:"))
+        java.nio.file.Paths.get(java.net.URI.create(path)).toString
+      else path
     if (fmt == "parquet" && opts.kvMetadata.nonEmpty)
-      require(!path.matches("^[a-zA-Z][a-zA-Z0-9+.\\-]*:.*"),
+      require(!localPath.matches("^[a-zA-Z][a-zA-Z0-9+.\\-]*:.*"),
         s"writeTableDir(kvMetadata=) rewrites part footers via local " +
           s"I/O and supports only driver-local paths, got '$path'; " +
           "use a sidecar metadata table for remote outputs, or " +
@@ -567,7 +576,8 @@ object QuackIO {
     // reference (test/runtests.jl:171-173).
     if (fmt == "parquet" && opts.kvMetadata.nonEmpty) {
       import scala.jdk.CollectionConverters._
-      val stream = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      val stream =
+        java.nio.file.Files.walk(java.nio.file.Paths.get(localPath))
       val parts =
         try stream.iterator().asScala
           .filter(p => p.getFileName.toString.startsWith("part-") &&

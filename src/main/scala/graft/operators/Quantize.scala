@@ -139,10 +139,12 @@ object Quantize {
     * packages exactly that) — re-deriving stats per serving call would
     * rescan the corpus.
     *
-    * Contract symmetry: corpus-side null codes / length drift raise in
-    * [[int8Decode]]; query-side null vectors, null elements, and length
-    * drift vs the stats dimensionality raise here — every silent
-    * null-score sink-to-bottom path is closed on both sides.
+    * Contract symmetry: corpus-side null codes / over-length drift
+    * raise in [[int8Decode]]; query-side null vectors and null elements
+    * raise here as a pure projection; cross-side length drift raises
+    * per-pair in [[Similarity.broadcastTopK]]'s score — every silent
+    * null-score sink-to-bottom path is closed without an extra
+    * stats join or exchange.
     */
   def int8TopK(queries: DataFrame, idCol: String, vecCol: String,
       codes: DataFrame, codesIdCol: String, stats: DataFrame,
@@ -155,23 +157,16 @@ object Quantize {
     val c = int8Decode(codes, codesIdCol, "codes", stats)
       .select(col(codesIdCol).as("corpus_id"), col("recon").as("cv"))
       .withColumn("cn", sqrt(dotHof(col("cv"), col("cv"))))
-    // the query side gets the same loud contract the corpus side has: a
-    // null element or a length mismatch vs the stats dimensionality
-    // would otherwise null the score via zip_with padding and silently
-    // sink those pairs to the bottom of every ranking. (A whole-null
-    // query vector also raises — serving a null query is a caller bug,
-    // not a rankable input.)
-    val q = queries.crossJoin(broadcast(stats))
+    // the query side gets the same loud contract the corpus side has:
+    // null vectors and null elements raise here (a pure projection — no
+    // stats join, no extra exchange); length drift vs the decoded
+    // corpus raises per-pair inside broadcastTopK's score (the decoded
+    // side's length IS the stats dimensionality by construction).
+    val q = queries
       .select(col(idCol).as("query_id"),
         when(col(vecCol).isNull, raise_error(lit(
           "int8TopK: null query vector — it has no defined ranking; " +
             "filter null queries upstream")))
-        .when(size(col(vecCol)) =!= size(col("los")), raise_error(concat(
-          lit("int8TopK: query vector length "),
-          size(col(vecCol)).cast("string"),
-          lit(" != stats dimensionality "),
-          size(col("los")).cast("string"),
-          lit(" — scores would silently null out via zip_with padding"))))
         .otherwise(transform(col(vecCol), x =>
           when(x.isNull, raise_error(lit(
             "int8TopK: null element in a query vector — the score " +

@@ -62,7 +62,19 @@ object Similarity {
     val scored = broadcast(q).crossJoin(c)
       .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
-        round(dotFn(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+        // a length mismatch between the sides would null the dot via
+        // zip_with padding and silently sink the pair to the bottom of
+        // every ranking — raise per-pair instead (two size() reads,
+        // no join). A null vector still null-propagates: the condition
+        // is not-true, so this adds no new failure for null sides.
+        when(size(col("qv")) =!= size(col("cv")), raise_error(concat(
+          lit("topK: ranking sides disagree on vector dimensionality (" +
+            "query "), size(col("qv")).cast("string"), lit(" vs corpus "),
+          size(col("cv")).cast("string"),
+          lit(") — scores would silently null out; pad or filter " +
+            "upstream"))))
+        .otherwise(
+          round(dotFn(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
           .as("score"))
     val w = Window.partitionBy("query_id")
       .orderBy(desc("score"), asc("corpus_id"))

@@ -97,4 +97,20 @@ class AdversarialAndMetadataSpec extends TestBase {
         WriteOptions(format = Some("parquet")))
     }
   }
+
+  test("writeTableDir + kvMetadata accepts a file: URI (driver-local, " +
+    "the scheme Spark's local fs itself renders)") {
+    import scala.jdk.CollectionConverters._
+    val d = s"${tmpDir()}/fileuri"
+    val kv = Map("k" -> "v")
+    QuackIO.writeTableDir(fixture.repartition(2), s"file://$d",
+      WriteOptions(format = Some("parquet"), kvMetadata = kv))
+    val parts = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+      .iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-")).toSeq
+    assert(parts.nonEmpty, s"no part files under $d")
+    parts.foreach(p => assert(ParquetMetadata.read(p.toString) == kv,
+      s"missing KV on $p"))
+    assertSameRows(QuackIO.readParquet(spark, Seq(d)), fixture)
+  }
 }

@@ -477,6 +477,86 @@ class OperatorsSpec extends TestBase {
       queries, "vec_id", "embedding", k = 5, excludeSelf = true)) == live)
   }
 
+  test("persisted Int8Index serves bit-identical results to live " +
+    "int8TopK / int8TopKReranked") {
+    import graft.operators.{Int8Index, Quantize}
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 250 === 0)
+    val dir = s"${tmpDir()}/int8idx"
+    Int8Index.build(emb, "vec_id", "embedding", dir)
+    assert(new java.io.File(s"$dir/codes").exists)
+    assert(new java.io.File(s"$dir/stats").exists)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val fromIndex = rows(Int8Index.query(spark, dir, queries, "vec_id",
+      "embedding", k = 5))
+    val stats = Quantize.int8Stats(emb, "embedding")
+    val codes = Quantize.int8Encode(emb, "vec_id", "embedding", stats)
+    val live = rows(Quantize.int8TopK(queries, "vec_id", "embedding",
+      codes, "vec_id", stats, k = 5))
+    assert(fromIndex == live,
+      "index-served results must be bit-identical to live encoding")
+    val rrIdx = rows(Int8Index.queryReranked(spark, dir, queries,
+      "vec_id", "embedding", emb, k = 5, shortlist = 20))
+    val rrLive = rows(Quantize.int8TopKReranked(queries, "vec_id",
+      "embedding", codes, "vec_id", stats, emb, k = 5, shortlist = 20))
+    assert(rrIdx == rrLive,
+      "index-served re-rank must be bit-identical to the live two-stage")
+  }
+
+  test("Int8Index.append: appended batches serve bit-identical to a " +
+    "same-stats rebuild over the union; short/null vectors abort " +
+    "without corrupting the index") {
+    import graft.operators.{Int8Index, Quantize}
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") % 2 === 1)
+    val queries = emb.filter(col("vec_id") % 250 === 0)
+    val dir = s"${tmpDir()}/int8idx_inc"
+    Int8Index.build(base, "vec_id", "embedding", dir)
+    Int8Index.append(spark, dir, batch, "vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val served = rows(Int8Index.query(spark, dir, queries, "vec_id",
+      "embedding", k = 5))
+    // same stats (derived from base only), live encoding of the UNION —
+    // batch values outside base's trained range clamp to edge levels,
+    // identically on both paths
+    val statsBase = Quantize.int8Stats(base, "embedding")
+    val live = rows(Quantize.int8TopK(queries, "vec_id", "embedding",
+      Quantize.int8Encode(emb, "vec_id", "embedding", statsBase),
+      "vec_id", statsBase, k = 5))
+    assert(served == live,
+      "append-maintained index must serve exactly like live encoding")
+    // appended rows actually participate: at least one odd-id neighbor
+    assert(served.exists(_._2 % 2 == 1),
+      s"no appended (odd-id) vector ever surfaced: $served")
+    // a short vector would encode to short codes whose serving scores
+    // null-pad and silently sink — the append must abort instead
+    val short = Seq((99990L, Seq(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val e1 = intercept[Exception] {
+      Int8Index.append(spark, dir, short, "vec_id", "embedding")
+    }
+    assert(e1.getMessage.contains("index dimensionality"),
+      s"expected the short-vector guard, got: ${e1.getMessage}")
+    // a null vector could never be served — abort too
+    val nul = Seq((99991L, null: Seq[java.lang.Float]))
+      .toDF("vec_id", "embedding")
+    val e2 = intercept[Exception] {
+      Int8Index.append(spark, dir, nul, "vec_id", "embedding")
+    }
+    assert(e2.getMessage.contains("null vector"),
+      s"expected the null-vector guard, got: ${e2.getMessage}")
+    // the aborted appends committed nothing: serving is unchanged
+    assert(rows(Int8Index.query(spark, dir, queries, "vec_id",
+      "embedding", k = 5)) == live)
+  }
+
   test("PqDists nulls out on a vector shorter than m*subDim") {
     val cbs = Similarity.pqCodebooks(m = 4, k = 16, subDim = 16) // needs 64
     val df = Seq((1L, Array.fill(64)(0.5f)), (2L, Array.fill(10)(0.5f)))

@@ -337,6 +337,22 @@ class ScaleSpec extends TestBase {
       s"corpus side must stream, not shuffle:\n$p")
   }
 
+  test("Int8Index serving: precomputed stats remove the live path's " +
+    "stats-agg exchanges — the per-query rank window is the only hash " +
+    "exchange and the codes scan streams") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dir = s"${tmpDir()}/int8idx_scale"
+    graft.operators.Int8Index.build(emb, "vec_id", "embedding", dir)
+    val p = plan(graft.operators.Int8Index.query(spark, dir,
+      emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 5))
+    // live int8TopK pays the stats aggregation (twice without reuse);
+    // served from the index, stats are a 1-row parquet that broadcasts
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n <= 1, s"expected only the per-query rank exchange, got $n:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(corpus_id"),
+      s"codes side must stream, not shuffle:\n$p")
+  }
+
   test("temperature mixture: source-keyed count exchanges only; rates " +
     "broadcast back to an unshuffled corpus filter") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
