@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.operators.{AsOfJoin, Connected, Decontaminate, Dedup, Multimodal, Pipelines, Quantize, RangeJoin, Sampling, Similarity, TextAnalysis, Vocab}
+import graft.operators.{AsOfJoin, Connected, Decontaminate, Dedup, Multimodal, Pipelines, Profiles, Quantize, RangeJoin, Sampling, Similarity, TextAnalysis, Vocab}
 
 /** Catalog entries for the LLM-data-pipeline operators (dedup, similarity
   * search, text analysis, multimodal) over the `documents` / `embeddings`
@@ -2333,6 +2333,148 @@ object OpsQueries {
              |SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
              |    AS fp,
              |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
-             |FROM norm GROUP BY 1 ORDER BY keep_id""".stripMargin))
+             |FROM norm GROUP BY 1 ORDER BY keep_id""".stripMargin)),
+
+    // ----- X5 per-source score normalization -------------------------------
+    // percent_rank within source over (n_chars, doc_id) — the id
+    // tiebreak makes ranks unique (the fixture has 15 tied
+    // (source, n_chars) groups), and (rank-1)/(n-1) is a pure integer
+    // ratio, engine-bit-identical with no rounding needed. NULLS FIRST
+    // is explicit in the oracle: DuckDB defaults ASC to nulls LAST,
+    // Spark to nulls first.
+    "q96_rank_normalize" -> Entry(
+      (s, dir) => {
+        val d = Queries.t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        Sampling.rankNormalize(d, col("source"), col("doc_id"),
+            col("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, source, n_chars,
+             |  percent_rank() OVER (PARTITION BY source
+             |    ORDER BY n_chars ASC NULLS FIRST, doc_id) AS pct
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ----- X5 per-source quality gate --------------------------------------
+    // Keep each source's top quarter BY ITS OWN length distribution —
+    // the per-source-percentile curation gate (a global cutoff would
+    // over-prune short-doc sources and under-prune long-doc ones;
+    // contrast q73's global keepTopQuantile).
+    "q97_per_source_gate" -> Entry(
+      (s, dir) => {
+        val d = Queries.t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        Sampling.perKeyQuantileGate(d, col("source"), col("doc_id"),
+            col("n_chars"), minPct = 0.75)
+          .select(col("doc_id"), col("source"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH r AS (SELECT doc_id, source,
+             |  percent_rank() OVER (PARTITION BY source
+             |    ORDER BY n_chars ASC NULLS FIRST, doc_id) AS p
+             |  FROM documents)
+             |SELECT doc_id, source FROM r WHERE p >= 0.75
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ----- X5 bigram LM perplexity gate ------------------------------------
+    // CCNet-style self-trained perplexity scoring, one order above q76's
+    // unigram: add-0.5-smoothed p(w2|w1). The per-doc fold runs in
+    // sorted (w1, w2) order on both engines (the q76 convention); log2
+    // is libm so the output rounds to 6.
+    "q98_bigram_lm" -> Entry(
+      (s, dir) => Vocab.bigramLogProb(docsFan(s, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(s"""WITH tk AS (SELECT doc_id, $TOKS AS t FROM documents
+              |  WHERE text IS NOT NULL),
+              |bg AS (SELECT doc_id,
+              |  unnest([struct_pack(w1 := t[i], w2 := t[i + 1])
+              |    FOR i IN generate_series(1, len(t) - 1)]) AS p
+              |  FROM tk),
+              |dp AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2,
+              |    COUNT(*) AS cnt
+              |  FROM bg GROUP BY 1, 2, 3),
+              |bf AS (SELECT w1, w2, SUM(cnt) AS bf FROM dp GROUP BY 1, 2),
+              |wf AS (SELECT w1, SUM(bf) AS wf FROM bf GROUP BY 1),
+              |v AS (SELECT CAST(COUNT(DISTINCT term) AS DOUBLE) AS v
+              |  FROM (SELECT unnest(t) AS term FROM tk)),
+              |per AS (SELECT doc_id, v,
+              |    list_sort(list(struct_pack(w1 := w1, w2 := w2,
+              |      cnt := cnt, bf := bf, wf := wf))) AS xs,
+              |    CAST(SUM(cnt) AS BIGINT) AS n_bigrams
+              |  FROM dp JOIN bf USING (w1, w2) JOIN wf USING (w1), v
+              |  GROUP BY doc_id, v)
+              |SELECT doc_id, n_bigrams,
+              |  round(list_reduce(
+              |    [CAST(x.cnt AS DOUBLE) *
+              |       log2((CAST(x.bf AS DOUBLE) + 0.5) /
+              |            (CAST(x.wf AS DOUBLE) + 0.5 * v)) for x in xs],
+              |    (a, b) -> a + b) / CAST(n_bigrams AS DOUBLE), 6)
+              |    AS logprob
+              |FROM per ORDER BY doc_id""".stripMargin)),
+
+    // ----- X5 exact-count proportional sampling ----------------------------
+    // Largest-remainder apportionment: EXACTLY 123 docs, source
+    // proportions preserved. The fixture makes the remainder tie-break
+    // real: 20 sources × 25 docs all tie at remainder 75, so the three
+    // +1 top-ups land on the lexicographically-first sources — pinned
+    // identically on both engines.
+    "q99_apportioned_sample" -> Entry(
+      (s, dir) => Sampling.apportionedSample(
+          Queries.t(s, dir, "documents").select(col("doc_id"),
+            col("source")),
+          col("source"), col("doc_id"), totalN = 123, salt = "ap")
+        .orderBy("doc_id"),
+      Some("""WITH d AS (SELECT doc_id, source FROM documents
+             |  WHERE source IS NOT NULL AND doc_id IS NOT NULL),
+             |c AS (SELECT source, COUNT(*) AS n FROM d GROUP BY 1),
+             |t AS (SELECT SUM(n) AS tot FROM c),
+             |b AS (SELECT source, n, (123 * n) // tot AS base,
+             |    123 * n - ((123 * n) // tot) * tot AS rem FROM c, t),
+             |sb AS (SELECT SUM(base) AS sb FROM b),
+             |q AS (SELECT source, least(base + CASE WHEN
+             |    ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+             |      <= 123 - sb THEN 1 ELSE 0 END, n) AS quota
+             |  FROM b, sb),
+             |r AS (SELECT doc_id, source, ROW_NUMBER() OVER (
+             |    PARTITION BY source
+             |    ORDER BY md5('ap|' || CAST(doc_id AS VARCHAR)), doc_id)
+             |    AS rn FROM d)
+             |SELECT doc_id, source FROM r JOIN q USING (source)
+             |WHERE rn <= quota ORDER BY doc_id""".stripMargin)),
+
+    // ----- X5 distribution drift (PSI) -------------------------------------
+    // Population Stability Index between the even- and odd-id halves of
+    // the corpus over n_chars, fixed [0, 400) × 8 bins. Shares are
+    // single exact divisions; only ln is libm, rounded inside psi_term.
+    "q100_psi_drift" -> Entry(
+      (s, dir) => {
+        val d = Queries.t(s, dir, "documents")
+        Profiles.psi(d.filter(col("doc_id") % 2 === 0),
+            d.filter(col("doc_id") % 2 === 1), "n_chars",
+            lo = 0.0, hi = 400.0, bins = 8)
+          .orderBy("bin")
+      },
+      Some("""WITH ha AS (SELECT CAST(least(greatest(
+             |    floor((CAST(n_chars AS DOUBLE) - 0.0) / 50.0), 0), 7)
+             |    AS BIGINT) AS bin, COUNT(*) AS n_a
+             |  FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL
+             |  GROUP BY 1),
+             |hb AS (SELECT CAST(least(greatest(
+             |    floor((CAST(n_chars AS DOUBLE) - 0.0) / 50.0), 0), 7)
+             |    AS BIGINT) AS bin, COUNT(*) AS n_b
+             |  FROM documents WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL
+             |  GROUP BY 1),
+             |ta AS (SELECT CAST(SUM(n_a) AS DOUBLE) AS ta FROM ha),
+             |tb AS (SELECT CAST(SUM(n_b) AS DOUBLE) AS tb FROM hb),
+             |j AS (SELECT COALESCE(ha.bin, hb.bin) AS bin,
+             |    COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+             |  FROM ha FULL OUTER JOIN hb ON ha.bin = hb.bin)
+             |SELECT bin, n_a, n_b,
+             |  greatest(n_a / ta, 1e-6) AS share_a,
+             |  greatest(n_b / tb, 1e-6) AS share_b,
+             |  round((greatest(n_a / ta, 1e-6) - greatest(n_b / tb, 1e-6))
+             |    * ln(greatest(n_a / ta, 1e-6)
+             |      / greatest(n_b / tb, 1e-6)), 6) AS psi_term
+             |FROM j, ta, tb ORDER BY bin""".stripMargin))
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus profiling: the ANALYZE-style per-column summary every ingest
@@ -145,5 +145,55 @@ object Profiles {
         (lit(lo) + col("bin") * width).as("bin_lo"),
         (lit(lo) + (col("bin") + 1) * width).as("bin_hi"),
         col("n"))
+  }
+
+  /** Population Stability Index between two snapshots of a numeric
+    * column — the standard drift alarm for a training-mix feature
+    * (quality score, length, dup ratio) between crawls/builds:
+    * `PSI = Σ_bins (p_a − p_b)·ln(p_a/p_b)` with ε-floored shares so a
+    * bin empty on one side stays finite (the conventional zero-share
+    * substitution). Uses [[histogram]]'s fixed-width clamped binning
+    * with CALLER-pinned `[lo, hi)` and bin count — fixed edges are what
+    * make two snapshots comparable; deriving edges from either snapshot
+    * would move the ruler with the drift it measures.
+    *
+    * Output: one row per bin occupied on EITHER side — `(bin, n_a, n_b,
+    * share_a, share_b, psi_term)`; sum `psi_term` for the headline
+    * number (bins empty on both sides contribute exactly 0 and are
+    * absent). `psi_term` rounds to 6 (libm `ln`); shares are single
+    * exact divisions. An EMPTY snapshot raises by name — its shares
+    * have no meaning, and the ε floor would otherwise silently turn
+    * "no data" into "maximal drift" (and Spark's null-skipping
+    * `greatest` would mask the null total).
+    *
+    * Plan: each snapshot is scanned once into a bin-keyed count
+    * aggregation; the outer join joins at most `bins` rows; totals are
+    * broadcast 1-row aggregates. Nothing driver-side. */
+  def psi(a: DataFrame, b: DataFrame, colName: String,
+      lo: Double, hi: Double, bins: Int, eps: Double = 1e-6): DataFrame = {
+    require(eps > 0 && eps < 1, s"eps must be in (0, 1), got $eps")
+    val ha = histogram(a, colName, lo, hi, bins)
+      .select(col("bin"), col("n").as("n_a"))
+    val hb = histogram(b, colName, lo, hi, bins)
+      .select(col("bin"), col("n").as("n_b"))
+    val ta = ha.agg(sum(col("n_a")).as("__ta"))
+    val tb = hb.agg(sum(col("n_b")).as("__tb"))
+    def share(n: Column, total: Column, side: String): Column =
+      when(total.isNull, raise_error(lit(
+        s"psi: snapshot '$side' has no rows in [$lo, $hi) — its bin " +
+          "shares are undefined and the eps floor would silently read " +
+          "as maximal drift; check the snapshot and the bin range")))
+        .otherwise(greatest(n.cast("double") / total.cast("double"),
+          lit(eps)))
+    ha.join(hb, Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+      .select(col("bin"), col("n_a"), col("n_b"),
+        share(col("n_a"), col("__ta"), "a").as("share_a"),
+        share(col("n_b"), col("__tb"), "b").as("share_b"))
+      .withColumn("psi_term", round(
+        (col("share_a") - col("share_b")) *
+          log(col("share_a") / col("share_b")), 6))
   }
 }

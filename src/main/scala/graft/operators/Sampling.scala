@@ -106,6 +106,114 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Within-key percentile rank of a score — per-source score
+    * normalization, the fix for gating on a GLOBAL score when raw
+    * classifier/heuristic scores are not comparable across sources
+    * (different length/style distributions over-prune some sources and
+    * under-prune others; the per-source-percentile gate is the standard
+    * curation move). `out` gets `percent_rank()` in [0, 1] within `key`,
+    * ordered by (score ASC NULLS FIRST, id) — the id tiebreak makes
+    * ranks unique, so the result is deterministic, and percent_rank is
+    * a pure count ratio `(rank-1)/(n-1)` (no float summation), so it is
+    * engine-bit-identical. Null scores take the LOWEST percentiles and
+    * can never pass a lower-bound gate; a single-row key gets 0.0.
+    *
+    * Scale: ONE exchange keyed on `key` + a per-partition sort — the
+    * per-source window shape ([[perKeyCap]]); a pathologically dominant
+    * key serializes its own partition, which AQE skew handling does not
+    * split for windows — cap such sources upstream. Contrast
+    * [[Pipelines.keepTopQuantile]], which gates on one GLOBAL cutoff
+    * with a broadcast sketch and no window at all. */
+  def rankNormalize(df: DataFrame, key: Column, id: Column, score: Column,
+      out: String = "pct"): DataFrame = {
+    require(!df.columns.contains(out),
+      s"rankNormalize: df already has a '$out' column; rename it or " +
+        "pass out=")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(key)
+      .orderBy(score.asc_nulls_first, id.asc)
+    df.withColumn(out, percent_rank().over(w))
+  }
+
+  /** Keep rows at or above the `minPct` within-key score percentile —
+    * the per-source quality gate over [[rankNormalize]]. `minPct=0.75`
+    * keeps each key's top quarter BY ITS OWN score distribution,
+    * whatever the absolute scores are. Same plan shape (one keyed
+    * exchange, the filter rides the window projection). */
+  def perKeyQuantileGate(df: DataFrame, key: Column, id: Column,
+      score: Column, minPct: Double): DataFrame = {
+    require(minPct > 0.0 && minPct < 1.0,
+      s"minPct must be in (0, 1), got $minPct")
+    require(!df.columns.contains("__pct"),
+      "perKeyQuantileGate: input already has a '__pct' column; rename it")
+    rankNormalize(df, key, id, score, "__pct")
+      .filter(col("__pct") >= minPct).drop("__pct")
+  }
+
+  /** Exact-count proportional sample: exactly `totalN` rows (when the
+    * corpus has at least that many), apportioned across keys by the
+    * largest-remainder method and drawn deterministically within each
+    * key in hash order. [[bernoulli]]/[[weighted]] hit their target only
+    * IN EXPECTATION; when the contract is "ship exactly 1M docs, source
+    * proportions preserved", apportionment + per-key hash-rank is the
+    * deterministic equivalent.
+    *
+    * `quota_k = floor(totalN·n_k/N)`, then +1 for the `totalN − Σ floor`
+    * keys with the largest remainders (ties: key order). All quota
+    * arithmetic is decimal-exact (no float), so membership is
+    * engine-bit-identical. With `totalN ≤ N` every quota is feasible;
+    * with `totalN > N` quotas cap at `n_k` and the whole corpus comes
+    * back. Rows rank within their key by `md5(salt|id)` (id tiebreak) —
+    * the partitioning-independent draw the other samplers use. Null
+    * keys/ids are excluded (no reproducible draw — the samplers'
+    * shared contract).
+    *
+    * Scale: one count aggregation keyed on `key`; quota derivation runs
+    * a GLOBAL rank over the per-key table — one task over one row per
+    * key, fine for source/domain cardinalities (use [[bernoulli]] for
+    * per-URL keys); the corpus-side rank is a per-key window (full sort
+    * per key — the quota is data-dependent, so unlike [[perKeyCap]]
+    * this cannot plan as a map-side WindowGroupLimit). */
+  def apportionedSample(df: DataFrame, key: Column, id: Column,
+      totalN: Long, salt: String = "apportion"): DataFrame = {
+    require(totalN > 0, s"totalN must be positive, got $totalN")
+    Seq("__rn", "__quota", "__k", "__kk").foreach(c =>
+      require(!df.columns.contains(c),
+        s"apportionedSample: df already has a '$c' column; rename it"))
+    val kept = df.filter(key.isNotNull && id.isNotNull)
+    val counts = kept.groupBy(key.as("__k")).agg(count(lit(1)).as("__n"))
+    // all quota arithmetic rides windows over the (tiny) per-key table —
+    // no self-referencing joins, one single-partition pass
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val wTop = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__rem").desc, col("__k").asc)
+    val quotas = counts
+      .withColumn("__tot", sum(col("__n")).over(wAll).cast("decimal(38,0)"))
+      .withColumn("__prod",
+        lit(totalN).cast("decimal(38,0)") * col("__n").cast("decimal(38,0)"))
+      .withColumn("__base", floor(col("__prod") / col("__tot")).cast("long"))
+      .withColumn("__rem",
+        (col("__prod") - col("__base").cast("decimal(38,0)") * col("__tot"))
+          .cast("long"))
+      .withColumn("__sb", sum(col("__base")).over(wAll))
+      .withColumn("__rk", row_number().over(wTop))
+      .withColumn("__quota", least(
+        col("__base") + when(col("__rk") <= lit(totalN) - col("__sb"),
+          lit(1L)).otherwise(lit(0L)),
+        col("__n")))
+      .select(col("__k"), col("__quota"))
+    val wIn = org.apache.spark.sql.expressions.Window.partitionBy(key)
+      .orderBy(md5(concat(lit(salt), lit("|"), id.cast("string"))), id)
+    // the key is STAGED as a left-side column before the join: `quotas`
+    // derives from `kept`, and an unqualified `key` expression in a
+    // self-lineage join condition is ambiguous-or-wrong-side territory
+    // (the temperatureMixture convention, which qualifies its join key)
+    kept.withColumn("__kk", key)
+      .withColumn("__rn", row_number().over(wIn))
+      .join(quotas, col("__kk") === col("__k"))
+      .filter(col("__rn") <= col("__quota"))
+      .drop("__rn", "__quota", "__k", "__kk")
+  }
+
   /** Corpus mixture: union several sources, each kept at its own rate (in
     * basis points, same determinism contract as [[bernoulli]]), with a
     * `source` tag column identifying provenance. The assemble-the-

@@ -87,6 +87,70 @@ object Vocab {
           6).as("logprob"))
   }
 
+  /** Bigram language-model quality score — the CCNet-style "perplexity
+    * filter" one order up from [[unigramLogProb]]: each doc's mean
+    * per-bigram log2-probability under the corpus's own add-α smoothed
+    * bigram model, `p(w2|w1) = (c(w1,w2) + α) / (c(w1,·) + α·V)` with
+    * `V` the distinct-unigram vocabulary size. Word-order scrambles that
+    * a unigram model cannot see (same tokens, broken transitions) score
+    * low; formulaic boilerplate scores high. Self-trained: no external
+    * model, so the gate needs nothing the corpus itself doesn't carry.
+    *
+    * Output: `doc_id`, `n_bigrams`, `logprob` (mean log2 p, rounded to
+    * 6 — libm log2 differs across engines in final ulps; the per-doc
+    * sum folds in SORTED (w1, w2) order so it is partition-order
+    * independent). Docs with fewer than 2 tokens have no bigrams and
+    * are absent from the output — score them with the unigram model
+    * instead.
+    *
+    * Plan: bigrams are a zero-shuffle projection (`arrays_zip` of the
+    * token array against its own tail — no explode-then-window, no
+    * self-join); then groupBy (doc, bigram) → two model aggregations
+    * keyed on (w1, w2) / w1 → joins back keyed the same way → per-doc
+    * fold. `V` is a broadcast 1-row aggregate. Every exchange is keyed
+    * on doc or bigram terms; nothing materializes on the driver. Like
+    * [[tfIdfTopTerms]], the conditional-count side is a second
+    * aggregation pass, not a w1-partitioned window: head-word window
+    * partitions serialize to one task at corpus scale, while
+    * aggregation+join stays map-side combinable and AQE-splittable. */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    val pairs = df
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("__toks"), lit(1),
+          greatest(size(col("__toks")) - 1, lit(0))),
+        slice(col("__toks"), lit(2),
+          greatest(size(col("__toks")) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__p"))
+      .select(col("doc_id"), col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+    val docPairs = pairs.groupBy("doc_id", "w1", "w2")
+      .agg(count(lit(1)).as("cnt"))
+    val bigrams = docPairs.groupBy("w1", "w2").agg(sum("cnt").as("bf"))
+    val starts = bigrams.groupBy("w1").agg(sum("bf").as("wf"))
+    val vocabSize = df.select(
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .agg(countDistinct(col("term")).cast("double").as("v"))
+    docPairs
+      .join(bigrams, Seq("w1", "w2"))
+      .join(starts, Seq("w1"))
+      .crossJoin(broadcast(vocabSize))
+      .groupBy("doc_id", "v")
+      .agg(sort_array(collect_list(struct(col("w1"), col("w2"),
+          col("cnt"), col("bf"), col("wf")))).as("__xs"),
+        sum(col("cnt")).as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(
+          aggregate(col("__xs"), lit(0.0), (acc, x) =>
+            acc + x.getField("cnt").cast("double") *
+              log2((x.getField("bf").cast("double") + lit(alpha)) /
+                (x.getField("wf").cast("double") + lit(alpha) * col("v")))) /
+            col("n_bigrams").cast("double"),
+          6).as("logprob"))
+  }
+
   /** Top-`k` terms per document by TF-IDF.
     *
     * Output: `doc_id`, `rank` (1-based), `term`, `score` where

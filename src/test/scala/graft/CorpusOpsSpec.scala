@@ -184,6 +184,79 @@ class CorpusOpsSpec extends TestBase {
     assert(run(corpus) == run(corpus.repartition(19)))
   }
 
+  test("bigramLogProb: hand-checked add-0.5 smoothed conditionals; " +
+    "sub-2-token docs absent") {
+    // doc1 [a b a b]: (a,b)x2 (b,a)x1; doc2 [a b c]: (a,b) (b,c)
+    // bf: (a,b)=3 (b,a)=1 (b,c)=1; wf: a=3 b=2; V=4 (a b c x)
+    val corpus = docs(1L -> "a b a b", 2L -> "a b c", 3L -> "x")
+    val out = Vocab.bigramLogProb(corpus, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    val pAB = 3.5 / 5.0  // (3+.5)/(3+.5*4)
+    val pBA = 1.5 / 4.0  // (1+.5)/(2+.5*4)
+    val pBC = 1.5 / 4.0
+    def l2(x: Double) = math.log(x) / math.log(2.0)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out == Seq(
+      (1L, 3L, r6((2 * l2(pAB) + l2(pBA)) / 3.0)),
+      (2L, 2L, r6((l2(pAB) + l2(pBC)) / 2.0))),
+      s"got $out")
+  }
+
+  test("bigramLogProb: scrambled word order scores below the natural " +
+    "order the corpus establishes (what a unigram model cannot see); " +
+    "partitioning-invariant") {
+    val natural = (1L to 10L).map(i => i -> "the cat sat on the mat")
+    val corpus = docs(natural :+ (99L -> "mat the on sat cat the"): _*)
+    val scores = Vocab.bigramLogProb(corpus, "doc_id", "text")
+      .select("doc_id", "logprob").as[(Long, Double)].collect().toMap
+    natural.foreach { case (i, _) =>
+      assert(scores(99L) < scores(i),
+        s"scramble must score below natural: $scores") }
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Vocab.bigramLogProb(d, "doc_id", "text")
+        .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(run(corpus) == run(corpus.repartition(13)))
+    intercept[IllegalArgumentException] {
+      Vocab.bigramLogProb(corpus, "doc_id", "text", alpha = 0.0)
+    }
+  }
+
+  // ---------- exact-count apportioned sampling -----------------------------
+
+  test("apportionedSample: exactly totalN rows with largest-remainder " +
+    "quotas; partitioning-invariant membership") {
+    val df = ((1L to 50L).map(i => ("s1", i)) ++
+      (51L to 80L).map(i => ("s2", i)) ++
+      (81L to 100L).map(i => ("s3", i))).toDF("source", "id")
+    // exact proportions: 10 of 100 → 5 / 3 / 2, no remainders
+    val even = Sampling.apportionedSample(df, col("source"), col("id"),
+        totalN = 10)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(even == Map("s1" -> 5L, "s2" -> 3L, "s3" -> 2L), s"$even")
+    // remainder case: 7 of 100 → bases 3/2/1 (Σ=6), remainders
+    // 50/10/40 → the one top-up lands on s1
+    val rem = Sampling.apportionedSample(df, col("source"), col("id"),
+        totalN = 7)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(rem == Map("s1" -> 4L, "s2" -> 2L, "s3" -> 1L), s"$rem")
+    // membership (not just counts) ignores partitioning
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      Sampling.apportionedSample(d, col("source"), col("id"), 7)
+        .select("id").as[Long].collect().toSet
+    assert(ids(df) == ids(df.repartition(17)))
+    // totalN beyond the corpus: quotas cap at n_k — everything comes back
+    assert(Sampling.apportionedSample(df, col("source"), col("id"),
+      totalN = 5000).count() == 100L)
+    // null keys/ids have no reproducible draw — excluded
+    val withNull = df.union(Seq((null.asInstanceOf[String], 999L))
+      .toDF("source", "id"))
+    assert(!Sampling.apportionedSample(withNull, col("source"), col("id"),
+      totalN = 10).select("id").as[Long].collect().contains(999L))
+    intercept[IllegalArgumentException] {
+      Sampling.apportionedSample(df, col("source"), col("id"), 0)
+    }
+  }
+
   // ---------- weighted sampling --------------------------------------------
 
   test("weighted sample: clamps, scales with weight, deterministic") {
@@ -332,6 +405,35 @@ class CorpusOpsSpec extends TestBase {
         docs(1L -> "words").toDF(), "text", 0.0, 10.0, 2)
     }
     assert(e.getMessage.contains("numeric"))
+  }
+
+  test("psi: identical snapshots score 0 per bin; moved mass shows up " +
+    "large; one-side-empty bins floor at eps; empty snapshot raises") {
+    import graft.operators.Profiles
+    val a = spark.range(100)
+      .select((col("id") % 10).cast("double").as("v"))
+    val same = Profiles.psi(a, a, "v", 0.0, 10.0, 5)
+      .select("bin", "psi_term").as[(Long, Double)].collect().toMap
+    assert(same.size == 5 && same.values.forall(_ == 0.0), s"$same")
+    // all of b's mass collapses into bin 0
+    val b = spark.range(100).select(lit(0.5).as("v"))
+    val drift = Profiles.psi(a, b, "v", 0.0, 10.0, 5)
+      .select("bin", "n_a", "n_b", "share_b", "psi_term")
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(drift(0L)._3 == 100L && drift(0L)._4 == 1.0)
+    // bins 1-4 are empty on the b side: share floors at eps, terms
+    // positive and large
+    (1L to 4L).foreach { bin =>
+      assert(drift(bin)._3 == 0L && drift(bin)._4 == 1e-6, s"$drift")
+      assert(drift(bin)._5 > 1.0, s"moved-mass term too small: $drift")
+    }
+    assert(drift.values.map(_._5).sum > 4.0, "headline PSI must be large")
+    // an empty snapshot must raise by name, not read as maximal drift
+    val err = intercept[Exception] {
+      Profiles.psi(a, b.filter(lit(false)), "v", 0.0, 10.0, 5).collect()
+    }
+    assert(err.getMessage.contains("no rows"), s"got: ${err.getMessage}")
   }
 
   test("keySkew surfaces heavy hitters with exact fractions") {
@@ -550,6 +652,59 @@ class CorpusOpsSpec extends TestBase {
     assert(keptRepart == kept)
   }
 
+  test("rankNormalize: percent_rank within key with id tiebreak; null " +
+    "scores take the lowest percentiles; single-row key gets 0; " +
+    "partition-invariant") {
+    val df = Seq(
+      ("s1", 1L, Some(10L)), ("s1", 2L, Some(30L)), ("s1", 3L, Some(20L)),
+      ("s1", 4L, None),
+      ("s2", 5L, Some(999L))).toDF("source", "doc_id", "n")
+    val pct = Sampling.rankNormalize(df, col("source"), col("doc_id"),
+        col("n"))
+      .select("doc_id", "pct").as[(Long, Double)].collect().toMap
+    // s1 order: null(4) < 10(1) < 20(3) < 30(2) → pct 0, 1/3, 2/3, 1
+    assert(pct(4L) == 0.0 && pct(1L) == 1.0 / 3 && pct(3L) == 2.0 / 3 &&
+      pct(2L) == 1.0, s"s1 percentiles: $pct")
+    assert(pct(5L) == 0.0, "a single-row key must get 0, not NaN")
+    // ties broken by id: equal scores still rank deterministically
+    val tied = Seq(("s", 1L, 5L), ("s", 2L, 5L), ("s", 3L, 5L))
+      .toDF("source", "doc_id", "n")
+    val tp = Sampling.rankNormalize(tied, col("source"), col("doc_id"),
+        col("n"))
+      .select("doc_id", "pct").as[(Long, Double)].collect().toMap
+    assert(tp == Map(1L -> 0.0, 2L -> 0.5, 3L -> 1.0), s"tied: $tp")
+    val rp = Sampling.rankNormalize(df.repartition(7), col("source"),
+        col("doc_id"), col("n"))
+      .select("doc_id", "pct").as[(Long, Double)].collect().toMap
+    assert(rp == pct, "percentiles must not depend on partitioning")
+    intercept[IllegalArgumentException] {
+      Sampling.rankNormalize(df.withColumn("pct", lit(1)), col("source"),
+        col("doc_id"), col("n"))
+    }
+  }
+
+  test("perKeyQuantileGate keeps each key's top fraction by its OWN " +
+    "score distribution (where a global cutoff would drop one source " +
+    "entirely)") {
+    // s_long's scores all dwarf s_short's — a global top-half cutoff
+    // would keep s_long only; the per-key gate keeps the top half of
+    // EACH
+    val df = ((1L to 10L).map(i => ("s_short", i, i)) ++
+      (11L to 20L).map(i => ("s_long", i, 1000 + i)))
+      .toDF("source", "doc_id", "n")
+    val kept = Sampling.perKeyQuantileGate(df, col("source"),
+        col("doc_id"), col("n"), minPct = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == ((6L to 10L) ++ (16L to 20L)).toSet, s"kept: $kept")
+    // the gate column is internal: output schema is the input's
+    assert(Sampling.perKeyQuantileGate(df, col("source"), col("doc_id"),
+      col("n"), 0.5).columns.toSeq == df.columns.toSeq)
+    intercept[IllegalArgumentException] {
+      Sampling.perKeyQuantileGate(df, col("source"), col("doc_id"),
+        col("n"), 1.5)
+    }
+  }
+
   test("perKeyCap plans a WindowGroupLimit: map-side top-n before the " +
     "exchange, so a million-doc host ships ~n rows per task") {
     val dir = tmpDir()
@@ -702,6 +857,35 @@ class CorpusOpsSpec extends TestBase {
     assert(bloomKept == exactKept)
   }
 
+  test("dedupAgainstBloom fpp sweep: drop-rate bounded by exact drops + " +
+    "fpp·n at fpp ∈ {0.1, 0.01, 0.001}; never keeps a dup at any fpp") {
+    val seen = docs((1L to 1000L).map(i => i -> s"seen doc number $i"): _*)
+    val nFresh = 2000
+    val incoming = docs(
+      ((1L to 500L).map(i => (10000 + i) -> s"seen doc number $i") ++
+       (1L to nFresh.toLong).map(i =>
+         (20000 + i) -> s"fresh doc number $i")): _*)
+    val total = 500 + nFresh
+    val exactKept = Dedup.dedupAgainst(incoming, "text", seen, "text")
+      .select("doc_id").as[Long].collect().toSet
+    val exactDrops = total - exactKept.size
+    for (fpp <- Seq(0.1, 0.01, 0.001)) {
+      val bloom = Dedup.seenBloomFilter(seen, "text",
+        expectedItems = 1000, fpp = fpp)
+      val kept = Dedup.dedupAgainstBloom(incoming, "text", bloom)
+        .select("doc_id").as[Long].collect().toSet
+      // no false negatives by construction: a bloom survivor is always
+      // an exact survivor
+      assert(kept.subsetOf(exactKept), s"fpp=$fpp kept a known dup")
+      val drops = total - kept.size
+      // false positives only inflate drops, bounded in expectation by
+      // fpp·nFresh — allow 2× plus a small absolute floor for the tail
+      val bound = exactDrops + 2 * fpp * nFresh + 10
+      assert(drops >= exactDrops && drops <= bound,
+        s"fpp=$fpp drops=$drops outside [$exactDrops, $bound]")
+    }
+  }
+
   test("dedupAgainstBloom filters at the scan — no shuffle in the plan") {
     val dir = tmpDir()
     docs((1L to 50L).map(i => i -> s"doc $i"): _*)
@@ -837,6 +1021,44 @@ class CorpusOpsSpec extends TestBase {
     }
   }
 
+  test("temperatureMixture pow-path properties (α=0.3): keep fractions " +
+    "monotone-decreasing in source size, total ≈ targetDocs, and α→1 " +
+    "converges to natural proportions") {
+    // the pow path carries ~1-ulp libm variance so it has no bit-exact
+    // oracle (Sampling scaladoc); these properties pin its behavior
+    // without demanding bit-exactness
+    val sizes = Seq("a" -> 200, "b" -> 400, "c" -> 800, "d" -> 1600)
+    val df = sizes.flatMap { case (s, n) =>
+      (0 until n).map(i => (s"$s$i", s)) }.toDF("doc_id", "source")
+    def fracs(alpha: Double): Map[String, Double] = {
+      val kept = Sampling.temperatureMixture(df, col("doc_id"), "source",
+          targetDocs = 600, alpha = alpha, salt = "prop")
+        .groupBy("source").count().as[(String, Long)].collect().toMap
+      sizes.map { case (s, n) =>
+        s -> kept.getOrElse(s, 0L).toDouble / n }.toMap
+    }
+    val f3 = fracs(0.3)
+    // n^(α-1) is strictly decreasing in n for α<1: a bigger source must
+    // keep a strictly smaller fraction (analytic rates at α=0.3:
+    // 0.53 / 0.33 / 0.20 / 0.12 — gaps far above sampling noise)
+    assert(f3("a") > f3("b") && f3("b") > f3("c") && f3("c") > f3("d"),
+      s"keep fractions not monotone in source size: $f3")
+    // Σ rate_s·n_s = targetDocs by construction; the deterministic
+    // hash draw lands within sampling noise of it
+    val total = sizes.map { case (s, n) => f3(s) * n }.sum
+    assert(total > 510 && total < 690,
+      s"kept total $total strays from targetDocs=600")
+    // α→1 (still through pow): every source's rate approaches the
+    // natural T/N = 20%
+    val f99 = fracs(0.99)
+    assert(f99.values.forall(v => math.abs(v - 0.2) < 0.05),
+      s"α=0.99 should be near-natural: $f99")
+    // flattening strength is monotone in α for the smallest source
+    val f7 = fracs(0.7)
+    assert(f3("a") > f7("a") && f7("a") > f99("a"),
+      s"flattening not monotone in α: ${f3("a")} ${f7("a")} ${f99("a")}")
+  }
+
   // ---------- embedding compression (int8 + random projection) ------------
 
   private def vecs(rows: (Long, Seq[Float])*) =
@@ -906,6 +1128,53 @@ class CorpusOpsSpec extends TestBase {
     }
     assert(e2.getMessage.contains("exceeds the stats arrays"),
       s"expected the decode ragged guard, got: ${e2.getMessage}")
+  }
+
+  test("int8Stats: an all-null dimension raises by name (its stats would " +
+    "be null and the encoder would blame the wrong thing)") {
+    import graft.operators.Quantize
+    val allNull = Seq(
+      (1L, Seq[java.lang.Float](0.5f, null)),
+      (2L, Seq[java.lang.Float](1.0f, null))).toDF("id", "vec")
+    val e = intercept[Exception] {
+      Quantize.int8Stats(allNull, "vec").collect()
+    }
+    assert(e.getMessage.contains("no non-null values"),
+      s"expected the all-null-dimension guard, got: ${e.getMessage}")
+    // a dimension with SOME nulls still derives stats from the rest
+    val mixed = Seq(
+      (1L, Seq[java.lang.Float](0.0f, null)),
+      (2L, Seq[java.lang.Float](1.0f, 2.0f))).toDF("id", "vec")
+    val (los, his) = Quantize.int8Stats(mixed, "vec")
+      .as[(Seq[Double], Seq[Double])].head()
+    assert(los == Seq(0.0, 2.0) && his == Seq(1.0, 2.0),
+      s"mixed-null stats: $los / $his")
+  }
+
+  test("int8TopK query-side contract: null vectors, null elements, and " +
+    "length drift raise instead of silently sinking to rank-bottom") {
+    import graft.operators.Quantize
+    val df = vecs(1L -> Seq(0.0f, 1.0f), 2L -> Seq(1.0f, 0.0f),
+      3L -> Seq(0.5f, 0.5f))
+    val stats = Quantize.int8Stats(df, "vec")
+    val codes = Quantize.int8Encode(df, "id", "vec", stats)
+    def expectRaise(q: org.apache.spark.sql.DataFrame, frag: String):
+        Unit = {
+      val e = intercept[Exception] {
+        Quantize.int8TopK(q, "id", "vec", codes, "id", stats, k = 2)
+          .collect()
+      }
+      assert(e.getMessage.contains(frag), s"got: ${e.getMessage}")
+    }
+    expectRaise(Seq((9L, null: Seq[java.lang.Float])).toDF("id", "vec"),
+      "null query vector")
+    expectRaise(Seq((9L, Seq[java.lang.Float](0.5f, null)))
+      .toDF("id", "vec"), "null element in a query")
+    expectRaise(vecs(9L -> Seq(0.5f, 0.5f, 0.5f)),
+      "disagree on vector dimensionality")
+    // a clean query still serves the full k
+    assert(Quantize.int8TopK(vecs(9L -> Seq(1.0f, 0.0f)), "id", "vec",
+      codes, "id", stats, k = 2).count() == 2)
   }
 
   test("int8TopK: compressed-corpus search recovers the exact float " +
