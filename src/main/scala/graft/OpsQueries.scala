@@ -2475,6 +2475,276 @@ object OpsQueries {
              |  round((greatest(n_a / ta, 1e-6) - greatest(n_b / tb, 1e-6))
              |    * ln(greatest(n_a / ta, 1e-6)
              |      / greatest(n_b / tb, 1e-6)), 6) AS psi_term
-             |FROM j, ta, tb ORDER BY bin""".stripMargin))
+             |FROM j, ta, tb ORDER BY bin""".stripMargin)),
+
+    // ----- X5 Gopher-rules composite gate -----------------------------------
+    // The Rae et al. 2021 document filter: token-count bounds,
+    // mean-token-length bounds, alpha-word fraction, required-stopword
+    // presence. Every ratio is an integer-derived IEEE division —
+    // engine-bit-identical, no rounding needed. Thresholds calibrated
+    // to discriminate on this corpus: the length floor and the
+    // two-distinct-stopword rule both genuinely split it.
+    "q101_gopher_rules" -> Entry(
+      (s, dir) => TextAnalysis.withGopherQuality(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "text", minTokens = 50, maxTokens = 100000,
+          minMeanTokLen = 3.0, maxMeanTokLen = 10.0,
+          minAlphaFrac = 0.8, minStopHits = 2)
+        .select(col("doc_id"), col("n_tokens"), col("mean_tok_len"),
+          col("alpha_frac"), col("stop_hits"), col("gopher_pass"))
+        .orderBy("doc_id"),
+      Some(s"""WITH tok AS (SELECT doc_id, text, $TOKS AS w
+              |  FROM documents),
+              |m AS (SELECT doc_id,
+              |  CASE WHEN text IS NULL THEN 0
+              |    ELSE len(w) END AS n_tokens,
+              |  CASE WHEN text IS NULL OR len(w) = 0 THEN 0.0
+              |    ELSE CAST(length(regexp_replace(trim(text), '\\s+', '',
+              |      'g')) AS DOUBLE) / CAST(len(w) AS DOUBLE)
+              |  END AS mean_tok_len,
+              |  CASE WHEN text IS NULL OR len(w) = 0 THEN 0.0
+              |    ELSE CAST(len(list_filter(w,
+              |        t -> regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE)
+              |      / CAST(len(w) AS DOUBLE)
+              |  END AS alpha_frac,
+              |  CASE WHEN text IS NULL THEN 0 ELSE
+              |    (CASE WHEN list_contains(w, 'a') THEN 1 ELSE 0 END) +
+              |    (CASE WHEN list_contains(w, 'and') THEN 1 ELSE 0 END) +
+              |    (CASE WHEN list_contains(w, 'in') THEN 1 ELSE 0 END) +
+              |    (CASE WHEN list_contains(w, 'is') THEN 1 ELSE 0 END) +
+              |    (CASE WHEN list_contains(w, 'of') THEN 1 ELSE 0 END) +
+              |    (CASE WHEN list_contains(w, 'the') THEN 1 ELSE 0 END) +
+              |    (CASE WHEN list_contains(w, 'to') THEN 1 ELSE 0 END)
+              |  END AS stop_hits
+              |  FROM tok)
+              |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+              |  mean_tok_len, alpha_frac,
+              |  CAST(stop_hits AS BIGINT) AS stop_hits,
+              |  (n_tokens >= 50 AND n_tokens <= 100000
+              |    AND mean_tok_len >= 3.0 AND mean_tok_len <= 10.0
+              |    AND alpha_frac >= 0.8 AND stop_hits >= 2) AS gopher_pass
+              |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // ----- X5 out-of-vocabulary rate ----------------------------------------
+    // Self-trained OOV gate: rate of token occurrences outside the
+    // corpus's own top-20 vocabulary. The vocab is a bounded driver
+    // codebook (topTerms collect, KB-scale — the PQ-centroid precedent);
+    // scoring is then a zero-join scan projection via the native
+    // CountInSet probe. Ties at the cutoff break by term on both
+    // engines.
+    "q102_oov_rate" -> Entry(
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val vocab = Vocab.topTerms(docs, "doc_id", "text", n = 20)
+        Vocab.withOovRate(docs, "text", vocab)
+          .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+            col("oov_rate"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, $TOKS AS w FROM documents),
+              |top AS (SELECT t FROM (SELECT unnest(w) AS t FROM tok)
+              |  GROUP BY t ORDER BY COUNT(*) DESC, t LIMIT 20),
+              |vl AS (SELECT list(t) AS vl FROM top)
+              |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+              |  CAST(CASE WHEN len(w) = 0 THEN 0 ELSE
+              |    len(list_filter(w, t -> NOT list_contains(vl, t)))
+              |  END AS BIGINT) AS n_oov,
+              |  CASE WHEN len(w) = 0 THEN 0.0 ELSE
+              |    CAST(len(list_filter(w, t -> NOT list_contains(vl, t)))
+              |      AS DOUBLE) / CAST(len(w) AS DOUBLE)
+              |  END AS oov_rate
+              |FROM tok, vl ORDER BY doc_id""".stripMargin)),
+
+    // ----- X5 HTML boilerplate strip ----------------------------------------
+    // The ingestion-hygiene pass: the fixture wraps each doc's real text
+    // in deterministic HTML (script + style + comment + tags +
+    // entities), strips it, and must recover the whitespace-collapsed
+    // text plus the decoded entity tail — both engines run the
+    // IDENTICAL regex chain (Java∩RE2 subset), so any divergence in
+    // order-of-operations (e.g. &amp; decoded too early) breaks the
+    // hash.
+    "q103_html_strip" -> Entry(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.stripHtml(concat(
+            lit("<html><head><script type=\"text/javascript\">var x = " +
+              "1 &amp;&amp; 2;</script><style>p { color: red; }</style>" +
+              "</head><body><p class=\""), col("source"), lit("\">"),
+            col("text"),
+            lit("</p><!-- lang="), col("lang"),
+            lit(" --><br/>Tom &amp; Jerry say &quot;hi&quot; &lt;3" +
+              "</body></html>"))).as("clean_text"))
+        .orderBy("doc_id"),
+      Some {
+        // the replace chain is BUILT, not hand-nested (a hand-nested
+        // 11-deep call slipped one close paren — the builder cannot):
+        // innermost-first order mirrors stripHtml exactly, &amp; last
+        val chain = Seq(
+          ("'(?is)<script[^>]*>.*?</script>'", "' '"),
+          ("'(?is)<style[^>]*>.*?</style>'", "' '"),
+          ("'(?s)<!--.*?-->'", "' '"),
+          ("'<[^>]+>'", "' '"),
+          ("'&lt;'", "'<'"),
+          ("'&gt;'", "'>'"),
+          ("'&quot;'", "'\"'"),
+          ("'&#39;'", "''''"),
+          ("'&nbsp;'", "' '"),
+          ("'&amp;'", "'&'"),
+          ("'\\s+'", "' '"))
+          .foldLeft("html") { case (e, (pat, rep)) =>
+            s"regexp_replace($e, $pat, $rep, 'g')"
+          }
+        s"""WITH h AS (SELECT doc_id,
+           |  '<html><head><script type="text/javascript">var x = ' ||
+           |  '1 &amp;&amp; 2;</script><style>p { color: red; }</style>' ||
+           |  '</head><body><p class="' || source || '">' || text ||
+           |  '</p><!-- lang=' || lang ||
+           |  ' --><br/>Tom &amp; Jerry say &quot;hi&quot; &lt;3' ||
+           |  '</body></html>' AS html FROM documents)
+           |SELECT doc_id, trim($chain) AS clean_text
+           |FROM h ORDER BY doc_id""".stripMargin
+      }),
+
+    // ----- X5 fuzzy (MinHash) decontamination -------------------------------
+    // Near-duplicate eval leakage: the corpus is the near-dup-planted
+    // fixture, the benchmark the doc_id % 97 originals. Exact-copy
+    // benchmark docs score jaccard 1.0; their planted near-dup copies
+    // (last 3 tokens dropped) land well above 0.5 only via banding +
+    // verification — the operator's whole point. MD5 minhash arithmetic
+    // replays exactly; jaccard is an integer-ratio double.
+    "q104_fuzzy_decon" -> Entry(
+      (s, dir) => Decontaminate.fuzzyOverlap(
+          nearDupDocs(s, dir), "doc_id", "text",
+          docsFan(s, dir).filter(col("doc_id") % 97 === 0),
+          "doc_id", "text",
+          k = 8, rowsPerBand = 2, shingleN = 3, flagAt = 0.5)
+        .orderBy("doc_id"),
+      Some {
+        val mins = (0 until 8)
+          .map(i => s"min(md5('$i|' || s)) AS m$i").mkString(", ")
+        def bandsSql(sig: String) = (0 until 4).map(b =>
+          s"SELECT doc_id, sh, $b AS band, md5(m${2 * b} || m${2 * b + 1})" +
+            s" AS bv FROM $sig").mkString(" UNION ALL ")
+        s"""WITH $NearDupDocsSql,
+           |ct AS (SELECT doc_id, $TOKS AS w FROM docs),
+           |csh AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s
+           |  FROM ct, unnest(CASE WHEN len(w) >= 3
+           |    THEN generate_series(1, len(w)-2) ELSE [] END) AS u(i)),
+           |csig AS (SELECT doc_id, list(DISTINCT s) AS sh, $mins
+           |  FROM csh GROUP BY doc_id),
+           |cbands AS (${bandsSql("csig")}),
+           |bt AS (SELECT doc_id, $TOKS AS w FROM documents
+           |  WHERE doc_id % 97 = 0),
+           |bsh AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s
+           |  FROM bt, unnest(CASE WHEN len(w) >= 3
+           |    THEN generate_series(1, len(w)-2) ELSE [] END) AS u(i)),
+           |bsig AS (SELECT doc_id, list(DISTINCT s) AS sh, $mins
+           |  FROM bsh GROUP BY doc_id),
+           |bbands AS (${bandsSql("bsig")}),
+           |mt AS (SELECT c.doc_id, b.doc_id AS bench_id,
+           |    CAST(len(list_intersect(c.sh, b.sh)) AS DOUBLE) /
+           |      (CAST(len(c.sh) AS DOUBLE) + CAST(len(b.sh) AS DOUBLE)
+           |        - CAST(len(list_intersect(c.sh, b.sh)) AS DOUBLE))
+           |    AS jac
+           |  FROM cbands c JOIN bbands b
+           |  ON c.band = b.band AND c.bv = b.bv),
+           |v AS (SELECT doc_id, max(jac) AS best_jaccard,
+           |    COUNT(DISTINCT CASE WHEN jac >= 0.5 THEN bench_id END)
+           |      AS n_bench_matches
+           |  FROM mt GROUP BY doc_id)
+           |SELECT d.doc_id,
+           |  COALESCE(best_jaccard, 0.0) AS best_jaccard,
+           |  CAST(COALESCE(n_bench_matches, 0) AS BIGINT)
+           |    AS n_bench_matches,
+           |  COALESCE(best_jaccard >= 0.5, false) AS contaminated
+           |FROM (SELECT doc_id FROM docs) d LEFT JOIN v USING (doc_id)
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    // ----- X2 repeated-span REMOVAL (exact substring dedup) -----------------
+    // Lee et al. 2022's removal form over the near-dup fixture: planted
+    // copies (shared 10-grams) are stripped to empty, their originals
+    // keep exactly the 3-token tail the copies dropped (grams touching
+    // it occur once), untouched docs pass through verbatim — three
+    // genuinely different outcomes in one run. Integer/string
+    // arithmetic only.
+    "q105_repeated_spans" -> Entry(
+      (s, dir) => Dedup.removeRepeatedSpans(nearDupDocs(s, dir),
+          "doc_id", "text", n = 10, minDocs = 2)
+        .orderBy("doc_id"),
+      Some(s"""WITH $NearDupDocsSql,
+              |tk AS (SELECT doc_id, $TOKS AS w FROM docs),
+              |g AS (SELECT doc_id, i - 1 AS pos,
+              |    array_to_string(w[i:i+9], ' ') AS s
+              |  FROM tk, unnest(CASE WHEN len(w) >= 10
+              |    THEN generate_series(1, len(w)-9) ELSE [] END) AS u(i)),
+              |f AS (SELECT s FROM g GROUP BY s
+              |  HAVING COUNT(DISTINCT doc_id) >= 2),
+              |st AS (SELECT doc_id, list(pos) AS starts FROM g
+              |  WHERE s IN (SELECT s FROM f) GROUP BY doc_id),
+              |p AS (SELECT doc_id, i - 1 AS p, w[i] AS t
+              |  FROM tk, unnest(generate_series(1, len(w))) AS u(i)),
+              |kept AS (SELECT p.doc_id, p.p, p.t
+              |  FROM p LEFT JOIN st USING (doc_id)
+              |  WHERE len(list_filter(COALESCE(st.starts, []),
+              |    s -> p.p >= s AND p.p <= s + 9)) = 0),
+              |o AS (SELECT doc_id, COUNT(*) AS n_kept,
+              |    string_agg(t, ' ' ORDER BY p) AS clean_text
+              |  FROM kept GROUP BY doc_id)
+              |SELECT tk.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+              |  CAST(len(w) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
+              |  COALESCE(o.clean_text, '') AS clean_text
+              |FROM tk LEFT JOIN o USING (doc_id)
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ----- X3 Matryoshka prefix-dimension two-stage serving -----------------
+    // Shortlist on the first 16 of 64 dims (q30's ranking shape over
+    // the sliced prefix), exact full-dim re-rank of the 20-candidate
+    // shortlist — the dimension-truncation sibling of q95. Scores
+    // round to 6 with the corpus-id tiebreak, so ranks are
+    // engine-deterministic.
+    "q106_prefix_rerank" -> Entry(
+      (s, dir) => {
+        val emb = Queries.t(s, dir, "embeddings")
+        Quantize.prefixTopK(emb.filter(col("vec_id") < 5), emb,
+            "vec_id", "embedding", dPrefix = 16, k = 10, shortlist = 20)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy("query_id", "rnk")
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id,
+             |  embedding[1:16] AS pv FROM embeddings WHERE vec_id < 5),
+             |c AS (SELECT vec_id AS corpus_id, embedding[1:16] AS pv
+             |  FROM embeddings),
+             |s AS (SELECT query_id, corpus_id,
+             |  round(
+             |    list_sum([q.pv[i]::DOUBLE * c.pv[i]::DOUBLE
+             |      for i in generate_series(1, len(q.pv))]) /
+             |    (sqrt(list_sum([q.pv[i]::DOUBLE * q.pv[i]::DOUBLE
+             |      for i in generate_series(1, len(q.pv))])) *
+             |     sqrt(list_sum([c.pv[i]::DOUBLE * c.pv[i]::DOUBLE
+             |      for i in generate_series(1, len(c.pv))]))), 6) AS score
+             |  FROM q, c WHERE query_id <> corpus_id),
+             |r AS (SELECT query_id, corpus_id,
+             |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             |    ORDER BY score DESC, corpus_id) AS BIGINT) AS rnk FROM s),
+             |cand AS (SELECT query_id, corpus_id FROM r WHERE rnk <= 20),
+             |rr AS (SELECT cand.query_id, cand.corpus_id,
+             |  round(list_sum([qe.embedding[i]::DOUBLE *
+             |        ce.embedding[i]::DOUBLE
+             |      FOR i IN generate_series(1, len(qe.embedding))]) /
+             |    (sqrt(list_sum([qe.embedding[i]::DOUBLE *
+             |        qe.embedding[i]::DOUBLE
+             |      FOR i IN generate_series(1, len(qe.embedding))])) *
+             |     sqrt(list_sum([ce.embedding[i]::DOUBLE *
+             |        ce.embedding[i]::DOUBLE
+             |      FOR i IN generate_series(1, len(ce.embedding))]))), 6)
+             |    AS score
+             |  FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
+             |  JOIN embeddings ce ON ce.vec_id = cand.corpus_id),
+             |r2 AS (SELECT query_id, corpus_id, score,
+             |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             |    ORDER BY score DESC, corpus_id) AS BIGINT) AS rnk FROM rr)
+             |SELECT query_id, corpus_id, score, rnk FROM r2
+             |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin))
   )
 }

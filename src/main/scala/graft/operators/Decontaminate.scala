@@ -94,4 +94,75 @@ object Decontaminate {
       .filter(!col("contaminated")).select(col("doc_id").as("__keep"))
     corpus.join(clean, col(idCol) <=> col("__keep"), "left_semi")
   }
+
+  /** FUZZY decontamination (X5): flag training docs that are MinHash
+    * near-duplicates of benchmark docs — paraphrased or lightly-edited
+    * eval leakage that [[overlap]]'s exact n-gram membership misses
+    * (one changed word kills every n-gram crossing it, but barely moves
+    * the Jaccard of the shingle SETS).
+    *
+    * Candidates come from shared LSH band buckets (the
+    * [[Dedup.minhashBands]] projection both dedup pipelines use);
+    * each candidate (doc, bench) pair is then verified with exact
+    * shingle-set Jaccard, so the verdict is a real similarity, not a
+    * banding artifact. Recall follows the (k, rowsPerBand) S-curve:
+    * pairs far below the threshold may never collide — that is the
+    * approximation being bought.
+    *
+    * Output: one row per corpus doc — `doc_id`, `best_jaccard` (max
+    * over matched bench docs; 0.0 when none collide), `n_bench_matches`
+    * (distinct bench docs with verified jaccard ≥ `flagAt`),
+    * `contaminated` (best ≥ `flagAt`). Jaccard is an integer-ratio
+    * double — engine-exact.
+    *
+    * Scale shape: the benchmark side (KB–MB by nature) builds
+    * signatures + distinct shingle sets in a dwarf plan and BROADCASTS
+    * its banded form, shingle set attached. The corpus is scanned once
+    * for its own signature/shingle projection; the band join is
+    * broadcast-hash (zero corpus exchange — band multiplicity only
+    * duplicates jaccard COMPUTE, max/countDistinct absorb it); the only
+    * corpus-keyed shuffle carries (doc_id, jaccard, bench_id) rows for
+    * matched docs. The final left join re-attaches verdicts to the full
+    * id list — ids and scores move, never text. */
+  def fuzzyOverlap(corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
+      k: Int = 8, rowsPerBand: Int = 2, shingleN: Int = 3,
+      flagAt: Double = 0.5): DataFrame = {
+    require(flagAt > 0.0 && flagAt <= 1.0,
+      s"fuzzyOverlap: flagAt must be in (0, 1], got $flagAt")
+    def prep(df: DataFrame, id: String, text: String): DataFrame =
+      df.select(col(id).as("doc_id"),
+          TextAnalysis.tokens(col(text)).as("__toks"))
+        .filter(size(col("__toks")) >= shingleN)
+        .select(col("doc_id"),
+          Dedup.shingles(col("__toks"), shingleN).as("__shArr"))
+        .select(col("doc_id"), array_distinct(col("__shArr")).as("sh"),
+          graft.functions.MinHashSig.minhashSig(col("__shArr"), k)
+            .as("sig"))
+        .select(col("doc_id") +: col("sh") +:
+          (0 until k).map(i =>
+            element_at(col("sig"), i + 1).as(s"m$i")): _*)
+    val benchBands = broadcast(
+      Dedup.minhashBands(prep(benchmark, benchIdCol, benchTextCol),
+          k, rowsPerBand, carry = Seq("sh"))
+        .select(col("doc_id").as("__bench_id"), col("sh").as("__bsh"),
+          col("band"), col("bv")))
+    val verdicts = Dedup
+      .minhashBands(prep(corpus, idCol, textCol), k, rowsPerBand,
+        carry = Seq("sh"))
+      .join(benchBands, Seq("band", "bv"))
+      .select(col("doc_id"), col("__bench_id"),
+        Dedup.jaccard(col("sh"), col("__bsh")).as("__jac"))
+      .groupBy("doc_id")
+      .agg(max(col("__jac")).as("best_jaccard"),
+        countDistinct(when(col("__jac") >= flagAt, col("__bench_id")))
+          .as("n_bench_matches"))
+    corpus.select(col(idCol).as("doc_id"))
+      .join(verdicts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"),
+        coalesce(col("n_bench_matches"), lit(0L)).as("n_bench_matches"),
+        coalesce(col("best_jaccard") >= flagAt, lit(false))
+          .as("contaminated"))
+  }
 }

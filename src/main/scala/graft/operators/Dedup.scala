@@ -229,8 +229,8 @@ object Dedup {
     * m0..m{k-1}`); output `(doc_id, carry..., band, bv)`. `carry`
     * columns ride along unchanged (the verified pipeline carries its
     * shingle sets into the buckets this way). */
-  private def minhashBands(sigs: DataFrame, k: Int, rowsPerBand: Int,
-      carry: Seq[String] = Nil): DataFrame = {
+  private[operators] def minhashBands(sigs: DataFrame, k: Int,
+      rowsPerBand: Int, carry: Seq[String] = Nil): DataFrame = {
     require(k % rowsPerBand == 0, "k must be divisible by rowsPerBand")
     val nBands = k / rowsPerBand
     val bandCols = (0 until nBands).map { b =>
@@ -528,6 +528,65 @@ object Dedup {
       .filter(col("n_docs") >= minDocs)
       .select(md5(col("s")).as("passage"), col("s").as("passage_text"),
         col("n_docs"), col("first_doc"), col("last_doc"))
+  }
+
+  /** Substring-level dedup, the REMOVAL form (X2 — the "deduplicating
+    * training data makes language models better" operator, Lee et al.
+    * 2022): delete from every document the token positions covered by
+    * any word `n`-gram that occurs in at least `minDocs` DISTINCT
+    * documents. Whole-doc dedup never sees shared license headers /
+    * templated boilerplate inside otherwise-unique docs; this strips
+    * exactly those spans and keeps the rest.
+    *
+    * Output: one row per input doc — `doc_id`, `n_tokens` (before),
+    * `n_removed`, `clean_text` (remaining tokens space-joined, in
+    * order; empty string when everything was covered; null for null
+    * text). All arithmetic is integer/string — engine-exact.
+    *
+    * Scale shape: (1) gram occurrences are a posexplode of the native
+    * shingle projection; the ONLY corpus-sized shuffle keys on the gram
+    * for the document-frequency count (map-side combinable). (2) The
+    * frequent-gram set — small by construction (only grams repeated
+    * across ≥ `minDocs` docs) — semi-joins the occurrences to per-doc
+    * covered-start lists, exchanging (doc_id, pos) ints only, never
+    * text. (3) Reassembly joins those lists back to a second scan of
+    * the corpus and filters tokens in ONE projection: per token an
+    * `exists` probe over the doc's own covered-start list (bounded by
+    * its gram count; boilerplate-scale lists are tiny). Two corpus
+    * scans total; no corpus-text exchange anywhere. */
+  def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int = 2): DataFrame = {
+    require(n >= 1 && minDocs >= 2,
+      s"need n >= 1 and minDocs >= 2, got n=$n minDocs=$minDocs")
+    val toks = df.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("__toks"))
+    // 0-based gram start positions (posexplode), one row per occurrence
+    val grams = toks.filter(size(col("__toks")) >= n)
+      .select(col("doc_id"), posexplode(shingles(col("__toks"), n))
+        .as(Seq("pos", "g")))
+    val frequent = grams.groupBy("g")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("g"))
+    val starts = grams.join(frequent, Seq("g"), "left_semi")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("__starts"))
+    toks.join(starts, Seq("doc_id"), "left")
+      // a null starts list must read as "nothing covered": the exists
+      // probe below null-propagates, and filter() DROPS null-predicate
+      // elements — every token would vanish from untouched docs
+      .withColumn("__st",
+        coalesce(col("__starts"), array().cast("array<int>")))
+      .withColumn("__kept", expr(
+        s"""filter(transform(__toks, (t, i) -> struct(t AS t, i AS i)),
+           |  x -> NOT exists(__st,
+           |    s -> x.i >= s AND x.i <= s + ${n - 1}))""".stripMargin))
+      .select(col("doc_id"),
+        coalesce(size(col("__toks")).cast("long"), lit(0L)).as("n_tokens"),
+        coalesce((size(col("__toks")) - size(col("__kept"))).cast("long"),
+          lit(0L)).as("n_removed"),
+        array_join(expr("transform(__kept, x -> x.t)"), " ")
+          .as("clean_text"))
   }
 
   /** Representative selection after duplicate clustering: one row per

@@ -191,4 +191,55 @@ object Quantize {
         shortlist).select(col("query_id"), col("corpus_id")),
       queries, corpus, idCol, vecCol, k)
   }
+
+  /** Matryoshka-style two-stage serving (X3): shortlist on the FIRST
+    * `dPrefix` dimensions only, then exact full-dimension cosine
+    * re-rank of the |Q|·shortlist candidates. MRL-trained embeddings
+    * put most of the signal in the prefix, so the cheap stage reads
+    * `dPrefix/dim` of the vector bytes — the dimension-truncation
+    * sibling of [[int8TopKReranked]]'s value-truncation (the two
+    * compose: quantize the prefix).
+    *
+    * Same ranking/score shape as every other serving path
+    * ([[Similarity.broadcastTopK]] + [[Similarity.exactRerank]]), so
+    * `recallAtK` against [[Similarity.cosineTopK]] measures the prefix
+    * cost directly. Queries and corpus share `idCol`/`vecCol` names
+    * (the int8TopKReranked convention).
+    *
+    * Loud contracts, both sides: null vectors, vectors shorter than
+    * `dPrefix`, and null elements INSIDE the prefix raise by name — a
+    * null-scored pair would otherwise silently sink to the bottom of
+    * the shortlist ranking (the r6 int8TopK lesson). Elements past the
+    * prefix are only read by the exact re-rank stage, which shares
+    * [[Similarity.cosineTopK]]'s contract (a full-dim null element
+    * nulls that pair's exact score) — clean vectors upstream. */
+  def prefixTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, dPrefix: Int, k: Int, shortlist: Int = 50)
+      : DataFrame = {
+    require(dPrefix >= 1, s"prefixTopK: dPrefix must be >= 1, got $dPrefix")
+    require(k >= 1, s"prefixTopK: k must be >= 1, got $k")
+    require(shortlist >= k, "prefixTopK: shortlist must be >= k")
+    def pref(df: DataFrame, outId: String, outV: String): DataFrame =
+      df.select(col(idCol).as(outId),
+        when(col(vecCol).isNull, raise_error(lit(
+          s"prefixTopK: null vector in '$outId' side — it has no " +
+            "defined ranking; filter null vectors upstream")))
+          .when(size(col(vecCol)) < dPrefix, raise_error(concat(
+            lit(s"prefixTopK: vector shorter than dPrefix=$dPrefix ("),
+            size(col(vecCol)).cast("string"),
+            lit(") — the prefix ranking would compare unequal slices"))))
+          .when(exists(slice(col(vecCol), 1, dPrefix), x => x.isNull),
+            raise_error(lit(
+              "prefixTopK: null element inside the prefix — the score " +
+                "would silently null out; clean or impute upstream")))
+          .otherwise(slice(col(vecCol), 1, dPrefix)).as(outV))
+    val q = pref(queries, "query_id", "qv")
+      .withColumn("qn", Similarity.norm(col("qv")))
+    val c = pref(corpus, "corpus_id", "cv")
+      .withColumn("cn", Similarity.norm(col("cv")))
+    Similarity.exactRerank(
+      Similarity.broadcastTopK(q, c, Similarity.dot, shortlist)
+        .select(col("query_id"), col("corpus_id")),
+      queries, corpus, idCol, vecCol, k)
+  }
 }

@@ -234,6 +234,90 @@ object TextAnalysis {
       .drop("__toks", "__grams")
   }
 
+  /** Gopher-style composite quality gate (X5): the document-level rule
+    * filter of Rae et al. 2021 (Gopher, appendix A1.1), the standard
+    * first-pass web-corpus gate — token-count bounds, mean-token-length
+    * bounds, a minimum fraction of words containing an alphabetic
+    * character, and required-stopword presence (≥ `minStopHits` distinct
+    * words from `requiredStop` must appear).
+    *
+    * Output adds `n_tokens`, `mean_tok_len`, `alpha_frac`, `stop_hits`,
+    * and `gopher_pass` to `df`. All ratios are integer-derived IEEE
+    * divisions — deterministic and engine-bit-identical, so the DuckDB
+    * oracle replays the gate exactly. Null text scores 0 everywhere and
+    * fails the gate (a doc with nothing in it is not trainable text);
+    * the symbol-ratio rule of the paper is folded into `alpha_frac`
+    * (a symbol "word" has no letter, so it lowers the fraction).
+    *
+    * Scale shape: a pure scan projection — zero exchanges; the stopword
+    * probes are fixed-size `array_contains` chains (codegen'd), the
+    * alpha probe one regex per token. Composes with
+    * [[graft.operators.Pipelines]] gates at the scan.
+    */
+  def withGopherQuality(df: org.apache.spark.sql.DataFrame, textCol: String,
+      minTokens: Long = 50, maxTokens: Long = 100000,
+      minMeanTokLen: Double = 3.0, maxMeanTokLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8, minStopHits: Int = 2,
+      requiredStop: Seq[String] = EnStop)
+      : org.apache.spark.sql.DataFrame = {
+    require(requiredStop.nonEmpty, "requiredStop must not be empty")
+    require(minTokens <= maxTokens, "minTokens must be <= maxTokens")
+    // tokens staged as a real attribute (withLangId precedent): inlined,
+    // each conditional branch would re-run the split per reference
+    val out = df
+      .withColumn("__toks",
+        when(col(textCol).isNotNull, tokens(col(textCol))))
+      .withColumn("n_tokens",
+        coalesce(size(col("__toks")).cast("long"), lit(0L)))
+      .withColumn("mean_tok_len",
+        when(col("n_tokens") > 0,
+          length(regexp_replace(trim(col(textCol)), "\\s+", ""))
+            .cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("alpha_frac",
+        when(col("n_tokens") > 0,
+          size(filter(col("__toks"), t => t.rlike("[a-zA-Z]")))
+            .cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("stop_hits",
+        requiredStop.distinct.sorted.map(w =>
+            when(coalesce(array_contains(col("__toks"), w), lit(false)),
+              lit(1L)).otherwise(lit(0L)))
+          .reduce(_ + _))
+    out
+      .withColumn("gopher_pass",
+        col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
+          col("mean_tok_len") >= minMeanTokLen &&
+          col("mean_tok_len") <= maxMeanTokLen &&
+          col("alpha_frac") >= minAlphaFrac &&
+          col("stop_hits") >= minStopHits)
+      .drop("__toks")
+  }
+
+  /** HTML boilerplate strip (X5 ingestion hygiene): drop script/style
+    * blocks and comments, replace every remaining tag with a space,
+    * decode the common entities, collapse whitespace. The regexes live
+    * in the Java-regex/RE2 common subset (no lookarounds, no
+    * backreferences — script and style close-tags are spelled out
+    * rather than back-referenced) so the DuckDB oracle replays the
+    * exact chain. Entity order is load-bearing: `&amp;` decodes LAST,
+    * else `&amp;lt;` would double-decode to `<`. Pure projection —
+    * codegen'd, zero shuffle, sits at the scan. */
+  def stripHtml(text: Column): Column = {
+    val noScript =
+      regexp_replace(text, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ")
+      .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    val amp = regexp_replace(decoded, "&amp;", "&")
+    trim(regexp_replace(amp, "\\s+", " "))
+  }
+
   /** Document fingerprint: MD5 of whitespace-normalized lowercase text.
     * The exact-dedup key (X1). */
   def fingerprint(text: Column): Column =

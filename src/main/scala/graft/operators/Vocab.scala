@@ -201,4 +201,57 @@ object Vocab {
         col("term"), col("score"))
       .filter(col("rank") <= k)
   }
+
+  /** The corpus's top-`n` terms by collection frequency (ties broken by
+    * term, so the cutoff is deterministic), collected to the driver.
+    *
+    * This IS a driver collect — deliberately: the result is bounded at
+    * `n` strings (a KB-scale codebook, like the PQ/k-means centroids),
+    * and shipping it as literals lets [[withOovRate]] score the corpus
+    * in a pure scan projection with zero joins. The vocabulary
+    * AGGREGATION is fully distributed; only the top-`n` rows land on
+    * the driver. */
+  def topTerms(df: DataFrame, idCol: String, textCol: String,
+      n: Int): Seq[String] = {
+    require(n >= 1, s"topTerms: n must be >= 1, got $n")
+    vocabulary(df, idCol, textCol, minDf = 1)
+      .orderBy(col("tf_total").desc, col("term").asc)
+      .limit(n)
+      .select(col("term"))
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  /** Per-doc out-of-vocabulary rate against a driver-known vocabulary
+    * (X5 quality signal: a high OOV fraction against the corpus's own
+    * head vocabulary flags gibberish, lang-ID misses, and encoding
+    * damage — the CCNet/fastText-era cheap filter). Counts token
+    * OCCURRENCES, not distinct types.
+    *
+    * Output adds `n_tokens`, `n_oov`, `oov_rate` (integer-ratio double,
+    * engine-bit-identical; 0.0 for empty/null text — an empty doc has
+    * no out-of-vocabulary MASS, gate on `n_tokens` if empties should
+    * die).
+    *
+    * Scale shape: the vocab ships as literals inside the native
+    * [[graft.functions.CountInSet]] probe ([[stopwordCount]]'s
+    * expression) — one scan, zero joins, zero exchanges. Pair with
+    * [[topTerms]] for the self-trained form. */
+  def withOovRate(df: DataFrame, textCol: String, vocab: Seq[String])
+      : DataFrame = {
+    require(vocab.nonEmpty, "withOovRate: vocab must not be empty")
+    df.withColumn("__toks",
+        when(col(textCol).isNotNull,
+          TextAnalysis.tokens(col(textCol))))
+      .withColumn("n_tokens",
+        coalesce(size(col("__toks")).cast("long"), lit(0L)))
+      .withColumn("n_oov",
+        when(col("n_tokens") > 0, col("n_tokens") -
+          TextAnalysis.stopwordCount(col("__toks"), vocab))
+          .otherwise(lit(0L)))
+      .withColumn("oov_rate",
+        when(col("n_tokens") > 0,
+          col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)))
+      .drop("__toks")
+  }
 }

@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Decontaminate, Dedup, Quantize, Similarity}
+
+/** Round-7 operators: repeated-span removal (exact substring dedup),
+  * fuzzy MinHash decontamination, prefix-dimension two-stage serving. */
+class FuzzyAndServingSpec extends TestBase {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toSeq.toDF("doc_id", "text")
+
+  // ---------- removeRepeatedSpans ------------------------------------------
+
+  test("repeated spans: shared gram stripped, rest kept in order") {
+    val out = Dedup.removeRepeatedSpans(docs(
+        1L -> "a b c d e",
+        2L -> "x a b c y",
+        3L -> "p q r s t"),
+      "doc_id", "text", n = 3, minDocs = 2)
+    val byId = out.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+        r.getAs[String]("clean_text"))).toMap
+    // "a b c" occurs in docs 1 and 2 -> its 3 positions vanish from both
+    assert(byId(1L) == ((5L, 3L, "d e")), s"got ${byId(1L)}")
+    assert(byId(2L) == ((5L, 3L, "x y")), s"got ${byId(2L)}")
+    assert(byId(3L) == ((5L, 0L, "p q r s t")), "untouched doc intact")
+  }
+
+  test("repeated spans: full strip to empty, null text, short doc") {
+    val out = Dedup.removeRepeatedSpans(
+      docs(1L -> "a b c", 2L -> "a b c", 3L -> "t u")
+        .union(Seq((4L, null: String)).toDF("doc_id", "text")),
+      "doc_id", "text", n = 3, minDocs = 2)
+    val byId = out.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+        r.getAs[String]("clean_text"))).toMap
+    assert(byId(1L) == ((3L, 3L, "")), "exact dup strips to empty string")
+    assert(byId(2L) == ((3L, 3L, "")))
+    assert(byId(3L) == ((2L, 0L, "t u")), "sub-gram doc untouched")
+    assert(byId(4L) == ((0L, 0L, null)), "null text passes through null")
+  }
+
+  test("repeated spans: IN-doc repetition alone does not trigger") {
+    val out = Dedup.removeRepeatedSpans(
+      docs(1L -> "a b c a b c", 2L -> "z z z z"),
+      "doc_id", "text", n = 3, minDocs = 2)
+    val byId = out.collect().map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Long]("n_removed")).toMap
+    assert(byId(1L) == 0L, "df counts DISTINCT docs, not occurrences")
+    assert(byId(2L) == 0L)
+  }
+
+  test("repeated spans: corpus text never enters an exchange") {
+    val out = Dedup.removeRepeatedSpans(
+      docs(1L -> "a b c d", 2L -> "a b c e"), "doc_id", "text",
+      n = 3, minDocs = 2)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    // every Exchange's output carries grams, ids, or positions — the
+    // reassembly join reads __toks from the post-shuffle SCAN side
+    val exchanges = plan.split("\n").filter(_.contains("Exchange"))
+    assert(!exchanges.exists(_.contains("__toks")),
+      s"token arrays must not shuffle:\n$plan")
+  }
+
+  // ---------- fuzzyOverlap -------------------------------------------------
+
+  private val benchText =
+    "the quick brown fox jumps over the lazy dog near the old river bank today"
+
+  test("fuzzy decon: exact copy 1.0, near copy flagged, disjoint clean") {
+    val bench = docs(900L -> benchText)
+    val corpus = docs(
+      1L -> benchText, // exact copy: jaccard 1.0
+      2L -> benchText.split(" ").dropRight(1).mkString(" "), // near copy
+      3L -> "completely different words about completely other things here",
+      4L -> "so tiny") // below shingle length -> no signature
+    val out = Decontaminate.fuzzyOverlap(corpus, "doc_id", "text",
+      bench, "doc_id", "text", flagAt = 0.5)
+    val byId = out.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Double]("best_jaccard"), r.getAs[Long]("n_bench_matches"),
+        r.getAs[Boolean]("contaminated"))).toMap
+    assert(byId(1L) == ((1.0, 1L, true)), s"got ${byId(1L)}")
+    assert(byId(2L)._1 > 0.5 && byId(2L)._1 < 1.0 && byId(2L)._3,
+      s"near copy must verify above 0.5: ${byId(2L)}")
+    assert(byId(3L) == ((0.0, 0L, false)), s"got ${byId(3L)}")
+    assert(byId(4L) == ((0.0, 0L, false)), "sub-shingle doc never matches")
+    assert(out.count() == 4, "every corpus doc appears in the verdict")
+  }
+
+  test("fuzzy decon: band multiplicity does not inflate match counts") {
+    // an exact copy collides in ALL bands; n_bench_matches must still be 1
+    val out = Decontaminate.fuzzyOverlap(
+      docs(1L -> benchText), "doc_id", "text",
+      docs(900L -> benchText), "doc_id", "text")
+    val r = out.head()
+    assert(r.getAs[Long]("n_bench_matches") == 1L)
+    assert(r.getAs[Double]("best_jaccard") == 1.0)
+  }
+
+  test("fuzzy decon: bench side broadcasts, corpus side never does") {
+    val out = Decontaminate.fuzzyOverlap(
+      docs(1L -> benchText), "doc_id", "text",
+      docs(900L -> benchText), "doc_id", "text")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast band probe:\n$plan")
+  }
+
+  // ---------- prefixTopK ---------------------------------------------------
+
+  private def vecs(n: Int, dim: Int) = {
+    // deterministic synthetic embeddings
+    (0 until n).map { i =>
+      (i.toLong, (0 until dim).map(j =>
+        math.sin(i * 31 + j * 7).toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("prefixTopK with full-corpus shortlist IS exact cosineTopK") {
+    val emb = vecs(30, 16)
+    val exact = Similarity.cosineTopK(
+      emb.filter(col("vec_id") < 3), emb, "vec_id", "embedding", k = 5)
+    val pref = Quantize.prefixTopK(
+      emb.filter(col("vec_id") < 3), emb, "vec_id", "embedding",
+      dPrefix = 4, k = 5, shortlist = 30)
+    // the shortlist covers the whole corpus, so the exact re-rank sees
+    // every candidate -> results must be bit-identical to the exact path
+    val a = exact.orderBy("query_id", "rank").collect().toSeq
+    val b = pref.orderBy("query_id", "rank").collect().toSeq
+    assert(a == b, s"exact=$a\nprefix=$b")
+  }
+
+  test("prefixTopK returns k rows per query with a tight shortlist") {
+    val emb = vecs(40, 16)
+    val out = Quantize.prefixTopK(emb.filter(col("vec_id") < 2), emb,
+      "vec_id", "embedding", dPrefix = 8, k = 3, shortlist = 10)
+    val counts = out.groupBy("query_id").count()
+      .collect().map(_.getLong(1)).toSeq
+    assert(counts == Seq(3L, 3L), s"got $counts")
+  }
+
+  test("prefixTopK raises loudly on null vectors and short vectors") {
+    val bad = Seq((0L, null: Array[Float]), (1L, Array(1f, 2f)))
+      .toDF("vec_id", "embedding")
+    val good = vecs(5, 8)
+    val e1 = intercept[Exception] {
+      Quantize.prefixTopK(bad.filter(col("vec_id") === 0L), good,
+        "vec_id", "embedding", dPrefix = 4, k = 1).collect()
+    }
+    assert(e1.getMessage.contains("null vector"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      Quantize.prefixTopK(bad.filter(col("vec_id") === 1L), good,
+        "vec_id", "embedding", dPrefix = 4, k = 1).collect()
+    }
+    assert(e2.getMessage.contains("shorter than dPrefix"), e2.getMessage)
+  }
+
+  test("prefixTopK raises on a null element inside the prefix") {
+    val bad = Seq((0L, Array[java.lang.Float](1f, null, 3f, 4f)))
+      .toDF("vec_id", "embedding")
+    val good = vecs(5, 4)
+    val e = intercept[Exception] {
+      Quantize.prefixTopK(bad, good, "vec_id", "embedding",
+        dPrefix = 4, k = 1).collect()
+    }
+    assert(e.getMessage.contains("null element inside the prefix"),
+      e.getMessage)
+  }
+}

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{TextAnalysis, Vocab}
+
+/** Round-7 text-quality operators: Gopher-rules composite gate, OOV rate
+  * against a driver vocabulary, HTML boilerplate strip. */
+class TextQualitySpec extends TestBase {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toSeq.toDF("doc_id", "text")
+
+  // ---------- Gopher rules -------------------------------------------------
+
+  test("gopher gate: passing doc, short doc, no-stopword doc, symbol doc") {
+    val passing = (1 to 60).map(i => s"word$i").mkString(
+      "the quick a ", " ", "") // 63 tokens, has 'the' and 'a'
+    val noStop = (1 to 60).map(i => s"word$i").mkString(" ") // no stopwords
+    val symbols = "the a " + (1 to 60).map(_ => "###").mkString(" ")
+    val df = TextAnalysis.withGopherQuality(
+      docs(1L -> passing, 2L -> "the a tiny doc", 3L -> noStop,
+        4L -> symbols),
+      "text", minTokens = 50, maxTokens = 100000)
+    val byId = df.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_tokens"), r.getAs[Long]("stop_hits"),
+        r.getAs[Double]("alpha_frac"), r.getAs[Boolean]("gopher_pass"))).toMap
+    assert(byId(1L)._1 == 63L && byId(1L)._2 == 2L && byId(1L)._4,
+      s"doc 1 should pass: ${byId(1L)}")
+    assert(!byId(2L)._4, "short doc must fail the token floor")
+    assert(byId(3L)._2 == 0L && !byId(3L)._4,
+      "doc without required stopwords must fail")
+    // 60 of 62 tokens are pure symbols -> alpha_frac far below 0.8
+    assert(byId(4L)._3 < 0.1 && !byId(4L)._4,
+      s"symbol doc must fail alpha_frac: ${byId(4L)}")
+  }
+
+  test("gopher gate: mean token length bounds and null text") {
+    val short = (1 to 60).map(_ => "a b c").mkString(" ") // mean len 1
+    val df = TextAnalysis.withGopherQuality(
+      docs(1L -> short).union(Seq((2L, null: String))
+        .toDF("doc_id", "text")),
+      "text", minTokens = 50)
+    val byId = df.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_tokens"), r.getAs[Double]("mean_tok_len"),
+        r.getAs[Boolean]("gopher_pass"))).toMap
+    assert(byId(1L)._2 == 1.0 && !byId(1L)._3,
+      "1-char tokens must fail the mean-length floor")
+    assert(byId(2L) == ((0L, 0.0, false)),
+      "null text scores zeros and fails")
+  }
+
+  test("gopher gate is a pure projection — no exchange in the plan") {
+    val df = TextAnalysis.withGopherQuality(
+      docs(1L -> "the a few words here"), "text")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"expected scan-only plan:\n$p")
+  }
+
+  // ---------- OOV rate -----------------------------------------------------
+
+  test("oov rate: hand-checked counts, null text, empty-vocab refusal") {
+    val df = Vocab.withOovRate(
+      docs(1L -> "a b c c", 2L -> "a a a a")
+        .union(Seq((3L, null: String)).toDF("doc_id", "text")),
+      "text", vocab = Seq("a", "b"))
+    val byId = df.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+        r.getAs[Double]("oov_rate"))).toMap
+    assert(byId(1L) == ((4L, 2L, 0.5)))
+    assert(byId(2L) == ((4L, 0L, 0.0)))
+    assert(byId(3L) == ((0L, 0L, 0.0)), "null text has no OOV mass")
+    intercept[IllegalArgumentException] {
+      Vocab.withOovRate(docs(1L -> "x"), "text", vocab = Seq.empty)
+    }
+  }
+
+  test("topTerms: frequency order with deterministic term tie-break") {
+    // freq: b=3, a=2, c=2, d=1 -> top-3 cutoff tie (a,c both 2) resolves
+    // lexicographically, d never enters
+    val terms = Vocab.topTerms(
+      docs(1L -> "b b a c", 2L -> "b a c d"), "doc_id", "text", n = 3)
+    assert(terms == Seq("b", "a", "c"), s"got $terms")
+  }
+
+  test("oov scoring is a zero-join scan projection") {
+    val df = Vocab.withOovRate(docs(1L -> "a b"), "text", Seq("a"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"expected scan-only plan:\n$p")
+  }
+
+  // ---------- HTML strip ---------------------------------------------------
+
+  test("stripHtml: script/style/comment blocks, tags, entities, order") {
+    val html = "<html><head><SCRIPT src=\"x.js\">var a = 1 < 2;</SCRIPT>" +
+      "<style>p\n{ color: red; }</style></head><body>" +
+      "<!-- multi\nline comment --><p class=\"x\">Tom &amp; Jerry</p>" +
+      "<br/>say &quot;hi&quot; &#39;there&#39; &lt;3</body></html>"
+    val out = docs(1L -> html)
+      .select(TextAnalysis.stripHtml(col("text")).as("t"))
+      .as[String].head()
+    assert(out == "Tom & Jerry say \"hi\" 'there' <3", s"got: '$out'")
+  }
+
+  test("stripHtml decodes &amp; LAST — no double decode") {
+    // '&amp;lt;' must become the literal text '&lt;', never '<'
+    val out = docs(1L -> "x &amp;lt; y")
+      .select(TextAnalysis.stripHtml(col("text")).as("t"))
+      .as[String].head()
+    assert(out == "x &lt; y", s"got: '$out'")
+  }
+
+  test("stripHtml round-trips wrapped text and collapses whitespace") {
+    val text = "some   real\ttext with  runs"
+    val out = docs(1L -> s"<div><p>$text</p>\n<hr/></div>")
+      .select(TextAnalysis.stripHtml(col("text")).as("t"))
+      .as[String].head()
+    assert(out == "some real text with runs", s"got: '$out'")
+  }
+}
