@@ -552,8 +552,11 @@ object Dedup {
     * text. (3) Reassembly joins those lists back to a second scan of
     * the corpus and filters tokens in ONE projection: per token an
     * `exists` probe over the doc's own covered-start list (bounded by
-    * its gram count; boilerplate-scale lists are tiny). Two corpus
-    * scans total; no corpus-text exchange anywhere. */
+    * its gram count; boilerplate-scale lists are tiny). Three scans of
+    * the (id, text) columns total — the gram projection feeds both the
+    * frequency count and the covered-start semi-join and is recomputed
+    * rather than cached (cheaper than exchanging the full gram table);
+    * no corpus-text exchange anywhere. */
   def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int, minDocs: Int = 2): DataFrame = {
     require(n >= 1 && minDocs >= 2,
