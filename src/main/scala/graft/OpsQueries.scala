@@ -2745,6 +2745,88 @@ object OpsQueries {
              |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
              |    ORDER BY score DESC, corpus_id) AS BIGINT) AS rnk FROM rr)
              |SELECT query_id, corpus_id, score, rnk FROM r2
-             |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin))
+             |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)),
+
+    // ----- X5 BPE tokenizer training ----------------------------------------
+    // Sennrich-style merge learning over the corpus's word-frequency
+    // table; the oracle replays all 10 merge iterations as a GENERATED
+    // CTE chain — per layer: pair counts, the (freq DESC, lhs, rhs)
+    // argmax, and the same greedy left-to-right list_reduce fold the
+    // Spark side applies. All integer/string arithmetic: exact.
+    "q107_bpe_train" -> Entry(
+      (s, dir) => {
+        val merges = Vocab.bpeTrain(t(s, dir, "documents"), "text",
+          numMerges = 10)
+        s.createDataFrame(merges)
+          .select(col("merge_rank"), col("lhs"), col("rhs"), col("freq"))
+          .orderBy("merge_rank")
+      },
+      Some(bpeOracleSql(10))),
+
+    // ----- X5 trained-tokenizer budget estimation ---------------------------
+    // Subword counts under the LEARNED merges (q107's training replayed,
+    // then the per-word segmentation cache joined against the corpus
+    // token stream) — the real token-cost number, where q38's regex
+    // count is the untrained approximation.
+    "q108_bpe_tokens_trained" -> Entry(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val merges = Vocab.bpeTrain(docs, "text", numMerges = 10)
+        Vocab.withBpeTokenCount(docs, "doc_id", "text", merges)
+          .orderBy("doc_id")
+      },
+      Some {
+        // concatenate, never re-stripMargin a string with the chain
+        // interpolated (its `|| ['</w>']` line would lose a pipe to the
+        // second margin strip)
+        val tail =
+          s"""tokd AS (SELECT doc_id, unnest($TOKS) AS word
+             |  FROM documents),
+             |tok AS (SELECT doc_id, word FROM tokd WHERE word <> '')
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+             |  CAST(SUM(len(syms)) AS BIGINT) AS n_bpe_tokens
+             |FROM tok JOIN w10 USING (word)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        s"WITH ${bpeChainSql(10)},\n$tail"
+      })
   )
+
+  /** Generated DuckDB twin of `Vocab.bpeTrain(numMerges = k)` as a CTE
+    * chain ending in segmentation `w_k`: layer r derives pair counts
+    * `p_r` from `w_{r-1}`, picks the deterministic argmax `m_r`, and
+    * re-segments into `w_r` with the same leading-space greedy fold the
+    * Spark expression runs. */
+  private def bpeChainSql(k: Int): String = {
+    val init =
+      s"""w0 AS (SELECT word, cnt,
+         |  [substr(word, i, 1) FOR i IN generate_series(1, len(word))]
+         |    || ['</w>'] AS syms
+         |  FROM (SELECT t AS word, COUNT(*) AS cnt
+         |    FROM (SELECT unnest($TOKS) AS t FROM documents)
+         |    WHERE t <> '' GROUP BY t))""".stripMargin
+    val layers = (1 to k).map { r =>
+      s"""p$r AS (SELECT syms[i] AS lhs, syms[i+1] AS rhs,
+         |    SUM(cnt) AS freq
+         |  FROM w${r - 1}, unnest(CASE WHEN len(syms) >= 2
+         |    THEN generate_series(1, len(syms)-1) ELSE [] END) AS u(i)
+         |  GROUP BY 1, 2),
+         |m$r AS (SELECT lhs, rhs, freq FROM p$r
+         |  ORDER BY freq DESC, lhs, rhs LIMIT 1),
+         |w$r AS (SELECT word, cnt, string_split(substr(
+         |    list_reduce([''] || syms, (acc, ch) -> CASE
+         |      WHEN ch = m$r.rhs AND ends_with(acc, ' ' || m$r.lhs)
+         |      THEN left(acc, len(acc) - len(m$r.lhs)) || m$r.lhs || m$r.rhs
+         |      ELSE acc || ' ' || ch END), 2), ' ') AS syms
+         |  FROM w${r - 1}, m$r)""".stripMargin
+    }
+    s"$init,\n${layers.mkString(",\n")}"
+  }
+
+  /** [[bpeChainSql]] finished with the merge-table select (q107). */
+  private def bpeOracleSql(k: Int): String = {
+    val sel = (1 to k).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_rank, lhs, rhs, " +
+        s"CAST(freq AS BIGINT) AS freq FROM m$r").mkString("\nUNION ALL\n")
+    s"WITH ${bpeChainSql(k)}\n$sel\nORDER BY merge_rank"
+  }
 }

@@ -221,6 +221,138 @@ object Vocab {
       .collect().map(_.getString(0)).toSeq
   }
 
+  /** One learned BPE merge: at `merge_rank`, the adjacent symbol pair
+    * (`lhs`, `rhs`) with the highest corpus frequency (`freq`) was fused
+    * into the new symbol `lhs+rhs`. */
+  case class BpeMerge(merge_rank: Long, lhs: String, rhs: String,
+    freq: Long)
+
+  /** Distributed BPE vocabulary training (Sennrich et al. 2016): learn
+    * `numMerges` byte-pair merges from the corpus — the tokenizer-
+    * training step of every LLM data pipeline, run as Spark jobs.
+    *
+    * Architecture (the real one): the CORPUS is touched exactly once —
+    * one token-keyed shuffle builds the word-frequency table — and all
+    * merge iterations run over that vocab-sized table (Sennrich's own
+    * formulation trains on word counts, not running text). Each
+    * iteration is (a) a pair-count aggregation over the persisted
+    * symbol table, (b) a 1-row argmax collect (KB — the codebook
+    * precedent), (c) one fold projection applying the merge; the
+    * re-segmented table is re-persisted so iteration r never replays
+    * folds 1..r-1. At 32k production merges the documented extension is
+    * merge BATCHING (apply the top-M non-conflicting pairs per round);
+    * the per-iteration complexity class — O(vocab), never O(corpus) —
+    * is already right.
+    *
+    * Merge application is a single left-to-right greedy fold per word
+    * (string accumulator with a leading-space symbol-boundary
+    * convention), bit-identical to the DuckDB oracle's `list_reduce`:
+    * "a a a a" under merge (a,a) becomes [aa, aa], never the
+    * string-replace trap [aa, a, a]. Ties in the argmax break on
+    * (freq DESC, lhs, rhs) — deterministic on both engines. All
+    * arithmetic is integer/string: fully oracle-exact.
+    *
+    * Words segment as their code points plus a terminal `</w>` marker
+    * (the Sennrich end-of-word convention, so "low" the word and "low"
+    * the prefix of "lower" learn different merges). Returns the learned
+    * merges in rank order; stops early if the pair space is exhausted. */
+  def bpeTrain(df: DataFrame, textCol: String, numMerges: Int)
+      : Seq[BpeMerge] = {
+    require(numMerges >= 1,
+      s"bpeTrain: numMerges must be >= 1, got $numMerges")
+    val wc = df
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    var seg = wc.select(col("word"), col("cnt"),
+      concat(split(col("word"), ""), array(lit("</w>"))).as("syms"))
+      .persist()
+    seg.count()
+    val out = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    var r = 1L
+    var exhausted = false
+    while (r <= numMerges && !exhausted) {
+      val top = seg
+        .select(col("cnt"), explode(zip_with(
+          slice(col("syms"), lit(1), greatest(size(col("syms")) - 1, lit(0))),
+          slice(col("syms"), lit(2), greatest(size(col("syms")) - 1, lit(0))),
+          (x, y) => struct(x.as("lhs"), y.as("rhs")))).as("p"))
+        .select(col("cnt"), col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .groupBy("lhs", "rhs").agg(sum("cnt").as("freq"))
+        .orderBy(desc("freq"), asc("lhs"), asc("rhs"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val lhs: String = top(0).getString(0)
+        val rhs: String = top(0).getString(1)
+        val f: Long = top(0).getLong(2)
+        out += BpeMerge(r, lhs, rhs, f)
+        val next = seg
+          .withColumn("syms", applyMerge(col("syms"), lhs, rhs))
+          .persist()
+        next.count()
+        seg.unpersist()
+        seg = next
+        r += 1
+      }
+    }
+    seg.unpersist()
+    out.toSeq
+  }
+
+  /** Left-to-right greedy application of ONE merge to a symbol array.
+    * The accumulator is the space-joined symbol string with a leading
+    * space per symbol (so the `endsWith(" " + lhs)` boundary test can
+    * never match inside a symbol); symbols are whitespace-tokenized and
+    * so never contain spaces themselves. */
+  private def applyMerge(syms: Column, lhs: String, rhs: String): Column = {
+    val folded = aggregate(syms, lit(""), (acc, s) =>
+      when(s === lit(rhs) && acc.endsWith(lit(" " + lhs)),
+        concat(substr(acc, lit(1), length(acc) - lit(lhs.length)),
+          lit(lhs + rhs)))
+        .otherwise(concat(acc, lit(" "), s)))
+    split(substr(folded, lit(2), length(folded)), " ")
+  }
+
+  /** Segment a word column with learned merges, applied in rank order —
+    * the serving side of [[bpeTrain]] (a chain of `merges.size` fold
+    * projections; pure scan-level expression, zero shuffles). Returns
+    * the subword symbol array including the `</w>` terminal. */
+  def bpeSegment(word: Column, merges: Seq[BpeMerge]): Column =
+    merges.sortBy(_.merge_rank)
+      .foldLeft(concat(split(word, ""), array(lit("</w>")))) {
+        case (c, m) => applyMerge(c, m.lhs, m.rhs)
+      }
+
+  /** Trained-tokenizer budget estimation (X5): per-doc subword count
+    * under the merges [[bpeTrain]] learned — the real "how many tokens
+    * will this corpus cost" number, where [[TextAnalysis.bpeTokenCount]]
+    * is the untrained regex approximation.
+    *
+    * Serving shape (the one real tokenizers use): segment the
+    * DISTINCT-WORD table once — `merges.size` fold projections over
+    * O(vocab) rows — then join corpus tokens against that per-word
+    * segmentation cache. Exchanges: one word-keyed (distinct + join),
+    * one doc-keyed (the count); the fold chain never runs per
+    * occurrence. Docs with no tokens (null/empty text) are absent, the
+    * [[bigramLogProb]] convention.
+    *
+    * Output: `doc_id`, `n_words`, `n_bpe_tokens` (includes one `</w>`
+    * terminal per word). */
+  def withBpeTokenCount(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[BpeMerge]): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+    val wordSeg = toks.select(col("word")).distinct()
+      .select(col("word"),
+        size(bpeSegment(col("word"), merges)).as("n_sub"))
+    toks.join(wordSeg, Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum("n_sub").cast("long").as("n_bpe_tokens"))
+  }
+
   /** Per-doc out-of-vocabulary rate against a driver-known vocabulary
     * (X5 quality signal: a high OOV fraction against the corpus's own
     * head vocabulary flags gibberish, lang-ID misses, and encoding

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Vocab
+
+/** Round-7: distributed BPE tokenizer training. */
+class BpeSpec extends TestBase {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toSeq.toDF("doc_id", "text")
+
+  test("bpeTrain learns the classic Sennrich merges, ties broken by pair") {
+    // counts: low:3, lower:1, newest:2
+    val corpus = docs(
+      1L -> "low low low",
+      2L -> "lower",
+      3L -> "newest newest")
+    val merges = Vocab.bpeTrain(corpus, "text", numMerges = 4)
+      .map(m => (m.merge_rank, m.lhs, m.rhs, m.freq))
+    // rank 1: (l,o) and (o,w) tie at 4 -> lhs order picks (l,o)
+    // rank 4: six pairs tie at 2 -> (e,s) wins on (lhs, rhs) order
+    assert(merges == Seq(
+      (1L, "l", "o", 4L),
+      (2L, "lo", "w", 4L),
+      (3L, "low", "</w>", 3L),
+      (4L, "e", "s", 2L)), s"got $merges")
+  }
+
+  test("bpeSegment applies learned merges in rank order") {
+    val corpus = docs(
+      1L -> "low low low", 2L -> "lower", 3L -> "newest newest")
+    val merges = Vocab.bpeTrain(corpus, "text", numMerges = 4)
+    val seg = docs(1L -> "unused")
+      .select(Vocab.bpeSegment(lit("lowest"), merges).as("s"))
+      .as[Seq[String]].head()
+    assert(seg == Seq("low", "es", "t", "</w>"), s"got $seg")
+  }
+
+  test("merge application is greedy left-to-right, non-overlapping") {
+    // (a,a) over 'aaaa' must give [aa, aa, </w>], never [aa, a, a, </w>];
+    // the follow-up merge then fuses aa+</w> (ASCII '<' sorts before 'a')
+    val merges = Vocab.bpeTrain(docs(1L -> "aaaa"), "text", numMerges = 2)
+      .map(m => (m.lhs, m.rhs, m.freq))
+    assert(merges == Seq(("a", "a", 3L), ("aa", "</w>", 1L)), s"got $merges")
+  }
+
+  test("bpeTrain stops early when the pair space is exhausted") {
+    val merges = Vocab.bpeTrain(docs(1L -> "a b"), "text", numMerges = 5)
+    assert(merges.map(m => (m.lhs, m.rhs)) ==
+      Seq(("a", "</w>"), ("b", "</w>")), s"got $merges")
+    assert(merges.size == 2, "no phantom merges after exhaustion")
+  }
+
+  test("withBpeTokenCount: hand-checked subword budget under merges") {
+    val corpus = docs(
+      1L -> "low low low", 2L -> "lower", 3L -> "newest newest")
+    val merges = Vocab.bpeTrain(corpus, "text", numMerges = 4)
+    // merges: (l,o) (lo,w) (low,</w>) (e,s) ->
+    //   low -> [low</w>] (1), lower -> [low,e,r,</w>] (4),
+    //   newest -> [n,e,w,es,t,</w>] (6)
+    val out = Vocab.withBpeTokenCount(corpus, "doc_id", "text", merges)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 3L, 3L), (2L, 1L, 4L), (3L, 2L, 12L)),
+      s"got $out")
+  }
+
+  test("the corpus shuffles once — merges iterate the word table only") {
+    val corpus = docs(1L -> "low low lower", 2L -> "low newest")
+    // behavioral stand-in for a plan pin (the loop runs many jobs): the
+    // word-frequency table the iterations see is word-keyed, so a
+    // corpus with duplicate words across docs collapses before any
+    // merge work happens — assert via the freq of the first merge,
+    // which counts WORD occurrences, not documents
+    val merges = Vocab.bpeTrain(corpus, "text", numMerges = 1)
+    assert(merges.head.freq == 4L, // (l,o): low x3 + lower x1
+      s"pair counts must weight by word frequency: ${merges.head}")
+  }
+}

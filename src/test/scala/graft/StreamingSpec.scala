@@ -319,6 +319,24 @@ class StreamingSpec extends TestBase {
       .collect().sorted.toSeq == Seq(1L, 4L))
   }
 
+  test("gopher gate composes on a stream (pure projection, no state)") {
+    val dir = tmpDir().toString
+    val passTxt = "the a " + (1 to 60).map(i => s"word$i").mkString(" ")
+    Seq((1L, passTxt), (2L, "the a too short"))
+      .toDF("doc_id", "text").write.mode("append").parquet(dir)
+    val stream = spark.readStream
+      .schema(Seq.empty[(Long, String)].toDF("doc_id", "text").schema)
+      .parquet(dir)
+    val q = graft.operators.TextAnalysis
+      .withGopherQuality(stream, "text", minTokens = 50)
+      .filter(col("gopher_pass")).select("doc_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gopher_stream").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("gopher_stream").as[Long].collect().toSeq ==
+      Seq(1L))
+  }
+
   test("stateless corpus ops (sampling, redaction) compose on streams") {
     // Sampling and PII redaction are pure projections/filters, so the
     // same library calls run unchanged on a streaming DataFrame — the
