@@ -31,6 +31,12 @@ object Bench {
     Option(new java.io.File(sfDir).listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".parquet"))
       .foreach(f => spark.read.parquet(f.toString).schema)
+    // load_start is read BEFORE the warm-up: /proc/loadavg's 1-minute
+    // average decays over ~60 s, so reading it after two heavy warm-up
+    // queries would bill the bench's own CPU to the ambient-load signal
+    // and make BASELINE.md's contention triage over-attribute real
+    // regressions to contention
+    val loadStart = readLoadAvg()
     // warm-up: run a scan-heavy agg and a broadcast join from the catalog
     // UNTIMED through the same noop sink, so one-time Janino codegen /
     // JIT / parquet-reader classloading lands outside the measured loop.
@@ -43,8 +49,6 @@ object Bench {
         catch { case _: Throwable => () }
       }
     }
-
-    val loadStart = readLoadAvg()
     var errors = List.empty[(String, String)]
     var failedSecs = 0.0
     // name order, not hash-map order: per-query timings stay comparable

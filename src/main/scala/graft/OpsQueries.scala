@@ -2371,8 +2371,8 @@ object OpsQueries {
       },
       Some("""WITH r AS (SELECT doc_id, source,
              |  percent_rank() OVER (PARTITION BY source
-             |    ORDER BY n_chars ASC NULLS FIRST, doc_id) AS p
-             |  FROM documents)
+             |    ORDER BY n_chars ASC, doc_id) AS p
+             |  FROM documents WHERE n_chars IS NOT NULL)
              |SELECT doc_id, source FROM r WHERE p >= 0.75
              |ORDER BY doc_id""".stripMargin)),
 
@@ -2466,9 +2466,10 @@ object OpsQueries {
              |  GROUP BY 1),
              |ta AS (SELECT CAST(SUM(n_a) AS DOUBLE) AS ta FROM ha),
              |tb AS (SELECT CAST(SUM(n_b) AS DOUBLE) AS tb FROM hb),
-             |j AS (SELECT COALESCE(ha.bin, hb.bin) AS bin,
+             |sp AS (SELECT unnest(generate_series(0, 7)) AS bin),
+             |j AS (SELECT sp.bin,
              |    COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
-             |  FROM ha FULL OUTER JOIN hb ON ha.bin = hb.bin)
+             |  FROM sp LEFT JOIN ha USING (bin) LEFT JOIN hb USING (bin))
              |SELECT bin, n_a, n_b,
              |  greatest(n_a / ta, 1e-6) AS share_a,
              |  greatest(n_b / tb, 1e-6) AS share_b,
@@ -2691,9 +2692,12 @@ object OpsQueries {
               |o AS (SELECT doc_id, COUNT(*) AS n_kept,
               |    string_agg(t, ' ' ORDER BY p) AS clean_text
               |  FROM kept GROUP BY doc_id)
-              |SELECT tk.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
-              |  CAST(len(w) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
-              |  COALESCE(o.clean_text, '') AS clean_text
+              |SELECT tk.doc_id,
+              |  CAST(COALESCE(len(w), 0) AS BIGINT) AS n_tokens,
+              |  CAST(COALESCE(len(w), 0) - COALESCE(n_kept, 0) AS BIGINT)
+              |    AS n_removed,
+              |  CASE WHEN w IS NULL THEN NULL
+              |    ELSE COALESCE(o.clean_text, '') END AS clean_text
               |FROM tk LEFT JOIN o USING (doc_id)
               |ORDER BY doc_id""".stripMargin)),
 
@@ -2795,24 +2799,36 @@ object OpsQueries {
     * chain ending in segmentation `w_k`: layer r derives pair counts
     * `p_r` from `w_{r-1}`, picks the deterministic argmax `m_r`, and
     * re-segments into `w_r` with the same leading-space greedy fold the
-    * Spark expression runs. */
+    * Spark expression runs. An exhausted pair table emits a NULL
+    * sentinel from `m_r` (the fold's `ch = NULL` condition never
+    * fires), so `w_r` stays `w_{r-1}` instead of the cross join
+    * emptying every later layer — mirroring `bpeTrain`'s early stop. */
   private def bpeChainSql(k: Int): String = {
+    // AS MATERIALIZED is load-bearing: DuckDB inlines CTEs by default,
+    // and every layer references w_{r-1} twice (pair counts + the
+    // re-segmentation), so inlining doubles the expression tree per
+    // layer — 2^k scans of the documents parquet at k=10, which
+    // exhausted the harness's file descriptors before it exhausted
+    // patience. Materialization makes the chain linear.
     val init =
-      s"""w0 AS (SELECT word, cnt,
+      s"""w0 AS MATERIALIZED (SELECT word, cnt,
          |  [substr(word, i, 1) FOR i IN generate_series(1, len(word))]
          |    || ['</w>'] AS syms
          |  FROM (SELECT t AS word, COUNT(*) AS cnt
          |    FROM (SELECT unnest($TOKS) AS t FROM documents)
          |    WHERE t <> '' GROUP BY t))""".stripMargin
     val layers = (1 to k).map { r =>
-      s"""p$r AS (SELECT syms[i] AS lhs, syms[i+1] AS rhs,
+      s"""p$r AS MATERIALIZED (SELECT syms[i] AS lhs, syms[i+1] AS rhs,
          |    SUM(cnt) AS freq
          |  FROM w${r - 1}, unnest(CASE WHEN len(syms) >= 2
          |    THEN generate_series(1, len(syms)-1) ELSE [] END) AS u(i)
          |  GROUP BY 1, 2),
-         |m$r AS (SELECT lhs, rhs, freq FROM p$r
-         |  ORDER BY freq DESC, lhs, rhs LIMIT 1),
-         |w$r AS (SELECT word, cnt, string_split(substr(
+         |m$r AS MATERIALIZED ((SELECT lhs, rhs, freq FROM p$r
+         |    ORDER BY freq DESC, lhs, rhs LIMIT 1)
+         |  UNION ALL
+         |  (SELECT NULL, NULL, NULL
+         |    WHERE (SELECT COUNT(*) FROM p$r) = 0)),
+         |w$r AS MATERIALIZED (SELECT word, cnt, string_split(substr(
          |    list_reduce([''] || syms, (acc, ch) -> CASE
          |      WHEN ch = m$r.rhs AND ends_with(acc, ' ' || m$r.lhs)
          |      THEN left(acc, len(acc) - len(m$r.lhs)) || m$r.lhs || m$r.rhs
@@ -2822,11 +2838,14 @@ object OpsQueries {
     s"$init,\n${layers.mkString(",\n")}"
   }
 
-  /** [[bpeChainSql]] finished with the merge-table select (q107). */
+  /** [[bpeChainSql]] finished with the merge-table select (q107). The
+    * `lhs IS NOT NULL` filter drops the exhaustion sentinels, matching
+    * `bpeTrain`'s early stop. */
   private def bpeOracleSql(k: Int): String = {
     val sel = (1 to k).map(r =>
       s"SELECT CAST($r AS BIGINT) AS merge_rank, lhs, rhs, " +
-        s"CAST(freq AS BIGINT) AS freq FROM m$r").mkString("\nUNION ALL\n")
+        s"CAST(freq AS BIGINT) AS freq FROM m$r WHERE lhs IS NOT NULL")
+      .mkString("\nUNION ALL\n")
     s"WITH ${bpeChainSql(k)}\n$sel\nORDER BY merge_rank"
   }
 }

@@ -130,26 +130,17 @@ object Decontaminate {
       flagAt: Double = 0.5): DataFrame = {
     require(flagAt > 0.0 && flagAt <= 1.0,
       s"fuzzyOverlap: flagAt must be in (0, 1], got $flagAt")
-    def prep(df: DataFrame, id: String, text: String): DataFrame =
-      df.select(col(id).as("doc_id"),
-          TextAnalysis.tokens(col(text)).as("__toks"))
-        .filter(size(col("__toks")) >= shingleN)
-        .select(col("doc_id"),
-          Dedup.shingles(col("__toks"), shingleN).as("__shArr"))
-        .select(col("doc_id"), array_distinct(col("__shArr")).as("sh"),
-          graft.functions.MinHashSig.minhashSig(col("__shArr"), k)
-            .as("sig"))
-        .select(col("doc_id") +: col("sh") +:
-          (0 until k).map(i =>
-            element_at(col("sig"), i + 1).as(s"m$i")): _*)
     val benchBands = broadcast(
-      Dedup.minhashBands(prep(benchmark, benchIdCol, benchTextCol),
+      Dedup.minhashBands(
+          Dedup.sigWithShingles(benchmark, benchIdCol, benchTextCol,
+            k, shingleN),
           k, rowsPerBand, carry = Seq("sh"))
         .select(col("doc_id").as("__bench_id"), col("sh").as("__bsh"),
           col("band"), col("bv")))
     val verdicts = Dedup
-      .minhashBands(prep(corpus, idCol, textCol), k, rowsPerBand,
-        carry = Seq("sh"))
+      .minhashBands(
+        Dedup.sigWithShingles(corpus, idCol, textCol, k, shingleN),
+        k, rowsPerBand, carry = Seq("sh"))
       .join(benchBands, Seq("band", "bv"))
       .select(col("doc_id"), col("__bench_id"),
         Dedup.jaccard(col("sh"), col("__bsh")).as("__jac"))

@@ -332,6 +332,35 @@ object Dedup {
       .join(dupIds, incoming(idCol) === col("__nd_id"), "left_anti")
   }
 
+  /** THE signature-plus-shingle-set projection every verify-capable
+    * MinHash consumer shares ([[verifiedNearDups]],
+    * [[Decontaminate.fuzzyOverlap]]): `(doc_id, sh, m0..m{k-1})` where
+    * `sh` is the distinct shingle set riding along for exact-Jaccard
+    * verification. Two load-bearing invariants live here so the copies
+    * can never drift:
+    *  - the no-shingle gate filters on the CHEAP equivalent
+    *    `size(toks) >= shingleN` — a filter referencing the shingle
+    *    array itself gets pushed below the projection with the whole
+    *    shingle expression substituted in, computing every shingle
+    *    twice per row;
+    *  - `shArr` stays a twice-referenced alias (sig + distinct), which
+    *    CollapseProject keeps materialized so shingling runs once.
+    * MinHash over the distinct set is value-identical to the raw
+    * pipeline (duplicates never change a min), so the DuckDB oracles
+    * (min over dup rows) agree byte-for-byte; the set's order is
+    * engine-arbitrary, fine for order-independent intersect/size. */
+  private[operators] def sigWithShingles(df: DataFrame, idCol: String,
+      textCol: String, k: Int, shingleN: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= shingleN)
+      .select(col("doc_id"), shingles(col("toks"), shingleN).as("shArr"))
+      .select(col("doc_id"),
+        graft.functions.MinHashSig.minhashSig(col("shArr"), k).as("sig"),
+        array_distinct(col("shArr")).as("sh"))
+      .select(col("doc_id") +: col("sh") +:
+        (0 until k).map(i => element_at(col("sig"), i + 1).as(s"m$i")): _*)
+
   /** The canonical near-dup pipeline: MinHash+LSH candidate generation,
     * then exact shingle-set Jaccard verification of only the candidate
     * pairs. At corpus scale the expensive exact measure runs on the tiny
@@ -353,26 +382,17 @@ object Dedup {
     // (window-count gated BEFORE the collect buffers anything, so a
     // degenerate bucket spills instead of OOMing) bounds expansion.
     //
-    // MinHash over the distinct-shingle set is value-identical to the
-    // raw-shingle pipeline: duplicates never change a min — so the
-    // DuckDB oracle (min over dup rows) agrees byte-for-byte; the
-    // distinct set's order is engine-arbitrary, which is fine: every
-    // downstream use (intersect/size) is order-independent.
-    val sigs = df
-      .select(col(idCol).as("doc_id"),
-        TextAnalysis.tokens(col(textCol)).as("toks"))
-      // cheap-equivalent gate; see minhashSignatures for why the filter
-      // must not reference the shingle array itself
-      .filter(size(col("toks")) >= shingleN)
-      .select(col("doc_id"), shingles(col("toks"), shingleN).as("shArr"))
-      // shArr is referenced twice below — CollapseProject keeps a
-      // twice-referenced non-cheap alias materialized, so the shingle
-      // array is computed once per row
-      .select(col("doc_id"),
-        graft.functions.MinHashSig.minhashSig(col("shArr"), k).as("sig"),
-        array_distinct(col("shArr")).as("sh"))
-      .select(col("doc_id") +: col("sh") +:
-        (0 until k).map(i => element_at(col("sig"), i + 1).as(s"m$i")): _*)
+    // Single linear flow — NO diamond: the naive shape (candidates from
+    // one subtree, then two joins back to a shingle-set subtree) scans
+    // the corpus 6× at sf0.1, because filter pushdown specializes each
+    // branch's scan and defeats ReuseExchange. Instead the shingle SET
+    // rides along with the signature into the bucket collect, and pairs
+    // verify in-bucket. One corpus scan, two shuffles (bucket,
+    // pair-dedup), zero joins. The bucket shuffle carries the set
+    // nBands× — the price of never re-deriving it; `maxBucket`
+    // (window-count gated BEFORE the collect buffers anything, so a
+    // degenerate bucket spills instead of OOMing) bounds expansion.
+    val sigs = sigWithShingles(df, idCol, textCol, k, shingleN)
     val bands = minhashBands(sigs, k, rowsPerBand, carry = Seq("sh"))
     val wb = Window.partitionBy("band", "bv")
     val gated = bands.withColumn("cnt", count(lit(1)).over(wb))

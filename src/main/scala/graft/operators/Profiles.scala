@@ -157,18 +157,23 @@ object Profiles {
     * make two snapshots comparable; deriving edges from either snapshot
     * would move the ruler with the drift it measures.
     *
-    * Output: one row per bin occupied on EITHER side — `(bin, n_a, n_b,
-    * share_a, share_b, psi_term)`; sum `psi_term` for the headline
-    * number (bins empty on both sides contribute exactly 0 and are
-    * absent). `psi_term` rounds to 6 (libm `ln`); shares are single
-    * exact divisions. An EMPTY snapshot raises by name — its shares
-    * have no meaning, and the ε floor would otherwise silently turn
-    * "no data" into "maximal drift" (and Spark's null-skipping
-    * `greatest` would mask the null total).
+    * Output: one row per bin, ALWAYS all `bins` of them — `(bin, n_a,
+    * n_b, share_a, share_b, psi_term)`; sum `psi_term` for the headline
+    * number (bins empty on both sides score exactly 0 after the shared
+    * ε floor). The fixed spine is load-bearing for the empty-snapshot
+    * contract: histograms of an empty snapshot have ZERO rows, so a
+    * join of occupied bins would have nothing to evaluate the guard on
+    * and a BOTH-empty comparison would silently read as "no drift" —
+    * joining onto the literal bin spine guarantees the guard runs.
+    * `psi_term` rounds to 6 (libm `ln`); shares are single exact
+    * divisions. An EMPTY snapshot raises by name — its shares have no
+    * meaning, and the ε floor would otherwise silently turn "no data"
+    * into "maximal drift" (and Spark's null-skipping `greatest` would
+    * mask the null total).
     *
     * Plan: each snapshot is scanned once into a bin-keyed count
-    * aggregation; the outer join joins at most `bins` rows; totals are
-    * broadcast 1-row aggregates. Nothing driver-side. */
+    * aggregation; the spine join touches at most `bins` rows; totals
+    * are broadcast 1-row aggregates. Nothing driver-side. */
   def psi(a: DataFrame, b: DataFrame, colName: String,
       lo: Double, hi: Double, bins: Int, eps: Double = 1e-6): DataFrame = {
     require(eps > 0 && eps < 1, s"eps must be in (0, 1), got $eps")
@@ -185,7 +190,9 @@ object Profiles {
           "as maximal drift; check the snapshot and the bin range")))
         .otherwise(greatest(n.cast("double") / total.cast("double"),
           lit(eps)))
-    ha.join(hb, Seq("bin"), "full_outer")
+    a.sparkSession.range(bins).select(col("id").as("bin"))
+      .join(ha, Seq("bin"), "left")
+      .join(hb, Seq("bin"), "left")
       .select(col("bin"), coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"))
       .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))

@@ -115,8 +115,11 @@ object Sampling {
     * ordered by (score ASC NULLS FIRST, id) — the id tiebreak makes
     * ranks unique, so the result is deterministic, and percent_rank is
     * a pure count ratio `(rank-1)/(n-1)` (no float summation), so it is
-    * engine-bit-identical. Null scores take the LOWEST percentiles and
-    * can never pass a lower-bound gate; a single-row key gets 0.0.
+    * engine-bit-identical. Null scores take the LOWEST percentiles of
+    * their key — but note a mostly-null key still ranks its null tail
+    * arbitrarily high (80 nulls in 100 rows occupy percentiles up to
+    * 79/99), so gate on scored rows only
+    * ([[perKeyQuantileGate]] excludes them); a single-row key gets 0.0.
     *
     * Scale: ONE exchange keyed on `key` + a per-partition sort — the
     * per-source window shape ([[perKeyCap]]); a pathologically dominant
@@ -138,14 +141,20 @@ object Sampling {
     * the per-source quality gate over [[rankNormalize]]. `minPct=0.75`
     * keeps each key's top quarter BY ITS OWN score distribution,
     * whatever the absolute scores are. Same plan shape (one keyed
-    * exchange, the filter rides the window projection). */
+    * exchange, the filter rides the window projection).
+    *
+    * NULL-scored rows are EXCLUDED before ranking and can never pass:
+    * an unscored doc is unknown quality, not top quality — and ranking
+    * nulls would also let a mostly-null key push its null tail above
+    * the cutoff (80 nulls in 100 rows reach percentile 79/99) while
+    * skewing the scored rows' own percentiles. */
   def perKeyQuantileGate(df: DataFrame, key: Column, id: Column,
       score: Column, minPct: Double): DataFrame = {
     require(minPct > 0.0 && minPct < 1.0,
       s"minPct must be in (0, 1), got $minPct")
     require(!df.columns.contains("__pct"),
       "perKeyQuantileGate: input already has a '__pct' column; rename it")
-    rankNormalize(df, key, id, score, "__pct")
+    rankNormalize(df.filter(score.isNotNull), key, id, score, "__pct")
       .filter(col("__pct") >= minPct).drop("__pct")
   }
 

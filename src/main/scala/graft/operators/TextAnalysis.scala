@@ -262,6 +262,10 @@ object TextAnalysis {
       : org.apache.spark.sql.DataFrame = {
     require(requiredStop.nonEmpty, "requiredStop must not be empty")
     require(minTokens <= maxTokens, "minTokens must be <= maxTokens")
+    require(minStopHits <= requiredStop.distinct.size,
+      s"minStopHits=$minStopHits can never be met: only " +
+        s"${requiredStop.distinct.size} distinct required stopwords — " +
+        "the gate would silently fail every document")
     // tokens staged as a real attribute (withLangId precedent): inlined,
     // each conditional branch would re-run the split per reference
     val out = df

@@ -434,6 +434,14 @@ class CorpusOpsSpec extends TestBase {
       Profiles.psi(a, b.filter(lit(false)), "v", 0.0, 10.0, 5).collect()
     }
     assert(err.getMessage.contains("no rows"), s"got: ${err.getMessage}")
+    // BOTH-empty must also raise — with only occupied bins joined there
+    // would be zero rows to evaluate the guard on and the alarm would
+    // read "perfectly stable" on no data; the fixed bin spine fixes it
+    val err2 = intercept[Exception] {
+      Profiles.psi(a.filter(lit(false)), b.filter(lit(false)), "v",
+        0.0, 10.0, 5).collect()
+    }
+    assert(err2.getMessage.contains("no rows"), s"got: ${err2.getMessage}")
   }
 
   test("keySkew surfaces heavy hitters with exact fractions") {
@@ -703,6 +711,22 @@ class CorpusOpsSpec extends TestBase {
       Sampling.perKeyQuantileGate(df, col("source"), col("doc_id"),
         col("n"), 1.5)
     }
+  }
+
+  test("perKeyQuantileGate: null-scored rows never pass, and do not " +
+    "skew the scored rows' percentiles") {
+    // 8 of 10 rows unscored: ranking nulls would push the null tail to
+    // percentile 7/9 >= 0.5 (unscored docs shipped as 'top quality')
+    // AND leave the two scored rows at 8/9 and 9/9 (both kept). With
+    // nulls excluded the scored pair ranks 0/1 and 1/1 — only the
+    // better one passes.
+    val df = ((1L to 8L).map(i => ("s", i, null: java.lang.Long)) ++
+      Seq(("s", 9L, 5L: java.lang.Long), ("s", 10L, 7L: java.lang.Long)))
+      .toDF("source", "doc_id", "score")
+    val kept = Sampling.perKeyQuantileGate(df, col("source"),
+        col("doc_id"), col("score"), minPct = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(10L), s"kept: $kept")
   }
 
   test("perKeyCap plans a WindowGroupLimit: map-side top-n before the " +

@@ -51,6 +51,14 @@ class TextQualitySpec extends TestBase {
       "null text scores zeros and fails")
   }
 
+  test("gopher gate refuses an unreachable stopword threshold") {
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.withGopherQuality(docs(1L -> "x"), "text",
+        minStopHits = 3, requiredStop = Seq("the", "a", "the"))
+    }
+    assert(e.getMessage.contains("can never be met"), e.getMessage)
+  }
+
   test("gopher gate is a pure projection — no exchange in the plan") {
     val df = TextAnalysis.withGopherQuality(
       docs(1L -> "the a few words here"), "text")
