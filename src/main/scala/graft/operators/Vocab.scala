@@ -256,16 +256,25 @@ object Vocab {
     * (the Sennrich end-of-word convention, so "low" the word and "low"
     * the prefix of "lower" learn different merges). Returns the learned
     * merges in rank order; stops early if the pair space is exhausted. */
-  def bpeTrain(df: DataFrame, textCol: String, numMerges: Int)
-      : Seq[BpeMerge] = {
+  def bpeTrain(df: DataFrame, textCol: String, numMerges: Int,
+      modelPartitions: Int = 1): Seq[BpeMerge] = {
     require(numMerges >= 1,
       s"bpeTrain: numMerges must be >= 1, got $numMerges")
+    require(modelPartitions >= 1,
+      s"bpeTrain: modelPartitions must be >= 1, got $modelPartitions")
     val wc = df
       .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("cnt"))
+    // the corpus-scale aggregation above runs fully parallel; the word
+    // table it produces is KB–MB at typical vocabularies, so the merge
+    // iterations run on `modelPartitions` tasks (default 1 — without
+    // this, every tiny iteration job pays full shuffle-partition task
+    // overhead: measured 27 s for 10 merges at 32 partitions vs ~4 s
+    // coalesced). Raise it for 100M-word vocabularies.
     var seg = wc.select(col("word"), col("cnt"),
       concat(split(col("word"), ""), array(lit("</w>"))).as("syms"))
+      .coalesce(modelPartitions)
       .persist()
     seg.count()
     val out = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
@@ -314,15 +323,61 @@ object Vocab {
     split(substr(folded, lit(2), length(folded)), " ")
   }
 
+  /** Persist learned merges as a rank-ordered parquet table — the
+    * trained-tokenizer artifact ([[AnnIndex]]/`Int8Index` convention:
+    * overwrite, one authoritative version per path). Serving jobs
+    * [[loadBpeMerges]] instead of re-training; the table doubles as
+    * the human-auditable merge log. */
+  def saveBpeMerges(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[BpeMerge], dir: String): Unit = {
+    require(merges.nonEmpty, "saveBpeMerges: empty merge list — " +
+      "nothing was learned; refusing to write an empty model")
+    spark.createDataFrame(merges)
+      .repartition(1) // KB-scale model: one file, stable read order
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a [[saveBpeMerges]] model, rank order restored. A missing or
+    * schema-mismatched path fails loudly via the scan/select. */
+  def loadBpeMerges(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[BpeMerge] =
+    spark.read.parquet(dir)
+      .select(col("merge_rank"), col("lhs"), col("rhs"), col("freq"))
+      .orderBy("merge_rank").collect()
+      .map(r => BpeMerge(r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+
   /** Segment a word column with learned merges, applied in rank order —
-    * the serving side of [[bpeTrain]] (a chain of `merges.size` fold
-    * projections; pure scan-level expression, zero shuffles). Returns
-    * the subword symbol array including the `</w>` terminal. */
-  def bpeSegment(word: Column, merges: Seq[BpeMerge]): Column =
-    merges.sortBy(_.merge_rank)
-      .foldLeft(concat(split(word, ""), array(lit("</w>")))) {
-        case (c, m) => applyMerge(c, m.lhs, m.rhs)
-      }
+    * the serving side of [[bpeTrain]]. Pure scan-level expression, zero
+    * shuffles; returns the subword symbol array including the `</w>`
+    * terminal.
+    *
+    * The merges ship as ONE array-of-struct literal folded by an outer
+    * `aggregate`, with the inner greedy fold (same string semantics as
+    * [[applyMerge]], lhs/rhs as column refs instead of literals) nested
+    * inside — so the expression tree is CONSTANT-size in `merges.size`.
+    * The first version chained `merges.size` nested fold expressions
+    * instead, and Catalyst analysis + codegen of that tree cost ~3-4 s
+    * PER ACTION at ten merges — more than the entire execution over the
+    * vocabulary. */
+  def bpeSegment(word: Column, merges: Seq[BpeMerge]): Column = {
+    val init = concat(split(word, ""), array(lit("</w>")))
+    if (merges.isEmpty) init
+    else {
+      val table = typedlit(merges.sortBy(_.merge_rank)
+        .map(m => (m.lhs, m.rhs)))
+      val folded = aggregate(table, array_join(init, " "), (acc, m) => {
+        val lhs = m.getField("_1")
+        val rhs = m.getField("_2")
+        val inner = aggregate(split(acc, " "), lit(""), (a, s) =>
+          when(s === rhs && a.endsWith(concat(lit(" "), lhs)),
+            concat(substr(a, lit(1), length(a) - length(lhs)), lhs, rhs))
+            .otherwise(concat(a, lit(" "), s)))
+        substr(inner, lit(2), length(inner))
+      })
+      split(folded, " ")
+    }
+  }
 
   /** Trained-tokenizer budget estimation (X5): per-doc subword count
     * under the merges [[bpeTrain]] learned — the real "how many tokens

@@ -67,6 +67,23 @@ class BpeSpec extends TestBase {
       s"got $out")
   }
 
+  test("saved merges load back rank-ordered and segment identically") {
+    val corpus = docs(
+      1L -> "low low low", 2L -> "lower", 3L -> "newest newest")
+    val merges = Vocab.bpeTrain(corpus, "text", numMerges = 4)
+    val dir = tmpDir().toString + "/bpe_model"
+    Vocab.saveBpeMerges(spark, merges, dir)
+    val loaded = Vocab.loadBpeMerges(spark, dir)
+    assert(loaded == merges, s"round-trip drift: $loaded vs $merges")
+    val a = docs(1L -> "x")
+      .select(Vocab.bpeSegment(lit("lowest"), loaded).as("s"))
+      .as[Seq[String]].head()
+    assert(a == Seq("low", "es", "t", "</w>"))
+    intercept[IllegalArgumentException] {
+      Vocab.saveBpeMerges(spark, Seq.empty, dir)
+    }
+  }
+
   test("the corpus shuffles once — merges iterate the word table only") {
     val corpus = docs(1L -> "low low lower", 2L -> "low newest")
     // behavioral stand-in for a plan pin (the loop runs many jobs): the
