@@ -381,17 +381,6 @@ object Dedup {
     // nBands× — the price of never re-deriving it; `maxBucket`
     // (window-count gated BEFORE the collect buffers anything, so a
     // degenerate bucket spills instead of OOMing) bounds expansion.
-    //
-    // Single linear flow — NO diamond: the naive shape (candidates from
-    // one subtree, then two joins back to a shingle-set subtree) scans
-    // the corpus 6× at sf0.1, because filter pushdown specializes each
-    // branch's scan and defeats ReuseExchange. Instead the shingle SET
-    // rides along with the signature into the bucket collect, and pairs
-    // verify in-bucket. One corpus scan, two shuffles (bucket,
-    // pair-dedup), zero joins. The bucket shuffle carries the set
-    // nBands× — the price of never re-deriving it; `maxBucket`
-    // (window-count gated BEFORE the collect buffers anything, so a
-    // degenerate bucket spills instead of OOMing) bounds expansion.
     val sigs = sigWithShingles(df, idCol, textCol, k, shingleN)
     val bands = minhashBands(sigs, k, rowsPerBand, carry = Seq("sh"))
     val wb = Window.partitionBy("band", "bv")

@@ -266,15 +266,18 @@ object Vocab {
       .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-    // the corpus-scale aggregation above runs fully parallel; the word
-    // table it produces is KB–MB at typical vocabularies, so the merge
-    // iterations run on `modelPartitions` tasks (default 1 — without
-    // this, every tiny iteration job pays full shuffle-partition task
-    // overhead: measured 27 s for 10 merges at 32 partitions vs ~4 s
-    // coalesced). Raise it for 100M-word vocabularies.
+    // repartition (NOT coalesce) to `modelPartitions`: coalesce is a
+    // narrow dependency that would pull the corpus aggregation's FINAL
+    // reduce into the same shrunken stage — one task merging every
+    // partial count. The extra shuffle moves only the KB–MB word
+    // table, keeps the corpus-scale reduce fully parallel, and shrinks
+    // the per-iteration jobs (without this, every tiny merge-loop job
+    // pays full shuffle-partition task overhead: measured 27 s for 10
+    // merges at 32 partitions vs ~4 s at 1). Raise `modelPartitions`
+    // for 100M-word vocabularies.
     var seg = wc.select(col("word"), col("cnt"),
       concat(split(col("word"), ""), array(lit("</w>"))).as("syms"))
-      .coalesce(modelPartitions)
+      .repartition(modelPartitions)
       .persist()
     seg.count()
     val out = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
