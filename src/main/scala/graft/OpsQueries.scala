@@ -2792,8 +2792,115 @@ object OpsQueries {
              |FROM tok JOIN w10 USING (word)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin
         s"WITH ${bpeChainSql(10)},\n$tail"
-      })
+      }),
+
+    // ----- X-pipe curation v3: gopher gate → exact dedup → fuzzy decon ------
+    "q109_curation_gopher" -> Q109Entry
   )
+
+  /** Round-7 curation composition: Gopher gate → exact dedup (min id)
+    * → FUZZY decontamination, over a corpus planted with BOTH exact
+    * copies (doc_id%5 → +1e6) and near copies (doc_id%7, last 3 tokens
+    * dropped → +2e6) so each stage does real work: the gate prunes
+    * short/stopword-poor docs at the scan, dedup kills the exact
+    * copies, and the fuzzy stage drops benchmark members AND their
+    * planted near-duplicates (exact-overlap decon would only certainly
+    * catch verbatim members). */
+  private lazy val Q109Entry: Entry = Entry(
+    (s, dir) => {
+      val d = docsFan(s, dir).select(col("doc_id"), col("text"))
+      val w = TextAnalysis.tokens(col("text"))
+      val corp = d
+        .union(d.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+        .union(d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 2000000).as("doc_id"),
+            array_join(slice(w, lit(1), greatest(size(w) - 3, lit(1))),
+              " ").as("text")))
+      val bench = docsFan(s, dir).filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"), col("text"))
+      val gated = TextAnalysis.withGopherQuality(corp, "text",
+          minTokens = 50, minStopHits = 2)
+        .filter(col("gopher_pass"))
+        .select(col("doc_id"), col("text"), col("n_tokens"))
+      val wfp = Window.partitionBy("__fp").orderBy("doc_id")
+      val deduped = gated
+        .withColumn("__fp", TextAnalysis.fingerprint(col("text")))
+        .withColumn("__rn", row_number().over(wfp))
+        .filter(col("__rn") === 1)
+        .select(col("doc_id"), col("text"), col("n_tokens"))
+      val clean = Decontaminate.fuzzyOverlap(deduped, "doc_id", "text",
+          bench, "doc_id", "text", flagAt = 0.5)
+        .filter(!col("contaminated")).select(col("doc_id").as("__keep"))
+      deduped.join(clean, col("doc_id") === col("__keep"), "left_semi")
+        .select(col("doc_id"), col("n_tokens"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val mins = (0 until 8)
+        .map(i => s"min(md5('$i|' || s)) AS m$i").mkString(", ")
+      def bandsSql(sig: String) = (0 until 4).map(b =>
+        s"SELECT doc_id, sh, $b AS band, md5(m${2 * b} || m${2 * b + 1})" +
+          s" AS bv FROM $sig").mkString(" UNION ALL ")
+      s"""WITH corp AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+         |  WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000 AS doc_id,
+         |    array_to_string(w[1:greatest(len(w)-3, 1)], ' ') AS text
+         |  FROM (SELECT doc_id, $TOKS AS w FROM documents
+         |        WHERE doc_id % 7 = 0)),
+         |tok AS (SELECT doc_id, text, $TOKS AS w FROM corp),
+         |gk AS (SELECT doc_id, text, CAST(len(w) AS BIGINT) AS n_tokens
+         |  FROM tok
+         |  WHERE text IS NOT NULL AND len(w) >= 50 AND len(w) <= 100000
+         |    AND CAST(length(regexp_replace(trim(text), '\\s+', '', 'g'))
+         |        AS DOUBLE) / CAST(len(w) AS DOUBLE) >= 3.0
+         |    AND CAST(length(regexp_replace(trim(text), '\\s+', '', 'g'))
+         |        AS DOUBLE) / CAST(len(w) AS DOUBLE) <= 10.0
+         |    AND CAST(len(list_filter(w,
+         |        t -> regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE)
+         |      / CAST(len(w) AS DOUBLE) >= 0.8
+         |    AND (CASE WHEN list_contains(w, 'a') THEN 1 ELSE 0 END) +
+         |        (CASE WHEN list_contains(w, 'and') THEN 1 ELSE 0 END) +
+         |        (CASE WHEN list_contains(w, 'in') THEN 1 ELSE 0 END) +
+         |        (CASE WHEN list_contains(w, 'is') THEN 1 ELSE 0 END) +
+         |        (CASE WHEN list_contains(w, 'of') THEN 1 ELSE 0 END) +
+         |        (CASE WHEN list_contains(w, 'the') THEN 1 ELSE 0 END) +
+         |        (CASE WHEN list_contains(w, 'to') THEN 1 ELSE 0 END)
+         |      >= 2),
+         |dd AS (SELECT doc_id, text, n_tokens, ROW_NUMBER() OVER (
+         |    PARTITION BY md5(regexp_replace(lower(trim(text)),
+         |      '\\s+', ' ', 'g'))
+         |    ORDER BY doc_id) AS rn FROM gk),
+         |kept AS (SELECT doc_id, text, n_tokens FROM dd WHERE rn = 1),
+         |ksh AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s
+         |  FROM (SELECT doc_id, $TOKS AS w FROM kept) kt,
+         |    unnest(CASE WHEN len(w) >= 3
+         |      THEN generate_series(1, len(w)-2) ELSE [] END) AS u(i)),
+         |ksig AS (SELECT doc_id, list(DISTINCT s) AS sh, $mins
+         |  FROM ksh GROUP BY doc_id),
+         |kbands AS (${bandsSql("ksig")}),
+         |bt AS (SELECT doc_id, $TOKS AS w FROM documents
+         |  WHERE doc_id % 97 = 0),
+         |bsh AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s
+         |  FROM bt, unnest(CASE WHEN len(w) >= 3
+         |    THEN generate_series(1, len(w)-2) ELSE [] END) AS u(i)),
+         |bsig AS (SELECT doc_id, list(DISTINCT s) AS sh, $mins
+         |  FROM bsh GROUP BY doc_id),
+         |bbands AS (${bandsSql("bsig")}),
+         |contam AS (SELECT DISTINCT c.doc_id
+         |  FROM kbands c JOIN bbands b
+         |  ON c.band = b.band AND c.bv = b.bv
+         |  WHERE CAST(len(list_intersect(c.sh, b.sh)) AS DOUBLE) /
+         |    (CAST(len(c.sh) AS DOUBLE) + CAST(len(b.sh) AS DOUBLE)
+         |      - CAST(len(list_intersect(c.sh, b.sh)) AS DOUBLE)) >= 0.5)
+         |SELECT doc_id, n_tokens FROM kept
+         |WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+         |ORDER BY doc_id""".stripMargin
+    })
 
   /** Generated DuckDB twin of `Vocab.bpeTrain(numMerges = k)` as a CTE
     * chain ending in segmentation `w_k`: layer r derives pair counts

@@ -111,6 +111,39 @@ class FuzzyAndServingSpec extends TestBase {
       s"expected broadcast band probe:\n$plan")
   }
 
+  test("curation v3 composition: gate, exact dedup, fuzzy decon each " +
+    "prune their own class") {
+    val base = "the a " + (1 to 60).map(i => s"word$i").mkString(" ")
+    val benchTxt = "the a " + (1 to 60).map(i => s"bench$i").mkString(" ")
+    val corpus = docs(
+      1L -> base, // survivor
+      2L -> base, // exact copy -> dedup drops (id 1 wins)
+      3L -> benchTxt, // verbatim bench member -> fuzzy drops (jac 1.0)
+      4L -> benchTxt.split(" ").dropRight(1).mkString(" "), // near copy
+      5L -> "the a too short") // fails the gate
+    val bench = docs(900L -> benchTxt)
+    val gated = graft.operators.TextAnalysis
+      .withGopherQuality(corpus, "text", minTokens = 50)
+      .filter(col("gopher_pass"))
+      .select(col("doc_id"), col("text"))
+    val wfp = org.apache.spark.sql.expressions.Window
+      .partitionBy("__fp").orderBy("doc_id")
+    val deduped = gated
+      .withColumn("__fp",
+        graft.operators.TextAnalysis.fingerprint(col("text")))
+      .withColumn("__rn",
+        org.apache.spark.sql.functions.row_number().over(wfp))
+      .filter(col("__rn") === 1).select("doc_id", "text")
+    val clean = Decontaminate.fuzzyOverlap(deduped, "doc_id", "text",
+        bench, "doc_id", "text", flagAt = 0.5)
+      .filter(!col("contaminated")).select(col("doc_id").as("__keep"))
+    val out = deduped
+      .join(clean, col("doc_id") === col("__keep"), "left_semi")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L),
+      s"each stage must prune its class (got survivors $out)")
+  }
+
   // ---------- prefixTopK ---------------------------------------------------
 
   private def vecs(n: Int, dim: Int) = {
