@@ -36,6 +36,16 @@ object OpsQueries {
       s"WHEN t = '${t.replace("'", "''")}' THEN $w"
     }.mkString("CASE ", " ", " ELSE 0.0 END")
 
+  /** MinHash oracle-SQL builders shared by the fuzzy-decon entries
+    * (q104, q109): the k=8 seeded-md5 signature mins and the
+    * rowsPerBand=2 band projection with the shingle set carried. */
+  private val MinhashMinsSql: String =
+    (0 until 8).map(i => s"min(md5('$i|' || s)) AS m$i").mkString(", ")
+  private def minhashShBandsSql(sig: String): String =
+    (0 until 4).map(b =>
+      s"SELECT doc_id, sh, $b AS band, md5(m${2 * b} || m${2 * b + 1})" +
+        s" AS bv FROM $sig").mkString(" UNION ALL ")
+
   /** Planted exact-duplicate corpus (SQL side). */
   private val DupDocsSql =
     """docs AS (
@@ -101,20 +111,34 @@ object OpsQueries {
   private def docsFan(s: org.apache.spark.sql.SparkSession, dir: String) =
     fanOut(s, t(s, dir, "documents"))
 
+  /** Planted copies of every doc with `doc_id % mod = 0`, re-idd at
+    * `+offset`; `dropTokens > 0` makes them NEAR copies (last tokens
+    * removed, token array staged as its own attribute so the split
+    * runs once per row). The single definition behind every planted
+    * fixture (exact q24-family, near q25-family, and q109's dual
+    * plant). */
+  private def plantedCopies(d: org.apache.spark.sql.DataFrame, mod: Int,
+      offset: Long, dropTokens: Int): org.apache.spark.sql.DataFrame = {
+    val base = d.filter(col("doc_id") % mod === 0)
+    if (dropTokens == 0)
+      base.select((col("doc_id") + offset).as("doc_id"), col("text"))
+    else
+      base.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__w"))
+        .select((col("doc_id") + offset).as("doc_id"),
+          array_join(slice(col("__w"), lit(1),
+            greatest(size(col("__w")) - dropTokens, lit(1))), " ")
+            .as("text"))
+  }
+
   /** Spark twins of the planted corpora. */
   private def dupDocs(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val d = docsFan(s, dir).select(col("doc_id"), col("text"))
-    d.union(d.filter(col("doc_id") % 5 === 0)
-      .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    d.union(plantedCopies(d, mod = 5, offset = 1000000L, dropTokens = 0))
   }
 
   private def nearDupDocs(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val d = docsFan(s, dir).select(col("doc_id"), col("text"))
-    val w = TextAnalysis.tokens(col("text"))
-    d.union(d.filter(col("doc_id") % 5 === 0)
-      .select((col("doc_id") + 1000000).as("doc_id"),
-        array_join(slice(w, lit(1), greatest(size(w) - 3, lit(1))), " ")
-          .as("text")))
+    d.union(plantedCopies(d, mod = 5, offset = 1000000L, dropTokens = 3))
   }
 
   /** q42's full DuckDB oracle (curation pipeline: lang gate → quality
@@ -2621,11 +2645,8 @@ object OpsQueries {
           k = 8, rowsPerBand = 2, shingleN = 3, flagAt = 0.5)
         .orderBy("doc_id"),
       Some {
-        val mins = (0 until 8)
-          .map(i => s"min(md5('$i|' || s)) AS m$i").mkString(", ")
-        def bandsSql(sig: String) = (0 until 4).map(b =>
-          s"SELECT doc_id, sh, $b AS band, md5(m${2 * b} || m${2 * b + 1})" +
-            s" AS bv FROM $sig").mkString(" UNION ALL ")
+        val mins = MinhashMinsSql
+        def bandsSql(sig: String) = minhashShBandsSql(sig)
         s"""WITH $NearDupDocsSql,
            |ct AS (SELECT doc_id, $TOKS AS w FROM docs),
            |csh AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s
@@ -2809,39 +2830,24 @@ object OpsQueries {
   private lazy val Q109Entry: Entry = Entry(
     (s, dir) => {
       val d = docsFan(s, dir).select(col("doc_id"), col("text"))
-      val w = TextAnalysis.tokens(col("text"))
       val corp = d
-        .union(d.filter(col("doc_id") % 5 === 0)
-          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
-        .union(d.filter(col("doc_id") % 7 === 0)
-          .select((col("doc_id") + 2000000).as("doc_id"),
-            array_join(slice(w, lit(1), greatest(size(w) - 3, lit(1))),
-              " ").as("text")))
+        .union(plantedCopies(d, mod = 5, offset = 1000000L, dropTokens = 0))
+        .union(plantedCopies(d, mod = 7, offset = 2000000L, dropTokens = 3))
       val bench = docsFan(s, dir).filter(col("doc_id") % 97 === 0)
         .select(col("doc_id"), col("text"))
       val gated = TextAnalysis.withGopherQuality(corp, "text",
           minTokens = 50, minStopHits = 2)
         .filter(col("gopher_pass"))
         .select(col("doc_id"), col("text"), col("n_tokens"))
-      val wfp = Window.partitionBy("__fp").orderBy("doc_id")
-      val deduped = gated
-        .withColumn("__fp", TextAnalysis.fingerprint(col("text")))
-        .withColumn("__rn", row_number().over(wfp))
-        .filter(col("__rn") === 1)
-        .select(col("doc_id"), col("text"), col("n_tokens"))
-      val clean = Decontaminate.fuzzyOverlap(deduped, "doc_id", "text",
+      val deduped = Dedup.exactKeepMinId(gated, "doc_id", "text")
+      Decontaminate.fuzzyDecontaminate(deduped, "doc_id", "text",
           bench, "doc_id", "text", flagAt = 0.5)
-        .filter(!col("contaminated")).select(col("doc_id").as("__keep"))
-      deduped.join(clean, col("doc_id") === col("__keep"), "left_semi")
         .select(col("doc_id"), col("n_tokens"))
         .orderBy("doc_id")
     },
     Some {
-      val mins = (0 until 8)
-        .map(i => s"min(md5('$i|' || s)) AS m$i").mkString(", ")
-      def bandsSql(sig: String) = (0 until 4).map(b =>
-        s"SELECT doc_id, sh, $b AS band, md5(m${2 * b} || m${2 * b + 1})" +
-          s" AS bv FROM $sig").mkString(" UNION ALL ")
+      val mins = MinhashMinsSql
+      def bandsSql(sig: String) = minhashShBandsSql(sig)
       s"""WITH corp AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL

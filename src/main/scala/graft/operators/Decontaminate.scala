@@ -156,4 +156,19 @@ object Decontaminate {
         coalesce(col("best_jaccard") >= flagAt, lit(false))
           .as("contaminated"))
   }
+
+  /** The gate form of [[fuzzyOverlap]] — [[decontaminate]]'s fuzzy
+    * counterpart: drop corpus docs whose best verified jaccard against
+    * the benchmark reaches `flagAt`, keep everything else with all
+    * columns. Same null-safe id join and shared-null-verdict caveat as
+    * [[decontaminate]]. */
+  def fuzzyDecontaminate(corpus: DataFrame, idCol: String,
+      textCol: String, benchmark: DataFrame, benchIdCol: String,
+      benchTextCol: String, k: Int = 8, rowsPerBand: Int = 2,
+      shingleN: Int = 3, flagAt: Double = 0.5): DataFrame = {
+    val clean = fuzzyOverlap(corpus, idCol, textCol, benchmark,
+        benchIdCol, benchTextCol, k, rowsPerBand, shingleN, flagAt)
+      .filter(!col("contaminated")).select(col("doc_id").as("__keep"))
+    corpus.join(clean, col(idCol) <=> col("__keep"), "left_semi")
+  }
 }

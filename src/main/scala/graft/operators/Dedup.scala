@@ -38,6 +38,25 @@ object Dedup {
     df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** X1 exact dedup, ROW-PRESERVING form: keep the min-id row of every
+    * fingerprint group with all input columns intact — the in-pipeline
+    * shape ([[exact]] returns the per-group summary instead; the
+    * curation pipelines and the q109 composition all gate then dedup
+    * then keep flowing). One shuffle keyed on the content fingerprint;
+    * the window sort is per-fingerprint-group (group size = copy
+    * count, tiny). */
+  def exactKeepMinId(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    require(!df.columns.contains("__fp") && !df.columns.contains("__rn"),
+      "exactKeepMinId: input already has a '__fp'/'__rn' column; " +
+        "rename it (it would be overwritten by the internal state)")
+    val wfp = Window.partitionBy("__fp").orderBy(idCol)
+    df.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("__rn", row_number().over(wfp))
+      .filter(col("__rn") === 1)
+      .drop("__fp", "__rn")
+  }
+
   /** X1 incremental dedup: rows of `incoming` whose fingerprint does NOT
     * already appear in `seen` (all incoming columns preserved). The
     * everyday production shape — each new crawl/batch dedups against the

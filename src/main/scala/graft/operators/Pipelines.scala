@@ -52,11 +52,7 @@ object Pipelines {
         .filter(col("__r2") <= mx).drop("__r2")
     }
     // exact dedup — lowest id per fingerprint survives
-    val wfp = Window.partitionBy("__fp").orderBy(idCol)
-    val deduped = kept
-      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
-      .withColumn("__rn", row_number().over(wfp))
-      .filter(col("__rn") === 1)
+    val deduped = Dedup.exactKeepMinId(kept, idCol, textCol)
       .select(col(idCol), col(textCol), col("pred"), col("__ntok"))
     // near-dup removal on the deduped survivors. `deduped` feeds two
     // consumers (the pair flow and the final anti-join) — the upstream

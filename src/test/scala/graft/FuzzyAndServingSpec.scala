@@ -126,19 +126,9 @@ class FuzzyAndServingSpec extends TestBase {
       .withGopherQuality(corpus, "text", minTokens = 50)
       .filter(col("gopher_pass"))
       .select(col("doc_id"), col("text"))
-    val wfp = org.apache.spark.sql.expressions.Window
-      .partitionBy("__fp").orderBy("doc_id")
-    val deduped = gated
-      .withColumn("__fp",
-        graft.operators.TextAnalysis.fingerprint(col("text")))
-      .withColumn("__rn",
-        org.apache.spark.sql.functions.row_number().over(wfp))
-      .filter(col("__rn") === 1).select("doc_id", "text")
-    val clean = Decontaminate.fuzzyOverlap(deduped, "doc_id", "text",
-        bench, "doc_id", "text", flagAt = 0.5)
-      .filter(!col("contaminated")).select(col("doc_id").as("__keep"))
-    val out = deduped
-      .join(clean, col("doc_id") === col("__keep"), "left_semi")
+    val deduped = Dedup.exactKeepMinId(gated, "doc_id", "text")
+    val out = Decontaminate.fuzzyDecontaminate(deduped, "doc_id",
+        "text", bench, "doc_id", "text", flagAt = 0.5)
       .select("doc_id").as[Long].collect().toSet
     assert(out == Set(1L),
       s"each stage must prune its class (got survivors $out)")
