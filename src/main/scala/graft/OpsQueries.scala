@@ -2816,7 +2816,89 @@ object OpsQueries {
       }),
 
     // ----- X-pipe curation v3: gopher gate → exact dedup → fuzzy decon ------
-    "q109_curation_gopher" -> Q109Entry
+    "q109_curation_gopher" -> Q109Entry,
+
+    // ----- X2 C4-style global line dedup ------------------------------------
+    // Raffel et al. 2020 §2.2: a line occurring anywhere else in the
+    // corpus survives only at its first (doc_id, pos); short lines are
+    // exempt. Fixture: sentences become lines ('. ' → '.\n') over the
+    // planted-exact-copy corpus, so every copy's lines duplicate its
+    // original's and the copies shed all long lines (most die whole).
+    // Strings + integer comparisons only — fully oracle-exact.
+    "q110_line_dedup" -> Entry(
+      (s, dir) => {
+        val lined = dupDocs(s, dir).select(col("doc_id"),
+          regexp_replace(col("text"), lit("\\. "), lit(".\n")).as("text"))
+        Dedup.dedupLines(lined, "doc_id", "text", minLineChars = 10)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $DupDocsSql,
+              |ld AS (SELECT doc_id, string_split(regexp_replace(text,
+              |  '\\. ', '.' || chr(10), 'g'), chr(10)) AS ln FROM docs),
+              |l AS (SELECT doc_id, u.i AS pos, ln[u.i] AS line FROM ld,
+              |  unnest(generate_series(1, len(ln))) AS u(i)),
+              |k AS (SELECT doc_id, pos, line FROM l
+              |  QUALIFY length(line) < 10
+              |    OR ROW_NUMBER() OVER (PARTITION BY line
+              |         ORDER BY doc_id, pos) = 1)
+              |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos)
+              |  AS text
+              |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ----- X5 Gopher line-level rules ---------------------------------------
+    // The two A1.1 rules the document-level gate (q101) cannot see:
+    // bullet-started and ellipsis-ended line fractions. Fixture plants
+    // the failure modes deterministically: doc_id%3 → every line
+    // bulleted ('- '), else doc_id%5 → every line ellipsis-ended.
+    // Fractions are integer-count IEEE divisions — engine-exact.
+    "q111_gopher_line_rules" -> Entry(
+      (s, dir) => {
+        val lined = docsFan(s, dir).select(col("doc_id"),
+          regexp_replace(col("text"), lit("\\. "), lit(".\n")).as("text"))
+        val planted = lined.select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            array_join(transform(split(col("text"), "\n"),
+              l => concat(lit("- "), l)), "\n"))
+          .when(col("doc_id") % 5 === 0,
+            array_join(transform(split(col("text"), "\n"),
+              l => concat(l, lit("..."))), "\n"))
+          .otherwise(col("text")).as("text"))
+        TextAnalysis.withGopherLineRules(planted, "text",
+            maxBulletFrac = 0.9, maxEllipsisFrac = 0.3)
+          .select(col("doc_id"), col("n_lines"), col("bullet_frac"),
+            col("ellipsis_frac"), col("line_rules_pass"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ld AS (SELECT doc_id, regexp_replace(text, '\\. ',
+              |  '.' || chr(10), 'g') AS t0 FROM documents),
+              |pl AS (SELECT doc_id, CASE
+              |  WHEN doc_id % 3 = 0 THEN array_to_string(list_transform(
+              |    string_split(t0, chr(10)), l -> '- ' || l), chr(10))
+              |  WHEN doc_id % 5 = 0 THEN array_to_string(list_transform(
+              |    string_split(t0, chr(10)), l -> l || '...'), chr(10))
+              |  ELSE t0 END AS t FROM ld),
+              |ln AS (SELECT doc_id, CASE WHEN t IS NULL THEN NULL
+              |  ELSE list_filter(string_split(t, chr(10)),
+              |    l -> length(trim(l)) > 0) END AS ls FROM pl),
+              |m AS (SELECT doc_id,
+              |  CASE WHEN ls IS NULL THEN 0 ELSE len(ls) END AS n_lines,
+              |  CASE WHEN ls IS NULL OR len(ls) = 0 THEN 0.0
+              |    ELSE CAST(len(list_filter(ls, l ->
+              |      starts_with(ltrim(l), '- ')
+              |      OR starts_with(ltrim(l), '* ')
+              |      OR starts_with(ltrim(l), '•'))) AS DOUBLE)
+              |      / CAST(len(ls) AS DOUBLE) END AS bullet_frac,
+              |  CASE WHEN ls IS NULL OR len(ls) = 0 THEN 0.0
+              |    ELSE CAST(len(list_filter(ls, l ->
+              |      ends_with(rtrim(l), '...')
+              |      OR ends_with(rtrim(l), '…'))) AS DOUBLE)
+              |      / CAST(len(ls) AS DOUBLE) END AS ellipsis_frac
+              |  FROM ln)
+              |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+              |  bullet_frac, ellipsis_frac,
+              |  (n_lines > 0 AND bullet_frac <= 0.9
+              |    AND ellipsis_frac <= 0.3) AS line_rules_pass
+              |FROM m ORDER BY doc_id""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

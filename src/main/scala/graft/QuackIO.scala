@@ -556,7 +556,14 @@ object QuackIO {
     // never walk the output
     lazy val localPath =
       if (path.startsWith("file:"))
-        java.nio.file.Paths.get(java.net.URI.create(path)).toString
+        try java.nio.file.Paths.get(java.net.URI.create(path)).toString
+        catch { case scala.util.control.NonFatal(_) =>
+          // legal-but-unencoded ('file:/out dir') and opaque
+          // ('file:rel') forms throw in URI parsing — strip the scheme
+          // textually so such paths still reach the descriptive
+          // require/walk below instead of dying with a raw URI error
+          path.stripPrefix("file:").replaceAll("^/+", "/")
+        }
       else path
     if (fmt == "parquet" && opts.kvMetadata.nonEmpty)
       require(!localPath.matches("^[a-zA-Z][a-zA-Z0-9+.\\-]*:.*"),

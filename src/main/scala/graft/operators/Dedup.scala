@@ -692,4 +692,55 @@ object Dedup {
       .reduce(_ + _)
     agree.cast("double") / lit(sigA.size).cast("double")
   }
+
+  /** C4-style GLOBAL exact line dedup (Raffel et al. 2020 §2.2 — the
+    * "discard repeated lines across the corpus" pass every web-corpus
+    * pipeline runs before document-level dedup): a line occurring
+    * anywhere else in the corpus survives only at its FIRST occurrence
+    * — smallest `(id, position)` — and every other copy is removed
+    * from inside its document. Catches boilerplate (nav bars, cookie
+    * banners, license headers) that document-level dedup never sees
+    * because the surrounding text differs.
+    *
+    * Lines shorter than `minLineChars` are EXEMPT — kept in place,
+    * every copy: "1.", "", "Introduction" repeat legitimately, and
+    * deduplicating them would shred ordinary prose structure. The
+    * exempt lines still flow through the single plan (filtering them
+    * into a separate branch would re-scan the corpus; shipping
+    * sub-`minLineChars` strings through the shuffle costs less by
+    * construction — they are the corpus's shortest byte-strings).
+    *
+    * Returns `(idCol, textCol)` with each document rebuilt from its
+    * surviving lines in original order (join other columns back on id).
+    * A document whose every line was removed — pure boilerplate — is
+    * DROPPED, as is a null-text document (no lines to keep).
+    *
+    * Scale shape: posexplode → ONE exchange keyed on the line value
+    * (the min-occurrence window; partition count = distinct lines, so
+    * skew only from a pathologically repeated LONG line) → one id-keyed
+    * exchange to reassemble documents. The text crosses each exchange
+    * once, as its lines; no joins, no driver state. */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+      minLineChars: Int = 10): DataFrame = {
+    require(minLineChars >= 1,
+      s"minLineChars must be >= 1, got $minLineChars")
+    val lines = df
+      .select(col(idCol).as("__did"),
+        posexplode(split(col(textCol), "\n")))
+      .withColumnRenamed("pos", "__pos")
+      .withColumnRenamed("col", "__line")
+    val wLine = Window.partitionBy(col("__line"))
+    lines
+      .withColumn("__min",
+        min(struct(col("__did"), col("__pos"))).over(wLine))
+      .filter(length(col("__line")) < minLineChars ||
+        (col("__min.__did") === col("__did") &&
+          col("__min.__pos") === col("__pos")))
+      .groupBy(col("__did").as(idCol))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          s => s.getField("__line")),
+        "\n").as(textCol))
+  }
 }

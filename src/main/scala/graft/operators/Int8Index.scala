@@ -36,15 +36,39 @@ object Int8Index {
     * (over-length vectors, null elements, all-null dimensions) PLUS the
     * index-specific refusals in [[guardedEncode]] (null and short
     * vectors) — the build aborts instead of writing a silently-corrupt
-    * index. */
+    * index.
+    *
+    * A REBUILD over an existing index is staged: both outputs
+    * materialize under `dir/.build-tmp` first and publish by rename
+    * only after both jobs committed — a build that fails partway
+    * (e.g. the codes job hits a null vector) leaves the previous
+    * stats+codes pair untouched and still serving (spec-pinned).
+    * Writing stats in place first would pair NEW ranges with OLD codes
+    * on failure: a silently mis-decoded index. */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
       dir: String): Unit = {
     val spark = corpus.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(dir, ".build-tmp")
+    fs.delete(tmp, true)
     Quantize.int8Stats(corpus, vecCol).coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/stats")
+      .write.mode("overwrite").parquet(s"$dir/.build-tmp/stats")
     guardedEncode(corpus, idCol, vecCol,
-        spark.read.parquet(s"$dir/stats"), "build")
-      .write.mode("overwrite").parquet(s"$dir/codes")
+        spark.read.parquet(s"$dir/.build-tmp/stats"), "build")
+      .write.mode("overwrite").parquet(s"$dir/.build-tmp/codes")
+    // both outputs are complete and mutually consistent — publish.
+    // (Two renames, not one atomic swap: the vulnerable window is now
+    // two metadata ops instead of a full corpus encode, and a reader
+    // caught inside it fails loudly on a missing path rather than
+    // decoding codes against the wrong ranges.)
+    Seq("stats", "codes").foreach { part =>
+      val dst = new org.apache.hadoop.fs.Path(dir, part)
+      fs.delete(dst, true)
+      require(fs.rename(new org.apache.hadoop.fs.Path(tmp, part), dst),
+        s"Int8Index.build: publish rename failed for $dst")
+    }
+    fs.delete(tmp, true)
   }
 
   /** The lazy codes scan + the 1-row stats frame. */

@@ -124,17 +124,35 @@ object Sampling {
     * Scale: ONE exchange keyed on `key` + a per-partition sort — the
     * per-source window shape ([[perKeyCap]]); a pathologically dominant
     * key serializes its own partition, which AQE skew handling does not
-    * split for windows — cap such sources upstream. Contrast
-    * [[Pipelines.keepTopQuantile]], which gates on one GLOBAL cutoff
-    * with a broadcast sketch and no window at all. */
+    * split for windows — cap such sources upstream, and set
+    * `maxKeyRows` so a key that slipped past the cap RAISES (with its
+    * name and size) instead of silently serializing a multi-TB sort.
+    * The guard is a count over the SAME key partitioning, so it adds no
+    * exchange. This exact-percentile form is the DIAGNOSTIC: when the
+    * goal is gating rather than emitting ranks, route through
+    * [[perKeyQuantileGateApprox]] (window-free) or the GLOBAL-cutoff
+    * [[Pipelines.keepTopQuantile]]. */
   def rankNormalize(df: DataFrame, key: Column, id: Column, score: Column,
-      out: String = "pct"): DataFrame = {
+      out: String = "pct", maxKeyRows: Long = 0L): DataFrame = {
+    require(maxKeyRows >= 0L,
+      s"maxKeyRows must be >= 0 (0 disables the guard), got $maxKeyRows")
     require(!df.columns.contains(out),
       s"rankNormalize: df already has a '$out' column; rename it or " +
         "pass out=")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(key)
       .orderBy(score.asc_nulls_first, id.asc)
-    df.withColumn(out, percent_rank().over(w))
+    val pct = percent_rank().over(w)
+    if (maxKeyRows == 0L) df.withColumn(out, pct)
+    else {
+      val n = count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(key))
+      df.withColumn(out, when(n > maxKeyRows, raise_error(concat(
+        lit("rankNormalize: key '"), key.cast("string"), lit("' has "),
+        n.cast("string"),
+        lit(s" rows, above maxKeyRows=$maxKeyRows — a dominant key " +
+          "serializes its own rank partition; cap or split it upstream"))))
+        .otherwise(pct))
+    }
   }
 
   /** Keep rows at or above the `minPct` within-key score percentile —
@@ -158,6 +176,50 @@ object Sampling {
       .filter(col("__pct") >= minPct).drop("__pct")
   }
 
+  /** Window-free per-source quality gate — the 100-TB form of
+    * [[perKeyQuantileGate]]. Instead of exact-ranking every key's
+    * partition (one task per source — a multi-TB sort when a few
+    * sources dominate), it measures each key's `minPct` score quantile
+    * with `percentile_approx` (a mergeable sketch: the groupBy
+    * partial-aggregates map-side, so the exchange carries sketches,
+    * not rows), broadcasts the per-key cutoff table back, and keeps
+    * rows with `score >= cutoff`. No Window node anywhere
+    * (spec-pinned): one aggregation pass + one broadcast-joined
+    * filtered scan, fully parallel within every key.
+    *
+    * Semantics vs the exact gate: both keep a top segment of each
+    * key's score distribution; they can disagree only at the cutoff
+    * boundary (percent_rank gates on `(rank-1)/(n-1)`, the sketch on
+    * an inverse-CDF value, ± sketch error ~ n/accuracy ranks), and
+    * ties AT the approximate cutoff are all kept — per-key kept
+    * counts land within a boundary-tie band of exact (spec-pinned on
+    * a multi-source fixture). NULL-scored rows are excluded (the
+    * exact gate's contract); a NULL key is its own group and gates
+    * against its own cutoff (null-safe join), matching SQL window
+    * semantics in the exact form. */
+  def perKeyQuantileGateApprox(df: DataFrame, key: Column, score: Column,
+      minPct: Double, accuracy: Int = 10000): DataFrame = {
+    require(minPct > 0.0 && minPct < 1.0,
+      s"minPct must be in (0, 1), got $minPct")
+    require(accuracy >= 100,
+      s"accuracy must be >= 100 sketch buckets, got $accuracy")
+    Seq("__gk", "__gkk", "__cut").foreach(c =>
+      require(!df.columns.contains(c),
+        s"perKeyQuantileGateApprox: input already has a '$c' column; " +
+          "rename it"))
+    val scored = df.filter(score.isNotNull)
+    val cuts = scored.groupBy(key.as("__gk"))
+      .agg(percentile_approx(score.cast("double"), lit(minPct),
+        lit(accuracy)).as("__cut"))
+    // key staged as a left-side column: `cuts` derives from `scored`
+    // (self-lineage — the temperatureMixture convention); <=> keeps
+    // the null-key group gating against its own cutoff
+    scored.withColumn("__gkk", key)
+      .join(broadcast(cuts), col("__gkk") <=> col("__gk"))
+      .filter(score.cast("double") >= col("__cut"))
+      .drop("__gkk", "__gk", "__cut")
+  }
+
   /** Exact-count proportional sample: exactly `totalN` rows (when the
     * corpus has at least that many), apportioned across keys by the
     * largest-remainder method and drawn deterministically within each
@@ -179,13 +241,27 @@ object Sampling {
     * Scale: one count aggregation keyed on `key`; quota derivation runs
     * a GLOBAL rank over the per-key table — one task over one row per
     * key, fine for source/domain cardinalities (use [[bernoulli]] for
-    * per-URL keys); the corpus-side rank is a per-key window (full sort
-    * per key — the quota is data-dependent, so unlike [[perKeyCap]]
-    * this cannot plan as a map-side WindowGroupLimit). */
+    * per-URL keys). The corpus-side rank is a TWO-PHASE rank, not a
+    * per-key window: rows bucket by the first `bucketChars` hex chars
+    * of their own md5 draw (a PREFIX of the sort key, so bucket order
+    * is draw order and the global per-key rank decomposes exactly),
+    * rank locally within (key, bucket), and add the per-bucket offset
+    * — a `16^bucketChars`-row-per-key count table broadcast back. A
+    * dominant source therefore sorts as `16^bucketChars` independent
+    * tasks instead of one; the corpus crosses ONE exchange (keyed on
+    * (key, bucket)), the count/offset tables are KB-sized, and both
+    * joins broadcast. Ranks are identical to the single-window form
+    * for every `bucketChars` (spec-pinned), so membership never
+    * depends on the knob; raise it when a single source exceeds what
+    * `16^bucketChars` tasks can sort comfortably. */
   def apportionedSample(df: DataFrame, key: Column, id: Column,
-      totalN: Long, salt: String = "apportion"): DataFrame = {
+      totalN: Long, salt: String = "apportion",
+      bucketChars: Int = 2): DataFrame = {
     require(totalN > 0, s"totalN must be positive, got $totalN")
-    Seq("__rn", "__quota", "__k", "__kk").foreach(c =>
+    require(bucketChars >= 1 && bucketChars <= 8,
+      s"bucketChars must be in [1, 8], got $bucketChars")
+    Seq("__rn", "__quota", "__k", "__kk", "__draw", "__bkt", "__lrn",
+      "__ck", "__cb", "__bn", "__off").foreach(c =>
       require(!df.columns.contains(c),
         s"apportionedSample: df already has a '$c' column; rename it"))
     val kept = df.filter(key.isNotNull && id.isNotNull)
@@ -199,9 +275,16 @@ object Sampling {
       .withColumn("__tot", sum(col("__n")).over(wAll).cast("decimal(38,0)"))
       .withColumn("__prod",
         lit(totalN).cast("decimal(38,0)") * col("__n").cast("decimal(38,0)"))
-      .withColumn("__base", floor(col("__prod") / col("__tot")).cast("long"))
-      .withColumn("__rem",
-        (col("__prod") - col("__base").cast("decimal(38,0)") * col("__tot"))
+      // pmod first, division second: Spark decimal division returns
+      // decimal(38,6) rounded HALF_UP, so floor(__prod / __tot) would
+      // round a quotient with fractional part >= 0.9999995 UP to base+1
+      // (reachable once a corpus passes ~2M rows), producing a negative
+      // remainder and a quota sum above totalN. pmod on decimal(38,0)
+      // is exact, and dividing the exact multiple (__prod - __rem) is
+      // never rounded (its fractional part is zero by construction)
+      .withColumn("__rem", pmod(col("__prod"), col("__tot")).cast("long"))
+      .withColumn("__base",
+        ((col("__prod") - col("__rem").cast("decimal(38,0)")) / col("__tot"))
           .cast("long"))
       .withColumn("__sb", sum(col("__base")).over(wAll))
       .withColumn("__rk", row_number().over(wTop))
@@ -210,17 +293,42 @@ object Sampling {
           lit(1L)).otherwise(lit(0L)),
         col("__n")))
       .select(col("__k"), col("__quota"))
-    val wIn = org.apache.spark.sql.expressions.Window.partitionBy(key)
-      .orderBy(md5(concat(lit(salt), lit("|"), id.cast("string"))), id)
-    // the key is STAGED as a left-side column before the join: `quotas`
-    // derives from `kept`, and an unqualified `key` expression in a
-    // self-lineage join condition is ambiguous-or-wrong-side territory
-    // (the temperatureMixture convention, which qualifies its join key)
-    kept.withColumn("__kk", key)
-      .withColumn("__rn", row_number().over(wIn))
-      .join(quotas, col("__kk") === col("__k"))
+    // the key is STAGED as a left-side column before the joins: `quotas`
+    // and `offsets` both derive from `kept`, and an unqualified `key`
+    // expression in a self-lineage join condition is ambiguous-or-
+    // wrong-side territory (the temperatureMixture convention, which
+    // qualifies its join key)
+    val staged = kept.withColumn("__kk", key)
+      .withColumn("__draw",
+        md5(concat(lit(salt), lit("|"), id.cast("string"))))
+      .withColumn("__bkt", substring(col("__draw"), 1, bucketChars))
+    // per-(key, bucket) sizes: at most 16^bucketChars rows per key, and
+    // the groupBy partial-aggregates map-side, so the exchange under it
+    // ships counts, not corpus rows
+    val bcounts = staged
+      .groupBy(col("__kk").as("__ck"), col("__bkt").as("__cb"))
+      .agg(count(lit(1)).as("__bn"))
+    // rank offset of each bucket = rows of the same key in LOWER
+    // buckets; the bucket is a prefix of the draw, so lower-bucket rows
+    // are exactly the lower-draw rows. Window over the tiny count table
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__ck")).orderBy(col("__cb"))
+    val offsets = bcounts
+      .withColumn("__off", sum(col("__bn")).over(wOff) - col("__bn"))
+      .select(col("__ck"), col("__cb"), col("__off"))
+    // local rank within (key, bucket): the only corpus-sized sort, and
+    // it runs as 16^bucketChars independent tasks per key
+    val wLoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__kk"), col("__bkt"))
+      .orderBy(col("__draw"), id.asc)
+    staged.withColumn("__lrn", row_number().over(wLoc))
+      .join(broadcast(offsets),
+        col("__kk") === col("__ck") && col("__bkt") === col("__cb"))
+      .withColumn("__rn", col("__off") + col("__lrn"))
+      .join(broadcast(quotas), col("__kk") === col("__k"))
       .filter(col("__rn") <= col("__quota"))
-      .drop("__rn", "__quota", "__k", "__kk")
+      .drop("__rn", "__quota", "__k", "__kk", "__draw", "__bkt",
+        "__lrn", "__ck", "__cb", "__off")
   }
 
   /** Corpus mixture: union several sources, each kept at its own rate (in

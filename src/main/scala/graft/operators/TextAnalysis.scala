@@ -58,6 +58,26 @@ object TextAnalysis {
   def stopwordCountHof(toks: Column, stop: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(stop))).cast("long")
 
+  /** DISTINCT set members present in the token array — the required-
+    * stopword presence probe of [[withGopherQuality]]. Native one-pass
+    * bitmask expression ([[graft.functions.DistinctInSet]]): the fold
+    * form re-scans the tokens once per set member, so a long required-
+    * word list multiplies the gate's only per-token cost. Spec-pinned
+    * identical to [[stopHitsFold]]; null array → null (callers
+    * coalesce). */
+  def stopHits(toks: Column, words: Seq[String]): Column =
+    graft.functions.DistinctInSet.distinctInSet(toks, words)
+
+  /** Composable per-word `array_contains` fold, kept as the
+    * cross-checkable twin of [[stopHits]] (one array scan PER WORD —
+    * not for long lists). The explicit isNotNull guard gives a null
+    * array → null, matching the native form (the raw fold would give
+    * 0: each per-word `when` lands in its `otherwise`). */
+  def stopHitsFold(toks: Column, words: Seq[String]): Column =
+    when(toks.isNotNull, words.distinct.sorted.map(w =>
+        when(array_contains(toks, w), lit(1L)).otherwise(lit(0L)))
+      .reduce(_ + _))
+
   /** Linear lexicon score: Σ weight(token) for a driver-known term→weight
     * lexicon — the linear layer of a fastText-style shallow classifier.
     * Native one-probe-per-token expression
@@ -250,8 +270,10 @@ object TextAnalysis {
     * (a symbol "word" has no letter, so it lowers the fraction).
     *
     * Scale shape: a pure scan projection — zero exchanges; the stopword
-    * probes are fixed-size `array_contains` chains (codegen'd), the
-    * alpha probe one regex per token. Composes with
+    * presence probe is ONE pass over the tokens whatever the list size
+    * ([[stopHits]], a codegen'd bitmask expression — the per-word
+    * `array_contains` fold re-scanned the array once per required
+    * word), the alpha probe one regex per token. Composes with
     * [[graft.operators.Pipelines]] gates at the scan.
     */
   def withGopherQuality(df: org.apache.spark.sql.DataFrame, textCol: String,
@@ -284,10 +306,7 @@ object TextAnalysis {
             .cast("double") / col("n_tokens").cast("double"))
           .otherwise(lit(0.0)))
       .withColumn("stop_hits",
-        requiredStop.distinct.sorted.map(w =>
-            when(coalesce(array_contains(col("__toks"), w), lit(false)),
-              lit(1L)).otherwise(lit(0L)))
-          .reduce(_ + _))
+        coalesce(stopHits(col("__toks"), requiredStop), lit(0L)))
     out
       .withColumn("gopher_pass",
         col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
@@ -296,6 +315,58 @@ object TextAnalysis {
           col("alpha_frac") >= minAlphaFrac &&
           col("stop_hits") >= minStopHits)
       .drop("__toks")
+  }
+
+  /** Gopher LINE-level rules (Rae et al. 2021, appendix A1.1 — the two
+    * rules [[withGopherQuality]]'s document-level pass cannot see): a
+    * document fails when more than `maxBulletFrac` of its lines start
+    * with a bullet marker or more than `maxEllipsisFrac` end with an
+    * ellipsis — the listicle/truncated-crawl signature. Output adds
+    * `n_lines` (non-blank lines), `bullet_frac`, `ellipsis_frac`,
+    * `line_rules_pass`.
+    *
+    * Blank lines (whitespace-only) are excluded from both numerator
+    * and denominator — paragraph spacing is formatting, not content,
+    * and counting it would dilute the listicle signal in proportion to
+    * how airy the layout is. Null text has 0 lines and fails (the
+    * [[withGopherQuality]] convention). Fractions are integer-count
+    * IEEE divisions — engine-bit-identical, oracle-exact. Pure scan
+    * projection: zero exchanges, composes with the document-level gate
+    * at the scan. */
+  def withGopherLineRules(df: org.apache.spark.sql.DataFrame,
+      textCol: String, maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3)
+      : org.apache.spark.sql.DataFrame = {
+    require(maxBulletFrac > 0.0 && maxBulletFrac <= 1.0,
+      s"maxBulletFrac must be in (0, 1], got $maxBulletFrac")
+    require(maxEllipsisFrac > 0.0 && maxEllipsisFrac <= 1.0,
+      s"maxEllipsisFrac must be in (0, 1], got $maxEllipsisFrac")
+    val bullets = Seq("- ", "* ", "•") // '•' needs no space: "•item"
+    val isBullet = (l: Column) =>
+      bullets.map(b => ltrim(l).startsWith(b)).reduce(_ || _)
+    val isEllipsis = (l: Column) =>
+      rtrim(l).endsWith("...") || rtrim(l).endsWith("…")
+    val out = df
+      .withColumn("__lines", when(col(textCol).isNotNull,
+        filter(split(col(textCol), "\n"), l => length(trim(l)) > 0)))
+      .withColumn("n_lines",
+        coalesce(size(col("__lines")).cast("long"), lit(0L)))
+      .withColumn("bullet_frac",
+        when(col("n_lines") > 0,
+          size(filter(col("__lines"), isBullet)).cast("double") /
+            col("n_lines").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("ellipsis_frac",
+        when(col("n_lines") > 0,
+          size(filter(col("__lines"), isEllipsis)).cast("double") /
+            col("n_lines").cast("double"))
+          .otherwise(lit(0.0)))
+    out
+      .withColumn("line_rules_pass",
+        col("n_lines") > 0 &&
+          col("bullet_frac") <= maxBulletFrac &&
+          col("ellipsis_frac") <= maxEllipsisFrac)
+      .drop("__lines")
   }
 
   /** HTML boilerplate strip (X5 ingestion hygiene): drop script/style

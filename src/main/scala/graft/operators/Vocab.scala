@@ -236,13 +236,25 @@ object Vocab {
     * merge iterations run over that vocab-sized table (Sennrich's own
     * formulation trains on word counts, not running text). Each
     * iteration is (a) a pair-count aggregation over the persisted
-    * symbol table, (b) a 1-row argmax collect (KB — the codebook
-    * precedent), (c) one fold projection applying the merge; the
-    * re-segmented table is re-persisted so iteration r never replays
-    * folds 1..r-1. At 32k production merges the documented extension is
-    * merge BATCHING (apply the top-M non-conflicting pairs per round);
-    * the per-iteration complexity class — O(vocab), never O(corpus) —
-    * is already right.
+    * symbol table, (b) a KB-sized ranked-candidate collect (the
+    * codebook precedent), (c) fold projections applying the round's
+    * merges; the re-segmented table is re-persisted so iteration r
+    * never replays folds 1..r-1. The per-iteration complexity class —
+    * O(vocab), never O(corpus) — holds for every setting.
+    *
+    * `batchSize` is the production lever: per round, accept the top-M
+    * NON-CONFLICTING pairs from one ranked count (greedy down the
+    * (freq DESC, lhs, rhs) order, skipping any pair that shares a
+    * symbol with — or whose merged token collides with — an already-
+    * accepted pair this round), then apply them all before recounting.
+    * Disjoint-symbol merges cannot change each other's pair counts
+    * (a merge only creates/destroys pairs touching its own symbols),
+    * so each accepted pair's recorded freq is exactly what sequential
+    * training would have recounted; conflicting runners-up are simply
+    * deferred to the next round's recount. 32k merges at batchSize=256
+    * is ~125 count jobs instead of 32k count jobs + 32k collects —
+    * scheduler overhead drops two orders of magnitude. `batchSize=1`
+    * IS sequential Sennrich (and stays the catalog/oracle pin).
     *
     * Merge application is a single left-to-right greedy fold per word
     * (string accumulator with a leading-space symbol-boundary
@@ -257,11 +269,13 @@ object Vocab {
     * the prefix of "lower" learn different merges). Returns the learned
     * merges in rank order; stops early if the pair space is exhausted. */
   def bpeTrain(df: DataFrame, textCol: String, numMerges: Int,
-      modelPartitions: Int = 1): Seq[BpeMerge] = {
+      modelPartitions: Int = 1, batchSize: Int = 1): Seq[BpeMerge] = {
     require(numMerges >= 1,
       s"bpeTrain: numMerges must be >= 1, got $numMerges")
     require(modelPartitions >= 1,
       s"bpeTrain: modelPartitions must be >= 1, got $modelPartitions")
+    require(batchSize >= 1,
+      s"bpeTrain: batchSize must be >= 1, got $batchSize")
     val wc = df
       .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
@@ -281,10 +295,13 @@ object Vocab {
       .persist()
     seg.count()
     val out = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
-    var r = 1L
     var exhausted = false
-    while (r <= numMerges && !exhausted) {
-      val top = seg
+    while (out.size < numMerges && !exhausted) {
+      val want = math.min(batchSize, numMerges - out.size)
+      // ranked candidates: a bounded KB collect (4·want + 8 covers the
+      // conflicting runners-up; any non-conflicting pair beyond the
+      // window is simply deferred to the next round's recount)
+      val cand = seg
         .select(col("cnt"), explode(zip_with(
           slice(col("syms"), lit(1), greatest(size(col("syms")) - 1, lit(0))),
           slice(col("syms"), lit(2), greatest(size(col("syms")) - 1, lit(0))),
@@ -292,20 +309,34 @@ object Vocab {
         .select(col("cnt"), col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
         .groupBy("lhs", "rhs").agg(sum("cnt").as("freq"))
         .orderBy(desc("freq"), asc("lhs"), asc("rhs"))
-        .limit(1).collect()
-      if (top.isEmpty) exhausted = true
+        .limit(4 * want + 8).collect()
+      if (cand.isEmpty) exhausted = true
       else {
-        val lhs: String = top(0).getString(0)
-        val rhs: String = top(0).getString(1)
-        val f: Long = top(0).getLong(2)
-        out += BpeMerge(r, lhs, rhs, f)
-        val next = seg
-          .withColumn("syms", applyMerge(col("syms"), lhs, rhs))
-          .persist()
+        // greedy top-M non-conflicting: a pair is rejected if it shares
+        // a symbol with — or its merged token collides with — anything
+        // accepted THIS round (its count may be stale after those apply)
+        val used = scala.collection.mutable.HashSet.empty[String]
+        val accepted =
+          scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var i = 0
+        while (i < cand.length && accepted.size < want) {
+          val (lhs, rhs, f) = (cand(i).getString(0), cand(i).getString(1),
+            cand(i).getLong(2))
+          if (!used(lhs) && !used(rhs) && !used(lhs + rhs)) {
+            accepted += ((lhs, rhs, f))
+            used += lhs; used += rhs; used += lhs + rhs
+          }
+          i += 1
+        }
+        accepted.foreach { case (lhs, rhs, f) =>
+          out += BpeMerge(out.size + 1L, lhs, rhs, f)
+        }
+        val next = accepted.foldLeft(seg) { case (s, (lhs, rhs, _)) =>
+          s.withColumn("syms", applyMerge(col("syms"), lhs, rhs))
+        }.persist()
         next.count()
         seg.unpersist()
         seg = next
-        r += 1
       }
     }
     seg.unpersist()

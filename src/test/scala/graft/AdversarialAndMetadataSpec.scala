@@ -113,4 +113,24 @@ class AdversarialAndMetadataSpec extends TestBase {
       s"missing KV on $p"))
     assertSameRows(QuackIO.readParquet(spark, Seq(d)), fixture)
   }
+
+  test("writeTableDir + kvMetadata: an UNENCODED file: URI with a space " +
+    "falls back to textual scheme-stripping instead of a raw URI parse " +
+    "error") {
+    import scala.jdk.CollectionConverters._
+    // java.net.URI.create("file:/...out dir") throws on the space; the
+    // path is perfectly legal driver-local output and must still write
+    // and carry footers end-to-end
+    val d = s"${tmpDir()}/out dir"
+    val kv = Map("k" -> "v")
+    QuackIO.writeTableDir(fixture.repartition(2), s"file:$d",
+      WriteOptions(format = Some("parquet"), kvMetadata = kv))
+    val parts = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+      .iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-")).toSeq
+    assert(parts.nonEmpty, s"no part files under $d")
+    parts.foreach(p => assert(ParquetMetadata.read(p.toString) == kv,
+      s"missing KV on $p"))
+    assertSameRows(QuackIO.readParquet(spark, Seq(d)), fixture)
+  }
 }

@@ -84,6 +84,69 @@ class BpeSpec extends TestBase {
     }
   }
 
+  test("batched training (batchSize=M) learns the same merges, ranks, " +
+    "and freqs as sequential when the batches are conflict-free") {
+    // three words with pairwise-disjoint symbol alphabets and strictly
+    // decreasing pair freqs: 'abab'x50 -> (a,b)=100, 'cdcd'x40 ->
+    // (c,d)=80, 'efef'x30 -> (e,f)=60. Sequential recounts between
+    // merges but disjoint merges cannot move each other's counts (the
+    // follow-up pairs (ab,ab)=50 etc. rank strictly below), so one
+    // batched round of 3 must reproduce sequential exactly
+    val corpus = docs(
+      1L -> Seq.fill(50)("abab").mkString(" "),
+      2L -> Seq.fill(40)("cdcd").mkString(" "),
+      3L -> Seq.fill(30)("efef").mkString(" "))
+    val sequential = Vocab.bpeTrain(corpus, "text", numMerges = 3)
+      .map(m => (m.merge_rank, m.lhs, m.rhs, m.freq))
+    val batched = Vocab.bpeTrain(corpus, "text", numMerges = 3,
+        batchSize = 3)
+      .map(m => (m.merge_rank, m.lhs, m.rhs, m.freq))
+    assert(sequential == Seq((1L, "a", "b", 100L), (2L, "c", "d", 80L),
+      (3L, "e", "f", 60L)), s"sequential drifted: $sequential")
+    assert(batched == sequential, s"batched $batched != $sequential")
+  }
+
+  test("batched training defers conflicting pairs to the next recount " +
+    "and preserves early stop") {
+    // 'a b': (a,</w>) and (b,</w>) share </w> — a batch of 5 may only
+    // accept one per round, so batching must converge on the same
+    // merge list as sequential, then stop when the pair space is gone
+    val corpus = docs(1L -> "a b")
+    val sequential = Vocab.bpeTrain(corpus, "text", numMerges = 5)
+      .map(m => (m.merge_rank, m.lhs, m.rhs, m.freq))
+    val batched = Vocab.bpeTrain(corpus, "text", numMerges = 5,
+        batchSize = 5)
+      .map(m => (m.merge_rank, m.lhs, m.rhs, m.freq))
+    assert(batched == sequential && batched.size == 2, s"got $batched")
+    intercept[IllegalArgumentException] {
+      Vocab.bpeTrain(corpus, "text", numMerges = 1, batchSize = 0)
+    }
+  }
+
+  test("cross-session serving: a fresh session loads the saved model " +
+    "and reproduces the training session's token budget exactly") {
+    val corpus = docs(
+      1L -> "low low low", 2L -> "lower", 3L -> "newest newest")
+    val merges = Vocab.bpeTrain(corpus, "text", numMerges = 4)
+    val dir = tmpDir().toString + "/bpe_model_xsession"
+    Vocab.saveBpeMerges(spark, merges, dir)
+    val inMem = Vocab.withBpeTokenCount(corpus, "doc_id", "text", merges)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // a NEW session (fresh session state, no shared temp views/config):
+    // the artifact alone must be enough to serve — the AnnIndex/
+    // Int8Index persistence convention for tokenizers
+    val s2 = spark.newSession()
+    val loaded = Vocab.loadBpeMerges(s2, dir)
+    assert(loaded == merges)
+    val corpus2 = s2.createDataFrame(
+      java.util.Arrays.asList(corpus.collect(): _*), corpus.schema)
+    val served = Vocab.withBpeTokenCount(corpus2, "doc_id", "text", loaded)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(served == inMem, s"served $served != in-memory $inMem")
+  }
+
   test("the corpus shuffles once — merges iterate the word table only") {
     val corpus = docs(1L -> "low low lower", 2L -> "low newest")
     // behavioral stand-in for a plan pin (the loop runs many jobs): the

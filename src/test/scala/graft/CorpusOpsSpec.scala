@@ -14,6 +14,41 @@ class CorpusOpsSpec extends TestBase {
   private def docs(rows: (Long, String)*) =
     rows.toSeq.toDF("doc_id", "text")
 
+  // ---------- C4 global line dedup -----------------------------------------
+
+  test("dedupLines: a repeated line survives only at its first (id, pos); " +
+    "short lines are exempt; hollow docs drop; partitioning-invariant") {
+    val df = docs(
+      1L -> "a common boilerplate line\nunique alpha text line one\nok",
+      2L -> "a common boilerplate line\nunique beta text line two\nok",
+      3L -> "a common boilerplate line")
+    val out = Dedup.dedupLines(df, "doc_id", "text", minLineChars = 10)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    // doc1 keeps all (first occurrence + short-exempt 'ok'); doc2 loses
+    // only the boilerplate; doc3 WAS only boilerplate → dropped whole
+    assert(out == Seq(
+      1L -> "a common boilerplate line\nunique alpha text line one\nok",
+      2L -> "unique beta text line two\nok"), s"got $out")
+    // within-doc repeats collapse to the first too; short mid survives
+    val self = docs(
+      7L -> "duplicated inside doc\nmid\nduplicated inside doc")
+    assert(Dedup.dedupLines(self, "doc_id", "text")
+      .as[(Long, String)].collect().toSeq ==
+      Seq(7L -> "duplicated inside doc\nmid"))
+    // membership and rebuilt text ignore partitioning
+    assert(Dedup.dedupLines(df.repartition(7), "doc_id", "text")
+      .collect().toSet ==
+      Dedup.dedupLines(df, "doc_id", "text").collect().toSet)
+    // null text has no lines — dropped, never a null-text output row
+    val withNull = df.union(Seq((9L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text"))
+    assert(!Dedup.dedupLines(withNull, "doc_id", "text")
+      .select("doc_id").as[Long].collect().contains(9L))
+    intercept[IllegalArgumentException] {
+      Dedup.dedupLines(df, "doc_id", "text", minLineChars = 0)
+    }
+  }
+
   // ---------- Decontaminate ------------------------------------------------
 
   test("decontamination overlap: exact copy 1.0, disjoint 0.0, short doc 0") {
@@ -254,6 +289,127 @@ class CorpusOpsSpec extends TestBase {
       totalN = 10).select("id").as[Long].collect().contains(999L))
     intercept[IllegalArgumentException] {
       Sampling.apportionedSample(df, col("source"), col("id"), 0)
+    }
+  }
+
+  test("apportionedSample: two-phase bucketed rank is bit-identical to " +
+    "the full per-key draw order (independent JVM md5 oracle) for every " +
+    "bucketChars") {
+    val df = ((1L to 50L).map(i => ("s1", i)) ++
+      (51L to 80L).map(i => ("s2", i)) ++
+      (81L to 100L).map(i => ("s3", i))).toDF("source", "id")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // totalN=10 apportions 5/3/2 (no remainders); within each key the
+    // winners are the lowest (md5("apportion|id"), id) draws — computed
+    // here WITHOUT Spark, so a rank-decomposition bug cannot hide
+    val quotas = Map("s1" -> 5, "s2" -> 3, "s3" -> 2)
+    val expected = Seq("s1" -> (1L to 50L), "s2" -> (51L to 80L),
+      "s3" -> (81L to 100L)).flatMap { case (k, ids) =>
+      ids.sortBy(i => (md5hex(s"apportion|$i"), i)).take(quotas(k))
+    }.toSet
+    Seq(1, 2, 4).foreach { bc =>
+      val got = Sampling.apportionedSample(df, col("source"), col("id"),
+          totalN = 10, bucketChars = bc)
+        .select("id").as[Long].collect().toSet
+      assert(got == expected, s"bucketChars=$bc: $got")
+    }
+  }
+
+  test("apportionedSample: quota arithmetic is exact at the decimal " +
+    "rounding threshold (a quotient fraction of 0.99999975 must floor " +
+    "DOWN, and the kept count is exactly totalN)") {
+    // 4M rows, keys sized so totalN·n_k/N has fractional part
+    // 0.33333325 / 0.6666665 / tiny for a=1333333 / b=2666666 / c=1 —
+    // and with totalN=3 the a/b quotients are 0.99999975 and 1.9999995:
+    // both above decimal(38,6) HALF_UP's .9999995 rounding threshold,
+    // so a floor over ROUNDED division would inflate both bases. pmod
+    // arithmetic keeps bases 0/1/0 and awards the two top-ups by true
+    // remainder (a: 3999999, b: 3999998) → quotas 1/2/0, Σ = totalN.
+    val big = spark.range(0, 4000000L, 1, 32)
+      .select(when(col("id") < 1333333L, "a")
+        .when(col("id") < 3999999L, "b")
+        .otherwise("c").as("source"), col("id"))
+    val out = Sampling.apportionedSample(big, col("source"), col("id"),
+        totalN = 3)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(out == Map("a" -> 1L, "b" -> 2L), s"quotas off: $out")
+  }
+
+  test("rankNormalize: maxKeyRows guard raises with the key's name and " +
+    "size when a dominant key would serialize its rank partition") {
+    val df = ((1L to 40L).map(i => ("huge", i, i)) ++
+      (41L to 45L).map(i => ("ok", i, i))).toDF("source", "doc_id", "n")
+    val guarded = Sampling.rankNormalize(df, col("source"), col("doc_id"),
+      col("n"), maxKeyRows = 10L)
+    val e = intercept[Exception] { guarded.collect() }
+    assert(e.getMessage.contains("huge") &&
+      e.getMessage.contains("maxKeyRows=10"), e.getMessage)
+    // under the cap: identical output to the unguarded form
+    val loose = Sampling.rankNormalize(df, col("source"), col("doc_id"),
+        col("n"), maxKeyRows = 40L)
+      .select("doc_id", "pct").as[(Long, Double)].collect().toMap
+    val free = Sampling.rankNormalize(df, col("source"), col("doc_id"),
+        col("n"))
+      .select("doc_id", "pct").as[(Long, Double)].collect().toMap
+    assert(loose == free)
+    intercept[IllegalArgumentException] {
+      Sampling.rankNormalize(df, col("source"), col("doc_id"), col("n"),
+        maxKeyRows = -1L)
+    }
+  }
+
+  test("perKeyQuantileGateApprox agrees with the exact gate within one " +
+    "boundary row per key on a multi-source fixture, and both gates " +
+    "keep a contiguous top segment") {
+    // two sources with disjoint score ranges (the global-cutoff trap)
+    // plus one with duplicated boundary scores
+    val df = ((1L to 100L).map(i => ("s_lo", i, i)) ++
+      (101L to 200L).map(i => ("s_hi", i, 10000 + i)) ++
+      (201L to 240L).map(i => ("s_tie", i, i / 10))) // ties at boundary
+      .toDF("source", "doc_id", "n")
+    val exact = Sampling.perKeyQuantileGate(df, col("source"),
+        col("doc_id"), col("n"), minPct = 0.75)
+      .select("source", "doc_id").as[(String, Long)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val approx = Sampling.perKeyQuantileGateApprox(df, col("source"),
+        col("n"), minPct = 0.75)
+      .select("source", "doc_id").as[(String, Long)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val scores = df.as[(String, Long, Long)].collect()
+      .groupBy(_._1).map { case (k, v) =>
+        k -> v.map(r => r._2 -> r._3).toMap }
+    exact.keySet.foreach { k =>
+      // both keep a top segment: min kept score >= max dropped score
+      Seq(exact(k), approx(k)).foreach { kept =>
+        val (inS, outS) = scores(k).partition { case (id, _) =>
+          kept.contains(id) }
+        assert(inS.values.min >= outS.values.max, s"$k not a top segment")
+      }
+      // sketch tolerance at this size: counts within boundary ties + 1
+      val tieWidth = scores(k).values.toSeq
+        .count(_ == scores(k).values.toSeq.sorted.apply(
+          (scores(k).size * 0.75).toInt))
+      assert(math.abs(exact(k).size - approx(k).size) <= tieWidth + 1,
+        s"$k: exact=${exact(k).size} approx=${approx(k).size}")
+    }
+    // null-scored rows never pass the approx gate either
+    val withNull = df.union(Seq(("s_lo", 999L, null.asInstanceOf[Long]))
+      .toDF("source", "doc_id", "n").withColumn("n",
+        when(col("doc_id") === 999L, lit(null)).otherwise(col("n"))))
+    assert(!Sampling.perKeyQuantileGateApprox(withNull, col("source"),
+        col("n"), 0.75)
+      .select("doc_id").as[Long].collect().contains(999L))
+    // a NULL key is its own group, gated against its own cutoff
+    val nullKey = ((1L to 10L).map(i =>
+      (null.asInstanceOf[String], i, i))).toDF("source", "doc_id", "n")
+    val nk = Sampling.perKeyQuantileGateApprox(nullKey, col("source"),
+      col("n"), 0.75).select("doc_id").as[Long].collect().toSet
+    assert(nk.nonEmpty && nk.size <= 4 && nk.forall(_ >= 7L),
+      s"null-key group must gate against its own cutoff: $nk")
+    intercept[IllegalArgumentException] {
+      Sampling.perKeyQuantileGateApprox(df, col("source"), col("n"), 1.5)
     }
   }
 

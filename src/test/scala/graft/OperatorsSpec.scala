@@ -157,6 +157,42 @@ class OperatorsSpec extends TestBase {
       native(5L) == null)
   }
 
+  test("native stopHits (distinct presence) is identical to the " +
+    "array_contains fold twin, and one presence != occurrence count") {
+    val adversarial = Seq(
+      (1L, Seq("the", "cat", "the", "the")), // 3 occurrences, 1 member
+      (2L, Seq("THE", "The")), // case-sensitive: no hits
+      (3L, Seq("naïve", "東京", "of", "a", "of")), // unicode neighbors
+      (4L, Seq("a", null, "of")), // null element probes nothing
+      (5L, null.asInstanceOf[Seq[String]]), // null array → null
+      (6L, Seq("the", "a", "of", "and", "to", "in", "is"))) // all 7
+      .toDF("doc_id", "toks")
+    val stop = TextAnalysis.EnStop
+    // duplicate words in the list must count once (both forms distinct)
+    for (words <- Seq(stop, stop ++ stop)) {
+      val native = adversarial.select($"doc_id",
+          TextAnalysis.stopHits($"toks", words).as("n"))
+        .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+      val twin = adversarial.select($"doc_id",
+          TextAnalysis.stopHitsFold($"toks", words).as("n"))
+        .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+      assert(native == twin, s"native=$native twin=$twin")
+      assert(native(1L) == 1L && native(2L) == 0L && native(3L) == 2L &&
+        native(4L) == 2L && native(5L) == null && native(6L) == 7L)
+    }
+    // a >64-word set exercises the multi-word bitmask blocks
+    val big = (1 to 200).map(i => s"w$i")
+    val bigDf = Seq((1L, Seq("w1", "w64", "w65", "w128", "w129", "nope")),
+      (2L, Seq[String]())).toDF("doc_id", "toks")
+    val nb = bigDf.select($"doc_id",
+        TextAnalysis.stopHits($"toks", big).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tb = bigDf.select($"doc_id",
+        TextAnalysis.stopHitsFold($"toks", big).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nb == tb && nb(1L) == 5L && nb(2L) == 0L)
+  }
+
   test("native shingles are byte-identical to the HOF twin") {
     val adversarial = Seq(
       (1L, Seq("a", "b", "c", "d")), // normal window walk
@@ -555,6 +591,40 @@ class OperatorsSpec extends TestBase {
     // the aborted appends committed nothing: serving is unchanged
     assert(rows(Int8Index.query(spark, dir, queries, "vec_id",
       "embedding", k = 5)) == live)
+  }
+
+  test("Int8Index.build: a rebuild that fails mid-encode leaves the " +
+    "existing index fully intact — never new stats over old codes") {
+    import graft.operators.Int8Index
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 250 === 0)
+    val dir = s"${tmpDir()}/int8idx_rebuild"
+    Int8Index.build(emb, "vec_id", "embedding", dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val before = rows(Int8Index.query(spark, dir, queries, "vec_id",
+      "embedding", k = 5))
+    val beforeStats = spark.read.parquet(s"$dir/stats").collect().toSeq
+    // a rebuild corpus with DIFFERENT value ranges (so its staged stats
+    // differ from the published ones) and a poison null vector: the
+    // stats job succeeds, the codes job aborts — before this fix the
+    // new stats had already overwritten the old IN PLACE, leaving an
+    // index whose codes decode against the wrong ranges
+    val poisoned = emb.select(col("vec_id"),
+      when(col("vec_id") === 17L, lit(null))
+        .otherwise(org.apache.spark.sql.functions.transform(
+          col("embedding"), x => x * 3f)).as("embedding"))
+    val e = intercept[Exception] {
+      Int8Index.build(poisoned, "vec_id", "embedding", dir)
+    }
+    assert(e.getMessage.contains("null vector"), e.getMessage)
+    assert(spark.read.parquet(s"$dir/stats").collect().toSeq ==
+      beforeStats, "published stats must be untouched by a failed build")
+    assert(rows(Int8Index.query(spark, dir, queries, "vec_id",
+      "embedding", k = 5)) == before,
+      "a failed rebuild must leave the old index serving identically")
   }
 
   test("PqDists nulls out on a vector shorter than m*subDim") {

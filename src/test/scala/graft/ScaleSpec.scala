@@ -368,6 +368,60 @@ class ScaleSpec extends TestBase {
       s"corpus side must stream, not shuffle:\n$p")
   }
 
+  test("apportionedSample: the corpus-side rank window partitions by " +
+    "(key, bucket) — never a one-task-per-key window — and the corpus " +
+    "crosses exactly one hash exchange") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
+      Window => LWindow}
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.operators.Sampling.apportionedSample(
+      d.select(col("doc_id"), col("source")), col("source"),
+      col("doc_id"), totalN = 50)
+    val lp = out.queryExecution.optimizedPlan
+    val wins = lp.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    // windows over the raw corpus (no Aggregate below them) must
+    // partition by BOTH key and draw-bucket; key-only windows are
+    // allowed solely over aggregated per-key/per-bucket count tables
+    val corpusWins = wins.filter(
+      _.child.collectFirst { case a: Aggregate => a }.isEmpty)
+    assert(corpusWins.nonEmpty, s"expected the local-rank window:\n$lp")
+    corpusWins.foreach(w => assert(w.partitionSpec.size == 2,
+      s"corpus window must partition by (key, bucket):\n$lp"))
+    val p = plan(out)
+    // two (key,bucket) exchanges appear: the rank window's (full corpus
+    // rows — the one allowed) and the bucket-count aggregation's, which
+    // sits ABOVE a partial_count and therefore ships combined counts
+    val kkExch = "Exchange hashpartitioning\\(__kk".r.findAllIn(p).length
+    val combined =
+      "Exchange hashpartitioning\\(__kk[^\\n]*\\n[^\\n]*partial_count".r
+        .findAllIn(p).length
+    assert(kkExch - combined == 1,
+      s"corpus rows must cross exactly one exchange " +
+        s"($kkExch total, $combined map-side-combined):\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"offset and quota tables must broadcast back:\n$p")
+  }
+
+  test("perKeyQuantileGateApprox is window-free: sketch aggregation + " +
+    "broadcast cutoffs, no per-source sort anywhere") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.operators.Sampling.perKeyQuantileGateApprox(
+      d.select(col("doc_id"), col("source"), col("n_chars")),
+      col("source"), col("n_chars"), minPct = 0.75)
+    val wins = out.queryExecution.optimizedPlan.collect {
+      case w: LWindow => w }
+    assert(wins.isEmpty, s"approx gate must not plan a Window:\n" +
+      out.queryExecution.optimizedPlan)
+    val p = plan(out)
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-key cutoffs must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must not shuffle for the cutoff join:\n$p")
+    assert(out.count() > 0)
+  }
+
   test("q89 range join: equi-join on the bucket key, no nested loop") {
     val p = plan(SparkEntry.queries("q89_range_join")(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin") &&

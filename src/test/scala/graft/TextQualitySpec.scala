@@ -14,6 +14,43 @@ class TextQualitySpec extends TestBase {
 
   // ---------- Gopher rules -------------------------------------------------
 
+  test("gopher line rules: bullet/ellipsis fractions over non-blank " +
+    "lines; blank lines excluded; null text fails with 0 lines") {
+    val df = docs(
+      1L -> "- one\n- two\n- three", // all bulleted → fail
+      2L -> "good line\n\n   \nanother good", // blanks excluded → 2 lines
+      3L -> "starts fine...\nalso trails...\nplain", // 2/3 ellipsis → fail
+      5L -> "• bullet\n* star\nnormal line here\nmore normal\nyet more")
+      .union(spark.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(
+          4L, null.asInstanceOf[String])),
+        docs(1L -> "x").schema))
+    val out = TextAnalysis.withGopherLineRules(df, "text")
+      .select("doc_id", "n_lines", "bullet_frac", "ellipsis_frac",
+        "line_rules_pass")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((3L, 1.0, 0.0, false)), s"bulleted: ${out(1L)}")
+    assert(out(2L) == ((2L, 0.0, 0.0, true)), s"blanks: ${out(2L)}")
+    assert(out(3L) == ((3L, 0.0, 2.0 / 3, false)),
+      s"ellipsis: ${out(3L)}")
+    assert(out(4L) == ((0L, 0.0, 0.0, false)), s"null: ${out(4L)}")
+    assert(out(5L) == ((5L, 0.4, 0.0, true)), s"mixed: ${out(5L)}")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.withGopherLineRules(docs(1L -> "x"), "text",
+        maxBulletFrac = 0.0)
+    }
+  }
+
+  test("gopher line rules plan is a pure projection: zero exchanges") {
+    val p = TextAnalysis.withGopherLineRules(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+        "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"expected a map-only plan:\n$p")
+  }
+
   test("gopher gate: passing doc, short doc, no-stopword doc, symbol doc") {
     val passing = (1 to 60).map(i => s"word$i").mkString(
       "the quick a ", " ", "") // 63 tokens, has 'the' and 'a'
