@@ -2898,7 +2898,142 @@ object OpsQueries {
               |  bullet_frac, ellipsis_frac,
               |  (n_lines > 0 AND bullet_frac <= 0.9
               |    AND ellipsis_frac <= 0.3) AS line_rules_pass
-              |FROM m ORDER BY doc_id""".stripMargin))
+              |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // ----- X5 C4 document rules ---------------------------------------------
+    // Raffel et al. 2020 §2.2: the line filter (terminal punctuation,
+    // ≥3 words, no "javascript") plus the page filters (≥minSentences,
+    // no "lorem ipsum", no curly brace). The fixture plants each
+    // failure mode on its own doc_id residue class: %11 → a javascript
+    // line (line dropped, page survives), %13 → lorem ipsum (page
+    // dies), %17 → a braced code line (page dies).
+    "q112_c4_rules" -> Entry(
+      (s, dir) => {
+        val lined = docsFan(s, dir).select(col("doc_id"),
+          regexp_replace(col("text"), lit("\\. "), lit(".\n")).as("text"))
+        val planted = lined.select(col("doc_id"),
+          when(col("doc_id") % 11 === 0,
+            concat(col("text"), lit("\nplease enable javascript to view.")))
+          .when(col("doc_id") % 13 === 0,
+            concat(col("text"), lit("\nlorem ipsum dolor sit amet.")))
+          .when(col("doc_id") % 17 === 0,
+            concat(col("text"), lit("\nif (x) { return y; }")))
+          .otherwise(col("text")).as("text"))
+        TextAnalysis.withC4Rules(planted, "text", minSentences = 3)
+          .select(col("doc_id"), col("c4_text"), col("n_sentences"),
+            col("has_lorem"), col("has_brace"), col("c4_pass"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ld AS (SELECT doc_id, regexp_replace(text, '\\. ',
+              |  '.' || chr(10), 'g') AS t0 FROM documents),
+              |pl AS (SELECT doc_id, CASE
+              |  WHEN doc_id % 11 = 0 THEN t0 || chr(10) ||
+              |    'please enable javascript to view.'
+              |  WHEN doc_id % 13 = 0 THEN t0 || chr(10) ||
+              |    'lorem ipsum dolor sit amet.'
+              |  WHEN doc_id % 17 = 0 THEN t0 || chr(10) ||
+              |    'if (x) {{ return y; }}'
+              |  ELSE t0 END AS t FROM ld),
+              |c AS (SELECT doc_id, t, CASE WHEN t IS NULL THEN NULL
+              |  ELSE array_to_string(list_filter(string_split(t, chr(10)),
+              |    l -> (ends_with(rtrim(l), '.') OR ends_with(rtrim(l), '!')
+              |        OR ends_with(rtrim(l), '?')
+              |        OR ends_with(rtrim(l), '"'))
+              |      AND len(regexp_split_to_array(trim(l), '\\s+')) >= 3
+              |      AND NOT contains(lower(l), 'javascript')), chr(10))
+              |  END AS c4_text FROM pl),
+              |m AS (SELECT doc_id, t, c4_text,
+              |  coalesce(CAST(len(list_filter(regexp_split_to_array(
+              |    c4_text, '[.!?]+'), x -> length(trim(x)) > 0))
+              |    AS BIGINT), 0) AS n_sentences,
+              |  coalesce(contains(lower(t), 'lorem ipsum'), FALSE)
+              |    AS has_lorem,
+              |  coalesce(contains(t, '{{'), FALSE) AS has_brace
+              |  FROM c)
+              |SELECT doc_id, c4_text, n_sentences, has_lorem, has_brace,
+              |  (n_sentences >= 3 AND NOT has_lorem AND NOT has_brace)
+              |    AS c4_pass
+              |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // ----- X5 DSIR importance weights ---------------------------------------
+    // Xie et al. 2023: hashed-n-gram importance weights of every raw
+    // doc against a target slice (here: the English docs). The oracle
+    // replays the full chain — md5-hashed unigram+bigram buckets, both
+    // smoothed models on the complete bucket spine, and the per-doc
+    // sorted-bucket fold.
+    "q113_dsir_weights" -> Entry(
+      (s, dir) => {
+        val raw = docsFan(s, dir)
+        val target = raw.filter(col("lang") === "en")
+        Dsir.importanceWeights(raw, "doc_id", "text", target, "text",
+            numBuckets = 4096)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, list_filter(
+              |    regexp_split_to_array(trim(lower(text)), '\\s+'),
+              |    x -> length(x) > 0) AS ts FROM documents),
+              |feats AS (
+              |  SELECT doc_id, u.x AS f FROM tk, unnest(ts) AS u(x)
+              |  UNION ALL
+              |  SELECT doc_id, ts[g.i] || ' ' || ts[g.i + 1] AS f
+              |  FROM tk, unnest(generate_series(1, len(ts) - 1)) AS g(i)),
+              |fb AS (SELECT doc_id, CAST(('0x' || substr(md5('dsir|' || f),
+              |    1, 8)) AS UBIGINT) % 4096 AS bucket FROM feats),
+              |tb AS (SELECT bucket, count(*) AS t_cnt FROM fb
+              |  JOIN documents USING (doc_id) WHERE lang = 'en'
+              |  GROUP BY 1),
+              |rb AS (SELECT bucket, count(*) AS r_cnt FROM fb GROUP BY 1),
+              |tot AS (SELECT (SELECT coalesce(sum(t_cnt), 0) FROM tb)
+              |    AS t_tot,
+              |  (SELECT coalesce(sum(r_cnt), 0) FROM rb) AS r_tot),
+              |model AS (SELECT g.b AS bucket,
+              |  log2((coalesce(t_cnt, 0) + 0.5) /
+              |      (t_tot + 0.5 * 4096)) -
+              |  log2((coalesce(r_cnt, 0) + 0.5) /
+              |      (r_tot + 0.5 * 4096)) AS llr
+              |  FROM generate_series(0, 4095) AS g(b)
+              |  LEFT JOIN tb ON tb.bucket = g.b
+              |  LEFT JOIN rb ON rb.bucket = g.b
+              |  CROSS JOIN tot),
+              |db AS (SELECT doc_id, bucket, count(*) AS cnt FROM fb
+              |  GROUP BY 1, 2)
+              |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_feats,
+              |  round(list_sum(list(cnt * llr ORDER BY bucket)), 6)
+              |    AS logw
+              |FROM db JOIN model USING (bucket)
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ----- X3 hard-negative mining ------------------------------------------
+    // Contrastive-training pairs: each anchor's k most-similar
+    // DIFFERENT-label vectors (same broadcastTopK shape as q30, plus
+    // the null-safe label-mismatch rule).
+    "q114_hard_negatives" -> Entry(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.hardNegatives(emb.filter(col("vec_id") < 5), emb,
+            "vec_id", "embedding", "label", k = 10)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy("anchor_id", "rnk")
+      },
+      Some("""WITH q AS (SELECT vec_id AS anchor_id, embedding AS qv,
+             |  label AS al FROM embeddings WHERE vec_id < 5),
+             |c AS (SELECT vec_id AS neg_id, embedding AS cv, label AS nl
+             |  FROM embeddings),
+             |s AS (SELECT anchor_id, neg_id,
+             |  round(
+             |    list_sum([qv[i]::DOUBLE * cv[i]::DOUBLE
+             |      for i in generate_series(1, len(qv))]) /
+             |    (sqrt(list_sum([qv[i]::DOUBLE * qv[i]::DOUBLE
+             |      for i in generate_series(1, len(qv))])) *
+             |     sqrt(list_sum([cv[i]::DOUBLE * cv[i]::DOUBLE
+             |      for i in generate_series(1, len(cv))]))), 6) AS score
+             |  FROM q, c WHERE anchor_id <> neg_id
+             |    AND al IS DISTINCT FROM nl),
+             |r AS (SELECT anchor_id, neg_id, score,
+             |  CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id
+             |    ORDER BY score DESC, neg_id) AS BIGINT) AS rnk FROM s)
+             |SELECT anchor_id, neg_id, score, rnk FROM r
+             |WHERE rnk <= 10 ORDER BY anchor_id, rnk""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

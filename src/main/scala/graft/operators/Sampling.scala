@@ -29,7 +29,7 @@ object Sampling {
 
   /** `md5(salt|key) mod 10000`, the uniform [0, 10000) draw.
     * NULL key → NULL draw → every comparison is not-true → excluded. */
-  private def draw(key: Column, salt: String): Column =
+  private[operators] def draw(key: Column, salt: String): Column =
     conv(substring(md5(concat(lit(salt), lit("|"), key.cast("string"))),
       1, 8), 16, 10).cast("long") % 10000
 

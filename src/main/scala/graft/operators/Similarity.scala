@@ -56,11 +56,16 @@ object Similarity {
     * (round-6 scores, self-pairs excluded, corpus-id tiebreak). Inputs
     * are pre-normed sides `(query_id, qv, qn)` / `(corpus_id, cv, cn)`;
     * `dotFn` is the dot for the sides' element types ([[dot]] for float
-    * arrays, [[dotHof]] for double). */
+    * arrays, [[dotHof]] for double). `pairKeep` is an extra pair-level
+    * predicate over any columns the sides carry (extra input columns
+    * are dropped from the output) — [[hardNegatives]] passes the
+    * label-mismatch rule through it; a null/not-true predicate drops
+    * the pair. */
   private[operators] def broadcastTopK(q: DataFrame, c: DataFrame,
-      dotFn: (Column, Column) => Column, k: Int): DataFrame = {
+      dotFn: (Column, Column) => Column, k: Int,
+      pairKeep: Column = lit(true)): DataFrame = {
     val scored = broadcast(q).crossJoin(c)
-      .filter(col("query_id") =!= col("corpus_id"))
+      .filter(col("query_id") =!= col("corpus_id") && pairKeep)
       .select(col("query_id"), col("corpus_id"),
         // a length mismatch between the sides would null the dot via
         // zip_with padding and silently sink the pair to the bottom of
@@ -80,6 +85,40 @@ object Similarity {
       .orderBy(desc("score"), asc("corpus_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
+  }
+
+  /** Hard-negative mining (X3, contrastive-training data prep): for
+    * each anchor, the `k` most-cosine-similar corpus vectors whose
+    * label DIFFERS from the anchor's — the negatives that sit closest
+    * to the decision boundary, the standard mining pass for
+    * embedding-model and reranker training pairs (the "hard negatives"
+    * of the DPR / contrastive-learning literature; random negatives
+    * are trivially separable and teach the model little).
+    *
+    * "Different label" is null-safe (`NOT (a <=> b)` — SQL
+    * `IS DISTINCT FROM`): an unlabeled corpus row is a usable negative
+    * for every labeled anchor (its label is not provably equal), and
+    * two unlabeled rows never pair (not provably different). The
+    * anchor itself is excluded as always.
+    *
+    * Output: (anchor_id, neg_id, score, rank). EXACTLY the
+    * [[broadcastTopK]] ranking shape [[cosineTopK]] serves from —
+    * same round-6 scores, same tiebreak — so `recallAtK` and the
+    * two-stage re-rankers compose with it unchanged; only the
+    * pair-keep rule differs. Anchors broadcast; the corpus side is
+    * never shuffled. */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = anchors.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), norm(col(vecCol)).as("qn"),
+      col(labelCol).as("__albl"))
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      col(vecCol).as("cv"), norm(col(vecCol)).as("cn"),
+      col(labelCol).as("__nlbl"))
+    broadcastTopK(q, c, dot, k,
+        pairKeep = !(col("__albl") <=> col("__nlbl")))
+      .withColumnRenamed("query_id", "anchor_id")
+      .withColumnRenamed("corpus_id", "neg_id")
   }
 
   /** Deterministic pseudo-random projection planes, computed driver-side:

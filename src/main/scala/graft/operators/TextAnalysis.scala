@@ -369,6 +369,60 @@ object TextAnalysis {
       .drop("__lines")
   }
 
+  /** C4 document rules (X5): the cleaning pass of Raffel et al. 2020
+    * (§2.2, the "Colossal Clean Crawled Corpus" heuristics) — the
+    * LINE filter keeps only lines that end in a terminal punctuation
+    * mark (`.` `!` `?` `"`), carry at least `minLineWords` words, and
+    * do not mention "javascript" (case-insensitive); the DOCUMENT
+    * filter then drops pages with fewer than `minSentences` sentences
+    * in the cleaned text, pages containing "lorem ipsum", and pages
+    * containing a curly brace (the paper's code-page signal).
+    *
+    * Output adds `c4_text` (the kept lines re-joined with newlines;
+    * null text stays null), `n_sentences` (terminal-punctuation runs in
+    * the cleaned text — the deterministic stand-in for the paper's
+    * sentence splitter, which is model-dependent), `has_lorem`,
+    * `has_brace`, and `c4_pass`. The sibling of [[withGopherQuality]]:
+    * Gopher gates on token statistics, C4 edits the text itself —
+    * production corpora run both.
+    *
+    * Null text has 0 sentences and fails (the [[withGopherQuality]]
+    * convention). All counts are integers; no floats anywhere — every
+    * column is engine-exact. Pure scan projection: zero exchanges;
+    * the line predicates run inside one `filter` lambda per doc.
+    */
+  def withC4Rules(df: org.apache.spark.sql.DataFrame, textCol: String,
+      minSentences: Int = 5, minLineWords: Int = 3)
+      : org.apache.spark.sql.DataFrame = {
+    require(minSentences >= 0, s"minSentences must be >= 0, got $minSentences")
+    require(minLineWords >= 1, s"minLineWords must be >= 1, got $minLineWords")
+    val terminal = Seq(".", "!", "?", "\"")
+    val keepLine = (l: Column) => {
+      val r = rtrim(l)
+      terminal.map(t => r.endsWith(t)).reduce(_ || _) &&
+        size(tokens(l)) >= minLineWords &&
+        !lower(l).contains("javascript")
+    }
+    val out = df
+      .withColumn("c4_text",
+        when(col(textCol).isNotNull,
+          array_join(filter(split(col(textCol), "\n"), keepLine), "\n")))
+      // sentence count = terminal-punctuation RUNS ("end..." is one
+      // sentence boundary, not three): split on [.!?]+ yields runs+1
+      // fields, minus a trailing empty field when the text ends in
+      // punctuation — counting non-empty remainders is exact for both.
+      .withColumn("n_sentences",
+        coalesce(size(filter(split(col("c4_text"), "[.!?]+"),
+          s => length(trim(s)) > 0)).cast("long"), lit(0L)))
+      .withColumn("has_lorem",
+        coalesce(lower(col(textCol)).contains("lorem ipsum"), lit(false)))
+      .withColumn("has_brace",
+        coalesce(col(textCol).contains("{"), lit(false)))
+    out.withColumn("c4_pass",
+      col("n_sentences") >= minSentences &&
+        !col("has_lorem") && !col("has_brace"))
+  }
+
   /** HTML boilerplate strip (X5 ingestion hygiene): drop script/style
     * blocks and comments, replace every remaining tag with a space,
     * decode the common entities, collapse whitespace. The regexes live

@@ -1239,6 +1239,85 @@ class CorpusOpsSpec extends TestBase {
       s"flattening not monotone in α: ${f3("a")} ${f7("a")} ${f99("a")}")
   }
 
+  // ---------- DSIR importance resampling -----------------------------------
+
+  test("dsir: target≡raw gives zero weights everywhere; n_feats counts " +
+    "unigrams + bigrams; empty/null docs are absent") {
+    import graft.operators.Dsir
+    val df = docs(
+      1L -> "the cat sat on the mat",
+      2L -> "a dog ran through a field",
+      3L -> "",
+      5L -> "single")
+      .union(Seq((4L, null: String)).toDF("doc_id", "text"))
+    // both models fitted on the same corpus → identical smoothed
+    // probabilities per bucket → llr is exactly 0.0 (same doubles)
+    val w = Dsir.importanceWeights(df, "doc_id", "text", df, "text",
+        numBuckets = 64)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        r.getDouble(2)))).toMap
+    assert(w.keySet == Set(1L, 2L, 5L),
+      s"empty and null docs must be absent: ${w.keySet}")
+    // 6 tokens + 5 bigrams = 11; 1 token + 0 bigrams = 1
+    assert(w(1L)._1 == 11L, s"doc 1 n_feats: ${w(1L)}")
+    assert(w(5L)._1 == 1L, s"doc 5 n_feats: ${w(5L)}")
+    assert(w.values.forall(_._2 == 0.0),
+      s"target≡raw must weight every doc 0.0: $w")
+  }
+
+  test("dsir: target-like docs outrank off-target docs; weights are " +
+    "repartition-invariant; dsirSample picks the target-like set") {
+    import graft.operators.Dsir
+    val target = docs(
+      101L -> "the cat sat on the mat with the cat",
+      102L -> "a cat and the mat and a cat sat")
+    val raw = docs(
+      1L -> "the cat sat on a mat",   // target vocabulary
+      2L -> "cat on the mat sat down", // target vocabulary
+      3L -> "zq7 xv9 qqj 42 17 zz9",  // disjoint gibberish
+      4L -> "xv9 zq7 17 qqj zz9 42")  // disjoint gibberish
+    val w = Dsir.importanceWeights(raw, "doc_id", "text", target, "text",
+        numBuckets = 256)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(Set(1L, 2L).forall(t => Set(3L, 4L).forall(g => w(t) > w(g))),
+      s"target-vocabulary docs must outrank gibberish: $w")
+    val re = Dsir.importanceWeights(raw.repartition(7), "doc_id", "text",
+        target.repartition(3), "text", numBuckets = 256)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(re == w, s"weights must be partitioning-invariant: $re vs $w")
+    val picked = Dsir.dsirSample(raw, "doc_id", "text", target, "text",
+        n = 2, numBuckets = 256)
+      .collect().map(_.getLong(0)).toSet
+    assert(picked == Set(1L, 2L), s"top-2 must be the target-like docs")
+    intercept[IllegalArgumentException] {
+      Dsir.dsirSample(raw, "doc_id", "text", target, "text", n = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Dsir.importanceWeights(raw, "doc_id", "text", target, "text",
+        numBuckets = 0)
+    }
+  }
+
+  test("dsir: gumbel selection is deterministic across runs and returns " +
+    "n rows; the model table is exactly numBuckets rows") {
+    import graft.operators.Dsir
+    val target = docs(101L -> "the cat sat on the mat")
+    val raw = docs((1L to 20L).map(i =>
+      i -> (if (i % 2 == 0) s"the cat sat $i" else s"zz$i qq$i vv$i")): _*)
+    val g1 = Dsir.dsirSample(raw, "doc_id", "text", target, "text",
+      n = 5, numBuckets = 128, gumbel = true).collect().map(_.getLong(0))
+    val g2 = Dsir.dsirSample(raw, "doc_id", "text", target, "text",
+      n = 5, numBuckets = 128, gumbel = true).collect().map(_.getLong(0))
+    assert(g1.toSeq == g2.toSeq, "gumbel draw must be deterministic")
+    assert(g1.length == 5)
+    val model = Dsir.importanceModel(raw, "text", target, "text",
+      numBuckets = 128)
+    assert(model.count() == 128L,
+      "model must cover the full bucket spine (unseen buckets keep " +
+        "their smoothed prior)")
+    assert(model.filter(col("llr").isNull).count() == 0L)
+  }
+
   // ---------- embedding compression (int8 + random projection) ------------
 
   private def vecs(rows: (Long, Seq[Float])*) =

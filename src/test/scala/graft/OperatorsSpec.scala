@@ -760,6 +760,49 @@ class OperatorsSpec extends TestBase {
     assert(out(0).getDouble(2) > 0.99 && out(0).getDouble(2) <= 1.0)
   }
 
+  test("hard negatives: same-label and self excluded; unlabeled rows " +
+    "pair with labeled anchors but not with unlabeled ones (X3)") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), Option("a")),
+      (2L, Array(0.9f, 0.1f), Option("a")), // same label — never 1's neg
+      (3L, Array(0.8f, 0.2f), Option("b")), // closest different-label
+      (4L, Array(0.0f, 1.0f), Option("b")),
+      (5L, Array(0.7f, 0.3f), None: Option[String]), // usable for labeled
+      (6L, Array(0.6f, 0.4f), None: Option[String]))
+      .toDF("vec_id", "embedding", "label")
+    val a1 = Similarity.hardNegatives(df.filter(col("vec_id") === 1), df,
+        "vec_id", "embedding", "label", k = 2)
+      .orderBy("rank").collect()
+    assert(a1.map(_.getLong(1)).toSeq == Seq(3L, 5L),
+      s"anchor 1 negatives: ${a1.toSeq} (2 shares the label, 5 beats 4)")
+    // an unlabeled anchor pairs with every LABELED row, never with the
+    // other unlabeled row (null <=> null — not provably different)
+    val a5 = Similarity.hardNegatives(df.filter(col("vec_id") === 5), df,
+        "vec_id", "embedding", "label", k = 10)
+      .collect().map(_.getLong(1)).toSet
+    assert(a5 == Set(1L, 2L, 3L, 4L),
+      s"unlabeled anchor must skip the other unlabeled row: $a5")
+  }
+
+  test("hard negatives degenerate to cosineTopK when every label " +
+    "differs — same scores, same ranks, bit-identical") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), "a"), (2L, Array(0.9f, 0.1f, 0.0f), "b"),
+      (3L, Array(0.0f, 1.0f, 0.0f), "c"), (4L, Array(0.5f, 0.5f, 0.0f), "d"))
+      .toDF("vec_id", "embedding", "label")
+    val q = df.filter(col("vec_id") <= 2)
+    def rows(d: org.apache.spark.sql.DataFrame) = d
+      .select(col(d.columns(0)), col(d.columns(1)), col("score"),
+        col("rank"))
+      .collect().map(_.toSeq).toSet
+    val hard = rows(Similarity.hardNegatives(q, df, "vec_id", "embedding",
+      "label", k = 3))
+    val brute = rows(Similarity.cosineTopK(q, df, "vec_id", "embedding",
+      k = 3))
+    assert(hard == brute,
+      s"all-distinct labels must reduce to brute force: $hard vs $brute")
+  }
+
   test("LSH buckets: deterministic, bounded, equal for identical vectors") {
     val pl = Similarity.planeVectors(4, 3)
     val withDup = vecs.union(

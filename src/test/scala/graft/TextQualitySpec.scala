@@ -104,6 +104,73 @@ class TextQualitySpec extends TestBase {
     assert(!p.contains("Exchange"), s"expected scan-only plan:\n$p")
   }
 
+  // ---------- C4 document rules --------------------------------------------
+
+  test("c4 rules: line filter (terminal punct, min words, javascript), " +
+    "sentence count, lorem/brace flags, null text") {
+    val df = docs(
+      // one line, three sentences, all words fine → passes at min 3
+      1L -> "alpha beta gamma. delta epsilon zeta. eta theta iota.",
+      // unpunctuated and short lines drop; the good line survives
+      2L -> "no terminal punct here\nhi.\nkeep this full line.",
+      // javascript mention kills the line even with punct + words
+      3L -> "please enable JavaScript to continue.\nreal content stays here.",
+      // lorem ipsum fails the page even though lines are fine
+      5L -> "lorem ipsum dolor sit amet. more filler text here.",
+      // curly brace → code page
+      6L -> "function of x equals y. see below { return 1; }")
+      .union(Seq((4L, null: String)).toDF("doc_id", "text"))
+    val out = TextAnalysis.withC4Rules(df, "text", minSentences = 3)
+      .select("doc_id", "c4_text", "n_sentences", "has_lorem",
+        "has_brace", "c4_pass")
+      .collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(1)), r.getLong(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5)))).toMap
+    assert(out(1L) == ((Some(
+      "alpha beta gamma. delta epsilon zeta. eta theta iota."),
+      3L, false, false, true)), s"doc 1: ${out(1L)}")
+    assert(out(2L) == ((Some("keep this full line."), 1L, false, false,
+      false)), s"doc 2: ${out(2L)}")
+    assert(out(3L) == ((Some("real content stays here."), 1L, false,
+      false, false)), s"doc 3: ${out(3L)}")
+    assert(out(4L) == ((None, 0L, false, false, false)),
+      s"null doc: ${out(4L)}")
+    assert(out(5L)._3 && !out(5L)._5, s"lorem page must fail: ${out(5L)}")
+    assert(out(6L)._4 && !out(6L)._5, s"brace page must fail: ${out(6L)}")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.withC4Rules(df, "text", minLineWords = 0)
+    }
+  }
+
+  test("c4 rules: a quote-terminated line is kept; sentence runs " +
+    "('end...') count once") {
+    val out = TextAnalysis.withC4Rules(docs(
+        1L -> "he said \"stop right there\"\nand then it ended...",
+        2L -> "one two three... four five six.\nseven eight nine"),
+      "text", minSentences = 1)
+      .select("doc_id", "c4_text", "n_sentences", "c4_pass").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getBoolean(3)))).toMap
+    // line 1 ends in '"' → kept; line 2 ends in '.' (of "...") → kept
+    assert(out(1L)._1 ==
+      "he said \"stop right there\"\nand then it ended...")
+    // the trailing "..." is the ONLY [.!?]+ run and it ends the text,
+    // so the split yields one non-empty field = 1 sentence — the quote
+    // terminator keeps the line but does not count as a sentence mark
+    assert(out(1L)._2 == 1L && out(1L)._3, s"doc 1: ${out(1L)}")
+    // unterminated trailing line dropped; "..." and "." are 2 runs
+    assert(out(2L) == (("one two three... four five six.", 2L, true)),
+      s"doc 2: ${out(2L)}")
+  }
+
+  test("c4 rules plan is a pure projection: zero exchanges") {
+    val p = TextAnalysis.withC4Rules(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+        "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"expected a map-only plan:\n$p")
+  }
+
   // ---------- OOV rate -----------------------------------------------------
 
   test("oov rate: hand-checked counts, null text, empty-vocab refusal") {
