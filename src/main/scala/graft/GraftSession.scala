@@ -24,13 +24,7 @@ object GraftSession {
     "spark.sql.files.maxPartitionBytes" -> (128L * 1024 * 1024).toString,
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.parquet.filterPushdown" -> "true",
-    "spark.sql.parquet.aggregatePushdown" -> "true",
-    // TIMESTAMP(NANOS) parquet columns (the events table) are only
-    // admissible as raw int64 nanos; set once at session construction so
-    // catalog entries never have to mutate session state (they still
-    // ensure it defensively for bare sessions — the value is a constant,
-    // so the ensure is idempotent and order-independent).
-    "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+    "spark.sql.parquet.aggregatePushdown" -> "true")
 
   def builder(master: String = "local[32]", appName: String = "graft",
       shufflePartitions: Int = 32): SparkSession.Builder = {

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.operators.{AsOfJoin, Connected, Decontaminate, Dedup, Multimodal, Pipelines, Profiles, Quantize, RangeJoin, Sampling, Similarity, TextAnalysis, Vocab}
+import graft.operators.{AsOfJoin, Connected, Decontaminate, Dedup, Dsir, Multimodal, Pipelines, Profiles, Quantize, RangeJoin, Sampling, Similarity, TextAnalysis, Vocab}
 
 /** Catalog entries for the LLM-data-pipeline operators (dedup, similarity
   * search, text analysis, multimodal) over the `documents` / `embeddings`
@@ -2935,12 +2935,15 @@ object OpsQueries {
               |    'if (x) {{ return y; }}'
               |  ELSE t0 END AS t FROM ld),
               |c AS (SELECT doc_id, t, CASE WHEN t IS NULL THEN NULL
-              |  ELSE array_to_string(list_filter(string_split(t, chr(10)),
+              |  -- coalesce: DuckDB's array_to_string([]) is NULL, Spark's
+              |  -- array_join([]) is '' — an all-lines-rejected doc is ''
+              |  ELSE coalesce(
+              |    array_to_string(list_filter(string_split(t, chr(10)),
               |    l -> (ends_with(rtrim(l), '.') OR ends_with(rtrim(l), '!')
               |        OR ends_with(rtrim(l), '?')
               |        OR ends_with(rtrim(l), '"'))
               |      AND len(regexp_split_to_array(trim(l), '\\s+')) >= 3
-              |      AND NOT contains(lower(l), 'javascript')), chr(10))
+              |      AND NOT contains(lower(l), 'javascript')), chr(10)), '')
               |  END AS c4_text FROM pl),
               |m AS (SELECT doc_id, t, c4_text,
               |  coalesce(CAST(len(list_filter(regexp_split_to_array(

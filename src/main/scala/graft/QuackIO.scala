@@ -429,26 +429,8 @@ object QuackIO {
     * view named by file stem, so `spark.sql("SELECT ... FROM lineitem")`
     * works directly — the reference's register-table ergonomics
     * (`src/QuackIO.jl:74`) over a directory layout. Returns the view
-    * names registered. Registration is metadata-only (no job).
-    *
-    * Side effect: unless the session already sets it explicitly, this
-    * enables `spark.sql.legacy.parquet.nanosAsLong` for the WHOLE session
-    * (registered views are lazy — the conf must hold at query time, for
-    * any nanos-timestamp table in the directory to be readable). Sessions
-    * from [[GraftSession.builder]] carry the conf already; pass an
-    * explicit value at session build to opt out. */
+    * names registered. Registration is metadata-only (no job). */
   def registerTables(spark: SparkSession, dir: String): Seq[String] = {
-    // TIMESTAMP(NANOS) parquet columns are only admissible as int64 nanos
-    // (see Queries.events). SESSION-STATE SIDE EFFECT, by design: views
-    // registered here are lazy, so the conf must hold for every later read
-    // through them — it cannot be scoped to this call. Set only when the
-    // caller hasn't explicitly chosen a value (GraftSession sessions carry
-    // it from defaultConfs; an explicit user `false` is respected, and
-    // nanos-timestamp tables will then fail to read through these views).
-    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
-    if (!org.apache.spark.sql.graftbridge.ConfBridge
-        .isExplicitlySet(spark, nanosKey))
-      spark.conf.set(nanosKey, "true")
     val files = Option(new java.io.File(dir).listFiles())
       .getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))

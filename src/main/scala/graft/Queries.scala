@@ -37,17 +37,22 @@ object Queries {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table stores TIMESTAMP(NANOS), which Spark's parquet
-    * reader only admits as raw int64 nanos
-    * (`spark.sql.legacy.parquet.nanosAsLong`). [[GraftSession]] sets the
-    * conf at construction; it is ensured here too — to a constant, so the
-    * ensure is idempotent and catalog entries stay order-independent even
-    * on bare sessions. (Not restored after the read: the conf is consulted
-    * again per file at execution time, so a scoped set/restore would break
-    * the scan.) */
+  /** The events table, with `ts` normalized to int64 epoch NANOS — the
+    * representation every downstream query (hourly buckets, sessionize,
+    * as-of) does exact integer arithmetic on. Two physical layouts exist:
+    * TIMESTAMP(NANOS) parquet (readable only as raw longs, already the
+    * target shape) and µs-precision TIMESTAMP/TIMESTAMP_NTZ parquet
+    * (current fixtures), which Spark surfaces as a timestamp — converted
+    * here via `unix_micros · 1000`, exact because the source precision is
+    * µs. Sessions must run UTC ([[GraftSession]] default) so the NTZ→
+    * instant cast is the identity mapping DuckDB's `epoch_ns` applies. */
   def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw
+      case _ => raw.withColumn("ts",
+        unix_micros(col("ts").cast(TimestampType)) * 1000L)
+    }
   }
 
   private val d2 = DecimalType(18, 2)

@@ -15,14 +15,3 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
-
-/** `private[sql]` conf probe: was a conf key EXPLICITLY set on this
-  * session (builder `.config` or `spark.conf.set`)? `RuntimeConfig
-  * .getOption` can't answer this — it returns the registered default for
-  * unset SQL confs — but respecting a user's explicit choice requires the
-  * distinction (see `QuackIO.registerTables`). */
-object ConfBridge {
-  def isExplicitlySet(spark: org.apache.spark.sql.SparkSession,
-      key: String): Boolean =
-    spark.sessionState.conf.contains(key)
-}
