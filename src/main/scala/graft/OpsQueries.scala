@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.operators.{AsOfJoin, Connected, Decontaminate, Dedup, Dsir, Multimodal, Pipelines, Profiles, Quantize, RangeJoin, Sampling, Similarity, TextAnalysis, Vocab}
+import graft.operators.{AsOfJoin, Connected, Decontaminate, Dedup, Dsir, Multimodal, Pipelines, Profiles, Quantize, QualityFilter, RangeJoin, Sampling, Similarity, TextAnalysis, Vocab}
 
 /** Catalog entries for the LLM-data-pipeline operators (dedup, similarity
   * search, text analysis, multimodal) over the `documents` / `embeddings`
@@ -3036,7 +3036,61 @@ object OpsQueries {
              |  CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id
              |    ORDER BY score DESC, neg_id) AS BIGINT) AS rnk FROM s)
              |SELECT anchor_id, neg_id, score, rnk FROM r
-             |WHERE rnk <= 10 ORDER BY anchor_id, rnk""".stripMargin))
+             |WHERE rnk <= 10 ORDER BY anchor_id, rnk""".stripMargin)),
+
+    // ----- X5 trained quality classifier ------------------------------------
+    // The discriminative quality-filter recipe (GPT-3/CCNet/LLaMA): a
+    // diagonal-LDA head on DSIR's hashed tf features, fitted
+    // target-vs-rest in ONE distributed pass — the catalog's third
+    // TRAINING query (q107/q108 trained a tokenizer; this trains a
+    // scorer). Target = five sources (the fixture's sources have
+    // genuinely different word distributions; lang does not). The
+    // oracle replays the whole fit: rational sigmoid (IEEE-exact — no
+    // libm), DECIMAL(38,15) moment sums (order-independent), so both
+    // engines derive the same head. Separation is real: target docs'
+    // median prob ≈ 0.74 vs rest ≈ 0.23 at sf0.01.
+    "q115_quality_classifier" -> Entry(
+      (s, dir) => {
+        val docs = docsFan(s, dir)
+        val model = QualityFilter.trainLda(
+          docs.filter(col("source").isin(QfTargetSources: _*)),
+          "doc_id", "text",
+          docs.filter(!col("source").isin(QfTargetSources: _*)),
+          "doc_id", "text",
+          numBuckets = 256)
+        QualityFilter.scoreWith(docs, "doc_id", "text", model)
+          .orderBy("doc_id")
+      },
+      Some(s"WITH ${qfChainSql(numBuckets = 256)}\n" +
+        """SELECT doc_id, n_feats, round(z, 6) AS logit,
+          |  round(0.5 * (1 + z / (1 + abs(z))), 6) AS prob
+          |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    // ----- X5 classifier gate (q115's model as a corpus filter) -------------
+    // The serving form: keep crawl docs the trained head scores
+    // target-like (prob ≥ ½ ⇔ closer to the target centroid).
+    // classifierGate is a LEFT SEMI join against the corpus-sized
+    // keep-list — ids only, no row duplication, no broadcast of a
+    // corpus-sized side.
+    "q116_classifier_gate" -> Entry(
+      (s, dir) => {
+        val docs = docsFan(s, dir)
+        val model = QualityFilter.trainLda(
+          docs.filter(col("source").isin(QfTargetSources: _*)),
+          "doc_id", "text",
+          docs.filter(!col("source").isin(QfTargetSources: _*)),
+          "doc_id", "text",
+          numBuckets = 256)
+        QualityFilter.classifierGate(docs, "doc_id", "text", model,
+            minProb = 0.5)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some(s"WITH ${qfChainSql(numBuckets = 256)}\n" +
+        """SELECT d.doc_id, d.source, d.n_chars
+          |FROM documents d JOIN sc USING (doc_id)
+          |WHERE round(0.5 * (1 + z / (1 + abs(z))), 6) >= 0.5
+          |ORDER BY doc_id""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)
@@ -3174,6 +3228,90 @@ object OpsQueries {
   /** [[bpeChainSql]] finished with the merge-table select (q107). The
     * `lhs IS NOT NULL` filter drops the exhaustion sentinels, matching
     * `bpeTrain`'s early stop. */
+  /** Target sources for the q115/q116 classifier fixture — the five
+    * whose docs form the "curated" slice. The fixture's sources have
+    * genuinely different word distributions (each draws from its own
+    * topic mixture); `lang` is assigned independently of text and
+    * carries no signal. */
+  // lazy: referenced from the queries map's strict initializer above
+  private lazy val QfTargetSources =
+    Seq("src0", "src1", "src2", "src3", "src4")
+
+  /** The q115/q116 oracle chain: replay [[QualityFilter.trainLda]] in
+    * DuckDB. CTE names: `dc` per-doc tf triples, `tr` labelled
+    * training rows, `cnts` per-class doc counts, `mom` per-(y, bucket)
+    * decimal moments, `st`/`wt` the fitted per-bucket stats and
+    * weights, `bs` the bias, `sc` the final per-doc score frame
+    * (`doc_id`, `n_feats`, raw `z`). Every cross-row sum routes
+    * through DECIMAL(38,15) per-term casts and the link is the
+    * rational sigmoid, so both engines derive the same head to well
+    * under the differ's 1e-6 (see the QualityFilter scaladoc).
+    * Multiply-referenced CTEs are AS MATERIALIZED — DuckDB otherwise
+    * inlines each reference and the tree grows combinatorially (the
+    * q107/q108 lesson, BASELINE.md). */
+  private def qfChainSql(numBuckets: Int, eps: Double = 1e-8): String = {
+    val nb = numBuckets
+    val pos = QfTargetSources.map(x => s"'$x'").mkString(
+      "source IN (", ", ", ")")
+    val nP = "(SELECT nc FROM cnts WHERE y = 1)"
+    val nN = "(SELECT nc FROM cnts WHERE y = 0)"
+    s"""tk AS MATERIALIZED (SELECT doc_id, list_filter(
+       |    regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |    x -> length(x) > 0) AS ts FROM documents),
+       |fx AS (
+       |  SELECT doc_id, u.x AS f FROM tk, unnest(ts) AS u(x)
+       |  UNION ALL
+       |  SELECT doc_id, ts[g.i] || ' ' || ts[g.i + 1] AS f
+       |  FROM tk, unnest(generate_series(1, len(ts) - 1)) AS g(i)),
+       |fb AS (SELECT doc_id, CAST(('0x' || substr(md5('qf|' || f),
+       |    1, 8)) AS UBIGINT) % $nb AS bucket FROM fx),
+       |dc0 AS MATERIALIZED (SELECT doc_id, bucket, count(*) AS cnt
+       |  FROM fb GROUP BY 1, 2),
+       |dc AS MATERIALIZED (SELECT doc_id, bucket, cnt,
+       |    CAST(cnt AS DOUBLE) /
+       |      CAST(SUM(cnt) OVER (PARTITION BY doc_id) AS DOUBLE) AS x
+       |  FROM dc0),
+       |tr AS MATERIALIZED (
+       |  SELECT 1 AS y, dc.doc_id, bucket, x FROM dc
+       |    JOIN documents USING (doc_id) WHERE $pos
+       |  UNION ALL
+       |  SELECT 0 AS y, dc.doc_id, bucket, x FROM dc
+       |    JOIN documents USING (doc_id) WHERE NOT ($pos)),
+       |cnts AS MATERIALIZED (SELECT y,
+       |    CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS nc
+       |  FROM tr GROUP BY y),
+       |mom AS MATERIALIZED (SELECT y, bucket,
+       |    CAST(SUM(CAST(x AS DECIMAL(38,15))) AS DOUBLE) AS sx,
+       |    SUM(CAST(x * x AS DECIMAL(38,15))) AS sxx
+       |  FROM tr GROUP BY 1, 2),
+       |sp AS (SELECT g.b AS bucket
+       |  FROM generate_series(0, ${nb - 1}) AS g(b)),
+       |st AS MATERIALIZED (SELECT s.bucket,
+       |    coalesce(p.sx, 0) / $nP AS mp,
+       |    coalesce(q.sx, 0) / $nN AS mn,
+       |    CAST(coalesce(p.sxx, CAST(0 AS DECIMAL(38,15)))
+       |      + coalesce(q.sxx, CAST(0 AS DECIMAL(38,15))) AS DOUBLE)
+       |      AS sxx
+       |  FROM sp s
+       |    LEFT JOIN (SELECT * FROM mom WHERE y = 1) p
+       |      ON p.bucket = s.bucket
+       |    LEFT JOIN (SELECT * FROM mom WHERE y = 0) q
+       |      ON q.bucket = s.bucket),
+       |wt AS MATERIALIZED (SELECT bucket, mp, mn,
+       |    (mp - mn) / ((sxx - $nP * mp * mp - $nN * mn * mn)
+       |      / (SELECT SUM(nc) FROM cnts) + $eps) AS w
+       |  FROM st),
+       |bs AS MATERIALIZED (SELECT
+       |    -CAST(SUM(CAST(w * (mp + mn) * 0.5 AS DECIMAL(38,15)))
+       |      AS DOUBLE) AS bias FROM wt),
+       |sc AS MATERIALIZED (SELECT d.doc_id,
+       |    CAST(SUM(d.cnt) AS BIGINT) AS n_feats,
+       |    (SELECT bias FROM bs) +
+       |    CAST(SUM(CAST(d.x * w.w AS DECIMAL(38,15))) AS DOUBLE) AS z
+       |  FROM dc d JOIN wt w USING (bucket) GROUP BY d.doc_id)"""
+      .stripMargin
+  }
+
   private def bpeOracleSql(k: Int): String = {
     val sel = (1 to k).map(r =>
       s"SELECT CAST($r AS BIGINT) AS merge_rank, lhs, rhs, " +

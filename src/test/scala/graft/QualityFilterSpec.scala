@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.QualityFilter
+
+/** [[graft.operators.QualityFilter]] — the trained quality head.
+  * Fixtures plant two vocabularies so class separation is strong and
+  * assertions can be categorical; the catalog entries (q115/q116)
+  * cover the weak-signal regime against the DuckDB oracle. */
+class QualityFilterSpec extends TestBase {
+
+  import spark.implicits._
+
+  // class A speaks {alpha..}, class B {delta..}; both share filler so
+  // neither class is trivially disjoint in feature space
+  private def classes = {
+    val a = Seq.tabulate(20)(i =>
+      (i.toLong, s"alpha beta gamma alpha the of beta gamma alpha a$i"))
+    val b = Seq.tabulate(20)(i =>
+      (100L + i, s"delta epsilon zeta delta the of epsilon zeta b$i"))
+    (a.toDF("doc_id", "text"), b.toDF("doc_id", "text"))
+  }
+
+  test("trainLda separates planted classes; gate keeps exactly the " +
+      "target-like docs") {
+    val (pos, neg) = classes
+    val model = QualityFilter.trainLda(pos, "doc_id", "text",
+      neg, "doc_id", "text", numBuckets = 64)
+    val all = pos.union(neg)
+    val scored = QualityFilter.scoreWith(all, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(scored.size == 40)
+    val posProbs = (0L until 20L).map(scored)
+    val negProbs = (100L until 120L).map(scored)
+    assert(posProbs.min > 0.5,
+      s"a positive doc scored below ½: ${posProbs.min}")
+    assert(negProbs.max < 0.5,
+      s"a negative doc scored above ½: ${negProbs.max}")
+    val kept = QualityFilter.classifierGate(all, "doc_id", "text", model)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == (0L until 20L).toSet)
+  }
+
+  test("trainLda is deterministic: repartitioned inputs fit the " +
+      "bit-identical head") {
+    val (pos, neg) = classes
+    val m1 = QualityFilter.trainLda(pos, "doc_id", "text",
+      neg, "doc_id", "text", numBuckets = 64)
+    val m2 = QualityFilter.trainLda(pos.repartition(7), "doc_id", "text",
+      neg.repartition(5), "doc_id", "text", numBuckets = 64)
+    assert(m1.bias == m2.bias, "bias drifted with partitioning")
+    assert(m1.weights.toSeq == m2.weights.toSeq,
+      "weights drifted with partitioning")
+  }
+
+  test("gradient-descent train separates a strongly-split corpus and " +
+      "sharpens with iterations") {
+    val (pos, neg) = classes
+    def sep(iters: Int): Double = {
+      val m = QualityFilter.train(pos, "doc_id", "text",
+        neg, "doc_id", "text", numBuckets = 64, iters = iters)
+      val p = QualityFilter.scoreWith(pos.union(neg), "doc_id", "text", m)
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      val mp = (0L until 20L).map(p).sum / 20
+      val mn = (100L until 120L).map(p).sum / 20
+      mp - mn
+    }
+    val s1 = sep(1); val s3 = sep(3)
+    assert(s1 > 0, s"one GD step failed to separate: $s1")
+    assert(s3 > s1, s"separation did not sharpen: iter1=$s1 iter3=$s3")
+  }
+
+  test("GD train is deterministic under repartitioning") {
+    val (pos, neg) = classes
+    val m1 = QualityFilter.train(pos, "doc_id", "text",
+      neg, "doc_id", "text", numBuckets = 64, iters = 2)
+    val m2 = QualityFilter.train(pos.repartition(9), "doc_id", "text",
+      neg.repartition(3), "doc_id", "text", numBuckets = 64, iters = 2)
+    assert(m1.bias == m2.bias && m1.weights.toSeq == m2.weights.toSeq,
+      "GD trajectory drifted with partitioning")
+  }
+
+  test("saveModel/loadModel round-trips bit-exactly and serves " +
+      "identical scores") {
+    val (pos, neg) = classes
+    val model = QualityFilter.trainLda(pos, "doc_id", "text",
+      neg, "doc_id", "text", numBuckets = 64)
+    val path = s"${tmpDir()}/qf_model.parquet"
+    QualityFilter.saveModel(model, path)(spark)
+    val loaded = QualityFilter.loadModel(spark, path)
+    assert(loaded.bias == model.bias &&
+      loaded.weights.toSeq == model.weights.toSeq &&
+      loaded.numBuckets == model.numBuckets &&
+      loaded.salt == model.salt)
+    val all = pos.union(neg)
+    val live = QualityFilter.scoreWith(all, "doc_id", "text", model)
+      .orderBy("doc_id").collect().toSeq
+    val served = QualityFilter.scoreWith(all, "doc_id", "text", loaded)
+      .orderBy("doc_id").collect().toSeq
+    assert(live == served, "loaded model served different scores")
+  }
+
+  test("loadModel refuses a parquet file without model metadata") {
+    val path = s"${tmpDir()}/not_a_model.parquet"
+    QuackIO.writeTable(Seq((1, 2.0)).toDF("bucket", "w"), path)
+    val e = intercept[RuntimeException](QualityFilter.loadModel(spark, path))
+    assert(e.getMessage.contains("graft.qf.numBuckets"))
+  }
+
+  test("null/empty-text docs yield no features and no scores") {
+    val df = Seq((1L, "alpha beta"), (2L, ""), (3L, null.asInstanceOf[String]),
+      (4L, "   ")).toDF("doc_id", "text")
+    val feats = QualityFilter.docFeatures(df, "doc_id", "text", 64)
+    assert(feats.select("doc_id").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(1L))
+    val (pos, neg) = classes
+    val model = QualityFilter.trainLda(pos, "doc_id", "text",
+      neg, "doc_id", "text", numBuckets = 64)
+    assert(QualityFilter.scoreWith(df, "doc_id", "text", model)
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+  }
+
+  test("tf features: per-doc values sum to 1 and are length-normalized") {
+    val df = Seq((1L, "w w w"), (2L, "v v v v v v v v v v v v"))
+      .toDF("doc_id", "text")
+    val sums = QualityFilter.docFeatures(df, "doc_id", "text", 64)
+      .groupBy("doc_id").agg(sum("x").as("s")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(sums(1L) - 1.0) < 1e-12)
+    assert(math.abs(sums(2L) - 1.0) < 1e-12)
+  }
+
+  test("loud contracts: bad hyperparameters and empty classes raise") {
+    val (pos, neg) = classes
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    intercept[IllegalArgumentException](QualityFilter.train(pos,
+      "doc_id", "text", neg, "doc_id", "text", iters = 0))
+    intercept[IllegalArgumentException](QualityFilter.train(pos,
+      "doc_id", "text", neg, "doc_id", "text", lr = 0.0))
+    intercept[IllegalArgumentException](QualityFilter.train(pos,
+      "doc_id", "text", neg, "doc_id", "text", l2 = -1.0))
+    intercept[IllegalArgumentException](QualityFilter.trainLda(pos,
+      "doc_id", "text", neg, "doc_id", "text", eps = 0.0))
+    intercept[IllegalArgumentException](QualityFilter.trainLda(empty,
+      "doc_id", "text", neg, "doc_id", "text"))
+    intercept[IllegalArgumentException](QualityFilter.trainLda(pos,
+      "doc_id", "text", empty, "doc_id", "text"))
+    intercept[IllegalArgumentException](
+      QualityFilter.docFeatures(pos, "doc_id", "text", 0))
+  }
+
+  test("plan shape: weights broadcast, the corpus never does; the gate " +
+      "is a left-semi join; no Window in the feature pass") {
+    val (pos, neg) = classes
+    val model = QualityFilter.trainLda(pos, "doc_id", "text",
+      neg, "doc_id", "text", numBuckets = 64)
+    val all = pos.union(neg)
+    val scorePlan = QualityFilter.scoreWith(all, "doc_id", "text", model)
+      .queryExecution.executedPlan.toString
+    assert(scorePlan.contains("BroadcastHashJoin"),
+      s"weights must broadcast:\n$scorePlan")
+    assert(!scorePlan.contains("Window"),
+      s"tf normalization must not plan a Window:\n$scorePlan")
+    val gatePlan = QualityFilter.classifierGate(all, "doc_id", "text",
+      model).queryExecution.executedPlan.toString
+    assert(gatePlan.contains("LeftSemi"),
+      s"gate must be a left-semi join:\n$gatePlan")
+  }
+}
