@@ -3090,7 +3090,69 @@ object OpsQueries {
         """SELECT d.doc_id, d.source, d.n_chars
           |FROM documents d JOIN sc USING (doc_id)
           |WHERE round(0.5 * (1 + z / (1 + abs(z))), 6) >= 0.5
-          |ORDER BY doc_id""".stripMargin))
+          |ORDER BY doc_id""".stripMargin)),
+
+    // ----- X-pipe curation v4: gopher gate -> exact dedup -> TRAINED gate ---
+    // The FineWeb/LLaMA-era recipe: mechanical cleaning first, then a
+    // classifier FITTED ON THE CORPUS BEING CURATED picks the
+    // target-like slice. Fixture plants exact copies (doc_id%5 ->
+    // +1e6, source inherited) so the dedup stage does real work before
+    // training — a copy surviving to the training set would double its
+    // text's moment contributions. The oracle replays all three
+    // stages: the q109 gopher/dedup SQL (carrying source) feeds the
+    // full q115 LDA chain retargeted at the `kept` CTE.
+    "q117_curation_classifier" -> Entry(
+      (s, dir) => {
+        val d = docsFan(s, dir)
+          .select(col("doc_id"), col("source"), col("text"))
+        val copies = d.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            col("source"), col("text"))
+        Pipelines.curateWithClassifier(d.union(copies), "doc_id",
+            "text", "source", QfTargetSources, minTokens = 50,
+            minStopHits = 2, numBuckets = 256, minProb = 0.5)
+          .select(col("doc_id"), col("source"), col("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val head =
+          s"""corp AS (SELECT doc_id, source, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000 AS doc_id, source, text
+             |  FROM documents WHERE doc_id % 5 = 0),
+             |tok AS (SELECT doc_id, source, text, $TOKS AS w FROM corp),
+             |gk AS (SELECT doc_id, source, text,
+             |    CAST(len(w) AS BIGINT) AS n_tokens
+             |  FROM tok
+             |  WHERE text IS NOT NULL AND len(w) >= 50 AND len(w) <= 100000
+             |    AND CAST(length(regexp_replace(trim(text), '\\s+', '', 'g'))
+             |        AS DOUBLE) / CAST(len(w) AS DOUBLE) >= 3.0
+             |    AND CAST(length(regexp_replace(trim(text), '\\s+', '', 'g'))
+             |        AS DOUBLE) / CAST(len(w) AS DOUBLE) <= 10.0
+             |    AND CAST(len(list_filter(w,
+             |        t -> regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE)
+             |      / CAST(len(w) AS DOUBLE) >= 0.8
+             |    AND (CASE WHEN list_contains(w, 'a') THEN 1 ELSE 0 END) +
+             |        (CASE WHEN list_contains(w, 'and') THEN 1 ELSE 0 END) +
+             |        (CASE WHEN list_contains(w, 'in') THEN 1 ELSE 0 END) +
+             |        (CASE WHEN list_contains(w, 'is') THEN 1 ELSE 0 END) +
+             |        (CASE WHEN list_contains(w, 'of') THEN 1 ELSE 0 END) +
+             |        (CASE WHEN list_contains(w, 'the') THEN 1 ELSE 0 END) +
+             |        (CASE WHEN list_contains(w, 'to') THEN 1 ELSE 0 END)
+             |      >= 2),
+             |dd AS (SELECT doc_id, source, text, n_tokens,
+             |    ROW_NUMBER() OVER (
+             |    PARTITION BY md5(regexp_replace(lower(trim(text)),
+             |      '\\s+', ' ', 'g'))
+             |    ORDER BY doc_id) AS rn FROM gk),
+             |kept AS MATERIALIZED (SELECT doc_id, source, text, n_tokens
+             |  FROM dd WHERE rn = 1)""".stripMargin
+        s"WITH $head,\n${qfChainSql(numBuckets = 256, corpus = "kept")}\n" +
+          """SELECT k.doc_id, k.source, k.n_tokens
+            |FROM kept k JOIN sc USING (doc_id)
+            |WHERE round(0.5 * (1 + z / (1 + abs(z))), 6) >= 0.5
+            |ORDER BY doc_id""".stripMargin
+      })
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)
@@ -3249,7 +3311,8 @@ object OpsQueries {
     * Multiply-referenced CTEs are AS MATERIALIZED — DuckDB otherwise
     * inlines each reference and the tree grows combinatorially (the
     * q107/q108 lesson, BASELINE.md). */
-  private def qfChainSql(numBuckets: Int, eps: Double = 1e-8): String = {
+  private def qfChainSql(numBuckets: Int, eps: Double = 1e-8,
+      corpus: String = "documents"): String = {
     val nb = numBuckets
     val pos = QfTargetSources.map(x => s"'$x'").mkString(
       "source IN (", ", ", ")")
@@ -3257,7 +3320,7 @@ object OpsQueries {
     val nN = "(SELECT nc FROM cnts WHERE y = 0)"
     s"""tk AS MATERIALIZED (SELECT doc_id, list_filter(
        |    regexp_split_to_array(trim(lower(text)), '\\s+'),
-       |    x -> length(x) > 0) AS ts FROM documents),
+       |    x -> length(x) > 0) AS ts FROM $corpus),
        |fx AS (
        |  SELECT doc_id, u.x AS f FROM tk, unnest(ts) AS u(x)
        |  UNION ALL
@@ -3273,10 +3336,10 @@ object OpsQueries {
        |  FROM dc0),
        |tr AS MATERIALIZED (
        |  SELECT 1 AS y, dc.doc_id, bucket, x FROM dc
-       |    JOIN documents USING (doc_id) WHERE $pos
+       |    JOIN $corpus USING (doc_id) WHERE $pos
        |  UNION ALL
        |  SELECT 0 AS y, dc.doc_id, bucket, x FROM dc
-       |    JOIN documents USING (doc_id) WHERE NOT ($pos)),
+       |    JOIN $corpus USING (doc_id) WHERE NOT ($pos)),
        |cnts AS MATERIALIZED (SELECT y,
        |    CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS nc
        |  FROM tr GROUP BY y),

@@ -81,6 +81,40 @@ object Pipelines {
     deconned.select(col(idCol), col("pred"), col("__ntok").as("n_tokens"))
   }
 
+  /** Curation v4: Gopher quality gate → exact dedup (min id) → TRAINED
+    * classifier gate — the modern recipe where the last stage is a
+    * model fitted ON the corpus being curated ([[QualityFilter]]; the
+    * FineWeb/LLaMA pattern: clean mechanically, then let a trained head
+    * pick the target-like slice). Two phases by construction: the
+    * gate→dedup chain is one lazy plan; fitting the LDA head forces it
+    * once (a single aggregation pass — [[QualityFilter.trainLda]]), and
+    * the serving gate re-runs the same chain for the keep-list. The
+    * deduped subtree therefore recomputes rather than caches — the
+    * [[curate]]/q109 trade, still right at 100 TB (it is scans +
+    * one fingerprint shuffle; materializing a corpus-sized intermediate
+    * is not).
+    *
+    * Returns the surviving rows of `df`'s gated+deduped form:
+    * (idCol, sourceCol, textCol, n_tokens). */
+  def curateWithClassifier(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, targetSources: Seq[String],
+      minTokens: Long = 50, minStopHits: Int = 2,
+      numBuckets: Int = 1024, minProb: Double = 0.5): DataFrame = {
+    require(targetSources.nonEmpty, "targetSources must not be empty")
+    val gated = TextAnalysis.withGopherQuality(df, textCol,
+        minTokens = minTokens, minStopHits = minStopHits)
+      .filter(col("gopher_pass"))
+      .select(col(idCol), col(sourceCol), col(textCol), col("n_tokens"))
+    val deduped = Dedup.exactKeepMinId(gated, idCol, textCol)
+    val model = QualityFilter.trainLda(
+      deduped.filter(col(sourceCol).isin(targetSources: _*)),
+      idCol, textCol,
+      deduped.filter(!col(sourceCol).isin(targetSources: _*)),
+      idCol, textCol,
+      numBuckets = numBuckets)
+    QualityFilter.classifierGate(deduped, idCol, textCol, model, minProb)
+  }
+
   /** Quantile-calibrated quality gate: keep rows whose `scoreCol` sits at
     * or above the corpus's `q`-quantile — "keep the best (1-q) fraction"
     * without hand-picking a threshold that drifts with every corpus mix.

@@ -149,6 +149,31 @@ class QualityFilterSpec extends TestBase {
       QualityFilter.docFeatures(pos, "doc_id", "text", 0))
   }
 
+  test("curateWithClassifier: exact copies die before training, the " +
+      "trained gate keeps exactly the target slice, schema survives") {
+    val (pos, neg) = classes
+    val tagged = pos.withColumn("source", lit("tgt"))
+      .union(neg.withColumn("source", lit("oth")))
+      .select("doc_id", "source", "text")
+    // a verbatim copy of doc 0 under a fresh id — dedup must kill it
+    // BEFORE the head trains, or its text would double its moments
+    val withCopy = tagged.union(
+      tagged.filter(col("doc_id") === 0L)
+        .select(lit(999L).as("doc_id"), col("source"), col("text")))
+    val kept = operators.Pipelines.curateWithClassifier(withCopy,
+      "doc_id", "text", "source", Seq("tgt"),
+      minTokens = 5, minStopHits = 2, numBuckets = 64)
+    assert(kept.columns.toSeq ==
+      Seq("doc_id", "source", "text", "n_tokens"))
+    val ids = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(999L), "the planted copy survived dedup")
+    assert(ids == (0L until 20L).toSet,
+      s"trained gate kept the wrong slice: $ids")
+    intercept[IllegalArgumentException](
+      operators.Pipelines.curateWithClassifier(withCopy, "doc_id",
+        "text", "source", Seq.empty))
+  }
+
   test("plan shape: weights broadcast, the corpus never does; the gate " +
       "is a left-semi join; no Window in the feature pass") {
     val (pos, neg) = classes
