@@ -251,6 +251,40 @@ object QualityFilter {
         round(fastSigmoid(col("z")), 6).as("prob"))
   }
 
+  /** Projection-form scorer: the same `(doc_id, n_feats, logit, prob)`
+    * frame as [[scoreWith]], computed as a PURE ROW-LOCAL PROJECTION —
+    * the weights ship as a literal array inside the expression
+    * (`numBuckets` doubles, KB), the per-occurrence weights fold
+    * in-row, and nothing shuffles or joins: the zero-exchange serving
+    * path for scoring 100 TB in one map pass, and the form that
+    * composes on a STREAMING DataFrame (stateless — [[scoreWith]]'s
+    * groupBy cannot run on an unbounded stream without state).
+    *
+    * `Σ_b cnt_b·w_b / nf` is folded occurrence-wise
+    * (`(Σ_occ w_b) / nf` — each occurrence contributes its bucket's
+    * weight once), a plain double fold in token order: deterministic
+    * for a given text, but NOT the decimal order-independent sum, so
+    * scores agree with [[scoreWith]] to float accumulation (~1e-12
+    * relative), not bit-for-bit — the oracle entries pin [[scoreWith]];
+    * this is the serving twin (spec-pinned to 1e-9 agreement). */
+  def scoreInline(df: DataFrame, idCol: String, textCol: String,
+      model: Model): DataFrame = {
+    val w = typedlit(model.weights.toSeq)
+    df.select(col(idCol).as("doc_id"),
+        Dsir.featureBuckets(col(textCol), model.numBuckets, model.salt)
+          .as("__fb"))
+      .filter(col("__fb").isNotNull && size(col("__fb")) > 0)
+      .withColumn("n_feats", size(col("__fb")).cast("long"))
+      .withColumn("z",
+        lit(model.bias) +
+          aggregate(col("__fb"), lit(0.0), (acc, b) =>
+            acc + element_at(w, b.cast("int") + 1)) /
+            col("n_feats").cast("double"))
+      .select(col("doc_id"), col("n_feats"),
+        round(col("z"), 6).as("logit"),
+        round(fastSigmoid(col("z")), 6).as("prob"))
+  }
+
   /** Keep the rows the model scores at or above `minProb` — a LEFT SEMI
     * join of the corpus against its own keep-list, both sides keyed on
     * the id (the keep-list is corpus-sized, so broadcasting it is not

@@ -149,6 +149,53 @@ class QualityFilterSpec extends TestBase {
       QualityFilter.docFeatures(pos, "doc_id", "text", 0))
   }
 
+  test("scoreInline agrees with scoreWith to float accumulation and " +
+      "plans zero exchanges") {
+    val (pos, neg) = classes
+    val model = QualityFilter.trainLda(pos, "doc_id", "text",
+      neg, "doc_id", "text", numBuckets = 64)
+    val all = pos.union(neg)
+    val byGroup = QualityFilter.scoreWith(all, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    val inline = QualityFilter.scoreInline(all, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    assert(inline.keySet == byGroup.keySet)
+    inline.foreach { case (id, (nf, lg, pr)) =>
+      val (nf2, lg2, pr2) = byGroup(id)
+      assert(nf == nf2, s"doc $id n_feats $nf vs $nf2")
+      assert(math.abs(lg - lg2) < 1e-9, s"doc $id logit $lg vs $lg2")
+      assert(math.abs(pr - pr2) < 1e-9, s"doc $id prob $pr vs $pr2")
+    }
+    val p = QualityFilter.scoreInline(all, "doc_id", "text", model)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"inline scorer must be a pure projection:\n$p")
+  }
+
+  test("scoreInline composes on a streaming DataFrame (stateless " +
+      "projection; scoreWith's groupBy cannot)") {
+    val (pos, neg) = classes
+    val model = QualityFilter.trainLda(pos, "doc_id", "text",
+      neg, "doc_id", "text", numBuckets = 64)
+    val dir = tmpDir().toString
+    val all = pos.union(neg)
+    all.write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(all.schema).parquet(dir)
+    val q = QualityFilter.scoreInline(stream, "doc_id", "text", model)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("qf_stream_scores")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("qf_stream_scores")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val batch = QualityFilter.scoreInline(all, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(streamed == batch, "stream and batch scores diverged")
+  }
+
   test("curateWithClassifier: exact copies die before training, the " +
       "trained gate keeps exactly the target slice, schema survives") {
     val (pos, neg) = classes
