@@ -89,10 +89,24 @@ object QualityFilter {
         (col("cnt").cast("double") / col("__nf").cast("double")).as("x"))
   }
 
+  /** Count of documents that would contribute feature rows — a
+    * SCAN-ONLY count (`size(featureBuckets) > 0` at the projection, no
+    * explode, no shuffle), replacing the corpus-wide distinct the
+    * naive `feats.select(y, doc).distinct.count` would shuffle for.
+    * Same exclusion rule as [[docFeatures]]: null/empty-text docs
+    * don't count. */
+  private def countWithFeatures(df: DataFrame, textCol: String,
+      numBuckets: Int, salt: String): Long =
+    df.filter(
+      size(Dsir.featureBuckets(col(textCol), numBuckets, salt)) > 0)
+      .count()
+
   /** Labelled training rows: positive corpus tagged `y = 1`, negative
     * `y = 0`. The same document id may appear on both sides (standard
     * when the target is a curated subset of the crawl) — the label,
-    * not the id, separates them. */
+    * not the id, separates them. WITHIN a side ids must be unique
+    * (dedup first): duplicate ids would silently merge their feature
+    * vectors here and double-count in the scan-only doc counts. */
   private def labelled(positive: DataFrame, posIdCol: String,
       posTextCol: String, negative: DataFrame, negIdCol: String,
       negTextCol: String, numBuckets: Int, salt: String): DataFrame =
@@ -132,11 +146,8 @@ object QualityFilter {
       .agg(sum(col("x").cast(Dec)).as("sx"),
         sum((col("x") * col("x")).cast(Dec)).as("sxx"))
       .collect()
-    val counts = feats.select("y", "doc_id").distinct()
-      .groupBy("y").agg(count(lit(1)).as("n")).collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val nPos = counts.getOrElse(1, 0L)
-    val nNeg = counts.getOrElse(0, 0L)
+    val nPos = countWithFeatures(positive, posTextCol, numBuckets, salt)
+    val nNeg = countWithFeatures(negative, negTextCol, numBuckets, salt)
     require(nPos > 0, "trainLda: no positive documents with features")
     require(nNeg > 0, "trainLda: no negative documents with features")
     val n = nPos + nNeg
@@ -187,7 +198,8 @@ object QualityFilter {
 
     val feats = labelled(positive, posIdCol, posTextCol,
       negative, negIdCol, negTextCol, numBuckets, salt)
-    val n = feats.select("y", "doc_id").distinct().count()
+    val n = countWithFeatures(positive, posTextCol, numBuckets, salt) +
+      countWithFeatures(negative, negTextCol, numBuckets, salt)
     require(n > 0, "train: no documents with features on either side")
 
     val weights = Array.fill(numBuckets)(0.0)
