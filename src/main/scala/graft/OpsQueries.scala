@@ -3152,7 +3152,76 @@ object OpsQueries {
             |FROM kept k JOIN sc USING (doc_id)
             |WHERE round(0.5 * (1 + z / (1 + abs(z))), 6) >= 0.5
             |ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // ----- X1 corpus snapshot diff ------------------------------------------
+    // "What changed between crawl N and N+1": added/removed/changed/
+    // unchanged per id, judged by the library's normalized content
+    // fingerprint so a reflowed-but-identical doc reads unchanged.
+    // Fixture: %7 removed, %5 (not %7) whitespace-reflowed (must read
+    // UNCHANGED — the fingerprint point), %3 (neither) genuinely
+    // edited, %11 re-idd additions.
+    "q118_corpus_diff" -> Entry(
+      (s, dir) => {
+        val d = docsFan(s, dir).select(col("doc_id"), col("text"))
+        val newSnap = d.filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 5 === 0,
+              concat(lit("  "), regexp_replace(col("text"),
+                lit(" "), lit("   "))))
+            .when(col("doc_id") % 3 === 0,
+              concat(col("text"), lit(" edited marker")))
+            .otherwise(col("text")).as("text"))
+          .union(d.filter(col("doc_id") % 11 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        Dedup.corpusDiff(d, newSnap, "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some("""WITH o AS (SELECT doc_id,
+             |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+             |    AS fp, 1 AS in_old FROM documents),
+             |ns AS (
+             |  SELECT doc_id, CASE
+             |    WHEN doc_id % 5 = 0 THEN '  ' ||
+             |      regexp_replace(text, ' ', '   ', 'g')
+             |    WHEN doc_id % 3 = 0 THEN text || ' edited marker'
+             |    ELSE text END AS text
+             |  FROM documents WHERE doc_id % 7 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+             |  WHERE doc_id % 11 = 0),
+             |n AS (SELECT doc_id,
+             |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+             |    AS fp, 1 AS in_new FROM ns)
+             |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, CASE
+             |  WHEN in_old IS NULL THEN 'added'
+             |  WHEN in_new IS NULL THEN 'removed'
+             |  WHEN o.fp IS NOT DISTINCT FROM n.fp THEN 'unchanged'
+             |  ELSE 'changed' END AS status
+             |FROM o FULL JOIN n ON o.doc_id = n.doc_id
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ----- X5 per-source epoch repeats --------------------------------------
+    // The up-weighting half of a training recipe ("Wikipedia x3"):
+    // each source's rows emit repeat-many times with an epoch tag for
+    // shard-scattering. Pure projection — the repeat table folds into
+    // a literal CASE, no join, no shuffle.
+    "q119_source_repeats" -> Entry(
+      (s, dir) => {
+        val d = docsFan(s, dir)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        Sampling.repeatBySource(d, "source",
+            Map("src0" -> 3, "src1" -> 2, "src2" -> 0))
+          .select(col("doc_id"), col("source"),
+            col("epoch").cast("long").as("epoch"), col("n_chars"))
+          .orderBy("doc_id", "epoch")
+      },
+      Some("""SELECT doc_id, source, CAST(u.e AS BIGINT) AS epoch,
+             |  n_chars
+             |FROM documents, unnest(generate_series(0, CASE source
+             |  WHEN 'src0' THEN 2 WHEN 'src1' THEN 1
+             |  WHEN 'src2' THEN -1 ELSE 0 END)) AS u(e)
+             |ORDER BY doc_id, epoch""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

@@ -743,4 +743,35 @@ object Dedup {
           s => s.getField("__line")),
         "\n").as(textCol))
   }
+
+  /** Corpus snapshot diff — the operational "what changed between
+    * crawl N and crawl N+1" report every incremental pipeline keys
+    * re-processing off: one row per id present in either snapshot with
+    * `status` ∈ added | removed | changed | unchanged, judged by
+    * content FINGERPRINT ([[TextAnalysis.fingerprint]] — whitespace/
+    * case-normalized md5, the library's dedup identity), not raw
+    * equality, so a reflowed-but-identical doc reads `unchanged`.
+    * Null-text rows carry a null fingerprint; two nulls compare equal
+    * (null-safe `<=>`), null-vs-text reads `changed`.
+    *
+    * Plan: both sides reduce to (id, fingerprint) AT THE SCAN — text
+    * never shuffles — then one full outer join keyed on id. At 100 TB
+    * that is the minimum possible movement for an exact diff (ids +
+    * 16-byte hashes), and the usual follow-up
+    * (`.filter($"status" =!= "unchanged")`) pushes nothing extra. */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as("doc_id"),
+      TextAnalysis.fingerprint(col(textCol)).as("__fp_old"),
+      lit(1).as("__in_old"))
+    val n = newDf.select(col(idCol).as("doc_id"),
+      TextAnalysis.fingerprint(col(textCol)).as("__fp_new"),
+      lit(1).as("__in_new"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_new").isNull, lit("removed"))
+          .when(col("__fp_old") <=> col("__fp_new"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
 }

@@ -467,4 +467,35 @@ object Sampling {
     val joined = df.join(broadcast(rates), df(sourceCol) === col("__src"))
     weighted(joined, key, col("__bp"), salt).drop("__src", "__bp")
   }
+
+  /** Per-source epoch repeats — the other half of a training recipe:
+    * where [[mixture]]/[[temperatureMixture]] DOWN-sample dominant
+    * sources, high-quality small sources get UP-weighted by repeating
+    * them N epochs (the "Wikipedia ×3" convention; repeats > ~4 hurt —
+    * Muennighoff et al. 2023 — so rates are small integers). Every row
+    * of a source with repeat `r` is emitted `r` times with `epoch` ∈
+    * 0..r−1 tagging the copy: downstream shard-shuffling keys on
+    * (id, epoch) so epochs land in different shards instead of
+    * back-to-back. A source absent from `repeats` uses
+    * `defaultRepeat`; rate 0 drops the source (recipe exclusion).
+    *
+    * Pure projection: `explode(sequence(...))` at the scan — no
+    * shuffle, no join (the repeat table folds into a literal CASE
+    * expression, never a table) — output size is exactly
+    * `Σ_source r_s·n_s` by construction. */
+  def repeatBySource(df: DataFrame, sourceCol: String,
+      repeats: Map[String, Int], defaultRepeat: Int = 1): DataFrame = {
+    require(defaultRepeat >= 0,
+      s"defaultRepeat must be >= 0, got $defaultRepeat")
+    repeats.foreach { case (s, r) =>
+      require(r >= 0, s"repeat for source '$s' must be >= 0, got $r") }
+    val rate = repeats.foldLeft(lit(defaultRepeat)) {
+      case (acc, (s, r)) => when(col(sourceCol) === s, lit(r)).otherwise(acc)
+    }
+    // rate 0 → null sequence → explode drops the row (NOT
+    // sequence(0,-1), which Spark helpfully counts DOWN to [0,-1])
+    df.withColumn("epoch",
+      explode(when(rate > 0,
+        sequence(lit(0), rate.cast("int") - 1))))
+  }
 }

@@ -1507,4 +1507,60 @@ class CorpusOpsSpec extends TestBase {
         Array(Array(1.0), Array(1.0, 2.0)))
     }
   }
+
+  test("corpusDiff: added/removed/changed/unchanged by normalized " +
+      "fingerprint; reflow is unchanged; nulls null-safe") {
+    val old = Seq((1L, "alpha beta"), (2L, "keep me"), (3L, "to edit"),
+      (4L, null.asInstanceOf[String]), (5L, "also null soon"))
+      .toDF("doc_id", "text")
+    val neu = Seq((2L, "  keep   ME "), (3L, "was edited"),
+      (4L, null.asInstanceOf[String]), (5L, null.asInstanceOf[String]),
+      (9L, "brand new")).toDF("doc_id", "text")
+    val got = Dedup.corpusDiff(old, neu, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      1L -> "removed",      // only in old
+      2L -> "unchanged",    // whitespace/case reflow — same fingerprint
+      3L -> "changed",
+      4L -> "unchanged",    // null <=> null
+      5L -> "changed",      // text -> null
+      9L -> "added"))
+  }
+
+  test("corpusDiff plan: text reduces to fingerprints at the scan — " +
+      "no text column crosses the join") {
+    val old = Seq((1L, "a")).toDF("doc_id", "text")
+    val neu = Seq((1L, "b")).toDF("doc_id", "text")
+    val p = Dedup.corpusDiff(old, neu, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    val joinLine = p.linesIterator.find(_.contains("Join")).getOrElse("")
+    assert(!joinLine.contains("text#"),
+      s"raw text reached the join:\n$p")
+  }
+
+  test("repeatBySource: exact epoch fan-out, rate 0 drops, default " +
+      "applies, guards raise") {
+    val df = Seq((1L, "src0"), (2L, "src1"), (3L, "src2"), (4L, "srcX"))
+      .toDF("doc_id", "source")
+    val out = Sampling.repeatBySource(df, "source",
+        Map("src0" -> 3, "src1" -> 2, "src2" -> 0))
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+    assert(out == Set((1L, 0), (1L, 1), (1L, 2), (2L, 0), (2L, 1),
+      (4L, 0)))
+    // defaultRepeat 0: only listed sources survive
+    val only = Sampling.repeatBySource(df, "source", Map("src1" -> 1),
+        defaultRepeat = 0)
+      .collect().map(_.getLong(0)).toSeq
+    assert(only == Seq(2L))
+    intercept[IllegalArgumentException](
+      Sampling.repeatBySource(df, "source", Map("s" -> -1)))
+    intercept[IllegalArgumentException](
+      Sampling.repeatBySource(df, "source", Map.empty,
+        defaultRepeat = -2))
+    // pure projection: no exchange, no join
+    val p = Sampling.repeatBySource(df, "source", Map("src0" -> 2))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"repeat must stay a projection:\n$p")
+  }
 }
