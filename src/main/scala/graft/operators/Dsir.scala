@@ -42,8 +42,22 @@ object Dsir {
   /** Hashed feature array of one document: lowercased whitespace tokens
     * plus adjacent-pair bigrams (`"w1 w2"`), each mapped to its bucket.
     * Empty/whitespace-only text yields an empty array; null stays null.
-    * A pure projection — evaluated inside the scan, never shuffled. */
-  private[operators] def featureBuckets(text: Column, numBuckets: Int,
+    * A pure projection — evaluated inside the scan, never shuffled.
+    * Served by the native [[graft.functions.FeatureBuckets]] (one
+    * compiled pass, one thread-local digest); [[featureBucketsHof]] is
+    * the composable twin it is spec-pinned bit-identical to. */
+  def featureBuckets(text: Column, numBuckets: Int,
+      salt: String): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.FeatureBuckets(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text),
+        numBuckets, salt))
+
+  /** The relational twin of [[featureBuckets]]: three higher-order
+    * lambdas and a five-node hash tree per feature — the form the
+    * DuckDB oracles replay, kept for the bit-identity spec (the
+    * [[graft.functions.MinHashSig]] twin convention). */
+  def featureBucketsHof(text: Column, numBuckets: Int,
       salt: String): Column = {
     val toks = filter(TextAnalysis.tokens(lower(text)),
       t => length(t) > 0)

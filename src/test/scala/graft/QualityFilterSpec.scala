@@ -149,6 +149,31 @@ class QualityFilterSpec extends TestBase {
       QualityFilter.docFeatures(pos, "doc_id", "text", 0))
   }
 
+  test("native FeatureBuckets is bit-identical to the HOF twin on " +
+      "adversarial inputs") {
+    val texts = Seq(
+      "alpha beta gamma", "  leading and trailing  ", "one",
+      "", "   ", null.asInstanceOf[String],
+      "tabs\tand\nnewlines\r\nmixed", "UPPER Case MiXeD",
+      "unicode: héllo wörld ÉÀÇ", "emoji 🎉 mix 🎉🎉",
+      "a b a b a", "x" * 500, ("w " * 300).trim,
+      "punct. end! quest? \"quoted\" (paren)",
+      "digits 123 456.789 1e-8")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    for (nb <- Seq(7, 256, 4096)) {
+      val got = df.select(col("doc_id"),
+        operators.Dsir.featureBuckets(col("text"), nb, "qf").as("n"),
+        operators.Dsir.featureBucketsHof(col("text"), nb, "qf").as("h"))
+        .collect()
+      got.foreach { r =>
+        val n = Option(r.getSeq[Long](1)).map(_.toList)
+        val h = Option(r.getSeq[Long](2)).map(_.toList)
+        assert(n == h, s"doc ${r.getLong(0)} nb=$nb: native $n vs twin $h")
+      }
+    }
+  }
+
   test("scoreInline agrees with scoreWith to float accumulation and " +
       "plans zero exchanges") {
     val (pos, neg) = classes
