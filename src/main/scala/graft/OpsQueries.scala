@@ -3221,6 +3221,29 @@ object OpsQueries {
              |FROM documents, unnest(generate_series(0, CASE source
              |  WHEN 'src0' THEN 2 WHEN 'src1' THEN 1
              |  WHEN 'src2' THEN -1 ELSE 0 END)) AS u(e)
+             |ORDER BY doc_id, epoch""".stripMargin)),
+
+    // ----- X5 deterministic corpus shuffle key ------------------------------
+    // Training wants a GLOBAL reproducible permutation — orderBy(rand())
+    // does not survive a task retry, md5 does. Stacked on the epoch
+    // repeats so a doc's copies scatter: key = md5('shuffle|id:epoch').
+    // The key VALUES prove the cross-engine order; no window, no sort
+    // in the entry itself (writeShards does the total-order write).
+    "q120_shuffle_key" -> Entry(
+      (s, dir) => {
+        val d = docsFan(s, dir).select(col("doc_id"), col("source"))
+        val rep = Sampling.repeatBySource(d, "source", Map("src0" -> 2))
+        Sampling.withShuffleKey(rep,
+            concat_ws(":", col("doc_id"), col("epoch")))
+          .select(col("doc_id"), col("epoch").cast("long").as("epoch"),
+            col("shuffle_key"))
+          .orderBy("doc_id", "epoch")
+      },
+      Some("""SELECT doc_id, CAST(u.e AS BIGINT) AS epoch,
+             |  md5('shuffle|' || CAST(doc_id AS VARCHAR) || ':' ||
+             |    CAST(u.e AS VARCHAR)) AS shuffle_key
+             |FROM documents, unnest(generate_series(0,
+             |  CASE source WHEN 'src0' THEN 1 ELSE 0 END)) AS u(e)
              |ORDER BY doc_id, epoch""".stripMargin))
   )
 

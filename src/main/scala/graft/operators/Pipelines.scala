@@ -115,6 +115,28 @@ object Pipelines {
     QualityFilter.classifierGate(deduped, idCol, textCol, model, minProb)
   }
 
+  /** Materialize a training recipe to disk: per-source epoch repeats
+    * ([[Sampling.repeatBySource]]) → deterministic global shuffle
+    * ([[Sampling.withShuffleKey]] on `(id, epoch)`, so a doc's copies
+    * scatter across shards) → range-sharded sorted parquet
+    * ([[graft.QuackIO.writeShards]]). The whole thing is ONE job: the
+    * repeats and the shuffle key are projections at the scan, and the
+    * only exchange is the range partitioner of the final write — the
+    * minimum possible for a total-order layout. Output files are the
+    * training loader's contract: globally shuffled, reproducibly so
+    * (same bytes every run/cluster), ≤ `maxRecordsPerFile` rows each. */
+  def materializeRecipe(df: DataFrame, idCol: String, sourceCol: String,
+      repeats: Map[String, Int], dir: String, shards: Int,
+      maxRecordsPerFile: Long, defaultRepeat: Int = 1,
+      salt: String = "shuffle"): Unit = {
+    val repeated =
+      Sampling.repeatBySource(df, sourceCol, repeats, defaultRepeat)
+    val keyed = Sampling.withShuffleKey(repeated,
+      concat_ws(":", col(idCol), col("epoch")), salt)
+    graft.QuackIO.writeShards(keyed, dir, "shuffle_key", shards,
+      maxRecordsPerFile)
+  }
+
   /** Quantile-calibrated quality gate: keep rows whose `scoreCol` sits at
     * or above the corpus's `q`-quantile — "keep the best (1-q) fraction"
     * without hand-picking a threshold that drifts with every corpus mix.

@@ -498,4 +498,18 @@ object Sampling {
       explode(when(rate > 0,
         sequence(lit(0), rate.cast("int") - 1))))
   }
+
+  /** Deterministic global shuffle key: `md5(salt|key)` as 32 lowercase
+    * hex chars — sorting by it is the reproducible corpus permutation
+    * training jobs need (every engine/run/cluster produces the SAME
+    * order, where `orderBy(rand())` does not survive a retry). A pure
+    * projection; compose with a range-partitioned sorted write
+    * ([[graft.QuackIO.writeShards]]) so "shuffle the corpus" is one
+    * total-order write, no extra pass. Include the epoch in `key` when
+    * stacked on [[repeatBySource]] so a doc's copies scatter instead
+    * of landing adjacent. */
+  def withShuffleKey(df: DataFrame, key: Column,
+      salt: String = "shuffle"): DataFrame =
+    df.withColumn("shuffle_key",
+      md5(concat(lit(salt), lit("|"), key.cast("string"))))
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{Decontaminate, Dedup, Sampling, Vocab}
+import graft.operators.{Decontaminate, Dedup, Pipelines, Sampling, Vocab}
 
 /** Round-5 corpus operators: benchmark decontamination, deterministic
   * sampling, vocabulary/TF-IDF, incremental dedup, MinHash estimation. */
@@ -1562,5 +1562,40 @@ class CorpusOpsSpec extends TestBase {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange") && !p.contains("Join"),
       s"repeat must stay a projection:\n$p")
+  }
+
+  test("materializeRecipe: sharded, per-file capped, sorted by the " +
+      "deterministic shuffle key, epochs scattered, bytes reproducible") {
+    val df = (0L until 60L).map(i =>
+      (i, if (i % 2 == 0) "big" else "rare", s"doc $i")).toDF(
+      "doc_id", "source", "text")
+    val dir = s"${tmpDir()}/recipe"
+    Pipelines.materializeRecipe(df, "doc_id", "source",
+      Map("rare" -> 3), dir, shards = 4, maxRecordsPerFile = 30)
+    val out = spark.read.parquet(dir)
+    // 30 big ×1 + 30 rare ×3 = 120 rows; every (id, epoch) distinct
+    assert(out.count() == 120)
+    assert(out.select("doc_id", "epoch").distinct().count() == 120)
+    // per-file cap holds and files are internally sorted by the key
+    val files = out.select(input_file_name().as("f"), col("shuffle_key"))
+      .collect().groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)))
+    assert(files.values.forall(_.length <= 30), "maxRecordsPerFile violated")
+    assert(files.values.forall(v => v.toSeq == v.toSeq.sorted),
+      "file not sorted by shuffle_key")
+    // a doc's epochs scatter: some repeated doc has copies in 2+ files
+    val byDoc = out.filter(col("source") === "rare")
+      .select(col("doc_id"), input_file_name().as("f"))
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet)
+    assert(byDoc.values.exists(_.size > 1),
+      "every doc's epochs landed in one file — copies not scattered")
+    // reproducible: a second materialization yields the same rows per key
+    val dir2 = s"${tmpDir()}/recipe2"
+    Pipelines.materializeRecipe(df, "doc_id", "source",
+      Map("rare" -> 3), dir2, shards = 4, maxRecordsPerFile = 30)
+    val a = out.select("shuffle_key", "doc_id", "epoch")
+      .collect().map(_.toSeq).sortBy(_.mkString).toSeq
+    val b = spark.read.parquet(dir2).select("shuffle_key", "doc_id", "epoch")
+      .collect().map(_.toSeq).sortBy(_.mkString).toSeq
+    assert(a == b, "recipe materialization not reproducible")
   }
 }
