@@ -3244,7 +3244,43 @@ object OpsQueries {
              |    CAST(u.e AS VARCHAR)) AS shuffle_key
              |FROM documents, unnest(generate_series(0,
              |  CASE source WHEN 'src0' THEN 1 ELSE 0 END)) AS u(e)
-             |ORDER BY doc_id, epoch""".stripMargin))
+             |ORDER BY doc_id, epoch""".stripMargin)),
+
+    // ----- X5 per-source contamination report -------------------------------
+    // q65's per-doc verdicts rolled up to the number a pipeline
+    // PUBLISHES before training: per source, docs / contaminated docs /
+    // fraction / decimal-exact mean overlap vs the benchmark.
+    "q121_contamination_report" -> Entry(
+      (s, dir) => {
+        val docs = docsFan(s, dir)
+        Decontaminate.contaminationReport(docs, "doc_id", "text",
+            "source", docs.filter(col("doc_id") % 97 === 0), "text",
+            shingleN = 5, flagAt = 0.5)
+          .orderBy("group")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $TOKS AS w FROM documents),
+              |shs AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 5 THEN
+              |    [array_to_string(w[i:i+4], ' ')
+              |     for i in generate_series(1, len(w)-4)] ELSE [] END) AS sh
+              |  FROM toks),
+              |bench AS (SELECT list(DISTINCT s) AS bs
+              |  FROM (SELECT unnest(sh) AS s FROM shs WHERE doc_id % 97 = 0)),
+              |m AS (SELECT doc_id, len(sh) AS n_sh,
+              |    len(list_intersect(sh, bs)) AS n_hit FROM shs, bench),
+              |verdicts AS (SELECT doc_id,
+              |  CASE WHEN n_sh = 0 THEN 0.0
+              |    ELSE CAST(n_hit AS DOUBLE) / CAST(n_sh AS DOUBLE)
+              |  END AS ratio FROM m)
+              |SELECT d.source AS "group",
+              |  COUNT(*) AS n_docs,
+              |  CAST(SUM(CASE WHEN ratio >= 0.5 THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_contaminated,
+              |  CAST(SUM(CASE WHEN ratio >= 0.5 THEN 1 ELSE 0 END)
+              |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS contam_frac,
+              |  round(CAST(SUM(CAST(ratio AS DECIMAL(38,15))) AS DOUBLE)
+              |    / CAST(COUNT(*) AS DOUBLE), 6) AS mean_overlap
+              |FROM verdicts v JOIN documents d USING (doc_id)
+              |GROUP BY d.source ORDER BY "group"""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

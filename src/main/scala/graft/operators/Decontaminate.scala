@@ -73,6 +73,37 @@ object Decontaminate {
         (ratio >= flagAt).as("contaminated"))
   }
 
+  /** Roll [[overlap]]'s per-doc verdicts up to a per-group report —
+    * the "how contaminated is each source against this benchmark"
+    * number a pipeline publishes before training: docs, contaminated
+    * docs, contamination fraction, and the mean overlap ratio (summed
+    * through DECIMAL(38,15) so the report is partition-order-exact,
+    * the [[graft.Queries]] dsum convention). The verdict join moves
+    * (id, group) pairs only — never text — and the final aggregation
+    * is one group-keyed exchange of small rows. */
+  def contaminationReport(corpus: DataFrame, idCol: String,
+      textCol: String, groupCol: String, benchmark: DataFrame,
+      benchTextCol: String, shingleN: Int = 8,
+      flagAt: Double = 0.5): DataFrame = {
+    val v = overlap(corpus, idCol, textCol, benchmark, benchTextCol,
+      shingleN, flagAt)
+    val groups = corpus.select(col(idCol).as("doc_id"),
+      col(groupCol).as("group"))
+    v.join(groups, Seq("doc_id"))
+      .groupBy("group")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("contaminated"), 1L).otherwise(0L))
+          .as("n_contaminated"),
+        (sum(col("overlap_ratio")
+            .cast(org.apache.spark.sql.types.DecimalType(38, 15)))
+          .cast("double") / count(lit(1)).cast("double"))
+          .as("mean_overlap"))
+      .select(col("group"), col("n_docs"), col("n_contaminated"),
+        (col("n_contaminated").cast("double") /
+          col("n_docs").cast("double")).as("contam_frac"),
+        round(col("mean_overlap"), 6).as("mean_overlap"))
+  }
+
   /** The gate form: drop contaminated docs, keep everything else (all
     * original columns). [[overlap]]'s verdict needs the per-doc
     * aggregation, so the survivors left-semi join back onto the corpus

@@ -1564,6 +1564,29 @@ class CorpusOpsSpec extends TestBase {
       s"repeat must stay a projection:\n$p")
   }
 
+  test("contaminationReport: per-group docs/flagged/fraction/mean " +
+      "with zero-shingle docs counted clean") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j", "wiki"),   // shares the bench 5-grams
+      (2L, "totally different words here now", "wiki"),
+      (3L, "short", "web"),                  // < shingleN tokens → clean
+      (4L, "other web page content words", "web"))
+      .toDF("doc_id", "text", "source")
+    val bench = Seq(Tuple1("a b c d e f g h i j")).toDF("text")
+    val got = Decontaminate.contaminationReport(corpus, "doc_id",
+        "text", "source", bench, "text", shingleN = 5, flagAt = 0.5)
+      .orderBy("group").collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("web", "wiki"))
+    val wiki = got(1)
+    assert(wiki.getLong(1) == 2 && wiki.getLong(2) == 1 &&
+      wiki.getDouble(3) == 0.5,
+      s"wiki row wrong: $wiki")
+    val web = got(0)
+    assert(web.getLong(1) == 2 && web.getLong(2) == 0 &&
+      web.getDouble(3) == 0.0 && web.getDouble(4) == 0.0,
+      s"web row wrong: $web")
+  }
+
   test("materializeRecipe: sharded, per-file capped, sorted by the " +
       "deterministic shuffle key, epochs scattered, bytes reproducible") {
     val df = (0L until 60L).map(i =>

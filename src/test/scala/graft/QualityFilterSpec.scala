@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.operators.QualityFilter
+import scala.jdk.CollectionConverters._
 
 /** [[graft.operators.QualityFilter]] — the trained quality head.
   * Fixtures plant two vocabularies so class separation is strong and
@@ -98,6 +99,26 @@ class QualityFilterSpec extends TestBase {
     val served = QualityFilter.scoreWith(all, "doc_id", "text", loaded)
       .orderBy("doc_id").collect().toSeq
     assert(live == served, "loaded model served different scores")
+  }
+
+  test("cross-session serving: a fresh session loads the saved head " +
+      "and scores bit-identically to the training session") {
+    val (pos, neg) = classes
+    val model = QualityFilter.trainLda(pos, "doc_id", "text",
+      neg, "doc_id", "text", numBuckets = 64)
+    val path = s"${tmpDir()}/qf_model_xsession.parquet"
+    QualityFilter.saveModel(model, path)(spark)
+    val live = QualityFilter.scoreWith(pos.union(neg), "doc_id", "text",
+      model).orderBy("doc_id").collect().toSeq
+    // a NEW session (fresh session state, no shared temp views/config)
+    val s2 = spark.newSession()
+    val loaded = QualityFilter.loadModel(s2, path)
+    val all2 = s2.createDataFrame(pos.union(neg).collect().toList.asJava,
+      pos.schema)
+    val served = QualityFilter.scoreWith(all2, "doc_id", "text", loaded)
+      .orderBy("doc_id").collect().toSeq
+    assert(live == served,
+      "cross-session served scores diverged from the training session")
   }
 
   test("loadModel refuses a parquet file without model metadata") {
