@@ -3280,7 +3280,48 @@ object OpsQueries {
               |  round(CAST(SUM(CAST(ratio AS DECIMAL(38,15))) AS DOUBLE)
               |    / CAST(COUNT(*) AS DOUBLE), 6) AS mean_overlap
               |FROM verdicts v JOIN documents d USING (doc_id)
-              |GROUP BY d.source ORDER BY "group"""".stripMargin))
+              |GROUP BY d.source ORDER BY "group"""".stripMargin)),
+
+    // ----- X5 corpus KL drift ----------------------------------------------
+    // KL(target || raw) in bits over the hashed-feature models — the
+    // one-number text-drift report (PSI q100 watches a numeric column;
+    // this watches the text). Target = the en slice, raw = everything:
+    // the same fit as q113 reduced to its divergence.
+    "q122_corpus_kl" -> Entry(
+      (s, dir) => {
+        val raw = docsFan(s, dir)
+        Dsir.klDivergence(raw, "text",
+          raw.filter(col("lang") === "en"), "text", numBuckets = 4096)
+      },
+      Some("""WITH tk AS (SELECT doc_id, list_filter(
+             |    regexp_split_to_array(trim(lower(text)), '\s+'),
+             |    x -> length(x) > 0) AS ts FROM documents),
+             |feats AS (
+             |  SELECT doc_id, u.x AS f FROM tk, unnest(ts) AS u(x)
+             |  UNION ALL
+             |  SELECT doc_id, ts[g.i] || ' ' || ts[g.i + 1] AS f
+             |  FROM tk, unnest(generate_series(1, len(ts) - 1)) AS g(i)),
+             |fb AS (SELECT doc_id, CAST(('0x' || substr(md5('dsir|' || f),
+             |    1, 8)) AS UBIGINT) % 4096 AS bucket FROM feats),
+             |tb AS (SELECT bucket, count(*) AS t_cnt FROM fb
+             |  JOIN documents USING (doc_id) WHERE lang = 'en'
+             |  GROUP BY 1),
+             |rb AS (SELECT bucket, count(*) AS r_cnt FROM fb GROUP BY 1),
+             |tot AS (SELECT (SELECT coalesce(sum(t_cnt), 0) FROM tb)
+             |    AS t_tot,
+             |  (SELECT coalesce(sum(r_cnt), 0) FROM rb) AS r_tot),
+             |model AS (SELECT g.b AS bucket,
+             |  (coalesce(t_cnt, 0) + 0.5) / (t_tot + 0.5 * 4096) AS p_t,
+             |  log2((coalesce(t_cnt, 0) + 0.5) /
+             |      (t_tot + 0.5 * 4096)) -
+             |  log2((coalesce(r_cnt, 0) + 0.5) /
+             |      (r_tot + 0.5 * 4096)) AS llr
+             |  FROM generate_series(0, 4095) AS g(b)
+             |  LEFT JOIN tb ON tb.bucket = g.b
+             |  LEFT JOIN rb ON rb.bucket = g.b
+             |  CROSS JOIN tot)
+             |SELECT round(CAST(SUM(CAST(p_t * llr AS DECIMAL(38,15)))
+             |  AS DOUBLE), 6) AS kl_bits FROM model""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

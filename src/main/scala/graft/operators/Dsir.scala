@@ -114,6 +114,40 @@ object Dsir {
           .as("llr"))
   }
 
+  /** KL divergence KL(target ‖ raw) in BITS over the hashed-feature
+    * distributions — the one-number "how far has the crawl drifted
+    * from the reference" report ([[Profiles.psi]]'s companion: PSI
+    * watches a numeric column, this watches the text itself). Computed
+    * from the same smoothed models [[importanceModel]] fits:
+    * `Σ_b p_target(b) · llr(b)` where `llr = log2 p_t − log2 p_r` —
+    * smoothing keeps every bucket finite, so the sum is total. One
+    * aggregation over the `numBuckets`-row model table (the corpus
+    * work is the two `hashedCounts` scans); the per-bucket terms sum
+    * through DECIMAL(38,15) (order-exact), and the result rounds to 6
+    * (libm log2 ulps differ across engines — the [[importanceWeights]]
+    * convention). Returns one row: `(kl_bits)`. */
+  def klDivergence(raw: DataFrame, rawTextCol: String,
+      target: DataFrame, targetTextCol: String, numBuckets: Int = 4096,
+      alpha: Double = 0.5, salt: String = "dsir"): DataFrame = {
+    val t = hashedCounts(target, targetTextCol, numBuckets, salt)
+      .withColumnRenamed("cnt", "t_cnt")
+    val tTot = t.agg(coalesce(sum("t_cnt"), lit(0L)).as("t_tot"))
+    val spine = raw.sparkSession.range(numBuckets)
+      .select(col("id").as("bucket"))
+    val pT = spine.join(t, Seq("bucket"), "left")
+      .crossJoin(broadcast(tTot))
+      .select(col("bucket"),
+        ((coalesce(col("t_cnt"), lit(0L)).cast("double") + alpha) /
+          (col("t_tot").cast("double") + alpha * numBuckets)).as("p_t"))
+    importanceModel(raw, rawTextCol, target, targetTextCol, numBuckets,
+        alpha, salt)
+      .join(pT, Seq("bucket"))
+      .agg(round(
+        sum((col("p_t") * col("llr"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 15)))
+          .cast("double"), 6).as("kl_bits"))
+  }
+
   /** Importance weight of every raw document: `logw` = the sum over the
     * doc's hashed features of `llr(bucket)` (each occurrence counts),
     * rounded to 6. Higher = more target-like. Also emits `n_feats`

@@ -1564,6 +1564,24 @@ class CorpusOpsSpec extends TestBase {
       s"repeat must stay a projection:\n$p")
   }
 
+  test("klDivergence: zero against itself, positive for a shifted " +
+      "corpus, deterministic under repartitioning") {
+    import graft.operators.Dsir
+    val a = Seq.tabulate(30)(i => (i.toLong, s"alpha beta gamma w$i"))
+      .toDF("doc_id", "text")
+    val b = Seq.tabulate(30)(i => (i.toLong, s"delta epsilon zeta w$i"))
+      .toDF("doc_id", "text")
+    val self = Dsir.klDivergence(a, "text", a, "text", numBuckets = 64)
+      .head().getDouble(0)
+    assert(self == 0.0, s"KL(p||p) must be 0, got $self")
+    val cross = Dsir.klDivergence(a, "text", b, "text", numBuckets = 64)
+      .head().getDouble(0)
+    assert(cross > 0.1, s"shifted corpus should diverge, got $cross")
+    val re = Dsir.klDivergence(a.repartition(7), "text",
+      b.repartition(3), "text", numBuckets = 64).head().getDouble(0)
+    assert(re == cross, "KL drifted with partitioning")
+  }
+
   test("contaminationReport: per-group docs/flagged/fraction/mean " +
       "with zero-shingle docs counted clean") {
     val corpus = Seq(
