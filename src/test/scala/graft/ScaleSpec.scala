@@ -428,4 +428,28 @@ class ScaleSpec extends TestBase {
       !p.contains("CartesianProduct"),
       s"range join must meet in an equi-join:\n$p")
   }
+
+  test("q121 contamination report: bench broadcasts, the verdict join " +
+      "carries no text") {
+    val p = plan(SparkEntry.queries("q121_contamination_report")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark probe must broadcast:\n$p")
+    // the only non-broadcast join is verdicts ⋈ (id, group) — if a
+    // shuffle-join line mentions the text column, the rollup is
+    // shuffling documents instead of ids
+    val smjLines = p.linesIterator.filter(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")).toSeq
+    assert(smjLines.forall(!_.contains("text#")),
+      s"verdict join must move ids+groups, not text:\n$p")
+  }
+
+  test("q122 corpus KL: divergence is a spine-sized aggregation — no " +
+      "cartesian beyond the broadcast 1-row totals, text stays in scans") {
+    val p = plan(SparkEntry.queries("q122_corpus_kl")(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      s"only broadcast 1-row totals may cross-join:\n$p")
+    val joinLines = p.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joinLines.forall(!_.contains("text#")),
+      s"corpus text leaked past the scan:\n$p")
+  }
 }
