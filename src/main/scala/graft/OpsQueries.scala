@@ -2023,7 +2023,7 @@ object OpsQueries {
 
     "q81_key_skew" -> Entry(
       (s, dir) => graft.operators.Profiles.keySkew(
-          events(s, dir), "user_id", k = 15), // events(): nanos conf ensured
+          events(s, dir), "user_id", k = 15), // events(): ts normalized to nanos
       Some("""WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key,
              |    COUNT(*) AS n FROM events GROUP BY 1),
              |t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM events)

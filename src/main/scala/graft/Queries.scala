@@ -39,19 +39,22 @@ object Queries {
 
   /** The events table, with `ts` normalized to int64 epoch NANOS — the
     * representation every downstream query (hourly buckets, sessionize,
-    * as-of) does exact integer arithmetic on. Two physical layouts exist:
+    * as-of) does exact integer arithmetic on. Three physical layouts:
     * TIMESTAMP(NANOS) parquet (readable only as raw longs, already the
-    * target shape) and µs-precision TIMESTAMP/TIMESTAMP_NTZ parquet
-    * (current fixtures), which Spark surfaces as a timestamp — converted
-    * here via `unix_micros · 1000`, exact because the source precision is
-    * µs. Sessions must run UTC ([[GraftSession]] default) so the NTZ→
-    * instant cast is the identity mapping DuckDB's `epoch_ns` applies. */
+    * target shape), µs TIMESTAMP_NTZ (current fixtures) — converted by
+    * a zone-INDEPENDENT `timestampdiff` against the NTZ epoch, exactly
+    * the wall-clock-as-UTC reading DuckDB's `epoch_ns` applies, on ANY
+    * session timezone — and µs TIMESTAMP (an instant; `unix_micros` is
+    * zone-independent by definition). All conversions are exact for µs
+    * sources (`· 1000`). */
   def events(s: SparkSession, dir: String): DataFrame = {
     val raw = t(s, dir, "events")
     raw.schema("ts").dataType match {
       case LongType => raw
-      case _ => raw.withColumn("ts",
-        unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case _: TimestampNTZType => raw.withColumn("ts",
+        expr("timestampdiff(MICROSECOND, " +
+          "TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)") * 1000L)
+      case _ => raw.withColumn("ts", unix_micros(col("ts")) * 1000L)
     }
   }
 

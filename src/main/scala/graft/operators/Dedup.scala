@@ -754,6 +754,10 @@ object Dedup {
     * Null-text rows carry a null fingerprint; two nulls compare equal
     * (null-safe `<=>`), null-vs-text reads `changed`.
     *
+    * Ids must be UNIQUE within each snapshot ([[exactKeepMinId]] them
+    * first if not): a duplicated id multiplies through the full outer
+    * join and emits contradictory statuses for the same document.
+    *
     * Plan: both sides reduce to (id, fingerprint) AT THE SCAN — text
     * never shuffles — then one full outer join keyed on id. At 100 TB
     * that is the minimum possible movement for an exact diff (ids +

@@ -129,23 +129,30 @@ object Dsir {
   def klDivergence(raw: DataFrame, rawTextCol: String,
       target: DataFrame, targetTextCol: String, numBuckets: Int = 4096,
       alpha: Double = 0.5, salt: String = "dsir"): DataFrame = {
-    val t = hashedCounts(target, targetTextCol, numBuckets, salt)
-      .withColumnRenamed("cnt", "t_cnt")
-    val tTot = t.agg(coalesce(sum("t_cnt"), lit(0L)).as("t_tot"))
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    // one count pass per corpus (not importanceModel + a second target
+    // pass): p_t and llr derive from the SAME t/r pair, the exact
+    // expressions importanceModel fits
     val spine = raw.sparkSession.range(numBuckets)
       .select(col("id").as("bucket"))
-    val pT = spine.join(t, Seq("bucket"), "left")
+    val t = hashedCounts(target, targetTextCol, numBuckets, salt)
+      .withColumnRenamed("cnt", "t_cnt")
+    val r = hashedCounts(raw, rawTextCol, numBuckets, salt)
+      .withColumnRenamed("cnt", "r_cnt")
+    val tTot = t.agg(coalesce(sum("t_cnt"), lit(0L)).as("t_tot"))
+    val rTot = r.agg(coalesce(sum("r_cnt"), lit(0L)).as("r_tot"))
+    val pT = (coalesce(col("t_cnt"), lit(0L)).cast("double") + alpha) /
+      (col("t_tot").cast("double") + alpha * numBuckets)
+    val pR = (coalesce(col("r_cnt"), lit(0L)).cast("double") + alpha) /
+      (col("r_tot").cast("double") + alpha * numBuckets)
+    spine
+      .join(t, Seq("bucket"), "left")
+      .join(r, Seq("bucket"), "left")
       .crossJoin(broadcast(tTot))
-      .select(col("bucket"),
-        ((coalesce(col("t_cnt"), lit(0L)).cast("double") + alpha) /
-          (col("t_tot").cast("double") + alpha * numBuckets)).as("p_t"))
-    importanceModel(raw, rawTextCol, target, targetTextCol, numBuckets,
-        alpha, salt)
-      .join(pT, Seq("bucket"))
-      .agg(round(
-        sum((col("p_t") * col("llr"))
-            .cast(org.apache.spark.sql.types.DecimalType(38, 15)))
-          .cast("double"), 6).as("kl_bits"))
+      .crossJoin(broadcast(rTot))
+      .select((pT * (log2(pT) - log2(pR)))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 15)).as("term"))
+      .agg(round(sum(col("term")).cast("double"), 6).as("kl_bits"))
   }
 
   /** Importance weight of every raw document: `logw` = the sum over the

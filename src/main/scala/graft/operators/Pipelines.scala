@@ -85,14 +85,16 @@ object Pipelines {
     * classifier gate — the modern recipe where the last stage is a
     * model fitted ON the corpus being curated ([[QualityFilter]]; the
     * FineWeb/LLaMA pattern: clean mechanically, then let a trained head
-    * pick the target-like slice). Two phases by construction: the
-    * gate→dedup chain is one lazy plan; fitting the LDA head forces it
-    * once (a single aggregation pass — [[QualityFilter.trainLda]]), and
-    * the serving gate re-runs the same chain for the keep-list. The
-    * deduped subtree therefore recomputes rather than caches — the
-    * [[curate]]/q109 trade, still right at 100 TB (it is scans +
-    * one fingerprint shuffle; materializing a corpus-sized intermediate
-    * is not).
+    * pick the target-like slice). The gate→dedup chain is ONE lazy
+    * plan, but each pass that consumes it recomputes it — trainLda's
+    * moment job and two count scans, the serving gate's score + semi
+    * sides: ~5 recomputations of the gate chain and its fingerprint
+    * shuffle per call. That is the deliberate [[curate]]/q109
+    * recompute-not-cache trade; when the cleaning chain is expensive
+    * relative to storage, materialize the gated+deduped table to
+    * parquet first and run [[QualityFilter.trainLda]] /
+    * [[QualityFilter.classifierGate]] over it — the stages compose on
+    * any DataFrame.
     *
     * Returns the surviving rows of `df`'s gated+deduped form:
     * (idCol, sourceCol, textCol, n_tokens). */
@@ -119,12 +121,15 @@ object Pipelines {
     * ([[Sampling.repeatBySource]]) → deterministic global shuffle
     * ([[Sampling.withShuffleKey]] on `(id, epoch)`, so a doc's copies
     * scatter across shards) → range-sharded sorted parquet
-    * ([[graft.QuackIO.writeShards]]). The whole thing is ONE job: the
-    * repeats and the shuffle key are projections at the scan, and the
-    * only exchange is the range partitioner of the final write — the
-    * minimum possible for a total-order layout. Output files are the
-    * training loader's contract: globally shuffled, reproducibly so
-    * (same bytes every run/cluster), ≤ `maxRecordsPerFile` rows each. */
+    * ([[graft.QuackIO.writeShards]]). The repeats and the shuffle key
+    * are projections at the scan; the only exchange is the range
+    * partitioner of the final write (plus its boundary-sampling pass) —
+    * the minimum for a total-order layout. Contract: the GLOBAL row
+    * order is reproducible (same rows, same keys, every run/cluster);
+    * file SPLIT POINTS are not — `repartitionByRange` samples its
+    * boundaries from the input's partitioning, so per-file contents
+    * can differ across cluster sizes. Checksums belong on the sorted
+    * row stream, not on files. ≤ `maxRecordsPerFile` rows per file. */
   def materializeRecipe(df: DataFrame, idCol: String, sourceCol: String,
       repeats: Map[String, Int], dir: String, shards: Int,
       maxRecordsPerFile: Long, defaultRepeat: Int = 1,

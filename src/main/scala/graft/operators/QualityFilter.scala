@@ -90,15 +90,17 @@ object QualityFilter {
   }
 
   /** Count of documents that would contribute feature rows — a
-    * SCAN-ONLY count (`size(featureBuckets) > 0` at the projection, no
-    * explode, no shuffle), replacing the corpus-wide distinct the
-    * naive `feats.select(y, doc).distinct.count` would shuffle for.
+    * SCAN-ONLY count (no explode, no shuffle), replacing the
+    * corpus-wide distinct the naive `feats.select(y, doc).distinct
+    * .count` would shuffle for. "Has ≥ 1 feature" ⟺ "has ≥ 1
+    * non-empty token", so the probe tokenizes WITHOUT hashing — the
+    * md5 work belongs to the moment/gradient pass, not the count.
     * Same exclusion rule as [[docFeatures]]: null/empty-text docs
     * don't count. */
-  private def countWithFeatures(df: DataFrame, textCol: String,
-      numBuckets: Int, salt: String): Long =
+  private def countWithFeatures(df: DataFrame, textCol: String): Long =
     df.filter(
-      size(Dsir.featureBuckets(col(textCol), numBuckets, salt)) > 0)
+      size(filter(TextAnalysis.tokens(lower(col(textCol))),
+        t => length(t) > 0)) > 0)
       .count()
 
   /** Labelled training rows: positive corpus tagged `y = 1`, negative
@@ -146,8 +148,8 @@ object QualityFilter {
       .agg(sum(col("x").cast(Dec)).as("sx"),
         sum((col("x") * col("x")).cast(Dec)).as("sxx"))
       .collect()
-    val nPos = countWithFeatures(positive, posTextCol, numBuckets, salt)
-    val nNeg = countWithFeatures(negative, negTextCol, numBuckets, salt)
+    val nPos = countWithFeatures(positive, posTextCol)
+    val nNeg = countWithFeatures(negative, negTextCol)
     require(nPos > 0, "trainLda: no positive documents with features")
     require(nNeg > 0, "trainLda: no negative documents with features")
     val n = nPos + nNeg
@@ -198,8 +200,8 @@ object QualityFilter {
 
     val feats = labelled(positive, posIdCol, posTextCol,
       negative, negIdCol, negTextCol, numBuckets, salt)
-    val n = countWithFeatures(positive, posTextCol, numBuckets, salt) +
-      countWithFeatures(negative, negTextCol, numBuckets, salt)
+    val n = countWithFeatures(positive, posTextCol) +
+      countWithFeatures(negative, negTextCol)
     require(n > 0, "train: no documents with features on either side")
 
     val weights = Array.fill(numBuckets)(0.0)
