@@ -3321,7 +3321,48 @@ object OpsQueries {
              |  LEFT JOIN rb ON rb.bucket = g.b
              |  CROSS JOIN tot)
              |SELECT round(CAST(SUM(CAST(p_t * llr AS DECIMAL(38,15)))
-             |  AS DOUBLE), 6) AS kl_bits FROM model""".stripMargin))
+             |  AS DOUBLE), 6) AS kl_bits FROM model""".stripMargin)),
+
+    // ----- X2/X5 composed C4 line filter + global line dedup ----------------
+    // The actual C4 recipe order (Raffel et al. 2020 §2.2): line-level
+    // cleaning first, THEN cross-corpus dedup of surviving lines — as
+    // ONE text pass ([[Dedup.dedupLinesC4]]): the C4 predicate runs at
+    // the explode, below every exchange, so doomed lines never shuffle.
+    // Fixture: the unpunctuated corpus is sentence-lined every 5 words
+    // with a terminal '.' (the small vocabulary makes 5-gram lines
+    // collide naturally across docs, plus the planted exact copies);
+    // the sub-5-word remainder line keeps no period and C4-deletes, so
+    // both rules do real work. Strings + integer comparisons only —
+    // fully oracle-exact.
+    "q123_c4_line_dedup" -> Entry(
+      (s, dir) => {
+        val lined = dupDocs(s, dir).select(col("doc_id"),
+          regexp_replace(col("text"),
+            lit("(\\w+ \\w+ \\w+ \\w+ \\w+) "), lit("$1.\n")).as("text"))
+        Dedup.dedupLinesC4(lined, "doc_id", "text",
+            minLineChars = 10, minLineWords = 3)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $DupDocsSql,
+              |ld AS (SELECT doc_id, string_split(regexp_replace(text,
+              |  '(\\w+ \\w+ \\w+ \\w+ \\w+) ', '\\1.' || chr(10), 'g'),
+              |  chr(10)) AS ln FROM docs),
+              |l AS (SELECT doc_id, u.i AS pos, ln[u.i] AS line FROM ld,
+              |  unnest(generate_series(1, len(ln))) AS u(i)),
+              |c AS (SELECT doc_id, pos, line FROM l
+              |  WHERE (ends_with(rtrim(line), '.')
+              |      OR ends_with(rtrim(line), '!')
+              |      OR ends_with(rtrim(line), '?')
+              |      OR ends_with(rtrim(line), '"'))
+              |    AND len(regexp_split_to_array(trim(line), '\\s+')) >= 3
+              |    AND NOT contains(lower(line), 'javascript')),
+              |k AS (SELECT doc_id, pos, line FROM c
+              |  QUALIFY length(line) < 10
+              |    OR ROW_NUMBER() OVER (PARTITION BY line
+              |         ORDER BY doc_id, pos) = 1)
+              |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos)
+              |  AS text
+              |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

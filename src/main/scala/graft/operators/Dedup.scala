@@ -704,22 +704,27 @@ object Dedup {
     *
     * Lines shorter than `minLineChars` are EXEMPT — kept in place,
     * every copy: "1.", "", "Introduction" repeat legitimately, and
-    * deduplicating them would shred ordinary prose structure. The
-    * exempt lines still flow through the single plan (filtering them
-    * into a separate branch would re-scan the corpus; shipping
-    * sub-`minLineChars` strings through the shuffle costs less by
-    * construction — they are the corpus's shortest byte-strings).
+    * deduplicating them would shred ordinary prose structure. Exempt
+    * lines are filtered out BELOW the dedup exchange and flow straight
+    * to document reassembly — ranking them would be pure waste.
     *
     * Returns `(idCol, textCol)` with each document rebuilt from its
     * surviving lines in original order (join other columns back on id).
     * A document whose every line was removed — pure boilerplate — is
     * DROPPED, as is a null-text document (no lines to keep).
     *
-    * Scale shape: posexplode → ONE exchange keyed on the line value
-    * (the min-occurrence window; partition count = distinct lines, so
-    * skew only from a pathologically repeated LONG line) → one id-keyed
-    * exchange to reassemble documents. The text crosses each exchange
-    * once, as its lines; no joins, no driver state. */
+    * Scale shape: posexplode → `groupBy(line).agg(min(struct(id,pos)))`
+    * → the winner row IS the surviving occurrence, so no window and no
+    * join-back. Partial (map-side) aggregation collapses a boilerplate
+    * line repeated across millions of pages to ONE row per map task
+    * before the exchange — the skew a window-by-line-text would
+    * serialize on a single reducer (WindowExec buffers each partition
+    * group whole; AQE can split skewed joins, never windows) is
+    * absorbed where it arises. Exchange budget: one line-keyed (hot
+    * keys pre-collapsed), one id-keyed reassembly. The two-column
+    * source projection is scanned twice (exempt branch + dedup
+    * branch); at 100 TB two columnar scans beat one serialized window
+    * partition by orders of magnitude. */
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
       minLineChars: Int = 10): DataFrame = {
     require(minLineChars >= 1,
@@ -729,19 +734,70 @@ object Dedup {
         posexplode(split(col(textCol), "\n")))
       .withColumnRenamed("pos", "__pos")
       .withColumnRenamed("col", "__line")
-    val wLine = Window.partitionBy(col("__line"))
-    lines
-      .withColumn("__min",
-        min(struct(col("__did"), col("__pos"))).over(wLine))
-      .filter(length(col("__line")) < minLineChars ||
-        (col("__min.__did") === col("__did") &&
-          col("__min.__pos") === col("__pos")))
-      .groupBy(col("__did").as(idCol))
+    reassembleLines(dedupSurvivors(lines, minLineChars), idCol, textCol)
+  }
+
+  /** Surviving (id, pos, line) occurrences of the C4 global line-dedup
+    * rule over an exploded `(__did, __pos, __line)` frame: short lines
+    * exempt below the exchange, one min-(id,pos) winner per distinct
+    * long line straight from the aggregation. */
+  private def dedupSurvivors(lines: DataFrame, minLineChars: Int)
+      : DataFrame = {
+    val exempt = lines.filter(length(col("__line")) < minLineChars)
+    val winners = lines
+      .filter(length(col("__line")) >= minLineChars)
+      .groupBy(col("__line"))
+      .agg(min(struct(col("__did"), col("__pos"))).as("__min"))
+      .select(col("__min.__did").as("__did"),
+        col("__min.__pos").as("__pos"), col("__line"))
+    exempt.unionByName(winners)
+  }
+
+  /** Rebuild one `(idCol, textCol)` row per document from surviving
+    * `(__did, __pos, __line)` occurrences, lines in original order. */
+  private def reassembleLines(kept: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    kept.groupBy(col("__did").as(idCol))
       .agg(array_join(
         transform(
           array_sort(collect_list(struct(col("__pos"), col("__line")))),
           s => s.getField("__line")),
         "\n").as(textCol))
+
+  /** Composed C4 cleaning: the §2.2 LINE filter (terminal punctuation,
+    * ≥ `minLineWords` words, no "javascript" — the predicate of
+    * [[TextAnalysis.withC4Rules]]) fused INTO the global line dedup of
+    * [[dedupLines]], one text pass. Running `withC4Rules` then
+    * `dedupLines` explodes/reassembles the corpus text twice; the
+    * composition filters doomed lines at the explode — BEFORE any
+    * exchange — and feeds only C4-surviving lines to the dedup, which
+    * is also what the paper's pipeline does (line filter first, then
+    * cross-corpus dedup of what remains).
+    *
+    * C4-failing lines are DELETED (not exempt); among survivors the
+    * [[dedupLines]] contract applies unchanged: sub-`minLineChars`
+    * lines kept everywhere, longer lines kept at their first (id, pos)
+    * only, documents losing every line dropped. */
+  def dedupLinesC4(df: DataFrame, idCol: String, textCol: String,
+      minLineChars: Int = 10, minLineWords: Int = 3): DataFrame = {
+    require(minLineChars >= 1,
+      s"minLineChars must be >= 1, got $minLineChars")
+    require(minLineWords >= 1,
+      s"minLineWords must be >= 1, got $minLineWords")
+    val terminal = Seq(".", "!", "?", "\"")
+    val keep = (l: Column) => {
+      val r = rtrim(l)
+      terminal.map(t => r.endsWith(t)).reduce(_ || _) &&
+        size(TextAnalysis.tokens(l)) >= minLineWords &&
+        !lower(l).contains("javascript")
+    }
+    val lines = df
+      .select(col(idCol).as("__did"),
+        posexplode(split(col(textCol), "\n")))
+      .withColumnRenamed("pos", "__pos")
+      .withColumnRenamed("col", "__line")
+      .filter(keep(col("__line")))
+    reassembleLines(dedupSurvivors(lines, minLineChars), idCol, textCol)
   }
 
   /** Corpus snapshot diff — the operational "what changed between

@@ -49,6 +49,57 @@ class CorpusOpsSpec extends TestBase {
     }
   }
 
+  test("dedupLinesC4: C4-failing lines delete everywhere, surviving " +
+    "duplicates keep first occurrence only, short passers stay exempt") {
+    val df = docs(
+      // 'no terminal punct' fails C4 (no terminal mark) in BOTH docs;
+      // the boilerplate sentence passes C4 and dedups to doc 1
+      1L -> ("this boilerplate sentence repeats everywhere.\n" +
+        "no terminal punct\nunique alpha line stays here.\nok now."),
+      2L -> ("this boilerplate sentence repeats everywhere.\n" +
+        "unique beta line stays put.\nok now."),
+      // javascript mention fails C4 even with terminal punctuation
+      3L -> "please enable javascript to continue.",
+      // under-3-words line fails C4's word floor
+      4L -> "two words.")
+    val out = Dedup.dedupLinesC4(df, "doc_id", "text",
+        minLineChars = 10, minLineWords = 3)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    // 'ok now.' is 2 tokens → C4-deleted despite terminal punctuation;
+    // doc1 keeps boilerplate (first occurrence) + its unique line,
+    // doc2 keeps only its unique line
+    assert(out == Seq(
+      1L -> ("this boilerplate sentence repeats everywhere.\n" +
+        "unique alpha line stays here."),
+      2L -> "unique beta line stays put."), s"got $out")
+    // short C4-PASSING line is exempt from dedup: kept in both docs
+    val short = docs(
+      5L -> "a b c.\nlong unique sentence number five here.",
+      6L -> "a b c.\nlong unique sentence number six here.")
+    val kept = Dedup.dedupLinesC4(short, "doc_id", "text",
+        minLineChars = 10, minLineWords = 3)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(kept == Seq(
+      5L -> "a b c.\nlong unique sentence number five here.",
+      6L -> "a b c.\nlong unique sentence number six here."), s"got $kept")
+    // composition parity with the two-pass recipe (withC4Rules' line
+    // filter, then dedupLines) on docs that keep ≥1 line. Hollow docs
+    // differ BY CONTRACT: the fused op drops them; the two-pass keeps
+    // an empty-string doc (withC4Rules emits c4_text='' and dedupLines
+    // exempts the short '' line) — dropping is the C4 behavior.
+    val parity = docs(
+      10L -> ("this boilerplate sentence repeats everywhere.\n" +
+        "no terminal punct\nunique alpha line stays here."),
+      11L -> ("this boilerplate sentence repeats everywhere.\n" +
+        "unique beta line stays put."))
+    val c4Then = Dedup.dedupLines(
+      graft.operators.TextAnalysis.withC4Rules(parity, "text")
+        .select(col("doc_id"), col("c4_text").as("text")),
+      "doc_id", "text", minLineChars = 10)
+    assert(Dedup.dedupLinesC4(parity, "doc_id", "text").collect().toSet ==
+      c4Then.collect().toSet)
+  }
+
   // ---------- Decontaminate ------------------------------------------------
 
   test("decontamination overlap: exact copy 1.0, disjoint 0.0, short doc 0") {

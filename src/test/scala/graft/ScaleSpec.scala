@@ -422,6 +422,31 @@ class ScaleSpec extends TestBase {
     assert(out.count() > 0)
   }
 
+  test("q110/q123 line dedup is window-free: winners come from a " +
+      "partial-agg groupBy, so hot boilerplate lines collapse map-side") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for (q <- Seq("q110_line_dedup", "q123_c4_line_dedup")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      // a Window partitioned by raw line text serializes exactly the
+      // boilerplate lines this operator exists to kill (WindowExec
+      // buffers each group on one task; AQE never splits windows)
+      val wins = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow => w }
+      assert(wins.isEmpty, s"$q must not plan a Window:\n" +
+        df.queryExecution.optimizedPlan)
+      val p = plan(df)
+      // map-side combine is the skew absorber: the line-keyed exchange
+      // must sit ABOVE a partial min aggregation
+      assert(p.contains("partial_min"),
+        s"$q line winners must partial-aggregate below the exchange:\n$p")
+      // budget: line-keyed winner agg + id-keyed reassembly only
+      val e = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(e <= 2, s"$q expected <=2 hash exchanges, got $e:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"$q winners need no join-back (the agg row IS the survivor):\n$p")
+    }
+  }
+
   test("q89 range join: equi-join on the bucket key, no nested loop") {
     val p = plan(SparkEntry.queries("q89_range_join")(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin") &&
