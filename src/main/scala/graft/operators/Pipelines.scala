@@ -87,27 +87,36 @@ object Pipelines {
     * FineWeb/LLaMA pattern: clean mechanically, then let a trained head
     * pick the target-like slice). The gate→dedup chain is ONE lazy
     * plan, but each pass that consumes it recomputes it — trainLda's
-    * moment job and two count scans, the serving gate's score + semi
-    * sides: ~5 recomputations of the gate chain and its fingerprint
-    * shuffle per call. That is the deliberate [[curate]]/q109
-    * recompute-not-cache trade; when the cleaning chain is expensive
-    * relative to storage, materialize the gated+deduped table to
-    * parquet first and run [[QualityFilter.trainLda]] /
-    * [[QualityFilter.classifierGate]] over it — the stages compose on
-    * any DataFrame.
+    * moment job, the serving gate's score + semi sides: multiple
+    * recomputations of the gate chain and its fingerprint shuffle per
+    * call. Fine at oracle scale; at 100 TB pass `stagingDir` — the
+    * gated+deduped table is written to parquet ONCE and every
+    * downstream pass (training moments, scoring, the gate's semi join)
+    * scans the materialized columnar form instead of re-running the
+    * Gopher gate and the dedup shuffle. One extra write + cheap
+    * re-scans versus ~4 corpus-wide recomputations: at scale the
+    * staged form wins by the width of the cleaning chain. Results are
+    * row-identical either way (the stage is deterministic); the
+    * staging write uses the session's default parquet codec and
+    * OVERWRITES `stagingDir`.
     *
     * Returns the surviving rows of `df`'s gated+deduped form:
     * (idCol, sourceCol, textCol, n_tokens). */
   def curateWithClassifier(df: DataFrame, idCol: String, textCol: String,
       sourceCol: String, targetSources: Seq[String],
       minTokens: Long = 50, minStopHits: Int = 2,
-      numBuckets: Int = 1024, minProb: Double = 0.5): DataFrame = {
+      numBuckets: Int = 1024, minProb: Double = 0.5,
+      stagingDir: Option[String] = None): DataFrame = {
     require(targetSources.nonEmpty, "targetSources must not be empty")
     val gated = TextAnalysis.withGopherQuality(df, textCol,
         minTokens = minTokens, minStopHits = minStopHits)
       .filter(col("gopher_pass"))
       .select(col(idCol), col(sourceCol), col(textCol), col("n_tokens"))
-    val deduped = Dedup.exactKeepMinId(gated, idCol, textCol)
+    val cleaned = Dedup.exactKeepMinId(gated, idCol, textCol)
+    val deduped = stagingDir.fold(cleaned) { dir =>
+      cleaned.write.mode("overwrite").parquet(dir)
+      df.sparkSession.read.parquet(dir)
+    }
     val model = QualityFilter.trainLda(
       deduped.filter(col(sourceCol).isin(targetSources: _*)),
       idCol, textCol,

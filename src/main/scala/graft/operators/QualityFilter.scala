@@ -77,12 +77,31 @@ object QualityFilter {
     * needs a score). One explode + one (doc,bucket)-keyed exchange of
     * int triples with map-side combine; text stays in the scan. */
   def docFeatures(df: DataFrame, idCol: String, textCol: String,
-      numBuckets: Int, salt: String = "qf"): DataFrame = {
+      numBuckets: Int, salt: String = "qf"): DataFrame =
+    featureRows(df, idCol, textCol, numBuckets, salt, marker = false)
+
+  /** [[docFeatures]] plus, when `marker` is set, one synthetic
+    * `bucket = −1` row per contributing doc riding the SAME explode
+    * (prepended to the bucket array, so no extra scan, no union
+    * branch): downstream per-class doc counts become a `count` at
+    * bucket −1 inside whatever aggregation consumes these rows,
+    * instead of their own corpus scans. Real buckets are untouched —
+    * `__nf` stays the true feature count, so tf-normalized `x` is
+    * bit-identical with or without the marker. */
+  private def featureRows(df: DataFrame, idCol: String, textCol: String,
+      numBuckets: Int, salt: String, marker: Boolean): DataFrame = {
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
-    df.select(col(idCol).as("doc_id"),
-        Dsir.featureBuckets(col(textCol), numBuckets, salt).as("__fb"))
-      .select(col("doc_id"), size(col("__fb")).as("__nf"),
-        explode(col("__fb")).as("bucket"))
+    val base = df.select(col(idCol).as("doc_id"),
+      Dsir.featureBuckets(col(textCol), numBuckets, salt).as("__fb"))
+    val bucketSrc =
+      if (marker)
+        // empty arrays guard to null → explode drops them, preserving
+        // the "no features ⇒ no rows (and no count)" contract
+        when(size(col("__fb")) > 0,
+          concat(array(lit(-1L)), col("__fb")))
+      else col("__fb")
+    base.select(col("doc_id"), size(col("__fb")).as("__nf"),
+        explode(bucketSrc).as("bucket"))
       .groupBy("doc_id", "bucket")
       .agg(count(lit(1)).as("cnt"), max(col("__nf")).as("__nf"))
       .select(col("doc_id"), col("bucket"), col("cnt"),
@@ -111,12 +130,13 @@ object QualityFilter {
     * vectors here and double-count in the scan-only doc counts. */
   private def labelled(positive: DataFrame, posIdCol: String,
       posTextCol: String, negative: DataFrame, negIdCol: String,
-      negTextCol: String, numBuckets: Int, salt: String): DataFrame =
-    docFeatures(positive, posIdCol, posTextCol, numBuckets, salt)
+      negTextCol: String, numBuckets: Int, salt: String,
+      marker: Boolean = false): DataFrame =
+    featureRows(positive, posIdCol, posTextCol, numBuckets, salt, marker)
       .withColumn("y", lit(1))
       .unionByName(
-        docFeatures(negative, negIdCol, negTextCol, numBuckets, salt)
-          .withColumn("y", lit(0)))
+        featureRows(negative, negIdCol, negTextCol, numBuckets, salt,
+          marker).withColumn("y", lit(0)))
 
   /** Closed-form diagonal-LDA head, fitted in ONE distributed pass —
     * the scale default. Per bucket (implicit zeros included — a doc
@@ -130,8 +150,10 @@ object QualityFilter {
     * so `z > 0` ⇔ the doc sits closer to the target centroid under
     * the variance-scaled metric. The class-prior offset `ln(n⁺/n⁻)`
     * is deliberately omitted (libm-free determinism; it shifts every
-    * score equally). The fit is one aggregation over (bucket, y) —
-    * ≤ `2·numBuckets` rows collect to the driver; moments sum through
+    * score equally). The fit is ONE aggregation over (bucket, y) —
+    * the per-class doc counts ride it as marker rows at bucket −1, so
+    * no separate count scans — and ≤ `2·(numBuckets+1)` rows collect
+    * to the driver; moments sum through
     * DECIMAL(38,15), and the driver mirrors the oracle's arithmetic
     * exactly (java BigDecimal HALF_UP is the same rounding both
     * engines apply casting double → decimal). */
@@ -141,28 +163,36 @@ object QualityFilter {
       salt: String = "qf"): Model = {
     require(eps > 0, s"eps must be positive, got $eps")
     val feats = labelled(positive, posIdCol, posTextCol,
-      negative, negIdCol, negTextCol, numBuckets, salt)
-    // one job: per-(y, bucket) decimal moments + per-class doc counts
+      negative, negIdCol, negTextCol, numBuckets, salt, marker = true)
+    // ONE job for everything the fit needs: per-(y, bucket) decimal
+    // moments, with per-class doc counts riding as the row count at
+    // the synthetic bucket −1 (one marker row per contributing doc —
+    // see featureRows). No separate corpus count scans.
     val moments = feats
       .groupBy("y", "bucket")
       .agg(sum(col("x").cast(Dec)).as("sx"),
-        sum((col("x") * col("x")).cast(Dec)).as("sxx"))
+        sum((col("x") * col("x")).cast(Dec)).as("sxx"),
+        count(lit(1)).as("nr"))
       .collect()
-    val nPos = countWithFeatures(positive, posTextCol)
-    val nNeg = countWithFeatures(negative, negTextCol)
-    require(nPos > 0, "trainLda: no positive documents with features")
-    require(nNeg > 0, "trainLda: no negative documents with features")
-    val n = nPos + nNeg
-
+    var nPos = 0L
+    var nNeg = 0L
     val sxP = Array.fill(numBuckets)(java.math.BigDecimal.ZERO)
     val sxN = Array.fill(numBuckets)(java.math.BigDecimal.ZERO)
     var sxxAll = Array.fill(numBuckets)(java.math.BigDecimal.ZERO)
     moments.foreach { r =>
-      val y = r.getInt(0); val b = r.getLong(1).toInt
-      val sx = r.getDecimal(2); val sxx = r.getDecimal(3)
-      if (y == 1) sxP(b) = sxP(b).add(sx) else sxN(b) = sxN(b).add(sx)
-      sxxAll(b) = sxxAll(b).add(sxx)
+      val y = r.getInt(0); val b = r.getLong(1)
+      if (b == -1L) {
+        if (y == 1) nPos = r.getLong(4) else nNeg = r.getLong(4)
+      } else {
+        val sx = r.getDecimal(2); val sxx = r.getDecimal(3)
+        if (y == 1) sxP(b.toInt) = sxP(b.toInt).add(sx)
+        else sxN(b.toInt) = sxN(b.toInt).add(sx)
+        sxxAll(b.toInt) = sxxAll(b.toInt).add(sxx)
+      }
     }
+    require(nPos > 0, "trainLda: no positive documents with features")
+    require(nNeg > 0, "trainLda: no negative documents with features")
+    val n = nPos + nNeg
     val weights = Array.fill(numBuckets)(0.0)
     // bias accumulates in decimal too — order-independent, mirroring
     // the oracle's CAST(... AS DECIMAL(38,15)) per-term sum

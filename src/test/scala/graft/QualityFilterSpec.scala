@@ -267,6 +267,73 @@ class QualityFilterSpec extends TestBase {
         "text", "source", Seq.empty))
   }
 
+  test("trainLda fits in ONE SQL execution: per-class doc counts ride " +
+      "the moment aggregation as bucket -1 marker rows, no count scans") {
+    val (pos, neg) = classes
+    @volatile var execs = 0
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(
+          e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        e match {
+          case _: org.apache.spark.sql.execution.ui
+              .SparkListenerSQLExecutionStart => execs += 1
+          case _ =>
+        }
+    }
+    spark.sparkContext.addSparkListener(l)
+    val model =
+      try {
+        val m = QualityFilter.trainLda(pos, "doc_id", "text",
+          neg, "doc_id", "text", numBuckets = 64)
+        // listener delivery is async: wait for the first event, then a
+        // settle window so a straggling second execution would count
+        val deadline = System.nanoTime + 10L * 1000 * 1000 * 1000
+        while (execs < 1 && System.nanoTime < deadline) Thread.sleep(20)
+        Thread.sleep(500)
+        m
+      } finally spark.sparkContext.removeSparkListener(l)
+    assert(execs == 1,
+      s"trainLda ran $execs SQL executions, expected exactly 1")
+    // the folded counts feed the same fit: scores still separate the
+    // classes the way the three-scan form did
+    val scored = QualityFilter.scoreInline(
+      pos.union(neg), "doc_id", "text", model)
+    val byClass = scored.select(col("doc_id"), col("prob"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val (p, n) = byClass.partition(_._1 < 20L)
+    assert(p.map(_._2).min > n.map(_._2).max,
+      "trained head no longer separates the fixture classes")
+  }
+
+  test("curateWithClassifier stagingDir: staged and unstaged runs are " +
+      "row-identical; the staged gate serves from the materialized table") {
+    val (pos, neg) = classes
+    val tagged = pos.withColumn("source", lit("tgt"))
+      .union(neg.withColumn("source", lit("oth")))
+      .select("doc_id", "source", "text")
+    val dir = s"${tmpDir()}/cwc_staging"
+    val unstaged = operators.Pipelines.curateWithClassifier(tagged,
+      "doc_id", "text", "source", Seq("tgt"),
+      minTokens = 5, minStopHits = 2, numBuckets = 64)
+    val staged = operators.Pipelines.curateWithClassifier(tagged,
+      "doc_id", "text", "source", Seq("tgt"),
+      minTokens = 5, minStopHits = 2, numBuckets = 64,
+      stagingDir = Some(dir))
+    assert(staged.columns.toSeq == unstaged.columns.toSeq)
+    assert(staged.collect().toSet == unstaged.collect().toSet,
+      "staged and unstaged curation diverged")
+    // the materialized table exists and the staged SERVING plan scans
+    // it instead of recomputing the gopher gate + fingerprint shuffle:
+    // no gopher columns and no dedup aggregation above the scan
+    assert(new java.io.File(dir).listFiles().exists(
+      _.getName.endsWith(".parquet")), "staging table not written")
+    val p = staged.queryExecution.executedPlan.toString
+    assert(p.contains("cwc_staging"),
+      s"staged gate must read the materialized table:\n$p")
+    assert(!p.contains("gopher_pass"),
+      s"staged gate must not recompute the cleaning chain:\n$p")
+  }
+
   test("plan shape: weights broadcast, the corpus never does; the gate " +
       "is a left-semi join; no Window in the feature pass") {
     val (pos, neg) = classes
