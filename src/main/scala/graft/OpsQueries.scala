@@ -3362,7 +3362,85 @@ object OpsQueries {
               |         ORDER BY doc_id, pos) = 1)
               |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos)
               |  AS text
-              |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+              |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ----- X4 REAL image header decode --------------------------------------
+    // Synthesizes structurally-valid JPEG and PNG byte payloads per doc
+    // (JPEG: SOI + a variable-length COM segment the marker scan must
+    // skip + SOF0 carrying the dims; PNG: signature + IHDR), plus
+    // planted malformed blobs, then recovers width/height/channels with
+    // Multimodal.parseImageHeader — an actual byte-level parse, not
+    // stub arithmetic. The oracle builds the SAME hex image and
+    // extracts the dims at the same computed byte offsets (the COM
+    // length arithmetic replayed in SQL), nulls for the malformed ids.
+    "q124_image_headers" -> Entry(
+      (s, dir) => {
+        import s.implicits._
+        val d = t(s, dir, "documents").select(col("doc_id"))
+        def hxp(c: org.apache.spark.sql.Column, w: Int) =
+          lpad(lower(hex(c)), w, "0")
+        val k = (col("doc_id") % 7).cast("int")
+        val jw = (lit(160) + col("doc_id") % 480).cast("int")
+        val jh = (lit(120) + col("doc_id") % 360).cast("int")
+        val ct = when(col("doc_id") % 3 === 0, 0)
+          .when(col("doc_id") % 3 === 1, 2).otherwise(6)
+        val jpegHex = concat(lit("ffd8fffe"), hxp(k + 2, 4),
+          expr("repeat('00', CAST(doc_id % 7 AS INT))"),
+          lit("ffc0001108"), hxp(jh, 4), hxp(jw, 4),
+          lit("03012200021101031101ffd9"))
+        val pngHex = concat(lit("89504e470d0a1a0a0000000d49484452"),
+          hxp(jw, 8), hxp(jh, 8), lit("08"), hxp(ct, 2),
+          lit("00000000000000"))
+        val payloadHex = when(col("doc_id") % 19 === 0, lit("ffd8ff"))
+          .when(col("doc_id") % 23 === 0, lit("00112233"))
+          .when(col("doc_id") % 2 === 0, jpegHex)
+          .otherwise(pngHex)
+        val media = d.select(col("doc_id"),
+            unhex(payloadHex).as("payload"), lit("image").as("kind"))
+          .as[Multimodal.MediaRecord]
+        Multimodal.decodeImageHeaders(media).toDF().orderBy("doc_id")
+      },
+      Some("""WITH b AS (SELECT doc_id,
+             |  CAST(doc_id % 7 AS INT) AS k,
+             |  CAST(160 + doc_id % 480 AS INT) AS jw,
+             |  CAST(120 + doc_id % 360 AS INT) AS jh,
+             |  CASE WHEN doc_id % 3 = 0 THEN 0
+             |       WHEN doc_id % 3 = 1 THEN 2 ELSE 6 END AS ct
+             |  FROM documents),
+             |hx AS (SELECT doc_id, k, ct,
+             |  CASE
+             |  WHEN doc_id % 19 = 0 THEN 'ffd8ff'
+             |  WHEN doc_id % 23 = 0 THEN '00112233'
+             |  WHEN doc_id % 2 = 0 THEN 'ffd8fffe' ||
+             |    lpad(lower(to_hex(k + 2)), 4, '0') || repeat('00', k) ||
+             |    'ffc0001108' || lpad(lower(to_hex(jh)), 4, '0') ||
+             |    lpad(lower(to_hex(jw)), 4, '0') ||
+             |    '03012200021101031101ffd9'
+             |  ELSE '89504e470d0a1a0a0000000d49484452' ||
+             |    lpad(lower(to_hex(jw)), 8, '0') ||
+             |    lpad(lower(to_hex(jh)), 8, '0') || '08' ||
+             |    lpad(lower(to_hex(ct)), 2, '0') || '00000000000000'
+             |  END AS h FROM b)
+             |SELECT doc_id,
+             |  CASE WHEN doc_id % 19 = 0 OR doc_id % 23 = 0 THEN NULL
+             |       WHEN doc_id % 2 = 0 THEN 'jpeg' ELSE 'png' END
+             |    AS format,
+             |  CASE WHEN doc_id % 19 = 0 OR doc_id % 23 = 0 THEN NULL
+             |       WHEN doc_id % 2 = 0 THEN
+             |         CAST(('0x' || substr(h, 2*(13+k)+1, 4)) AS INT)
+             |       ELSE CAST(('0x' || substr(h, 33, 8)) AS INT) END
+             |    AS width,
+             |  CASE WHEN doc_id % 19 = 0 OR doc_id % 23 = 0 THEN NULL
+             |       WHEN doc_id % 2 = 0 THEN
+             |         CAST(('0x' || substr(h, 2*(11+k)+1, 4)) AS INT)
+             |       ELSE CAST(('0x' || substr(h, 41, 8)) AS INT) END
+             |    AS height,
+             |  CASE WHEN doc_id % 19 = 0 OR doc_id % 23 = 0 THEN NULL
+             |       WHEN doc_id % 2 = 0 THEN
+             |         CAST(('0x' || substr(h, 2*(15+k)+1, 2)) AS INT)
+             |       ELSE CASE ct WHEN 0 THEN 1 WHEN 2 THEN 3
+             |            ELSE 4 END END AS channels
+             |FROM hx ORDER BY doc_id""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

@@ -8,11 +8,15 @@ import org.apache.spark.sql.types._
   * opaque `binary` columns next to a typed metadata struct; decode /
   * feature-extraction runs partition-parallel over the binary payloads.
   *
-  * The actual image/audio codecs are NOT available in this environment, so
-  * [[decodeStub]] is a clearly-marked deterministic fake — but everything
-  * around it (schema, encoders, partition-batched execution, feature
-  * columns) is the real production shape: swap `fakeDecode` for a codec
-  * call and nothing else changes.
+  * Header DECODE is real: [[parseImageHeader]] reads width/height/
+  * channels from actual PNG (RFC 2083 §4.1.1 IHDR) and JPEG (ITU-T T.81
+  * §B.2.2 SOF) bytes with a pure-JVM marker scan — no codec dependency.
+  * Full pixel decode / resample / demux ([[decodeStub]], [[resizeStub]],
+  * [[frameSampleStub]]) remain clearly-marked deterministic fakes (the
+  * image/audio codec libraries are not in this environment), but
+  * everything around them — schema, encoders, partition-batched
+  * execution, feature columns — is the real production shape: swap the
+  * fake for a codec call and nothing else changes.
   */
 object Multimodal {
 
@@ -96,6 +100,95 @@ object Multimodal {
       (0 until nFrames by everyN).map { f =>
         Frame(r.doc_id, f,
           r.payload.slice(f * frameBytes, (f + 1) * frameBytes))
+      }
+    }
+  }
+
+  /** Parsed image header: null columns ⇔ the payload is not a
+    * well-formed PNG/JPEG (the malformed-payload contract — a corrupt
+    * crawl byte-blob must yield nulls, never throw). */
+  case class ImageHeader(doc_id: Long, format: Option[String],
+      width: Option[Int], height: Option[Int], channels: Option[Int])
+
+  /** REAL image header parse — pure JVM, no codec library:
+    *
+    *  - PNG (RFC 2083): 8-byte signature, then the IHDR chunk is
+    *    mandated first, so width/height are the big-endian u32s at
+    *    bytes 16/20 and the color type at byte 25 maps to channel
+    *    count (0 gray→1, 2 RGB→3, 3 palette→1, 4 gray+α→2, 6 RGBA→4).
+    *  - JPEG (ITU-T T.81 §B.2.2): SOI then a marker-segment scan —
+    *    each segment is 0xFF, marker byte, u16 length (inclusive of
+    *    itself) — until a start-of-frame marker (0xC0–0xCF minus the
+    *    non-frame 0xC4/C8/CC); the SOF payload carries precision u8,
+    *    height u16, width u16, component count u8. The scan skips
+    *    fill bytes and length-less RST/TEM markers, and gives up at
+    *    SOS/EOI (a frame header after the scan data is not valid).
+    *
+    * Returns None for anything malformed: wrong signature, truncated
+    * header, zero dimensions, unknown color type. Never throws. */
+  def parseImageHeader(p: Array[Byte]): Option[(String, Int, Int, Int)] = {
+    def u8(i: Int): Int = p(i) & 0xff
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    if (p.length >= 26 && pngSig.indices.forall(i => u8(i) == pngSig(i)) &&
+        new String(p.slice(12, 16), "US-ASCII") == "IHDR") {
+      val w = u32(16); val h = u32(20)
+      val channels = u8(25) match {
+        case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+        case _ => 0
+      }
+      if (w > 0 && h > 0 && w <= Int.MaxValue && h <= Int.MaxValue &&
+        channels > 0) Some(("png", w.toInt, h.toInt, channels))
+      else None
+    } else if (p.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      var i = 2
+      var res: Option[(String, Int, Int, Int)] = None
+      var done = false
+      while (!done && i + 1 < p.length) {
+        if (u8(i) != 0xff) done = true // desynced: not a marker
+        else if (u8(i + 1) == 0xff) i += 1 // fill byte
+        else {
+          val m = u8(i + 1)
+          if (m == 0xd9 || m == 0xda) done = true // EOI / SOS: no frame
+          else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2 // TEM/RST
+          else if (i + 3 >= p.length) done = true // truncated length
+          else {
+            val len = u16(i + 2)
+            val isSof = m >= 0xc0 && m <= 0xcf &&
+              m != 0xc4 && m != 0xc8 && m != 0xcc
+            if (len < 2) done = true
+            else if (isSof) {
+              if (len >= 8 && i + 9 < p.length) {
+                val h = u16(i + 5); val w = u16(i + 7); val nc = u8(i + 9)
+                if (w > 0 && h > 0 && nc > 0)
+                  res = Some(("jpeg", w, h, nc))
+              }
+              done = true
+            } else i += 2 + len
+          }
+        }
+      }
+      res
+    } else None
+  }
+
+  /** Partition-parallel REAL header decode over binary payloads: one
+    * [[ImageHeader]] row per media row, nulls for malformed bytes. The
+    * same mapPartitions shape as [[decodeStub]] but the parse is the
+    * genuine article — this is the operator a crawl-ingest pipeline
+    * runs to size-filter images before paying for pixel decode. */
+  def decodeImageHeaders(media: Dataset[MediaRecord]): Dataset[ImageHeader] = {
+    implicit val enc: org.apache.spark.sql.Encoder[ImageHeader] =
+      Encoders.product[ImageHeader]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        parseImageHeader(r.payload) match {
+          case Some((f, w, h, c)) =>
+            ImageHeader(r.doc_id, Some(f), Some(w), Some(h), Some(c))
+          case None => ImageHeader(r.doc_id, None, None, None, None)
+        }
       }
     }
   }

@@ -1043,6 +1043,56 @@ class OperatorsSpec extends TestBase {
       Seq("doc_id", "kind", "n_bytes", "digest"))
   }
 
+  test("parseImageHeader: golden PNG/JPEG bytes parse to exact dims; " +
+      "malformed payloads yield None, never throw (X4)") {
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // golden PNG: 3×2 RGBA (IHDR width=3 height=2 depth=8 colortype=6)
+    val png = hx("89504e470d0a1a0a" + "0000000d" + "49484452" +
+      "00000003" + "00000002" + "08" + "06" + "000000" + "00000000")
+    assert(Multimodal.parseImageHeader(png).contains(("png", 3, 2, 4)))
+    // golden JPEG: SOI, APP0 (JFIF stub), COM, SOF0 640×480 3-channel
+    val jpeg = hx("ffd8" + "ffe00010" + "4a46494600010100000100010000" +
+      "fffe0004" + "abcd" + // 4-byte COM the scan must skip
+      "ffc00011" + "08" + "01e0" + "0280" + "03" +
+      "012200" + "021101" + "031101" + "ffd9")
+    assert(Multimodal.parseImageHeader(jpeg)
+      .contains(("jpeg", 640, 480, 3)))
+    // progressive JPEG (SOF2) parses too
+    val prog = hx("ffd8" + "ffc20011" + "08" + "0010" + "0020" + "03" +
+      "012200" + "021101" + "031101" + "ffd9")
+    assert(Multimodal.parseImageHeader(prog)
+      .contains(("jpeg", 32, 16, 3)))
+    // grayscale PNG (colortype 0 → 1 channel)
+    val gray = hx("89504e470d0a1a0a" + "0000000d" + "49484452" +
+      "00000100" + "00000080" + "08" + "00" + "000000" + "00000000")
+    assert(Multimodal.parseImageHeader(gray)
+      .contains(("png", 256, 128, 1)))
+    // malformed family: truncated, bad signature, zero dims, SOS
+    // before SOF, bad color type, empty — all None, none throw
+    val bads = Seq(
+      hx("ffd8ff"), hx("00112233"), Array.empty[Byte],
+      hx("89504e470d0a1a0a" + "0000000d" + "49484452" +
+        "00000000" + "00000002" + "08" + "06" + "000000" + "00000000"),
+      hx("ffd8" + "ffda0004" + "0000" + "ffc00011" + "08" + "01e0" +
+        "0280" + "03" + "012200021101031101"),
+      hx("89504e470d0a1a0a" + "0000000d" + "49484452" +
+        "00000003" + "00000002" + "08" + "07" + "000000" + "00000000"))
+    bads.foreach(b =>
+      assert(Multimodal.parseImageHeader(b).isEmpty,
+        s"expected None for ${b.length}-byte malformed payload"))
+    // decodeImageHeaders: typed pipeline carries nulls for malformed
+    val media = Seq(
+      Multimodal.MediaRecord(1L, png, "image"),
+      Multimodal.MediaRecord(2L, hx("ffd8ff"), "image"))
+      .toDS()
+    val out = Multimodal.decodeImageHeaders(media)
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(out(1L) == Multimodal.ImageHeader(1L, Some("png"), Some(3),
+      Some(2), Some(4)))
+    assert(out(2L) == Multimodal.ImageHeader(2L, None, None, None, None))
+  }
+
   test("profiler: one row per column, nulls/distinct/minmax (profiling)") {
     val df = Seq((1L, Some("a")), (2L, None), (3L, Some("b")))
       .toDF("id", "v")
