@@ -116,7 +116,10 @@ object OpsQueries {
     * removed, token array staged as its own attribute so the split
     * runs once per row). The single definition behind every planted
     * fixture (exact q24-family, near q25-family, and q109's dual
-    * plant). */
+    * plant). Offsets (1e6, 2e6) must sit above the fixture's real id
+    * range or synthetic ids collide with real ones and multiply
+    * through every unique-id-contract join — ScaleSpec pins
+    * `max(doc_id) < 1e6` for every shipped scale factor. */
   private def plantedCopies(d: org.apache.spark.sql.DataFrame, mod: Int,
       offset: Long, dropTokens: Int): org.apache.spark.sql.DataFrame = {
     val base = d.filter(col("doc_id") % mod === 0)
@@ -3263,7 +3266,10 @@ object OpsQueries {
               |    [array_to_string(w[i:i+4], ' ')
               |     for i in generate_series(1, len(w)-4)] ELSE [] END) AS sh
               |  FROM toks),
-              |bench AS (SELECT list(DISTINCT s) AS bs
+              |-- coalesce: over an EMPTY benchmark, list(DISTINCT s) is
+              |-- NULL and would null every ratio; Spark's empty
+              |-- broadcast set scores 0.0 per doc — [] agrees
+              |bench AS (SELECT coalesce(list(DISTINCT s), []) AS bs
               |  FROM (SELECT unnest(sh) AS s FROM shs WHERE doc_id % 97 = 0)),
               |m AS (SELECT doc_id, len(sh) AS n_sh,
               |    len(list_intersect(sh, bs)) AS n_hit FROM shs, bench),

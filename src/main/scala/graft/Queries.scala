@@ -40,8 +40,11 @@ object Queries {
   /** The events table, with `ts` normalized to int64 epoch NANOS — the
     * representation every downstream query (hourly buckets, sessionize,
     * as-of) does exact integer arithmetic on. Three physical layouts:
-    * TIMESTAMP(NANOS) parquet (readable only as raw longs, already the
-    * target shape), µs TIMESTAMP_NTZ (current fixtures) — converted by
+    * TIMESTAMP(NANOS) parquet — handled ONLY when the engine surfaces
+    * the column as a raw int64 (Spark 4.1 removed the
+    * `nanosAsLong` conf, so a nanos column otherwise fails at schema
+    * resolution before reaching this branch; re-encode such inputs to
+    * µs upstream), µs TIMESTAMP_NTZ (current fixtures) — converted by
     * a zone-INDEPENDENT `timestampdiff` against the NTZ epoch, exactly
     * the wall-clock-as-UTC reading DuckDB's `epoch_ns` applies, on ANY
     * session timezone — and µs TIMESTAMP (an instant; `unix_micros` is

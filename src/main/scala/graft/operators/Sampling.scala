@@ -485,6 +485,9 @@ object Sampling {
     * `Σ_source r_s·n_s` by construction. */
   def repeatBySource(df: DataFrame, sourceCol: String,
       repeats: Map[String, Int], defaultRepeat: Int = 1): DataFrame = {
+    require(!df.columns.contains("epoch"),
+      "input already has an 'epoch' column — repeatBySource would " +
+        "silently overwrite it; rename or drop it first")
     require(defaultRepeat >= 0,
       s"defaultRepeat must be >= 0, got $defaultRepeat")
     repeats.foreach { case (s, r) =>
@@ -509,7 +512,11 @@ object Sampling {
     * stacked on [[repeatBySource]] so a doc's copies scatter instead
     * of landing adjacent. */
   def withShuffleKey(df: DataFrame, key: Column,
-      salt: String = "shuffle"): DataFrame =
+      salt: String = "shuffle"): DataFrame = {
+    require(!df.columns.contains("shuffle_key"),
+      "input already has a 'shuffle_key' column — withShuffleKey would " +
+        "silently overwrite it; rename or drop it first")
     df.withColumn("shuffle_key",
       md5(concat(lit(salt), lit("|"), key.cast("string"))))
+  }
 }

@@ -422,6 +422,22 @@ class ScaleSpec extends TestBase {
     assert(out.count() > 0)
   }
 
+  test("planted-copy id offsets sit above the real id range at every " +
+      "shipped scale factor (unique-id contracts never collide)") {
+    // q24-family plants +1e6, q109/q117/q118 also +2e6: a real doc_id
+    // >= 1e6 would collide with a synthetic id and row-multiply
+    // through corpusDiff's and dedup's unique-id full-outer joins
+    for (sfd <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val p = s"/root/testdata/$sfd/documents.parquet"
+      if (new java.io.File(p).exists) {
+        val mx = spark.read.parquet(p)
+          .agg(max(col("doc_id"))).head.getLong(0)
+        assert(mx < 1000000L,
+          s"$sfd max doc_id $mx >= 1e6 — raise the planted offsets")
+      }
+    }
+  }
+
   test("q110/q123 line dedup is window-free: winners come from a " +
       "partial-agg groupBy, so hot boilerplate lines collapse map-side") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}

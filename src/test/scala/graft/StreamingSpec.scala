@@ -319,6 +319,72 @@ class StreamingSpec extends TestBase {
       .collect().sorted.toSeq == Seq(1L, 4L))
   }
 
+  test("production ingest shape: gopher gate -> seen-index dedup -> " +
+      "trained scoreInline as ONE micro-batch pipeline, across batches") {
+    // every stage is stateless/stream-safe: the gate and the scorer are
+    // row-local projections, the dedup a stream-static anti join — so
+    // the whole curation chain runs inside each micro-batch with no
+    // state store, which is the 100 TB ingest posture
+    val dir = tmpDir().toString
+    val pos = Seq.tabulate(20)(i =>
+      (i.toLong, s"alpha beta gamma alpha the of beta gamma alpha a$i"))
+      .toDF("doc_id", "text")
+    val neg = Seq.tabulate(20)(i =>
+      (100L + i, s"delta epsilon zeta delta the of epsilon zeta b$i"))
+      .toDF("doc_id", "text")
+    val model = graft.operators.QualityFilter.trainLda(
+      pos, "doc_id", "text", neg, "doc_id", "text", numBuckets = 64)
+    val seenText = "alpha beta gamma the of beta already ingested alpha"
+    val seen = Seq(seenText).toDF("stext")
+      .select(graft.operators.TextAnalysis.fingerprint(col("stext"))
+        .as("fp"))
+
+    def pipeline(): org.apache.spark.sql.DataFrame = {
+      val stream = spark.readStream
+        .schema(Seq.empty[(Long, String)].toDF("doc_id", "text").schema)
+        .parquet(dir)
+      val gated = graft.operators.TextAnalysis
+        .withGopherQuality(stream, "text", minTokens = 5, minStopHits = 2)
+        .filter(col("gopher_pass"))
+        .withColumn("fp",
+          graft.operators.TextAnalysis.fingerprint(col("text")))
+      val fresh = EventStreams.streamingDedupAgainst(gated, "fp",
+        seen, "fp")
+      graft.operators.QualityFilter
+        .scoreInline(fresh, "doc_id", "text", model)
+        .filter(col("prob") >= 0.5)
+    }
+
+    // batch 1: 1 passes all three stages; 2 fails the gate; 3 is a
+    // (case-normalized) dup of the seen index; 4 scores below threshold
+    Seq(
+      (1L, "alpha beta gamma alpha the of beta gamma alpha fresh"),
+      (2L, "the of"),
+      (3L, "Alpha beta GAMMA the of beta already   ingested alpha"),
+      (4L, "delta epsilon zeta delta the of epsilon zeta delta junk"))
+      .toDF("doc_id", "text").write.mode("append").parquet(dir)
+    val q1 = pipeline().writeStream.outputMode("append").format("memory")
+      .queryName("ingest_out1").trigger(Trigger.AvailableNow()).start()
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.table("ingest_out1").select("doc_id").as[Long]
+      .collect().sorted.toSeq == Seq(1L),
+      "batch 1: expected only the fresh target-like doc")
+
+    // batch 2: same verdicts replay for new arrivals — 5 passes, 6 dups
+    // against the index again, 7 is target-unlike
+    Seq(
+      (5L, "alpha beta gamma alpha the of beta gamma alpha newest"),
+      (6L, seenText.toUpperCase),
+      (7L, "delta epsilon zeta delta the of epsilon zeta other words"))
+      .toDF("doc_id", "text").write.mode("append").parquet(dir)
+    val q2 = pipeline().writeStream.outputMode("append").format("memory")
+      .queryName("ingest_out2").trigger(Trigger.AvailableNow()).start()
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.table("ingest_out2").select("doc_id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 5L),
+      "batch 2: expected exactly the two fresh target-like docs")
+  }
+
   test("gopher gate composes on a stream (pure projection, no state)") {
     val dir = tmpDir().toString
     val passTxt = "the a " + (1 to 60).map(i => s"word$i").mkString(" ")
