@@ -3446,7 +3446,125 @@ object OpsQueries {
              |         CAST(('0x' || substr(h, 2*(15+k)+1, 2)) AS INT)
              |       ELSE CASE ct WHEN 0 THEN 1 WHEN 2 THEN 3
              |            ELSE 4 END END AS channels
-             |FROM hx ORDER BY doc_id""".stripMargin))
+             |FROM hx ORDER BY doc_id""".stripMargin)),
+
+    // ----- X4 REAL WAV audio header decode ----------------------------------
+    // Synthesizes structurally-valid RIFF/WAVE payloads per doc with a
+    // variable-length LIST chunk the scan must skip before 'fmt ' and
+    // 'data' (all multi-byte fields little-endian, as RIFF mandates),
+    // plus planted malformed blobs; Multimodal.parseWavHeader recovers
+    // channels/rate/bits/samples by an actual chunk scan. The oracle
+    // rebuilds the same hex payload and extracts each LE field by
+    // byte-pair reversal at the same computed offsets.
+    "q125_audio_headers" -> Entry(
+      (s, dir) => {
+        import s.implicits._
+        def le16(c: org.apache.spark.sql.Column) = {
+          val h = lpad(lower(hex(c)), 4, "0")
+          concat(substring(h, 3, 2), substring(h, 1, 2))
+        }
+        def le32(c: org.apache.spark.sql.Column) = {
+          val h = lpad(lower(hex(c)), 8, "0")
+          concat(substring(h, 7, 2), substring(h, 5, 2),
+            substring(h, 3, 2), substring(h, 1, 2))
+        }
+        val d = t(s, dir, "documents").select(col("doc_id"))
+        val lst = (col("doc_id") % 4).cast("int") * 2 // even: no pad byte
+        val ch = (lit(1) + col("doc_id") % 2).cast("int")
+        val rate = (lit(8000) * (lit(1) + col("doc_id") % 5)).cast("int")
+        val bits = when(col("doc_id") % 3 === 0, 8).otherwise(16)
+        val ba = (ch * bits / 8).cast("int")
+        val nsamp = (lit(1000) + col("doc_id") % 9000).cast("int")
+        val dataSize = (nsamp * ba).cast("int")
+        val wavHex = concat(lit("52494646"),
+          le32(lit(44) + lst + dataSize), lit("57415645"),
+          lit("4c495354"), le32(lst),
+          expr("repeat('00', CAST((doc_id % 4) * 2 AS INT))"),
+          lit("666d7420"), le32(lit(16)), le16(lit(1)), le16(ch),
+          le32(rate), le32(rate * ba), le16(ba), le16(bits),
+          lit("64617461"), le32(dataSize))
+        val payloadHex = when(col("doc_id") % 19 === 0, lit("52494646"))
+          .when(col("doc_id") % 23 === 0,
+            lit("524946462400000041564920")) // RIFF size then 'AVI '
+          .otherwise(wavHex)
+        val media = d.select(col("doc_id"),
+            unhex(payloadHex).as("payload"), lit("audio").as("kind"))
+          .as[Multimodal.MediaRecord]
+        Multimodal.decodeAudioHeaders(media).toDF().orderBy("doc_id")
+      },
+      Some("""WITH b AS (SELECT doc_id,
+             |  CAST((doc_id % 4) * 2 AS INT) AS lst,
+             |  CAST(1 + doc_id % 2 AS INT) AS ch,
+             |  CAST(8000 * (1 + doc_id % 5) AS INT) AS rate,
+             |  CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS bits
+             |  FROM documents),
+             |c AS (SELECT *, CAST(ch * bits / 8 AS INT) AS ba,
+             |  CAST(1000 + doc_id % 9000 AS INT) AS nsamp FROM b),
+             |hx AS (SELECT doc_id, lst, CASE
+             |  WHEN doc_id % 19 = 0 THEN '52494646'
+             |  WHEN doc_id % 23 = 0 THEN '524946462400000041564920'
+             |  ELSE '52494646' ||
+             |    substr(lpad(lower(to_hex(44 + lst + nsamp * ba)), 8,
+             |      '0'), 7, 2) ||
+             |    substr(lpad(lower(to_hex(44 + lst + nsamp * ba)), 8,
+             |      '0'), 5, 2) ||
+             |    substr(lpad(lower(to_hex(44 + lst + nsamp * ba)), 8,
+             |      '0'), 3, 2) ||
+             |    substr(lpad(lower(to_hex(44 + lst + nsamp * ba)), 8,
+             |      '0'), 1, 2) ||
+             |    '57415645' || '4c495354' ||
+             |    substr(lpad(lower(to_hex(lst)), 8, '0'), 7, 2) ||
+             |    substr(lpad(lower(to_hex(lst)), 8, '0'), 5, 2) ||
+             |    substr(lpad(lower(to_hex(lst)), 8, '0'), 3, 2) ||
+             |    substr(lpad(lower(to_hex(lst)), 8, '0'), 1, 2) ||
+             |    repeat('00', lst) || '666d7420' || '10000000' ||
+             |    '0100' ||
+             |    substr(lpad(lower(to_hex(ch)), 4, '0'), 3, 2) ||
+             |    substr(lpad(lower(to_hex(ch)), 4, '0'), 1, 2) ||
+             |    substr(lpad(lower(to_hex(rate)), 8, '0'), 7, 2) ||
+             |    substr(lpad(lower(to_hex(rate)), 8, '0'), 5, 2) ||
+             |    substr(lpad(lower(to_hex(rate)), 8, '0'), 3, 2) ||
+             |    substr(lpad(lower(to_hex(rate)), 8, '0'), 1, 2) ||
+             |    substr(lpad(lower(to_hex(rate * ba)), 8, '0'), 7, 2) ||
+             |    substr(lpad(lower(to_hex(rate * ba)), 8, '0'), 5, 2) ||
+             |    substr(lpad(lower(to_hex(rate * ba)), 8, '0'), 3, 2) ||
+             |    substr(lpad(lower(to_hex(rate * ba)), 8, '0'), 1, 2) ||
+             |    substr(lpad(lower(to_hex(ba)), 4, '0'), 3, 2) ||
+             |    substr(lpad(lower(to_hex(ba)), 4, '0'), 1, 2) ||
+             |    substr(lpad(lower(to_hex(bits)), 4, '0'), 3, 2) ||
+             |    substr(lpad(lower(to_hex(bits)), 4, '0'), 1, 2) ||
+             |    '64617461' ||
+             |    substr(lpad(lower(to_hex(nsamp * ba)), 8, '0'), 7, 2) ||
+             |    substr(lpad(lower(to_hex(nsamp * ba)), 8, '0'), 5, 2) ||
+             |    substr(lpad(lower(to_hex(nsamp * ba)), 8, '0'), 3, 2) ||
+             |    substr(lpad(lower(to_hex(nsamp * ba)), 8, '0'), 1, 2)
+             |  END AS h FROM c),
+             |-- extract each LE field back out of the hex payload at the
+             |-- LIST-shifted offsets (fmt chunk starts at byte 20+lst)
+             |ex AS (SELECT doc_id, lst, h,
+             |  2*(20 + lst) + 1 AS fb -- hex char pos of 'fmt ' chunk id
+             |  FROM hx)
+             |SELECT doc_id,
+             |  CASE WHEN doc_id % 19 = 0 OR doc_id % 23 = 0 THEN NULL
+             |       ELSE 'wav' END AS format,
+             |  CASE WHEN doc_id % 19 = 0 OR doc_id % 23 = 0 THEN NULL
+             |  ELSE CAST(('0x' || substr(h, fb + 2*10 + 2, 2) ||
+             |    substr(h, fb + 2*10, 2)) AS INT) END AS channels,
+             |  CASE WHEN doc_id % 19 = 0 OR doc_id % 23 = 0 THEN NULL
+             |  ELSE CAST(('0x' || substr(h, fb + 2*12 + 6, 2) ||
+             |    substr(h, fb + 2*12 + 4, 2) || substr(h, fb + 2*12 + 2, 2)
+             |    || substr(h, fb + 2*12, 2)) AS INT) END AS sample_rate,
+             |  CASE WHEN doc_id % 19 = 0 OR doc_id % 23 = 0 THEN NULL
+             |  ELSE CAST(('0x' || substr(h, fb + 2*22 + 2, 2) ||
+             |    substr(h, fb + 2*22, 2)) AS INT) END AS bits_per_sample,
+             |  CASE WHEN doc_id % 19 = 0 OR doc_id % 23 = 0 THEN NULL
+             |  ELSE CAST(CAST(('0x' || substr(h, fb + 2*28 + 6, 2) ||
+             |    substr(h, fb + 2*28 + 4, 2) || substr(h, fb + 2*28 + 2, 2)
+             |    || substr(h, fb + 2*28, 2)) AS BIGINT) //
+             |    CAST(('0x' || substr(h, fb + 2*20 + 2, 2) ||
+             |      substr(h, fb + 2*20, 2)) AS BIGINT) AS BIGINT)
+             |  END AS n_samples
+             |FROM ex ORDER BY doc_id""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

@@ -193,6 +193,81 @@ object Multimodal {
     }
   }
 
+  /** Parsed audio header: null columns ⇔ not a well-formed WAV (the
+    * same malformed-payload contract as [[ImageHeader]]). */
+  case class AudioHeader(doc_id: Long, format: Option[String],
+      channels: Option[Int], sample_rate: Option[Int],
+      bits_per_sample: Option[Int], n_samples: Option[Long])
+
+  /** REAL WAV header parse — RIFF chunk scan (RIFF1991/MSDN WAVE
+    * format): 'RIFF' + size + 'WAVE', then little-endian chunks
+    * (id u32, size u32, data, word-aligned — odd sizes carry a pad
+    * byte) until both 'fmt ' (audio format 1=PCM/3=float, channels,
+    * sample rate, block align, bits) and 'data' (payload size) are
+    * seen. Unknown chunks (LIST, INFO, cue) are skipped by declared
+    * size, exactly what a demuxer does. `n_samples` = data size /
+    * block align. Returns None for wrong signature, truncated or
+    * inconsistent headers (block align must equal
+    * channels·bits/8), never throws. */
+  def parseWavHeader(p: Array[Byte])
+      : Option[(Int, Int, Int, Long)] = {
+    def u16le(i: Int): Int = (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+    def u32le(i: Int): Long =
+      (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) |
+        ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
+    def tag(i: Int): String = new String(p.slice(i, i + 4), "US-ASCII")
+    if (p.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") None
+    else {
+      var i = 12L
+      var fmt: Option[(Int, Int, Int, Int)] = None // ch, rate, ba, bits
+      var dataSize: Option[Long] = None
+      var bad = false
+      while (!bad && (fmt.isEmpty || dataSize.isEmpty) &&
+          i + 8 <= p.length) {
+        val at = i.toInt
+        val id = tag(at)
+        val size = u32le(at + 4)
+        if (id == "fmt ") {
+          if (size < 16 || at + 8 + 16 > p.length) bad = true
+          else {
+            val audioFormat = u16le(at + 8)
+            val ch = u16le(at + 10)
+            val rate = u32le(at + 12)
+            val ba = u16le(at + 20)
+            val bits = u16le(at + 22)
+            if ((audioFormat == 1 || audioFormat == 3) && ch > 0 &&
+              rate > 0 && rate <= Int.MaxValue && bits > 0 &&
+              bits % 8 == 0 && ba == ch * bits / 8)
+              fmt = Some((ch, rate.toInt, ba, bits))
+            else bad = true
+          }
+        } else if (id == "data") dataSize = Some(size)
+        i += 8 + size + (size % 2) // RIFF chunks are word-aligned
+      }
+      for ((ch, rate, ba, bits) <- fmt; ds <- dataSize)
+        yield (ch, rate, bits, ds / ba)
+    }
+  }
+
+  /** Partition-parallel REAL WAV header decode — the audio sibling of
+    * [[decodeImageHeaders]]: nulls for malformed bytes, duration
+    * derivable as `n_samples / sample_rate`. */
+  def decodeAudioHeaders(media: Dataset[MediaRecord]): Dataset[AudioHeader] = {
+    implicit val enc: org.apache.spark.sql.Encoder[AudioHeader] =
+      Encoders.product[AudioHeader]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        parseWavHeader(r.payload) match {
+          case Some((ch, rate, bits, ns)) =>
+            AudioHeader(r.doc_id, Some("wav"), Some(ch), Some(rate),
+              Some(bits), Some(ns))
+          case None =>
+            AudioHeader(r.doc_id, None, None, None, None, None)
+        }
+      }
+    }
+  }
+
   /** SQL-expressible payload metadata (oracle-checkable subset): byte
     * length, content digest, kind tag. */
   def payloadMeta(media: DataFrame): DataFrame =

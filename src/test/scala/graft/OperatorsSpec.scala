@@ -1093,6 +1093,60 @@ class OperatorsSpec extends TestBase {
     assert(out(2L) == Multimodal.ImageHeader(2L, None, None, None, None))
   }
 
+  test("parseWavHeader: golden RIFF bytes parse to exact audio params; " +
+      "unknown chunks skip; malformed payloads yield None (X4)") {
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // canonical 44-byte header: PCM, stereo, 44100 Hz, 16-bit, 8 bytes
+    // of sample data (= 2 frames at block align 4)
+    val wav = hx("52494646" + "28000000" + "57415645" +
+      "666d7420" + "10000000" + "0100" + "0200" + "44ac0000" +
+      "10b10200" + "0400" + "1000" + "64617461" + "08000000" +
+      "0001000100010001")
+    assert(Multimodal.parseWavHeader(wav)
+      .contains((2, 44100, 16, 2L)))
+    // a LIST chunk (with RIFF odd-size pad byte) before fmt must skip
+    val padded = hx("52494646" + "33000000" + "57415645" +
+      "4c495354" + "03000000" + "616263" + "00" + // 3 bytes + pad
+      "666d7420" + "10000000" + "0100" + "0100" + "401f0000" +
+      "401f0000" + "0100" + "0800" + "64617461" + "05000000")
+    assert(Multimodal.parseWavHeader(padded)
+      .contains((1, 8000, 8, 5L)))
+    // float (format 3) accepted
+    val f32 = hx("52494646" + "24000000" + "57415645" +
+      "666d7420" + "10000000" + "0300" + "0100" + "803e0000" +
+      "00fa0000" + "0400" + "2000" + "64617461" + "10000000")
+    assert(Multimodal.parseWavHeader(f32)
+      .contains((1, 16000, 32, 4L)))
+    // malformed: truncated, AVI form, inconsistent block align,
+    // compressed format code, fmt but no data chunk
+    val bads = Seq(
+      hx("52494646"), hx("524946462400000041564920"),
+      hx("52494646" + "24000000" + "57415645" + "666d7420" +
+        "10000000" + "0100" + "0200" + "44ac0000" + "10b10200" +
+        "0300" + "1000" + "64617461" + "08000000"), // ba 3 ≠ 2·16/8
+      hx("52494646" + "24000000" + "57415645" + "666d7420" +
+        "10000000" + "5500" + "0200" + "44ac0000" + "10b10200" +
+        "0400" + "1000" + "64617461" + "08000000"), // format 0x55 mp3
+      hx("52494646" + "1c000000" + "57415645" + "666d7420" +
+        "10000000" + "0100" + "0200" + "44ac0000" + "10b10200" +
+        "0400" + "1000"),
+      Array.empty[Byte])
+    bads.foreach(b =>
+      assert(Multimodal.parseWavHeader(b).isEmpty,
+        s"expected None for ${b.length}-byte malformed payload"))
+    // typed pipeline: nulls for malformed
+    val media = Seq(
+      Multimodal.MediaRecord(1L, wav, "audio"),
+      Multimodal.MediaRecord(2L, hx("52494646"), "audio")).toDS()
+    val out = Multimodal.decodeAudioHeaders(media)
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(out(1L) == Multimodal.AudioHeader(1L, Some("wav"), Some(2),
+      Some(44100), Some(16), Some(2L)))
+    assert(out(2L) ==
+      Multimodal.AudioHeader(2L, None, None, None, None, None))
+  }
+
   test("profiler: one row per column, nulls/distinct/minmax (profiling)") {
     val df = Seq((1L, Some("a")), (2L, None), (3L, Some("b")))
       .toDF("id", "v")
