@@ -3564,7 +3564,43 @@ object OpsQueries {
              |    CAST(('0x' || substr(h, fb + 2*20 + 2, 2) ||
              |      substr(h, fb + 2*20, 2)) AS BIGINT) AS BIGINT)
              |  END AS n_samples
-             |FROM ex ORDER BY doc_id""".stripMargin))
+             |FROM ex ORDER BY doc_id""".stripMargin)),
+
+    // ----- X5 BM25 retrieval-based data selection ---------------------------
+    // Okapi BM25 of every doc against a seed-term set — the lexical
+    // "find my domain in the crawl" selector (sparse sibling of the
+    // embedding top-k and the trained heads). Per-term double scores
+    // carry libm log2, so the oracle replays the identical arithmetic
+    // and both engines sum the terms through DECIMAL(38,15) (order-
+    // exact) before the 6-digit round.
+    "q126_bm25_selection" -> Entry(
+      (s, dir) => {
+        Vocab.bm25Scores(docsFan(s, dir), "doc_id", "text",
+            Seq("spark", "window", "stream", "query"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id, list_filter(
+             |    regexp_split_to_array(trim(lower(text)), '\s+'),
+             |    x -> length(x) > 0) AS ts FROM documents),
+             |lens AS (SELECT doc_id, len(ts) AS dl FROM tk),
+             |st AS (SELECT COUNT(*) AS n_docs,
+             |  SUM(CAST(dl AS DECIMAL(38,15))) AS sum_dl FROM lens),
+             |dt AS (SELECT doc_id, u.x AS term, COUNT(*) AS tf
+             |  FROM tk, unnest(ts) AS u(x)
+             |  WHERE u.x IN ('spark', 'window', 'stream', 'query')
+             |  GROUP BY 1, 2),
+             |dfx AS (SELECT term, COUNT(*) AS dfc FROM dt GROUP BY 1),
+             |sc AS (SELECT dt.doc_id, dt.tf, dfx.dfc, lens.dl
+             |  FROM dt JOIN dfx USING (term) JOIN lens USING (doc_id))
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+             |  round(CAST(SUM(CAST(
+             |    log2(1 + (n_docs - dfc + 0.5) / (dfc + 0.5)) *
+             |    (tf * (1.2 + 1.0)) /
+             |    (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl /
+             |      (CAST(sum_dl AS DOUBLE) / n_docs)))
+             |    AS DECIMAL(38,15))) AS DOUBLE), 6) AS bm25
+             |FROM sc CROSS JOIN st
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

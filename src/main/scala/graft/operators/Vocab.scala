@@ -475,4 +475,78 @@ object Vocab {
           .otherwise(lit(0.0)))
       .drop("__toks")
   }
+
+  /** BM25 retrieval scoring against a seed-term set (Robertson et al.,
+    * Okapi BM25) — the LEXICAL data-selection operator: "find the
+    * slice of the crawl that looks like this domain" from nothing but
+    * seed terms, the sparse sibling of the embedding path
+    * ([[Similarity.cosineTopK]]) and the trained heads
+    * ([[QualityFilter]]/[[Dsir]] need a target CORPUS; this needs only
+    * a term list). Per doc: `Σ_t idf(t) · tf·(k1+1) /
+    * (tf + k1·(1−b+b·dl/avgdl))` with the standard
+    * `idf = log2(1 + (N−df+0.5)/(df+0.5))`, lowercase
+    * whitespace tokens.
+    *
+    * Output: `(doc_id, n_hit_terms, bm25)` rounded to 6 (libm log2
+    * ulps — [[unigramLogProb]] convention); per-term scores sum
+    * through DECIMAL(38,15), so the total is partition-order-exact.
+    * Docs containing NO query term are absent (their score is 0 —
+    * union them back upstream if every doc needs a row).
+    *
+    * Scale shape: the corpus explode filters to the query terms
+    * BEFORE any exchange (a thousand-term query keeps millions of
+    * tokens per doc out of the shuffle), so the only corpus-sized
+    * exchanges are the (doc, term) tf-aggregation and the doc-keyed
+    * score sum; the per-term document frequencies (≤ |query| rows)
+    * and the 1-row corpus stats broadcast. The doc-length pass is a
+    * scan-only projection — no second explode. */
+  def bm25Scores(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75)
+      : DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Scores: queryTerms must not be empty")
+    require(k1 > 0, s"k1 must be positive, got $k1")
+    require(b >= 0 && b <= 1, s"b must be in [0, 1], got $b")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 15)
+    val q = queryTerms.map(_.toLowerCase).distinct
+    val toks = (t: Column) =>
+      filter(TextAnalysis.tokens(lower(t)), x => length(x) > 0)
+    val lens = df.select(col(idCol).as("doc_id"),
+      size(toks(col(textCol))).as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl").cast(dec)).as("sum_dl"))
+    val docTerms = df
+      .select(col(idCol).as("doc_id"), toks(col(textCol)).as("__ts"))
+      .select(col("doc_id"), size(col("__ts")).as("dl"),
+        explode(col("__ts")).as("term"))
+      .filter(col("term").isInCollection(q))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfTab = docTerms.groupBy("term").agg(count(lit(1)).as("df"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = log2(lit(1.0) +
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val tfd = col("tf").cast("double")
+    val w = idf * (tfd * lit(k1 + 1.0)) /
+      (tfd + lit(k1) * (lit(1.0 - b) + lit(b) *
+        col("dl").cast("double") / avgdl))
+    docTerms.join(broadcast(dfTab), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("__w", w)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit_terms"),
+        sum(col("__w").cast(dec)).as("__s"))
+      .select(col("doc_id"), col("n_hit_terms"),
+        round(col("__s").cast("double"), 6).as("bm25"))
+  }
+
+  /** Global BM25 top-k (score DESC, id ASC tie-break): plans as a
+    * TakeOrdered — per-partition heaps, never a full corpus sort. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    bm25Scores(df, idCol, textCol, queryTerms, k1, b)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(k)
+  }
 }

@@ -100,6 +100,55 @@ class CorpusOpsSpec extends TestBase {
       c4Then.collect().toSet)
   }
 
+  // ---------- BM25 retrieval selection -------------------------------------
+
+  test("bm25Scores matches the textbook formula exactly; rarity raises " +
+      "idf; no-hit docs absent; topK is a TakeOrdered with id tie-break") {
+    val df = docs(
+      1L -> "spark spark spark filler words here",        // tf=3
+      2L -> "spark rare filler words also here",          // both terms
+      3L -> "rare filler text entirely different stuff",  // rare only
+      4L -> "nothing relevant in this document whatsoever") // no hits
+    val out = Vocab.bm25Scores(df, "doc_id", "text", Seq("spark", "rare"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // mirror the formula in plain Scala (N=4, dl=6 each, avgdl=6)
+    def idf(dfc: Int) = math.log(1.0 + (4 - dfc + 0.5) / (dfc + 0.5)) /
+      math.log(2.0)
+    def w(tf: Long, dfc: Int, dl: Long) =
+      idf(dfc) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / 6.0))
+    assert(out.keySet == Set(1L, 2L, 3L), "no-hit doc must be absent")
+    assert(out(1L)._1 == 1L && math.abs(out(1L)._2 - w(3, 2, 6)) < 1e-6)
+    assert(out(2L)._1 == 2L &&
+      math.abs(out(2L)._2 - (w(1, 2, 6) + w(1, 2, 6))) < 1e-6)
+    assert(out(3L)._1 == 1L && math.abs(out(3L)._2 - w(1, 2, 6)) < 1e-6)
+    // rarity: same tf/dl, the 2-doc term out-scores the 3-doc term
+    val rar = Vocab.bm25Scores(df, "doc_id", "text", Seq("rare"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val com = Vocab.bm25Scores(df, "doc_id", "text", Seq("filler"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(rar(3L) > com(3L), "a 2-doc term must out-score a 3-doc term")
+    // partitioning invariance (decimal term sums, not float fold order)
+    assert(Vocab.bm25Scores(df.repartition(7), "doc_id", "text",
+      Seq("spark", "rare")).collect().toSet ==
+      Vocab.bm25Scores(df, "doc_id", "text",
+        Seq("spark", "rare")).collect().toSet)
+    // topK: ordered desc, ties break on id, TakeOrdered (no global sort)
+    val top = Vocab.bm25TopK(df, "doc_id", "text", Seq("spark", "rare"),
+      k = 2)
+    val topRows = top.collect().map(_.getLong(0)).toSeq
+    val ranked = out.toSeq.sortBy { case (id, (_, s)) => (-s, id) }
+      .map(_._1).take(2)
+    assert(topRows == ranked, s"topK $topRows != ranked $ranked")
+    assert(top.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"),
+      "global top-k must plan as TakeOrdered, not a full sort")
+    intercept[IllegalArgumentException](
+      Vocab.bm25Scores(df, "doc_id", "text", Seq.empty))
+    intercept[IllegalArgumentException](
+      Vocab.bm25TopK(df, "doc_id", "text", Seq("x"), k = 0))
+  }
+
   // ---------- Decontaminate ------------------------------------------------
 
   test("decontamination overlap: exact copy 1.0, disjoint 0.0, short doc 0") {
