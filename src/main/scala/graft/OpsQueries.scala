@@ -3600,7 +3600,56 @@ object OpsQueries {
              |      (CAST(sum_dl AS DOUBLE) / n_docs)))
              |    AS DECIMAL(38,15))) AS DOUBLE), 6) AS bm25
              |FROM sc CROSS JOIN st
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ----- X5 T5 span corruption --------------------------------------------
+    // Deterministic masked (input, target) pretraining pairs: position
+    // p opens a span iff md5('t5'|id|p) % 20 == 0, spans cover 3
+    // tokens and merge when adjacent — the T5 (15%, mean-3) knobs with
+    // the hash standing in for the paper's RNG. The oracle recomputes
+    // the start flags, the windowed-OR mask, the run starts, and both
+    // sentinel texts with list comprehensions over the same hashes;
+    // Spark builds them with one O(n) aggregate fold — identical
+    // strings either way.
+    "q127_span_corrupt" -> Entry(
+      (s, dir) => {
+        TextAnalysis.spanCorrupt(docsFan(s, dir), "doc_id", "text",
+            startEvery = 20, spanLen = 3, salt = "t5")
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id, text, CASE WHEN text IS NULL
+             |  THEN [] ELSE list_filter(regexp_split_to_array(trim(text),
+             |    '\s+'), x -> length(x) > 0) END AS ts FROM documents),
+             |nn AS (SELECT doc_id, text, ts, len(ts) AS n FROM tk),
+             |st AS (SELECT *, [CAST(('0x' || substr(md5('t5|' || doc_id
+             |    || '|' || i), 1, 8)) AS UBIGINT) % 20 = 0
+             |  for i in generate_series(1, n)] AS s FROM nn),
+             |mk AS (SELECT *, [(s[i] OR (i >= 2 AND s[i-1])
+             |    OR (i >= 3 AND s[i-2]))
+             |  for i in generate_series(1, n)] AS m FROM st),
+             |rr AS (SELECT *, [(m[i] AND (i = 1 OR NOT m[i-1]))
+             |  for i in generate_series(1, n)] AS r FROM mk),
+             |px AS (SELECT *,
+             |  [CASE WHEN r[i] THEN '<extra_id_' ||
+             |      CAST(len(list_filter(generate_series(1, i-1),
+             |        q -> r[q])) AS VARCHAR) || '>'
+             |    WHEN m[i] THEN NULL ELSE ts[i] END
+             |   for i in generate_series(1, n)] AS inp,
+             |  [CASE WHEN r[i] THEN '<extra_id_' ||
+             |      CAST(len(list_filter(generate_series(1, i-1),
+             |        q -> r[q])) AS VARCHAR) || '> ' || ts[i]
+             |    WHEN m[i] THEN ts[i] ELSE NULL END
+             |   for i in generate_series(1, n)] AS tgt FROM rr)
+             |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+             |  CAST(len(list_filter(m, x -> x)) AS BIGINT) AS n_masked,
+             |  CAST(len(list_filter(r, x -> x)) AS BIGINT) AS n_spans,
+             |  CASE WHEN text IS NULL THEN NULL ELSE coalesce(
+             |    array_to_string(list_filter(inp, p -> p IS NOT NULL),
+             |      ' '), '') END AS input_text,
+             |  CASE WHEN text IS NULL THEN NULL ELSE coalesce(
+             |    array_to_string(list_filter(tgt, p -> p IS NOT NULL),
+             |      ' '), '') END AS target_text
+             |FROM px ORDER BY doc_id""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

@@ -548,4 +548,81 @@ object TextAnalysis {
       .select(col(idCol),
         size(array_distinct(col("__wins"))).cast("long").as("n_fp"),
         array_min(col("__wins")).as("fp_min"))
+
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4): turn each
+    * document into a masked `(input_text, target_text)` pretraining
+    * pair — masked spans become `<extra_id_k>` sentinels in the input,
+    * and the target lists each sentinel followed by the tokens it
+    * hides. DETERMINISTIC where the paper samples: token position `p`
+    * (1-based) opens a span iff
+    * `md5(salt|id|p) % startEvery == 0` (the [[splitBucket]] hash
+    * convention — no RNG state, so every engine/run/cluster masks the
+    * same spans and the oracle replays them bit-identically); a span
+    * covers `spanLen` tokens and adjacent/overlapping spans merge into
+    * one sentinel, so the masked fraction ≈ `spanLen/startEvery` and
+    * mean span length ≥ `spanLen` — the T5 knobs (15%, mean 3) are
+    * `startEvery=20, spanLen=3`.
+    *
+    * Output: `(doc_id, n_tokens, n_masked, n_spans, input_text,
+    * target_text)`. Null text passes through as null texts with zero
+    * counts; a doc whose every token masks still emits its pair (one
+    * sentinel input). Tokens are the non-empty whitespace tokens.
+    *
+    * Scale shape: pure scan projection — the start flags, the
+    * windowed-OR mask, and the single O(n) `aggregate` fold that
+    * builds both texts all run inside the row. Zero exchanges, zero
+    * joins, stream-composable. */
+  def spanCorrupt(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, startEvery: Int = 20, spanLen: Int = 3,
+      salt: String = "t5"): org.apache.spark.sql.DataFrame = {
+    require(startEvery >= 2, s"startEvery must be >= 2, got $startEvery")
+    require(spanLen >= 1, s"spanLen must be >= 1, got $spanLen")
+    val toks = filter(tokens(col(textCol)), t => length(t) > 0)
+    val withMask = df
+      .select(col(idCol).as("doc_id"), col(textCol).isNull.as("__null"),
+        when(col(textCol).isNotNull, toks)
+          .otherwise(array().cast("array<string>")).as("__ts"))
+      .withColumn("__st", transform(col("__ts"), (_, i) =>
+        conv(substring(md5(concat(lit(salt), lit("|"),
+          col("doc_id").cast("string"), lit("|"),
+          (i + 1).cast("string"))), 1, 8), 16, 10).cast("long")
+          % startEvery === 0))
+      .withColumn("__m", transform(col("__ts"), (_, i) =>
+        (0 until spanLen).map(j =>
+          i >= lit(j) && element_at(col("__st"), i - lit(j) + 1))
+          .reduce(_ || _)))
+      .withColumn("__rs", transform(col("__ts"), (_, i) =>
+        element_at(col("__m"), i + 1) &&
+          (i === 0 || !element_at(col("__m"), i))))
+    val push = (acc: Column, piece: Column) =>
+      when(acc === "", piece).otherwise(concat(acc, lit(" "), piece))
+    val folded = withMask
+      .withColumn("__zip",
+        arrays_zip(col("__ts"), col("__m"), col("__rs")))
+      .withColumn("__acc", aggregate(col("__zip"),
+        struct(lit(0).as("k"), lit("").as("inp"), lit("").as("tgt")),
+        (acc, x) => {
+          val tok = x.getField("__ts")
+          val m = x.getField("__m")
+          val rs = x.getField("__rs")
+          val sent = concat(lit("<extra_id_"),
+            acc.getField("k").cast("string"), lit(">"))
+          struct(
+            (acc.getField("k") + when(rs, 1).otherwise(0)).as("k"),
+            when(rs, push(acc.getField("inp"), sent))
+              .when(m, acc.getField("inp"))
+              .otherwise(push(acc.getField("inp"), tok)).as("inp"),
+            when(rs, push(push(acc.getField("tgt"), sent), tok))
+              .when(m, push(acc.getField("tgt"), tok))
+              .otherwise(acc.getField("tgt")).as("tgt"))
+        }))
+    folded.select(col("doc_id"),
+      size(col("__ts")).cast("long").as("n_tokens"),
+      size(filter(col("__m"), b => b)).cast("long").as("n_masked"),
+      col("__acc.k").cast("long").as("n_spans"),
+      when(col("__null"), lit(null).cast("string"))
+        .otherwise(col("__acc.inp")).as("input_text"),
+      when(col("__null"), lit(null).cast("string"))
+        .otherwise(col("__acc.tgt")).as("target_text"))
+  }
 }

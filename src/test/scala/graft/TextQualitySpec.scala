@@ -12,6 +12,66 @@ class TextQualitySpec extends TestBase {
   private def docs(rows: (Long, String)*) =
     rows.toSeq.toDF("doc_id", "text")
 
+  // ---------- T5 span corruption -------------------------------------------
+
+  test("spanCorrupt: sentinels reconstruct the original exactly; mask " +
+      "fraction tracks spanLen/startEvery; deterministic; null/empty safe") {
+    val text = (1 to 400).map(i => s"w$i").mkString(" ")
+    val df = docs(7L -> text, 8L -> "one two three")
+    val out = TextAnalysis.spanCorrupt(df, "doc_id", "text",
+        startEvery = 20, spanLen = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r7 = out(7L)
+    val (nTok, nMask, nSpan) =
+      (r7.getLong(1), r7.getLong(2), r7.getLong(3))
+    assert(nTok == 400)
+    // density: E[mask] ≈ 3/20 = 15%; loose band for hash variance
+    assert(nMask >= 20 && nMask <= 120, s"mask count off: $nMask")
+    assert(nSpan >= 1 && nSpan <= nMask)
+    // RECONSTRUCTION: input with each <extra_id_k> replaced by target
+    // span k must be the original token stream — nothing lost, nothing
+    // duplicated, order preserved
+    def spans(target: String): Map[Int, Seq[String]] = {
+      val parts = target.split("<extra_id_").filter(_.nonEmpty)
+      parts.map { p =>
+        val k = p.takeWhile(_ != '>').toInt
+        k -> p.dropWhile(_ != '>').drop(1).trim
+          .split("\\s+").filter(_.nonEmpty).toSeq
+      }.toMap
+    }
+    def reconstruct(input: String, target: String): Seq[String] = {
+      val sp = spans(target)
+      input.split("\\s+").filter(_.nonEmpty).toSeq.flatMap { t =>
+        if (t.startsWith("<extra_id_"))
+          sp(t.stripPrefix("<extra_id_").stripSuffix(">").toInt)
+        else Seq(t)
+      }
+    }
+    assert(reconstruct(r7.getString(4), r7.getString(5)) ==
+      text.split(" ").toSeq, "reconstruction mismatch")
+    // sentinel numbering is 0..n_spans-1 in both texts
+    assert((0 until nSpan.toInt).forall(k =>
+      r7.getString(4).contains(s"<extra_id_$k>") &&
+        r7.getString(5).contains(s"<extra_id_$k>")))
+    // determinism incl. partitioning
+    val again = TextAnalysis.spanCorrupt(df.repartition(5), "doc_id",
+      "text", startEvery = 20, spanLen = 3).collect().toSet
+    assert(again == TextAnalysis.spanCorrupt(df, "doc_id", "text",
+      startEvery = 20, spanLen = 3).collect().toSet)
+    // null text: null pair, zero counts; empty text: empty pair
+    val edge = docs(1L -> "").union(
+      Seq((2L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val eo = TextAnalysis.spanCorrupt(edge, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(eo(2L).isNullAt(4) && eo(2L).isNullAt(5) &&
+      eo(2L).getLong(1) == 0L)
+    assert(eo(1L).getString(4) == "" && eo(1L).getLong(1) == 0L)
+    intercept[IllegalArgumentException](
+      TextAnalysis.spanCorrupt(df, "doc_id", "text", startEvery = 1))
+    intercept[IllegalArgumentException](
+      TextAnalysis.spanCorrupt(df, "doc_id", "text", spanLen = 0))
+  }
+
   // ---------- Gopher rules -------------------------------------------------
 
   test("gopher line rules: bullet/ellipsis fractions over non-blank " +
