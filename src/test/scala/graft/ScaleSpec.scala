@@ -463,6 +463,40 @@ class ScaleSpec extends TestBase {
     }
   }
 
+  test("q126 BM25: query dfs and corpus stats broadcast, the corpus " +
+      "never does; the term filter sits below the first exchange") {
+    val p = plan(SparkEntry.queries("q126_bm25_selection")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-term dfs must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the corpus side must never shuffle for a join:\n$p")
+    // the explode's query-term filter must run before the (doc, term)
+    // aggregation shuffle: every term-IN Filter in the logical plan
+    // sits with no Aggregate beneath it (i.e. on the scan/explode side
+    // of the exchange, never re-filtering aggregated rows)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg,
+      Filter => LFilter}
+    val opt = SparkEntry.queries("q126_bm25_selection")(spark, sf)
+      .queryExecution.optimizedPlan
+    val termFilters = opt.collect {
+      case f: LFilter if f.condition.toString.contains("spark") =>
+        f.child.collect { case a: LAgg => a }.isEmpty
+    }
+    assert(termFilters.nonEmpty, s"term filter missing:\n$opt")
+    assert(termFilters.forall(identity),
+      s"term filter must run below the aggregation exchange:\n$opt")
+  }
+
+  test("q127 span corruption is a pure projection: zero exchanges, " +
+      "whole pipeline at the scan") {
+    val df = graft.operators.TextAnalysis.spanCorrupt(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text")
+    val p = plan(df)
+    assert(!p.contains("Exchange"),
+      s"span corruption must not shuffle:\n$p")
+    assert(df.count() > 0)
+  }
+
   test("q89 range join: equi-join on the bucket key, no nested loop") {
     val p = plan(SparkEntry.queries("q89_range_join")(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin") &&
