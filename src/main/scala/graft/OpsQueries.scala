@@ -3649,7 +3649,31 @@ object OpsQueries {
              |  CASE WHEN text IS NULL THEN NULL ELSE coalesce(
              |    array_to_string(list_filter(tgt, p -> p IS NOT NULL),
              |      ' '), '') END AS target_text
-             |FROM px ORDER BY doc_id""".stripMargin))
+             |FROM px ORDER BY doc_id""".stripMargin)),
+
+    // ----- X5 prefix-LM split (UL2 S-denoiser) ------------------------------
+    // Deterministic continuation pairs: split at minPrefix +
+    // md5('plm'|id) % (n - minPrefix), both sides non-empty. Strings +
+    // integer arithmetic only — fully oracle-exact.
+    "q128_prefix_lm" -> Entry(
+      (s, dir) => {
+        TextAnalysis.prefixLmSplit(docsFan(s, dir), "doc_id", "text",
+            minPrefix = 1, salt = "plm")
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id, list_filter(
+             |    regexp_split_to_array(trim(text), '\s+'),
+             |    x -> length(x) > 0) AS ts FROM documents),
+             |nn AS (SELECT doc_id, ts, len(ts) AS n FROM tk
+             |  WHERE len(ts) > 1),
+             |sp AS (SELECT doc_id, ts, n, 1 +
+             |  CAST(('0x' || substr(md5('plm|' || doc_id), 1, 8))
+             |    AS UBIGINT) % (n - 1) AS p FROM nn)
+             |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+             |  CAST(p AS BIGINT) AS split_pos,
+             |  array_to_string(ts[1:p], ' ') AS input_text,
+             |  array_to_string(ts[p+1:n], ' ') AS target_text
+             |FROM sp ORDER BY doc_id""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

@@ -625,4 +625,40 @@ object TextAnalysis {
       when(col("__null"), lit(null).cast("string"))
         .otherwise(col("__acc.tgt")).as("target_text"))
   }
+
+  /** Prefix-LM pair generation (the UL2 "S-denoiser", Tay et al. 2022;
+    * also the PrefixLM objective of Raffel et al. §3.2.1): split each
+    * document's token stream at a DETERMINISTIC point into
+    * `(input_text, target_text)` — the model conditions on the prefix
+    * and learns to continue. Where the papers sample the split
+    * uniformly, the split here is `minPrefix + md5(salt|id) %
+    * (n − minPrefix)` (the [[splitBucket]] hash convention), so both
+    * sides are non-empty, every engine/run splits identically, and a
+    * SQL oracle replays the pair bit-for-bit. The sibling of
+    * [[spanCorrupt]] — production mixtures (UL2) train on both.
+    *
+    * Docs with fewer than `minPrefix + 1` tokens can't split and are
+    * ABSENT (gate upstream; they carry no continuation signal). Output:
+    * `(doc_id, n_tokens, split_pos, input_text, target_text)` with
+    * `split_pos` = prefix length in tokens. Pure scan projection —
+    * zero exchanges, stream-composable. */
+  def prefixLmSplit(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minPrefix: Int = 1, salt: String = "plm")
+      : org.apache.spark.sql.DataFrame = {
+    require(minPrefix >= 1, s"minPrefix must be >= 1, got $minPrefix")
+    val toks = filter(tokens(col(textCol)), t => length(t) > 0)
+    df.select(col(idCol).as("doc_id"), toks.as("__ts"))
+      .withColumn("__n", size(col("__ts")))
+      .filter(col("__n") > minPrefix)
+      .withColumn("__p", (lit(minPrefix) +
+        conv(substring(md5(concat(lit(salt), lit("|"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+          % (col("__n") - minPrefix)).cast("int"))
+      .select(col("doc_id"), col("__n").cast("long").as("n_tokens"),
+        col("__p").cast("long").as("split_pos"),
+        array_join(slice(col("__ts"), lit(1), col("__p")), " ")
+          .as("input_text"),
+        array_join(slice(col("__ts"), col("__p") + 1,
+          col("__n") - col("__p")), " ").as("target_text"))
+  }
 }

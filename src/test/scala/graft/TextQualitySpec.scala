@@ -72,6 +72,32 @@ class TextQualitySpec extends TestBase {
       TextAnalysis.spanCorrupt(df, "doc_id", "text", spanLen = 0))
   }
 
+  test("prefixLmSplit: prefix + target rebuild the original; split in " +
+      "[minPrefix, n-1]; short docs absent; deterministic") {
+    val text = (1 to 50).map(i => s"t$i").mkString(" ")
+    val df = docs(3L -> text, 4L -> "solo", 5L -> "two tokens")
+    val out = TextAnalysis.prefixLmSplit(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // 1-token doc cannot split; 2-token doc splits 1|1
+    assert(out.keySet == Set(3L, 5L))
+    assert(out(5L).getString(3) == "two" && out(5L).getString(4) == "tokens")
+    val r3 = out(3L)
+    val p = r3.getLong(2)
+    assert(p >= 1 && p < 50 && r3.getLong(1) == 50)
+    assert(r3.getString(3) + " " + r3.getString(4) == text,
+      "prefix + target must rebuild the original token stream")
+    assert(r3.getString(3).split(" ").length == p)
+    // determinism under partitioning
+    assert(TextAnalysis.prefixLmSplit(df.repartition(5), "doc_id", "text")
+      .collect().toSet ==
+      TextAnalysis.prefixLmSplit(df, "doc_id", "text").collect().toSet)
+    // zero-exchange projection
+    assert(!TextAnalysis.prefixLmSplit(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString.contains("Exchange"))
+    intercept[IllegalArgumentException](
+      TextAnalysis.prefixLmSplit(df, "doc_id", "text", minPrefix = 0))
+  }
+
   // ---------- Gopher rules -------------------------------------------------
 
   test("gopher line rules: bullet/ellipsis fractions over non-blank " +
