@@ -3673,7 +3673,76 @@ object OpsQueries {
              |  CAST(p AS BIGINT) AS split_pos,
              |  array_to_string(ts[1:p], ' ') AS input_text,
              |  array_to_string(ts[p+1:n], ' ') AS target_text
-             |FROM sp ORDER BY doc_id""".stripMargin))
+             |FROM sp ORDER BY doc_id""".stripMargin)),
+
+    // ----- X3/X5 hybrid retrieval: reciprocal-rank fusion -------------------
+    // BM25 lexical top-100 fused with dense cosine top-100 (query =
+    // vec 0) by RRF — rank-based, so no score calibration; each rrf
+    // term is one IEEE division and the two-term sum is fixed-order,
+    // so the fused scores are engine-bit-exact with NO rounding.
+    "q129_hybrid_rrf" -> Entry(
+      (s, dir) => {
+        val a = Vocab.bm25TopK(docsFan(s, dir), "doc_id", "text",
+          Seq("spark", "window", "stream", "query"), k = 100)
+        val emb = t(s, dir, "embeddings")
+        val bcos = Similarity.cosineTopK(emb.filter(col("vec_id") === 0),
+            emb, "vec_id", "embedding", k = 100)
+          .select(col("corpus_id"), col("rank"))
+        Similarity.rrfFuse(a, "doc_id", "rank", bcos, "corpus_id", "rank")
+          .orderBy("fused_rank")
+      },
+      Some("""WITH tk AS (SELECT doc_id, list_filter(
+             |    regexp_split_to_array(trim(lower(text)), '\s+'),
+             |    x -> length(x) > 0) AS ts FROM documents),
+             |lens AS (SELECT doc_id, len(ts) AS dl FROM tk),
+             |st AS (SELECT COUNT(*) AS n_docs,
+             |  SUM(CAST(dl AS DECIMAL(38,15))) AS sum_dl FROM lens),
+             |dt AS (SELECT doc_id, u.x AS term, COUNT(*) AS tf
+             |  FROM tk, unnest(ts) AS u(x)
+             |  WHERE u.x IN ('spark', 'window', 'stream', 'query')
+             |  GROUP BY 1, 2),
+             |dfx AS (SELECT term, COUNT(*) AS dfc FROM dt GROUP BY 1),
+             |sc AS (SELECT dt.doc_id, dt.tf, dfx.dfc, lens.dl
+             |  FROM dt JOIN dfx USING (term) JOIN lens USING (doc_id)),
+             |bm AS (SELECT doc_id,
+             |  round(CAST(SUM(CAST(
+             |    log2(1 + (n_docs - dfc + 0.5) / (dfc + 0.5)) *
+             |    (tf * (1.2 + 1.0)) /
+             |    (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl /
+             |      (CAST(sum_dl AS DOUBLE) / n_docs)))
+             |    AS DECIMAL(38,15))) AS DOUBLE), 6) AS bm25
+             |  FROM sc CROSS JOIN st GROUP BY doc_id),
+             |la AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+             |    ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank_a
+             |  FROM bm ORDER BY bm25 DESC, doc_id LIMIT 100),
+             |q AS (SELECT embedding AS qv FROM embeddings
+             |  WHERE vec_id = 0),
+             |cs AS (SELECT vec_id AS doc_id,
+             |  round(
+             |    list_sum([qv[i]::DOUBLE * embedding[i]::DOUBLE
+             |      for i in generate_series(1, len(qv))]) /
+             |    (sqrt(list_sum([qv[i]::DOUBLE * qv[i]::DOUBLE
+             |      for i in generate_series(1, len(qv))])) *
+             |     sqrt(list_sum([embedding[i]::DOUBLE *
+             |        embedding[i]::DOUBLE
+             |      for i in generate_series(1, len(embedding))]))), 6)
+             |    AS score
+             |  FROM embeddings, q WHERE vec_id <> 0),
+             |lb AS (SELECT doc_id, rank_b FROM (SELECT doc_id,
+             |    CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+             |      AS BIGINT) AS rank_b FROM cs)
+             |  WHERE rank_b <= 100),
+             |fused AS (SELECT coalesce(la.doc_id, lb.doc_id) AS doc_id,
+             |  rank_a, rank_b,
+             |  coalesce(1.0 / (CAST(60 AS DOUBLE) + CAST(rank_a
+             |    AS DOUBLE)), 0.0) +
+             |  coalesce(1.0 / (CAST(60 AS DOUBLE) + CAST(rank_b
+             |    AS DOUBLE)), 0.0) AS rrf
+             |  FROM la FULL OUTER JOIN lb ON la.doc_id = lb.doc_id)
+             |SELECT doc_id, rank_a, rank_b, rrf,
+             |  CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id)
+             |    AS BIGINT) AS fused_rank
+             |FROM fused ORDER BY fused_rank""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

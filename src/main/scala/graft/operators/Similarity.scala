@@ -855,4 +855,44 @@ object Similarity {
       .filter(col("__sd_comp").isNull || col("__sd_comp") === df(idCol))
       .drop("__sd_id", "__sd_comp")
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) — THE
+    * hybrid-retrieval combiner: merge two ranked SHORTLISTS (e.g.
+    * [[graft.operators.Vocab.bm25TopK]] lexical + [[cosineTopK]]
+    * dense) into one ranking by
+    * `rrf(d) = Σ_list 1/(kRrf + rank_list(d))`. Rank-based, so the
+    * lists' score scales never need calibrating — why RRF is the
+    * production default for hybrid search. A doc absent from one list
+    * contributes 0 for it (null rank columns preserved in the output
+    * for provenance); ids must be UNIQUE within each list.
+    *
+    * Fully engine-exact, no rounding: each term is one IEEE division
+    * and the two-term sum has a fixed evaluation order — a SQL oracle
+    * reproduces every bit. Ties (same rrf) break on id.
+    *
+    * SHORTLIST contract, stated loudly: inputs are top-k lists (both
+    * sides of a fusion are ≤ thousands of rows by construction — the
+    * k of the rankers), so the full-outer join and the final
+    * unpartitioned rank window are single-task by design. Do NOT feed
+    * corpus-sized frames: rank whole corpora with the rankers
+    * themselves, fuse only their heads. */
+  def rrfFuse(a: DataFrame, idColA: String, rankColA: String,
+      b: DataFrame, idColB: String, rankColB: String,
+      kRrf: Int = 60): DataFrame = {
+    require(kRrf >= 1, s"kRrf must be >= 1, got $kRrf")
+    val aa = a.select(col(idColA).as("doc_id"),
+      col(rankColA).cast("long").as("rank_a"))
+    val bb = b.select(col(idColB).as("doc_id"),
+      col(rankColB).cast("long").as("rank_b"))
+    aa.join(bb, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) /
+          (lit(kRrf).cast("double") + col("rank_a").cast("double")),
+          lit(0.0)) +
+        coalesce(lit(1.0) /
+          (lit(kRrf).cast("double") + col("rank_b").cast("double")),
+          lit(0.0)))
+      .withColumn("fused_rank", row_number().over(
+        Window.orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+  }
 }

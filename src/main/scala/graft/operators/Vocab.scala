@@ -540,13 +540,19 @@ object Vocab {
         round(col("__s").cast("double"), 6).as("bm25"))
   }
 
-  /** Global BM25 top-k (score DESC, id ASC tie-break): plans as a
-    * TakeOrdered — per-partition heaps, never a full corpus sort. */
+  /** Global BM25 top-k (score DESC, id ASC tie-break) with a `rank`
+    * column: the corpus ranking plans as a TakeOrdered — per-partition
+    * heaps, never a full sort — and only the ≤ k surviving rows pay
+    * the row_number window (single-task over a shortlist by
+    * construction; feeds [[Similarity.rrfFuse]] directly). */
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k: Int, k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     bm25Scores(df, idCol, textCol, queryTerms, k1, b)
       .orderBy(col("bm25").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
   }
 }

@@ -1147,6 +1147,33 @@ class OperatorsSpec extends TestBase {
       Multimodal.AudioHeader(2L, None, None, None, None, None))
   }
 
+  test("rrfFuse: hand-checked fusion, absent-list docs contribute 0, " +
+      "ties break on id, ranks preserved for provenance (X3/X5)") {
+    val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "r")
+    val b = Seq((20L, 1L), (40L, 2L)).toDF("id", "r")
+    val out = graft.operators.Similarity
+      .rrfFuse(a, "id", "r", b, "id", "r", kRrf = 60)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), r.getDouble(3),
+          r.getLong(4))).toMap
+    // doc 20 is in both lists: 1/62 + 1/61 — must rank first
+    assert(out(20L)._3 == 1.0 / 62 + 1.0 / 61)
+    assert(out(20L)._4 == 1L)
+    // one-list docs carry a null rank for the other list
+    assert(out(10L) == ((Some(1L), None, 1.0 / 61, 2L)))
+    assert(out(40L) == ((None, Some(2L), 1.0 / 62, 3L)))
+    assert(out(30L)._3 == 1.0 / 63 && out(30L)._4 == 4L)
+    // tie: A-only rank 5 vs B-only rank 5 → same rrf, id breaks it
+    val ta = Seq((7L, 5L)).toDF("id", "r")
+    val tb = Seq((3L, 5L)).toDF("id", "r")
+    val tie = graft.operators.Similarity
+      .rrfFuse(ta, "id", "r", tb, "id", "r")
+      .orderBy("fused_rank").collect().map(_.getLong(0)).toSeq
+    assert(tie == Seq(3L, 7L))
+    intercept[IllegalArgumentException](graft.operators.Similarity
+      .rrfFuse(a, "id", "r", b, "id", "r", kRrf = 0))
+  }
+
   test("profiler: one row per column, nulls/distinct/minmax (profiling)") {
     val df = Seq((1L, Some("a")), (2L, None), (3L, Some("b")))
       .toDF("id", "v")
