@@ -3742,7 +3742,44 @@ object OpsQueries {
              |SELECT doc_id, rank_a, rank_b, rrf,
              |  CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id)
              |    AS BIGINT) AS fused_rank
-             |FROM fused ORDER BY fused_rank""".stripMargin))
+             |FROM fused ORDER BY fused_rank""".stripMargin)),
+
+    // ----- X5 TRAINED language ID (char n-grams through the LDA head) -------
+    // withCharGrams re-texts each doc as its char trigrams, so the
+    // EXISTING word-feature training stack becomes a fastText-style
+    // character-feature classifier with zero new model machinery —
+    // trained en-vs-rest on the corpus itself, served by the same
+    // scoreWith. The oracle re-texts identically and replays the full
+    // LDA chain over the char-gram corpus with lang='en' as the
+    // positive predicate.
+    "q130_trained_langid" -> Entry(
+      (s, dir) => {
+        val cg = TextAnalysis.withCharGrams(docsFan(s, dir), "text",
+          "cg_text", n = 3)
+        val model = QualityFilter.trainLda(
+          cg.filter(col("lang") === "en"), "doc_id", "cg_text",
+          cg.filter(col("lang") =!= "en"), "doc_id", "cg_text",
+          numBuckets = 256)
+        QualityFilter.scoreWith(cg, "doc_id", "cg_text", model)
+          .orderBy("doc_id")
+      },
+      Some {
+        val cgSql =
+          """cgn AS (SELECT doc_id, lang, regexp_replace(lower(trim(
+            |    text)), '\s+', '_', 'g') AS nrm FROM documents),
+            |cg AS MATERIALIZED (SELECT doc_id, lang,
+            |  CASE WHEN nrm IS NULL THEN NULL ELSE coalesce(
+            |    array_to_string([substr(nrm, i, 3)
+            |      for i in generate_series(1, length(nrm) - 2)], ' '),
+            |    '') END AS text
+            |  FROM cgn)""".stripMargin
+        s"WITH $cgSql,\n" +
+          s"${qfChainSql(numBuckets = 256, corpus = "cg",
+            posPred = Some("lang = 'en'"))}\n" +
+          """SELECT doc_id, n_feats, round(z, 6) AS logit,
+            |  round(0.5 * (1 + z / (1 + abs(z))), 6) AS prob
+            |FROM sc ORDER BY doc_id""".stripMargin
+      })
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)
@@ -3902,10 +3939,11 @@ object OpsQueries {
     * inlines each reference and the tree grows combinatorially (the
     * q107/q108 lesson, BASELINE.md). */
   private def qfChainSql(numBuckets: Int, eps: Double = 1e-8,
-      corpus: String = "documents"): String = {
+      corpus: String = "documents", posPred: Option[String] = None)
+      : String = {
     val nb = numBuckets
-    val pos = QfTargetSources.map(x => s"'$x'").mkString(
-      "source IN (", ", ", ")")
+    val pos = posPred.getOrElse(QfTargetSources.map(x => s"'$x'")
+      .mkString("source IN (", ", ", ")"))
     val nP = "(SELECT nc FROM cnts WHERE y = 1)"
     val nN = "(SELECT nc FROM cnts WHERE y = 0)"
     s"""tk AS MATERIALIZED (SELECT doc_id, list_filter(

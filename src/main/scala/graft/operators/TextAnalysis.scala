@@ -626,6 +626,38 @@ object TextAnalysis {
         .otherwise(col("__acc.tgt")).as("target_text"))
   }
 
+  /** Character n-gram re-texting: `outCol` = the space-joined char
+    * n-grams of the lowercase text with whitespace runs collapsed to
+    * `_` (the fastText word-boundary marker — and it keeps every gram
+    * whitespace-free, so the downstream word tokenizer never splits a
+    * gram): "der die" → "der er_ r_d _di die". The adapter that turns
+    * the WORD-feature training stack into a CHARACTER-feature one:
+    * feed `outCol` to
+    * [[QualityFilter.trainLda]]/[[scoreWith]] and its word-unigram+
+    * bigram features become char n-grams and n-gram pairs — the
+    * fastText-style feature space language ID actually needs (word
+    * features barely transfer across languages; character shapes do).
+    * Null text stays null; text shorter than `n` chars becomes `""`
+    * (featureless → absent from scores, the [[QualityFilter]]
+    * convention). Pure zero-exchange projection. */
+  def withCharGrams(df: org.apache.spark.sql.DataFrame, textCol: String,
+      outCol: String, n: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(!df.columns.contains(outCol),
+      s"input already has a '$outCol' column — withCharGrams would " +
+        "silently overwrite it; pick another outCol")
+    df.withColumn("__cg_nrm",
+        regexp_replace(lower(trim(col(textCol))), "\\s+", "_"))
+      .withColumn(outCol,
+        when(col(textCol).isNull, lit(null).cast("string"))
+          .otherwise(array_join(expr(
+            s"""CASE WHEN length(__cg_nrm) < $n
+               |THEN cast(array() AS array<string>)
+               |ELSE transform(sequence(1, length(__cg_nrm) - ${n - 1}),
+               |  i -> substr(__cg_nrm, i, $n)) END""".stripMargin), " ")))
+      .drop("__cg_nrm")
+  }
+
   /** Prefix-LM pair generation (the UL2 "S-denoiser", Tay et al. 2022;
     * also the PrefixLM objective of Raffel et al. §3.2.1): split each
     * document's token stream at a DETERMINISTIC point into

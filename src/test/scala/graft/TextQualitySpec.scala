@@ -98,6 +98,44 @@ class TextQualitySpec extends TestBase {
       TextAnalysis.prefixLmSplit(df, "doc_id", "text", minPrefix = 0))
   }
 
+  test("withCharGrams + trainLda = trained character language ID: " +
+      "grams are whitespace-free, separation on a planted bilingual " +
+      "corpus, null/short contracts hold") {
+    val cg = TextAnalysis.withCharGrams(docs(1L -> "der die"), "text",
+      "cg", n = 3).select("cg").head.getString(0)
+    assert(cg == "der er_ r_d _di die", s"got '$cg'")
+    assert(!cg.split(" ").exists(_.contains("_ _")))
+    // short + null contracts
+    val edge = TextAnalysis.withCharGrams(
+      docs(1L -> "ab").union(Seq((2L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text")), "text", "cg", n = 3)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(edge(1L).contains("") && edge(2L).isEmpty)
+    intercept[IllegalArgumentException](TextAnalysis.withCharGrams(
+      docs(1L -> "x"), "text", "text"))
+    // trained char lang-id: German-ish vs English-ish planted corpus
+    val de = Seq.tabulate(15)(i =>
+      (i.toLong, s"der hund und die katze ist nicht da nummer n$i"))
+      .toDF("doc_id", "text")
+    val en = Seq.tabulate(15)(i =>
+      (100L + i, s"the dog and the cat is not here number n$i"))
+      .toDF("doc_id", "text")
+    val all = de.union(en)
+    val cgAll = TextAnalysis.withCharGrams(all, "text", "cg_text", 3)
+    val model = graft.operators.QualityFilter.trainLda(
+      TextAnalysis.withCharGrams(de, "text", "cg_text", 3),
+      "doc_id", "cg_text",
+      TextAnalysis.withCharGrams(en, "text", "cg_text", 3),
+      "doc_id", "cg_text", numBuckets = 128)
+    val probs = graft.operators.QualityFilter
+      .scoreWith(cgAll, "doc_id", "cg_text", model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val deP = (0L until 15L).map(probs)
+    val enP = (100L until 115L).map(probs)
+    assert(deP.min > 0.5, s"a German doc scored ${deP.min}")
+    assert(enP.max < 0.5, s"an English doc scored ${enP.max}")
+  }
+
   // ---------- Gopher rules -------------------------------------------------
 
   test("gopher line rules: bullet/ellipsis fractions over non-blank " +
