@@ -3779,6 +3779,69 @@ object OpsQueries {
           """SELECT doc_id, n_feats, round(z, 6) AS logit,
             |  round(0.5 * (1 + z / (1 + abs(z))), 6) AS prob
             |FROM sc ORDER BY doc_id""".stripMargin
+      }),
+
+    // ----- X2 paragraph-level FUZZY global dedup ----------------------------
+    // The tier between exact line dedup (q110) and document near-dup:
+    // boilerplate BLOCKS repeated with small edits. Paragraphs (8-word
+    // lined fixture over the planted near-copy corpus) run the full
+    // MinHash->LSH->exact-Jaccard flow under (doc, pos) identity; the
+    // later member of each verified pair is removed in place. The
+    // oracle replays the q29 chain retargeted at the paragraph table.
+    "q131_para_fuzzy_dedup" -> Entry(
+      (s, dir) => {
+        val lined = nearDupDocs(s, dir).select(col("doc_id"),
+          regexp_replace(col("text"), lit("((\\w+ ){7}\\w+) "),
+            lit("$1\n\n")).as("text"))
+        Dedup.dedupParagraphsFuzzy(lined, "doc_id", "text",
+            threshold = 0.6, minParaTokens = 5)
+          .orderBy("doc_id")
+      },
+      Some {
+        val mins = (0 until 8)
+          .map(i => s"min(md5('$i|' || s)) AS m$i").mkString(", ")
+        val bands = (0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band, md5(m${2 * b} || m${2 * b + 1})" +
+            s" AS bv FROM sigq").mkString(" UNION ALL ")
+        s"""WITH $NearDupDocsSql,
+           |pd AS (SELECT doc_id, string_split(regexp_replace(text,
+           |  '((\\w+ ){7}\\w+) ', '\\1' || chr(10) || chr(10), 'g'),
+           |  chr(10) || chr(10)) AS ps FROM docs),
+           |pr AS (SELECT doc_id AS did, u.i - 1 AS pos, ps[u.i] AS para
+           |  FROM pd, unnest(generate_series(1, len(ps))) AS u(i)),
+           |pp AS (SELECT did * 1048576 + pos AS pid, did, pos, para
+           |  FROM pr),
+           |big AS (SELECT pid AS doc_id, para AS text FROM pp
+           |  WHERE len(list_filter(regexp_split_to_array(trim(para),
+           |    '\\s+'), x -> length(x) > 0)) >= 5),
+           |toksq AS (SELECT doc_id,
+           |  regexp_split_to_array(trim(text), '\\s+') AS w FROM big),
+           |shq AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s
+           |  FROM toksq, unnest(CASE WHEN len(w) >= 3
+           |    THEN generate_series(1, len(w)-2) ELSE [] END) AS u(i)),
+           |sigq AS (SELECT doc_id, $mins FROM shq GROUP BY doc_id),
+           |bandsq AS ($bands),
+           |candsq AS (SELECT DISTINCT a.doc_id AS doc_a,
+           |    b.doc_id AS doc_b
+           |  FROM bandsq a JOIN bandsq b
+           |    ON a.band = b.band AND a.bv = b.bv
+           |    AND a.doc_id < b.doc_id),
+           |setsq AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+           |  THEN [array_to_string(w[i:i+2], ' ')
+           |    for i in generate_series(1, len(w)-2)] ELSE [] END) AS sh
+           |  FROM toksq),
+           |dropp AS (SELECT DISTINCT doc_b AS pid FROM candsq
+           |  JOIN setsq sa ON candsq.doc_a = sa.doc_id
+           |  JOIN setsq sb ON candsq.doc_b = sb.doc_id
+           |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+           |    (CAST(len(sa.sh) AS DOUBLE) + CAST(len(sb.sh) AS DOUBLE)
+           |     - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE))
+           |    >= 0.6),
+           |keep AS (SELECT did, pos, para FROM pp
+           |  WHERE pid NOT IN (SELECT pid FROM dropp))
+           |SELECT did AS doc_id,
+           |  string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text
+           |FROM keep GROUP BY did ORDER BY doc_id""".stripMargin
       })
   )
 

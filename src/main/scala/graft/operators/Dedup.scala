@@ -800,6 +800,71 @@ object Dedup {
     reassembleLines(dedupSurvivors(lines, minLineChars), idCol, textCol)
   }
 
+  /** Paragraph-level FUZZY global dedup — the tier between
+    * [[dedupLines]] (exact, line) and document near-dup removal:
+    * boilerplate blocks that repeat across pages WITH small edits
+    * (dates, usernames, reflowed punctuation) survive exact line
+    * dedup and are invisible to document-level near-dup because the
+    * surrounding text differs. Paragraphs (split on blank lines)
+    * become the dedup unit: each runs through the
+    * [[verifiedNearDups]] MinHash→LSH→exact-Jaccard flow under a
+    * composite `(doc, pos)` identity, and the LATER member of every
+    * verified pair is removed from inside its document — first
+    * occurrence (smallest doc, then position) wins, transitively for
+    * exact copies since every copy pairs with the first.
+    *
+    * Paragraphs with fewer than `minParaTokens` tokens are EXEMPT
+    * (kept in place, never even enter candidate generation — the
+    * [[dedupLines]] short-line rationale). Documents losing every
+    * paragraph are dropped, as are null-text docs.
+    *
+    * Identity encoding: `pid = id·maxParasPerDoc + pos` — ids must be
+    * non-negative and small enough not to overflow
+    * (`id < 2^63 / maxParasPerDoc`); a document exceeding
+    * `maxParasPerDoc` paragraphs raises per-row via `assert_true`
+    * rather than silently colliding.
+    *
+    * Scale shape: the near-dup flow inherits [[verifiedNearDups]]'s
+    * single-linear-flow budget (bucket + pair-dedup exchanges, sets
+    * ride the signatures); the exempt/keep branches re-scan the
+    * two-column projection (the q29 planted-union precedent), and the
+    * final reassembly is one id-keyed exchange. */
+  def dedupParagraphsFuzzy(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.6, minParaTokens: Int = 5, k: Int = 8,
+      rowsPerBand: Int = 2, shingleN: Int = 3,
+      maxParasPerDoc: Long = 1L << 20): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    require(minParaTokens >= 1,
+      s"minParaTokens must be >= 1, got $minParaTokens")
+    require(maxParasPerDoc >= 2,
+      s"maxParasPerDoc must be >= 2, got $maxParasPerDoc")
+    val paras = df
+      .select(col(idCol).cast("long").as("__did"),
+        posexplode(split(col(textCol), "\n{2,}")))
+      .withColumnRenamed("pos", "__pos")
+      .withColumnRenamed("col", "__para")
+      .withColumn("__pid",
+        col("__did") * maxParasPerDoc + col("__pos") +
+          coalesce(assert_true(col("__pos") < maxParasPerDoc,
+            lit(s"document exceeds $maxParasPerDoc paragraphs — " +
+              "raise maxParasPerDoc")).cast("long"), lit(0L)))
+    val candidates = paras
+      .filter(size(filter(TextAnalysis.tokens(col("__para")),
+        t => length(t) > 0)) >= minParaTokens)
+      .select(col("__pid"), col("__para"))
+    val pairs = verifiedNearDups(candidates, "__pid", "__para",
+      threshold, k, rowsPerBand, shingleN)
+    val dropPids = pairs.select(col("doc_b").as("__pid")).distinct()
+    paras.join(dropPids, Seq("__pid"), "left_anti")
+      .groupBy(col("__did").as(idCol))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("__pos"), col("__para")))),
+          s => s.getField("__para")),
+        "\n\n").as(textCol))
+  }
+
   /** Corpus snapshot diff — the operational "what changed between
     * crawl N and crawl N+1" report every incremental pipeline keys
     * re-processing off: one row per id present in either snapshot with

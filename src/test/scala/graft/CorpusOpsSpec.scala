@@ -100,6 +100,48 @@ class CorpusOpsSpec extends TestBase {
       c4Then.collect().toSet)
   }
 
+  test("dedupParagraphsFuzzy: near-identical blocks die at their later " +
+      "(doc, pos); short paragraphs exempt; boilerplate-only docs drop") {
+    val boiler = "subscribe to our newsletter for updates every single week"
+    val boilerEdited =
+      "subscribe to our newsletter for updates every single day"
+    val df = docs(
+      1L -> s"$boiler\n\nunique first document body paragraph here\n\nok",
+      2L -> s"$boilerEdited\n\nanother unique body paragraph two\n\nok",
+      3L -> boiler)
+    val out = Dedup.dedupParagraphsFuzzy(df, "doc_id", "text",
+        threshold = 0.5, minParaTokens = 5)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    // doc1 keeps everything (first occurrence); doc2 loses only the
+    // EDITED near-copy; doc3 was pure boilerplate → dropped whole;
+    // the 1-token 'ok' paragraph is exempt everywhere
+    assert(out == Seq(
+      1L -> s"$boiler\n\nunique first document body paragraph here\n\nok",
+      2L -> "another unique body paragraph two\n\nok"), s"got $out")
+    // within-doc exact repeat collapses to its first position
+    val self = docs(7L ->
+      s"$boiler\n\nmiddle unique paragraph with several words\n\n$boiler")
+    assert(Dedup.dedupParagraphsFuzzy(self, "doc_id", "text",
+        threshold = 0.5).as[(Long, String)].collect().toSeq ==
+      Seq(7L ->
+        s"$boiler\n\nmiddle unique paragraph with several words"))
+    // partitioning invariance
+    assert(Dedup.dedupParagraphsFuzzy(df.repartition(7), "doc_id",
+      "text", threshold = 0.5).collect().toSet ==
+      Dedup.dedupParagraphsFuzzy(df, "doc_id", "text",
+        threshold = 0.5).collect().toSet)
+    // loud contracts: bad threshold; paragraph-count overflow raises
+    intercept[IllegalArgumentException](
+      Dedup.dedupParagraphsFuzzy(df, "doc_id", "text", threshold = 0.0))
+    val boom = intercept[Exception](
+      Dedup.dedupParagraphsFuzzy(df, "doc_id", "text",
+        maxParasPerDoc = 2L).collect())
+    assert(boom.getMessage.contains("maxParasPerDoc") ||
+      Option(boom.getCause).exists(
+        _.getMessage.contains("maxParasPerDoc")),
+      s"wrong failure: ${boom.getMessage}")
+  }
+
   // ---------- BM25 retrieval selection -------------------------------------
 
   test("bm25Scores matches the textbook formula exactly; rarity raises " +
