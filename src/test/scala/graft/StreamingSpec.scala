@@ -432,6 +432,37 @@ class StreamingSpec extends TestBase {
     assert(got.nonEmpty && got.forall(!_._2.contains("@")))
   }
 
+  test("denoising-pair generation composes on streams: spanCorrupt and " +
+      "prefixLmSplit run per micro-batch, bit-identical to batch") {
+    // both are zero-exchange projections (ScaleSpec-pinned), so the
+    // same calls generate training pairs on a live ingest stream
+    val dir = tmpDir().toString
+    val rows = (0L until 20L).map(i =>
+      (i, (1 to 60).map(j => s"w${i}_$j").mkString(" ")))
+    rows.toDF("doc_id", "text").write.mode("append").parquet(dir)
+    val stream = spark.readStream
+      .schema(Seq.empty[(Long, String)].toDF("doc_id", "text").schema)
+      .parquet(dir)
+    val q1 = graft.operators.TextAnalysis
+      .spanCorrupt(stream, "doc_id", "text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("span_stream_out").trigger(Trigger.AvailableNow()).start()
+    val q2 = graft.operators.TextAnalysis
+      .prefixLmSplit(stream, "doc_id", "text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("plm_stream_out").trigger(Trigger.AvailableNow()).start()
+    q1.processAllAvailable(); q2.processAllAvailable()
+    q1.stop(); q2.stop()
+    val batchDf = rows.toDF("doc_id", "text")
+    assert(spark.table("span_stream_out").collect().toSet ==
+      graft.operators.TextAnalysis.spanCorrupt(batchDf, "doc_id", "text")
+        .collect().toSet, "streamed spanCorrupt diverged from batch")
+    assert(spark.table("plm_stream_out").collect().toSet ==
+      graft.operators.TextAnalysis
+        .prefixLmSplit(batchDf, "doc_id", "text")
+        .collect().toSet, "streamed prefixLmSplit diverged from batch")
+  }
+
   test("lexicon quality gate and int8 encoding compose on streams " +
     "(map-only ops; stats is a static broadcast side)") {
     val dir = tmpDir().toString
