@@ -668,6 +668,71 @@ object QuackIO {
       .mode("overwrite").save(dir)
   }
 
+  /** Small-files compaction — the lakehouse maintenance op every
+    * streaming/incremental ingest needs: micro-batches and per-task
+    * writers leave thousands of KB-sized files whose open/footer cost
+    * eventually dominates scans. Reads `srcDir`, sizes the output at
+    * `ceil(input bytes / targetFileBytes)` partitions, writes to
+    * `dstDir` (NEVER in place — compacting into the directory being
+    * read would destroy the input mid-scan; the caller swaps
+    * directories after success, the [[writeTable]] staging idea at
+    * directory granularity).
+    *
+    * `shuffle=false` (default) compacts with `coalesce` — no exchange,
+    * each output file concatenates whole input partitions; file sizes
+    * are approximate but the corpus never re-shuffles, the right
+    * trade for routine compaction. `shuffle=true` round-robins rows
+    * for even file sizes at the cost of a full exchange (use when the
+    * input is badly skewed). Row order is NOT preserved either way —
+    * re-sort via [[writeShards]] if order matters.
+    *
+    * Returns (input file count, output partition count). */
+  def compactDir(spark: SparkSession, srcDir: String, dstDir: String,
+      targetFileBytes: Long = 128L << 20, format: String = "parquet",
+      shuffle: Boolean = false): (Int, Int) = {
+    require(targetFileBytes >= (1L << 20),
+      s"targetFileBytes below 1 MiB recreates the problem: $targetFileBytes")
+    require(new java.io.File(srcDir).getCanonicalPath !=
+      new java.io.File(dstDir).getCanonicalPath,
+      "compactDir refuses in-place compaction: reading and overwriting " +
+        s"the same directory destroys the input mid-scan ($srcDir)")
+    val df = spark.read.format(format).load(srcDir)
+    val conf = spark.sessionState.newHadoopConf()
+    val files = df.inputFiles
+    val bytes = files.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    }.sum
+    val parts = math.max(1L,
+      (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val sized = if (shuffle) df.repartition(parts) else df.coalesce(parts)
+    sized.write.format(format).mode("overwrite").save(dstDir)
+    (files.length, parts)
+  }
+
+  /** Schema drift report between two table snapshots — the metadata
+    * sibling of [[graft.operators.Dedup.corpusDiff]]: one row per
+    * column present in either schema with `status` ∈ added | removed |
+    * type_changed | unchanged (type compared by `simpleString`;
+    * nullability is deliberately ignored — it flaps with writer
+    * settings). METADATA-ONLY: reads both schemas, runs zero jobs,
+    * scans zero bytes — safe to call on 100 TB tables. */
+  def schemaDiff(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
+    val spark = oldDf.sparkSession
+    import spark.implicits._
+    val o = oldDf.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    val n = newDf.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    (o.keySet ++ n.keySet).toSeq.sorted.map { c =>
+      val status = (o.get(c), n.get(c)) match {
+        case (None, Some(_)) => "added"
+        case (Some(_), None) => "removed"
+        case (Some(a), Some(b)) if a != b => "type_changed"
+        case _ => "unchanged"
+      }
+      (c, status, o.get(c).orNull, n.get(c).orNull)
+    }.toDF("column", "status", "old_type", "new_type")
+  }
+
   private def writeDir(df: DataFrame, path: String, fmt: String,
       opts: WriteOptions, partitionBy: Seq[String] = Nil): Unit = {
     val compression = opts.compression.orElse(inferCompression(path))

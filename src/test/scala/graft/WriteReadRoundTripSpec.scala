@@ -205,6 +205,47 @@ class WriteReadRoundTripSpec extends TestBase {
     assert(spark.read.parquet(zdir).columns.toSeq.sorted == Seq("a", "b"))
   }
 
+  test("compactDir: many small files become few, rows survive exactly, " +
+      "in-place compaction refused") {
+    val src = s"${tmpDir()}/compact_src"
+    val dst = s"${tmpDir()}/compact_dst"
+    // many tiny files — the streaming-ingest small-files signature
+    // (AQE may coalesce the 40 requested partitions; count what landed)
+    spark.range(40).repartition(40)
+      .write.mode("overwrite").parquet(src)
+    val srcFiles = new java.io.File(src).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(srcFiles > 5, s"fixture produced only $srcFiles files")
+    val (inFiles, outParts) = QuackIO.compactDir(spark, src, dst)
+    assert(inFiles == srcFiles && outParts == 1)
+    val outFiles = new java.io.File(dst).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(outFiles == 1, s"expected one compacted file, got $outFiles")
+    assert(spark.read.parquet(dst).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq == (0L until 40L))
+    // shuffle=true path also preserves rows
+    val dst2 = s"${tmpDir()}/compact_dst2"
+    QuackIO.compactDir(spark, src, dst2, shuffle = true)
+    assert(spark.read.parquet(dst2).count() == 40)
+    intercept[IllegalArgumentException](
+      QuackIO.compactDir(spark, src, src))
+    intercept[IllegalArgumentException](
+      QuackIO.compactDir(spark, src, dst, targetFileBytes = 1024))
+  }
+
+  test("schemaDiff: added/removed/type_changed/unchanged, metadata-only") {
+    import spark.implicits._
+    val oldDf = Seq((1L, "a", 1.0)).toDF("id", "name", "score")
+    val newDf = Seq((1L, 2, true)).toDF("id", "score", "flag")
+    val d = QuackIO.schemaDiff(oldDf, newDf)
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getString(2), r.getString(3))).toMap
+    assert(d("id") == (("unchanged", "bigint", "bigint")))
+    assert(d("name") == (("removed", "string", null)))
+    assert(d("score") == (("type_changed", "double", "int")))
+    assert(d("flag") == (("added", null, "boolean")))
+  }
+
   test("uppercase format throws before creating the file (error contract)") {
     val dir = tmpDir()
     val p = s"$dir/tbl.csv"
