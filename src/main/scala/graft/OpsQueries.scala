@@ -3582,7 +3582,8 @@ object OpsQueries {
       Some("""WITH tk AS (SELECT doc_id, list_filter(
              |    regexp_split_to_array(trim(lower(text)), '\s+'),
              |    x -> length(x) > 0) AS ts FROM documents),
-             |lens AS (SELECT doc_id, len(ts) AS dl FROM tk),
+             |lens AS (SELECT doc_id, len(ts) AS dl FROM tk
+             |  WHERE ts IS NOT NULL),
              |st AS (SELECT COUNT(*) AS n_docs,
              |  SUM(CAST(dl AS DECIMAL(38,15))) AS sum_dl FROM lens),
              |dt AS (SELECT doc_id, u.x AS term, COUNT(*) AS tf
@@ -3694,7 +3695,8 @@ object OpsQueries {
       Some("""WITH tk AS (SELECT doc_id, list_filter(
              |    regexp_split_to_array(trim(lower(text)), '\s+'),
              |    x -> length(x) > 0) AS ts FROM documents),
-             |lens AS (SELECT doc_id, len(ts) AS dl FROM tk),
+             |lens AS (SELECT doc_id, len(ts) AS dl FROM tk
+             |  WHERE ts IS NOT NULL),
              |st AS (SELECT COUNT(*) AS n_docs,
              |  SUM(CAST(dl AS DECIMAL(38,15))) AS sum_dl FROM lens),
              |dt AS (SELECT doc_id, u.x AS term, COUNT(*) AS tf
@@ -3785,9 +3787,10 @@ object OpsQueries {
     // The tier between exact line dedup (q110) and document near-dup:
     // boilerplate BLOCKS repeated with small edits. Paragraphs (8-word
     // lined fixture over the planted near-copy corpus) run the full
-    // MinHash->LSH->exact-Jaccard flow under (doc, pos) identity; the
-    // later member of each verified pair is removed in place. The
-    // oracle replays the q29 chain retargeted at the paragraph table.
+    // exact stage (min-pid representative per distinct paragraph,
+    // partial-agg skew-safe) then the MinHash->LSH->exact-Jaccard flow
+    // over distinct representatives; later family members are removed
+    // in place. The oracle replays both stages.
     "q131_para_fuzzy_dedup" -> Entry(
       (s, dir) => {
         val lined = nearDupDocs(s, dir).select(col("doc_id"),
@@ -3811,11 +3814,14 @@ object OpsQueries {
            |  FROM pd, unnest(generate_series(1, len(ps))) AS u(i)),
            |pp AS (SELECT did * 1048576 + pos AS pid, did, pos, para
            |  FROM pr),
-           |big AS (SELECT pid AS doc_id, para AS text FROM pp
+           |cand AS (SELECT pid, para FROM pp
            |  WHERE len(list_filter(regexp_split_to_array(trim(para),
            |    '\\s+'), x -> length(x) > 0)) >= 5),
+           |-- exact stage: min-pid representative per distinct paragraph
+           |reps AS (SELECT min(pid) AS doc_id, para AS text FROM cand
+           |  GROUP BY para),
            |toksq AS (SELECT doc_id,
-           |  regexp_split_to_array(trim(text), '\\s+') AS w FROM big),
+           |  regexp_split_to_array(trim(text), '\\s+') AS w FROM reps),
            |shq AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s
            |  FROM toksq, unnest(CASE WHEN len(w) >= 3
            |    THEN generate_series(1, len(w)-2) ELSE [] END) AS u(i)),
@@ -3837,8 +3843,12 @@ object OpsQueries {
            |    (CAST(len(sa.sh) AS DOUBLE) + CAST(len(sb.sh) AS DOUBLE)
            |     - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE))
            |    >= 0.6),
+           |keeprep AS (SELECT doc_id AS pid FROM reps
+           |  WHERE doc_id NOT IN (SELECT pid FROM dropp)),
            |keep AS (SELECT did, pos, para FROM pp
-           |  WHERE pid NOT IN (SELECT pid FROM dropp))
+           |  WHERE pid IN (SELECT pid FROM keeprep)
+           |    OR len(list_filter(regexp_split_to_array(trim(para),
+           |      '\\s+'), x -> length(x) > 0)) < 5)
            |SELECT did AS doc_id,
            |  string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text
            |FROM keep GROUP BY did ORDER BY doc_id""".stripMargin

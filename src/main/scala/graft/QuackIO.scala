@@ -681,33 +681,46 @@ object QuackIO {
     * `shuffle=false` (default) compacts with `coalesce` — no exchange,
     * each output file concatenates whole input partitions; file sizes
     * are approximate but the corpus never re-shuffles, the right
-    * trade for routine compaction. `shuffle=true` round-robins rows
-    * for even file sizes at the cost of a full exchange (use when the
-    * input is badly skewed). Row order is NOT preserved either way —
-    * re-sort via [[writeShards]] if order matters.
+    * trade for routine compaction. (`coalesce` can only DECREASE the
+    * partition count: if the scan plans fewer partitions than the
+    * byte-sized target — e.g. a handful of non-splittable gzip
+    * inputs — the output keeps the scan's count and files come out
+    * larger than `targetFileBytes`; `shuffle=true` round-robins rows
+    * for even file sizes at the cost of a full exchange.) Row order
+    * is NOT preserved either way — re-sort via [[writeShards]] if
+    * order matters.
     *
-    * Returns (input file count, output partition count). */
+    * Returns (input file count, output file count) — both COUNTED,
+    * not assumed, so the caller sees what actually landed. */
   def compactDir(spark: SparkSession, srcDir: String, dstDir: String,
       targetFileBytes: Long = 128L << 20, format: String = "parquet",
       shuffle: Boolean = false): (Int, Int) = {
     require(targetFileBytes >= (1L << 20),
       s"targetFileBytes below 1 MiB recreates the problem: $targetFileBytes")
-    require(new java.io.File(srcDir).getCanonicalPath !=
-      new java.io.File(dstDir).getCanonicalPath,
+    val conf = spark.sessionState.newHadoopConf()
+    // resolve through the Hadoop FileSystem, NOT java.io.File: the
+    // directories may live on hdfs/s3a where File canonicalization is
+    // meaningless and an equivalent-URI pair would slip a same-dir
+    // overwrite past a string compare
+    val srcPath = new org.apache.hadoop.fs.Path(srcDir)
+    val dstPath = new org.apache.hadoop.fs.Path(dstDir)
+    val srcFs = srcPath.getFileSystem(conf)
+    val dstFs = dstPath.getFileSystem(conf)
+    require(srcFs.makeQualified(srcPath) != dstFs.makeQualified(dstPath),
       "compactDir refuses in-place compaction: reading and overwriting " +
         s"the same directory destroys the input mid-scan ($srcDir)")
     val df = spark.read.format(format).load(srcDir)
-    val conf = spark.sessionState.newHadoopConf()
-    val files = df.inputFiles
-    val bytes = files.map { f =>
-      val p = new org.apache.hadoop.fs.Path(f)
-      p.getFileSystem(conf).getFileStatus(p).getLen
-    }.sum
+    val nIn = df.inputFiles.length
+    // ONE metadata call for the total size — a per-file getFileStatus
+    // loop would be thousands of serial driver RPCs on exactly the
+    // many-small-files directories this op exists for
+    val bytes = srcFs.getContentSummary(srcPath).getLength
     val parts = math.max(1L,
       (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val sized = if (shuffle) df.repartition(parts) else df.coalesce(parts)
     sized.write.format(format).mode("overwrite").save(dstDir)
-    (files.length, parts)
+    val nOut = spark.read.format(format).load(dstDir).inputFiles.length
+    (nIn, nOut)
   }
 
   /** Schema drift report between two table snapshots — the metadata

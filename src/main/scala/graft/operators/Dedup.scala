@@ -784,13 +784,7 @@ object Dedup {
       s"minLineChars must be >= 1, got $minLineChars")
     require(minLineWords >= 1,
       s"minLineWords must be >= 1, got $minLineWords")
-    val terminal = Seq(".", "!", "?", "\"")
-    val keep = (l: Column) => {
-      val r = rtrim(l)
-      terminal.map(t => r.endsWith(t)).reduce(_ || _) &&
-        size(TextAnalysis.tokens(l)) >= minLineWords &&
-        !lower(l).contains("javascript")
-    }
+    val keep = TextAnalysis.c4KeepLine(minLineWords)
     val lines = df
       .select(col(idCol).as("__did"),
         posexplode(split(col(textCol), "\n")))
@@ -824,15 +818,28 @@ object Dedup {
     * `maxParasPerDoc` paragraphs raises per-row via `assert_true`
     * rather than silently colliding.
     *
-    * Scale shape: the near-dup flow inherits [[verifiedNearDups]]'s
-    * single-linear-flow budget (bucket + pair-dedup exchanges, sets
-    * ride the signatures); the exempt/keep branches re-scan the
-    * two-column projection (the q29 planted-union precedent), and the
-    * final reassembly is one id-keyed exchange. */
+    * TWO STAGES, exact then fuzzy — load-bearing at scale: a
+    * boilerplate block repeated millions of times would fill its LSH
+    * band buckets past any `maxBucket` cap and be silently skipped by
+    * candidate generation (the cap exists to stop quadratic bucket
+    * expansion). The EXACT stage kills that case first with a
+    * skew-safe partial-agg `groupBy(para).agg(min(pid))` — the
+    * [[dedupLines]] shape, hot paragraphs collapse map-side — so only
+    * DISTINCT paragraph variants reach the LSH flow and bucket sizes
+    * reflect near-dup variant counts, not copy counts. `maxBucket`
+    * (exposed) then caps only pathological families of *distinct*
+    * near-identical variants.
+    *
+    * Scale shape: exact stage = one line-keyed partial-agg exchange;
+    * fuzzy stage inherits [[verifiedNearDups]]'s single-linear-flow
+    * budget over distinct survivors; the exempt/keep branches re-scan
+    * the two-column projection (the q29 planted-union precedent), and
+    * the final reassembly is one id-keyed exchange. */
   def dedupParagraphsFuzzy(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.6, minParaTokens: Int = 5, k: Int = 8,
       rowsPerBand: Int = 2, shingleN: Int = 3,
-      maxParasPerDoc: Long = 1L << 20): DataFrame = {
+      maxParasPerDoc: Long = 1L << 20, maxBucket: Int = 10000)
+      : DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
     require(minParaTokens >= 1,
@@ -853,10 +860,26 @@ object Dedup {
       .filter(size(filter(TextAnalysis.tokens(col("__para")),
         t => length(t) > 0)) >= minParaTokens)
       .select(col("__pid"), col("__para"))
-    val pairs = verifiedNearDups(candidates, "__pid", "__para",
-      threshold, k, rowsPerBand, shingleN)
-    val dropPids = pairs.select(col("doc_b").as("__pid")).distinct()
-    paras.join(dropPids, Seq("__pid"), "left_anti")
+    // exact stage: one winner (min pid) per distinct paragraph — the
+    // agg row IS the representative, every other exact copy drops here
+    val reps = candidates
+      .groupBy(col("__para"))
+      .agg(min(col("__pid")).as("__pid"))
+    // fuzzy stage over distinct representatives only
+    val pairs = verifiedNearDups(reps.select(col("__pid"), col("__para")),
+      "__pid", "__para", threshold, k, rowsPerBand, shingleN,
+      maxBucket)
+    val dropReps = pairs.select(col("doc_b").as("__pid")).distinct()
+    val keepRepIds = reps.join(dropReps, Seq("__pid"), "left_anti")
+      .select(col("__pid"))
+    // a paragraph occurrence survives iff it IS its family's surviving
+    // representative; exempt short paragraphs bypass everything
+    val exempt = paras.filter(
+      size(filter(TextAnalysis.tokens(col("__para")),
+        t => length(t) > 0)) < minParaTokens)
+    val kept = paras.join(keepRepIds, Seq("__pid"), "left_semi")
+      .unionByName(exempt)
+    kept
       .groupBy(col("__did").as(idCol))
       .agg(array_join(
         transform(

@@ -126,8 +126,10 @@ object QualityFilter {
     * `y = 0`. The same document id may appear on both sides (standard
     * when the target is a curated subset of the crawl) — the label,
     * not the id, separates them. WITHIN a side ids must be unique
-    * (dedup first): duplicate ids would silently merge their feature
-    * vectors here and double-count in the scan-only doc counts. */
+    * (dedup first): duplicate ids silently MERGE their feature vectors
+    * in the (doc, bucket) aggregation — and, with `marker` set,
+    * collapse to a single bucket −1 row, so the per-class doc count
+    * sees one doc carrying doubled feature mass. */
   private def labelled(positive: DataFrame, posIdCol: String,
       posTextCol: String, negative: DataFrame, negIdCol: String,
       negTextCol: String, numBuckets: Int, salt: String,

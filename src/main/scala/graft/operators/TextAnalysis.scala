@@ -391,18 +391,25 @@ object TextAnalysis {
     * column is engine-exact. Pure scan projection: zero exchanges;
     * the line predicates run inside one `filter` lambda per doc.
     */
+  /** The C4 §2.2 LINE-keep predicate (terminal punctuation mark,
+    * ≥ `minLineWords` words, no "javascript") — the SINGLE definition
+    * behind [[withC4Rules]] and [[Dedup.dedupLinesC4]]; their
+    * fused≡two-pass parity is spec-pinned, so the rule must never
+    * fork. */
+  private[operators] def c4KeepLine(minLineWords: Int)
+      : Column => Column = { l =>
+    val r = rtrim(l)
+    Seq(".", "!", "?", "\"").map(t => r.endsWith(t)).reduce(_ || _) &&
+      size(tokens(l)) >= minLineWords &&
+      !lower(l).contains("javascript")
+  }
+
   def withC4Rules(df: org.apache.spark.sql.DataFrame, textCol: String,
       minSentences: Int = 5, minLineWords: Int = 3)
       : org.apache.spark.sql.DataFrame = {
     require(minSentences >= 0, s"minSentences must be >= 0, got $minSentences")
     require(minLineWords >= 1, s"minLineWords must be >= 1, got $minLineWords")
-    val terminal = Seq(".", "!", "?", "\"")
-    val keepLine = (l: Column) => {
-      val r = rtrim(l)
-      terminal.map(t => r.endsWith(t)).reduce(_ || _) &&
-        size(tokens(l)) >= minLineWords &&
-        !lower(l).contains("javascript")
-    }
+    val keepLine = c4KeepLine(minLineWords)
     val out = df
       .withColumn("c4_text",
         when(col(textCol).isNotNull,
@@ -646,6 +653,9 @@ object TextAnalysis {
     require(!df.columns.contains(outCol),
       s"input already has a '$outCol' column — withCharGrams would " +
         "silently overwrite it; pick another outCol")
+    require(!df.columns.contains("__cg_nrm"),
+      "input already has a '__cg_nrm' column — withCharGrams stages " +
+        "its normalization there and would clobber then drop it")
     df.withColumn("__cg_nrm",
         regexp_replace(lower(trim(col(textCol))), "\\s+", "_"))
       .withColumn(outCol,

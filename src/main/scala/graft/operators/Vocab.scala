@@ -491,7 +491,10 @@ object Vocab {
     * ulps — [[unigramLogProb]] convention); per-term scores sum
     * through DECIMAL(38,15), so the total is partition-order-exact.
     * Docs containing NO query term are absent (their score is 0 —
-    * union them back upstream if every doc needs a row).
+    * union them back upstream if every doc needs a row). NULL-text
+    * docs are excluded from the corpus statistics too (they can carry
+    * no terms; counting them in N while their null length skips
+    * `avgdl` would deflate every length normalization).
     *
     * Scale shape: the corpus explode filters to the query terms
     * BEFORE any exchange (a thousand-term query keeps millions of
@@ -510,8 +513,9 @@ object Vocab {
     val q = queryTerms.map(_.toLowerCase).distinct
     val toks = (t: Column) =>
       filter(TextAnalysis.tokens(lower(t)), x => length(x) > 0)
-    val lens = df.select(col(idCol).as("doc_id"),
-      size(toks(col(textCol))).as("dl"))
+    val lens = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        size(toks(col(textCol))).as("dl"))
     val stats = lens.agg(count(lit(1)).as("n_docs"),
       sum(col("dl").cast(dec)).as("sum_dl"))
     val docTerms = df
