@@ -3852,6 +3852,51 @@ object OpsQueries {
            |SELECT did AS doc_id,
            |  string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text
            |FROM keep GROUP BY did ORDER BY doc_id""".stripMargin
+      }),
+
+    // ----- X-pipe UL2 mixture of denoisers ----------------------------------
+    // Tay et al. 2022: every doc routes deterministically (splitBucket
+    // 2:1:1) to regular span corruption, extreme span corruption, or a
+    // prefix-LM pair. Three zero-exchange projection branches over one
+    // corpus; the oracle replays the router and all three generator
+    // chains (the span chain twice at different knobs).
+    "q132_ul2_mixture" -> Entry(
+      (s, dir) => {
+        Pipelines.denoisingMixture(docsFan(s, dir), "doc_id", "text")
+          .orderBy("objective", "doc_id")
+      },
+      Some {
+        val rChain = spanPairChainSql("_r", "rsrc", "ul2-r", 20, 3)
+        val xChain = spanPairChainSql("_x", "xsrc", "ul2-x", 8, 4)
+        s"""WITH rt AS (SELECT doc_id, text,
+           |  CASE WHEN h < 2 THEN 0 WHEN h < 3 THEN 1 ELSE 2 END AS obj
+           |  FROM (SELECT doc_id, text,
+           |    CAST(('0x' || substr(md5('ul2|' || doc_id), 1, 8))
+           |      AS UBIGINT) % 4 AS h FROM documents)),
+           |rsrc AS (SELECT doc_id, text FROM rt WHERE obj = 0),
+           |xsrc AS (SELECT doc_id, text FROM rt WHERE obj = 1),
+           |ssrc AS (SELECT doc_id, text FROM rt WHERE obj = 2),
+           |$rChain,
+           |$xChain,
+           |stk AS (SELECT doc_id, list_filter(
+           |    regexp_split_to_array(trim(text), '\\s+'),
+           |    x -> length(x) > 0) AS ts FROM ssrc),
+           |snn AS (SELECT doc_id, ts, len(ts) AS n FROM stk
+           |  WHERE len(ts) > 1),
+           |ssp AS (SELECT doc_id, ts, n, 1 +
+           |  CAST(('0x' || substr(md5('ul2-s|' || doc_id), 1, 8))
+           |    AS UBIGINT) % (n - 1) AS p FROM snn)
+           |SELECT doc_id, 'r' AS objective, input_text, target_text
+           |  FROM out_r WHERE n > 0
+           |UNION ALL
+           |SELECT doc_id, 'x' AS objective, input_text, target_text
+           |  FROM out_x WHERE n > 0
+           |UNION ALL
+           |SELECT doc_id, 's' AS objective,
+           |  array_to_string(ts[1:p], ' ') AS input_text,
+           |  array_to_string(ts[p+1:n], ' ') AS target_text
+           |FROM ssp
+           |ORDER BY objective, doc_id""".stripMargin
       })
   )
 
@@ -4074,6 +4119,47 @@ object OpsQueries {
        |    CAST(SUM(CAST(d.x * w.w AS DECIMAL(38,15))) AS DOUBLE) AS z
        |  FROM dc d JOIN wt w USING (bucket) GROUP BY d.doc_id)"""
       .stripMargin
+  }
+
+  /** Span-corruption pair chain (q127's oracle, parameterized) over a
+    * `(doc_id, text)` source CTE: start-flag / windowed-OR mask / run
+    * starts / sentinel texts, ending in `out$sfx(doc_id, n,
+    * input_text, target_text)`. Shared by q127 and the q132 UL2
+    * mixture (two differently-knobbed instances). */
+  private def spanPairChainSql(sfx: String, src: String, salt: String,
+      m: Int, l: Int): String = {
+    val orTerms = (0 until l).map {
+      case 0 => "s[i]"
+      case j => s"(i >= ${j + 1} AND s[i-$j])"
+    }.mkString(" OR ")
+    s"""tk$sfx AS (SELECT doc_id, text, CASE WHEN text IS NULL THEN []
+       |  ELSE list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |    x -> length(x) > 0) END AS ts FROM $src),
+       |nn$sfx AS (SELECT doc_id, ts, len(ts) AS n FROM tk$sfx),
+       |st$sfx AS (SELECT *, [CAST(('0x' || substr(md5('$salt|' ||
+       |    doc_id || '|' || i), 1, 8)) AS UBIGINT) % $m = 0
+       |  for i in generate_series(1, n)] AS s FROM nn$sfx),
+       |mk$sfx AS (SELECT *, [($orTerms)
+       |  for i in generate_series(1, n)] AS m FROM st$sfx),
+       |rr$sfx AS (SELECT *, [(m[i] AND (i = 1 OR NOT m[i-1]))
+       |  for i in generate_series(1, n)] AS r FROM mk$sfx),
+       |px$sfx AS (SELECT *,
+       |  [CASE WHEN r[i] THEN '<extra_id_' ||
+       |      CAST(len(list_filter(generate_series(1, i-1),
+       |        q -> r[q])) AS VARCHAR) || '>'
+       |    WHEN m[i] THEN NULL ELSE ts[i] END
+       |   for i in generate_series(1, n)] AS inp,
+       |  [CASE WHEN r[i] THEN '<extra_id_' ||
+       |      CAST(len(list_filter(generate_series(1, i-1),
+       |        q -> r[q])) AS VARCHAR) || '> ' || ts[i]
+       |    WHEN m[i] THEN ts[i] ELSE NULL END
+       |   for i in generate_series(1, n)] AS tgt FROM rr$sfx),
+       |out$sfx AS (SELECT doc_id, n,
+       |  coalesce(array_to_string(list_filter(inp,
+       |    p -> p IS NOT NULL), ' '), '') AS input_text,
+       |  coalesce(array_to_string(list_filter(tgt,
+       |    p -> p IS NOT NULL), ' '), '') AS target_text
+       |  FROM px$sfx)""".stripMargin
   }
 
   private def bpeOracleSql(k: Int): String = {

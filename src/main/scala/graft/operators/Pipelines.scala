@@ -176,4 +176,52 @@ object Pipelines {
       .filter(col(qn).cast("double") >= col("__cut"))
       .drop("__cut")
   }
+
+  /** UL2 mixture-of-denoisers (Tay et al. 2022 §3): every document is
+    * deterministically routed — [[TextAnalysis.splitBucket]] on its id,
+    * so the assignment survives any engine/run/cluster — to ONE of the
+    * three denoising objectives and emitted as a training pair tagged
+    * `objective`:
+    *
+    *  - `r` (regular): [[TextAnalysis.spanCorrupt]] at the T5 defaults
+    *    (≈15% masked, mean span ≥3);
+    *  - `x` (extreme): spanCorrupt at aggressive knobs (≈50% masked,
+    *    longer spans — `startEvery=8, spanLen=4`);
+    *  - `s` (sequential): [[TextAnalysis.prefixLmSplit]] continuation
+    *    pairs.
+    *
+    * Weights set the r:x:s document proportions (UL2's 2:1:1 default
+    * here). Per-objective salts decorrelate each generator's hash
+    * stream from the router's. Docs with no tokens emit no pair; docs
+    * too short to split are absent from the `s` slice ([[TextAnalysis.
+    * prefixLmSplit]] contract). Output: `(doc_id, objective,
+    * input_text, target_text)`.
+    *
+    * Scale shape: three filtered zero-exchange projection branches over
+    * the two-column scan, unioned — no shuffle anywhere; the routing
+    * predicate sits at each scan, so every branch reads only its
+    * slice's row groups when the layout allows. */
+  def denoisingMixture(df: DataFrame, idCol: String, textCol: String,
+      weights: Seq[Int] = Seq(2, 1, 1), salt: String = "ul2")
+      : DataFrame = {
+    require(weights.size == 3,
+      s"weights must be (r, x, s) — exactly 3, got ${weights.size}")
+    val bucket = TextAnalysis.splitBucket(col(idCol), weights, salt)
+    val base = df.withColumn("__obj", bucket)
+    def tag(d: DataFrame, obj: String) =
+      d.select(col("doc_id"), lit(obj).as("objective"),
+        col("input_text"), col("target_text"))
+    val r = tag(TextAnalysis.spanCorrupt(
+        base.filter(col("__obj") === 0), idCol, textCol,
+        startEvery = 20, spanLen = 3, salt = s"$salt-r")
+      .filter(col("n_tokens") > 0), "r")
+    val x = tag(TextAnalysis.spanCorrupt(
+        base.filter(col("__obj") === 1), idCol, textCol,
+        startEvery = 8, spanLen = 4, salt = s"$salt-x")
+      .filter(col("n_tokens") > 0), "x")
+    val sdn = tag(TextAnalysis.prefixLmSplit(
+      base.filter(col("__obj") === 2), idCol, textCol,
+      salt = s"$salt-s"), "s")
+    r.unionByName(x).unionByName(sdn)
+  }
 }

@@ -142,6 +142,43 @@ class CorpusOpsSpec extends TestBase {
       s"wrong failure: ${boom.getMessage}")
   }
 
+  test("denoisingMixture: one objective per doc, 2:1:1 routing, the " +
+      "extreme slice masks more than the regular, deterministic") {
+    val df = (0L until 120L).map(i =>
+      (i, (1 to 80).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Pipelines.denoisingMixture(df, "doc_id", "text")
+    val rows = out.collect()
+    // exactly one pair per doc (every doc is long enough to split)
+    assert(rows.length == 120)
+    assert(rows.map(_.getLong(0)).distinct.length == 120)
+    val byObj = rows.groupBy(_.getString(1)).view.mapValues(_.length)
+    // 2:1:1 in expectation over 120 docs — loose deterministic band
+    assert(byObj("r") > byObj("x") && byObj("r") > byObj("s"),
+      s"routing off: $byObj")
+    assert(Set("r", "x", "s") == byObj.keys.toSet)
+    // the extreme objective masks a larger fraction: count sentinels
+    def meanSentinels(obj: String) = {
+      val rs = rows.filter(_.getString(1) == obj)
+      rs.map(r => "<extra_id_".r.findAllIn(r.getString(2)).length)
+        .sum.toDouble / rs.length
+    }
+    assert(meanSentinels("x") > meanSentinels("r"),
+      "extreme denoiser must corrupt more than regular")
+    // s-slice pairs rebuild the original
+    rows.filter(_.getString(1) == "s").foreach { r =>
+      val orig = df.filter(col("doc_id") === r.getLong(0))
+        .head.getString(1)
+      assert(r.getString(2) + " " + r.getString(3) == orig)
+    }
+    // deterministic under repartitioning
+    assert(Pipelines.denoisingMixture(df.repartition(7), "doc_id",
+      "text").collect().toSet == rows.toSet)
+    intercept[IllegalArgumentException](
+      Pipelines.denoisingMixture(df, "doc_id", "text",
+        weights = Seq(1, 1)))
+  }
+
   // ---------- BM25 retrieval selection -------------------------------------
 
   test("bm25Scores matches the textbook formula exactly; rarity raises " +
