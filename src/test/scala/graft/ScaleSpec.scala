@@ -497,6 +497,25 @@ class ScaleSpec extends TestBase {
     assert(df.count() > 0)
   }
 
+  test("q131 paragraph dedup: the exact stage partial-aggregates (hot " +
+      "paragraphs collapse map-side) and nothing goes cartesian") {
+    val p = plan(SparkEntry.queries("q131_para_fuzzy_dedup")(spark, sf))
+    assert(p.contains("partial_min"),
+      s"exact rep stage must partial-aggregate below its exchange:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"paragraph dedup must never go quadratic:\n$p")
+  }
+
+  test("q132 UL2 mixture is three unioned projections: zero exchanges") {
+    val df = graft.operators.Pipelines.denoisingMixture(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text")
+    val p = plan(df)
+    assert(!p.contains("Exchange"),
+      s"denoising mixture must not shuffle:\n$p")
+    assert(df.count() > 0)
+  }
+
   test("q89 range join: equi-join on the bucket key, no nested loop") {
     val p = plan(SparkEntry.queries("q89_range_join")(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin") &&
