@@ -3897,7 +3897,35 @@ object OpsQueries {
            |  array_to_string(ts[p+1:n], ' ') AS target_text
            |FROM ssp
            |ORDER BY objective, doc_id""".stripMargin
-      })
+      }),
+
+    // ----- X5 corpus data card ----------------------------------------------
+    // The per-slice composition report (Datasheets practice; the
+    // number tables in the Pile/RedPajama/FineWeb papers): ROLLUP over
+    // (source, lang) — every prefix plus the grand total — in ONE
+    // aggregation. Integer counts/sums + one rounded division.
+    "q133_data_card" -> Entry(
+      (s, dir) => {
+        Profiles.dataCard(t(s, dir, "documents"), "text",
+            Seq("source", "lang"))
+          .orderBy(col("source").asc_nulls_first,
+            col("lang").asc_nulls_first)
+      },
+      Some("""WITH tk AS (SELECT source, lang,
+             |  CASE WHEN text IS NULL THEN 0 ELSE
+             |    len(list_filter(regexp_split_to_array(trim(text),
+             |      '\s+'), x -> length(x) > 0)) END AS ntok,
+             |  coalesce(length(text), 0) AS nch,
+             |  CASE WHEN text IS NULL THEN 1 ELSE 0 END AS nultx
+             |  FROM documents)
+             |SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+             |  CAST(SUM(nch) AS BIGINT) AS n_chars,
+             |  CAST(SUM(nultx) AS BIGINT) AS n_null_text,
+             |  round(CAST(SUM(ntok) AS DOUBLE) / COUNT(*), 6)
+             |    AS mean_tokens
+             |FROM tk GROUP BY ROLLUP (source, lang)
+             |ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

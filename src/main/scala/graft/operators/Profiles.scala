@@ -203,4 +203,39 @@ object Profiles {
         (col("share_a") - col("share_b")) *
           log(col("share_a") / col("share_b")), 6))
   }
+
+  /** Corpus data card — the per-slice composition report every training
+    * run publishes (Datasheets/Data Cards practice; the number tables
+    * in the Pile/RedPajama/FineWeb papers): one row per cell of
+    * `ROLLUP(dims)` — every prefix of the dimension list plus the
+    * grand total, rollup cells carrying nulls in the rolled-up
+    * columns — with document count, token sum, character sum, null-text
+    * count, and mean tokens per doc.
+    *
+    * Exactness: counts and sums are integers; token sums accumulate as
+    * longs (a 100 TB corpus is ~2.5e13 tokens, well inside int64);
+    * `mean_tokens` is one double division rounded to 6. Null text
+    * counts 0 tokens/chars and flags `n_null_text`.
+    *
+    * Scale shape: ONE aggregation — Spark expands rollup into grouping
+    * sets inside a single exchange keyed on the grouping-set id +
+    * dims, with map-side partial aggregation; no joins, no second
+    * scan. */
+  def dataCard(df: DataFrame, textCol: String, dims: Seq[String])
+      : DataFrame = {
+    require(dims.nonEmpty, "dataCard: at least one dimension required")
+    val nTok = when(col(textCol).isNull, lit(0L))
+      .otherwise(size(filter(TextAnalysis.tokens(col(textCol)),
+        t => length(t) > 0)).cast("long"))
+    df.select(dims.map(col) :+ nTok.as("__ntok") :+
+        coalesce(length(col(textCol)).cast("long"), lit(0L)).as("__nch") :+
+        when(col(textCol).isNull, 1L).otherwise(0L).as("__isnull"): _*)
+      .rollup(dims.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__ntok")).as("n_tokens"),
+        sum(col("__nch")).as("n_chars"),
+        sum(col("__isnull")).as("n_null_text"),
+        round(sum(col("__ntok")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_tokens"))
+  }
 }

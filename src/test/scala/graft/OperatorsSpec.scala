@@ -1174,6 +1174,37 @@ class OperatorsSpec extends TestBase {
       .rrfFuse(a, "id", "r", b, "id", "r", kRrf = 0))
   }
 
+  test("dataCard: rollup cells hand-checked, null text counted, ONE " +
+      "aggregation exchange (X5)") {
+    val df = Seq(
+      (1L, "web", "en", "three little words"),
+      (2L, "web", "en", "two words"),
+      (3L, "web", "de", "vier kleine worte hier"),
+      (4L, "book", "en", null.asInstanceOf[String]))
+      .toDF("doc_id", "source", "lang", "text")
+    val card = graft.operators.Profiles.dataCard(df, "text",
+      Seq("source", "lang"))
+    val rows = card.collect().map(r =>
+      (Option(r.getString(0)), Option(r.getString(1))) ->
+        (r.getLong(2), r.getLong(3), r.getLong(5), r.getDouble(6))).toMap
+    // leaf cells
+    assert(rows((Some("web"), Some("en"))) == ((2L, 5L, 0L, 2.5)))
+    assert(rows((Some("web"), Some("de"))) == ((1L, 4L, 0L, 4.0)))
+    assert(rows((Some("book"), Some("en"))) == ((1L, 0L, 1L, 0.0)))
+    // rollup prefix + grand total
+    assert(rows((Some("web"), None)) == ((3L, 9L, 0L, 3.0)))
+    assert(rows((None, None)) == ((4L, 9L, 1L, 2.25)))
+    // one aggregation: a single hash exchange carries the grouping
+    // sets (AQE prints the initial plan below the final — count the
+    // final section only)
+    val p = card.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"data card must be ONE aggregation:\n$p")
+    intercept[IllegalArgumentException](
+      graft.operators.Profiles.dataCard(df, "text", Seq.empty))
+  }
+
   test("profiler: one row per column, nulls/distinct/minmax (profiling)") {
     val df = Seq((1L, Some("a")), (2L, None), (3L, Some("b")))
       .toDF("id", "v")
