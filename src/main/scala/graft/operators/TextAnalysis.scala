@@ -660,6 +660,23 @@ object TextAnalysis {
         regexp_replace(lower(trim(col(textCol))), "\\s+", "_"))
       .withColumn(outCol,
         when(col(textCol).isNull, lit(null).cast("string"))
+          .otherwise(graft.functions.CharGramText
+            .charGramText(col("__cg_nrm"), n)))
+      .drop("__cg_nrm")
+  }
+
+  /** Built-in-only reference twin of [[withCharGrams]] (bit-identical
+    * output; one interpreted `substr` lambda per character position —
+    * the [[withWinnowFingerprintHof]] convention, not the hot path:
+    * the native form removed ~17 s from the q130 entry at sf0.1). */
+  def withCharGramsHof(df: org.apache.spark.sql.DataFrame,
+      textCol: String, outCol: String, n: Int = 3)
+      : org.apache.spark.sql.DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    df.withColumn("__cg_nrm",
+        regexp_replace(lower(trim(col(textCol))), "\\s+", "_"))
+      .withColumn(outCol,
+        when(col(textCol).isNull, lit(null).cast("string"))
           .otherwise(array_join(expr(
             s"""CASE WHEN length(__cg_nrm) < $n
                |THEN cast(array() AS array<string>)

@@ -113,6 +113,21 @@ class TextQualitySpec extends TestBase {
     assert(edge(1L).contains("") && edge(2L).isEmpty)
     intercept[IllegalArgumentException](TextAnalysis.withCharGrams(
       docs(1L -> "x"), "text", "text"))
+    // native CharGramText ≡ HOF twin on adversarial inputs (unicode,
+    // astral plane, short, empty, single-char, whitespace runs)
+    val adv = docs(
+      1L -> "über die straße",
+      2L -> "𝔘𝔫𝔦 𝔠𝔬𝔡𝔢",     // supplementary-plane letters
+      3L -> "ab", 4L -> "", 5L -> "x",
+      6L -> "a   b\t\nc").union(
+      Seq((7L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val nat = TextAnalysis.withCharGrams(adv, "text", "cg", 3)
+      .select("doc_id", "cg").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val hof = TextAnalysis.withCharGramsHof(adv, "text", "cg", 3)
+      .select("doc_id", "cg").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(nat == hof, s"native/HOF diverged:\n$nat\n$hof")
     // trained char lang-id: German-ish vs English-ish planted corpus
     val de = Seq.tabulate(15)(i =>
       (i.toLong, s"der hund und die katze ist nicht da nummer n$i"))
