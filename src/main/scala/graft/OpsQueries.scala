@@ -3925,7 +3925,38 @@ object OpsQueries {
              |  round(CAST(SUM(ntok) AS DOUBLE) / COUNT(*), 6)
              |    AS mean_tokens
              |FROM tk GROUP BY ROLLUP (source, lang)
-             |ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin))
+             |ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin)),
+
+    // ----- semi-structured: JSON property extraction ------------------------
+    // events.props is a JSON string column (the universal event-stream
+    // pattern). Spark parses it with a SCHEMA'D from_json — typed
+    // struct at the scan, codegen'd, no UDF — then aggregates per
+    // event type. The oracle extracts the same integer with a regex
+    // (equivalent on integer-valued fields and engine-exact, no JSON
+    // extension dependency). Ints + one rounded division.
+    "q134_json_props" -> Entry(
+      (s, dir) => {
+        Queries.events(s, dir)
+          .select(col("event_type"),
+            from_json(col("props"), "k INT", Map.empty[String, String])
+              .getField("k").as("k"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("k")).cast("long").as("sum_k"),
+            round(sum(col("k")).cast("double") /
+              count(col("k")).cast("double"), 6).as("mean_k"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+             |  CAST(COUNT(*) AS BIGINT) AS n_events,
+             |  CAST(SUM(CAST(regexp_extract(props, '"k": (\d+)', 1)
+             |    AS INT)) AS BIGINT) AS sum_k,
+             |  round(CAST(SUM(CAST(regexp_extract(props, '"k": (\d+)',
+             |    1) AS INT)) AS DOUBLE) /
+             |    COUNT(CAST(regexp_extract(props, '"k": (\d+)', 1)
+             |      AS INT)), 6) AS mean_k
+             |FROM events GROUP BY event_type
+             |ORDER BY event_type""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)
