@@ -729,13 +729,18 @@ object Dedup {
       minLineChars: Int = 10): DataFrame = {
     require(minLineChars >= 1,
       s"minLineChars must be >= 1, got $minLineChars")
-    val lines = df
-      .select(col(idCol).as("__did"),
+    reassembleLines(
+      dedupSurvivors(explodeLines(df, idCol, textCol), minLineChars),
+      idCol, textCol)
+  }
+
+  /** `(__did, __pos, __line)` rows, one per newline-split line. */
+  private def explodeLines(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("__did"),
         posexplode(split(col(textCol), "\n")))
       .withColumnRenamed("pos", "__pos")
       .withColumnRenamed("col", "__line")
-    reassembleLines(dedupSurvivors(lines, minLineChars), idCol, textCol)
-  }
 
   /** Surviving (id, pos, line) occurrences of the C4 global line-dedup
     * rule over an exploded `(__did, __pos, __line)` frame: short lines
@@ -785,11 +790,7 @@ object Dedup {
     require(minLineWords >= 1,
       s"minLineWords must be >= 1, got $minLineWords")
     val keep = TextAnalysis.c4KeepLine(minLineWords)
-    val lines = df
-      .select(col(idCol).as("__did"),
-        posexplode(split(col(textCol), "\n")))
-      .withColumnRenamed("pos", "__pos")
-      .withColumnRenamed("col", "__line")
+    val lines = explodeLines(df, idCol, textCol)
       .filter(keep(col("__line")))
     reassembleLines(dedupSurvivors(lines, minLineChars), idCol, textCol)
   }
@@ -856,9 +857,10 @@ object Dedup {
           coalesce(assert_true(col("__pos") < maxParasPerDoc,
             lit(s"document exceeds $maxParasPerDoc paragraphs — " +
               "raise maxParasPerDoc")).cast("long"), lit(0L)))
+    val nParaToks = size(filter(TextAnalysis.tokens(col("__para")),
+      t => length(t) > 0))
     val candidates = paras
-      .filter(size(filter(TextAnalysis.tokens(col("__para")),
-        t => length(t) > 0)) >= minParaTokens)
+      .filter(nParaToks >= minParaTokens)
       .select(col("__pid"), col("__para"))
     // exact stage: one winner (min pid) per distinct paragraph — the
     // agg row IS the representative, every other exact copy drops here
@@ -874,9 +876,7 @@ object Dedup {
       .select(col("__pid"))
     // a paragraph occurrence survives iff it IS its family's surviving
     // representative; exempt short paragraphs bypass everything
-    val exempt = paras.filter(
-      size(filter(TextAnalysis.tokens(col("__para")),
-        t => length(t) > 0)) < minParaTokens)
+    val exempt = paras.filter(nParaToks < minParaTokens)
     val kept = paras.join(keepRepIds, Seq("__pid"), "left_semi")
       .unionByName(exempt)
     kept

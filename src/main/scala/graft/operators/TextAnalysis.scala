@@ -459,6 +459,14 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** First 8 hex chars of `md5(key)` as a non-negative long — the
+    * library's deterministic pseudo-random source ([[splitBucket]],
+    * [[spanCorrupt]], [[prefixLmSplit]] all mod it; no RNG state, so
+    * every engine/run/cluster draws identically and SQL oracles replay
+    * the exact arithmetic). */
+  private[operators] def md5Head(key: Column): Column =
+    conv(substring(md5(key), 1, 8), 16, 10).cast("long")
+
   /** Deterministic train/val/test assignment: bucket = the first 8 hex
     * chars of md5(salt + id) mod the weight total, mapped through the
     * cumulative weights. Pure projection (no shuffle, no RNG state):
@@ -469,8 +477,8 @@ object TextAnalysis {
       : Column = {
     require(weights.nonEmpty && weights.forall(_ > 0))
     val total = weights.sum
-    val h = conv(substring(md5(concat(lit(salt), lit("|"),
-      id.cast("string"))), 1, 8), 16, 10).cast("long") % total
+    val h = md5Head(concat(lit(salt), lit("|"),
+      id.cast("string"))) % total
     val cum = weights.scanLeft(0)(_ + _).tail // cumulative upper bounds
     cum.zipWithIndex.init.foldRight(lit(weights.size - 1): Column) {
       case ((bound, i), acc) => when(h < bound, i).otherwise(acc)
@@ -590,10 +598,9 @@ object TextAnalysis {
         when(col(textCol).isNotNull, toks)
           .otherwise(array().cast("array<string>")).as("__ts"))
       .withColumn("__st", transform(col("__ts"), (_, i) =>
-        conv(substring(md5(concat(lit(salt), lit("|"),
+        md5Head(concat(lit(salt), lit("|"),
           col("doc_id").cast("string"), lit("|"),
-          (i + 1).cast("string"))), 1, 8), 16, 10).cast("long")
-          % startEvery === 0))
+          (i + 1).cast("string"))) % startEvery === 0))
       .withColumn("__m", transform(col("__ts"), (_, i) =>
         (0 until spanLen).map(j =>
           i >= lit(j) && element_at(col("__st"), i - lit(j) + 1))
@@ -710,8 +717,8 @@ object TextAnalysis {
       .withColumn("__n", size(col("__ts")))
       .filter(col("__n") > minPrefix)
       .withColumn("__p", (lit(minPrefix) +
-        conv(substring(md5(concat(lit(salt), lit("|"),
-          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+        md5Head(concat(lit(salt), lit("|"),
+          col("doc_id").cast("string")))
           % (col("__n") - minPrefix)).cast("int"))
       .select(col("doc_id"), col("__n").cast("long").as("n_tokens"),
         col("__p").cast("long").as("split_pos"),
