@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.operators.{AsOfJoin, Connected, Decontaminate, Dedup, Dsir, Multimodal, Pipelines, Profiles, Quantize, QualityFilter, RangeJoin, Sampling, Similarity, TextAnalysis, Vocab}
+import graft.operators.{AsOfJoin, Connected, Decontaminate, Dedup, Dsir, Funnel, Multimodal, Pipelines, Profiles, Quantize, QualityFilter, RangeJoin, Sampling, Similarity, TextAnalysis, Vocab}
 
 /** Catalog entries for the LLM-data-pipeline operators (dedup, similarity
   * search, text analysis, multimodal) over the `documents` / `embeddings`
@@ -3956,7 +3956,43 @@ object OpsQueries {
              |    COUNT(CAST(regexp_extract(props, '"k": (\d+)', 1)
              |      AS INT)), 6) AS mean_k
              |FROM events GROUP BY event_type
-             |ORDER BY event_type""".stripMargin))
+             |ORDER BY event_type""".stripMargin)),
+
+    // ----- event analytics: ordered funnel ----------------------------------
+    // view -> click -> purchase greedy-earliest completion per user
+    // (strictly increasing times; ties don't advance). The Spark side
+    // is ONE user-keyed exchange + a sorted per-user fold; the oracle
+    // is the equivalent stepwise-min construction (greedy-earliest ==
+    // stepwise min over strictly-later events). µs epoch both sides.
+    "q135_funnel" -> Entry(
+      (s, dir) => {
+        val ev = Queries.events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            expr("ts div 1000").as("t"))
+        Funnel.funnel(ev, "user_id", "t", "event_type",
+            Seq("view", "click", "purchase"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t
+             |  FROM events),
+             |s1 AS (SELECT user_id, min(t) AS t1 FROM e
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |s2 AS (SELECT e.user_id, min(t) AS t2 FROM e
+             |  JOIN s1 USING (user_id)
+             |  WHERE event_type = 'click' AND t > t1 GROUP BY 1),
+             |s3 AS (SELECT e.user_id, min(t) AS t3 FROM e
+             |  JOIN s2 USING (user_id)
+             |  WHERE event_type = 'purchase' AND t > t2 GROUP BY 1),
+             |u AS (SELECT DISTINCT user_id FROM e)
+             |SELECT u.user_id,
+             |  CAST(CASE WHEN t3 IS NOT NULL THEN 3
+             |    WHEN t2 IS NOT NULL THEN 2
+             |    WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             |    AS reached,
+             |  t1 AS t_view, t2 AS t_click, t3 AS t_purchase
+             |FROM u LEFT JOIN s1 USING (user_id)
+             |  LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+             |ORDER BY user_id""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

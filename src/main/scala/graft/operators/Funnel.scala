@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordered funnel analysis over an event stream (the view→click→purchase
+  * question every product-analytics workload asks; the batch sibling of
+  * the sessionization family).
+  *
+  * Semantics: per user, the GREEDY earliest completion — step 1's time
+  * is the user's earliest step-1 event, step k's time is the earliest
+  * step-k event STRICTLY after step k−1's time. Greedy-earliest is
+  * optimal (an earlier step-k time can only widen the choices for step
+  * k+1), so `reached` is the maximum number of funnel steps completable
+  * in order. Ties at the same timestamp do NOT advance the funnel (the
+  * next step must be strictly later — simultaneous view+click is not a
+  * sequence).
+  *
+  * Output: `(user_id, reached, t_<step1>, …, t_<stepK>)` — step times
+  * in the input's timestamp unit, null from the first uncompleted step
+  * on (non-null columns are always a prefix). Every user appears, even
+  * at `reached = 0`.
+  *
+  * Scale shape: ONE user-keyed exchange; each user's events buffer in
+  * the sorted per-user fold (the [[graft.streaming.EventStreams]]
+  * sessionization trade — bounded by per-user activity, not corpus
+  * size; a pathological power-user key is the same skew surface
+  * sessionization documents). The fold is O(events · steps) with an
+  * O(steps) state array — no self-joins, no per-step corpus scans. */
+object Funnel {
+
+  def funnel(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel: steps must not be empty")
+    require(steps.distinct.size == steps.size,
+      "funnel: repeated step names would make the output columns " +
+        s"ambiguous: $steps")
+    val k = steps.size
+    val sorted = df
+      .groupBy(col(userCol).as("user_id"))
+      .agg(sort_array(collect_list(struct(
+        col(tsCol).cast("long").as("ts"),
+        col(typeCol).as("et")))).as("__ev"))
+    val init = array((0 until k).map(_ => lit(null).cast("bigint")): _*)
+    val folded = sorted.withColumn("__t",
+      aggregate(col("__ev"), init, (acc, e) => {
+        val ts = e.getField("ts")
+        val et = e.getField("et")
+        def setAt(j: Int): Column =
+          concat(slice(acc, 1, j), array(ts),
+            slice(acc, j + 2, k - j - 1))
+        // first fillable step wins (k−1 … 0 fold ⇒ step 0 outermost)
+        (k - 1 to 0 by -1).foldLeft(acc) { (els, j) =>
+          val prevOk =
+            if (j == 0) lit(true)
+            else element_at(acc, j).isNotNull && ts > element_at(acc, j)
+          when(element_at(acc, j + 1).isNull && et === steps(j) && prevOk,
+            setAt(j)).otherwise(els)
+        }
+      }))
+    val stepCols = steps.zipWithIndex.map { case (s, i) =>
+      element_at(col("__t"), i + 1).as(s"t_$s")
+    }
+    folded.select(
+      col("user_id") +:
+        size(filter(col("__t"), t => t.isNotNull)).cast("long")
+          .as("reached") +:
+        stepCols: _*)
+  }
+}

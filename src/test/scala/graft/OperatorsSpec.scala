@@ -1205,6 +1205,40 @@ class OperatorsSpec extends TestBase {
       graft.operators.Profiles.dataCard(df, "text", Seq.empty))
   }
 
+  test("funnel: greedy-earliest completion, strict ordering, ties " +
+      "don't advance, every user appears (event analytics)") {
+    val ev = Seq(
+      // user 1: tie at t=1 must not advance; completes at (1, 5, 9);
+      // the purchase@3 before the click can't be used
+      (1L, 1L, "view"), (1L, 1L, "click"), (1L, 3L, "purchase"),
+      (1L, 5L, "click"), (1L, 9L, "purchase"),
+      // user 2: wrong order — only the view counts
+      (2L, 1L, "purchase"), (2L, 2L, "click"), (2L, 3L, "view"),
+      // user 3: no funnel events at all
+      (3L, 4L, "error"),
+      // user 4: greedy-earliest view (2, not 10) lets click@5 match
+      (4L, 10L, "view"), (4L, 2L, "view"), (4L, 5L, "click"))
+      .toDF("user_id", "t", "event_type")
+    val out = graft.operators.Funnel.funnel(ev, "user_id", "t",
+        "event_type", Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)), Option(r.get(3)),
+          Option(r.get(4)))).toMap
+    assert(out(1L) == ((3L, Some(1L), Some(5L), Some(9L))))
+    assert(out(2L) == ((1L, Some(3L), None, None)))
+    assert(out(3L) == ((0L, None, None, None)))
+    assert(out(4L) == ((2L, Some(2L), Some(5L), None)))
+    // one user-keyed exchange, no joins
+    val p = graft.operators.Funnel.funnel(ev, "user_id", "t",
+        "event_type", Seq("view", "click"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"funnel must not self-join:\n$p")
+    intercept[IllegalArgumentException](graft.operators.Funnel
+      .funnel(ev, "user_id", "t", "event_type", Seq("view", "view")))
+    intercept[IllegalArgumentException](graft.operators.Funnel
+      .funnel(ev, "user_id", "t", "event_type", Seq.empty))
+  }
+
   test("profiler: one row per column, nulls/distinct/minmax (profiling)") {
     val df = Seq((1L, Some("a")), (2L, None), (3L, Some("b")))
       .toDF("id", "v")
