@@ -3992,7 +3992,30 @@ object OpsQueries {
              |  t1 AS t_view, t2 AS t_click, t3 AS t_purchase
              |FROM u LEFT JOIN s1 USING (user_id)
              |  LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
-             |ORDER BY user_id""".stripMargin))
+             |ORDER BY user_id""".stripMargin)),
+
+    // ----- event analytics: retention cohorts -------------------------------
+    // Cohort = day of first event; each later active day counts the
+    // user at its offset. One user-keyed aggregation carrying min +
+    // the distinct-day set, then one (cohort, offset) count — no
+    // joins, no second event-log scan. Pure integer arithmetic.
+    "q136_retention_cohorts" -> Entry(
+      (s, dir) => {
+        val ev = Queries.events(s, dir)
+          .select(col("user_id"), expr("ts div 1000").as("t"))
+        Funnel.retentionCohorts(ev, "user_id", "t",
+            periodLen = 86400000000L) // µs per day
+          .orderBy("cohort", "period_offset")
+      },
+      Some("""WITH e AS (SELECT user_id,
+             |  epoch_us(ts) // 86400000000 AS p FROM events),
+             |c AS (SELECT user_id, min(p) AS cohort,
+             |  list_distinct(list(p)) AS days FROM e GROUP BY 1),
+             |a AS (SELECT cohort, u.d - cohort AS period_offset
+             |  FROM c, unnest(days) AS u(d))
+             |SELECT cohort, period_offset,
+             |  CAST(COUNT(*) AS BIGINT) AS n_users
+             |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

@@ -67,4 +67,35 @@ object Funnel {
           .as("reached") +:
         stepCols: _*)
   }
+
+  /** Retention cohorts — the other classic event-analytics rollup: a
+    * user's cohort is the period of their FIRST event (`ts div
+    * periodLen`, any integral time unit), and each later active period
+    * counts them at its offset. Output: `(cohort, period_offset,
+    * n_users)` — offset 0 rows carry each cohort's size, so retention
+    * rates are one self-division downstream.
+    *
+    * Scale shape: one user-keyed aggregation (map-side combined)
+    * carrying `min(period)` + the DISTINCT active-period set — bounded
+    * per user by the time span, never by event count — then one
+    * (cohort, offset)-keyed count. No joins, no windows, no self-scan:
+    * the naive cohort query (min-date table joined back to the events)
+    * re-scans and shuffles the full event log a second time. */
+  def retentionCohorts(df: DataFrame, userCol: String, tsCol: String,
+      periodLen: Long): DataFrame = {
+    require(periodLen >= 1, s"periodLen must be >= 1, got $periodLen")
+    // integral `div`, NOT `/`: Column `/` is double division, and a
+    // nanosecond epoch (~1.7e18) is far beyond double's 2^53 integer
+    // range — the float round-trip would misassign period boundaries
+    val qn = "`" + tsCol.replace("`", "``") + "`"
+    val period = expr(s"CAST($qn AS BIGINT) div $periodLen").as("__p")
+    df.select(col(userCol).as("user_id"), period)
+      .groupBy("user_id")
+      .agg(min(col("__p")).as("cohort"),
+        collect_set(col("__p")).as("__days"))
+      .select(col("cohort"), explode(col("__days")).as("__p"))
+      .groupBy(col("cohort"),
+        (col("__p") - col("cohort")).as("period_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

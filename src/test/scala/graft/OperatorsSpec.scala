@@ -1239,6 +1239,29 @@ class OperatorsSpec extends TestBase {
       .funnel(ev, "user_id", "t", "event_type", Seq.empty))
   }
 
+  test("retentionCohorts: hand-checked offsets, distinct days count " +
+      "once, no joins, integral period division (event analytics)") {
+    val ev = Seq(
+      (1L, 0L), (1L, 5L),            // user 1: cohort day 0, days 0
+      (1L, 86400L), (1L, 86400L * 3), // + days 1 and 3 (dup day 0 hit)
+      (2L, 86400L), (2L, 86400L * 2), // user 2: cohort day 1, offset 1
+      (3L, 0L))                       // user 3: day 0 only
+      .toDF("user_id", "t")
+    val out = graft.operators.Funnel
+      .retentionCohorts(ev, "user_id", "t", periodLen = 86400L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(out == Map(
+      (0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 3L) -> 1L,
+      (1L, 0L) -> 1L, (1L, 1L) -> 1L), s"got $out")
+    val p = graft.operators.Funnel
+      .retentionCohorts(ev, "user_id", "t", 86400L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"cohorts must not self-join:\n$p")
+    intercept[IllegalArgumentException](graft.operators.Funnel
+      .retentionCohorts(ev, "user_id", "t", 0L))
+  }
+
   test("profiler: one row per column, nulls/distinct/minmax (profiling)") {
     val df = Seq((1L, Some("a")), (2L, None), (3L, Some("b")))
       .toDF("id", "v")
