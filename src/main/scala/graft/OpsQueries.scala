@@ -4015,7 +4015,41 @@ object OpsQueries {
              |  FROM c, unnest(days) AS u(d))
              |SELECT cohort, period_offset,
              |  CAST(COUNT(*) AS BIGINT) AS n_users
-             |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ----- incremental corpus: latest-wins upsert merge ---------------------
+    // MERGE semantics without a table format: accumulated corpus +
+    // update batch -> one row per id, highest version wins, new side
+    // wins ties. Fixture: every %7 doc re-crawled at version 2
+    // (uppercased), every %11 doc brand-new at +1e6. One id-keyed
+    // struct-max aggregation; the oracle is the equivalent
+    // row_number-over-(ver, side) pick.
+    "q137_upsert_latest" -> Entry(
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val oldDf = d.withColumn("ver", lit(1L))
+        val newDf = d.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), upper(col("text")).as("text"),
+            lit(2L).as("ver"))
+          .unionByName(d.filter(col("doc_id") % 11 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              col("text"), lit(2L).as("ver")))
+        Dedup.upsertLatest(oldDf, newDf, "doc_id", "ver")
+          .orderBy("doc_id")
+      },
+      Some("""WITH oldd AS (SELECT doc_id, text, CAST(1 AS BIGINT)
+             |    AS ver, 0 AS src FROM documents),
+             |newd AS (SELECT doc_id, upper(text) AS text,
+             |    CAST(2 AS BIGINT) AS ver, 1 AS src FROM documents
+             |  WHERE doc_id % 7 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, text, CAST(2 AS BIGINT), 1
+             |  FROM documents WHERE doc_id % 11 = 0),
+             |u AS (SELECT * FROM oldd UNION ALL SELECT * FROM newd)
+             |SELECT doc_id, text, ver FROM u
+             |QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+             |  ORDER BY ver DESC, src DESC) = 1
+             |ORDER BY doc_id""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

@@ -888,6 +888,38 @@ object Dedup {
         "\n\n").as(textCol))
   }
 
+  /** Latest-wins upsert merge — [[corpusDiff]]'s writing sibling and
+    * the lakehouse MERGE semantics without a table format: combine the
+    * accumulated corpus with an update batch, keeping ONE row per id —
+    * the highest `verCol`, the NEW side winning version ties (re-crawl
+    * at the same version replaces). Ids must be unique WITHIN each
+    * side ([[exactKeepMinId]] first if not) and versions non-null;
+    * under that contract each id carries ≤ 2 rows and the winner is
+    * fully determined by (version, side) — row content never
+    * tie-breaks, so results are deterministic and engine-exact.
+    *
+    * Scale shape: ONE id-keyed aggregation (`max` of a
+    * (version, side, row) struct — map-side combined, and skew-free by
+    * construction since no id exceeds two rows); no join, no window,
+    * no second scan. The textbook full-outer-join merge shuffles both
+    * sides AND materializes the coalesce of every column; this moves
+    * each row once. */
+  def upsertLatest(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      verCol: String): DataFrame = {
+    require(oldDf.columns.toSeq == newDf.columns.toSeq,
+      s"upsertLatest: schemas differ: ${oldDf.columns.toSeq} vs " +
+        s"${newDf.columns.toSeq} — align columns first " +
+        "(QuackIO.schemaDiff shows the drift)")
+    val cols = oldDf.columns.toSeq
+    val tagged = oldDf.withColumn("__src", lit(0))
+      .unionByName(newDf.withColumn("__src", lit(1)))
+    tagged
+      .groupBy(col(idCol).as("__id"))
+      .agg(max(struct(col(verCol).as("__v"), col("__src"),
+        struct(cols.map(col): _*).as("__row"))).as("__w"))
+      .select(cols.map(c => col("__w.__row").getField(c).as(c)): _*)
+  }
+
   /** Corpus snapshot diff — the operational "what changed between
     * crawl N and crawl N+1" report every incremental pipeline keys
     * re-processing off: one row per id present in either snapshot with

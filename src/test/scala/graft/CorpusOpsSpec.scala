@@ -179,6 +179,36 @@ class CorpusOpsSpec extends TestBase {
         weights = Seq(1, 1)))
   }
 
+  test("upsertLatest: higher version wins, new side wins ties, " +
+      "untouched and added rows survive, schema drift refused") {
+    val oldDf = Seq((1L, "one v1", 1L), (2L, "two v1", 1L),
+      (3L, "three v2", 2L)).toDF("doc_id", "text", "ver")
+    val newDf = Seq((1L, "one v2", 2L),     // update wins
+      (3L, "three v2 recrawl", 2L),          // same ver: new side wins
+      (4L, "four new", 1L))                  // addition
+      .toDF("doc_id", "text", "ver")
+    val out = Dedup.upsertLatest(oldDf, newDf, "doc_id", "ver")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(out == Map(
+      1L -> ("one v2", 2L), 2L -> ("two v1", 1L),
+      3L -> ("three v2 recrawl", 2L), 4L -> ("four new", 1L)),
+      s"got $out")
+    // a STALE update (lower version than the accumulated row) loses
+    val stale = Seq((3L, "three stale", 1L)).toDF("doc_id", "text", "ver")
+    assert(Dedup.upsertLatest(oldDf, stale, "doc_id", "ver")
+      .filter(col("doc_id") === 3L).head.getString(1) == "three v2")
+    // one aggregation, no joins, partitioning-invariant
+    val plan = Dedup.upsertLatest(oldDf, newDf, "doc_id", "ver")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"upsert must not join:\n$plan")
+    assert(Dedup.upsertLatest(oldDf.repartition(5), newDf.repartition(3),
+      "doc_id", "ver").collect().toSet ==
+      Dedup.upsertLatest(oldDf, newDf, "doc_id", "ver").collect().toSet)
+    intercept[IllegalArgumentException](Dedup.upsertLatest(
+      oldDf, newDf.select("doc_id", "ver", "text"), "doc_id", "ver"))
+  }
+
   // ---------- BM25 retrieval selection -------------------------------------
 
   test("bm25Scores matches the textbook formula exactly; rarity raises " +
