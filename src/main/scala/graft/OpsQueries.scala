@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.operators.{AsOfJoin, Connected, Decontaminate, Dedup, Dsir, Funnel, Multimodal, Pipelines, Profiles, Quantize, QualityFilter, RangeJoin, Sampling, Similarity, TextAnalysis, Vocab}
+import graft.operators.{AsOfJoin, Connected, Decontaminate, Dedup, Dsir, Funnel, Multimodal, Pipelines, Profiles, Quantize, QualityFilter, RangeJoin, Rank, Sampling, Similarity, TextAnalysis, Vocab}
 
 /** Catalog entries for the LLM-data-pipeline operators (dedup, similarity
   * search, text analysis, multimodal) over the `documents` / `embeddings`
@@ -4049,7 +4049,39 @@ object OpsQueries {
              |SELECT doc_id, text, ver FROM u
              |QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
              |  ORDER BY ver DESC, src DESC) = 1
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ----- scalable global ordering: curriculum ntile + global rank --------
+    // Both pin Rank's range-partitioned decomposition bit-exactly
+    // against DuckDB's true single-window NTILE / ROW_NUMBER: the
+    // distributed rank must agree with the sequential definition on
+    // every row. (doc_id tiebreak makes the order total, so the
+    // comparison is deterministic.)
+    "q138_curriculum_ntile" -> Entry(
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        Rank.globalNtile(d, Seq(col("n_tokens").asc, col("doc_id").asc),
+            n = 4)
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS n_tokens,
+              |CAST(NTILE(4) OVER (ORDER BY CAST(len($TOKS) AS BIGINT),
+              |  doc_id) AS INT) AS stage
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    "q139_global_rank" -> Entry(
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"),
+          col("n_chars"))
+        Rank.globalRank(d,
+            Seq(col("n_chars").desc, col("doc_id").asc), "rk")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, n_chars,
+             |CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id)
+             |  AS BIGINT) AS rk
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

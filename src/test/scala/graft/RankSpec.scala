@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.operators.Rank
+
+/** [[graft.operators.Rank]] — the distributed global rank/ntile must be
+  * bit-identical to the sequential single-window definition for every
+  * partition count, ordering direction, and tie/null shape. */
+class RankSpec extends TestBase {
+
+  private def docs(n: Int) = {
+    import spark.implicits._
+    // deliberately skewed scores: 40% of rows share score 7 (the hot
+    // key a naive range split must still rank correctly), plus nulls
+    (0 until n).map { i =>
+      val score: java.lang.Long =
+        if (i % 10 < 4) 7L else if (i % 17 == 0) null else (i % 23).toLong
+      (i.toLong, score)
+    }.toDF("id", "score").repartition(7) // scrambled input partitioning
+  }
+
+  test("globalRank == ROW_NUMBER over a single window (asc, ties, nulls)") {
+    val d = docs(500)
+    val got = Rank.globalRank(d, Seq(col("score").asc, col("id").asc),
+        "rk", partitions = 5)
+      .select("id", "score", "rk")
+    val want = d.withColumn("rk",
+      row_number().over(Window.orderBy(col("score").asc, col("id").asc))
+        .cast("long"))
+    assertSameRows(got, want.select("id", "score", "rk"))
+  }
+
+  test("globalRank desc ordering matches the window form") {
+    val d = docs(300)
+    val got = Rank.globalRank(d, Seq(col("score").desc, col("id").desc),
+        "rk", partitions = 4)
+      .select("id", "rk")
+    val want = d.withColumn("rk",
+      row_number().over(Window.orderBy(col("score").desc, col("id").desc))
+        .cast("long")).select("id", "rk")
+    assertSameRows(got, want)
+  }
+
+  test("globalRank is partition-count independent") {
+    val d = docs(200)
+    val order = Seq(col("score").asc, col("id").asc)
+    val base = Rank.globalRank(d, order, "rk", partitions = 1)
+      .select("id", "rk").collect().map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    for (p <- Seq(2, 3, 16, 64)) {
+      val got = Rank.globalRank(d, order, "rk", partitions = p)
+        .select("id", "rk").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == base, s"ranks changed at partitions=$p")
+    }
+  }
+
+  test("globalNtile == NTILE over a single window, uneven split") {
+    val d = docs(103) // 103 = 4*25 + 3: first 3 tiles get 26
+    val order = Seq(col("score").asc, col("id").asc)
+    val got = Rank.globalNtile(d, order, n = 4, "stage", partitions = 6)
+      .select("id", "stage")
+    val want = d.withColumn("stage",
+      ntile(4).over(Window.orderBy(col("score").asc, col("id").asc)))
+      .select("id", "stage")
+    assertSameRows(got, want)
+  }
+
+  test("globalNtile edges: n=1, n=N, n>N") {
+    import spark.implicits._
+    val d = (1L to 10L).toDF("id")
+    val order = Seq(col("id").asc)
+    val all1 = Rank.globalNtile(d, order, 1, "stage", partitions = 3)
+      .select("stage").distinct().collect().map(_.getInt(0)).toSeq
+    assert(all1 == Seq(1))
+    val eq = Rank.globalNtile(d, order, 10, "stage", partitions = 3)
+      .orderBy("id").select("stage").collect().map(_.getInt(0)).toSeq
+    assert(eq == (1 to 10))
+    // n > N: NTILE assigns stage = rank (first N tiles get one row)
+    val over = Rank.globalNtile(d, order, 25, "stage", partitions = 3)
+      .orderBy("id").select("stage").collect().map(_.getInt(0)).toSeq
+    assert(over == (1 to 10))
+  }
+
+  test("guard: clashing column names raise loudly") {
+    import spark.implicits._
+    val d = (1L to 3L).toDF("id").withColumn("__pid", lit(1))
+    val e = intercept[IllegalArgumentException] {
+      Rank.globalRank(d, Seq(col("id").asc))
+    }
+    assert(e.getMessage.contains("__pid"))
+    val d2 = (1L to 3L).toDF("id").withColumn("stage", lit(1))
+    val e2 = intercept[IllegalArgumentException] {
+      Rank.globalNtile(d2, Seq(col("id").asc), 2)
+    }
+    assert(e2.getMessage.contains("stage"))
+  }
+
+  test("plan: one range exchange, no corpus-sized Window partition") {
+    val d = docs(400)
+    val ranked = Rank.globalRank(d,
+      Seq(col("score").asc, col("id").asc), "rk", partitions = 8)
+    ranked.collect() // finalize the adaptive plan
+    // AQE prints Final + Initial sections; only the final plan ran
+    val p = ranked.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // exactly one range shuffle of the corpus; the counts branch must
+    // reuse it (AQE stage reuse), not re-shuffle
+    val ranges = p.linesIterator.count(l =>
+      l.contains("Exchange rangepartitioning") &&
+        !l.contains("ReusedExchange"))
+    assert(ranges == 1, s"expected one range exchange:\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"counts branch must reuse the range exchange:\n$p")
+    // the only Window is the cumulative-offset pass over the <=p-row
+    // per-partition count table — never over the ranked corpus (no
+    // window operates on the range-partitioned side)
+    val windows = "\\bWindow\\b".r.findAllIn(p).length
+    assert(windows <= 1, s"unexpected corpus window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"offsets join must broadcast:\n$p")
+  }
+}
