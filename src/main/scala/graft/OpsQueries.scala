@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.operators.{AsOfJoin, Connected, Decontaminate, Dedup, Dsir, Funnel, Multimodal, Pipelines, Profiles, Quantize, QualityFilter, RangeJoin, Rank, Sampling, Similarity, TextAnalysis, Vocab}
+import graft.operators.{AsOfJoin, Connected, Decontaminate, Dedup, Dsir, FooterStats, Funnel, Multimodal, Pipelines, Profiles, Quantize, QualityFilter, RangeJoin, Rank, Sampling, Similarity, TextAnalysis, Vocab}
 
 /** Catalog entries for the LLM-data-pipeline operators (dedup, similarity
   * search, text analysis, multimodal) over the `documents` / `embeddings`
@@ -4081,7 +4081,15 @@ object OpsQueries {
       Some("""SELECT doc_id, n_chars,
              |CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id)
              |  AS BIGINT) AS rk
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ----- metadata-only ops: footer row count ------------------------------
+    // The count comes from parquet footers alone (one ~KB ranged read
+    // per file, fanned out as a Spark job) — zero data pages touched.
+    // The oracle's count(*) scans; both must land on the same number.
+    "q140_footer_count" -> Entry(
+      (s, dir) => FooterStats.totalRows(s, s"$dir/lineitem.parquet"),
+      Some("SELECT CAST(count(*) AS BIGINT) AS total_rows FROM lineitem"))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)
