@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.operators.{AsOfJoin, Connected, Decontaminate, Dedup, Dsir, FooterStats, Funnel, Multimodal, Pipelines, Profiles, Quantize, QualityFilter, RangeJoin, Rank, Sampling, Similarity, TextAnalysis, Vocab}
+import graft.operators.{AsOfJoin, Connected, Decontaminate, Dedup, Dsir, FooterStats, Funnel, Multimodal, Pipelines, Profiles, Quantize, QualityFilter, RangeJoin, Rank, Sampling, Sketches, Similarity, TextAnalysis, Vocab}
 
 /** Catalog entries for the LLM-data-pipeline operators (dedup, similarity
   * search, text analysis, multimodal) over the `documents` / `embeddings`
@@ -4089,7 +4089,26 @@ object OpsQueries {
     // The oracle's count(*) scans; both must land on the same number.
     "q140_footer_count" -> Entry(
       (s, dir) => FooterStats.totalRows(s, s"$dir/lineitem.parquet"),
-      Some("SELECT CAST(count(*) AS BIGINT) AS total_rows FROM lineitem"))
+      Some("SELECT CAST(count(*) AS BIGINT) AS total_rows FROM lineitem")),
+
+    // ----- mergeable sketches: per-source distinct audit --------------------
+    // The corpus is unioned with itself so distinct != count. est_ok
+    // pins the HLL estimate within 5% of exact THROUGH the oracle
+    // hash-compare (the sketch fold is deterministic, so the boolean
+    // is a stable value, and DuckDB replays exact + literal true).
+    "q141_hll_audit" -> Entry(
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("source"), col("doc_id"))
+        Sketches.distinctAudit(d.unionByName(d), col("source"),
+            col("doc_id"))
+          .withColumnRenamed("group", "source")
+          .orderBy("source")
+      },
+      Some("""WITH u AS (SELECT source, doc_id FROM documents
+             |  UNION ALL SELECT source, doc_id FROM documents)
+             |SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT)
+             |  AS n_exact, true AS est_ok
+             |FROM u GROUP BY source ORDER BY source""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)
