@@ -46,6 +46,20 @@ object OpsQueries {
       s"SELECT doc_id, sh, $b AS band, md5(m${2 * b} || m${2 * b + 1})" +
         s" AS bv FROM $sig").mkString(" UNION ALL ")
 
+  /** ISO-BMFF fixture fragments shared by the q142 entry and its
+    * oracle so the two can never drift: ftyp box ('isom' brand), the
+    * v0 mvhd box through its modification time (timescale/duration
+    * follow), and the trak+tkhd v0 prefix through the unity matrix
+    * (16.16 width/height follow). `Mp4ATrak` is a complete audio trak
+    * (zero dimensions). */
+  private val Mp4Ftyp = "000000106674797069736f6d00000000"
+  private val Mp4MvhdPre = "0000006c6d766864" + "00000000" * 3
+  private val Mp4TrakPre = "000000647472616b" + "0000005c746b6864" +
+    "00000007" + "00000000" * 2 + "00000001" + "00000000" + "00000000" +
+    "00" * 8 + "0000" * 4 +
+    "00010000" + "00000000" * 3 + "00010000" + "00000000" * 3 + "40000000"
+  private val Mp4ATrak = Mp4TrakPre + "00000000" * 2
+
   /** Planted exact-duplicate corpus (SQL side). */
   private val DupDocsSql =
     """docs AS (
@@ -4108,7 +4122,87 @@ object OpsQueries {
              |  UNION ALL SELECT source, doc_id FROM documents)
              |SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT)
              |  AS n_exact, true AS est_ok
-             |FROM u GROUP BY source ORDER BY source""".stripMargin))
+             |FROM u GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ----- X4 REAL MP4/ISO-BMFF video header decode -------------------------
+    // Synthesizes structurally-valid MP4 box trees per doc: ftyp, a
+    // variable-length free box the top-level scan must skip, moov with
+    // v0 mvhd (timescale/duration) and one-or-two trak/tkhd children
+    // (audio-only files keep metadata but surface null dimensions),
+    // plus planted malformed blobs. Multimodal.parseMp4Header recovers
+    // brand/timescale/duration/tracks/dims by an actual box-tree walk.
+    // The oracle rebuilds the same hex payload and extracts every BE
+    // field at its k-shifted byte offset, proving the layout
+    // arithmetic, then replays duration_ms = units·1000/timescale in
+    // integer math.
+    "q142_video_headers" -> Entry(
+      (s, dir) => {
+        import s.implicits._
+        val d = t(s, dir, "documents").select(col("doc_id"))
+        def hxp(c: org.apache.spark.sql.Column, w: Int) =
+          lpad(lower(hex(c)), w, "0")
+        val k = (col("doc_id") % 7).cast("int")
+        val ts = (lit(600) + col("doc_id") % 1000).cast("long")
+        val dur = (lit(1000) + col("doc_id") % 100000).cast("long")
+        val w = (lit(160) + col("doc_id") % 480).cast("int")
+        val h = (lit(120) + col("doc_id") % 360).cast("int")
+        val freeHex = concat(hxp(k + 8, 8), lit("66726565"),
+          expr("repeat('00', CAST(doc_id % 7 AS INT))"))
+        val mvhdHex = concat(lit(Mp4MvhdPre), hxp(ts, 8), hxp(dur, 8),
+          lit("00" * 80))
+        val vtrakHex = concat(lit(Mp4TrakPre), hxp(w, 4), lit("0000"),
+          hxp(h, 4), lit("0000"))
+        val audioOnly = col("doc_id") % 13 === 0
+        val moovHex = when(audioOnly,
+          concat(lit("000000d86d6f6f76"), mvhdHex, lit(Mp4ATrak)))
+          .otherwise(concat(lit("0000013c6d6f6f76"), mvhdHex, vtrakHex,
+            lit(Mp4ATrak)))
+        val payloadHex = when(col("doc_id") % 19 === 0,
+            lit("0000001066747970"))
+          .when(col("doc_id") % 23 === 0, lit("00112233"))
+          .otherwise(concat(lit(Mp4Ftyp), freeHex, moovHex))
+        val media = d.select(col("doc_id"),
+            unhex(payloadHex).as("payload"), lit("video").as("kind"))
+          .as[Multimodal.MediaRecord]
+        Multimodal.decodeVideoHeaders(media).toDF().orderBy("doc_id")
+      },
+      Some(s"""WITH b AS (SELECT doc_id,
+             |  CAST(doc_id % 7 AS INT) AS k,
+             |  doc_id % 13 = 0 AS aonly,
+             |  doc_id % 19 = 0 OR doc_id % 23 = 0 AS bad
+             |  FROM documents),
+             |hx AS (SELECT doc_id, k, aonly, bad,
+             |  '$Mp4Ftyp' ||
+             |  lpad(lower(to_hex(k + 8)), 8, '0') || '66726565' ||
+             |  repeat('00', k) ||
+             |  CASE WHEN aonly THEN '000000d8' ELSE '0000013c' END ||
+             |  '6d6f6f76' || '$Mp4MvhdPre' ||
+             |  lpad(lower(to_hex(600 + doc_id % 1000)), 8, '0') ||
+             |  lpad(lower(to_hex(1000 + doc_id % 100000)), 8, '0') ||
+             |  repeat('00', 80) ||
+             |  CASE WHEN aonly THEN '' ELSE '$Mp4TrakPre' ||
+             |    lpad(lower(to_hex(160 + doc_id % 480)), 4, '0') ||
+             |    '0000' ||
+             |    lpad(lower(to_hex(120 + doc_id % 360)), 4, '0') ||
+             |    '0000' END ||
+             |  '$Mp4ATrak' AS h FROM b),
+             |f AS (SELECT doc_id, k, aonly, bad,
+             |  CAST(('0x' || substr(h, 2*(52+k)+1, 8)) AS BIGINT) AS ts,
+             |  CAST(('0x' || substr(h, 2*(56+k)+1, 8)) AS BIGINT) AS dur,
+             |  CAST(('0x' || substr(h, 2*(232+k)+1, 4)) AS INT) AS w,
+             |  CAST(('0x' || substr(h, 2*(236+k)+1, 4)) AS INT) AS hh
+             |  FROM hx)
+             |SELECT doc_id,
+             |  CASE WHEN bad THEN NULL ELSE 'mp4' END AS format,
+             |  CASE WHEN bad THEN NULL ELSE 'isom' END AS brand,
+             |  CASE WHEN bad THEN NULL ELSE ts END AS timescale,
+             |  CASE WHEN bad THEN NULL ELSE dur * 1000 // ts END
+             |    AS duration_ms,
+             |  CASE WHEN bad THEN NULL WHEN aonly THEN 1 ELSE 2 END
+             |    AS n_tracks,
+             |  CASE WHEN bad OR aonly THEN NULL ELSE w END AS width,
+             |  CASE WHEN bad OR aonly THEN NULL ELSE hh END AS height
+             |FROM f ORDER BY doc_id""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

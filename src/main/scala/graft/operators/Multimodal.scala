@@ -268,6 +268,116 @@ object Multimodal {
     }
   }
 
+  /** Parsed video container header: null columns ⇔ not a well-formed
+    * ISO-BMFF/MP4 (the malformed-payload contract). `width`/`height`
+    * stay null when no visual track exists (audio-only container —
+    * still a VALID file, so the other columns populate). */
+  case class VideoHeader(doc_id: Long, format: Option[String],
+      brand: Option[String], timescale: Option[Long],
+      duration_ms: Option[Long], n_tracks: Option[Int],
+      width: Option[Int], height: Option[Int])
+
+  /** REAL ISO-BMFF (MP4/MOV, ISO 14496-12) box scan — pure JVM, no
+    * codec library:
+    *
+    *  - The file is a sequence of boxes: u32 BE size + 4cc type;
+    *    size 1 ⇒ u64 `largesize` follows (16-byte header), size 0 ⇒
+    *    box runs to EOF (last box only). Unknown boxes (`free`,
+    *    `mdat`, …) skip by declared size — what every demuxer does.
+    *  - `ftyp` carries the major brand (first 4 content bytes).
+    *  - `moov` contains `mvhd` (version 0: u32 timescale/duration at
+    *    content offsets 12/16; version 1: u32 timescale at 20, u64
+    *    duration at 24) and one `trak` per track; each trak's `tkhd`
+    *    ends in 16.16 fixed-point width/height (content offsets 76/80
+    *    for v0, 88/92 for v1) — non-zero only for visual tracks, so
+    *    the first such trak provides the display dimensions.
+    *
+    * Returns None for anything malformed: bad/overrunning box sizes,
+    * trailing bytes that are not a whole box, missing ftyp/moov/mvhd,
+    * zero timescale. Never throws.
+    * Result: (brand, timescale, durationUnits, nTracks, width?, height?). */
+  def parseMp4Header(p: Array[Byte])
+      : Option[(String, Long, Long, Int, Option[Int], Option[Int])] = {
+    val n = p.length.toLong
+    def u8(i: Long): Int = p(i.toInt) & 0xff
+    def u32(i: Long): Long =
+      (u8(i) << 24).toLong | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def u64(i: Long): Long = (u32(i) << 32) | u32(i + 4)
+    def tag(i: Long): String =
+      new String(p.slice(i.toInt, i.toInt + 4), "US-ASCII")
+    /** Boxes in [from, to): (type, contentStart, boxEnd); None if the
+      * region is not an exact concatenation of well-formed boxes. */
+    def scan(from: Long, to: Long): Option[List[(String, Long, Long)]] = {
+      var i = from
+      val acc = List.newBuilder[(String, Long, Long)]
+      while (i + 8 <= to) {
+        val sz32 = u32(i)
+        val typ = tag(i + 4)
+        val (sz, hdr): (Long, Long) =
+          if (sz32 == 1L) {
+            if (i + 16 > to) return None
+            (u64(i + 8), 16L)
+          } else if (sz32 == 0L) (to - i, 8L)
+          else (sz32, 8L)
+        if (sz < hdr || i + sz > to) return None
+        acc += ((typ, i + hdr, i + sz))
+        i += sz
+      }
+      if (i != to) None else Some(acc.result())
+    }
+    val top = scan(0L, n).getOrElse(return None)
+    val brand = top.collectFirst { case ("ftyp", cs, be) if be - cs >= 4 =>
+      tag(cs)
+    }.getOrElse(return None)
+    val (moovCs, moovEnd) = top.collectFirst { case ("moov", cs, be) =>
+      (cs, be)
+    }.getOrElse(return None)
+    val kids = scan(moovCs, moovEnd).getOrElse(return None)
+    val mvhd = kids.collectFirst { case ("mvhd", cs, be) =>
+      if (be - cs >= 4 && u8(cs) == 0 && be - cs >= 20)
+        Some((u32(cs + 12), u32(cs + 16)))
+      else if (be - cs >= 4 && u8(cs) == 1 && be - cs >= 32)
+        Some((u32(cs + 20), u64(cs + 24)))
+      else None
+    }.flatten.getOrElse(return None)
+    val (ts, dur) = mvhd
+    if (ts <= 0) return None
+    val traks = kids.filter(_._1 == "trak")
+    val dims = traks.iterator.flatMap { case (_, cs, be) =>
+      scan(cs, be).getOrElse(Nil).collectFirst { case ("tkhd", tc, tb) =>
+        val off = if (tb - tc >= 4 && u8(tc) == 1) 88L else 76L
+        if (tb - tc >= off + 8) {
+          val w = (u32(tc + off) >> 16).toInt
+          val h = (u32(tc + off + 4) >> 16).toInt
+          if (w > 0 && h > 0) Some((w, h)) else None
+        } else None
+      }.flatten
+    }.take(1).toList.headOption
+    Some((brand, ts, dur, traks.size,
+      dims.map(_._1), dims.map(_._2)))
+  }
+
+  /** Partition-parallel REAL MP4 header decode — the video sibling of
+    * [[decodeImageHeaders]]/[[decodeAudioHeaders]]: nulls for
+    * malformed bytes, `duration_ms` = units·1000/timescale in exact
+    * integer math. This is the operator a video-ingest pipeline runs
+    * to length/size-filter clips before paying for frame decode. */
+  def decodeVideoHeaders(media: Dataset[MediaRecord]): Dataset[VideoHeader] = {
+    implicit val enc: org.apache.spark.sql.Encoder[VideoHeader] =
+      Encoders.product[VideoHeader]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        parseMp4Header(r.payload) match {
+          case Some((brand, ts, dur, nt, w, h)) =>
+            VideoHeader(r.doc_id, Some("mp4"), Some(brand), Some(ts),
+              Some(dur * 1000L / ts), Some(nt), w, h)
+          case None =>
+            VideoHeader(r.doc_id, None, None, None, None, None, None, None)
+        }
+      }
+    }
+  }
+
   /** SQL-expressible payload metadata (oracle-checkable subset): byte
     * length, content digest, kind tag. */
   def payloadMeta(media: DataFrame): DataFrame =

@@ -1147,6 +1147,78 @@ class OperatorsSpec extends TestBase {
       Multimodal.AudioHeader(2L, None, None, None, None, None))
   }
 
+  test("parseMp4Header: golden ISO-BMFF boxes (v0/v1 mvhd+tkhd, " +
+      "largesize, size-0-to-EOF, free skip); malformed → None (X4)") {
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def u32h(v: Long): String = f"$v%08x"
+    def asc(t: String): String =
+      t.getBytes("US-ASCII").map(b => f"$b%02x").mkString
+    def box(typ: String, content: String): String =
+      u32h(8 + content.length / 2) + asc(typ) + content
+    def boxLarge(typ: String, content: String): String =
+      u32h(1) + asc(typ) + f"${16 + content.length / 2}%016x" + content
+    val matrix = "00010000" + "00000000" * 3 + "00010000" +
+      "00000000" * 3 + "40000000"
+    def tkhdV0(w: Int, h: Int) = box("tkhd",
+      "00000007" + "00000000" * 2 + "00000001" + "00000000" +
+        "00000000" + "00" * 8 + "0000" * 4 + matrix +
+        f"$w%04x0000" + f"$h%04x0000")
+    def tkhdV1(w: Int, h: Int) = box("tkhd",
+      "01000007" + "00" * 16 + "00000001" + "00000000" + "00" * 8 +
+        "00" * 8 + "0000" * 4 + matrix + f"$w%04x0000" + f"$h%04x0000")
+    def mvhdV0(ts: Long, dur: Long) = box("mvhd",
+      "00000000" * 3 + u32h(ts) + u32h(dur) + "00" * 80)
+    def mvhdV1(ts: Long, dur: Long) = box("mvhd",
+      "01000000" + "00" * 16 + u32h(ts) + f"$dur%016x" + "00" * 80)
+    val ftyp = box("ftyp", asc("isom") + "00000000")
+    // v0, free box skipped, video + audio track
+    val v0 = hx(ftyp + box("free", "00" * 5) +
+      box("moov", mvhdV0(600, 3000) + box("trak", tkhdV0(640, 360)) +
+        box("trak", tkhdV0(0, 0))))
+    assert(Multimodal.parseMp4Header(v0)
+      .contains(("isom", 600L, 3000L, 2, Some(640), Some(360))))
+    // v1 mvhd + v1 tkhd (64-bit times)
+    val v1 = hx(ftyp +
+      box("moov", mvhdV1(90000, 450000) + box("trak", tkhdV1(1920, 1080))))
+    assert(Multimodal.parseMp4Header(v1)
+      .contains(("isom", 90000L, 450000L, 1, Some(1920), Some(1080))))
+    // largesize (size=1 + u64) moov parses identically
+    val lg = hx(ftyp + boxLarge("moov",
+      mvhdV0(600, 1200) + box("trak", tkhdV0(320, 240))))
+    assert(Multimodal.parseMp4Header(lg)
+      .contains(("isom", 600L, 1200L, 1, Some(320), Some(240))))
+    // size=0 final box runs to EOF
+    val z = hx(ftyp + "00000000" + asc("moov") +
+      mvhdV0(1000, 5000) + box("trak", tkhdV0(0, 0)))
+    assert(Multimodal.parseMp4Header(z)
+      .contains(("isom", 1000L, 5000L, 1, None, None)))
+    // malformed family: truncated box, trailing garbage, missing moov,
+    // missing ftyp, zero timescale, child overruns parent, empty
+    val bads = Seq(
+      hx("0000001066747970"),
+      hx(ftyp + box("moov", mvhdV0(600, 100)) + "ab"),
+      hx(ftyp + box("free", "00" * 4)),
+      hx(box("moov", mvhdV0(600, 100))),
+      hx(ftyp + box("moov", mvhdV0(0, 100))),
+      hx(ftyp + box("moov", u32h(999) + asc("mvhd"))),
+      Array.empty[Byte])
+    bads.foreach(b =>
+      assert(Multimodal.parseMp4Header(b).isEmpty,
+        s"expected None for ${b.length}-byte malformed payload"))
+    // typed pipeline: duration_ms = units·1000/timescale, nulls for bad
+    val media = Seq(
+      Multimodal.MediaRecord(1L, v0, "video"),
+      Multimodal.MediaRecord(2L, hx("00112233"), "video")).toDS()
+    val out = Multimodal.decodeVideoHeaders(media)
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(out(1L) == Multimodal.VideoHeader(1L, Some("mp4"),
+      Some("isom"), Some(600L), Some(5000L), Some(2), Some(640),
+      Some(360)))
+    assert(out(2L) == Multimodal.VideoHeader(2L, None, None, None,
+      None, None, None, None))
+  }
+
   test("rrfFuse: hand-checked fusion, absent-list docs contribute 0, " +
       "ties break on id, ranks preserved for provenance (X3/X5)") {
     val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "r")
