@@ -123,6 +123,14 @@ object Multimodal {
     *    height u16, width u16, component count u8. The scan skips
     *    fill bytes and length-less RST/TEM markers, and gives up at
     *    SOS/EOI (a frame header after the scan data is not valid).
+    *  - GIF (87a/89a): logical-screen width/height as u16 LITTLE-
+    *    endian at bytes 6/8; palette-based, so channels reports 1
+    *    (the PNG color-type-3 convention).
+    *  - BMP (BITMAPINFOHEADER and successors): 'BM' + u32le DIB
+    *    header size at 14 (≥ 40), i32le width/height at 18/22 (a
+    *    negative height is a legal top-down bitmap — reported
+    *    absolute), u16le bit count at 28 → channels (≤8-bit palette
+    *    forms report 1, 24 → 3, 32 → 4).
     *
     * Returns None for anything malformed: wrong signature, truncated
     * header, zero dimensions, unknown color type. Never throws. */
@@ -171,6 +179,25 @@ object Multimodal {
         }
       }
       res
+    } else if (p.length >= 10 && u8(0) == 'G' && u8(1) == 'I' &&
+        u8(2) == 'F' && u8(3) == '8' &&
+        (u8(4) == '7' || u8(4) == '9') && u8(5) == 'a') {
+      def u16le(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+      val w = u16le(6); val h = u16le(8)
+      if (w > 0 && h > 0) Some(("gif", w, h, 1)) else None
+    } else if (p.length >= 30 && u8(0) == 'B' && u8(1) == 'M') {
+      def u16le(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+      def i32le(i: Int): Int =
+        u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+      val dibSize = i32le(14)
+      val w = i32le(18); val h = i32le(22)
+      val bits = u16le(28)
+      val channels = bits match {
+        case 1 | 4 | 8 => 1; case 24 => 3; case 32 => 4; case _ => 0
+      }
+      if (dibSize >= 40 && w > 0 && h != 0 && h != Int.MinValue &&
+        channels > 0) Some(("bmp", w, math.abs(h), channels))
+      else None
     } else None
   }
 

@@ -1147,6 +1147,58 @@ class OperatorsSpec extends TestBase {
       Multimodal.AudioHeader(2L, None, None, None, None, None))
   }
 
+  test("parseImageHeader: GIF and BMP golden bytes (LE fields, " +
+      "top-down BMP, palette channels); malformed → None (X4)") {
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // GIF89a, 320×200 logical screen (u16 LITTLE-endian)
+    val gif = hx("474946383961" + "4001" + "c800" + "f700" + "00" + "00")
+    assert(Multimodal.parseImageHeader(gif)
+      .contains(("gif", 320, 200, 1)))
+    // GIF87a accepted too
+    val gif87 = hx("474946383761" + "1000" + "2000" + "00" + "00" + "00")
+    assert(Multimodal.parseImageHeader(gif87)
+      .contains(("gif", 16, 32, 1)))
+    // BMP BITMAPINFOHEADER: 'BM', DIB size 40 at byte 14, 100×50,
+    // 24-bit → 3 channels
+    val bmp = hx("424d" + "46000000" + "00000000" + "36000000" +
+      "28000000" + "64000000" + "32000000" + "0100" + "1800" +
+      "00000000" + "00000000" + "130b0000" + "130b0000" +
+      "00000000" + "00000000")
+    assert(Multimodal.parseImageHeader(bmp)
+      .contains(("bmp", 100, 50, 3)))
+    // top-down BMP: height -50 (0xffffffce LE) reports absolute; 32-bit
+    val topDown = hx("424d" + "46000000" + "00000000" + "36000000" +
+      "28000000" + "64000000" + "ceffffff" + "0100" + "2000" +
+      "00000000" + "00000000" + "130b0000" + "130b0000" +
+      "00000000" + "00000000")
+    assert(Multimodal.parseImageHeader(topDown)
+      .contains(("bmp", 100, 50, 4)))
+    // 8-bit palette BMP → 1 channel
+    val pal = hx("424d" + "46000000" + "00000000" + "36000000" +
+      "28000000" + "08000000" + "08000000" + "0100" + "0800" +
+      "00000000" + "00000000" + "130b0000" + "130b0000" +
+      "00000000" + "00000000")
+    assert(Multimodal.parseImageHeader(pal)
+      .contains(("bmp", 8, 8, 1)))
+    // malformed: GIF with zero width; BMP with pre-v3 DIB header (12);
+    // BMP with 16-bit (unsupported channel map); truncated GIF
+    val bads = Seq(
+      hx("474946383961" + "0000" + "c800" + "00" + "00" + "00"),
+      hx("424d" + "46000000" + "00000000" + "36000000" +
+        "0c000000" + "64000000" + "32000000" + "0100" + "1800" +
+        "00000000" + "00000000" + "00000000" + "00000000" +
+        "00000000" + "00000000"),
+      hx("424d" + "46000000" + "00000000" + "36000000" +
+        "28000000" + "64000000" + "32000000" + "0100" + "1000" +
+        "00000000" + "00000000" + "00000000" + "00000000" +
+        "00000000" + "00000000"),
+      hx("47494638"))
+    bads.foreach(b =>
+      assert(Multimodal.parseImageHeader(b).isEmpty,
+        s"expected None for ${b.length}-byte malformed payload"))
+  }
+
   test("parseMp4Header: golden ISO-BMFF boxes (v0/v1 mvhd+tkhd, " +
       "largesize, size-0-to-EOF, free skip); malformed → None (X4)") {
     def hx(s: String): Array[Byte] =
