@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.operators.{AsOfJoin, Connected, Decontaminate, Dedup, Dsir, FooterStats, Funnel, Multimodal, Pipelines, Profiles, Quantize, QualityFilter, RangeJoin, Rank, Sampling, Sketches, Similarity, TextAnalysis, Vocab}
+import graft.operators.{AsOfJoin, Connected, Decontaminate, Dedup, Dsir, FooterStats, Funnel, Graph, Multimodal, Pipelines, Profiles, Quantize, QualityFilter, RangeJoin, Rank, Sampling, Sketches, Similarity, TextAnalysis, Vocab}
 
 /** Catalog entries for the LLM-data-pipeline operators (dedup, similarity
   * search, text analysis, multimodal) over the `documents` / `embeddings`
@@ -4202,7 +4202,50 @@ object OpsQueries {
              |    AS n_tracks,
              |  CASE WHEN bad OR aonly THEN NULL ELSE w END AS width,
              |  CASE WHEN bad OR aonly THEN NULL ELSE hh END AS height
-             |FROM f ORDER BY doc_id""".stripMargin))
+             |FROM f ORDER BY doc_id""".stripMargin)),
+
+    // ----- iterative graph: PageRank ----------------------------------------
+    // Synthetic 53-vertex link graph derived from doc ids; 3 damped
+    // sweeps of the simplified (dangling-mass-dropped) PageRank. The
+    // oracle unrolls the iterations as CTEs with the SAME double
+    // arithmetic ((1.0 - 0.85) evaluated in IEEE doubles, not as a
+    // decimal literal), so both engines walk identical float paths;
+    // ranks round to 6 places for the hash compare (the cosine-score
+    // convention).
+    "q143_pagerank" -> Entry(
+      (s, dir) => {
+        val edges = t(s, dir, "documents")
+          .select((col("doc_id") % 53).as("src"),
+            ((col("doc_id") * 7 + 11) % 53).as("dst"))
+        Graph.pagerank(edges, "src", "dst", iterations = 3)
+          .select(col("id"), round(col("rank"), 6).as("rank_r"))
+          .orderBy("id")
+      },
+      Some {
+        def iter(prev: String, cur: String): String =
+          s"""$cur AS (SELECT v.id,
+             |  (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+             |    / (SELECT n FROM n)
+             |  + CAST(0.85 AS DOUBLE) * COALESCE(c.s, 0) AS rank
+             |  FROM v LEFT JOIN (
+             |    SELECT e.dst AS id, SUM($prev.rank / deg.d) AS s
+             |    FROM e JOIN $prev ON $prev.id = e.src
+             |    JOIN deg ON deg.id = e.src
+             |    GROUP BY e.dst) c ON c.id = v.id)""".stripMargin
+        s"""WITH e AS (SELECT DISTINCT doc_id % 53 AS src,
+           |    (doc_id * 7 + 11) % 53 AS dst FROM documents
+           |  WHERE doc_id % 53 <> (doc_id * 7 + 11) % 53),
+           |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+           |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+           |deg AS (SELECT src AS id, COUNT(*) AS d FROM e GROUP BY 1),
+           |r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / (SELECT n FROM n)
+           |  AS rank FROM v),
+           |${iter("r0", "r1")},
+           |${iter("r1", "r2")},
+           |${iter("r2", "r3")}
+           |SELECT id, round(rank, 6) AS rank_r FROM r3
+           |ORDER BY id""".stripMargin
+      })
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+/** [[graft.operators.Graph]] — the distributed PageRank must match a
+  * sequential reference implementation exactly (same simplified-dangling
+  * semantics), ignore multi-edges/self-loops, and stay stable under
+  * partitioning. */
+class GraphSpec extends TestBase {
+
+  /** Sequential reference: r0 = 1/N; r' = (1-d)/N + d·Σ r/deg over
+    * the distinct non-loop edge set. */
+  private def seqPagerank(edges: Seq[(Long, Long)], iters: Int,
+      d: Double = 0.85): Map[Long, Double] = {
+    val e = edges.filter(p => p._1 != p._2).distinct
+    val verts = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val n = verts.size
+    val deg = e.groupBy(_._1).map { case (s, xs) => s -> xs.size }
+    var r = verts.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val in = e.groupBy(_._2).map { case (t, xs) =>
+        t -> xs.map(x => r(x._1) / deg(x._1)).sum
+      }
+      r = verts.map(v => v -> ((1.0 - d) / n + d * in.getOrElse(v, 0.0)))
+        .toMap
+    }
+    r
+  }
+
+  private val handEdges: Seq[(Long, Long)] =
+    Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 3L))
+    // 4 is dangling-adjacent: out-edge only, no in-edges
+
+  test("pagerank matches the sequential reference on a hand graph") {
+    import spark.implicits._
+    val edges = handEdges.toDF("s", "t")
+    val got = Graph.pagerank(edges, "s", "t", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = seqPagerank(handEdges, 3)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (v, r) =>
+      assert(math.abs(r - want(v)) < 1e-12, s"vertex $v: $r vs ${want(v)}")
+    }
+    // sanity: 3 has the most in-links and must outrank everyone
+    assert(got(3L) == got.values.max)
+  }
+
+  test("multi-edges and self-loops are ignored") {
+    import spark.implicits._
+    val noisy = (handEdges ++ handEdges ++ Seq((1L, 1L), (3L, 3L)))
+      .toDF("s", "t")
+    val got = Graph.pagerank(noisy, "s", "t", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = seqPagerank(handEdges, 3)
+    got.foreach { case (v, r) =>
+      assert(math.abs(r - want(v)) < 1e-12)
+    }
+  }
+
+  test("pure sink keeps only the teleport share; partitioning-stable") {
+    import spark.implicits._
+    // star into 9: every spoke ranks (1-d)/N, the hub collects
+    val star = (1L to 8L).map(i => (i, 9L))
+    for (p <- Seq(1, 7)) {
+      val got = Graph.pagerank(star.toDF("s", "t").repartition(p),
+        "s", "t", iterations = 2)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val want = seqPagerank(star, 2)
+      got.foreach { case (v, r) =>
+        assert(math.abs(r - want(v)) < 1e-12, s"p=$p vertex $v")
+      }
+      assert(got(9L) == got.values.max)
+    }
+  }
+
+  test("outDegrees over distinct non-loop edges") {
+    import spark.implicits._
+    val got = Graph.outDegrees(
+      (handEdges ++ Seq((1L, 2L), (2L, 2L))).toDF("s", "t"), "s", "t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("guards: iterations and damping validated") {
+    import spark.implicits._
+    val e = handEdges.toDF("s", "t")
+    assert(intercept[IllegalArgumentException] {
+      Graph.pagerank(e, "s", "t", iterations = 0)
+    }.getMessage.contains("iterations"))
+    assert(intercept[IllegalArgumentException] {
+      Graph.pagerank(e, "s", "t", iterations = 1, damping = 1.0)
+    }.getMessage.contains("damping"))
+  }
+}
