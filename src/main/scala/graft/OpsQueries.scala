@@ -4245,7 +4245,81 @@ object OpsQueries {
            |${iter("r2", "r3")}
            |SELECT id, round(rank, 6) AS rank_r FROM r3
            |ORDER BY id""".stripMargin
-      })
+      }),
+
+    // ----- embedding hygiene: vector quality report + per-dim moments -------
+    // q144 plants one pathology family over the embeddings fixture
+    // (nulls, truncated dims, NaN, zero vectors, ×100 norm blowups) and
+    // pins the verdict CASE — including the norm-outlier z-gate whose
+    // mean/std both engines compute over the same valid-norm set. The
+    // report is integer counts, so the float z only has to agree on
+    // which side of 3σ each planted norm falls (margins are huge by
+    // construction).
+    "q144_vector_quality" -> Entry(
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val planted = e.select(col("vec_id"),
+          when(col("vec_id") % 29 === 0, lit(null))
+            .when(col("vec_id") % 31 === 0, slice(col("embedding"), 1, 32))
+            .when(col("vec_id") % 37 === 0,
+              concat(slice(col("embedding"), 1, 63),
+                array(lit(Float.NaN))))
+            .when(col("vec_id") % 41 === 0,
+              transform(col("embedding"), _ => lit(0.0f)))
+            .when(col("vec_id") % 43 === 0,
+              transform(col("embedding"), x => x * lit(100.0f)))
+            .otherwise(col("embedding")).as("vec"))
+        graft.operators.Embeddings
+          .vectorQualityReport(planted, "vec", dim = 64)
+          .orderBy("verdict")
+      },
+      Some("""WITH pl AS (SELECT vec_id,
+             |  CASE WHEN vec_id % 29 = 0 THEN NULL
+             |    WHEN vec_id % 31 = 0 THEN embedding[1:32]
+             |    WHEN vec_id % 37 = 0 THEN
+             |      list_append(embedding[1:63], 'NaN'::FLOAT)
+             |    WHEN vec_id % 41 = 0 THEN
+             |      list_transform(embedding, x -> 0.0::FLOAT)
+             |    WHEN vec_id % 43 = 0 THEN
+             |      list_transform(embedding, x -> CAST(x * 100.0 AS FLOAT))
+             |    ELSE embedding END AS v FROM embeddings),
+             |nm AS (SELECT vec_id, v,
+             |  CASE WHEN v IS NOT NULL AND len(v) = 64 AND
+             |    len(list_filter(v, x -> isnan(x) OR isinf(x))) = 0
+             |  THEN sqrt(list_sum(list_transform(v,
+             |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             |  ELSE NULL END AS nrm FROM pl),
+             |st AS (SELECT avg(nrm) AS mu, stddev_pop(nrm) AS sd
+             |  FROM nm WHERE nrm IS NOT NULL AND nrm > 0)
+             |SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n FROM (
+             |  SELECT CASE WHEN v IS NULL THEN 'missing'
+             |    WHEN len(v) <> 64 THEN 'bad_dim'
+             |    WHEN len(list_filter(v, x -> isnan(x) OR isinf(x)))
+             |      > 0 THEN 'nonfinite'
+             |    WHEN nrm = 0 THEN 'zero_norm'
+             |    WHEN (SELECT sd FROM st) > 0 AND
+             |      abs(nrm - (SELECT mu FROM st)) >
+             |        3.0 * (SELECT sd FROM st) THEN 'norm_outlier'
+             |    ELSE 'ok' END AS verdict FROM nm)
+             |GROUP BY verdict ORDER BY verdict""".stripMargin)),
+
+    // q145: per-dimension population moments (the feature-scaling
+    // table `standardize` consumes), rounded 6dp with the +0.0
+    // negative-zero kill; oracle unnests with 1-based subscripts
+    // shifted to match posexplode's 0-based dims.
+    "q145_dim_moments" -> Entry(
+      (s, dir) => graft.operators.Embeddings
+        .dimMoments(t(s, dir, "embeddings"), "embedding")
+        .select(col("dim"),
+          (round(col("mean"), 6) + lit(0.0)).as("mean_r"),
+          (round(col("std"), 6) + lit(0.0)).as("std_r"))
+        .orderBy("dim"),
+      Some("""SELECT CAST(i - 1 AS INT) AS dim,
+             |  round(avg(CAST(v AS DOUBLE)), 6) + 0.0 AS mean_r,
+             |  round(stddev_pop(CAST(v AS DOUBLE)), 6) + 0.0 AS std_r
+             |FROM (SELECT unnest(embedding) AS v,
+             |  generate_subscripts(embedding, 1) AS i FROM embeddings)
+             |GROUP BY i ORDER BY dim""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

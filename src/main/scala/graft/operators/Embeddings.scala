@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding-column hygiene — the gate a vector pipeline runs BEFORE
+  * ANN indexing / semantic dedup pays for math on garbage: encoder
+  * crashes leave nulls, version-skewed encoders leave wrong
+  * dimensions, fp blowups leave NaN/Inf or zero vectors, and
+  * norm outliers poison cosine neighborhoods. All checks are pure
+  * scan-side higher-order-function predicates (codegen'd, zero
+  * UDFs); the norm-outlier bound needs one corpus aggregation whose
+  * two-number result broadcasts back — nothing corpus-sized moves.
+  *
+  * [[dimMoments]]/[[standardize]] are the feature-scaling half:
+  * per-dimension mean/std (one (dim)-keyed partial aggregation — 64
+  * tiny groups absorb map-side) and the broadcast z-transform. */
+object Embeddings {
+
+  /** Per-row verdict on `vecCol`, first failing check wins:
+    * `null` → missing, wrong length → bad_dim, any NaN/±Inf →
+    * nonfinite, all-zero → zero_norm, |z(norm)| > `maxNormZ` →
+    * norm_outlier, else ok. Norm stats (population mean/std over the
+    * VALID vectors only) ride a broadcast two-number table. */
+  def withVectorVerdict(df: DataFrame, vecCol: String, dim: Int,
+      maxNormZ: Double = 3.0): DataFrame = {
+    require(dim > 0, s"Embeddings: dim must be positive, got $dim")
+    require(maxNormZ > 0, s"Embeddings: maxNormZ must be positive")
+    Seq("__norm", "__mu", "__sd", "verdict").foreach(c =>
+      require(!df.columns.contains(c),
+        s"Embeddings: input already has a '$c' column; rename it"))
+    val v = col(vecCol)
+    val nonfinite = exists(v, x => isnan(x) || abs(x) > lit(Float.MaxValue))
+    val structuralOk = v.isNotNull && size(v) === dim &&
+      !nonfinite
+    val normSq = aggregate(v, lit(0.0d), (acc, x) =>
+      acc + x.cast("double") * x.cast("double"))
+    val staged = df.withColumn("__norm",
+      when(structuralOk, sqrt(normSq)).otherwise(lit(null)))
+    val stats = staged
+      .filter(col("__norm").isNotNull && col("__norm") > 0)
+      .agg(avg(col("__norm")).as("__mu"),
+        stddev_pop(col("__norm")).as("__sd"))
+    staged.crossJoin(broadcast(stats))
+      .withColumn("verdict",
+        when(v.isNull, "missing")
+          .when(size(v) =!= dim, "bad_dim")
+          .when(nonfinite, "nonfinite")
+          .when(col("__norm") === 0.0, "zero_norm")
+          .when(col("__sd") > 0 &&
+            abs(col("__norm") - col("__mu")) > lit(maxNormZ) * col("__sd"),
+            "norm_outlier")
+          .otherwise("ok"))
+      .drop("__norm", "__mu", "__sd")
+  }
+
+  /** Rows whose vector passes every [[withVectorVerdict]] check —
+    * the serving gate. */
+  def vectorQualityGate(df: DataFrame, vecCol: String, dim: Int,
+      maxNormZ: Double = 3.0): DataFrame =
+    withVectorVerdict(df, vecCol, dim, maxNormZ)
+      .filter(col("verdict") === "ok").drop("verdict")
+
+  /** Per-verdict counts — the ingest health report. Columns:
+    * `verdict`, `n`. */
+  def vectorQualityReport(df: DataFrame, vecCol: String, dim: Int,
+      maxNormZ: Double = 3.0): DataFrame =
+    withVectorVerdict(df, vecCol, dim, maxNormZ)
+      .groupBy("verdict").agg(count(lit(1)).as("n"))
+
+  /** Per-dimension population moments of `vecCol` (vectors must be
+    * uniform length — run the gate first). Columns: `dim` (0-based),
+    * `mean`, `std`. One posexplode + a (dim)-keyed aggregation: D tiny
+    * groups, map-side combined — the corpus crosses one exchange of
+    * (dim, partial-moment) rows. */
+  def dimMoments(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode(col(vecCol)).as(Seq("dim", "__v")))
+      .groupBy("dim")
+      .agg(avg(col("__v").cast("double")).as("mean"),
+        stddev_pop(col("__v").cast("double")).as("std"))
+
+  /** Z-standardizes `vecCol` against `moments` (a [[dimMoments]]
+    * result): out[i] = (v[i] − mean_i)/std_i, constant dims (std 0)
+    * centered only. The D-row moment table collapses to two array
+    * literals via a broadcast single-row cross join — the transform
+    * itself is a zero-exchange projection. */
+  def standardize(df: DataFrame, vecCol: String, moments: DataFrame,
+      outCol: String = "std_vec"): DataFrame = {
+    Seq("__mus", "__sds", outCol).foreach(c =>
+      require(!df.columns.contains(c),
+        s"Embeddings: input already has a '$c' column; rename it"))
+    val packed = moments
+      .agg(array_sort(collect_list(struct(col("dim"), col("mean"),
+        col("std")))).as("__m"))
+      .select(transform(col("__m"), m => m("mean")).as("__mus"),
+        transform(col("__m"), m => m("std")).as("__sds"))
+    df.crossJoin(broadcast(packed))
+      .withColumn(outCol,
+        zip_with(col(vecCol).cast("array<double>"),
+          sequence(lit(0), size(col(vecCol)) - 1),
+          (v, i) => {
+            val mu = element_at(col("__mus"), i + 1)
+            val sd = element_at(col("__sds"), i + 1)
+            when(sd > 0, (v - mu) / sd).otherwise(v - mu)
+          }))
+      .drop("__mus", "__sds")
+  }
+}

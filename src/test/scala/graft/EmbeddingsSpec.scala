@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Embeddings
+
+/** [[graft.operators.Embeddings]] — verdict precedence over planted
+  * pathologies, the gate/report forms, per-dim moments vs hand math,
+  * and the standardize round trip. */
+class EmbeddingsSpec extends TestBase {
+
+  // 20 norm-5 inliers so a z=3 bound is reachable (max z over n valid
+  // norms is √(n−1)), then one pathology of each kind
+  private def vecs = {
+    import spark.implicits._
+    val inliers = (1L to 20L).map(i => (i, Some(Seq(3.0f, 4.0f))))
+    (inliers ++ Seq(
+      (21L, None),                              // missing
+      (22L, Some(Seq(1.0f))),                   // bad_dim
+      (23L, Some(Seq(Float.NaN, 1.0f))),        // nonfinite
+      (24L, Some(Seq(Float.PositiveInfinity, 0.0f))), // nonfinite
+      (25L, Some(Seq(0.0f, 0.0f))),             // zero_norm
+      (26L, Some(Seq(300.0f, 400.0f)))))        // norm 500: outlier
+      .toDF("id", "vec")
+  }
+
+  test("withVectorVerdict: precedence over planted pathologies") {
+    val got = Embeddings.withVectorVerdict(vecs, "vec", dim = 2)
+      .select("id", "verdict").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert((1L to 20L).forall(got(_) == "ok"))
+    assert(got(21L) == "missing" && got(22L) == "bad_dim" &&
+      got(23L) == "nonfinite" && got(24L) == "nonfinite" &&
+      got(25L) == "zero_norm" && got(26L) == "norm_outlier")
+  }
+
+  test("gate keeps only ok rows; report counts every verdict") {
+    val kept = Embeddings.vectorQualityGate(vecs, "vec", dim = 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == (1L to 20L).toSet)
+    val rep = Embeddings.vectorQualityReport(vecs, "vec", dim = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep == Map("ok" -> 20L, "missing" -> 1L, "bad_dim" -> 1L,
+      "nonfinite" -> 2L, "zero_norm" -> 1L, "norm_outlier" -> 1L))
+  }
+
+  test("dimMoments: hand-checked population moments") {
+    import spark.implicits._
+    val d = Seq(Seq(1.0f, 10.0f), Seq(3.0f, 10.0f), Seq(5.0f, 10.0f))
+      .toDF("vec")
+    val got = Embeddings.dimMoments(d, "vec").collect()
+      .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got(0)._1 == 3.0 &&
+      math.abs(got(0)._2 - math.sqrt(8.0 / 3)) < 1e-12)
+    assert(got(1) == ((10.0, 0.0))) // constant dim: std 0
+  }
+
+  test("standardize: output moments are (0, 1); constant dims center") {
+    import spark.implicits._
+    val d = (1 to 40).map(i => Seq(i.toFloat, 7.0f)).toDF("vec")
+    val m = Embeddings.dimMoments(d, "vec")
+    val std = Embeddings.standardize(d, "vec", m)
+    val check = Embeddings.dimMoments(std, "std_vec").collect()
+      .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(math.abs(check(0)._1) < 1e-12 &&
+      math.abs(check(0)._2 - 1.0) < 1e-12)
+    assert(check(1) == ((0.0, 0.0))) // constant dim centered, not blown up
+  }
+
+  test("standardize plan: zero-exchange projection over the corpus") {
+    import spark.implicits._
+    val d = (1 to 20).map(i => Seq(i.toFloat, 2.0f)).toDF("vec")
+    val m = Embeddings.dimMoments(d, "vec").cache()
+    m.count()
+    val std = Embeddings.standardize(d, "vec", m)
+    std.collect()
+    val p = std.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the corpus is the join's STREAMED side and must feed it straight
+    // from its scan — no exchange on that branch (the packed moments
+    // side may aggregate however it likes; it is two rows)
+    val lines = p.linesIterator.toSeq
+    val ji = lines.indexWhere(_.contains("BroadcastNestedLoopJoin"))
+    assert(ji >= 0, s"moments must broadcast-join:\n$p")
+    val corpusBranch = lines(ji + 1)
+    assert(corpusBranch.trim.startsWith(":-") &&
+      corpusBranch.contains("Scan") &&
+      !corpusBranch.contains("Exchange"),
+      s"corpus must not shuffle into the join:\n$p")
+  }
+
+  test("guards: column clashes raise") {
+    import spark.implicits._
+    val d = Seq((1L, Seq(1.0f))).toDF("id", "vec")
+      .withColumn("verdict", lit("x"))
+    assert(intercept[IllegalArgumentException] {
+      Embeddings.withVectorVerdict(d, "vec", 1)
+    }.getMessage.contains("verdict"))
+  }
+}
