@@ -593,4 +593,42 @@ class StreamingSpec extends TestBase {
     }
     assert(e.getMessage.contains("maxFilesPerTrigger"))
   }
+
+  test("streaming HLL cardinality: complete-mode sketch aggregation " +
+      "across micro-batches ≡ batch sketch of the union") {
+    import org.apache.spark.sql.functions.{hll_sketch_agg, lit}
+    val dir = tmpDir().toString
+    // drop 1: users 1..40 (two sources); drop 2 overlaps 21..60
+    def docs(lo: Long, hi: Long) =
+      (lo to hi).map(i => (i, if (i % 2 == 0) "web" else "books"))
+        .toDF("doc_id", "source")
+    docs(1, 40).write.mode("append").parquet(dir)
+    val schema = docs(1, 1).schema
+    def run(name: String): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(dir)
+        .groupBy(col("source").as("group"))
+        .agg(hll_sketch_agg(col("doc_id"), lit(12)).as("sketch"))
+      val q = stream.writeStream.outputMode("complete").format("memory")
+        .queryName(name).trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+    }
+    run("hll_s1")
+    docs(21, 60).write.mode("append").parquet(dir)
+    run("hll_s2")
+    val est1 = graft.operators.Sketches.estimate(spark.table("hll_s1"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est1 == Map("web" -> 20L, "books" -> 20L))
+    // after the second drop the streaming sketch must equal the batch
+    // sketch over the DEDUPLICATED union — incremental ingest never
+    // double-counts re-seen ids
+    val est2 = graft.operators.Sketches.estimate(spark.table("hll_s2"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = graft.operators.Sketches.estimate(
+      graft.operators.Sketches.cardinalitySketch(
+        docs(1, 40).unionByName(docs(21, 60)), col("source"),
+        col("doc_id")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est2 == batch, s"stream $est2 vs batch $batch")
+    assert(est2 == Map("web" -> 30L, "books" -> 30L))
+  }
 }
