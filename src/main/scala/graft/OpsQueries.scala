@@ -4319,7 +4319,67 @@ object OpsQueries {
              |  round(stddev_pop(CAST(v AS DOUBLE)), 6) + 0.0 AS std_r
              |FROM (SELECT unnest(embedding) AS v,
              |  generate_subscripts(embedding, 1) AS i FROM embeddings)
-             |GROUP BY i ORDER BY dim""".stripMargin))
+             |GROUP BY i ORDER BY dim""".stripMargin)),
+
+    // ----- declarative data-quality checks (ingest gate) --------------------
+    // A Deequ-style suite over lineitem compiled to one aggregation
+    // pass. Fractions are exact across engines: numerator and
+    // denominator are integer-valued double sums (exact ≤ 2^53), the
+    // division is one IEEE op, so even the deliberately-failing and
+    // fractional rows hash-match. The duplicate-orderkey Unique row
+    // FAILS by design (lineitem repeats orderkeys) — the report must
+    // say so, not hide it.
+    "q146_quality_checks" -> Entry(
+      (s, dir) => {
+        import graft.operators.Checks._
+        graft.operators.Checks.run(t(s, dir, "lineitem"), Seq(
+            NotNull("l_orderkey"),
+            Unique("l_orderkey"),
+            InRange("l_quantity", 1, 50),
+            InRange("l_discount", 0.0, 0.05, minFrac = 0.5),
+            AcceptedValues("l_returnflag", Seq("A", "N", "R")),
+            MinRows(1000)))
+          .orderBy("check", "column", "threshold")
+      },
+      Some("""WITH m AS (SELECT
+             |  SUM(CASE WHEN l_orderkey IS NOT NULL THEN
+             |    CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+             |    / SUM(CAST(1.0 AS DOUBLE)) AS nn,
+             |  CAST(COUNT(l_orderkey) AS DOUBLE)
+             |    - CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS dup,
+             |  SUM(CASE WHEN l_orderkey IS NOT NULL THEN CASE WHEN
+             |    CAST(l_quantity AS DOUBLE) BETWEEN 1 AND 50 THEN
+             |    CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END END)
+             |    / SUM(CASE WHEN l_quantity IS NOT NULL THEN
+             |      CAST(1.0 AS DOUBLE) END) AS qr,
+             |  SUM(CASE WHEN l_discount IS NOT NULL THEN CASE WHEN
+             |    CAST(l_discount AS DOUBLE) BETWEEN 0.0 AND 0.05 THEN
+             |    CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END END)
+             |    / SUM(CASE WHEN l_discount IS NOT NULL THEN
+             |      CAST(1.0 AS DOUBLE) END) AS dr,
+             |  SUM(CASE WHEN l_returnflag IS NOT NULL THEN CASE WHEN
+             |    l_returnflag IN ('A','N','R') THEN CAST(1.0 AS DOUBLE)
+             |    ELSE CAST(0.0 AS DOUBLE) END END)
+             |    / SUM(CASE WHEN l_returnflag IS NOT NULL THEN
+             |      CAST(1.0 AS DOUBLE) END) AS av,
+             |  CAST(COUNT(*) AS DOUBLE) AS nr
+             |  FROM lineitem)
+             |SELECT * FROM (
+             |  SELECT 'not_null' AS "check", 'l_orderkey' AS "column",
+             |    round(nn, 9) AS observed, CAST(1.0 AS DOUBLE)
+             |    AS threshold, nn >= 1.0 AS passed FROM m
+             |  UNION ALL SELECT 'unique', 'l_orderkey', round(dup, 9),
+             |    CAST(0.0 AS DOUBLE), dup = 0.0 FROM m
+             |  UNION ALL SELECT 'in_range', 'l_quantity', round(qr, 9),
+             |    CAST(1.0 AS DOUBLE), COALESCE(qr >= 1.0, true) FROM m
+             |  UNION ALL SELECT 'in_range', 'l_discount', round(dr, 9),
+             |    CAST(0.5 AS DOUBLE), COALESCE(dr >= 0.5, true) FROM m
+             |  UNION ALL SELECT 'accepted_values', 'l_returnflag',
+             |    round(av, 9), CAST(1.0 AS DOUBLE),
+             |    COALESCE(av >= 1.0, true) FROM m
+             |  UNION ALL SELECT 'min_rows', '', round(nr, 9),
+             |    CAST(1000.0 AS DOUBLE), nr >= 1000.0 FROM m)
+             |ORDER BY "check", "column", threshold""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

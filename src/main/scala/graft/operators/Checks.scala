@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality constraints — the ingest gate a pipeline
+  * runs BEFORE training sees a new drop (the Deequ / great-expectations
+  * primitive, rebuilt Spark-first): a constraint suite compiles to ONE
+  * aggregation pass over the table, the KB-sized observation row fans
+  * back out into a long-format report, and nothing is computed twice.
+  *
+  * Scale notes: every check is an aggregate expression riding the same
+  * group-less aggregation (partial-combined map-side, one single-row
+  * exchange). The exception is [[Unique]], whose exact COUNT(DISTINCT)
+  * makes Spark plan an Expand over the distinct columns (k distinct
+  * aggregates ⇒ k× row multiplication before the partial agg) — fine
+  * for a handful of key columns, and [[UniqueApprox]] is the
+  * sketch-based alternative when the column count grows. */
+object Checks {
+
+  sealed trait Constraint {
+    /** Stable report key. */
+    def label: String
+
+    /** Column under check ("" for table-level). */
+    def column: String
+  }
+
+  /** Fraction of non-null values must be ≥ `minFrac` (1.0 = no nulls
+    * allowed). */
+  final case class NotNull(col: String, minFrac: Double = 1.0)
+      extends Constraint {
+    val label = "not_null"; val column = col
+  }
+
+  /** Column values must be globally unique (exact distinct count ==
+    * non-null count; nulls don't count as duplicates of each other). */
+  final case class Unique(col: String) extends Constraint {
+    val label = "unique"; val column = col
+  }
+
+  /** Unique up to HLL sketch error: estimate ≥ (1−`tol`)·count. The
+    * mergeable form for wide key audits — no Expand. */
+  final case class UniqueApprox(col: String, tol: Double = 0.05)
+      extends Constraint {
+    val label = "unique_approx"; val column = col
+  }
+
+  /** Fraction of non-null values inside [lo, hi] must be ≥ `minFrac`. */
+  final case class InRange(col: String, lo: Double, hi: Double,
+      minFrac: Double = 1.0) extends Constraint {
+    val label = "in_range"; val column = col
+  }
+
+  /** Fraction of non-null values in `values` must be ≥ `minFrac`. */
+  final case class AcceptedValues(col: String, values: Seq[String],
+      minFrac: Double = 1.0) extends Constraint {
+    val label = "accepted_values"; val column = col
+  }
+
+  /** Fraction of non-null values matching `regex` (full-match RLIKE
+    * semantics are NOT implied — this is `rlike`, i.e. find-anywhere)
+    * must be ≥ `minFrac`. */
+  final case class MatchesRegex(col: String, regex: String,
+      minFrac: Double = 1.0) extends Constraint {
+    val label = "matches_regex"; val column = col
+  }
+
+  /** Table must have at least `n` rows. */
+  final case class MinRows(n: Long) extends Constraint {
+    val label = "min_rows"; val column = ""
+  }
+
+  /** Runs the suite in ONE aggregation pass. Report columns:
+    * `check`, `column`, `observed` (the measured fraction/count as
+    * double, rounded to 9 places for cross-engine stability),
+    * `threshold`, `passed`. Rows ordered suite-order. */
+  def run(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
+    require(constraints.nonEmpty, "Checks.run: empty constraint suite")
+    val names = df.columns.toSet
+    constraints.foreach {
+      case c: Constraint if c.column.nonEmpty =>
+        require(names.contains(c.column),
+          s"Checks.run: no column '${c.column}' for ${c.label}")
+      case _ => ()
+    }
+    def frac(pred: Column, base: Column): Column = {
+      // avg over the base population; empty base → null → handled by
+      // the pass rule (vacuously true, the SQL convention)
+      val p = sum(when(base, when(pred, 1.0d).otherwise(0.0d)))
+      val n = sum(when(base, 1.0d))
+      p / n
+    }
+    // one aggregate expression (+ optional companions) per constraint
+    val obs: Seq[(Constraint, Column, Column => Column)] =
+      constraints.map {
+        case c @ NotNull(cc, minFrac) =>
+          (c, frac(col(cc).isNotNull, lit(true)),
+            (o: Column) => coalesce(o >= lit(minFrac), lit(true)))
+        case c @ Unique(cc) =>
+          // observed = duplicate count (0 when unique)
+          (c, count(col(cc)).cast("double") -
+            countDistinct(col(cc)).cast("double"),
+            (o: Column) => o === 0.0d)
+        case c @ UniqueApprox(cc, tol) =>
+          (c, hll_sketch_estimate(hll_sketch_agg(col(cc), lit(12)))
+            .cast("double") / count(col(cc)).cast("double"),
+            (o: Column) => coalesce(o >= lit(1.0 - tol), lit(true)))
+        case c @ InRange(cc, lo, hi, minFrac) =>
+          (c, frac(col(cc).cast("double").between(lo, hi),
+            col(cc).isNotNull),
+            (o: Column) => coalesce(o >= lit(minFrac), lit(true)))
+        case c @ AcceptedValues(cc, vs, minFrac) =>
+          (c, frac(col(cc).isin(vs: _*), col(cc).isNotNull),
+            (o: Column) => coalesce(o >= lit(minFrac), lit(true)))
+        case c @ MatchesRegex(cc, re, minFrac) =>
+          (c, frac(col(cc).rlike(re), col(cc).isNotNull),
+            (o: Column) => coalesce(o >= lit(minFrac), lit(true)))
+        case c @ MinRows(n) =>
+          (c, count(lit(1)).cast("double"),
+            (o: Column) => o >= lit(n.toDouble))
+      }
+    val aggCols = obs.zipWithIndex.map { case ((_, a, _), i) =>
+      a.as(s"__o$i")
+    }
+    val row = df.agg(aggCols.head, aggCols.tail: _*)
+    val reportRows = obs.zipWithIndex.map { case ((c, _, pass), i) =>
+      val o = round(col(s"__o$i"), 9)
+      struct(
+        lit(c.label).as("check"),
+        lit(c.column).as("column"),
+        o.as("observed"),
+        lit(thresholdOf(c)).as("threshold"),
+        pass(col(s"__o$i")).as("passed"))
+    }
+    row.select(explode(array(reportRows: _*)).as("r"))
+      .select(col("r.check"), col("r.column"), col("r.observed"),
+        col("r.threshold"), col("r.passed"))
+  }
+
+  private def thresholdOf(c: Constraint): Double = c match {
+    case NotNull(_, f) => f
+    case Unique(_) => 0.0
+    case UniqueApprox(_, t) => 1.0 - t
+    case InRange(_, _, _, f) => f
+    case AcceptedValues(_, _, f) => f
+    case MatchesRegex(_, _, f) => f
+    case MinRows(n) => n.toDouble
+  }
+
+  /** True iff every constraint passed — the gate form for a
+    * promote-or-quarantine ingest decision. */
+  def passes(df: DataFrame, constraints: Seq[Constraint]): Boolean =
+    run(df, constraints).agg(min(col("passed"))).collect()
+      .head.getBoolean(0)
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Checks
+import graft.operators.Checks._
+
+/** [[graft.operators.Checks]] — hand-checked observations and pass
+  * verdicts, vacuous-truth edges, the one-pass plan shape, and the
+  * gate form. */
+class ChecksSpec extends TestBase {
+
+  private def tbl = {
+    import spark.implicits._
+    Seq(
+      (1L, Some("a"), Some(10.0)),
+      (2L, Some("b"), Some(20.0)),
+      (2L, Some("a"), Some(200.0)), // dup id, out-of-range v
+      (4L, None, Some(30.0)),       // null s
+      (5L, Some("zz"), None))       // unaccepted s, null v
+      .toDF("id", "s", "v")
+  }
+
+  test("hand-checked observations and verdicts") {
+    val rep = Checks.run(tbl, Seq(
+      NotNull("s", minFrac = 0.9),
+      Unique("id"),
+      InRange("v", 0, 100),
+      InRange("v", 0, 100, minFrac = 0.7),
+      AcceptedValues("s", Seq("a", "b")),
+      MatchesRegex("s", "^[ab]$", minFrac = 0.7),
+      MinRows(3)))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getDouble(2), r.getBoolean(4)))
+    assert(rep(0) == (("not_null", "s", 0.8, false)))
+    assert(rep(1) == (("unique", "id", 1.0, false))) // one duplicate
+    assert(rep(2) == (("in_range", "v", 0.75, false)))
+    assert(rep(3) == (("in_range", "v", 0.75, true)))
+    assert(rep(4) == (("accepted_values", "s", 0.75, false)))
+    assert(rep(5) == (("matches_regex", "s", 0.75, true)))
+    assert(rep(6) == (("min_rows", "", 5.0, true)))
+  }
+
+  test("vacuous pass: all-null base population") {
+    import spark.implicits._
+    val d = Seq((1L, None: Option[Double]), (2L, None)).toDF("id", "v")
+    val rep = Checks.run(d, Seq(InRange("v", 0, 1)))
+      .collect().head
+    assert(rep.isNullAt(2) && rep.getBoolean(4),
+      "empty base must pass vacuously with null observed")
+  }
+
+  test("uniqueApprox: sketch ratio passes unique keys, fails heavy dups") {
+    import spark.implicits._
+    val uniq = (1L to 5000L).toDF("id")
+    val rep1 = Checks.run(uniq, Seq(UniqueApprox("id")))
+      .collect().head
+    assert(rep1.getBoolean(4), s"unique keys must pass: $rep1")
+    val dup = (1L to 5000L).map(i => i % 100).toDF("id")
+    val rep2 = Checks.run(dup, Seq(UniqueApprox("id")))
+      .collect().head
+    assert(!rep2.getBoolean(4), s"50x dups must fail: $rep2")
+  }
+
+  test("one-pass plan: a non-distinct suite is a single aggregation, " +
+      "no Expand") {
+    val rep = Checks.run(tbl, Seq(
+      NotNull("s"), InRange("v", 0, 100), MinRows(1)))
+    rep.collect()
+    val p = rep.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.contains("Expand"), s"no distinct → no Expand:\n$p")
+    val exchanges = p.linesIterator
+      .count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges == 1, s"one single-row exchange expected:\n$p")
+    // Unique adds the documented Expand
+    val repU = Checks.run(tbl, Seq(Unique("id")))
+    repU.collect()
+    assert(repU.queryExecution.executedPlan.toString.contains("Expand")
+      || repU.queryExecution.executedPlan.toString
+        .contains("HashAggregate"), "distinct path planned")
+  }
+
+  test("passes gate and loud guards") {
+    assert(Checks.passes(tbl, Seq(MinRows(5), InRange("v", 0, 1000))))
+    assert(!Checks.passes(tbl, Seq(Unique("id"))))
+    assert(intercept[IllegalArgumentException] {
+      Checks.run(tbl, Seq.empty)
+    }.getMessage.contains("empty"))
+    assert(intercept[IllegalArgumentException] {
+      Checks.run(tbl, Seq(NotNull("nope")))
+    }.getMessage.contains("nope"))
+  }
+}
