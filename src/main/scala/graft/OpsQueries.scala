@@ -4379,7 +4379,62 @@ object OpsQueries {
              |    COALESCE(av >= 1.0, true) FROM m
              |  UNION ALL SELECT 'min_rows', '', round(nr, 9),
              |    CAST(1000.0 AS DOUBLE), nr >= 1000.0 FROM m)
-             |ORDER BY "check", "column", threshold""".stripMargin))
+             |ORDER BY "check", "column", threshold""".stripMargin)),
+
+    // ----- record linkage: cross-source fuzzy join --------------------------
+    // Corpus B re-publishes every %5 doc with its last 3 tokens
+    // dropped UNDER THE SAME ID — the id-collision case the side tag
+    // exists for. The oracle replays the side-tagged union through the
+    // q29 MinHash/band/verify chain with side-crossing candidates
+    // only.
+    "q147_fuzzy_join" -> Entry(
+      (s, dir) => {
+        val a = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val b = plantedCopies(a, mod = 5, offset = 0L, dropTokens = 3)
+        Dedup.fuzzyJoin(a, "doc_id", "text", b, "doc_id", "text",
+            threshold = 0.5)
+          .orderBy("id_a", "id_b")
+      },
+      Some {
+        val bands = (0 until 4).map(b =>
+          s"SELECT side, doc_id, $b AS band, " +
+            s"md5(m${2 * b} || m${2 * b + 1}) AS bv FROM sig")
+          .mkString(" UNION ALL ")
+        val jacExpr =
+          """CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+            |  (CAST(len(sa.sh) AS DOUBLE) + CAST(len(sb.sh) AS DOUBLE)
+            |   - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE))"""
+            .stripMargin
+        s"""WITH db AS (SELECT doc_id,
+           |    array_to_string(w[1:greatest(len(w)-3, 1)], ' ') AS text
+           |  FROM (SELECT doc_id, $TOKS AS w FROM documents
+           |        WHERE doc_id % 5 = 0)),
+           |u AS (SELECT 0 AS side, doc_id, text FROM documents
+           |  UNION ALL SELECT 1, doc_id, text FROM db),
+           |toks AS (SELECT side, doc_id, $TOKS AS w FROM u),
+           |shr AS (SELECT side, doc_id, array_to_string(w[i:i+2], ' ')
+           |    AS s
+           |  FROM toks, unnest(CASE WHEN len(w) >= 3
+           |    THEN generate_series(1, len(w)-2) ELSE [] END) AS u2(i)),
+           |sig AS (SELECT side, doc_id, $MinhashMinsSql FROM shr
+           |  GROUP BY side, doc_id),
+           |bands AS ($bands),
+           |cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.bv = b.bv
+           |  WHERE a.side = 0 AND b.side = 1),
+           |sets AS (SELECT side, doc_id,
+           |  list_distinct(CASE WHEN len(w) >= 3 THEN
+           |    [array_to_string(w[i:i+2], ' ')
+           |     for i in generate_series(1, len(w)-2)] ELSE [] END) AS sh
+           |  FROM toks)
+           |SELECT id_a, id_b, $jacExpr AS jac
+           |FROM cands JOIN sets sa
+           |    ON sa.side = 0 AND cands.id_a = sa.doc_id
+           |  JOIN sets sb ON sb.side = 1 AND cands.id_b = sb.doc_id
+           |WHERE $jacExpr >= 0.5
+           |ORDER BY id_a, id_b""".stripMargin
+      })
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

@@ -428,6 +428,52 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
   }
 
+  /** Record linkage: fuzzy JOIN between two corpora (A = e.g. the
+    * current crawl, B = e.g. a partner feed / prior snapshot with
+    * different ids) — pairs whose shingle-set Jaccard ≥ `threshold`.
+    * The n²-avoiding shape is [[verifiedNearDups]]'s single linear
+    * flow run over the side-tagged UNION: both sides sign and band in
+    * one scan pass, buckets collect (side, id)-keyed rows (struct
+    * ordering puts every A row before every B row, so the in-bucket
+    * (i < j) expansion enumerates each cross pair exactly once), and
+    * only side-crossing pairs verify — A×A and B×B pairs never
+    * materialize past the bucket. Id values may collide across sides
+    * (the side tag disambiguates); the two id columns must share a
+    * type. Returns (id_a, id_b, jac), distinct. */
+  def fuzzyJoin(a: DataFrame, idColA: String, textColA: String,
+      b: DataFrame, idColB: String, textColB: String,
+      threshold: Double, k: Int = 8, rowsPerBand: Int = 2,
+      shingleN: Int = 3, maxBucket: Int = 10000): DataFrame = {
+    val ua = a.select(struct(lit(0).as("side"),
+      col(idColA).as("id")).as("__key"), col(textColA).as("__text"))
+    val ub = b.select(struct(lit(1).as("side"),
+      col(idColB).as("id")).as("__key"), col(textColB).as("__text"))
+    val sigs = sigWithShingles(ua.unionByName(ub), "__key", "__text",
+      k, shingleN)
+    val bands = minhashBands(sigs, k, rowsPerBand, carry = Seq("sh"))
+    val wb = Window.partitionBy("band", "bv")
+    val gated = bands.withColumn("cnt", count(lit(1)).over(wb))
+      .filter(col("cnt") > 1 && col("cnt") <= maxBucket)
+    val buckets = gated.groupBy("band", "bv")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sh"))))
+        .as("rows"))
+    buckets
+      .select(explode(flatten(transform(col("rows"), (x, i) =>
+        transform(slice(col("rows"), i + 2, size(col("rows"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      // sorted by (side, id): a cross pair always has a on side 0
+      .filter(col("p.a.doc_id.side") === 0 && col("p.b.doc_id.side") === 1)
+      .select(col("p.a.doc_id.id").as("id_a"),
+        col("p.b.doc_id.id").as("id_b"), {
+          val inter = size(array_intersect(col("p.a.sh"), col("p.b.sh")))
+            .cast("double")
+          (inter / (size(col("p.a.sh")).cast("double")
+            + size(col("p.b.sh")).cast("double") - inter)).as("jac")
+        })
+      .filter(col("jac") >= threshold)
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** 32-bit SimHash over whitespace tokens. Per token, the first 8 hex
     * chars of md5(token) give a 32-bit value; each bit votes ±1; the
     * signature sets bits with positive vote sums. Returns (doc_id, simhash).

@@ -194,4 +194,54 @@ class FuzzyAndServingSpec extends TestBase {
     assert(e.getMessage.contains("null element inside the prefix"),
       e.getMessage)
   }
+
+  // ---------- fuzzyJoin (record linkage) -----------------------------------
+
+  test("fuzzyJoin links near-identical records across sources, " +
+      "never within one source") {
+    val a = docs(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "completely unrelated text about spark partitioning here",
+      3L -> "the quick brown fox jumps over the lazy dog today") // A-dup
+    val b = docs(
+      10L -> "the quick brown fox jumps over the lazy dog", // near 1 & 3
+      11L -> "another unrelated sentence about duckdb oracles instead")
+    val pairs = Dedup.fuzzyJoin(a, "doc_id", "text",
+        b, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // both A copies link to B#10; the A-internal dup pair (1,3) and
+    // B-internal pairs never surface
+    assert(pairs == Set((1L, 10L), (3L, 10L)), s"got $pairs")
+  }
+
+  test("fuzzyJoin survives id collisions across sides") {
+    val a = docs(7L -> "alpha beta gamma delta epsilon zeta eta")
+    val b = docs(7L -> "alpha beta gamma delta epsilon zeta") // same id!
+    val pairs = Dedup.fuzzyJoin(a, "doc_id", "text",
+        b, "doc_id", "text", threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((7L, 7L)),
+      "the colliding-id cross pair must survive the self-pair defenses")
+  }
+
+  test("fuzzyJoin ≡ verifiedNearDups cross-pairs on disjoint id spaces") {
+    val a = docs(
+      1L -> "one two three four five six seven eight",
+      2L -> "red orange yellow green blue indigo violet")
+    val b = docs(
+      101L -> "one two three four five six seven",
+      102L -> "cats dogs birds fish mice snakes lizards")
+    val viaJoin = Dedup.fuzzyJoin(a, "doc_id", "text",
+        b, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(9, BigDecimal.RoundingMode
+          .HALF_UP))).toSet
+    val viaSelf = Dedup.verifiedNearDups(a.unionByName(b),
+        "doc_id", "text", threshold = 0.3)
+      .filter(col("doc_a") <= 2 && col("doc_b") >= 101)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(9, BigDecimal.RoundingMode
+          .HALF_UP))).toSet
+    assert(viaJoin == viaSelf && viaJoin.nonEmpty, s"$viaJoin vs $viaSelf")
+  }
 }
