@@ -4434,7 +4434,39 @@ object OpsQueries {
            |  JOIN sets sb ON sb.side = 1 AND cands.id_b = sb.doc_id
            |WHERE $jacExpr >= 0.5
            |ORDER BY id_a, id_b""".stripMargin
-      })
+      }),
+
+    // ----- semantic (embedding-level) decontamination -----------------------
+    // Benchmark = every %17 embedding; those rows flag themselves at
+    // sim 1.0, paraphrase-near rows flag if any cosine ≥ 0.95. Per-pair
+    // round-6 cosines (the q30 convention) then max — monotone round
+    // commutes with max, so both engines agree bit-wise.
+    "q148_semantic_decon" -> Entry(
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Decontaminate.semanticOverlap(
+            e.select(col("vec_id"), col("embedding")), "vec_id",
+            "embedding",
+            e.filter(col("vec_id") % 17 === 0), "embedding",
+            threshold = 0.95)
+          .select("vec_id", "max_sim", "flagged")
+          .orderBy("vec_id")
+      },
+      Some("""WITH b AS (SELECT embedding AS bv FROM embeddings
+             |  WHERE vec_id % 17 = 0),
+             |s AS (SELECT c.vec_id,
+             |  max(round(
+             |    list_sum([cv[i]::DOUBLE * bv[i]::DOUBLE
+             |      for i in generate_series(1, len(cv))]) /
+             |    (sqrt(list_sum([cv[i]::DOUBLE * cv[i]::DOUBLE
+             |      for i in generate_series(1, len(cv))])) *
+             |     sqrt(list_sum([bv[i]::DOUBLE * bv[i]::DOUBLE
+             |      for i in generate_series(1, len(bv))]))), 6))
+             |    AS max_sim
+             |  FROM (SELECT vec_id, embedding AS cv FROM embeddings) c, b
+             |  GROUP BY c.vec_id)
+             |SELECT vec_id, max_sim, max_sim >= 0.95 AS flagged
+             |FROM s ORDER BY vec_id""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

@@ -202,4 +202,56 @@ object Decontaminate {
       .filter(!col("contaminated")).select(col("doc_id").as("__keep"))
     corpus.join(clean, col(idCol) <=> col("__keep"), "left_semi")
   }
+
+  /** SEMANTIC contamination: flag corpus rows whose embedding is
+    * cosine-≥-`threshold` close to ANY benchmark embedding —
+    * the paraphrase-leakage check n-gram overlap cannot see (an eval
+    * question reworded shares no 8-gram but sits next to its source in
+    * embedding space).
+    *
+    * Scale shape: the benchmark collapses to ONE array-of-(vector,
+    * norm) row that broadcasts; the corpus side is a pure projection —
+    * per row, a higher-order-function sweep over the broadcast array
+    * (round-6 cosine per pair, then max — round is monotone, so the
+    * per-pair rounding the q30 oracle convention uses commutes with
+    * the max). ZERO corpus exchanges, no groupBy, stream-composable.
+    * Keep benchmarks in the ≤100k-vector range (each corpus row pays
+    * |bench|·dim multiplies); shard the benchmark and OR the flags
+    * beyond that.
+    *
+    * Null/zero-norm corpus vectors produce null/±Inf sims — run
+    * [[Embeddings.vectorQualityGate]] upstream (nulls flag false via
+    * the coalesce; an empty benchmark flags nothing).
+    *
+    * Output: corpus row + `max_sim` (round-6 double) + `flagged`. */
+  def semanticOverlap(corpus: DataFrame, idCol: String, vecCol: String,
+      bench: DataFrame, benchVecCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"semanticOverlap: threshold in (0, 1] required, got $threshold")
+    Seq("__bench", "__cn", "max_sim", "flagged").foreach(c =>
+      require(!corpus.columns.contains(c),
+        s"semanticOverlap: corpus already has a '$c' column; rename it"))
+    val b = bench.select(col(benchVecCol).as("__bv"))
+      .filter(col("__bv").isNotNull)
+      .agg(collect_list(struct(col("__bv").as("v"),
+        Similarity.norm(col("__bv")).as("n"))).as("__bench"))
+    corpus.crossJoin(broadcast(b))
+      .withColumn("__cn", Similarity.norm(col(vecCol)))
+      .withColumn("max_sim",
+        array_max(transform(col("__bench"), bb =>
+          round(Similarity.dot(col(vecCol), bb("v")) /
+            (col("__cn") * bb("n")), 6))))
+      .withColumn("flagged",
+        coalesce(col("max_sim") >= threshold, lit(false)))
+      .drop("__bench", "__cn")
+  }
+
+  /** Keeps only corpus rows [[semanticOverlap]] does NOT flag — the
+    * gate form. */
+  def semanticDecontaminate(corpus: DataFrame, idCol: String,
+      vecCol: String, bench: DataFrame, benchVecCol: String,
+      threshold: Double): DataFrame =
+    semanticOverlap(corpus, idCol, vecCol, bench, benchVecCol, threshold)
+      .filter(!col("flagged")).drop("max_sim", "flagged")
 }

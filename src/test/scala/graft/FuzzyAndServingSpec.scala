@@ -244,4 +244,67 @@ class FuzzyAndServingSpec extends TestBase {
           .HALF_UP))).toSet
     assert(viaJoin == viaSelf && viaJoin.nonEmpty, s"$viaJoin vs $viaSelf")
   }
+
+  // ---------- semanticOverlap (embedding-level decontamination) ------------
+
+  private def embRows(rows: (Long, Seq[Float])*) =
+    rows.toSeq.toDF("id", "vec")
+
+  test("semanticOverlap flags identical and near vectors, not " +
+      "orthogonal or null ones") {
+    val corpus = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, Seq(1.0f, 0.0f)),
+        org.apache.spark.sql.Row(2L, Seq(0.999f, 0.04f)),
+        org.apache.spark.sql.Row(3L, Seq(0.0f, 1.0f)),
+        org.apache.spark.sql.Row(4L, null)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("vec",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+    val bench = embRows(100L -> Seq(1.0f, 0.0f)).select(col("vec"))
+    val got = Decontaminate.semanticOverlap(corpus, "id", "vec",
+        bench, "vec", threshold = 0.95)
+      .select("id", "max_sim", "flagged")
+      .collect().map(r => r.getLong(0) ->
+        (Option(if (r.isNullAt(1)) null else r.getDouble(1)),
+          r.getBoolean(2))).toMap
+    assert(got(1L) == ((Some(1.0), true)))
+    assert(got(2L)._2, "0.999-cosine paraphrase must flag")
+    assert(got(3L) == ((Some(0.0), false)))
+    assert(got(4L)._2 == false && got(4L)._1.isEmpty,
+      "null vector: null sim, unflagged")
+  }
+
+  test("semanticOverlap: empty benchmark flags nothing; gate form drops " +
+      "flagged rows only") {
+    val corpus = embRows(1L -> Seq(1.0f, 0.0f), 2L -> Seq(0.0f, 1.0f))
+    val none = Decontaminate.semanticOverlap(corpus, "id", "vec",
+      embRows().select(col("vec")), "vec", 0.9)
+      .select("id", "max_sim", "flagged")
+    assert(none.collect().forall(!_.getBoolean(2)))
+    val kept = Decontaminate.semanticDecontaminate(corpus, "id", "vec",
+        embRows(9L -> Seq(1.0f, 0.0f)).select(col("vec")), "vec", 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L))
+  }
+
+  test("semanticOverlap plan: corpus never shuffles — broadcast sweep") {
+    val corpus = embRows((1L to 50L).map(i =>
+      i -> Seq(i.toFloat, 1.0f)): _*)
+    val out = Decontaminate.semanticOverlap(corpus, "id", "vec",
+      embRows(1L -> Seq(1.0f, 2.0f)).select(col("vec")), "vec", 0.99)
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val lines = p.linesIterator.toSeq
+    val ji = lines.indexWhere(_.contains("BroadcastNestedLoopJoin"))
+    assert(ji >= 0, s"bench must broadcast:\n$p")
+    val corpusBranch = lines(ji + 1)
+    assert(corpusBranch.trim.startsWith(":-") &&
+      !corpusBranch.contains("Exchange"),
+      s"corpus must feed the sweep unshuffled:\n$p")
+  }
 }
