@@ -4466,7 +4466,31 @@ object OpsQueries {
              |  FROM (SELECT vec_id, embedding AS cv FROM embeddings) c, b
              |  GROUP BY c.vec_id)
              |SELECT vec_id, max_sim, max_sim >= 0.95 AS flagged
-             |FROM s ORDER BY vec_id""".stripMargin))
+             |FROM s ORDER BY vec_id""".stripMargin)),
+
+    // ----- equi-depth histogram (quantile bins via the Rank primitive) ------
+    // Eight near-equal-population bins over a skew-prone money column;
+    // the synthetic unique id (orderkey·8 + linenumber, linenumber ≤ 7)
+    // makes the order total so bucket membership is deterministic.
+    // Min/max are raw values (no float arithmetic) and counts are
+    // exact, so the hash compare is airtight.
+    "q149_equidepth_hist" -> Entry(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_extendedprice"),
+            (col("l_orderkey") * 8 + col("l_linenumber")).as("rid"))
+        Profiles.equiDepthHistogram(li, "l_extendedprice", "rid",
+          buckets = 8)
+      },
+      Some("""WITH r AS (SELECT
+             |  CAST(l_extendedprice AS DOUBLE) AS x,
+             |  CAST(NTILE(8) OVER (ORDER BY
+             |    CAST(l_extendedprice AS DOUBLE),
+             |    l_orderkey * 8 + l_linenumber) AS INT) AS bucket
+             |  FROM lineitem)
+             |SELECT bucket, min(x) AS lo, max(x) AS hi,
+             |  CAST(COUNT(*) AS BIGINT) AS n
+             |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

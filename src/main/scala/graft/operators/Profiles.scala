@@ -238,4 +238,32 @@ object Profiles {
         round(sum(col("__ntok")).cast("double") /
           count(lit(1)).cast("double"), 6).as("mean_tokens"))
   }
+
+  /** EQUI-DEPTH histogram: `buckets` bins of near-equal ROW count (the
+    * first `N mod buckets` one row larger — exact NTILE semantics),
+    * each reporting its value range and population. The quantile-sketch
+    * alternative to [[histogram]]'s fixed edges when the distribution
+    * is unknown or heavy-tailed — equal-width bins put 99% of a skewed
+    * column in one bar; equal-depth bins ARE its quantiles.
+    *
+    * Built on [[Rank.globalNtile]] (`idCol` breaks ties, so bucket
+    * membership is total-order deterministic): one range exchange for
+    * the distributed rank, then one `bucket`-keyed aggregation of
+    * (bucket, partial min/max/count) rows — no single-task window
+    * anywhere. Null values are excluded (no rank order).
+    *
+    * Output: (bucket 1..buckets, lo, hi, n), bucket-ordered. */
+  def equiDepthHistogram(df: DataFrame, colName: String, idCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val x = col(colName).cast("double")
+    val staged = df.filter(x.isNotNull && !isnan(x))
+      .select(x.as("__x"), col(idCol).as("__id"))
+    Rank.globalNtile(staged,
+        Seq(col("__x").asc, col("__id").asc), buckets, outCol = "bucket")
+      .groupBy("bucket")
+      .agg(min(col("__x")).as("lo"), max(col("__x")).as("hi"),
+        count(lit(1)).as("n"))
+      .orderBy("bucket")
+  }
 }

@@ -98,6 +98,25 @@ class RankSpec extends TestBase {
     assert(e2.getMessage.contains("stage"))
   }
 
+  test("equiDepthHistogram: quantile bins with exact NTILE sizes, " +
+      "nulls and NaN excluded") {
+    import spark.implicits._
+    // heavy skew: 7 copies of 1.0 plus a tail — equal-width would put
+    // everything in one bar; equi-depth must split 4/3/3
+    val d = ((Seq.fill(7)(1.0) ++ Seq(5.0, 100.0, 1000.0))
+      .zipWithIndex.map { case (v, i) => (i.toLong, Option(v)) } ++
+      Seq((90L, Some(Double.NaN)), (91L, None)))
+      .toDF("id", "v")
+    val h = graft.operators.Profiles
+      .equiDepthHistogram(d, "v", "id", buckets = 3)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3)))
+    assert(h.map(_._4).toSeq == Seq(4L, 3L, 3L), s"got ${h.toSeq}")
+    assert(h(0) == ((1, 1.0, 1.0, 4L)))
+    assert(h(1) == ((2, 1.0, 1.0, 3L))) // the tie run fills bucket 2 too
+    assert(h(2) == ((3, 5.0, 1000.0, 3L)))
+  }
+
   test("plan: one range exchange, no corpus-sized Window partition") {
     val d = docs(400)
     val ranked = Rank.globalRank(d,
