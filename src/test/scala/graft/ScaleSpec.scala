@@ -143,6 +143,16 @@ class ScaleSpec extends TestBase {
     val p46 = plan(SparkEntry.queries("q46_char_entropy")(spark, sf))
     val e46 = "Exchange hashpartitioning".r.findAllIn(p46).length
     assert(e46 == 0, s"q46 expected zero hash exchanges, got $e46:\n$p46")
+    // q147 cross-source fuzzy join: the verifiedNearDups single flow
+    // over the side-tagged union — ZERO join operators (pairs expand
+    // in-bucket), bucket window+groupBy (fused, 1) + pair dedup (1)
+    val p147 = plan(SparkEntry.queries("q147_fuzzy_join")(spark, sf))
+    assert(!p147.contains("SortMergeJoin") &&
+      !p147.contains("BroadcastHashJoin") &&
+      !p147.contains("ShuffledHashJoin"),
+      s"q147 must not plan a join:\n$p147")
+    val e147 = "Exchange hashpartitioning".r.findAllIn(p147).length
+    assert(e147 <= 2, s"q147 expected <=2 exchanges, got $e147:\n$p147")
   }
 
   test("q39 IVF broadcasts only the centroid set, never the corpus") {
