@@ -4490,7 +4490,30 @@ object OpsQueries {
              |  FROM lineitem)
              |SELECT bucket, min(x) AS lo, max(x) AS hi,
              |  CAST(COUNT(*) AS BIGINT) AS n
-             |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin))
+             |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // ----- exact global quantiles without a global buffer -------------------
+    // Spark's exact `percentile` buffers the whole column per group;
+    // this path ranks (one range exchange) and interpolates from the
+    // two straddling rows per probability. Oracle = DuckDB's native
+    // quantile_cont (same type-7 definition), both rounded 6dp.
+    "q150_exact_quantiles" -> Entry(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_extendedprice"),
+            (col("l_orderkey") * 8 + col("l_linenumber")).as("rid"))
+        Rank.exactQuantiles(li, "l_extendedprice", "rid",
+            Seq(0.25, 0.5, 0.9, 0.99))
+          .orderBy("p")
+      },
+      Some {
+        // quantile_cont demands a CONSTANT probability — unroll
+        Seq(0.25, 0.5, 0.9, 0.99).map(p =>
+          s"""SELECT CAST($p AS DOUBLE) AS p,
+             |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE),
+             |    $p), 6) AS q FROM lineitem""".stripMargin)
+          .mkString("", "\nUNION ALL ", "\nORDER BY p")
+      })
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

@@ -32,22 +32,32 @@ import org.apache.spark.util.SerializableConfiguration
   */
 object FooterStats {
 
-  /** Files under `path` (a single parquet file or a directory of part
-    * files), with sizes. Hidden/metadata files (`_SUCCESS`, `.crc`)
-    * are skipped — the same filter Spark's own listing applies. */
+  /** Files under `path` (a single parquet file, a directory of part
+    * files, or a PARTITIONED tree of `key=value` subdirectories —
+    * listing is recursive), with sizes. Hidden/metadata entries
+    * (`_SUCCESS`, `.crc`, and anything under a `_`/`.`-prefixed
+    * directory) are skipped — the same filter Spark's own listing
+    * applies. */
   private def listParquet(spark: SparkSession, path: String)
       : Seq[(String, Long)] = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(p)
+    val base = st.getPath.toString
     val files =
-      if (st.isDirectory) fs.listStatus(p).toSeq
-      else Seq(st)
+      if (st.isDirectory) {
+        val it = fs.listFiles(p, true)
+        val buf = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+        while (it.hasNext) buf += it.next()
+        buf.result()
+      } else Seq(st)
     files
       .filter(_.isFile)
       .filter { f =>
-        val n = f.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".")
+        // every path component below the base must be visible
+        val rel = f.getPath.toString.stripPrefix(base).stripPrefix("/")
+        rel.split('/').forall(seg =>
+          !seg.startsWith("_") && !seg.startsWith("."))
       }
       .map(f => (f.getPath.toString, f.getLen))
   }

@@ -116,4 +116,58 @@ object Rank {
         .cast("int"))
       .drop("__rk", "__tot", "__q0", "__rem", "__cut")
   }
+
+  /** EXACT global quantiles at 100 TB. Spark's own exact `percentile`
+    * aggregate buffers every value of the group in executor memory
+    * (a counted hash map — a global quantile is a global buffer), and
+    * `approx_percentile` is approximate by construction. This is the
+    * third way: [[globalRank]] the values (one range exchange, no
+    * buffering), then only the ≤2·|probs| rows sitting at the
+    * interpolation positions survive a filter and meet in a KB-sized
+    * aggregation.
+    *
+    * Linear interpolation (type 7, the SQL `PERCENTILE_CONT` /
+    * DuckDB `quantile_cont` definition): `h = 1 + (N−1)·p`, result =
+    * `v⌊h⌋ + (h−⌊h⌋)·(v⌈h⌉ − v⌊h⌋)`. The value AT a rank position is
+    * tie-permutation-independent, so results are deterministic for
+    * any unique `idCol` tiebreak. Nulls and NaN are excluded (no
+    * order); an empty input returns zero rows.
+    *
+    * Output: (p, q) — one row per requested probability, rounded to
+    * 6 places (engines may interpolate with differently-ordered IEEE
+    * ops; at double precision the discrepancy is orders of magnitude
+    * below the 6th decimal). */
+  def exactQuantiles(df: DataFrame, valueCol: String, idCol: String,
+      probs: Seq[Double], partitions: Int = 0): DataFrame = {
+    require(probs.nonEmpty, "Rank.exactQuantiles: no probabilities")
+    probs.foreach(p => require(p >= 0 && p <= 1,
+      s"Rank.exactQuantiles: p must be in [0,1], got $p"))
+    val x = col(valueCol).cast("double")
+    val staged = df.filter(x.isNotNull && !isnan(x))
+      .select(x.as("__x"), col(idCol).as("__id"))
+    val ranked = globalRank(staged,
+      Seq(col("__x").asc, col("__id").asc), outCol = "__rk",
+      partitions = partitions)
+    val totals = staged.groupBy().agg(count(lit(1)).as("__tot"))
+    val probsDf = ranked.sparkSession
+      .createDataFrame(probs.map(Tuple1(_)))
+      .toDF("p")
+    ranked.crossJoin(broadcast(totals))
+      .crossJoin(broadcast(probsDf))
+      .withColumn("__h",
+        lit(1.0) + (col("__tot") - 1).cast("double") * col("p"))
+      // only the two straddling rows per probability survive
+      .filter(col("__rk") === floor(col("__h")).cast("long") ||
+        col("__rk") === ceil(col("__h")).cast("long"))
+      .groupBy("p")
+      .agg(
+        max(when(col("__rk") === floor(col("__h")).cast("long"),
+          col("__x"))).as("__vlo"),
+        max(when(col("__rk") === ceil(col("__h")).cast("long"),
+          col("__x"))).as("__vhi"),
+        first(col("__h")).as("__hh"))
+      .select(col("p"),
+        round(col("__vlo") + (col("__hh") - floor(col("__hh"))) *
+          (col("__vhi") - col("__vlo")), 6).as("q"))
+  }
 }

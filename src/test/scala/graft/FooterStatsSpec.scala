@@ -72,6 +72,20 @@ class FooterStatsSpec extends TestBase {
       "missing stats must be kept conservatively")
   }
 
+  test("fileRowCounts recurses a partitioned key=value layout and " +
+      "skips _SUCCESS markers") {
+    import spark.implicits._
+    val dir = tmpDir().resolve("bykey").toString
+    (1L to 600L).map(i => (i, s"k${i % 3}")).toDF("id", "k")
+      .write.partitionBy("k").parquet(dir)
+    val rc = FooterStats.fileRowCounts(spark, dir).collect()
+    assert(rc.map(_.getLong(1)).sum == 600L,
+      s"partitioned tree must sum fully: ${rc.mkString(", ")}")
+    assert(rc.forall(!_.getString(0).contains("_SUCCESS")))
+    assert(rc.forall(_.getString(0).contains("k=")),
+      "every counted file lives in a key= partition dir")
+  }
+
   test("empty input raises loudly") {
     val dir = tmpDir().toString
     val e = intercept[IllegalArgumentException] {

@@ -117,6 +117,36 @@ class RankSpec extends TestBase {
     assert(h(2) == ((3, 5.0, 1000.0, 3L)))
   }
 
+  test("exactQuantiles: matches the sequential type-7 definition, " +
+      "edges and ties included") {
+    import spark.implicits._
+    val values = Seq(3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0)
+    val d = values.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v").repartition(4)
+    def seqQuantile(p: Double): Double = {
+      val s = values.sorted
+      val h = 1.0 + (s.size - 1) * p
+      val lo = s(math.floor(h).toInt - 1)
+      val hi = s(math.ceil(h).toInt - 1)
+      lo + (h - math.floor(h)) * (hi - lo)
+    }
+    val probs = Seq(0.0, 0.1, 0.25, 0.5, 0.77, 1.0)
+    val got = graft.operators.Rank
+      .exactQuantiles(d, "v", "id", probs, partitions = 3)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    probs.foreach { p =>
+      assert(math.abs(got(p) - seqQuantile(p)) < 1e-9,
+        s"p=$p: ${got(p)} vs ${seqQuantile(p)}")
+    }
+    // nulls/NaN excluded; single-row input degenerates to that value
+    val one = Seq((1L, Some(42.0)), (2L, None),
+      (3L, Some(Double.NaN))).toDF("id", "v")
+    val q1 = graft.operators.Rank
+      .exactQuantiles(one, "v", "id", Seq(0.5))
+      .collect().head.getDouble(1)
+    assert(q1 == 42.0)
+  }
+
   test("plan: one range exchange, no corpus-sized Window partition") {
     val d = docs(400)
     val ranked = Rank.globalRank(d,
