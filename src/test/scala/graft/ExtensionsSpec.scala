@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.plans.GraftExtensions
+
+/** [[graft.plans.GraftExtensions]] — the analysis-time guard must fail
+  * exactly the one-task window shape, leave partitioned windows and
+  * `off` mode alone, and point at the Rank alternative. */
+class ExtensionsSpec extends TestBase {
+
+  private def withExtSession[A](f: SparkSession => A): A = {
+    val base = spark // force TestBase session + context first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
+      .getOrCreate() // same SparkContext, fresh session state
+    try f(s2)
+    finally {
+      s2.conf.unset("spark.graft.guard.unpartitionedWindow")
+      SparkSession.setActiveSession(base)
+      SparkSession.setDefaultSession(base)
+    }
+  }
+
+  test("fail mode rejects unpartitioned ordered windows at analysis, " +
+      "names the Rank fix") {
+    withExtSession { s2 =>
+      s2.conf.set("spark.graft.guard.unpartitionedWindow", "fail")
+      val e = intercept[Exception] {
+        s2.range(10)
+          .withColumn("r", row_number().over(Window.orderBy("id")))
+          .collect()
+      }
+      assert(e.getMessage.contains("globalRank"), e.getMessage)
+      assert(e.getMessage.contains("one task"), e.getMessage)
+    }
+  }
+
+  test("fail mode leaves partitioned windows and plain queries alone") {
+    withExtSession { s2 =>
+      s2.conf.set("spark.graft.guard.unpartitionedWindow", "fail")
+      val ok = s2.range(10).withColumn("g", col("id") % 2)
+        .withColumn("r",
+          row_number().over(Window.partitionBy("g").orderBy("id")))
+        .collect()
+      assert(ok.length == 10)
+      assert(s2.range(5).agg(count(lit(1))).collect().head.getLong(0)
+        == 5L)
+    }
+  }
+
+  test("off (default) and warn modes do not reject") {
+    withExtSession { s2 =>
+      // default: off
+      assert(s2.range(4)
+        .withColumn("r", row_number().over(Window.orderBy("id")))
+        .collect().length == 4)
+      s2.conf.set("spark.graft.guard.unpartitionedWindow", "warn")
+      assert(s2.range(4)
+        .withColumn("r", row_number().over(Window.orderBy("id")))
+        .collect().length == 4)
+    }
+  }
+
+  test("a session without the extension is never affected") {
+    spark.conf.set("spark.graft.guard.unpartitionedWindow", "fail")
+    try {
+      assert(spark.range(4)
+        .withColumn("r", row_number().over(Window.orderBy("id")))
+        .collect().length == 4)
+    } finally {
+      spark.conf.unset("spark.graft.guard.unpartitionedWindow")
+    }
+  }
+}
