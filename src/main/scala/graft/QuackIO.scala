@@ -57,6 +57,7 @@ final case class ReadOptions(
     escape: Option[String] = None,
     skipRows: Option[Int] = None,
     unionByName: Boolean = false,
+    ignoreErrors: Boolean = false,
     extra: Map[String, String] = Map.empty)
 
 /** Write-side options (reference `write_table` kwargs, `src/QuackIO.jl:33-42`).
@@ -138,6 +139,10 @@ object QuackIO {
     opts.nullstr.foreach(v => reader = reader.option("nullValue", v))
     opts.quote.foreach(v => reader = reader.option("quote", v))
     opts.escape.foreach(v => reader = reader.option("escape", v))
+    // DuckDB read_csv `ignore_errors=true`: rows the expected schema
+    // cannot parse are silently dropped (Spark DROPMALFORMED). Pair
+    // with `columns=` — with full inference nothing is malformed.
+    if (opts.ignoreErrors) reader = reader.option("mode", "DROPMALFORMED")
     reader = reader.options(opts.extra)
 
     // DuckDB's `skip=` drops N preamble lines from the top of EACH file
@@ -256,11 +261,68 @@ object QuackIO {
     * `union_by_name=true` semantics, at no extra cost. */
   def readJson(spark: SparkSession, paths: Seq[String],
       opts: ReadOptions = ReadOptions()): DataFrame = {
-    val df = spark.read.options(opts.extra).json(globSafe(paths): _*)
+    var r = spark.read.options(opts.extra)
+    // DuckDB read_json `ignore_errors=true`: unparseable lines drop
+    if (opts.ignoreErrors) r = r.option("mode", "DROPMALFORMED")
+    val df = r.json(globSafe(paths): _*)
     val widened = if (opts.widenIntegers) widenIntegral(df) else df
     applySelectLimit(
       if (opts.names.isEmpty) widened else widened.toDF(opts.names: _*),
       opts)
+  }
+
+  /** DuckDB's `store_rejects=true` analog: parse `paths` against the
+    * EXPECTED schema (`opts.columns` — required: rejects are judged
+    * against a contract, not against whatever inference would guess)
+    * and return `(clean, rejects)` — clean rows cast per O3 semantics,
+    * rejects as the raw unparseable records (`raw_record` string
+    * column), one row per record the schema could not parse. Each side
+    * is an independent lazy scan (two passes when both materialize —
+    * the price of not caching a corpus-sized parse; DuckDB pays a
+    * rejects TABLE write instead). Composable with the usual options
+    * (delim/header sniffing, nullstr/quote/escape). */
+  def readCsvWithRejects(spark: SparkSession, rawPaths: Seq[String],
+      opts: ReadOptions = ReadOptions()): (DataFrame, DataFrame) = {
+    require(opts.columns.nonEmpty,
+      "readCsvWithRejects requires explicit `columns` — rejects are " +
+        "judged against an expected schema")
+    require(opts.skipRows.isEmpty && !opts.unionByName,
+      "readCsvWithRejects composes with delim/header/null/quote/escape " +
+        "options only")
+    val paths = globSafe(rawPaths)
+    val (delim, header) = resolveCsvShape(spark, paths.head, opts)
+    val rejectCol = "_graft_rejected_record"
+    // a TEXT scan + from_csv, not the csv datasource: Spark refuses
+    // queries whose referenced columns are only the internal corrupt
+    // record column, and the text route keeps the REAL raw line for
+    // the rejects side anyway. Header lines are dropped by literal
+    // match against each file's first line (one driver-side line read
+    // per file — the same per-file sniff cost the reader pays).
+    val headerLines: Seq[String] =
+      if (header) paths.flatMap(p => readLinesAt(spark, p, 0, 1)).distinct
+      else Nil
+    val parseSchema = StructType(opts.columns.map { case (n, t) =>
+      StructField(n, parseTypeFor(duckTypeToSpark(t)), nullable = true)
+    } :+ StructField(rejectCol, StringType, nullable = true))
+    val csvOpts: Map[String, String] = Map(
+      "sep" -> delim,
+      "mode" -> "PERMISSIVE",
+      "columnNameOfCorruptRecord" -> rejectCol) ++
+      opts.nullstr.map("nullValue" -> _) ++
+      opts.quote.map("quote" -> _) ++
+      opts.escape.map("escape" -> _)
+    val raw = spark.read.textFile(paths: _*).toDF("value")
+      .filter(length(col("value")) > 0 &&
+        !col("value").isin(headerLines: _*))
+    val parsed = raw.select(col("value"),
+      from_csv(col("value"), parseSchema, csvOpts).as("__r"))
+    val clean = parsed.filter(col(s"__r.$rejectCol").isNull)
+      .select(opts.columns.map { case (n, t) =>
+        col(s"__r.${quoted(n)}").cast(duckTypeToSpark(t)).as(n)
+      }: _*)
+    val rejects = parsed.filter(col(s"__r.$rejectCol").isNotNull)
+      .select(col("value").as("raw_record"))
+    (applySelectLimit(clean, opts), rejects)
   }
 
   /** S4: format-guessing entry point (reference `read_file` with
