@@ -594,6 +594,41 @@ class StreamingSpec extends TestBase {
     assert(e.getMessage.contains("maxFilesPerTrigger"))
   }
 
+  test("streaming semantic decontamination: the stateless broadcast " +
+      "sweep runs per micro-batch, parity with batch") {
+    val dir = tmpDir().toString
+    def emb(rows: (Long, Seq[Float])*) =
+      rows.toSeq.toDF("id", "vec")
+    // batch 1: one clean, one bench-identical; batch 2: one near-bench
+    emb(1L -> Seq(1.0f, 0.0f), 2L -> Seq(0.0f, 1.0f))
+      .write.mode("append").parquet(dir)
+    val bench = emb(100L -> Seq(0.0f, 1.0f)).select(col("vec"))
+    val schema = emb(1L -> Seq(1.0f)).schema
+    def run(name: String): Unit = {
+      val q = graft.operators.Decontaminate.semanticOverlap(
+          spark.readStream.schema(schema).parquet(dir), "id", "vec",
+          bench, "vec", threshold = 0.95)
+        .select("id", "max_sim", "flagged")
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+    }
+    run("sem_s1")
+    val r1 = spark.table("sem_s1").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(r1 == Map(1L -> false, 2L -> true))
+    emb(3L -> Seq(0.05f, 0.999f)).write.mode("append").parquet(dir)
+    run("sem_s2")
+    val streamed = spark.table("sem_s2").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+    val batch = graft.operators.Decontaminate.semanticOverlap(
+        emb(1L -> Seq(1.0f, 0.0f), 2L -> Seq(0.0f, 1.0f),
+          3L -> Seq(0.05f, 0.999f)), "id", "vec", bench, "vec", 0.95)
+      .select("id", "max_sim", "flagged").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+  }
+
   test("streaming HLL cardinality: complete-mode sketch aggregation " +
       "across micro-batches ≡ batch sketch of the union") {
     import org.apache.spark.sql.functions.{hll_sketch_agg, lit}
