@@ -4513,7 +4513,105 @@ object OpsQueries {
              |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE),
              |    $p), 6) AS q FROM lineitem""".stripMargin)
           .mkString("", "\nUNION ALL ", "\nORDER BY p")
-      })
+      }),
+
+    // ----- SQL surface: arbitrary GROUPING SETS + grouping_id ---------------
+    // ROLLUP/CUBE (q16/q53) are the structured forms; this is the
+    // arbitrary-set form with the grouping_id disambiguator (a NULL
+    // group key vs a subtotal row are different things). Spark's
+    // grouping_id bit order (first column = MSB) is replayed as
+    // explicit GROUPING() arithmetic.
+    "q151_grouping_sets" -> Entry(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        li.groupingSets(
+            Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+              Seq(col("l_returnflag")), Seq()),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("double").as("sum_qty"),
+            count(lit(1)).as("n"),
+            grouping_id().cast("long").as("gid"))
+          .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first)
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS sum_qty,
+             |  CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+             |    AS BIGINT) AS gid
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+             |  (l_returnflag), ())
+             |ORDER BY gid, l_returnflag ASC NULLS FIRST,
+             |  l_linestatus ASC NULLS FIRST""".stripMargin)),
+
+    // ----- SQL surface: RANGE window frame (value-based moving sum) ---------
+    // 30-day trailing spend per customer. RANGE frames are VALUE-based
+    // (all day-peers join the frame), so the sum is deterministic with
+    // no tiebreak gymnastics; decimal-exact accumulation per the q15
+    // convention (engines disagree on double add/retract trees).
+    "q152_range_frame" -> Entry(
+      (s, dir) => {
+        val day = expr("timestampdiff(SECOND, " +
+          "TIMESTAMP_NTZ'1970-01-01 00:00:00', o_orderdate) div 86400")
+        val w = Window.partitionBy("o_custkey").orderBy("day")
+          .rangeBetween(-30, 0)
+        t(s, dir, "orders")
+          .filter(col("o_custkey") % 31 === 0)
+          .select(col("o_custkey"), col("o_orderkey"), day.as("day"),
+            col("o_totalprice").cast("decimal(18,2)").as("tp"))
+          .withColumn("spend_30d",
+            sum(col("tp")).over(w).cast("double"))
+          .select("o_custkey", "o_orderkey", "day", "spend_30d")
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  epoch(o_orderdate)::BIGINT // 86400 AS day,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             |    PARTITION BY o_custkey
+             |    ORDER BY epoch(o_orderdate)::BIGINT // 86400
+             |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             |    AS spend_30d
+             |FROM orders WHERE o_custkey % 31 = 0
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // ----- SQL surface: navigation + distribution window functions ---------
+    // lag/lead (with defaults), percent_rank, cume_dist in one frame
+    // family; the four-column ORDER makes the order total so the
+    // navigation offsets are engine-deterministic.
+    "q153_window_nav" -> Entry(
+      (s, dir) => {
+        val w = Window.partitionBy("l_orderkey")
+          .orderBy("ln", "qty", "l_partkey", "l_suppkey")
+        t(s, dir, "lineitem")
+          .filter(col("l_orderkey") % 97 === 0)
+          .select(col("l_orderkey"), col("l_linenumber").as("ln"),
+            col("l_quantity").cast("double").as("qty"),
+            col("l_partkey"), col("l_suppkey"))
+          .withColumn("prev_qty",
+            lag(col("qty"), 1, -1.0).over(w))
+          .withColumn("next_qty",
+            lead(col("qty"), 1, -1.0).over(w))
+          .withColumn("pr", round(percent_rank().over(w), 6))
+          .withColumn("cd", round(cume_dist().over(w), 6))
+          .select("l_orderkey", "ln", "qty", "prev_qty", "next_qty",
+            "pr", "cd")
+          .orderBy("l_orderkey", "ln", "qty", "pr")
+      },
+      Some("""SELECT l_orderkey, l_linenumber AS ln,
+             |  CAST(l_quantity AS DOUBLE) AS qty,
+             |  COALESCE(LAG(CAST(l_quantity AS DOUBLE), 1) OVER w, -1.0)
+             |    AS prev_qty,
+             |  COALESCE(LEAD(CAST(l_quantity AS DOUBLE), 1) OVER w, -1.0)
+             |    AS next_qty,
+             |  round(PERCENT_RANK() OVER w, 6) AS pr,
+             |  round(CUME_DIST() OVER w, 6) AS cd
+             |FROM lineitem WHERE l_orderkey % 97 = 0
+             |WINDOW w AS (PARTITION BY l_orderkey
+             |  ORDER BY l_linenumber, l_quantity, l_partkey, l_suppkey)
+             |ORDER BY l_orderkey, ln, qty, pr""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)
