@@ -4611,7 +4611,26 @@ object OpsQueries {
              |FROM lineitem WHERE l_orderkey % 97 = 0
              |WINDOW w AS (PARTITION BY l_orderkey
              |  ORDER BY l_linenumber, l_quantity, l_partkey, l_suppkey)
-             |ORDER BY l_orderkey, ln, qty, pr""".stripMargin))
+             |ORDER BY l_orderkey, ln, qty, pr""".stripMargin)),
+
+    // ----- leakage-free GROUP split (GroupShuffleSplit semantics) -----------
+    // q43 splits per DOCUMENT; near-duplicates within one site then
+    // leak across train/val. Hashing the GROUP key instead keeps every
+    // source atomic — same splitBucket machinery, group column as the
+    // draw key. The entry proves atomicity through the oracle: one
+    // (source, split) row per source, never two.
+    "q154_group_split" -> Entry(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("source"),
+          TextAnalysis.splitBucket(col("source"), Seq(8, 1, 1),
+            salt = "gsplit").cast("long").as("split"))
+        .groupBy("source", "split").agg(count(lit(1)).as("n"))
+        .orderBy("source", "split"),
+      Some("""SELECT source, CAST(CASE WHEN h < 8 THEN 0 WHEN h < 9
+             |  THEN 1 ELSE 2 END AS BIGINT) AS split, COUNT(*) AS n
+             |FROM (SELECT source, CAST(('0x' || substr(md5('gsplit|' ||
+             |  source), 1, 8)) AS UBIGINT) % 10 AS h FROM documents)
+             |GROUP BY 1, 2 ORDER BY source, split""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

@@ -594,6 +594,40 @@ class StreamingSpec extends TestBase {
     assert(e.getMessage.contains("maxFilesPerTrigger"))
   }
 
+  test("streaming ingest gate: Checks.passes routes micro-batches to " +
+      "promote or quarantine (foreachBatch)") {
+    import graft.operators.Checks
+    import graft.operators.Checks.{MinRows, NotNull}
+    val in = tmpDir().toString
+    val promote = tmpDir().resolve("promote").toString
+    val quarantine = tmpDir().resolve("quarantine").toString
+    // two single-file drops: one clean, one with a null id
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(in)
+    Seq((Some(4L), "d"), (None: Option[Long], "e")).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(in)
+    val suite = Seq(NotNull("id"), MinRows(1))
+    val schema = Seq((1L, "x")).toDF("id", "v").schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val dest = if (Checks.passes(batch, suite)) promote
+          else quarantine
+        batch.write.mode("append").parquet(dest)
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    val ok = spark.read.parquet(promote).collect()
+      .map(_.getLong(0)).toSet
+    assert(ok == Set(1L, 2L, 3L), s"clean batch promoted: $ok")
+    val bad = spark.read.parquet(quarantine).collect()
+      .map(r => Option(if (r.isNullAt(0)) null else r.getLong(0)))
+    assert(bad.toSet == Set(Some(4L), None),
+      "the dirty batch lands whole in quarantine — rows are not " +
+        "cherry-picked out of a failed drop")
+  }
+
   test("streaming semantic decontamination: the stateless broadcast " +
       "sweep runs per micro-batch, parity with batch") {
     val dir = tmpDir().toString
