@@ -4630,7 +4630,69 @@ object OpsQueries {
              |  THEN 1 ELSE 2 END AS BIGINT) AS split, COUNT(*) AS n
              |FROM (SELECT source, CAST(('0x' || substr(md5('gsplit|' ||
              |  source), 1, 8)) AS UBIGINT) % 10 AS h FROM documents)
-             |GROUP BY 1, 2 ORDER BY source, split""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY source, split""".stripMargin)),
+
+    // ----- CCNet perplexity buckets (head/middle/tail per language) ---------
+    // The CCNet recipe (Wenzek et al. 2020): score each doc with the
+    // LM (q98's smoothed bigram log-prob — higher = more fluent),
+    // rank WITHIN its language, split into terciles. Composed from
+    // bigramLogProb + rankNormalize; docs too short to score (no
+    // bigrams) are excluded by both machines' null-score contracts.
+    "q155_ccnet_buckets" -> Entry(
+      (s, dir) => {
+        val d = docsFan(s, dir)
+        val scored = Vocab.bigramLogProb(
+            d.select(col("doc_id"), col("text")), "doc_id", "text")
+          .join(d.select(col("doc_id"), col("lang")), "doc_id")
+        Sampling.rankNormalize(scored, col("lang"), col("doc_id"),
+            col("logprob"))
+          .withColumn("bucket",
+            when(col("pct") >= lit(2.0 / 3), "head")
+              .when(col("pct") >= lit(1.0 / 3), "middle")
+              .otherwise("tail"))
+          .groupBy("lang", "bucket")
+          .agg(count(lit(1)).as("n"),
+            round(avg(col("logprob")), 6).as("mean_lp"))
+          .orderBy("lang", "bucket")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, $TOKS AS t FROM documents
+              |  WHERE text IS NOT NULL),
+              |bg AS (SELECT doc_id,
+              |  unnest([struct_pack(w1 := t[i], w2 := t[i + 1])
+              |    FOR i IN generate_series(1, len(t) - 1)]) AS p
+              |  FROM tk),
+              |dp AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2,
+              |    COUNT(*) AS cnt
+              |  FROM bg GROUP BY 1, 2, 3),
+              |bf AS (SELECT w1, w2, SUM(cnt) AS bf FROM dp GROUP BY 1, 2),
+              |wf AS (SELECT w1, SUM(bf) AS wf FROM bf GROUP BY 1),
+              |v AS (SELECT CAST(COUNT(DISTINCT term) AS DOUBLE) AS v
+              |  FROM (SELECT unnest(t) AS term FROM tk)),
+              |per AS (SELECT doc_id, v,
+              |    list_sort(list(struct_pack(w1 := w1, w2 := w2,
+              |      cnt := cnt, bf := bf, wf := wf))) AS xs,
+              |    CAST(SUM(cnt) AS BIGINT) AS n_bigrams
+              |  FROM dp JOIN bf USING (w1, w2) JOIN wf USING (w1), v
+              |  GROUP BY doc_id, v),
+              |lp AS (SELECT doc_id,
+              |  round(list_reduce(
+              |    [CAST(x.cnt AS DOUBLE) *
+              |       log2((CAST(x.bf AS DOUBLE) + 0.5) /
+              |            (CAST(x.wf AS DOUBLE) + 0.5 * v)) for x in xs],
+              |    (a, b) -> a + b) / CAST(n_bigrams AS DOUBLE), 6)
+              |    AS logprob
+              |  FROM per),
+              |r AS (SELECT d.lang, lp.doc_id, lp.logprob,
+              |  PERCENT_RANK() OVER (PARTITION BY d.lang
+              |    ORDER BY lp.logprob ASC, lp.doc_id ASC) AS pct
+              |  FROM lp JOIN documents d USING (doc_id))
+              |SELECT lang,
+              |  CASE WHEN pct >= CAST(2.0 AS DOUBLE) / 3 THEN 'head'
+              |       WHEN pct >= CAST(1.0 AS DOUBLE) / 3 THEN 'middle'
+              |       ELSE 'tail' END AS bucket,
+              |  CAST(COUNT(*) AS BIGINT) AS n,
+              |  round(avg(logprob), 6) AS mean_lp
+              |FROM r GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)
