@@ -153,4 +153,89 @@ object Checks {
   def passes(df: DataFrame, constraints: Seq[Constraint]): Boolean =
     run(df, constraints).agg(min(col("passed"))).collect()
       .head.getBoolean(0)
+
+  /** ZERO-extra-scan checks: attaches the suite as `Dataset.observe`
+    * metrics, so the observations ride whatever action the caller was
+    * already running (a parquet write, a count, a downstream job) —
+    * [[run]] costs a dedicated pass; this costs nothing. Returns the
+    * instrumented frame plus the `Observation`; AFTER an action has
+    * materialized the frame, [[reportFromObservation]] turns the
+    * collected metrics into the same (check, column, observed,
+    * threshold, passed) rows.
+    *
+    * [[Unique]] is rejected here: observation metrics cannot contain
+    * distinct aggregates (Spark's `observe` contract) — use
+    * [[UniqueApprox]]'s sketch, which is a plain aggregate. */
+  def observed(df: DataFrame, constraints: Seq[Constraint],
+      name: String = "graft_checks")
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    require(constraints.nonEmpty, "Checks.observed: empty suite")
+    require(!constraints.exists(_.isInstanceOf[Unique]),
+      "Checks.observed: observe metrics cannot contain distinct " +
+        "aggregates — use UniqueApprox for uniqueness under observation")
+    val obs = org.apache.spark.sql.Observation(name)
+    val aggCols = observationAggs(df, constraints)
+    (df.observe(obs, aggCols.head, aggCols.tail: _*), obs)
+  }
+
+  /** Builds the per-constraint metric expressions (shared layout with
+    * [[observed]]/[[reportFromObservation]]: metric i is `__o{i}`,
+    * sketch-typed metrics additionally resolve to their estimate). */
+  private def observationAggs(df: DataFrame,
+      constraints: Seq[Constraint]): Seq[Column] = {
+    val names = df.columns.toSet
+    constraints.foreach { c =>
+      if (c.column.nonEmpty) require(names.contains(c.column),
+        s"Checks: no column '${c.column}' for ${c.label}")
+    }
+    def frac(pred: Column, base: Column): Column = {
+      val p = sum(when(base, when(pred, 1.0d).otherwise(0.0d)))
+      val n = sum(when(base, 1.0d))
+      p / n
+    }
+    constraints.zipWithIndex.map {
+      case (NotNull(cc, _), i) =>
+        frac(col(cc).isNotNull, lit(true)).as(s"__o$i")
+      case (UniqueApprox(cc, _), i) =>
+        (hll_sketch_estimate(hll_sketch_agg(col(cc), lit(12)))
+          .cast("double") / count(col(cc)).cast("double")).as(s"__o$i")
+      case (InRange(cc, lo, hi, _), i) =>
+        frac(col(cc).cast("double").between(lo, hi), col(cc).isNotNull)
+          .as(s"__o$i")
+      case (AcceptedValues(cc, vs, _), i) =>
+        frac(col(cc).isin(vs: _*), col(cc).isNotNull).as(s"__o$i")
+      case (MatchesRegex(cc, re, _), i) =>
+        frac(col(cc).rlike(re), col(cc).isNotNull).as(s"__o$i")
+      case (MinRows(_), i) =>
+        count(lit(1)).cast("double").as(s"__o$i")
+      case (c, _) => throw new IllegalArgumentException(
+        s"Checks.observed: unsupported constraint ${c.label}")
+    }
+  }
+
+  /** Report row from driver-side observation metrics — same shape and
+    * pass rules as [[run]]'s output, evaluated from the metric map the
+    * action already produced. */
+  def reportFromObservation(obs: org.apache.spark.sql.Observation,
+      constraints: Seq[Constraint])
+      : Seq[(String, String, Option[Double], Double, Boolean)] = {
+    val m = obs.get
+    constraints.zipWithIndex.map { case (c, i) =>
+      val raw = m.get(s"__o$i").collect {
+        case d: java.lang.Double => d.doubleValue()
+        case l: java.lang.Long => l.doubleValue()
+      }
+      val passed = c match {
+        case MinRows(n) => raw.exists(_ >= n.toDouble)
+        case _: UniqueApprox | _: NotNull | _: InRange |
+            _: AcceptedValues | _: MatchesRegex =>
+          raw.forall(_ >= thresholdOf(c)) // empty base → vacuous pass
+        case _: Unique => false // unreachable: rejected in observed()
+      }
+      (c.label, c.column,
+        raw.map(v => BigDecimal(v).setScale(9,
+          BigDecimal.RoundingMode.HALF_UP).toDouble),
+        thresholdOf(c), passed)
+    }
+  }
 }

@@ -21,7 +21,14 @@ object Embeddings {
     * `null` → missing, wrong length → bad_dim, any NaN/±Inf →
     * nonfinite, all-zero → zero_norm, |z(norm)| > `maxNormZ` →
     * norm_outlier, else ok. Norm stats (population mean/std over the
-    * VALID vectors only) ride a broadcast two-number table. */
+    * VALID vectors only) ride a broadcast two-number table.
+    *
+    * The z-gate uses MOMENT statistics, so a large outlier FRACTION
+    * inflates σ and masks itself (the classic non-robust-z caveat) —
+    * fine for the rare-corruption case this gate targets. When
+    * contamination is heavy, derive robust bounds instead (median ±
+    * k·MAD via [[Rank.exactQuantiles]] over the norm column) and
+    * filter on those. */
   def withVectorVerdict(df: DataFrame, vecCol: String, dim: Int,
       maxNormZ: Double = 3.0): DataFrame = {
     require(dim > 0, s"Embeddings: dim must be positive, got $dim")

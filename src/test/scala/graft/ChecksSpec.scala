@@ -81,6 +81,30 @@ class ChecksSpec extends TestBase {
         .contains("HashAggregate"), "distinct path planned")
   }
 
+  test("observed checks ride an existing action: parity with run, " +
+      "Unique rejected") {
+    val suite = Seq(NotNull("s", minFrac = 0.9), InRange("v", 0, 100),
+      AcceptedValues("s", Seq("a", "b")), MinRows(3),
+      UniqueApprox("id"))
+    val (inst, obs) = Checks.observed(tbl, suite)
+    // the metrics ride THIS write — no dedicated checks pass runs
+    inst.write.mode("overwrite")
+      .parquet(tmpDir().resolve("observed-out").toString)
+    val viaObs = Checks.reportFromObservation(obs, suite)
+      .map(t => (t._1, t._2, t._3, t._5))
+    val viaRun = Checks.run(tbl, suite).collect()
+      .map(r => (r.getString(0), r.getString(1),
+        Option(if (r.isNullAt(2)) null else r.getDouble(2))
+          .map(_.asInstanceOf[Double]),
+        r.getBoolean(4))).toSeq
+    assert(viaObs == viaRun, s"$viaObs\nvs\n$viaRun")
+    // exact Unique cannot ride observe (distinct aggregate)
+    val e = intercept[IllegalArgumentException] {
+      Checks.observed(tbl, Seq(Unique("id")))
+    }
+    assert(e.getMessage.contains("UniqueApprox"))
+  }
+
   test("passes gate and loud guards") {
     assert(Checks.passes(tbl, Seq(MinRows(5), InRange("v", 0, 1000))))
     assert(!Checks.passes(tbl, Seq(Unique("id"))))
