@@ -4692,7 +4692,28 @@ object OpsQueries {
               |       ELSE 'tail' END AS bucket,
               |  CAST(COUNT(*) AS BIGINT) AS n,
               |  round(avg(logprob), 6) AS mean_lp
-              |FROM r GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin))
+              |FROM r GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin)),
+
+    // ----- SCD-2 validity intervals from the event change log ---------------
+    // Each user's event_type sequence becomes a slowly-changing-
+    // dimension table: state valid from its timestamp until the next
+    // observation (null = current). µs integer timestamps; the
+    // (ts, state) tie order is pinned on both sides.
+    "q156_scd_intervals" -> Entry(
+      (s, dir) => {
+        val ev = Queries.events(s, dir)
+          .filter(col("user_id") % 23 === 0)
+          .select(col("user_id"), col("event_type"),
+            expr("ts div 1000").as("t"))
+        Funnel.scdIntervals(ev, "user_id", "event_type", "t")
+          .orderBy("user_id", "valid_from", "event_type")
+      },
+      Some("""SELECT user_id, event_type,
+             |  epoch_us(ts) AS valid_from,
+             |  LEAD(epoch_us(ts), 1) OVER (PARTITION BY user_id
+             |    ORDER BY epoch_us(ts), event_type) AS valid_to
+             |FROM events WHERE user_id % 23 = 0
+             |ORDER BY user_id, valid_from, event_type""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

@@ -98,4 +98,25 @@ object Funnel {
         (col("__p") - col("cohort")).as("period_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** SCD-2 validity intervals from a change log: one row per (key,
+    * state) observation becomes (key, state, valid_from, valid_to),
+    * `valid_to` = the NEXT observation's timestamp (null for the
+    * current state) — the slowly-changing-dimension table a change
+    * stream compacts into, built with one key-partitioned `lead`
+    * (per-key windows parallelize across keys; a key's history must
+    * fit one task — the usual dimension-table shape, not the event
+    * firehose). Ties on `tsCol` within a key are ordered by `stateCol`
+    * so the result is deterministic; equal-timestamp states produce
+    * zero-length intervals rather than silently dropping one.
+    *
+    * Output: key, state, valid_from, valid_to (all original types). */
+  def scdIntervals(df: DataFrame, keyCol: String, stateCol: String,
+      tsCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col(tsCol).asc, col(stateCol).asc)
+    df.select(col(keyCol), col(stateCol), col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumnRenamed(tsCol, "valid_from")
+  }
 }

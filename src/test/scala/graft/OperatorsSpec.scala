@@ -1386,6 +1386,25 @@ class OperatorsSpec extends TestBase {
       .retentionCohorts(ev, "user_id", "t", 0L))
   }
 
+  test("scdIntervals: change log becomes validity windows; ties yield " +
+      "zero-length intervals, last state open-ended") {
+    val log = Seq(
+      (1L, "bronze", 10L), (1L, "silver", 20L), (1L, "gold", 30L),
+      (2L, "bronze", 5L),
+      (3L, "a", 7L), (3L, "b", 7L)) // tie: ordered by state
+      .toDF("uid", "state", "t")
+    val got = graft.operators.Funnel
+      .scdIntervals(log, "uid", "state", "t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(if (r.isNullAt(3)) null else r.getLong(3))
+          .map(_.asInstanceOf[Long]))).toSet
+    assert(got == Set(
+      (1L, "bronze", 10L, Some(20L)), (1L, "silver", 20L, Some(30L)),
+      (1L, "gold", 30L, None),
+      (2L, "bronze", 5L, None),
+      (3L, "a", 7L, Some(7L)), (3L, "b", 7L, None)), s"got $got")
+  }
+
   test("profiler: one row per column, nulls/distinct/minmax (profiling)") {
     val df = Seq((1L, Some("a")), (2L, None), (3L, Some("b")))
       .toDF("id", "v")
