@@ -628,6 +628,31 @@ class StreamingSpec extends TestBase {
         "cherry-picked out of a failed drop")
   }
 
+  test("streaming observation: per-micro-batch ingest metrics surface " +
+      "in query progress without a second pass") {
+    val in = tmpDir().toString
+    Seq((Some(1L), "a"), (Some(2L), "b"), (Some(3L), "c"))
+      .toDF("id", "v").coalesce(1).write.mode("append").parquet(in)
+    Seq((Some(4L), "d"), (None: Option[Long], "e"))
+      .toDF("id", "v").coalesce(1).write.mode("append").parquet(in)
+    val schema = Seq((Some(1L), "x")).toDF("id", "v").schema
+    import org.apache.spark.sql.functions.{count, lit, sum, when}
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .observe("gate", count(lit(1)).as("n"),
+        sum(when(col("id").isNull, 1L).otherwise(0L)).as("null_ids"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("obs_out").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    val metrics = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("gate")))
+      .map(r => (r.getAs[Long]("n"), r.getAs[Long]("null_ids")))
+    q.stop()
+    // one metric row per micro-batch, zero extra scans — the numbers a
+    // streaming ingest gate alerts on
+    assert(metrics.toSet == Set((3L, 0L), (2L, 1L)), s"got $metrics")
+  }
+
   test("streaming semantic decontamination: the stateless broadcast " +
       "sweep runs per micro-batch, parity with batch") {
     val dir = tmpDir().toString
