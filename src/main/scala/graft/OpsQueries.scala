@@ -4713,7 +4713,23 @@ object OpsQueries {
              |  LEAD(epoch_us(ts), 1) OVER (PARTITION BY user_id
              |    ORDER BY epoch_us(ts), event_type) AS valid_to
              |FROM events WHERE user_id % 23 = 0
-             |ORDER BY user_id, valid_from, event_type""".stripMargin))
+             |ORDER BY user_id, valid_from, event_type""".stripMargin)),
+
+    // ----- string similarity: edit distance (record-linkage verifier) -------
+    // Levenshtein is the character-level verify for near-identical
+    // SHORT strings (names, titles) where shingle Jaccard is too
+    // coarse; both engines implement the classic DP — integer-exact
+    // parity. Buckets the part catalog by distance to a probe name.
+    "q157_edit_distance" -> Entry(
+      (s, dir) => t(s, dir, "part")
+        .select(col("p_partkey"),
+          levenshtein(col("p_name"), lit("forest green metallic"))
+            .cast("long").as("dist"))
+        .groupBy("dist").agg(count(lit(1)).as("n"))
+        .orderBy("dist"),
+      Some("""SELECT CAST(levenshtein(p_name, 'forest green metallic')
+             |  AS BIGINT) AS dist, CAST(COUNT(*) AS BIGINT) AS n
+             |FROM part GROUP BY 1 ORDER BY dist""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)
