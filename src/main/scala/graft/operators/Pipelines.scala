@@ -224,4 +224,88 @@ object Pipelines {
       salt = s"$salt-s"), "s")
     r.unionByName(x).unionByName(sdn)
   }
+
+  /** One release run's bookkeeping: staged row count, published row
+    * count (post-repeats), published file count, and the quality-check
+    * report rows that gated the publish. */
+  final case class ReleaseSummary(
+      nStaged: Long, nPublishedRows: Long, nPublishedFiles: Int,
+      checks: Seq[(String, String, Option[Double], Double, Boolean)])
+
+  /** The WHOLE corpus release in one call — the capstone composition a
+    * pre-training data team runs per crawl snapshot:
+    *
+    *   1. Gopher document gate (scan-side projection)
+    *   2. fused C4 line filter + global line dedup (`dedupLinesC4`)
+    *   3. exact dedup, min-id wins
+    *   4. fuzzy benchmark decontamination
+    *   5. STAGE: the cleaned table materializes ONCE to `stagingDir` —
+    *      every downstream consumer (checks, recipe, card) reads the
+    *      parquet, not the five-stage lineage (the q117 lesson)
+    *   6. quality-check gate ([[Checks]]) — a FAILING suite ABORTS
+    *      before anything publishes; the staging dir remains for
+    *      forensics
+    *   7. training recipe: per-source epoch repeats → deterministic
+    *      shuffle → range-sharded sorted parquet
+    *      ([[materializeRecipe]])
+    *   8. sidecars under `outDir`: `_card` (per-source ROLLUP data
+    *      card) and `_manifest` (footer-only per-file row counts) —
+    *      underscore-prefixed, invisible to scans.
+    *
+    * Cost honesty: the input scans twice (the gate re-runs for the
+    * (id, source) join back around the line machinery — column-pruned
+    * the second time), the staged table scans three times (checks,
+    * recipe, card) — all cheap parquet re-reads, never lineage
+    * recomputation. Output rows = Σ survivors × their source's repeat
+    * factor. */
+  def releaseCorpus(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, bench: DataFrame, benchIdCol: String,
+      benchTextCol: String, stagingDir: String, outDir: String,
+      repeats: Map[String, Int] = Map.empty, shards: Int = 8,
+      maxRecordsPerFile: Long = 1000000L,
+      checks: Seq[Checks.Constraint] = Nil,
+      minTokens: Long = 50): ReleaseSummary = {
+    val spark = docs.sparkSession
+    val gated = TextAnalysis.withGopherQuality(docs, textCol,
+        minTokens = minTokens)
+      .filter(col("gopher_pass"))
+      .select(col(idCol), col(textCol), col(sourceCol))
+    val lined = Dedup.dedupLinesC4(gated, idCol, textCol)
+    val withSrc = lined.join(
+      gated.select(col(idCol), col(sourceCol)), Seq(idCol))
+    val deduped = Dedup.exactKeepMinId(withSrc, idCol, textCol)
+    val cleaned = Decontaminate.fuzzyDecontaminate(deduped, idCol,
+      textCol, bench, benchIdCol, benchTextCol)
+    cleaned.write.mode("error").parquet(stagingDir)
+    val staged = spark.read.parquet(stagingDir)
+    val suite =
+      if (checks.nonEmpty) checks
+      else Seq(Checks.NotNull(idCol), Checks.NotNull(textCol),
+        Checks.MinRows(1))
+    val report = Checks.run(staged, suite).collect().toSeq
+      .map(r => (r.getString(0), r.getString(1),
+        Option(if (r.isNullAt(2)) null else r.getDouble(2))
+          .map(_.asInstanceOf[Double]),
+        r.getDouble(3), r.getBoolean(4)))
+    val failed = report.filter(!_._5)
+    require(failed.isEmpty,
+      s"releaseCorpus: quality checks failed, refusing to publish " +
+        s"(staging kept at $stagingDir for forensics): " +
+        failed.map(f => s"${f._1}(${f._2}) observed=${f._3}")
+          .mkString("; "))
+    materializeRecipe(staged, idCol, sourceCol, repeats, outDir,
+      shards, maxRecordsPerFile)
+    Profiles.dataCard(staged, textCol, Seq(sourceCol))
+      .coalesce(1).write.mode("error").parquet(s"$outDir/_card")
+    val manifest = FooterStats.fileRowCounts(spark, outDir)
+    manifest.coalesce(1).write.mode("error")
+      .parquet(s"$outDir/_manifest")
+    val mrows = manifest.collect()
+    ReleaseSummary(
+      nStaged = FooterStats.totalRows(spark, stagingDir)
+        .collect().head.getLong(0),
+      nPublishedRows = mrows.map(_.getLong(1)).sum,
+      nPublishedFiles = mrows.length,
+      checks = report)
+  }
 }
