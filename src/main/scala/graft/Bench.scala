@@ -69,6 +69,13 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex
         .flatMap { case ((name, fn), i) =>
       if (i % LoadEvery == 0) loadTrace ::= (name -> readLoadAvg())
+      // periodic GC OUTSIDE the timed window: Spark's ContextCleaner
+      // frees dead broadcast/shuffle state only when the JVM collects
+      // their weak references, and a 150-query run on a huge heap can
+      // go many queries between collections — the accumulated blocks
+      // then bill a random late query (observed: one mid-catalog query
+      // 10x inflated in one replay, 1.1 s in the next)
+      if (i % 25 == 24) System.gc()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
