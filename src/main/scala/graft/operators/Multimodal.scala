@@ -405,6 +405,127 @@ object Multimodal {
     }
   }
 
+  /** REAL raster resize for the uncompressed format ([[resizeStub]]
+    * remains the shape for codec-backed formats): nearest-neighbor
+    * scaling of a 24-bit BMP, pure byte arithmetic — parse the
+    * BITMAPINFOHEADER, sample source pixels at `(x·w/w2, y·h/h2)`,
+    * re-emit a valid BMP with patched dimensions/sizes and 4-byte row
+    * padding. Top-down bitmaps (negative height) stay top-down. None
+    * for anything that is not a well-formed 24-bit BMP or for
+    * non-positive targets. Never throws. */
+  def resizeBmp(p: Array[Byte], outW: Int, outH: Int)
+      : Option[Array[Byte]] = {
+    if (outW <= 0 || outH <= 0) return None
+    def u16le(i: Int): Int = (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+    def i32le(i: Int): Int =
+      (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8) |
+        ((p(i + 2) & 0xff) << 16) | ((p(i + 3) & 0xff) << 24)
+    if (p.length < 54 || p(0) != 'B' || p(1) != 'M') return None
+    val dib = i32le(14)
+    val w = i32le(18); val hRaw = i32le(22); val bits = u16le(28)
+    if (dib < 40 || bits != 24 || w <= 0 || hRaw == 0 ||
+      hRaw == Int.MinValue) return None
+    val h = math.abs(hRaw)
+    val off = i32le(10)
+    def rowSize(width: Int): Int = ((width * 3 + 3) / 4) * 4
+    val srcRow = rowSize(w); val dstRow = rowSize(outW)
+    if (off < 54 || off.toLong + srcRow.toLong * h > p.length) return None
+    val outData = new Array[Byte](dstRow * outH)
+    var y = 0
+    while (y < outH) {
+      val sy = (y.toLong * h / outH).toInt
+      var x = 0
+      while (x < outW) {
+        val sx = (x.toLong * w / outW).toInt
+        val s = off + sy * srcRow + sx * 3
+        val d = y * dstRow + x * 3
+        outData(d) = p(s); outData(d + 1) = p(s + 1)
+        outData(d + 2) = p(s + 2)
+        x += 1
+      }
+      y += 1
+    }
+    // canonical 54-byte header (BITMAPINFOHEADER), palette-free
+    val out = new Array[Byte](54 + outData.length)
+    def put16(i: Int, v: Int): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+    }
+    def put32(i: Int, v: Int): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+      out(i + 2) = (v >> 16).toByte; out(i + 3) = (v >> 24).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    put32(2, 54 + outData.length); put32(10, 54); put32(14, 40)
+    put32(18, outW)
+    put32(22, if (hRaw < 0) -outH else outH)
+    put16(26, 1); put16(28, 24)
+    put32(34, outData.length)
+    System.arraycopy(outData, 0, out, 54, outData.length)
+    Some(out)
+  }
+
+  /** REAL audio downsample for PCM/float WAV: keep every `factor`-th
+    * sample frame (`blockAlign` bytes) — integer decimation, the
+    * standard cheap resample when the target rate divides the source
+    * rate. Re-emits a canonical 44-byte-header WAV with the reduced
+    * rate and data size; chunk-skips like [[parseWavHeader]] to find
+    * the source frames. None for malformed input, non-positive or
+    * non-dividing factors. Never throws. */
+  def decimateWav(p: Array[Byte], factor: Int): Option[Array[Byte]] = {
+    if (factor <= 0) return None
+    val hdr = parseWavHeader(p).getOrElse(return None)
+    val (ch, rate, bits, _) = hdr
+    if (rate % factor != 0) return None
+    val ba = ch * bits / 8
+    // locate the data chunk's byte offset (parseWavHeader validated
+    // the structure; this re-scan only finds the position)
+    def u32le(i: Int): Long =
+      (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) |
+        ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
+    def tag(i: Int): String = new String(p.slice(i, i + 4), "US-ASCII")
+    var i = 12L
+    var dataAt = -1L; var dataSize = 0L
+    var fmtCode = 1
+    while (dataAt < 0 && i + 8 <= p.length) {
+      val at = i.toInt
+      if (tag(at) == "data") { dataAt = at + 8; dataSize = u32le(at + 4) }
+      else {
+        if (tag(at) == "fmt ") // preserve PCM(1)/float(3) in the output
+          fmtCode = (p(at + 8) & 0xff) | ((p(at + 9) & 0xff) << 8)
+        i += 8 + u32le(at + 4) + (u32le(at + 4) % 2)
+      }
+    }
+    if (dataAt < 0 || dataAt + dataSize > p.length) return None
+    val nFrames = (dataSize / ba).toInt
+    val outFrames = (nFrames + factor - 1) / factor
+    val outData = new Array[Byte](outFrames * ba)
+    var f = 0; var d = 0
+    while (f < nFrames) {
+      System.arraycopy(p, (dataAt + f.toLong * ba).toInt, outData,
+        d * ba, ba)
+      f += factor; d += 1
+    }
+    val out = new Array[Byte](44 + outData.length)
+    def put16(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+    }
+    def put32(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+      out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
+    }
+    def puts(o: Int, s: String): Unit =
+      s.getBytes("US-ASCII").zipWithIndex.foreach { case (b, k) =>
+        out(o + k) = b
+      }
+    val newRate = rate / factor
+    puts(0, "RIFF"); put32(4, 36 + outData.length); puts(8, "WAVE")
+    puts(12, "fmt "); put32(16, 16); put16(20, fmtCode); put16(22, ch)
+    put32(24, newRate); put32(28, newRate * ba); put16(32, ba)
+    put16(34, bits); puts(36, "data"); put32(40, outData.length)
+    System.arraycopy(outData, 0, out, 44, outData.length)
+    Some(out)
+  }
+
   /** SQL-expressible payload metadata (oracle-checkable subset): byte
     * length, content digest, kind tag. */
   def payloadMeta(media: DataFrame): DataFrame =

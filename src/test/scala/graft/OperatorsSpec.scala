@@ -1199,6 +1199,96 @@ class OperatorsSpec extends TestBase {
         s"expected None for ${b.length}-byte malformed payload"))
   }
 
+  test("resizeBmp: nearest-neighbor golden pixels, padding, top-down, " +
+      "round-trip through the header parser (X4)") {
+    // 2×2 24-bit BMP, bottom-up: rows padded to 4 bytes (2·3=6 → 8).
+    // Pixel layout (BGR): bottom row [red, green], top row [blue, white]
+    def px(b: Int, g: Int, r: Int) = Seq(b, g, r).map(_.toByte)
+    def bmp(w: Int, h: Int, rows: Seq[Seq[Byte]]): Array[Byte] = {
+      val rowSize = ((w * 3 + 3) / 4) * 4
+      val data = rows.flatMap(r => r.padTo(rowSize, 0.toByte))
+      val out = collection.mutable.ArrayBuffer[Byte]()
+      def le32(v: Int) = Seq(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
+      def le16(v: Int) = Seq(v, v >> 8).map(_.toByte)
+      out ++= "BM".getBytes; out ++= le32(54 + data.length)
+      out ++= le32(0); out ++= le32(54); out ++= le32(40)
+      out ++= le32(w); out ++= le32(h); out ++= le16(1); out ++= le16(24)
+      out ++= le32(0); out ++= le32(data.length)
+      out ++= le32(2835); out ++= le32(2835); out ++= le32(0)
+      out ++= le32(0); out ++= data
+      out.toArray
+    }
+    val src = bmp(2, 2, Seq(
+      px(0, 0, 255) ++ px(0, 255, 0),     // bottom row: red, green
+      px(255, 0, 0) ++ px(255, 255, 255))) // top row: blue, white
+    // upscale 2×2 → 4×4: each source pixel becomes a 2×2 block
+    val up = Multimodal.resizeBmp(src, 4, 4).get
+    assert(Multimodal.parseImageHeader(up).contains(("bmp", 4, 4, 3)))
+    val rowSize4 = 12 // 4·3 already 4-aligned
+    def pix(b: Array[Byte], x: Int, y: Int) =
+      (b(54 + y * rowSize4 + x * 3) & 0xff,
+        b(54 + y * rowSize4 + x * 3 + 1) & 0xff,
+        b(54 + y * rowSize4 + x * 3 + 2) & 0xff)
+    assert(pix(up, 0, 0) == ((0, 0, 255)), "bottom-left block stays red")
+    assert(pix(up, 3, 0) == ((0, 255, 0)))
+    assert(pix(up, 0, 3) == ((255, 0, 0)))
+    assert(pix(up, 3, 3) == ((255, 255, 255)))
+    // downscale back 4×4 → 2×2 reproduces the source pixels
+    val down = Multimodal.resizeBmp(up, 2, 2).get
+    assert(Multimodal.parseImageHeader(down).contains(("bmp", 2, 2, 3)))
+    // top-down (negative height) stays top-down
+    val td = {
+      val b = bmp(2, 2, Seq(
+        px(255, 0, 0) ++ px(255, 255, 255),
+        px(0, 0, 255) ++ px(0, 255, 0)))
+      b(22) = (-2).toByte; b(23) = 0xff.toByte
+      b(24) = 0xff.toByte; b(25) = 0xff.toByte
+      b
+    }
+    val tdOut = Multimodal.resizeBmp(td, 4, 4).get
+    assert(Multimodal.parseImageHeader(tdOut)
+      .contains(("bmp", 4, 4, 3)))
+    assert((tdOut(25) & 0x80) != 0, "height stays negative (top-down)")
+    // malformed / unsupported → None
+    assert(Multimodal.resizeBmp(Array.empty[Byte], 2, 2).isEmpty)
+    assert(Multimodal.resizeBmp(src, 0, 2).isEmpty)
+    val pal8 = src.clone(); pal8(28) = 8 // 8-bit: unsupported
+    assert(Multimodal.resizeBmp(pal8, 2, 2).isEmpty)
+  }
+
+  test("decimateWav: every k-th frame survives, rate divides, header " +
+      "canonical; float format preserved (X4)") {
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // mono 16-bit PCM at 8000 Hz, 6 samples 1..6, with a LIST chunk
+    // the frame locator must skip
+    val wav = hx("52494646" + "37000000" + "57415645" +
+      "4c495354" + "03000000" + "616263" + "00" +
+      "666d7420" + "10000000" + "0100" + "0100" + "401f0000" +
+      "803e0000" + "0200" + "1000" + "64617461" + "0c000000" +
+      "010002000300040005000600")
+    val out = Multimodal.decimateWav(wav, 2).get
+    // parses as 4000 Hz mono 16-bit with 3 samples
+    assert(Multimodal.parseWavHeader(out)
+      .contains((1, 4000, 16, 3L)))
+    // samples 1, 3, 5 survive (LE)
+    assert(out.drop(44).toSeq == hx("010003000500").toSeq)
+    // factor 1 = canonicalizing copy
+    assert(Multimodal.parseWavHeader(
+      Multimodal.decimateWav(wav, 1).get).contains((1, 8000, 16, 6L)))
+    // float32 input keeps format code 3
+    val f32 = hx("52494646" + "2c000000" + "57415645" +
+      "666d7420" + "10000000" + "0300" + "0100" + "803e0000" +
+      "00fa0000" + "0400" + "2000" + "64617461" + "08000000" +
+      "0000803f" + "00000040")
+    val fOut = Multimodal.decimateWav(f32, 2).get
+    assert(fOut(20) == 3.toByte, "float format code preserved")
+    assert(Multimodal.parseWavHeader(fOut).contains((1, 8000, 32, 1L)))
+    // non-dividing factor and malformed input → None
+    assert(Multimodal.decimateWav(wav, 3).isEmpty) // 8000 % 3 != 0
+    assert(Multimodal.decimateWav(hx("52494646"), 2).isEmpty)
+  }
+
   test("parseMp4Header: golden ISO-BMFF boxes (v0/v1 mvhd+tkhd, " +
       "largesize, size-0-to-EOF, free skip); malformed → None (X4)") {
     def hx(s: String): Array[Byte] =
