@@ -60,6 +60,17 @@ object OpsQueries {
     "00010000" + "00000000" * 3 + "00010000" + "00000000" * 3 + "40000000"
   private val Mp4ATrak = Mp4TrakPre + "00000000" * 2
 
+  /** Canonical 54-byte BITMAPINFOHEADER BMP header as lowercase hex
+    * (24-bit, zero reserved/compression/resolution fields) — shared by
+    * the q158 fixture and its oracle. */
+  private def bmpHdrHex(w: Int, h: Int, dataLen: Int): String = {
+    def le32(v: Int) = f"${v & 0xff}%02x${(v >> 8) & 0xff}%02x" +
+      f"${(v >> 16) & 0xff}%02x${(v >> 24) & 0xff}%02x"
+    "424d" + le32(54 + dataLen) + "00000000" + le32(54) + le32(40) +
+      le32(w) + le32(h) + "0100" + "1800" + "00000000" + le32(dataLen) +
+      "00000000" * 4
+  }
+
   /** Planted exact-duplicate corpus (SQL side). */
   private val DupDocsSql =
     """docs AS (
@@ -4729,7 +4740,92 @@ object OpsQueries {
         .orderBy("dist"),
       Some("""SELECT CAST(levenshtein(p_name, 'forest green metallic')
              |  AS BIGINT) AS dist, CAST(COUNT(*) AS BIGINT) AS n
-             |FROM part GROUP BY 1 ORDER BY dist""".stripMargin))
+             |FROM part GROUP BY 1 ORDER BY dist""".stripMargin)),
+
+    // ----- X4 REAL BMP resize, oracle-checked at the byte level -------------
+    // Per doc, a 2×2 24-bit BMP with id-derived pixels upscales 4×4;
+    // the oracle REBUILDS the exact expected output (each source pixel
+    // becomes a 2×2 block, rows bottom-up, canonical re-emitted
+    // header) and both sides digest the lowercase hex.
+    "q158_bmp_resize" -> Entry(
+      (s, dir) => {
+        import s.implicits._
+        def hxp(c: org.apache.spark.sql.Column, w: Int) =
+          lpad(lower(hex(c)), w, "0")
+        def byteHex(k: Int) =
+          hxp((col("doc_id") * (k + 3) + k) % 256, 2)
+        def pxHex(i: Int) =
+          concat(byteHex(3 * i), byteHex(3 * i + 1), byteHex(3 * i + 2))
+        val srcHex = concat(lit(bmpHdrHex(2, 2, 16)),
+          pxHex(0), pxHex(1), lit("0000"),
+          pxHex(2), pxHex(3), lit("0000"))
+        val media = t(s, dir, "documents").select(col("doc_id"),
+            unhex(srcHex).as("payload"), lit("image").as("kind"))
+          .as[Multimodal.MediaRecord]
+        Multimodal.resizeBmpImages(media, 4, 4)
+          .select(col("doc_id"),
+            length(col("payload")).cast("long").as("out_len"),
+            md5(lower(hex(col("payload")))).as("digest"))
+          .orderBy("doc_id")
+      },
+      Some {
+        def byteHex(k: Int) =
+          s"lpad(lower(to_hex((doc_id * ${k + 3} + $k) % 256)), 2, '0')"
+        def pxHex(i: Int) =
+          s"${byteHex(3 * i)} || ${byteHex(3 * i + 1)} || " +
+            byteHex(3 * i + 2)
+        val p0 = pxHex(0); val p1 = pxHex(1)
+        val p2 = pxHex(2); val p3 = pxHex(3)
+        val row01 = s"$p0 || $p0 || $p1 || $p1"
+        val row23 = s"$p2 || $p2 || $p3 || $p3"
+        s"""SELECT doc_id, CAST(102 AS BIGINT) AS out_len,
+           |  md5('${bmpHdrHex(4, 4, 48)}' ||
+           |    $row01 || $row01 || $row23 || $row23) AS digest
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
+    // ----- X4 REAL WAV decimation, oracle-checked at the byte level ---------
+    // Per doc, a mono 16-bit 8 kHz WAV with six id-derived samples
+    // decimates by 2; the oracle rebuilds the canonical 4 kHz output
+    // (samples 1, 3, 5 in LE) and both sides digest the hex.
+    "q159_wav_decimate" -> Entry(
+      (s, dir) => {
+        import s.implicits._
+        def hxp(c: org.apache.spark.sql.Column, w: Int) =
+          lpad(lower(hex(c)), w, "0")
+        def sampleHex(i: Int) = {
+          val lo = expr(s"(event_id * $i) % 65536 % 256")
+          val hi = expr(s"((event_id * $i) % 65536) div 256")
+          concat(hxp(lo, 2), hxp(hi, 2))
+        }
+        val srcHex = concat(
+          lit("524946463000000057415645666d7420100000000100" +
+            "0100401f0000803e00000200100064617461" + "0c000000"),
+          (1 to 6).map(sampleHex).reduce(concat(_, _)))
+        val media = t(s, dir, "events")
+          .filter(col("event_id") % 11 === 0)
+          .select(col("event_id").as("doc_id"),
+            unhex(srcHex).as("payload"), lit("audio").as("kind"))
+          .as[Multimodal.MediaRecord]
+        Multimodal.decimateWavAudio(media, 2)
+          .select(col("doc_id"),
+            length(col("payload")).cast("long").as("out_len"),
+            md5(lower(hex(col("payload")))).as("digest"))
+          .orderBy("doc_id")
+      },
+      Some {
+        def sampleHex(i: Int) =
+          s"(lpad(lower(to_hex((event_id * $i) % 65536 % 256)), 2, '0')" +
+            s" || lpad(lower(to_hex(((event_id * $i) % 65536) // 256))," +
+            " 2, '0'))"
+        s"""SELECT event_id AS doc_id, CAST(50 AS BIGINT) AS out_len,
+           |  md5('524946462a00000057415645666d7420100000000100' ||
+           |    '0100a00f0000401f00000200100064617461' || '06000000' ||
+           |    ${sampleHex(1)} || ${sampleHex(3)} || ${sampleHex(5)})
+           |    AS digest
+           |FROM events WHERE event_id % 11 = 0
+           |ORDER BY doc_id""".stripMargin
+      })
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

@@ -526,6 +526,28 @@ object Multimodal {
     Some(out)
   }
 
+  /** Partition-parallel [[resizeBmp]]: (doc_id, payload) with the
+    * resized bytes, null payload for malformed/unsupported input. */
+  def resizeBmpImages(media: Dataset[MediaRecord], outW: Int,
+      outH: Int): DataFrame = {
+    implicit val enc: org.apache.spark.sql.Encoder[(Long, Array[Byte])] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    media.mapPartitions { rows =>
+      rows.map(r => (r.doc_id, resizeBmp(r.payload, outW, outH).orNull))
+    }.toDF("doc_id", "payload")
+  }
+
+  /** Partition-parallel [[decimateWav]]: (doc_id, payload) with the
+    * downsampled bytes, null payload for malformed input. */
+  def decimateWavAudio(media: Dataset[MediaRecord], factor: Int)
+      : DataFrame = {
+    implicit val enc: org.apache.spark.sql.Encoder[(Long, Array[Byte])] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    media.mapPartitions { rows =>
+      rows.map(r => (r.doc_id, decimateWav(r.payload, factor).orNull))
+    }.toDF("doc_id", "payload")
+  }
+
   /** SQL-expressible payload metadata (oracle-checkable subset): byte
     * length, content digest, kind tag. */
   def payloadMeta(media: DataFrame): DataFrame =
