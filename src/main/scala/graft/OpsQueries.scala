@@ -4825,7 +4825,24 @@ object OpsQueries {
            |    AS digest
            |FROM events WHERE event_id % 11 = 0
            |ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // ----- DSv2 generator source: zero-storage reproducible corpus ----------
+    // The custom DataSource V2 table provider generates its rows; the
+    // oracle REGENERATES the identical table from generate_series +
+    // md5 (the content derivation is engine-portable by design). Every
+    // cell of every row must match.
+    "q160_synth_source" -> Entry(
+      (s, dir) => s.read.format("synthdocs")
+        .option("rows", "500").option("seed", "q160").load()
+        .orderBy("doc_id"),
+      Some("""SELECT i AS doc_id,
+             |  'src' || CAST(i % 20 AS VARCHAR) AS source,
+             |  array_to_string([substr(md5('q160|' || i || '|' || j),
+             |    1, 8) for j in generate_series(0, 2 + i % 4)], ' ')
+             |    AS text
+             |FROM generate_series(0, 499) t(i)
+             |ORDER BY doc_id""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

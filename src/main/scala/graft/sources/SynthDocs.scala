@@ -1,0 +1,137 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2: a DETERMINISTIC synthetic corpus generator —
+  * `spark.read.format("synthdocs").option("rows", …).load()` yields a
+  * reproducible documents table with zero storage, at any scale, from
+  * any number of executors (the rate-source idea, but for corpus
+  * load-testing: soak a 1000-executor dedup job on 10 B rows without
+  * first paying to write 10 B rows).
+  *
+  * Layout: `rows` ids split evenly across `partitions` generator
+  * splits (each split is pure compute — no shuffle, no skew, linear
+  * scaling). Content derives from md5(seed|id|…): engine-portable, so
+  * an external system can REPLAY the exact table (the q160 oracle
+  * regenerates it in SQL from `generate_series` + `md5`).
+  *
+  * Implements `SupportsPushDownRequiredColumns`: a query touching only
+  * `doc_id` never pays for text generation (column pruning reaches
+  * the generator, spec-pinned).
+  *
+  * Schema: doc_id LONG, source STRING, text STRING where
+  * source = "src" + (id % 20) and text = the first-8-hex-chars words
+  * of md5(seed|id|j) for j in 0..(2 + id % 4). */
+class SynthDocs extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "synthdocs"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SynthDocs.FullSchema
+
+  override def getTable(schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new SynthDocsTable(properties.asScala.toMap)
+}
+
+object SynthDocs {
+  val FullSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("source", StringType, nullable = false),
+    StructField("text", StringType, nullable = false)))
+
+  private[graft] def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    d.map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  private[sources] def sourceOf(id: Long): String = "src" + (id % 20)
+
+  private[sources] def textOf(seed: String, id: Long): String =
+    (0L to (2 + id % 4)).map(j => md5Hex(s"$seed|$id|$j").take(8))
+      .mkString(" ")
+}
+
+private[sources] class SynthDocsTable(props: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = "synthdocs"
+  override def schema(): StructType = SynthDocs.FullSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = {
+    val merged = props ++ options.asScala
+    new SynthScanBuilder(
+      merged.getOrElse("rows", "1000").toLong,
+      merged.getOrElse("partitions", "0").toInt,
+      merged.getOrElse("seed", "synth"))
+  }
+}
+
+private[sources] class SynthScanBuilder(rows: Long, partitions: Int,
+    seed: String) extends ScanBuilder
+    with SupportsPushDownRequiredColumns {
+  require(rows >= 0, s"synthdocs: rows must be >= 0, got $rows")
+  private var required: StructType = SynthDocs.FullSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // an empty projection (e.g. count(*)) still needs row COUNTS;
+    // keep the empty struct — the reader emits empty rows
+    required = requiredSchema
+  override def build(): Scan =
+    new SynthScan(rows, partitions, seed, required)
+}
+
+private[sources] class SynthScan(rows: Long, partitions: Int,
+    seed: String, required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = math.max(1,
+      if (partitions > 0) partitions
+      else math.min(rows, 32L).toInt)
+    (0 until p).map { i =>
+      SynthRange(rows * i / p, rows * (i + 1) / p, seed)
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthReaderFactory(required)
+}
+
+private[sources] case class SynthRange(start: Long, end: Long,
+    seed: String) extends InputPartition
+
+private[sources] class SynthReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val r = partition.asInstanceOf[SynthRange]
+    new PartitionReader[InternalRow] {
+      private var id = r.start - 1
+      override def next(): Boolean = { id += 1; id < r.end }
+      override def get(): InternalRow = {
+        val vals = required.fields.map(_.name).map {
+          case "doc_id" => id: java.lang.Long
+          case "source" => UTF8String.fromString(SynthDocs.sourceOf(id))
+          case "text" =>
+            UTF8String.fromString(SynthDocs.textOf(r.seed, id))
+          case other => throw new IllegalStateException(
+            s"synthdocs: unknown column '$other'")
+        }
+        InternalRow.fromSeq(vals.toIndexedSeq)
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

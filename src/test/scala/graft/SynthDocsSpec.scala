@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** [[graft.sources.SynthDocs]] — the DSv2 generator source must be
+  * deterministic, partition-count independent, prunable, and
+  * SQL-replayable. */
+class SynthDocsSpec extends TestBase {
+
+  private def read(rows: Long, parts: Int = 0, seed: String = "synth") = {
+    var r = spark.read.format("synthdocs").option("rows", rows.toString)
+      .option("seed", seed)
+    if (parts > 0) r = r.option("partitions", parts.toString)
+    r.load()
+  }
+
+  test("deterministic content, exact row count, id-derived fields") {
+    val df = read(100)
+    assert(df.count() == 100)
+    val r7 = df.filter(col("doc_id") === 7).collect().head
+    assert(r7.getString(1) == "src7")
+    val words = r7.getString(2).split(" ")
+    assert(words.length == 3 + 7 % 4) // 2 + id%4 + 1 words
+    assert(words(0) ==
+      graft.sources.SynthDocs.md5Hex("synth|7|0").take(8))
+    // a different seed changes text, never ids/sources
+    val other = read(100, seed = "x").filter(col("doc_id") === 7)
+      .collect().head
+    assert(other.getString(1) == "src7" &&
+      other.getString(2) != r7.getString(2))
+  }
+
+  test("partition-count independence: same table from 1, 5, 32 splits") {
+    val base = read(211, parts = 1).orderBy("doc_id").collect().toSeq
+    for (p <- Seq(5, 32)) {
+      val got = read(211, parts = p).orderBy("doc_id").collect().toSeq
+      assert(got == base, s"content changed at partitions=$p")
+      assert(read(211, parts = p).rdd.getNumPartitions == p)
+    }
+  }
+
+  test("column pruning reaches the generator (DSv2 pushdown)") {
+    val pruned = read(50).select("doc_id")
+    pruned.collect()
+    val p = pruned.queryExecution.executedPlan.toString
+    // the BatchScan's read schema must carry ONLY doc_id — text
+    // generation (the expensive part) never runs
+    assert(p.contains("doc_id") && !p.contains("text"),
+      s"text must be pruned from the scan:\n$p")
+    // count(*) prunes everything and still counts
+    assert(read(123).count() == 123)
+  }
+
+  test("md5 word derivation matches Spark's own md5 (oracle contract)") {
+    val viaSql = spark.range(1)
+      .select(md5(lit("synth|42|0")).cast("string")).collect()
+      .head.getString(0)
+    assert(graft.sources.SynthDocs.md5Hex("synth|42|0") == viaSql)
+  }
+}
