@@ -4842,7 +4842,35 @@ object OpsQueries {
              |    1, 8) for j in generate_series(0, 2 + i % 4)], ' ')
              |    AS text
              |FROM generate_series(0, 499) t(i)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ----- packed training sequences (the loader's actual input) ------------
+    // q49 assigns bins; this materializes the concatenated sequences
+    // with id-ordered boundary lists. The md5 of each packed text pins
+    // concatenation order and separators exactly.
+    "q161_packed_sequences" -> Entry(
+      (s, dir) => Profiles.packSequences(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text", budget = 512, nShards = 8)
+        .select(col("shard"), col("bin"), col("n_docs"),
+          col("n_tokens"),
+          md5(concat_ws(",", col("doc_ids"))).as("ids_md5"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("shard", "bin"),
+      Some(s"""WITH tk AS (SELECT doc_id, text, len($TOKS) AS tok,
+              |  doc_id % 8 AS shard FROM documents),
+              |c AS (SELECT doc_id, text, shard, tok, SUM(tok) OVER (
+              |  PARTITION BY shard ORDER BY doc_id
+              |  ROWS UNBOUNDED PRECEDING) AS cum FROM tk)
+              |SELECT CAST(shard AS BIGINT) AS shard,
+              |  CAST(floor((cum - tok) / 512) AS BIGINT) AS bin,
+              |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  CAST(SUM(tok) AS BIGINT) AS n_tokens,
+              |  md5(string_agg(CAST(doc_id AS VARCHAR), ','
+              |    ORDER BY doc_id)) AS ids_md5,
+              |  md5(string_agg(text, chr(10) || chr(10)
+              |    ORDER BY doc_id)) AS text_md5
+              |FROM c GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

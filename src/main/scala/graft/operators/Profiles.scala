@@ -239,6 +239,44 @@ object Profiles {
           count(lit(1)).cast("double"), 6).as("mean_tokens"))
   }
 
+  /** Materialized PACKED training sequences — [[packTokens]] assigns
+    * bins; this emits the loader's actual input: per (shard, bin), the
+    * member documents concatenated in id order with `sep` boundaries,
+    * plus the doc-id list (the attention-reset / provenance sidecar a
+    * packed-pretraining loader needs). Same greedy cumulative-budget
+    * rule and the same shard-parallel window; each bin's collect is
+    * BOUNDED by `budget` tokens (+ one overflowing doc), so the group
+    * buffers stay loader-batch-sized no matter the corpus size.
+    *
+    * Output: shard, bin, n_docs, n_tokens, doc_ids (id-ordered),
+    * text (concatenated). */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      budget: Long, nShards: Int = 8, sep: String = "\n\n")
+      : DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), col(textCol),
+        TextAnalysis.tokenCount(col(textCol)).as("__tok"),
+        pmod(col(idCol), lit(nShards)).cast("long").as("shard"))
+      .withColumn("__cum", sum(col("__tok")).over(w))
+      .withColumn("bin",
+        floor((col("__cum") - col("__tok")) / budget).cast("long"))
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__tok")).as("n_tokens"),
+        transform(
+          array_sort(collect_list(struct(col(idCol), col(textCol)))),
+          s => s.getField(idCol)).as("doc_ids"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col(idCol), col(textCol)))),
+            s => s.getField(textCol)),
+          sep).as("text"))
+  }
+
   /** EQUI-DEPTH histogram: `buckets` bins of near-equal ROW count (the
     * first `N mod buckets` one row larger — exact NTILE semantics),
     * each reporting its value range and population. The quantile-sketch

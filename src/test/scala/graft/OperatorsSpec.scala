@@ -1476,6 +1476,26 @@ class OperatorsSpec extends TestBase {
       .retentionCohorts(ev, "user_id", "t", 0L))
   }
 
+  test("packSequences: id-ordered concatenation under the greedy " +
+      "budget, bounded bins, boundary sidecar") {
+    val docs = Seq(
+      (0L, "a b c"), (8L, "d d d d"), (16L, "e"), // shard 0
+      (1L, "x y"))                                 // shard 1
+      .toDF("doc_id", "text")
+    val got = graft.operators.Profiles
+      .packSequences(docs, "doc_id", "text", budget = 5, nShards = 8,
+        sep = " | ")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3),
+          r.getSeq[Long](4).toList, r.getString(5)))).toMap
+    // shard 0: doc0 (3 tok, cum-start 0 → bin 0), doc8 (4 tok, start 3
+    // → bin 0), doc16 (1 tok, start 7 → bin 1)
+    assert(got((0L, 0L)) ==
+      ((2L, 7L, List(0L, 8L), "a b c | d d d d")))
+    assert(got((0L, 1L)) == ((1L, 1L, List(16L), "e")))
+    assert(got((1L, 0L)) == ((1L, 2L, List(1L), "x y")))
+  }
+
   test("scdIntervals: change log becomes validity windows; ties yield " +
       "zero-length intervals, last state open-ended") {
     val log = Seq(
