@@ -4870,7 +4870,44 @@ object OpsQueries {
               |    ORDER BY doc_id)) AS ids_md5,
               |  md5(string_agg(text, chr(10) || chr(10)
               |    ORDER BY doc_id)) AS text_md5
-              |FROM c GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin))
+              |FROM c GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin)),
+
+    // ----- robust (median/MAD) vector gate ----------------------------------
+    // One third of the embeddings blow up ×100 — enough to inflate a
+    // moment z-gate's own σ and mask itself; the median/MAD bound has
+    // a 50% breakdown point and drops every outlier. Both engines
+    // compute the exact type-7 median and MAD (round-6, the q150
+    // contract) and the kept-count must agree.
+    "q162_robust_gate" -> Entry(
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        val planted = e.select(col("vec_id"),
+          when(col("vec_id") % 3 === 0,
+            transform(col("embedding"), x => x * lit(100.0f)))
+            .otherwise(col("embedding")).as("vec"))
+        val nValid = planted.count()
+        val kept = graft.operators.Embeddings
+          .robustVectorGate(planted, "vec", dim = 64).count()
+        Seq((nValid, kept)).toDF("n_valid", "n_kept")
+      },
+      Some("""WITH pl AS (SELECT vec_id,
+             |  CASE WHEN vec_id % 3 = 0 THEN
+             |    list_transform(embedding, x -> CAST(x * 100.0 AS FLOAT))
+             |  ELSE embedding END AS v FROM embeddings),
+             |nm AS (SELECT vec_id, sqrt(list_sum(list_transform(v,
+             |  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+             |  FROM pl),
+             |m AS (SELECT round(quantile_cont(nrm, 0.5), 6) AS med
+             |  FROM nm),
+             |d AS (SELECT round(quantile_cont(
+             |    abs(nrm - (SELECT med FROM m)), 0.5), 6) AS mad
+             |  FROM nm)
+             |SELECT CAST(COUNT(*) AS BIGINT) AS n_valid,
+             |  CAST(SUM(CASE WHEN abs(nrm - (SELECT med FROM m)) <=
+             |    4.45 * (SELECT mad FROM d) THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_kept
+             |FROM nm""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

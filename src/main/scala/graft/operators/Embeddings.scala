@@ -75,6 +75,42 @@ object Embeddings {
     withVectorVerdict(df, vecCol, dim, maxNormZ)
       .groupBy("verdict").agg(count(lit(1)).as("n"))
 
+  /** ROBUST norm gate — the heavy-contamination companion to
+    * [[withVectorVerdict]]'s moment z-gate (which large outlier
+    * fractions inflate and mask): bounds come from the median and the
+    * MAD (median absolute deviation), each an EXACT
+    * [[Rank.exactQuantiles]] pass — breakdown point 50%, no
+    * whole-column buffer. Rows with null/short/NaN vectors are
+    * excluded like the z-gate's stats; survivors satisfy
+    * |‖v‖ − median| ≤ k·MAD (k·1.4826·MAD approximates k·σ on clean
+    * Gaussian norms — pass `k ≈ 3·1.4826 ≈ 4.45` for that
+    * convention, or a plain k for the raw-MAD bound). A zero MAD
+    * (half the corpus shares one norm) keeps exactly the
+    * median-normed rows — strict, documented. Two rank passes + a
+    * broadcast two-number table; the gate itself is a projection. */
+  def robustVectorGate(df: DataFrame, vecCol: String, dim: Int,
+      k: Double = 4.45): DataFrame = {
+    require(dim > 0 && k > 0, "Embeddings.robustVectorGate: bad params")
+    Seq("__norm", "__rid", "__med", "__mad").foreach(c =>
+      require(!df.columns.contains(c),
+        s"Embeddings: input already has a '$c' column; rename it"))
+    val v = col(vecCol)
+    val normSq = aggregate(v, lit(0.0d), (acc, x) =>
+      acc + x.cast("double") * x.cast("double"))
+    val staged = df
+      .filter(v.isNotNull && size(v) === dim &&
+        !exists(v, x => isnan(x) || abs(x) > lit(Float.MaxValue)))
+      .withColumn("__norm", sqrt(normSq))
+      .withColumn("__rid", monotonically_increasing_id())
+    val med = Rank.exactQuantiles(staged, "__norm", "__rid", Seq(0.5))
+      .collect().head.getDouble(1)
+    val dev = staged.withColumn("__dev", abs(col("__norm") - med))
+    val mad = Rank.exactQuantiles(dev, "__dev", "__rid", Seq(0.5))
+      .collect().head.getDouble(1)
+    staged.filter(abs(col("__norm") - med) <= k * mad)
+      .drop("__norm", "__rid")
+  }
+
   /** Per-dimension population moments of `vecCol` (vectors must be
     * uniform length — run the gate first). Columns: `dim` (0-based),
     * `mean`, `std`. One posexplode + a (dim)-keyed aggregation: D tiny

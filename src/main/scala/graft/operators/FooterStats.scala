@@ -158,6 +158,33 @@ object FooterStats {
       .toDF("file", "column", "min", "max", "nulls", "stats_missing")
   }
 
+  /** Metadata-only LAYOUT VALIDATION: did a range-sharded / Z-ordered
+    * write actually produce disjoint, prunable `column` ranges? Reads
+    * only footers ([[zoneMap]]); returns one row per file ordered by
+    * its min with `overlaps_prev` — a layout is healthy when every
+    * row is false. The check a release pipeline runs on its shard
+    * output before declaring the layout contract met (a silent sort
+    * regression otherwise only shows up as slow pruning months
+    * later). Files without stats count as overlapping (unprovable ≠
+    * healthy). */
+  def rangeLayoutReport(spark: SparkSession, path: String,
+      column: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val zm = zoneMap(spark, path, Seq(column))
+      .select(col("file"),
+        col("min").cast("double").as("zmin"),
+        col("max").cast("double").as("zmax"),
+        col("stats_missing"))
+    // per-file rows: tiny table (one row per file), single-task window
+    val w = Window.orderBy(col("zmin"), col("file"))
+    zm.withColumn("__prevMax", lag(col("zmax"), 1).over(w))
+      .withColumn("overlaps_prev",
+        col("stats_missing") || col("zmin").isNull ||
+          coalesce(col("__prevMax") >= col("zmin"), lit(false)))
+      .select(col("file"), col("zmin"), col("zmax"),
+        col("overlaps_prev"))
+  }
+
   /** Files whose footer statistics CANNOT rule out rows with
     * `column` in `[lo, hi]` — the file-level pruning set for a numeric
     * range predicate, plus the would-scan fraction. A file with any

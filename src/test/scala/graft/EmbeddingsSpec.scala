@@ -89,6 +89,35 @@ class EmbeddingsSpec extends TestBase {
       s"corpus must not shuffle into the join:\n$p")
   }
 
+  test("robustVectorGate: median/MAD survives contamination that " +
+      "masks the moment z-gate") {
+    import spark.implicits._
+    // 39% contamination at ×100: the z-gate's own σ inflates to ~245,
+    // z(500) ≈ 1.2 → everything passes (masked); median/MAD is blind
+    // to the minority and drops every outlier
+    val d = ((1L to 20L).map(i => (i, Seq(3.0f, 4.0f))) ++
+      (21L to 33L).map(i => (i, Seq(300.0f, 400.0f))))
+      .toDF("id", "vec")
+    val zVerdicts = Embeddings.withVectorVerdict(d, "vec", dim = 2)
+      .filter(col("verdict") === "norm_outlier").count()
+    assert(zVerdicts == 0, "the moment gate must be masked here")
+    val robust = Embeddings.robustVectorGate(d, "vec", dim = 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(robust == (1L to 20L).toSet, s"got $robust")
+    // non-degenerate MAD: spread inliers keep, far outlier drops
+    val d2 = Seq((1L, Seq(3.0f, 4.0f)), (2L, Seq(3.3f, 4.4f)),
+      (3L, Seq(2.7f, 3.6f)), (4L, Seq(300.0f, 400.0f)))
+      .toDF("id", "vec")
+    val kept2 = Embeddings.robustVectorGate(d2, "vec", dim = 2, k = 5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(1L, 2L, 3L), s"got $kept2")
+    // structural rejects are excluded before the bounds
+    val d3 = d.unionByName(
+      Seq((90L, null.asInstanceOf[Seq[Float]])).toDF("id", "vec"))
+    assert(Embeddings.robustVectorGate(d3, "vec", dim = 2)
+      .filter(col("id") === 90L).count() == 0)
+  }
+
   test("guards: column clashes raise") {
     import spark.implicits._
     val d = Seq((1L, Seq(1.0f))).toDF("id", "vec")

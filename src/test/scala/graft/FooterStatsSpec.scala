@@ -86,6 +86,27 @@ class FooterStatsSpec extends TestBase {
       "every counted file lives in a key= partition dir")
   }
 
+  test("rangeLayoutReport: sharded write is disjoint, random write " +
+      "overlaps, missing stats count as unhealthy") {
+    import spark.implicits._
+    val good = tmpDir().resolve("good").toString
+    (1L to 900L).toDF("id")
+      .repartitionByRange(3, col("id")).write.parquet(good)
+    val g = FooterStats.rangeLayoutReport(spark, good, "id").collect()
+    assert(g.length == 3 && g.forall(!_.getBoolean(3)),
+      s"range layout must be clean: ${g.mkString(", ")}")
+    val bad = tmpDir().resolve("bad").toString
+    (1L to 900L).toDF("id").repartition(3).write.parquet(bad)
+    val b = FooterStats.rangeLayoutReport(spark, bad, "id").collect()
+    assert(b.exists(_.getBoolean(3)),
+      "hash-scattered files must report overlap")
+    val nul = tmpDir().resolve("nul").toString
+    (1L to 10L).map(i => (i, null: java.lang.Long)).toDF("id", "v")
+      .coalesce(1).write.parquet(nul)
+    val n = FooterStats.rangeLayoutReport(spark, nul, "v").collect()
+    assert(n.forall(_.getBoolean(3)), "statless files are never healthy")
+  }
+
   test("empty input raises loudly") {
     val dir = tmpDir().toString
     val e = intercept[IllegalArgumentException] {
