@@ -4907,7 +4907,60 @@ object OpsQueries {
              |  CAST(SUM(CASE WHEN abs(nrm - (SELECT med FROM m)) <=
              |    4.45 * (SELECT mad FROM d) THEN 1 ELSE 0 END)
              |    AS BIGINT) AS n_kept
-             |FROM nm""".stripMargin))
+             |FROM nm""".stripMargin)),
+
+    // ----- correlated scalar subquery (Catalyst decorrelation) --------------
+    // Orders above their own customer's average: the textbook
+    // correlated scalar subquery, which Catalyst must decorrelate into
+    // an aggregate + join (a per-row re-execution would be O(n²)).
+    // Exercised through spark.sql so the SQL surface itself is under
+    // test; both engines run the same statement.
+    "q163_correlated_scalar" -> Entry(
+      (s, dir) => {
+        graft.QuackIO.registerTables(s, dir)
+        s.sql("""SELECT o_custkey, o_orderkey,
+                |  CAST(o_totalprice AS DOUBLE) AS price
+                |FROM orders o
+                |WHERE o_totalprice > 1.5 * (
+                |  SELECT avg(o_totalprice) FROM orders i
+                |  WHERE i.o_custkey = o.o_custkey)
+                |ORDER BY o_custkey, o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  CAST(o_totalprice AS DOUBLE) AS price
+             |FROM orders o
+             |WHERE o_totalprice > 1.5 * (
+             |  SELECT avg(o_totalprice) FROM orders i
+             |  WHERE i.o_custkey = o.o_custkey)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // ----- LATERAL join (per-row dependent subquery) ------------------------
+    // Top-2 orders per nation's customers via LATERAL — the dependent
+    // subquery form Catalyst rewrites into a ranked join. Same
+    // statement on both engines; the (totalprice, orderkey) order is
+    // total so the limit-2 pick is deterministic.
+    "q164_lateral_topk" -> Entry(
+      (s, dir) => {
+        graft.QuackIO.registerTables(s, dir)
+        s.sql("""SELECT c.c_custkey, t.o_orderkey,
+                |  CAST(t.o_totalprice AS DOUBLE) AS price
+                |FROM customer c,
+                |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                |  WHERE o_custkey = c.c_custkey
+                |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+                |WHERE c.c_custkey % 19 = 0
+                |ORDER BY c.c_custkey, price DESC, t.o_orderkey"""
+          .stripMargin)
+      },
+      Some("""SELECT c.c_custkey, t.o_orderkey,
+             |  CAST(t.o_totalprice AS DOUBLE) AS price
+             |FROM customer c,
+             |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+             |  WHERE o_custkey = c.c_custkey
+             |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+             |WHERE c.c_custkey % 19 = 0
+             |ORDER BY c.c_custkey, price DESC, t.o_orderkey"""
+        .stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)
