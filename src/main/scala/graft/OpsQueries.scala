@@ -4960,7 +4960,39 @@ object OpsQueries {
              |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
              |WHERE c.c_custkey % 19 = 0
              |ORDER BY c.c_custkey, price DESC, t.o_orderkey"""
-        .stripMargin))
+        .stripMargin)),
+
+    // ----- recursive CTE (bounded-hop reachability) -------------------------
+    // WITH RECURSIVE over the q143 synthetic link graph: min-hop
+    // distance from node 0 within two hops — the iterate-until-guard
+    // SQL surface (new in this engine generation), same statement on
+    // both engines, bag-semantics recursion bounded by the hop guard.
+    "q165_recursive_reach" -> Entry(
+      (s, dir) => {
+        graft.QuackIO.registerTables(s, dir)
+        s.sql("""WITH RECURSIVE e AS (
+                |  SELECT DISTINCT doc_id % 53 AS src,
+                |    (doc_id * 7 + 11) % 53 AS dst FROM documents
+                |  WHERE doc_id % 53 <> (doc_id * 7 + 11) % 53),
+                |r(id, hops) AS (
+                |  SELECT CAST(0 AS BIGINT) AS id, 0 AS hops
+                |  UNION ALL
+                |  SELECT e.dst, r.hops + 1 FROM r JOIN e
+                |    ON e.src = r.id WHERE r.hops < 2)
+                |SELECT id, CAST(min(hops) AS BIGINT) AS hops
+                |FROM r GROUP BY id ORDER BY id""".stripMargin)
+      },
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT DISTINCT doc_id % 53 AS src,
+             |    (doc_id * 7 + 11) % 53 AS dst FROM documents
+             |  WHERE doc_id % 53 <> (doc_id * 7 + 11) % 53),
+             |r(id, hops) AS (
+             |  SELECT CAST(0 AS BIGINT) AS id, 0 AS hops
+             |  UNION ALL
+             |  SELECT e.dst, r.hops + 1 FROM r JOIN e
+             |    ON e.src = r.id WHERE r.hops < 2)
+             |SELECT id, CAST(min(hops) AS BIGINT) AS hops
+             |FROM r GROUP BY id ORDER BY id""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)
