@@ -4992,7 +4992,64 @@ object OpsQueries {
              |  SELECT e.dst, r.hops + 1 FROM r JOIN e
              |    ON e.src = r.id WHERE r.hops < 2)
              |SELECT id, CAST(min(hops) AS BIGINT) AS hops
-             |FROM r GROUP BY id ORDER BY id""".stripMargin))
+             |FROM r GROUP BY id ORDER BY id""".stripMargin)),
+
+    // ----- bag-semantics set operators (INTERSECT ALL / EXCEPT ALL) ---------
+    // q19_setops covers the distinct forms; the ALL forms keep
+    // multiplicities (min for intersect, difference for except) — the
+    // semantics dedup bookkeeping actually needs when counting copies.
+    "q166_setops_all" -> Entry(
+      (s, dir) => {
+        val a = t(s, dir, "documents")
+          .select((col("doc_id") % 40).as("k"))
+        val b = t(s, dir, "documents")
+          .select((col("doc_id") % 60).as("k"))
+        val inter = a.intersectAll(b).groupBy(lit("intersect_all")
+          .as("op")).agg(count(lit(1)).as("n"))
+        val exc = a.exceptAll(b).groupBy(lit("except_all").as("op"))
+          .agg(count(lit(1)).as("n"))
+        inter.unionByName(exc).orderBy("op")
+      },
+      Some("""WITH a AS (SELECT doc_id % 40 AS k FROM documents),
+             |b AS (SELECT doc_id % 60 AS k FROM documents),
+             |i AS (SELECT 'intersect_all' AS op,
+             |  CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)),
+             |e AS (SELECT 'except_all' AS op,
+             |  CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b))
+             |SELECT * FROM e UNION ALL SELECT * FROM i
+             |ORDER BY op""".stripMargin)),
+
+    // ----- forward-fill (last_value IGNORE NULLS) ---------------------------
+    // Carry each user's last seen non-null value forward in event-time
+    // order — the gap-filling pass sensor/state streams need before
+    // aggregation. Spark's last(_, ignoreNulls) over a running frame ≡
+    // SQL LAST_VALUE ... IGNORE NULLS; nulls planted every third event.
+    "q167_forward_fill" -> Entry(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Queries.events(s, dir)
+          .filter(col("user_id") % 29 === 0)
+          .select(col("user_id"), col("event_id"),
+            expr("ts div 1000").as("t"),
+            when(col("event_id") % 3 === 0, lit(null))
+              .otherwise(col("value")).as("v"))
+          .withColumn("v_filled",
+            last(col("v"), ignoreNulls = true).over(w))
+          .select("user_id", "event_id", "v", "v_filled")
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+             |  CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v,
+             |  LAST_VALUE(CASE WHEN event_id % 3 = 0 THEN NULL
+             |    ELSE value END IGNORE NULLS) OVER (
+             |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS v_filled
+             |FROM events WHERE user_id % 29 = 0
+             |ORDER BY user_id, event_id""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)
