@@ -86,8 +86,10 @@ object Embeddings {
     * Gaussian norms — pass `k ≈ 3·1.4826 ≈ 4.45` for that
     * convention, or a plain k for the raw-MAD bound). A zero MAD
     * (half the corpus shares one norm) keeps exactly the
-    * median-normed rows — strict, documented. Two rank passes + a
-    * broadcast two-number table; the gate itself is a projection. */
+    * median-normed rows — strict, documented. Cost: THREE passes over
+    * the staged norm projection (two exact-quantile rank passes + the
+    * final gate scan) — persist the input upstream when its lineage is
+    * expensive; the bounds themselves are a two-number driver value. */
   def robustVectorGate(df: DataFrame, vecCol: String, dim: Int,
       k: Double = 4.45): DataFrame = {
     require(dim > 0 && k > 0, "Embeddings.robustVectorGate: bad params")
