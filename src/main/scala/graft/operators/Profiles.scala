@@ -248,6 +248,10 @@ object Profiles {
     * BOUNDED by `budget` tokens (+ one overflowing doc), so the group
     * buffers stay loader-batch-sized no matter the corpus size.
     *
+    * Null-text rows are DROPPED (a null contributes no tokens and
+    * would otherwise poison its bin's concatenation — the dedup
+    * family's null contract).
+    *
     * Output: shard, bin, n_docs, n_tokens, doc_ids (id-ordered),
     * text (concatenated). */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
@@ -258,7 +262,8 @@ object Profiles {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("shard").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col(idCol), col(textCol),
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), col(textCol),
         TextAnalysis.tokenCount(col(textCol)).as("__tok"),
         pmod(col(idCol), lit(nShards)).cast("long").as("shard"))
       .withColumn("__cum", sum(col("__tok")).over(w))

@@ -1494,6 +1494,14 @@ class OperatorsSpec extends TestBase {
       ((2L, 7L, List(0L, 8L), "a b c | d d d d")))
     assert(got((0L, 1L)) == ((1L, 1L, List(16L), "e")))
     assert(got((1L, 0L)) == ((1L, 2L, List(1L), "x y")))
+    // null-text rows drop instead of poisoning a bin
+    val withNull = docs.unionByName(
+      Seq((24L, null: String)).toDF("doc_id", "text"))
+    val counts = graft.operators.Profiles
+      .packSequences(withNull, "doc_id", "text", budget = 5,
+        nShards = 8, sep = " | ")
+      .agg(sum("n_docs")).collect().head.getLong(0)
+    assert(counts == 4L, "the null row must vanish")
   }
 
   test("scdIntervals: change log becomes validity windows; ties yield " +
