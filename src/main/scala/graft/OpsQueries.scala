@@ -5049,7 +5049,36 @@ object OpsQueries {
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              |    AS v_filled
              |FROM events WHERE user_id % 29 = 0
-             |ORDER BY user_id, event_id""".stripMargin))
+             |ORDER BY user_id, event_id""".stripMargin)),
+
+    // ----- dup-cluster size distribution (the publishable dedup stat) -------
+    // q54 labels clusters; this rolls them into "how many clusters of
+    // size k" — the number a dedup report actually quotes (docs with
+    // no near-dup edges are absent by construction: the distribution
+    // describes the DUPLICATED mass).
+    "q168_dup_size_dist" -> Entry(
+      (s, dir) => {
+        val pairs = Dedup.minhashCandidates(nearDupDocs(s, dir),
+          "doc_id", "text", k = 8, rowsPerBand = 2, shingleN = 3)
+        Connected.components(pairs, "doc_a", "doc_b")
+          .groupBy("comp").agg(count(lit(1)).as("size"))
+          .groupBy("size").agg(count(lit(1)).as("n_clusters"))
+          .orderBy("size")
+      },
+      Some(s"""WITH RECURSIVE $NearDupDocsSql,
+              |$MinhashPairsSql,
+              |e AS (SELECT doc_a AS eu, doc_b AS ev FROM pairs
+              |  UNION SELECT doc_b, doc_a FROM pairs),
+              |reach(id, r) AS (
+              |  SELECT eu, eu FROM e
+              |  UNION
+              |  SELECT reach.id, e.ev FROM reach JOIN e ON e.eu = reach.r),
+              |comp AS (SELECT id, MIN(r) AS cluster FROM reach
+              |  GROUP BY id),
+              |sz AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS size
+              |  FROM comp GROUP BY cluster)
+              |SELECT size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+              |FROM sz GROUP BY size ORDER BY size""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)
