@@ -5078,7 +5078,33 @@ object OpsQueries {
               |sz AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS size
               |  FROM comp GROUP BY cluster)
               |SELECT size, CAST(COUNT(*) AS BIGINT) AS n_clusters
-              |FROM sz GROUP BY size ORDER BY size""".stripMargin))
+              |FROM sz GROUP BY size ORDER BY size""".stripMargin)),
+
+    // ----- MAP-typed column surface (parse → explode → per-key rollup) ------
+    // props parsed as MAP<STRING, INT> (schema-free: keys are data,
+    // not schema — the shape crawl metadata actually has), exploded to
+    // (key, value) pairs, rolled up per key. Exercises the MAP type
+    // end-to-end where q134 used a fixed struct.
+    "q169_map_props" -> Entry(
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_type"),
+          from_json(col("props"), "map<string,int>",
+            Map.empty[String, String]).as("m"))
+        .select(col("event_type"), explode(col("m"))
+          .as(Seq("k", "v")))
+        .groupBy("event_type", "k")
+        .agg(count(lit(1)).as("n"), sum(col("v")).cast("long")
+          .as("sum_v"), max(col("v")).cast("long").as("max_v"))
+        .orderBy("event_type", "k"),
+      Some("""SELECT event_type, u.k AS k,
+             |  CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(u.v) AS BIGINT) AS sum_v,
+             |  CAST(MAX(u.v) AS BIGINT) AS max_v
+             |FROM (SELECT event_type,
+             |  unnest([{'k': kk, 'v': CAST(json_extract(props,
+             |    '$.' || kk) AS INT)} for kk in json_keys(props)]) AS u
+             |  FROM events)
+             |GROUP BY 1, 2 ORDER BY event_type, k""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)
