@@ -5104,7 +5104,43 @@ object OpsQueries {
              |  unnest([{'k': kk, 'v': CAST(json_extract(props,
              |    '$.' || kk) AS INT)} for kk in json_keys(props)]) AS u
              |  FROM events)
-             |GROUP BY 1, 2 ORDER BY event_type, k""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY event_type, k""".stripMargin)),
+
+    // ----- array set-function surface (distinct/sort/intersect/except) ------
+    // Per doc: distinct-token set size, stopword intersection size,
+    // non-stop size, and the md5 of the SORTED distinct tokens (sort
+    // canonicalizes order, so the digest is engine-stable — both
+    // engines sort strings by binary collation).
+    "q170_array_ops" -> Entry(
+      (s, dir) => {
+        val stop = TextAnalysis.EnStop
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            array_distinct(TextAnalysis.tokens(col("text")))
+              .as("__d"))
+          .select(col("doc_id"),
+            size(col("__d")).cast("long").as("n_distinct"),
+            size(array_intersect(col("__d"),
+              lit(stop.toArray))).cast("long").as("n_stop"),
+            size(array_except(col("__d"),
+              lit(stop.toArray))).cast("long").as("n_rest"),
+            md5(array_join(array_sort(col("__d")), " ")).as("digest"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val stopList = TextAnalysis.EnStop
+          .map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""SELECT doc_id,
+           |  CAST(len(d) AS BIGINT) AS n_distinct,
+           |  CAST(len(list_intersect(d, $stopList)) AS BIGINT)
+           |    AS n_stop,
+           |  CAST(len(list_filter(d, t -> NOT list_contains($stopList,
+           |    t))) AS BIGINT) AS n_rest,
+           |  md5(array_to_string(list_sort(d), ' ')) AS digest
+           |FROM (SELECT doc_id, list_distinct($TOKS) AS d
+           |      FROM documents)
+           |ORDER BY doc_id""".stripMargin
+      })
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)
