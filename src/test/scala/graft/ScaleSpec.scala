@@ -155,6 +155,26 @@ class ScaleSpec extends TestBase {
     assert(e147 <= 2, s"q147 expected <=2 exchanges, got $e147:\n$p147")
   }
 
+  test("q140 footer count never scans a parquet data page") {
+    // the plan must be a parallelized path list + footer reads — if a
+    // parquet FileScan of lineitem appears, the metadata-only contract
+    // broke and the 'count 100 TB in seconds' story with it
+    val p = plan(SparkEntry.queries("q140_footer_count")(spark, sf))
+    assert(!p.contains("FileScan parquet") &&
+      !p.toLowerCase.contains("scan parquet"),
+      s"q140 must not scan data files:\n$p")
+  }
+
+  test("q158/q159 codec transforms are pure map plans (final sort only)") {
+    // resize/decimate are partition-parallel byte transforms: nothing
+    // before the output orderBy may exchange
+    for (q <- Seq("q158_bmp_resize", "q159_wav_decimate")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(hashEx == 0, s"$q expected zero hash exchanges:\n$p")
+    }
+  }
+
   test("q39 IVF broadcasts only the centroid set, never the corpus") {
     val p = plan(SparkEntry.queries("q39_ann_ivf")(spark, sf))
     // assignment = corpus × broadcast(centroids): each BroadcastExchange's
