@@ -98,9 +98,13 @@ private[sources] class SynthScan(rows: Long, partitions: Int,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
+    // default split count SCALES with the row count (~1M rows per
+    // generator split, floor 32, cap 10k) — a fixed 32 would hand a
+    // 10B-row soak 300M rows per task
     val p = math.max(1,
       if (partitions > 0) partitions
-      else math.min(rows, 32L).toInt)
+      else math.min(math.min(math.max(32L, rows / 1000000L), 10000L),
+        math.max(rows, 1L)).toInt)
     (0 until p).map { i =>
       SynthRange(rows * i / p, rows * (i + 1) / p, seed)
     }.toArray
