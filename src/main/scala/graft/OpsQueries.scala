@@ -5140,7 +5140,27 @@ object OpsQueries {
            |FROM (SELECT doc_id, list_distinct($TOKS) AS d
            |      FROM documents)
            |ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // ----- predicate aggregates (count_if / bool_and / bool_or) -------------
+    // The filtered-aggregate surface: per order priority, how many
+    // orders clear a price bar, whether ALL do, whether ANY do —
+    // integer/boolean outputs, bit-exact cross-engine.
+    "q171_bool_aggs" -> Entry(
+      (s, dir) => t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(count_if(col("o_totalprice") > 200000).as("n_big"),
+          bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
+          bool_or(col("o_totalprice") > 400000).as("any_over_400k"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |  CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
+             |  bool_and(o_totalprice > 1000) AS all_over_1k,
+             |  bool_or(o_totalprice > 400000) AS any_over_400k,
+             |  CAST(COUNT(*) AS BIGINT) AS n
+             |FROM orders GROUP BY 1
+             |ORDER BY o_orderpriority""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)
