@@ -5160,7 +5160,35 @@ object OpsQueries {
              |  bool_or(o_totalprice > 400000) AS any_over_400k,
              |  CAST(COUNT(*) AS BIGINT) AS n
              |FROM orders GROUP BY 1
-             |ORDER BY o_orderpriority""".stripMargin))
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ----- temperature mixture at a GENERIC alpha (0.3) ---------------------
+    // q94 pins alpha=0.5 (sqrt — libm-free on both engines); this pins
+    // the pow() path the mT5 recipe actually sweeps. Cross-engine pow
+    // differs by ~1 ulp, but every rate QUANTIZES to integer basis
+    // points via round() before any row decision — a flip needs the
+    // pre-round value within ~1e-10 of a .5 boundary, and a flip would
+    // surface as a loud hash mismatch, never silent drift.
+    "q172_temperature_generic" -> Entry(
+      (s, dir) => Sampling.temperatureMixture(
+          Queries.t(s, dir, "documents").select(col("doc_id"),
+            col("source")),
+          col("doc_id"), "source", targetDocs = 300, alpha = 0.3,
+          salt = "tmix3")
+        .orderBy("doc_id"),
+      Some("""WITH c AS (SELECT source, count(*) AS n FROM documents
+             |  GROUP BY source),
+             |z AS (SELECT list_sum(list(pow(n, 0.3) ORDER BY source))
+             |  AS z FROM c),
+             |r AS (SELECT source, CAST(LEAST(10000.0,
+             |    round(300 * 10000.0 * pow(n, 0.3) / (z.z * n)))
+             |  AS BIGINT) AS bp FROM c, z)
+             |SELECT d.doc_id, d.source FROM documents d
+             |JOIN r ON d.source = r.source
+             |WHERE CAST(('0x' || substr(md5('tmix3|' ||
+             |    CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 10000
+             |  < GREATEST(0, LEAST(10000, r.bp))
+             |ORDER BY d.doc_id""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)
