@@ -4647,15 +4647,20 @@ object OpsQueries {
     // The CCNet recipe (Wenzek et al. 2020): score each doc with the
     // LM (q98's smoothed bigram log-prob — higher = more fluent),
     // rank WITHIN its language, split into terciles. Composed from
-    // bigramLogProb + rankNormalize; docs too short to score (no
-    // bigrams) are excluded by both machines' null-score contracts.
+    // bigramLogProb + Rank.perKeyPercentRank — the range-decomposed
+    // per-key rank (bit-identical to the window form the oracle
+    // replays, spec-pinned): languages are the canonical FEW-HUGE-KEYS
+    // case, where the dominant language would serialize a
+    // Window.partitionBy(lang) on one task at 100×. Docs too short to
+    // score (no bigrams) are excluded by both machines' null-score
+    // contracts.
     "q155_ccnet_buckets" -> Entry(
       (s, dir) => {
         val d = docsFan(s, dir)
         val scored = Vocab.bigramLogProb(
             d.select(col("doc_id"), col("text")), "doc_id", "text")
           .join(d.select(col("doc_id"), col("lang")), "doc_id")
-        Sampling.rankNormalize(scored, col("lang"), col("doc_id"),
+        Rank.perKeyPercentRank(scored, col("lang"), col("doc_id"),
             col("logprob"))
           .withColumn("bucket",
             when(col("pct") >= lit(2.0 / 3), "head")

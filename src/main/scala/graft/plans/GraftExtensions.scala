@@ -40,6 +40,23 @@ class UnpartitionedWindowGuard(session: SparkSession)
 
   private val ConfKey = "spark.graft.guard.unpartitionedWindow"
 
+  /** The framework's own scale primitives (Rank.globalRank/globalNtile/
+    * exactQuantiles, Sampling.apportionedSample quota derivation,
+    * Similarity.rrfFuse, FooterStats.rangeLayoutReport) deliberately
+    * cumulate PROVABLY BOUNDED tables — per-partition counts (≤ the
+    * shuffle partition count), per-key quota rows, fused shortlists,
+    * file listings — through a tiny unpartitioned window, and every
+    * such window orders exclusively on `__`-prefixed staging columns
+    * (the `__pid` convention). Exempting those keeps `fail` mode
+    * usable: without it the guard would reject the very replacements
+    * its own error message recommends. A corpus-scale window over real
+    * data columns never carries the prefix, so the cliff the guard
+    * exists for still trips it. */
+  private def isFrameworkBounded(w: Window): Boolean =
+    w.orderSpec.forall(so =>
+      so.child.references.nonEmpty &&
+        so.child.references.forall(_.name.startsWith("__")))
+
   override def apply(plan: LogicalPlan): Unit = {
     val mode =
       try session.conf.get(ConfKey, "off")
@@ -47,7 +64,8 @@ class UnpartitionedWindowGuard(session: SparkSession)
     if (mode == "warn" || mode == "fail") {
       plan.foreach {
         case w: Window
-            if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty =>
+            if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty &&
+              !isFrameworkBounded(w) =>
           val msg = s"Unpartitioned ordered window detected (" +
             s"${w.windowExpressions.map(_.name).mkString(", ")}): " +
             "Spark will move EVERY row to one task. For global " +

@@ -118,6 +118,21 @@ class EmbeddingsSpec extends TestBase {
       .filter(col("id") === 90L).count() == 0)
   }
 
+  test("robustVectorGate: empty frame back when nothing survives the " +
+      "structural filter (the sibling gates' empty-input contract)") {
+    import spark.implicits._
+    // every row malformed: wrong dim, null, NaN component
+    val d = Seq((1L, Seq(1.0f)), (2L, null.asInstanceOf[Seq[Float]]),
+      (3L, Seq(Float.NaN, 2.0f))).toDF("id", "vec")
+    val out = Embeddings.robustVectorGate(d, "vec", dim = 2)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("id", "vec"))
+    // fully empty input too
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("id", "vec")
+    assert(Embeddings.robustVectorGate(empty, "vec", dim = 2)
+      .count() == 0)
+  }
+
   test("guards: column clashes raise") {
     import spark.implicits._
     val d = Seq((1L, Seq(1.0f))).toDF("id", "vec")

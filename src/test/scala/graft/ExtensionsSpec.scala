@@ -66,6 +66,40 @@ class ExtensionsSpec extends TestBase {
     }
   }
 
+  test("fail mode admits the framework's own bounded windows — the " +
+      "recommended fix must itself run under the guard") {
+    withExtSession { s2 =>
+      s2.conf.set("spark.graft.guard.unpartitionedWindow", "fail")
+      import graft.operators.{Rank, Sampling, Similarity}
+      val df = s2.range(100).toDF("id")
+        .withColumn("v", (col("id") * 37 % 101).cast("double"))
+      // globalRank's internal offset window orders on __pid — exempt
+      val ranked = Rank.globalRank(df, Seq(col("v").asc, col("id").asc))
+        .collect()
+      assert(ranked.length == 100)
+      // perKeyPercentRank: partitioned count-table windows only
+      val pct = Rank.perKeyPercentRank(
+        df.withColumn("k", col("id") % 3), col("k"), col("id"), col("v"))
+        .collect()
+      assert(pct.length == 100)
+      // apportionedSample's quota rank orders on __rem/__k — exempt
+      assert(Sampling.apportionedSample(
+        df.withColumn("k", col("id") % 4), col("k"), col("id"), 20L)
+        .count() == 20L)
+      // rrfFuse's shortlist rank orders on __rrf/__fid — exempt
+      val a = s2.range(5).toDF("doc_id").withColumn("ra", col("doc_id") + 1)
+      val b = s2.range(5).toDF("doc_id").withColumn("rb", lit(6) - col("doc_id"))
+      assert(Similarity.rrfFuse(a, "doc_id", "ra", b, "doc_id", "rb")
+        .collect().length == 5)
+      // ...while a genuine corpus-column window still trips it
+      val e = intercept[Exception] {
+        df.withColumn("r", row_number().over(Window.orderBy("v")))
+          .collect()
+      }
+      assert(e.getMessage.contains("globalRank"), e.getMessage)
+    }
+  }
+
   test("a session without the extension is never affected") {
     spark.conf.set("spark.graft.guard.unpartitionedWindow", "fail")
     try {

@@ -291,6 +291,23 @@ class FuzzyAndServingSpec extends TestBase {
     assert(kept == Set(2L))
   }
 
+  test("semanticOverlap validates the corpus schema: missing id or " +
+      "vector column raises with the column inventory") {
+    val corpus = embRows(1L -> Seq(1.0f, 0.0f))
+    val bench = embRows(9L -> Seq(1.0f, 0.0f)).select(col("vec"))
+    val e1 = intercept[IllegalArgumentException] {
+      Decontaminate.semanticOverlap(corpus, "nope", "vec", bench,
+        "vec", 0.9)
+    }
+    assert(e1.getMessage.contains("nope") &&
+      e1.getMessage.contains("columns"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Decontaminate.semanticOverlap(corpus, "id", "missing_vec", bench,
+        "vec", 0.9)
+    }
+    assert(e2.getMessage.contains("missing_vec"), e2.getMessage)
+  }
+
   test("semanticOverlap plan: corpus never shuffles — broadcast sweep") {
     val corpus = embRows((1L to 50L).map(i =>
       i -> Seq(i.toFloat, 1.0f)): _*)

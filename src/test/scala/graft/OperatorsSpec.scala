@@ -1361,6 +1361,43 @@ class OperatorsSpec extends TestBase {
       None, None, None, None))
   }
 
+  test("parseMp4Header: u32 fields with the high bit set stay unsigned " +
+      "(>= 2^31 durations, 16.16 widths >= 32768, u64 low-word carry)") {
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def asc(t: String): String =
+      t.getBytes("US-ASCII").map(b => f"$b%02x").mkString
+    def box(typ: String, content: String): String =
+      f"${8 + content.length / 2}%08x" + asc(typ) + content
+    val matrix = "00010000" + "00000000" * 3 + "00010000" +
+      "00000000" * 3 + "40000000"
+    val ftyp = box("ftyp", asc("isom") + "00000000")
+    // v0 mvhd duration 0x80000000 = 2147483648 — sign-extension would
+    // report it negative
+    val bigDur = hx(ftyp + box("moov",
+      box("mvhd", "00000000" * 3 + "000003e8" + "80000000" + "00" * 80)))
+    assert(Multimodal.parseMp4Header(bigDur)
+      .contains(("isom", 1000L, 2147483648L, 0, None, None)))
+    // v1 mvhd u64 duration whose LOW word has the high bit set:
+    // 0x0000000180000000 = 6442450944 — a sign-extended low word
+    // would smear 1-bits across the high half
+    val bigDur64 = hx(ftyp + box("moov",
+      box("mvhd", "01000000" + "00" * 16 + "000003e8" +
+        "0000000180000000" + "00" * 80)))
+    assert(Multimodal.parseMp4Header(bigDur64)
+      .contains(("isom", 1000L, 6442450944L, 0, None, None)))
+    // tkhd 16.16 width 32768.0 (0x80000000): a sign-extended u32 would
+    // arithmetic-shift to a negative width and drop the dimensions
+    val wideTrak = hx(ftyp + box("moov",
+      box("mvhd", "00000000" * 3 + "000003e8" + "00000064" + "00" * 80) +
+      box("trak", box("tkhd",
+        "00000007" + "00000000" * 2 + "00000001" + "00000000" +
+          "00000000" + "00" * 8 + "0000" * 4 + matrix +
+          "80000000" + "00010000"))))
+    assert(Multimodal.parseMp4Header(wideTrak)
+      .contains(("isom", 1000L, 100L, 1, Some(32768), Some(1))))
+  }
+
   test("rrfFuse: hand-checked fusion, absent-list docs contribute 0, " +
       "ties break on id, ranks preserved for provenance (X3/X5)") {
     val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "r")

@@ -147,6 +147,104 @@ class RankSpec extends TestBase {
     assert(q1 == 42.0)
   }
 
+  private def keyedDocs(n: Int) = {
+    import spark.implicits._
+    // dominant key: 60% of rows land on "en" (the CCNet shape), plus a
+    // null key group, a singleton key, null scores, and score ties
+    (0 until n).map { i =>
+      val key: String =
+        if (i == 0) "singleton"
+        else if (i % 13 == 0) null
+        else if (i % 10 < 6) "en"
+        else if (i % 10 < 8) "de" else "fr"
+      val score: java.lang.Double =
+        if (i % 17 == 0) null else (i % 41).toDouble / 7.0
+      (i.toLong, key, score)
+    }.toDF("id", "k", "score").repartition(7)
+  }
+
+  test("perKeyPercentRank == percent_rank over the per-key window " +
+      "(bit-identical, incl. null keys/scores and a singleton key)") {
+    val d = keyedDocs(600)
+    // bucket count never changes the ranks — only the balance
+    for (b <- Seq(2, 8, 64)) {
+      val got = Rank.perKeyPercentRank(d, col("k"), col("id"),
+          col("score"), "pct", buckets = b)
+        .select("id", "k", "score", "pct")
+      val want = d.withColumn("pct", percent_rank().over(
+        Window.partitionBy(col("k"))
+          .orderBy(col("score").asc_nulls_first, col("id").asc)))
+      assertSameRows(got, want.select("id", "k", "score", "pct"))
+    }
+    // NaN scores sort greatest (Spark's ordering) — still bit-identical
+    import spark.implicits._
+    val dn = Seq((1L, "a", 1.0), (2L, "a", Double.NaN),
+      (3L, "a", 2.0), (4L, "a", Double.NaN), (5L, "b", Double.NaN))
+      .toDF("id", "k", "score")
+    val gotN = Rank.perKeyPercentRank(dn, col("k"), col("id"),
+      col("score"), "pct", buckets = 2).select("id", "pct")
+    val wantN = dn.withColumn("pct", percent_rank().over(
+      Window.partitionBy(col("k"))
+        .orderBy(col("score").asc_nulls_first, col("id").asc)))
+      .select("id", "pct")
+    assertSameRows(gotN, wantN)
+  }
+
+  test("perKeyPercentRank: a giant un-splittable score tie raises " +
+      "loudly instead of silently serializing one bucket") {
+    import spark.implicits._
+    val d = (1L to 50L).map(i => (i, "k", 5.0)).toDF("id", "k", "score")
+    val e = intercept[Exception] {
+      Rank.perKeyPercentRank(d, col("k"), col("id"), col("score"),
+        buckets = 4, maxBucketRows = 10L).collect()
+    }
+    assert(e.getMessage.contains("maxBucketRows"), e.getMessage)
+  }
+
+  test("perKeyPercentRank matches Sampling.rankNormalize (guard off) " +
+      "— the documented drop-in relationship") {
+    val d = keyedDocs(400)
+    val got = Rank.perKeyPercentRank(d, col("k"), col("id"), col("score"))
+      .select("id", "pct")
+    val want = graft.operators.Sampling.rankNormalize(d, col("k"),
+        col("id"), col("score"), maxKeyRows = 0L)
+      .select("id", "pct")
+    assertSameRows(got, want)
+  }
+
+  test("perKeyPercentRank plan: every window is (key, bucket)- or " +
+      "count-table-partitioned — no whole-key partition anywhere") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val d = keyedDocs(500)
+    val r = Rank.perKeyPercentRank(d, col("k"), col("id"), col("score"),
+      buckets = 8)
+    r.collect()
+    val wins = r.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    // the corpus window partitions by (key, __bkt) — the bucket splits
+    // a dominant key; the offset windows ride the count table
+    // (partitioned by the staged key over K·B aggregated rows). A
+    // ROW_NUMBER window partitioned by the key ALONE would be the
+    // one-task-per-language cliff this operator exists to avoid.
+    wins.foreach { w =>
+      assert(w.partitionSpec.nonEmpty, s"unpartitioned window:\n$w")
+      val isRowNumber = w.windowExpressions.exists(
+        _.collectFirst { case r: org.apache.spark.sql.catalyst
+          .expressions.RowNumber => r }.nonEmpty)
+      if (isRowNumber)
+        assert(w.partitionSpec.size >= 2,
+          s"corpus rank window missing the bucket split:\n$w")
+    }
+    val p = r.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"),
+      s"offsets join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must never shuffle for a join:\n$p")
+    assert(p.contains("partial_count"),
+      s"bucket counts must partial-aggregate map-side:\n$p")
+  }
+
   test("plan: one range exchange, no corpus-sized Window partition") {
     val d = docs(400)
     val ranked = Rank.globalRank(d,

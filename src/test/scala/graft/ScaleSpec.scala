@@ -546,6 +546,32 @@ class ScaleSpec extends TestBase {
     assert(df.count() > 0)
   }
 
+  test("q155 CCNet buckets: no per-language Window — every planned " +
+      "window rides the __-staged count table, ranks join by broadcast") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = SparkEntry.queries("q155_ccnet_buckets")(spark, sf)
+    // the dominant language is half the corpus at 100×: a rank window
+    // partitioned by lang ALONE serializes it on one task (AQE splits
+    // skewed joins, never windows). perKeyPercentRank's corpus window
+    // must carry the bucket split; its offset windows ride the K·B-row
+    // count table
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    wins.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"q155 unpartitioned window:\n$w")
+      val isRowNumber = w.windowExpressions.exists(
+        _.collectFirst { case r: org.apache.spark.sql.catalyst
+          .expressions.RowNumber => r }.nonEmpty)
+      if (isRowNumber)
+        assert(w.partitionSpec.size >= 2,
+          s"q155 rank window partitioned by the bare language:\n$w")
+    }
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"rank offsets must broadcast:\n$p")
+  }
+
   test("q89 range join: equi-join on the bucket key, no nested loop") {
     val p = plan(SparkEntry.queries("q89_range_join")(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin") &&
