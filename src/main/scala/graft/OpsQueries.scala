@@ -4647,12 +4647,12 @@ object OpsQueries {
     // The CCNet recipe (Wenzek et al. 2020): score each doc with the
     // LM (q98's smoothed bigram log-prob — higher = more fluent),
     // rank WITHIN its language, split into terciles. Composed from
-    // bigramLogProb + Rank.perKeyPercentRank — the range-decomposed
-    // per-key rank (bit-identical to the window form the oracle
-    // replays, spec-pinned): languages are the canonical FEW-HUGE-KEYS
-    // case, where the dominant language would serialize a
-    // Window.partitionBy(lang) on one task at 100×. Docs too short to
-    // score (no bigrams) are excluded by both machines' null-score
+    // bigramLogProb + Rank.perKeyPercentRank — the (key, bucket)
+    // two-phase per-key rank (bit-identical to the window form the
+    // oracle replays, spec-pinned): languages are the canonical
+    // FEW-HUGE-KEYS case, where the dominant language would serialize
+    // a Window.partitionBy(lang) on one task at 100×. Docs too short
+    // to score (no bigrams) are excluded by both machines' null-score
     // contracts.
     "q155_ccnet_buckets" -> Entry(
       (s, dir) => {
@@ -5193,7 +5193,72 @@ object OpsQueries {
              |WHERE CAST(('0x' || substr(md5('tmix3|' ||
              |    CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 10000
              |  < GREATEST(0, LEAST(10000, r.bp))
-             |ORDER BY d.doc_id""".stripMargin))
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // ----- X4 REAL compressed-pixel decode (javax.imageio) ------------------
+    // Plants a genuine zlib-compressed PNG per doc (encodePng: real
+    // Deflater + CRC32, striped rows in two doc-derived colors) plus
+    // malformed blobs, then FULLY DECODES the pixels with ImageIO and
+    // reports per-channel means. The oracle replays the stripe
+    // arithmetic in closed form: mean_r = (⌈h/2⌉·r1 + ⌊h/2⌋·r2)/h —
+    // the width cancels, and both engines divide the same exact
+    // integers, so the doubles agree bit-for-bit before the round-6.
+    // This closes the pixel gap: the bytes cross a real inflate +
+    // unfilter + raster pass, not stub arithmetic.
+    "q173_image_pixels" -> Entry(
+      (s, dir) => {
+        import s.implicits._
+        val ids = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        val media = ids.map { id =>
+          if (id % 19 == 0) // truncated signature
+            Multimodal.MediaRecord(id,
+              Array(0x89, 0x50, 0x4e, 0x47).map(_.toByte), "image")
+          else if (id % 23 == 0) // junk bytes
+            Multimodal.MediaRecord(id,
+              Array(0x00, 0x11, 0x22, 0x33).map(_.toByte), "image")
+          else {
+            val w = (8 + id % 24).toInt; val h = (4 + id % 12).toInt
+            val r1 = (id % 256).toInt; val g1 = (id * 7 % 256).toInt
+            val b1 = (id * 13 % 256).toInt
+            val r2 = (id * 3 % 256).toInt; val g2 = (id * 5 % 256).toInt
+            val b2 = (id * 11 % 256).toInt
+            Multimodal.MediaRecord(id, Multimodal.encodePng(w, h,
+              (_, y) => if (y % 2 == 0) (r1, g1, b1) else (r2, g2, b2)),
+              "image")
+          }
+        }
+        Multimodal.decodeImages(media).toDF()
+          .select(col("doc_id"), col("format"), col("width"),
+            col("height"), col("bands"),
+            round(col("mean_r"), 6).as("mean_r"),
+            round(col("mean_g"), 6).as("mean_g"),
+            round(col("mean_b"), 6).as("mean_b"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH b AS (SELECT doc_id,
+             |  CAST(8 + doc_id % 24 AS INT) AS w,
+             |  CAST(4 + doc_id % 12 AS INT) AS h,
+             |  doc_id % 256 AS r1, doc_id * 7 % 256 AS g1,
+             |  doc_id * 13 % 256 AS b1,
+             |  doc_id * 3 % 256 AS r2, doc_id * 5 % 256 AS g2,
+             |  doc_id * 11 % 256 AS b2,
+             |  (doc_id % 19 = 0 OR doc_id % 23 = 0) AS bad
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CASE WHEN bad THEN NULL ELSE 'png' END AS format,
+             |  CASE WHEN bad THEN NULL ELSE w END AS width,
+             |  CASE WHEN bad THEN NULL ELSE h END AS height,
+             |  CASE WHEN bad THEN NULL ELSE CAST(3 AS INT) END AS bands,
+             |  CASE WHEN bad THEN NULL ELSE round(
+             |    (CAST((h + 1) // 2 AS DOUBLE) * r1 +
+             |     CAST(h // 2 AS DOUBLE) * r2) / h, 6) END AS mean_r,
+             |  CASE WHEN bad THEN NULL ELSE round(
+             |    (CAST((h + 1) // 2 AS DOUBLE) * g1 +
+             |     CAST(h // 2 AS DOUBLE) * g2) / h, 6) END AS mean_g,
+             |  CASE WHEN bad THEN NULL ELSE round(
+             |    (CAST((h + 1) // 2 AS DOUBLE) * b1 +
+             |     CAST(h // 2 AS DOUBLE) * b2) / h, 6) END AS mean_b
+             |FROM b ORDER BY doc_id""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

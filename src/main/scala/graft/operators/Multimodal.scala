@@ -11,10 +11,13 @@ import org.apache.spark.sql.types._
   * Header DECODE is real: [[parseImageHeader]] reads width/height/
   * channels from actual PNG (RFC 2083 §4.1.1 IHDR) and JPEG (ITU-T T.81
   * §B.2.2 SOF) bytes with a pure-JVM marker scan — no codec dependency.
-  * Full pixel decode / resample / demux ([[decodeStub]], [[resizeStub]],
-  * [[frameSampleStub]]) remain clearly-marked deterministic fakes (the
-  * image/audio codec libraries are not in this environment), but
-  * everything around them — schema, encoders, partition-batched
+  * PIXEL decode is real too: [[decodeImagePixels]]/[[decodeImages]]
+  * fully decompress PNG/JPEG/GIF/BMP through `javax.imageio` (in the
+  * JDK), and [[encodePng]] is a genuine zlib+CRC PNG writer. Only the
+  * exotic-codec paths ([[decodeStub]], [[resizeStub]],
+  * [[frameSampleStub]]) remain clearly-marked deterministic fakes
+  * (video/audio codec libraries are not in this environment); the
+  * plumbing around them — schema, encoders, partition-batched
   * execution, feature columns — is the real production shape: swap the
   * fake for a codec call and nothing else changes.
   */
@@ -551,6 +554,131 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.map(r => (r.doc_id, decimateWav(r.payload, factor).orNull))
     }.toDF("doc_id", "payload")
+  }
+
+  /** REAL PNG encoder — minimal 8-bit RGB truecolor writer, pure JVM
+    * (`java.util.zip.Deflater`/`CRC32` are the genuine zlib/CRC the PNG
+    * spec mandates, RFC 2083 §4/§5): signature, IHDR (bit depth 8,
+    * color type 2, no interlace), one zlib-compressed IDAT of
+    * filter-0-prefixed scanlines, IEND. `rgb(x, y)` supplies each
+    * pixel's channels (low 8 bits used). The sink-side half of the X4
+    * image path: what it writes, [[decodeImage]] (or any standards
+    * decoder) reads back bit-exactly — which is also what lets catalog
+    * fixtures plant REAL compressed payloads whose decoded features an
+    * oracle can replay in closed form. */
+  def encodePng(width: Int, height: Int,
+      rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(width > 0 && height > 0, s"encodePng: bad dims $width x $height")
+    val raw = new Array[Byte](height * (1 + 3 * width))
+    var y = 0
+    while (y < height) {
+      val base = y * (1 + 3 * width)
+      raw(base) = 0 // filter type 0 (None) per scanline
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = rgb(x, y)
+        raw(base + 1 + 3 * x) = r.toByte
+        raw(base + 2 + 3 * x) = g.toByte
+        raw(base + 3 + 3 * x) = b.toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, false) // zlib-wrapped
+    deflater.setInput(raw); deflater.finish()
+    val zBuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished())
+      zBuf.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    val idat = zBuf.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Long): Array[Byte] = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(typ: String, content: Array[Byte]): Unit = {
+      out.write(be32(content.length.toLong))
+      val body = typ.getBytes("US-ASCII") ++ content
+      out.write(body)
+      val crc = new java.util.zip.CRC32()
+      crc.update(body)
+      out.write(be32(crc.getValue))
+    }
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte))
+    chunk("IHDR", be32(width.toLong) ++ be32(height.toLong) ++
+      Array[Byte](8, 2, 0, 0, 0))
+    chunk("IDAT", idat)
+    chunk("IEND", Array.empty[Byte])
+    out.toByteArray
+  }
+
+  /** REAL pixel decode — `javax.imageio` (in the JDK: PNG, JPEG, GIF,
+    * BMP readers), no external codec: full decompression to a pixel
+    * raster, then (width, height, bands, per-channel means). The means
+    * are exact integer-sum arithmetic over the sRGB-converted raster
+    * (gray pixels report equal channels), so for losslessly-coded
+    * constant or patterned images they are closed-form replayable.
+    * None for anything ImageIO cannot decode — and for dimensions
+    * above `maxPixels` (default 64 MPix), because a decoder that
+    * trusts header dims is a decompression-bomb amplifier: a 40 kB
+    * PNG can declare a 4 GPix raster. Never throws. */
+  def decodeImagePixels(p: Array[Byte], maxPixels: Long = 1L << 26)
+      : Option[(Int, Int, Int, Double, Double, Double)] = {
+    try {
+      // size-gate from the HEADER before ImageIO allocates the raster
+      val dims = parseImageHeader(p).getOrElse(return None)
+      if (dims._2.toLong * dims._3 > maxPixels) return None
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(p))
+      if (img == null) return None
+      val w = img.getWidth; val h = img.getHeight
+      if (w <= 0 || h <= 0) return None
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val px = img.getRGB(x, y)
+          sr += (px >> 16) & 0xff; sg += (px >> 8) & 0xff; sb += px & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      Some((w, h, img.getColorModel.getNumComponents,
+        sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Decoded image features: null columns ⇔ ImageIO could not decode
+    * the payload (the malformed-payload contract). */
+  case class ImagePixels(doc_id: Long, format: Option[String],
+      width: Option[Int], height: Option[Int], bands: Option[Int],
+      mean_r: Option[Double], mean_g: Option[Double],
+      mean_b: Option[Double])
+
+  /** Partition-parallel REAL pixel decode over binary payloads — the
+    * full-decompression upgrade of [[decodeImageHeaders]] (which stays
+    * the cheap pre-gate: size-filter on headers BEFORE paying for
+    * pixels). ImageIO's disk cache is disabled per partition — decode
+    * must stay in-memory on executors. */
+  def decodeImages(media: Dataset[MediaRecord]): Dataset[ImagePixels] = {
+    implicit val enc: org.apache.spark.sql.Encoder[ImagePixels] =
+      Encoders.product[ImagePixels]
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        decodeImagePixels(r.payload) match {
+          case Some((w, h, bands, mr, mg, mb)) =>
+            val fmt = parseImageHeader(r.payload).map(_._1)
+            ImagePixels(r.doc_id, fmt, Some(w), Some(h), Some(bands),
+              Some(mr), Some(mg), Some(mb))
+          case None =>
+            ImagePixels(r.doc_id, None, None, None, None, None, None, None)
+        }
+      }
+    }
   }
 
   /** SQL-expressible payload metadata (oracle-checkable subset): byte

@@ -1398,6 +1398,70 @@ class OperatorsSpec extends TestBase {
       .contains(("isom", 1000L, 100L, 1, Some(32768), Some(1))))
   }
 
+  test("encodePng/decodeImagePixels: real zlib round-trip, exact " +
+      "pixel means; JPEG/GIF/BMP decode via ImageIO; bombs and junk " +
+      "reject (X4)") {
+    // gradient PNG: encoder writes real deflate, decoder inflates it
+    // back — means must match the exact integer arithmetic
+    val w = 13; val h = 7
+    val png = Multimodal.encodePng(w, h,
+      (x, y) => ((x * y) % 256, (x + y) % 256, (x * 3 + y * 5) % 256))
+    // the payload is a standards-valid PNG: the header parser agrees
+    assert(Multimodal.parseImageHeader(png).contains(("png", w, h, 3)))
+    var er = 0L; var eg = 0L; var eb = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      er += (x * y) % 256; eg += (x + y) % 256; eb += (x * 3 + y * 5) % 256
+    }
+    val n = (w * h).toLong
+    val got = Multimodal.decodeImagePixels(png).get
+    assert(got == ((w, h, 3, er.toDouble / n, eg.toDouble / n,
+      eb.toDouble / n)), got.toString)
+    // it also round-trips through ImageIO's own reader as an image
+    // any downstream tool would accept
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == w && img.getHeight == h)
+    assert((img.getRGB(3, 2) & 0xffffff) ==
+      ((6 << 16) | (5 << 8) | ((9 + 10) % 256)))
+    // JPEG (lossy): encode a constant-color image with ImageIO, decode
+    // with the operator — dims exact, means within codec tolerance
+    val buf = new java.awt.image.BufferedImage(24, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 24)
+      buf.setRGB(x, y, (80 << 16) | (140 << 8) | 200)
+    for (fmt <- Seq("jpg", "gif", "bmp")) {
+      val os = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(buf, fmt, os), s"no $fmt writer")
+      val (dw, dh, _, mr, mg, mb) =
+        Multimodal.decodeImagePixels(os.toByteArray).get
+      assert(dw == 24 && dh == 16, s"$fmt dims")
+      val tol = if (fmt == "jpg") 3.0 else 0.0 // lossless elsewhere
+      assert(math.abs(mr - 80) <= tol && math.abs(mg - 140) <= tol &&
+        math.abs(mb - 200) <= tol, s"$fmt means ($mr, $mg, $mb)")
+    }
+    // decompression bomb: a tiny payload DECLARING a giant raster must
+    // be rejected from the header, before ImageIO allocates
+    val bomb = Multimodal.encodePng(1, 1, (_, _) => (0, 0, 0))
+    // patch IHDR dims to 2^16 x 2^16 = 4 GPix (CRC now wrong too, but
+    // the size gate must fire first and not allocate)
+    bomb(16) = 0; bomb(17) = 1; bomb(18) = 0; bomb(19) = 0
+    bomb(20) = 0; bomb(21) = 1; bomb(22) = 0; bomb(23) = 0
+    assert(Multimodal.decodeImagePixels(bomb).isEmpty)
+    // malformed family → None, never throws
+    assert(Multimodal.decodeImagePixels(Array[Byte](0x89.toByte, 0x50))
+      .isEmpty)
+    assert(Multimodal.decodeImagePixels(Array.empty[Byte]).isEmpty)
+    // typed pipeline: nulls for undecodable payloads
+    val media = Seq(
+      Multimodal.MediaRecord(1L, png, "image"),
+      Multimodal.MediaRecord(2L, Array[Byte](1, 2, 3), "image")).toDS()
+    val out = Multimodal.decodeImages(media).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(out(1L).format.contains("png") && out(1L).width.contains(w))
+    assert(out(2L) == Multimodal.ImagePixels(2L, None, None, None, None,
+      None, None, None))
+  }
+
   test("rrfFuse: hand-checked fusion, absent-list docs contribute 0, " +
       "ties break on id, ranks preserved for provenance (X3/X5)") {
     val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "r")
