@@ -5258,7 +5258,94 @@ object OpsQueries {
              |  CASE WHEN bad THEN NULL ELSE round(
              |    (CAST((h + 1) // 2 AS DOUBLE) * b1 +
              |     CAST(h // 2 AS DOUBLE) * b2) / h, 6) END AS mean_b
-             |FROM b ORDER BY doc_id""".stripMargin))
+             |FROM b ORDER BY doc_id""".stripMargin)),
+
+    // ----- X4 REAL MP4 sample-table walk (frame index without a codec) ------
+    // Synthesizes a full moov/trak/mdia/minf/stbl box tree per doc —
+    // two stts runs, a two-entry stsc chunk map (2 samples/chunk for
+    // chunks 1–2, 3 after), per-sample stsz sizes, stco offsets — and
+    // recovers every sample's byte range + pts with the REAL
+    // sample-table walker. Malformed plants: a truncated box and an
+    // stsz/stts count mismatch (table ops emit zero rows for those).
+    // The oracle replays the chunk-map and run-length arithmetic in
+    // closed form per (doc, sample).
+    "q174_mp4_frame_index" -> Entry(
+      (s, dir) => {
+        import s.implicits._
+        def hxp(c: org.apache.spark.sql.Column, w: Int) =
+          lpad(lower(hex(c)), w, "0")
+        def asc(t: String): String =
+          t.getBytes("US-ASCII").map(b => f"$b%02x").mkString
+        def boxh(typ: String, contentHex: org.apache.spark.sql.Column) =
+          concat(hxp((lit(8) + length(contentHex) / 2).cast("int"), 8),
+            lit(asc(typ)), contentHex)
+        val d = t(s, dir, "documents").select(col("doc_id"))
+        val ns = (lit(4) + col("doc_id") % 9).cast("int")
+        val tsc = (lit(1000) * (lit(1) + col("doc_id") % 3)).cast("int")
+        val d1 = (lit(100) + col("doc_id") % 50).cast("int")
+        val d2 = (lit(200) + col("doc_id") % 30).cast("int")
+        val stts = boxh("stts", concat(lit("00000000"), hxp(lit(2), 8),
+          hxp(lit(2), 8), hxp(d1, 8), hxp(ns - 2, 8), hxp(d2, 8)))
+        val stsc = boxh("stsc", concat(lit("00000000"), hxp(lit(2), 8),
+          hxp(lit(1), 8), hxp(lit(2), 8), hxp(lit(1), 8),
+          hxp(lit(3), 8), hxp(lit(3), 8), hxp(lit(1), 8)))
+        val sizesHex = concat_ws("", transform(sequence(lit(0), ns - 1),
+          i => hxp(lit(50) + ((col("doc_id") + i) % 7) * 10, 8)))
+        // the %23 plant declares ONE MORE sample than stts provides
+        val stszCount = when(col("doc_id") % 23 === 0, ns + 1)
+          .otherwise(ns)
+        val stsz = boxh("stsz", concat(lit("00000000"), hxp(lit(0), 8),
+          hxp(stszCount, 8), sizesHex))
+        val nchunks = (lit(2) +
+          floor((ns - lit(2)).cast("double") / 3.0).cast("int"))
+        val offsHex = concat_ws("", transform(sequence(lit(0),
+          nchunks - 1), c => hxp(lit(1000) + c * 5000, 8)))
+        val stco = boxh("stco", concat(lit("00000000"), hxp(nchunks, 8),
+          offsHex))
+        val mdhd = boxh("mdhd", concat(lit("00000000" * 3), hxp(tsc, 8),
+          lit("00000000" * 2)))
+        val moov = boxh("moov", boxh("trak", boxh("mdia", concat(mdhd,
+          boxh("minf", boxh("stbl", concat(stts, stsc, stsz, stco)))))))
+        val ftypHex = "00000010" + asc("ftyp") + asc("isom") + "00000000"
+        val fileHex =
+          when(col("doc_id") % 19 === 0, lit("0000000a6d646174"))
+            .otherwise(concat(lit(ftypHex), moov))
+        val media = d.select(col("doc_id"),
+            unhex(fileHex).as("payload"), lit("video").as("kind"))
+          .as[Multimodal.MediaRecord]
+        Multimodal.frameIndex(media).toDF()
+          .select(col("doc_id"), col("sample_idx"), col("chunk_idx"),
+            col("offset").as("byte_offset"), col("size").as("n_bytes"),
+            col("pts_units"), col("timescale"))
+          .orderBy("doc_id", "sample_idx")
+      },
+      Some("""WITH b AS (SELECT doc_id, CAST(4 + doc_id % 9 AS INT) AS ns,
+             |  1000 * (1 + doc_id % 3) AS tsc,
+             |  100 + doc_id % 50 AS d1, 200 + doc_id % 30 AS d2
+             |  FROM documents
+             |  WHERE doc_id % 19 <> 0 AND doc_id % 23 <> 0),
+             |s AS (SELECT doc_id, ns, tsc, d1, d2, u.i AS i
+             |  FROM b, unnest(generate_series(0, ns - 1)) AS u(i)),
+             |c AS (SELECT doc_id, tsc, i,
+             |  CASE WHEN i < 4 THEN i // 2 ELSE 2 + (i - 4) // 3 END
+             |    AS chunk0,
+             |  CASE WHEN i < 4 THEN i % 2 ELSE (i - 4) % 3 END AS within,
+             |  50 + ((doc_id + i) % 7) * 10 AS sz,
+             |  CASE WHEN i < 2 THEN i * d1
+             |       ELSE 2 * d1 + (i - 2) * d2 END AS pts
+             |  FROM s)
+             |SELECT doc_id, CAST(i AS INT) AS sample_idx,
+             |  CAST(chunk0 + 1 AS INT) AS chunk_idx,
+             |  CAST(1000 + chunk0 * 5000
+             |    + CASE WHEN within >= 1
+             |        THEN 50 + ((doc_id + i - 1) % 7) * 10 ELSE 0 END
+             |    + CASE WHEN within >= 2
+             |        THEN 50 + ((doc_id + i - 2) % 7) * 10 ELSE 0 END
+             |    AS BIGINT) AS byte_offset,
+             |  CAST(sz AS BIGINT) AS n_bytes,
+             |  CAST(pts AS BIGINT) AS pts_units,
+             |  CAST(tsc AS BIGINT) AS timescale
+             |FROM c ORDER BY doc_id, sample_idx""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

@@ -1398,6 +1398,82 @@ class OperatorsSpec extends TestBase {
       .contains(("isom", 1000L, 100L, 1, Some(32768), Some(1))))
   }
 
+  test("parseMp4SampleTable: stts/stsc/stsz/stco walk resolves exact " +
+      "byte ranges and pts; co64, constant-size, bombs and malformed " +
+      "families (X4)") {
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def u32h(v: Long): String = f"$v%08x"
+    def asc(t: String): String =
+      t.getBytes("US-ASCII").map(b => f"$b%02x").mkString
+    def box(typ: String, content: String): String =
+      u32h(8 + content.length / 2) + asc(typ) + content
+    val ftyp = box("ftyp", asc("isom") + "00000000")
+    val mdhd = box("mdhd",
+      "00000000" + "00000000" * 2 + u32h(600) + u32h(0) + "00000000")
+    val stts = box("stts", "00000000" + u32h(2) +
+      u32h(2) + u32h(100) + u32h(3) + u32h(200))
+    val stsc = box("stsc", "00000000" + u32h(2) +
+      u32h(1) + u32h(2) + u32h(1) + u32h(3) + u32h(3) + u32h(1))
+    def stszVar(sizes: Seq[Int]) = box("stsz", "00000000" + u32h(0) +
+      u32h(sizes.length.toLong) + sizes.map(s => u32h(s.toLong)).mkString)
+    val stco = box("stco", "00000000" + u32h(3) +
+      u32h(1000) + u32h(2000) + u32h(3000))
+    def file(stbl: String) = hx(ftyp + box("moov", box("trak",
+      box("mdia", mdhd + box("minf", box("stbl", stbl))))))
+    val v = file(stts + stsc + stszVar(Seq(10, 20, 30, 40, 50)) + stco)
+    val (ts, rows) = Multimodal.parseMp4SampleTable(v).get
+    assert(ts == 600L)
+    // chunks (2,2,1 samples), within-chunk offsets cumulative, pts from
+    // the two stts runs: 0,100 | 200,400 | 600
+    assert(rows == Vector(
+      (0, 1, 1000L, 10L, 0L), (1, 1, 1010L, 20L, 100L),
+      (2, 2, 2000L, 30L, 200L), (3, 2, 2030L, 40L, 400L),
+      (4, 3, 3000L, 50L, 600L)), rows.toString)
+    // constant-size stsz
+    val cst = box("stsz", "00000000" + u32h(25) + u32h(5))
+    val (_, rc) = Multimodal.parseMp4SampleTable(
+      file(stts + stsc + cst + stco)).get
+    assert(rc.map(r => (r._3, r._4)) == Vector((1000L, 25L), (1025L, 25L),
+      (2000L, 25L), (2025L, 25L), (3000L, 25L)))
+    // co64 offsets with a high-bit low word stay unsigned
+    val co64 = box("co64", "00000000" + u32h(3) +
+      "0000000180000010" + "0000000200000000" + "0000000300000000")
+    val (_, r64) = Multimodal.parseMp4SampleTable(
+      file(stts + stsc + cst + co64)).get
+    assert(r64.head._3 == 0x0000000180000010L, r64.head.toString)
+    // malformed family → None: stsz count mismatch, stsc not starting
+    // at chunk 1, too few stco chunks, zero-spc, declared sample bomb,
+    // missing stbl child
+    val badStsz = box("stsz", "00000000" + u32h(0) + u32h(4) +
+      Seq(10, 20, 30, 40).map(s => u32h(s.toLong)).mkString)
+    val badStsc1 = box("stsc", "00000000" + u32h(1) +
+      u32h(2) + u32h(2) + u32h(1))
+    val badStsc0 = box("stsc", "00000000" + u32h(1) +
+      u32h(1) + u32h(0) + u32h(1))
+    val shortStco = box("stco", "00000000" + u32h(1) + u32h(1000))
+    val bombStts = box("stts", "00000000" + u32h(1) +
+      u32h(0x7fffffffL) + u32h(100))
+    Seq(
+      file(stts + stsc + badStsz + stco),
+      file(badStsc1 + stts + stszVar(Seq(10, 20, 30, 40, 50)) + stco),
+      file(stts + badStsc0 + stszVar(Seq(10, 20, 30, 40, 50)) + stco),
+      file(stts + stsc + stszVar(Seq(10, 20, 30, 40, 50)) + shortStco),
+      file(bombStts + stsc + cst + stco),
+      file(stts + stsc + cst), // no stco at all
+      hx(ftyp)).foreach(b =>
+      assert(Multimodal.parseMp4SampleTable(b).isEmpty,
+        s"expected None for ${b.length}-byte payload"))
+    // typed pipeline: one row per sample, zero rows for malformed
+    val media = Seq(
+      Multimodal.MediaRecord(1L, v, "video"),
+      Multimodal.MediaRecord(2L, hx("00112233"), "video")).toDS()
+    val out = Multimodal.frameIndex(media).collect()
+    assert(out.length == 5 && out.forall(_.doc_id == 1L))
+    assert(out.sortBy(_.sample_idx).map(_.offset).toSeq ==
+      Seq(1000L, 1010L, 2000L, 2030L, 3000L))
+  }
+
   test("encodePng/decodeImagePixels: real zlib round-trip, exact " +
       "pixel means; JPEG/GIF/BMP decode via ImageIO; bombs and junk " +
       "reject (X4)") {
