@@ -62,11 +62,28 @@ object Bench {
     // self-documenting instead
     val LoadEvery = 10
     var loadTrace = List.empty[(String, Double)]
+    // mid-round iteration aid: SPARK_GRAFT_BENCH_SUBSET=q110_x,q155_y
+    // times only those entries (a 175-entry full pass is ~3-4 min —
+    // too slow as an inner loop). Unknown names fail loudly: a typo'd
+    // filter timing nothing must not read as "everything got fast".
+    // Round-close runs stay FULL catalog (BASELINE.md contract).
+    val subset = sys.env.get("SPARK_GRAFT_BENCH_SUBSET")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    subset.foreach { ss =>
+      val unknown = ss -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_SUBSET names unknown queries: " +
+          unknown.toSeq.sorted.mkString(", "))
+    }
+    val selected = subset match {
+      case Some(ss) => SparkEntry.queries.filter { case (k, _) => ss(k) }
+      case None => SparkEntry.queries
+    }
     // name order, not hash-map order: per-query timings stay comparable
     // across rounds even as the catalog grows (map order reshuffles on
     // every insertion, silently moving the residual first-query warmup
     // cost onto a different query each round)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex
+    val results = selected.toSeq.sortBy(_._1).zipWithIndex
         .flatMap { case ((name, fn), i) =>
       if (i % LoadEvery == 0) loadTrace ::= (name -> readLoadAvg())
       // periodic GC OUTSIDE the timed window: Spark's ContextCleaner
@@ -107,7 +124,7 @@ object Bench {
     val loadEnd = readLoadAvg()
     val traceJson = loadTrace.reverse
       .map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"failed_secs":$failedSecs,"load_start":$loadStart,"load_end":$loadEnd,"load_trace":$traceJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"failed_secs":$failedSecs,"load_start":$loadStart,"load_end":$loadEnd,"load_trace":$traceJson,"sf":"$sfDir","subset":${subset.isDefined}}""")
     spark.stop()
   }
 
