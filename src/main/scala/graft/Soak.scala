@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Rank}
+
+/** Scale soak over the zero-storage [[graft.sources.SynthDocs]]
+  * generator: run the scale primitives (line dedup, verified near-dup,
+  * global rank, per-key percent rank) on a corpus 10–50× the bench
+  * scale and prove TWO things the small-SF gates cannot:
+  *
+  *  1. wall-time scales roughly linearly (recorded in BASELINE.md per
+  *     round — a primitive that falls over here gets flagged before a
+  *     cluster does it);
+  *  2. NO PLAN DRIFT: the physical plan's exchange count at the soak
+  *     scale equals the count at 1/50th of it. A plan that picks up an
+  *     extra shuffle, loses a broadcast to a size estimate, or stops
+  *     reusing an exchange as inputs grow is exactly the regression
+  *     class that only shows at scale — the soak fails loudly on it
+  *     (exit 1), it does not just report.
+  *
+  * The corpus is adversarially shaped where it matters: `dedup_lines`
+  * gets a planted hot line on 10% of docs (the partial-agg map-side
+  * collapse must absorb it), `per_key_pct` gets a dominant key holding
+  * HALF the corpus (the one-task window cliff the bucket decomposition
+  * exists to kill). `verified_near_dups` runs on the raw generator text
+  * (near-dup pipelines sit after exact dedup; a planted identical text
+  * would measure the exact-dup guard, not the LSH path).
+  *
+  * `SPARK_GRAFT_SOAK_ROWS` (default 1M ≈ sf20-equivalent documents),
+  * `SPARK_GRAFT_CPUS` (default 32). Prints ONE JSON line:
+  * `{"rows":N,"ops":{name:{"secs":s,"exchanges":e,"exchanges_small":e2,
+  * "drift":bool}},"drift":bool}`. */
+object Soak {
+  def main(args: Array[String]): Unit = {
+    val rows = sys.env.getOrElse("SPARK_GRAFT_SOAK_ROWS", "1000000").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val smallRows = math.max(rows / 50, 10000L)
+    val spark = GraftSession
+      .builder(s"local[$cpus]", "graft-soak", cpus.toInt)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(16).repartition(4).count() // scheduler warm-up
+
+    def corpus(n: Long): DataFrame =
+      spark.read.format("synthdocs").option("rows", n.toString).load()
+
+    /** Hot-line + dominant-key shaping (see scaladoc). */
+    def shaped(n: Long): DataFrame = corpus(n)
+      .withColumn("text",
+        when(col("doc_id") % 10 === 0,
+          lit("the quick shared boilerplate line appears everywhere\n" +
+            "and a second shared line rides along"))
+          .otherwise(col("text")))
+      .withColumn("lang",
+        when(col("doc_id") % 2 === 0, lit("en")).otherwise(col("source")))
+      .withColumn("score",
+        (abs(hash(col("text"))) % 100000).cast("double") / 7.0)
+
+    val ops: Seq[(String, Long => DataFrame)] = Seq(
+      "dedup_lines" -> ((n: Long) =>
+        Dedup.dedupLines(shaped(n).select(col("doc_id"), col("text")),
+          "doc_id", "text")),
+      "verified_near_dups" -> ((n: Long) =>
+        Dedup.verifiedNearDups(
+          corpus(n).select(col("doc_id"), col("text")),
+          "doc_id", "text", threshold = 0.8)),
+      "global_rank" -> ((n: Long) =>
+        Rank.globalRank(
+          shaped(n).select(col("doc_id"), col("score")),
+          Seq(col("score").asc, col("doc_id").asc), "rk")),
+      "per_key_pct" -> ((n: Long) =>
+        Rank.perKeyPercentRank(
+          shaped(n).select(col("doc_id"), col("lang"), col("score")),
+          col("lang"), col("doc_id"), col("score"))))
+
+    /** Non-reused exchange count of the EXECUTED (final adaptive)
+      * plan — the plan-drift fingerprint. */
+    def exchanges(df: DataFrame): Int = {
+      df.write.format("noop").mode("overwrite").save()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      p.linesIterator.count(l =>
+        l.contains("Exchange ") && !l.contains("ReusedExchange"))
+    }
+
+    var drifted = false
+    val parts = ops.map { case (name, build) =>
+      val eSmall = exchanges(build(smallRows))
+      System.gc()
+      val t0 = System.nanoTime()
+      val big = build(rows)
+      val eBig = exchanges(big)
+      val secs = (System.nanoTime() - t0) / 1e9
+      val drift = eBig != eSmall
+      drifted ||= drift
+      s""""$name":{"secs":$secs,"exchanges":$eBig,""" +
+        s""""exchanges_small":$eSmall,"drift":$drift}"""
+    }
+    println(s"""{"rows":$rows,"small_rows":$smallRows,"cpus":$cpus,""" +
+      s""""ops":{${parts.mkString(",")}},"drift":$drifted}""")
+    spark.stop()
+    if (drifted) sys.exit(1)
+  }
+}
