@@ -4657,9 +4657,15 @@ object OpsQueries {
     "q155_ccnet_buckets" -> Entry(
       (s, dir) => {
         val d = docsFan(s, dir)
+        // the two-phase rank scans its input three times (cutoffs,
+        // bucket counts, rank) — checkpoint the TINY scored frame
+        // (3 columns/doc) so the LM-training lineage above it runs
+        // once, not three times (the perKeyPercentRank scaladoc's
+        // expensive-lineage contract)
         val scored = Vocab.bigramLogProb(
             d.select(col("doc_id"), col("text")), "doc_id", "text")
           .join(d.select(col("doc_id"), col("lang")), "doc_id")
+          .localCheckpoint()
         Rank.perKeyPercentRank(scored, col("lang"), col("doc_id"),
             col("logprob"))
           .withColumn("bucket",
@@ -5276,36 +5282,52 @@ object OpsQueries {
           lpad(lower(hex(c)), w, "0")
         def asc(t: String): String =
           t.getBytes("US-ASCII").map(b => f"$b%02x").mkString
-        def boxh(typ: String, contentHex: org.apache.spark.sql.Column) =
-          concat(hxp((lit(8) + length(contentHex) / 2).cast("int"), 8),
+        // box lengths are CLOSED-FORM in (ns, nchunks), never derived
+        // from length(contentHex): a boxh that embeds its content twice
+        // (once under length(), once in the body) DOUBLES the subtree
+        // per nesting level — six levels deep that is a 2^6 expression
+        // blowup, observed as a 19 s entry before this form
+        def boxh(typ: String, contentBytes: org.apache.spark.sql.Column,
+            contentHex: org.apache.spark.sql.Column) =
+          concat(hxp((lit(8) + contentBytes).cast("int"), 8),
             lit(asc(typ)), contentHex)
         val d = t(s, dir, "documents").select(col("doc_id"))
         val ns = (lit(4) + col("doc_id") % 9).cast("int")
         val tsc = (lit(1000) * (lit(1) + col("doc_id") % 3)).cast("int")
         val d1 = (lit(100) + col("doc_id") % 50).cast("int")
         val d2 = (lit(200) + col("doc_id") % 30).cast("int")
-        val stts = boxh("stts", concat(lit("00000000"), hxp(lit(2), 8),
-          hxp(lit(2), 8), hxp(d1, 8), hxp(ns - 2, 8), hxp(d2, 8)))
-        val stsc = boxh("stsc", concat(lit("00000000"), hxp(lit(2), 8),
-          hxp(lit(1), 8), hxp(lit(2), 8), hxp(lit(1), 8),
+        val stts = boxh("stts", lit(24), concat(lit("00000000"),
+          hxp(lit(2), 8), hxp(lit(2), 8), hxp(d1, 8), hxp(ns - 2, 8),
+          hxp(d2, 8)))
+        val stsc = boxh("stsc", lit(32), concat(lit("00000000"),
+          hxp(lit(2), 8), hxp(lit(1), 8), hxp(lit(2), 8), hxp(lit(1), 8),
           hxp(lit(3), 8), hxp(lit(3), 8), hxp(lit(1), 8)))
         val sizesHex = concat_ws("", transform(sequence(lit(0), ns - 1),
           i => hxp(lit(50) + ((col("doc_id") + i) % 7) * 10, 8)))
         // the %23 plant declares ONE MORE sample than stts provides
         val stszCount = when(col("doc_id") % 23 === 0, ns + 1)
           .otherwise(ns)
-        val stsz = boxh("stsz", concat(lit("00000000"), hxp(lit(0), 8),
-          hxp(stszCount, 8), sizesHex))
+        val stsz = boxh("stsz", lit(12) + ns * 4,
+          concat(lit("00000000"), hxp(lit(0), 8), hxp(stszCount, 8),
+            sizesHex))
         val nchunks = (lit(2) +
           floor((ns - lit(2)).cast("double") / 3.0).cast("int"))
         val offsHex = concat_ws("", transform(sequence(lit(0),
           nchunks - 1), c => hxp(lit(1000) + c * 5000, 8)))
-        val stco = boxh("stco", concat(lit("00000000"), hxp(nchunks, 8),
-          offsHex))
-        val mdhd = boxh("mdhd", concat(lit("00000000" * 3), hxp(tsc, 8),
-          lit("00000000" * 2)))
-        val moov = boxh("moov", boxh("trak", boxh("mdia", concat(mdhd,
-          boxh("minf", boxh("stbl", concat(stts, stsc, stsz, stco)))))))
+        val stco = boxh("stco", lit(8) + nchunks * 4,
+          concat(lit("00000000"), hxp(nchunks, 8), offsHex))
+        val mdhd = boxh("mdhd", lit(24), concat(lit("00000000" * 3),
+          hxp(tsc, 8), lit("00000000" * 2)))
+        // cumulative box sizes: stbl = 4 boxes, each +8 header
+        val stblB = lit(24 + 8) + lit(32 + 8) + (lit(12) + ns * 4) +
+          lit(8) + (lit(8) + nchunks * 4) + lit(8)
+        val minfB = stblB + 8
+        val mdiaB = lit(24 + 8) + minfB + 8
+        val trakB = mdiaB + 8
+        val moov = boxh("moov", trakB + 8, boxh("trak", mdiaB + 8,
+          boxh("mdia", mdiaB, concat(mdhd,
+            boxh("minf", minfB, boxh("stbl", stblB,
+              concat(stts, stsc, stsz, stco)))))))
         val ftypHex = "00000010" + asc("ftyp") + asc("isom") + "00000000"
         val fileHex =
           when(col("doc_id") % 19 === 0, lit("0000000a6d646174"))

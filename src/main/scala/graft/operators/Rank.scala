@@ -192,7 +192,11 @@ object Rank {
     *
     * Scale shape: the corpus crosses ONE exchange (the (key, bucket)
     * window hash); the cutoff and count aggregations ship only
-    * map-side-combined partials; offsets broadcast. Built for FEW,
+    * map-side-combined partials; offsets broadcast. The input is
+    * SCANNED three times (cutoffs, counts, rank) — persist or
+    * `localCheckpoint` it first when its lineage is expensive (a
+    * trained-score chain), exactly like [[graft.operators.Embeddings
+    * .robustVectorGate]]'s multi-pass contract. Built for FEW,
     * possibly ENORMOUS keys (languages, sources, shards) — for
     * high-cardinality keys (per-domain, per-user) the cutoff collect
     * outgrows the driver and `rankNormalize`'s plain per-key window is
