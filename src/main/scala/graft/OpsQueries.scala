@@ -5367,7 +5367,119 @@ object OpsQueries {
              |  CAST(sz AS BIGINT) AS n_bytes,
              |  CAST(pts AS BIGINT) AS pts_units,
              |  CAST(tsc AS BIGINT) AS timescale
-             |FROM c ORDER BY doc_id, sample_idx""".stripMargin))
+             |FROM c ORDER BY doc_id, sample_idx""".stripMargin)),
+
+    // ----- X6 Count-Min sketch: frequency estimates, cell-exact -------------
+    // Builds a deliberately TIGHT 4×16 grid over the document token
+    // stream (the ~31-term vocabulary forces real cell collisions) with
+    // deterministic md5 row-hashes, then estimates the whole vocabulary
+    // against the exact counts. Cell-for-cell integer arithmetic — the
+    // oracle rebuilds the identical grid in SQL, so estimates INCLUDING
+    // the collision overcounts hash-match exactly. `overcount >= 0` is
+    // the CMS never-undercount guarantee.
+    "q175_count_min" -> Entry(
+      (s, dir) => {
+        val toks = t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        val sketch = Sketches.countMinBuild(toks, col("tok"),
+          depth = 4, width = 16)
+        val est = Sketches.countMinEstimate(sketch, toks.distinct(),
+          col("tok"), depth = 4, width = 16)
+        val truth = toks.groupBy(col("tok").as("term"))
+          .agg(count(lit(1)).as("exact"))
+        est.join(truth, Seq("term"))
+          .select(col("term"), col("estimate"), col("exact"),
+            (col("estimate") - col("exact")).as("overcount"))
+          .orderBy("term")
+      },
+      Some(s"""WITH tk AS (SELECT unnest($TOKS) AS tok FROM documents
+              |  WHERE text IS NOT NULL),
+              |dd AS (SELECT unnest(generate_series(0, 3)) AS d),
+              |g AS (SELECT dd.d,
+              |    CAST(('0x' || substr(md5('cms|' || dd.d || '|' || tok),
+              |      1, 8)) AS UBIGINT) % 16 AS cell, COUNT(*) AS cnt
+              |  FROM tk, dd GROUP BY 1, 2),
+              |v AS (SELECT tok, COUNT(*) AS exact FROM tk GROUP BY tok),
+              |e AS (SELECT v.tok AS term, MIN(coalesce(g.cnt, 0))
+              |    AS estimate
+              |  FROM v CROSS JOIN dd LEFT JOIN g ON g.d = dd.d
+              |    AND g.cell = CAST(('0x' || substr(md5('cms|' || dd.d
+              |      || '|' || v.tok), 1, 8)) AS UBIGINT) % 16
+              |  GROUP BY 1)
+              |SELECT term, CAST(estimate AS BIGINT) AS estimate,
+              |  CAST(v.exact AS BIGINT) AS exact,
+              |  CAST(estimate - v.exact AS BIGINT) AS overcount
+              |FROM e JOIN v ON v.tok = e.term
+              |ORDER BY term""".stripMargin)),
+
+    // ----- X6 degree-oriented triangle count ---------------------------------
+    // A dense 23-vertex modular graph (four affine edge families per
+    // doc, ~90 of the 253 possible edges) — the Spark side counts via
+    // degree-oriented wedge enumeration (hub-proof at scale); the
+    // oracle counts the SAME triangles with the textbook canonical
+    // three-way self-join. Two different algorithms agreeing on an
+    // integer is the strongest cheap pin.
+    "q176_triangles" -> Entry(
+      (s, dir) => {
+        val base = t(s, dir, "documents").select(col("doc_id"))
+        def fam(m: Int, c: Int) =
+          struct((col("doc_id") % 23).as("s"),
+            ((col("doc_id") * m + c) % 23).as("t"))
+        val edges = base.select(explode(array(
+            fam(7, 3), fam(5, 1), fam(3, 11), fam(9, 2))).as("e"))
+          .select(col("e.s").as("s"), col("e.t").as("t"))
+        Graph.triangleCount(edges, "s", "t")
+      },
+      Some("""WITH r AS (
+             |  SELECT doc_id % 23 AS s, (doc_id * 7 + 3) % 23 AS t
+             |    FROM documents
+             |  UNION ALL
+             |  SELECT doc_id % 23, (doc_id * 5 + 1) % 23 FROM documents
+             |  UNION ALL
+             |  SELECT doc_id % 23, (doc_id * 3 + 11) % 23 FROM documents
+             |  UNION ALL
+             |  SELECT doc_id % 23, (doc_id * 9 + 2) % 23 FROM documents),
+             |e AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+             |  FROM r WHERE s <> t)
+             |SELECT CAST(COUNT(*) AS BIGINT) AS triangles
+             |FROM e e1
+             |JOIN e e2 ON e2.a = e1.b
+             |JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin)),
+
+    // ----- linear-regression aggregates (regr_* family) ---------------------
+    // The one-pass sufficient-statistics regression both engines ship
+    // (slope/intercept/r2/avgx/avgy/count) — how a pipeline fits
+    // quality-score ~ length trends without leaving SQL. Ratios and
+    // means round-6; both engines fold the same moments.
+    "q177_regr" -> Entry(
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 6)
+            .as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")),
+            6).as("intercept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6)
+            .as("r2"),
+          regr_count(col("l_extendedprice"), col("l_quantity"))
+            .cast("long").as("n"),
+          round(regr_avgx(col("l_extendedprice"), col("l_quantity")), 6)
+            .as("avgx"),
+          round(regr_avgy(col("l_extendedprice"), col("l_quantity")), 6)
+            .as("avgy"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  round(regr_slope(l_extendedprice, l_quantity), 6)
+             |    AS slope,
+             |  round(regr_intercept(l_extendedprice, l_quantity), 6)
+             |    AS intercept,
+             |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+             |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT)
+             |    AS n,
+             |  round(regr_avgx(l_extendedprice, l_quantity), 6) AS avgx,
+             |  round(regr_avgy(l_extendedprice, l_quantity), 6) AS avgy
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

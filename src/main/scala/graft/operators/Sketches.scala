@@ -66,4 +66,75 @@ object Sketches {
           lit(relErr) * col("n_exact").cast("double"))
       .drop("__est")
   }
+
+  /** Count-Min sketch cell for row `d` of the grid — `md5(salt|d|term)
+    * mod width`, the engine-portable hash the samplers use, so an
+    * external system (or a SQL oracle) rebuilds the exact same grid. */
+  private def cmsCell(term: Column, d: Column, width: Int,
+      salt: String): Column =
+    conv(substring(md5(concat(lit(salt), lit("|"), d.cast("string"),
+      lit("|"), term.cast("string"))), 1, 8), 16, 10).cast("long") %
+      width
+
+  /** Count-Min sketch (Cormode & Muthukrishnan 2005) — mergeable
+    * FREQUENCY estimates, the heavy-hitter companion to the HLL
+    * cardinality sketch: a `depth × width` integer grid where each of
+    * `depth` hash rows increments one cell per occurrence. Estimates
+    * only ever OVERcount (other terms colliding into the cell), by at
+    * most `2·N/width` with probability `1 − 2^−depth` — size the width
+    * to the tolerable overcount, never to the term count.
+    *
+    * Deterministic md5 row-hashes (no seed state), so grids built by
+    * different engines/shards are cell-for-cell identical — merging
+    * shards is cell-wise addition ([[countMinMerge]]), the same
+    * store-and-merge loop as the HLL path: 100 TB of history never
+    * re-reads.
+    *
+    * Build shape: one corpus scan; the depth-way row fan-out happens in
+    * the explode UNDER the aggregation, and the (d, cell)-keyed groupBy
+    * partial-aggregates map-side, so the exchange ships at most
+    * `depth × width` count rows per task — never corpus rows. Null
+    * terms are excluded (no hash). Columns: `d`, `cell`, `cnt` (absent
+    * cells are zero). */
+  def countMinBuild(df: DataFrame, term: Column, depth: Int = 4,
+      width: Int = 1024, salt: String = "cms"): DataFrame = {
+    require(depth >= 1 && depth <= 16,
+      s"Sketches: depth must be in [1,16], got $depth")
+    require(width >= 16,
+      s"Sketches: width must be >= 16, got $width")
+    df.filter(term.isNotNull).select(term.as("__t"))
+      .select(col("__t"),
+        explode(sequence(lit(0), lit(depth - 1))).as("d"))
+      .groupBy(col("d"), cmsCell(col("__t"), col("d"), width, salt)
+        .as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Cell-wise addition of two grids built with the SAME (depth, width,
+    * salt) — the shard-merge path. Sketch-sized on both sides. */
+  def countMinMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("d"), col("cell"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Frequency estimates for `probes`' `term` column from a
+    * [[countMinBuild]] grid: `min` over the term's `depth` cells
+    * (missing cell ⇒ the term never occurred ⇒ 0). The grid
+    * broadcasts (≤ depth·width rows); the probe side never shuffles
+    * corpus data. Columns: `term`, `estimate`. */
+  def countMinEstimate(sketch: DataFrame, probes: DataFrame,
+      term: Column, depth: Int = 4, width: Int = 1024,
+      salt: String = "cms"): DataFrame = {
+    require(depth >= 1 && depth <= 16,
+      s"Sketches: depth must be in [1,16], got $depth")
+    probes.filter(term.isNotNull).select(term.as("term")).distinct()
+      .select(col("term"),
+        explode(sequence(lit(0), lit(depth - 1))).as("__d"))
+      .withColumn("__cell",
+        cmsCell(col("term"), col("__d"), width, salt))
+      .join(broadcast(sketch),
+        col("__d") === col("d") && col("__cell") === col("cell"),
+        "left")
+      .groupBy(col("term"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("estimate"))
+  }
 }

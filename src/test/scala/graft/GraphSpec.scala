@@ -83,6 +83,42 @@ class GraphSpec extends TestBase {
     assert(got == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("triangleCount: hand graphs, direction/dup/loop normalization, " +
+      "hub skew, partitioning-stable") {
+    import spark.implicits._
+    def tri(edges: Seq[(Long, Long)]): Long =
+      Graph.triangleCount(edges.toDF("s", "t"), "s", "t")
+        .collect().head.getLong(0)
+    // K4 has C(4,3) = 4 triangles; direction and duplicates must not
+    // change the count, self-loops must not add any
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L))
+    assert(tri(k4) == 4L)
+    assert(tri(k4 ++ k4.map(_.swap) ++ Seq((1L, 1L), (3L, 3L))) == 4L)
+    // a path has none; one chord closes exactly one
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 4L))) == 0L)
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L))) == 1L)
+    // hub: a star has no triangles; star + one rim edge has exactly 1 —
+    // the degree orientation points rim→hub, so the hub's fan-out
+    // never explodes the wedge join
+    val star = (1L to 40L).map(i => (0L, i))
+    assert(tri(star) == 0L)
+    assert(tri(star :+ (7L, 9L)) == 1L)
+    // reference count on a modular graph vs a brute-force triple loop
+    val mod = (0L until 120L).flatMap(i =>
+      Seq((i % 13, (i * 5 + 2) % 13), (i % 13, (i * 7 + 4) % 13)))
+    val canon = mod.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val es = canon.toSet
+    val vs = canon.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    var brute = 0L
+    for (a <- vs; b <- vs if b > a; c <- vs if c > b)
+      if (es((a, b)) && es((b, c)) && es((a, c))) brute += 1
+    assert(tri(mod) == brute, s"expected $brute")
+    assert(Graph.triangleCount(mod.toDF("s", "t").repartition(11),
+      "s", "t").collect().head.getLong(0) == brute)
+  }
+
   test("guards: iterations and damping validated") {
     import spark.implicits._
     val e = handEdges.toDF("s", "t")

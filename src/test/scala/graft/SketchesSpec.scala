@@ -88,4 +88,39 @@ class SketchesSpec extends TestBase {
     }
     assert(e.getMessage.contains("lgK"))
   }
+
+  test("countMin: never undercounts, exact when collision-free, " +
+      "shard merge == whole-corpus build, unseen term estimates 0") {
+    import spark.implicits._
+    val terms = ((1 to 100).map(_ => "hot") ++
+      (1 to 7).map(_ => "warm") ++ Seq("cold"))
+    val d = terms.toDF("t").repartition(5)
+    val exact = terms.groupBy(identity).map { case (k, v) => k -> v.size }
+    // wide grid: 3 terms into 1024 cells per row — estimates exact
+    val wide = Sketches.countMinBuild(d, col("t"), depth = 4,
+      width = 1024)
+    val est = Sketches.countMinEstimate(wide,
+        Seq("hot", "warm", "cold", "never").toDF("t"), col("t"),
+        depth = 4, width = 1024)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("hot") == 100L && est("warm") == 7L && est("cold") == 1L)
+    assert(est("never") == 0L, "unseen term must estimate 0")
+    // tight grid: estimates may rise, NEVER fall (CMS guarantee)
+    val tight = Sketches.countMinBuild(d, col("t"), depth = 2, width = 16)
+    Sketches.countMinEstimate(tight, d.distinct(), col("t"),
+        depth = 2, width = 16)
+      .collect().foreach { r =>
+        assert(r.getLong(1) >= exact(r.getString(0)).toLong,
+          s"undercount for ${r.getString(0)}")
+      }
+    // merge algebra: grids of two shards add cell-wise to the
+    // whole-corpus grid
+    val s1 = Sketches.countMinBuild(terms.take(60).toDF("t"), col("t"))
+    val s2 = Sketches.countMinBuild(terms.drop(60).toDF("t"), col("t"))
+    assertSameRows(Sketches.countMinMerge(s1, s2),
+      Sketches.countMinBuild(d, col("t")))
+    // build is deterministic under repartitioning
+    assertSameRows(Sketches.countMinBuild(d.repartition(13), col("t")),
+      Sketches.countMinBuild(d.coalesce(1), col("t")))
+  }
 }
