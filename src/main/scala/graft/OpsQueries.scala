@@ -5479,7 +5479,64 @@ object OpsQueries {
              |  round(regr_avgx(l_extendedprice, l_quantity), 6) AS avgx,
              |  round(regr_avgy(l_extendedprice, l_quantity), 6) AS avgy
              |FROM lineitem GROUP BY l_returnflag
-             |ORDER BY l_returnflag""".stripMargin))
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // ----- string similarity: Jaro-Winkler (record-linkage verifier) --------
+    // The transposition-tolerant companion to q157's Levenshtein —
+    // Spark ships no Jaro-Winkler, so this is the native
+    // graft.functions.JaroWinkler expression scored against DuckDB's
+    // built-in (whose exact variant — integer-halved transpositions,
+    // empty→0 — the expression pins empirically; see its scaladoc).
+    // ASCII fixture keeps byte-vs-codepoint indexing out of the
+    // picture.
+    "q178_jaro_winkler" -> Entry(
+      (s, dir) => t(s, dir, "part")
+        .select(col("p_partkey"),
+          round(graft.functions.JaroWinkler.sim(col("p_name"),
+            lit("forest green metallic")), 6).as("jw"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+             |  round(jaro_winkler_similarity(p_name,
+             |    'forest green metallic'), 6) AS jw
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // ----- time-series OHLC downsample (min_by/max_by surface) --------------
+    // Per-series hourly open/high/low/close — the resample every
+    // metrics pipeline runs. open/close ride min_by/max_by over the
+    // TOTAL order (ts, event_id) (DuckDB: arg_min/arg_max over the
+    // same list key), so ties cannot flip rows between engines; the
+    // values pass through untouched — float-exact.
+    "q179_ohlc" -> Entry(
+      (s, dir) => {
+        val ev = Queries.events(s, dir)
+          .filter(col("value").isNotNull)
+          .select((col("user_id") % 7).as("series"),
+            expr("ts div 1000").as("tus"), col("event_id"), col("value"))
+        // composite total order packed into ONE numeric key (DuckDB's
+        // arg_min takes scalar keys only): µs·10^12 + event_id, exact
+        // in decimal(38,0)/HUGEINT on both engines
+        val key = col("tus").cast("decimal(38,0)") *
+          lit(1000000000000L) + col("event_id")
+        ev.groupBy(col("series"),
+            expr("tus div 3600000000").as("hour"))
+          .agg(
+            min_by(col("value"), key).as("open"),
+            max(col("value")).as("high"),
+            min(col("value")).as("low"),
+            max_by(col("value"), key).as("close"),
+            count(lit(1)).as("n"))
+          .orderBy("series", "hour")
+      },
+      Some("""SELECT user_id % 7 AS series,
+             |  epoch_us(ts) // 3600000000 AS hour,
+             |  arg_min(value, CAST(epoch_us(ts) AS HUGEINT)
+             |    * 1000000000000 + event_id) AS open,
+             |  max(value) AS high, min(value) AS low,
+             |  arg_max(value, CAST(epoch_us(ts) AS HUGEINT)
+             |    * 1000000000000 + event_id) AS close,
+             |  CAST(COUNT(*) AS BIGINT) AS n
+             |FROM events WHERE value IS NOT NULL
+             |GROUP BY 1, 2 ORDER BY series, hour""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

@@ -1398,6 +1398,33 @@ class OperatorsSpec extends TestBase {
       .contains(("isom", 1000L, 100L, 1, Some(32768), Some(1))))
   }
 
+  test("JaroWinkler: classic Winkler examples, the pinned DuckDB " +
+      "variant (integer-halved transpositions, empty→0), nulls (X5)") {
+    import graft.functions.JaroWinkler
+    def jw(a: String, b: String): Double =
+      JaroWinkler.similarity(a.codePoints().toArray,
+        b.codePoints().toArray)
+    assert(math.abs(jw("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jw("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-12)
+    assert(jw("abc", "abc") == 1.0)
+    assert(jw("abc", "xyz") == 0.0)
+    // the two places the DuckDB variant diverges from the textbook:
+    // odd transposition counts floor-halve, and both-empty is 0
+    assert(math.abs(jw("hot gear", "forest green metallic")
+      - 0.5674603174603173) < 1e-12)
+    assert(jw("", "") == 0.0 && jw("", "a") == 0.0)
+    // window 0 at length 2: a transposed pair shares nothing
+    assert(jw("ab", "ba") == 0.0)
+    // boost gates at jaro > 0.7: a sub-threshold pair with a common
+    // prefix takes NO prefix bonus
+    assert(jw("forest", "foxxxxxxxxxxxx") <= 0.7)
+    // Column form: nulls propagate
+    val d = Seq(("MARTHA", "MARHTA"), (null, "x")).toDF("a", "b")
+      .select(JaroWinkler.sim(col("a"), col("b")).as("jw")).collect()
+    assert(math.abs(d(0).getDouble(0) - 0.9611111111111111) < 1e-12)
+    assert(d(1).isNullAt(0))
+  }
+
   test("parseMp4SampleTable: stts/stsc/stsz/stco walk resolves exact " +
       "byte ranges and pts; co64, constant-size, bombs and malformed " +
       "families (X4)") {
