@@ -5536,7 +5536,101 @@ object OpsQueries {
              |    * 1000000000000 + event_id) AS close,
              |  CAST(COUNT(*) AS BIGINT) AS n
              |FROM events WHERE value IS NOT NULL
-             |GROUP BY 1, 2 ORDER BY series, hour""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY series, hour""".stripMargin)),
+
+    // ----- ordered-set aggregates (WITHIN GROUP surface) ---------------------
+    // The ANSI ordered-set aggregate family Spark 4 grew: listagg with
+    // a declared order (DuckDB spells it string_agg ... ORDER BY),
+    // interpolated/discrete percentiles, and mode with a deterministic
+    // tie order. The mode fixture is tie-free by construction
+    // (l_linenumber counts strictly decrease), and listagg's order is
+    // total (shipmode, orderkey, linenumber), so every result is
+    // engine-deterministic.
+    "q180_ordered_set_aggs" -> Entry(
+      (s, dir) => {
+        graft.QuackIO.registerTables(s, dir)
+        s.sql("""SELECT l_returnflag,
+                |  listagg(l_linestatus, ',') WITHIN GROUP (
+                |    ORDER BY l_linestatus, l_orderkey, l_linenumber)
+                |    FILTER (WHERE l_orderkey % 997 = 0) AS statuses,
+                |  round(percentile_cont(0.25) WITHIN GROUP (
+                |    ORDER BY CAST(l_extendedprice AS DOUBLE)), 6) AS p25,
+                |  round(percentile_cont(0.75) WITHIN GROUP (
+                |    ORDER BY CAST(l_extendedprice AS DOUBLE)), 6) AS p75,
+                |  CAST(percentile_disc(0.5) WITHIN GROUP (
+                |    ORDER BY CAST(l_extendedprice AS DOUBLE)) AS DOUBLE)
+                |    AS med_disc,
+                |  CAST(mode() WITHIN GROUP (ORDER BY l_linenumber)
+                |    AS BIGINT) AS mode_ln
+                |FROM lineitem GROUP BY l_returnflag
+                |ORDER BY l_returnflag""".stripMargin)
+      },
+      Some("""SELECT l_returnflag,
+             |  string_agg(l_linestatus, ','
+             |    ORDER BY l_linestatus, l_orderkey, l_linenumber)
+             |    FILTER (WHERE l_orderkey % 997 = 0) AS statuses,
+             |  round(percentile_cont(0.25) WITHIN GROUP (
+             |    ORDER BY CAST(l_extendedprice AS DOUBLE)), 6) AS p25,
+             |  round(percentile_cont(0.75) WITHIN GROUP (
+             |    ORDER BY CAST(l_extendedprice AS DOUBLE)), 6) AS p75,
+             |  CAST(quantile_disc(CAST(l_extendedprice AS DOUBLE), 0.5)
+             |    AS DOUBLE) AS med_disc,
+             |  CAST(mode(l_linenumber) AS BIGINT) AS mode_ln
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // ----- time-series linear interpolation onto a 6-hour grid --------------
+    // The resample-with-interpolation q167's forward-fill cannot
+    // express (it carries the PREVIOUS value; interpolation also looks
+    // at the NEXT). Grid = every 6 h across the observed span, per
+    // series; exact hits pass through, gaps interpolate with one
+    // fixed-order float expression, edges stay null. (event_id
+    // tiebreaks simultaneous observations on both engines.)
+    "q181_interpolate" -> Entry(
+      (s, dir) => {
+        val step = 21600000000L // 6 h in µs
+        val obs = Queries.events(s, dir)
+          .select((col("user_id") % 5).as("series"),
+            expr("ts div 1000").as("tus"), col("event_id"), col("value"))
+        val b = obs.agg(min(col("tus")).as("lo"), max(col("tus")).as("hi"))
+        val grid = obs.select(col("series")).distinct()
+          .crossJoin(broadcast(b))
+          .select(col("series"),
+            explode(sequence(col("lo"), col("hi"), lit(step))).as("gt"))
+        AsOfJoin.interpolateAt(obs, grid, "series", "tus", "value",
+            "event_id", "gt")
+          .select(col("series"), col("t"), round(col("v"), 6).as("v"))
+          .orderBy("series", "t")
+      },
+      Some("""WITH o AS (SELECT user_id % 5 AS k, epoch_us(ts) AS t,
+             |    0 AS side, event_id AS tb, value AS v
+             |  FROM events WHERE value IS NOT NULL),
+             |bounds AS (SELECT min(t) AS lo, max(t) AS hi FROM o),
+             |g AS (SELECT k, lo + i * 21600000000 AS t, 1 AS side,
+             |    CAST(NULL AS BIGINT) AS tb, CAST(NULL AS DOUBLE) AS v
+             |  FROM (SELECT DISTINCT k FROM o), bounds,
+             |    unnest(generate_series(0,
+             |      CAST((hi - lo) // 21600000000 AS BIGINT))) AS u(i)),
+             |w AS (SELECT k, t, side,
+             |  last_value(v IGNORE NULLS) OVER (PARTITION BY k
+             |    ORDER BY t, side, tb ROWS BETWEEN UNBOUNDED PRECEDING
+             |    AND CURRENT ROW) AS pv,
+             |  last_value(CASE WHEN v IS NOT NULL THEN t END
+             |    IGNORE NULLS) OVER (PARTITION BY k
+             |    ORDER BY t, side, tb ROWS BETWEEN UNBOUNDED PRECEDING
+             |    AND CURRENT ROW) AS pt,
+             |  first_value(v IGNORE NULLS) OVER (PARTITION BY k
+             |    ORDER BY t, side, tb ROWS BETWEEN CURRENT ROW
+             |    AND UNBOUNDED FOLLOWING) AS nv,
+             |  first_value(CASE WHEN v IS NOT NULL THEN t END
+             |    IGNORE NULLS) OVER (PARTITION BY k
+             |    ORDER BY t, side, tb ROWS BETWEEN CURRENT ROW
+             |    AND UNBOUNDED FOLLOWING) AS nt
+             |  FROM (SELECT * FROM o UNION ALL SELECT * FROM g))
+             |SELECT k AS series, t, round(CASE WHEN pt = t THEN pv
+             |  WHEN pt IS NOT NULL AND nt IS NOT NULL THEN
+             |    pv + (nv - pv) * ((t - pt) / (nt - pt)) END, 6) AS v
+             |FROM w WHERE side = 1 ORDER BY series, t""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)
