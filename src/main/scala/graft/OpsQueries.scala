@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.operators.{AsOfJoin, Connected, Decontaminate, Dedup, Dsir, FooterStats, Funnel, Graph, Multimodal, Pipelines, Profiles, Quantize, QualityFilter, RangeJoin, Rank, Sampling, Sketches, Similarity, TextAnalysis, Vocab}
+import graft.operators.{AsOfJoin, Connected, Decontaminate, Dedup, Dsir, FooterStats, Funnel, Graph, Metrics, Multimodal, Pipelines, Profiles, Quantize, QualityFilter, RangeJoin, Rank, Sampling, Sketches, Similarity, TextAnalysis, Vocab}
 
 /** Catalog entries for the LLM-data-pipeline operators (dedup, similarity
   * search, text analysis, multimodal) over the `documents` / `embeddings`
@@ -5630,7 +5630,76 @@ object OpsQueries {
              |SELECT k AS series, t, round(CASE WHEN pt = t THEN pv
              |  WHEN pt IS NOT NULL AND nt IS NOT NULL THEN
              |    pv + (nv - pv) * ((t - pt) / (nt - pt)) END, 6) AS v
-             |FROM w WHERE side = 1 ORDER BY series, t""".stripMargin))
+             |FROM w WHERE side = 1 ORDER BY series, t""".stripMargin)),
+
+    // ----- X5 exact tie-corrected ROC AUC ------------------------------------
+    // Classifier discrimination measured exactly (Mann-Whitney
+    // midranks, ties at half credit). The score fixture deliberately
+    // overlaps the classes AND plants cross-class score ties (the
+    // 0.005 grid + 0.1 offset), so the midrank tie correction does
+    // real work. Spark rides Rank.globalRank (no corpus window — the
+    // distinct-score cumulative the ORACLE uses would be corpus-sized
+    // for continuous scores); everything stays integer until the one
+    // final division, so both engines agree bit-for-bit pre-round.
+    "q182_auc" -> Entry(
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val scored = d.select(col("doc_id"),
+          ((col("doc_id") * 37 % 100).cast("double") / 200.0 +
+            when(col("lang") === "en", lit(0.3)).otherwise(lit(0.2)))
+            .as("score"),
+          (col("lang") === "en").as("y"))
+        Metrics.auc(scored, col("score"), col("y"), col("doc_id"))
+      },
+      Some("""WITH s AS (SELECT
+             |    CAST(doc_id * 37 % 100 AS DOUBLE) / CAST(200 AS DOUBLE)
+             |      + CASE WHEN lang = 'en' THEN CAST(0.3 AS DOUBLE)
+             |             ELSE CAST(0.2 AS DOUBLE) END AS score,
+             |    lang = 'en' AS y FROM documents),
+             |g AS (SELECT score, COUNT(*) AS n, count_if(y) AS np
+             |  FROM s GROUP BY score),
+             |o AS (SELECT score, n, np, SUM(n) OVER (ORDER BY score
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS cum FROM g),
+             |a AS (SELECT SUM(np * (2 * cum - n + 1)) AS sum2,
+             |  SUM(np) AS p, SUM(n) AS tot FROM o)
+             |SELECT round(CAST(sum2 - p * (p + 1) AS DOUBLE) /
+             |    CAST(2 * p * (tot - p) AS DOUBLE), 6) AS auc,
+             |  CAST(p AS BIGINT) AS n_pos,
+             |  CAST(tot - p AS BIGINT) AS n_neg
+             |FROM a""".stripMargin)),
+
+    // ----- X5 calibration report (reliability diagram table) ----------------
+    // Per-confidence-bucket mean score vs observed positive rate — the
+    // table whose weighted |gap| sum is ECE. Bucketing floors the SAME
+    // double on both engines; the mean rides a decimal-exact sum.
+    "q183_calibration" -> Entry(
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val scored = d.select(
+          ((col("doc_id") * 37 % 100).cast("double") / 200.0 +
+            when(col("lang") === "en", lit(0.3)).otherwise(lit(0.2)))
+            .as("score"),
+          (col("lang") === "en").as("y"))
+        Metrics.calibrationReport(scored, col("score"), col("y"),
+          bins = 10)
+      },
+      Some("""WITH s AS (SELECT
+             |    CAST(doc_id * 37 % 100 AS DOUBLE) / CAST(200 AS DOUBLE)
+             |      + CASE WHEN lang = 'en' THEN CAST(0.3 AS DOUBLE)
+             |             ELSE CAST(0.2 AS DOUBLE) END AS score,
+             |    lang = 'en' AS y FROM documents),
+             |b AS (SELECT LEAST(CAST(floor(score * 10) AS INT), 9)
+             |    AS bucket,
+             |  CAST(COUNT(*) AS BIGINT) AS n,
+             |  round(CAST(SUM(CAST(score AS DECIMAL(38,15))) AS DOUBLE)
+             |    / COUNT(*), 6) AS mean_score,
+             |  round(CAST(count_if(y) AS DOUBLE) / COUNT(*), 6)
+             |    AS frac_pos
+             |  FROM s GROUP BY 1)
+             |SELECT bucket, n, mean_score, frac_pos,
+             |  round(abs(mean_score - frac_pos), 6) AS abs_gap
+             |FROM b ORDER BY bucket""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

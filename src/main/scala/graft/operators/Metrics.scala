@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-eval metrics for the quality-classifier loop (SURVEY §2.4 X5:
+  * a trained filter is only trustworthy with its discrimination and
+  * calibration measured on the same engine that serves it). Both
+  * metrics here are EXACT — no sampling, no sketch — and shaped for
+  * 100 TB: the AUC's only corpus-sized movement is one range exchange,
+  * calibration is a B-bucket aggregation. */
+object Metrics {
+
+  /** EXACT tie-corrected ROC AUC (Mann–Whitney midranks): the
+    * probability a random positive outscores a random negative, ties
+    * at half credit —
+    * `AUC = (Σ_pos midrank − P(P+1)/2) / (P·N)`.
+    *
+    * Scale shape: the textbook SQL form (cumulative counts over
+    * DISTINCT scores) windows over a table that, for continuous
+    * scores, is corpus-sized — the unpartitioned-window cliff. This
+    * form rides [[Rank.globalRank]] instead (one range exchange, no
+    * corpus window): per-score midranks from a score-keyed min/max
+    * rank aggregation (map-side combined), then one global fold. All
+    * arithmetic is integer/decimal until the single final division —
+    * `AUC = (Σ 2·midrank_pos − P(P+1)) / (2·P·N)` — so the result is
+    * engine-bit-identical before its round.
+    *
+    * Nulls (score or label) are excluded; degenerate inputs (no
+    * positives or no negatives) return a null auc with the counts
+    * still populated. Output one row: `auc`, `n_pos`, `n_neg`. */
+  def auc(df: DataFrame, score: Column, label: Column, id: Column)
+      : DataFrame = {
+    val staged = df
+      .filter(score.isNotNull && label.isNotNull && id.isNotNull &&
+        !isnan(score.cast("double")))
+      .select(score.cast("double").as("__s"), id.as("__id"),
+        label.cast("boolean").as("__y"))
+    // the label rides as an INERT trailing sort key: __id is unique, so
+    // it can never influence the order, and it satisfies globalRank's
+    // slim contract (every column in the sort order) without a
+    // payload join-back
+    val ranked = Rank.globalRank(staged,
+      Seq(col("__s").asc, col("__id").asc, col("__y").asc), "__rk")
+    val perScore = ranked.groupBy(col("__s"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__np"),
+        min(col("__rk")).as("__lo"), max(col("__rk")).as("__hi"))
+    perScore.agg(
+        sum((col("__np") * (col("__lo") + col("__hi")))
+          .cast("decimal(38,0)")).as("__sum2"),
+        sum(col("__np")).cast("decimal(38,0)").as("__p"),
+        sum(col("__n")).cast("decimal(38,0)").as("__t"))
+      .select(
+        when(col("__p") > 0 && col("__t") - col("__p") > 0, round(
+          (col("__sum2") - col("__p") * (col("__p") + 1)).cast("double") /
+            (lit(2).cast("decimal(38,0)") * col("__p") *
+              (col("__t") - col("__p"))).cast("double"), 6)).as("auc"),
+        coalesce(col("__p").cast("long"), lit(0L)).as("n_pos"),
+        coalesce((col("__t") - col("__p")).cast("long"), lit(0L))
+          .as("n_neg"))
+  }
+
+  /** Calibration report: bucket predictions by confidence
+    * (`⌊score·bins⌋`, clamped into the last bucket at score = 1) and
+    * put each bucket's mean confidence next to its observed positive
+    * rate — the reliability-diagram table, whose weighted |gap| sum is
+    * ECE. One B-bucket aggregation; scores outside [0, 1] or null
+    * score/label rows are excluded. Columns: `bucket`, `n`,
+    * `mean_score`, `frac_pos`, `abs_gap` (each round-6; the mean rides
+    * a decimal-exact sum so engines agree bit-for-bit). */
+  def calibrationReport(df: DataFrame, score: Column, label: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"Metrics: bins must be >= 2, got $bins")
+    val s = score.cast("double")
+    val staged = df
+      .filter(s.isNotNull && label.isNotNull && s >= 0.0 && s <= 1.0)
+      .select(least(floor(s * bins).cast("int"), lit(bins - 1))
+          .as("bucket"),
+        s.as("__s"), label.cast("boolean").as("__y"))
+    staged.groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("__s").cast("decimal(38,15)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_score"),
+        round(sum(when(col("__y"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double"), 6).as("frac_pos"))
+      .withColumn("abs_gap",
+        round(abs(col("mean_score") - col("frac_pos")), 6))
+      .orderBy("bucket")
+  }
+
+  /** Expected Calibration Error over a [[calibrationReport]]:
+    * `Σ (n_b/N)·|frac_pos − mean_score|`. One row: `ece` (round-6). */
+  def ece(report: DataFrame): DataFrame =
+    report.agg(round(
+      sum(col("n").cast("double") * col("abs_gap")) /
+        sum(col("n")).cast("double"), 6).as("ece"))
+}

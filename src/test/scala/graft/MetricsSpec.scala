@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Metrics
+
+/** [[graft.operators.Metrics]] — exact AUC must match the hand-computed
+  * Mann–Whitney midrank definition (including tie half-credit and
+  * degenerate inputs), calibration must reproduce hand-checked buckets. */
+class MetricsSpec extends TestBase {
+  import org.apache.spark.sql.DataFrame
+
+  private def aucOf(rows: Seq[(Double, Boolean)]): (Option[Double], Long,
+      Long) = {
+    import spark.implicits._
+    val d = rows.zipWithIndex
+      .map { case ((s, y), i) => (i.toLong, s, y) }
+      .toDF("id", "score", "y").repartition(5)
+    val r = Metrics.auc(d, col("score"), col("y"), col("id"))
+      .collect().head
+    (if (r.isNullAt(0)) None else Some(r.getDouble(0)), r.getLong(1),
+      r.getLong(2))
+  }
+
+  test("auc: perfect, random-ish, tie half-credit, degenerate") {
+    // perfect separation
+    assert(aucOf(Seq((0.9, true), (0.8, true), (0.2, false),
+      (0.1, false))) == ((Some(1.0), 2L, 2L)))
+    // total inversion
+    assert(aucOf(Seq((0.1, true), (0.9, false)))._1.contains(0.0))
+    // hand case with a cross-class tie: pos {0.5, 0.3}, neg {0.5, 0.1}
+    // pairs: (0.5,0.5)=0.5, (0.5,0.1)=1, (0.3,0.5)=0, (0.3,0.1)=1
+    // AUC = 2.5/4 = 0.625
+    assert(aucOf(Seq((0.5, true), (0.3, true), (0.5, false),
+      (0.1, false)))._1.contains(0.625))
+    // all ties: exactly 0.5
+    assert(aucOf(Seq((0.7, true), (0.7, false), (0.7, true),
+      (0.7, false)))._1.contains(0.5))
+    // degenerate: one class only → null auc, counts intact
+    assert(aucOf(Seq((0.9, true), (0.8, true))) == ((None, 2L, 0L)))
+    assert(aucOf(Seq.empty) == ((None, 0L, 0L)))
+  }
+
+  test("auc excludes null/NaN scores and null labels") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Some(0.9), Some(true)), (2L, Some(0.1), Some(false)),
+      (3L, None, Some(true)), (4L, Some(Double.NaN), Some(false)),
+      (5L, Some(0.5), None)).toDF("id", "score", "y")
+    val r = Metrics.auc(d, col("score"), col("y"), col("id"))
+      .collect().head
+    assert(r.getDouble(0) == 1.0 && r.getLong(1) == 1L &&
+      r.getLong(2) == 1L)
+  }
+
+  test("calibrationReport + ece: hand-checked buckets, score-1 clamps " +
+      "into the last bin, out-of-range and null rows excluded") {
+    import spark.implicits._
+    val d = Seq(
+      (0.05, false), (0.09, false),          // bucket 0: mean .07, fp 0
+      (0.95, true), (1.0, true),             // bucket 9 (1.0 clamps)
+      (0.55, true), (0.55, false),           // bucket 5: fp 0.5
+      (1.5, true), (-0.1, false)             // excluded
+    ).toDF("score", "y")
+    val rep = Metrics.calibrationReport(d, col("score"), col("y"),
+      bins = 10)
+    val rows = rep.collect().map(r => r.getInt(0) ->
+      (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(rows.keySet == Set(0, 5, 9))
+    assert(rows(0) == ((2L, 0.07, 0.0, 0.07)))
+    assert(rows(5) == ((2L, 0.55, 0.5, 0.05)))
+    assert(rows(9) == ((2L, 0.975, 1.0, 0.025)))
+    // ece = (2*0.07 + 2*0.05 + 2*0.025) / 6
+    val e = Metrics.ece(rep).collect().head.getDouble(0)
+    // ece is round-6 by contract
+    assert(math.abs(e - (0.14 + 0.1 + 0.05) / 6) < 5e-7, e.toString)
+  }
+
+  test("auc plan: no corpus-sized window — rides the range-partitioned " +
+      "rank, distinct-score aggregation partial-combines") {
+    import spark.implicits._
+    val d = (0 until 2000).map(i =>
+      (i.toLong, (i % 17).toDouble / 17.0, i % 3 == 0))
+      .toDF("id", "score", "y")
+    val a = Metrics.auc(d, col("score"), col("y"), col("id"))
+    a.collect()
+    val p = a.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val unpart = a.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty &&
+            !w.orderSpec.flatMap(_.references).forall(
+              _.name.startsWith("__pid")) => w
+    }
+    // the only unpartitioned window is globalRank's <=p-row offset pass
+    assert(unpart.isEmpty, s"corpus window in auc plan:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      s"per-score stats must partial-aggregate:\n$p")
+  }
+}
