@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.operators.{AsOfJoin, Connected, Decontaminate, Dedup, Dsir, FooterStats, Funnel, Graph, Metrics, Multimodal, Pipelines, Profiles, Quantize, QualityFilter, RangeJoin, Rank, Sampling, Sketches, Similarity, TextAnalysis, Vocab}
+import graft.operators.{AsOfJoin, Connected, Decontaminate, Dedup, Dsir, Embeddings, FooterStats, Funnel, Graph, Metrics, Multimodal, Pipelines, Profiles, Quantize, QualityFilter, RangeJoin, Rank, Sampling, Sketches, Similarity, TextAnalysis, Vocab}
 
 /** Catalog entries for the LLM-data-pipeline operators (dedup, similarity
   * search, text analysis, multimodal) over the `documents` / `embeddings`
@@ -5699,7 +5699,120 @@ object OpsQueries {
              |  FROM s GROUP BY 1)
              |SELECT bucket, n, mean_score, frac_pos,
              |  round(abs(mean_score - frac_pos), 6) AS abs_gap
-             |FROM b ORDER BY bucket""".stripMargin))
+             |FROM b ORDER BY bucket""".stripMargin)),
+
+    // ----- X3 exact covariance matrix (the PCA input) ------------------------
+    // Upper-triangle population covariance of the 64-d embeddings —
+    // decimal-exact sums, the one-corpus-pass statistic Embeddings.pca
+    // eigendecomposes driver-side. The (i, j) fan-out explodes UNDER a
+    // map-combined aggregation: the exchange ships D(D+1)/2 cells per
+    // task, never corpus rows.
+    "q184_covariance" -> Entry(
+      (s, dir) => Embeddings.covarianceMatrix(
+          t(s, dir, "embeddings").select(col("embedding")),
+          "embedding", dim = 64)
+        .orderBy("i", "j"),
+      Some("""WITH e AS (SELECT embedding AS v FROM embeddings
+             |  WHERE embedding IS NOT NULL AND len(embedding) = 64
+             |    AND NOT list_contains([isnan(x) FOR x IN embedding],
+             |      true)),
+             |p AS (SELECT gi.i AS i, gj.j AS j,
+             |    CAST(v[gi.i] AS DOUBLE) AS x,
+             |    CAST(v[gj.j] AS DOUBLE) AS y
+             |  FROM e, generate_series(1, 64) gi(i),
+             |    generate_series(1, 64) gj(j)
+             |  WHERE gj.j >= gi.i)
+             |SELECT CAST(i - 1 AS INT) AS i, CAST(j - 1 AS INT) AS j,
+             |  round(CAST(SUM(CAST(x * y AS DECIMAL(38,15))) AS DOUBLE)
+             |      / COUNT(*)
+             |    - (CAST(SUM(CAST(x AS DECIMAL(38,15))) AS DOUBLE)
+             |      / COUNT(*))
+             |    * (CAST(SUM(CAST(y AS DECIMAL(38,15))) AS DOUBLE)
+             |      / COUNT(*)), 6) AS cov
+             |FROM p GROUP BY 1, 2 ORDER BY i, j""".stripMargin)),
+
+    // ----- Zipf slope per source (vocabulary power-law fit) -----------------
+    // Corpus-health heuristic: log-log regression of term frequency on
+    // frequency rank per source — a natural-text vocabulary slopes
+    // near −1; synthetic/templated text flattens. Composes the token
+    // explode, a per-source rank over the BOUNDED per-source
+    // vocabulary, and regr_slope.
+    "q185_zipf" -> Entry(
+      (s, dir) => {
+        val tk = t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("source"),
+            explode(TextAnalysis.tokens(col("text"))).as("tok"))
+          .groupBy("source", "tok").agg(count(lit(1)).as("freq"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source")
+          .orderBy(col("freq").desc, col("tok"))
+        tk.withColumn("rnk", row_number().over(w))
+          .groupBy("source")
+          .agg(round(regr_slope(log(col("freq").cast("double")),
+            log(col("rnk").cast("double"))), 6).as("zipf_slope"),
+            count(lit(1)).as("n_terms"))
+          .orderBy("source")
+      },
+      Some(s"""WITH tk AS (SELECT source, unnest($TOKS) AS tok
+              |  FROM documents WHERE text IS NOT NULL),
+              |f AS (SELECT source, tok, COUNT(*) AS freq FROM tk
+              |  GROUP BY 1, 2),
+              |r AS (SELECT source, freq, ROW_NUMBER() OVER (
+              |    PARTITION BY source ORDER BY freq DESC, tok) AS rnk
+              |  FROM f)
+              |SELECT source,
+              |  round(regr_slope(ln(CAST(freq AS DOUBLE)),
+              |    ln(CAST(rnk AS DOUBLE))), 6) AS zipf_slope,
+              |  CAST(COUNT(*) AS BIGINT) AS n_terms
+              |FROM r GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ----- Kolmogorov-Smirnov drift between two halves ----------------------
+    // Exact two-sample KS statistic over the n_chars distribution of
+    // even- vs odd-id docs — the distribution-drift alarm PSI (q100)
+    // complements (KS needs no binning choice). The cumulative walks
+    // the DISTINCT value domain (bounded for length-like columns);
+    // every ratio is an exact long/long double division.
+    "q186_ks_drift" -> Entry(
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("n_chars"), (col("doc_id") % 2 === 0).as("__a"))
+        val g = d.groupBy("n_chars").agg(
+          sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"),
+          sum(when(!col("__a"), 1L).otherwise(0L)).as("__cb"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("__nc"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        val tot = g.agg(sum(col("__ca")).as("__ta"),
+          sum(col("__cb")).as("__tb"))
+        g.select(col("n_chars").as("__nc"), col("__ca"), col("__cb"))
+          .withColumn("__cuma", sum(col("__ca")).over(w))
+          .withColumn("__cumb", sum(col("__cb")).over(w))
+          .crossJoin(broadcast(tot))
+          .agg(round(max(abs(
+            col("__cuma").cast("double") / col("__ta").cast("double") -
+              col("__cumb").cast("double") / col("__tb").cast("double"))),
+            6).as("ks"),
+            max(col("__ta")).cast("long").as("n_a"),
+            max(col("__tb")).cast("long").as("n_b"))
+      },
+      Some("""WITH d AS (SELECT n_chars, doc_id % 2 = 0 AS a
+             |  FROM documents),
+             |g AS (SELECT n_chars, count_if(a) AS ca,
+             |    count_if(NOT a) AS cb FROM d GROUP BY 1),
+             |c AS (SELECT n_chars,
+             |  SUM(ca) OVER (ORDER BY n_chars ROWS BETWEEN UNBOUNDED
+             |    PRECEDING AND CURRENT ROW) AS cuma,
+             |  SUM(cb) OVER (ORDER BY n_chars ROWS BETWEEN UNBOUNDED
+             |    PRECEDING AND CURRENT ROW) AS cumb
+             |  FROM g),
+             |tt AS (SELECT SUM(ca) AS ta, SUM(cb) AS tb FROM g)
+             |SELECT round(MAX(ABS(CAST(cuma AS DOUBLE)
+             |    / CAST(ta AS DOUBLE)
+             |  - CAST(cumb AS DOUBLE) / CAST(tb AS DOUBLE))), 6) AS ks,
+             |  CAST(MAX(ta) AS BIGINT) AS n_a,
+             |  CAST(MAX(tb) AS BIGINT) AS n_b
+             |FROM c, tt""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

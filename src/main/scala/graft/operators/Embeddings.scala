@@ -157,4 +157,126 @@ object Embeddings {
           }))
       .drop("__mus", "__sds")
   }
+
+  /** Population covariance matrix of `vecCol` (uniform length `dim`),
+    * upper triangle: one row per (i ≤ j) with
+    * `cov = E[v_i·v_j] − E[v_i]·E[v_j]`, decimal-exact sums so the
+    * 6-dp result is engine-reproducible. Rows with null/short/NaN
+    * vectors are excluded.
+    *
+    * Scale shape: the (i, j) pair fan-out explodes UNDER a (i, j)-keyed
+    * aggregation that partial-combines map-side, so the exchange ships
+    * at most D(D+1)/2 cells per task — never corpus rows (the
+    * [[dimMoments]] pattern squared). The D²-multiplier CPU is the
+    * same product count any covariance pays; for D ≳ 256 prefer a
+    * per-partition matrix fold (the declarative form's row fan-out
+    * overhead starts to matter). */
+  def covarianceMatrix(df: DataFrame, vecCol: String, dim: Int)
+      : DataFrame = {
+    require(dim > 0, "Embeddings.covarianceMatrix: dim must be positive")
+    val v = col(vecCol)
+    val clean = df
+      .filter(v.isNotNull && size(v) === dim && !exists(v, x => isnan(x)))
+      .select(v.cast("array<double>").as("__v"))
+    clean
+      .select(col("__v"), posexplode(col("__v")).as(Seq("i", "__x")))
+      .select(col("i"), col("__x"),
+        posexplode(col("__v")).as(Seq("j", "__y")))
+      .filter(col("j") >= col("i"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("__n"),
+        sum((col("__x") * col("__y")).cast("decimal(38,15)")).as("__sxy"),
+        sum(col("__x").cast("decimal(38,15)")).as("__sx"),
+        sum(col("__y").cast("decimal(38,15)")).as("__sy"))
+      .select(col("i"), col("j"), round(
+        col("__sxy").cast("double") / col("__n").cast("double") -
+          (col("__sx").cast("double") / col("__n").cast("double")) *
+          (col("__sy").cast("double") / col("__n").cast("double")), 6)
+        .as("cov"))
+  }
+
+  /** PCA: top-`k` principal axes of `vecCol` from the EXACT
+    * [[covarianceMatrix]] (one corpus pass), eigendecomposed
+    * driver-side with cyclic Jacobi — the covariance is a bounded D×D
+    * value (the codebook/centroid collect precedent), so no iterative
+    * distributed solver is needed below D ≈ 10³. Returns
+    * `(components, eigenvalues)`: `components(c)(d)` = axis c's weight
+    * on dimension d, eigenvalues descending; axis SIGN is normalized
+    * (largest-|weight| component positive) so results are
+    * deterministic. */
+  def pca(df: DataFrame, vecCol: String, dim: Int, k: Int)
+      : (Array[Array[Double]], Array[Double]) = {
+    require(k >= 1 && k <= dim, s"Embeddings.pca: k must be in [1,$dim]")
+    val cells = covarianceMatrix(df, vecCol, dim).collect()
+    require(cells.nonEmpty, "Embeddings.pca: no valid vectors")
+    val a = Array.ofDim[Double](dim, dim)
+    cells.foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      a(i)(j) = c; a(j)(i) = c
+    }
+    // cyclic Jacobi: rotate out the largest off-diagonal until ~0
+    val v = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 100 && off > 1e-12) {
+      off = 0.0
+      var p = 0
+      while (p < dim - 1) {
+        var q = p + 1
+        while (q < dim) {
+          val apq = a(p)(q)
+          off = math.max(off, math.abs(apq))
+          if (math.abs(apq) > 1e-14) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            // sign(0) must be +1 here: equal diagonals take the full
+            // 45° rotation (t = 1), not a no-op
+            val t = (if (theta >= 0) 1.0 else -1.0) /
+              (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var r = 0
+            while (r < dim) {
+              val arp = a(r)(p); val arq = a(r)(q)
+              a(r)(p) = c * arp - s * arq
+              a(r)(q) = s * arp + c * arq
+              r += 1
+            }
+            r = 0
+            while (r < dim) {
+              val apr = a(p)(r); val aqr = a(q)(r)
+              a(p)(r) = c * apr - s * aqr
+              a(q)(r) = s * apr + c * aqr
+              val vrp = v(r)(p); val vrq = v(r)(q)
+              v(r)(p) = c * vrp - s * vrq
+              v(r)(q) = s * vrp + c * vrq
+              r += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until dim).sortBy(i => -a(i)(i)).take(k)
+    val comps = order.map { c =>
+      val axis = Array.tabulate(dim)(d => v(d)(c))
+      val m = axis.maxBy(math.abs)
+      if (m < 0) axis.map(-_) else axis
+    }.toArray
+    (comps, order.map(i => a(i)(i)).toArray)
+  }
+
+  /** Projects `vecCol` onto [[pca]] axes — a zero-exchange broadcast
+    * projection. Output column: `outCol` (array of k doubles). */
+  def pcaProject(df: DataFrame, vecCol: String,
+      components: Array[Array[Double]], outCol: String = "pca")
+      : DataFrame = {
+    require(components.nonEmpty, "Embeddings.pcaProject: no components")
+    val axes = components.map(axis =>
+      array(axis.toIndexedSeq.map(lit): _*))
+    df.withColumn(outCol, array(axes.toIndexedSeq.map(ax =>
+      aggregate(zip_with(col(vecCol).cast("array<double>"), ax,
+        (x, w) => x * w), lit(0.0d), (acc, x) => acc + x)): _*))
+  }
 }

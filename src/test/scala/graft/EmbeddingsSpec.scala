@@ -133,6 +133,56 @@ class EmbeddingsSpec extends TestBase {
       .count() == 0)
   }
 
+  test("covarianceMatrix + pca: planted 2-D subspace in 4-D recovered " +
+      "exactly — axes, eigenvalues, projection variances") {
+    import spark.implicits._
+    val s2 = math.sqrt(2.0)
+    // v = a·(1,1,0,0)/√2 + b·(0,0,1,−1)/√2; a ∈ {−3,−1,1,3} (var 5),
+    // b ∈ {−1,1} (var 1) — full factorial, exact moments
+    val pts = for (a <- Seq(-3.0, -1.0, 1.0, 3.0); b <- Seq(-1.0, 1.0))
+      yield (a, b)
+    val d = pts.zipWithIndex.map { case ((a, b), i) =>
+      (i.toLong, Seq((a / s2).toFloat, (a / s2).toFloat,
+        (b / s2).toFloat, (-b / s2).toFloat))
+    }.toDF("id", "vec").repartition(3)
+    // hand-checked covariance cells: var(v0) = var(a)/2 = 2.5,
+    // cov(v0,v1) = 2.5, cov(v2,v3) = −0.5, cross-block = 0
+    val cov = Embeddings.covarianceMatrix(d, "vec", dim = 4)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2))
+      .toMap
+    assert(cov((0, 0)) == 2.5 && cov((0, 1)) == 2.5)
+    assert(cov((2, 2)) == 0.5 && cov((2, 3)) == -0.5)
+    assert(cov((0, 2)) == 0.0 && cov((1, 3)) == 0.0)
+    val (comps, eig) = Embeddings.pca(d, "vec", dim = 4, k = 4)
+    assert(math.abs(eig(0) - 5.0) < 1e-6 &&
+      math.abs(eig(1) - 1.0) < 1e-6, eig.toSeq.toString)
+    assert(math.abs(eig(2)) < 1e-6 && math.abs(eig(3)) < 1e-6)
+    val inv = 1.0 / s2
+    assert(comps(0).zip(Seq(inv, inv, 0.0, 0.0))
+      .forall { case (x, y) => math.abs(x - y) < 1e-6 },
+      comps(0).toSeq.toString)
+    assert(math.abs(math.abs(comps(1)(2)) - inv) < 1e-6 &&
+      math.abs(comps(1)(0)) < 1e-6)
+    // orthonormality of the returned axes
+    for (i <- 0 until 4; j <- i until 4) {
+      val dot = comps(i).zip(comps(j)).map { case (x, y) => x * y }.sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-6)
+    }
+    // projection variance onto axis c == eigenvalue c (population)
+    val proj = Embeddings.pcaProject(d, "vec", comps.take(2))
+      .select(col("pca")).collect().map(_.getSeq[Double](0))
+    for (c <- 0 until 2) {
+      val xs = proj.map(_(c))
+      val mu = xs.sum / xs.length
+      val vr = xs.map(x => (x - mu) * (x - mu)).sum / xs.length
+      assert(math.abs(vr - eig(c)) < 1e-6, s"axis $c var $vr")
+    }
+    // malformed vectors are excluded, not fatal
+    val dirty = d.unionByName(Seq((99L, Seq(1.0f)))
+      .toDF("id", "vec"))
+    assert(Embeddings.covarianceMatrix(dirty, "vec", 4).count() == 10L)
+  }
+
   test("guards: column clashes raise") {
     import spark.implicits._
     val d = Seq((1L, Seq(1.0f))).toDF("id", "vec")
