@@ -5716,20 +5716,19 @@ object OpsQueries {
              |  WHERE embedding IS NOT NULL AND len(embedding) = 64
              |    AND NOT list_contains([isnan(x) FOR x IN embedding],
              |      true)),
+             |m AS (SELECT d.d AS d,
+             |    SUM(CAST(v[d.d] AS DOUBLE)) / COUNT(*) AS mu
+             |  FROM e, generate_series(1, 64) d(d) GROUP BY 1),
              |p AS (SELECT gi.i AS i, gj.j AS j,
-             |    CAST(v[gi.i] AS DOUBLE) AS x,
-             |    CAST(v[gj.j] AS DOUBLE) AS y
+             |    CAST(v[gi.i] AS DOUBLE) * CAST(v[gj.j] AS DOUBLE) AS xy
              |  FROM e, generate_series(1, 64) gi(i),
              |    generate_series(1, 64) gj(j)
              |  WHERE gj.j >= gi.i)
-             |SELECT CAST(i - 1 AS INT) AS i, CAST(j - 1 AS INT) AS j,
-             |  round(CAST(SUM(CAST(x * y AS DECIMAL(38,15))) AS DOUBLE)
-             |      / COUNT(*)
-             |    - (CAST(SUM(CAST(x AS DECIMAL(38,15))) AS DOUBLE)
-             |      / COUNT(*))
-             |    * (CAST(SUM(CAST(y AS DECIMAL(38,15))) AS DOUBLE)
-             |      / COUNT(*)), 6) AS cov
-             |FROM p GROUP BY 1, 2 ORDER BY i, j""".stripMargin)),
+             |SELECT CAST(p.i - 1 AS INT) AS i, CAST(p.j - 1 AS INT) AS j,
+             |  round(SUM(xy) / COUNT(*) - ANY_VALUE(mi.mu)
+             |    * ANY_VALUE(mj.mu), 6) AS cov
+             |FROM p JOIN m mi ON mi.d = p.i JOIN m mj ON mj.d = p.j
+             |GROUP BY 1, 2 ORDER BY i, j""".stripMargin)),
 
     // ----- Zipf slope per source (vocabulary power-law fit) -----------------
     // Corpus-health heuristic: log-log regression of term frequency on
