@@ -725,4 +725,40 @@ class StreamingSpec extends TestBase {
     assert(est2 == batch, s"stream $est2 vs batch $batch")
     assert(est2 == Map("web" -> 30L, "books" -> 30L))
   }
+
+  test("streaming Count-Min: complete-mode grid across micro-batches " +
+      "≡ batch grid of the union (cell-wise, the md5 hashes are " +
+      "engine/shard-stable)") {
+    val dir = tmpDir().toString
+    def toks(lo: Long, hi: Long) =
+      (lo to hi).map(i => "t" + (i % 7)).toDF("tok")
+    toks(1, 50).write.mode("append").parquet(dir)
+    val schema = toks(1, 1).schema
+    def run(name: String): Unit = {
+      // the CMS build IS a (d, cell) count aggregation — it streams in
+      // complete mode unchanged, no operator-specific state code
+      val stream = graft.operators.Sketches.countMinBuild(
+        spark.readStream.schema(schema).parquet(dir), col("tok"),
+        depth = 3, width = 32)
+      val q = stream.writeStream.outputMode("complete").format("memory")
+        .queryName(name).trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+    }
+    run("cms_s1")
+    toks(51, 90).write.mode("append").parquet(dir)
+    run("cms_s2")
+    val batch = graft.operators.Sketches.countMinBuild(
+      toks(1, 50).unionByName(toks(51, 90)), col("tok"),
+      depth = 3, width = 32)
+    assertSameRows(spark.table("cms_s2"), batch)
+    // estimates from the streamed grid equal exact counts (no
+    // collisions at this vocabulary size — 7 terms, 32 cells/row)
+    val est = graft.operators.Sketches.countMinEstimate(
+        spark.table("cms_s2"), toks(1, 7).select(col("tok")).distinct(),
+        col("tok"), depth = 3, width = 32)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = (1L to 90L).map(i => "t" + (i % 7))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(est == exact, s"est $est vs exact $exact")
+  }
 }
