@@ -5544,8 +5544,12 @@ object OpsQueries {
     // interpolated/discrete percentiles, and mode with a deterministic
     // tie order. The mode fixture is tie-free by construction
     // (l_linenumber counts strictly decrease), and listagg's order is
-    // total (shipmode, orderkey, linenumber), so every result is
-    // engine-deterministic.
+    // total (linestatus, orderkey, linenumber), so every result is
+    // engine-deterministic. SURFACE pin, deliberately bounded (the %7
+    // subset): Spark's exact percentile_cont buffers every group value
+    // in executor memory — the cliff Rank.exactQuantiles /
+    // perKeyQuantileGateApprox exist to avoid; route real corpora
+    // through those.
     "q180_ordered_set_aggs" -> Entry(
       (s, dir) => {
         graft.QuackIO.registerTables(s, dir)
@@ -5562,7 +5566,8 @@ object OpsQueries {
                 |    AS med_disc,
                 |  CAST(mode() WITHIN GROUP (ORDER BY l_linenumber)
                 |    AS BIGINT) AS mode_ln
-                |FROM lineitem GROUP BY l_returnflag
+                |FROM lineitem WHERE l_orderkey % 7 = 0
+                |GROUP BY l_returnflag
                 |ORDER BY l_returnflag""".stripMargin)
       },
       Some("""SELECT l_returnflag,
@@ -5576,7 +5581,8 @@ object OpsQueries {
              |  CAST(quantile_disc(CAST(l_extendedprice AS DOUBLE), 0.5)
              |    AS DOUBLE) AS med_disc,
              |  CAST(mode(l_linenumber) AS BIGINT) AS mode_ln
-             |FROM lineitem GROUP BY l_returnflag
+             |FROM lineitem WHERE l_orderkey % 7 = 0
+             |GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 
     // ----- time-series linear interpolation onto a 6-hour grid --------------
