@@ -5817,7 +5817,63 @@ object OpsQueries {
              |  - CAST(cumb AS DOUBLE) / CAST(tb AS DOUBLE))), 6) AS ks,
              |  CAST(MAX(ta) AS BIGINT) AS n_a,
              |  CAST(MAX(tb) AS BIGINT) AS n_b
-             |FROM c, tt""".stripMargin))
+             |FROM c, tt""".stripMargin)),
+
+    // ----- calendar/date function surface ------------------------------------
+    // The date-part family over the shipdate domain, one row per
+    // distinct date: extraction (year/quarter/month/day), boundary ops
+    // (month start via date_trunc, last_day), arithmetic (+30 days,
+    // day diff to a pin date), and ISO day-of-week — Spark's weekday()
+    // is 0=Monday, DuckDB's isodow() 1=Monday, so weekday+1 == isodow
+    // (the kind of off-by-one engine trap this pin exists to catch).
+    // All integer/date-exact.
+    "q187_date_funcs" -> Entry(
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_shipdate").as("d"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("d"), year(col("d")).as("y"),
+          quarter(col("d")).as("q"), month(col("d")).as("m"),
+          dayofmonth(col("d")).as("dom"),
+          date_trunc("month", col("d")).cast("date").as("m_start"),
+          last_day(col("d")).as("m_end"),
+          date_add(col("d"), 30).as("plus30"),
+          (expr("weekday(d)") + 1).cast("int").as("iso_dow"),
+          datediff(lit("2025-01-01").cast("date"), col("d"))
+            .as("days_to_2025"),
+          col("n"))
+        .orderBy("d"),
+      Some("""SELECT l_shipdate AS d,
+             |  CAST(year(l_shipdate) AS INT) AS y,
+             |  CAST(quarter(l_shipdate) AS INT) AS q,
+             |  CAST(month(l_shipdate) AS INT) AS m,
+             |  CAST(day(l_shipdate) AS INT) AS dom,
+             |  CAST(date_trunc('month', l_shipdate) AS DATE) AS m_start,
+             |  last_day(l_shipdate) AS m_end,
+             |  CAST(l_shipdate + INTERVAL 30 DAY AS DATE) AS plus30,
+             |  CAST(isodow(l_shipdate) AS INT) AS iso_dow,
+             |  CAST(date_diff('day', l_shipdate, DATE '2025-01-01')
+             |    AS INT) AS days_to_2025,
+             |  CAST(COUNT(*) AS BIGINT) AS n
+             |FROM lineitem GROUP BY l_shipdate ORDER BY d""".stripMargin)),
+
+    // ----- bitwise aggregate surface -----------------------------------------
+    // bit_and/bit_or/bit_xor folds — the flag-mask aggregation both
+    // engines ship; integer-exact by construction.
+    "q188_bit_aggs" -> Entry(
+      (s, dir) => t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("bit_and(o_orderkey % 4096)").as("mask_and"),
+          expr("bit_or(o_orderkey % 4096)").as("mask_or"),
+          expr("bit_xor(o_orderkey % 4096)").as("mask_xor"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |  bit_and(o_orderkey % 4096) AS mask_and,
+             |  bit_or(o_orderkey % 4096) AS mask_or,
+             |  bit_xor(o_orderkey % 4096) AS mask_xor,
+             |  CAST(COUNT(*) AS BIGINT) AS n
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

@@ -74,7 +74,19 @@ object Soak {
       "per_key_pct" -> ((n: Long) =>
         Rank.perKeyPercentRank(
           shaped(n).select(col("doc_id"), col("lang"), col("score")),
-          col("lang"), col("doc_id"), col("score"))))
+          col("lang"), col("doc_id"), col("score"))),
+      "c4_line_dedup" -> ((n: Long) =>
+        Dedup.dedupLinesC4(shaped(n).select(col("doc_id"), col("text")),
+          "doc_id", "text", minLineChars = 10, minLineWords = 3)),
+      "count_min" -> ((n: Long) =>
+        graft.operators.Sketches.countMinBuild(
+          corpus(n).select(explode(split(col("text"), " ")).as("tok")),
+          col("tok"), depth = 4, width = 4096)),
+      "auc" -> ((n: Long) =>
+        graft.operators.Metrics.auc(
+          shaped(n).select(col("doc_id"), col("score"),
+            (col("doc_id") % 3 === 0).as("y")),
+          col("score"), col("y"), col("doc_id"))))
 
     /** Non-reused exchange count of the EXECUTED (final adaptive)
       * plan — the plan-drift fingerprint. */
