@@ -5873,7 +5873,34 @@ object OpsQueries {
              |  bit_xor(o_orderkey % 4096) AS mask_xor,
              |  CAST(COUNT(*) AS BIGINT) AS n
              |FROM orders GROUP BY o_orderpriority
-             |ORDER BY o_orderpriority""".stripMargin))
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ----- k-anonymity audit (release-side privacy check) -------------------
+    // Every (status, priority, year, month, customer-bucket) tuple
+    // describing fewer than k rows is re-identifiable by an outside
+    // join on those columns — the audit returns exactly those groups
+    // (empty = safe to publish); the fixture has BOTH classes at both
+    // scales. The releaseCorpus-family governance gate,
+    // integer-exact.
+    "q189_k_anonymity" -> Entry(
+      (s, dir) => graft.operators.Checks.kAnonymityViolations(
+          t(s, dir, "orders").select(col("o_orderstatus"),
+            col("o_orderpriority"),
+            year(col("o_orderdate")).as("o_year"),
+            month(col("o_orderdate")).as("o_month"),
+            (col("o_custkey") % 10).as("cust_bucket")),
+          Seq("o_orderstatus", "o_orderpriority", "o_year", "o_month",
+            "cust_bucket"), k = 5L),
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             |  CAST(year(o_orderdate) AS INT) AS o_year,
+             |  CAST(month(o_orderdate) AS INT) AS o_month,
+             |  o_custkey % 10 AS cust_bucket,
+             |  CAST(COUNT(*) AS BIGINT) AS n
+             |FROM orders GROUP BY 1, 2, 3, 4, 5
+             |HAVING COUNT(*) < 5
+             |ORDER BY n, o_orderstatus, o_orderpriority, o_year,
+             |  o_month, cust_bucket"""
+        .stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

@@ -238,4 +238,45 @@ object Checks {
         thresholdOf(c), passed)
     }
   }
+
+  /** k-anonymity audit over a quasi-identifier tuple — the release
+    * check a data-governance pass runs before publishing anything
+    * row-level: every combination of `quasiIds` must describe at least
+    * `k` rows, else those rows are re-identifiable by joining the
+    * published columns against an outside table. Returns the VIOLATING
+    * groups only (quasi-id columns + `n`), smallest first — an empty
+    * result IS the pass; compose with `.isEmpty` as the gate, or
+    * suppress/generalize the returned groups and re-audit (the
+    * standard k-anonymization loop). Null quasi-id values form groups
+    * like any other value (a null zip code still narrows a join).
+    *
+    * Scale: ONE keyed aggregation, map-side combined; the violating
+    * set is at most (rows / 1) groups but in practice tiny — it is the
+    * TAIL of the group-size distribution. */
+  def kAnonymityViolations(df: DataFrame, quasiIds: Seq[String],
+      k: Long): DataFrame = {
+    require(quasiIds.nonEmpty, "Checks.kAnonymity: no quasi-id columns")
+    require(k >= 2, s"Checks.kAnonymity: k must be >= 2, got $k")
+    df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") < k)
+      .orderBy(col("n").asc +: quasiIds.map(col(_).asc): _*)
+  }
+
+  /** Gate form of [[kAnonymityViolations]]: keep only rows whose
+    * quasi-id group has at least `k` members (suppression — the
+    * simplest k-anonymization). One aggregation + a broadcast-size
+    * semi-join ONLY when the violating set is small; the join key is
+    * the quasi-id tuple. */
+  def kAnonymize(df: DataFrame, quasiIds: Seq[String], k: Long)
+      : DataFrame = {
+    require(quasiIds.nonEmpty, "Checks.kAnonymize: no quasi-id columns")
+    require(k >= 2, s"Checks.kAnonymize: k must be >= 2, got $k")
+    val bad = kAnonymityViolations(df, quasiIds, k)
+      .select(quasiIds.map(col): _*)
+    // left_anti on the (small) violating set: null-safe on every
+    // quasi-id so null-keyed groups suppress correctly too
+    val cond = quasiIds.map(c => df(c) <=> bad(c)).reduce(_ && _)
+    df.join(broadcast(bad), cond, "left_anti")
+  }
 }

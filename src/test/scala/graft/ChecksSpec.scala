@@ -115,4 +115,34 @@ class ChecksSpec extends TestBase {
       Checks.run(tbl, Seq(NotNull("nope")))
     }.getMessage.contains("nope"))
   }
+
+  test("kAnonymity: violations are exactly the sub-k groups (nulls " +
+      "group too); kAnonymize suppresses them and nothing else") {
+    import spark.implicits._
+    val d = Seq(
+      ("z1", "a"), ("z1", "a"), ("z1", "a"), // (z1,a): 3 — safe at k=3
+      ("z2", "b"), ("z2", "b"),              // (z2,b): 2 — violates
+      ("z3", null),                          // (z3,null): 1 — violates
+      (null, "c"), (null, "c"), (null, "c")  // (null,c): 3 — safe
+    ).toDF("zip", "grp")
+    val v = graft.operators.Checks
+      .kAnonymityViolations(d, Seq("zip", "grp"), k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(v.toSet == Set(("z3", null, 1L), ("z2", "b", 2L)), v.toSeq)
+    val kept = graft.operators.Checks
+      .kAnonymize(d, Seq("zip", "grp"), k = 3)
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1))))
+    assert(kept.length == 6)
+    assert(kept.toSet == Set((Some("z1"), Some("a")), (None, Some("c"))))
+    // empty violations == publishable
+    assert(graft.operators.Checks.kAnonymityViolations(
+      d.filter(col("zip") === "z1"), Seq("zip"), k = 3).count() == 0)
+    // guards
+    assert(intercept[IllegalArgumentException] {
+      graft.operators.Checks.kAnonymityViolations(d, Seq.empty, 3)
+    }.getMessage.contains("quasi-id"))
+    assert(intercept[IllegalArgumentException] {
+      graft.operators.Checks.kAnonymize(d, Seq("zip"), 1)
+    }.getMessage.contains("k must be"))
+  }
 }

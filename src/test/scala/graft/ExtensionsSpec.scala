@@ -100,6 +100,18 @@ class ExtensionsSpec extends TestBase {
     }
   }
 
+  test("the q155 CCNet composition ANALYZES under the fail-mode guard " +
+      "— the round-11 headline: no unpartitioned window anywhere in it") {
+    withExtSession { s2 =>
+      s2.conf.set("spark.graft.guard.unpartitionedWindow", "fail")
+      // the guard is an analysis-time check rule: building + analyzing
+      // the frame is the assertion (collect would just re-run it)
+      val df = SparkEntry.queries("q155_ccnet_buckets")(s2,
+        "/root/testdata/sf0.001")
+      assert(df.count() > 0)
+    }
+  }
+
   test("a session without the extension is never affected") {
     spark.conf.set("spark.graft.guard.unpartitionedWindow", "fail")
     try {
