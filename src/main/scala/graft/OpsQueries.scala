@@ -5900,7 +5900,35 @@ object OpsQueries {
              |HAVING COUNT(*) < 5
              |ORDER BY n, o_orderstatus, o_orderpriority, o_year,
              |  o_month, cust_bucket"""
-        .stripMargin))
+        .stripMargin)),
+
+    // ----- l-diversity audit (homogeneity-attack check) ----------------------
+    // k-anonymity's companion: a quasi-id group may be k-large yet
+    // leak if every member shares the same status. Groups whose status
+    // column carries < l distinct values are exactly what an outside
+    // joiner learns for free. countDistinct is exact and integer; both
+    // classes present at both scales (33 violating groups of 3985 at
+    // sf0.1).
+    "q190_l_diversity" -> Entry(
+      (s, dir) => graft.operators.Checks.lDiversityViolations(
+          t(s, dir, "orders").select(col("o_orderpriority"),
+            year(col("o_orderdate")).as("o_year"),
+            month(col("o_orderdate")).as("o_month"),
+            (col("o_custkey") % 10).as("cust_bucket"),
+            col("o_orderstatus")),
+          Seq("o_orderpriority", "o_year", "o_month", "cust_bucket"),
+          "o_orderstatus", l = 3L),
+      Some("""SELECT o_orderpriority,
+             |  CAST(year(o_orderdate) AS INT) AS o_year,
+             |  CAST(month(o_orderdate) AS INT) AS o_month,
+             |  o_custkey % 10 AS cust_bucket,
+             |  CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT)
+             |    AS n_distinct
+             |FROM orders GROUP BY 1, 2, 3, 4
+             |HAVING COUNT(DISTINCT o_orderstatus) < 3
+             |ORDER BY n_distinct, n, o_orderpriority, o_year,
+             |  o_month, cust_bucket""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

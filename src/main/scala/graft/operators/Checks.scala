@@ -263,6 +263,28 @@ object Checks {
       .orderBy(col("n").asc +: quasiIds.map(col(_).asc): _*)
   }
 
+  /** l-diversity audit — k-anonymity's necessary companion: a group
+    * can be k-large yet still leak when every member shares the same
+    * SENSITIVE value (homogeneity attack — "all 50 patients in that
+    * zip+age group have the same diagnosis"). Returns quasi-id groups
+    * whose `sensitive` column carries fewer than `l` DISTINCT non-null
+    * values, with `n` (group size) and `n_distinct`; empty = the
+    * release is l-diverse. Same one-aggregation scale shape as the
+    * k-audit (count_distinct partial-aggregates per group). */
+  def lDiversityViolations(df: DataFrame, quasiIds: Seq[String],
+      sensitive: String, l: Long): DataFrame = {
+    require(quasiIds.nonEmpty, "Checks.lDiversity: no quasi-id columns")
+    require(!quasiIds.contains(sensitive),
+      "Checks.lDiversity: the sensitive column cannot be a quasi-id")
+    require(l >= 2, s"Checks.lDiversity: l must be >= 2, got $l")
+    df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitive)).as("n_distinct"))
+      .filter(col("n_distinct") < l)
+      .orderBy(col("n_distinct").asc +: col("n").asc +:
+        quasiIds.map(col(_).asc): _*)
+  }
+
   /** Gate form of [[kAnonymityViolations]]: keep only rows whose
     * quasi-id group has at least `k` members (suppression — the
     * simplest k-anonymization). One aggregation + a broadcast-size
