@@ -145,4 +145,22 @@ class ChecksSpec extends TestBase {
       graft.operators.Checks.kAnonymize(d, Seq("zip"), 1)
     }.getMessage.contains("k must be"))
   }
+
+  test("lDiversity: homogeneous groups flagged even when k-large; " +
+      "sensitive column cannot be a quasi-id") {
+    import spark.implicits._
+    val d = Seq(
+      ("z1", "flu"), ("z1", "flu"), ("z1", "flu"), ("z1", "flu"),
+      ("z2", "flu"), ("z2", "cold"), ("z2", "covid"),
+      ("z3", "flu"), ("z3", null)).toDF("zip", "dx")
+    val v = graft.operators.Checks
+      .lDiversityViolations(d, Seq("zip"), "dx", l = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // z1 is 4-anonymous yet 1-diverse — the case k-anonymity misses;
+    // z3's null does not count as a distinct sensitive value
+    assert(v.toSet == Set(("z1", 4L, 1L), ("z3", 2L, 1L)), v.toSeq)
+    assert(intercept[IllegalArgumentException] {
+      graft.operators.Checks.lDiversityViolations(d, Seq("dx"), "dx", 2)
+    }.getMessage.contains("cannot be a quasi-id"))
+  }
 }
