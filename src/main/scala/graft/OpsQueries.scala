@@ -5928,7 +5928,45 @@ object OpsQueries {
              |FROM orders GROUP BY 1, 2, 3, 4
              |HAVING COUNT(DISTINCT o_orderstatus) < 3
              |ORDER BY n_distinct, n, o_orderpriority, o_year,
-             |  o_month, cust_bucket""".stripMargin))
+             |  o_month, cust_bucket""".stripMargin)),
+
+    // ----- t-closeness audit (skewness-attack check) -------------------------
+    // The triad's third rung: a group can be k-large and l-diverse yet
+    // leak when its sensitive DISTRIBUTION diverges from the table's.
+    // The synthetic tables are uniform (no natural skew survives
+    // scale-up), so the fixture PLANTS it — q109's planted-copies
+    // precedent: two sources forced language-homogeneous sit at
+    // TVD ≈ 0.5 at every scale, while honest sources' sampling noise
+    // is ≤ 0.23 (sf0.01) / ≤ 0.09 (sf0.1); t = 0.3 splits them with
+    // wide float margin on both engines.
+    "q191_t_closeness" -> Entry(
+      (s, dir) => graft.operators.Checks.tClosenessViolations(
+          t(s, dir, "documents").select(col("source"),
+            when(col("source").isin("src0", "src7"), lit("en"))
+              .otherwise(col("lang")).as("lang_v")),
+          Seq("source"), "lang_v", t = 0.3),
+      Some("""WITH nn AS (
+             |  SELECT source,
+             |    CASE WHEN source IN ('src0', 'src7') THEN 'en'
+             |         ELSE lang END AS v
+             |  FROM documents
+             |  WHERE (CASE WHEN source IN ('src0', 'src7') THEN 'en'
+             |              ELSE lang END) IS NOT NULL),
+             |gv AS (SELECT source, v, COUNT(*) AS n_gv
+             |       FROM nn GROUP BY source, v),
+             |gl AS (SELECT v, SUM(n_gv) AS n_v FROM gv GROUP BY v),
+             |tot AS (SELECT SUM(n_v) AS n_tot FROM gl),
+             |j AS (SELECT gv.source, gv.n_gv,
+             |        CAST(gl.n_v AS DOUBLE) / tot.n_tot AS p_glob,
+             |        SUM(gv.n_gv) OVER (PARTITION BY gv.source) AS n_g
+             |      FROM gv, gl, tot WHERE gv.v = gl.v)
+             |SELECT source, CAST(MAX(n_g) AS BIGINT) AS n,
+             |  ROUND(0.5 * (SUM(ABS(CAST(n_gv AS DOUBLE) / n_g - p_glob))
+             |    + 1.0 - SUM(p_glob)), 6) AS distance
+             |FROM j GROUP BY source
+             |HAVING ROUND(0.5 * (SUM(ABS(CAST(n_gv AS DOUBLE) / n_g
+             |    - p_glob)) + 1.0 - SUM(p_glob)), 6) > 0.3
+             |ORDER BY distance DESC, n, source""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

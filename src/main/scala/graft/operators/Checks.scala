@@ -301,4 +301,59 @@ object Checks {
     val cond = quasiIds.map(c => df(c) <=> bad(c)).reduce(_ && _)
     df.join(broadcast(bad), cond, "left_anti")
   }
+
+  /** t-closeness audit — the third rung of the release-privacy ladder
+    * (Li, Li & Venkatasubramanian 2007): a group can be k-large AND
+    * l-diverse yet still leak when its sensitive-value DISTRIBUTION
+    * differs sharply from the table's (skewness attack — "that zip+age
+    * group is 90% positive where the corpus is 1%"). Flags quasi-id
+    * groups whose total-variation distance from the GLOBAL sensitive
+    * distribution exceeds `t`, with `n` (rows carrying a sensitive
+    * value) and round-6 `distance`; empty = the release is t-close. Null sensitive values
+    * are outside both distributions (the l-diversity convention), so
+    * all-null-sensitive groups are vacuously close and absent.
+    *
+    * TVD folds to per-PRESENT-value terms only: for values absent from
+    * a group, |0 − p| sums to 1 − Σ_present p_global, so
+    * d = ½·(Σ_present |p_grp − p_glob| + 1 − Σ_present p_glob) and the
+    * (group, value) table never needs the absent cross product.
+    *
+    * Scale: one keyed aggregation to (group, value) counts; the global
+    * distribution is a SENSITIVE-CARDINALITY-sized aggregate of that
+    * table, broadcast back (sensitive attributes are categorical —
+    * diagnosis, status; a high-cardinality column is the wrong input
+    * here and would make TVD ≈ 1 everywhere anyway); group totals ride
+    * a window PARTITIONED by the quasi-ids, bounded per partition by
+    * that same cardinality; the closing aggregation reuses the window's
+    * hash distribution — two corpus exchanges total, nothing unbounded. */
+  def tClosenessViolations(df: DataFrame, quasiIds: Seq[String],
+      sensitive: String, t: Double): DataFrame = {
+    require(quasiIds.nonEmpty, "Checks.tCloseness: no quasi-id columns")
+    require(!quasiIds.contains(sensitive),
+      "Checks.tCloseness: the sensitive column cannot be a quasi-id")
+    require(t > 0.0 && t < 1.0,
+      s"Checks.tCloseness: t must be in (0, 1), got $t")
+    val qCols = quasiIds.map(col)
+    val gv = df.filter(col(sensitive).isNotNull)
+      .groupBy((qCols :+ col(sensitive)): _*)
+      .agg(count(lit(1)).as("__n_gv"))
+    val glob = gv.groupBy(col(sensitive)).agg(sum("__n_gv").as("__n_v"))
+      .crossJoin(broadcast(
+        gv.agg(sum("__n_gv").as("__n_tot"))))
+      .select(col(sensitive),
+        (col("__n_v").cast("double") / col("__n_tot")).as("__p_glob"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qCols: _*)
+    gv.join(broadcast(glob), sensitive)
+      .select((qCols :+ col("__n_gv") :+ col("__p_glob") :+
+        sum("__n_gv").over(w).as("__n_g")): _*)
+      .groupBy(qCols: _*)
+      .agg(max("__n_g").as("n"),
+        round((sum(abs(col("__n_gv").cast("double") / col("__n_g") -
+            col("__p_glob"))) +
+          lit(1.0) - sum("__p_glob")) * 0.5, 6).as("distance"))
+      .filter(col("distance") > t)
+      .orderBy(col("distance").desc +: col("n").asc +:
+        quasiIds.map(col(_).asc): _*)
+  }
 }

@@ -163,4 +163,37 @@ class ChecksSpec extends TestBase {
       graft.operators.Checks.lDiversityViolations(d, Seq("dx"), "dx", 2)
     }.getMessage.contains("cannot be a quasi-id"))
   }
+
+  test("tCloseness: hand-computed TVD, ties order by n, nulls outside " +
+      "both distributions, guards") {
+    import spark.implicits._
+    val d = Seq(
+      ("z1", "flu"), ("z1", "flu"), ("z1", "flu"), ("z1", "flu"),
+      ("z2", "flu"), ("z2", "flu"), ("z2", "cold"), ("z2", "cold"),
+      ("z3", "flu"), ("z3", null)).toDF("zip", "dx")
+    // global non-null: flu 7/9, cold 2/9
+    // z1 {flu:1}: ½(|1−7/9| + 1−7/9) = 2/9;  z2 {½,½}: 0.277778
+    // z3 {flu:1} over ONE non-null row: 2/9, n=1 (the null is outside)
+    def run(t: Double) = graft.operators.Checks
+      .tClosenessViolations(d, Seq("zip"), "dx", t)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(run(0.25).toSeq == Seq(("z2", 4L, 0.277778)))
+    // tie at 2/9 between z1 and z3 → n asc puts z3 (n=1) first
+    assert(run(0.2).toSeq == Seq(("z2", 4L, 0.277778),
+      ("z3", 1L, 0.222222), ("z1", 4L, 0.222222)))
+    // an all-null-sensitive group has no distribution: absent, and its
+    // rows don't move the global denominator
+    val withAllNull = d.union(Seq(("z4", null), ("z4", null))
+      .toDF("zip", "dx"))
+    assert(!graft.operators.Checks
+      .tClosenessViolations(withAllNull, Seq("zip"), "dx", 0.2)
+      .collect().map(_.getString(0)).contains("z4"))
+    assert(intercept[IllegalArgumentException] {
+      graft.operators.Checks.tClosenessViolations(d, Seq("dx"), "dx", 0.2)
+    }.getMessage.contains("cannot be a quasi-id"))
+    assert(intercept[IllegalArgumentException] {
+      graft.operators.Checks.tClosenessViolations(d, Seq("zip"), "dx", 1.5)
+    }.getMessage.contains("t must be"))
+  }
 }
