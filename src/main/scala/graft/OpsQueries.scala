@@ -5966,7 +5966,24 @@ object OpsQueries {
              |FROM j GROUP BY source
              |HAVING ROUND(0.5 * (SUM(ABS(CAST(n_gv AS DOUBLE) / n_g
              |    - p_glob)) + 1.0 - SUM(p_glob)), 6) > 0.3
-             |ORDER BY distance DESC, n, source""".stripMargin))
+             |ORDER BY distance DESC, n, source""".stripMargin)),
+
+    // ----- DSv2 complete aggregate pushdown ---------------------------------
+    // The synthdocs ScanBuilder answers group-less COUNT / MIN(doc_id)
+    // / MAX(doc_id) from the id spine (SupportsPushDownAggregates,
+    // complete): 50 M rows aggregate without generating ONE — the plan
+    // is a one-row BatchScan, spec-pinned via its PushedAggregates
+    // marker. The oracle pays full price: DuckDB aggregates the same
+    // 50 M-id generate_series spine the q160 oracle replays.
+    "q192_synth_agg_pushdown" -> Entry(
+      (s, dir) => s.read.format("synthdocs")
+        .option("rows", "50000000").option("seed", "q192").load()
+        .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"),
+          max("doc_id").as("max_id")),
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(MIN(i) AS BIGINT) AS min_id,
+             |  CAST(MAX(i) AS BIGINT) AS max_id
+             |FROM generate_series(0, 49999999) t(i)""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

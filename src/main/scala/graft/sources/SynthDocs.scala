@@ -6,8 +6,9 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -28,7 +29,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Implements `SupportsPushDownRequiredColumns`: a query touching only
   * `doc_id` never pays for text generation (column pruning reaches
-  * the generator, spec-pinned).
+  * the generator, spec-pinned). Implements `SupportsPushDownAggregates`
+  * (complete pushdown): group-less COUNT / COUNT(col) / MIN(doc_id) /
+  * MAX(doc_id) are answered closed-form from the id spine — counting a
+  * 10 B-row soak corpus is O(1), not minutes of md5.
   *
   * Schema: doc_id LONG, source STRING, text STRING where
   * source = "src" + (id % 20) and text = the first-8-hex-chars words
@@ -82,15 +86,108 @@ private[sources] class SynthDocsTable(props: Map[String, String])
 
 private[sources] class SynthScanBuilder(rows: Long, partitions: Int,
     seed: String) extends ScanBuilder
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
   require(rows >= 0, s"synthdocs: rows must be >= 0, got $rows")
   private var required: StructType = SynthDocs.FullSchema
+  private var pushedAggs: Seq[SynthAgg] = Nil
   override def pruneColumns(requiredSchema: StructType): Unit =
     // an empty projection (e.g. count(*)) still needs row COUNTS;
     // keep the empty struct — the reader emits empty rows
     required = requiredSchema
+
+  // Aggregate pushdown: the generator's id spine is closed-form
+  // (ids are exactly 0..rows-1, every column non-null), so COUNT /
+  // COUNT(col) / MIN(doc_id) / MAX(doc_id) with no GROUP BY need not
+  // generate a single row — the scan answers from arithmetic. At the
+  // soak scales this source exists for (10 B rows), that is the
+  // difference between O(1) and minutes of md5 generation just to
+  // count. Anything else (group-bys, sums, distinct, non-id min/max)
+  // is declined and planned as a normal generate-then-aggregate.
+  private def refName(e: org.apache.spark.sql.connector.expressions
+      .Expression): Option[String] = e match {
+    case n: NamedReference if n.fieldNames.length == 1 =>
+      Some(n.fieldNames.head)
+    case _ => None
+  }
+  private def translate(f: AggregateFunc): Option[SynthAgg] = f match {
+    case _: CountStar => Some(AggCount)
+    case c: Count if !c.isDistinct && refName(c.column)
+        .exists(SynthDocs.FullSchema.fieldNames.contains) =>
+      Some(AggCount) // every generated column is non-null
+    case m: Min if refName(m.column).contains("doc_id") => Some(AggMinId)
+    case m: Max if refName(m.column).contains("doc_id") => Some(AggMaxId)
+    case _ => None
+  }
+  private def translateAll(agg: Aggregation): Option[Seq[SynthAgg]] =
+    if (agg.groupByExpressions.nonEmpty) None
+    else {
+      val t = agg.aggregateExpressions.toSeq.map(translate)
+      if (t.nonEmpty && t.forall(_.isDefined)) Some(t.flatten) else None
+    }
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    translateAll(agg).isDefined
+  override def pushAggregation(agg: Aggregation): Boolean =
+    translateAll(agg) match {
+      case Some(t) => pushedAggs = t; true
+      case None => false
+    }
+
   override def build(): Scan =
-    new SynthScan(rows, partitions, seed, required)
+    if (pushedAggs.nonEmpty) new SynthAggScan(rows, pushedAggs)
+    else new SynthScan(rows, partitions, seed, required)
+}
+
+/** Closed-form aggregates the generator can answer without generating. */
+private[sources] sealed trait SynthAgg extends Serializable
+private[sources] case object AggCount extends SynthAgg
+private[sources] case object AggMinId extends SynthAgg
+private[sources] case object AggMaxId extends SynthAgg
+
+/** One-partition, one-row scan carrying the pushed aggregate answers;
+  * `description()` surfaces the pushed list so plans (and specs) show
+  * the pushdown happened. */
+private[sources] class SynthAggScan(rows: Long, aggs: Seq[SynthAgg])
+    extends Scan with Batch {
+  override def readSchema(): StructType = StructType(aggs.zipWithIndex.map {
+    case (AggCount, i) => StructField(s"agg_$i", LongType, nullable = false)
+    case (_, i) => StructField(s"agg_$i", LongType, nullable = true)
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    "synthdocs PushedAggregates: [" + aggs.map {
+      case AggCount => "COUNT"
+      case AggMinId => "MIN(doc_id)"
+      case AggMaxId => "MAX(doc_id)"
+    }.mkString(", ") + "]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SynthAggPartition(rows, aggs))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthAggReaderFactory
+}
+
+private[sources] case class SynthAggPartition(rows: Long,
+    aggs: Seq[SynthAgg]) extends InputPartition
+
+private[sources] class SynthAggReaderFactory
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SynthAggPartition]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean =
+        if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow = InternalRow.fromSeq(p.aggs.map {
+        case AggCount => p.rows: java.lang.Long
+        // min/max over zero rows is NULL, like any other source
+        case AggMinId =>
+          if (p.rows > 0) (0L: java.lang.Long) else null
+        case AggMaxId =>
+          if (p.rows > 0) ((p.rows - 1): java.lang.Long) else null
+      })
+      override def close(): Unit = ()
+    }
+  }
 }
 
 private[sources] class SynthScan(rows: Long, partitions: Int,

@@ -51,6 +51,47 @@ class SynthDocsSpec extends TestBase {
     assert(read(123).count() == 123)
   }
 
+  test("aggregate pushdown: count/min/max answer closed-form — a " +
+      "2 B-row corpus counts in O(1), never generating a row") {
+    val df = read(2000000000L)
+    val a = df.agg(count(lit(1)).as("n"), min("doc_id").as("min_id"),
+      max("doc_id").as("max_id"), count("text").as("n_text"))
+    val row = a.collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2),
+      row.getLong(3)) == (2000000000L, 0L, 1999999999L, 2000000000L))
+    val p = a.queryExecution.executedPlan.toString
+    assert(p.contains("PushedAggregates"),
+      s"aggregation must reach the generator:\n$p")
+    // Dataset.count() rides the same path
+    assert(df.count() == 2000000000L)
+  }
+
+  test("aggregate pushdown declines what it cannot answer closed-form") {
+    // sums, distinct counts and group-bys fall back to generate-then-
+    // aggregate — and the fallback is still CORRECT
+    val df = read(1000)
+    val s = df.agg(sum("doc_id").as("s"), countDistinct("source").as("d"))
+    assert(!s.queryExecution.executedPlan.toString
+      .contains("PushedAggregates"))
+    val r = s.collect().head
+    assert(r.getLong(0) == 999L * 1000 / 2 && r.getLong(1) == 20L)
+    val g = df.groupBy("source").agg(count(lit(1)))
+    assert(!g.queryExecution.executedPlan.toString
+      .contains("PushedAggregates"))
+    assert(g.count() == 20)
+    // pushed and unpushed agree on the pushable trio
+    val both = df.agg(count(lit(1)), min("doc_id"), max("doc_id"))
+      .collect().head
+    assert((both.getLong(0), both.getLong(1), both.getLong(2)) ==
+      (1000L, 0L, 999L))
+  }
+
+  test("aggregate pushdown over zero rows: count 0, min/max NULL") {
+    val r = read(0).agg(count(lit(1)).as("n"), min("doc_id").as("m"),
+      max("doc_id").as("x")).collect().head
+    assert(r.getLong(0) == 0L && r.isNullAt(1) && r.isNullAt(2))
+  }
+
   test("md5 word derivation matches Spark's own md5 (oracle contract)") {
     val viaSql = spark.range(1)
       .select(md5(lit("synth|42|0")).cast("string")).collect()
