@@ -5983,7 +5983,80 @@ object OpsQueries {
       Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
              |  CAST(MIN(i) AS BIGINT) AS min_id,
              |  CAST(MAX(i) AS BIGINT) AS max_id
-             |FROM generate_series(0, 49999999) t(i)""".stripMargin))
+             |FROM generate_series(0, 49999999) t(i)""".stripMargin)),
+
+    // ----- χ² categorical drift -------------------------------------------
+    // PSI (q100) watches numeric bins; this is its categorical twin —
+    // the snapshot-over-snapshot homogeneity test for sources/langs/
+    // labels. The cur snapshot thins zh to a third (a feed losing one
+    // language — the real incident shape), so zh carries the dominant
+    // contribution at every scale while the other languages absorb
+    // proportional mass. Two-sample expecteds keep new-category cells
+    // finite; oracle replays the full contingency arithmetic.
+    "q193_chi_drift" -> Entry(
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        Profiles.chiSquaredDrift(d.select("lang"),
+          d.filter(col("lang") =!= "zh" || col("doc_id") % 3 === 0)
+            .select("lang"), "lang")
+      },
+      Some("""WITH r AS (SELECT lang AS category, COUNT(*) AS n_ref
+             |          FROM documents GROUP BY 1),
+             |c AS (SELECT lang AS category, COUNT(*) AS n_cur
+             |      FROM documents
+             |      WHERE lang <> 'zh' OR doc_id % 3 = 0 GROUP BY 1),
+             |j AS (SELECT COALESCE(r.category, c.category) AS category,
+             |        COALESCE(n_ref, 0) AS n_ref,
+             |        COALESCE(n_cur, 0) AS n_cur
+             |      FROM r FULL OUTER JOIN c
+             |        ON r.category IS NOT DISTINCT FROM c.category),
+             |t AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur
+             |      FROM j),
+             |e AS (SELECT category, n_ref, n_cur,
+             |        CAST(n_ref + n_cur AS DOUBLE) * t_ref
+             |          / (t_ref + t_cur) AS e_ref,
+             |        CAST(n_ref + n_cur AS DOUBLE) * t_cur
+             |          / (t_ref + t_cur) AS e_cur
+             |      FROM j, t)
+             |SELECT category, CAST(n_ref AS BIGINT) AS n_ref,
+             |  CAST(n_cur AS BIGINT) AS n_cur,
+             |  ROUND(e_ref, 6) AS exp_ref, ROUND(e_cur, 6) AS exp_cur,
+             |  ROUND((CAST(n_ref AS DOUBLE) - e_ref)
+             |      * (CAST(n_ref AS DOUBLE) - e_ref) / e_ref
+             |    + (CAST(n_cur AS DOUBLE) - e_cur)
+             |      * (CAST(n_cur AS DOUBLE) - e_cur) / e_cur, 6)
+             |    AS contrib
+             |FROM e ORDER BY category NULLS FIRST""".stripMargin)),
+
+    // ----- Benford first-digit audit ----------------------------------------
+    // Fraud/forensics staple: natural multi-scale quantities lead with
+    // digit d at log10(1+1/d). TPC-H prices are uniform, NOT Benford —
+    // exactly what the report shows (n/share/expected/deviation per
+    // digit; the audit measures, it does not assume). First digits come
+    // from integer-cents arithmetic, never double→string rendering
+    // (Spark flips to scientific at 1e7; see scaladoc).
+    "q194_benford" -> Entry(
+      (s, dir) => graft.operators.Checks.benford(
+        t(s, dir, "lineitem"), "l_extendedprice", scale = 2),
+      Some("""WITH v AS (SELECT CAST(round(l_extendedprice * 100)
+             |      AS BIGINT) AS cents FROM lineitem
+             |    WHERE l_extendedprice IS NOT NULL
+             |      AND round(l_extendedprice * 100) > 0),
+             |d AS (SELECT CAST(floor(cents / power(10,
+             |        floor(log10(cents)))) AS INT) AS digit FROM v),
+             |c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+             |t AS (SELECT SUM(n) AS tot FROM c)
+             |SELECT CAST(s.digit AS INT) AS digit,
+             |  CAST(COALESCE(n, 0) AS BIGINT) AS n,
+             |  ROUND(CAST(COALESCE(n, 0) AS DOUBLE) / tot, 6) AS share,
+             |  ROUND(log10(1 + CAST(1.0 AS DOUBLE) / s.digit), 6)
+             |    AS expected,
+             |  ROUND(ABS(CAST(COALESCE(n, 0) AS DOUBLE) / tot
+             |    - log10(1 + CAST(1.0 AS DOUBLE) / s.digit)), 6)
+             |    AS deviation
+             |FROM generate_series(1, 9) s(digit)
+             |LEFT JOIN c ON s.digit = c.digit CROSS JOIN t
+             |ORDER BY digit""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

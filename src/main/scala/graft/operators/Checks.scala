@@ -356,4 +356,58 @@ object Checks {
       .orderBy(col("distance").desc +: col("n").asc +:
         quasiIds.map(col(_).asc): _*)
   }
+
+  /** Benford first-digit audit — the classic fabricated-numbers check
+    * (Benford 1938; standard in fraud/data-forensics): naturally
+    * occurring multi-scale quantities put digit d first with
+    * probability log10(1+1/d), and a synthetic or truncated feed
+    * deviates loudly. One row per digit 1–9 (zero-count digits
+    * included) with `n`, observed `share`, Benford `expected`, and
+    * absolute `deviation` — mean deviation is the standard MAD
+    * conformity score, left to the consumer so the report stays
+    * fixed-width.
+    *
+    * The first significant digit comes from INTEGER arithmetic on
+    * `round(x · 10^scale)` (e.g. scale=2 for money → exact cents), not
+    * from string formatting — double→string rendering is
+    * engine-specific (Spark flips to scientific notation at 1e7) while
+    * `floor(v / 10^floor(log10(v)))` on an integral double is
+    * engine-portable: both engines pin log10 of exact powers of ten
+    * (JVM `Math.log10` documents it; libm rounds the exact value
+    * correctly) and every other integer sits ≥ 4 ulps from an integer
+    * log. Rows that are null or ≤ 0 after scaling carry no first digit
+    * and are excluded; an all-excluded input raises (the share
+    * denominator is undefined — the psi-guard precedent).
+    *
+    * Scale: a scan projection into a 9-ary groupBy — one map-side
+    * combined aggregation, then the 9-row table joins a literal digit
+    * spine; nothing else touches the data. */
+  def benford(df: DataFrame, colName: String, scale: Int = 0)
+      : DataFrame = {
+    require(scale >= 0 && scale <= 9,
+      s"Checks.benford: scale must be in [0, 9], got $scale")
+    val v = round(col(colName).cast("double") * math.pow(10, scale))
+      .cast("long")
+    val digit = floor(v.cast("double") /
+      pow(lit(10.0), floor(log10(v.cast("double"))))).cast("int")
+    val counts = df.filter(v.isNotNull && v > 0)
+      .select(digit.as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = counts.agg(coalesce(sum(col("n")),
+      raise_error(lit("Checks.benford: no positive values in column '" +
+        colName + "' — the digit distribution is undefined"))
+        .cast("long")).as("__tot"))
+    df.sparkSession.range(1, 10).select(col("id").cast("int").as("digit"))
+      .join(counts, Seq("digit"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+        round(coalesce(col("n"), lit(0L)).cast("double") /
+          col("__tot"), 6).as("share"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), 6)
+          .as("expected"),
+        round(abs(coalesce(col("n"), lit(0L)).cast("double") /
+          col("__tot") - log10(lit(1.0) + lit(1.0) / col("digit"))), 6)
+          .as("deviation"))
+      .orderBy("digit")
+  }
 }

@@ -204,6 +204,57 @@ object Profiles {
           log(col("share_a") / col("share_b")), 6))
   }
 
+  /** Pearson χ² homogeneity test between two snapshots of a CATEGORICAL
+    * column — the drift check [[psi]]'s numeric bins can't express
+    * (sources, languages, licenses, labels). One row per category with
+    * both observed counts, both expected counts (row total × side total
+    * / grand total) and the category's χ² contribution (both cells);
+    * Σ contrib is the statistic on k−1 degrees of freedom. The
+    * two-sample form keeps expecteds strictly positive for any category
+    * present on EITHER side — a category that appears only in the new
+    * snapshot (the classic silent-schema-drift bug) contributes its
+    * full novelty instead of dividing by zero.
+    *
+    * Scale: one keyed aggregation per side (map-side combined) down to
+    * category tables, a null-safe full outer join between those small
+    * tables, totals broadcast as 1-row aggregates — the snapshots
+    * themselves are never joined or re-scanned. Null categories count
+    * as a category (a drifting null rate IS drift). Either side empty →
+    * raise (the statistic is undefined; the [[psi]] guard precedent). */
+  def chiSquaredDrift(ref: DataFrame, cur: DataFrame, colName: String)
+      : DataFrame = {
+    val r = ref.groupBy(col(colName).as("category"))
+      .agg(count(lit(1)).as("n_ref"))
+    val c = cur.groupBy(col(colName).as("category"))
+      .agg(count(lit(1)).as("n_cur"))
+    val j = r.join(c, r("category") <=> c("category"), "full_outer")
+      .select(coalesce(r("category"), c("category")).as("category"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    def total(side: DataFrame, n: String, label: String): DataFrame =
+      side.agg(coalesce(sum(col(n)),
+        raise_error(lit(s"chiSquaredDrift: snapshot '$label' has no " +
+          "rows — the statistic is undefined")).cast("long"))
+        .as(s"__t$n"))
+    def cell(obs: Column, exp: Column): Column =
+      (obs.cast("double") - exp) * (obs.cast("double") - exp) / exp
+    j.crossJoin(broadcast(total(r, "n_ref", "ref")))
+      .crossJoin(broadcast(total(c, "n_cur", "cur")))
+      .select(col("category"), col("n_ref"), col("n_cur"),
+        ((col("n_ref") + col("n_cur")).cast("double") *
+          col("__tn_ref") / (col("__tn_ref") + col("__tn_cur")))
+          .as("__e_ref"),
+        ((col("n_ref") + col("n_cur")).cast("double") *
+          col("__tn_cur") / (col("__tn_ref") + col("__tn_cur")))
+          .as("__e_cur"))
+      .select(col("category"), col("n_ref"), col("n_cur"),
+        round(col("__e_ref"), 6).as("exp_ref"),
+        round(col("__e_cur"), 6).as("exp_cur"),
+        round(cell(col("n_ref"), col("__e_ref")) +
+          cell(col("n_cur"), col("__e_cur")), 6).as("contrib"))
+      .orderBy(col("category").asc_nulls_first)
+  }
+
   /** Corpus data card — the per-slice composition report every training
     * run publishes (Datasheets/Data Cards practice; the number tables
     * in the Pile/RedPajama/FineWeb papers): one row per cell of

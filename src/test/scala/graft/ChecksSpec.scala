@@ -196,4 +196,31 @@ class ChecksSpec extends TestBase {
       graft.operators.Checks.tClosenessViolations(d, Seq("zip"), "dx", 1.5)
     }.getMessage.contains("t must be"))
   }
+
+  test("benford: hand-checked digits, money scaling, exclusions, " +
+      "all-excluded raises") {
+    import spark.implicits._
+    // round(x): 1→d1, 1.2→d1, 25→d2; 0.003/null/−5/0 carry no digit
+    val d = Seq[java.lang.Double](1.0, 1.2, 25.0, 0.003, null, -5.0, 0.0)
+      .toDF("v")
+    val out = graft.operators.Checks.benford(d, "v")
+      .as[(Int, Long, Double, Double, Double)].collect().toSeq
+    assert(out.map(_._1) == (1 to 9))
+    val byD = out.map(r => r._1 -> r).toMap
+    assert(byD(1)._2 == 2L && byD(1)._3 == 0.666667)
+    assert(byD(2)._2 == 1L && byD(2)._3 == 0.333333)
+    assert((3 to 9).forall(byD(_)._2 == 0L))
+    assert(byD(1)._4 == 0.30103) // log10(2), the Benford headline
+    assert(byD(1)._5 == 0.365637) // |2/3 − log10 2|
+    // money scale: cents make 0.05 a digit-5 value and 12.34 a digit-1
+    val money = graft.operators.Checks
+      .benford(Seq(12.34, 0.05).toDF("v"), "v", scale = 2)
+      .as[(Int, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(money(1) == 1L && money(5) == 1L)
+    assert(intercept[Exception] {
+      graft.operators.Checks.benford(Seq(-1.0, 0.0).toDF("v"), "v")
+        .collect()
+    }.getMessage.contains("no positive values"))
+  }
 }

@@ -809,6 +809,40 @@ class CorpusOpsSpec extends TestBase {
     assert(err2.getMessage.contains("no rows"), s"got: ${err2.getMessage}")
   }
 
+  test("chiSquaredDrift: hand-computed 2×2 contributions; new and null " +
+      "categories contribute instead of dividing by zero; empty side " +
+      "raises") {
+    import graft.operators.Profiles
+    def snap(pairs: (String, Int)*) = pairs
+      .flatMap { case (v, n) => Seq.fill(n)(v) }.toDF("lang")
+    // ref {a:30, b:10} vs cur {a:10, b:10}: N=60, e.g. category a has
+    // row total 40 → e_ref = 40·40/60 = 26.667, contrib =
+    // 3.333²/26.667 + 3.333²/13.333 = 1.25
+    val out = Profiles.chiSquaredDrift(
+        snap("a" -> 30, "b" -> 10), snap("a" -> 10, "b" -> 10), "lang")
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(out == Seq(("a", 30L, 10L, 26.666667, 13.333333, 1.25),
+      ("b", 10L, 10L, 13.333333, 6.666667, 2.5)), out)
+    // a category only the NEW snapshot has (and a null category) both
+    // get positive expecteds from the two-sample form
+    val withNew = Profiles.chiSquaredDrift(snap("a" -> 30),
+        snap("a" -> 30).union(Seq("c").toDF("lang"))
+          .union(Seq[String](null).toDF("lang")), "lang")
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+    val byCat = withNew.map(r => Option(r._1).getOrElse("∅") -> r).toMap
+    assert(byCat.keySet == Set("a", "c", "∅"))
+    assert(byCat("c")._2 == 0L && byCat("c")._3 == 1L &&
+      byCat("c")._6 > 0.0)
+    assert(byCat("∅")._2 == 0L && byCat("∅")._3 == 1L)
+    // ordering: nulls first, then category asc
+    assert(withNew.head._1 == null)
+    val err = intercept[Exception] {
+      Profiles.chiSquaredDrift(snap("a" -> 1).filter(lit(false)),
+        snap("a" -> 1), "lang").collect()
+    }
+    assert(err.getMessage.contains("no rows"), err.getMessage)
+  }
+
   test("keySkew surfaces heavy hitters with exact fractions") {
     val df = (Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++ Seq("cold"))
       .toDF("k")
