@@ -6,9 +6,9 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -32,7 +32,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * the generator, spec-pinned). Implements `SupportsPushDownAggregates`
   * (complete pushdown): group-less COUNT / COUNT(col) / MIN(doc_id) /
   * MAX(doc_id) are answered closed-form from the id spine — counting a
-  * 10 B-row soak corpus is O(1), not minutes of md5.
+  * 10 B-row soak corpus is O(1), not minutes of md5. Implements
+  * `SupportsPushDownLimit` / `SupportsPushDownTopN`: LIMIT n and
+  * ORDER BY doc_id [DESC] LIMIT n collapse to an id sub-range, so
+  * `.limit(5)` on 10 B rows generates 5.
   *
   * Schema: doc_id LONG, source STRING, text STRING where
   * source = "src" + (id % 20) and text = the first-8-hex-chars words
@@ -86,14 +89,44 @@ private[sources] class SynthDocsTable(props: Map[String, String])
 
 private[sources] class SynthScanBuilder(rows: Long, partitions: Int,
     seed: String) extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
   require(rows >= 0, s"synthdocs: rows must be >= 0, got $rows")
   private var required: StructType = SynthDocs.FullSchema
   private var pushedAggs: Seq[SynthAgg] = Nil
+  private var idLo = 0L
+  private var idHi = rows
   override def pruneColumns(requiredSchema: StructType): Unit =
     // an empty projection (e.g. count(*)) still needs row COUNTS;
     // keep the empty struct — the reader emits empty rows
     required = requiredSchema
+
+  // Limit / top-N pushdown: the id spine is ordered, so LIMIT n is the
+  // id range [0, n) and ORDER BY doc_id DESC LIMIT n is [rows−n, rows)
+  // — `.limit(5)` on a 10 B-row generator creates 5 ids, not 10 B rows
+  // that a Limit node then discards. `isPartiallyPushed` stays at its
+  // conservative default (true): Spark keeps the Limit/Sort on top
+  // (cheap at n rows), which also means the DESC case never depends on
+  // this scan's emission order.
+  override def pushLimit(limit: Int): Boolean = {
+    idHi = math.min(idHi, idLo + limit)
+    true
+  }
+  override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean =
+    orders match {
+      case Array(o) if refName(o.expression()).contains("doc_id") =>
+        if (o.direction() == SortDirection.ASCENDING) {
+          idHi = math.min(idHi, idLo + limit)
+        } else {
+          idLo = math.max(idLo, idHi - limit)
+        }
+        true // null ordering is irrelevant: doc_id is non-null
+      case _ => false // non-id or multi-column sorts: generate + sort
+    }
+  // both pushdown traits default this; Scala requires one resolution.
+  // true = Spark keeps the Limit/Sort node (n-row cost) — required for
+  // the DESC case, whose sub-range is emitted ascending
+  override def isPartiallyPushed(): Boolean = true
 
   // Aggregate pushdown: the generator's id spine is closed-form
   // (ids are exactly 0..rows-1, every column non-null), so COUNT /
@@ -134,7 +167,7 @@ private[sources] class SynthScanBuilder(rows: Long, partitions: Int,
 
   override def build(): Scan =
     if (pushedAggs.nonEmpty) new SynthAggScan(rows, pushedAggs)
-    else new SynthScan(rows, partitions, seed, required)
+    else new SynthScan(idLo, idHi, partitions, seed, required)
 }
 
 /** Closed-form aggregates the generator can answer without generating. */
@@ -190,10 +223,13 @@ private[sources] class SynthAggReaderFactory
   }
 }
 
-private[sources] class SynthScan(rows: Long, partitions: Int,
+private[sources] class SynthScan(lo: Long, hi: Long, partitions: Int,
     seed: String, required: StructType) extends Scan with Batch {
+  private val rows = math.max(0L, hi - lo)
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def description(): String =
+    s"synthdocs ids [$lo, $hi)" // pushed limit/top-N ranges show in plans
   override def planInputPartitions(): Array[InputPartition] = {
     // default split count SCALES with the row count (~1M rows per
     // generator split, floor 32, cap 10k) — a fixed 32 would hand a
@@ -203,7 +239,7 @@ private[sources] class SynthScan(rows: Long, partitions: Int,
       else math.min(math.min(math.max(32L, rows / 1000000L), 10000L),
         math.max(rows, 1L)).toInt)
     (0 until p).map { i =>
-      SynthRange(rows * i / p, rows * (i + 1) / p, seed)
+      SynthRange(lo + rows * i / p, lo + rows * (i + 1) / p, seed)
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =

@@ -86,6 +86,28 @@ class SynthDocsSpec extends TestBase {
       (1000L, 0L, 999L))
   }
 
+  test("limit and top-N pushdown: only the needed id sub-range " +
+      "generates, content identical to the unpushed table") {
+    val df = read(1000000000L)
+    val lim = df.limit(5)
+    assert(lim.queryExecution.executedPlan.toString.contains("ids [0, 5)"))
+    // pushed rows are the SAME rows the full generator would emit
+    assert(lim.collect().toSeq == read(5).collect().toSeq)
+    val top = df.orderBy(col("doc_id").desc).limit(3)
+    assert(top.queryExecution.executedPlan.toString
+      .contains("ids [999999997, 1000000000)"))
+    assert(top.collect().map(_.getLong(0)).toSeq ==
+      Seq(999999999L, 999999998L, 999999997L))
+    val asc = df.orderBy("doc_id").limit(2)
+    assert(asc.queryExecution.executedPlan.toString.contains("ids [0, 2)"))
+    assert(asc.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    // a sort the id spine can't answer declines — full range, correct
+    val dec = read(100).orderBy(col("source"), col("doc_id")).limit(1)
+    assert(dec.queryExecution.executedPlan.toString
+      .contains("ids [0, 100)"))
+    assert(dec.collect().head.getLong(0) == 0L) // src0's smallest id
+  }
+
   test("aggregate pushdown over zero rows: count 0, min/max NULL") {
     val r = read(0).agg(count(lit(1)).as("n"), min("doc_id").as("m"),
       max("doc_id").as("x")).collect().head
