@@ -6056,7 +6056,39 @@ object OpsQueries {
              |    AS deviation
              |FROM generate_series(1, 9) s(digit)
              |LEFT JOIN c ON s.digit = c.digit CROSS JOIN t
-             |ORDER BY digit""".stripMargin))
+             |ORDER BY digit""".stripMargin)),
+
+    // ----- PMI collocations -------------------------------------------------
+    // Church & Hanks 1990: adjacent-word pairs ranked by pointwise
+    // mutual information over the corpus — the multi-word-unit miner
+    // behind phrase tables and tokenizer audits. minCount floors away
+    // the hapax pairs whose PMI is maximal by accident; ordering is on
+    // the ROUNDED pmi (then the pair) so the top-K cut is
+    // engine-portable. Oracle replays bigram slots, token slots and
+    // the log2 ratio.
+    "q195_pmi_collocations" -> Entry(
+      (s, dir) => Vocab.pmiCollocations(t(s, dir, "documents"), "text",
+        minCount = 10, topK = 50),
+      Some(s"""WITH tk AS (SELECT $TOKS AS t FROM documents
+              |  WHERE text IS NOT NULL),
+              |bg AS (SELECT unnest([struct_pack(w1 := t[i],
+              |    w2 := t[i + 1])
+              |    FOR i IN generate_series(1, len(t) - 1)]) AS p
+              |  FROM tk),
+              |bf AS (SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS n
+              |  FROM bg GROUP BY 1, 2),
+              |uni AS (SELECT w, COUNT(*) AS uf
+              |  FROM (SELECT unnest(t) AS w FROM tk) GROUP BY 1),
+              |tot AS (SELECT (SELECT SUM(n) FROM bf) AS bsum,
+              |  (SELECT SUM(uf) FROM uni) AS tsum)
+              |SELECT w1, w2, CAST(n AS BIGINT) AS n,
+              |  ROUND(log2((CAST(n AS DOUBLE) / bsum) /
+              |    ((CAST(u1.uf AS DOUBLE) / tsum) *
+              |     (CAST(u2.uf AS DOUBLE) / tsum))), 6) AS pmi
+              |FROM bf JOIN uni u1 ON bf.w1 = u1.w
+              |JOIN uni u2 ON bf.w2 = u2.w CROSS JOIN tot
+              |WHERE n >= 10
+              |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

@@ -173,6 +173,55 @@ object Vocab {
     * aggregation combines map-side and AQE splits the skewed join. Extra
     * scans are linear; skew is not.
     */
+  /** PMI collocation mining (Church & Hanks 1990): the corpus's
+    * adjacent-word pairs ranked by pointwise mutual information,
+    * `pmi(w1,w2) = log2( p(w1,w2) / (p(w1)·p(w2)) )` with pair
+    * probability over all bigram slots and word probabilities over all
+    * token slots. High-PMI pairs are the multi-word units ("new york",
+    * "machine learning") a tokenizer, phrase table, or corpus-analysis
+    * report wants; a `minCount` floor kills the hapax pairs whose PMI
+    * is maximal by accident (the classic PMI failure mode).
+    *
+    * Output: top-`topK` rows (w1, w2, n, pmi round-6), ordered by
+    * ROUNDED pmi desc then pair — ordering on the rounded value keeps
+    * the cut engine-portable.
+    *
+    * Plan: bigrams are the same zero-shuffle `zip_with` projection as
+    * [[bigramLogProb]] (no explode-then-window); one aggregation to
+    * pair counts, one to word counts; the `minCount` filter shrinks
+    * the pair table BEFORE its two word-keyed joins; totals are
+    * broadcast 1-row aggregates; the final order-by-limit plans as
+    * TakeOrdered (per-partition top-K, no global sort). */
+  def pmiCollocations(df: DataFrame, textCol: String,
+      minCount: Long = 5L, topK: Int = 100): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(TextAnalysis.tokens(col(textCol)).as("__toks"))
+    val pairs = toks.select(explode(zip_with(
+        slice(col("__toks"), lit(1),
+          greatest(size(col("__toks")) - 1, lit(0))),
+        slice(col("__toks"), lit(2),
+          greatest(size(col("__toks")) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__p"))
+      .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+    val bf = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+    val uni = toks.select(explode(col("__toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("uf"))
+    val totals = broadcast(bf.agg(sum("n").as("__b"))
+      .crossJoin(uni.agg(sum("uf").as("__t"))))
+    bf.filter(col("n") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("uf").as("uf1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("uf").as("uf2")), Seq("w2"))
+      .crossJoin(totals)
+      .select(col("w1"), col("w2"), col("n"),
+        round(log2((col("n").cast("double") / col("__b")) /
+          ((col("uf1").cast("double") / col("__t")) *
+            (col("uf2").cast("double") / col("__t")))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
       k: Int, idf: (Column, Column) => Column = logIdf): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

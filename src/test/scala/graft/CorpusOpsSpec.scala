@@ -446,6 +446,39 @@ class CorpusOpsSpec extends TestBase {
       s"got $out")
   }
 
+  test("pmiCollocations: hand-checked PMI, minCount kills hapax pairs, " +
+      "tie order and topK cut, null text excluded, guards") {
+    // d1 [new york new york], d2 [in new york], d3 [a b a b a b]:
+    // T=13 token slots, B=10 bigram slots
+    // pairs: (new,york)=3 (york,new)=1 (in,new)=1 (a,b)=3 (b,a)=2
+    val corpus = docs(1L -> "new york new york", 2L -> "in new york",
+      3L -> "a b a b a b").union(docs(4L -> null))
+    def l2(x: Double) = math.log(x) / math.log(2.0)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val pmi33 = r6(l2((3.0 / 10) / ((3.0 / 13) * (3.0 / 13))))
+    val pmiBA = r6(l2((2.0 / 10) / ((3.0 / 13) * (3.0 / 13))))
+    val all = Vocab.pmiCollocations(corpus, "text", minCount = 2,
+      topK = 10).as[(String, String, Long, Double)].collect().toSeq
+    // (a,b) and (new,york) tie on pmi → w1 breaks it; hapax pairs gone
+    assert(all == Seq(("a", "b", 3L, pmi33),
+      ("new", "york", 3L, pmi33), ("b", "a", 2L, pmiBA)), all)
+    val cut = Vocab.pmiCollocations(corpus, "text", minCount = 2,
+      topK = 2).as[(String, String, Long, Double)].collect().toSeq
+    assert(cut == all.take(2))
+    // without the floor, the hapax (in,new) pair ties the top PMI
+    // (0.1·169/3 = 0.3·169/9) — the accidental-maximum failure mode
+    // the knob exists for
+    val noFloor = Vocab.pmiCollocations(corpus, "text", minCount = 1,
+      topK = 10).as[(String, String, Long, Double)].collect()
+    assert(noFloor(1) == (("in", "new", 1L, pmi33)), noFloor.toSeq)
+    assert(intercept[IllegalArgumentException] {
+      Vocab.pmiCollocations(corpus, "text", minCount = 0)
+    }.getMessage.contains("minCount"))
+    assert(intercept[IllegalArgumentException] {
+      Vocab.pmiCollocations(corpus, "text", topK = 0)
+    }.getMessage.contains("topK"))
+  }
+
   test("bigramLogProb: scrambled word order scores below the natural " +
     "order the corpus establishes (what a unigram model cannot see); " +
     "partitioning-invariant") {
