@@ -164,6 +164,31 @@ object EventStreams {
           id: Long) => sink(score(batch), id)
     }
 
+  /** Streaming drift monitor — the ingest-side data-quality alarm: every
+    * micro-batch's categorical distribution (source, language, label) is
+    * χ²-tested against a STATIC reference snapshot
+    * ([[graft.operators.Profiles.chiSquaredDrift]]) and the per-category
+    * report goes to `sink` with the batch id; Σ contrib over the report
+    * is the batch's drift statistic for the caller's threshold. The
+    * same stateless foreachBatch shape as [[serveTopK]]: the reference
+    * is a plain (small, typically cached) DataFrame, the stream side is
+    * one aggregation per micro-batch, no state store, no watermark.
+    * Empty micro-batches emit no report (a 0-row distribution has no
+    * defined test, and the operator would rightly raise). */
+  def driftMonitor(stream: DataFrame, reference: DataFrame,
+      colName: String)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        if (!batch.isEmpty) {
+          sink(graft.operators.Profiles.chiSquaredDrift(
+            reference, batch.toDF(), colName), id)
+        }
+    }
+
   /** Gap-based sessionization via the BUILT-IN `session_window` (merging
     * event-time windows + watermark state eviction) — the declarative
     * counterpart of [[sessionize]]. Prefer this when per-session output

@@ -628,6 +628,40 @@ class StreamingSpec extends TestBase {
         "cherry-picked out of a failed drop")
   }
 
+  test("streaming drift monitor: per-micro-batch chi-squared vs a static " +
+      "reference; proportional batch scores zero, drifted batch alarms; " +
+      "stream report equals the batch operator's") {
+    val in = tmpDir().toString
+    def langs(pairs: (String, Int)*) = pairs
+      .flatMap { case (v, n) => Seq.fill(n)(v) }.toDF("lang")
+    val ref = langs("a" -> 40, "b" -> 10)
+    // drop 1 mirrors the reference proportions exactly; drop 2 is all-b
+    langs("a" -> 8, "b" -> 2).coalesce(1).write.mode("append").parquet(in)
+    val reports = new scala.collection.mutable.ArrayBuffer[
+      (Long, Seq[(String, Double)])]
+    val q = EventStreams.driftMonitor(
+        EventStreams.readEventStream(spark, in, ref.schema), ref, "lang") {
+        (report, id) =>
+          reports.synchronized {
+            reports += id -> report.collect()
+              .map(r => (r.getString(0), r.getDouble(5))).toSeq
+          }
+      }.start()
+    q.processAllAvailable()
+    langs("b" -> 10).coalesce(1).write.mode("append").parquet(in)
+    q.processAllAvailable(); q.stop()
+    assert(reports.size == 2, reports)
+    // a perfectly proportional batch has ZERO contribution everywhere
+    assert(reports(0)._2.forall(_._2 == 0.0), reports(0))
+    // the all-b batch alarms, and the streaming report is EXACTLY the
+    // batch operator's on the same data (stream ≡ batch pin)
+    val expected = graft.operators.Profiles
+      .chiSquaredDrift(ref, langs("b" -> 10), "lang").collect()
+      .map(r => (r.getString(0), r.getDouble(5))).toSeq
+    assert(reports(1)._2 == expected, s"${reports(1)} vs $expected")
+    assert(expected.map(_._2).sum > 5.0, "drifted batch must alarm")
+  }
+
   test("streaming observation: per-micro-batch ingest metrics surface " +
       "in query progress without a second pass") {
     val in = tmpDir().toString
