@@ -6088,7 +6088,40 @@ object OpsQueries {
               |FROM bf JOIN uni u1 ON bf.w1 = u1.w
               |JOIN uni u2 ON bf.w2 = u2.w CROSS JOIN tot
               |WHERE n >= 10
-              |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin))
+              |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin)),
+
+    // ----- mojibake detection + repair --------------------------------------
+    // The ftfy primitive, Spark-native: crawl text whose UTF-8 was once
+    // read as latin-1/cp1252 ("cafÃ©", "donâ€™t") is detected by
+    // lead+continuation marker counting and repaired by
+    // translate(cp1252→bytes) → encode(latin-1) → reinterpret-as-UTF-8,
+    // all codegen'd builtins. The fixture PLANTS both corruption
+    // families on the ASCII corpus (one marker each) and keeps every
+    // third doc clean; the oracle PREDICTS the repaired text from the
+    // clean original — the operator must byte-exactly reconstruct what
+    // was corrupted, md5-pinned.
+    "q196_mojibake" -> Entry(
+      (s, dir) => {
+        val planted = t(s, dir, "documents").select(col("doc_id"),
+          when(col("doc_id") % 3 === 1,
+            concat(col("text"), lit(" cafÃ©")))
+            .when(col("doc_id") % 3 === 2,
+              concat(col("text"), lit(" donâ€™t")))
+            .otherwise(col("text")).as("text"))
+        TextAnalysis.withMojibake(planted, "text")
+          .select(col("doc_id"), col("mojibake_hits"),
+            md5(col("text_fixed")).as("fixed_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END AS INT)
+             |    AS mojibake_hits,
+             |  md5(CASE WHEN doc_id % 3 = 1
+             |        THEN text || ' caf' || chr(233)
+             |      WHEN doc_id % 3 = 2
+             |        THEN text || ' don' || chr(8217) || 't'
+             |      ELSE text END) AS fixed_md5
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

@@ -35,6 +35,67 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** The 27 printable characters Windows-1252 places at 0x80–0x9F (€ ‚ ƒ
+    * „ … † ‡ ˆ ‰ Š ‹ Œ Ž ‘ ’ “ ” • – — ˜ ™ š › œ ž Ÿ) and, position for
+    * position, the C1 code points carrying those byte VALUES — the
+    * `translate` pair that turns a cp1252 misdecode back into its
+    * original byte sequence. */
+  private val Cp1252High: String =
+    "\u20AC\u201A\u0192\u201E\u2026\u2020\u2021\u02C6\u2030\u0160" +
+      "\u2039\u0152\u017D\u2018\u2019\u201C\u201D\u2022\u2013\u2014" +
+      "\u02DC\u2122\u0161\u203A\u0153\u017E\u0178"
+  private val C1Bytes: String =
+    "\u0080\u0082\u0083\u0084\u0085\u0086\u0087\u0088\u0089\u008A" +
+      "\u008B\u008C\u008E\u0091\u0092\u0093\u0094\u0095\u0096\u0097" +
+      "\u0098\u0099\u009A\u009B\u009C\u009E\u009F"
+  // a UTF-8 continuation byte misdecoded as latin-1 (U+0080–U+00BF) or
+  // as one of cp1252's printable high characters
+  private val MojiCont = "[\u0080-\u00BF" + Cp1252High + "]"
+
+  /** Count of mojibake marker sequences — UTF-8 lead-byte characters
+    * (2-byte leads U+00C2-U+00DF, 3-byte leads U+00E0-U+00EF as
+    * latin-1/cp1252 misreads)
+    * followed by the right number of continuation-shaped characters
+    * ("Ã©", "â€™"). Non-overlapping count; 0 on clean text, null on
+    * null. The detection half of the ftfy primitive. */
+  def mojibakeHits(text: Column): Column =
+    regexp_count(text, lit("(?:[\u00C2-\u00DF]" + MojiCont +
+      ")|(?:[\u00E0-\u00EF]" + MojiCont + "{2})")).cast("int")
+
+  /** Single-pass mojibake repair (the ftfy recipe, Spark-native): undo
+    * one UTF-8-read-as-latin-1/cp1252 misdecode by mapping cp1252's
+    * high characters back to their byte values (`translate`), encoding
+    * the string as latin-1 (now byte-identical to the original
+    * corruption) and reinterpreting those bytes as UTF-8. Applied only
+    * when (a) [[mojibakeHits]] fires, (b) every character survives the
+    * latin-1 round trip — mixed-script strings (real CJK plus a stray
+    * marker) stay UNTOUCHED rather than half-repaired — and (c) the
+    * recovered bytes are valid UTF-8 (`is_valid_utf8` on the
+    * reinterpreted binary; no decode that could raise). Everything else
+    * passes through unchanged; null stays null. Double-encoded text
+    * needs one call per encoding layer.
+    *
+    * Pure scan projection: translate + encode + cast + regexes, all
+    * codegen'd built-ins, no UDF, branch values evaluated lazily per
+    * row (`CaseWhen`), so the latin-1 encoder never sees a
+    * non-latin-1 string. */
+  def fixMojibake(text: Column): Column = {
+    val translated = translate(text, Cp1252High, C1Bytes)
+    // binary→string cast reinterprets the bytes as UTF-8 WITHOUT
+    // validation — is_valid_utf8 then vets exactly those bytes
+    val candidate = encode(translated, "ISO-8859-1").cast("string")
+    when(mojibakeHits(text) > 0 &&
+        translated.rlike("^[\u0000-\u00FF]*$") &&
+        is_valid_utf8(candidate),
+      candidate).otherwise(text)
+  }
+
+  /** [[mojibakeHits]] + [[fixMojibake]] as columns `mojibake_hits` and
+    * `<textCol>_fixed` — the scrub-then-count ingest step. */
+  def withMojibake(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("mojibake_hits", mojibakeHits(col(textCol)))
+      .withColumn(textCol + "_fixed", fixMojibake(col(textCol)))
+
   /** Characters matching a regex, as a count (quality-scoring feature). */
   def regexCount(text: Column, pattern: String): Column =
     regexp_count(text, lit(pattern)).cast("long")

@@ -1358,6 +1358,42 @@ class CorpusOpsSpec extends TestBase {
 
   // ---------- normalize ----------------------------------------------------
 
+  test("mojibake: detection counts markers; repair undoes latin-1 and " +
+      "cp1252 misdecodes; mixed-script and clean text untouched; " +
+      "double-encoding needs one pass per layer") {
+    import graft.operators.TextAnalysis
+    // "café" read as latin-1 → "cafÃ©"; "don’t" read as
+    // cp1252 → "donâ€™t"
+    val rows = Seq(
+      "cafÃ©",
+      "donâ€™t",
+      "plain ascii",
+      "résumé", // genuine accents, no markers
+      "中文 cafÃ©", // mixed script: decline
+      null).toDF("text")
+    val out = TextAnalysis.withMojibake(rows, "text")
+      .select("mojibake_hits", "text_fixed").collect()
+    assert(out(0).getInt(0) == 1 && out(0).getString(1) == "café")
+    assert(out(1).getInt(0) == 1 &&
+      out(1).getString(1) == "don’t")
+    assert(out(2).getInt(0) == 0 && out(2).getString(1) == "plain ascii")
+    assert(out(3).getInt(0) == 0 &&
+      out(3).getString(1) == "résumé")
+    // markers present but CJK fails the latin-1 round trip → untouched
+    assert(out(4).getInt(0) == 1 &&
+      out(4).getString(1) == "中文 cafÃ©")
+    assert(out(5).isNullAt(0) && out(5).isNullAt(1))
+    // doubly-misdecoded "é": latin-1(latin-1(utf8 é)) is
+    // C3 83 C2 A9 misread as Ã, U+0083, Â, © — one layer per pass
+    val twice = Seq("caf\u00C3\u0083\u00C2\u00A9").toDF("text")
+    val once = TextAnalysis.withMojibake(twice, "text")
+      .select("text_fixed").collect().head.getString(0)
+    assert(once == "cafÃ©", once)
+    val again = TextAnalysis.withMojibake(Seq(once).toDF("text"), "text")
+      .select("text_fixed").collect().head.getString(0)
+    assert(again == "café", again)
+  }
+
   test("normalize: NFC composition, casefold, whitespace collapse") {
     import graft.operators.TextAnalysis
     val decomposed = "Café   Menu\n\tWelcome " // e + combining acute
