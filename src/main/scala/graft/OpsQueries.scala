@@ -6121,6 +6121,37 @@ object OpsQueries {
              |      WHEN doc_id % 3 = 2
              |        THEN text || ' don' || chr(8217) || 't'
              |      ELSE text END) AS fixed_md5
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ----- URL canonicalization ---------------------------------------------
+    // The first dedup key of every crawl pipeline (C4/CommonCrawl
+    // practice: pages dedupe by URL before any content fingerprint).
+    // The fixture plants four transport-noise families — default port,
+    // tracking-only query, unsorted params + tracking, fragment — and
+    // the oracle PREDICTS the canonical form from first principles
+    // rather than replaying the regex chain: the operator must erase
+    // exactly the noise and nothing else.
+    "q197_url_canonical" -> Entry(
+      (s, dir) => {
+        val planted = t(s, dir, "documents").select(col("doc_id"),
+          concat(lit("HTTPS://WWW."), upper(col("source")),
+            lit(".Example.COM"),
+            when(col("doc_id") % 4 === 0, lit(":443")).otherwise(lit("")),
+            lit("/Page/"), col("doc_id"),
+            when(col("doc_id") % 4 === 1,
+              lit("?utm_source=feed&gclid=g#top"))
+              .when(col("doc_id") % 4 === 2, lit("?b=2&utm_campaign=c&a=1"))
+              .when(col("doc_id") % 4 === 3, lit("#frag"))
+              .otherwise(lit(""))).as("url"))
+        graft.operators.Urls.withCanonicalUrl(planted, "url")
+          .select(col("doc_id"), col("url_canonical"), col("url_domain"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  'https://www.' || source || '.example.com/Page/' ||
+             |    doc_id || CASE WHEN doc_id % 4 = 2 THEN '?a=1&b=2'
+             |      ELSE '' END AS url_canonical,
+             |  source || '.example.com' AS url_domain
              |FROM documents ORDER BY doc_id""".stripMargin))
   )
 

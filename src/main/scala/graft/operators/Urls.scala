@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization — the FIRST dedup key of every crawl pipeline:
+  * two fetches of one page differ in scheme/host case, default ports,
+  * tracking parameters, parameter order, and fragments long before
+  * their bodies differ, so corpora dedupe on the canonical URL before
+  * any content fingerprint runs (CommonCrawl/C4 practice; Raffel et
+  * al. 2020 dedupe pages by URL first).
+  *
+  * Everything here is a pure scan projection of codegen'd regex/array
+  * builtins — no UDF, no java.net.URI (whose parser raises on the
+  * malformed URLs a crawl is full of; these expressions just yield
+  * null). The DuckDB oracle replays the same chain 1:1
+  * (regexp_extract, list_filter/list_sort, array_to_string).
+  */
+object Urls {
+
+  private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+
+  /** Lowercased scheme, null when the string isn't scheme://-shaped. */
+  def schemeOf(url: Column): Column = {
+    val s = lower(regexp_extract(url, SchemeRe, 1))
+    when(s =!= "", s)
+  }
+
+  /** Lowercased host: authority minus userinfo and minus a DEFAULT
+    * port (:80 http, :443 https — non-default ports are kept, they
+    * address different servers). Null for non-URLs. */
+  def hostOf(url: Column): Column = {
+    val auth = regexp_extract(url, SchemeRe + "([^/?#]*)", 2)
+    val noUser = regexp_extract(auth, "([^@]*)$", 1)
+    val h = lower(regexp_replace(noUser, ":(80|443)$", ""))
+    when(h =!= "", h)
+  }
+
+  /** Registrable-ish domain: the host with one leading `www.` label
+    * dropped. (True eTLD+1 needs the public-suffix list — a corpus
+    * resource, not an expression; per-domain caps/quotas group fine on
+    * this.) */
+  def domainOf(url: Column): Column =
+    regexp_replace(hostOf(url), "^www\\.", "")
+
+  /** Canonical form: lowercased scheme://host, path verbatim (paths
+    * are case-sensitive; empty path → "/"), query parameters with
+    * tracking keys (`utm_*`, `gclid`, `fbclid`, `ref`) removed and the
+    * REST SORTED (param order is transport noise), fragment dropped
+    * (never sent to the server). Null when scheme or host is missing —
+    * a non-URL has no canonical form. */
+  def canonicalizeUrl(url: Column): Column = {
+    val path0 = regexp_extract(url, SchemeRe + "[^/?#]*([^?#]*)", 2)
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val kept = array_join(array_sort(filter(split(query, "&"), p =>
+      p =!= "" && !p.rlike("^(utm_[^=]*|gclid|fbclid|ref)="))), "&")
+    when(schemeOf(url).isNotNull && hostOf(url).isNotNull,
+      concat(schemeOf(url), lit("://"), hostOf(url), path,
+        when(kept =!= "", concat(lit("?"), kept)).otherwise(lit(""))))
+  }
+
+  /** [[canonicalizeUrl]] + [[domainOf]] as columns `url_canonical` and
+    * `url_domain` — the projection in front of URL-level exact dedup
+    * ([[Dedup.exactKeepMinId]] on `url_canonical`) and per-domain
+    * caps ([[Sampling.perKeyCap]] on `url_domain`). */
+  def withCanonicalUrl(df: DataFrame, urlCol: String): DataFrame =
+    df.withColumn("url_canonical", canonicalizeUrl(col(urlCol)))
+      .withColumn("url_domain", domainOf(col(urlCol)))
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** [[graft.operators.Urls]] — canonical forms must collapse transport
+  * noise (case, default ports, tracking params, param order, fragments)
+  * and NOTHING else; non-URLs must yield null, never raise. */
+class UrlsSpec extends TestBase {
+  import graft.operators.Urls
+
+  private def canon(s: String): Option[String] = {
+    import spark.implicits._
+    Seq(Option(s)).toDF("u")
+      .select(Urls.canonicalizeUrl(col("u"))).collect().head match {
+      case r if r.isNullAt(0) => None
+      case r => Some(r.getString(0))
+    }
+  }
+
+  test("canonical form: case, userinfo, default port, tracking params, " +
+      "param order, fragment") {
+    assert(canon("HTTPS://User:Pw@WWW.Site.COM:443/Path/To" +
+      "?utm_source=x&b=2&a=1#frag") ==
+      Some("https://www.site.com/Path/To?a=1&b=2"))
+    // path case is preserved (paths are case-sensitive)
+    assert(canon("http://A.com/CaseSensitive") ==
+      Some("http://a.com/CaseSensitive"))
+    // non-default ports address different servers: kept
+    assert(canon("http://site.com:8080") == Some("http://site.com:8080/"))
+    assert(canon("http://site.com:80/x") == Some("http://site.com/x"))
+    // tracking-only query → no '?' at all
+    assert(canon("https://a.com/p?utm_source=x&gclid=g&fbclid=f&ref=r") ==
+      Some("https://a.com/p"))
+    assert(canon("https://a.com/p?ref=abc&q=1") == Some("https://a.com/p?q=1"))
+    // empty path normalizes to /
+    assert(canon("https://a.com") == Some("https://a.com/"))
+    assert(canon("ftp://Host/File") == Some("ftp://host/File"))
+  }
+
+  test("non-URLs and null yield null, never raise; domain strips one " +
+      "www label only") {
+    import spark.implicits._
+    assert(canon("not a url") == None)
+    assert(canon("") == None)
+    assert(canon(null) == None)
+    assert(canon("://missing.scheme/x") == None)
+    val d = Seq("https://WWW.News.Site.co.uk/a", "https://www.www.x.com/b",
+      "not a url").toDF("u")
+    val doms = d.select(Urls.domainOf(col("u"))).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    assert(doms == Seq("news.site.co.uk", "www.x.com", null), doms)
+  }
+
+  test("withCanonicalUrl feeds URL-level dedup: transport variants of " +
+      "one page collapse to one key") {
+    import spark.implicits._
+    val variants = Seq(
+      "https://www.shop.com/item/9?a=1&b=2",
+      "HTTPS://WWW.Shop.COM:443/item/9?b=2&a=1#reviews",
+      "https://www.shop.com/item/9?a=1&utm_campaign=sale&b=2",
+      "https://www.shop.com/item/8").zipWithIndex
+      .map { case (u, i) => (i.toLong, u) }.toDF("id", "url")
+    val out = Urls.withCanonicalUrl(variants, "url")
+    assert(out.select("url_canonical").distinct().count() == 2)
+    val deduped = graft.operators.Dedup.exactKeepMinId(
+      out.select(col("id"), col("url_canonical").as("text")), "id", "text")
+    assert(deduped.count() == 2)
+  }
+}
