@@ -6152,7 +6152,56 @@ object OpsQueries {
              |    doc_id || CASE WHEN doc_id % 4 = 2 THEN '?a=1&b=2'
              |      ELSE '' END AS url_canonical,
              |  source || '.example.com' AS url_domain
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ----- mergeable profile state (incremental ANALYZE) --------------------
+    // Stats maintenance at lake scale: profile each snapshot ONCE,
+    // persist KB-sized state, fold states instead of rescanning old
+    // data. The entry builds states over the two orderkey-parity
+    // halves, merges, and reports the EXACT fields (counts, nulls,
+    // numerically-merged min/max as their original string renderings);
+    // the oracle aggregates the whole table directly — merge
+    // arithmetic must be invisible. The HLL distinct estimate is
+    // engine-specific and spec-pinned instead (within sketch error of
+    // exact; the summarizeApprox precedent).
+    "q198_mergeable_profile" -> Entry(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val cols = Seq("o_orderkey", "o_orderpriority", "o_orderdate",
+          "o_totalprice")
+        val sA = Profiles.summarizeState(
+          o.filter(col("o_orderkey") % 2 === 0), cols)
+        val sB = Profiles.summarizeState(
+          o.filter(col("o_orderkey") % 2 === 1), cols)
+        Profiles.summaryReport(Profiles.mergeSummaryStates(sA.union(sB)))
+          .select(col("column").as("col_name"), col("n_rows"),
+            col("n_nulls"), col("min_val"), col("max_val"))
+          .orderBy("col_name")
+      },
+      Some("""SELECT 'o_orderkey' AS col_name,
+             |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_nulls,
+             |  CAST(MIN(o_orderkey) AS VARCHAR) AS min_val,
+             |  CAST(MAX(o_orderkey) AS VARCHAR) AS max_val FROM orders
+             |UNION ALL
+             |SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+             |  CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1
+             |    ELSE 0 END) AS BIGINT),
+             |  MIN(o_orderpriority), MAX(o_orderpriority) FROM orders
+             |UNION ALL
+             |SELECT 'o_orderdate', CAST(COUNT(*) AS BIGINT),
+             |  CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT),
+             |  CAST(MIN(o_orderdate) AS VARCHAR),
+             |  CAST(MAX(o_orderdate) AS VARCHAR) FROM orders
+             |UNION ALL
+             |SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+             |  CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT),
+             |  CAST(MIN(o_totalprice) AS VARCHAR),
+             |  CAST(MAX(o_totalprice) AS VARCHAR) FROM orders
+             |ORDER BY col_name""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

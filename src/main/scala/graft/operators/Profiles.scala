@@ -67,6 +67,81 @@ object Profiles {
     one.select(explode(array(rows: _*)).as("r")).select("r.*")
   }
 
+  /** MERGEABLE per-column profile state — the incremental form of
+    * [[summarizeApprox]]: profile each snapshot/shard ONCE as it lands,
+    * persist the KB-sized state, and fold states together instead of
+    * ever rescanning old data (the ANALYZE-incrementally shape a
+    * 100 TB lake needs; stats maintenance cost becomes O(new data)).
+    *
+    * State row per column: `column`, `n_rows`, `n_nulls`, `sketch`
+    * (HLL registers — unions losslessly: no double counting across
+    * overlapping states; a union-promoted sketch may ESTIMATE from a
+    * different HLL mode than a directly-built one, so estimates agree
+    * within sketch error, not bit-for-bit), `min_val`/`max_val` (the
+    * ORIGINAL Spark string
+    * renderings, compared numerically at merge time when `is_numeric`
+    * — lexicographic string merge would order "9" > "10"), and
+    * `is_numeric`. Values are sketched via their string rendering
+    * (injective per column; Spark's HLL agg takes int/long/string/
+    * binary only). One scan, one group-less aggregation, KB output. */
+  def summarizeState(df: DataFrame, cols: Seq[String],
+      lgK: Int = 12): DataFrame = {
+    require(cols.nonEmpty, "at least one column required")
+    val numeric = cols.map { c =>
+      c -> df.schema(c).dataType.isInstanceOf[
+        org.apache.spark.sql.types.NumericType]
+    }.toMap
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(lit(1)).as(s"__n_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+        hll_sketch_agg(col(c).cast("string"), lit(lgK)).as(s"__sk_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("column"), col(s"__n_$c").as("n_rows"),
+        col(s"__nulls_$c").as("n_nulls"), col(s"__sk_$c").as("sketch"),
+        col(s"__min_$c").as("min_val"), col(s"__max_$c").as("max_val"),
+        lit(numeric(c)).as("is_numeric"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select("r.*")
+  }
+
+  /** Fold any number of [[summarizeState]] outputs (unioned) into one
+    * state: counts add, HLL registers union, min/max compare
+    * numerically for numeric columns (`min_by`/`max_by` on the parsed
+    * value — the stored strings stay the originals) and
+    * lexicographically otherwise. Group key is the column name; the
+    * whole operation touches only KB-sized state rows. */
+  def mergeSummaryStates(states: DataFrame): DataFrame =
+    states
+      .groupBy(col("column"), col("is_numeric"))
+      .agg(sum("n_rows").as("n_rows"), sum("n_nulls").as("n_nulls"),
+        hll_union_agg(col("sketch"), lit(true)).as("sketch"),
+        min_by(col("min_val"), col("min_val").try_cast("double"))
+          .as("__nmin"),
+        max_by(col("max_val"), col("max_val").try_cast("double"))
+          .as("__nmax"),
+        min(col("min_val")).as("__smin"), max(col("max_val")).as("__smax"))
+      .select(col("column"), col("n_rows"), col("n_nulls"), col("sketch"),
+        when(col("is_numeric"), col("__nmin")).otherwise(col("__smin"))
+          .as("min_val"),
+        when(col("is_numeric"), col("__nmax")).otherwise(col("__smax"))
+          .as("max_val"),
+        col("is_numeric"))
+
+  /** [[summarizeApprox]]-shaped report from a (possibly merged) state:
+    * `column`, `n_rows`, `n_nulls`, `n_distinct` (HLL estimate,
+    * rounded to a count), `min_val`, `max_val`. */
+  def summaryReport(state: DataFrame): DataFrame =
+    state.select(col("column"), col("n_rows"), col("n_nulls"),
+      round(hll_sketch_estimate(col("sketch"))).cast("long")
+        .as("n_distinct"),
+      col("min_val"), col("max_val"))
+      .orderBy("column")
+
   /** Contiguous token packing (the pretraining-stream shape): documents
     * are packed into bins of `budget` tokens in id order WITHIN each of
     * `nShards` hash shards. Global greedy packing is inherently

@@ -1758,6 +1758,59 @@ class OperatorsSpec extends TestBase {
     assert(!plan.contains("Expand"), s"approx profile must be one-pass:\n$plan")
   }
 
+  test("mergeable profile state: merged exact fields equal the " +
+      "single-scan state, distinct estimates stay within sketch error; " +
+      "numeric min/max merge numerically where lexicographic would " +
+      "invert") {
+    import graft.operators.Profiles
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val cols = Seq("o_orderkey", "o_orderpriority", "o_totalprice")
+    val a = o.filter(col("o_orderkey") % 2 === 0)
+    val b = o.filter(col("o_orderkey") % 2 === 1)
+    val merged = Profiles.summaryReport(Profiles.mergeSummaryStates(
+      Profiles.summarizeState(a, cols)
+        .union(Profiles.summarizeState(b, cols)))).collect().toSeq
+    val whole = Profiles.summaryReport(
+      Profiles.summarizeState(o, cols)).collect().toSeq
+    // exact fields (counts, nulls, min, max) match the single-scan
+    // state bit for bit; the distinct ESTIMATE may differ slightly
+    // (a union-promoted sketch estimates from a different HLL mode
+    // than a directly-built one) but must stay within sketch error of
+    // the exact count
+    def exactFields(rs: Seq[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(4), r.getString(5)))
+    assert(exactFields(merged) == exactFields(whole),
+      s"$merged vs $whole")
+    val exactDistinct = Profiles.summarize(o, cols).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    (merged ++ whole).foreach { r =>
+      val (c, est) = (r.getString(0), r.getLong(3))
+      val ex = exactDistinct(c)
+      assert(math.abs(est - ex).toDouble / ex.max(1L) <= 0.05,
+        s"$c: estimate $est vs exact $ex")
+    }
+    // "9" vs "10": numeric columns must compare parsed, strings raw
+    val s1 = Profiles.summarizeState(
+      Seq((9L, "9")).toDF("n", "s"), Seq("n", "s"))
+    val s2 = Profiles.summarizeState(
+      Seq((10L, "10")).toDF("n", "s"), Seq("n", "s"))
+    val m = Profiles.summaryReport(
+        Profiles.mergeSummaryStates(s1.union(s2))).collect()
+      .map(r => r.getString(0) -> (r.getString(4), r.getString(5))).toMap
+    assert(m("n") == ("9", "10"), m)   // numeric: 9 < 10
+    assert(m("s") == ("10", "9"), m)   // lexicographic: "10" < "9"
+    // counts and nulls add across states
+    val withNull = Profiles.summaryReport(Profiles.mergeSummaryStates(
+      Profiles.summarizeState(
+        Seq(Option(1L), None).toDF("n"), Seq("n")).union(
+        Profiles.summarizeState(
+          Seq(Option(2L), None, None).toDF("n"), Seq("n")))))
+      .collect().head
+    assert(withNull.getLong(1) == 5L && withNull.getLong(2) == 3L &&
+      withNull.getLong(3) == 2L)
+  }
+
   test("token packing: bins fill to budget within shards (packing)") {
     // one shard (ids ≡ 0 mod 8): 5 docs × 100 tokens, budget 250
     val df = Seq(0L, 8L, 16L, 24L, 32L).map(i => (i, 100L))
