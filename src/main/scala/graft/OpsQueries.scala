@@ -6201,7 +6201,36 @@ object OpsQueries {
              |    AS BIGINT),
              |  CAST(MIN(o_totalprice) AS VARCHAR),
              |  CAST(MAX(o_totalprice) AS VARCHAR) FROM orders
-             |ORDER BY col_name""".stripMargin))
+             |ORDER BY col_name""".stripMargin)),
+
+    // ----- c-TF-IDF distinctive terms per source ----------------------------
+    // BERTopic's class-TF-IDF: each source's concatenated text as one
+    // super-document, terms weighted by within-source rate ×
+    // ln(nSources / sourcesWithTerm) — "what does src7 talk about that
+    // the others don't". Top-5 per source, WindowGroupLimit-shaped cut
+    // on (rounded score, term). Oracle replays explode → class counts
+    // → idf → per-source ROW_NUMBER.
+    "q199_ctfidf_terms" -> Entry(
+      (s, dir) => Vocab.cTfIdfTopTerms(t(s, dir, "documents"),
+        "source", "text", k = 5),
+      Some(s"""WITH tk AS (SELECT source, unnest($TOKS) AS term
+              |  FROM documents
+              |  WHERE text IS NOT NULL AND source IS NOT NULL),
+              |ctf AS (SELECT source AS key, term, COUNT(*) AS n
+              |  FROM tk GROUP BY 1, 2),
+              |l AS (SELECT key, SUM(n) AS lt FROM ctf GROUP BY 1),
+              |kw AS (SELECT term, COUNT(*) AS kn FROM ctf GROUP BY 1),
+              |nk AS (SELECT COUNT(*) AS nkeys FROM l),
+              |sc AS (SELECT c.key, c.term, c.n,
+              |    ROUND((CAST(c.n AS DOUBLE) / l.lt) *
+              |      ln(CAST(nkeys AS DOUBLE) / kn), 6) AS score
+              |  FROM ctf c JOIN l USING (key) JOIN kw USING (term)
+              |  CROSS JOIN nk),
+              |r AS (SELECT key, term, CAST(n AS BIGINT) AS n, score,
+              |    ROW_NUMBER() OVER (PARTITION BY key
+              |      ORDER BY score DESC, term) AS rn FROM sc)
+              |SELECT key, term, n, score FROM r WHERE rn <= 5
+              |ORDER BY key, score DESC, term""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

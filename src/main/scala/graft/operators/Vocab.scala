@@ -222,6 +222,55 @@ object Vocab {
       .limit(topK)
   }
 
+  /** Class-based TF-IDF (the BERTopic/c-TF-IDF idea): the terms that
+    * CHARACTERIZE each key (source, cluster, language) rather than each
+    * document — treat every key's concatenated text as one
+    * super-document, weight each term by its within-key rate times
+    * ln(nKeys / keysWithTerm), and keep each key's top `k`. The
+    * corpus-analysis report behind "what does src7 talk about that the
+    * others don't".
+    *
+    * Output: `key`, `term`, `n` (within-key occurrences), `score`
+    * (round-6), top-k per key ordered score desc then term — ties and
+    * the cut are deterministic and engine-portable.
+    *
+    * Scale shape: one explode → (key, term) aggregation (map-side
+    * combined — the only corpus-sized exchange), key totals and
+    * term→key-counts are aggregations OF that table, nKeys broadcasts
+    * as a 1-row aggregate, and the top-k filter is a key-partitioned
+    * `row_number` ≤ k that plans as WindowGroupLimit (map-side top-k
+    * per key BEFORE the exchange, the [[Sampling.perKeyCap]]
+    * precedent); per-partition width is the per-key vocabulary. */
+  def cTfIdfTopTerms(df: DataFrame, keyCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val keyTerms = df
+      .filter(col(textCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(keyCol).as("key"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy("key", "term")
+      .agg(count(lit(1)).as("n"))
+    val keyLen = keyTerms.groupBy("key").agg(sum("n").as("__len"))
+    val termKeys = keyTerms.groupBy("term")
+      .agg(count(lit(1)).as("__kw"))
+    val nKeys = keyLen.agg(count(lit(1)).as("__nkeys"))
+    val scored = keyTerms
+      .join(keyLen, "key")
+      .join(termKeys, "term")
+      .crossJoin(broadcast(nKeys))
+      .select(col("key"), col("term"), col("n"),
+        round((col("n").cast("double") / col("__len")) *
+          log(col("__nkeys").cast("double") / col("__kw")), 6)
+          .as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key"))
+      .orderBy(col("score").desc, col("term").asc)
+    scored
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+      .orderBy(col("key"), col("score").desc, col("term"))
+  }
+
   def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
       k: Int, idf: (Column, Column) => Column = logIdf): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

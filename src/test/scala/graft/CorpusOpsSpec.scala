@@ -479,6 +479,28 @@ class CorpusOpsSpec extends TestBase {
     }.getMessage.contains("topK"))
   }
 
+  test("cTfIdfTopTerms: the shared term scores 0, each key's private " +
+      "term characterizes it; top-k cut and tie order; null key/text " +
+      "excluded; guard") {
+    import spark.implicits._
+    // x appears in every key → idf ln(3/3) = 0; y/z/w are private
+    val d = Seq(("A", "x x y"), ("B", "x z"), ("C", "x w"),
+      (null, "noise"), ("A", null)).toDF("src", "text")
+    def l3(f: Double) = math.rint(f * math.log(3.0) * 1e6) / 1e6
+    val out = Vocab.cTfIdfTopTerms(d, "src", "text", k = 2)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("A", "y", 1L, l3(1.0 / 3)), ("A", "x", 2L, 0.0),
+      ("B", "z", 1L, l3(0.5)), ("B", "x", 1L, 0.0),
+      ("C", "w", 1L, l3(0.5)), ("C", "x", 1L, 0.0)), out)
+    val top1 = Vocab.cTfIdfTopTerms(d, "src", "text", k = 1)
+      .as[(String, String, Long, Double)].collect().map(r => r._1 -> r._2)
+    assert(top1.toSeq == Seq("A" -> "y", "B" -> "z", "C" -> "w"))
+    assert(intercept[IllegalArgumentException] {
+      Vocab.cTfIdfTopTerms(d, "src", "text", k = 0)
+    }.getMessage.contains("k must be"))
+  }
+
   test("bigramLogProb: scrambled word order scores below the natural " +
     "order the corpus establishes (what a unigram model cannot see); " +
     "partitioning-invariant") {
