@@ -6230,7 +6230,34 @@ object OpsQueries {
               |    ROW_NUMBER() OVER (PARTITION BY key
               |      ORDER BY score DESC, term) AS rn FROM sc)
               |SELECT key, term, n, score FROM r WHERE rn <= 5
-              |ORDER BY key, score DESC, term""".stripMargin))
+              |ORDER BY key, score DESC, term""".stripMargin)),
+
+    // ----- struct flattening (semi-structured → columnar) -------------------
+    // The step after a schema'd from_json / nested-parquet read: lift
+    // nested struct fields to flat `parent_child` columns so pruning /
+    // pushdown / codegen see plain names. The entry nests orders
+    // columns two levels deep, flattens, and aggregates BY the
+    // flattened names; the oracle computes the same aggregate from the
+    // original flat columns — flattening must be exactly a renaming.
+    "q200_flatten_structs" -> Entry(
+      (s, dir) => {
+        val nested = t(s, dir, "orders").select(col("o_orderkey"),
+          struct(col("o_orderpriority").as("priority"),
+            struct(year(col("o_orderdate")).as("y"),
+              month(col("o_orderdate")).as("m")).as("date"),
+            col("o_totalprice").as("amount")).as("meta"))
+        QuackIO.flattenStructs(nested)
+          .groupBy("meta_priority", "meta_date_y")
+          .agg(count(lit(1)).as("n"),
+            sum(col("meta_amount").cast("decimal(18,2)")).as("total"))
+          .orderBy("meta_priority", "meta_date_y")
+      },
+      Some("""SELECT o_orderpriority AS meta_priority,
+             |  CAST(year(o_orderdate) AS INT) AS meta_date_y,
+             |  CAST(COUNT(*) AS BIGINT) AS n,
+             |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+             |FROM orders GROUP BY 1, 2
+             |ORDER BY meta_priority, meta_date_y""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

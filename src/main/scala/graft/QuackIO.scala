@@ -832,6 +832,36 @@ object QuackIO {
     }.toDF("column", "status", "old_type", "new_type")
   }
 
+  /** Recursively lift nested struct fields to top-level columns named
+    * `parent<sep>child<sep>…` — the semi-structured→columnar step after
+    * a schema'd `from_json`/nested-parquet read, so every downstream
+    * operator (and every columnar optimization: pruning, pushdown,
+    * codegen) sees flat named columns. Arrays and maps pass through
+    * unflattened (exploding is a ROW multiplication the caller must
+    * opt into). Pure projection planned at the scan — schema-only
+    * driver work, zero jobs. A flattened name colliding with another
+    * output column raises by name rather than silently shadowing. */
+  def flattenStructs(df: DataFrame, sep: String = "_"): DataFrame = {
+    def expand(path: Seq[String],
+        t: org.apache.spark.sql.types.DataType): Seq[(Seq[String])] =
+      t match {
+        case s: org.apache.spark.sql.types.StructType =>
+          s.fields.toSeq.flatMap(f => expand(path :+ f.name, f.dataType))
+        case _ => Seq(path)
+      }
+    val paths = df.schema.fields.toSeq
+      .flatMap(f => expand(Seq(f.name), f.dataType))
+    val names = paths.map(_.mkString(sep))
+    val dups = names.groupBy(identity).collect {
+      case (n, g) if g.size > 1 => n
+    }
+    require(dups.isEmpty, "flattenStructs: flattened names collide: " +
+      dups.toSeq.sorted.mkString(", ") + " — pick a different sep")
+    df.select(paths.zip(names).map { case (p, n) =>
+      p.tail.foldLeft(col(s"`${p.head}`"))(_.getField(_)).as(n)
+    }: _*)
+  }
+
   private def writeDir(df: DataFrame, path: String, fmt: String,
       opts: WriteOptions, partitionBy: Seq[String] = Nil): Unit = {
     val compression = opts.compression.orElse(inferCompression(path))

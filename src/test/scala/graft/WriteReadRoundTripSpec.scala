@@ -256,4 +256,40 @@ class WriteReadRoundTripSpec extends TestBase {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(p)),
       "no file must be created on invalid format")
   }
+
+  test("flattenStructs: nested structs lift to dotted-to-sep names, " +
+      "arrays pass through, collisions raise by name") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val nested = Seq((1L, "hi", 2.5, Seq(7, 8))).toDF("id", "s", "v", "arr")
+      .select(col("id"),
+        struct(col("s").as("txt"),
+          struct(col("v").as("x"), (col("v") * 2).as("y")).as("inner"))
+          .as("meta"),
+        col("arr"))
+    val flat = QuackIO.flattenStructs(nested)
+    assert(flat.columns.toSeq ==
+      Seq("id", "meta_txt", "meta_inner_x", "meta_inner_y", "arr"))
+    val r = flat.collect().head
+    assert(r.getLong(0) == 1L && r.getString(1) == "hi" &&
+      r.getDouble(2) == 2.5 && r.getDouble(3) == 5.0 &&
+      r.getSeq[Int](4) == Seq(7, 8))
+    // null struct → null leaves; array-of-struct passes through whole
+    val withNull = Seq((1L, Some((2L, 3L))), (2L, None))
+      .toDF("id", "p")
+    val f2 = QuackIO.flattenStructs(withNull)
+    assert(f2.columns.toSeq == Seq("id", "p__1", "p__2"))
+    assert(f2.collect().map(r2 => r2.isNullAt(1)).toSeq ==
+      Seq(false, true))
+    // collision: a struct a{b} next to a literal a_b column
+    val clash = Seq((1, 2)).toDF("x", "a_b")
+      .select(struct(col("x").as("b")).as("a"), col("a_b"))
+    val e2 = intercept[IllegalArgumentException] {
+      QuackIO.flattenStructs(clash)
+    }
+    assert(e2.getMessage.contains("a_b"), e2.getMessage)
+    // a different separator resolves it
+    assert(QuackIO.flattenStructs(clash, sep = ".").columns.toSeq ==
+      Seq("a.b", "a_b"))
+  }
 }
