@@ -59,6 +59,21 @@ class ScaleSpec extends TestBase {
       s"partition pruning missing:\n$p")
   }
 
+  test("corpus-statistics cuts are limit-aware: PMI top-K plans as " +
+      "TakeOrdered (no global sort), c-TF-IDF per-key top-k plans as " +
+      "WindowGroupLimit (map-side per-key top-k before the exchange)") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val pmiPlan = plan(graft.operators.Vocab
+      .pmiCollocations(docs, "text", minCount = 2, topK = 10))
+    assert(pmiPlan.contains("TakeOrdered"),
+      s"PMI topK must not global-sort:\n$pmiPlan")
+    val ctPlan = plan(graft.operators.Vocab
+      .cTfIdfTopTerms(docs, "source", "text", k = 3))
+    assert(ctPlan.contains("WindowGroupLimit"),
+      s"c-TF-IDF per-key cut must map-side limit:\n$ctPlan")
+  }
+
   test("bucketed tables join without an exchange on the bucket key") {
     val a = spark.range(1000).select(col("id"), (col("id") * 2).as("va"))
     val b = spark.range(1000).select(col("id"), (col("id") * 3).as("vb"))
