@@ -86,7 +86,29 @@ object Soak {
         graft.operators.Metrics.auc(
           shaped(n).select(col("doc_id"), col("score"),
             (col("doc_id") % 3 === 0).as("y")),
-          col("score"), col("y"), col("doc_id"))))
+          col("score"), col("y"), col("doc_id"))),
+      // round-11 additions: the categorical drift test (aggregation +
+      // small-table join shape), PMI (bigram projection + two-level
+      // aggregation + word-keyed joins + TakeOrdered), c-TF-IDF
+      // (explode + WindowGroupLimit cut), t-closeness (the
+      // dominant-key 'en' from shaped() stresses the quasi-id window)
+      "chi_drift" -> ((n: Long) =>
+        graft.operators.Profiles.chiSquaredDrift(
+          shaped(n).select(col("lang")),
+          shaped(n).filter(col("lang") =!= "en" ||
+            col("doc_id") % 3 === 0).select(col("lang")), "lang")),
+      "pmi" -> ((n: Long) =>
+        graft.operators.Vocab.pmiCollocations(
+          corpus(n).select(col("text")), "text",
+          minCount = 5, topK = 50)),
+      "ctfidf" -> ((n: Long) =>
+        graft.operators.Vocab.cTfIdfTopTerms(
+          corpus(n).select(col("source"), col("text")),
+          "source", "text", k = 5)),
+      "t_closeness" -> ((n: Long) =>
+        graft.operators.Checks.tClosenessViolations(
+          shaped(n).select(col("source"), col("lang")),
+          Seq("source"), "lang", t = 0.05)))
 
     /** Non-reused exchange count of the EXECUTED (final adaptive)
       * plan — the plan-drift fingerprint. */
