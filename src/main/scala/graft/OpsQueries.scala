@@ -6257,7 +6257,56 @@ object OpsQueries {
              |  CAST(COUNT(*) AS BIGINT) AS n,
              |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
              |FROM orders GROUP BY 1, 2
-             |ORDER BY meta_priority, meta_date_y""".stripMargin))
+             |ORDER BY meta_priority, meta_date_y""".stripMargin)),
+
+    // ----- perceptual image hash (dHash) ------------------------------------
+    // The q142 byte-replay pattern applied to PIXELS: each doc gets a
+    // LOSSLESS 16×8 BMP whose channels are a closed-form function of
+    // (doc_id, x, y); the operator decodes through javax.imageio and
+    // dHashes (area-averaged 9×8 gray grid, relative comparisons); the
+    // oracle reconstructs every pixel from the same function and
+    // replays grid sums → integer means → comparison bits in SQL. The
+    // hash travels as its 64-char bit string (no int64 sign games).
+    // Pins the whole chain: BMP write, ImageIO decode, ITU gray,
+    // integer area averaging, bit order.
+    "q201_image_dhash" -> Entry(
+      (s, dir) => {
+        import s.implicits._
+        val ids = t(s, dir, "documents")
+          .filter(col("doc_id") % 20 === 0)
+          .select(col("doc_id")).as[Long]
+        val media = ids.map { id =>
+          Multimodal.MediaRecord(id, Multimodal.encodeBmp24(16, 8,
+            (x, y) => (((id * 7 + x * 16) % 241).toInt,
+              ((y * 29 + id) % 241).toInt,
+              ((x * y + id * 3) % 241).toInt)), "image")
+        }
+        Multimodal.dHashes(media).toDF()
+          .select(col("doc_id"),
+            lpad(bin(col("dhash")), 64, "0").as("bits"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH ids AS (SELECT doc_id FROM documents
+             |  WHERE doc_id % 20 = 0),
+             |px AS (SELECT doc_id, x, y,
+             |    (299 * ((doc_id * 7 + x * 16) % 241)
+             |     + 587 * ((y * 29 + doc_id) % 241)
+             |     + 114 * ((x * y + doc_id * 3) % 241)) // 1000 AS g
+             |  FROM ids
+             |  CROSS JOIN generate_series(0, 15) gx(x)
+             |  CROSS JOIN generate_series(0, 7) gy(y)),
+             |cells AS (SELECT doc_id, y AS cy,
+             |    LEAST(x * 9 // 16, 8) AS cx,
+             |    SUM(g) // COUNT(*) AS avg_g
+             |  FROM px GROUP BY 1, 2, 3),
+             |bits AS (SELECT l.doc_id, l.cy, l.cx,
+             |    CASE WHEN l.avg_g < r.avg_g THEN '1' ELSE '0' END AS b
+             |  FROM cells l JOIN cells r ON l.doc_id = r.doc_id
+             |    AND l.cy = r.cy AND r.cx = l.cx + 1
+             |  WHERE l.cx < 8)
+             |SELECT doc_id,
+             |  string_agg(b, '' ORDER BY cy DESC, cx DESC) AS bits
+             |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

@@ -532,12 +532,27 @@ object Dedup {
     * needs more/wider bands). Returns (doc_a, doc_b, hamming), a < b. */
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, bits: Int = 32, nBands: Int = 4,
+      maxBucket: Int = 10000): DataFrame =
+    hammingCandidates(simhash(df, idCol, textCol, bits), "doc_id",
+      "simhash", maxHamming, bits, nBands, maxBucket)
+
+  /** The band pigeonhole of [[simhashCandidates]] over ANY precomputed
+    * `bits`-bit signature column — text SimHash, image dHash
+    * ([[Multimodal.dHashes]]), audio fingerprints: every pair within
+    * hamming distance nBands−1 shares an unchanged band, so bucketing
+    * on (band, value) finds all such pairs with no self-join. Same
+    * exchange budget and `maxBucket` spill gate as the text form.
+    * Input: one row per item (`idCol` long, `sigCol` long); output
+    * (doc_a, doc_b, hamming), a < b. */
+  def hammingCandidates(sigs0: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int = 3, bits: Int = 32, nBands: Int = 4,
       maxBucket: Int = 10000): DataFrame = {
     require(bits % nBands == 0, "bits must be divisible by nBands")
     require(maxHamming < nBands,
       s"pigeonhole guarantee needs maxHamming < nBands ($maxHamming >= $nBands)")
     val w = bits / nBands
-    val sigs = simhash(df, idCol, textCol, bits)
+    val sigs = sigs0.select(col(idCol).as("doc_id"),
+      col(sigCol).as("simhash"))
     val bandCols = (0 until nBands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("simhash"), b * w).bitwiseAND(lit((1L << w) - 1))

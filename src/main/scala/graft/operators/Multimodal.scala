@@ -867,6 +867,124 @@ object Multimodal {
     }
   }
 
+  /** Minimal 24-bit uncompressed BMP writer (BITMAPINFOHEADER,
+    * bottom-up scanlines padded to 4 bytes) — the LOSSLESS sibling of
+    * [[encodePng]]: same `rgb(x, y)` convention (y = 0 is the top
+    * row), but the pixel bytes land verbatim in the payload, so a SQL
+    * oracle can reconstruct every decoded pixel from the generating
+    * function alone (the q142 byte-replay pattern, applied to pixels). */
+  def encodeBmp24(width: Int, height: Int,
+      rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(width > 0 && height > 0, s"encodeBmp24: bad dims $width x $height")
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    val data = new Array[Byte](rowSize * height)
+    var fileRow = 0
+    while (fileRow < height) {
+      val y = height - 1 - fileRow // bottom-up storage
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = rgb(x, y)
+        val base = fileRow * rowSize + 3 * x
+        data(base) = b.toByte; data(base + 1) = g.toByte
+        data(base + 2) = r.toByte
+        x += 1
+      }
+      fileRow += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff) }
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write('B'); out.write('M'); le32(54 + data.length)
+    le32(0); le32(54); le32(40)
+    le32(width); le32(height); le16(1); le16(24)
+    le32(0); le32(data.length); le32(2835); le32(2835); le32(0); le32(0)
+    out.write(data)
+    out.toByteArray
+  }
+
+  /** 64-bit difference hash (dHash — the standard perceptual image
+    * fingerprint): decode, reduce to a 9×8 grayscale grid by exact
+    * AREA AVERAGING over the raster (integer arithmetic — no Java2D
+    * rendering pipeline, so the hash is deterministic across JVMs and
+    * platforms), then bit y·8+x is set iff gray(x,y) < gray(x+1,y).
+    * Comparisons are RELATIVE, so uniform brightness/contrast shifts
+    * hash identically — which is exactly why dHash finds re-encoded /
+    * re-exposed copies that byte-level dedup misses. Returns None for
+    * undecodable payloads and for images smaller than the 9×8 grid
+    * (nothing meaningful to compare). ITU gray = (299r+587g+114b)/1000,
+    * all integer. */
+  def dHash64(p: Array[Byte], maxPixels: Long = 1L << 26): Option[Long] = {
+    try {
+      val dims = parseImageHeader(p).getOrElse(return None)
+      if (dims._2.toLong * dims._3 > maxPixels) return None
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(p))
+      if (img == null) return None
+      val w = img.getWidth; val h = img.getHeight
+      if (w < 9 || h < 8) return None
+      val g = Array.ofDim[Long](8, 9) // [row][col] gray sums
+      val n = Array.ofDim[Long](8, 9)
+      var y = 0
+      while (y < h) {
+        val cy = math.min(y * 8 / h, 7)
+        var x = 0
+        while (x < w) {
+          val cx = math.min(x * 9 / w, 8)
+          val px = img.getRGB(x, y)
+          g(cy)(cx) += (299L * ((px >> 16) & 0xff) +
+            587L * ((px >> 8) & 0xff) + 114L * (px & 0xff)) / 1000L
+          n(cy)(cx) += 1L
+          x += 1
+        }
+        y += 1
+      }
+      var bits = 0L
+      var cy = 0
+      while (cy < 8) {
+        var cx = 0
+        while (cx < 8) {
+          val left = g(cy)(cx) / n(cy)(cx)
+          val right = g(cy)(cx + 1) / n(cy)(cx + 1)
+          if (left < right) bits |= 1L << (cy * 8 + cx)
+          cx += 1
+        }
+        cy += 1
+      }
+      Some(bits)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Per-image dHash row; null ⇔ undecodable or sub-grid payload. */
+  case class ImageDHash(doc_id: Long, dhash: Option[Long])
+
+  /** Partition-parallel [[dHash64]] over binary payloads — same codec
+    * boundary as [[decodeImages]]. */
+  def dHashes(media: Dataset[MediaRecord]): Dataset[ImageDHash] = {
+    implicit val enc: org.apache.spark.sql.Encoder[ImageDHash] =
+      Encoders.product[ImageDHash]
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map(r => ImageDHash(r.doc_id, dHash64(r.payload)))
+    }
+  }
+
+  /** Image near-duplicate pairs: [[dHashes]] feeds the generic
+    * [[Dedup.hammingCandidates]] band pigeonhole — the X4→X2 bridge
+    * (re-encoded, re-compressed, brightness-shifted copies land within
+    * a few bits; unrelated images sit near the 32-bit random-distance
+    * mean). Undecodable payloads carry no hash and are always kept out
+    * of pairing, matching the sub-shingle contract of the text path.
+    * Returns (doc_a, doc_b, hamming), a < b. Default 8 bands of 8 bits
+    * guarantee recall through hamming 7. */
+  def nearDupImages(media: Dataset[MediaRecord], maxHamming: Int = 6,
+      nBands: Int = 8, maxBucket: Int = 10000): DataFrame = {
+    val sigs = dHashes(media).toDF()
+      .filter(col("dhash").isNotNull)
+    Dedup.hammingCandidates(sigs, "doc_id", "dhash",
+      maxHamming, bits = 64, nBands = nBands, maxBucket = maxBucket)
+  }
+
   /** SQL-expressible payload metadata (oracle-checkable subset): byte
     * length, content digest, kind tag. */
   def payloadMeta(media: DataFrame): DataFrame =

@@ -1565,6 +1565,48 @@ class OperatorsSpec extends TestBase {
       None, None, None))
   }
 
+  test("dHash image near-dup: a uniform brightness shift hashes " +
+      "IDENTICALLY (relative comparisons), the reversed gradient sits " +
+      "far away, undecodable/sub-grid payloads carry no hash (X4→X2)") {
+    import graft.operators.Multimodal
+    val (w, h) = (32, 16)
+    // gradients peak at 240 so a +8 shift never clamps
+    val base = Multimodal.encodePng(w, h,
+      (x, y) => (x * 240 / w, y * 240 / h, 128))
+    val bright = Multimodal.encodePng(w, h,
+      (x, y) => (x * 240 / w + 8, y * 240 / h + 8, 136))
+    val reversed = Multimodal.encodePng(w, h,
+      (x, y) => (240 - x * 240 / w, 240 - y * 240 / h, 128))
+    val hb = Multimodal.dHash64(base).get
+    assert(Multimodal.dHash64(bright).get == hb,
+      "uniform +8 shift must preserve every gray comparison")
+    val hr = Multimodal.dHash64(reversed).get
+    assert(java.lang.Long.bitCount(hb ^ hr) > 20,
+      s"reversed gradient too close: ${java.lang.Long.bitCount(hb ^ hr)}")
+    // undecodable and sub-9×8 payloads: None, never throw
+    assert(Multimodal.dHash64(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.dHash64(
+      Multimodal.encodePng(4, 4, (_, _) => (0, 0, 0))).isEmpty)
+    // encodeBmp24 round-trips through ImageIO bit-exactly and hashes
+    // identically to the same pixels via PNG (format-independence)
+    val baseBmp = Multimodal.encodeBmp24(w, h,
+      (x, y) => (x * 240 / w, y * 240 / h, 128))
+    assert(Multimodal.parseImageHeader(baseBmp)
+      .contains(("bmp", w, h, 3)))
+    assert(Multimodal.dHash64(baseBmp).get == hb,
+      "same pixels must hash the same through BMP and PNG")
+    // end-to-end pairing: copy pairs with its original at hamming 0,
+    // the reversed image pairs with nobody, garbage is silently absent
+    val media = Seq(
+      Multimodal.MediaRecord(1L, base, "image"),
+      Multimodal.MediaRecord(2L, bright, "image"),
+      Multimodal.MediaRecord(3L, reversed, "image"),
+      Multimodal.MediaRecord(4L, Array[Byte](9, 9), "image")).toDS()
+    val pairs = Multimodal.nearDupImages(media, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0L)), pairs.toSeq)
+  }
+
   test("rrfFuse: hand-checked fusion, absent-list docs contribute 0, " +
       "ties break on id, ranks preserved for provenance (X3/X5)") {
     val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "r")
