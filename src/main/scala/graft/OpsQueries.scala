@@ -6306,6 +6306,46 @@ object OpsQueries {
              |  WHERE l.cx < 8)
              |SELECT doc_id,
              |  string_agg(b, '' ORDER BY cy DESC, cx DESC) AS bits
+             |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ----- audio energy-envelope fingerprint --------------------------------
+    // The audio dHash, same byte-replay contract as q201: per doc a
+    // closed-form 400-sample PCM16 WAV; the operator walks RIFF,
+    // extracts LE samples, folds |s| into 65 integer mean-energy
+    // windows and compares neighbors; the oracle replays sample
+    // values → window means → comparison bits from the generating
+    // function alone. Pins RIFF walk, LE decode, window mapping and
+    // bit order.
+    "q202_audio_fingerprint" -> Entry(
+      (s, dir) => {
+        import s.implicits._
+        val ids = t(s, dir, "documents")
+          .filter(col("doc_id") % 20 === 0)
+          .select(col("doc_id")).as[Long]
+        val media = ids.map { id =>
+          Multimodal.MediaRecord(id, Multimodal.encodeWavPcm16(8000,
+            Array.tabulate(400)(i =>
+              ((id * 13 + i * 37) % 1009 - 504).toShort)), "audio")
+        }
+        Multimodal.audioHashes(media).toDF()
+          .select(col("doc_id"),
+            lpad(bin(col("dhash")), 64, "0").as("bits"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH ids AS (SELECT doc_id FROM documents
+             |  WHERE doc_id % 20 = 0),
+             |sm AS (SELECT doc_id, i,
+             |    ABS((doc_id * 13 + i * 37) % 1009 - 504) AS a,
+             |    LEAST(i * 65 // 400, 64) AS k
+             |  FROM ids CROSS JOIN generate_series(0, 399) g(i)),
+             |win AS (SELECT doc_id, k, SUM(a) // COUNT(*) AS e
+             |  FROM sm GROUP BY 1, 2),
+             |bits AS (SELECT l.doc_id, l.k,
+             |    CASE WHEN l.e < r.e THEN '1' ELSE '0' END AS b
+             |  FROM win l JOIN win r ON l.doc_id = r.doc_id
+             |    AND r.k = l.k + 1
+             |  WHERE l.k < 64)
+             |SELECT doc_id, string_agg(b, '' ORDER BY k DESC) AS bits
              |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 

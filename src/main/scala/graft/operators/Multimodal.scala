@@ -720,6 +720,109 @@ object Multimodal {
     Some(out)
   }
 
+  /** Canonical mono 16-bit PCM WAV writer — the audio fixture sibling
+    * of [[encodeBmp24]]/[[encodePng]]: 44-byte canonical header +
+    * little-endian samples, lossless, so a SQL oracle reconstructs
+    * every sample from the generating function alone. */
+  def encodeWavPcm16(rate: Int, samples: Array[Short]): Array[Byte] = {
+    require(rate > 0, s"encodeWavPcm16: bad rate $rate")
+    val out = new Array[Byte](44 + samples.length * 2)
+    def put16(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+    }
+    def put32(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+      out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
+    }
+    def puts(o: Int, s: String): Unit =
+      s.getBytes("US-ASCII").zipWithIndex.foreach { case (b, k) =>
+        out(o + k) = b
+      }
+    puts(0, "RIFF"); put32(4, 36 + samples.length * 2); puts(8, "WAVE")
+    puts(12, "fmt "); put32(16, 16); put16(20, 1); put16(22, 1)
+    put32(24, rate); put32(28, rate * 2); put16(32, 2); put16(34, 16)
+    puts(36, "data"); put32(40, samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      put16(44 + 2 * i, samples(i) & 0xffff); i += 1
+    }
+    out
+  }
+
+  /** 64-bit audio energy-envelope fingerprint — the audio dHash: the
+    * first channel's |sample| stream reduces to 65 integer mean-energy
+    * windows (same floor-division cell mapping as [[dHash64]]'s grid)
+    * and bit k is set iff e(k) < e(k+1). Relative comparisons make an
+    * EXACT volume scaling hash identically — re-normalized copies of
+    * one recording land at hamming 0, unrelated audio sits near the
+    * 32-bit random mean; feed [[graft.operators.Dedup.hammingCandidates]]
+    * like any 64-bit signature. 16-bit PCM only (format 1); float,
+    * malformed, and sub-65-sample payloads return None, never throw.
+    * Pure integer arithmetic throughout — SQL-replayable. */
+  def audioHash64(p: Array[Byte]): Option[Long] = {
+    try {
+      val (ch, _, bits, nDeclared) =
+        parseWavHeader(p).getOrElse(return None)
+      if (bits != 16) return None
+      def u32le(i: Int): Long =
+        (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) |
+          ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
+      def tag(i: Int): String = new String(p.slice(i, i + 4), "US-ASCII")
+      // PCM check + data offset (parseWavHeader validated structure)
+      var i = 12L
+      var dataAt = -1L
+      while (dataAt < 0 && i + 8 <= p.length) {
+        val at = i.toInt
+        if (tag(at) == "data") dataAt = at + 8
+        else {
+          if (tag(at) == "fmt " &&
+            ((p(at + 8) & 0xff) | ((p(at + 9) & 0xff) << 8)) != 1)
+            return None // float PCM has no integer envelope
+          i += 8 + u32le(at + 4) + (u32le(at + 4) % 2)
+        }
+      }
+      val ba = ch * 2
+      val n = math.min(nDeclared,
+        if (dataAt < 0) 0L else (p.length - dataAt) / ba).toInt
+      if (n < 65) return None
+      val e = new Array[Long](65)
+      val cnt = new Array[Long](65)
+      var f = 0
+      while (f < n) {
+        val k = math.min(f.toLong * 65 / n, 64L).toInt
+        val off = (dataAt + f.toLong * ba).toInt
+        val s = ((p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)).toShort
+        e(k) += math.abs(s.toInt); cnt(k) += 1L
+        f += 1
+      }
+      var bitsOut = 0L
+      var k = 0
+      while (k < 64) {
+        if (e(k) / cnt(k) < e(k + 1) / cnt(k + 1))
+          bitsOut |= 1L << k
+        k += 1
+      }
+      Some(bitsOut)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Per-payload [[audioHash64]] rows at the codec boundary. */
+  def audioHashes(media: Dataset[MediaRecord]): Dataset[ImageDHash] = {
+    implicit val enc: org.apache.spark.sql.Encoder[ImageDHash] =
+      Encoders.product[ImageDHash]
+    media.mapPartitions(rows =>
+      rows.map(r => ImageDHash(r.doc_id, audioHash64(r.payload))))
+  }
+
+  /** Audio near-duplicate pairs — [[audioHashes]] through the same
+    * band pigeonhole as [[nearDupImages]]. */
+  def nearDupAudio(media: Dataset[MediaRecord], maxHamming: Int = 6,
+      nBands: Int = 8, maxBucket: Int = 10000): DataFrame =
+    Dedup.hammingCandidates(
+      audioHashes(media).toDF().filter(col("dhash").isNotNull),
+      "doc_id", "dhash", maxHamming, bits = 64, nBands = nBands,
+      maxBucket = maxBucket)
+
   /** Partition-parallel [[resizeBmp]]: (doc_id, payload) with the
     * resized bytes, null payload for malformed/unsupported input. */
   def resizeBmpImages(media: Dataset[MediaRecord], outW: Int,

@@ -1607,6 +1607,37 @@ class OperatorsSpec extends TestBase {
     assert(pairs.toSeq == Seq((1L, 2L, 0L)), pairs.toSeq)
   }
 
+  test("audio fingerprint: EXACT volume scaling hashes identically, " +
+      "different content sits far, float/short/garbage carry no hash, " +
+      "pairing finds exactly the renormalized copy (X4→X2)") {
+    import graft.operators.Multimodal
+    def wav(f: Int => Int, n: Int = 400) =
+      Multimodal.encodeWavPcm16(8000,
+        Array.tabulate(n)(i => f(i).toShort))
+    val base = wav(i => i * 37 % 1009 - 504)
+    val doubled = wav(i => (i * 37 % 1009 - 504) * 2)
+    val other = wav(i => i * i % 1009 - 504)
+    val hb = Multimodal.audioHash64(base).get
+    assert(Multimodal.audioHash64(doubled).get == hb,
+      "exact 2x volume must preserve every energy comparison")
+    assert(java.lang.Long.bitCount(
+      hb ^ Multimodal.audioHash64(other).get) > 10)
+    // float PCM (fmt code 3), sub-65-sample, garbage: None, no throw
+    val floatWav = wav(i => i).clone
+    floatWav(20) = 3
+    assert(Multimodal.audioHash64(floatWav).isEmpty)
+    assert(Multimodal.audioHash64(wav(i => i, n = 64)).isEmpty)
+    assert(Multimodal.audioHash64(Array[Byte](1, 2)).isEmpty)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, base, "audio"),
+      Multimodal.MediaRecord(2L, doubled, "audio"),
+      Multimodal.MediaRecord(3L, other, "audio"),
+      Multimodal.MediaRecord(4L, Array[Byte](0), "audio")).toDS()
+    val pairs = Multimodal.nearDupAudio(media, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0L)), pairs.toSeq)
+  }
+
   test("rrfFuse: hand-checked fusion, absent-list docs contribute 0, " +
       "ties break on id, ranks preserved for provenance (X3/X5)") {
     val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "r")
