@@ -6346,7 +6346,34 @@ object OpsQueries {
              |    AND r.k = l.k + 1
              |  WHERE l.k < 64)
              |SELECT doc_id, string_agg(b, '' ORDER BY k DESC) AS bits
-             |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ----- Flesch-Kincaid readability ---------------------------------------
+    // The classic readability grade as a quality-scoring feature,
+    // under the standard corpus-scale approximations (whitespace
+    // words, [.!?]+ sentence runs floored at 1, vowel-group
+    // syllables). Pure regex projection; the oracle replays every
+    // count 1:1.
+    "q203_readability" -> Entry(
+      (s, dir) => t(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(col("doc_id"),
+          TextAnalysis.fleschKincaid(col("text")).as("fk_grade"))
+        .orderBy("doc_id"),
+      Some("""WITH c AS (SELECT doc_id,
+             |    CAST(len(regexp_split_to_array(trim(text), '\s+'))
+             |      AS DOUBLE) AS w,
+             |    CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')),
+             |      1) AS DOUBLE) AS sn,
+             |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+             |      AS DOUBLE) AS syl
+             |  FROM documents
+             |  WHERE text IS NOT NULL AND trim(text) <> '')
+             |SELECT doc_id,
+             |  ROUND(CAST(0.39 AS DOUBLE) * w / sn
+             |    + CAST(11.8 AS DOUBLE) * syl / w
+             |    - CAST(15.59 AS DOUBLE), 6) AS fk_grade
+             |FROM c ORDER BY doc_id""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

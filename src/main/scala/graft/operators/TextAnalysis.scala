@@ -96,6 +96,28 @@ object TextAnalysis {
     df.withColumn("mojibake_hits", mojibakeHits(col(textCol)))
       .withColumn(textCol + "_fixed", fixMojibake(col(textCol)))
 
+  /** Flesch–Kincaid grade level (Kincaid et al. 1975) under the
+    * standard corpus-scale approximations: words = whitespace tokens,
+    * sentences = runs of `.!?` (floored at 1 — a fragment is one
+    * sentence), syllables = vowel-group count over the lowercased text
+    * (`[aeiouy]+` — vowel runs cannot cross whitespace, so the global
+    * count equals the per-word sum). Grade = 0.39·(W/S) +
+    * 11.8·(Syl/W) − 15.59, round-6; null/empty/whitespace text → null
+    * (no words to grade). A quality-scoring feature (too-high =
+    * run-on boilerplate, negative = fragment soup), one more column on
+    * the same scan as the other gates — pure projection, regex
+    * builtins, SQL-replayable 1:1. */
+  def fleschKincaid(text: Column): Column = {
+    val words = size(tokens(text)).cast("double")
+    val sentences = greatest(regexp_count(text, lit("[.!?]+")), lit(1))
+      .cast("double")
+    val syllables = regexp_count(lower(text), lit("[aeiouy]+"))
+      .cast("double")
+    when(trim(text) =!= "",
+      round(lit(0.39) * words / sentences +
+        lit(11.8) * syllables / words - lit(15.59), 6))
+  }
+
   /** Characters matching a regex, as a count (quality-scoring feature). */
   def regexCount(text: Column, pattern: String): Column =
     regexp_count(text, lit(pattern)).cast("long")

@@ -1416,6 +1416,22 @@ class CorpusOpsSpec extends TestBase {
     assert(again == "café", again)
   }
 
+  test("fleschKincaid: hand-computed grade, fragment floors at one " +
+      "sentence, null/empty/whitespace → null") {
+    import graft.operators.TextAnalysis
+    val d = Seq("The cat sat. It ran fast!", "word", null, "", "   ")
+      .toDF("text")
+    val out = d.select(TextAnalysis.fleschKincaid(col("text"))).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    // 6 words, 2 sentences, 6 vowel groups:
+    // 0.39·3 + 11.8·1 − 15.59 = −2.62
+    assert(out(0).contains(-2.62), out.toSeq)
+    // one word, no terminator: S floors at 1; "word" has 1 vowel group
+    // 0.39·1 + 11.8·1 − 15.59 = −3.4
+    assert(out(1).contains(-3.4), out.toSeq)
+    assert(out(2).isEmpty && out(3).isEmpty && out(4).isEmpty)
+  }
+
   test("normalize: NFC composition, casefold, whitespace collapse") {
     import graft.operators.TextAnalysis
     val decomposed = "Café   Menu\n\tWelcome " // e + combining acute
