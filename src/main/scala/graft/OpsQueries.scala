@@ -6373,7 +6373,64 @@ object OpsQueries {
              |  ROUND(CAST(0.39 AS DOUBLE) * w / sn
              |    + CAST(11.8 AS DOUBLE) * syl / w
              |    - CAST(15.59 AS DOUBLE), 6) AS fk_grade
-             |FROM c ORDER BY doc_id""".stripMargin))
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // ----- classifier eval: confusion matrix + per-class P/R/F1 -------------
+    // The standard eval pair for the engine's trained classifiers.
+    // Fixture: a "classifier" that over-predicts en on every 7th doc —
+    // real off-diagonal mass in every language row. q205's report
+    // keeps undefined metrics NULL (a never-predicted class has no
+    // precision) instead of a silent 0 that would drag macro averages.
+    "q204_confusion_matrix" -> Entry(
+      (s, dir) => Metrics.confusionMatrix(
+        t(s, dir, "documents").select(col("lang"),
+          when(col("doc_id") % 7 === 0, lit("en")).otherwise(col("lang"))
+            .as("pred")),
+        "lang", "pred"),
+      Some("""SELECT lang AS label,
+             |  CASE WHEN doc_id % 7 = 0 THEN 'en' ELSE lang END AS pred,
+             |  CAST(COUNT(*) AS BIGINT) AS n
+             |FROM documents WHERE lang IS NOT NULL
+             |GROUP BY 1, 2 ORDER BY label, pred""".stripMargin)),
+
+    "q205_class_report" -> Entry(
+      (s, dir) => Metrics.classReport(
+        t(s, dir, "documents").select(col("lang"),
+          when(col("doc_id") % 7 === 0, lit("en")).otherwise(col("lang"))
+            .as("pred")),
+        "lang", "pred"),
+      Some("""WITH cells AS (SELECT lang AS label,
+             |    CASE WHEN doc_id % 7 = 0 THEN 'en' ELSE lang END
+             |      AS pred, COUNT(*) AS n
+             |  FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2),
+             |sup AS (SELECT label AS clazz, SUM(n) AS support
+             |  FROM cells GROUP BY 1),
+             |prd AS (SELECT pred AS clazz, SUM(n) AS predicted
+             |  FROM cells GROUP BY 1),
+             |tp AS (SELECT label AS clazz, n AS tp FROM cells
+             |  WHERE label = pred),
+             |j AS (SELECT COALESCE(s.clazz, p.clazz) AS clazz,
+             |    COALESCE(support, 0) AS support,
+             |    COALESCE(predicted, 0) AS predicted,
+             |    COALESCE(tp, 0) AS tp
+             |  FROM sup s FULL OUTER JOIN prd p ON s.clazz = p.clazz
+             |  LEFT JOIN tp t ON COALESCE(s.clazz, p.clazz) = t.clazz)
+             |SELECT clazz, CAST(support AS BIGINT) AS support,
+             |  CAST(predicted AS BIGINT) AS predicted,
+             |  CAST(tp AS BIGINT) AS tp,
+             |  CASE WHEN predicted > 0 THEN
+             |    ROUND(CAST(tp AS DOUBLE) / predicted, 6) END
+             |    AS "precision",
+             |  CASE WHEN support > 0 THEN
+             |    ROUND(CAST(tp AS DOUBLE) / support, 6) END AS recall,
+             |  CASE WHEN predicted > 0 AND support > 0
+             |      AND (CAST(tp AS DOUBLE) / predicted
+             |        + CAST(tp AS DOUBLE) / support) > 0 THEN
+             |    ROUND(2.0 * (CAST(tp AS DOUBLE) / predicted)
+             |      * (CAST(tp AS DOUBLE) / support)
+             |      / (CAST(tp AS DOUBLE) / predicted
+             |        + CAST(tp AS DOUBLE) / support), 6) END AS f1
+             |FROM j ORDER BY clazz""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

@@ -95,4 +95,59 @@ object Metrics {
     report.agg(round(
       sum(col("n").cast("double") * col("abs_gap")) /
         sum(col("n")).cast("double"), 6).as("ece"))
+
+  /** Multiclass confusion matrix: one row per observed (label, pred)
+    * cell with its count — the eval table behind [[classReport]] and
+    * every error-analysis drill-down. Rows with a null label or
+    * prediction are outside the matrix (score them with a null-rate
+    * check, not an accuracy number). ONE keyed aggregation, map-side
+    * combined; output is |classes|² at most. */
+  def confusionMatrix(df: DataFrame, labelCol: String,
+      predCol: String): DataFrame =
+    df.filter(col(labelCol).isNotNull && col(predCol).isNotNull)
+      .groupBy(col(labelCol).as("label"), col(predCol).as("pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label", "pred")
+
+  /** Per-class precision / recall / F1 over a multiclass prediction
+    * column — the standard eval report for the trained classifiers
+    * this engine ships (lang-id, quality): for every class seen as a
+    * label OR a prediction, `support` (true rows), `predicted`
+    * (claimed rows), `tp`, and round-6 precision = tp/predicted,
+    * recall = tp/support, f1 = harmonic mean — each null where its
+    * denominator is zero (a class never predicted has no precision;
+    * an f1 with p + r = 0 has no value), never a silent 0 that would
+    * drag a macro average. Macro/micro averaging is one `avg`/`sum`
+    * over this KB-sized report, left to the caller.
+    *
+    * Scale: one corpus aggregation to the confusion cells; support,
+    * predicted and tp are aggregations/filters OF that small table;
+    * the full-outer class join coalesces its key. */
+  def classReport(df: DataFrame, labelCol: String,
+      predCol: String): DataFrame = {
+    val cells = df
+      .filter(col(labelCol).isNotNull && col(predCol).isNotNull)
+      .groupBy(col(labelCol).as("label"), col(predCol).as("pred"))
+      .agg(count(lit(1)).as("n"))
+    val sup = cells.groupBy(col("label").as("clazz"))
+      .agg(sum("n").as("support"))
+    val prd = cells.groupBy(col("pred").as("clazz"))
+      .agg(sum("n").as("predicted"))
+    val tp = cells.filter(col("label") === col("pred"))
+      .select(col("label").as("clazz"), col("n").as("tp"))
+    val p = col("tp").cast("double") / col("predicted")
+    val r = col("tp").cast("double") / col("support")
+    sup.join(prd, Seq("clazz"), "full_outer")
+      .join(tp, Seq("clazz"), "left")
+      .select(col("clazz"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        coalesce(col("predicted"), lit(0L)).as("predicted"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .select(col("clazz"), col("support"), col("predicted"), col("tp"),
+        when(col("predicted") > 0, round(p, 6)).as("precision"),
+        when(col("support") > 0, round(r, 6)).as("recall"),
+        when(col("predicted") > 0 && col("support") > 0 && (p + r) > 0,
+          round(lit(2.0) * p * r / (p + r), 6)).as("f1"))
+      .orderBy("clazz")
+  }
 }

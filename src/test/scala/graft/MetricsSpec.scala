@@ -98,4 +98,28 @@ class MetricsSpec extends TestBase {
     assert(p.contains("partial_count") || p.contains("partial_min"),
       s"per-score stats must partial-aggregate:\n$p")
   }
+
+  test("classReport: hand-computed P/R/F1; never-predicted and " +
+      "never-true classes get NULL (not 0) in the undefined metric; " +
+      "null rows outside the matrix; confusion cells exact") {
+    import spark.implicits._
+    val d = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"),
+      ("b", "b"), ("c", "a"), ("b", "d"), (null, "a"), ("a", null))
+      .toDF("y", "pred")
+    val cm = Metrics.confusionMatrix(d, "y", "pred")
+      .as[(String, String, Long)].collect().toSeq
+    assert(cm == Seq(("a", "a", 2L), ("a", "b", 1L), ("b", "b", 2L),
+      ("b", "d", 1L), ("c", "a", 1L)), cm)
+    val rep = Metrics.classReport(d, "y", "pred").collect().map { r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)), Option(r.get(5)), Option(r.get(6)))
+    }.toSeq
+    assert(rep == Seq(
+      ("a", 3L, 3L, 2L, Some(0.666667), Some(0.666667), Some(0.666667)),
+      ("b", 3L, 3L, 2L, Some(0.666667), Some(0.666667), Some(0.666667)),
+      // c was never predicted: precision undefined; recall a real 0
+      ("c", 1L, 0L, 0L, None, Some(0.0), None),
+      // d was never true: recall undefined; precision a real 0
+      ("d", 0L, 1L, 0L, Some(0.0), None, None)), rep)
+  }
 }
