@@ -6430,7 +6430,110 @@ object OpsQueries {
              |      * (CAST(tp AS DOUBLE) / support)
              |      / (CAST(tp AS DOUBLE) / predicted
              |        + CAST(tp AS DOUBLE) / support), 6) END AS f1
-             |FROM j ORDER BY clazz""".stripMargin))
+             |FROM j ORDER BY clazz""".stripMargin)),
+
+    // ----- Cohen's kappa ----------------------------------------------------
+    // Chance-corrected agreement between two raters (here: truth lang
+    // vs the q204 fixture classifier) — the labeling-pipeline QA
+    // number. κ = (po − pe)/(1 − pe); oracle replays diag, marginal
+    // products and the correction.
+    "q206_cohens_kappa" -> Entry(
+      (s, dir) => Metrics.cohensKappa(
+        t(s, dir, "documents").select(col("lang"),
+          when(col("doc_id") % 7 === 0, lit("en")).otherwise(col("lang"))
+            .as("pred")),
+        "lang", "pred"),
+      Some("""WITH cells AS (SELECT lang AS a,
+             |    CASE WHEN doc_id % 7 = 0 THEN 'en' ELSE lang END AS b,
+             |    COUNT(*) AS n
+             |  FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2),
+             |r AS (SELECT a AS c, SUM(n) AS ra FROM cells GROUP BY 1),
+             |cl AS (SELECT b AS c, SUM(n) AS cb FROM cells GROUP BY 1),
+             |m AS (SELECT SUM(COALESCE(ra, 0) * COALESCE(cb, 0))
+             |    AS sum_rc
+             |  FROM r FULL OUTER JOIN cl ON r.c = cl.c),
+             |t AS (SELECT SUM(n) AS n,
+             |    SUM(CASE WHEN a = b THEN n ELSE 0 END) AS diag
+             |  FROM cells)
+             |SELECT CAST(t.n AS BIGINT) AS n,
+             |  ROUND(CAST(diag AS DOUBLE) / t.n, 6) AS po,
+             |  ROUND(CAST(sum_rc AS DOUBLE)
+             |    / (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE)), 6)
+             |    AS pe,
+             |  CASE WHEN CAST(sum_rc AS DOUBLE)
+             |      / (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE)) < 1.0
+             |    THEN ROUND((CAST(diag AS DOUBLE) / t.n
+             |        - CAST(sum_rc AS DOUBLE) / (CAST(t.n AS DOUBLE)
+             |          * CAST(t.n AS DOUBLE)))
+             |      / (1.0 - CAST(sum_rc AS DOUBLE)
+             |        / (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE))), 6)
+             |    END AS kappa
+             |FROM t CROSS JOIN m""".stripMargin)),
+
+    // ----- Bradley-Terry preference ranking ---------------------------------
+    // The pairwise-preference strength model (MM sweeps, q143's
+    // unrolled-iteration oracle pattern): synthetic comparisons where
+    // the lexicographically smaller priority always wins — a strict
+    // ground-truth order the scores must recover, with 5-LOW (never a
+    // winner) pinned at exactly 0. Three sweeps, each CTE layer
+    // replaying denominator → update → renormalize.
+    "q207_bradley_terry" -> Entry(
+      (s, dir) => {
+        val pri = array(lit("1-URGENT"), lit("2-HIGH"), lit("3-MEDIUM"),
+          lit("4-NOT SPECIFIED"), lit("5-LOW"))
+        val pairs = t(s, dir, "orders")
+          .select(col("o_orderpriority").as("a"),
+            element_at(pri, (col("o_orderkey") % 5 + 1).cast("int"))
+              .as("b"))
+          .filter(col("a") =!= col("b"))
+          .select(least(col("a"), col("b")).as("winner"),
+            greatest(col("a"), col("b")).as("loser"))
+        Metrics.bradleyTerry(pairs, "winner", "loser", sweeps = 3)
+      },
+      Some("""WITH p AS (SELECT LEAST(a, b) AS winner,
+             |    GREATEST(a, b) AS loser
+             |  FROM (SELECT o_orderpriority AS a,
+             |      (['1-URGENT', '2-HIGH', '3-MEDIUM',
+             |        '4-NOT SPECIFIED', '5-LOW'])[(o_orderkey % 5) + 1]
+             |        AS b FROM orders)
+             |  WHERE a <> b),
+             |wins AS (SELECT winner AS item, COUNT(*) AS w
+             |  FROM p GROUP BY 1),
+             |sym AS (SELECT winner AS i, loser AS j, COUNT(*) AS m
+             |  FROM p GROUP BY 1, 2),
+             |edges AS (SELECT i AS item, j AS opp, m FROM sym
+             |  UNION ALL SELECT j, i, m FROM sym),
+             |pi0 AS (SELECT DISTINCT item, CAST(1.0 AS DOUBLE) AS pi
+             |  FROM edges),
+             |d1 AS (SELECT e.item,
+             |    SUM(CAST(m AS DOUBLE) / (x.pi + y.pi)) AS d
+             |  FROM edges e JOIN pi0 x ON e.item = x.item
+             |  JOIN pi0 y ON e.opp = y.item GROUP BY 1),
+             |u1 AS (SELECT d1.item,
+             |    CAST(COALESCE(w, 0) AS DOUBLE) / d AS pr
+             |  FROM d1 LEFT JOIN wins ON d1.item = wins.item),
+             |pi1 AS (SELECT item, pr / (SELECT SUM(pr) FROM u1) AS pi
+             |  FROM u1),
+             |d2 AS (SELECT e.item,
+             |    SUM(CAST(m AS DOUBLE) / (x.pi + y.pi)) AS d
+             |  FROM edges e JOIN pi1 x ON e.item = x.item
+             |  JOIN pi1 y ON e.opp = y.item GROUP BY 1),
+             |u2 AS (SELECT d2.item,
+             |    CAST(COALESCE(w, 0) AS DOUBLE) / d AS pr
+             |  FROM d2 LEFT JOIN wins ON d2.item = wins.item),
+             |pi2 AS (SELECT item, pr / (SELECT SUM(pr) FROM u2) AS pi
+             |  FROM u2),
+             |d3 AS (SELECT e.item,
+             |    SUM(CAST(m AS DOUBLE) / (x.pi + y.pi)) AS d
+             |  FROM edges e JOIN pi2 x ON e.item = x.item
+             |  JOIN pi2 y ON e.opp = y.item GROUP BY 1),
+             |u3 AS (SELECT d3.item,
+             |    CAST(COALESCE(w, 0) AS DOUBLE) / d AS pr
+             |  FROM d3 LEFT JOIN wins ON d3.item = wins.item),
+             |pi3 AS (SELECT item, pr / (SELECT SUM(pr) FROM u3) AS pi
+             |  FROM u3)
+             |SELECT item, ROUND(pi, 6) AS score FROM pi3
+             |ORDER BY score DESC, item""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

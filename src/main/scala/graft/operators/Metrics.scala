@@ -109,6 +109,92 @@ object Metrics {
       .agg(count(lit(1)).as("n"))
       .orderBy("label", "pred")
 
+  /** Cohen's kappa (Cohen 1960) between two categorical raters — the
+    * chance-corrected agreement score every labeling pipeline reports
+    * before trusting its annotations: κ = (p_o − p_e) / (1 − p_e) with
+    * observed agreement p_o = Σ diag / N and chance agreement
+    * p_e = Σ_c (row_c · col_c) / N². One row: `n`, `po`, `pe`, `kappa`
+    * (each round-6; κ null when p_e = 1 — a single-class table has no
+    * chance-corrected signal). Null-rated rows are outside the table.
+    * Scale: the [[confusionMatrix]] aggregation, then arithmetic over
+    * the |classes|²-sized cell table. */
+  def cohensKappa(df: DataFrame, rater1Col: String,
+      rater2Col: String): DataFrame = {
+    val cells = df
+      .filter(col(rater1Col).isNotNull && col(rater2Col).isNotNull)
+      .groupBy(col(rater1Col).as("a"), col(rater2Col).as("b"))
+      .agg(count(lit(1)).as("n"))
+    val rows = cells.groupBy(col("a").as("c")).agg(sum("n").as("ra"))
+    val cols = cells.groupBy(col("b").as("c")).agg(sum("n").as("cb"))
+    val marg = rows.join(cols, Seq("c"), "full_outer")
+      .select((coalesce(col("ra"), lit(0L)) *
+        coalesce(col("cb"), lit(0L))).as("rc"))
+      .agg(sum("rc").as("__sum_rc"))
+    val agg = cells.agg(sum("n").as("__n"),
+      sum(when(col("a") === col("b"), col("n")).otherwise(0L))
+        .as("__diag"))
+    val po = col("__diag").cast("double") / col("__n")
+    val pe = col("__sum_rc").cast("double") /
+      (col("__n").cast("double") * col("__n").cast("double"))
+    agg.crossJoin(broadcast(marg))
+      .select(col("__n").as("n"), round(po, 6).as("po"),
+        round(pe, 6).as("pe"),
+        when(pe < 1.0, round((po - pe) / (lit(1.0) - pe), 6))
+          .as("kappa"))
+  }
+
+  /** Bradley–Terry strength scores from pairwise preference outcomes
+    * (Bradley & Terry 1952; MM updates per Hunter 2004) — the ranking
+    * primitive behind preference-data curation: given (winner, loser)
+    * comparison rows, estimate per-item strengths π with
+    * `π_i ← W_i / Σ_j n_ij/(π_i + π_j)`, renormalized to Σπ = 1 each
+    * sweep. Items that never win converge to 0 (they contribute no
+    * NaN); self-pairs and null-sided rows are dropped.
+    *
+    * Scale: comparisons aggregate ONCE to per-item win counts and a
+    * symmetric (i, j, matches) cell table — the only corpus-sized
+    * work; each sweep is two small joins + one keyed aggregation over
+    * cells, `localCheckpoint`ed per sweep so the plan never compounds
+    * (the [[Graph.pagerank]] iteration discipline). Output: (item,
+    * round-6 score), strongest first. */
+  def bradleyTerry(pairs: DataFrame, winnerCol: String,
+      loserCol: String, sweeps: Int = 10): DataFrame = {
+    require(sweeps >= 1 && sweeps <= 100,
+      s"bradleyTerry: sweeps must be in [1, 100], got $sweeps")
+    val p = pairs.filter(col(winnerCol).isNotNull &&
+      col(loserCol).isNotNull && col(winnerCol) =!= col(loserCol))
+    val wins = p.groupBy(col(winnerCol).as("item"))
+      .agg(count(lit(1)).as("w"))
+    val sym = p.select(
+        least(col(winnerCol), col(loserCol)).as("i"),
+        greatest(col(winnerCol), col(loserCol)).as("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("m"))
+    val edges = sym.select(col("i").as("item"), col("j").as("opp"),
+        col("m"))
+      .union(sym.select(col("j").as("item"), col("i").as("opp"),
+        col("m")))
+      .localCheckpoint(true)
+    var pi = edges.select("item").distinct()
+      .withColumn("pi", lit(1.0)).localCheckpoint(true)
+    for (_ <- 1 to sweeps) {
+      val d = edges.join(pi, "item")
+        .join(pi.select(col("item").as("opp"), col("pi").as("pi_o")),
+          "opp")
+        .groupBy("item")
+        .agg(sum(col("m").cast("double") / (col("pi") + col("pi_o")))
+          .as("d"))
+      val upd = d.join(wins, Seq("item"), "left")
+        .select(col("item"),
+          (coalesce(col("w"), lit(0L)).cast("double") / col("d"))
+            .as("pi_raw"))
+      pi = upd.crossJoin(broadcast(upd.agg(sum("pi_raw").as("__t"))))
+        .select(col("item"), (col("pi_raw") / col("__t")).as("pi"))
+        .localCheckpoint(true)
+    }
+    pi.select(col("item"), round(col("pi"), 6).as("score"))
+      .orderBy(col("score").desc, col("item"))
+  }
+
   /** Per-class precision / recall / F1 over a multiclass prediction
     * column — the standard eval report for the trained classifiers
     * this engine ships (lang-id, quality): for every class seen as a

@@ -122,4 +122,51 @@ class MetricsSpec extends TestBase {
       // d was never true: recall undefined; precision a real 0
       ("d", 0L, 1L, 0L, Some(0.0), None, None)), rep)
   }
+
+  test("cohensKappa: the textbook 2×2 (po 0.7, pe 0.5, kappa 0.4); " +
+      "perfect single-class agreement has no chance-corrected signal") {
+    import spark.implicits._
+    val d = (Seq.fill(20)(("yes", "yes")) ++ Seq.fill(15)(("no", "no")) ++
+      Seq.fill(5)(("yes", "no")) ++ Seq.fill(10)(("no", "yes")))
+      .toDF("r1", "r2")
+    val r = Metrics.cohensKappa(d, "r1", "r2").collect().head
+    assert((r.getLong(0), r.getDouble(1), r.getDouble(2),
+      r.getDouble(3)) == (50L, 0.7, 0.5, 0.4))
+    val one = Metrics.cohensKappa(
+      Seq(("x", "x"), ("x", "x")).toDF("r1", "r2"), "r1", "r2")
+      .collect().head
+    assert(one.getDouble(1) == 1.0 && one.getDouble(2) == 1.0 &&
+      one.isNullAt(3))
+  }
+
+  test("bradleyTerry: two items at 3:1 hit the exact 0.75/0.25 fixed " +
+      "point in one sweep; transitive chains order correctly; a " +
+      "never-winner scores 0; self-pairs and nulls dropped") {
+    import spark.implicits._
+    val ab = (Seq.fill(3)(("A", "B")) ++ Seq(("B", "A")) ++
+      Seq(("A", "A"), (null, "B"))).toDF("winner", "loser")
+    // MM from uniform: d = 4/2 = 2; A: 3/2, B: 1/2 → 0.75 / 0.25 —
+    // already the fixed point, so ANY sweep count lands there exactly
+    for (s <- Seq(1, 7)) {
+      val r = Metrics.bradleyTerry(ab, "winner", "loser", sweeps = s)
+        .as[(String, Double)].collect().toSeq
+      assert(r == Seq(("A", 0.75), ("B", 0.25)), s"sweeps=$s: $r")
+    }
+    // A beats B beats C (B also beats C so B > C despite losing to A)
+    val chain = (Seq.fill(4)(("A", "B")) ++ Seq.fill(4)(("B", "C")) ++
+      Seq(("B", "A"), ("C", "B"))).toDF("winner", "loser")
+    val got = Metrics.bradleyTerry(chain, "winner", "loser")
+      .as[(String, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq("A", "B", "C"), got)
+    assert(got.map(_._2).sum > 0.999999 && got.map(_._2).sum < 1.000001)
+    // C never wins at all → exact 0, no NaN poisoning the others
+    val shut = (Seq.fill(2)(("A", "C")) ++ Seq.fill(2)(("B", "C")) ++
+      Seq(("A", "B"), ("B", "A"))).toDF("winner", "loser")
+    val s2 = Metrics.bradleyTerry(shut, "winner", "loser")
+      .as[(String, Double)].collect().toMap
+    assert(s2("C") == 0.0 && s2("A") == s2("B") && s2("A") > 0.4, s2)
+    assert(intercept[IllegalArgumentException] {
+      Metrics.bradleyTerry(ab, "winner", "loser", sweeps = 0)
+    }.getMessage.contains("sweeps"))
+  }
 }
