@@ -1432,6 +1432,41 @@ class CorpusOpsSpec extends TestBase {
     assert(out(2).isEmpty && out(3).isEmpty && out(4).isEmpty)
   }
 
+  test("mojibake property sweep: repair INVERTS real latin-1 and " +
+      "cp1252 misdecodes of 200 seeded random latin-1 texts, and is " +
+      "idempotent on the repaired result") {
+    import graft.operators.TextAnalysis
+    val rnd = new scala.util.Random(4321)
+    // pool has no continuation-CLASS chars (U+0080-00BF / cp1252
+    // high), so clean text can't contain accidental marker pairs —
+    // the corruption itself still exercises both the latin-1 and
+    // cp1252 repair paths through the misdecoded continuation bytes
+    val pool = ("abcdefghij KLMNOP.!?,0123456789" +
+      "éèüöàçÑ").toCharArray
+    def randText() = (1 to (5 + rnd.nextInt(40)))
+      .map(_ => pool(rnd.nextInt(pool.length))).mkString
+    val cases = (1 to 200).map { i =>
+      val clean = randText() + "é" // ≥1 marker guaranteed
+      val charset = if (i % 2 == 0) "ISO-8859-1" else "windows-1252"
+      (clean, new String(clean.getBytes("UTF-8"), charset))
+    }
+    import spark.implicits._
+    val out = cases.toDF("clean", "corrupt")
+      .select(col("clean"), col("corrupt"),
+        TextAnalysis.fixMojibake(col("corrupt")).as("fixed"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getString(2) == r.getString(0),
+        s"repair failed: corrupt=<${r.getString(1)}> " +
+          s"fixed=<${r.getString(2)}> want=<${r.getString(0)}>")
+    }
+    // idempotence: the repaired text is clean, a second pass no-ops
+    val again = out.map(_.getString(2)).toSeq.toDF("t")
+      .select(TextAnalysis.fixMojibake(col("t"))).collect()
+      .map(_.getString(0)).toSeq
+    assert(again == out.map(_.getString(2)).toSeq)
+  }
+
   test("normalize: NFC composition, casefold, whitespace collapse") {
     import graft.operators.TextAnalysis
     val decomposed = "Café   Menu\n\tWelcome " // e + combining acute

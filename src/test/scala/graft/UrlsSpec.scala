@@ -51,6 +51,33 @@ class UrlsSpec extends TestBase {
     assert(doms == Seq("news.site.co.uk", "www.x.com", null), doms)
   }
 
+  test("property sweep: canonicalization is IDEMPOTENT over 300 seeded " +
+      "random URLs — canon(canon(u)) == canon(u)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    val schemes = Seq("http", "HTTPS", "ftp")
+    val hosts = Seq("WWW.Site.com", "a.B.co", "x.io:8080", "y.z:443",
+      "user:pw@Host.net")
+    val paths = Seq("", "/", "/A/b", "/p%20q", "/x/y/z")
+    val queries = Seq("", "?b=2&a=1", "?utm_source=t", "?a=1&utm_x=2&Z=9",
+      "?ref=r&q=+s")
+    val frags = Seq("", "#f", "#a b")
+    val urls = (1 to 300).map { _ =>
+      schemes(rnd.nextInt(schemes.size)) + "://" +
+        hosts(rnd.nextInt(hosts.size)) + paths(rnd.nextInt(paths.size)) +
+        queries(rnd.nextInt(queries.size)) + frags(rnd.nextInt(frags.size))
+    }
+    val once = urls.toDF("u")
+      .select(Urls.canonicalizeUrl(col("u")).as("c")).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    assert(once.forall(_ != null), "every generated URL must canonicalize")
+    val twice = once.toDF("u")
+      .select(Urls.canonicalizeUrl(col("u")).as("c")).collect()
+      .map(_.getString(0)).toSeq
+    assert(twice == once,
+      s"non-idempotent at: ${once.zip(twice).find(p => p._1 != p._2)}")
+  }
+
   test("withCanonicalUrl feeds URL-level dedup: transport variants of " +
       "one page collapse to one key") {
     import spark.implicits._
