@@ -6533,7 +6533,55 @@ object OpsQueries {
              |pi3 AS (SELECT item, pr / (SELECT SUM(pr) FROM u3) AS pi
              |  FROM u3)
              |SELECT item, ROUND(pi, 6) AS score FROM pi3
-             |ORDER BY score DESC, item""".stripMargin))
+             |ORDER BY score DESC, item""".stripMargin)),
+
+    // ----- referential-integrity audit --------------------------------------
+    // The fact↔dimension foreign-key check: the fixture THINS the
+    // parent (every 7th order dropped) so lineitem has real orphans;
+    // the report is one row of exact counts + the round-6 orphan rate.
+    "q208_ref_integrity" -> Entry(
+      (s, dir) => graft.operators.Checks.referentialIntegrity(
+        t(s, dir, "lineitem"), "l_orderkey",
+        t(s, dir, "orders").filter(col("o_orderkey") % 7 =!= 0),
+        "o_orderkey"),
+      Some("""WITH par AS (SELECT o_orderkey FROM orders
+             |  WHERE o_orderkey % 7 <> 0),
+             |tot AS (SELECT COUNT(*) AS n_child,
+             |    SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+             |      AS n_null FROM lineitem),
+             |orp AS (SELECT COUNT(DISTINCT l_orderkey) AS nk,
+             |    COUNT(*) AS nr FROM lineitem
+             |  WHERE l_orderkey IS NOT NULL
+             |    AND l_orderkey NOT IN (SELECT o_orderkey FROM par))
+             |SELECT CAST(n_child AS BIGINT) AS n_child,
+             |  CAST(n_null AS BIGINT) AS n_null_keys,
+             |  CAST(nk AS BIGINT) AS n_orphan_keys,
+             |  CAST(nr AS BIGINT) AS n_orphan_rows,
+             |  ROUND(CAST(nr AS DOUBLE)
+             |    / GREATEST(n_child - n_null, 1), 6) AS orphan_rate
+             |FROM tot, orp""".stripMargin)),
+
+    // ----- per-key monotonicity audit ---------------------------------------
+    // The out-of-order-event check: per customer, order ids should be
+    // issued in date order — the generator's random dates give real
+    // inversions at every scale. The seq key (o_orderkey) is UNIQUE,
+    // so the lag order is total on both engines (lineitem's
+    // l_linenumber is NOT unique per order in this generator — an
+    // ambiguous seq makes the audit itself nondeterministic).
+    "q209_monotonicity" -> Entry(
+      (s, dir) => graft.operators.Checks.monotonicityViolations(
+          t(s, dir, "orders"), "o_custkey", "o_orderkey",
+          "o_orderdate")
+        .limit(500),
+      Some("""WITH l AS (SELECT o_custkey, o_orderdate AS v,
+             |    LAG(o_orderdate) OVER (PARTITION BY o_custkey
+             |      ORDER BY o_orderkey) AS prev
+             |  FROM orders)
+             |SELECT o_custkey, CAST(COUNT(*) AS BIGINT)
+             |    AS n_inversions
+             |  FROM l WHERE v < prev GROUP BY 1
+             |ORDER BY n_inversions DESC, o_custkey LIMIT 500"""
+        .stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

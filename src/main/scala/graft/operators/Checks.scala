@@ -357,6 +357,57 @@ object Checks {
         quasiIds.map(col(_).asc): _*)
   }
 
+  /** Referential-integrity audit — the foreign-key check a lake runs
+    * between fact and dimension drops: one row with the child count,
+    * DISTINCT orphan keys, orphan ROW count, and round-6 orphan row
+    * rate (rows whose non-null key has no parent; null keys are not
+    * references and are reported separately as `n_null_keys`). An
+    * orphan rate of 0 IS the pass. Scale: one left-anti join keyed on
+    * the child key (AQE-broadcast when the parent is small) feeding a
+    * group-less aggregation + a 1-row child total — the parent is
+    * never scanned twice. */
+  def referentialIntegrity(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame = {
+    val totals = child.agg(count(lit(1)).as("n_child"),
+      sum(when(col(childKey).isNull, 1L).otherwise(0L))
+        .as("n_null_keys"))
+    val orphans = child.filter(col(childKey).isNotNull)
+      .join(parent.select(col(parentKey).as("__pk")),
+        col(childKey) === col("__pk"), "left_anti")
+      .agg(coalesce(countDistinct(col(childKey)), lit(0L))
+          .as("n_orphan_keys"),
+        count(lit(1)).as("n_orphan_rows"))
+    totals.crossJoin(broadcast(orphans))
+      .select(col("n_child"), col("n_null_keys"),
+        col("n_orphan_keys"), col("n_orphan_rows"),
+        round(col("n_orphan_rows").cast("double") /
+          greatest(col("n_child") - col("n_null_keys"), lit(1L)), 6)
+          .as("orphan_rate"))
+  }
+
+  /** Per-key monotonicity audit — the out-of-order-event check an
+    * event-log ingest runs before anything windows on time: for each
+    * key, count adjacent inversions (a row whose `orderCol` is
+    * STRICTLY below its predecessor in `seqCol` order) and report only
+    * keys with violations, worst first. Ties are not inversions
+    * (equal timestamps are legal), and a pair with a null order value
+    * on either side is not one either (null-propagating comparison) —
+    * audit null rates with [[NotNull]]. One key-partitioned lag —
+    * bounded per key by
+    * that key's rows (the per-key-window surface every event operator
+    * here shares; cap monster keys upstream). */
+  def monotonicityViolations(df: DataFrame, keyCol: String,
+      seqCol: String, orderCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(seqCol))
+    df.select(col(keyCol), col(orderCol).as("__v"),
+        lag(col(orderCol), 1).over(w).as("__prev"))
+      .filter(col("__v") < col("__prev"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_inversions"))
+      .orderBy(col("n_inversions").desc, col(keyCol))
+  }
+
   /** Benford first-digit audit — the classic fabricated-numbers check
     * (Benford 1938; standard in fraud/data-forensics): naturally
     * occurring multi-scale quantities put digit d first with

@@ -197,6 +197,40 @@ class ChecksSpec extends TestBase {
     }.getMessage.contains("t must be"))
   }
 
+  test("referentialIntegrity: orphan keys/rows/rate exact, null keys " +
+      "reported separately, clean join scores zero") {
+    import spark.implicits._
+    val child = Seq(Option(1L), Option(1L), Option(2L), None,
+      Option(9L), Option(9L), Option(9L)).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = graft.operators.Checks
+      .referentialIntegrity(child, "fk", parent, "pk").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4)) == (7L, 1L, 1L, 3L, 0.5))
+    val clean = graft.operators.Checks.referentialIntegrity(
+      Seq(1L, 2L).toDF("fk"), "fk", parent, "pk").collect().head
+    assert(clean.getLong(2) == 0L && clean.getLong(3) == 0L &&
+      clean.getDouble(4) == 0.0)
+  }
+
+  test("monotonicityViolations: strict inversions only — ties and " +
+      "null-sided pairs are legal; worst key first") {
+    import spark.implicits._
+    val d = Seq(
+      ("A", 1L, Some(10L)), ("A", 2L, Some(20L)), ("A", 3L, Some(15L)),
+      ("A", 4L, Some(15L)), ("A", 5L, Some(30L)),
+      ("B", 1L, Some(5L)), ("B", 2L, Some(5L)), ("B", 3L, Some(7L)),
+      ("C", 1L, Some(9L)), ("C", 2L, None), ("C", 3L, Some(1L)),
+      ("D", 1L, Some(3L)), ("D", 2L, Some(2L)), ("D", 3L, Some(1L)))
+      .toDF("k", "seq", "ts")
+    val out = graft.operators.Checks
+      .monotonicityViolations(d, "k", "seq", "ts")
+      .as[(String, Long)].collect().toSeq
+    // A: one inversion (20→15); D: two (3→2→1); B sorted; C's dips
+    // straddle a null and are not inversions
+    assert(out == Seq(("D", 2L), ("A", 1L)), out)
+  }
+
   test("benford: hand-checked digits, money scaling, exclusions, " +
       "all-excluded raises") {
     import spark.implicits._
