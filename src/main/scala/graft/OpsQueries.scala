@@ -5278,60 +5278,9 @@ object OpsQueries {
     "q174_mp4_frame_index" -> Entry(
       (s, dir) => {
         import s.implicits._
-        def hxp(c: org.apache.spark.sql.Column, w: Int) =
-          lpad(lower(hex(c)), w, "0")
-        def asc(t: String): String =
-          t.getBytes("US-ASCII").map(b => f"$b%02x").mkString
-        // box lengths are CLOSED-FORM in (ns, nchunks), never derived
-        // from length(contentHex): a boxh that embeds its content twice
-        // (once under length(), once in the body) DOUBLES the subtree
-        // per nesting level — six levels deep that is a 2^6 expression
-        // blowup, observed as a 19 s entry before this form
-        def boxh(typ: String, contentBytes: org.apache.spark.sql.Column,
-            contentHex: org.apache.spark.sql.Column) =
-          concat(hxp((lit(8) + contentBytes).cast("int"), 8),
-            lit(asc(typ)), contentHex)
         val d = t(s, dir, "documents").select(col("doc_id"))
         val ns = (lit(4) + col("doc_id") % 9).cast("int")
-        val tsc = (lit(1000) * (lit(1) + col("doc_id") % 3)).cast("int")
-        val d1 = (lit(100) + col("doc_id") % 50).cast("int")
-        val d2 = (lit(200) + col("doc_id") % 30).cast("int")
-        val stts = boxh("stts", lit(24), concat(lit("00000000"),
-          hxp(lit(2), 8), hxp(lit(2), 8), hxp(d1, 8), hxp(ns - 2, 8),
-          hxp(d2, 8)))
-        val stsc = boxh("stsc", lit(32), concat(lit("00000000"),
-          hxp(lit(2), 8), hxp(lit(1), 8), hxp(lit(2), 8), hxp(lit(1), 8),
-          hxp(lit(3), 8), hxp(lit(3), 8), hxp(lit(1), 8)))
-        val sizesHex = concat_ws("", transform(sequence(lit(0), ns - 1),
-          i => hxp(lit(50) + ((col("doc_id") + i) % 7) * 10, 8)))
-        // the %23 plant declares ONE MORE sample than stts provides
-        val stszCount = when(col("doc_id") % 23 === 0, ns + 1)
-          .otherwise(ns)
-        val stsz = boxh("stsz", lit(12) + ns * 4,
-          concat(lit("00000000"), hxp(lit(0), 8), hxp(stszCount, 8),
-            sizesHex))
-        val nchunks = (lit(2) +
-          floor((ns - lit(2)).cast("double") / 3.0).cast("int"))
-        val offsHex = concat_ws("", transform(sequence(lit(0),
-          nchunks - 1), c => hxp(lit(1000) + c * 5000, 8)))
-        val stco = boxh("stco", lit(8) + nchunks * 4,
-          concat(lit("00000000"), hxp(nchunks, 8), offsHex))
-        val mdhd = boxh("mdhd", lit(24), concat(lit("00000000" * 3),
-          hxp(tsc, 8), lit("00000000" * 2)))
-        // cumulative box sizes: stbl = 4 boxes, each +8 header
-        val stblB = lit(24 + 8) + lit(32 + 8) + (lit(12) + ns * 4) +
-          lit(8) + (lit(8) + nchunks * 4) + lit(8)
-        val minfB = stblB + 8
-        val mdiaB = lit(24 + 8) + minfB + 8
-        val trakB = mdiaB + 8
-        val moov = boxh("moov", trakB + 8, boxh("trak", mdiaB + 8,
-          boxh("mdia", mdiaB, concat(mdhd,
-            boxh("minf", minfB, boxh("stbl", stblB,
-              concat(stts, stsc, stsz, stco)))))))
-        val ftypHex = "00000010" + asc("ftyp") + asc("isom") + "00000000"
-        val fileHex =
-          when(col("doc_id") % 19 === 0, lit("0000000a6d646174"))
-            .otherwise(concat(lit(ftypHex), moov))
+        val fileHex = mp4FileHex(ns, plants = true)
         val media = d.select(col("doc_id"),
             unhex(fileHex).as("payload"), lit("video").as("kind"))
           .as[Multimodal.MediaRecord]
@@ -6581,7 +6530,48 @@ object OpsQueries {
              |    AS n_inversions
              |  FROM l WHERE v < prev GROUP BY 1
              |ORDER BY n_inversions DESC, o_custkey LIMIT 500"""
-        .stripMargin))
+        .stripMargin)),
+
+    // ----- video size-envelope fingerprint ----------------------------------
+    // The VIDEO member of the perceptual-hash family, fully codec-free:
+    // q174's box-tree fixture (here 130-190 samples, no malformed
+    // plants) → the real frameIndex walk → the relational envelope
+    // hash over per-sample byte sizes. The oracle replays stsz size
+    // arithmetic → window integer means → comparison bits with no
+    // byte handling at all — every stage of the chain is pinned.
+    "q210_video_fingerprint" -> Entry(
+      (s, dir) => {
+        import s.implicits._
+        val d = t(s, dir, "documents")
+          .filter(col("doc_id") % 20 === 0).select(col("doc_id"))
+        val ns = (lit(130) + col("doc_id") % 60).cast("int")
+        val media = d.select(col("doc_id"),
+            unhex(mp4FileHex(ns, plants = false)).as("payload"),
+            lit("video").as("kind"))
+          .as[Multimodal.MediaRecord]
+        Multimodal.sizeEnvelopeHash(
+            Multimodal.frameIndex(media).toDF(),
+            "doc_id", "sample_idx", "size")
+          .select(col("doc_id"),
+            lpad(bin(col("dhash")), 64, "0").as("bits"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH b AS (SELECT doc_id,
+             |    CAST(130 + doc_id % 60 AS INT) AS ns
+             |  FROM documents WHERE doc_id % 20 = 0),
+             |s AS (SELECT doc_id, ns, u.i AS i,
+             |    50 + ((doc_id + u.i) % 7) * 10 AS sz
+             |  FROM b, unnest(generate_series(0, ns - 1)) AS u(i)),
+             |w AS (SELECT doc_id, LEAST(i * 65 // ns, 64) AS k,
+             |    SUM(sz) // COUNT(*) AS e
+             |  FROM s GROUP BY 1, 2),
+             |bits AS (SELECT l.doc_id, l.k,
+             |    CASE WHEN l.e < r.e THEN '1' ELSE '0' END AS bt
+             |  FROM w l JOIN w r ON l.doc_id = r.doc_id
+             |    AND r.k = l.k + 1
+             |  WHERE l.k < 64)
+             |SELECT doc_id, string_agg(bt, '' ORDER BY k DESC) AS bits
+             |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)
@@ -6592,6 +6582,70 @@ object OpsQueries {
     * copies, and the fuzzy stage drops benchmark members AND their
     * planted near-duplicates (exact-overlap decon would only certainly
     * catch verbatim members). */
+  /** The q174 MP4 fixture, parameterized: a structurally-valid
+    * ftyp+moov box tree whose stts/stsc/stsz/stco arithmetic is
+    * closed-form in (doc_id, ns) so oracles replay it; `plants`
+    * additionally mis-declares stsz on doc_id%23 and swaps in a
+    * moov-less mdat on doc_id%19 (the malformed contracts). */
+  private def mp4FileHex(ns: org.apache.spark.sql.Column,
+      plants: Boolean): org.apache.spark.sql.Column = {
+    def hxp(c: org.apache.spark.sql.Column, w: Int) =
+      lpad(lower(hex(c)), w, "0")
+    def asc(t: String): String =
+      t.getBytes("US-ASCII").map(b => f"$b%02x").mkString
+    // box lengths are CLOSED-FORM in (ns, nchunks), never derived
+    // from length(contentHex): a boxh that embeds its content twice
+    // (once under length(), once in the body) DOUBLES the subtree
+    // per nesting level — six levels deep that is a 2^6 expression
+    // blowup, observed as a 19 s entry before this form
+    def boxh(typ: String, contentBytes: org.apache.spark.sql.Column,
+        contentHex: org.apache.spark.sql.Column) =
+      concat(hxp((lit(8) + contentBytes).cast("int"), 8),
+        lit(asc(typ)), contentHex)
+    val tsc = (lit(1000) * (lit(1) + col("doc_id") % 3)).cast("int")
+    val d1 = (lit(100) + col("doc_id") % 50).cast("int")
+    val d2 = (lit(200) + col("doc_id") % 30).cast("int")
+    val stts = boxh("stts", lit(24), concat(lit("00000000"),
+      hxp(lit(2), 8), hxp(lit(2), 8), hxp(d1, 8), hxp(ns - 2, 8),
+      hxp(d2, 8)))
+    val stsc = boxh("stsc", lit(32), concat(lit("00000000"),
+      hxp(lit(2), 8), hxp(lit(1), 8), hxp(lit(2), 8), hxp(lit(1), 8),
+      hxp(lit(3), 8), hxp(lit(3), 8), hxp(lit(1), 8)))
+    val sizesHex = concat_ws("", transform(sequence(lit(0), ns - 1),
+      i => hxp(lit(50) + ((col("doc_id") + i) % 7) * 10, 8)))
+    // the %23 plant declares ONE MORE sample than stts provides
+    val stszCount = if (plants) {
+      when(col("doc_id") % 23 === 0, ns + 1).otherwise(ns)
+    } else ns
+    val stsz = boxh("stsz", lit(12) + ns * 4,
+      concat(lit("00000000"), hxp(lit(0), 8), hxp(stszCount, 8),
+        sizesHex))
+    val nchunks = (lit(2) +
+      floor((ns - lit(2)).cast("double") / 3.0).cast("int"))
+    val offsHex = concat_ws("", transform(sequence(lit(0),
+      nchunks - 1), c => hxp(lit(1000) + c * 5000, 8)))
+    val stco = boxh("stco", lit(8) + nchunks * 4,
+      concat(lit("00000000"), hxp(nchunks, 8), offsHex))
+    val mdhd = boxh("mdhd", lit(24), concat(lit("00000000" * 3),
+      hxp(tsc, 8), lit("00000000" * 2)))
+    // cumulative box sizes: stbl = 4 boxes, each +8 header
+    val stblB = lit(24 + 8) + lit(32 + 8) + (lit(12) + ns * 4) +
+      lit(8) + (lit(8) + nchunks * 4) + lit(8)
+    val minfB = stblB + 8
+    val mdiaB = lit(24 + 8) + minfB + 8
+    val trakB = mdiaB + 8
+    val moov = boxh("moov", trakB + 8, boxh("trak", mdiaB + 8,
+      boxh("mdia", mdiaB, concat(mdhd,
+        boxh("minf", minfB, boxh("stbl", stblB,
+          concat(stts, stsc, stsz, stco)))))))
+    val ftypHex = "00000010" + asc("ftyp") + asc("isom") + "00000000"
+    val fileHex = if (plants) {
+      when(col("doc_id") % 19 === 0, lit("0000000a6d646174"))
+        .otherwise(concat(lit(ftypHex), moov))
+    } else concat(lit(ftypHex), moov)
+    fileHex
+  }
+
   private lazy val Q109Entry: Entry = Entry(
     (s, dir) => {
       val d = docsFan(s, dir).select(col("doc_id"), col("text"))

@@ -823,6 +823,57 @@ object Multimodal {
       "doc_id", "dhash", maxHamming, bits = 64, nBands = nBands,
       maxBucket = maxBucket)
 
+  /** Size-envelope fingerprint over ANY per-item (seq, size) stream —
+    * the VIDEO member of the perceptual-hash family: a codec-free
+    * [[frameIndex]] already yields every sample's byte size, and the
+    * size sequence IS a content signature (keyframe cadence, motion
+    * bursts); re-muxed/re-chunked copies of one stream keep the
+    * pattern while unrelated streams don't. Same construction as
+    * [[dHash64]]/[[audioHash64]] — `nWindows` integer mean-size
+    * windows (floor-division mapping), bit k set iff e(k) < e(k+1) —
+    * but PURE RELATIONAL: two keyed aggregations + one self-join +
+    * a `bit_or` fold, no bytes touched, so it runs on any (id, seq,
+    * size) table at any scale and the oracle replays it 1:1. `seqCol`
+    * must be the item's 0-based DENSE sample index ([[frameIndex]]'s
+    * `sample_idx`) — the window mapping divides the index by the
+    * count. Items with fewer than `nWindows` samples have
+    * under-filled windows and are ABSENT from the output (hash them
+    * with a smaller `nWindows`).
+    * Output: (doc_id, dhash) — feed [[Dedup.hammingCandidates]]. */
+  def sizeEnvelopeHash(frames: DataFrame, idCol: String, seqCol: String,
+      sizeCol: String, nWindows: Int = 65): DataFrame = {
+    require(nWindows >= 2 && nWindows <= 65,
+      s"sizeEnvelopeHash: nWindows must be in [2, 65], got $nWindows")
+    val counts = frames.groupBy(col(idCol).as("doc_id"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= nWindows)
+    val wins = frames
+      .select(col(idCol).as("doc_id"), col(seqCol).cast("long").as("__i"),
+        col(sizeCol).cast("long").as("__sz"))
+      .join(counts, "doc_id")
+      .select(col("doc_id"),
+        least((col("__i") * nWindows -
+            pmod(col("__i") * nWindows, col("__n"))) / col("__n"),
+          lit(nWindows - 1L))
+          .cast("long").as("k"), col("__sz"))
+      .groupBy("doc_id", "k")
+      .agg(sum("__sz").as("__s"), count(lit(1)).as("__c"))
+      // exact integer mean: subtract the remainder BEFORE the (double)
+      // division so the dividend divides exactly — bit-identical to
+      // the oracle's integer `//`
+      .select(col("doc_id"), col("k"),
+        ((col("__s") - pmod(col("__s"), col("__c"))) / col("__c"))
+          .cast("long").as("e"))
+    val nxt = wins.select(col("doc_id"), (col("k") - 1).as("k"),
+      col("e").as("e_next"))
+    wins.join(nxt, Seq("doc_id", "k"))
+      .filter(col("k") < nWindows - 1)
+      .groupBy("doc_id")
+      .agg(bit_or(when(col("e") < col("e_next"),
+          expr("shiftleft(1L, cast(k as int))")).otherwise(lit(0L)))
+        .as("dhash"))
+  }
+
   /** Partition-parallel [[resizeBmp]]: (doc_id, payload) with the
     * resized bytes, null payload for malformed/unsupported input. */
   def resizeBmpImages(media: Dataset[MediaRecord], outW: Int,

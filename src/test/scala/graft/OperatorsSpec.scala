@@ -1638,6 +1638,30 @@ class OperatorsSpec extends TestBase {
     assert(pairs.toSeq == Seq((1L, 2L, 0L)), pairs.toSeq)
   }
 
+  test("sizeEnvelopeHash: monotone ramps hit the all-ones/all-zeros " +
+      "extremes exactly, a re-muxed copy pairs at hamming 0, " +
+      "sub-window streams are absent (X4→X2, video)") {
+    import graft.operators.Multimodal
+    def stream(id: Long, n: Int, f: Int => Long) =
+      (0 until n).map(i => (id, i.toLong, f(i)))
+    val frames = (stream(1L, 130, i => 100L + i) ++ // rising envelope
+      stream(2L, 130, i => 300L - i) ++             // falling envelope
+      stream(3L, 130, i => 100L + i) ++             // re-mux of 1
+      stream(4L, 64, i => i.toLong))                // too short
+      .toDF("doc_id", "sample_idx", "size")
+    val h = Multimodal.sizeEnvelopeHash(frames, "doc_id", "sample_idx",
+      "size").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // strictly rising means every neighbor comparison fires: 64 set
+    // bits = -1L in two's complement; strictly falling sets none
+    assert(h == Map(1L -> -1L, 2L -> 0L, 3L -> -1L), h)
+    val pairs = graft.operators.Dedup.hammingCandidates(
+      Multimodal.sizeEnvelopeHash(frames, "doc_id", "sample_idx",
+        "size"), "doc_id", "dhash", maxHamming = 6, bits = 64,
+      nBands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 3L, 0L)), pairs.toSeq)
+  }
+
   test("rrfFuse: hand-checked fusion, absent-list docs contribute 0, " +
       "ties break on id, ranks preserved for provenance (X3/X5)") {
     val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "r")
