@@ -6571,7 +6571,37 @@ object OpsQueries {
              |    AND r.k = l.k + 1
              |  WHERE l.k < 64)
              |SELECT doc_id, string_agg(bt, '' ORDER BY k DESC) AS bits
-             |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ----- CUSUM change-point alarms ----------------------------------------
+    // Page's sequential S_t = max(0, S_{t-1} + z_t) folded to TWO
+    // running window frames (S_t = P_t − min(0, prefix-min P)) — no
+    // recursion, no UDAF, bit-replayable because running frames fold
+    // in identical seq order on both engines. The fixture sets the
+    // target below the mean so every priority drifts into alarm —
+    // first alarm point, peak, and alarm count all exact.
+    "q211_cusum" -> Entry(
+      (s, dir) => graft.operators.Checks.cusumAlarms(
+        t(s, dir, "orders"), "o_orderpriority", "o_orderkey",
+        "o_totalprice", target = 100000.0, slack = 0.0,
+        threshold = 500000.0),
+      Some("""WITH z AS (SELECT o_orderpriority AS k,
+             |    o_orderkey AS seq,
+             |    CAST(o_totalprice AS DOUBLE) - 100000 - 0 AS z
+             |  FROM orders),
+             |p AS (SELECT k, seq, SUM(z) OVER (PARTITION BY k
+             |    ORDER BY seq ROWS UNBOUNDED PRECEDING) AS pp
+             |  FROM z),
+             |sc AS (SELECT k, seq, pp - LEAST(MIN(pp) OVER (
+             |    PARTITION BY k ORDER BY seq
+             |    ROWS UNBOUNDED PRECEDING), 0) AS sv
+             |  FROM p)
+             |SELECT k AS o_orderpriority,
+             |  CAST(MIN(seq) AS BIGINT) AS first_alarm_seq,
+             |  ROUND(MAX(sv), 6) AS max_cusum,
+             |  CAST(COUNT(*) AS BIGINT) AS n_alarms
+             |FROM sc WHERE sv > 500000 GROUP BY 1
+             |ORDER BY o_orderpriority""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

@@ -408,6 +408,47 @@ object Checks {
       .orderBy(col("n_inversions").desc, col(keyCol))
   }
 
+  /** One-sided upper CUSUM change-point alarm (Page 1954) — the
+    * classic "did this metric drift upward" monitor, per key: with
+    * `z_t = x_t − target − slack`, the textbook recursion
+    * `S_t = max(0, S_{t−1} + z_t)` is sequential, but it folds to
+    * window form: for prefix sums `P_t = Σ_{j≤t} z_j`,
+    * `S_t = P_t − min(0, min_{j≤t} P_j)` — two RUNNING frames (sum and
+    * min), no recursion, no UDAF. Reports one row per ALARMED key:
+    * `first_alarm_seq` (earliest `seqCol` where S exceeds
+    * `threshold`), `max_cusum` (round-6 peak), `n_alarms`; quiet keys
+    * are absent. Running-frame arithmetic folds in identical seq order
+    * on every engine, so values replay bit-for-bit.
+    *
+    * Scale: ONE key-partitioned exchange; both frames and the closing
+    * aggregation ride it. Per-key width is the key's row count — the
+    * shared per-key-window surface (cap monster keys upstream).
+    * `seqCol` must be unique per key or the fold order (and the
+    * audit) is undefined. */
+  def cusumAlarms(df: DataFrame, keyCol: String, seqCol: String,
+      valueCol: String, target: Double, slack: Double,
+      threshold: Double): DataFrame = {
+    require(slack >= 0, s"Checks.cusum: slack must be >= 0, got $slack")
+    require(threshold > 0,
+      s"Checks.cusum: threshold must be > 0, got $threshold")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(seqCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    val z = col(valueCol).cast("double") - lit(target) - lit(slack)
+    df.select(col(keyCol), col(seqCol), z.as("__z"))
+      .select(col(keyCol), col(seqCol), sum("__z").over(w).as("__p"))
+      .select(col(keyCol), col(seqCol),
+        (col("__p") - least(min("__p").over(w), lit(0.0))).as("__s"))
+      .filter(col("__s") > threshold)
+      .groupBy(col(keyCol))
+      .agg(min(col(seqCol)).as("first_alarm_seq"),
+        round(max(col("__s")), 6).as("max_cusum"),
+        count(lit(1)).as("n_alarms"))
+      .orderBy(col(keyCol))
+  }
+
   /** Benford first-digit audit — the classic fabricated-numbers check
     * (Benford 1938; standard in fraud/data-forensics): naturally
     * occurring multi-scale quantities put digit d first with

@@ -231,6 +231,27 @@ class ChecksSpec extends TestBase {
     assert(out == Seq(("D", 2L), ("A", 1L)), out)
   }
 
+  test("cusumAlarms: window form equals the textbook recursion on a " +
+      "hand trace; quiet keys absent; guards") {
+    import spark.implicits._
+    // A: values 5,0,0,12,1 @ target 3 slack 1 → z = 1,−4,−4,8,−3
+    // recursion S = 1,0,0,8,5 (hand); threshold 4 alarms at seq 4,5
+    val d = (Seq((1L, 5.0), (2L, 0.0), (3L, 0.0), (4L, 12.0),
+        (5L, 1.0)).map { case (s2, v) => ("A", s2, v) } ++
+      Seq(("B", 1L, 2.0), ("B", 2L, 3.0))).toDF("k", "seq", "v")
+    val out = graft.operators.Checks
+      .cusumAlarms(d, "k", "seq", "v", target = 3.0, slack = 1.0,
+        threshold = 4.0)
+      .as[(String, Long, Double, Long)].collect().toSeq
+    assert(out == Seq(("A", 4L, 8.0, 2L)), out)
+    assert(intercept[IllegalArgumentException] {
+      graft.operators.Checks.cusumAlarms(d, "k", "seq", "v", 0, -1, 1)
+    }.getMessage.contains("slack"))
+    assert(intercept[IllegalArgumentException] {
+      graft.operators.Checks.cusumAlarms(d, "k", "seq", "v", 0, 0, 0)
+    }.getMessage.contains("threshold"))
+  }
+
   test("benford: hand-checked digits, money scaling, exclusions, " +
       "all-excluded raises") {
     import spark.implicits._
