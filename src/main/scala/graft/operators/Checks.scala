@@ -482,15 +482,20 @@ object Checks {
       .cast("long")
     val digit = floor(v.cast("double") /
       pow(lit(10.0), floor(log10(v.cast("double"))))).cast("int")
+    // materialize the ≤9-row digit table ONCE: the report references
+    // it from both the spine join and the total, and Catalyst does not
+    // reuse an exchange through a broadcast wrapper — without this the
+    // corpus would be scanned twice
     val counts = df.filter(v.isNotNull && v > 0)
       .select(digit.as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val tot = counts.agg(coalesce(sum(col("n")),
       raise_error(lit("Checks.benford: no positive values in column '" +
         colName + "' — the digit distribution is undefined"))
         .cast("long")).as("__tot"))
     df.sparkSession.range(1, 10).select(col("id").cast("int").as("digit"))
-      .join(counts, Seq("digit"), "left")
+      .join(broadcast(counts), Seq("digit"), "left") // ≤9-row side
       .crossJoin(broadcast(tot))
       .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
         round(coalesce(col("n"), lit(0L)).cast("double") /

@@ -74,6 +74,34 @@ class ScaleSpec extends TestBase {
       s"c-TF-IDF per-key cut must map-side limit:\n$ctPlan")
   }
 
+  test("audit ops keep their exchange budgets: benford is one " +
+      "aggregation + a 9-row spine, cusum rides ONE key exchange, " +
+      "referential integrity never scans the parent twice") {
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val li = spark.read
+      .parquet("/root/testdata/sf0.001/lineitem.parquet")
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
+      df.write.format("noop").mode("overwrite").save()
+      plan(df).linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning") &&
+          !l.contains("ReusedExchange"))
+    }
+    // benford: ONE corpus aggregation (digit groupBy); spine/total
+    // joins are broadcast/single-partition, not hash exchanges
+    assert(exchanges(graft.operators.Checks
+      .benford(li, "l_extendedprice", scale = 2)) <= 1)
+    // cusum: both running frames AND the closing agg share one
+    // key-partitioned exchange
+    assert(exchanges(graft.operators.Checks.cusumAlarms(o,
+      "o_orderpriority", "o_orderkey", "o_totalprice",
+      100000.0, 0.0, 500000.0)) == 1)
+    // referential integrity: ONE anti-join; parent side appears once
+    val ri = graft.operators.Checks.referentialIntegrity(
+      li, "l_orderkey", o, "o_orderkey")
+    val p = plan(ri)
+    assert("LeftAnti".r.findAllIn(p).size == 1, p)
+  }
+
   test("bucketed tables join without an exchange on the bucket key") {
     val a = spark.range(1000).select(col("id"), (col("id") * 2).as("va"))
     val b = spark.range(1000).select(col("id"), (col("id") * 3).as("vb"))
