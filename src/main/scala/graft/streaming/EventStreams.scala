@@ -257,4 +257,53 @@ object EventStreams {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, timeout)(update)
   }
+
+  /** One metric observation on a keyed stream. */
+  case class MetricPoint(key: String, seq: Long, value: Double)
+
+  /** A fired CUSUM alarm. */
+  case class CusumAlarm(key: String, seq: Long, cusum: Double)
+
+  case class CusumState(prefixSum: Double, prefixMin: Double)
+
+  /** STREAMING CUSUM drift alarm — [[graft.operators.Checks.cusumAlarms]]
+    * carried across micro-batches: the window fold's entire per-key
+    * state is just (prefix sum P, prefix-min of P), so
+    * `flatMapGroupsWithState` keeps TWO DOUBLES per key (no event
+    * buffer, no watermark) and emits an alarm row the moment
+    * `S = P − min(0, minP)` crosses `threshold`. Batch rows fold in
+    * `seq` order within each micro-batch; ACROSS batches `seq` must
+    * arrive non-decreasing per key (route late data through an
+    * upstream watermark+sort — the fold, like any CUSUM, is
+    * order-defined). Emitted alarms are exactly the batch operator's
+    * alarm rows for the same prefix of data. */
+  def streamingCusum(points: Dataset[MetricPoint], target: Double,
+      slack: Double, threshold: Double): Dataset[CusumAlarm] = {
+    require(slack >= 0, s"streamingCusum: slack must be >= 0, got $slack")
+    require(threshold > 0,
+      s"streamingCusum: threshold must be > 0, got $threshold")
+    implicit val stateEnc: Encoder[CusumState] =
+      Encoders.product[CusumState]
+    implicit val outEnc: Encoder[CusumAlarm] = Encoders.product[CusumAlarm]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+
+    def update(key: String, rows: Iterator[MetricPoint],
+        state: GroupState[CusumState]): Iterator[CusumAlarm] = {
+      var st = state.getOption.getOrElse(CusumState(0.0, 0.0))
+      val out = Seq.newBuilder[CusumAlarm]
+      rows.toSeq.sortBy(_.seq).foreach { pt =>
+        val p = st.prefixSum + (pt.value - target - slack)
+        val s = p - math.min(st.prefixMin, 0.0)
+        if (s > threshold) out += CusumAlarm(key, pt.seq,
+          math.rint(s * 1e6) / 1e6)
+        st = CusumState(p, math.min(st.prefixMin, p))
+      }
+      state.update(st)
+      out.result().iterator
+    }
+
+    points.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
 }

@@ -248,6 +248,46 @@ class StreamingSpec extends TestBase {
     assert(closed.contains((1L, 2L)))
   }
 
+  test("streaming CUSUM: two-double state carries the fold across " +
+      "micro-batches, alarms equal the batch operator's on the same " +
+      "data") {
+    import EventStreams.MetricPoint
+    val dir = tmpDir().toString
+    def pts(ps: (String, Long, Double)*) =
+      ps.map(p => MetricPoint(p._1, p._2, p._3)).toDF()
+    // batch 1: A climbs toward the threshold but does not cross
+    pts(("A", 1L, 8.0), ("A", 2L, 9.0), ("B", 1L, 1.0))
+      .coalesce(1).write.mode("append").parquet(dir)
+    val stream = EventStreams
+      .readEventStream(spark, dir, pts(("x", 1L, 1.0)).schema)
+      .as[MetricPoint]
+    val q = EventStreams
+      .streamingCusum(stream, target = 5.0, slack = 0.0,
+        threshold = 10.0)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cusum_out").start()
+    q.processAllAvailable()
+    assert(spark.table("cusum_out").count() == 0,
+      "no alarm may fire before the threshold is crossed")
+    // batch 2: A crosses (P carried at 7 from batch 1 → 11, 12);
+    // B stays quiet
+    pts(("A", 3L, 9.0), ("A", 4L, 6.0), ("B", 2L, 2.0))
+      .coalesce(1).write.mode("append").parquet(dir)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("cusum_out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == Set(("A", 3L, 11.0), ("A", 4L, 12.0)), streamed)
+    // stream ≡ batch: the batch operator on ALL the data reports the
+    // same first alarm, peak, and alarm count
+    val batch = graft.operators.Checks.cusumAlarms(
+        pts(("A", 1L, 8.0), ("A", 2L, 9.0), ("A", 3L, 9.0),
+          ("A", 4L, 6.0), ("B", 1L, 1.0), ("B", 2L, 2.0)),
+        "key", "seq", "value", 5.0, 0.0, 10.0)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3))).toSeq
+    assert(batch == Seq(("A", 3L, 12.0, 2L)), batch)
+  }
+
   test("streaming dedup against a static seen-index drops known content") {
     val dir = tmpDir().toString
     Seq((1L, "brand new doc"), (2L, "Already   Seen"), (3L, "also fresh"))
