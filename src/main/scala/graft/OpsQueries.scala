@@ -6601,7 +6601,44 @@ object OpsQueries {
              |  ROUND(MAX(sv), 6) AS max_cusum,
              |  CAST(COUNT(*) AS BIGINT) AS n_alarms
              |FROM sc WHERE sv > 500000 GROUP BY 1
-             |ORDER BY o_orderpriority""".stripMargin))
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ----- type-widening union (schema evolution) ---------------------------
+    // The drifted-snapshot case unionByName refuses: January wrote
+    // int ids + float prices, March long ids + double prices + a new
+    // column. unionWiden lifts both sides losslessly and null-fills
+    // the gap; the oracle reproduces the widened values from the
+    // original table — float→double widening is IEEE-identical on
+    // both engines, so even the float-rounded comparisons agree
+    // bit-for-bit.
+    "q212_union_widen" -> Entry(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val jan = o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey").cast("int").as("id"),
+            col("o_totalprice").cast("float").as("price"))
+        val mar = o.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey").as("id"),
+            col("o_totalprice").as("price"),
+            col("o_orderpriority").as("priority"))
+        QuackIO.unionWiden(jan, mar)
+          .agg(count(lit(1)).as("n"), min("id").as("min_id"),
+            max("id").as("max_id"),
+            sum(when(col("priority").isNull, 1L).otherwise(0L))
+              .as("n_null_priority"),
+            sum(when(col("price") > 200000.0, 1L).otherwise(0L))
+              .as("n_big"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(MIN(o_orderkey) AS BIGINT) AS min_id,
+             |  CAST(MAX(o_orderkey) AS BIGINT) AS max_id,
+             |  CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_null_priority,
+             |  CAST(SUM(CASE WHEN (CASE WHEN o_orderkey % 2 = 0
+             |      THEN CAST(CAST(o_totalprice AS REAL) AS DOUBLE)
+             |      ELSE o_totalprice END) > 200000.0
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_big
+             |FROM orders""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

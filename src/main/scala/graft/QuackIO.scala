@@ -832,6 +832,73 @@ object QuackIO {
     }.toDF("column", "status", "old_type", "new_type")
   }
 
+  /** Union snapshots whose column TYPES drifted — the schema-evolution
+    * case `unionByName` refuses (a column written int in January and
+    * long in March, float then double, or anything vs string): for
+    * every shared column both sides cast to the WIDENED type before
+    * the union, with missing columns null-filled (`allowMissing`).
+    * Widening is lossless-only — integral up to long, fractional up to
+    * double, integral+fractional → double, decimals to the covering
+    * precision/scale, anything+string → string (the universal
+    * supertype; drift INTO string is how most schema rot manifests),
+    * identical types pass through. A pair with no lossless widening
+    * (e.g. array vs int) raises by column name rather than guessing.
+    * Pure projection on each side — no data movement beyond the union
+    * itself. */
+  def unionWiden(a: DataFrame, b: DataFrame,
+      allowMissing: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.types._
+    val integral: Set[DataType] =
+      Set(ByteType, ShortType, IntegerType, LongType)
+    val fractional: Set[DataType] = Set(FloatType, DoubleType)
+    def widen(x: DataType, y: DataType): Option[DataType] = (x, y) match {
+      case _ if x == y => Some(x)
+      case (s: StringType, _) => Some(s)
+      case (_, s: StringType) => Some(s)
+      case _ if integral(x) && integral(y) =>
+        Some(if (Seq(x, y).contains(LongType)) LongType
+        else if (Seq(x, y).contains(IntegerType)) IntegerType
+        else ShortType)
+      case _ if (integral(x) || fractional(x)) &&
+          (integral(y) || fractional(y)) =>
+        Some(DoubleType)
+      case (da: DecimalType, db: DecimalType) =>
+        val scale = math.max(da.scale, db.scale)
+        val whole = math.max(da.precision - da.scale,
+          db.precision - db.scale)
+        val p = math.min(whole + scale, DecimalType.MAX_PRECISION)
+        Some(DecimalType(p, math.min(scale, p)))
+      case _ => None
+    }
+    val at = a.schema.map(f => f.name -> f.dataType).toMap
+    val bt = b.schema.map(f => f.name -> f.dataType).toMap
+    val names = (a.schema.map(_.name) ++
+      b.schema.map(_.name).filterNot(at.contains)).toSeq
+    val missing = names.filterNot(at.contains) ++
+      names.filterNot(bt.contains)
+    require(allowMissing || missing.isEmpty,
+      "unionWiden: columns missing from one side: " +
+        missing.sorted.mkString(", ") + " (allowMissing=false)")
+    val target = names.map { n =>
+      (at.get(n), bt.get(n)) match {
+        case (Some(x), Some(y)) => n -> widen(x, y).getOrElse(
+          throw new IllegalArgumentException(
+            s"unionWiden: no lossless widening for column '$n': " +
+              s"${x.simpleString} vs ${y.simpleString}"))
+        case (Some(x), None) => n -> x
+        case (None, Some(y)) => n -> y
+        case _ => throw new IllegalStateException(n)
+      }
+    }
+    def shape(df: DataFrame, have: Map[String,
+        org.apache.spark.sql.types.DataType]): DataFrame =
+      df.select(target.map { case (n, t) =>
+        (if (have.contains(n)) col(s"`$n`").cast(t)
+        else lit(null).cast(t)).as(n)
+      }: _*)
+    shape(a, at).unionByName(shape(b, bt))
+  }
+
   /** Recursively lift nested struct fields to top-level columns named
     * `parent<sep>child<sep>…` — the semi-structured→columnar step after
     * a schema'd `from_json`/nested-parquet read, so every downstream

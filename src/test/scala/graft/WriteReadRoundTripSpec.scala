@@ -257,6 +257,42 @@ class WriteReadRoundTripSpec extends TestBase {
       "no file must be created on invalid format")
   }
 
+  test("unionWiden: drifted types widen losslessly (int→long, " +
+      "float→double, mixed→double, any→string, decimal covering), " +
+      "missing columns null-fill, unwidenable pairs raise by name") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val jan = Seq((1, 1.5f, 10L)).toDF("id", "score", "extra")
+    val mar = Seq((2L, 2.5, "v2")).toDF("id", "score", "version")
+    val u = QuackIO.unionWiden(jan, mar)
+    assert(u.schema.map(f => f.name -> f.dataType.simpleString) ==
+      Seq("id" -> "bigint", "score" -> "double", "extra" -> "bigint",
+        "version" -> "string"))
+    val rows = u.orderBy("id").collect()
+    assert(rows(0).getLong(0) == 1L && rows(0).getDouble(1) == 1.5 &&
+      rows(0).getLong(2) == 10L && rows(0).isNullAt(3))
+    assert(rows(1).getLong(0) == 2L && rows(1).getDouble(1) == 2.5 &&
+      rows(1).isNullAt(2) && rows(1).getString(3) == "v2")
+    // drift INTO string: the universal supertype
+    val s2 = QuackIO.unionWiden(Seq(7L).toDF("k"),
+      Seq("seven").toDF("k")).orderBy("k").collect()
+      .map(_.getString(0)).toSeq
+    assert(s2 == Seq("7", "seven"))
+    // decimals widen to the covering precision/scale
+    val d1 = Seq(BigDecimal("12345678.99")).toDF("d")
+      .select(col("d").cast("decimal(10,2)").as("d"))
+    val d2 = Seq(BigDecimal("1.2345")).toDF("d")
+      .select(col("d").cast("decimal(12,4)").as("d"))
+    assert(QuackIO.unionWiden(d1, d2).schema.head.dataType.simpleString
+      == "decimal(12,4)")
+    assert(intercept[IllegalArgumentException] {
+      QuackIO.unionWiden(Seq(Seq(1)).toDF("x"), Seq(1).toDF("x"))
+    }.getMessage.contains("'x'"))
+    assert(intercept[IllegalArgumentException] {
+      QuackIO.unionWiden(jan, mar, allowMissing = false)
+    }.getMessage.contains("version"))
+  }
+
   test("flattenStructs: nested structs lift to dotted-to-sep names, " +
       "arrays pass through, collisions raise by name") {
     import spark.implicits._
