@@ -6638,7 +6638,43 @@ object OpsQueries {
              |      THEN CAST(CAST(o_totalprice AS REAL) AS DOUBLE)
              |      ELSE o_totalprice END) > 200000.0
              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_big
-             |FROM orders""".stripMargin))
+             |FROM orders""".stripMargin)),
+
+    // ----- token-budget quality gate ----------------------------------------
+    // keepTopQuantile keeps a fraction of DOCUMENTS, which
+    // over-represents short docs; training recipes budget TOKENS. The
+    // gate fills greedily by score (n_chars as the quality proxy, id
+    // tiebreak) until 30% of the corpus's tokens are retained,
+    // including the crossing doc; membership is all-integer
+    // arithmetic on Rank.globalRunningSum, so both engines keep the
+    // identical set — md5 of the kept ids pins it.
+    "q213_token_budget_gate" -> Entry(
+      (s, dir) => {
+        val d = t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"), col("n_chars"),
+            TextAnalysis.tokenCount(col("text")).as("w"))
+        Pipelines.keepTopTokenBudget(d, "doc_id", "n_chars", "w",
+            keepBp = 3000)
+          .agg(count(lit(1)).as("n_kept"),
+            sum("w").as("tokens_kept"),
+            md5(concat_ws(",",
+              sort_array(collect_list(col("doc_id")))))
+              .as("ids_md5"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, n_chars, len($TOKS) AS w
+              |  FROM documents
+              |  WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+              |r AS (SELECT doc_id, w, SUM(w) OVER (
+              |    ORDER BY n_chars DESC, doc_id
+              |    ROWS UNBOUNDED PRECEDING) AS run FROM d),
+              |t AS (SELECT SUM(w) AS tot FROM d),
+              |k AS (SELECT doc_id, w FROM r, t
+              |  WHERE (run - w) * 10000 < 3000 * tot)
+              |SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+              |  CAST(SUM(w) AS BIGINT) AS tokens_kept,
+              |  md5(string_agg(CAST(doc_id AS VARCHAR), ','
+              |    ORDER BY doc_id)) AS ids_md5
+              |FROM k""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

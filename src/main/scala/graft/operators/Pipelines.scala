@@ -177,6 +177,42 @@ object Pipelines {
       .drop("__cut")
   }
 
+  /** Keep the best documents until `keepBp` basis points of the
+    * corpus's TOKENS are retained — the budget a training recipe
+    * actually specifies ([[keepTopQuantile]] keeps a fraction of
+    * DOCUMENTS, which over-represents short docs; a token budget is
+    * the apples-to-apples gate). Greedy by `scoreCol` desc (id
+    * tiebreak): a doc is kept iff the tokens BEFORE it fit under the
+    * budget, so the doc that crosses the boundary is included and at
+    * least one doc survives any positive budget. All-integer
+    * arithmetic — `(running − w) · 10000 < keepBp · W` — so membership
+    * is engine-bit-identical at any scale.
+    *
+    * Scale: rides [[graft.operators.Rank.globalRunningSum]] (ONE
+    * reused range exchange, no single-task window); the slim
+    * (score, id, weight) frame joins back to the full rows by id
+    * (LEFT SEMI). Null scores/weights and negative weights are
+    * excluded up front (they have no place in a budget). */
+  def keepTopTokenBudget(df: DataFrame, idCol: String, scoreCol: String,
+      weightCol: String, keepBp: Int): DataFrame = {
+    require(keepBp >= 1 && keepBp <= 9999,
+      s"keepTopTokenBudget: keepBp must be in [1, 9999], got $keepBp")
+    val slim = df
+      .filter(col(scoreCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol) >= 0)
+      .select(col(scoreCol).as("__sc"), col(idCol).as("__id"),
+        col(weightCol).cast("long").as("__w"))
+    val run = graft.operators.Rank.globalRunningSum(slim,
+      Seq(col("__sc").desc, col("__id").asc, col("__w").asc), "__w",
+      outCol = "__run")
+    val tot = run.agg(sum(col("__w")).as("__tot"))
+    val kept = run.crossJoin(broadcast(tot))
+      .filter((col("__run") - col("__w")) * 10000L <
+        lit(keepBp.toLong) * col("__tot"))
+      .select(col("__id"))
+    df.join(kept, df(idCol) === kept("__id"), "left_semi")
+  }
+
   /** UL2 mixture-of-denoisers (Tay et al. 2022 §3): every document is
     * deterministically routed — [[TextAnalysis.splitBucket]] on its id,
     * so the assignment survives any engine/run/cluster — to ONE of the

@@ -113,6 +113,45 @@ object Rank {
       .drop("__mid", "__pid", "__lrn", "__poff")
   }
 
+  /** Appends `outCol` = the INCLUSIVE running sum of `weightCol` under
+    * the total order `order` — [[globalRank]] generalized from row
+    * counts to weights (the token-budget primitive: "how many TOKENS
+    * precede this doc in quality order"). Same decomposition and same
+    * SLIM contract: the weight column must appear in the sort order's
+    * expression list (append it after the unique tiebreaker, where it
+    * can never influence the ordering) so the offsets branch and the
+    * local branch prune identically and reuse ONE sampled range
+    * exchange. Local running sums ride a window PARTITIONED by the
+    * range partition id — bounded by partition size, never one task.
+    * Integer weights stay integer end to end (engine-exact). */
+  def globalRunningSum(df: DataFrame, order: Seq[Column],
+      weightCol: String, outCol: String = "running",
+      partitions: Int = 0): DataFrame = {
+    require(order.nonEmpty, "Rank.globalRunningSum: empty sort order")
+    requireSlim(df, order, "globalRunningSum")
+    guard(df, Seq("__mid", "__pid", "__lrs", "__poff", outCol))
+    val p = if (partitions > 0) partitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(p, order: _*)
+    val pc = ranged
+      .groupBy(spark_partition_id().as("__pid"))
+      .agg(sum(col(weightCol)).as("__pw"))
+    val wOff = Window.orderBy(col("__pid")) // ≤p rows: single task fine
+    val off = pc
+      .withColumn("__poff", sum(col("__pw")).over(wOff) - col("__pw"))
+      .select(col("__pid"), col("__poff"))
+    val local = ranged.sortWithinPartitions(order: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", shiftright(col("__mid"), LocalBits).cast("int"))
+    val wLoc = Window.partitionBy(col("__pid")).orderBy(col("__mid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local
+      .withColumn("__lrs", sum(col(weightCol)).over(wLoc))
+      .join(broadcast(off), "__pid")
+      .withColumn(outCol, col("__poff") + col("__lrs"))
+      .drop("__mid", "__pid", "__lrs", "__poff")
+  }
+
   /** Appends `outCol` = SQL `NTILE(n) OVER (ORDER BY order...)`: rows
     * split into n stages of near-equal size, the first `N mod n`
     * stages one row larger — bit-identical to the standard-SQL window

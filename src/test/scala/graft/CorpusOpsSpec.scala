@@ -708,6 +708,48 @@ class CorpusOpsSpec extends TestBase {
 
   // ---------- quantile gate ------------------------------------------------
 
+  test("keepTopTokenBudget: greedy fill to the token budget including " +
+      "the crossing doc; best doc survives any budget; window-form " +
+      "parity; partition invariance; guards") {
+    import graft.operators.Pipelines
+    // A 9→5tok, B 8→4, C 7→3, D 5→10; W=22, 50% budget=11:
+    // A(starts 0) B(5) C(9) kept — C crosses and is included; D(12) out
+    val d = Seq((1L, Some(9.0), 5L, "a"), (2L, Some(8.0), 4L, "b"),
+      (3L, Some(7.0), 3L, "c"), (4L, Some(5.0), 10L, "d"),
+      (5L, None: Option[Double], 2L, "nullscore"))
+      .toDF("id", "score", "ntok", "payload")
+    def kept(bp: Int) = Pipelines
+      .keepTopTokenBudget(d, "id", "score", "ntok", bp)
+      .select("id").as[Long].collect().toSet
+    assert(kept(5000) == Set(1L, 2L, 3L))
+    assert(kept(1) == Set(1L), "any positive budget keeps the best doc")
+    assert(kept(9999) == Set(1L, 2L, 3L, 4L))
+    // parity with the single-window reference over a bigger corpus
+    val big = spark.range(500).select(col("id"),
+      (col("id") * 37 % 101).cast("double").as("score"),
+      (col("id") % 13 + 1).as("ntok"))
+    val viaOp = Pipelines
+      .keepTopTokenBudget(big, "id", "score", "ntok", 3000)
+      .select("id").as[Long].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    val tot = big.agg(sum("ntok")).collect().head.getLong(0)
+    val viaWin = big.withColumn("run", sum("ntok").over(w))
+      .filter((col("run") - col("ntok")) * 10000L < lit(3000L) * tot)
+      .select("id").as[Long].collect().toSet
+    assert(viaOp == viaWin,
+      s"diff: ${(viaOp diff viaWin) ++ (viaWin diff viaOp)}")
+    assert(Pipelines.keepTopTokenBudget(big.repartition(17), "id",
+      "score", "ntok", 3000).select("id").as[Long].collect().toSet
+      == viaOp)
+    assert(intercept[IllegalArgumentException] {
+      Pipelines.keepTopTokenBudget(d, "id", "score", "ntok", 0)
+    }.getMessage.contains("keepBp"))
+  }
+
   test("keepTopQuantile keeps the top quartile, exact and approx agree here") {
     val df = spark.range(100).select(col("id"), (col("id") * 7 % 100)
       .as("score"))
