@@ -6674,7 +6674,59 @@ object OpsQueries {
               |  CAST(SUM(w) AS BIGINT) AS tokens_kept,
               |  md5(string_agg(CAST(doc_id AS VARCHAR), ','
               |    ORDER BY doc_id)) AS ids_md5
-              |FROM k""".stripMargin))
+              |FROM k""".stripMargin)),
+
+    // ----- image near-dup PAIRING, end to end -------------------------------
+    // q201 pins the hashes; this pins the PAIRING: docs share one
+    // image per doc_id-century (groups of five identical BMPs), and
+    // with 8 bands over 64 bits the pigeonhole guarantees recall
+    // through hamming 7 — so candidates ≡ ALL pairs at hamming ≤ 6,
+    // which the oracle computes as the exact per-position diff count
+    // over the replayed bit tables. Decode → hash → band → join →
+    // verify, every stage SQL-checked.
+    "q214_image_neardup_pairs" -> Entry(
+      (s, dir) => {
+        import s.implicits._
+        val ids = t(s, dir, "documents")
+          .filter(col("doc_id") % 20 === 0)
+          .select(col("doc_id")).as[Long]
+        val media = ids.map { id =>
+          val g = id - id % 100 // five docs share each image
+          Multimodal.MediaRecord(id, Multimodal.encodeBmp24(16, 8,
+            (x, y) => (((g * 7 + x * 16) % 241).toInt,
+              ((y * 29 + g) % 241).toInt,
+              ((x * y + g * 3) % 241).toInt)), "image")
+        }
+        Multimodal.nearDupImages(media, maxHamming = 6)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH ids AS (SELECT doc_id,
+             |    doc_id - doc_id % 100 AS g FROM documents
+             |  WHERE doc_id % 20 = 0),
+             |px AS (SELECT doc_id, x, y,
+             |    (299 * ((g * 7 + x * 16) % 241)
+             |     + 587 * ((y * 29 + g) % 241)
+             |     + 114 * ((x * y + g * 3) % 241)) // 1000 AS gr
+             |  FROM ids
+             |  CROSS JOIN generate_series(0, 15) gx(x)
+             |  CROSS JOIN generate_series(0, 7) gy(y)),
+             |cells AS (SELECT doc_id, y AS cy,
+             |    LEAST(x * 9 // 16, 8) AS cx,
+             |    SUM(gr) // COUNT(*) AS avg_g
+             |  FROM px GROUP BY 1, 2, 3),
+             |bits AS (SELECT l.doc_id, l.cy * 8 + l.cx AS pos,
+             |    CASE WHEN l.avg_g < r.avg_g THEN 1 ELSE 0 END AS b
+             |  FROM cells l JOIN cells r ON l.doc_id = r.doc_id
+             |    AND l.cy = r.cy AND r.cx = l.cx + 1
+             |  WHERE l.cx < 8),
+             |ham AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |    SUM(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) AS hamming
+             |  FROM bits a JOIN bits b ON a.pos = b.pos
+             |    AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+             |FROM ham WHERE hamming <= 6
+             |ORDER BY doc_a, doc_b""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)
