@@ -121,9 +121,13 @@ object Rank {
     * expression list (append it after the unique tiebreaker, where it
     * can never influence the ordering) so the offsets branch and the
     * local branch prune identically and reuse ONE sampled range
-    * exchange. Local running sums ride a window PARTITIONED by the
-    * range partition id — bounded by partition size, never one task.
-    * Integer weights stay integer end to end (engine-exact). */
+    * exchange (spec-pinned). Local running sums ride a window
+    * PARTITIONED by the range partition id — bounded by partition
+    * size, never one task; Catalyst cannot see that rows already sit
+    * in their pid, so this costs one pid-keyed hash exchange on top
+    * of the reused range exchange (evenly distributed — a second
+    * shuffle, not a cliff). Integer weights stay integer end to end
+    * (engine-exact). */
   def globalRunningSum(df: DataFrame, order: Seq[Column],
       weightCol: String, outCol: String = "running",
       partitions: Int = 0): DataFrame = {

@@ -269,4 +269,43 @@ class RankSpec extends TestBase {
     assert(p.contains("BroadcastHashJoin"),
       s"offsets join must broadcast:\n$p")
   }
+
+  test("globalRunningSum: weighted prefix sums equal the single-window " +
+      "reference; ONE reused range exchange; the local window is " +
+      "pid-partitioned, never one task") {
+    import spark.implicits._
+    val d = docs(400).withColumn("w", (col("id") % 7 + 1))
+    val slim = d.select(col("score"), col("id"), col("w"))
+    val rs = Rank.globalRunningSum(slim,
+      Seq(col("score").asc, col("id").asc, col("w").asc), "w", "run",
+      partitions = 8)
+    rs.collect()
+    val viaWin = slim.withColumn("run",
+      sum("w").over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").asc, col("id").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)))
+      .select("id", "run").as[(Long, Long)].collect().toMap
+    val got = rs.select("id", "run").as[(Long, Long)].collect().toMap
+    assert(got == viaWin, s"diff at: ${
+      got.collect { case (k, v) if viaWin(k) != v => k }.take(5)}")
+    val p = rs.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val ranges = p.linesIterator.count(l =>
+      l.contains("Exchange rangepartitioning") &&
+        !l.contains("ReusedExchange"))
+    assert(ranges == 1, s"expected one range exchange:\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"offsets branch must reuse the range exchange:\n$p")
+    // the corpus-side window must be partitioned by __pid (bounded by
+    // a range partition) — never an empty partitionSpec
+    import org.apache.spark.sql.execution.window.WindowExec
+    rs.queryExecution.executedPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty &&
+          !w.output.exists(_.name.startsWith("__poff")) =>
+        assert(w.child.outputPartitioning.numPartitions <= 8,
+          s"unpartitioned corpus window:\n$w")
+    }
+  }
 }
