@@ -842,7 +842,8 @@ object QuackIO {
     * precision/scale, anything+string → string (the universal
     * supertype; drift INTO string is how most schema rot manifests),
     * identical types pass through. A pair with no lossless widening
-    * (e.g. array vs int) raises by column name rather than guessing.
+    * (array vs int, or decimals whose covering type would exceed
+    * precision 38) raises by column name rather than guessing.
     * Pure projection on each side — no data movement beyond the union
     * itself. */
   def unionWiden(a: DataFrame, b: DataFrame,
@@ -866,8 +867,11 @@ object QuackIO {
         val scale = math.max(da.scale, db.scale)
         val whole = math.max(da.precision - da.scale,
           db.precision - db.scale)
-        val p = math.min(whole + scale, DecimalType.MAX_PRECISION)
-        Some(DecimalType(p, math.min(scale, p)))
+        // the covering type must itself fit: silently capping at 38
+        // would drop whole digits at runtime (ANSI overflow) — that is
+        // NOT lossless, so it falls through to the loud raise
+        if (whole + scale > DecimalType.MAX_PRECISION) None
+        else Some(DecimalType(whole + scale, scale))
       case _ => None
     }
     val at = a.schema.map(f => f.name -> f.dataType).toMap

@@ -285,6 +285,15 @@ class WriteReadRoundTripSpec extends TestBase {
       .select(col("d").cast("decimal(12,4)").as("d"))
     assert(QuackIO.unionWiden(d1, d2).schema.head.dataType.simpleString
       == "decimal(12,4)")
+    // a covering type that cannot fit in precision 38 is NOT lossless:
+    // raise, never silently drop whole digits
+    val dWide = Seq(BigDecimal(1)).toDF("d")
+      .select(col("d").cast("decimal(38,0)").as("d"))
+    val dFrac = Seq(BigDecimal(1)).toDF("d")
+      .select(col("d").cast("decimal(10,10)").as("d"))
+    assert(intercept[IllegalArgumentException] {
+      QuackIO.unionWiden(dWide, dFrac)
+    }.getMessage.contains("'d'"))
     assert(intercept[IllegalArgumentException] {
       QuackIO.unionWiden(Seq(Seq(1)).toDF("x"), Seq(1).toDF("x"))
     }.getMessage.contains("'x'"))
