@@ -768,19 +768,23 @@ object Multimodal {
         (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) |
           ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
       def tag(i: Int): String = new String(p.slice(i, i + 4), "US-ASCII")
-      // PCM check + data offset (parseWavHeader validated structure)
+      // PCM check + data offset (parseWavHeader validated structure).
+      // The walk visits EVERY chunk — a non-canonical file putting
+      // 'fmt ' after 'data' must still fail the float check
       var i = 12L
       var dataAt = -1L
-      while (dataAt < 0 && i + 8 <= p.length) {
+      var pcm = false
+      while (i + 8 <= p.length) {
         val at = i.toInt
-        if (tag(at) == "data") dataAt = at + 8
-        else {
-          if (tag(at) == "fmt " &&
-            ((p(at + 8) & 0xff) | ((p(at + 9) & 0xff) << 8)) != 1)
+        if (tag(at) == "data" && dataAt < 0) dataAt = at + 8
+        else if (tag(at) == "fmt ") {
+          if (((p(at + 8) & 0xff) | ((p(at + 9) & 0xff) << 8)) != 1)
             return None // float PCM has no integer envelope
-          i += 8 + u32le(at + 4) + (u32le(at + 4) % 2)
+          pcm = true
         }
+        i += 8 + u32le(at + 4) + (u32le(at + 4) % 2)
       }
+      if (!pcm) return None
       val ba = ch * 2
       val n = math.min(nDeclared,
         if (dataAt < 0) 0L else (p.length - dataAt) / ba).toInt

@@ -52,7 +52,10 @@ object Urls {
   def canonicalizeUrl(url: Column): Column = {
     val path0 = regexp_extract(url, SchemeRe + "[^/?#]*([^?#]*)", 2)
     val path = when(path0 === "", lit("/")).otherwise(path0)
-    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    // the query is what follows the FIRST '?' BEFORE any '#': a '?'
+    // occurring only inside the fragment ("/p#x?y") is fragment text,
+    // not a query
+    val query = regexp_extract(url, "^[^#?]*\\?([^#]*)", 1)
     val kept = array_join(array_sort(filter(split(query, "&"), p =>
       p =!= "" && !p.rlike("^(utm_[^=]*|gclid|fbclid|ref)="))), "&")
     when(schemeOf(url).isNotNull && hostOf(url).isNotNull,

@@ -1626,6 +1626,17 @@ class OperatorsSpec extends TestBase {
     val floatWav = wav(i => i).clone
     floatWav(20) = 3
     assert(Multimodal.audioHash64(floatWav).isEmpty)
+    // float detection must survive non-canonical chunk order: rebuild
+    // the same payload with 'fmt ' AFTER 'data' — wait, RIFF order is
+    // writer-fixed here, so patch a float fmt code into a payload
+    // whose data chunk the walk reaches first by swapping the chunks
+    val base0 = wav(i => i)
+    val fmtChunk = base0.slice(12, 12 + 24) // 'fmt ' + 8 hdr + 16 body
+    val dataChunk = base0.drop(36)
+    val swapped = base0.take(12) ++ dataChunk ++ fmtChunk
+    swapped(12 + dataChunk.length + 8) = 3 // fmt code → float
+    assert(Multimodal.audioHash64(swapped).isEmpty,
+      "float fmt after data must still be rejected")
     assert(Multimodal.audioHash64(wav(i => i, n = 64)).isEmpty)
     assert(Multimodal.audioHash64(Array[Byte](1, 2)).isEmpty)
     val media = Seq(

@@ -35,6 +35,11 @@ class UrlsSpec extends TestBase {
     // empty path normalizes to /
     assert(canon("https://a.com") == Some("https://a.com/"))
     assert(canon("ftp://Host/File") == Some("ftp://host/File"))
+    // a '?' that appears only INSIDE the fragment is fragment text,
+    // not a query — the whole fragment drops
+    assert(canon("https://a.com/p#x?y=1") == Some("https://a.com/p"))
+    assert(canon("https://a.com/p?q=1#x?y=2") ==
+      Some("https://a.com/p?q=1"))
   }
 
   test("non-URLs and null yield null, never raise; domain strips one " +
