@@ -295,7 +295,8 @@ object EventStreams {
         val p = st.prefixSum + (pt.value - target - slack)
         val s = p - math.min(st.prefixMin, 0.0)
         if (s > threshold) out += CusumAlarm(key, pt.seq,
-          math.rint(s * 1e6) / 1e6)
+          BigDecimal(s).setScale(6, // HALF_UP: match the batch round()
+            BigDecimal.RoundingMode.HALF_UP).toDouble)
         st = CusumState(p, math.min(st.prefixMin, p))
       }
       state.update(st)
