@@ -6726,7 +6726,67 @@ object OpsQueries {
              |  GROUP BY 1, 2)
              |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
              |FROM ham WHERE hamming <= 6
-             |ORDER BY doc_a, doc_b""".stripMargin))
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // ----- NDCG@k retrieval eval --------------------------------------------
+    // The graded companion to recall@k: a deterministic md5-ranked run
+    // (the metric under test doesn't care where the ranking came
+    // from) against a judged pool with 0-3 grades. Unjudged results
+    // gain 0, no-relevant queries stay null. Oracle replays the run
+    // ranking and both DCG sums.
+    "q215_ndcg" -> Entry(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val q = docs.filter(col("doc_id") % 100 === 0)
+          .select(col("doc_id").as("query_id"))
+        val pool = docs.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id").as("corpus_id"))
+        val w = Window.partitionBy("query_id").orderBy(
+          md5(concat(lit("run|"), col("query_id"), lit("|"),
+            col("corpus_id"))), col("corpus_id"))
+        val run = q.crossJoin(pool)
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+        val judged = docs.filter(col("doc_id") % 15 === 0)
+          .select(col("doc_id").as("corpus_id"))
+        val relevance = q.crossJoin(judged)
+          .select(col("query_id"), col("corpus_id"),
+            ((expr("query_id div 100") + expr("corpus_id div 15")) % 4)
+              .cast("double").as("rel"))
+        Metrics.ndcgAtK(run, relevance, k = 10)
+      },
+      Some("""WITH q AS (SELECT doc_id AS query_id FROM documents
+             |  WHERE doc_id % 100 = 0),
+             |c AS (SELECT doc_id AS corpus_id FROM documents
+             |  WHERE doc_id % 5 = 0),
+             |runr AS (SELECT query_id, corpus_id,
+             |    ROW_NUMBER() OVER (PARTITION BY query_id
+             |      ORDER BY md5('run|' || query_id || '|' || corpus_id),
+             |        corpus_id) AS rnk
+             |  FROM q CROSS JOIN c),
+             |run AS (SELECT * FROM runr WHERE rnk <= 10),
+             |rel AS (SELECT query_id, corpus_id,
+             |    CAST((query_id // 100 + corpus_id // 15) % 4
+             |      AS DOUBLE) AS rel
+             |  FROM q CROSS JOIN (SELECT doc_id AS corpus_id
+             |    FROM documents WHERE doc_id % 15 = 0)),
+             |d AS (SELECT run.query_id,
+             |    SUM((POWER(2, COALESCE(rel, 0)) - 1)
+             |      / log2(rnk + 1)) AS dcg
+             |  FROM run LEFT JOIN rel USING (query_id, corpus_id)
+             |  GROUP BY 1),
+             |i0 AS (SELECT query_id, rel, ROW_NUMBER() OVER (
+             |    PARTITION BY query_id ORDER BY rel DESC, corpus_id)
+             |    AS ir FROM rel WHERE rel > 0),
+             |i AS (SELECT query_id,
+             |    SUM((POWER(2, rel) - 1) / log2(ir + 1)) AS idcg
+             |  FROM i0 WHERE ir <= 10 GROUP BY 1)
+             |SELECT query_id, ROUND(COALESCE(dcg, 0), 6) AS dcg,
+             |  ROUND(COALESCE(idcg, 0), 6) AS idcg,
+             |  CASE WHEN COALESCE(idcg, 0) > 0
+             |    THEN ROUND(COALESCE(dcg, 0) / idcg, 6) END AS ndcg
+             |FROM d FULL OUTER JOIN i USING (query_id)
+             |ORDER BY query_id""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

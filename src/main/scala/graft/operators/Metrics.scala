@@ -109,6 +109,51 @@ object Metrics {
       .agg(count(lit(1)).as("n"))
       .orderBy("label", "pred")
 
+  /** NDCG@k (Järvelin & Kekäläinen 2002) — the graded retrieval-eval
+    * companion to [[Similarity.recallAtK]]: per query, the run's
+    * discounted cumulative gain `Σ_{rank≤k} (2^rel − 1)/log2(rank+1)`
+    * (unjudged results gain 0) over the IDEAL DCG from the top-k
+    * relevance grades. One row per query seen on either side: `dcg`,
+    * `idcg`, `ndcg` (round-6; null when the query has no relevant
+    * docs — no silent 0/0=perfect), queries the run missed entirely
+    * score dcg 0. Macro-mean is one `avg` over this report.
+    *
+    * Inputs: `results` (query_id, corpus_id, rank — the
+    * [[Similarity.recallAtK]] run shape) and `relevance` (query_id,
+    * corpus_id, rel ≥ 0 graded judgments). Scale: the run join is
+    * keyed on (query, corpus); the ideal ranking windows per query
+    * over the JUDGED pool only — bounded by judgments per query, which
+    * is label-budget-sized by construction, never corpus-sized. */
+  def ndcgAtK(results: DataFrame, relevance: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 1, s"ndcgAtK: k must be >= 1, got $k")
+    val rel = relevance.select(col("query_id"), col("corpus_id"),
+      col("rel").cast("double").as("rel"))
+    val run = results.filter(col("rank") <= k)
+      .join(rel, Seq("query_id", "corpus_id"), "left")
+      .select(col("query_id"),
+        ((pow(lit(2.0), coalesce(col("rel"), lit(0.0))) - lit(1.0)) /
+          log2(col("rank").cast("double") + lit(1.0))).as("__g"))
+      .groupBy("query_id").agg(sum("__g").as("__dcg"))
+    val wIdeal = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("rel").desc, col("corpus_id"))
+    val ideal = rel.filter(col("rel") > 0)
+      .withColumn("__r", row_number().over(wIdeal))
+      .filter(col("__r") <= k)
+      .select(col("query_id"),
+        ((pow(lit(2.0), col("rel")) - lit(1.0)) /
+          log2(col("__r").cast("double") + lit(1.0))).as("__g"))
+      .groupBy("query_id").agg(sum("__g").as("__idcg"))
+    run.join(ideal, Seq("query_id"), "full_outer")
+      .select(col("query_id"),
+        round(coalesce(col("__dcg"), lit(0.0)), 6).as("dcg"),
+        round(coalesce(col("__idcg"), lit(0.0)), 6).as("idcg"),
+        when(coalesce(col("__idcg"), lit(0.0)) > 0,
+          round(coalesce(col("__dcg"), lit(0.0)) / col("__idcg"), 6))
+          .as("ndcg"))
+      .orderBy("query_id")
+  }
+
   /** Cohen's kappa (Cohen 1960) between two categorical raters — the
     * chance-corrected agreement score every labeling pipeline reports
     * before trusting its annotations: κ = (p_o − p_e) / (1 − p_e) with

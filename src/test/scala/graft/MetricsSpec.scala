@@ -139,6 +139,38 @@ class MetricsSpec extends TestBase {
       one.isNullAt(3))
   }
 
+  test("ndcgAtK: hand-computed DCG/IDCG, unjudged results gain 0, " +
+      "perfect ordering scores 1, no-relevant queries stay null, " +
+      "run-missed queries score dcg 0") {
+    import spark.implicits._
+    def l2(x: Double) = math.log(x) / math.log(2.0)
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    // q1 run: [c1 rel3, c2 unjudged, c3 rel1]; judged {c1:3, c3:1, c9:2}
+    val results = Seq((1L, 1L, 1), (1L, 2L, 2), (1L, 3L, 3),
+      (2L, 9L, 1), (2L, 8L, 2), // q2: perfect order of its 2 judged
+      (3L, 5L, 1)) // q3: judged pool has no rel>0
+      .toDF("query_id", "corpus_id", "rank")
+    val relevance = Seq((1L, 1L, 3.0), (1L, 3L, 1.0), (1L, 9L, 2.0),
+      (2L, 9L, 2.0), (2L, 8L, 1.0), (3L, 5L, 0.0),
+      (4L, 2L, 1.0)) // q4 judged but absent from the run
+      .toDF("query_id", "corpus_id", "rel")
+    val out = Metrics.ndcgAtK(results, relevance, k = 3).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    val dcg1 = 7.0 / l2(2) + 0.0 + 1.0 / l2(4)
+    val idcg1 = 7.0 / l2(2) + 3.0 / l2(3) + 1.0 / l2(4)
+    assert(out(1L) == ((r6(dcg1), r6(idcg1), Some(r6(dcg1 / idcg1)))),
+      out(1L))
+    assert(out(2L)._3.contains(1.0), out(2L)) // ideal order → exactly 1
+    assert(out(3L) == ((0.0, 0.0, None)), out(3L))
+    val idcg4 = 1.0 / l2(2)
+    assert(out(4L) == ((0.0, r6(idcg4), Some(0.0))), out(4L))
+    assert(intercept[IllegalArgumentException] {
+      Metrics.ndcgAtK(results, relevance, 0)
+    }.getMessage.contains("k must be"))
+  }
+
   test("bradleyTerry: two items at 3:1 hit the exact 0.75/0.25 fixed " +
       "point in one sweep; transitive chains order correctly; a " +
       "never-winner scores 0; self-pairs and nulls dropped") {
