@@ -6786,7 +6786,41 @@ object OpsQueries {
              |  CASE WHEN COALESCE(idcg, 0) > 0
              |    THEN ROUND(COALESCE(dcg, 0) / idcg, 6) END AS ndcg
              |FROM d FULL OUTER JOIN i USING (query_id)
-             |ORDER BY query_id""".stripMargin))
+             |ORDER BY query_id""".stripMargin)),
+
+    // ----- Spearman rank correlation ----------------------------------------
+    // "Does the cheap score order the corpus like the expensive one" —
+    // here n_chars vs token count (near-perfect but not exact: ties
+    // and word-length variance do real midrank work). Rides
+    // globalRank's midrank machinery; both engines compute the same
+    // closed-form Pearson over the midrank vectors.
+    "q216_spearman" -> Entry(
+      (s, dir) => Metrics.spearman(
+        t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"), col("n_chars"),
+            TextAnalysis.tokenCount(col("text")).as("ntok")),
+        "n_chars", "ntok", "doc_id"),
+      Some(s"""WITH d AS (SELECT doc_id,
+              |    CAST(n_chars AS DOUBLE) AS x,
+              |    CAST(len($TOKS) AS DOUBLE) AS y FROM documents
+              |  WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+              |rx AS (SELECT doc_id, AVG(rn) OVER (PARTITION BY x)
+              |    AS mx
+              |  FROM (SELECT doc_id, x, CAST(ROW_NUMBER() OVER (
+              |    ORDER BY x, doc_id) AS DOUBLE) AS rn FROM d)),
+              |ry AS (SELECT doc_id, AVG(rn) OVER (PARTITION BY y)
+              |    AS my
+              |  FROM (SELECT doc_id, y, CAST(ROW_NUMBER() OVER (
+              |    ORDER BY y, doc_id) AS DOUBLE) AS rn FROM d)),
+              |j AS (SELECT mx, my FROM rx JOIN ry USING (doc_id)),
+              |sums AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+              |    SUM(mx) AS sx, SUM(my) AS sy, SUM(mx * my) AS sxy,
+              |    SUM(mx * mx) AS sxx, SUM(my * my) AS syy FROM j)
+              |SELECT CAST(n AS BIGINT) AS n,
+              |  ROUND((n * sxy - sx * sy)
+              |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+              |    AS rho
+              |FROM sums""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

@@ -109,6 +109,63 @@ object Metrics {
       .agg(count(lit(1)).as("n"))
       .orderBy("label", "pred")
 
+  /** Spearman rank correlation between two score columns — "does the
+    * cheap quality score ORDER the corpus like the expensive one":
+    * the validation a fast classifier needs against an LM-perplexity
+    * reference before replacing it in a gate. ρ = Pearson correlation
+    * of the two rank vectors, with ties receiving their standard
+    * midranks (`(rank_min + rank_max)/2` per tied value — the
+    * fractional-rank convention every stats package uses). Rows where
+    * either score is null are excluded pairwise. One row: `n`, `rho`
+    * (round-6; null when either column is constant — no ordering to
+    * correlate).
+    *
+    * Scale: midranks per column = one keyed aggregation per distinct
+    * value over [[Rank.globalRank]]'s range-decomposed ranks (the AUC
+    * midrank machinery — no corpus-sized window anywhere), then one
+    * `corr` aggregate. `idCol` must be unique (it pairs the two rank
+    * vectors; a synthesized monotonic id would be nondeterministic
+    * across the two ranking branches). NaN scores are excluded with
+    * the nulls. */
+  def spearman(df: DataFrame, xCol: String, yCol: String,
+      idCol: String): DataFrame = {
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull &&
+        !isnan(col(xCol).cast("double")) &&
+        !isnan(col(yCol).cast("double")))
+      .select(col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"),
+        col(idCol).as("__rid"))
+    def midranks(valueCol: String, out: String): DataFrame = {
+      val ranked = Rank.globalRank(
+        base.select(col(valueCol), col("__rid")),
+        Seq(col(valueCol).asc, col("__rid").asc), "__rk")
+      val mids = ranked.groupBy(col(valueCol).as("__v"))
+        .agg(((min("__rk") + max("__rk")).cast("double") / 2.0)
+          .as(out))
+      ranked.join(mids, ranked(valueCol) === mids("__v"))
+        .select(col("__rid"), col(out))
+    }
+    val rx = midranks("__x", "__mrx")
+    val ry = midranks("__y", "__mry")
+    // closed-form Pearson from raw sums: ANSI corr() raises
+    // DIVIDE_BY_ZERO on a zero-variance input instead of yielding null
+    rx.join(ry, "__rid")
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum("__mrx").as("__sx"), sum("__mry").as("__sy"),
+        sum(col("__mrx") * col("__mry")).as("__sxy"),
+        sum(col("__mrx") * col("__mrx")).as("__sxx"),
+        sum(col("__mry") * col("__mry")).as("__syy"))
+      .select(col("__n").cast("long").as("n"),
+        when((col("__n") * col("__sxx") - col("__sx") * col("__sx")) > 0
+            && (col("__n") * col("__syy") - col("__sy") * col("__sy"))
+              > 0,
+          round((col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+            / sqrt((col("__n") * col("__sxx") -
+                col("__sx") * col("__sx")) *
+              (col("__n") * col("__syy") - col("__sy") * col("__sy"))),
+            6)).as("rho"))
+  }
+
   /** NDCG@k (Järvelin & Kekäläinen 2002) — the graded retrieval-eval
     * companion to [[Similarity.recallAtK]]: per query, the run's
     * discounted cumulative gain `Σ_{rank≤k} (2^rel − 1)/log2(rank+1)`

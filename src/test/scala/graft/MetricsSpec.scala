@@ -139,6 +139,43 @@ class MetricsSpec extends TestBase {
       one.isNullAt(3))
   }
 
+  test("spearman: monotone maps score ±1 exactly, midrank ties match " +
+      "the hand Pearson, constant column null, null/NaN excluded " +
+      "pairwise") {
+    import spark.implicits._
+    val mono = (1 to 20).map(i => (i.toLong, i.toDouble, i * i * 1.0))
+      .toDF("id", "x", "y")
+    assert(Metrics.spearman(mono, "x", "y", "id").collect().head
+      .getDouble(1) == 1.0)
+    val anti = (1 to 20).map(i => (i.toLong, i.toDouble, -i * 3.0))
+      .toDF("id", "x", "y")
+    assert(Metrics.spearman(anti, "x", "y", "id").collect().head
+      .getDouble(1) == -1.0)
+    // ties: x [1,2,2,3] → midranks [1, 2.5, 2.5, 4]; y strictly rising
+    val tied = Seq((1L, 1.0, 10.0), (2L, 2.0, 20.0), (3L, 2.0, 30.0),
+      (4L, 3.0, 40.0)).toDF("id", "x", "y")
+    def pearson(a: Seq[Double], b: Seq[Double]): Double = {
+      val (ma, mb) = (a.sum / a.size, b.sum / b.size)
+      val cov = a.zip(b).map { case (u, v) => (u - ma) * (v - mb) }.sum
+      cov / math.sqrt(a.map(u => (u - ma) * (u - ma)).sum *
+        b.map(v => (v - mb) * (v - mb)).sum)
+    }
+    val want = BigDecimal(pearson(Seq(1, 2.5, 2.5, 4), Seq(1, 2, 3, 4)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Metrics.spearman(tied, "x", "y", "id").collect().head
+    assert(got.getLong(0) == 4L && got.getDouble(1) == want, got)
+    // constant column: no ordering to correlate
+    val const = (1 to 5).map(i => (i.toLong, 7.0, i.toDouble))
+      .toDF("id", "x", "y")
+    assert(Metrics.spearman(const, "x", "y", "id").collect().head
+      .isNullAt(1))
+    // null and NaN rows leave pairwise
+    val withBad = mono.union(Seq((21L, Double.NaN, 1.0),
+      (22L, 5.0, Double.NaN)).toDF("id", "x", "y"))
+    val g2 = Metrics.spearman(withBad, "x", "y", "id").collect().head
+    assert(g2.getLong(0) == 20L && g2.getDouble(1) == 1.0)
+  }
+
   test("ndcgAtK: hand-computed DCG/IDCG, unjudged results gain 0, " +
       "perfect ordering scores 1, no-relevant queries stay null, " +
       "run-missed queries score dcg 0") {
