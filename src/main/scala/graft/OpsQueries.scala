@@ -5544,7 +5544,13 @@ object OpsQueries {
     "q181_interpolate" -> Entry(
       (s, dir) => {
         val step = 21600000000L // 6 h in µs
+        // null-value events carry no observation: the grid's series
+        // list and lo/hi bounds must derive from the same observation
+        // set the oracle's `WHERE value IS NOT NULL` sees, or an
+        // only-null series (or a null-value extremal timestamp) skews
+        // the two grids apart
         val obs = Queries.events(s, dir)
+          .filter(col("value").isNotNull)
           .select((col("user_id") % 5).as("series"),
             expr("ts div 1000").as("tus"), col("event_id"), col("value"))
         val b = obs.agg(min(col("tus")).as("lo"), max(col("tus")).as("hi"))
@@ -5658,7 +5664,10 @@ object OpsQueries {
 
     // ----- X3 exact covariance matrix (the PCA input) ------------------------
     // Upper-triangle population covariance of the 64-d embeddings —
-    // decimal-exact sums, the one-corpus-pass statistic Embeddings.pca
+    // ORDER-INDEPENDENT scaled-long sums (floor(x·1e12 + 0.5) per term;
+    // floor is IEEE-exact, so any summation order on any engine yields
+    // the same bits — round-6 hash parity is structural, not
+    // tolerance), the one-corpus-pass statistic Embeddings.pca
     // eigendecomposes driver-side. The (i, j) fan-out explodes UNDER a
     // map-combined aggregation: the exchange ships D(D+1)/2 cells per
     // task, never corpus rows.
@@ -5672,16 +5681,21 @@ object OpsQueries {
              |    AND NOT list_contains([isnan(x) FOR x IN embedding],
              |      true)),
              |m AS (SELECT d.d AS d,
-             |    SUM(CAST(v[d.d] AS DOUBLE)) / COUNT(*) AS mu
+             |    (CAST(SUM(CAST(floor(CAST(v[d.d] AS DOUBLE) * 1e12
+             |        + 0.5) AS BIGINT)) AS DOUBLE) / 1e12)
+             |      / CAST(COUNT(*) AS DOUBLE) AS mu
              |  FROM e, generate_series(1, 64) d(d) GROUP BY 1),
              |p AS (SELECT gi.i AS i, gj.j AS j,
-             |    CAST(v[gi.i] AS DOUBLE) * CAST(v[gj.j] AS DOUBLE) AS xy
+             |    CAST(floor(CAST(v[gi.i] AS DOUBLE)
+             |      * CAST(v[gj.j] AS DOUBLE) * 1e12 + 0.5) AS BIGINT)
+             |      AS xy
              |  FROM e, generate_series(1, 64) gi(i),
              |    generate_series(1, 64) gj(j)
              |  WHERE gj.j >= gi.i)
              |SELECT CAST(p.i - 1 AS INT) AS i, CAST(p.j - 1 AS INT) AS j,
-             |  round(SUM(xy) / COUNT(*) - ANY_VALUE(mi.mu)
-             |    * ANY_VALUE(mj.mu), 6) AS cov
+             |  round((CAST(SUM(xy) AS DOUBLE) / 1e12)
+             |    / CAST(COUNT(*) AS DOUBLE)
+             |    - ANY_VALUE(mi.mu) * ANY_VALUE(mj.mu), 6) AS cov
              |FROM p JOIN m mi ON mi.d = p.i JOIN m mj ON mj.d = p.j
              |GROUP BY 1, 2 ORDER BY i, j""".stripMargin)),
 
@@ -6198,13 +6212,20 @@ object OpsQueries {
         QuackIO.flattenStructs(nested)
           .groupBy("meta_priority", "meta_date_y")
           .agg(count(lit(1)).as("n"),
-            sum(col("meta_amount").cast("decimal(18,2)")).as("total"))
+            // decimal-exact sum, DOUBLE on the wire — a raw decimal
+            // aggregate renders at engine-specific precision
+            // (Spark decimal(28,2) vs DuckDB decimal(38,2)) and the
+            // driver hash sees the rendering, not the value (the
+            // q05/dsum convention)
+            sum(col("meta_amount").cast("decimal(18,2)"))
+              .cast("double").as("total"))
           .orderBy("meta_priority", "meta_date_y")
       },
       Some("""SELECT o_orderpriority AS meta_priority,
              |  CAST(year(o_orderdate) AS INT) AS meta_date_y,
              |  CAST(COUNT(*) AS BIGINT) AS n,
-             |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total
              |FROM orders GROUP BY 1, 2
              |ORDER BY meta_priority, meta_date_y""".stripMargin)),
 
@@ -6587,20 +6608,25 @@ object OpsQueries {
         threshold = 500000.0),
       Some("""WITH z AS (SELECT o_orderpriority AS k,
              |    o_orderkey AS seq,
-             |    CAST(o_totalprice AS DOUBLE) - 100000 - 0 AS z
+             |    CAST(o_totalprice AS DECIMAL(38,6))
+             |      - CAST(100000 AS DECIMAL(38,6))
+             |      - CAST(0 AS DECIMAL(38,6)) AS z
              |  FROM orders),
-             |p AS (SELECT k, seq, SUM(z) OVER (PARTITION BY k
-             |    ORDER BY seq ROWS UNBOUNDED PRECEDING) AS pp
+             |p AS (SELECT k, seq, CAST(SUM(z) OVER (PARTITION BY k
+             |    ORDER BY seq ROWS UNBOUNDED PRECEDING)
+             |    AS DECIMAL(38,6)) AS pp
              |  FROM z),
              |sc AS (SELECT k, seq, pp - LEAST(MIN(pp) OVER (
              |    PARTITION BY k ORDER BY seq
-             |    ROWS UNBOUNDED PRECEDING), 0) AS sv
+             |    ROWS UNBOUNDED PRECEDING),
+             |    CAST(0 AS DECIMAL(38,6))) AS sv
              |  FROM p)
              |SELECT k AS o_orderpriority,
              |  CAST(MIN(seq) AS BIGINT) AS first_alarm_seq,
-             |  ROUND(MAX(sv), 6) AS max_cusum,
+             |  CAST(ROUND(MAX(sv), 6) AS DOUBLE) AS max_cusum,
              |  CAST(COUNT(*) AS BIGINT) AS n_alarms
-             |FROM sc WHERE sv > 500000 GROUP BY 1
+             |FROM sc WHERE sv > CAST(500000 AS DECIMAL(38,6))
+             |GROUP BY 1
              |ORDER BY o_orderpriority""".stripMargin)),
 
     // ----- type-widening union (schema evolution) ---------------------------

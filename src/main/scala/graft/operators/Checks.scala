@@ -417,8 +417,12 @@ object Checks {
     * min), no recursion, no UDAF. Reports one row per ALARMED key:
     * `first_alarm_seq` (earliest `seqCol` where S exceeds
     * `threshold`), `max_cusum` (round-6 peak), `n_alarms`; quiet keys
-    * are absent. Running-frame arithmetic folds in identical seq order
-    * on every engine, so values replay bit-for-bit.
+    * are absent. The z deviations are cast to decimal(38,6) BEFORE the
+    * frames, so the running sums are integer-exact and
+    * ASSOCIATION-ORDER-INDEPENDENT — engines that evaluate running
+    * frames via segment trees (a different association order than a
+    * sequential fold) still replay the values bit-for-bit; double
+    * frames would not survive that reordering.
     *
     * Scale: ONE key-partitioned exchange; both frames and the closing
     * aggregation ride it. Per-key width is the key's row count — the
@@ -436,15 +440,20 @@ object Checks {
       .rowsBetween(org.apache.spark.sql.expressions.Window
         .unboundedPreceding, org.apache.spark.sql.expressions.Window
         .currentRow)
-    val z = col(valueCol).cast("double") - lit(target) - lit(slack)
+    val dec = "decimal(38,6)"
+    val z = col(valueCol).cast(dec) -
+      lit(BigDecimal.valueOf(target)).cast(dec) -
+      lit(BigDecimal.valueOf(slack)).cast(dec)
     df.select(col(keyCol), col(seqCol), z.as("__z"))
-      .select(col(keyCol), col(seqCol), sum("__z").over(w).as("__p"))
       .select(col(keyCol), col(seqCol),
-        (col("__p") - least(min("__p").over(w), lit(0.0))).as("__s"))
-      .filter(col("__s") > threshold)
+        sum("__z").over(w).cast(dec).as("__p"))
+      .select(col(keyCol), col(seqCol),
+        (col("__p") - least(min("__p").over(w),
+          lit(BigDecimal.valueOf(0)).cast(dec))).as("__s"))
+      .filter(col("__s") > lit(BigDecimal.valueOf(threshold)).cast(dec))
       .groupBy(col(keyCol))
       .agg(min(col(seqCol)).as("first_alarm_seq"),
-        round(max(col("__s")), 6).as("max_cusum"),
+        round(max(col("__s")), 6).cast("double").as("max_cusum"),
         count(lit(1)).as("n_alarms"))
       .orderBy(col(keyCol))
   }

@@ -160,9 +160,16 @@ object Embeddings {
 
   /** Population covariance matrix of `vecCol` (uniform length `dim`),
     * upper triangle: one row per (i ≤ j) with
-    * `cov = E[v_i·v_j] − E[v_i]·E[v_j]`, round-6 doubles (see the
-    * in-body note on why the decimal-sum convention is skipped here).
-    * Rows with null/short/NaN vectors are excluded.
+    * `cov = E[v_i·v_j] − E[v_i]·E[v_j]`, round-6 doubles. Sums are
+    * ORDER-INDEPENDENT: each product is quantized to an integer at
+    * 1e-12 resolution (`floor(x·1e12 + 0.5)` — floor is IEEE-exact on
+    * every engine, unlike round's tie conventions) and summed as a
+    * long, so any association order yields the same bits and the
+    * round-6 output replays exactly on any engine. The 5e-13 per-term
+    * quantization is 6 orders below the published resolution; long
+    * capacity holds to ~10⁷ unit-scale rows per cell (far above any
+    * per-aggregation count here). Rows with null/short/NaN vectors are
+    * excluded.
     *
     * Scale shape: the (i, j) pair fan-out explodes UNDER a (i, j)-keyed
     * aggregation that partial-combines map-side, so the exchange ships
@@ -183,32 +190,37 @@ object Embeddings {
     // intermediate and filters half of it away afterwards (measured
     // 3.5× slower at sf0.1); per-dim sums come from the D-row means
     // table instead of riding every cell (for a fixed i, the cell's
-    // Σx IS the dimension's Σv_i — same multiset, same decimal fold)
-    // double sums, not the decimal-exact convention: 2080 cells × N
+    // Σx IS the dimension's Σv_i — same multiset, same fold).
+    // Exactness via SCALED-LONG sums, not decimal: 2080 cells × N
     // decimal additions measured 3× the whole query (6.4 s vs 2.2 s at
-    // sf0.1), and at 6 dp the checker's float tolerance absorbs
-    // summation-order ulps (O(1) values, ~1e-12 drift) — a rounding
-    // boundary flip changes the cell by exactly 1e-6, inside tolerance
+    // sf0.1), while long addition costs the same as double and is just
+    // as order-independent. The quantized product rides each exploded
+    // struct; everything after the two long sums is a fixed-order
+    // IEEE-double expression both engines evaluate identically.
     val cells = clean
       .select(explode(flatten(transform(
         sequence(lit(0), lit(dim - 1)), i =>
           transform(sequence(i, lit(dim - 1)), j =>
             struct(i.as("i"), j.as("j"),
-              (element_at(col("__v"), i + 1) *
-                element_at(col("__v"), j + 1)).as("xy")))))).as("__c"))
+              floor(element_at(col("__v"), i + 1) *
+                element_at(col("__v"), j + 1) * lit(1e12) + lit(0.5))
+                .as("xy")))))).as("__c"))
       .groupBy(col("__c.i").as("i"), col("__c.j").as("j"))
       .agg(count(lit(1)).as("__n"), sum(col("__c.xy")).as("__sxy"))
     val means = clean
       .select(posexplode(col("__v")).as(Seq("__d", "__x")))
       .groupBy("__d")
-      .agg((sum(col("__x")) / count(lit(1)).cast("double")).as("__mu"))
+      .agg(((sum(floor(col("__x") * lit(1e12) + lit(0.5)))
+        .cast("double") / lit(1e12)) /
+        count(lit(1)).cast("double")).as("__mu"))
     cells
       .join(broadcast(means.select(col("__d").as("i"),
         col("__mu").as("__mi"))), "i")
       .join(broadcast(means.select(col("__d").as("j"),
         col("__mu").as("__mj"))), "j")
       .select(col("i"), col("j"), round(
-        col("__sxy") / col("__n").cast("double") -
+        (col("__sxy").cast("double") / lit(1e12)) /
+          col("__n").cast("double") -
           col("__mi") * col("__mj"), 6).as("cov"))
   }
 

@@ -26,13 +26,19 @@ object Urls {
     when(s =!= "", s)
   }
 
-  /** Lowercased host: authority minus userinfo and minus a DEFAULT
-    * port (:80 http, :443 https — non-default ports are kept, they
-    * address different servers). Null for non-URLs. */
+  /** Lowercased host: authority minus userinfo and minus the SCHEME'S
+    * default port (:80 only under http, :443 only under https —
+    * http://host:443/ is a non-default port addressing a different
+    * server and keeps it). Null for non-URLs. */
   def hostOf(url: Column): Column = {
     val auth = regexp_extract(url, SchemeRe + "([^/?#]*)", 2)
     val noUser = regexp_extract(auth, "([^@]*)$", 1)
-    val h = lower(regexp_replace(noUser, ":(80|443)$", ""))
+    val stripped = when(schemeOf(url) === "http",
+        regexp_replace(noUser, ":80$", ""))
+      .when(schemeOf(url) === "https",
+        regexp_replace(noUser, ":443$", ""))
+      .otherwise(noUser)
+    val h = lower(stripped)
     when(h =!= "", h)
   }
 

@@ -28,6 +28,13 @@ class UrlsSpec extends TestBase {
     // non-default ports address different servers: kept
     assert(canon("http://site.com:8080") == Some("http://site.com:8080/"))
     assert(canon("http://site.com:80/x") == Some("http://site.com/x"))
+    // a default port is only default FOR ITS SCHEME: http://host:443
+    // and https://host:80 are genuinely non-default and keep the port
+    assert(canon("http://site.com:443/x") ==
+      Some("http://site.com:443/x"))
+    assert(canon("https://site.com:80/x") ==
+      Some("https://site.com:80/x"))
+    assert(canon("ftp://site.com:80/f") == Some("ftp://site.com:80/f"))
     // tracking-only query → no '?' at all
     assert(canon("https://a.com/p?utm_source=x&gclid=g&fbclid=f&ref=r") ==
       Some("https://a.com/p"))
