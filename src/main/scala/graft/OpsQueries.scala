@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.operators.{AsOfJoin, Connected, Decontaminate, Dedup, Dsir, Embeddings, FooterStats, Funnel, Graph, Metrics, Multimodal, Pipelines, Profiles, Quantize, QualityFilter, RangeJoin, Rank, Sampling, Sketches, Similarity, TextAnalysis, Vocab}
+import graft.operators.{AsOfJoin, Connected, Decontaminate, Dedup, EntityResolution, Dsir, Embeddings, FooterStats, Funnel, Graph, Metrics, Multimodal, Pipelines, Profiles, Quantize, QualityFilter, RangeJoin, Rank, Sampling, Sketches, Similarity, TextAnalysis, Vocab}
 
 /** Catalog entries for the LLM-data-pipeline operators (dedup, similarity
   * search, text analysis, multimodal) over the `documents` / `embeddings`
@@ -6846,7 +6846,387 @@ object OpsQueries {
               |  ROUND((n * sxy - sx * sy)
               |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
               |    AS rho
-              |FROM sums""".stripMargin))
+              |FROM sums""".stripMargin)),
+
+    // ----- X3 margin-based bitext mining (Artetxe & Schwenk 2019) -----------
+    // The LASER/CCMatrix parallel-corpus miner: pairs between the two
+    // vector sets score by cosine over the average cosine of each
+    // side's own k-NN neighborhood (hubness cancellation), and only
+    // MUTUAL margin-best pairs above threshold survive. The even/odd
+    // vec_id halves stand in for the two languages. k-NN averages sum
+    // quantized longs, so they are association-order-exact.
+    "q217_margin_mining" -> Entry(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.marginMining(emb.filter(col("vec_id") % 2 === 0),
+            emb.filter(col("vec_id") % 2 === 1),
+            "vec_id", "embedding", k = 4, threshold = 1.0)
+          .orderBy("x_id", "y_id")
+      },
+      Some("""WITH x AS (SELECT vec_id AS x_id, embedding AS xv
+             |  FROM embeddings WHERE vec_id % 2 = 0),
+             |y AS (SELECT vec_id AS y_id, embedding AS yv
+             |  FROM embeddings WHERE vec_id % 2 = 1),
+             |s AS (SELECT x_id, y_id,
+             |  round(
+             |    list_sum([xv[i]::DOUBLE * yv[i]::DOUBLE
+             |      for i in generate_series(1, len(xv))]) /
+             |    (sqrt(list_sum([xv[i]::DOUBLE * xv[i]::DOUBLE
+             |      for i in generate_series(1, len(xv))])) *
+             |     sqrt(list_sum([yv[i]::DOUBLE * yv[i]::DOUBLE
+             |      for i in generate_series(1, len(yv))]))), 6) AS score
+             |  FROM x, y),
+             |f AS (SELECT x_id, y_id, score, ROW_NUMBER() OVER (
+             |    PARTITION BY x_id ORDER BY score DESC, y_id) AS r
+             |  FROM s),
+             |b AS (SELECT x_id, y_id, score, ROW_NUMBER() OVER (
+             |    PARTITION BY y_id ORDER BY score DESC, x_id) AS r
+             |  FROM s),
+             |ax AS (SELECT x_id,
+             |    (CAST(SUM(CAST(round(score * 1e6) AS BIGINT))
+             |      AS DOUBLE) / 1e6) / CAST(COUNT(*) AS DOUBLE) AS ax
+             |  FROM f WHERE r <= 4 GROUP BY 1),
+             |ay AS (SELECT y_id,
+             |    (CAST(SUM(CAST(round(score * 1e6) AS BIGINT))
+             |      AS DOUBLE) / 1e6) / CAST(COUNT(*) AS DOUBLE) AS ay
+             |  FROM b WHERE r <= 4 GROUP BY 1),
+             |cand AS (SELECT x_id, y_id, MAX(score) AS score FROM (
+             |    SELECT x_id, y_id, score FROM f WHERE r <= 4
+             |    UNION ALL
+             |    SELECT x_id, y_id, score FROM b WHERE r <= 4)
+             |  GROUP BY 1, 2),
+             |m AS (SELECT c.x_id, c.y_id, c.score,
+             |    round(c.score / ((ax.ax + ay.ay) / 2.0), 6) AS margin
+             |  FROM cand c JOIN ax USING (x_id) JOIN ay USING (y_id)),
+             |mm AS (SELECT x_id, y_id, score, margin,
+             |    ROW_NUMBER() OVER (PARTITION BY x_id
+             |      ORDER BY margin DESC, y_id) AS bx,
+             |    ROW_NUMBER() OVER (PARTITION BY y_id
+             |      ORDER BY margin DESC, x_id) AS b2
+             |  FROM m)
+             |SELECT x_id, y_id, score, margin FROM mm
+             |WHERE bx = 1 AND b2 = 1 AND margin >= 1.0
+             |ORDER BY x_id, y_id""".stripMargin)),
+
+    // ----- Fellegi-Sunter entity resolution ----------------------------------
+    // Probabilistic record linkage without a shared key: B is a
+    // deterministically perturbed re-issue of the customer file
+    // (uppercased names, occasional name typo / segment corruption /
+    // balance drift / broken block), blocking on nation. The weights
+    // are exact binary fractions so the score chain is bit-identical
+    // on any engine; the oracle rebuilds B and replays the scoring
+    // from first principles. Diagonal pairs classify match/possible;
+    // every within-block noise pair scores below the possible band
+    // and is dropped, so the output is linkage-sized, not
+    // block-product-sized.
+    "q218_entity_resolution" -> Entry(
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val a = c.select(col("c_custkey").as("a_id"),
+          col("c_nationkey").as("a_block"), col("c_name").as("a_name"),
+          col("c_mktsegment").as("a_seg"),
+          floor(col("c_acctbal") / 100.0).cast("long").as("a_balb"))
+        val b = c.select((col("c_custkey") + 100000L).as("b_id"),
+          when(col("c_custkey") % 11 === 0,
+            (col("c_nationkey") + 1) % 25)
+            .otherwise(col("c_nationkey")).as("b_block"),
+          when(col("c_custkey") % 7 === 0,
+            concat(upper(col("c_name")), lit("X")))
+            .otherwise(upper(col("c_name"))).as("b_name"),
+          when(col("c_custkey") % 5 === 0, lit("PERTURBED"))
+            .otherwise(col("c_mktsegment")).as("b_seg"),
+          when(col("c_custkey") % 3 === 0,
+            floor(col("c_acctbal") / 100.0).cast("long") + 1L)
+            .otherwise(floor(col("c_acctbal") / 100.0).cast("long"))
+            .as("b_balb"))
+        EntityResolution.linkage(a, b, "a_id", "b_id", "a_block",
+            "b_block", Seq(
+              EntityResolution.FieldRule("a_name", "b_name", 8.0, -5.0),
+              EntityResolution.FieldRule("a_seg", "b_seg", 2.0, -1.5),
+              EntityResolution.FieldRule("a_balb", "b_balb", 3.0, -2.0)),
+            matchAt = 10.0, possibleAt = 4.0)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH a AS (SELECT c_custkey AS id_a,
+             |    c_nationkey AS blk, lower(trim(c_name)) AS nm,
+             |    lower(trim(c_mktsegment)) AS seg,
+             |    CAST(floor(c_acctbal / 100.0) AS BIGINT) AS balb
+             |  FROM customer),
+             |b AS (SELECT c_custkey + 100000 AS id_b,
+             |    CASE WHEN c_custkey % 11 = 0
+             |      THEN (c_nationkey + 1) % 25
+             |      ELSE c_nationkey END AS blk,
+             |    lower(trim(CASE WHEN c_custkey % 7 = 0
+             |      THEN upper(c_name) || 'X'
+             |      ELSE upper(c_name) END)) AS nm,
+             |    lower(trim(CASE WHEN c_custkey % 5 = 0
+             |      THEN 'PERTURBED' ELSE c_mktsegment END)) AS seg,
+             |    CASE WHEN c_custkey % 3 = 0
+             |      THEN CAST(floor(c_acctbal / 100.0) AS BIGINT) + 1
+             |      ELSE CAST(floor(c_acctbal / 100.0) AS BIGINT)
+             |      END AS balb
+             |  FROM customer),
+             |p AS (SELECT id_a, id_b, round(
+             |    (CASE WHEN a.nm IS NULL OR b.nm IS NULL
+             |       THEN CAST(0 AS DOUBLE)
+             |       WHEN a.nm = b.nm THEN CAST(8 AS DOUBLE)
+             |       ELSE CAST(-5 AS DOUBLE) END
+             |     + CASE WHEN a.seg IS NULL OR b.seg IS NULL
+             |       THEN CAST(0 AS DOUBLE)
+             |       WHEN a.seg = b.seg THEN CAST(2 AS DOUBLE)
+             |       ELSE CAST(-1.5 AS DOUBLE) END
+             |     + CASE WHEN a.balb IS NULL OR b.balb IS NULL
+             |       THEN CAST(0 AS DOUBLE)
+             |       WHEN a.balb = b.balb THEN CAST(3 AS DOUBLE)
+             |       ELSE CAST(-2 AS DOUBLE) END), 6) AS score
+             |  FROM a JOIN b USING (blk))
+             |SELECT id_a, id_b, score,
+             |  CASE WHEN score >= 10 THEN 'match'
+             |    WHEN score >= 4 THEN 'possible' END AS decision
+             |FROM p WHERE score >= 4
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ----- leakage-free train/eval split -------------------------------------
+    // Near-dup GROUPS, not documents, draw the split bucket — the eval
+    // hygiene that stops "held-out" rows the model saw near-verbatim.
+    // Groups are the q54 transitive closure over the planted near-dup
+    // corpus; the oracle replays closure + md5 draw. By construction
+    // no candidate pair crosses the boundary (the spec pins zero
+    // leakage pairs).
+    "q219_leakage_split" -> Entry(
+      (s, dir) => Pipelines.leakageFreeSplit(nearDupDocs(s, dir),
+          "doc_id", "text", evalBp = 2000)
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE $NearDupDocsSql,
+              |$MinhashPairsSql,
+              |e AS (SELECT doc_a AS eu, doc_b AS ev FROM pairs
+              |  UNION SELECT doc_b, doc_a FROM pairs),
+              |reach(id, r) AS (
+              |  SELECT eu, eu FROM e
+              |  UNION
+              |  SELECT reach.id, e.ev FROM reach JOIN e ON e.eu = reach.r),
+              |comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+              |g AS (SELECT d.doc_id,
+              |    CAST(COALESCE(comp.comp, d.doc_id) AS BIGINT) AS "group"
+              |  FROM docs d LEFT JOIN comp ON comp.id = d.doc_id)
+              |SELECT doc_id, "group",
+              |  CASE WHEN CAST(('0x' || substr(md5('split|' ||
+              |      "group"::VARCHAR), 1, 8)) AS UBIGINT) % 10000 < 2000
+              |    THEN 'eval' ELSE 'train' END AS split
+              |FROM g ORDER BY doc_id""".stripMargin)),
+
+    // ----- X3 MRR retrieval metric -------------------------------------------
+    // First-relevant-hit eval over the q215 deterministic run fixture:
+    // per query, the rank of the first judged-relevant doc in the
+    // top-10 and its reciprocal; queries with no relevant hit score 0
+    // (the anti-inflation contract). Integer ranks, one reciprocal.
+    "q220_mrr" -> Entry(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val q = docs.filter(col("doc_id") % 100 === 0)
+          .select(col("doc_id").as("query_id"))
+        val pool = docs.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id").as("corpus_id"))
+        val w = Window.partitionBy("query_id").orderBy(
+          md5(concat(lit("run|"), col("query_id"), lit("|"),
+            col("corpus_id"))), col("corpus_id"))
+        val run = q.crossJoin(pool)
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 10)
+        val relevance = q.crossJoin(docs.filter(col("doc_id") % 15 === 0)
+          .select(col("doc_id").as("corpus_id")))
+        Metrics.mrr(run, relevance, k = 10)
+      },
+      Some("""WITH q AS (SELECT doc_id AS query_id FROM documents
+             |  WHERE doc_id % 100 = 0),
+             |c AS (SELECT doc_id AS corpus_id FROM documents
+             |  WHERE doc_id % 5 = 0),
+             |runr AS (SELECT query_id, corpus_id,
+             |    ROW_NUMBER() OVER (PARTITION BY query_id
+             |      ORDER BY md5('run|' || query_id || '|' || corpus_id),
+             |        corpus_id) AS rnk
+             |  FROM q CROSS JOIN c),
+             |run AS (SELECT * FROM runr WHERE rnk <= 10),
+             |rel AS (SELECT query_id, corpus_id
+             |  FROM q CROSS JOIN (SELECT doc_id AS corpus_id
+             |    FROM documents WHERE doc_id % 15 = 0)),
+             |hit AS (SELECT query_id, MIN(rnk) AS fr
+             |  FROM run JOIN rel USING (query_id, corpus_id)
+             |  GROUP BY 1)
+             |SELECT q.query_id, fr AS first_rel_rank,
+             |  round(COALESCE(CAST(1 AS DOUBLE) / CAST(fr AS DOUBLE),
+             |    CAST(0 AS DOUBLE)), 6) AS rr
+             |FROM q LEFT JOIN hit USING (query_id)
+             |ORDER BY query_id""".stripMargin)),
+
+    // ----- X5 Luhn-validated card-number PII ---------------------------------
+    // The digit-shape regexes flag anything phone-shaped; the Luhn
+    // mod-10 checksum is what separates an actual card number from a
+    // random digit run. Fixture plants ISO test PANs (valid and
+    // check-digit-broken) by doc_id residue; the oracle PREDICTS the
+    // counts from first principles (the q197 convention) — the
+    // operator must validate exactly the planted valid numbers and
+    // nothing else (the corpus itself is digit-free, verified).
+    "q221_luhn_cards" -> Entry(
+      (s, dir) => {
+        val planted = t(s, dir, "documents").select(col("doc_id"),
+          concat(
+            when(col("doc_id") % 3 === 0,
+              concat(col("text"), lit(" pay 4111111111111111 now")))
+              .when(col("doc_id") % 3 === 1,
+                concat(col("text"), lit(" ref 4111111111111112 code")))
+              .otherwise(col("text")),
+            when(col("doc_id") % 9 === 0,
+              lit(" amex 378282246310005")).otherwise(lit("")))
+            .as("text"))
+        TextAnalysis.withCardAudit(planted, "text")
+          .select(col("doc_id"), col("n_card_candidates"),
+            col("n_valid_cards"), col("card_pii"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(CASE WHEN doc_id % 9 = 0 THEN 2
+             |    WHEN doc_id % 3 IN (0, 1) THEN 1
+             |    ELSE 0 END AS BIGINT) AS n_card_candidates,
+             |  CAST(CASE WHEN doc_id % 9 = 0 THEN 2
+             |    WHEN doc_id % 3 = 0 THEN 1
+             |    ELSE 0 END AS BIGINT) AS n_valid_cards,
+             |  (CASE WHEN doc_id % 9 = 0 THEN 2
+             |    WHEN doc_id % 3 = 0 THEN 1
+             |    ELSE 0 END) > 0 AS card_pii
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ----- X5 corpus BLEU -----------------------------------------------------
+    // Generation eval: candidates are the references with every 7th
+    // token replaced, so all four clipped n-gram precisions do real
+    // work while lengths stay equal (bp = 1 through the min branch —
+    // no transcendental in the hash path). Counts are integers
+    // end-to-end; bleu = bp·sqrt(sqrt(p1·p2·p3·p4)).
+    "q222_bleu" -> Entry(
+      (s, dir) => {
+        val pairs = t(s, dir, "documents").select(col("doc_id"),
+          col("text").as("ref"),
+          array_join(transform(TextAnalysis.tokens(col("text")),
+            (w, i) => when((i + 1) % 7 === 0, lit("xxx")).otherwise(w)),
+            " ").as("cand"))
+        Metrics.bleu(pairs, "doc_id", "cand", "ref")
+      },
+      Some(s"""WITH t0 AS (SELECT doc_id, $TOKS AS rw FROM documents),
+              |t AS (SELECT doc_id, rw,
+              |    [CASE WHEN i % 7 = 0 THEN 'xxx' ELSE rw[i] END
+              |     for i in generate_series(1, len(rw))] AS cw
+              |  FROM t0),
+              |grams AS (SELECT doc_id, n.n AS n,
+              |    CASE WHEN len(cw) >= n.n THEN
+              |      [array_to_string(cw[i:i+n.n-1], ' ')
+              |       for i in generate_series(1, len(cw)-n.n+1)]
+              |      ELSE [] END AS cg,
+              |    CASE WHEN len(rw) >= n.n THEN
+              |      [array_to_string(rw[i:i+n.n-1], ' ')
+              |       for i in generate_series(1, len(rw)-n.n+1)]
+              |      ELSE [] END AS rg
+              |  FROM t, (SELECT unnest(generate_series(1, 4)) AS n) n),
+              |cc AS (SELECT doc_id, n, g, COUNT(*) AS cn
+              |  FROM (SELECT doc_id, n, unnest(cg) AS g FROM grams)
+              |  GROUP BY 1, 2, 3),
+              |rc AS (SELECT doc_id, n, g, COUNT(*) AS rn
+              |  FROM (SELECT doc_id, n, unnest(rg) AS g FROM grams)
+              |  GROUP BY 1, 2, 3),
+              |pn AS (SELECT n,
+              |    CAST(SUM(LEAST(cn, COALESCE(rn, 0))) AS DOUBLE)
+              |      / CAST(SUM(cn) AS DOUBLE) AS p
+              |  FROM cc LEFT JOIN rc USING (doc_id, n, g) GROUP BY n),
+              |lens AS (SELECT SUM(len(cw)) AS c_len,
+              |    SUM(len(rw)) AS r_len FROM t),
+              |w AS (SELECT
+              |    (SELECT p FROM pn WHERE n = 1) AS p1,
+              |    (SELECT p FROM pn WHERE n = 2) AS p2,
+              |    (SELECT p FROM pn WHERE n = 3) AS p3,
+              |    (SELECT p FROM pn WHERE n = 4) AS p4,
+              |    c_len, r_len,
+              |    CASE WHEN c_len >= r_len THEN CAST(1 AS DOUBLE)
+              |      ELSE exp(CAST(1 AS DOUBLE)
+              |        - CAST(r_len AS DOUBLE) / CAST(c_len AS DOUBLE))
+              |      END AS bp
+              |  FROM lens)
+              |SELECT CAST(c_len AS BIGINT) AS c_len,
+              |  CAST(r_len AS BIGINT) AS r_len,
+              |  round(p1, 6) AS p1, round(p2, 6) AS p2,
+              |  round(p3, 6) AS p3, round(p4, 6) AS p4,
+              |  round(bp, 6) AS bp,
+              |  CASE WHEN p1 > 0 AND p2 > 0 AND p3 > 0 AND p4 > 0
+              |    THEN round(bp * sqrt(sqrt(p1 * p2 * p3 * p4)), 6)
+              |    END AS bleu
+              |FROM w""".stripMargin)),
+
+    // ----- mergeable histogram state (incremental ANALYZE, shape) ------------
+    // The q198 merge discipline applied to DISTRIBUTION shape: fixed
+    // [0, 600000)×12 bins built per orderkey-parity snapshot, states
+    // merged by integer addition — the oracle histograms the whole
+    // table directly, so the merge must be invisible.
+    "q223_mergeable_hist" -> Entry(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val sA = Profiles.histogram(o.filter(col("o_orderkey") % 2 === 0),
+          "o_totalprice", 0.0, 600000.0, 12)
+        val sB = Profiles.histogram(o.filter(col("o_orderkey") % 2 === 1),
+          "o_totalprice", 0.0, 600000.0, 12)
+        Profiles.mergeHistogramStates(sA.unionByName(sB))
+          .orderBy("bin")
+      },
+      Some("""WITH h AS (SELECT CAST(least(greatest(
+             |    floor((CAST(o_totalprice AS DOUBLE) - 0.0) / 50000.0),
+             |    0.0), 11.0) AS BIGINT) AS bin, COUNT(*) AS n
+             |  FROM orders
+             |  WHERE o_totalprice IS NOT NULL
+             |    AND NOT isnan(CAST(o_totalprice AS DOUBLE))
+             |  GROUP BY 1)
+             |SELECT bin,
+             |  CAST(bin AS DOUBLE) * CAST(50000 AS DOUBLE) AS bin_lo,
+             |  (CAST(bin AS DOUBLE) + 1) * CAST(50000 AS DOUBLE)
+             |    AS bin_hi,
+             |  CAST(n AS BIGINT) AS n
+             |FROM h ORDER BY bin""".stripMargin)),
+
+    // ----- tokenizer fertility by language ------------------------------------
+    // The multilingual-tokenizer fairness audit (Ács 2019): subwords
+    // per word and bytes per subword by lang under the SAME 10-merge
+    // trained BPE as q107/q108 — a tokenizer trained on a mixed corpus
+    // fragments its minority languages, and this is the report that
+    // shows by how much. Integer sums, two final divisions.
+    "q224_fertility" -> Entry(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val merges = Vocab.bpeTrain(docs, "text", numMerges = 10)
+        Vocab.fertilityByKey(docs, "lang", "text", merges)
+          .withColumnRenamed("key", "lang")
+      },
+      Some {
+        val tail =
+          s"""tokd AS (SELECT lang, unnest($TOKS) AS word
+             |  FROM documents),
+             |tok AS (SELECT lang, word FROM tokd WHERE word <> ''),
+             |pk AS (SELECT lang, COUNT(*) AS n_words,
+             |    SUM(len(syms)) AS n_subwords
+             |  FROM tok JOIN w10 USING (word) GROUP BY lang),
+             |pd AS (SELECT lang, COUNT(*) AS n_docs,
+             |    SUM(strlen(text)) AS n_bytes
+             |  FROM documents GROUP BY lang)
+             |SELECT pd.lang, CAST(n_docs AS BIGINT) AS n_docs,
+             |  CAST(COALESCE(n_words, 0) AS BIGINT) AS n_words,
+             |  CAST(COALESCE(n_subwords, 0) AS BIGINT) AS n_subwords,
+             |  CAST(COALESCE(n_bytes, 0) AS BIGINT) AS n_bytes,
+             |  CASE WHEN COALESCE(n_words, 0) > 0
+             |    THEN round(CAST(n_subwords AS DOUBLE)
+             |      / CAST(n_words AS DOUBLE), 6) END AS fertility,
+             |  CASE WHEN COALESCE(n_subwords, 0) > 0
+             |    THEN round(CAST(n_bytes AS DOUBLE)
+             |      / CAST(n_subwords AS DOUBLE), 6) END
+             |    AS bytes_per_subword
+             |FROM pd LEFT JOIN pk USING (lang)
+             |ORDER BY lang""".stripMargin
+        s"WITH ${bpeChainSql(10)},\n$tail"
+      })
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

@@ -338,4 +338,101 @@ object Metrics {
           round(lit(2.0) * p * r / (p + r), 6)).as("f1"))
       .orderBy("clazz")
   }
+
+  /** MRR@k (mean reciprocal rank's per-query report) — the
+    * first-relevant-hit retrieval metric that complements [[ndcgAtK]]
+    * (graded gain) and `recallAtK` (set coverage): per query, the rank
+    * of the FIRST relevant result within the top k and its reciprocal
+    * `rr = 1/rank`; queries whose top-k holds no relevant doc score
+    * rr = 0 with a null rank (they count against the mean — silently
+    * dropping them is the classic MRR inflation). Queries appearing
+    * only in `relevance` (the run missed them entirely) are included
+    * at rr = 0. The corpus mean is one `avg(rr)` over this report.
+    *
+    * Inputs: `results` (query_id, corpus_id, rank) and `relevance`
+    * (query_id, corpus_id) — binary judgments; for graded ones, gate
+    * `rel >= grade` upstream. Scale: one keyed join plus a per-query
+    * min — both map-combined aggregations, nothing corpus-windowed. */
+  def mrr(results: DataFrame, relevance: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"mrr: k must be >= 1, got $k")
+    val rel = relevance.select("query_id", "corpus_id").distinct()
+    val hits = results.filter(col("rank") <= k)
+      .join(rel, Seq("query_id", "corpus_id"))
+      .groupBy("query_id").agg(min("rank").as("__first"))
+    rel.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("__first").as("first_rel_rank"),
+        round(coalesce(lit(1.0) / col("__first").cast("double"),
+          lit(0.0)), 6).as("rr"))
+      .orderBy("query_id")
+  }
+
+  /** Corpus BLEU (Papineni et al. 2002) over aligned
+    * (candidate, reference) text pairs — the generation-eval staple:
+    * modified n-gram precision `p_n = Σ_pairs clip_n / Σ_pairs cand_n`
+    * for n = 1..4 (each candidate n-gram's count CLIPPED at the
+    * reference's count for that n-gram), geometric mean via
+    * `sqrt(sqrt(p1·p2·p3·p4))` (two hardware sqrts — no pow/exp
+    * parity exposure), and the brevity penalty `min(1, e^(1 − r/c))`
+    * on corpus token totals. One summary row: `c_len, r_len, p1..p4,
+    * bp, bleu` (round-6; bleu null when any p_n is 0 — the standard
+    * undefined-log case, reported loudly instead of smoothed).
+    *
+    * Tokenization is the repo-wide [[TextAnalysis.tokens]] split.
+    * Counts are integers end-to-end; the only float math is the final
+    * one-row expression, so results replay bit-for-bit on any engine
+    * (the e^x branch only evaluates when c < r — callers needing
+    * cross-engine hash parity on SHORT candidates accept libm-vs-JVM
+    * exp drift below round-6, which is ~1 ulp).
+    *
+    * Scale: pairs explode to (pair, n-gram, n) rows — the tokenize
+    * fan-out every X5 operator rides; everything aggregates
+    * map-combined to 4 + 1 rows. No windows, no driver loops. */
+  def bleu(pairs: DataFrame, idCol: String, candCol: String,
+      refCol: String, maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 4, s"bleu: maxN must be in [1,4]")
+    def grams(c: Column, n: Int): Column = {
+      val w = TextAnalysis.tokens(c)
+      when(size(w) >= n, transform(sequence(lit(1), size(w) - (n - 1)),
+        i => array_join(slice(w, i, lit(n)), " "))).otherwise(
+        array(Seq.empty[Column]: _*).cast("array<string>"))
+    }
+    // one row per (pair, n, gram) with candidate + reference counts —
+    // clip = min of the two; totals sum per n
+    val perN = (1 to maxN).map { n =>
+      val cg = pairs.select(col(idCol).as("__id"),
+          explode(grams(col(candCol), n)).as("g"))
+        .groupBy("__id", "g").agg(count(lit(1)).as("cn"))
+      val rg = pairs.select(col(idCol).as("__id"),
+          explode(grams(col(refCol), n)).as("g"))
+        .groupBy("__id", "g").agg(count(lit(1)).as("rn"))
+      cg.join(rg, Seq("__id", "g"), "left")
+        .agg(sum(least(col("cn"), coalesce(col("rn"), lit(0L))))
+          .as("clip"), sum("cn").as("tot"))
+        .select(lit(n).as("n"), col("clip"), col("tot"))
+    }.reduce(_ unionByName _)
+    val lens = pairs.agg(
+      sum(size(TextAnalysis.tokens(col(candCol)))).as("c_len"),
+      sum(size(TextAnalysis.tokens(col(refCol)))).as("r_len"))
+    val ps = perN.groupBy().pivot("n", 1 to maxN).agg(
+      first(when(col("tot") > 0,
+        col("clip").cast("double") / col("tot").cast("double"))))
+      .select((1 to maxN).map(n => col(n.toString).as(s"__p$n")): _*)
+    val pProd = (1 to maxN).map(n => col(s"__p$n")).reduce(_ * _)
+    val geo = maxN match {
+      case 4 => sqrt(sqrt(pProd))
+      case 2 => sqrt(pProd)
+      case 1 => pProd
+      case _ => pow(pProd, lit(1.0 / maxN))
+    }
+    val bp = when(col("c_len") >= col("r_len"), lit(1.0))
+      .otherwise(exp(lit(1.0) - col("r_len").cast("double") /
+        col("c_len").cast("double")))
+    ps.crossJoin(broadcast(lens))
+      .select((Seq(col("c_len"), col("r_len")) ++
+        (1 to maxN).map(n => round(col(s"__p$n"), 6).as(s"p$n")) ++
+        Seq(round(bp, 6).as("bp"),
+          when((1 to maxN).map(n => col(s"__p$n") > 0)
+            .reduce(_ && _), round(bp * geo, 6)).as("bleu"))): _*)
+  }
 }

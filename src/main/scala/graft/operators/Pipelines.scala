@@ -237,6 +237,48 @@ object Pipelines {
     * the two-column scan, unioned — no shuffle anywhere; the routing
     * predicate sits at each scan, so every branch reads only its
     * slice's row groups when the layout allows. */
+  /** Leakage-free train/eval split: assign NEAR-DUP GROUPS, not
+    * documents, to splits — the split hygiene step serious eval
+    * methodology requires (splitting by doc leaks every near-duplicate
+    * pair across the boundary, and "held-out" rows the model saw
+    * near-verbatim inflate eval; Lee et al. 2022's dedup argument
+    * applied to the split). Groups come from the transitive closure of
+    * LSH near-dup candidates ([[Dedup.minhashCandidates]] →
+    * [[Connected.components]]); a doc with no candidate pair is its own
+    * group. Each GROUP then draws a deterministic md5 bucket
+    * ([[Sampling]]'s `md5(salt|key) mod 10000` convention): under
+    * `evalBp` → eval, else train — so membership is reproducible
+    * across engines, runs, and cluster sizes, and by construction NO
+    * candidate pair crosses the boundary.
+    *
+    * Output: `(idCol, group, split)` one row per input doc. Audit
+    * cross-split leakage by joining the pair list against this
+    * assignment — zero rows, which the spec and the catalog entry pin.
+    *
+    * Scale: the LSH banding is the [[Dedup]] one-pass shape; the
+    * component iteration touches only candidate-pair ids (a tiny
+    * fraction of the corpus); the split itself is a pure projection.
+    * The doc→group join is id-keyed; everything else is
+    * candidate-sized. */
+  def leakageFreeSplit(df: DataFrame, idCol: String, textCol: String,
+      evalBp: Int, salt: String = "split", k: Int = 8,
+      rowsPerBand: Int = 2, shingleN: Int = 3): DataFrame = {
+    require(evalBp >= 0 && evalBp <= 10000,
+      s"leakageFreeSplit: evalBp must be in [0, 10000], got $evalBp")
+    val pairs = Dedup.minhashCandidates(df, idCol, textCol, k,
+      rowsPerBand, shingleN)
+    val comp = Connected.components(pairs, "doc_a", "doc_b")
+      .select(col("id").as("__cid"), col("comp").as("__comp"))
+    val draw = TextAnalysis.md5Head(concat(lit(salt), lit("|"),
+      col("group").cast("string"))) % 10000
+    df.select(col(idCol))
+      .join(comp, col(idCol) === col("__cid"), "left")
+      .select(col(idCol),
+        coalesce(col("__comp"), col(idCol).cast("long")).as("group"))
+      .withColumn("split",
+        when(draw < evalBp, lit("eval")).otherwise(lit("train")))
+  }
+
   def denoisingMixture(df: DataFrame, idCol: String, textCol: String,
       weights: Seq[Int] = Seq(2, 1, 1), salt: String = "ul2")
       : DataFrame = {

@@ -222,6 +222,37 @@ object Profiles {
         col("n"))
   }
 
+  /** Merge of [[histogram]] states — the incremental-ANALYZE companion
+    * to [[mergeSummaryStates]] for DISTRIBUTION shape: profile each
+    * snapshot/partition once, persist its KB-sized (bin, n) rows, and
+    * fold states instead of rescanning history. Because the bins are
+    * fixed-width with CALLER-pinned `[lo, hi)` edges (the [[psi]]
+    * comparability argument), merging is exact integer addition — a
+    * merged state is bit-identical to a direct [[histogram]] over the
+    * concatenated data, which the merge spec pins. States built with
+    * different edges must not merge; edges ride every row precisely so
+    * this check needs no side channel, and a mixed-edge input raises.
+    *
+    * Scale: input is states (bins × snapshots rows, KB-sized), never
+    * data; one |bins|-bounded aggregation. */
+  def mergeHistogramStates(states: DataFrame): DataFrame = {
+    val merged = states.groupBy("bin")
+      .agg(min("bin_lo").as("bin_lo"), max("bin_lo").as("__lo2"),
+        min("bin_hi").as("bin_hi"), max("bin_hi").as("__hi2"),
+        sum("n").as("n"))
+    merged.select(col("bin"),
+        when(col("bin_lo") === col("__lo2") &&
+          col("bin_hi") === col("__hi2"),
+          lit(true)).otherwise(raise_error(concat(
+            lit("mergeHistogramStates: bin "), col("bin").cast("string"),
+            lit(" has conflicting edges across states — histograms "
+              + "with different [lo, hi)/bins are not mergeable"))))
+          .as("__edges_ok"),
+        col("bin_lo"), col("bin_hi"), col("n"))
+      .filter(col("__edges_ok"))
+      .select("bin", "bin_lo", "bin_hi", "n")
+  }
+
   /** Population Stability Index between two snapshots of a numeric
     * column — the standard drift alarm for a training-mix feature
     * (quality score, length, dup ratio) between crawls/builds:

@@ -121,6 +121,74 @@ object Similarity {
       .withColumnRenamed("corpus_id", "neg_id")
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, the LASER /
+    * CCMatrix parallel-corpus miner): candidate translation pairs
+    * between vector sets X and Y score by the RATIO margin
+    * `margin(x, y) = cos(x, y) / ((avgTopK_Y(x) + avgTopK_X(y)) / 2)`
+    * — raw cosine over the average cosine of each side's own k-NN
+    * neighborhood, which cancels hubness (a vector that is close to
+    * EVERYTHING mines nothing). A pair survives when it is the MUTUAL
+    * margin-best (x's best y AND y's best x — the intersection
+    * strategy of the paper) and its margin clears `threshold`.
+    * Output: (x_id, y_id, score, margin) round-6, one row per mined
+    * pair.
+    *
+    * Determinism: cosines are the [[cosineTopK]] round-6 scores; the
+    * per-side k-NN averages sum QUANTIZED longs (`round(score·1e6)` —
+    * the scores are already round-6, so the long is exact), making the
+    * averages association-order-independent; the margin itself is one
+    * fixed-order IEEE expression. Best-pair ties break on the partner
+    * id ascending.
+    *
+    * Scale: two [[broadcastTopK]] passes (the smaller side should be
+    * X — it broadcasts in pass 1 and is the corpus of pass 2), then
+    * everything downstream is keyed joins and per-id aggregations over
+    * the k·|X| + k·|Y| candidate rows, never |X|·|Y|. At 100 TB swap
+    * the brute-force passes for [[ivfTopK]] candidates and keep the
+    * margin/mutual logic unchanged — it only reads (query, corpus,
+    * score) rows. Per-id windows run over the candidate set: k own
+    * neighbors plus one row per OTHER-side top-k list the id appears
+    * in — k·avg in aggregate, so a pathological hub (a vector in
+    * everyone's top-k) bounds at the other side's count, never the
+    * pair product. */
+  def marginMining(x: DataFrame, y: DataFrame, idCol: String,
+      vecCol: String, k: Int, threshold: Double): DataFrame = {
+    require(k >= 1, s"marginMining: k must be >= 1, got $k")
+    // forward: for each x, its k nearest ys; backward: each y's k xs.
+    // cosine is symmetric, so backward pairs reuse as (x, y) scores.
+    val fwd = cosineTopK(x, y, idCol, vecCol, k)
+      .select(col("query_id").as("x_id"), col("corpus_id").as("y_id"),
+        col("score"))
+    val bwd = cosineTopK(y, x, idCol, vecCol, k)
+      .select(col("corpus_id").as("x_id"), col("query_id").as("y_id"),
+        col("score"))
+    def avgSide(pairs: DataFrame, side: String, out: String) = pairs
+      .groupBy(col(side))
+      .agg(((sum(round(col("score") * lit(1e6)).cast("long"))
+        .cast("double") / lit(1e6)) /
+        count(lit(1)).cast("double")).as(out))
+    val ax = avgSide(fwd, "x_id", "ax")
+    val ay = avgSide(bwd, "y_id", "ay")
+    // candidates = union of both directions' pairs (dedup on the key):
+    // a mutual best pair need not be in both top-k lists
+    val cand = fwd.unionByName(bwd)
+      .groupBy("x_id", "y_id").agg(max("score").as("score"))
+      .join(ax, "x_id").join(ay, "y_id")
+      .select(col("x_id"), col("y_id"), col("score"),
+        round(col("score") / ((col("ax") + col("ay")) / lit(2.0)), 6)
+          .as("margin"))
+    val wx = Window.partitionBy("x_id")
+      .orderBy(desc("margin"), asc("y_id"))
+    val wy = Window.partitionBy("y_id")
+      .orderBy(desc("margin"), asc("x_id"))
+    cand
+      .withColumn("__bx", row_number().over(wx))
+      .withColumn("__by", row_number().over(wy))
+      .filter(col("__bx") === 1 && col("__by") === 1 &&
+        col("margin") >= threshold)
+      .select("x_id", "y_id", "score", "margin")
+  }
+
   /** Deterministic pseudo-random projection planes, computed driver-side:
     * plane p, dimension j (1-based) gets component
     * uint32(md5(p + "_" + j)[0,8)) / 2^32 - 0.5. The nPlanes × dim matrix

@@ -585,6 +585,46 @@ object TextAnalysis {
     regexp_replace(noIp, PhoneRe, "<PHONE>")
   }
 
+  /** Luhn mod-10 check (Luhn 1960, ISO/IEC 7812) over a digit string —
+    * TRUE iff the string checksums as a payment-card / IMEI-class
+    * identifier. The digit-shape regexes above flag anything
+    * phone-shaped; Luhn is what separates an actual card number from a
+    * random digit run, cutting the false-positive flood that makes
+    * naive card-PII filters useless. Pure array arithmetic (split →
+    * indexed transform → integer fold) — no UDF, and the fold is
+    * integer so it replays exactly on any engine. Null/empty/non-digit
+    * input yields null (cast-to-int null-propagates through the sum). */
+  def luhnValid(digits: Column): Column = {
+    // index from the RIGHT: position 0 (the check digit) counts plain,
+    // every second digit leftward doubles (minus 9 past 9)
+    val terms = transform(reverse(split(digits, "")), (ch, i) => {
+      val d = ch.cast("int")
+      when(i % 2 === 0, d)
+        .otherwise(when(d * 2 > 9, d * 2 - 9).otherwise(d * 2))
+    })
+    when(length(digits) > 0,
+      aggregate(terms, lit(0), (a, b) => a + b) % 10 === 0)
+  }
+
+  /** Card-number audit: maximal digit runs of 13–19 characters (the
+    * ISO/IEC 7812 PAN length range) found in `textCol`, and how many of
+    * them Luhn-validate. Adds `n_card_candidates`, `n_valid_cards`,
+    * `card_pii` (any valid hit). Runs as one scan projection; the
+    * candidate regex avoids lookaround (RE2-portable) by extracting
+    * maximal `[0-9]+` runs and length-filtering, so separators inside a
+    * formatted card ("4111 1111 ...") split it — normalize separators
+    * upstream if the corpus formats cards that way. */
+  def withCardAudit(df: org.apache.spark.sql.DataFrame, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val runs = filter(
+      regexp_extract_all(col(textCol), lit("[0-9]+"), lit(0)),
+      r => length(r) >= 13 && length(r) <= 19)
+    val valid = filter(runs, r => luhnValid(r))
+    df.withColumn("n_card_candidates", size(runs).cast("long"))
+      .withColumn("n_valid_cards", size(valid).cast("long"))
+      .withColumn("card_pii", size(valid) > 0)
+  }
+
   /** Token-window chunking (X5): split the whitespace-token stream into
     * chunks of `chunkTokens` with `overlap` tokens carried over — the
     * context-window packing shape. One row per (doc, chunk): explode of

@@ -540,6 +540,51 @@ object Vocab {
         sum("n_sub").cast("long").as("n_bpe_tokens"))
   }
 
+  /** Tokenizer fertility by key (Ács 2019 / the multilingual-tokenizer
+    * fairness metric): subwords emitted per whitespace word under the
+    * trained merges, grouped by `keyCol` (language, source, domain). A
+    * tokenizer trained on one language's corpus fragments the others —
+    * high fertility means those documents consume disproportionate
+    * sequence length per word, the standard multilingual budget-bias
+    * audit. Also reports `bytes_per_subword` (UTF-8 bytes over subword
+    * count — a byte-efficiency view of the same bias).
+    *
+    * Output: one row per key — `n_docs, n_words, n_subwords, n_bytes,
+    * fertility, bytes_per_subword` (round-6 single divisions over
+    * integer sums — engine-exact). Keyless (null-key) rows group
+    * together as SQL null groups do. Scale: [[withBpeTokenCount]]'s
+    * distinct-word segmentation cache (the fold never runs per
+    * occurrence), one word-keyed join, then a |keys|-row aggregation;
+    * byte lengths ride the same doc scan. */
+  def fertilityByKey(df: DataFrame, keyCol: String, textCol: String,
+      merges: Seq[BpeMerge]): DataFrame = {
+    val base = df.select(col(keyCol).as("key"), col(textCol).as("__t"))
+    val toks = base.select(col("key"),
+        explode(TextAnalysis.tokens(col("__t"))).as("word"))
+      .filter(length(col("word")) > 0)
+    val wordSeg = toks.select(col("word")).distinct()
+      .select(col("word"),
+        size(bpeSegment(col("word"), merges)).as("n_sub"))
+    val perKeyTok = toks.join(wordSeg, Seq("word"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_subwords"))
+    val perKeyDoc = base.groupBy("key")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(octet_length(col("__t"))).as("n_bytes"))
+    perKeyDoc.join(perKeyTok, Seq("key"), "left")
+      .select(col("key"), col("n_docs"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_subwords"), lit(0L)).as("n_subwords"),
+        coalesce(col("n_bytes"), lit(0L)).as("n_bytes"))
+      .withColumn("fertility", when(col("n_words") > 0,
+        round(col("n_subwords").cast("double") /
+          col("n_words").cast("double"), 6)))
+      .withColumn("bytes_per_subword", when(col("n_subwords") > 0,
+        round(col("n_bytes").cast("double") /
+          col("n_subwords").cast("double"), 6)))
+      .orderBy("key")
+  }
+
   /** Per-doc out-of-vocabulary rate against a driver-known vocabulary
     * (X5 quality signal: a high OOV fraction against the corpus's own
     * head vocabulary flags gibberish, lang-ID misses, and encoding

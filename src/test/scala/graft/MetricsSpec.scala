@@ -238,4 +238,67 @@ class MetricsSpec extends TestBase {
       Metrics.bradleyTerry(ab, "winner", "loser", sweeps = 0)
     }.getMessage.contains("sweeps"))
   }
+
+  test("mrr: first-relevant rank per query, misses score 0, judged-only " +
+      "queries included, k gates the window") {
+    import spark.implicits._
+    // q1: relevant at ranks 3 and 7 -> rr = 1/3; q2: relevant only at
+    // rank 12 (outside k=10) -> 0; q3: never retrieved -> 0;
+    // q4: hit at rank 1 -> 1.0
+    val run = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      (1L, 13L, 7L), (2L, 20L, 12L), (4L, 40L, 1L))
+      .toDF("query_id", "corpus_id", "rank")
+    val rel = Seq((1L, 12L), (1L, 13L), (2L, 20L), (3L, 30L), (4L, 40L))
+      .toDF("query_id", "corpus_id")
+    val got = graft.operators.Metrics.mrr(run, rel, k = 10)
+      .as[(Long, Option[Long], Double)].collect().toSeq
+    assert(got == Seq((1L, Some(3L), 0.333333), (2L, None, 0.0),
+      (3L, None, 0.0), (4L, Some(1L), 1.0)), got)
+    // duplicate judgments must not double-count
+    val got2 = graft.operators.Metrics.mrr(run, rel.union(rel), k = 10)
+      .as[(Long, Option[Long], Double)].collect().toSeq
+    assert(got2 == got)
+    assert(intercept[IllegalArgumentException] {
+      graft.operators.Metrics.mrr(run, rel, k = 0)
+    }.getMessage.contains("k"))
+  }
+
+  test("bleu: hand-computed clipped precisions, clipping caps repeats, " +
+      "brevity penalty fires on short candidates, zero p_n -> null bleu") {
+    import spark.implicits._
+    // cand 'the the the cat' vs ref 'the cat sat down': p1 = clip(the)=1
+    // + cat 1 -> 2/4; bigrams cand: 'the the'x2,'the cat' -> clip 0+1 =
+    // 1/3; trigram 'the the the','the the cat' -> 0/2 -> bleu null
+    val one = Seq((1L, "the the the cat", "the cat sat down"))
+      .toDF("id", "cand", "ref")
+    val r1 = graft.operators.Metrics.bleu(one, "id", "cand", "ref")
+      .collect().head
+    assert(r1.getAs[Long]("c_len") == 4 && r1.getAs[Long]("r_len") == 4)
+    assert(r1.getAs[Double]("p1") == 0.5, r1)
+    assert(r1.getAs[Double]("p2") == 0.333333, r1)
+    assert(r1.getAs[Double]("p3") == 0.0, r1)
+    assert(r1.isNullAt(r1.fieldIndex("bleu")), r1)
+    assert(r1.getAs[Double]("bp") == 1.0, r1)
+    // identical pair -> every precision 1, bleu = 1
+    val same = Seq((1L, "a b c d e", "a b c d e")).toDF("id", "cand", "ref")
+    val r2 = graft.operators.Metrics.bleu(same, "id", "cand", "ref")
+      .collect().head
+    assert((1 to 4).forall(n => r2.getAs[Double](s"p$n") == 1.0), r2)
+    assert(r2.getAs[Double]("bleu") == 1.0, r2)
+    // short candidate: 4 of 8 ref tokens kept verbatim -> bp = e^(1-2)
+    val short = Seq((1L, "a b c d", "a b c d e f g h"))
+      .toDF("id", "cand", "ref")
+    val r3 = graft.operators.Metrics.bleu(short, "id", "cand", "ref")
+      .collect().head
+    assert(math.abs(r3.getAs[Double]("bp") - math.exp(-1.0)) < 1e-6, r3)
+    assert((1 to 4).forall(n => r3.getAs[Double](s"p$n") == 1.0), r3)
+    assert(math.abs(r3.getAs[Double]("bleu") - math.exp(-1.0)) < 1e-6, r3)
+    // corpus form: counts pool across pairs before the ratio (NOT a
+    // mean of per-pair scores)
+    val corp = Seq((1L, "a b", "a b"), (2L, "x y", "p q"))
+      .toDF("id", "cand", "ref")
+    val r4 = graft.operators.Metrics.bleu(corp, "id", "cand", "ref")
+      .collect().head
+    assert(r4.getAs[Double]("p1") == 0.5, r4)
+  }
 }
