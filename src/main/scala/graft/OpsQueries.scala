@@ -7226,7 +7226,153 @@ object OpsQueries {
              |FROM pd LEFT JOIN pk USING (lang)
              |ORDER BY lang""".stripMargin
         s"WITH ${bpeChainSql(10)},\n$tail"
-      })
+      }),
+
+    // ----- co-purchase graph: Adamic-Adar item affinity -----------------------
+    // Market-basket link prediction over the order-part bipartite
+    // relation: co-occurrence support + the degree-discounted AA score
+    // (sharing a 2-item order is strong evidence; a 17-item order is
+    // weak). Per-order weights quantize to longs, so the pair sums
+    // replay exactly; the per-group fan-out is basket-bounded.
+    "q225_copurchase" -> Entry(
+      (s, dir) => Graph.coOccurrence(
+          t(s, dir, "lineitem").select(col("l_orderkey"),
+            col("l_partkey")),
+          "l_orderkey", "l_partkey", minSupport = 2L)
+        .orderBy("item_a", "item_b"),
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS g,
+             |    l_partkey AS i FROM lineitem),
+             |d AS (SELECT g, COUNT(*) AS deg FROM li GROUP BY g),
+             |wd AS (SELECT li.g, li.i, d.deg FROM li JOIN d USING (g)
+             |  WHERE d.deg >= 2),
+             |p AS (SELECT a.i AS item_a, b.i AS item_b,
+             |    CAST(floor(1e12 / ln(CAST(a.deg AS DOUBLE)) + 0.5)
+             |      AS BIGINT) AS w
+             |  FROM wd a JOIN wd b ON a.g = b.g AND a.i < b.i),
+             |c AS (SELECT item_a, item_b, COUNT(*) AS n_groups,
+             |    SUM(w) AS sw FROM p GROUP BY 1, 2)
+             |SELECT item_a, item_b, CAST(n_groups AS BIGINT) AS n_groups,
+             |  round(CAST(sw AS DOUBLE) / 1e12, 6) AS aa_score
+             |FROM c WHERE n_groups >= 2
+             |ORDER BY item_a, item_b""".stripMargin)),
+
+    // ----- Fellegi-Sunter EM iteration ----------------------------------------
+    // Where the q218 weights COME from: one unsupervised EM step over
+    // the block-candidate pairs' agreement vectors (Winkler 1988).
+    // Every parameter is an exact dyadic so 1-x literals are
+    // bit-identical on both engines; the E-step posterior is one
+    // fixed-order rational expression; M-step sums quantize to longs.
+    // The oracle replays the identical arithmetic.
+    "q226_linkage_em" -> Entry(
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val bal = floor(col("c_acctbal") / 100.0).cast("long")
+        val a = c.select(col("c_nationkey").as("blk"),
+          lower(trim(col("c_name"))).as("a_nm"),
+          lower(trim(col("c_mktsegment"))).as("a_seg"),
+          bal.as("a_bal"))
+        val b = c.select(
+          when(col("c_custkey") % 11 === 0, (col("c_nationkey") + 1) % 25)
+            .otherwise(col("c_nationkey")).as("blk"),
+          lower(trim(when(col("c_custkey") % 7 === 0,
+            concat(upper(col("c_name")), lit("X")))
+            .otherwise(upper(col("c_name"))))).as("b_nm"),
+          lower(trim(when(col("c_custkey") % 5 === 0, lit("PERTURBED"))
+            .otherwise(col("c_mktsegment")))).as("b_seg"),
+          when(col("c_custkey") % 3 === 0, bal + 1L).otherwise(bal)
+            .as("b_bal"))
+        val pairs = a.join(b, "blk").select(
+          (col("a_nm") === col("b_nm")).as("g_name"),
+          (col("a_seg") === col("b_seg")).as("g_seg"),
+          (col("a_bal") === col("b_bal")).as("g_bal"))
+        EntityResolution.emStep(pairs, Seq("g_name", "g_seg", "g_bal"),
+          p = 0.03125,
+          m = Seq(0.875, 0.75, 0.75), u = Seq(0.03125, 0.25, 0.375))
+      },
+      Some("""WITH a AS (SELECT c_nationkey AS blk,
+             |    lower(trim(c_name)) AS a_nm,
+             |    lower(trim(c_mktsegment)) AS a_seg,
+             |    CAST(floor(c_acctbal / 100.0) AS BIGINT) AS a_bal
+             |  FROM customer),
+             |b AS (SELECT CASE WHEN c_custkey % 11 = 0
+             |      THEN (c_nationkey + 1) % 25
+             |      ELSE c_nationkey END AS blk,
+             |    lower(trim(CASE WHEN c_custkey % 7 = 0
+             |      THEN upper(c_name) || 'X'
+             |      ELSE upper(c_name) END)) AS b_nm,
+             |    lower(trim(CASE WHEN c_custkey % 5 = 0
+             |      THEN 'PERTURBED' ELSE c_mktsegment END)) AS b_seg,
+             |    CASE WHEN c_custkey % 3 = 0
+             |      THEN CAST(floor(c_acctbal / 100.0) AS BIGINT) + 1
+             |      ELSE CAST(floor(c_acctbal / 100.0) AS BIGINT)
+             |      END AS b_bal
+             |  FROM customer),
+             |g AS (SELECT a_nm = b_nm AS g0, a_seg = b_seg AS g1,
+             |    a_bal = b_bal AS g2
+             |  FROM a JOIN b USING (blk)),
+             |e AS (SELECT
+             |    CAST(0.03125 AS DOUBLE) * ((CASE WHEN g0
+             |        THEN CAST(0.875 AS DOUBLE)
+             |        ELSE CAST(0.125 AS DOUBLE) END
+             |      * CASE WHEN g1 THEN CAST(0.75 AS DOUBLE)
+             |        ELSE CAST(0.25 AS DOUBLE) END)
+             |      * CASE WHEN g2 THEN CAST(0.75 AS DOUBLE)
+             |        ELSE CAST(0.25 AS DOUBLE) END) AS num,
+             |    CAST(0.96875 AS DOUBLE) * ((CASE WHEN g0
+             |        THEN CAST(0.03125 AS DOUBLE)
+             |        ELSE CAST(0.96875 AS DOUBLE) END
+             |      * CASE WHEN g1 THEN CAST(0.25 AS DOUBLE)
+             |        ELSE CAST(0.75 AS DOUBLE) END)
+             |      * CASE WHEN g2 THEN CAST(0.375 AS DOUBLE)
+             |        ELSE CAST(0.625 AS DOUBLE) END) AS du,
+             |    g0, g1, g2 FROM g),
+             |wt AS (SELECT num / (num + du) AS w, g0, g1, g2 FROM e),
+             |q0 AS (SELECT COUNT(*) AS n,
+             |    SUM(CAST(floor(w * 1e9 + 0.5) AS BIGINT)) AS sw,
+             |    SUM(CAST(floor((CASE WHEN g0 THEN w
+             |      ELSE CAST(0 AS DOUBLE) END) * 1e9 + 0.5) AS BIGINT))
+             |      AS swg0,
+             |    SUM(CAST(floor((CASE WHEN g1 THEN w
+             |      ELSE CAST(0 AS DOUBLE) END) * 1e9 + 0.5) AS BIGINT))
+             |      AS swg1,
+             |    SUM(CAST(floor((CASE WHEN g2 THEN w
+             |      ELSE CAST(0 AS DOUBLE) END) * 1e9 + 0.5) AS BIGINT))
+             |      AS swg2,
+             |    SUM(CAST(floor((CASE WHEN g0 THEN CAST(1 AS DOUBLE) - w
+             |      ELSE CAST(0 AS DOUBLE) END) * 1e9 + 0.5) AS BIGINT))
+             |      AS svg0,
+             |    SUM(CAST(floor((CASE WHEN g1 THEN CAST(1 AS DOUBLE) - w
+             |      ELSE CAST(0 AS DOUBLE) END) * 1e9 + 0.5) AS BIGINT))
+             |      AS svg1,
+             |    SUM(CAST(floor((CASE WHEN g2 THEN CAST(1 AS DOUBLE) - w
+             |      ELSE CAST(0 AS DOUBLE) END) * 1e9 + 0.5) AS BIGINT))
+             |      AS svg2,
+             |    SUM(CAST(floor((CAST(1 AS DOUBLE) - w) * 1e9 + 0.5)
+             |      AS BIGINT)) AS sv
+             |  FROM wt)
+             |SELECT param, field, value FROM (
+             |  SELECT 'p' AS param, CAST(NULL AS VARCHAR) AS field,
+             |    round((CAST(sw AS DOUBLE) / 1e9)
+             |      / CAST(n AS DOUBLE), 6) AS value FROM q0
+             |  UNION ALL SELECT 'm', 'g_name',
+             |    round(CAST(swg0 AS DOUBLE) / CAST(sw AS DOUBLE), 6)
+             |    FROM q0
+             |  UNION ALL SELECT 'm', 'g_seg',
+             |    round(CAST(swg1 AS DOUBLE) / CAST(sw AS DOUBLE), 6)
+             |    FROM q0
+             |  UNION ALL SELECT 'm', 'g_bal',
+             |    round(CAST(swg2 AS DOUBLE) / CAST(sw AS DOUBLE), 6)
+             |    FROM q0
+             |  UNION ALL SELECT 'u', 'g_name',
+             |    round(CAST(svg0 AS DOUBLE) / CAST(sv AS DOUBLE), 6)
+             |    FROM q0
+             |  UNION ALL SELECT 'u', 'g_seg',
+             |    round(CAST(svg1 AS DOUBLE) / CAST(sv AS DOUBLE), 6)
+             |    FROM q0
+             |  UNION ALL SELECT 'u', 'g_bal',
+             |    round(CAST(svg2 AS DOUBLE) / CAST(sv AS DOUBLE), 6)
+             |    FROM q0)
+             |ORDER BY param, field""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

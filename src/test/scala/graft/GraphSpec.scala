@@ -129,4 +129,32 @@ class GraphSpec extends TestBase {
       Graph.pagerank(e, "s", "t", iterations = 1, damping = 1.0)
     }.getMessage.contains("damping"))
   }
+
+  test("coOccurrence: hand-checked AA weights (1/ln deg per shared " +
+      "group), support filter, duplicate rows collapse, singleton " +
+      "groups contribute nothing") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // g1 = {a,b} (deg 2), g2 = {a,b,c} (deg 3), g3 = {a} (singleton),
+    // g4 = {b,c} (deg 2); duplicate (g1,a) row must not inflate
+    val rows = Seq(("g1","a"),("g1","a"),("g1","b"),("g2","a"),
+      ("g2","b"),("g2","c"),("g3","a"),("g4","b"),("g4","c"))
+      .toDF("g", "i")
+    val got = Graph.coOccurrence(rows, "g", "i", minSupport = 1L)
+      .orderBy("item_a", "item_b")
+      .as[(String, String, Long, Double)].collect().toSeq
+    val w2 = 1.0 / math.log(2.0)
+    val w3 = 1.0 / math.log(3.0)
+    def close(x: Double, y: Double) = math.abs(x - y) < 1e-6
+    assert(got.map(t => (t._1, t._2, t._3)) ==
+      Seq(("a","b",2L), ("a","c",1L), ("b","c",2L)), got)
+    assert(close(got(0)._4, w2 + w3) && close(got(1)._4, w3) &&
+      close(got(2)._4, w3 + w2), got)
+    // support >= 2 drops the (a,c) pair
+    assert(Graph.coOccurrence(rows, "g", "i", minSupport = 2L)
+      .count() == 2)
+    assert(intercept[IllegalArgumentException] {
+      Graph.coOccurrence(rows, "g", "i", minSupport = 0L)
+    }.getMessage.contains("minSupport"))
+  }
 }

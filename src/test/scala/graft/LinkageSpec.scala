@@ -184,4 +184,39 @@ class LinkageSpec extends TestBase {
     }
     assert(ex.getMessage.contains("not mergeable"), ex.getMessage)
   }
+
+  test("emStep: hand-computed one-field EM on a tiny pair set; null " +
+      "flags are missing evidence; dyadic params survive exactly") {
+    import spark.implicits._
+    // one field, p=0.5, m=0.75, u=0.25: an agreeing pair has
+    // w = .5*.75/(.5*.75+.5*.25) = 0.75; a disagreeing one
+    // w = .5*.25/(.5*.25+.5*.75) = 0.25. Two agree + two disagree:
+    // p' = (0.75+0.75+0.25+0.25)/4 = 0.5
+    // m' = (0.75+0.75)/2.0 = 0.75 ; u' = (0.25+0.25)/2.0 = 0.25
+    // (the fixed point, by symmetry)
+    val pairs = Seq(Some(true), Some(true), Some(false), Some(false))
+      .toDF("g")
+    val got = EntityResolution.emStep(pairs, Seq("g"),
+        p = 0.5, m = Seq(0.75), u = Seq(0.25))
+      .as[(String, Option[String], Double)].collect().toSeq
+    assert(got == Seq(("m", Some("g"), 0.75), ("p", None, 0.5),
+      ("u", Some("g"), 0.25)), got)
+    // a null flag drops out of that field's m/u mass but not p's
+    val withNull = Seq(Some(true), Some(true), Some(false), Some(false),
+      None).toDF("g")
+    val got2 = EntityResolution.emStep(withNull, Seq("g"),
+        p = 0.5, m = Seq(0.75), u = Seq(0.25))
+      .as[(String, Option[String], Double)].collect().toSeq
+    // the null pair's w = 0.5*1/(0.5*1+0.5*1) = 0.5 joins p' only:
+    // p' = 2.5/5 = 0.5; m'/u' unchanged
+    assert(got2 == Seq(("m", Some("g"), 0.75), ("p", None, 0.5),
+      ("u", Some("g"), 0.25)), got2)
+    assert(intercept[IllegalArgumentException] {
+      EntityResolution.emStep(pairs, Seq("g"), 0.5, Seq(0.75, 0.1),
+        Seq(0.25))
+    }.getMessage.contains("per flag"))
+    assert(intercept[IllegalArgumentException] {
+      EntityResolution.emStep(pairs, Seq("g"), 1.5, Seq(0.75), Seq(0.25))
+    }.getMessage.contains("p must"))
+  }
 }
