@@ -156,12 +156,18 @@ object Similarity {
     require(k >= 1, s"marginMining: k must be >= 1, got $k")
     // forward: for each x, its k nearest ys; backward: each y's k xs.
     // cosine is symmetric, so backward pairs reuse as (x, y) scores.
+    // Each direction feeds TWO consumers (its side's k-NN average and
+    // the candidate union) — checkpoint the candidate-sized k·|side|
+    // result so the brute-force pair scoring runs once per direction,
+    // not twice (the Connected.components small-frame precedent).
     val fwd = cosineTopK(x, y, idCol, vecCol, k)
       .select(col("query_id").as("x_id"), col("corpus_id").as("y_id"),
         col("score"))
+      .localCheckpoint()
     val bwd = cosineTopK(y, x, idCol, vecCol, k)
       .select(col("corpus_id").as("x_id"), col("query_id").as("y_id"),
         col("score"))
+      .localCheckpoint()
     def avgSide(pairs: DataFrame, side: String, out: String) = pairs
       .groupBy(col(side))
       .agg(((sum(round(col("score") * lit(1e6)).cast("long"))

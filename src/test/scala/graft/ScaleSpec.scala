@@ -645,4 +645,51 @@ class ScaleSpec extends TestBase {
     assert(joinLines.forall(!_.contains("text#")),
       s"corpus text leaked past the scan:\n$p")
   }
+
+  test("round-12 linkage/mining budgets: q218 scores inside ONE join " +
+      "(no post-join pair materialization, no cartesian), marginMining " +
+      "broadcasts each brute-force pass ONCE, leakage split is a " +
+      "projection over the component map, coOccurrence stays " +
+      "basket-bounded with no cartesian") {
+    def exec(df: org.apache.spark.sql.DataFrame): String = {
+      df.write.format("noop").mode("overwrite").save()
+      df.queryExecution.executedPlan.toString
+    }
+    val p218 = exec(SparkEntry.queries("q218_entity_resolution")(spark, sf))
+    // the decision predicate rides the join itself: the block-product
+    // pairs never materialize into a post-join Filter
+    assert(p218.contains("Join") && !p218.contains("CartesianProduct"),
+      p218)
+    assert("Exchange hashpartitioning".r.findAllIn(p218).isEmpty,
+      s"q218 must not hash-shuffle at broadcastable scale:\n$p218")
+
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val mm = graft.operators.Similarity.marginMining(
+      emb.filter(col("vec_id") % 2 === 0),
+      emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", 4, 1.0)
+    val pm = exec(mm)
+    // each direction's brute-force scoring appears ONCE (checkpointed
+    // before its two consumers) — 4 BNL joins would mean the corpus
+    // pair scoring runs twice per direction
+    assert("BroadcastNestedLoopJoin".r.findAllIn(pm).size <= 2, pm)
+    assert(!pm.contains("CartesianProduct"), pm)
+
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val ls = graft.operators.Pipelines.leakageFreeSplit(
+      docs, "doc_id", "text", 2000)
+    val pl = exec(ls)
+    // post-closure: one id-keyed join + the split projection — no
+    // window, no sort, and the md5 draw is computed per GROUP row
+    assert(!pl.contains("Window"), pl)
+    assert("Exchange hashpartitioning".r.findAllIn(pl).size <= 2, pl)
+
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val co = graft.operators.Graph.coOccurrence(
+      li.select(col("l_orderkey"), col("l_partkey")),
+      "l_orderkey", "l_partkey", 2L)
+    val pc = exec(co)
+    assert(!pc.contains("CartesianProduct") &&
+      !pc.contains("BroadcastNestedLoopJoin"), pc)
+    assert("Exchange hashpartitioning".r.findAllIn(pc).size <= 7, pc)
+  }
 }
