@@ -7372,7 +7372,85 @@ object OpsQueries {
              |  UNION ALL SELECT 'u', 'g_bal',
              |    round(CAST(svg2 AS DOUBLE) / CAST(sv AS DOUBLE), 6)
              |    FROM q0)
-             |ORDER BY param, field""".stripMargin))
+             |ORDER BY param, field""".stripMargin)),
+
+    // ----- one-pass Poisson bootstrap CI ---------------------------------------
+    // The data-parallel bootstrap (Binomial(N,1/N) → Poisson(1)): each
+    // row draws a deterministic md5 Poisson weight per replicate, so a
+    // replicate is a weighted one-pass aggregate — no resample
+    // materialization. Fixed-point cents keep every replicate mean a
+    // ratio of integer sums; the CI is the type-7 percentile over the
+    // 32 replicate means. Oracle replays draws, weights, and both
+    // percentiles.
+    "q227_bootstrap_ci" -> Entry(
+      (s, dir) => Sampling.poissonBootstrapCI(t(s, dir, "orders"),
+        "o_totalprice", "o_orderkey", replicates = 32, alpha = 0.05,
+        scale = 2, salt = "boot"),
+      Some {
+        val cum = Sampling.PoissonCum
+          .map(c => s"CAST($c AS DOUBLE)")
+        val wSql = cum.map(c => s"CASE WHEN u >= $c THEN 1 ELSE 0 END")
+          .mkString("(", " + ", ")")
+        s"""WITH base AS (SELECT o_orderkey AS id,
+           |    CAST(floor(CAST(o_totalprice AS DOUBLE)
+           |      * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+           |      AS BIGINT) AS v
+           |  FROM orders WHERE o_totalprice IS NOT NULL),
+           |whole AS (SELECT COUNT(*) AS n,
+           |    CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           |      / CAST(100 AS DOUBLE) AS est FROM base),
+           |reps AS (SELECT unnest(generate_series(0, 31)) AS rep),
+           |draws AS (SELECT rep, v,
+           |    CAST(CAST(('0x' || substr(md5('boot' ||
+           |      CAST(rep AS VARCHAR) || '|' || CAST(id AS VARCHAR)),
+           |      1, 8)) AS UBIGINT) AS DOUBLE) / 4294967296.0 AS u
+           |  FROM base, reps),
+           |wt AS (SELECT rep, v, $wSql AS w FROM draws),
+           |means AS (SELECT rep,
+           |    CAST(SUM(w * v) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)
+           |      / CAST(100 AS DOUBLE) AS m
+           |  FROM wt GROUP BY rep)
+           |SELECT CAST(whole.n AS BIGINT) AS n,
+           |  round(whole.est, 6) AS est_mean,
+           |  round(quantile_cont(m, 0.025), 6) AS ci_lo,
+           |  round(quantile_cont(m, 0.975), 6) AS ci_hi
+           |FROM means, whole GROUP BY whole.n, whole.est""".stripMargin
+      }),
+
+    // ----- Wilson lower-bound source ranking -----------------------------------
+    // "Sort by lower bound, not raw rate": per-source quality pass
+    // rates with Wilson score intervals, so a 3-doc source cannot
+    // outrank a 1000-doc one on luck. Two integer aggregates + one
+    // fixed-order expression with a single hardware sqrt.
+    "q228_wilson_bounds" -> Entry(
+      (s, dir) => Profiles.proportionBounds(t(s, dir, "documents"),
+          "source", col("n_chars") >= 300, z = 1.96)
+        .withColumnRenamed("key", "source"),
+      Some {
+        val z2 = 1.96 * 1.96
+        s"""WITH a AS (SELECT source AS key, COUNT(*) AS n,
+           |    SUM(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS k
+           |  FROM documents GROUP BY 1),
+           |e AS (SELECT key, n, k,
+           |    CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+           |    CAST(1 AS DOUBLE) + CAST($z2 AS DOUBLE)
+           |      / CAST(n AS DOUBLE) AS denom FROM a),
+           |w AS (SELECT key, n, k, p,
+           |    (p + CAST($z2 AS DOUBLE)
+           |      / (CAST(2 AS DOUBLE) * CAST(n AS DOUBLE))) / denom
+           |      AS center,
+           |    (CAST(1.96 AS DOUBLE) * sqrt(p * (CAST(1 AS DOUBLE) - p)
+           |        / CAST(n AS DOUBLE)
+           |      + CAST($z2 AS DOUBLE) / (CAST(4 AS DOUBLE)
+           |        * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) / denom
+           |      AS half
+           |  FROM e)
+           |SELECT key AS source, CAST(n AS BIGINT) AS n,
+           |  CAST(k AS BIGINT) AS k, round(p, 6) AS rate,
+           |  round(center - half, 6) AS wilson_lo,
+           |  round(center + half, 6) AS wilson_hi
+           |FROM w ORDER BY wilson_lo DESC, source""".stripMargin
+      })
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

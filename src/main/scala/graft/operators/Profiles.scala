@@ -222,6 +222,39 @@ object Profiles {
         col("n"))
   }
 
+  /** Per-key Wilson score interval for a pass rate (Wilson 1927) — the
+    * "sort by lower bound" discipline for ranking keys by a proportion
+    * when group sizes differ wildly (a source with 3/3 passing must NOT
+    * outrank one with 980/1000 — the raw rate says it does, the Wilson
+    * lower bound says otherwise; the standard fix for small-sample
+    * rate rankings). One row per key: `n`, `k`, `rate`, `wilson_lo`,
+    * `wilson_hi` (round-6), sorted by `wilson_lo` DESC — the ranking
+    * order the interval exists for. Rows where `cond` is null count as
+    * failures (not-true). Arithmetic is one fixed-order expression over
+    * two integer aggregates + a hardware sqrt — engine-bit-identical.
+    *
+    * Scale: ONE keyed map-combined aggregation; the interval math runs
+    * on the |keys|-row result. */
+  def proportionBounds(df: DataFrame, keyCol: String, cond: Column,
+      z: Double = 1.96): DataFrame = {
+    require(z > 0, s"proportionBounds: z must be > 0, got $z")
+    val agg = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(cond, 1L).otherwise(0L)).as("k"))
+    val nD = col("n").cast("double")
+    val p = col("k").cast("double") / nD
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / nD
+    val center = (p + z2 / (lit(2.0) * nD)) / denom
+    val half = (lit(z) * sqrt(p * (lit(1.0) - p) / nD +
+      z2 / (lit(4.0) * nD * nD))) / denom
+    agg.select(col("key"), col("n"), col("k"),
+        round(p, 6).as("rate"),
+        round(center - half, 6).as("wilson_lo"),
+        round(center + half, 6).as("wilson_hi"))
+      .orderBy(col("wilson_lo").desc, col("key"))
+  }
+
   /** Merge of [[histogram]] states — the incremental-ANALYZE companion
     * to [[mergeSummaryStates]] for DISTRIBUTION shape: profile each
     * snapshot/partition once, persist its KB-sized (bin, n) rows, and

@@ -523,4 +523,85 @@ object Sampling {
     df.withColumn("shuffle_key",
       md5(concat(lit(salt), lit("|"), key.cast("string"))))
   }
+
+  /** Cumulative Poisson(1) probabilities P(X ≤ k), k = 0..7 — the
+    * inverse-CDF thresholds of the bootstrap draw. Computed once,
+    * embedded as identical literals in plans and oracles. */
+  private[graft] val PoissonCum: Seq[Double] = {
+    val pmf = (0 to 7).scanLeft(math.exp(-1.0)) {
+      case (p, k) => p / (k + 1) }.take(8)
+    pmf.scanLeft(0.0)(_ + _).tail
+  }
+
+  /** One-pass Poisson bootstrap CI for a column mean (the
+    * multiplier/online bootstrap of Oza 2001 / Chamandy et al. 2012 —
+    * THE way to bootstrap at data-parallel scale: resampling-with-
+    * replacement needs the whole dataset per replicate, but
+    * Binomial(N, 1/N) → Poisson(1) as N grows, so each row instead
+    * draws an INDEPENDENT deterministic Poisson(1) weight per
+    * replicate and every replicate is a weighted one-pass aggregate).
+    * Weights come from `md5(salt + rep + "|" + id)` through the
+    * Poisson(1) inverse CDF (capped at 8 — P(X > 8) ≈ 1e-6), so the
+    * resample is reproducible across engines, runs, and cluster
+    * sizes, the [[bernoulli]] discipline.
+    *
+    * Values are fixed-point at `scale` decimals (`floor(x·10^s + 0.5)`
+    * — money at scale 2 is EXACT cents), so every replicate mean is a
+    * ratio of two integer sums: association-order-exact, engine-bit-
+    * identical. The CI is the [alpha/2, 1−alpha/2] type-7 interpolated
+    * percentile over the `replicates` means — a bounded R-row
+    * aggregation.
+    *
+    * Output one row: `n`, `est_mean` (full-sample), `ci_lo`, `ci_hi`
+    * (round-6). Null values are excluded (they carry no mass).
+    *
+    * Scale: ONE scan with the R-way replicate fan-out exploded UNDER a
+    * rep-keyed map-combined aggregation — the exchange ships R rows
+    * per task; the percentile buffers R values. Long capacity: at
+    * scale 2 and 8× max weight, ~10¹⁴ value-units of total mass per
+    * replicate. */
+  def poissonBootstrapCI(df: DataFrame, valueCol: String, idCol: String,
+      replicates: Int = 32, alpha: Double = 0.05, scale: Int = 2,
+      salt: String = "boot"): DataFrame = {
+    require(replicates >= 4 && replicates <= 1024,
+      s"poissonBootstrapCI: replicates must be in [4, 1024]")
+    require(alpha > 0 && alpha < 1,
+      s"poissonBootstrapCI: alpha must be in (0, 1), got $alpha")
+    require(scale >= 0 && scale <= 6,
+      s"poissonBootstrapCI: scale must be in [0, 6], got $scale")
+    val mult = math.pow(10.0, scale)
+    val cents = floor(col(valueCol).cast("double") * mult + lit(0.5))
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(idCol).as("__id"), cents.as("__v"))
+    val whole = base.agg(count(lit(1)).as("n"),
+      (sum("__v").cast("double") / count(lit(1)).cast("double") /
+        lit(mult)).as("__est"))
+    val u = draw32(concat(lit(salt), col("__rep").cast("string"),
+      lit("|"), col("__id").cast("string")))
+    val w = PoissonCum.map(c => when(u >= c, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val means = base
+      .select(col("__id"), col("__v"),
+        explode(sequence(lit(0), lit(replicates - 1))).as("__rep"))
+      .select(col("__rep"), col("__v"), w.as("__w"))
+      .groupBy("__rep")
+      .agg((sum(col("__w") * col("__v")).cast("double") /
+        sum(col("__w")).cast("double") / lit(mult)).as("__m"))
+    val lo = alpha / 2.0
+    val hi = 1.0 - alpha / 2.0
+    means.agg(
+        expr(s"percentile(__m, $lo)").as("__lo"),
+        expr(s"percentile(__m, $hi)").as("__hi"))
+      .crossJoin(broadcast(whole))
+      .select(col("n"), round(col("__est"), 6).as("est_mean"),
+        round(col("__lo"), 6).as("ci_lo"),
+        round(col("__hi"), 6).as("ci_hi"))
+  }
+
+  /** `md5(key)` first 8 hex chars as a uniform double in [0, 1) —
+    * exact multiples of 2⁻³², so threshold comparisons are
+    * deterministic on any engine. */
+  private def draw32(key: Column): Column =
+    conv(substring(md5(key), 1, 8), 16, 10).cast("long")
+      .cast("double") / lit(4294967296.0)
 }

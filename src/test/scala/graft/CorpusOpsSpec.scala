@@ -2066,4 +2066,78 @@ class CorpusOpsSpec extends TestBase {
       .collect().map(_.toSeq).sortBy(_.mkString).toSeq
     assert(a == b, "recipe materialization not reproducible")
   }
+
+  test("poissonBootstrapCI: weights are Poisson(1)-shaped and " +
+      "deterministic, CI brackets the estimate and tightens with data, " +
+      "constant data collapses the interval, guards") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // constant column: every replicate mean is exactly the constant
+    val const = (1L to 500L).map(i => (i, 42.25)).toDF("id", "v")
+    val rc = Sampling.poissonBootstrapCI(const, "v", "id").collect().head
+    assert(rc.getAs[Long]("n") == 500L)
+    assert(rc.getAs[Double]("est_mean") == 42.25)
+    assert(rc.getAs[Double]("ci_lo") == 42.25 &&
+      rc.getAs[Double]("ci_hi") == 42.25, rc)
+    // varied data: CI brackets the mean strictly; determinism across runs
+    val varied = (1L to 2000L).map(i => (i, (i % 97).toDouble))
+      .toDF("id", "v")
+    val r1 = Sampling.poissonBootstrapCI(varied, "v", "id").collect().head
+    val r2 = Sampling.poissonBootstrapCI(varied, "v", "id").collect().head
+    assert(r1 == r2, "bootstrap must be deterministic")
+    assert(r1.getAs[Double]("ci_lo") < r1.getAs[Double]("est_mean") &&
+      r1.getAs[Double]("est_mean") < r1.getAs[Double]("ci_hi"), r1)
+    // more data -> tighter interval (same distribution, 4x rows)
+    val big = (1L to 8000L).map(i => (i, (i % 97).toDouble))
+      .toDF("id", "v")
+    val rb = Sampling.poissonBootstrapCI(big, "v", "id").collect().head
+    assert(rb.getAs[Double]("ci_hi") - rb.getAs[Double]("ci_lo") <
+      r1.getAs[Double]("ci_hi") - r1.getAs[Double]("ci_lo"), s"$r1 / $rb")
+    // null values carry no mass
+    val withNull = varied.union(Seq((9999L,
+      null.asInstanceOf[java.lang.Double])).map(t => (t._1,
+        Option.empty[Double])).toDF("id", "v"))
+    assert(Sampling.poissonBootstrapCI(withNull, "v", "id")
+      .collect().head.getAs[Long]("n") == 2000L)
+    assert(intercept[IllegalArgumentException] {
+      Sampling.poissonBootstrapCI(varied, "v", "id", replicates = 2)
+    }.getMessage.contains("replicates"))
+    assert(intercept[IllegalArgumentException] {
+      Sampling.poissonBootstrapCI(varied, "v", "id", alpha = 0.0)
+    }.getMessage.contains("alpha"))
+    // the Poisson thresholds are the textbook cumulative e^-1/k! sums
+    assert(math.abs(Sampling.PoissonCum.head - math.exp(-1.0)) == 0.0)
+    assert(Sampling.PoissonCum.size == 8 &&
+      Sampling.PoissonCum.last > 0.99998)
+  }
+
+  test("proportionBounds: hand-checked Wilson interval, small perfect " +
+      "group ranks BELOW a large near-perfect one, null cond = failure") {
+    import spark.implicits._
+    import graft.operators.Profiles
+    // srcA: 980/1000 pass; srcB: 3/3 pass — raw rate ranks B first,
+    // the Wilson lower bound ranks A first (the whole point)
+    val rows = (1 to 1000).map(i => ("A", i > 20)) ++
+      (1 to 3).map(_ => ("B", true))
+    val d = rows.toDF("src", "ok")
+    val got = Profiles.proportionBounds(d, "src", col("ok"))
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq("A", "B"), got)
+    val a = got.head
+    assert(a._2 == 1000 && a._3 == 980 && a._4 == 0.98)
+    // Wilson at z=1.96, n=1000, p=0.98 (independently computed):
+    // center 0.976253, half ~0.008944-0.009 band
+    assert(math.abs(a._5 - 0.96931) < 1e-5 &&
+      math.abs(a._6 - 0.987016) < 1e-5, a)
+    val b = got(1)
+    assert(b._4 == 1.0 && b._5 < 0.45, s"3/3 must have a weak bound: $b")
+    // null cond counts as failure
+    val withNull = (Seq(("C", Some(true)), ("C", None))).toDF("src", "ok")
+    val c = Profiles.proportionBounds(withNull, "src", col("ok"))
+      .collect().head
+    assert(c.getAs[Long]("k") == 1L && c.getAs[Long]("n") == 2L)
+    assert(intercept[IllegalArgumentException] {
+      Profiles.proportionBounds(d, "src", col("ok"), z = 0.0)
+    }.getMessage.contains("z"))
+  }
 }
