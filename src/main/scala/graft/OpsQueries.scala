@@ -7450,7 +7450,67 @@ object OpsQueries {
            |  round(center - half, 6) AS wilson_lo,
            |  round(center + half, 6) AS wilson_hi
            |FROM w ORDER BY wilson_lo DESC, source""".stripMargin
-      })
+      }),
+
+    // ----- ROUGE-L (LCS-based generation eval) ---------------------------------
+    // The in-order-at-any-gap companion to q222 BLEU: candidates are
+    // 12-token prefixes with every 3rd token corrupted, so the LCS
+    // (native two-row DP expression) does real work. The ORACLE runs
+    // the same DP in SQL — the row carried as a csv string through
+    // nested list_reduce folds (the bpe-chain accumulator trick;
+    // list_reduce requires acc type == element type).
+    "q229_rouge_l" -> Entry(
+      (s, dir) => {
+        val trimmed = t(s, dir, "documents")
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__w"))
+          .select(col("doc_id"),
+            array_join(slice(col("__w"), 1, 12), " ").as("ref"),
+            array_join(transform(slice(col("__w"), 1, 12),
+              (w, i) => when((i + 1) % 3 === 0, lit("zz")).otherwise(w)),
+              " ").as("cand"))
+        Metrics.rougeL(trimmed, "doc_id", "cand", "ref")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t0 AS (SELECT doc_id, ($TOKS)[1:12] AS rw
+              |  FROM documents),
+              |t AS (SELECT doc_id, rw,
+              |    [CASE WHEN i % 3 = 0 THEN 'zz' ELSE rw[i] END
+              |     for i in generate_series(1, len(rw))] AS cw
+              |  FROM t0),
+              |dp AS (SELECT doc_id, cw, rw,
+              |  list_reduce(
+              |    [array_to_string([0 for j in
+              |      generate_series(0, len(rw))], ',')] || cw,
+              |    (old, ct) -> (
+              |      list_reduce(
+              |        ['0'] || [CAST(j AS VARCHAR)
+              |          for j in generate_series(1, len(rw))],
+              |        (acc, jj) -> acc || ',' || CAST(greatest(
+              |            CAST(string_split(old, ',')[CAST(jj AS INT) + 1]
+              |              AS INT),
+              |            CAST(string_split(acc, ',')[-1] AS INT),
+              |            CAST(string_split(old, ',')[CAST(jj AS INT)]
+              |              AS INT)
+              |              + CASE WHEN rw[CAST(jj AS INT)] = ct
+              |                THEN 1 ELSE 0 END
+              |          ) AS VARCHAR)
+              |      )
+              |    )
+              |  ) AS lastrow
+              |  FROM t),
+              |m AS (SELECT doc_id, len(cw) AS n_cand, len(rw) AS n_ref,
+              |    CAST(string_split(lastrow, ',')[-1] AS INT) AS lcs
+              |  FROM dp),
+              |f AS (SELECT doc_id, n_cand, n_ref, lcs,
+              |    CAST(lcs AS DOUBLE) / CAST(n_cand AS DOUBLE) AS p,
+              |    CAST(lcs AS DOUBLE) / CAST(n_ref AS DOUBLE) AS r
+              |  FROM m)
+              |SELECT doc_id, CAST(n_cand AS BIGINT) AS n_cand,
+              |  CAST(n_ref AS BIGINT) AS n_ref, CAST(lcs AS BIGINT) AS lcs,
+              |  round(p, 6) AS p, round(r, 6) AS r,
+              |  CASE WHEN lcs > 0 THEN
+              |    round(CAST(2 AS DOUBLE) * p * r / (p + r), 6) END AS f1
+              |FROM f ORDER BY doc_id""".stripMargin))
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

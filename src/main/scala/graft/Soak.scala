@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Rank}
+import graft.operators.{Dedup, Pipelines, Rank, Sampling}
 
 /** Scale soak over the zero-storage [[graft.sources.SynthDocs]]
   * generator: run the scale primitives (line dedup, verified near-dup,
@@ -108,7 +108,44 @@ object Soak {
       "t_closeness" -> ((n: Long) =>
         graft.operators.Checks.tClosenessViolations(
           shaped(n).select(col("source"), col("lang")),
-          Seq("source"), "lang", t = 0.05)))
+          Seq("source"), "lang", t = 0.05)),
+      // round-12 additions: FS linkage (block-bounded join fan-out —
+      // ~20 rows/block keeps pairs linear in n), leakage-free split
+      // (LSH closure over the near-unique corpus), Adamic-Adar
+      // co-occurrence (5-item baskets), Poisson bootstrap (the
+      // replicate fan-out exploded under a rep-keyed aggregation)
+      "linkage" -> ((n: Long) => {
+        val blocks = math.max(n / 20, 1L)
+        def side(pert: Boolean) = corpus(n).select(
+          (if (pert) col("doc_id") + 100000000L else col("doc_id"))
+            .as("id"),
+          (col("doc_id") % blocks).as("blk"),
+          (if (pert) when(col("doc_id") % 7 === 0,
+            concat(col("source"), lit("X"))).otherwise(col("source"))
+          else col("source")).as("f0"),
+          ((col("doc_id") * (if (pert) 31L else 31L)) % 100).as("f1"))
+        graft.operators.EntityResolution.linkage(
+          side(pert = false), side(pert = true), "id", "id", "blk",
+          "blk", Seq(
+            graft.operators.EntityResolution.FieldRule("f0", "f0",
+              6.0, -4.0),
+            graft.operators.EntityResolution.FieldRule("f1", "f1",
+              3.0, -2.0)),
+          matchAt = 8.0, possibleAt = 4.0)
+      }),
+      "leakage_split" -> ((n: Long) =>
+        Pipelines.leakageFreeSplit(
+          corpus(n).select(col("doc_id"), col("text")),
+          "doc_id", "text", evalBp = 1000)),
+      "cooccurrence" -> ((n: Long) =>
+        graft.operators.Graph.coOccurrence(
+          corpus(n).select((col("doc_id") / 5).cast("long").as("g"),
+            ((col("doc_id") * 2654435761L) % 10000).as("i")),
+          "g", "i", minSupport = 2L)),
+      "bootstrap_ci" -> ((n: Long) =>
+        Sampling.poissonBootstrapCI(
+          shaped(n).select(col("doc_id"), col("score")),
+          "score", "doc_id", replicates = 16)))
 
     /** Non-reused exchange count of the EXECUTED (final adaptive)
       * plan — the plan-drift fingerprint. */

@@ -435,4 +435,54 @@ object Metrics {
           when((1 to maxN).map(n => col(s"__p$n") > 0)
             .reduce(_ && _), round(bp * geo, 6)).as("bleu"))): _*)
   }
+
+  /** ROUGE-L per pair (Lin 2004) — the LCS-based generation-eval
+    * companion to [[bleu]]: rewards IN-ORDER agreement at any gap,
+    * which contiguous n-grams cannot see. Per (candidate, reference)
+    * pair: `lcs`, precision `lcs/|cand|`, recall `lcs/|ref|`, and the
+    * balanced F1 (null when both sides miss entirely — reported
+    * loudly, not smoothed to 0/0 = 0). Tokenization is the repo-wide
+    * [[TextAnalysis.tokens]] split.
+    *
+    * The LCS itself is the native [[graft.functions.LcsLength]]
+    * two-row DP (O(n·m) per pair; the HOF reference twin [[lcsHof]]
+    * is spec-pinned bit-identical) — cap token counts upstream for
+    * pathological documents, the per-row-CPU contract every
+    * fingerprint operator shares. One scan, one projection, no
+    * shuffle beyond the caller's. */
+  def rougeL(pairs: DataFrame, idCol: String, candCol: String,
+      refCol: String): DataFrame = {
+    val staged = pairs.select(col(idCol),
+      size(TextAnalysis.tokens(col(candCol))).as("n_cand"),
+      size(TextAnalysis.tokens(col(refCol))).as("n_ref"),
+      graft.functions.LcsLength.of(TextAnalysis.tokens(col(candCol)),
+        TextAnalysis.tokens(col(refCol))).as("lcs"))
+    val p = col("lcs").cast("double") / col("n_cand").cast("double")
+    val r = col("lcs").cast("double") / col("n_ref").cast("double")
+    staged.select(col(idCol), col("n_cand").cast("long").as("n_cand"),
+      col("n_ref").cast("long").as("n_ref"),
+      col("lcs").cast("long").as("lcs"),
+      round(p, 6).as("p"), round(r, 6).as("r"),
+      when(col("lcs") > 0,
+        round(lit(2.0) * p * r / (p + r), 6)).as("f1"))
+  }
+
+  /** Composable reference form of [[graft.functions.LcsLength]] —
+    * the DP row carried as an array accumulator through nested
+    * `aggregate` folds. Semantics twin for specs; O(m) re-evaluation
+    * per cell under codegen makes it the wrong hot-path form (the
+    * DupNgramRatio inlining trap). */
+  private[graft] def lcsHof(cw: Column, rw: Column): Column = {
+    val zeros = transform(sequence(lit(0), size(rw)), _ => lit(0))
+    val fin = aggregate(cw, zeros, (old, ct) =>
+      aggregate(sequence(lit(1), size(rw)),
+        slice(zeros, 1, 1),
+        (acc, j) => concat(acc, array(greatest(
+          element_at(old, j + 1),
+          element_at(acc, size(acc)),
+          element_at(old, j) +
+            when(element_at(rw, j) === ct, 1).otherwise(0))))))
+    when(size(cw) === 0 || size(rw) === 0, lit(0))
+      .otherwise(element_at(fin, -1))
+  }
 }

@@ -301,4 +301,44 @@ class MetricsSpec extends TestBase {
       .collect().head
     assert(r4.getAs[Double]("p1") == 0.5, r4)
   }
+
+  test("rougeL + LcsLength: hand-checked LCS cases, native == HOF twin " +
+      "on 200 random pairs, empty/null contracts, F1 null when no " +
+      "overlap") {
+    import spark.implicits._
+    import graft.functions.LcsLength
+    def lcsOf(a: Seq[String], b: Seq[String]): Int =
+      Seq((a, b)).toDF("a", "b")
+        .select(LcsLength.of(col("a"), col("b"))).collect().head.getInt(0)
+    assert(lcsOf(Seq("a","b","c","d","e"), Seq("a","x","c","y","e")) == 3)
+    assert(lcsOf(Seq("x"), Seq("y")) == 0)
+    assert(lcsOf(Seq("a","b"), Seq("a","b")) == 2)
+    assert(lcsOf(Seq("b","a","c"), Seq("a","b","c")) == 2)
+    assert(lcsOf(Seq.empty, Seq("a")) == 0)
+    // native == composable HOF twin over 200 seeded random pairs
+    val rnd = new scala.util.Random(77)
+    val vocab = Seq("a","b","c","d","e")
+    val pairs = (1 to 200).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(9))(vocab(rnd.nextInt(5))),
+        Seq.fill(rnd.nextInt(9))(vocab(rnd.nextInt(5))))
+    }.toDF("id", "a", "b")
+    val mismatch = pairs.select(
+        LcsLength.of(col("a"), col("b")).as("nat"),
+        graft.operators.Metrics.lcsHof(col("a"), col("b")).as("hof"))
+      .filter(col("nat") =!= col("hof")).count()
+    assert(mismatch == 0L, s"$mismatch native-vs-HOF disagreements")
+    // null array -> null
+    val nr = Seq((Option.empty[Seq[String]], Option(Seq("a"))))
+      .toDF("a", "b").select(LcsLength.of(col("a"), col("b"))).collect()
+    assert(nr.head.isNullAt(0))
+    // rougeL report: hand case
+    val d = Seq((1L, "a b c d", "a x c y"), (2L, "q", "z"))
+      .toDF("id", "cand", "ref")
+    val got = graft.operators.Metrics.rougeL(d, "id", "cand", "ref")
+      .orderBy("id").collect()
+    val r1 = got(0)
+    assert(r1.getAs[Long]("lcs") == 2 && r1.getAs[Double]("p") == 0.5 &&
+      r1.getAs[Double]("r") == 0.5 && r1.getAs[Double]("f1") == 0.5, r1)
+    assert(got(1).isNullAt(got(1).fieldIndex("f1")), got(1).toString)
+  }
 }
