@@ -6896,7 +6896,9 @@ object OpsQueries {
              |    SELECT x_id, y_id, score FROM b WHERE r <= 4)
              |  GROUP BY 1, 2),
              |m AS (SELECT c.x_id, c.y_id, c.score,
-             |    round(c.score / ((ax.ax + ay.ay) / 2.0), 6) AS margin
+             |    CASE WHEN (ax.ax + ay.ay) / 2.0 > 0 THEN
+             |      round(c.score / ((ax.ax + ay.ay) / 2.0), 6)
+             |      END AS margin
              |  FROM cand c JOIN ax USING (x_id) JOIN ay USING (y_id)),
              |mm AS (SELECT x_id, y_id, score, margin,
              |    ROW_NUMBER() OVER (PARTITION BY x_id
@@ -7510,7 +7512,84 @@ object OpsQueries {
               |  round(p, 6) AS p, round(r, 6) AS r,
               |  CASE WHEN lcs > 0 THEN
               |    round(CAST(2 AS DOUBLE) * p * r / (p + r), 6) END AS f1
-              |FROM f ORDER BY doc_id""".stripMargin))
+              |FROM f ORDER BY doc_id""".stripMargin)),
+
+    // ----- X3 margin mining at scale: IVF candidates ---------------------------
+    // The q217 miner with cluster-bucketed candidate generation — the
+    // 100 TB form (pairs exist only within shared IVF clusters, never
+    // |X|·|Y|); the margin/mutual logic is byte-identical code
+    // (marginMiningFrom reads only ranked (query, corpus, score)
+    // rows). The oracle replays assignment, in-cluster ranking, and
+    // the same margin arithmetic.
+    "q230_margin_ivf" -> Entry(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.marginMiningIvf(
+            emb.filter(col("vec_id") % 2 === 0),
+            emb.filter(col("vec_id") % 2 === 1),
+            emb.filter(col("vec_id") < 4),
+            "vec_id", "embedding", k = 4, "vec_id", "embedding",
+            threshold = 1.0)
+          .orderBy("x_id", "y_id")
+      },
+      Some {
+        def cos(a: String, b: String) =
+          s"""round(
+             |    list_sum([$a[i]::DOUBLE * $b[i]::DOUBLE
+             |      for i in generate_series(1, len($a))]) /
+             |    (sqrt(list_sum([$a[i]::DOUBLE * $a[i]::DOUBLE
+             |      for i in generate_series(1, len($a))])) *
+             |     sqrt(list_sum([$b[i]::DOUBLE * $b[i]::DOUBLE
+             |      for i in generate_series(1, len($b))]))), 6)""".stripMargin
+        s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv
+           |  FROM embeddings WHERE vec_id < 4),
+           |scc AS (SELECT e.vec_id, e.embedding, c.cid,
+           |  ${cos("e.embedding", "c.cv")} AS cs
+           |  FROM embeddings e, c),
+           |asgn AS (SELECT vec_id, embedding, cid AS cluster FROM (
+           |  SELECT vec_id, embedding, cid, ROW_NUMBER() OVER (
+           |    PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+           |  FROM scc) WHERE rn = 1),
+           |x AS (SELECT vec_id AS x_id, embedding AS xv, cluster
+           |  FROM asgn WHERE vec_id % 2 = 0),
+           |y AS (SELECT vec_id AS y_id, embedding AS yv, cluster
+           |  FROM asgn WHERE vec_id % 2 = 1),
+           |s AS (SELECT x_id, y_id, ${cos("xv", "yv")} AS score
+           |  FROM x JOIN y USING (cluster)),
+           |f AS (SELECT x_id, y_id, score, ROW_NUMBER() OVER (
+           |    PARTITION BY x_id ORDER BY score DESC, y_id) AS r
+           |  FROM s),
+           |b AS (SELECT x_id, y_id, score, ROW_NUMBER() OVER (
+           |    PARTITION BY y_id ORDER BY score DESC, x_id) AS r
+           |  FROM s),
+           |ax AS (SELECT x_id,
+           |    (CAST(SUM(CAST(round(score * 1e6) AS BIGINT))
+           |      AS DOUBLE) / 1e6) / CAST(COUNT(*) AS DOUBLE) AS ax
+           |  FROM f WHERE r <= 4 GROUP BY 1),
+           |ay AS (SELECT y_id,
+           |    (CAST(SUM(CAST(round(score * 1e6) AS BIGINT))
+           |      AS DOUBLE) / 1e6) / CAST(COUNT(*) AS DOUBLE) AS ay
+           |  FROM b WHERE r <= 4 GROUP BY 1),
+           |cand AS (SELECT x_id, y_id, MAX(score) AS score FROM (
+           |    SELECT x_id, y_id, score FROM f WHERE r <= 4
+           |    UNION ALL
+           |    SELECT x_id, y_id, score FROM b WHERE r <= 4)
+           |  GROUP BY 1, 2),
+           |m AS (SELECT cand.x_id, cand.y_id, cand.score,
+           |    CASE WHEN (ax.ax + ay.ay) / 2.0 > 0 THEN
+           |      round(cand.score / ((ax.ax + ay.ay) / 2.0), 6)
+           |      END AS margin
+           |  FROM cand JOIN ax USING (x_id) JOIN ay USING (y_id)),
+           |mm AS (SELECT x_id, y_id, score, margin,
+           |    ROW_NUMBER() OVER (PARTITION BY x_id
+           |      ORDER BY margin DESC, y_id) AS bx,
+           |    ROW_NUMBER() OVER (PARTITION BY y_id
+           |      ORDER BY margin DESC, x_id) AS b2
+           |  FROM m)
+           |SELECT x_id, y_id, score, margin FROM mm
+           |WHERE bx = 1 AND b2 = 1 AND margin >= 1.0
+           |ORDER BY x_id, y_id""".stripMargin
+      })
   )
 
   /** Round-7 curation composition: Gopher gate → exact dedup (min id)

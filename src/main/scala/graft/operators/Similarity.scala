@@ -154,17 +154,44 @@ object Similarity {
   def marginMining(x: DataFrame, y: DataFrame, idCol: String,
       vecCol: String, k: Int, threshold: Double): DataFrame = {
     require(k >= 1, s"marginMining: k must be >= 1, got $k")
-    // forward: for each x, its k nearest ys; backward: each y's k xs.
-    // cosine is symmetric, so backward pairs reuse as (x, y) scores.
-    // Each direction feeds TWO consumers (its side's k-NN average and
-    // the candidate union) — checkpoint the candidate-sized k·|side|
-    // result so the brute-force pair scoring runs once per direction,
-    // not twice (the Connected.components small-frame precedent).
-    val fwd = cosineTopK(x, y, idCol, vecCol, k)
+    marginMiningFrom(cosineTopK(x, y, idCol, vecCol, k),
+      cosineTopK(y, x, idCol, vecCol, k), threshold)
+  }
+
+  /** [[marginMining]] with IVF candidate generation — the 100 TB form
+    * the brute-force scaladoc promises: both directions' k-NN lists
+    * come from [[ivfTopK]] (cluster-bucketed, never |X|·|Y|), and the
+    * margin/mutual logic is IDENTICAL by construction
+    * ([[marginMiningFrom]] reads only (query, corpus, score) rows).
+    * Mining quality degrades exactly as IVF recall does — raise
+    * `probe` to recover candidates at cluster boundaries. */
+  def marginMiningIvf(x: DataFrame, y: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int, centIdCol: String,
+      centVecCol: String, threshold: Double, probe: Int = 1)
+      : DataFrame = {
+    require(k >= 1, s"marginMiningIvf: k must be >= 1, got $k")
+    marginMiningFrom(
+      ivfTopK(x, y, centroids, idCol, vecCol, k, centIdCol, centVecCol,
+        probe = probe),
+      ivfTopK(y, x, centroids, idCol, vecCol, k, centIdCol, centVecCol,
+        probe = probe), threshold)
+  }
+
+  /** Margin + mutual-best selection over two precomputed ranked runs —
+    * the candidate-generation-agnostic core of [[marginMining]] /
+    * [[marginMiningIvf]]: `fwdRun` ranks each x's candidate ys,
+    * `bwdRun` each y's candidate xs (both in the [[broadcastTopK]]
+    * (query_id, corpus_id, score) shape). Each run feeds TWO consumers
+    * (its side's k-NN average and the candidate union) — checkpointed
+    * once, candidate-sized (the Connected.components small-frame
+    * precedent). */
+  def marginMiningFrom(fwdRun: DataFrame, bwdRun: DataFrame,
+      threshold: Double): DataFrame = {
+    val fwd = fwdRun
       .select(col("query_id").as("x_id"), col("corpus_id").as("y_id"),
         col("score"))
       .localCheckpoint()
-    val bwd = cosineTopK(y, x, idCol, vecCol, k)
+    val bwd = bwdRun
       .select(col("corpus_id").as("x_id"), col("query_id").as("y_id"),
         col("score"))
       .localCheckpoint()
@@ -181,7 +208,13 @@ object Similarity {
       .groupBy("x_id", "y_id").agg(max("score").as("score"))
       .join(ax, "x_id").join(ay, "y_id")
       .select(col("x_id"), col("y_id"), col("score"),
-        round(col("score") / ((col("ax") + col("ay")) / lit(2.0)), 6)
+        // a margin is only meaningful over a POSITIVE-affinity
+        // neighborhood: a zero denominator (all candidate cosines ≤ 0
+        // after quantization) would raise under ANSI, and a negative
+        // one would flip the ratio's sign and let junk pairs clear the
+        // threshold — both get a null margin and drop at the filter
+        when((col("ax") + col("ay")) / lit(2.0) > 0,
+          round(col("score") / ((col("ax") + col("ay")) / lit(2.0)), 6))
           .as("margin"))
     val wx = Window.partitionBy("x_id")
       .orderBy(desc("margin"), asc("y_id"))

