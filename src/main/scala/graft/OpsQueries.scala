@@ -6608,19 +6608,22 @@ object OpsQueries {
         threshold = 500000.0),
       Some("""WITH z AS (SELECT o_orderpriority AS k,
              |    o_orderkey AS seq,
-             |    CAST(o_totalprice AS DECIMAL(38,6))
-             |      - CAST(100000 AS DECIMAL(38,6))
-             |      - CAST(0 AS DECIMAL(38,6)) AS z
+             |    CAST(o_totalprice AS DECIMAL(24,6))
+             |      - CAST(100000 AS DECIMAL(24,6))
+             |      - CAST(0 AS DECIMAL(24,6)) AS z
              |  FROM orders),
              |p AS (SELECT k, seq, CAST(SUM(z) OVER (PARTITION BY k
              |    ORDER BY seq ROWS UNBOUNDED PRECEDING)
-             |    AS DECIMAL(38,6)) AS pp
+             |    AS DECIMAL(37,6)) AS pp
              |  FROM z),
-             |sc AS (SELECT k, seq, pp - LEAST(MIN(pp) OVER (
+             |mn AS (SELECT k, seq, pp, CAST(MIN(pp) OVER (
              |    PARTITION BY k ORDER BY seq
-             |    ROWS UNBOUNDED PRECEDING),
-             |    CAST(0 AS DECIMAL(38,6))) AS sv
-             |  FROM p)
+             |    ROWS UNBOUNDED PRECEDING) AS DECIMAL(37,6)) AS m
+             |  FROM p),
+             |sc AS (SELECT k, seq,
+             |    pp - (CASE WHEN m < CAST(0 AS DECIMAL(37,6)) THEN m
+             |      ELSE CAST(0 AS DECIMAL(37,6)) END) AS sv
+             |  FROM mn)
              |SELECT k AS o_orderpriority,
              |  CAST(MIN(seq) AS BIGINT) AS first_alarm_seq,
              |  CAST(ROUND(MAX(sv), 6) AS DOUBLE) AS max_cusum,
