@@ -6917,27 +6917,36 @@ object OpsQueries {
     // Probabilistic record linkage without a shared key: B is a
     // deterministically perturbed re-issue of the customer file
     // (uppercased names, occasional name typo / segment corruption /
-    // balance drift / broken block), blocking on nation. The weights
-    // are exact binary fractions so the score chain is bit-identical
-    // on any engine; the oracle rebuilds B and replays the scoring
-    // from first principles. Diagonal pairs classify match/possible;
-    // every within-block noise pair scores below the possible band
-    // and is dropped, so the output is linkage-sized, not
-    // block-product-sized.
+    // balance drift / broken block), blocking on (nation, name's last
+    // character) — a COMPOSITE block: nation alone makes the candidate
+    // fan-out |A_b|·|B_b| 10x larger for zero extra recall here, and
+    // blocking on a name-derived character demonstrates the classic
+    // linkage trade: the %7 name-typo records fall out of their block
+    // and go unlinked (they scored below the possible band anyway —
+    // same visible output, a tenth of the pair work). The weights are
+    // exact binary fractions so the score chain is bit-identical on
+    // any engine; the oracle rebuilds B and replays the scoring from
+    // first principles. Diagonal pairs classify match/possible; every
+    // within-block noise pair scores below the possible band and is
+    // dropped, so the output is linkage-sized, not block-product-sized.
     "q218_entity_resolution" -> Entry(
       (s, dir) => {
         val c = t(s, dir, "customer")
         val a = c.select(col("c_custkey").as("a_id"),
-          col("c_nationkey").as("a_block"), col("c_name").as("a_name"),
+          concat(col("c_nationkey").cast("string"), lit("|"),
+            lower(substring(col("c_name"), -1, 1))).as("a_block"),
+          col("c_name").as("a_name"),
           col("c_mktsegment").as("a_seg"),
           floor(col("c_acctbal") / 100.0).cast("long").as("a_balb"))
+        val bName = when(col("c_custkey") % 7 === 0,
+          concat(upper(col("c_name")), lit("X")))
+          .otherwise(upper(col("c_name")))
         val b = c.select((col("c_custkey") + 100000L).as("b_id"),
-          when(col("c_custkey") % 11 === 0,
+          concat(when(col("c_custkey") % 11 === 0,
             (col("c_nationkey") + 1) % 25)
-            .otherwise(col("c_nationkey")).as("b_block"),
-          when(col("c_custkey") % 7 === 0,
-            concat(upper(col("c_name")), lit("X")))
-            .otherwise(upper(col("c_name"))).as("b_name"),
+            .otherwise(col("c_nationkey")).cast("string"), lit("|"),
+            lower(substring(bName, -1, 1))).as("b_block"),
+          bName.as("b_name"),
           when(col("c_custkey") % 5 === 0, lit("PERTURBED"))
             .otherwise(col("c_mktsegment")).as("b_seg"),
           when(col("c_custkey") % 3 === 0,
@@ -6953,24 +6962,28 @@ object OpsQueries {
           .orderBy("id_a", "id_b")
       },
       Some("""WITH a AS (SELECT c_custkey AS id_a,
-             |    c_nationkey AS blk, lower(trim(c_name)) AS nm,
+             |    CAST(c_nationkey AS VARCHAR) || '|'
+             |      || lower(substr(c_name, -1, 1)) AS blk,
+             |    lower(trim(c_name)) AS nm,
              |    lower(trim(c_mktsegment)) AS seg,
              |    CAST(floor(c_acctbal / 100.0) AS BIGINT) AS balb
              |  FROM customer),
+             |b0 AS (SELECT *, CASE WHEN c_custkey % 7 = 0
+             |    THEN upper(c_name) || 'X'
+             |    ELSE upper(c_name) END AS bname FROM customer),
              |b AS (SELECT c_custkey + 100000 AS id_b,
-             |    CASE WHEN c_custkey % 11 = 0
+             |    CAST(CASE WHEN c_custkey % 11 = 0
              |      THEN (c_nationkey + 1) % 25
-             |      ELSE c_nationkey END AS blk,
-             |    lower(trim(CASE WHEN c_custkey % 7 = 0
-             |      THEN upper(c_name) || 'X'
-             |      ELSE upper(c_name) END)) AS nm,
+             |      ELSE c_nationkey END AS VARCHAR) || '|'
+             |      || lower(substr(bname, -1, 1)) AS blk,
+             |    lower(trim(bname)) AS nm,
              |    lower(trim(CASE WHEN c_custkey % 5 = 0
              |      THEN 'PERTURBED' ELSE c_mktsegment END)) AS seg,
              |    CASE WHEN c_custkey % 3 = 0
              |      THEN CAST(floor(c_acctbal / 100.0) AS BIGINT) + 1
              |      ELSE CAST(floor(c_acctbal / 100.0) AS BIGINT)
              |      END AS balb
-             |  FROM customer),
+             |  FROM b0),
              |p AS (SELECT id_a, id_b, round(
              |    (CASE WHEN a.nm IS NULL OR b.nm IS NULL
              |       THEN CAST(0 AS DOUBLE)
@@ -7272,16 +7285,21 @@ object OpsQueries {
       (s, dir) => {
         val c = t(s, dir, "customer")
         val bal = floor(col("c_acctbal") / 100.0).cast("long")
-        val a = c.select(col("c_nationkey").as("blk"),
+        val a = c.select(
+          concat(col("c_nationkey").cast("string"), lit("|"),
+            lower(substring(col("c_name"), -1, 1))).as("blk"),
           lower(trim(col("c_name"))).as("a_nm"),
           lower(trim(col("c_mktsegment"))).as("a_seg"),
           bal.as("a_bal"))
+        val emName = when(col("c_custkey") % 7 === 0,
+          concat(upper(col("c_name")), lit("X")))
+          .otherwise(upper(col("c_name")))
         val b = c.select(
-          when(col("c_custkey") % 11 === 0, (col("c_nationkey") + 1) % 25)
-            .otherwise(col("c_nationkey")).as("blk"),
-          lower(trim(when(col("c_custkey") % 7 === 0,
-            concat(upper(col("c_name")), lit("X")))
-            .otherwise(upper(col("c_name"))))).as("b_nm"),
+          concat(when(col("c_custkey") % 11 === 0,
+            (col("c_nationkey") + 1) % 25)
+            .otherwise(col("c_nationkey")).cast("string"), lit("|"),
+            lower(substring(emName, -1, 1))).as("blk"),
+          lower(trim(emName)).as("b_nm"),
           lower(trim(when(col("c_custkey") % 5 === 0, lit("PERTURBED"))
             .otherwise(col("c_mktsegment")))).as("b_seg"),
           when(col("c_custkey") % 3 === 0, bal + 1L).otherwise(bal)
@@ -7294,24 +7312,28 @@ object OpsQueries {
           p = 0.03125,
           m = Seq(0.875, 0.75, 0.75), u = Seq(0.03125, 0.25, 0.375))
       },
-      Some("""WITH a AS (SELECT c_nationkey AS blk,
+      Some("""WITH a AS (SELECT
+             |    CAST(c_nationkey AS VARCHAR) || '|'
+             |      || lower(substr(c_name, -1, 1)) AS blk,
              |    lower(trim(c_name)) AS a_nm,
              |    lower(trim(c_mktsegment)) AS a_seg,
              |    CAST(floor(c_acctbal / 100.0) AS BIGINT) AS a_bal
              |  FROM customer),
-             |b AS (SELECT CASE WHEN c_custkey % 11 = 0
+             |b0 AS (SELECT *, CASE WHEN c_custkey % 7 = 0
+             |    THEN upper(c_name) || 'X'
+             |    ELSE upper(c_name) END AS bname FROM customer),
+             |b AS (SELECT CAST(CASE WHEN c_custkey % 11 = 0
              |      THEN (c_nationkey + 1) % 25
-             |      ELSE c_nationkey END AS blk,
-             |    lower(trim(CASE WHEN c_custkey % 7 = 0
-             |      THEN upper(c_name) || 'X'
-             |      ELSE upper(c_name) END)) AS b_nm,
+             |      ELSE c_nationkey END AS VARCHAR) || '|'
+             |      || lower(substr(bname, -1, 1)) AS blk,
+             |    lower(trim(bname)) AS b_nm,
              |    lower(trim(CASE WHEN c_custkey % 5 = 0
              |      THEN 'PERTURBED' ELSE c_mktsegment END)) AS b_seg,
              |    CASE WHEN c_custkey % 3 = 0
              |      THEN CAST(floor(c_acctbal / 100.0) AS BIGINT) + 1
              |      ELSE CAST(floor(c_acctbal / 100.0) AS BIGINT)
              |      END AS b_bal
-             |  FROM customer),
+             |  FROM b0),
              |g AS (SELECT a_nm = b_nm AS g0, a_seg = b_seg AS g1,
              |    a_bal = b_bal AS g2
              |  FROM a JOIN b USING (blk)),
