@@ -7122,11 +7122,16 @@ object OpsQueries {
     // end-to-end; bleu = bp·sqrt(sqrt(p1·p2·p3·p4)).
     "q222_bleu" -> Entry(
       (s, dir) => {
+        // bleu scans its pair set 2·maxN + 1 times (documented
+        // contract: checkpoint expensive lineage) — the candidate
+        // construction (tokenize + replace + join) would otherwise
+        // re-run per scan; the pair frame itself is eval-set-sized
         val pairs = t(s, dir, "documents").select(col("doc_id"),
           col("text").as("ref"),
           array_join(transform(TextAnalysis.tokens(col("text")),
             (w, i) => when((i + 1) % 7 === 0, lit("xxx")).otherwise(w)),
             " ").as("cand"))
+          .localCheckpoint()
         Metrics.bleu(pairs, "doc_id", "cand", "ref")
       },
       Some(s"""WITH t0 AS (SELECT doc_id, $TOKS AS rw FROM documents),
