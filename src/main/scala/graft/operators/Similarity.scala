@@ -64,7 +64,22 @@ object Similarity {
   private[operators] def broadcastTopK(q: DataFrame, c: DataFrame,
       dotFn: (Column, Column) => Column, k: Int,
       pairKeep: Column = lit(true)): DataFrame = {
-    val scored = broadcast(q).crossJoin(c)
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("score"), asc("corpus_id"))
+    scoredPairs(q, c, dotFn, pairKeep)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** [[broadcastTopK]]'s scored cross product without the ranking cut
+    * — every (query, corpus) pair with its round-6 score. Split out so
+    * [[marginMining]] can rank the SAME scored set from both ends
+    * (per query AND per corpus) without a second pass that would
+    * broadcast the corpus side. */
+  private[operators] def scoredPairs(q: DataFrame, c: DataFrame,
+      dotFn: (Column, Column) => Column,
+      pairKeep: Column = lit(true)): DataFrame =
+    broadcast(q).crossJoin(c)
       .filter(col("query_id") =!= col("corpus_id") && pairKeep)
       .select(col("query_id"), col("corpus_id"),
         // a length mismatch between the sides would null the dot via
@@ -81,11 +96,6 @@ object Similarity {
         .otherwise(
           round(dotFn(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
           .as("score"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(desc("score"), asc("corpus_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-  }
 
   /** Hard-negative mining (X3, contrastive-training data prep): for
     * each anchor, the `k` most-cosine-similar corpus vectors whose
@@ -154,8 +164,29 @@ object Similarity {
   def marginMining(x: DataFrame, y: DataFrame, idCol: String,
       vecCol: String, k: Int, threshold: Double): DataFrame = {
     require(k >= 1, s"marginMining: k must be >= 1, got $k")
-    marginMiningFrom(cosineTopK(x, y, idCol, vecCol, k),
-      cosineTopK(y, x, idCol, vecCol, k), threshold)
+    // BOTH directions rank the same X-broadcast scored set — a naive
+    // cosineTopK(y, x) for the backward pass would broadcast Y, the
+    // CORPUS side (X is the side the caller sized to broadcast; at
+    // mining scale Y is the hundred-million-sentence pool). Each
+    // ranking recomputes the cross product once — the same two passes
+    // as two topK calls, with no big-side broadcast.
+    val q = x.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"))
+    val c = y.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
+    def run(rankKey: String, tieKey: String) = {
+      val w = Window.partitionBy(rankKey)
+        .orderBy(desc("score"), asc(tieKey))
+      scoredPairs(q, c, dot)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+    }
+    val fwd = run("query_id", "corpus_id")
+    // backward run in cosineTopK(y, x)'s output shape: y is the query
+    val bwd = run("corpus_id", "query_id")
+      .select(col("corpus_id").as("query_id"),
+        col("query_id").as("corpus_id"), col("score"))
+    marginMiningFrom(fwd, bwd, threshold)
   }
 
   /** [[marginMining]] with IVF candidate generation — the 100 TB form
