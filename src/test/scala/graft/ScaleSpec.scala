@@ -692,4 +692,28 @@ class ScaleSpec extends TestBase {
       !pc.contains("BroadcastNestedLoopJoin"), pc)
     assert("Exchange hashpartitioning".r.findAllIn(pc).size <= 7, pc)
   }
+
+  test("round-12 eval/bootstrap budgets: poissonBootstrapCI fans out " +
+      "replicates UNDER a rep-keyed aggregation (no window, no " +
+      "cartesian), bleu aggregates gram counts map-combined (no window)") {
+    def exec(df: org.apache.spark.sql.DataFrame): String = {
+      df.write.format("noop").mode("overwrite").save()
+      df.queryExecution.executedPlan.toString
+    }
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val pb = exec(graft.operators.Sampling.poissonBootstrapCI(
+      o, "o_totalprice", "o_orderkey", replicates = 8))
+    assert(!pb.contains("Window"), pb)
+    assert(!pb.contains("CartesianProduct"), pb)
+    // replicate means: ONE rep-keyed exchange; the percentile and the
+    // whole-sample mean add their own single-row aggregations
+    assert("Exchange hashpartitioning".r.findAllIn(pb).size <= 4, pb)
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text").as("ref"),
+        col("text").as("cand"))
+    val bl = exec(graft.operators.Metrics.bleu(d, "doc_id", "cand",
+      "ref", maxN = 2))
+    assert(!bl.contains("Window") && !bl.contains("CartesianProduct"),
+      bl)
+  }
 }
