@@ -7544,6 +7544,65 @@ object OpsQueries {
               |    round(CAST(2 AS DOUBLE) * p * r / (p + r), 6) END AS f1
               |FROM f ORDER BY doc_id""".stripMargin)),
 
+    // ----- embedding-space JS divergence (MAUVE-family corpus eval) ----------
+    // Quantize-then-diverge: both label-halves assign to one shared
+    // 8-centroid codebook and their cluster-occupancy distributions
+    // compare by Jensen-Shannon. No eps floor — a zero share
+    // contributes 0 to its own KL half and M stays positive wherever
+    // either side lives. Oracle replays assignment, counts, and the
+    // JS arithmetic.
+    "q231_embedding_js" -> Entry(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Embeddings.embeddingJsDivergence(
+          emb.filter(col("label") % 2 === 0),
+          emb.filter(col("label") % 2 === 1),
+          emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", "vec_id", "embedding")
+      },
+      Some {
+        def cos(a: String, b: String) =
+          s"""round(
+             |    list_sum([$a[i]::DOUBLE * $b[i]::DOUBLE
+             |      for i in generate_series(1, len($a))]) /
+             |    (sqrt(list_sum([$a[i]::DOUBLE * $a[i]::DOUBLE
+             |      for i in generate_series(1, len($a))])) *
+             |     sqrt(list_sum([$b[i]::DOUBLE * $b[i]::DOUBLE
+             |      for i in generate_series(1, len($b))]))), 6)""".stripMargin
+        s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv
+           |  FROM embeddings WHERE vec_id < 8),
+           |scc AS (SELECT e.vec_id, e.label, c.cid,
+           |  ${cos("e.embedding", "c.cv")} AS cs
+           |  FROM embeddings e, c),
+           |asgn AS (SELECT vec_id, label, cid AS cluster FROM (
+           |  SELECT vec_id, label, cid, ROW_NUMBER() OVER (
+           |    PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+           |  FROM scc) WHERE rn = 1),
+           |ha AS (SELECT cluster, COUNT(*) AS n_a FROM asgn
+           |  WHERE label % 2 = 0 GROUP BY 1),
+           |hb AS (SELECT cluster, COUNT(*) AS n_b FROM asgn
+           |  WHERE label % 2 = 1 GROUP BY 1),
+           |sp AS (SELECT cid AS cluster, COALESCE(n_a, 0) AS n_a,
+           |    COALESCE(n_b, 0) AS n_b
+           |  FROM c LEFT JOIN ha ON ha.cluster = c.cid
+           |  LEFT JOIN hb ON hb.cluster = c.cid),
+           |tt AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM sp),
+           |sh AS (SELECT cluster, n_a, n_b,
+           |    CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE) AS sa,
+           |    CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE) AS sb
+           |  FROM sp, tt)
+           |SELECT CAST(cluster AS BIGINT) AS cluster,
+           |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           |  sa AS share_a, sb AS share_b,
+           |  round(CAST(0.5 AS DOUBLE) * (CASE WHEN sa > 0
+           |      THEN sa * ln(sa / ((sa + sb) / 2.0))
+           |      ELSE CAST(0 AS DOUBLE) END)
+           |    + CAST(0.5 AS DOUBLE) * (CASE WHEN sb > 0
+           |      THEN sb * ln(sb / ((sa + sb) / 2.0))
+           |      ELSE CAST(0 AS DOUBLE) END), 6) AS js_term
+           |FROM sh ORDER BY cluster""".stripMargin
+      }),
+
     // ----- X3 margin mining at scale: IVF candidates ---------------------------
     // The q217 miner with cluster-bucketed candidate generation — the
     // 100 TB form (pairs exist only within shared IVF clusters, never

@@ -308,4 +308,56 @@ object Embeddings {
       aggregate(zip_with(col(vecCol).cast("array<double>"), ax,
         (x, w) => x * w), lit(0.0d), (acc, x) => acc + x)): _*))
   }
+
+  /** Jensen-Shannon divergence between two corpora in EMBEDDING space
+    * (the MAUVE-family distributional eval, Pillutla et al. 2021's
+    * quantize-then-diverge recipe): both sides assign to a SHARED
+    * centroid codebook ([[Similarity.ivfAssign]] — fixed centroids are
+    * what make two corpora comparable, the [[Profiles.psi]] fixed-edge
+    * argument), per-cluster occupancy shares are compared with
+    * `JS = ½·KL(P‖M) + ½·KL(Q‖M)`, `M = (P+Q)/2`. One row per
+    * codebook cluster: both counts, both shares, `js_term` (round-6;
+    * Σ js_term ∈ [0, ln 2] is the headline — 0 identical occupancy,
+    * ln 2 disjoint). Unlike PSI no ε floor is needed: a side's zero
+    * share contributes exactly 0 to its own KL half and M stays
+    * positive wherever either side lives; clusters empty on BOTH
+    * sides term 0. An EMPTY side raises by name (the psi guard — its
+    * shares are undefined).
+    *
+    * Scale: two cluster-keyed map-combined aggregations (the
+    * assignment is a broadcast-centroid projection), then arithmetic
+    * over the |codebook|-row spine. */
+  def embeddingJsDivergence(a: DataFrame, b: DataFrame,
+      centroids: DataFrame, idCol: String, vecCol: String,
+      centIdCol: String, centVecCol: String): DataFrame = {
+    def occupancy(df: DataFrame, out: String) =
+      Similarity.ivfAssign(df, idCol, vecCol, centroids, centIdCol,
+          centVecCol)
+        .groupBy("cluster").agg(count(lit(1)).as(out))
+    val ha = occupancy(a, "n_a")
+    val hb = occupancy(b, "n_b")
+    val ta = ha.agg(sum(col("n_a")).as("__ta"))
+    val tb = hb.agg(sum(col("n_b")).as("__tb"))
+    def share(n: Column, total: Column, side: String): Column =
+      when(total.isNull, raise_error(lit(
+        s"embeddingJsDivergence: side '$side' has no vectors — its " +
+          "cluster shares are undefined")))
+        .otherwise(n.cast("double") / total.cast("double"))
+    val m = (col("share_a") + col("share_b")) / lit(2.0)
+    def half(p: Column): Column =
+      when(p > 0, p * log(p / m)).otherwise(lit(0.0))
+    centroids.select(col(centIdCol).cast("long").as("cluster"))
+      .join(ha, Seq("cluster"), "left")
+      .join(hb, Seq("cluster"), "left")
+      .select(col("cluster"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+      .select(col("cluster"), col("n_a"), col("n_b"),
+        share(col("n_a"), col("__ta"), "a").as("share_a"),
+        share(col("n_b"), col("__tb"), "b").as("share_b"))
+      .withColumn("js_term", round(
+        lit(0.5) * half(col("share_a")) +
+          lit(0.5) * half(col("share_b")), 6))
+      .orderBy("cluster")
+  }
 }

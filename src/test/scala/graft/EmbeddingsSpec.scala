@@ -191,4 +191,33 @@ class EmbeddingsSpec extends TestBase {
       Embeddings.withVectorVerdict(d, "vec", 1)
     }.getMessage.contains("verdict"))
   }
+
+  test("embeddingJsDivergence: identical corpora score 0 everywhere, " +
+      "disjoint occupancy sums to ln 2, zero-share clusters contribute " +
+      "one-sided mass, empty side raises") {
+    import spark.implicits._
+    import graft.operators.Embeddings
+    val cents = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val xs = Seq((10L, Array(0.9f, 0.1f)), (11L, Array(0.8f, 0.2f)),
+      (12L, Array(0.1f, 0.9f))).toDF("vec_id", "embedding")
+    val same = Embeddings.embeddingJsDivergence(xs, xs, cents,
+      "vec_id", "embedding", "vec_id", "embedding").collect()
+    assert(same.forall(_.getAs[Double]("js_term") == 0.0), same.toSeq)
+    // disjoint: a lives in cluster 0 only, b in cluster 1 only ->
+    // JS = ln 2 total (0.5*ln2 per occupied cluster)
+    val a = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val b = Seq((2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val dj = Embeddings.embeddingJsDivergence(a, b, cents,
+      "vec_id", "embedding", "vec_id", "embedding")
+      .agg(org.apache.spark.sql.functions.sum("js_term")).collect()
+      .head.getDouble(0)
+    assert(math.abs(dj - math.log(2.0)) < 1e-5, dj)
+    val ex = intercept[Exception] {
+      Embeddings.embeddingJsDivergence(a,
+        b.filter(col("vec_id") < 0), cents,
+        "vec_id", "embedding", "vec_id", "embedding").collect()
+    }
+    assert(ex.getMessage.contains("no vectors"), ex.getMessage)
+  }
 }
