@@ -4855,6 +4855,27 @@ object OpsQueries {
              |FROM generate_series(0, 499) t(i)
              |ORDER BY doc_id""".stripMargin)),
 
+    // ----- DSv2 filter pushdown: id-range slice of the generator -------------
+    // The partition-pruning analog for a zero-storage source: a doc_id
+    // BETWEEN slice of a 100k-row generator (10 B at soak) generates
+    // exactly the slice — the scan's id range narrows to [90000,
+    // 90500), pinned by SynthDocsSpec. The oracle regenerates the
+    // slice cell-for-cell (the q160 replay).
+    "q232_synth_filter_pushdown" -> Entry(
+      (s, dir) => s.read.format("synthdocs")
+        .option("rows", "100000").option("seed", "q232").load()
+        .filter(col("doc_id") >= 90000L && col("doc_id") < 90500L)
+        .select(col("doc_id"), col("source"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id"),
+      Some("""SELECT i AS doc_id,
+             |  'src' || CAST(i % 20 AS VARCHAR) AS source,
+             |  md5(array_to_string([substr(md5('q232|' || i || '|' || j),
+             |    1, 8) for j in generate_series(0, 2 + i % 4)], ' '))
+             |    AS text_md5
+             |FROM generate_series(90000, 90499) t(i)
+             |ORDER BY doc_id""".stripMargin)),
+
     // ----- packed training sequences (the loader's actual input) ------------
     // q49 assigns bins; this materializes the concatenated sequences
     // with id-ordered boundary lists. The md5 of each packed text pins

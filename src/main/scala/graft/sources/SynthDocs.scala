@@ -35,7 +35,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * 10 B-row soak corpus is O(1), not minutes of md5. Implements
   * `SupportsPushDownLimit` / `SupportsPushDownTopN`: LIMIT n and
   * ORDER BY doc_id [DESC] LIMIT n collapse to an id sub-range, so
-  * `.limit(5)` on 10 B rows generates 5.
+  * `.limit(5)` on 10 B rows generates 5. Implements
+  * `SupportsPushDownFilters`: doc_id range predicates tighten the
+  * generated sub-range (the partition-pruning analog — a BETWEEN
+  * slice of 10 B rows generates the slice), with every filter kept as
+  * a Spark-side residual so range tightening stays pure pruning and
+  * aggregate pushdown can never answer over an ignored predicate.
   *
   * Schema: doc_id LONG, source STRING, text STRING where
   * source = "src" + (id % 20) and text = the first-8-hex-chars words
@@ -90,12 +95,53 @@ private[sources] class SynthDocsTable(props: Map[String, String])
 private[sources] class SynthScanBuilder(rows: Long, partitions: Int,
     seed: String) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
-    with SupportsPushDownLimit with SupportsPushDownTopN {
+    with SupportsPushDownLimit with SupportsPushDownTopN
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   require(rows >= 0, s"synthdocs: rows must be >= 0, got $rows")
   private var required: StructType = SynthDocs.FullSchema
   private var pushedAggs: Seq[SynthAgg] = Nil
   private var idLo = 0L
   private var idHi = rows
+  private var accepted: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
+
+  // Filter pushdown: doc_id range predicates tighten the generated id
+  // sub-range — the partition-pruning analog for a generator (a
+  // `doc_id BETWEEN a AND b` slice of a 10 B-row corpus generates
+  // b−a ids, not 10 B rows a Filter then discards). Conservative
+  // residual contract: EVERY filter is also returned for Spark-side
+  // re-evaluation (range tightening is pure pruning), which also keeps
+  // aggregate pushdown from ever answering over an ignored filter —
+  // Spark only pushes aggregates when no residual filters remain.
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources._
+    def asLong(v: Any): Option[Long] = v match {
+      case n: java.lang.Number => Some(n.longValue)
+      case _ => None
+    }
+    def tighten(f: Filter): Boolean = f match {
+      case GreaterThanOrEqual("doc_id", v) => asLong(v).exists { x =>
+        idLo = math.max(idLo, x); true }
+      case GreaterThan("doc_id", v) => asLong(v).exists { x =>
+        idLo = math.max(idLo, x + 1); true }
+      case LessThan("doc_id", v) => asLong(v).exists { x =>
+        idHi = math.min(idHi, x); true }
+      case LessThanOrEqual("doc_id", v) => asLong(v).exists { x =>
+        idHi = math.min(idHi, x + 1); true }
+      case EqualTo("doc_id", v) => asLong(v).exists { x =>
+        idLo = math.max(idLo, x); idHi = math.min(idHi, x + 1); true }
+      case IsNotNull("doc_id") => true // non-null by construction
+      case And(l, r) =>
+        val a = tighten(l); val b = tighten(r); a && b
+      case _ => false
+    }
+    accepted = filters.filter(tighten)
+    filters
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    accepted
   override def pruneColumns(requiredSchema: StructType): Unit =
     // an empty projection (e.g. count(*)) still needs row COUNTS;
     // keep the empty struct — the reader emits empty rows

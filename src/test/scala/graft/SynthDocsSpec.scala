@@ -120,4 +120,36 @@ class SynthDocsSpec extends TestBase {
       .head.getString(0)
     assert(graft.sources.SynthDocs.md5Hex("synth|42|0") == viaSql)
   }
+
+  test("filter pushdown: doc_id range predicates narrow the generated " +
+      "sub-range; residuals keep aggregate pushdown honest; non-id " +
+      "filters generate-then-filter") {
+    import org.apache.spark.sql.functions._
+    def loaded = spark.read.format("synthdocs")
+      .option("rows", "10000").option("seed", "fp").load()
+    val sliced = loaded
+      .filter(col("doc_id") >= 9000L && col("doc_id") < 9050L)
+    sliced.write.format("noop").mode("overwrite").save()
+    val p = sliced.queryExecution.executedPlan.toString
+    assert(p.contains("synthdocs ids [9000, 9050)"),
+      s"range not pushed:\n$p")
+    assert(sliced.count() == 50L)
+    // equality and one-sided bounds
+    val eq = loaded.filter(col("doc_id") === 7L)
+    eq.write.format("noop").mode("overwrite").save()
+    assert(eq.queryExecution.executedPlan.toString
+      .contains("synthdocs ids [7, 8)"))
+    // a filtered count must NOT be answered by the closed-form
+    // aggregate path (residual filters block it)
+    assert(loaded.filter(col("doc_id") < 10L).count() == 10L)
+    assert(loaded.filter(col("source") === "src3").count() == 500L)
+    // contradiction collapses to the empty range, zero rows
+    assert(loaded.filter(col("doc_id") > 100L && col("doc_id") < 50L)
+      .count() == 0L)
+    // non-id predicates decline: full range scans, Spark filters
+    val nonId = loaded.filter(col("source") === "src3")
+    nonId.write.format("noop").mode("overwrite").save()
+    assert(nonId.queryExecution.executedPlan.toString
+      .contains("synthdocs ids [0, 10000)"))
+  }
 }
