@@ -4855,6 +4855,76 @@ object OpsQueries {
              |FROM generate_series(0, 499) t(i)
              |ORDER BY doc_id""".stripMargin)),
 
+    // ----- Goertzel spectral band power (audio content signal) ---------------
+    // Single-bin DFT energies at 1 kHz / 2 kHz over the q159 lossless
+    // WAV fixture: the recursion s = x + coef·s1 − s2 folds once over
+    // the samples in both engines in the SAME order with the SAME
+    // JVM-computed coefficient literal, so the powers replay
+    // bit-for-bit — the byte-replay oracle class, now in the DECODED
+    // sample domain. The oracle unrolls the 6-step recursion as a CTE
+    // chain (expression-DAG-safe: each step references the previous
+    // CTE's columns once — no tree doubling).
+    "q233_spectral_bands" -> Entry(
+      (s, dir) => {
+        import s.implicits._
+        def hxp(c: org.apache.spark.sql.Column, w: Int) =
+          lpad(lower(hex(c)), w, "0")
+        def sampleHex(i: Int) = {
+          val lo = expr(s"(event_id * $i) % 65536 % 256")
+          val hi = expr(s"((event_id * $i) % 65536) div 256")
+          concat(hxp(lo, 2), hxp(hi, 2))
+        }
+        val srcHex = concat(
+          lit("524946463000000057415645666d7420100000000100" +
+            "0100401f0000803e00000200100064617461" + "0c000000"),
+          (1 to 6).map(sampleHex).reduce(concat(_, _)))
+        val media = t(s, dir, "events")
+          .filter(col("event_id") % 11 === 0)
+          .select(col("event_id").as("doc_id"),
+            unhex(srcHex).as("payload"), lit("audio").as("kind"))
+          .as[Multimodal.MediaRecord]
+        Multimodal.spectralBands(media, Seq(1000.0, 2000.0))
+          .orderBy("doc_id", "band")
+      },
+      Some {
+        val freqs = Seq(1000.0, 2000.0)
+        val coefs = freqs.map(f =>
+          2.0 * math.cos(2.0 * math.Pi * f / 8000.0))
+        def x(i: Int) =
+          s"(CAST(CASE WHEN (event_id * $i) % 65536 < 32768 " +
+            s"THEN (event_id * $i) % 65536 " +
+            s"ELSE (event_id * $i) % 65536 - 65536 END AS DOUBLE) " +
+            "/ CAST(32768 AS DOUBLE))"
+        // one CTE per recursion step; band b's step-i state is s{b}_{i}
+        // with s{b}_{i-1} carried through under its own (unique) name —
+        // no alias shadowing, and each value is referenced once per
+        // step (expression-DAG-safe)
+        val steps = (1 to 6).map { i =>
+          val cols = coefs.zipWithIndex.map { case (c, b) =>
+            if (i == 1)
+              s"${x(i)} + CAST($c AS DOUBLE) * CAST(0 AS DOUBLE) " +
+                s"- CAST(0 AS DOUBLE) AS s${b}_1, " +
+                s"CAST(0 AS DOUBLE) AS s${b}_0"
+            else
+              s"${x(i)} + CAST($c AS DOUBLE) * s${b}_${i - 1} " +
+                s"- s${b}_${i - 2} AS s${b}_$i, s${b}_${i - 1}"
+          }.mkString(",\n    ")
+          if (i == 1)
+            s"g1 AS (SELECT event_id,\n    $cols\n  FROM events " +
+              "WHERE event_id % 11 = 0)"
+          else
+            s"g$i AS (SELECT event_id,\n    $cols\n  FROM g${i - 1})"
+        }.mkString(",\n")
+        val bandRows = coefs.zipWithIndex.map { case (c, b) =>
+          s"""SELECT event_id AS doc_id, CAST($b AS INT) AS band,
+             |  CAST(${freqs(b)} AS DOUBLE) AS freq,
+             |  round(s${b}_6 * s${b}_6 + s${b}_5 * s${b}_5
+             |    - CAST($c AS DOUBLE) * s${b}_6 * s${b}_5, 6) AS power
+             |FROM g6""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"WITH $steps\n$bandRows\nORDER BY doc_id, band"
+      }),
+
     // ----- DSv2 filter pushdown: id-range slice of the generator -------------
     // The partition-pruning analog for a zero-storage source: a doc_id
     // BETWEEN slice of a 100k-row generator (10 B at soak) generates

@@ -720,6 +720,93 @@ object Multimodal {
     Some(out)
   }
 
+  /** Signed 16-bit PCM samples of a mono WAV payload (first channel of
+    * multi-channel input), with the sample rate — the decoded-domain
+    * entry point [[spectralBandPower]] analyzes. None on anything
+    * [[parseWavHeader]] rejects, non-16-bit PCM, or a truncated data
+    * chunk. */
+  def wavSamples16(p: Array[Byte]): Option[(Int, Array[Int])] = {
+    val hdr = parseWavHeader(p).getOrElse(return None)
+    val (ch, rate, bits, _) = hdr
+    if (bits != 16) return None
+    def u32le(i: Int): Long =
+      (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) |
+        ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
+    def tag(i: Int): String = new String(p.slice(i, i + 4), "US-ASCII")
+    var i = 12L
+    var dataAt = -1L; var dataSize = 0L
+    while (dataAt < 0 && i + 8 <= p.length) {
+      val at = i.toInt
+      if (tag(at) == "data") { dataAt = at + 8; dataSize = u32le(at + 4) }
+      else i += 8 + u32le(at + 4) + (u32le(at + 4) % 2)
+    }
+    if (dataAt < 0 || dataAt + dataSize > p.length) return None
+    val ba = ch * 2
+    val n = (dataSize / ba).toInt
+    val out = new Array[Int](n)
+    var f = 0
+    while (f < n) {
+      val o = (dataAt + f.toLong * ba).toInt
+      out(f) = ((p(o) & 0xff) | (p(o + 1) << 8)).toShort.toInt
+      f += 1
+    }
+    Some((rate, out))
+  }
+
+  /** Goertzel band power (Goertzel 1958 — the single-bin DFT every
+    * tone/voicemail/DTMF detector runs; here: per-document spectral
+    * energy at chosen frequencies, the cheap audio-content signal a
+    * corpus pipeline gates on before paying for a full STFT pipeline).
+    * Samples normalize by 2⁻¹⁵ (an EXACT binary scale — no rounding),
+    * then for target frequency f: `coef = 2·cos(2π·f/rate)` and the
+    * recursion `s = x + coef·s₁ − s₂` folds once over the samples;
+    * `power = s₁² + s₂² − coef·s₁·s₂`. Every step is a fixed-order
+    * IEEE-double expression and the coefficient is a literal computed
+    * once — an engine replaying the same fold order reproduces the
+    * power bit-for-bit (the byte-replay oracle class). */
+  def goertzelPower(samples: Array[Int], rate: Int,
+      freq: Double): Double = {
+    val coef = 2.0 * math.cos(2.0 * math.Pi * freq / rate)
+    var s1 = 0.0; var s2 = 0.0
+    var i = 0
+    while (i < samples.length) {
+      val x = samples(i) / 32768.0
+      val s = x + coef * s1 - s2
+      s2 = s1; s1 = s
+      i += 1
+    }
+    s1 * s1 + s2 * s2 - coef * s1 * s2
+  }
+
+  /** Per-document spectral band energies: decode 16-bit PCM
+    * ([[wavSamples16]]) and evaluate [[goertzelPower]] at each target
+    * frequency. One row per (doc, band): `doc_id, band, freq, power`
+    * (round-6). Docs whose payload fails to decode are ABSENT (the
+    * malformed→null family contract, surfaced by omission here since
+    * the fan-out is per-band). Runs at the mapPartitions codec
+    * boundary like every byte decoder; per-row cost is
+    * O(samples·bands). */
+  def spectralBands(media: Dataset[MediaRecord], freqs: Seq[Double])
+      : DataFrame = {
+    require(freqs.nonEmpty, "spectralBands: at least one frequency")
+    val fs = freqs.toArray
+    implicit val enc: org.apache.spark.sql.Encoder[
+      (Long, Int, Double, Double)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt,
+        Encoders.scalaDouble, Encoders.scalaDouble)
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        wavSamples16(r.payload).toSeq.flatMap { case (rate, samples) =>
+          fs.zipWithIndex.map { case (f, b) =>
+            (r.doc_id, b, f, goertzelPower(samples, rate, f))
+          }
+        }
+      }
+    }.toDF("doc_id", "band", "freq", "power")
+      .select(col("doc_id"), col("band"), col("freq"),
+        round(col("power"), 6).as("power"))
+  }
+
   /** Canonical mono 16-bit PCM WAV writer — the audio fixture sibling
     * of [[encodeBmp24]]/[[encodePng]]: 44-byte canonical header +
     * little-endian samples, lossless, so a SQL oracle reconstructs

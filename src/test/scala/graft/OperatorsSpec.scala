@@ -2029,4 +2029,35 @@ class OperatorsSpec extends TestBase {
       Connected.components(edges, "a", "b", maxIter = 1).collect()
     }
   }
+
+  test("spectralBands: a pure 1 kHz tone concentrates energy in its own " +
+      "band; wavSamples16 round-trips the encoder; malformed payloads " +
+      "are absent; guards") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // 64 samples of a 1 kHz sine at 8 kHz (8 samples/cycle, exact)
+    val rate = 8000
+    val tone = Array.tabulate(64)(i =>
+      (math.sin(2.0 * math.Pi * 1000.0 * i / rate) * 20000).toShort)
+    val wav = Multimodal.encodeWavPcm16(rate, tone)
+    val (gotRate, samples) = Multimodal.wavSamples16(wav).get
+    assert(gotRate == rate && samples.length == 64)
+    assert(samples.toSeq == tone.map(_.toInt).toSeq)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, wav, "audio"),
+      Multimodal.MediaRecord(2L, Array[Byte](1, 2, 3), "audio"))
+      .toDS()
+    val got = Multimodal.spectralBands(media, Seq(1000.0, 2000.0, 500.0))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(3)))
+    // malformed doc 2 absent; doc 1 has 3 bands
+    assert(got.map(_._1).distinct.toSeq == Seq(1L), got.toSeq)
+    assert(got.length == 3)
+    val byBand = got.map(t => t._2 -> t._3).toMap
+    // the on-bin band dominates the off-bin bands by orders of magnitude
+    assert(byBand(0) > 100 * byBand(1) && byBand(0) > 100 * byBand(2),
+      byBand.toString)
+    assert(intercept[IllegalArgumentException] {
+      Multimodal.spectralBands(media, Seq.empty)
+    }.getMessage.contains("frequency"))
+  }
 }
