@@ -4855,6 +4855,52 @@ object OpsQueries {
              |FROM generate_series(0, 499) t(i)
              |ORDER BY doc_id""".stripMargin)),
 
+    // ----- DoReMi multiplicative-weights mixture step -------------------------
+    // Group-DRO data mixing: per-source mean length stands in for the
+    // proxy loss, the corpus mean for the reference; domains with
+    // excess loss gain weight, smoothed with uniform mass. Numerators
+    // quantize at 1e6 before the normalization sum (a 1-ulp engine
+    // difference in exp flips a quantized long w.p. ~1e-10, vs
+    // certainty for order-varying double sums).
+    "q234_doremi_reweight" -> Entry(
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        def meanK(df: org.apache.spark.sql.DataFrame) =
+          sum("n_chars").cast("double") / count(lit(1)).cast("double") /
+            lit(1000.0)
+        val per = d.groupBy(col("source").as("domain"))
+          .agg(meanK(d).as("loss"))
+        val ref = d.agg(meanK(d).as("ref"))
+        val mix = per.crossJoin(broadcast(ref))
+          .withColumn("weight", lit(0.05))
+        Sampling.mixtureReweight(mix, "domain", "weight", "loss",
+          "ref", eta = 0.5, smoothing = 0.125)
+      },
+      Some("""WITH per AS (SELECT source AS domain,
+             |    CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             |      / CAST(1000 AS DOUBLE) AS loss
+             |  FROM documents GROUP BY 1),
+             |r AS (SELECT
+             |    CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             |      / CAST(1000 AS DOUBLE) AS ref
+             |  FROM documents),
+             |e AS (SELECT domain,
+             |    round(greatest(loss - ref, CAST(0 AS DOUBLE)), 6)
+             |      AS excess
+             |  FROM per, r),
+             |q AS (SELECT domain, excess,
+             |    CAST(floor(CAST(0.05 AS DOUBLE)
+             |      * exp(CAST(0.5 AS DOUBLE) * excess)
+             |      * 1e6 + 0.5) AS BIGINT) AS qn
+             |  FROM e),
+             |t0 AS (SELECT SUM(qn) AS tot, COUNT(*) AS k FROM q)
+             |SELECT domain, excess,
+             |  round(CAST(0.875 AS DOUBLE)
+             |    * (CAST(qn AS DOUBLE) / CAST(tot AS DOUBLE))
+             |    + CAST(0.125 AS DOUBLE) / CAST(k AS DOUBLE), 6)
+             |    AS weight_new
+             |FROM q, t0 ORDER BY domain""".stripMargin)),
+
     // ----- Goertzel spectral band power (audio content signal) ---------------
     // Single-bin DFT energies at 1 kHz / 2 kHz over the q159 lossless
     // WAV fixture: the recursion s = x + coef·s1 − s2 folds once over

@@ -524,6 +524,52 @@ object Sampling {
       md5(concat(lit(salt), lit("|"), key.cast("string"))))
   }
 
+  /** One DoReMi-style multiplicative-weights step for a domain mixture
+    * (Xie et al. 2023's Group-DRO update, the data-mixing loop that
+    * re-tilts sampling weights toward domains the proxy model finds
+    * HARD): `w'_d ∝ w_d · e^(η·excess_d)` with
+    * `excess_d = max(0, loss_d − ref_d)`, renormalized, then smoothed
+    * with uniform mass `w_new = (1−s)·w' + s/k` so no domain starves
+    * to exactly 0 (the paper's mixing term). One row per domain:
+    * `domain, excess, weight_new` (round-6).
+    *
+    * Determinism: the exponent argument and all products are
+    * fixed-order IEEE; the normalization sums QUANTIZED numerators
+    * (`floor(w·e^x·10⁶ + 0.5)` longs — a 1-ulp engine difference in
+    * `exp` flips a quantized value with probability ~1e-10, versus
+    * certainty for raw double sums in engine-varying order), so the
+    * renormalized ratio is a ratio of integers. The 1e-6 numerator
+    * quantization IS the operator's definition — document scale, not
+    * hidden error.
+    *
+    * Scale: the input is the |domains|-row mixture table (KB-sized —
+    * compute per-domain losses upstream with one aggregation); this is
+    * arithmetic plus one total, never corpus work. */
+  def mixtureReweight(df: DataFrame, domainCol: String,
+      weightCol: String, lossCol: String, refLossCol: String,
+      eta: Double, smoothing: Double = 0.0): DataFrame = {
+    require(eta > 0, s"mixtureReweight: eta must be > 0, got $eta")
+    require(smoothing >= 0 && smoothing < 1,
+      s"mixtureReweight: smoothing must be in [0, 1), got $smoothing")
+    val excess = greatest(
+      col(lossCol).cast("double") - col(refLossCol).cast("double"),
+      lit(0.0))
+    val qnum = floor(col(weightCol).cast("double") *
+      exp(lit(eta) * col("excess")) * lit(1e6) + lit(0.5))
+    val staged = df.select(col(domainCol).as("domain"),
+        col(weightCol), round(excess, 6).as("excess"))
+      .select(col("domain"), col("excess"), qnum.as("__q"))
+    val tot = staged.agg(sum("__q").as("__tot"),
+      count(lit(1)).as("__k"))
+    staged.crossJoin(broadcast(tot))
+      .select(col("domain"), col("excess"),
+        round(lit(1.0 - smoothing) *
+          (col("__q").cast("double") / col("__tot").cast("double")) +
+          lit(smoothing) / col("__k").cast("double"), 6)
+          .as("weight_new"))
+      .orderBy("domain")
+  }
+
   /** Cumulative Poisson(1) probabilities P(X ≤ k), k = 0..7 — the
     * inverse-CDF thresholds of the bootstrap draw. Computed once,
     * embedded as identical literals in plans and oracles. */

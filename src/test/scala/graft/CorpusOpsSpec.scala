@@ -2140,4 +2140,38 @@ class CorpusOpsSpec extends TestBase {
       Profiles.proportionBounds(d, "src", col("ok"), z = 0.0)
     }.getMessage.contains("z"))
   }
+
+  test("mixtureReweight: hard domains gain weight, easy keep-or-lose, " +
+      "weights renormalize to 1, smoothing floors every domain, " +
+      "zero-excess mixture is a fixed point up to quantization, guards") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val mix = Seq(("a", 0.25, 3.0, 2.0), ("b", 0.25, 2.0, 2.0),
+      ("c", 0.25, 1.0, 2.0), ("d", 0.25, 2.0, 2.0))
+      .toDF("dom", "w", "loss", "ref")
+    val byDom = Sampling.mixtureReweight(mix, "dom", "w", "loss", "ref",
+        eta = 1.0, smoothing = 0.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // only 'a' has excess (1.0): its weight grows by e/(e+3) vs 1/4
+    assert(byDom("a") > 0.4 && byDom("a") < 0.5, byDom)
+    assert(byDom("b") == byDom("c") && byDom("c") == byDom("d"))
+    assert(math.abs(byDom.values.sum - 1.0) < 1e-5, byDom)
+    // smoothing floors: s=0.2 guarantees >= 0.05 per domain
+    val sm = Sampling.mixtureReweight(mix, "dom", "w", "loss", "ref",
+        eta = 1.0, smoothing = 0.2)
+      .collect().map(_.getDouble(2))
+    assert(sm.forall(_ >= 0.05 - 1e-9), sm.toSeq)
+    // all-zero excess: weights unchanged (up to the 1e-6 quantization)
+    val fp = Sampling.mixtureReweight(
+        mix.withColumn("loss", col("ref")), "dom", "w", "loss", "ref",
+        eta = 1.0, smoothing = 0.0)
+      .collect().map(_.getDouble(2))
+    assert(fp.forall(w => math.abs(w - 0.25) < 1e-5), fp.toSeq)
+    assert(intercept[IllegalArgumentException] {
+      Sampling.mixtureReweight(mix, "dom", "w", "loss", "ref", 0.0)
+    }.getMessage.contains("eta"))
+    assert(intercept[IllegalArgumentException] {
+      Sampling.mixtureReweight(mix, "dom", "w", "loss", "ref", 1.0, 1.0)
+    }.getMessage.contains("smoothing"))
+  }
 }
