@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.operators.{AsOfJoin, Connected, Decontaminate, Dedup, EntityResolution, Dsir, Embeddings, FooterStats, Funnel, Graph, Metrics, Multimodal, Pipelines, Profiles, Quantize, QualityFilter, RangeJoin, Rank, Sampling, Sketches, Similarity, TextAnalysis, Vocab}
+import graft.operators.{AsOfJoin, Connected, Decontaminate, Dedup, EntityResolution, Dsir, Embeddings, FooterStats, Funnel, Graph, Metrics, Multimodal, Pipelines, Profiles, Quantize, QualityFilter, RangeJoin, Rank, Sampling, Sketches, Similarity, TextAnalysis, Valuation, Vocab}
 
 /** Catalog entries for the LLM-data-pipeline operators (dedup, similarity
   * search, text analysis, multimodal) over the `documents` / `embeddings`
@@ -5504,6 +5504,301 @@ object OpsQueries {
              |  CAST(sz AS BIGINT) AS n_bytes,
              |  CAST(pts AS BIGINT) AS pts_units
              |FROM k ORDER BY doc_id, bucket""".stripMargin)),
+
+    // ----- chrF: character n-gram F-score (generation eval) ------------------
+    // The q229 pair fixture (12-token prefix, every 3rd token → 'zz')
+    // scored at the CHARACTER level: corpus-pooled clipped char-n-gram
+    // matches for n = 1..3, macro-averaged P/R, F with β = 2. Counts
+    // are integers; the only float math is the fixed-order final
+    // expression both engines evaluate identically.
+    "q236_chrf" -> Entry(
+      (s, dir) => {
+        val trimmed = t(s, dir, "documents")
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__w"))
+          .select(col("doc_id"),
+            array_join(slice(col("__w"), 1, 12), " ").as("ref"),
+            array_join(transform(slice(col("__w"), 1, 12),
+              (w, i) => when((i + 1) % 3 === 0, lit("zz")).otherwise(w)),
+              " ").as("cand"))
+        Metrics.chrF(trimmed, "doc_id", "cand", "ref", maxN = 3)
+      },
+      Some {
+        def cgrams(src: String, n: Int) =
+          s"[substr($src, i, $n) for i in generate_series(1, len($src) - ${n - 1})]"
+        val perN = (1 to 3).map { n =>
+          s"""cg$n AS (SELECT doc_id, g, COUNT(*) AS cn FROM (
+             |  SELECT doc_id, unnest(${cgrams("cs", n)}) AS g FROM t)
+             |  GROUP BY 1, 2),
+             |rg$n AS (SELECT doc_id, g, COUNT(*) AS rn FROM (
+             |  SELECT doc_id, unnest(${cgrams("rs", n)}) AS g FROM t)
+             |  GROUP BY 1, 2),
+             |s$n AS (SELECT
+             |  SUM(least(coalesce(cn, 0), coalesce(rn, 0))) AS m,
+             |  SUM(coalesce(cn, 0)) AS ct, SUM(coalesce(rn, 0)) AS rt
+             |  FROM cg$n FULL JOIN rg$n USING (doc_id, g))""".stripMargin
+        }.mkString(",\n")
+        def pn(n: Int) =
+          s"""CASE WHEN (SELECT ct FROM s$n) > 0
+             |  THEN CAST((SELECT m FROM s$n) AS DOUBLE)
+             |    / CAST((SELECT ct FROM s$n) AS DOUBLE)
+             |  ELSE CAST(0 AS DOUBLE) END""".stripMargin
+        def rn(n: Int) =
+          s"""CASE WHEN (SELECT rt FROM s$n) > 0
+             |  THEN CAST((SELECT m FROM s$n) AS DOUBLE)
+             |    / CAST((SELECT rt FROM s$n) AS DOUBLE)
+             |  ELSE CAST(0 AS DOUBLE) END""".stripMargin
+        s"""WITH t0 AS (SELECT doc_id, ($TOKS)[1:12] AS rw
+           |  FROM documents),
+           |t AS (SELECT doc_id, array_to_string(rw, '') AS rs,
+           |    array_to_string([CASE WHEN i % 3 = 0 THEN 'zz'
+           |      ELSE rw[i] END
+           |      for i in generate_series(1, len(rw))], '') AS cs
+           |  FROM t0),
+           |$perN,
+           |fin AS (SELECT
+           |  ((${pn(1)}) + (${pn(2)}) + (${pn(3)}))
+           |    / CAST(3 AS DOUBLE) AS p,
+           |  ((${rn(1)}) + (${rn(2)}) + (${rn(3)}))
+           |    / CAST(3 AS DOUBLE) AS r)
+           |SELECT CAST(3 AS INT) AS orders, round(p, 6) AS chr_p,
+           |  round(r, 6) AS chr_r,
+           |  CASE WHEN CAST(4 AS DOUBLE) * p + r > 0 THEN
+           |    round(CAST(5 AS DOUBLE) * p * r
+           |      / (CAST(4 AS DOUBLE) * p + r), 6) END AS chrf
+           |FROM fin""".stripMargin
+      }),
+
+    // ----- Fleiss' kappa: multi-rater labeling agreement ---------------------
+    // Three deterministic pseudo-raters label each doc's length bucket:
+    // rater j flips to an md5-drawn bucket with probability j·20%
+    // (rater 0 is truth), so agreement is high but imperfect. All
+    // integer aggregates until the one-row P̄/P_e/κ expression.
+    "q237_fleiss_kappa" -> Entry(
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val trueCat = when(col("n_chars") < 200, "short")
+          .when(col("n_chars") < 400, "mid").otherwise("long")
+        val assigns = d.select(col("doc_id"), trueCat.as("__tc"),
+            explode(sequence(lit(0), lit(2))).as("__j"))
+          .select(col("doc_id"), col("__j"),
+            (conv(substring(md5(concat(lit("fl"),
+              col("__j").cast("string"), lit("|"),
+              col("doc_id").cast("string"))), 1, 8), 16, 10)
+              .cast("long") % 10).as("__flip"),
+            (conv(substring(md5(concat(lit("fc"),
+              col("__j").cast("string"), lit("|"),
+              col("doc_id").cast("string"))), 1, 8), 16, 10)
+              .cast("long") % 3).as("__alt"), col("__tc"))
+          .select(col("doc_id"),
+            when(col("__flip") < col("__j") * 2,
+              element_at(array(lit("short"), lit("mid"), lit("long")),
+                (col("__alt") + 1).cast("int")))
+              .otherwise(col("__tc")).as("cat"))
+        Metrics.fleissKappa(assigns, "doc_id", "cat", nRaters = 3)
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    CASE WHEN n_chars < 200 THEN 'short'
+             |      WHEN n_chars < 400 THEN 'mid' ELSE 'long' END AS tc
+             |  FROM documents),
+             |a AS (SELECT doc_id, j,
+             |    CAST(('0x' || substr(md5('fl' || CAST(j AS VARCHAR)
+             |      || '|' || CAST(doc_id AS VARCHAR)), 1, 8))
+             |      AS UBIGINT) % 10 AS flip,
+             |    CAST(('0x' || substr(md5('fc' || CAST(j AS VARCHAR)
+             |      || '|' || CAST(doc_id AS VARCHAR)), 1, 8))
+             |      AS UBIGINT) % 3 AS alt, tc
+             |  FROM d, unnest(generate_series(0, 2)) AS u(j)),
+             |asg AS (SELECT doc_id,
+             |    CASE WHEN flip < j * 2
+             |      THEN ['short', 'mid', 'long'][CAST(alt AS INT) + 1]
+             |      ELSE tc END AS cat
+             |  FROM a),
+             |cell AS (SELECT doc_id AS i, cat AS j, COUNT(*) AS nij
+             |  FROM asg GROUP BY 1, 2),
+             |per AS (SELECT i, SUM(nij * nij) AS sq FROM cell
+             |  GROUP BY 1),
+             |agg AS (SELECT COUNT(*) AS n_items, SUM(sq) AS sumsq
+             |  FROM per),
+             |cat AS (SELECT SUM(cj * cj) AS c2, SUM(cj) AS ctot FROM (
+             |  SELECT j, SUM(nij) AS cj FROM cell GROUP BY 1)),
+             |fin AS (SELECT n_items,
+             |    (CAST(sumsq AS DOUBLE) - CAST(n_items AS DOUBLE)
+             |      * CAST(3 AS DOUBLE))
+             |    / (CAST(n_items AS DOUBLE) * CAST(3 AS DOUBLE)
+             |      * (CAST(3 AS DOUBLE) - CAST(1 AS DOUBLE))) AS p_bar,
+             |    CAST(c2 AS DOUBLE)
+             |    / (CAST(ctot AS DOUBLE) * CAST(ctot AS DOUBLE)) AS p_e
+             |  FROM agg, cat)
+             |SELECT CAST(n_items AS BIGINT) AS n_items,
+             |  CAST(3 AS INT) AS n_raters, round(p_bar, 6) AS p_bar,
+             |  round(p_e, 6) AS p_e,
+             |  CASE WHEN p_e < 1 THEN
+             |    round((p_bar - p_e) / (CAST(1 AS DOUBLE) - p_e), 6)
+             |  END AS kappa
+             |FROM fin""".stripMargin)),
+
+    // ----- KNN-Shapley data valuation (Jia et al. 2019) ----------------------
+    // Exact per-training-row Shapley values for the 3-NN classifier of
+    // 4 validation embeddings: nearest-first ranking by the repo-
+    // standard round-6 cosine, then the closed-form suffix recursion
+    // with every term quantized to a 1e-12 long BEFORE the running sum
+    // (running-window doubles diverge between Spark's sequential fold
+    // and DuckDB's segment tree — integer sums cannot).
+    "q238_knn_shapley" -> Entry(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Valuation.knnShapley(
+            emb.filter(col("vec_id") >= 4), emb.filter(col("vec_id") < 4),
+            "vec_id", "embedding", "label", k = 3)
+          .orderBy("query_id", "rank")
+      },
+      Some {
+        val cos =
+          """round(
+            |    list_sum([qv[i]::DOUBLE * cv[i]::DOUBLE
+            |      for i in generate_series(1, len(qv))]) /
+            |    (sqrt(list_sum([qv[i]::DOUBLE * qv[i]::DOUBLE
+            |      for i in generate_series(1, len(qv))])) *
+            |     sqrt(list_sum([cv[i]::DOUBLE * cv[i]::DOUBLE
+            |      for i in generate_series(1, len(cv))]))), 6)""".stripMargin
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+           |    label AS qy FROM embeddings WHERE vec_id < 4),
+           |c AS (SELECT vec_id AS train_id, embedding AS cv, label AS cy
+           |  FROM embeddings WHERE vec_id >= 4),
+           |p AS (SELECT query_id, train_id, $cos AS score,
+           |    CASE WHEN cy = qy THEN 1 ELSE 0 END AS ind
+           |  FROM q, c WHERE query_id <> train_id),
+           |r AS (SELECT query_id, train_id, score, ind,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY score DESC, train_id) AS rank,
+           |    COUNT(*) OVER (PARTITION BY query_id) AS n,
+           |    LEAD(ind) OVER (PARTITION BY query_id
+           |      ORDER BY score DESC, train_id) AS nind
+           |  FROM p),
+           |tm AS (SELECT query_id, train_id, rank, score,
+           |    CASE WHEN rank = n THEN ind * CAST(floor(
+           |        CAST(1 AS DOUBLE) / CAST(n AS DOUBLE) * 1e12 + 0.5)
+           |        AS BIGINT)
+           |      ELSE (ind - nind) * CAST(floor(
+           |        CAST(least(3, rank) AS DOUBLE)
+           |        / (CAST(3 AS DOUBLE) * CAST(rank AS DOUBLE))
+           |        * 1e12 + 0.5) AS BIGINT)
+           |    END AS term
+           |  FROM r)
+           |SELECT query_id, train_id, CAST(rank AS BIGINT) AS rank,
+           |  score,
+           |  CAST(SUM(term) OVER (PARTITION BY query_id ORDER BY rank
+           |    DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS shapley_q,
+           |  round(CAST(CAST(SUM(term) OVER (PARTITION BY query_id
+           |    ORDER BY rank DESC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           |    AS DOUBLE) / 1e12, 6) AS shapley
+           |FROM tm ORDER BY query_id, rank""".stripMargin
+      }),
+
+    // ----- label-propagation communities (Raghavan et al. 2007) --------------
+    // Three synchronous sweeps over the q143 affine 53-vertex graph,
+    // smallest-label ties — integer labels and counts end-to-end, so
+    // the oracle's CTE unroll matches bit-for-bit with no float
+    // anywhere.
+    "q239_label_prop" -> Entry(
+      (s, dir) => {
+        val edges = t(s, dir, "documents")
+          .select((col("doc_id") % 53).as("src"),
+            ((col("doc_id") * 7 + 11) % 53).as("dst"))
+        Graph.labelPropagation(edges, "src", "dst", sweeps = 3)
+          .orderBy("id")
+      },
+      Some {
+        def sweep(prev: String, cur: String): String =
+          s"""$cur AS (SELECT id, label FROM (
+             |  SELECT adj.a AS id, p.label AS label, COUNT(*) AS c
+             |  FROM adj JOIN $prev p ON p.id = adj.b
+             |  GROUP BY 1, 2)
+             |  QUALIFY ROW_NUMBER() OVER (PARTITION BY id
+             |    ORDER BY c DESC, label) = 1)""".stripMargin
+        s"""WITH d AS (SELECT doc_id % 53 AS src,
+           |    (doc_id * 7 + 11) % 53 AS dst FROM documents
+           |  WHERE doc_id % 53 <> (doc_id * 7 + 11) % 53),
+           |adj AS (SELECT DISTINCT a, b FROM (
+           |  SELECT src AS a, dst AS b FROM d
+           |  UNION ALL SELECT dst, src FROM d)),
+           |l0 AS (SELECT DISTINCT a AS id, a AS label FROM adj),
+           |${sweep("l0", "l1")},
+           |${sweep("l1", "l2")},
+           |${sweep("l2", "l3")}
+           |SELECT id, label FROM l3 ORDER BY id""".stripMargin
+      }),
+
+    // ----- paired sign-flip permutation test ---------------------------------
+    // Two engineered per-doc metric variants whose delta is the exact
+    // rational (3 − doc_id % 7)/1000: 64 deterministic md5 sign
+    // patterns, replicate means as single divisions of exact long
+    // sums, add-one two-sided p-value.
+    "q240_perm_test" -> Entry(
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"),
+          (col("n_chars").cast("double") / lit(1000.0)).as("a"),
+          ((col("n_chars") + col("doc_id") % 7 - lit(3)).cast("double")
+            / lit(1000.0)).as("b"))
+        Metrics.permutationTest(d, "doc_id", "a", "b",
+          replicates = 64, scale = 6, salt = "perm")
+      },
+      Some("""WITH base AS (SELECT CAST(doc_id AS VARCHAR) AS id,
+             |    CAST(floor((CAST(n_chars AS DOUBLE)
+             |        / CAST(1000 AS DOUBLE)
+             |      - CAST(n_chars + doc_id % 7 - 3 AS DOUBLE)
+             |        / CAST(1000 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+             |      AS d
+             |  FROM documents),
+             |obs AS (SELECT COUNT(*) AS n, SUM(d) AS s FROM base),
+             |reps AS (SELECT unnest(generate_series(0, 63)) AS rep),
+             |f AS (SELECT rep, CASE WHEN CAST(('0x' ||
+             |      substr(md5('perm' || CAST(rep AS VARCHAR) || '|'
+             |      || id), 1, 8)) AS UBIGINT) % 2 = 0
+             |    THEN d ELSE -d END AS sd
+             |  FROM base, reps),
+             |ps AS (SELECT rep, SUM(sd) AS ps FROM f GROUP BY 1),
+             |x AS (SELECT SUM(CASE WHEN
+             |      abs(CAST(ps AS DOUBLE) / CAST(n AS DOUBLE))
+             |      >= abs(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             |    THEN 1 ELSE 0 END) AS ne
+             |  FROM ps, obs)
+             |SELECT CAST(n AS BIGINT) AS n,
+             |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e6, 6)
+             |    AS obs_diff,
+             |  CAST(ne AS BIGINT) AS n_extreme,
+             |  round((CAST(1 AS DOUBLE) + CAST(ne AS DOUBLE))
+             |    / CAST(65 AS DOUBLE), 6) AS p_value
+             |FROM x, obs""".stripMargin)),
+
+    // ----- priority sampling: exact-k weighted sample + estimator ------------
+    // Top-50 order rows by the integer priority wq·2³² div u (pure
+    // BIGINT floor division — the double form would shed mantissa),
+    // τ = the 51st priority, est_weight = max(w, τ) (Duffield et al.
+    // 2007's unbiased subset-sum estimator).
+    "q241_priority_sample" -> Entry(
+      (s, dir) => Sampling.prioritySample(t(s, dir, "orders"),
+        "o_orderkey", "o_totalprice", k = 50, salt = "prio", scale = 2),
+      Some("""WITH base AS (SELECT o_orderkey AS id,
+             |    CAST(o_totalprice AS DOUBLE) AS w,
+             |    CAST(floor(CAST(o_totalprice AS DOUBLE)
+             |      * CAST(100 AS DOUBLE) + 0.5) AS BIGINT) AS wq,
+             |    CAST(CAST(('0x' || substr(md5('prio|'
+             |      || CAST(o_orderkey AS VARCHAR)), 1, 8)) AS UBIGINT)
+             |      AS BIGINT) + 1 AS u
+             |  FROM orders
+             |  WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL),
+             |p AS (SELECT id, w, wq, (wq * 4294967296) // u AS pq
+             |  FROM base WHERE wq > 0),
+             |top AS (SELECT id, w, pq,
+             |    ROW_NUMBER() OVER (ORDER BY pq DESC, id) AS rn
+             |  FROM p QUALIFY rn <= 51),
+             |tau AS (SELECT MAX(pq) AS tq FROM top WHERE rn = 51)
+             |SELECT id, w AS weight, CAST(pq AS BIGINT) AS priority_q,
+             |  round(greatest(w, CAST(tq AS DOUBLE)
+             |    / CAST(100 AS DOUBLE)), 6) AS est_weight
+             |FROM top, tau WHERE rn <= 50 ORDER BY pq DESC, id"""
+        .stripMargin)),
 
     // ----- X6 Count-Min sketch: frequency estimates, cell-exact -------------
     // Builds a deliberately TIGHT 4×16 grid over the document token

@@ -96,6 +96,63 @@ object Graph {
       .groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("out_degree"))
 
+  /** Synchronous label-propagation communities (Raghavan et al. 2007,
+    * the deterministic fixed-sweep variant) — the cheap community
+    * detector a crawl pipeline runs where [[Connected]] is too coarse
+    * (connected components merge everything touching; LPA splits a
+    * component along its dense cores — mirror clusters, link farms,
+    * topic pockets). Over the UNDIRECTED simple graph induced by
+    * `edges` (direction/duplicates/self-loops normalized away):
+    * every vertex starts as its own label, and each sweep every
+    * vertex adopts the most frequent label among its neighbors —
+    * ties to the SMALLEST label, updates all-at-once from the
+    * previous sweep's labels (the synchronous schedule; the
+    * asynchronous variant is order-dependent and unreplayable).
+    * Integer labels and counts end-to-end: bit-exact on any engine,
+    * no float anywhere.
+    *
+    * Scale shape: [[pagerank]]'s exactly — the symmetric adjacency
+    * materializes ONCE, hash-partitioned on the neighbor key each
+    * sweep's label join probes, and per-(vertex, label) counts
+    * aggregate map-side before the argmax fold (one `max(struct)` per
+    * vertex — no window). Labels localCheckpoint per sweep to cut
+    * iterative lineage. High-degree hubs land as many (v, label)
+    * partials, not one task.
+    *
+    * Output: (id, label) — label is the smallest-id exemplar of the
+    * community the vertex converged into after `sweeps`. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      sweeps: Int): DataFrame = {
+    require(sweeps >= 1, s"Graph.labelPropagation: sweeps >= 1 required")
+    val dir = edges
+      .select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+    val adj = dir.union(dir.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .repartition(col("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = adj.select(col("a").as("id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = verts.withColumn("label", col("id"))
+    for (_ <- 1 to sweeps) {
+      val nbr = adj.join(labels.select(col("id").as("__nid"),
+          col("label").as("__nl")), col("b") === col("__nid"))
+        .groupBy(col("a").as("id"), col("__nl").as("__l"))
+        .agg(count(lit(1)).as("__c"))
+      // argmax: most frequent neighbor label, ties to the smallest —
+      // max(struct(count, -label)) keeps it one aggregation, no window
+      labels = nbr.groupBy("id")
+        .agg(max(struct(col("__c"), (-col("__l")).as("__neg")))
+          .as("__top"))
+        .select(col("id"), (-col("__top.__neg")).as("label"))
+        .localCheckpoint(true)
+    }
+    adj.unpersist()
+    verts.unpersist()
+    labels
+  }
+
   /** EXACT triangle count over the undirected simple graph induced by
     * `edges` (direction, duplicates, and self-loops are normalized
     * away) — the graph-health/community-density primitive (e.g.

@@ -467,6 +467,188 @@ object Metrics {
         round(lit(2.0) * p * r / (p + r), 6)).as("f1"))
   }
 
+  /** Corpus chrF (Popović 2015) over aligned (candidate, reference)
+    * text pairs — the CHARACTER-level generation-eval companion to
+    * [[bleu]]/[[rougeL]]: tokenization-free, so it credits morphology
+    * and near-miss spellings word-level n-grams score zero. Whitespace
+    * is removed (the chrF convention), then for each order n = 1..maxN
+    * the corpus-pooled clipped character-n-gram matches are counted
+    * exactly as [[bleu]] pools word n-grams: `match_n = Σ_pairs Σ_g
+    * min(cnt_cand, cnt_ref)`. Macro averages over orders give
+    * `chr_p = (1/N)·Σ p_n` and `chr_r = (1/N)·Σ r_n` (an order with an
+    * empty side contributes 0 — the standard harsh convention), and
+    * `chrf = (1+β²)·P·R/(β²·P+R)` with β = 2 by default (recall-heavy,
+    * the published setting); null when the denominator is 0 — reported
+    * loudly, not smoothed.
+    *
+    * Parity: counts are integers end-to-end; each p_n/r_n is a single
+    * integer division and the order-average folds the ≤maxN terms in
+    * FIXED n-ascending order as one projection expression, so the
+    * result replays bit-for-bit on any engine before its round-6.
+    *
+    * Scale: pairs explode to (pair, char-gram, n) rows — bounded by
+    * maxN·chars, the same fan-out every shingle operator rides — and
+    * everything aggregates map-combined down to maxN partials and one
+    * summary row. No windows, no driver loops. */
+  def chrF(pairs: DataFrame, idCol: String, candCol: String,
+      refCol: String, maxN: Int = 6, beta: Double = 2.0): DataFrame = {
+    require(maxN >= 1, s"chrF: maxN must be >= 1, got $maxN")
+    require(beta > 0, s"chrF: beta must be > 0, got $beta")
+    def grams(c: Column, n: Int): Column = {
+      val s = regexp_replace(c, "\\s+", "")
+      when(length(s) >= n, transform(sequence(lit(1), length(s) - (n - 1)),
+        i => s.substr(i, lit(n)))).otherwise(
+        array(Seq.empty[Column]: _*).cast("array<string>"))
+    }
+    val perN = (1 to maxN).map { n =>
+      val cg = pairs.select(col(idCol).as("__id"),
+          explode(grams(col(candCol), n)).as("g"))
+        .groupBy("__id", "g").agg(count(lit(1)).as("cn"))
+      val rg = pairs.select(col(idCol).as("__id"),
+          explode(grams(col(refCol), n)).as("g"))
+        .groupBy("__id", "g").agg(count(lit(1)).as("rn"))
+      cg.join(rg, Seq("__id", "g"), "full")
+        .agg(sum(least(coalesce(col("cn"), lit(0L)),
+            coalesce(col("rn"), lit(0L)))).as("m"),
+          sum(coalesce(col("cn"), lit(0L))).as("ct"),
+          sum(coalesce(col("rn"), lit(0L))).as("rt"))
+        .select(lit(n).as("n"), col("m"), col("ct"), col("rt"))
+    }.reduce(_ unionByName _)
+    val wide = perN.groupBy().pivot("n", 1 to maxN).agg(
+      first(struct(col("m"), col("ct"), col("rt"))))
+    def pn(n: Int) = {
+      val s = col(n.toString)
+      when(s("ct") > 0, s("m").cast("double") / s("ct").cast("double"))
+        .otherwise(lit(0.0))
+    }
+    def rn(n: Int) = {
+      val s = col(n.toString)
+      when(s("rt") > 0, s("m").cast("double") / s("rt").cast("double"))
+        .otherwise(lit(0.0))
+    }
+    // fixed n-ascending fold — deterministic association order
+    val p = (1 to maxN).map(pn).reduce(_ + _) / lit(maxN.toDouble)
+    val r = (1 to maxN).map(rn).reduce(_ + _) / lit(maxN.toDouble)
+    val b2 = lit(beta * beta)
+    wide.select(lit(maxN).as("orders"), round(p, 6).as("chr_p"),
+      round(r, 6).as("chr_r"),
+      when(b2 * p + r > 0,
+        round((lit(1.0) + b2) * p * r / (b2 * p + r), 6)).as("chrf"))
+  }
+
+  /** Fleiss' kappa (Fleiss 1971) — chance-corrected agreement for a
+    * FIXED number of raters r per item, the multi-rater extension of
+    * [[cohensKappa]] a labeling-pipeline QA report needs once more
+    * than two annotators touch each document. From the long
+    * (item, category) assignment table: per-item agreement
+    * `P_i = (Σ_j n_ij² − r) / (r(r−1))`, overall `P̄`, chance
+    * `P_e = Σ_j p_j²` over the pooled category shares, and
+    * `κ = (P̄ − P_e)/(1 − P_e)` — null when `P_e = 1` (a single
+    * category; loud, not 0). Items with an assignment count ≠ r are
+    * REJECTED with a require (unbalanced panels need a different
+    * estimator), so the operator cannot silently mis-normalize.
+    *
+    * Parity: `Σ_i Σ_j n_ij²` and the per-category totals are integer
+    * aggregates; P̄ and P_e form as single divisions/fixed-order
+    * expressions of those integers — engine-bit-identical before the
+    * round-6. Scale: two keyed aggregations (item×category, then
+    * category), both map-side combined; output is one row:
+    * `n_items, n_raters, p_bar, p_e, kappa`. */
+  def fleissKappa(assignments: DataFrame, itemCol: String,
+      categoryCol: String, nRaters: Int): DataFrame = {
+    require(nRaters >= 2, s"fleissKappa: need >= 2 raters, got $nRaters")
+    val cell = assignments
+      .filter(col(itemCol).isNotNull && col(categoryCol).isNotNull)
+      .groupBy(col(itemCol).as("__i"), col(categoryCol).as("__j"))
+      .agg(count(lit(1)).as("nij"))
+    val perItem = cell.groupBy("__i")
+      .agg(sum(col("nij") * col("nij")).as("sq"), sum("nij").as("tot"))
+    val r = lit(nRaters.toLong)
+    val agg = perItem.agg(count(lit(1)).as("n_items"),
+      sum("sq").as("sumsq"),
+      sum(when(col("tot") =!= r, 1L).otherwise(0L)).as("__bad"))
+    val cat = cell.groupBy("__j").agg(sum("nij").as("cj"))
+      .agg(sum(col("cj") * col("cj")).as("c2"), sum("cj").as("ctot"))
+    val pBar = (col("sumsq").cast("double") -
+        col("n_items").cast("double") * r.cast("double")) /
+      (col("n_items").cast("double") * r.cast("double") *
+        (r.cast("double") - lit(1.0)))
+    val pE = col("c2").cast("double") /
+      (col("ctot").cast("double") * col("ctot").cast("double"))
+    // the guard rides the kept n_items column — a dropped check column
+    // would be PRUNED by Catalyst and never fire
+    agg.crossJoin(broadcast(cat))
+      .select(
+        when(col("__bad") > 0, raise_error(concat(lit(
+            "fleissKappa: items with assignment count != nRaters: "),
+            col("__bad").cast("string"))))
+          .otherwise(col("n_items")).cast("long").as("n_items"),
+        lit(nRaters).as("n_raters"),
+        round(pBar, 6).as("p_bar"), round(pE, 6).as("p_e"),
+        when(pE < 1.0, round((pBar - pE) / (lit(1.0) - pE), 6))
+          .as("kappa"))
+  }
+
+  /** Paired sign-flip permutation test (the randomization test of
+    * Fisher 1935; Dror et al. 2018 for its NLP-eval use) — "is system
+    * A actually better than system B, or is the mean delta luck?":
+    * the significance companion to [[graft.operators.Sampling
+    * .poissonBootstrapCI]]'s interval. Per paired item the delta
+    * `a − b` is quantized to `scale` decimal digits
+    * (`floor(d·10^scale + 0.5)`, integer-exact on any engine); under
+    * H₀ the pair labels are exchangeable, so each of `replicates`
+    * deterministic sign patterns (`md5(salt|rep|id)` parity — task-
+    * retry-stable, no RNG state) flips each delta independently. The
+    * two-sided p-value uses the add-one estimator
+    * `(1 + #{|perm_mean| ≥ |obs_mean|}) / (R + 1)` (Phipson & Smyth
+    * 2010 — never reports an impossible 0). Output one row:
+    * `n, obs_diff, n_extreme, p_value`.
+    *
+    * Parity: replicate means are single divisions of exact long sums
+    * (count is replicate-invariant, so comparing `|Σ±d_i|` as longs
+    * would be equivalent; the division keeps the output readable) and
+    * the `≥` compares doubles both engines derive identically.
+    *
+    * Scale: the deltas scan once, fan out ×R on integer rows, and
+    * collapse map-combined to R partial sums — the
+    * [[Sampling.poissonBootstrapCI]] shape. No windows, no corpus
+    * materialization; R is the only growth knob. */
+  def permutationTest(df: DataFrame, idCol: String, aCol: String,
+      bCol: String, replicates: Int = 64, scale: Int = 6,
+      salt: String = "perm"): DataFrame = {
+    require(replicates >= 1, "permutationTest: replicates must be >= 1")
+    require(scale >= 0 && scale <= 9, "permutationTest: scale in [0,9]")
+    val m = math.pow(10.0, scale)
+    val base = df.filter(col(idCol).isNotNull && col(aCol).isNotNull &&
+        col(bCol).isNotNull)
+      .select(col(idCol).cast("string").as("__id"),
+        floor((col(aCol).cast("double") - col(bCol).cast("double")) *
+          lit(m) + lit(0.5)).cast("long").as("__d"))
+    val obs = base.agg(count(lit(1)).as("n"), sum("__d").as("__s"))
+    val flip = conv(substring(md5(concat(lit(salt),
+      col("__rep").cast("string"), lit("|"), col("__id"))), 1, 8),
+      16, 10).cast("long") % 2
+    val reps = base
+      .select(col("__id"), col("__d"),
+        explode(sequence(lit(0), lit(replicates - 1))).as("__rep"))
+      .select(col("__rep"),
+        when(flip === 0, col("__d")).otherwise(-col("__d")).as("__sd"))
+      .groupBy("__rep").agg(sum("__sd").as("__ps"))
+    reps.crossJoin(broadcast(obs))
+      .select(col("n"), col("__s"),
+        when(abs(col("__ps").cast("double") / col("n").cast("double"))
+          >= abs(col("__s").cast("double") / col("n").cast("double")),
+          1L).otherwise(0L).as("__x"))
+      .groupBy("n", "__s")
+      .agg(sum("__x").as("n_extreme"))
+      .select(col("n"),
+        round(col("__s").cast("double") / col("n").cast("double") /
+          lit(m), 6).as("obs_diff"),
+        col("n_extreme"),
+        round((lit(1.0) + col("n_extreme").cast("double")) /
+          lit((replicates + 1).toDouble), 6).as("p_value"))
+  }
+
   /** Composable reference form of [[graft.functions.LcsLength]] —
     * the DP row carried as an array accumulator through nested
     * `aggregate` folds. Semantics twin for specs; O(m) re-evaluation

@@ -644,6 +644,74 @@ object Sampling {
         round(col("__hi"), 6).as("ci_hi"))
   }
 
+  /** EXACT-size weighted sample without replacement via priority
+    * sampling (Duffield, Lund & Thorup, JACM 2007) — the
+    * subset-sum-estimating counterpart of [[weighted]]: Bernoulli
+    * keep-rates hit a size only in expectation, while training-recipe
+    * manifests need EXACTLY k shards/docs with inclusion probability
+    * ∝ weight and an unbiased total-weight estimator over what was
+    * kept. Each row draws priority `q_i = w_i/u_i` (u_i uniform); the
+    * k highest priorities are the sample, `τ` = the (k+1)-th priority,
+    * and `est_weight = max(w_i, τ)` makes `Σ est` unbiased for the
+    * population total (their Theorem 1).
+    *
+    * Determinism/parity: u_i is the md5-backed 32-bit draw (`+1` so
+    * zero can't divide), weights quantize to `scale` decimals, and the
+    * priority materializes as the INTEGER `w_q·2³² div u` — pure
+    * BIGINT floor-division, bit-identical on any engine (the double
+    * form would shed mantissa above 2⁵³). Ties break on id. Long
+    * capacity: `w_q` up to ~4·10⁸ at the default scale before
+    * `w_q·2³²` nears overflow — money-sized weights fit; re-scale
+    * callers exceeding it.
+    *
+    * Rows with null/non-positive quantized weight or null id are
+    * EXCLUDED (zero weight ⇒ zero inclusion probability; a silent
+    * keep would bias the estimator). When the population has ≤ k
+    * rows, τ is null and `est_weight = w` exactly (the sample is a
+    * census).
+    *
+    * Scale: the ranking is `orderBy(...).limit(k+1)` — Spark plans
+    * TakeOrderedAndProject (per-partition top-(k+1) heaps, one
+    * K-sized driver merge), NOT a global sort: no corpus shuffle, no
+    * window. The τ fold and estimator run on the (k+1)-row result.
+    *
+    * Output: the k sampled rows as (id, weight, priority_q,
+    * est_weight), priority-descending. */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, salt: String = "prio", scale: Int = 2): DataFrame = {
+    require(k >= 1, s"prioritySample: k must be >= 1, got $k")
+    require(scale >= 0 && scale <= 6,
+      s"prioritySample: scale must be in [0, 6], got $scale")
+    val mult = math.pow(10.0, scale)
+    val base = df
+      .filter(col(idCol).isNotNull && col(weightCol).isNotNull)
+      .select(col(idCol).as("id"),
+        col(weightCol).cast("double").as("__w"),
+        floor(col(weightCol).cast("double") * lit(mult) + lit(0.5))
+          .cast("long").as("__wq"),
+        (conv(substring(md5(concat(lit(salt), lit("|"),
+          col(idCol).cast("string"))), 1, 8), 16, 10).cast("long") +
+          lit(1L)).as("__u"))
+      .filter(col("__wq") > 0)
+      .select(col("id"), col("__w"), col("__wq"),
+        expr("__wq * 4294967296L div __u").as("priority_q"))
+    val top = base
+      .orderBy(desc("priority_q"), asc("id"))
+      .limit(k + 1)
+    // τ = the (k+1)-th priority if it exists — a (k+1)-row fold
+    val withRn = top.withColumn("__rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(desc("priority_q"), asc("id"))))
+    val tau = withRn.filter(col("__rn") === k + 1)
+      .agg(max("priority_q").as("__tau"))
+    withRn.filter(col("__rn") <= k)
+      .crossJoin(broadcast(tau))
+      .select(col("id"), col("__w").as("weight"), col("priority_q"),
+        round(greatest(col("__w"),
+          col("__tau").cast("double") / lit(mult)), 6).as("est_weight"))
+      .orderBy(desc("priority_q"), asc("id"))
+  }
+
   /** `md5(key)` first 8 hex chars as a uniform double in [0, 1) —
     * exact multiples of 2⁻³², so threshold comparisons are
     * deterministic on any engine. */

@@ -2174,4 +2174,39 @@ class CorpusOpsSpec extends TestBase {
       Sampling.mixtureReweight(mix, "dom", "w", "loss", "ref", 1.0, 1.0)
     }.getMessage.contains("smoothing"))
   }
+
+  test("prioritySample: exactly k rows, repartition-invariant, census " +
+      "below k, exclusions, and a sane total-weight estimate") {
+    import spark.implicits._
+    val pop = (1 to 200).map(i => (i.toLong, 1.0 + (i % 10)))
+      .toDF("id", "w")
+    val s1 = Sampling.prioritySample(pop, "id", "w", k = 20)
+    val rows = s1.collect()
+    assert(rows.length == 20)
+    // deterministic under repartitioning (TakeOrdered is global)
+    val s2 = Sampling.prioritySample(pop.repartition(13), "id", "w", 20)
+      .collect()
+    assert(rows.map(_.toString).toSeq == s2.map(_.toString).toSeq)
+    // est_weight >= weight always (max(w, τ)) and the Duffield
+    // estimator's total should land near the true total
+    assert(rows.forall(r =>
+      r.getAs[Double]("est_weight") >= r.getAs[Double]("weight")))
+    val est = rows.map(_.getAs[Double]("est_weight")).sum
+    val truth = (1 to 200).map(i => 1.0 + (i % 10)).sum
+    assert(est > truth * 0.3 && est < truth * 3.0, s"est $est vs $truth")
+    // census: population of 5 with k = 20 → all rows, est = w exactly
+    val tiny = Seq((1L, 2.0), (2L, 3.0), (3L, 4.0), (4L, 5.0),
+      (5L, 6.0)).toDF("id", "w")
+    val c = Sampling.prioritySample(tiny, "id", "w", k = 20).collect()
+    assert(c.length == 5 && c.forall(r =>
+      r.getAs[Double]("est_weight") == r.getAs[Double]("weight")))
+    // zero/negative/null weights and null ids carry no inclusion mass
+    val mixed = Seq((1L, Some(5.0)), (2L, Some(0.0)), (3L, Some(-1.0)),
+      (4L, None)).toDF("id", "w")
+    val m = Sampling.prioritySample(mixed, "id", "w", k = 10).collect()
+    assert(m.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(intercept[IllegalArgumentException] {
+      Sampling.prioritySample(tiny, "id", "w", k = 0)
+    }.getMessage.contains("k"))
+  }
 }

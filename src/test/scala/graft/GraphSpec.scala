@@ -157,4 +157,29 @@ class GraphSpec extends TestBase {
       Graph.coOccurrence(rows, "g", "i", minSupport = 0L)
     }.getMessage.contains("minSupport"))
   }
+
+  test("labelPropagation: barbell graph splits into its two triangles " +
+      "(hand-traced synchronous sweeps, smallest-label ties)") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6}, bridge 3–4; with duplicate and
+    // reversed edges plus a self-loop thrown in for normalization
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L),
+      (6L, 4L), (3L, 4L), (2L, 1L), (1L, 2L), (5L, 5L))
+      .toDF("s", "d").repartition(5)
+    val got = Graph.labelPropagation(edges, "s", "d", sweeps = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hand trace (synchronous, min-label tie): after sweep 3 the left
+    // triangle holds label 1, the right holds label 3
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L), got.toString)
+    // one sweep of a single edge: both endpoints adopt the other's
+    // label (synchronous schedule — they SWAP, not converge)
+    val pair = Seq((7L, 9L)).toDF("s", "d")
+    val g1 = Graph.labelPropagation(pair, "s", "d", sweeps = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g1 == Map(7L -> 9L, 9L -> 7L), g1.toString)
+    assert(intercept[IllegalArgumentException] {
+      Graph.labelPropagation(pair, "s", "d", sweeps = 0)
+    }.getMessage.contains("sweeps"))
+  }
 }

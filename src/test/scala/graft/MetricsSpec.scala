@@ -341,4 +341,89 @@ class MetricsSpec extends TestBase {
       r1.getAs[Double]("r") == 0.5 && r1.getAs[Double]("f1") == 0.5, r1)
     assert(got(1).isNullAt(got(1).fieldIndex("f1")), got(1).toString)
   }
+
+  test("chrF: hand case (whitespace removed, clipped char n-grams, " +
+      "macro-averaged P/R, beta=2) and the empty-side null") {
+    import spark.implicits._
+    // cand 'abcd' vs ref 'abce' after whitespace strip:
+    // n=1 matches a,b,c → 3/4; n=2 matches ab,bc → 2/3
+    // P = R = (3/4 + 2/3)/2 = 0.7083̅; F2 = 5PR/(4P+R) = P
+    val d = Seq((1L, "ab cd", "ab ce")).toDF("id", "cand", "ref")
+    val r = Metrics.chrF(d, "id", "cand", "ref", maxN = 2).collect().head
+    assert(r.getAs[Double]("chr_p") == 0.708333 &&
+      r.getAs[Double]("chr_r") == 0.708333 &&
+      r.getAs[Double]("chrf") == 0.708333, r.toString)
+    // disjoint pair: zero matches everywhere → P = R = 0 → chrf null
+    val z = Seq((1L, "aa", "bb")).toDF("id", "cand", "ref")
+    val rz = Metrics.chrF(z, "id", "cand", "ref", maxN = 2).collect().head
+    assert(rz.getAs[Double]("chr_p") == 0.0 && rz.isNullAt(
+      rz.fieldIndex("chrf")), rz.toString)
+    // clipping: repeated cand char credits at most the ref count
+    // cand 'aaa' vs ref 'ab': n=1 match min(3,1)=1 → p1=1/3, r1=1/2
+    val c = Seq((1L, "aaa", "ab")).toDF("id", "cand", "ref")
+    val rc = Metrics.chrF(c, "id", "cand", "ref", maxN = 1).collect().head
+    assert(rc.getAs[Double]("chr_p") == 0.333333 &&
+      rc.getAs[Double]("chr_r") == 0.5, rc.toString)
+  }
+
+  test("fleissKappa: hand 2-rater case, single-category null, and the " +
+      "unbalanced-panel refusal") {
+    import spark.implicits._
+    // i1: A,A  i2: A,B → P̄ = 0.5; shares 0.75/0.25 → Pe = 0.625
+    // κ = (0.5 − 0.625)/0.375 = −1/3
+    val d = Seq((1L, "A"), (1L, "A"), (2L, "A"), (2L, "B"))
+      .toDF("item", "cat")
+    val r = Metrics.fleissKappa(d, "item", "cat", nRaters = 2)
+      .collect().head
+    assert(r.getAs[Long]("n_items") == 2 &&
+      r.getAs[Double]("p_bar") == 0.5 &&
+      r.getAs[Double]("p_e") == 0.625 &&
+      r.getAs[Double]("kappa") == -0.333333, r.toString)
+    // one category only → P_e = 1 → κ null (loud, not 0)
+    val one = Seq((1L, "A"), (1L, "A"), (2L, "A"), (2L, "A"))
+      .toDF("item", "cat")
+    val ro = Metrics.fleissKappa(one, "item", "cat", 2).collect().head
+    assert(ro.isNullAt(ro.fieldIndex("kappa")) &&
+      ro.getAs[Double]("p_bar") == 1.0, ro.toString)
+    // an item with a missing rating must refuse, not mis-normalize
+    val bad = Seq((1L, "A"), (1L, "B"), (2L, "A")).toDF("item", "cat")
+    val e = intercept[Exception] {
+      Metrics.fleissKappa(bad, "item", "cat", 2).collect()
+    }
+    assert(e.getMessage.contains("fleissKappa") ||
+      e.getCause != null, e.getMessage)
+  }
+
+  test("permutationTest: zero-mean symmetric deltas give p = 1, a " +
+      "uniform strong signal gives the add-one floor, and the draw " +
+      "is salt-keyed deterministic") {
+    import spark.implicits._
+    // deltas +x and −x: obs mean 0 → every replicate is ≥-extreme
+    val sym = Seq((1L, 2.0, 1.0), (2L, 1.0, 2.0)).toDF("id", "a", "b")
+    val rs = Metrics.permutationTest(sym, "id", "a", "b",
+      replicates = 16).collect().head
+    assert(rs.getAs[Double]("obs_diff") == 0.0 &&
+      rs.getAs[Long]("n_extreme") == 16 &&
+      rs.getAs[Double]("p_value") == 1.0, rs.toString)
+    // 100 identical +1 deltas: a replicate ties |obs| only if all 100
+    // md5 draws agree in sign (~2⁻⁹⁹ per replicate) → the add-one
+    // floor 1/(R+1)
+    val strong = (1 to 100).map(i => (i.toLong, 2.0, 1.0))
+      .toDF("id", "a", "b")
+    val rp = Metrics.permutationTest(strong, "id", "a", "b",
+      replicates = 64).collect().head
+    assert(rp.getAs[Double]("obs_diff") == 1.0 &&
+      rp.getAs[Long]("n_extreme") == 0 &&
+      rp.getAs[Double]("p_value") == 0.015385, rp.toString)
+    // deterministic: same salt → identical row; repartition-invariant
+    val rp2 = Metrics.permutationTest(strong.repartition(7), "id", "a",
+      "b", replicates = 64).collect().head
+    assert(rp.toString == rp2.toString)
+    // null-side pairs are excluded
+    val withNull = Seq((1L, Some(2.0), Some(1.0)),
+      (2L, None, Some(1.0)), (3L, Some(1.0), None))
+      .toDF("id", "a", "b")
+    assert(Metrics.permutationTest(withNull, "id", "a", "b",
+      replicates = 8).collect().head.getAs[Long]("n") == 1)
+  }
 }
