@@ -5800,6 +5800,217 @@ object OpsQueries {
              |FROM top, tau WHERE rn <= 50 ORDER BY pq DESC, id"""
         .stripMargin)),
 
+    // ----- split-conformal calibration threshold -----------------------------
+    // The exact ⌈(n+1)(1−α)⌉-th smallest nonconformity score (order
+    // statistic, NOT an interpolated percentile — interpolation voids
+    // the finite-sample coverage guarantee) + the empirical coverage
+    // it achieves. The rank rides Rank.globalRank — no corpus window.
+    "q242_conformal" -> Entry(
+      (s, dir) => Metrics.conformalThreshold(
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            (col("n_chars").cast("double") / lit(1000.0)).as("score")),
+        "score", "doc_id", alpha = 0.1),
+      Some("""WITH base AS (SELECT
+             |    CAST(n_chars AS DOUBLE) / CAST(1000 AS DOUBLE) AS s,
+             |    doc_id AS id FROM documents
+             |  WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL),
+             |nn AS (SELECT COUNT(*) AS n FROM base),
+             |kk AS (SELECT n, CAST(ceil((CAST(n AS DOUBLE)
+             |    + CAST(1 AS DOUBLE)) * CAST(0.9 AS DOUBLE)) AS BIGINT)
+             |    AS k FROM nn),
+             |r AS (SELECT s, ROW_NUMBER() OVER (ORDER BY s, id) AS rn
+             |  FROM base),
+             |thr AS (SELECT MAX(s) AS qhat FROM r, kk WHERE rn = k),
+             |cov AS (SELECT SUM(CASE WHEN s <= qhat THEN 1 ELSE 0 END)
+             |    AS c FROM base, thr)
+             |SELECT CAST(n AS BIGINT) AS n, k, qhat,
+             |  CASE WHEN qhat IS NULL THEN CAST(1 AS DOUBLE)
+             |    ELSE round(CAST(c AS DOUBLE) / CAST(n AS DOUBLE), 6)
+             |  END AS coverage
+             |FROM kk, thr, cov""".stripMargin)),
+
+    // ----- memorization scan (verbatim n-gram overlap, generation side) ------
+    // Candidates are the %17 docs with every 6th token corrupted, so
+    // 4-gram windows clear of a corruption match their own original in
+    // the corpus and windows spanning one don't — real mixed rates and
+    // run lengths. The candidate window set broadcasts; the corpus
+    // streams one scan (zero corpus exchange).
+    "q243_memorization" -> Entry(
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val cand = d.filter(col("doc_id") % 17 === 0)
+          .select(col("doc_id"),
+            array_join(transform(TextAnalysis.tokens(col("text")),
+              (w, i) => when((i + 1) % 6 === 0, lit("zz")).otherwise(w)),
+              " ").as("text"))
+        Decontaminate.memorizationScan(cand, d, "doc_id", "text", n = 4)
+          .orderBy("id")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, $TOKS AS w FROM documents
+              |  WHERE doc_id % 17 = 0 AND text IS NOT NULL),
+              |cand AS (SELECT doc_id, [CASE WHEN i % 6 = 0 THEN 'zz'
+              |    ELSE w[i] END for i in generate_series(1, len(w))]
+              |    AS cw FROM tk),
+              |cw AS (SELECT doc_id, i AS pos,
+              |    array_to_string(cw[i:i+3], ' ') AS g
+              |  FROM cand, unnest(generate_series(1, len(cw) - 3))
+              |    AS u(i)),
+              |cg AS (SELECT DISTINCT array_to_string(w2[i:i+3], ' ')
+              |    AS g
+              |  FROM (SELECT $TOKS AS w2 FROM documents
+              |    WHERE text IS NOT NULL),
+              |    unnest(generate_series(1, len(w2) - 3)) AS u(i)),
+              |m AS (SELECT DISTINCT cw.g FROM cw JOIN cg ON cg.g = cw.g),
+              |fl AS (SELECT doc_id, pos,
+              |    CASE WHEN m.g IS NOT NULL THEN 1 ELSE 0 END AS mm
+              |  FROM cw LEFT JOIN m ON m.g = cw.g),
+              |cnts AS (SELECT doc_id, COUNT(*) AS n_windows,
+              |    SUM(mm) AS n_matched FROM fl GROUP BY 1),
+              |runs AS (SELECT doc_id, MAX(cnt) AS max_run FROM (
+              |  SELECT doc_id, grp, COUNT(*) AS cnt FROM (
+              |    SELECT doc_id, pos, pos - ROW_NUMBER() OVER (
+              |      PARTITION BY doc_id ORDER BY pos) AS grp
+              |    FROM fl WHERE mm = 1) GROUP BY 1, 2) GROUP BY 1)
+              |SELECT tk.doc_id AS id,
+              |  CAST(coalesce(n_windows, 0) AS BIGINT) AS n_windows,
+              |  CAST(coalesce(n_matched, 0) AS BIGINT) AS n_matched,
+              |  CASE WHEN coalesce(n_windows, 0) > 0 THEN
+              |    round(CAST(n_matched AS DOUBLE)
+              |      / CAST(n_windows AS DOUBLE), 6) END AS mem_rate,
+              |  CAST(coalesce(max_run, 0) AS BIGINT) AS max_run,
+              |  CAST(CASE WHEN coalesce(max_run, 0) > 0
+              |    THEN max_run + 3 ELSE 0 END AS BIGINT)
+              |    AS max_span_tokens
+              |FROM tk LEFT JOIN cnts ON cnts.doc_id = tk.doc_id
+              |LEFT JOIN runs ON runs.doc_id = tk.doc_id
+              |ORDER BY id""".stripMargin)),
+
+    // ----- Zipf rank-frequency fit -------------------------------------------
+    // Log-log OLS over the top-100 terms: each ln quantizes to a 1e-6
+    // long (1-ulp libm divergence absorbed — the q234 discipline), the
+    // OLS sums are pure BIGINT, slope/intercept/r² are fixed-order
+    // double expressions of those longs.
+    "q244_zipf_fit" -> Entry(
+      (s, dir) => Profiles.zipfFit(t(s, dir, "documents"), "text", 100),
+      Some("""WITH tk AS (SELECT unnest(regexp_split_to_array(
+             |    trim(text), '\s+')) AS t FROM documents
+             |  WHERE text IS NOT NULL),
+             |c AS (SELECT t, COUNT(*) AS c FROM tk WHERE t <> ''
+             |  GROUP BY 1 ORDER BY c DESC, t LIMIT 100),
+             |r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, t)
+             |    AS rk FROM c),
+             |q AS (SELECT CAST(floor(ln(CAST(rk AS DOUBLE)) * 1e6
+             |      + 0.5) AS BIGINT) AS x,
+             |    CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6 + 0.5)
+             |      AS BIGINT) AS y FROM r),
+             |s AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+             |    CAST(SUM(y) AS BIGINT) AS sy,
+             |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+             |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+             |    CAST(SUM(y * y) AS BIGINT) AS syy FROM q),
+             |f AS (SELECT n, n * sxy - sx * sy AS cov,
+             |    n * sxx - sx * sx AS vx, n * syy - sy * sy AS vy,
+             |    sx, sy FROM s)
+             |SELECT CAST(n AS BIGINT) AS n_terms,
+             |  CASE WHEN vx <> 0 THEN round(CAST(cov AS DOUBLE)
+             |    / CAST(vx AS DOUBLE), 6) END AS slope,
+             |  CASE WHEN vx <> 0 THEN round((CAST(sy AS DOUBLE)
+             |    - CAST(cov AS DOUBLE) / CAST(vx AS DOUBLE)
+             |      * CAST(sx AS DOUBLE))
+             |    / CAST(n AS DOUBLE) / 1e6, 6) END AS intercept,
+             |  CASE WHEN vx <> 0 AND vy <> 0 THEN
+             |    round(CAST(cov AS DOUBLE) * CAST(cov AS DOUBLE)
+             |      / (CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)), 6)
+             |  END AS r2
+             |FROM f""".stripMargin)),
+
+    // ----- simplified-silhouette cluster quality -----------------------------
+    // Per-vector cohesion/separation against the q231 8-centroid
+    // codebook, rolled up per cluster; per-row s quantizes to a 1e-6
+    // long before the mean (sum-of-doubles association order differs
+    // across engines; integer sums cannot).
+    "q245_cluster_quality" -> Entry(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.clusterQuality(emb, "vec_id", "embedding",
+            emb.filter(col("vec_id") < 8), "vec_id", "embedding")
+          .orderBy("cluster")
+      },
+      Some {
+        val cos =
+          """round(
+            |    list_sum([e.embedding[i]::DOUBLE * c.cv[i]::DOUBLE
+            |      for i in generate_series(1, len(e.embedding))]) /
+            |    (sqrt(list_sum([e.embedding[i]::DOUBLE
+            |        * e.embedding[i]::DOUBLE
+            |      for i in generate_series(1, len(e.embedding))])) *
+            |     sqrt(list_sum([c.cv[i]::DOUBLE * c.cv[i]::DOUBLE
+            |      for i in generate_series(1, len(c.cv))]))), 6)"""
+            .stripMargin
+        s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv
+           |  FROM embeddings WHERE vec_id < 8),
+           |sc AS (SELECT e.vec_id AS id, c.cid, $cos AS cs
+           |  FROM embeddings e, c),
+           |rk AS (SELECT id, cid, cs, ROW_NUMBER() OVER (
+           |    PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM sc),
+           |ab AS (SELECT t1.id, t1.cid AS cluster,
+           |    CAST(1 AS DOUBLE) - t1.cs AS a,
+           |    CAST(1 AS DOUBLE) - t2.cs AS b
+           |  FROM (SELECT * FROM rk WHERE rn = 1) t1
+           |  JOIN (SELECT * FROM rk WHERE rn = 2) t2 USING (id)),
+           |sq AS (SELECT cluster, CAST(floor((CASE
+           |    WHEN greatest(a, b) = 0 THEN CAST(0 AS DOUBLE)
+           |    ELSE (b - a) / greatest(a, b) END) * 1e6 + 0.5)
+           |    AS BIGINT) AS sq FROM ab)
+           |SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n,
+           |  round(CAST(SUM(sq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           |    / 1e6, 6) AS mean_silhouette
+           |FROM sq GROUP BY 1 ORDER BY cluster""".stripMargin
+      }),
+
+    // ----- token↔label mutual information ------------------------------------
+    // Which tokens mark English: per-token 2×2 presence×label counts,
+    // each cell's pointwise term quantized to a 1e-9 long, ranked by
+    // the quantized MI with a term tiebreak so top-k membership
+    // cannot drift on a 1-ulp log2 difference.
+    "q246_token_mi" -> Entry(
+      (s, dir) => Vocab.tokenLabelMi(t(s, dir, "documents"), "doc_id",
+        "text", col("lang") === "en", minDf = 5L, topK = 30),
+      Some {
+        def cell(nij: String, ni: String, nj: String) =
+          s"""CASE WHEN $nij > 0 THEN CAST(floor(
+             |    CAST($nij AS DOUBLE) / CAST(N AS DOUBLE)
+             |    * log2(CAST(N AS DOUBLE) * CAST($nij AS DOUBLE)
+             |      / (CAST($ni AS DOUBLE) * CAST($nj AS DOUBLE)))
+             |    * 1e9 + 0.5) AS BIGINT) ELSE 0 END""".stripMargin
+        s"""WITH base AS (SELECT doc_id, text, (lang = 'en') AS y
+           |  FROM documents WHERE doc_id IS NOT NULL
+           |    AND text IS NOT NULL AND lang IS NOT NULL),
+           |tot AS (SELECT COUNT(*) AS N,
+           |    SUM(CASE WHEN y THEN 1 ELSE 0 END) AS N1 FROM base),
+           |tk AS (SELECT y, unnest(list_distinct(
+           |    regexp_split_to_array(trim(text), '\\s+'))) AS term
+           |  FROM base),
+           |pt AS (SELECT term, COUNT(*) AS df,
+           |    SUM(CASE WHEN y THEN 1 ELSE 0 END) AS d1
+           |  FROM tk WHERE term <> '' GROUP BY 1
+           |  HAVING COUNT(*) >= 5),
+           |sc AS (SELECT term, df, d1,
+           |    CAST(N AS BIGINT) - CAST(N1 AS BIGINT) AS n0,
+           |    df - d1 AS d0, N, N1 FROM pt, tot),
+           |mi AS (SELECT term, df, d1,
+           |    ${cell("d1", "df", "N1")}
+           |    + ${cell("d0", "df", "n0")}
+           |    + ${cell("(N1 - d1)", "(N - df)", "N1")}
+           |    + ${cell("(n0 - d0)", "(N - df)", "n0")} AS miq
+           |  FROM sc)
+           |SELECT term, CAST(df AS BIGINT) AS df,
+           |  CAST(d1 AS BIGINT) AS d1,
+           |  round(CAST(miq AS DOUBLE) / 1e9, 6) AS mi
+           |FROM mi ORDER BY miq DESC, term LIMIT 30""".stripMargin
+      }),
+
     // ----- X6 Count-Min sketch: frequency estimates, cell-exact -------------
     // Builds a deliberately TIGHT 4×16 grid over the document token
     // stream (the ~31-term vocabulary forces real cell collisions) with

@@ -253,6 +253,76 @@ object Decontaminate {
 
   /** Keeps only corpus rows [[semanticOverlap]] does NOT flag — the
     * gate form. */
+  /** Memorization scan (Carlini et al. 2021/2023's verbatim-overlap
+    * audit, run in the GENERATION direction): for each candidate text
+    * (model samples, eval completions), the fraction of its n-token
+    * windows that appear VERBATIM anywhere in the training corpus,
+    * plus the longest consecutive matched-window run — `max_run + n−1`
+    * tokens is the longest verbatim copied span, the number a
+    * memorization report quotes. [[overlap]] answers "is my CORPUS
+    * contaminated by the benchmark"; this answers "did my MODEL emit
+    * my corpus".
+    *
+    * Scale shape: the candidate side is small by construction (a
+    * sample of generations) — its DISTINCT window set BROADCASTS, the
+    * corpus streams ONE scan against it (map-side semi-join, zero
+    * corpus exchange — the [[overlap]] discipline), and everything
+    * after runs on candidate-sized frames. The run-length fold is a
+    * per-candidate-doc window bounded by document length (the
+    * positions gaps trick: `pos − row_number` groups consecutive
+    * matches).
+    *
+    * Output per candidate: `(id, n_windows, n_matched, mem_rate,
+    * max_run, max_span_tokens)`; candidates shorter than n tokens
+    * report 0 windows and a null rate (0/0 — loud, not 0). */
+  def memorizationScan(candidates: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    require(n >= 1, s"memorizationScan: n must be >= 1, got $n")
+    val candWin = candidates
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        posexplode(Dedup.shingles(TextAnalysis.tokens(col(textCol)), n)))
+      .select(col("__id"), (col("pos") + 1).as("__pos"),
+        col("col").as("__g"))
+    val candGrams = candWin.select("__g").distinct()
+    val matched = corpus
+      .filter(col(textCol).isNotNull)
+      .select(explode(Dedup.shingles(TextAnalysis.tokens(col(textCol)),
+        n)).as("__g"))
+      .join(broadcast(candGrams), Seq("__g"), "left_semi")
+      .distinct()
+      .withColumn("__hit", lit(1))
+    val flagged = candWin
+      .join(broadcast(matched), Seq("__g"), "left")
+      .select(col("__id"), col("__pos"),
+        coalesce(col("__hit"), lit(0)).as("__m"))
+    val counts = flagged.groupBy("__id")
+      .agg(count(lit(1)).as("n_windows"), sum("__m").as("n_matched"))
+    // longest consecutive matched run: pos − row_number over matched
+    // positions is constant within a run (per-doc window, length-bounded)
+    val runs = flagged.filter(col("__m") === 1)
+      .withColumn("__grp", col("__pos") - row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__id")
+          .orderBy("__pos")))
+      .groupBy("__id", "__grp").agg(count(lit(1)).as("__run"))
+      .groupBy("__id").agg(max("__run").as("max_run"))
+    candidates
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("__id"))
+      .join(counts, Seq("__id"), "left")
+      .join(runs, Seq("__id"), "left")
+      .select(col("__id").as("id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        when(coalesce(col("n_windows"), lit(0L)) > 0,
+          round(col("n_matched").cast("double") /
+            col("n_windows").cast("double"), 6)).as("mem_rate"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"),
+        when(coalesce(col("max_run"), lit(0L)) > 0,
+          col("max_run") + lit((n - 1).toLong)).otherwise(lit(0L))
+          .as("max_span_tokens"))
+  }
+
   def semanticDecontaminate(corpus: DataFrame, idCol: String,
       vecCol: String, bench: DataFrame, benchVecCol: String,
       threshold: Double): DataFrame =

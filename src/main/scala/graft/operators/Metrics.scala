@@ -589,6 +589,55 @@ object Metrics {
           .as("kappa"))
   }
 
+  /** Split-conformal calibration threshold (Vovk et al. 2005; Lei et
+    * al. 2018's split form) — "set the quality-gate cutoff so at most
+    * α of good documents are wrongly dropped, GUARANTEED": from a
+    * held-out calibration set of nonconformity scores, the threshold
+    * is the ⌈(n+1)(1−α)⌉-th SMALLEST score — the exact finite-sample
+    * order statistic, NOT an interpolated percentile (interpolation
+    * voids the coverage guarantee the method exists for). Scores
+    * s ≤ q̂ then cover ≥ 1−α of exchangeable future draws.
+    *
+    * Scale: the order statistic rides [[graft.operators.Rank
+    * .globalRank]] (one range exchange, no corpus window, id
+    * tiebreak); the empirical-coverage check is a second scan with
+    * the 1-row threshold broadcast. When ⌈(n+1)(1−α)⌉ > n (tiny
+    * calibration sets at small α) the threshold is null and coverage
+    * reports 1.0 — "keep everything", loudly visible rather than an
+    * extrapolated cutoff.
+    *
+    * Parity: k comes from one double multiply + ceil of exact
+    * integers; the threshold is a score value the data carries;
+    * coverage is a single integer ratio. Output one row:
+    * `n, k, qhat, coverage`. */
+  def conformalThreshold(df: DataFrame, scoreCol: String, idCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1,
+      s"conformalThreshold: alpha must be in (0,1), got $alpha")
+    val base = df
+      .filter(col(scoreCol).isNotNull && col(idCol).isNotNull &&
+        !isnan(col(scoreCol).cast("double")))
+      .select(col(scoreCol).cast("double").as("__s"),
+        col(idCol).as("__id"))
+    val ranked = Rank.globalRank(base, Seq(col("__s").asc,
+      col("__id").asc), outCol = "__r")
+    val nRow = base.agg(count(lit(1)).as("n"))
+    val kExpr = ceil((col("n").cast("double") + lit(1.0)) *
+      lit(1.0 - alpha)).cast("long")
+    val thr = ranked.crossJoin(broadcast(nRow))
+      .filter(col("__r") === kExpr)
+      .agg(max("__s").as("qhat"))
+    base.crossJoin(broadcast(nRow.select(col("n"), kExpr.as("k"))))
+      .crossJoin(broadcast(thr))
+      .groupBy("n", "k", "qhat")
+      .agg(sum(when(col("__s") <= col("qhat"), 1L).otherwise(0L))
+        .as("__cov"))
+      .select(col("n"), col("k"), col("qhat"),
+        when(col("qhat").isNull, lit(1.0))
+          .otherwise(round(col("__cov").cast("double") /
+            col("n").cast("double"), 6)).as("coverage"))
+  }
+
   /** Paired sign-flip permutation test (the randomization test of
     * Fisher 1935; Dror et al. 2018 for its NLP-eval use) — "is system
     * A actually better than system B, or is the mean delta luck?":

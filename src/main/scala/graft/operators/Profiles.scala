@@ -499,4 +499,64 @@ object Profiles {
         count(lit(1)).as("n"))
       .orderBy("bucket")
   }
+
+  /** Zipf rank-frequency fit (Zipf 1949; Piantadosi 2014 review) —
+    * the one-number corpus-health shape check: natural text follows
+    * `freq ∝ rank^slope` with slope ≈ −1, so a log-log OLS slope far
+    * from −1 (or a poor r²) flags template spam (flat head),
+    * boilerplate floods (cliff), or encoding damage (shattered tail).
+    * Fits `ln freq = slope·ln rank + intercept` over the `topN` most
+    * frequent tokens (ties break on term).
+    *
+    * Scale: one corpus-keyed term count (map-combined — the
+    * [[graft.operators.Vocab.vocabulary]] shuffle), then
+    * `orderBy.limit(topN)` plans TakeOrderedAndProject (per-partition
+    * heaps, no global sort); ranking and sums run on ≤topN rows.
+    *
+    * Parity: each ln quantizes to a 1e-6 long (a 1-ulp cross-engine
+    * libm divergence flips a quantized value w.p. ~1e-10 — the
+    * mixtureReweight discipline) and all OLS sums are LONG arithmetic
+    * (Σxy ≲ 10¹⁶ at topN = 100 — far under overflow); slope/
+    * intercept/r² are then fixed-order double expressions of those
+    * longs. Output one row: `n_terms, slope, intercept, r2` (r2 null
+    * when either variance is 0 — one term, or all-equal counts). */
+  def zipfFit(df: DataFrame, textCol: String, topN: Int = 100)
+      : DataFrame = {
+    require(topN >= 2, s"zipfFit: topN must be >= 2, got $topN")
+    val counts = df.filter(col(textCol).isNotNull)
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy("__t").agg(count(lit(1)).as("__c"))
+      .orderBy(desc("__c"), asc("__t"))
+      .limit(topN)
+    // ≤topN-row frame from here on; the rank window is topN-bounded
+    val ranked = counts
+      .withColumn("__pidZ", lit(1)) // guard-exempt: bounded by topN
+      .withColumn("__r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("__pidZ").orderBy(desc("__c"), asc("__t")))
+        .cast("long"))
+    def q6(x: Column): Column =
+      floor(x * lit(1e6) + lit(0.5)).cast("long")
+    val xy = ranked.select(
+      q6(log(col("__r").cast("double"))).as("__x"),
+      q6(log(col("__c").cast("double"))).as("__y"))
+    val sums = xy.agg(count(lit(1)).as("n"), sum("__x").as("sx"),
+      sum("__y").as("sy"), sum(col("__x") * col("__y")).as("sxy"),
+      sum(col("__x") * col("__x")).as("sxx"),
+      sum(col("__y") * col("__y")).as("syy"))
+    val covL = col("n") * col("sxy") - col("sx") * col("sy")
+    val varxL = col("n") * col("sxx") - col("sx") * col("sx")
+    val varyL = col("n") * col("syy") - col("sy") * col("sy")
+    val slope = covL.cast("double") / varxL.cast("double")
+    val intercept = (col("sy").cast("double") -
+      slope * col("sx").cast("double")) / col("n").cast("double") /
+      lit(1e6)
+    sums.select(col("n").as("n_terms"),
+      when(varxL =!= 0, round(slope, 6)).as("slope"),
+      when(varxL =!= 0, round(intercept, 6)).as("intercept"),
+      when(varxL =!= 0 && varyL =!= 0,
+        round(covL.cast("double") * covL.cast("double") /
+          (varxL.cast("double") * varyL.cast("double")), 6)).as("r2"))
+  }
 }

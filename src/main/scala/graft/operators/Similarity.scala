@@ -1040,4 +1040,61 @@ object Similarity {
         Window.orderBy(col("__rrf").desc, col("__fid"))).cast("long"))
       .drop("__rrf", "__fid")
   }
+
+  /** Simplified-silhouette cluster quality (Hruschka et al. 2004's
+    * centroid form of Rousseeuw 1987) — the "was this k any good?"
+    * report for [[kmeansRefine]]/[[ivfAssign]] codebooks: per vector,
+    * cohesion `a` = cosine distance to its OWN (nearest) centroid,
+    * separation `b` = distance to the nearest OTHER centroid, and
+    * `s = (b − a)/max(a, b)` (0 when both distances are 0); rolled up
+    * per cluster. The full-pairwise silhouette is O(n²) — the
+    * centroid form is the one that exists at corpus scale (O(n·C),
+    * one broadcast sweep, corpus never exchanges for scoring; the
+    * only shuffle is the per-cluster rollup).
+    *
+    * Parity: distances derive from the repo-standard round-6 cosines;
+    * per-row s quantizes to a 1e-6 long BEFORE the per-cluster mean
+    * (sum-of-doubles association order differs across engines;
+    * integer sums cannot). Per-row top-2 centroids come from a
+    * C-bounded sorted collect (C = |centroids|, a codebook — KB-sized
+    * by contract), not a window.
+    *
+    * Output: (cluster, n, mean_silhouette), one row per non-empty
+    * cluster. Null vectors are excluded. */
+  def clusterQuality(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centIdCol: String, centVecCol: String)
+      : DataFrame = {
+    val c = centroids.select(col(centIdCol).as("__cid"),
+      col(centVecCol).as("__cv"), norm(col(centVecCol)).as("__cn"))
+    val scored = df
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        norm(col(vecCol)).as("__n"))
+      .crossJoin(broadcast(c))
+      .select(col("__id"), col("__cid"),
+        round(dot(col("__v"), col("__cv")) / (col("__n") * col("__cn")),
+          6).as("__cs"))
+    // per vector: the two best (cos desc, cid asc) centroids — a
+    // C-bounded sorted collect per row, no window
+    val top2 = scored.groupBy("__id")
+      .agg(slice(sort_array(collect_list(
+        struct(col("__cs"), (-col("__cid")).as("__neg"))), asc = false),
+        1, 2).as("__t"), count(lit(1)).as("__c"))
+      .select(
+        when(col("__c") < 2, raise_error(lit(
+          "clusterQuality: need at least 2 centroids")))
+          .otherwise(-col("__t")(0)("__neg")).as("cluster"),
+        (lit(1.0) - col("__t")(0)("__cs")).as("__a"),
+        (lit(1.0) - col("__t")(1)("__cs")).as("__b"))
+    val s = when(greatest(col("__a"), col("__b")) === 0.0, lit(0.0))
+      .otherwise((col("__b") - col("__a")) /
+        greatest(col("__a"), col("__b")))
+    top2
+      .select(col("cluster"),
+        floor(s * lit(1e6) + lit(0.5)).cast("long").as("__sq"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"),
+        round(sum("__sq").cast("double") / count(lit(1)).cast("double")
+          / lit(1e6), 6).as("mean_silhouette"))
+  }
 }

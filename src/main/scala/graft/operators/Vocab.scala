@@ -702,4 +702,69 @@ object Vocab {
         org.apache.spark.sql.expressions.Window
           .orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
   }
+
+  /** Token↔label mutual information (the information-gain feature
+    * selector of Yang & Pedersen 1997) — "which tokens MARK the
+    * label": MI in bits between per-document token PRESENCE and a
+    * boolean label, the vocabulary-mining companion to the quality
+    * classifiers (what did the gate learn? which tokens leak the
+    * split?). Per token the 2×2 presence×label table comes from
+    * integer document counts; `MI = Σ_cells (n_ij/N)·log2(N·n_ij/
+    * (n_i·n_j))` with empty cells contributing 0.
+    *
+    * Scale: one corpus pass (per-doc DISTINCT tokens explode →
+    * token-keyed count, map-combined; the label totals ride a 1-row
+    * broadcast); `topK` selection is orderBy+limit —
+    * TakeOrderedAndProject, no global sort, no window.
+    *
+    * Parity: each cell term quantizes to a 1e-9 long (log2 of a
+    * ratio of exact integers — a 1-ulp libm divergence flips a
+    * quantized value w.p. ~1e-7 per term; the sum of 4 longs is
+    * association-free) and the ranking orders by the quantized value
+    * with a term tiebreak, so top-k membership cannot drift. Output:
+    * `(term, df, d1, mi)` — docs containing the term, of which
+    * label-true, MI in bits (round-6) — mi-descending. */
+  def tokenLabelMi(df: DataFrame, idCol: String, textCol: String,
+      label: Column, minDf: Long = 1L, topK: Int = 100): DataFrame = {
+    require(minDf >= 1, s"tokenLabelMi: minDf must be >= 1, got $minDf")
+    require(topK >= 1, s"tokenLabelMi: topK must be >= 1, got $topK")
+    val base = df
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull &&
+        label.isNotNull)
+      .select(col(idCol).as("__id"), col(textCol).as("__text"),
+        label.cast("boolean").as("__y"))
+    val totals = base.agg(count(lit(1)).as("__N"),
+      sum(when(col("__y"), 1L).otherwise(0L)).as("__N1"))
+    val perTok = base
+      .select(col("__y"),
+        explode(array_distinct(TextAnalysis.tokens(col("__text"))))
+          .as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("d1"))
+      .filter(col("df") >= minDf)
+    // 2×2 cells: n11=d1, n10=df−d1, n01=N1−d1, n00=N0−(df−d1)
+    def cell(nij: Column, ni: Column, nj: Column, bigN: Column)
+        : Column = {
+      val t = nij.cast("double") / bigN.cast("double") *
+        log2(bigN.cast("double") * nij.cast("double") /
+          (ni.cast("double") * nj.cast("double")))
+      when(nij > 0, floor(t * lit(1e9) + lit(0.5)).cast("long"))
+        .otherwise(lit(0L))
+    }
+    val scored = perTok.crossJoin(broadcast(totals))
+      .withColumn("__n0", col("__N") - col("__N1"))
+      .withColumn("__d0", col("df") - col("d1"))
+      .withColumn("__miq",
+        cell(col("d1"), col("df"), col("__N1"), col("__N")) +
+        cell(col("__d0"), col("df"), col("__n0"), col("__N")) +
+        cell(col("__N1") - col("d1"), col("__N") - col("df"),
+          col("__N1"), col("__N")) +
+        cell(col("__n0") - col("__d0"), col("__N") - col("df"),
+          col("__n0"), col("__N")))
+    scored.orderBy(desc("__miq"), asc("term")).limit(topK)
+      .select(col("term"), col("df"), col("d1"),
+        round(col("__miq").cast("double") / lit(1e9), 6).as("mi"))
+  }
 }

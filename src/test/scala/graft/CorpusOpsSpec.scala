@@ -2209,4 +2209,81 @@ class CorpusOpsSpec extends TestBase {
       Sampling.prioritySample(tiny, "id", "w", k = 0)
     }.getMessage.contains("k"))
   }
+
+  test("memorizationScan: hand-checked rates and run lengths, full " +
+      "copy scores 1.0, short candidates report a null rate") {
+    import spark.implicits._
+    val corpus = Seq((100L, "a b c d e f"), (101L, "p q r s"))
+      .toDF("id", "text")
+    val cands = Seq(
+      (1L, "a b c d x f"),  // windows abc,bcd,cdx,dxf → 2/4, run 2
+      (2L, "a b c d e f"),  // full copy → 3/3, run 3 → span 5
+      (3L, "z z"),          // shorter than n → 0 windows, null rate
+      (4L, "t u v w x y")). // nothing matches → 0.0, run 0
+      toDF("id", "text")
+    val got = Decontaminate.memorizationScan(cands, corpus, "id",
+      "text", n = 3).orderBy("id").collect()
+    val r1 = got(0)
+    assert(r1.getAs[Long]("n_windows") == 4 &&
+      r1.getAs[Long]("n_matched") == 2 &&
+      r1.getAs[Double]("mem_rate") == 0.5 &&
+      r1.getAs[Long]("max_run") == 2 &&
+      r1.getAs[Long]("max_span_tokens") == 4, r1.toString)
+    val r2 = got(1)
+    assert(r2.getAs[Double]("mem_rate") == 1.0 &&
+      r2.getAs[Long]("max_span_tokens") == 6, r2.toString)
+    val r3 = got(2)
+    assert(r3.getAs[Long]("n_windows") == 0 &&
+      r3.isNullAt(r3.fieldIndex("mem_rate")) &&
+      r3.getAs[Long]("max_span_tokens") == 0, r3.toString)
+    val r4 = got(3)
+    assert(r4.getAs[Double]("mem_rate") == 0.0 &&
+      r4.getAs[Long]("max_run") == 0, r4.toString)
+  }
+
+  test("zipfFit: an exact power law fits slope −1 with r² ≈ 1; " +
+      "ties and guards behave") {
+    import spark.implicits._
+    import graft.operators.Profiles
+    // freq(rank r) = 1024/r for r = 1..8 as one doc per token copy
+    val rows = (1 to 8).flatMap(r =>
+      Seq.fill(1024 / r)(s"t$r")).map(Tuple1(_)).toDF("text")
+    val got = Profiles.zipfFit(rows, "text", topN = 8).collect().head
+    assert(got.getAs[Long]("n_terms") == 8)
+    val slope = got.getAs[Double]("slope")
+    assert(slope > -1.01 && slope < -0.99, slope.toString)
+    assert(got.getAs[Double]("r2") > 0.999, got.toString)
+    // all-equal counts → zero x-variance is impossible (ranks vary)
+    // but zero Y-variance must null r2 and keep slope 0
+    val flat = Seq("a", "b", "c").map(Tuple1(_)).toDF("text")
+    val gf = Profiles.zipfFit(flat, "text", topN = 3).collect().head
+    assert(gf.getAs[Double]("slope") == 0.0 &&
+      gf.isNullAt(gf.fieldIndex("r2")), gf.toString)
+    assert(intercept[IllegalArgumentException] {
+      Profiles.zipfFit(flat, "text", topN = 1)
+    }.getMessage.contains("topN"))
+  }
+
+  test("tokenLabelMi: a perfect label marker tops the ranking, an " +
+      "everywhere-token scores exactly 0, minDf gates") {
+    import spark.implicits._
+    val docs = (1 to 20).map { i =>
+      val y = i % 2 == 0
+      val marker = if (y) "enword" else "deword"
+      (i.toLong, s"common $marker filler$i", y)
+    }.toDF("id", "text", "y")
+    val got = graft.operators.Vocab.tokenLabelMi(docs, "id", "text",
+      col("y"), minDf = 2L, topK = 10).collect()
+    // fillers fall under minDf; common + the two markers survive
+    assert(got.map(_.getAs[String]("term")).toSet ==
+      Set("common", "enword", "deword"), got.mkString(";"))
+    val byTerm = got.map(r => r.getAs[String]("term") -> r).toMap
+    // a token present in EVERY doc carries zero information
+    assert(byTerm("common").getAs[Double]("mi") == 0.0)
+    // perfect markers carry exactly 1 bit
+    assert(byTerm("enword").getAs[Double]("mi") == 1.0 &&
+      byTerm("deword").getAs[Double]("mi") == 1.0, got.mkString(";"))
+    assert(byTerm("enword").getAs[Long]("df") == 10 &&
+      byTerm("enword").getAs[Long]("d1") == 10)
+  }
 }

@@ -426,4 +426,33 @@ class MetricsSpec extends TestBase {
     assert(Metrics.permutationTest(withNull, "id", "a", "b",
       replicates = 8).collect().head.getAs[Long]("n") == 1)
   }
+
+  test("conformalThreshold: the exact order statistic (not an " +
+      "interpolated percentile), the small-n null, and guards") {
+    import spark.implicits._
+    // scores 1..10, α = 0.25: k = ⌈11·0.75⌉ = 9 → q̂ = 9, coverage 0.9
+    val d = (1 to 10).map(i => (i.toLong, i.toDouble))
+      .toDF("id", "score").repartition(4)
+    val r = Metrics.conformalThreshold(d, "score", "id", alpha = 0.25)
+      .collect().head
+    assert(r.getAs[Long]("n") == 10 && r.getAs[Long]("k") == 9 &&
+      r.getAs[Double]("qhat") == 9.0 &&
+      r.getAs[Double]("coverage") == 0.9, r.toString)
+    // duplicate scores: k falls inside a tie run, q̂ is still the value
+    val ties = Seq(1.0, 2.0, 2.0, 2.0, 5.0).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("id", "score")
+    val rt = Metrics.conformalThreshold(ties, "score", "id", 0.4)
+      .collect().head // k = ⌈6·0.6⌉ = 4 → 4th smallest = 2.0
+    assert(rt.getAs[Long]("k") == 4 && rt.getAs[Double]("qhat") == 2.0 &&
+      rt.getAs[Double]("coverage") == 0.8, rt.toString)
+    // k > n: threshold null, coverage 1.0 — keep everything, loudly
+    val tiny = Seq((1L, 0.5), (2L, 0.7)).toDF("id", "score")
+    val rn = Metrics.conformalThreshold(tiny, "score", "id", 0.1)
+      .collect().head
+    assert(rn.isNullAt(rn.fieldIndex("qhat")) &&
+      rn.getAs[Double]("coverage") == 1.0, rn.toString)
+    assert(intercept[IllegalArgumentException] {
+      Metrics.conformalThreshold(tiny, "score", "id", 0.0)
+    }.getMessage.contains("alpha"))
+  }
 }

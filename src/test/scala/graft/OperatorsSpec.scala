@@ -2074,4 +2074,33 @@ class OperatorsSpec extends TestBase {
       "video")).toDS()
     assert(Multimodal.keyframePlan(bad).count() == 0L)
   }
+
+  test("clusterQuality: hand-checked simplified silhouettes (on-axis " +
+      "s = 1, equidistant s = 0, min-cid tie), 2-centroid minimum") {
+    import spark.implicits._
+    val cents = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("cid", "cv")
+    val pts = Seq(
+      (10L, Seq(2.0f, 0.0f)),  // cluster 1, a=0 b=1 → s=1
+      (11L, Seq(1.0f, 1.0f)),  // tie → cluster 1 (min cid), a=b → s=0
+      (12L, Seq(0.0f, 3.0f)))  // cluster 2, s=1
+      .toDF("id", "vec").repartition(3)
+    val got = graft.operators.Similarity.clusterQuality(pts, "id",
+        "vec", cents, "cid", "cv")
+      .orderBy("cluster").collect()
+    assert(got.length == 2, got.mkString(";"))
+    assert(got(0).getAs[Long]("cluster") == 1L &&
+      got(0).getAs[Long]("n") == 2 &&
+      got(0).getAs[Double]("mean_silhouette") == 0.5, got(0).toString)
+    assert(got(1).getAs[Long]("cluster") == 2L &&
+      got(1).getAs[Double]("mean_silhouette") == 1.0, got(1).toString)
+    // fewer than 2 centroids must refuse at run time
+    val one = Seq((1L, Seq(1.0f, 0.0f))).toDF("cid", "cv")
+    val e = intercept[Exception] {
+      graft.operators.Similarity.clusterQuality(pts, "id", "vec", one,
+        "cid", "cv").collect()
+    }
+    assert(e.getMessage.contains("clusterQuality") ||
+      e.getCause != null, e.getMessage)
+  }
 }
