@@ -716,4 +716,84 @@ class ScaleSpec extends TestBase {
     assert(!bl.contains("Window") && !bl.contains("CartesianProduct"),
       bl)
   }
+
+  test("round-12b scale posture: knnShapley broadcasts the validation " +
+      "side only and windows by query; prioritySample plans a " +
+      "TakeOrdered heap (no corpus sort); memorizationScan probes the " +
+      "corpus against a broadcast (no corpus exchange); " +
+      "labelPropagation and conformalThreshold keep their budgets") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWin}
+    def exec(df: org.apache.spark.sql.DataFrame): String = {
+      df.write.format("noop").mode("overwrite").save()
+      df.queryExecution.executedPlan.toString
+    }
+    def hashEx(p: String): Int = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") &&
+        !l.contains("ReusedExchange"))
+
+    // knnShapley: the SMALL validation side broadcasts (one BNL join);
+    // every window partitions by query_id — the corpus never sorts or
+    // shuffles globally
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val ks = graft.operators.Valuation.knnShapley(
+      emb.filter(col("vec_id") >= 4), emb.filter(col("vec_id") < 4),
+      "vec_id", "embedding", "label", 3)
+    val pk = exec(ks)
+    assert(pk.contains("BroadcastNestedLoopJoin") &&
+      !pk.contains("CartesianProduct"), pk)
+    val unpartK = ks.queryExecution.optimizedPlan.collect {
+      case w: LWin if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartK.isEmpty, s"unpartitioned window in knnShapley:\n$pk")
+
+    // prioritySample: corpus top-(k+1) is a per-partition heap merge,
+    // NOT a global sort — and the only windows run on <= k+1 rows
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val ps = graft.operators.Sampling.prioritySample(
+      o, "o_orderkey", "o_totalprice", k = 50)
+    val pp = exec(ps)
+    assert(pp.contains("TakeOrderedAndProject"),
+      s"corpus top-k must plan a TakeOrdered heap:\n$pp")
+    assert(hashEx(pp) == 0, s"prioritySample needs no hash exchange:\n$pp")
+
+    // memorizationScan: the corpus side streams into a BROADCAST
+    // semi-join — matched-gram distinct and everything after run on
+    // candidate-sized frames
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val ms = graft.operators.Decontaminate.memorizationScan(
+      docs.filter(col("doc_id") % 17 === 0), docs, "doc_id", "text", 4)
+    val pm2 = exec(ms)
+    assert(pm2.contains("BroadcastHashJoin"), pm2)
+    assert(!pm2.contains("CartesianProduct") &&
+      !pm2.contains("BroadcastNestedLoopJoin"), pm2)
+    assert(hashEx(pm2) <= 6, s"memorizationScan exchange budget:\n$pm2")
+
+    // labelPropagation: each sweep is one label join + two keyed
+    // aggregations over the checkpointed previous sweep — no window,
+    // no cartesian, bounded exchanges
+    val edges = docs.select((col("doc_id") % 53).as("s"),
+      ((col("doc_id") * 7 + 11) % 53).as("d"))
+    val lp = graft.operators.Graph.labelPropagation(edges, "s", "d", 2)
+    val plp = exec(lp)
+    assert(!plp.contains("Window") && !plp.contains("CartesianProduct"),
+      plp)
+    assert(hashEx(plp) <= 4, s"labelPropagation sweep budget:\n$plp")
+
+    // conformalThreshold: rides the range-decomposed rank — the only
+    // unpartitioned windows are globalRank's documented __pid-keyed
+    // <=p-row offset passes
+    val ct = graft.operators.Metrics.conformalThreshold(
+      docs.select(col("doc_id"),
+        (col("n_chars").cast("double") / lit(1000.0)).as("sc")),
+      "sc", "doc_id", alpha = 0.1)
+    val pct = exec(ct)
+    val unpartC = ct.queryExecution.optimizedPlan.collect {
+      case w: LWin if w.partitionSpec.isEmpty &&
+          !w.orderSpec.flatMap(_.references).forall(
+            _.name.startsWith("__pid")) => w
+    }
+    assert(unpartC.isEmpty, s"corpus window in conformal plan:\n$pct")
+    assert(pct.contains("Exchange rangepartitioning"),
+      s"conformal must range-decompose the rank:\n$pct")
+  }
 }
