@@ -6011,6 +6011,118 @@ object OpsQueries {
            |FROM mi ORDER BY miq DESC, term LIMIT 30""".stripMargin
       }),
 
+    // ----- Flesch readability -------------------------------------------------
+    // Machine-heuristic Flesch reading ease per doc: terminal-
+    // punctuation sentences (min 1), vowel-group syllables (min 1 per
+    // word), one fixed-order score expression. Pure projection.
+    "q247_readability" -> Entry(
+      (s, dir) => TextAnalysis.readability(t(s, dir, "documents"),
+        "doc_id", "text").orderBy("id"),
+      Some(s"""WITH tk AS (SELECT doc_id AS id,
+              |    list_filter($TOKS, w -> w <> '') AS w, text
+              |  FROM documents
+              |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+              |m AS (SELECT id, CAST(len(w) AS BIGINT) AS words,
+              |    CAST(greatest(len(regexp_extract_all(text,
+              |      '[.!?]+')), 1) AS BIGINT) AS sentences,
+              |    CAST(coalesce(list_sum([greatest(
+              |      len(regexp_extract_all(lower(x), '[aeiouy]+')), 1)
+              |      for x in w]), 0) AS BIGINT) AS syllables
+              |  FROM tk)
+              |SELECT id, words, sentences, syllables,
+              |  CASE WHEN words > 0 THEN round(CAST(206.835 AS DOUBLE)
+              |    - CAST(1.015 AS DOUBLE) * (CAST(words AS DOUBLE)
+              |      / CAST(sentences AS DOUBLE))
+              |    - CAST(84.6 AS DOUBLE) * (CAST(syllables AS DOUBLE)
+              |      / CAST(words AS DOUBLE)), 6) END AS flesch
+              |FROM m ORDER BY id""".stripMargin)),
+
+    // ----- vocabulary richness -------------------------------------------------
+    // Types/tokens/hapax/dis + TTR and hapax share — all integers to
+    // one summary row, two single-division ratios.
+    "q248_vocab_richness" -> Entry(
+      (s, dir) => Profiles.vocabRichness(t(s, dir, "documents"), "text"),
+      Some(s"""WITH tk AS (SELECT unnest($TOKS) AS t FROM documents
+              |  WHERE text IS NOT NULL),
+              |c AS (SELECT t, COUNT(*) AS c FROM tk WHERE t <> ''
+              |  GROUP BY 1),
+              |a AS (SELECT COUNT(*) AS types,
+              |    CAST(SUM(c) AS BIGINT) AS tokens,
+              |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS hapax,
+              |    CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS dis FROM c)
+              |SELECT CAST(types AS BIGINT) AS types, tokens, hapax, dis,
+              |  round(CAST(types AS DOUBLE) / CAST(tokens AS DOUBLE), 6)
+              |    AS ttr,
+              |  round(CAST(hapax AS DOUBLE) / CAST(types AS DOUBLE), 6)
+              |    AS hapax_rate
+              |FROM a""".stripMargin)),
+
+    // ----- per-key trimmed mean -------------------------------------------------
+    // 10%-each-tail trimmed mean of order totals per priority class —
+    // rides the bucketed two-phase exact per-key rank (one corpus
+    // exchange, no per-key window); the mean is a ratio of quantized
+    // longs.
+    "q249_trimmed_mean" -> Entry(
+      (s, dir) => Profiles.trimmedMeanByKey(t(s, dir, "orders"),
+          "o_orderpriority", "o_orderkey", "o_totalprice",
+          trimBp = 1000, scale = 2)
+        .withColumnRenamed("key", "o_orderpriority")
+        .orderBy("o_orderpriority"),
+      Some("""WITH base AS (SELECT o_orderpriority AS key,
+             |    o_orderkey AS id, CAST(o_totalprice AS DOUBLE) AS v
+             |  FROM orders
+             |  WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL),
+             |r AS (SELECT key, id, v,
+             |    ROW_NUMBER() OVER (PARTITION BY key ORDER BY v, id)
+             |      AS rn,
+             |    COUNT(*) OVER (PARTITION BY key) AS n FROM base),
+             |p AS (SELECT key, v, CASE WHEN n <= 1
+             |    THEN CAST(0 AS DOUBLE)
+             |    ELSE CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+             |    END AS pct FROM r),
+             |k AS (SELECT key, COUNT(*) AS n_kept,
+             |    CAST(SUM(CAST(floor(v * CAST(100 AS DOUBLE) + 0.5)
+             |      AS BIGINT)) AS BIGINT) AS s
+             |  FROM p WHERE pct >= CAST(0.1 AS DOUBLE)
+             |    AND pct <= CAST(1 AS DOUBLE) - CAST(0.1 AS DOUBLE)
+             |  GROUP BY 1),
+             |tot AS (SELECT key, COUNT(*) AS n FROM base GROUP BY 1)
+             |SELECT tot.key AS o_orderpriority,
+             |  CAST(tot.n AS BIGINT) AS n,
+             |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+             |  round(CAST(s AS DOUBLE) / CAST(k.n_kept AS DOUBLE)
+             |    / CAST(100 AS DOUBLE), 6) AS trimmed_mean
+             |FROM tot LEFT JOIN k ON k.key = tot.key
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ----- distinct-n generation diversity -------------------------------------
+    // Corpus-pooled distinct/total n-gram ratios for n = 1..3 — the
+    // mode-collapse alarm; two-phase distinct aggregation, one
+    // division per order.
+    "q250_distinct_n" -> Entry(
+      (s, dir) => Metrics.distinctN(t(s, dir, "documents"), "text",
+        maxN = 3).orderBy("n"),
+      Some {
+        val per = (1 to 3).map { n =>
+          s"""SELECT $n AS n, COUNT(*) AS n_total,
+             |  COUNT(DISTINCT g) AS n_distinct FROM (
+             |  SELECT array_to_string(w[i:i + ${n - 1}], ' ') AS g
+             |  FROM (SELECT $TOKS AS w FROM documents
+             |    WHERE text IS NOT NULL AND trim(text) <> ''),
+             |  unnest(generate_series(1, len(w) - ${n - 1})) AS u(i))"""
+            .stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""SELECT CAST(n AS INT) AS n, CAST(n_total AS BIGINT)
+           |    AS n_total,
+           |  CAST(n_distinct AS BIGINT) AS n_distinct,
+           |  CASE WHEN n_total > 0 THEN
+           |    round(CAST(n_distinct AS DOUBLE)
+           |      / CAST(n_total AS DOUBLE), 6) END AS distinct_ratio
+           |FROM ($per) ORDER BY n""".stripMargin
+      }),
+
     // ----- X6 Count-Min sketch: frequency estimates, cell-exact -------------
     // Builds a deliberately TIGHT 4×16 grid over the document token
     // stream (the ~31-term vocabulary forces real cell collisions) with

@@ -589,6 +589,38 @@ object Metrics {
           .as("kappa"))
   }
 
+  /** Distinct-n generation diversity (Li et al. 2016's distinct-1/
+    * distinct-2) — the mode-collapse alarm for model samples: per
+    * n-gram order, the corpus-pooled count of DISTINCT n-grams over
+    * the total emitted, low ratios meaning the generator repeats
+    * itself. The eval battery's diversity leg next to [[bleu]]
+    * (fidelity) and [[chrF]].
+    *
+    * One tokenize fan-out per order; the distinct count is Spark's
+    * two-phase partial-distinct aggregation (map-side dedup absorbs
+    * the repeats that make the metric interesting) — no window, no
+    * collect. Integers until the one division per order (round-6).
+    * Output: `(n, n_total, n_distinct, distinct_ratio)`, one row per
+    * order; an order with zero grams (all texts shorter than n)
+    * reports a null ratio. */
+  def distinctN(df: DataFrame, textCol: String, maxN: Int = 2)
+      : DataFrame = {
+    require(maxN >= 1 && maxN <= 6,
+      s"distinctN: maxN must be in [1, 6], got $maxN")
+    (1 to maxN).map { n =>
+      val grams = df
+        .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+        .select(explode(Dedup.shingles(
+          TextAnalysis.tokens(col(textCol)), n)).as("__g"))
+      grams.agg(count(lit(1)).as("n_total"),
+          count_distinct(col("__g")).as("n_distinct"))
+        .select(lit(n).as("n"), col("n_total"), col("n_distinct"),
+          when(col("n_total") > 0,
+            round(col("n_distinct").cast("double") /
+              col("n_total").cast("double"), 6)).as("distinct_ratio"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Split-conformal calibration threshold (Vovk et al. 2005; Lei et
     * al. 2018's split form) — "set the quality-gate cutoff so at most
     * α of good documents are wrongly dropped, GUARANTEED": from a

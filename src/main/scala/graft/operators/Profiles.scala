@@ -500,6 +500,80 @@ object Profiles {
       .orderBy("bucket")
   }
 
+  /** Vocabulary-richness report (the hapax/type-token battery of
+    * classical corpus linguistics — Baayen 2001) — [[zipfFit]]'s
+    * integer sibling: `types`, `tokens`, `hapax` (frequency-1 terms),
+    * `dis` (frequency-2), the type-token ratio, and the hapax share
+    * of the vocabulary. Natural corpora run ~40–60% hapax — a
+    * collapsed hapax rate means template/boilerplate flooding, an
+    * inflated one means encoding damage or ID-like token shatter
+    * (each a different cleanup).
+    *
+    * One corpus-keyed term count (map-combined) folding to one row;
+    * all integers until the two single-division ratios (round-6).
+    * TTR is length-DEPENDENT — compare corpora at similar token
+    * totals (the classical caveat, left to the caller). */
+  def vocabRichness(df: DataFrame, textCol: String): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy("__t").agg(count(lit(1)).as("__c"))
+      .agg(count(lit(1)).as("types"), sum("__c").as("tokens"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("hapax"),
+        sum(when(col("__c") === 2, 1L).otherwise(0L)).as("dis"))
+      .select(col("types"), col("tokens"), col("hapax"), col("dis"),
+        round(col("types").cast("double") / col("tokens").cast("double"),
+          6).as("ttr"),
+        round(col("hapax").cast("double") / col("types").cast("double"),
+          6).as("hapax_rate"))
+
+  /** Per-key trimmed mean (the robust-statistics workhorse — Tukey;
+    * "average quality per source with the outliers cut off"): drop
+    * each key's lowest and highest `trimBp` basis points by the
+    * deterministic (value, id) order, mean what remains. The mean a
+    * mixture recipe should consume when a source's score tail is
+    * polluted (spam floods the bottom, mislabeled boilerplate the
+    * top) — [[proportionBounds]] guards rates the same way.
+    *
+    * Rides [[graft.operators.Rank.perKeyPercentRank]] (the bucketed
+    * two-phase exact rank — ONE corpus exchange, no per-key window),
+    * then one keyed aggregation of `scale`-quantized longs: the mean
+    * is a ratio of exact integers, engine-bit-identical. Built for
+    * FEW, possibly enormous keys (sources, languages) — the
+    * perKeyPercentRank contract.
+    *
+    * Keys whose rows are ALL trimmed (n ≤ 2·trim quantile mass, e.g.
+    * single-row keys at any positive trim) report `n_kept = 0` and a
+    * null mean — loud, not a fabricated value. Output: `(key, n,
+    * n_kept, trimmed_mean)`. */
+  def trimmedMeanByKey(df: DataFrame, keyCol: String, idCol: String,
+      valueCol: String, trimBp: Int, scale: Int = 2): DataFrame = {
+    require(trimBp >= 1 && trimBp <= 4999,
+      s"trimmedMeanByKey: trimBp must be in [1, 4999], got $trimBp")
+    require(scale >= 0 && scale <= 6,
+      s"trimmedMeanByKey: scale must be in [0, 6], got $scale")
+    val mult = math.pow(10.0, scale)
+    val sd = col(valueCol).cast("double")
+    val base = df
+      .filter(col(idCol).isNotNull && sd.isNotNull && !isnan(sd))
+      .select(col(keyCol).as("__key"), col(idCol).as("__vid"),
+        sd.as("__v"))
+    val t = trimBp.toDouble / 10000.0
+    val kept = Rank.perKeyPercentRank(base, col("__key"), col("__vid"),
+        col("__v"), out = "__pct")
+      .filter(col("__pct") >= t && col("__pct") <= lit(1.0) - lit(t))
+      .groupBy("__key")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(floor(col("__v") * lit(mult) + lit(0.5)).cast("long"))
+          .as("__s"))
+    base.groupBy(col("__key")).agg(count(lit(1)).as("n"))
+      .join(kept, Seq("__key"), "left")
+      .select(col("__key").as("key"), col("n"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        round(col("__s").cast("double") / col("n_kept").cast("double") /
+          lit(mult), 6).as("trimmed_mean"))
+  }
+
   /** Zipf rank-frequency fit (Zipf 1949; Piantadosi 2014 review) —
     * the one-number corpus-health shape check: natural text follows
     * `freq ∝ rank^slope` with slope ≈ −1, so a log-log OLS slope far

@@ -850,4 +850,42 @@ object TextAnalysis {
         array_join(slice(col("__ts"), col("__p") + 1,
           col("__n") - col("__p")), " ").as("target_text"))
   }
+
+  /** Flesch reading ease (Flesch 1948; Kincaid et al. 1975's
+    * coefficients) — the classic cheap readability gate a curation
+    * recipe runs alongside [[qualityColumns]]: `206.835 −
+    * 1.015·(words/sentences) − 84.6·(syllables/words)` with the
+    * standard machine heuristics — sentences = terminal-punctuation
+    * runs `[.!?]+` (min 1), syllables per word = lowercase vowel
+    * groups `[aeiouy]+` (min 1, the hyphenation-dictionary-free
+    * approximation every readability library ships).
+    *
+    * Pure per-row projection: three regex counts over the token array
+    * fold — zero shuffles beyond the caller's, the [[fingerprint]]
+    * per-row-CPU contract. Counts are integers; the score is one
+    * fixed-order double expression (round-6) — engine-bit-identical.
+    * Empty/whitespace-only text reports 0 words and a null score
+    * (loud, not a fake grade). Output: `(id, words, sentences,
+    * syllables, flesch)`. */
+  def readability(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = filter(tokens(col(textCol)), w => w =!= "")
+    val words = size(toks).cast("long")
+    val sentences = greatest(
+      regexp_count(col(textCol), lit("[.!?]+")), lit(1)).cast("long")
+    val syllables = aggregate(toks, lit(0L), (acc, w) =>
+      acc + greatest(regexp_count(lower(w), lit("[aeiouy]+")),
+        lit(1)).cast("long"))
+    val flesch = lit(206.835) -
+      lit(1.015) * (col("words").cast("double") /
+        col("sentences").cast("double")) -
+      lit(84.6) * (col("syllables").cast("double") /
+        col("words").cast("double"))
+    df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("id"), words.as("words"),
+        sentences.as("sentences"), syllables.as("syllables"))
+      .select(col("id"), col("words"), col("sentences"),
+        col("syllables"),
+        when(col("words") > 0, round(flesch, 6)).as("flesch"))
+  }
 }

@@ -2264,6 +2264,88 @@ class CorpusOpsSpec extends TestBase {
     }.getMessage.contains("topN"))
   }
 
+  test("readability: hand-counted Flesch components, min-1 floors, " +
+      "empty text reports null") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val d = Seq(
+      (1L, "The cat sat. It ran!"), // 5 words, 2 sentences, 5 syllables
+      (2L, "xyz 7"),                // vowel-less words floor at 1 each
+      (3L, "   "),                  // whitespace-only → 0 words
+      (4L, "no punctuation here")). // sentences floors at 1
+      toDF("doc_id", "text")
+    val got = TextAnalysis.readability(d, "doc_id", "text")
+      .orderBy("id").collect()
+    val r1 = got(0)
+    assert(r1.getAs[Long]("words") == 5 &&
+      r1.getAs[Long]("sentences") == 2 &&
+      r1.getAs[Long]("syllables") == 5, r1.toString)
+    // 206.835 − 1.015·(5/2) − 84.6·(5/5) = 119.6975
+    assert(r1.getAs[Double]("flesch") == 119.6975, r1.toString)
+    assert(got(1).getAs[Long]("syllables") == 2, got(1).toString)
+    assert(got(2).getAs[Long]("words") == 0 &&
+      got(2).isNullAt(got(2).fieldIndex("flesch")), got(2).toString)
+    assert(got(3).getAs[Long]("sentences") == 1, got(3).toString)
+  }
+
+  test("vocabRichness: hand-counted types/hapax battery") {
+    import spark.implicits._
+    import graft.operators.Profiles
+    val d = Seq("a b a c", "b d").map(Tuple1(_)).toDF("text")
+    val r = Profiles.vocabRichness(d, "text").collect().head
+    assert(r.getAs[Long]("types") == 4 && r.getAs[Long]("tokens") == 6 &&
+      r.getAs[Long]("hapax") == 2 && r.getAs[Long]("dis") == 2,
+      r.toString)
+    assert(r.getAs[Double]("ttr") == 0.666667 &&
+      r.getAs[Double]("hapax_rate") == 0.5, r.toString)
+  }
+
+  test("trimmedMeanByKey: hand-trimmed tails, all-trimmed keys " +
+      "report null, guards validate") {
+    import spark.implicits._
+    import graft.operators.Profiles
+    val d = ((1 to 10).map(i => ("A", i.toLong, i.toDouble)) :+
+      (("B", 99L, 7.0))).toDF("k", "id", "v")
+    val got = Profiles.trimmedMeanByKey(d, "k", "id", "v",
+      trimBp = 1000).orderBy("key").collect()
+    // key A: pct = (rn−1)/9, keep rn 2..9 → mean(2..9) = 5.5
+    val a = got(0)
+    assert(a.getAs[Long]("n") == 10 && a.getAs[Long]("n_kept") == 8 &&
+      a.getAs[Double]("trimmed_mean") == 5.5, a.toString)
+    // key B: single row has pct 0 < 0.1 → everything trimmed → null
+    val b = got(1)
+    assert(b.getAs[Long]("n_kept") == 0 &&
+      b.isNullAt(b.fieldIndex("trimmed_mean")), b.toString)
+    assert(intercept[IllegalArgumentException] {
+      Profiles.trimmedMeanByKey(d, "k", "id", "v", trimBp = 5000)
+    }.getMessage.contains("trimBp"))
+  }
+
+  test("distinctN: hand-counted diversity ratios and the short-text " +
+      "null order") {
+    import spark.implicits._
+    import graft.operators.Metrics
+    val d = Seq("a b a", "a b").map(Tuple1(_)).toDF("text")
+    val got = Metrics.distinctN(d, "text", maxN = 3).orderBy("n")
+      .collect()
+    assert(got(0).getAs[Long]("n_total") == 5 &&
+      got(0).getAs[Long]("n_distinct") == 2 &&
+      got(0).getAs[Double]("distinct_ratio") == 0.4, got(0).toString)
+    assert(got(1).getAs[Long]("n_total") == 3 &&
+      got(1).getAs[Long]("n_distinct") == 2 &&
+      got(1).getAs[Double]("distinct_ratio") == 0.666667,
+      got(1).toString)
+    // n = 3: only "a b a" is long enough → 1 gram
+    assert(got(2).getAs[Long]("n_total") == 1 &&
+      got(2).getAs[Double]("distinct_ratio") == 1.0, got(2).toString)
+    // every text shorter than n → zero grams, null ratio
+    val short = Seq("x").map(Tuple1(_)).toDF("text")
+    val gs = Metrics.distinctN(short, "text", maxN = 2).orderBy("n")
+      .collect()
+    assert(gs(1).getAs[Long]("n_total") == 0 &&
+      gs(1).isNullAt(gs(1).fieldIndex("distinct_ratio")), gs(1).toString)
+  }
+
   test("tokenLabelMi: a perfect label marker tops the ranking, an " +
       "everywhere-token scores exactly 0, minDf gates") {
     import spark.implicits._
