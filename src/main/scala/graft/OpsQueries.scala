@@ -6123,6 +6123,105 @@ object OpsQueries {
            |FROM ($per) ORDER BY n""".stripMargin
       }),
 
+    // ----- k-core peeling ------------------------------------------------------
+    // Three synchronous peels at k = 6 over the dense q176 4-family
+    // graph (k=6 leaves a 19-vertex core with 3 vertices genuinely
+    // peeled; k=8 cascades to empty — a 0-row oracle checks nothing).
+    // Integer degrees end-to-end; the oracle unrolls each peel as
+    // HAVING + two joins.
+    "q251_kcore" -> Entry(
+      (s, dir) => {
+        val base = t(s, dir, "documents").select(col("doc_id"))
+        def fam(m: Int, c: Int) =
+          struct((col("doc_id") % 23).as("s"),
+            ((col("doc_id") * m + c) % 23).as("t"))
+        val edges = base.select(explode(array(
+            fam(7, 3), fam(5, 1), fam(3, 11), fam(9, 2))).as("e"))
+          .select(col("e.s").as("s"), col("e.t").as("t"))
+        Graph.kCore(edges, "s", "t", k = 6, sweeps = 3).orderBy("id")
+      },
+      Some {
+        def sweep(prev: String, i: Int): String =
+          s"""k$i AS (SELECT a AS id FROM $prev GROUP BY a
+             |  HAVING COUNT(*) >= 6),
+             |e$i AS (SELECT e.a, e.b FROM $prev e
+             |  JOIN k$i x ON x.id = e.a JOIN k$i y ON y.id = e.b)"""
+            .stripMargin
+        s"""WITH r AS (
+           |  SELECT doc_id % 23 AS s, (doc_id * 7 + 3) % 23 AS t
+           |    FROM documents
+           |  UNION ALL
+           |  SELECT doc_id % 23, (doc_id * 5 + 1) % 23 FROM documents
+           |  UNION ALL
+           |  SELECT doc_id % 23, (doc_id * 3 + 11) % 23 FROM documents
+           |  UNION ALL
+           |  SELECT doc_id % 23, (doc_id * 9 + 2) % 23 FROM documents),
+           |e0 AS (SELECT DISTINCT a, b FROM (
+           |  SELECT s AS a, t AS b FROM r WHERE s <> t
+           |  UNION ALL SELECT t, s FROM r WHERE s <> t)),
+           |${sweep("e0", 1)},
+           |${sweep("e1", 2)},
+           |${sweep("e2", 3)}
+           |SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS degree
+           |FROM e3 GROUP BY a ORDER BY id""".stripMargin
+      }),
+
+    // ----- degree assortativity ------------------------------------------------
+    // Newman's degree-correlation r over the q143 affine graph — all
+    // integer sums over oriented edge-endpoints, one fixed-order
+    // final expression.
+    "q252_assortativity" -> Entry(
+      (s, dir) => Graph.assortativity(
+        t(s, dir, "documents")
+          .select((col("doc_id") % 53).as("src"),
+            ((col("doc_id") * 7 + 11) % 53).as("dst")),
+        "src", "dst"),
+      Some("""WITH d AS (SELECT doc_id % 53 AS a,
+             |    (doc_id * 7 + 11) % 53 AS b FROM documents
+             |  WHERE doc_id % 53 <> (doc_id * 7 + 11) % 53),
+             |sym AS (SELECT DISTINCT a, b FROM (
+             |  SELECT a, b FROM d UNION ALL SELECT b, a FROM d)),
+             |deg AS (SELECT a AS id, COUNT(*) AS dg FROM sym
+             |  GROUP BY 1),
+             |j AS (SELECT da.dg AS ja, db.dg AS jb FROM sym
+             |  JOIN deg da ON da.id = sym.a
+             |  JOIN deg db ON db.id = sym.b),
+             |s AS (SELECT COUNT(*) AS m2,
+             |    CAST(SUM(ja * jb) AS BIGINT) AS sjk,
+             |    CAST(SUM(ja) AS BIGINT) AS sj,
+             |    CAST(SUM(ja * ja) AS BIGINT) AS sjj FROM j),
+             |f AS (SELECT m2, CAST(sj AS DOUBLE) / CAST(m2 AS DOUBLE)
+             |    AS mean, sjk, sjj FROM s)
+             |SELECT CAST(m2 / 2 AS BIGINT) AS m_edges,
+             |  CASE WHEN CAST(sjj AS DOUBLE) / CAST(m2 AS DOUBLE)
+             |      - mean * mean <> 0 THEN
+             |    round((CAST(sjk AS DOUBLE) / CAST(m2 AS DOUBLE)
+             |        - mean * mean)
+             |      / (CAST(sjj AS DOUBLE) / CAST(m2 AS DOUBLE)
+             |        - mean * mean), 6) END AS assortativity
+             |FROM f""".stripMargin)),
+
+    // ----- Gini key concentration ----------------------------------------------
+    // Lorenz rank-form Gini over the per-language row counts — the
+    // keySkew one-number summary; integer sums, NULLS FIRST pinned on
+    // the key tiebreak.
+    "q253_gini" -> Entry(
+      (s, dir) => Profiles.giniConcentration(
+        t(s, dir, "documents"), "lang"),
+      Some("""WITH c AS (SELECT CAST(lang AS VARCHAR) AS k,
+             |    COUNT(*) AS x FROM documents GROUP BY 1),
+             |r AS (SELECT x, ROW_NUMBER() OVER (
+             |    ORDER BY x, k NULLS FIRST) AS i FROM c),
+             |s AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS tot,
+             |    CAST(SUM(i * x) AS BIGINT) AS ix FROM r)
+             |SELECT CAST(n AS BIGINT) AS n_keys, tot AS total,
+             |  CASE WHEN n >= 2 THEN round((CAST(2 AS DOUBLE)
+             |      * CAST(ix AS DOUBLE)
+             |    - CAST(n + 1 AS DOUBLE) * CAST(tot AS DOUBLE))
+             |    / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE)), 6)
+             |  END AS gini
+             |FROM s""".stripMargin)),
+
     // ----- X6 Count-Min sketch: frequency estimates, cell-exact -------------
     // Builds a deliberately TIGHT 4×16 grid over the document token
     // stream (the ~31-term vocabulary forces real cell collisions) with

@@ -145,7 +145,52 @@ object Soak {
       "bootstrap_ci" -> ((n: Long) =>
         Sampling.poissonBootstrapCI(
           shaped(n).select(col("doc_id"), col("score")),
-          "score", "doc_id", replicates = 16)))
+          "score", "doc_id", replicates = 16)),
+      // round-12b additions: priority sampling (TakeOrdered heap —
+      // zero exchanges at any n), memorization scan (1/1000 candidate
+      // sample broadcast against the full corpus stream), label
+      // propagation (graph size scales with n), conformal threshold
+      // (range-decomposed order statistic), trimmed mean (dominant-key
+      // 'en' stresses the bucket decomposition), KNN-Shapley (8
+      // validation points against the full corpus — parallelism is
+      // |valid| by contract, each partition |train|-sized)
+      "priority_sample" -> ((n: Long) =>
+        Sampling.prioritySample(
+          shaped(n).select(col("doc_id"), col("score")),
+          "doc_id", "score", k = 1000)),
+      "memorization" -> ((n: Long) =>
+        graft.operators.Decontaminate.memorizationScan(
+          corpus(n).filter(col("doc_id") % 1000 === 0)
+            .select(col("doc_id"), col("text")),
+          corpus(n).select(col("doc_id"), col("text")),
+          "doc_id", "text", n = 6)),
+      "label_prop" -> ((n: Long) => {
+        val m = math.max(n / 50, 100L)
+        graft.operators.Graph.labelPropagation(
+          corpus(n).select((col("doc_id") % m).as("s"),
+            ((col("doc_id") * 7 + 11) % m).as("d")),
+          "s", "d", sweeps = 2)
+      }),
+      "conformal" -> ((n: Long) =>
+        graft.operators.Metrics.conformalThreshold(
+          shaped(n).select(col("doc_id"), col("score")),
+          "score", "doc_id", alpha = 0.1)),
+      "trimmed_mean" -> ((n: Long) =>
+        graft.operators.Profiles.trimmedMeanByKey(
+          shaped(n).select(col("lang"), col("doc_id"), col("score")),
+          "lang", "doc_id", "score", trimBp = 500)),
+      "knn_shapley" -> ((n: Long) => {
+        def vec(c: org.apache.spark.sql.Column) =
+          transform(sequence(lit(1), lit(8)), i =>
+            ((abs(hash(c * i)) % 1000).cast("double") / lit(1000.0))
+              .cast("float"))
+        def side(f: DataFrame) = f.select(col("doc_id"),
+          vec(col("doc_id")).as("emb"), (col("doc_id") % 4).as("y"))
+        graft.operators.Valuation.knnShapley(
+          side(corpus(n).filter(col("doc_id") % 97 =!= 0)),
+          side(corpus(n).filter(col("doc_id") < 8)),
+          "doc_id", "emb", "y", k = 5)
+      }))
 
     /** Non-reused exchange count of the EXECUTED (final adaptive)
       * plan — the plan-drift fingerprint. */

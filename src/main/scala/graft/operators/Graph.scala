@@ -153,6 +153,100 @@ object Graph {
     labels
   }
 
+  /** Fixed-sweep k-core peeling (Seidman 1983; the BZ/peeling family)
+    * — the density skeleton a link-farm/community audit keeps after
+    * [[triangleCount]] says "dense somewhere": repeatedly delete
+    * vertices of degree < k (each `sweeps` pass recomputes degrees
+    * over the SURVIVING subgraph and drops below-k vertices
+    * all-at-once — the synchronous schedule, deterministic and
+    * oracle-replayable; full convergence takes ≤ diameter-ish sweeps,
+    * callers wanting the fixpoint raise `sweeps` until the spec-pinned
+    * stability holds). Over the undirected simple graph (direction/
+    * dups/self-loops normalized). Integer degrees end-to-end.
+    *
+    * Scale shape: [[pagerank]]'s — the symmetric adjacency
+    * materializes once and each sweep is one degree aggregation
+    * (map-combined) + two semi-joins that ship ids only; edges
+    * localCheckpoint per sweep to cut iterative lineage.
+    *
+    * Output: surviving `(id, degree)` — degree within the final
+    * surviving subgraph. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      sweeps: Int): DataFrame = {
+    require(k >= 1, s"Graph.kCore: k must be >= 1, got $k")
+    require(sweeps >= 1, s"Graph.kCore: sweeps must be >= 1")
+    val dir = edges
+      .select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+    var adj = dir.union(dir.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    for (_ <- 1 to sweeps) {
+      val keep = adj.groupBy(col("a").as("id"))
+        .agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k)
+        .select("id")
+      val pruned = adj
+        .join(keep.select(col("id").as("__ka")),
+          col("a") === col("__ka"), "left_semi")
+        .join(keep.select(col("id").as("__kb")),
+          col("b") === col("__kb"), "left_semi")
+        .localCheckpoint(true)
+      adj.unpersist()
+      adj = pruned.persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    val out = adj.groupBy(col("a").as("id"))
+      .agg(count(lit(1)).cast("long").as("degree"))
+    out
+  }
+
+  /** Degree assortativity (Newman 2002, the degree-variant Pearson r
+    * over edges) — one number for "do hubs link to hubs?": positive
+    * for social-ish graphs, negative for hub-and-spoke link farms and
+    * crawler traps, a cheap structural fingerprint next to
+    * [[triangleCount]]. Over the undirected simple graph, each edge
+    * contributing its endpoint-degree pair symmetrically:
+    * `r = (S_jk/M − (S_j/M)²) / (S_jj/M − (S_j/M)²)` with
+    * `S_jk = Σ j·k`, `S_j = Σ ½(j+k)`, `S_jj = Σ ½(j²+k²)` — all
+    * INTEGER sums over edges (halves cancel by summing both
+    * orientations), so the only float math is the final fixed-order
+    * expression. Null when the variance is 0 (a regular graph — no
+    * correlation to measure).
+    *
+    * Scale: one degree aggregation + one broadcast-or-hash join of
+    * degrees onto edges + one global fold. No windows, no iteration.
+    *
+    * Output one row: `m_edges, assortativity`. */
+  def assortativity(edges: DataFrame, srcCol: String, dstCol: String)
+      : DataFrame = {
+    val dir = edges
+      .select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+    val sym = dir.union(dir.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+    val deg = sym.groupBy(col("a").as("__id"))
+      .agg(count(lit(1)).as("__deg"))
+    // both orientations ride `sym`, so Σ(j+k)/2 and Σ(j²+k²)/2 become
+    // plain Σ j and Σ j² over oriented edge-endpoints — integer-exact
+    val joined = sym
+      .join(deg.select(col("__id").as("__ia"), col("__deg").as("__ja")),
+        col("a") === col("__ia"))
+      .join(deg.select(col("__id").as("__ib"), col("__deg").as("__jb")),
+        col("b") === col("__ib"))
+    val sums = joined.agg(count(lit(1)).as("__m2"),
+      sum(col("__ja") * col("__jb")).as("__sjk"),
+      sum(col("__ja")).as("__sj"),
+      sum(col("__ja") * col("__ja")).as("__sjj"))
+    val m = col("__m2").cast("double")
+    val mean = col("__sj").cast("double") / m
+    val num = col("__sjk").cast("double") / m - mean * mean
+    val den = col("__sjj").cast("double") / m - mean * mean
+    sums.select((col("__m2") / 2).cast("long").as("m_edges"),
+      when(den =!= 0.0, round(num / den, 6)).as("assortativity"))
+  }
+
   /** EXACT triangle count over the undirected simple graph induced by
     * `edges` (direction, duplicates, and self-loops are normalized
     * away) — the graph-health/community-density primitive (e.g.

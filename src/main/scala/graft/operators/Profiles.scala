@@ -500,6 +500,40 @@ object Profiles {
       .orderBy("bucket")
   }
 
+  /** Gini concentration of a key's row distribution (Gini 1912 via
+    * the rank form of the Lorenz sum) — [[keySkew]]'s one-number
+    * summary: 0 = perfectly balanced keys, →1 = one key holds
+    * everything. THE pre-shuffle skew indicator to track per
+    * snapshot: a rising Gini on (domain, shard, language) says the
+    * salting/AQE knobs are about to matter before a straggler task
+    * does. `G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx)` over the per-key
+    * counts xᵢ sorted ascending (count, key) — rank-form exact, all
+    * INTEGER sums (the only float is the final division). Null with
+    * fewer than 2 keys (no inequality to measure).
+    *
+    * Scale: one corpus aggregation to the |keys|-sized count table,
+    * then [[graft.operators.Rank.globalRank]] over it (range
+    * exchange, no single-task window — key tables at 100 TB are
+    * domain-sized, i.e. big) and one fold. Null keys count as a key.
+    *
+    * Output one row: `n_keys, total, gini`. */
+  def giniConcentration(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol).cast("string").as("__k"))
+      .agg(count(lit(1)).as("__x"))
+    val ranked = Rank.globalRank(counts,
+      Seq(col("__x").asc, col("__k").asc_nulls_first), outCol = "__i")
+    val sums = ranked.agg(count(lit(1)).as("n_keys"),
+      sum("__x").as("total"),
+      sum(col("__i") * col("__x")).as("__ix"))
+    sums.select(col("n_keys"), col("total"),
+      when(col("n_keys") >= 2, round(
+        (lit(2.0) * col("__ix").cast("double") -
+          (col("n_keys") + 1).cast("double") *
+            col("total").cast("double")) /
+          (col("n_keys").cast("double") * col("total").cast("double")),
+        6)).as("gini"))
+  }
+
   /** Vocabulary-richness report (the hapax/type-token battery of
     * classical corpus linguistics — Baayen 2001) — [[zipfFit]]'s
     * integer sibling: `types`, `tokens`, `hapax` (frequency-1 terms),

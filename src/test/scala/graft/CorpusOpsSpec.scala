@@ -2346,6 +2346,23 @@ class CorpusOpsSpec extends TestBase {
       gs(1).isNullAt(gs(1).fieldIndex("distinct_ratio")), gs(1).toString)
   }
 
+  test("giniConcentration: balanced keys score 0, hand-computed skew, " +
+      "single key null") {
+    import spark.implicits._
+    import graft.operators.Profiles
+    val even = Seq("a", "a", "b", "b").map(Tuple1(_)).toDF("k")
+    val re = Profiles.giniConcentration(even, "k").collect().head
+    assert(re.getAs[Long]("n_keys") == 2 && re.getAs[Long]("total") == 4
+      && re.getAs[Double]("gini") == 0.0, re.toString)
+    // counts {a:1, b:9}: G = (2·(1+18) − 3·10)/(2·10) = 0.4
+    val skew = (Seq("a") ++ Seq.fill(9)("b")).map(Tuple1(_)).toDF("k")
+    val rsk = Profiles.giniConcentration(skew, "k").collect().head
+    assert(rsk.getAs[Double]("gini") == 0.4, rsk.toString)
+    val one = Seq("a", "a").map(Tuple1(_)).toDF("k")
+    val ro = Profiles.giniConcentration(one, "k").collect().head
+    assert(ro.isNullAt(ro.fieldIndex("gini")), ro.toString)
+  }
+
   test("tokenLabelMi: a perfect label marker tops the ranking, an " +
       "everywhere-token scores exactly 0, minDf gates") {
     import spark.implicits._

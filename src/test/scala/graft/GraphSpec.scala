@@ -182,4 +182,33 @@ class GraphSpec extends TestBase {
       Graph.labelPropagation(pair, "s", "d", sweeps = 0)
     }.getMessage.contains("sweeps"))
   }
+
+  test("kCore: the pendant peels off a triangle at k=2, k=3 empties " +
+      "it, normalization holds") {
+    import spark.implicits._
+    // triangle {1,2,3} + pendant 4–1, with dup/reversed noise
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L), (2L, 1L),
+      (1L, 1L)).toDF("s", "d").repartition(3)
+    val got = Graph.kCore(e, "s", "d", k = 2, sweeps = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), got.toString)
+    // k = 3: nothing survives the first peel's cascade
+    assert(Graph.kCore(e, "s", "d", k = 3, sweeps = 2).count() == 0L)
+    assert(intercept[IllegalArgumentException] {
+      Graph.kCore(e, "s", "d", k = 0, sweeps = 1)
+    }.getMessage.contains("k"))
+  }
+
+  test("assortativity: a star scores exactly −1, a regular graph has " +
+      "no correlation to measure (null)") {
+    import spark.implicits._
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("s", "d")
+    val rs = Graph.assortativity(star, "s", "d").collect().head
+    assert(rs.getAs[Long]("m_edges") == 3 &&
+      rs.getAs[Double]("assortativity") == -1.0, rs.toString)
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+    val rt = Graph.assortativity(tri, "s", "d").collect().head
+    assert(rt.getAs[Long]("m_edges") == 3 &&
+      rt.isNullAt(rt.fieldIndex("assortativity")), rt.toString)
+  }
 }
