@@ -6222,6 +6222,152 @@ object OpsQueries {
              |  END AS gini
              |FROM s""".stripMargin)),
 
+    // ----- two-sample Kolmogorov–Smirnov drift -------------------------------
+    // Length drift between the 'en' slice and the rest: integer running
+    // counts (range-decomposed on the Spark side, window on the
+    // oracle's — both exact over integers), one division per observed
+    // value, order-insensitive max.
+    "q254_ks_test" -> Entry(
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        Profiles.ksTest(
+          d.filter(col("lang") === "en"),
+          d.filter(col("lang").isNotNull && col("lang") =!= "en"),
+          "n_chars")
+      },
+      Some("""WITH a AS (SELECT CAST(n_chars AS DOUBLE) AS v
+             |    FROM documents WHERE lang = 'en' AND n_chars IS NOT NULL),
+             |b AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+             |  WHERE lang IS NOT NULL AND lang <> 'en'
+             |    AND n_chars IS NOT NULL),
+             |c AS (SELECT v, SUM(ca) AS ca, SUM(cb) AS cb FROM (
+             |    SELECT v, 1 AS ca, 0 AS cb FROM a
+             |    UNION ALL SELECT v, 0, 1 FROM b) GROUP BY v),
+             |r AS (SELECT SUM(ca) OVER (ORDER BY v) AS ra,
+             |    SUM(cb) OVER (ORDER BY v) AS rb FROM c),
+             |t AS (SELECT (SELECT COUNT(*) FROM a) AS na,
+             |    (SELECT COUNT(*) FROM b) AS nb)
+             |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+             |  round(MAX(abs(CAST(ra AS DOUBLE) / CAST(na AS DOUBLE)
+             |    - CAST(rb AS DOUBLE) / CAST(nb AS DOUBLE))), 6) AS d_stat
+             |FROM r, t GROUP BY na, nb""".stripMargin)),
+
+    // ----- Cramér's V categorical association --------------------------------
+    // source × lang association — per-cell χ² terms quantized to longs
+    // (floor(t·1e9 + 0.5), the coOccurrence convention) so the cell sum
+    // is association-order-exact; both engines evaluate the identical
+    // fixed-order double expression per cell.
+    "q255_cramers_v" -> Entry(
+      (s, dir) => Profiles.cramersV(
+        t(s, dir, "documents"), "source", "lang"),
+      Some("""WITH base AS (SELECT CAST(source AS VARCHAR) AS a,
+             |    CAST(lang AS VARCHAR) AS b FROM documents
+             |  WHERE source IS NOT NULL AND lang IS NOT NULL),
+             |cells AS (SELECT a, b, COUNT(*) AS o FROM base GROUP BY a, b),
+             |ra AS (SELECT a, COUNT(*) AS ra FROM base GROUP BY a),
+             |cb AS (SELECT b, COUNT(*) AS cb FROM base GROUP BY b),
+             |t AS (SELECT COUNT(*) AS n, COUNT(DISTINCT a) AS ka,
+             |    COUNT(DISTINCT b) AS kb FROM base),
+             |terms AS (SELECT
+             |    CAST(coalesce(o, 0) AS DOUBLE)
+             |      - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)
+             |        / CAST(n AS DOUBLE) AS d,
+             |    CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)
+             |      / CAST(n AS DOUBLE) AS e
+             |  FROM ra CROSS JOIN cb
+             |    LEFT JOIN cells USING (a, b)
+             |    CROSS JOIN t),
+             |f AS (SELECT (SELECT MAX(n) FROM t) AS n,
+             |    (SELECT MAX(ka) FROM t) AS ka,
+             |    (SELECT MAX(kb) FROM t) AS kb,
+             |    SUM(CAST(floor(d * d / e * CAST(1e9 AS DOUBLE)
+             |      + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS chi9
+             |  FROM terms)
+             |SELECT CAST(coalesce(n, 0) AS BIGINT) AS n,
+             |  CAST(coalesce(ka, 0) AS BIGINT) AS categories_a,
+             |  CAST(coalesce(kb, 0) AS BIGINT) AS categories_b,
+             |  round(CAST(coalesce(chi9, 0) AS DOUBLE)
+             |    / CAST(1e9 AS DOUBLE), 6) AS chi2,
+             |  CASE WHEN ka >= 2 AND kb >= 2 THEN
+             |    round(sqrt(CAST(chi9 AS DOUBLE) / CAST(1e9 AS DOUBLE)
+             |      / (CAST(n AS DOUBLE)
+             |        * CAST(LEAST(ka, kb) - 1 AS DOUBLE))), 6)
+             |  END AS cramers_v
+             |FROM f""".stripMargin)),
+
+    // ----- HITS hubs & authorities -------------------------------------------
+    // Two sweeps of the UNNORMALIZED integer form over the dense q176
+    // 4-family graph — all-ones init, auth-then-hub per sweep, pure
+    // integer sums end-to-end (normalization is a positive per-sweep
+    // scalar: dropping it keeps the ranking and makes the oracle plain
+    // unrolled SQL).
+    "q256_hits" -> Entry(
+      (s, dir) => {
+        val base = t(s, dir, "documents").select(col("doc_id"))
+        def fam(m: Int, c: Int) =
+          struct((col("doc_id") % 23).as("s"),
+            ((col("doc_id") * m + c) % 23).as("t"))
+        val edges = base.select(explode(array(
+            fam(7, 3), fam(5, 1), fam(3, 11), fam(9, 2))).as("e"))
+          .select(col("e.s").as("s"), col("e.t").as("t"))
+        Graph.hits(edges, "s", "t", sweeps = 2).orderBy("id")
+      },
+      Some {
+        def sweep(ph: String, pa: String, i: Int): String =
+          s"""a$i AS (SELECT v.id, COALESCE(x.s, 0) AS auth FROM v
+             |  LEFT JOIN (SELECT e.dst AS id, SUM($ph.hub) AS s
+             |    FROM e JOIN $ph ON $ph.id = e.src GROUP BY e.dst) x
+             |  ON x.id = v.id),
+             |h$i AS (SELECT v.id, COALESCE(x.s, 0) AS hub FROM v
+             |  LEFT JOIN (SELECT e.src AS id, SUM(a$i.auth) AS s
+             |    FROM e JOIN a$i ON a$i.id = e.dst GROUP BY e.src) x
+             |  ON x.id = v.id)""".stripMargin
+        s"""WITH r AS (
+           |  SELECT doc_id % 23 AS s, (doc_id * 7 + 3) % 23 AS t
+           |    FROM documents
+           |  UNION ALL
+           |  SELECT doc_id % 23, (doc_id * 5 + 1) % 23 FROM documents
+           |  UNION ALL
+           |  SELECT doc_id % 23, (doc_id * 3 + 11) % 23 FROM documents
+           |  UNION ALL
+           |  SELECT doc_id % 23, (doc_id * 9 + 2) % 23 FROM documents),
+           |e AS (SELECT DISTINCT s AS src, t AS dst FROM r WHERE s <> t),
+           |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+           |h0 AS (SELECT id, 1 AS hub FROM v),
+           |${sweep("h0", "a0", 1)},
+           |${sweep("h1", "a1", 2)}
+           |SELECT v.id, CAST(h2.hub AS BIGINT) AS hub,
+           |  CAST(a2.auth AS BIGINT) AS auth
+           |FROM v JOIN h2 ON h2.id = v.id JOIN a2 ON a2.id = v.id
+           |ORDER BY v.id""".stripMargin
+      }),
+
+    // ----- exact edit-distance join (FastSS deletion neighborhoods) ----------
+    // Typo-grade near-dup pairs among the distinct 3-word text prefixes
+    // at distance ≤ 2 — lossless deletion-neighborhood blocking + real
+    // levenshtein verification on the Spark side; the oracle brute-
+    // forces the quadratic join with a length prefilter. Two different
+    // algorithms agreeing on the exact pair set is the pin.
+    "q257_edit_join" -> Entry(
+      (s, dir) => {
+        val phrases = t(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          .select(array_join(
+            slice(split(col("text"), " "), 1, 3), " ").as("phrase"))
+        Dedup.editDistanceJoin(phrases, "phrase", maxDist = 2)
+          .select(col("a"), col("b"), col("dist").cast("long").as("dist"))
+          .orderBy("a", "b")
+      },
+      Some("""WITH s AS (SELECT DISTINCT array_to_string(
+             |    list_slice(string_split(text, ' '), 1, 3), ' ') AS v
+             |  FROM documents WHERE text IS NOT NULL)
+             |SELECT a.v AS a, b.v AS b,
+             |  CAST(levenshtein(a.v, b.v) AS BIGINT) AS dist
+             |FROM s a JOIN s b ON a.v < b.v
+             |  AND abs(length(a.v) - length(b.v)) <= 2
+             |  AND levenshtein(a.v, b.v) <= 2
+             |ORDER BY a, b""".stripMargin)),
+
     // ----- X6 Count-Min sketch: frequency estimates, cell-exact -------------
     // Builds a deliberately TIGHT 4×16 grid over the document token
     // stream (the ~31-term vocabulary forces real cell collisions) with

@@ -1015,4 +1015,92 @@ object Dedup {
           .when(col("__fp_old") <=> col("__fp_new"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
+
+  /** EXACT edit-distance similarity join over the DISTINCT values of a
+    * string column: every unordered pair `(a < b)` of distinct values
+    * with `1 ≤ levenshtein(a, b) ≤ maxDist` — the typo/near-identical-
+    * title dedup MinHash cannot see (one character flipped in a short
+    * string barely moves a shingle set, but it IS edit distance 1).
+    *
+    * Algorithm: FastSS deletion neighborhoods (Bocek et al. 2007) —
+    * any two strings within edit distance d share at least one common
+    * variant in their ≤d-deletion neighborhoods, so candidates come
+    * from ONE equi-join on variant strings (lossless blocking: the
+    * pigeonhole never drops a true pair) and each candidate verifies
+    * with the real `levenshtein` (the shared-variant condition is
+    * necessary, not sufficient — "ab"/"ba" share "a" at d=1 but sit at
+    * distance 2). Exact output, relational plan.
+    *
+    * Scale: the neighborhood fans each distinct value out ~len^d ways
+    * (d ≤ 2 enforced — d=3 cubes the fan-out and typo dedup does not
+    * need it), so the join input is |distinct|·len^d rows, NOT corpus-
+    * sized — dedupe-to-distinct runs first and is the operator's
+    * contract. A variant shared by k values yields k·(k−1)/2 candidate
+    * pairs; `maxBucket` FAILS LOUD (raise_error, never a silent drop —
+    * exactness is the point) when a bucket exceeds it: hot buckets mean
+    * the values were not typo-grade distinct (e.g. single characters)
+    * and need an upstream length floor.
+    *
+    * Output: `(a, b, dist)` with `a < b`, dist an int. */
+  def editDistanceJoin(df: DataFrame, textCol: String, maxDist: Int,
+      maxBucket: Int = 10000): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2,
+      s"Dedup.editDistanceJoin: maxDist must be 1 or 2, got $maxDist")
+    require(maxBucket >= 2,
+      s"Dedup.editDistanceJoin: maxBucket must be >= 2, got $maxBucket")
+    val strs = df.select(col(textCol).cast("string").as("__s"))
+      .filter(col("__s").isNotNull)
+      .distinct()
+    // level-1 neighborhood: s itself plus each single deletion
+    val d1 = flatten(array(
+      array(col("__s")),
+      transform(sequence(lit(1), length(col("__s"))), p =>
+        concat(substring(col("__s"), lit(1), (p - 1).cast("int")),
+          col("__s").substr(p + 1, length(col("__s")))))))
+    // level-2 adds all ordered pairs i < j deleted from the original:
+    // delete j first (positions stay aligned), then i
+    val d2pairs = flatten(transform(
+      sequence(lit(1), length(col("__s")) - 1), i =>
+        transform(sequence(i + 1, length(col("__s"))), j => {
+          val afterJ = concat(substring(col("__s"), lit(1),
+            (j - 1).cast("int")),
+            col("__s").substr(j + 1, length(col("__s"))))
+          concat(substring(afterJ, lit(1), (i - 1).cast("int")),
+            afterJ.substr(i + 1, length(afterJ)))
+        })))
+    val levels =
+      if (maxDist == 1) d1
+      else flatten(array(d1,
+        when(length(col("__s")) >= 2, d2pairs)
+          .otherwise(array().cast("array<string>"))))
+    // Spark's sequence(1, 0) runs DESCENDING, so the empty string must
+    // not reach the per-position transforms — its neighborhood is itself
+    val neighborhood =
+      when(length(col("__s")) === 0, array(col("__s"))).otherwise(levels)
+    val variants = strs
+      .select(col("__s"), explode(neighborhood).as("__var"))
+      .distinct()
+    // size-gate on the window count (sort-based, spills — the
+    // lshCandidates precedent), then drop singleton buckets: they can
+    // never pair, so they should not even enter the join's hash tables
+    val guarded = variants
+      .withColumn("__bn",
+        count(lit(1)).over(Window.partitionBy(col("__var"))))
+      .filter(col("__bn") > 1)
+      .select(
+        when(col("__bn") > maxBucket, raise_error(concat(
+          lit("editDistanceJoin: variant bucket exceeds maxBucket=" +
+            s"$maxBucket for variant '"), col("__var"),
+          lit("' — values are not typo-grade distinct; floor the " +
+            "length or raise maxBucket")))).otherwise(col("__s"))
+          .as("__s"),
+        col("__var"))
+    guarded.as("l")
+      .join(guarded.as("r"),
+        col("l.__var") === col("r.__var") && col("l.__s") < col("r.__s"))
+      .select(col("l.__s").as("a"), col("r.__s").as("b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("a"), col("b")))
+      .filter(col("dist") <= maxDist)
+  }
 }

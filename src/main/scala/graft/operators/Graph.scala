@@ -344,4 +344,72 @@ object Graph {
           .as("aa_score"))
       .filter(col("n_groups") >= minSupport)
   }
+
+  /** HITS hubs & authorities (Kleinberg 1999) in the UNNORMALIZED
+    * integer form — the crawl-side complement to [[pagerank]]: a good
+    * hub links to many good authorities, a good authority is linked
+    * from many good hubs. Classic HITS rescales each sweep by a
+    * positive norm, which never changes the RANKING — it only keeps
+    * floats bounded. Dropping it keeps every update a pure INTEGER
+    * sum (all-ones init; auth then hub per sweep, hub reading the
+    * sweep's NEW auth scores), so results replay bit-for-bit on any
+    * engine and the oracle is plain unrolled SQL — the same
+    * engine-parity reasoning as [[coOccurrence]]'s quantized weights,
+    * with no quantization needed at all.
+    *
+    * Capacity: scores grow like (max degree)^(2·sweeps); with
+    * longs that bounds deg^(2·sweeps) < 2^63 — e.g. 6 sweeps of a
+    * deg-1000 graph. `sweeps` is capped at 8 and callers with hotter
+    * hubs should rank on fewer sweeps (crawl practice: 2–3 sweeps
+    * already stabilize the ordering).
+    *
+    * Scale shape: [[pagerank]]'s — distinct non-loop edges
+    * materialize once, each half-sweep is one edge-keyed join plus a
+    * map-side-combined sum; scores localCheckpoint per sweep to cut
+    * iterative lineage.
+    *
+    * Output: (id, hub, auth) longs over the vertex spine; vertices
+    * with no in-edges have auth 0 after sweep 1 (resp. hub 0). */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      sweeps: Int): DataFrame = {
+    require(sweeps >= 1 && sweeps <= 8,
+      s"Graph.hits: sweeps must be in [1, 8], got $sweeps")
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var scores = verts
+      .withColumn("hub", lit(1L)).withColumn("auth", lit(1L))
+    for (_ <- 1 to sweeps) {
+      val auth = e
+        .join(scores.select(col("id").as("__sid"), col("hub")),
+          col("src") === col("__sid"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("hub")).as("__a"))
+      val newAuth = verts
+        .join(auth, Seq("id"), "left")
+        .select(col("id"), coalesce(col("__a"), lit(0L)).as("auth"))
+      val hub = e
+        .join(newAuth.select(col("id").as("__aid"), col("auth")),
+          col("dst") === col("__aid"))
+        .groupBy(col("src").as("id"))
+        .agg(sum(col("auth")).as("__h"))
+      scores = verts
+        .join(hub, Seq("id"), "left")
+        .join(newAuth, Seq("id"))
+        .select(col("id"), coalesce(col("__h"), lit(0L)).as("hub"),
+          col("auth"))
+        .localCheckpoint(true)
+    }
+    e.unpersist()
+    verts.unpersist()
+    scores
+  }
 }

@@ -667,4 +667,114 @@ object Profiles {
         round(covL.cast("double") * covL.cast("double") /
           (varxL.cast("double") * varyL.cast("double")), 6)).as("r2"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov statistic between snapshots `a` and
+    * `b` of a numeric column — [[psi]]'s bin-free sibling: `D =
+    * max_v |F_a(v) − F_b(v)|` over the OBSERVED values, the exact
+    * supremum (empirical CDFs only move at observed points), no
+    * binning decisions to pin. The drift alarm to use when no stable
+    * `[lo, hi)` ruler exists yet (first snapshot of a new feature).
+    *
+    * Exactness: cumulative counts are INTEGER running sums via
+    * [[graft.operators.Rank.globalRunningSum]] (range-decomposed — no
+    * single-task window over the distinct-value table, which at
+    * 100 TB is as big as the value domain); the only float math is
+    * the per-value count/total division (single exact IEEE op) and
+    * the final order-insensitive `max`. An EMPTY snapshot raises by
+    * name, as in [[psi]] — a CDF over nothing is not "no drift".
+    *
+    * Plan: each snapshot scans once into a value-keyed count
+    * aggregation; the union'd count table range-exchanges twice (one
+    * per running sum — each reuses the audited primitive rather than
+    * hand-fusing) and folds to one row. Totals are broadcast 1-row
+    * aggregates. Output: `(n_a, n_b, d_stat)`, d rounded to 6. */
+  def ksTest(a: DataFrame, b: DataFrame, colName: String): DataFrame = {
+    val va = a.select(col(colName).cast("double").as("__v"))
+      .filter(col("__v").isNotNull && !isnan(col("__v")))
+    val vb = b.select(col(colName).cast("double").as("__v"))
+      .filter(col("__v").isNotNull && !isnan(col("__v")))
+    val counts = va.select(col("__v"), lit(1L).as("__ca"), lit(0L).as("__cb"))
+      .unionAll(vb.select(col("__v"), lit(0L).as("__ca"), lit(1L).as("__cb")))
+      .groupBy("__v")
+      .agg(sum("__ca").as("__ca"), sum("__cb").as("__cb"))
+    val ordered = Seq(col("__v").asc, col("__ca").asc, col("__cb").asc)
+    val runA = Rank.globalRunningSum(counts, ordered, "__ca", "__ra")
+    val run = Rank.globalRunningSum(runA,
+      ordered :+ col("__ra").asc, "__cb", "__rb")
+    val totals = counts.agg(sum("__ca").as("__na"), sum("__cb").as("__nb"))
+    def tot(c: Column, side: String): Column =
+      when(c.isNull || c === 0L, raise_error(lit(
+        s"ksTest: snapshot '$side' has no non-null rows in '$colName' " +
+          "— an empty empirical CDF is undefined, not zero drift")))
+        .otherwise(c)
+    run.crossJoin(broadcast(totals))
+      .select(col("__ra").cast("double") / tot(col("__na"), "a").cast("double")
+          as "__fa",
+        col("__rb").cast("double") / tot(col("__nb"), "b").cast("double")
+          as "__fb",
+        col("__na"), col("__nb"))
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        round(max(abs(col("__fa") - col("__fb"))), 6).as("d_stat"))
+  }
+
+  /** Cramér's V association between two categorical columns (Cramér
+    * 1946) — "does source predict language?" as one number in [0, 1]:
+    * `V = sqrt(χ² / (N·(min(r,c)−1)))` over the (a, b) contingency
+    * table, 0 = independent, 1 = one determines the other. The
+    * mix-design diagnostic next to [[keySkew]]: a high V between
+    * `source` and `lang` (or shard and label) means stratifying on one
+    * silently stratifies the other.
+    *
+    * Exactness: each cell's χ² term `(o − e)²/e` with `e = rᵢ·cⱼ/N`
+    * is one fixed-order double expression per cell, then QUANTIZED to
+    * longs (`floor(t·1e9 + 0.5)` — the [[graft.operators.Graph
+    * .coOccurrence]] convention) so the cell sum is
+    * association-order-exact on any engine. Capacity: χ² ≤ N·(m−1)
+    * bounds the quantized sum at N ≈ 10⁹ per unit of V² — lower the
+    * quantization for corpora past that. Null-category rows drop
+    * (a missing label is [[summarize]]'s business, not association).
+    * V is null when either side has < 2 categories (no association to
+    * measure) — χ² is still reported (0 by construction there).
+    *
+    * Plan: one cell aggregation (map-side combined), then the FULL
+    * r×c grid — the cross join of the two marginal tables — left-joins
+    * the observed cells: a zero-observed cell still has e > 0 and its
+    * (0 − e)²/e term is part of χ² (summing only observed cells
+    * understates association exactly where it is strongest). Grid size
+    * is r·c — categorical-scale by contract (languages × sources), not
+    * corpus-scale. 1-row totals broadcast. No windows.
+    * Output: `(n, categories_a, categories_b, chi2, cramers_v)`. */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val base = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("string").as("__a"),
+        col(bCol).cast("string").as("__b"))
+    val cells = base.groupBy("__a", "__b").agg(count(lit(1)).as("__o0"))
+    val ra = base.groupBy("__a").agg(count(lit(1)).as("__ra"))
+    val cb = base.groupBy("__b").agg(count(lit(1)).as("__cb"))
+    val tot = base.agg(count(lit(1)).as("__n"),
+      count_distinct(col("__a")).as("__ka"),
+      count_distinct(col("__b")).as("__kb"))
+    val e = col("__ra").cast("double") * col("__cb").cast("double") /
+      col("__n").cast("double")
+    val d = coalesce(col("__o0"), lit(0L)).cast("double") - e
+    val term = floor(d * d / e * lit(1e9) + lit(0.5))
+    val folded = ra.crossJoin(cb)
+      .join(cells, Seq("__a", "__b"), "left")
+      .crossJoin(broadcast(tot))
+      .agg(max(col("__n")).as("n"), max(col("__ka")).as("categories_a"),
+        max(col("__kb")).as("categories_b"),
+        sum(term).as("__chi9"))
+    folded.select(
+      coalesce(col("n"), lit(0L)).as("n"),
+      coalesce(col("categories_a"), lit(0L)).as("categories_a"),
+      coalesce(col("categories_b"), lit(0L)).as("categories_b"),
+      round(coalesce(col("__chi9"), lit(0L)).cast("double") / lit(1e9), 6)
+        .as("chi2"),
+      when(col("categories_a") >= 2 && col("categories_b") >= 2,
+        round(sqrt(col("__chi9").cast("double") / lit(1e9) /
+          (col("n").cast("double") *
+            (least(col("categories_a"), col("categories_b")) - lit(1L))
+              .cast("double"))), 6)).as("cramers_v"))
+  }
 }

@@ -2385,4 +2385,75 @@ class CorpusOpsSpec extends TestBase {
     assert(byTerm("enword").getAs[Long]("df") == 10 &&
       byTerm("enword").getAs[Long]("d1") == 10)
   }
+
+  test("ksTest: hand-computed D on shifted samples, identical samples " +
+      "score 0, an empty side raises by name") {
+    import spark.implicits._
+    import graft.operators.Profiles
+    val a = Seq(1, 2, 3, 4).toDF("x")
+    val b = Seq(3, 4, 5, 6).toDF("x")
+    // F_a - F_b peaks at 0.5 on v in {2,3,4}
+    val r = Profiles.ksTest(a, b, "x").collect().head
+    assert(r.getAs[Long]("n_a") == 4 && r.getAs[Long]("n_b") == 4 &&
+      r.getAs[Double]("d_stat") == 0.5, r.toString)
+    val same = Profiles.ksTest(a, a, "x").collect().head
+    assert(same.getAs[Double]("d_stat") == 0.0, same.toString)
+    val empty = Seq.empty[Int].toDF("x")
+    val ex = intercept[Exception] {
+      Profiles.ksTest(a, empty, "x").collect()
+    }
+    assert(ex.getMessage.contains("ksTest"), ex.getMessage)
+  }
+
+  test("cramersV: perfect 2x2 association scores 1 including the " +
+      "zero-observed cells, independence scores 0, one category null") {
+    import spark.implicits._
+    import graft.operators.Profiles
+    // chi2 = 4 only if the two EMPTY cells contribute (0-1)^2/1 each
+    val perfect = Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q"))
+      .toDF("a", "b")
+    val rp = Profiles.cramersV(perfect, "a", "b").collect().head
+    assert(rp.getAs[Long]("n") == 4 && rp.getAs[Double]("chi2") == 4.0 &&
+      rp.getAs[Double]("cramers_v") == 1.0, rp.toString)
+    val indep = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .toDF("a", "b")
+    val ri = Profiles.cramersV(indep, "a", "b").collect().head
+    assert(ri.getAs[Double]("chi2") == 0.0 &&
+      ri.getAs[Double]("cramers_v") == 0.0, ri.toString)
+    val mono = Seq(("x", "p"), ("x", "q")).toDF("a", "b")
+    val rm = Profiles.cramersV(mono, "a", "b").collect().head
+    assert(rm.getAs[Long]("categories_a") == 1 &&
+      rm.isNullAt(rm.fieldIndex("cramers_v")) &&
+      rm.getAs[Double]("chi2") == 0.0, rm.toString)
+  }
+
+  test("editDistanceJoin: exact pair set at d=1 and d=2, the shared-" +
+      "variant-but-far counterexample stays out, dup inputs collapse, " +
+      "hot buckets fail loud") {
+    import spark.implicits._
+    val vals = Seq("kitten", "sitten", "sittin", "apple", "kitten")
+      .toDF("t")
+    val d2 = Dedup.editDistanceJoin(vals, "t", maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getInt(2))).toSet
+    assert(d2 == Set(("kitten", "sitten", 1), ("sitten", "sittin", 1),
+      ("kitten", "sittin", 2)), d2.toString)
+    val d1 = Dedup.editDistanceJoin(vals, "t", maxDist = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(d1 == Set(("kitten", "sitten"), ("sitten", "sittin")))
+    // "ab"/"ba" share deletion variant "a" but sit at distance 2
+    val ab = Seq("ab", "ba").toDF("t")
+    assert(Dedup.editDistanceJoin(ab, "t", maxDist = 1).count() == 0L)
+    assert(Dedup.editDistanceJoin(ab, "t", maxDist = 2).count() == 1L)
+    // single chars all share the "" variant: bucket of 3 > maxBucket=2
+    val hot = Seq("a", "b", "c").toDF("t")
+    val ex = intercept[Exception] {
+      Dedup.editDistanceJoin(hot, "t", maxDist = 1, maxBucket = 2)
+        .collect()
+    }
+    assert(ex.getMessage.contains("maxBucket"), ex.getMessage)
+    assert(intercept[IllegalArgumentException] {
+      Dedup.editDistanceJoin(vals, "t", maxDist = 3)
+    }.getMessage.contains("maxDist"))
+  }
 }

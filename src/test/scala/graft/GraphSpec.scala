@@ -211,4 +211,27 @@ class GraphSpec extends TestBase {
     assert(rt.getAs[Long]("m_edges") == 3 &&
       rt.isNullAt(rt.fieldIndex("assortativity")), rt.toString)
   }
+
+  test("hits: hand-unrolled integer sweeps, self-loops and dup edges " +
+      "normalize away, sweep bounds enforced") {
+    import spark.implicits._
+    // 1 -> {3, 4}, 2 -> 3, plus a self-loop and a duplicate edge
+    val e = Seq((1L, 3L), (2L, 3L), (1L, 4L), (2L, 2L), (1L, 3L))
+      .toDF("s", "d")
+    def scores(sweeps: Int): Map[Long, (Long, Long)] =
+      Graph.hits(e, "s", "d", sweeps).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // sweep 1: auth = in-sums of all-ones hubs; hub = out-sums of those
+    assert(scores(1) == Map(1L -> (3L, 0L), 2L -> (2L, 0L),
+      3L -> (0L, 2L), 4L -> (0L, 1L)), scores(1).toString)
+    // sweep 2: a2(3)=h1(1)+h1(2)=5, a2(4)=h1(1)=3, h2(1)=8, h2(2)=5
+    assert(scores(2) == Map(1L -> (8L, 0L), 2L -> (5L, 0L),
+      3L -> (0L, 5L), 4L -> (0L, 3L)), scores(2).toString)
+    assert(intercept[IllegalArgumentException] {
+      Graph.hits(e, "s", "d", sweeps = 0)
+    }.getMessage.contains("sweeps"))
+    assert(intercept[IllegalArgumentException] {
+      Graph.hits(e, "s", "d", sweeps = 9)
+    }.getMessage.contains("sweeps"))
+  }
 }
