@@ -759,7 +759,7 @@ object Profiles {
       col("__n").cast("double")
     val d = coalesce(col("__o0"), lit(0L)).cast("double") - e
     val term = floor(d * d / e * lit(1e9) + lit(0.5))
-    val folded = ra.crossJoin(cb)
+    val folded = ra.crossJoin(broadcast(cb))
       .join(cells, Seq("__a", "__b"), "left")
       .crossJoin(broadcast(tot))
       .agg(max(col("__n")).as("n"), max(col("__ka")).as("categories_a"),

@@ -796,4 +796,93 @@ class ScaleSpec extends TestBase {
     assert(pct.contains("Exchange rangepartitioning"),
       s"conformal must range-decompose the rank:\n$pct")
   }
+
+  test("round-12c scale posture: ksTest range-decomposes both running " +
+      "sums; cramersV broadcasts marginals and totals (no cartesian); " +
+      "hits and kCore sweeps stay window-free within budget; " +
+      "editDistanceJoin blocks on one variant equi-join; " +
+      "giniConcentration rides the range-decomposed rank") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWin}
+    def exec(df: org.apache.spark.sql.DataFrame): String = {
+      df.write.format("noop").mode("overwrite").save()
+      df.queryExecution.executedPlan.toString
+    }
+    def hashEx(p: String): Int = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") &&
+        !l.contains("ReusedExchange"))
+    // corpus-sized windows are forbidden; globalRank/globalRunningSum's
+    // documented <=p-row __pid offset windows are the one exception
+    def corpusWindows(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case w: LWin if w.partitionSpec.isEmpty &&
+            !w.orderSpec.flatMap(_.references).forall(
+              _.name.startsWith("__pid")) => w
+      }
+
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+    // ksTest: the distinct-value count table range-exchanges (twice —
+    // one audited primitive per running sum), never a whole-table sort
+    // on one task; totals broadcast
+    val ks = graft.operators.Profiles.ksTest(
+      docs.filter(col("lang") === "en"),
+      docs.filter(col("lang") =!= "en"), "n_chars")
+    val pks = exec(ks)
+    assert(corpusWindows(ks).isEmpty,
+      s"corpus-sized window in ksTest:\n$pks")
+    assert(pks.contains("Exchange rangepartitioning"),
+      s"ksTest must range-decompose the running sums:\n$pks")
+    assert(!pks.contains("CartesianProduct"), pks)
+
+    // cramersV: the r×c grid comes from a BROADCAST nested-loop of the
+    // two |categories|-sized marginals — no cartesian, no window; the
+    // corpus scans into keyed aggregations only
+    val cv = graft.operators.Profiles.cramersV(docs, "source", "lang")
+    val pcv = exec(cv)
+    assert(!pcv.contains("CartesianProduct") && !pcv.contains("Window"),
+      pcv)
+    assert(pcv.contains("BroadcastNestedLoopJoin"), pcv)
+
+    // hits: each half-sweep is one edge join + one map-side-combined
+    // sum over the checkpointed previous sweep — no window, no
+    // cartesian (localCheckpoint truncates lineage, so the executed
+    // plan only ever shows one sweep's shape)
+    val edges = docs.select((col("doc_id") % 53).as("s"),
+      ((col("doc_id") * 7 + 11) % 53).as("d"))
+    val ht = graft.operators.Graph.hits(edges, "s", "d", sweeps = 2)
+    val pht = exec(ht)
+    assert(!pht.contains("Window") && !pht.contains("CartesianProduct"),
+      pht)
+    assert(hashEx(pht) <= 5, s"hits sweep exchange budget:\n$pht")
+
+    // kCore: one degree aggregation + two id-only semi-joins per sweep
+    val kc = graft.operators.Graph.kCore(edges, "s", "d", k = 2,
+      sweeps = 2)
+    val pkc = exec(kc)
+    assert(!pkc.contains("Window") && !pkc.contains("CartesianProduct"),
+      pkc)
+    assert(hashEx(pkc) <= 5, s"kCore sweep exchange budget:\n$pkc")
+
+    // editDistanceJoin: candidates come from ONE variant equi-join over
+    // the deletion neighborhoods — never a cartesian; the only window
+    // is the bucket-size gate PARTITIONED by variant
+    val phrases = docs.filter(col("text").isNotNull)
+      .select(array_join(slice(split(col("text"), " "), 1, 3), " ")
+        .as("phrase"))
+    val ej = graft.operators.Dedup.editDistanceJoin(phrases, "phrase", 2)
+    val pej = exec(ej)
+    assert(!pej.contains("CartesianProduct") &&
+      !pej.contains("BroadcastNestedLoopJoin"), pej)
+    assert(corpusWindows(ej).isEmpty,
+      s"unpartitioned window in editDistanceJoin:\n$pej")
+
+    // giniConcentration: the per-key count table rides the
+    // range-decomposed globalRank — no single-task window over keys
+    val gi = graft.operators.Profiles.giniConcentration(docs, "lang")
+    val pgi = exec(gi)
+    assert(corpusWindows(gi).isEmpty,
+      s"corpus window in giniConcentration:\n$pgi")
+    assert(pgi.contains("Exchange rangepartitioning"),
+      s"gini must range-decompose the key-count rank:\n$pgi")
+  }
 }
