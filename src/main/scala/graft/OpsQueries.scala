@@ -6368,6 +6368,89 @@ object OpsQueries {
              |  AND levenshtein(a.v, b.v) <= 2
              |ORDER BY a, b""".stripMargin)),
 
+    // ----- inactivity-gap sessionization --------------------------------------
+    // 12-hour-gap sessions for the first 30 users (events are sparse —
+    // median inter-event gap ~7 h — so 12 h splits real sessions
+    // instead of one-event confetti). Integer-nano walk, integer
+    // running session index; both engines window per user.
+    "q258_sessionize" -> Entry(
+      (s, dir) => Funnel.sessionize(
+        Queries.events(s, dir).filter(col("user_id") < 30),
+        "user_id", "ts", "event_id", gapNanos = 43200000000000L)
+        .orderBy("user_id", "session_idx"),
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) * 1000 AS ts,
+             |    event_id FROM events
+             |  WHERE user_id < 30 AND user_id IS NOT NULL
+             |    AND ts IS NOT NULL),
+             |f AS (SELECT user_id, ts, event_id,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |      OR ts - lag(ts) OVER w > 43200000000000
+             |      THEN 1 ELSE 0 END AS nw
+             |  FROM e WINDOW w AS (
+             |    PARTITION BY user_id ORDER BY ts, event_id)),
+             |g AS (SELECT user_id, ts,
+             |    SUM(nw) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS session_idx
+             |  FROM f)
+             |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+             |  MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+             |  CAST(COUNT(*) AS BIGINT) AS n_events
+             |FROM g GROUP BY user_id, session_idx
+             |ORDER BY user_id, session_idx""".stripMargin)),
+
+    // ----- Markov event-type transitions --------------------------------------
+    // First-order per-user transition matrix over the full event log —
+    // integer pair counts, row-normalized by one exact division.
+    "q259_transitions" -> Entry(
+      (s, dir) => Funnel.transitionMatrix(
+        Queries.events(s, dir), "user_id", "ts", "event_id", "event_type")
+        .orderBy("from_type", "to_type"),
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) * 1000 AS ts,
+             |    event_id, event_type FROM events
+             |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             |    AND event_type IS NOT NULL),
+             |p AS (SELECT event_type AS from_type,
+             |    lead(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS to_type
+             |  FROM e),
+             |c AS (SELECT from_type, to_type, COUNT(*) AS n FROM p
+             |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+             |t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot
+             |  FROM c GROUP BY 1)
+             |SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+             |  round(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS p
+             |FROM c JOIN t USING (from_type)
+             |ORDER BY from_type, to_type""".stripMargin)),
+
+    // ----- Herfindahl-Hirschman key concentration ------------------------------
+    // HHI + normalized HHI of the per-source row distribution —
+    // decimal-exact Σx² (operands cast to DECIMAL(18,0) BEFORE the
+    // square; the decimal never reaches the wire), one fixed-order
+    // final division.
+    "q260_hhi" -> Entry(
+      (s, dir) => Profiles.hhi(t(s, dir, "documents"), "source"),
+      Some("""WITH c AS (SELECT CAST(source AS VARCHAR) AS k,
+             |    COUNT(*) AS x FROM documents GROUP BY 1),
+             |s AS (SELECT COUNT(*) AS n_keys,
+             |    CAST(SUM(x) AS BIGINT) AS total,
+             |    SUM(CAST(x AS DECIMAL(18, 0))
+             |      * CAST(x AS DECIMAL(18, 0))) AS sx2 FROM c)
+             |SELECT CAST(n_keys AS BIGINT) AS n_keys, total,
+             |  CASE WHEN total > 0 THEN
+             |    round(CAST(sx2 AS DOUBLE)
+             |      / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)), 6)
+             |  END AS hhi,
+             |  CASE WHEN n_keys >= 2 THEN
+             |    round((CAST(sx2 AS DOUBLE)
+             |        / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE))
+             |      - CAST(1.0 AS DOUBLE) / CAST(n_keys AS DOUBLE))
+             |      / (CAST(1.0 AS DOUBLE)
+             |        - CAST(1.0 AS DOUBLE) / CAST(n_keys AS DOUBLE)), 6)
+             |  END AS hhi_norm
+             |FROM s""".stripMargin)),
+
     // ----- X6 Count-Min sketch: frequency estimates, cell-exact -------------
     // Builds a deliberately TIGHT 4×16 grid over the document token
     // stream (the ~31-term vocabulary forces real cell collisions) with

@@ -119,4 +119,79 @@ object Funnel {
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))
       .withColumnRenamed(tsCol, "valid_from")
   }
+
+  /** Inactivity-gap sessionization — THE event-stream grouping
+    * primitive (web analytics' "30-minute session", training-log run
+    * segmentation): an event starts a new session when more than
+    * `gapNanos` elapsed since the user's previous event. Returns one
+    * row per SESSION: `(user_id, session_idx, start_ts, end_ts,
+    * n_events)` with `session_idx` 1-based in time order.
+    *
+    * Exactness: timestamps are integer nanos end-to-end; the
+    * session index is an integer running sum of boundary flags —
+    * engine-exact under any association order. Ties on `tsCol` break
+    * by `tieCol` (a unique event id), so the walk is total-ordered
+    * and replayable.
+    *
+    * Scale: both windows partition BY USER — bounded by per-user
+    * activity, never corpus-sized (the [[funnel]]/[[scdIntervals]]
+    * contract; a pathological power-user needs an upstream cap). The
+    * session aggregation reuses the same (user) keying, so AQE plans
+    * one exchange for the windows and one map-side-combined agg. */
+  def sessionize(df: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, gapNanos: Long): DataFrame = {
+    require(gapNanos > 0L,
+      s"Funnel.sessionize: gapNanos must be > 0, got $gapNanos")
+    // the window must reference the POST-projection names — the caller's
+    // columns are gone once the frame narrows to (user_id, ts, __tie)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("__tie").asc)
+    val flagged = df
+      .select(col(userCol).as("user_id"), col(tsCol).cast("long").as("ts"),
+        col(tieCol).as("__tie"))
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .withColumn("__prev", lag(col("ts"), 1).over(w))
+      .withColumn("__new", when(col("__prev").isNull ||
+        col("ts") - col("__prev") > gapNanos, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("__new")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    flagged.groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** First-order Markov transition matrix over per-user event-type
+    * sequences — "what follows what" (behavior modeling, anomaly
+    * baselines, synthetic-trace generation): for each observed
+    * (from, to) adjacent pair in a user's time-ordered walk,
+    * `n` transitions and `p = n / Σ_to n` the row-normalized
+    * probability. Transitions never cross users. Integer counts; `p`
+    * is one exact division, rounded to 6.
+    *
+    * Scale: one per-user LEAD window (bounded by per-user activity,
+    * the [[sessionize]] contract) into a map-side-combined pair
+    * aggregation; the per-from totals table is |event types|-sized
+    * and joins broadcast. */
+  def transitionMatrix(df: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, typeCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__u")).orderBy(col("__ts").asc, col("__tie").asc)
+    val pairs = df
+      .select(col(userCol).as("__u"), col(tsCol).as("__ts"),
+        col(tieCol).as("__tie"), col(typeCol).as("from_type"))
+      .filter(col("__u").isNotNull && col("__ts").isNotNull &&
+        col("from_type").isNotNull)
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+    val counts = pairs.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("from_type")
+      .agg(sum(col("n")).as("__tot"))
+    counts.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("__tot").cast("double"), 6)
+          .as("p"))
+  }
 }

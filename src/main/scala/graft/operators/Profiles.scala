@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Corpus profiling: the ANALYZE-style per-column summary every ingest
   * pipeline runs before trusting a new drop of data.
@@ -532,6 +533,43 @@ object Profiles {
             col("total").cast("double")) /
           (col("n_keys").cast("double") * col("total").cast("double")),
         6)).as("gini"))
+  }
+
+  /** Herfindahl–Hirschman concentration of a key's row distribution —
+    * [[giniConcentration]]'s share-squared sibling (the antitrust
+    * index, 1/k = perfectly balanced over k keys, 1 = one key holds
+    * everything): `HHI = Σ (xᵢ/N)² = (Σ xᵢ²) / N²`, plus the
+    * normalized form `(HHI − 1/k)/(1 − 1/k)` that is comparable
+    * ACROSS snapshots with different key counts. Where Gini ranks
+    * (and needs a global rank), HHI only SUMS — one keyed aggregation
+    * and one fold, the cheapest concentration number there is; track
+    * both and alert on either.
+    *
+    * Exactness: each xᵢ CASTS to DECIMAL(18,0) BEFORE squaring (a
+    * long x² overflows past ~3·10⁹ rows per key; 18×18 multiplies
+    * stay within the exact 37-digit width on every engine — the
+    * LEAST-decimal memory) and Σ xᵢ² accumulates in decimal
+    * (order-exact addition); the only float math is the final
+    * fixed-order division — the decimal never reaches the wire (the
+    * q05/dsum convention). Null keys count as a key. `hhi_norm` is
+    * null with fewer than 2 keys (no inequality to measure).
+    *
+    * Output one row: `n_keys, total, hhi, hhi_norm` (round 6). */
+  def hhi(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol).cast("string").as("__k"))
+      .agg(count(lit(1)).as("__x"))
+    val folded = counts.agg(count(lit(1)).as("n_keys"),
+      sum(col("__x")).as("total"),
+      sum(col("__x").cast(DecimalType(18, 0)) *
+        col("__x").cast(DecimalType(18, 0))).as("__sx2"))
+    val n = col("total").cast("double")
+    val h = col("__sx2").cast("double") / (n * n)
+    val k = col("n_keys").cast("double")
+    folded.select(col("n_keys"), col("total"),
+      when(col("total") > 0L, round(h, 6)).as("hhi"),
+      when(col("n_keys") >= 2L,
+        round((h - lit(1.0) / k) / (lit(1.0) - lit(1.0) / k), 6))
+        .as("hhi_norm"))
   }
 
   /** Vocabulary-richness report (the hapax/type-token battery of

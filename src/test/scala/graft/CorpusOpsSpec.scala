@@ -2427,6 +2427,32 @@ class CorpusOpsSpec extends TestBase {
       rm.getAs[Double]("chi2") == 0.0, rm.toString)
   }
 
+  test("hhi: hand-computed concentration, balanced keys floor at 1/k " +
+      "(norm 0), single key peaks at 1 (norm null), empty all null") {
+    import spark.implicits._
+    import graft.operators.Profiles
+    // counts {a:1, b:3}: HHI = (1 + 9)/16 = 0.625;
+    // norm = (0.625 - 0.5)/0.5 = 0.25
+    val skew = (Seq("a") ++ Seq.fill(3)("b")).map(Tuple1(_)).toDF("k")
+    val rs = Profiles.hhi(skew, "k").collect().head
+    assert(rs.getAs[Long]("n_keys") == 2 && rs.getAs[Long]("total") == 4
+      && rs.getAs[Double]("hhi") == 0.625
+      && rs.getAs[Double]("hhi_norm") == 0.25, rs.toString)
+    val even = Seq("a", "a", "b", "b").map(Tuple1(_)).toDF("k")
+    val re = Profiles.hhi(even, "k").collect().head
+    assert(re.getAs[Double]("hhi") == 0.5 &&
+      re.getAs[Double]("hhi_norm") == 0.0, re.toString)
+    val one = Seq("a", "a").map(Tuple1(_)).toDF("k")
+    val ro = Profiles.hhi(one, "k").collect().head
+    assert(ro.getAs[Double]("hhi") == 1.0 &&
+      ro.isNullAt(ro.fieldIndex("hhi_norm")), ro.toString)
+    val empty = Seq.empty[String].map(Tuple1(_)).toDF("k")
+    val rz = Profiles.hhi(empty, "k").collect().head
+    assert(rz.getAs[Long]("n_keys") == 0 &&
+      rz.isNullAt(rz.fieldIndex("hhi")) &&
+      rz.isNullAt(rz.fieldIndex("hhi_norm")), rz.toString)
+  }
+
   test("editDistanceJoin: exact pair set at d=1 and d=2, the shared-" +
       "variant-but-far counterexample stays out, dup inputs collapse, " +
       "hot buckets fail loud") {

@@ -1765,6 +1765,48 @@ class OperatorsSpec extends TestBase {
       .funnel(ev, "user_id", "t", "event_type", Seq.empty))
   }
 
+  test("sessionize: gap splits sessions, boundary gap exactly equal " +
+      "does NOT split, ties break by event id, users never mix") {
+    val ev = Seq(
+      // user 1: events at 0, 5, 6 (gap 5 then 1), then 20 — gap=5
+      // means the 0→5 step (exactly the gap) stays in-session
+      (1L, 0L, 10L), (1L, 5L, 11L), (1L, 6L, 12L), (1L, 20L, 13L),
+      // user 2: one event
+      (2L, 100L, 20L))
+      .toDF("user_id", "t", "eid")
+    val got = graft.operators.Funnel
+      .sessionize(ev, "user_id", "t", "eid", gapNanos = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == Map(
+      (1L, 1L) -> ((0L, 6L, 3L)), (1L, 2L) -> ((20L, 20L, 1L)),
+      (2L, 1L) -> ((100L, 100L, 1L))), got.toString)
+    val p = graft.operators.Funnel
+      .sessionize(ev, "user_id", "t", "eid", 5L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"sessionize must not self-join:\n$p")
+    intercept[IllegalArgumentException](graft.operators.Funnel
+      .sessionize(ev, "user_id", "t", "eid", 0L))
+  }
+
+  test("transitionMatrix: hand-counted pairs, rows normalize to 1, " +
+      "transitions never cross users") {
+    val ev = Seq(
+      (1L, 1L, 100L, "a"), (1L, 2L, 101L, "b"), (1L, 3L, 102L, "a"),
+      (1L, 4L, 103L, "b"),
+      // user 2 starts with "b": no (b -> b) pair may appear across the
+      // user boundary
+      (2L, 1L, 200L, "b"), (2L, 2L, 201L, "c"))
+      .toDF("user_id", "t", "eid", "et")
+    val got = graft.operators.Funnel
+      .transitionMatrix(ev, "user_id", "t", "eid", "et")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map(
+      ("a", "b") -> ((2L, 1.0)), ("b", "a") -> ((1L, 0.5)),
+      ("b", "c") -> ((1L, 0.5))), got.toString)
+  }
+
   test("retentionCohorts: hand-checked offsets, distinct days count " +
       "once, no joins, integral period division (event analytics)") {
     val ev = Seq(
