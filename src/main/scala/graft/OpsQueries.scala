@@ -6451,6 +6451,43 @@ object OpsQueries {
              |  END AS hhi_norm
              |FROM s""".stripMargin)),
 
+    // ----- Wasserstein-1 drift --------------------------------------------------
+    // Earth mover's distance over the same en-vs-rest n_chars split as
+    // q254 — KS reports the worst CDF gap, W1 the total transport.
+    // Integer cumulatives, per-segment |gap|·width quantized to 1e-6
+    // longs; the oracle's LEAD replays the rank+1 self-join.
+    "q261_wasserstein" -> Entry(
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        Profiles.wasserstein1(
+          d.filter(col("lang") === "en"),
+          d.filter(col("lang").isNotNull && col("lang") =!= "en"),
+          "n_chars")
+      },
+      Some("""WITH a AS (SELECT CAST(n_chars AS DOUBLE) AS v
+             |    FROM documents WHERE lang = 'en' AND n_chars IS NOT NULL),
+             |b AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+             |  WHERE lang IS NOT NULL AND lang <> 'en'
+             |    AND n_chars IS NOT NULL),
+             |c AS (SELECT v, SUM(ca) AS ca, SUM(cb) AS cb FROM (
+             |    SELECT v, 1 AS ca, 0 AS cb FROM a
+             |    UNION ALL SELECT v, 0, 1 FROM b) GROUP BY v),
+             |r AS (SELECT v, SUM(ca) OVER w AS ra, SUM(cb) OVER w AS rb,
+             |    LEAD(v) OVER w AS vn FROM c
+             |  WINDOW w AS (ORDER BY v)),
+             |t AS (SELECT (SELECT COUNT(*) FROM a) AS na,
+             |    (SELECT COUNT(*) FROM b) AS nb),
+             |s AS (SELECT SUM(CAST(floor(
+             |      abs(CAST(ra AS DOUBLE) / CAST(na AS DOUBLE)
+             |        - CAST(rb AS DOUBLE) / CAST(nb AS DOUBLE))
+             |      * (vn - v) * CAST(1e6 AS DOUBLE)
+             |      + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS tq
+             |  FROM r, t WHERE vn IS NOT NULL)
+             |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+             |  round(CAST(coalesce(tq, 0) AS DOUBLE)
+             |    / CAST(1e6 AS DOUBLE), 6) AS w1
+             |FROM s, t""".stripMargin)),
+
     // ----- X6 Count-Min sketch: frequency estimates, cell-exact -------------
     // Builds a deliberately TIGHT 4×16 grid over the document token
     // stream (the ~31-term vocabulary forces real cell collisions) with

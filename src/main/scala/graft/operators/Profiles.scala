@@ -755,6 +755,72 @@ object Profiles {
         round(max(abs(col("__fa") - col("__fb"))), 6).as("d_stat"))
   }
 
+  /** 1-D Wasserstein-1 (earth mover's) distance between snapshots of a
+    * numeric column — [[ksTest]]'s integral sibling: `W₁ = ∫|F_a −
+    * F_b| dv`, exactly `Σ_segments |F_a(vᵢ) − F_b(vᵢ)|·(vᵢ₊₁ − vᵢ)`
+    * over consecutive observed values. Where KS reports the WORST
+    * CDF gap (insensitive to how long it persists), W₁ reports the
+    * total transport — the drift number that scales with how much
+    * mass moved how far, the better alarm for slow meaning-shift in
+    * a score distribution.
+    *
+    * Exactness: cumulative counts are INTEGER running sums (two
+    * audited [[graft.operators.Rank.globalRunningSum]] passes, as in
+    * [[ksTest]]); the segment index is a third const-1 running sum
+    * (= a rank) so "next value" is a plain rank+1 self-join — no
+    * unpartitioned LEAD over the value domain. Each segment's
+    * |gap|·width is ONE fixed-order double expression QUANTIZED to a
+    * long (`floor(t·1e6 + 0.5)` — capacity W₁ ≤ ~9·10¹² value units;
+    * lower the quantization for wider domains), so the segment sum is
+    * association-order-exact. Empty snapshots raise by name.
+    *
+    * Plan: one corpus scan per side into the value-keyed count table,
+    * three range exchanges over that DOMAIN-sized table (each reuses
+    * the audited primitive), one rank-keyed self-join, one fold.
+    * Output: `(n_a, n_b, w1)` (round 6). */
+  def wasserstein1(a: DataFrame, b: DataFrame, colName: String)
+      : DataFrame = {
+    val va = a.select(col(colName).cast("double").as("__v"))
+      .filter(col("__v").isNotNull && !isnan(col("__v")))
+    val vb = b.select(col(colName).cast("double").as("__v"))
+      .filter(col("__v").isNotNull && !isnan(col("__v")))
+    val counts = va.select(col("__v"), lit(1L).as("__ca"), lit(0L).as("__cb"))
+      .unionAll(vb.select(col("__v"), lit(0L).as("__ca"), lit(1L).as("__cb")))
+      .groupBy("__v")
+      .agg(sum("__ca").as("__ca"), sum("__cb").as("__cb"))
+      .withColumn("__one", lit(1L))
+    val o1 = Seq(col("__v").asc, col("__ca").asc, col("__cb").asc,
+      col("__one").asc)
+    val runA = Rank.globalRunningSum(counts, o1, "__ca", "__ra")
+    val runB = Rank.globalRunningSum(runA, o1 :+ col("__ra").asc,
+      "__cb", "__rb")
+    val run = Rank.globalRunningSum(runB,
+      o1 ++ Seq(col("__ra").asc, col("__rb").asc), "__one", "__i")
+    val totals = counts.agg(sum("__ca").as("__na"), sum("__cb").as("__nb"))
+    def tot(c: Column, side: String): Column =
+      when(c.isNull || c === 0L, raise_error(lit(
+        s"wasserstein1: snapshot '$side' has no non-null rows in " +
+          s"'$colName' — an empty empirical CDF is undefined")))
+        .otherwise(c)
+    val nxt = run.select((col("__i") - 1L).as("__i"), col("__v").as("__vn"))
+    val segs = run.join(nxt, "__i")
+      .crossJoin(broadcast(totals))
+      .select(floor(
+        abs(col("__ra").cast("double") / col("__na").cast("double") -
+          col("__rb").cast("double") / col("__nb").cast("double")) *
+        (col("__vn") - col("__v")) * lit(1e6) + lit(0.5)).as("__t"))
+    val w1 = segs.agg(
+      round(coalesce(sum(col("__t")), lit(0L)).cast("double") / lit(1e6),
+        6).as("w1"))
+    // totals carry the raise: a single-distinct-value domain has zero
+    // segments (W1 is genuinely 0 there), so the empty-side guard must
+    // not depend on segments existing
+    totals
+      .select(tot(col("__na"), "a").as("n_a"),
+        tot(col("__nb"), "b").as("n_b"))
+      .crossJoin(w1)
+  }
+
   /** Cramér's V association between two categorical columns (Cramér
     * 1946) — "does source predict language?" as one number in [0, 1]:
     * `V = sqrt(χ² / (N·(min(r,c)−1)))` over the (a, b) contingency

@@ -2405,6 +2405,28 @@ class CorpusOpsSpec extends TestBase {
     assert(ex.getMessage.contains("ksTest"), ex.getMessage)
   }
 
+  test("wasserstein1: unit shift transports exactly 1, identical " +
+      "samples 0, single shared value 0 with real counts, empty raises") {
+    import spark.implicits._
+    import graft.operators.Profiles
+    val a = Seq(0, 1).toDF("x")
+    val b = Seq(1, 2).toDF("x")
+    val r = Profiles.wasserstein1(a, b, "x").collect().head
+    assert(r.getAs[Long]("n_a") == 2 && r.getAs[Long]("n_b") == 2 &&
+      r.getAs[Double]("w1") == 1.0, r.toString)
+    val same = Profiles.wasserstein1(a, a, "x").collect().head
+    assert(same.getAs[Double]("w1") == 0.0, same.toString)
+    // one shared distinct value: zero segments but genuine totals
+    val s1 = Seq(5).toDF("x")
+    val ro = Profiles.wasserstein1(s1, s1, "x").collect().head
+    assert(ro.getAs[Long]("n_a") == 1 && ro.getAs[Long]("n_b") == 1 &&
+      ro.getAs[Double]("w1") == 0.0, ro.toString)
+    val ex = intercept[Exception] {
+      Profiles.wasserstein1(a, Seq.empty[Int].toDF("x"), "x").collect()
+    }
+    assert(ex.getMessage.contains("wasserstein1"), ex.getMessage)
+  }
+
   test("cramersV: perfect 2x2 association scores 1 including the " +
       "zero-observed cells, independence scores 0, one category null") {
     import spark.implicits._
