@@ -190,6 +190,47 @@ object Soak {
           side(corpus(n).filter(col("doc_id") % 97 =!= 0)),
           side(corpus(n).filter(col("doc_id") < 8)),
           "doc_id", "emb", "y", k = 5)
+      }),
+      // round-12c additions: KS + Wasserstein drift (distinct-value
+      // domain cumulatives — n_chars-like cardinality stays bounded as
+      // the corpus grows, the range exchanges must not drift), edit-
+      // distance join (deletion-neighborhood fan-out over the DISTINCT
+      // value table — distinct prefixes grow sublinearly), HITS and
+      // k-core (graph size scales with n, per-sweep plan must not
+      // drift), sessionization (per-user windows under a power-user
+      // key: doc_id % m gives every user ~50 events at any n)
+      "ks_drift" -> ((n: Long) =>
+        graft.operators.Profiles.ksTest(
+          shaped(n).filter(col("lang") === "en"),
+          shaped(n).filter(col("lang") =!= "en"), "score")),
+      "wasserstein" -> ((n: Long) =>
+        graft.operators.Profiles.wasserstein1(
+          shaped(n).filter(col("lang") === "en"),
+          shaped(n).filter(col("lang") =!= "en"), "score")),
+      "edit_join" -> ((n: Long) =>
+        Dedup.editDistanceJoin(
+          corpus(n).select(substring(col("text"), 1, 12).as("t")),
+          "t", maxDist = 1)),
+      "hits" -> ((n: Long) => {
+        val m = math.max(n / 50, 100L)
+        graft.operators.Graph.hits(
+          corpus(n).select((col("doc_id") % m).as("s"),
+            ((col("doc_id") * 7 + 11) % m).as("d")),
+          "s", "d", sweeps = 2)
+      }),
+      "kcore" -> ((n: Long) => {
+        val m = math.max(n / 50, 100L)
+        graft.operators.Graph.kCore(
+          corpus(n).select((col("doc_id") % m).as("s"),
+            ((col("doc_id") * 7 + 11) % m).as("d")),
+          "s", "d", k = 2, sweeps = 2)
+      }),
+      "sessionize" -> ((n: Long) => {
+        val users = math.max(n / 50, 100L)
+        graft.operators.Funnel.sessionize(
+          corpus(n).select((col("doc_id") % users).as("u"),
+            (col("doc_id") * 1000000L).as("ts"), col("doc_id").as("eid")),
+          "u", "ts", "eid", gapNanos = 50000000L)
       }))
 
     /** Non-reused exchange count of the EXECUTED (final adaptive)

@@ -722,9 +722,13 @@ object Profiles {
     * name, as in [[psi]] — a CDF over nothing is not "no drift".
     *
     * Plan: each snapshot scans once into a value-keyed count
-    * aggregation; the union'd count table range-exchanges twice (one
-    * per running sum — each reuses the audited primitive rather than
-    * hand-fusing) and folds to one row. Totals are broadcast 1-row
+    * aggregation, which then localCheckpoints EAGERLY (the pagerank
+    * precedent): globalRunningSum evaluates its input in TWO branches
+    * (offsets + local), so chaining two of them over live lineage
+    * would replay the corpus scans 4× — the checkpoint pins the
+    * corpus work to exactly one pass and each running sum to one
+    * range exchange over the small domain table (soak-measured: 26
+    * exchanges → single digits). Totals are broadcast 1-row
     * aggregates. Output: `(n_a, n_b, d_stat)`, d rounded to 6. */
   def ksTest(a: DataFrame, b: DataFrame, colName: String): DataFrame = {
     val va = a.select(col(colName).cast("double").as("__v"))
@@ -735,8 +739,10 @@ object Profiles {
       .unionAll(vb.select(col("__v"), lit(0L).as("__ca"), lit(1L).as("__cb")))
       .groupBy("__v")
       .agg(sum("__ca").as("__ca"), sum("__cb").as("__cb"))
+      .localCheckpoint(true)
     val ordered = Seq(col("__v").asc, col("__ca").asc, col("__cb").asc)
     val runA = Rank.globalRunningSum(counts, ordered, "__ca", "__ra")
+      .localCheckpoint(true)
     val run = Rank.globalRunningSum(runA,
       ordered :+ col("__ra").asc, "__cb", "__rb")
     val totals = counts.agg(sum("__ca").as("__na"), sum("__cb").as("__nb"))
@@ -776,7 +782,11 @@ object Profiles {
     *
     * Plan: one corpus scan per side into the value-keyed count table,
     * three range exchanges over that DOMAIN-sized table (each reuses
-    * the audited primitive), one rank-keyed self-join, one fold.
+    * the audited primitive), one rank-keyed self-join, one fold. The
+    * count table and EVERY running-sum output localCheckpoint eagerly
+    * ([[ksTest]]'s reasoning, compounded: three chained two-branch
+    * primitives plus a self-join would otherwise replay the corpus
+    * scans 16× — soak-measured 109 exchanges / 65 s before the pin).
     * Output: `(n_a, n_b, w1)` (round 6). */
   def wasserstein1(a: DataFrame, b: DataFrame, colName: String)
       : DataFrame = {
@@ -789,13 +799,17 @@ object Profiles {
       .groupBy("__v")
       .agg(sum("__ca").as("__ca"), sum("__cb").as("__cb"))
       .withColumn("__one", lit(1L))
+      .localCheckpoint(true)
     val o1 = Seq(col("__v").asc, col("__ca").asc, col("__cb").asc,
       col("__one").asc)
     val runA = Rank.globalRunningSum(counts, o1, "__ca", "__ra")
+      .localCheckpoint(true)
     val runB = Rank.globalRunningSum(runA, o1 :+ col("__ra").asc,
       "__cb", "__rb")
+      .localCheckpoint(true)
     val run = Rank.globalRunningSum(runB,
       o1 ++ Seq(col("__ra").asc, col("__rb").asc), "__one", "__i")
+      .localCheckpoint(true)
     val totals = counts.agg(sum("__ca").as("__na"), sum("__cb").as("__nb"))
     def tot(c: Column, side: String): Column =
       when(c.isNull || c === 0L, raise_error(lit(

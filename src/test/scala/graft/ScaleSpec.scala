@@ -885,4 +885,65 @@ class ScaleSpec extends TestBase {
     assert(pgi.contains("Exchange rangepartitioning"),
       s"gini must range-decompose the key-count rank:\n$pgi")
   }
+
+  test("round-12d scale posture: sessionize windows by user and never " +
+      "joins; transitionMatrix broadcasts the totals; hhi is a pure " +
+      "two-level aggregation; wasserstein1 range-decomposes with no " +
+      "corpus window and no cartesian") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWin}
+    def exec(df: org.apache.spark.sql.DataFrame): String = {
+      df.write.format("noop").mode("overwrite").save()
+      df.queryExecution.executedPlan.toString
+    }
+    def corpusWindows(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case w: LWin if w.partitionSpec.isEmpty &&
+            !w.orderSpec.flatMap(_.references).forall(
+              _.name.startsWith("__pid")) => w
+      }
+
+    val ev = graft.Queries.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        col("ts").as("tsn"), col("event_type"))
+
+    val se = graft.operators.Funnel.sessionize(
+      ev, "user_id", "tsn", "event_id", gapNanos = 1000000000L)
+    val pse = exec(se)
+    assert(!pse.contains("Join"), s"sessionize must not join:\n$pse")
+    assert(corpusWindows(se).isEmpty,
+      s"unpartitioned window in sessionize:\n$pse")
+
+    val tm = graft.operators.Funnel.transitionMatrix(
+      ev, "user_id", "tsn", "event_id", "event_type")
+    val ptm = exec(tm)
+    assert(ptm.contains("BroadcastHashJoin") &&
+      !ptm.contains("CartesianProduct") &&
+      !ptm.contains("SortMergeJoin"), ptm)
+    assert(corpusWindows(tm).isEmpty,
+      s"unpartitioned window in transitionMatrix:\n$ptm")
+
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val hh = graft.operators.Profiles.hhi(docs, "source")
+    val phh = exec(hh)
+    assert(!phh.contains("Join") && !phh.contains("Window"),
+      s"hhi must be aggregation-only:\n$phh")
+
+    // wasserstein1 checkpoints every cumulative stage (the plan-
+    // doubling pin), so the final plan is only the self-join + fold
+    // over the checkpointed domain table: tiny exchange budget, no
+    // range exchange left to see, no cartesian, no corpus window
+    val w1 = graft.operators.Profiles.wasserstein1(
+      docs.filter(col("lang") === "en"),
+      docs.filter(col("lang") =!= "en"), "n_chars")
+    val pw1 = exec(w1)
+    assert(corpusWindows(w1).isEmpty,
+      s"corpus window in wasserstein1:\n$pw1")
+    // 6 = totals fold + rank self-join (2 hash) + segment fold + two
+    // 1-row broadcasts; anything above means a checkpoint stopped
+    // pinning the upstream
+    val exW = pw1.linesIterator.count(l =>
+      l.contains("Exchange ") && !l.contains("ReusedExchange"))
+    assert(exW <= 6, s"wasserstein1 final-plan exchange budget:\n$pw1")
+    assert(!pw1.contains("CartesianProduct"), pw1)
+  }
 }
