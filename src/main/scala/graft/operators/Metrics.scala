@@ -391,6 +391,12 @@ object Metrics {
   def bleu(pairs: DataFrame, idCol: String, candCol: String,
       refCol: String, maxN: Int = 4): DataFrame = {
     require(maxN >= 1 && maxN <= 4, s"bleu: maxN must be in [1,4]")
+    // per-n scans, NOT a fused (pair, n, gram) single explode: the
+    // fused form was MEASURED 2.8× slower at sf0.1 (5.0 → 14.0 s warm)
+    // — the struct-generator explode re-evaluates the tokenize/slice
+    // expression forest per flattened branch, the same interpreted-HOF
+    // cost that sank the all-n distinct-n form; eight small
+    // map-combined aggregations win over one big one here
     def grams(c: Column, n: Int): Column = {
       val w = TextAnalysis.tokens(c)
       when(size(w) >= n, transform(sequence(lit(1), size(w) - (n - 1)),
