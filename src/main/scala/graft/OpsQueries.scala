@@ -6488,6 +6488,40 @@ object OpsQueries {
              |    / CAST(1e6 AS DOUBLE), 6) AS w1
              |FROM s, t""".stripMargin)),
 
+    // ----- multi-source BFS seed expansion --------------------------------------
+    // Min-hop distance from seeds {0, 7} over a 2-family directed
+    // 53-vertex graph, 3 hops — the frontier-carrying DataFrame twin
+    // of q165's WITH RECURSIVE (which re-derives every path; this
+    // carries frontiers). Integer hops; the oracle bounds the same
+    // walk by depth and takes MIN over the multiplied paths.
+    "q262_bfs_reach" -> Entry(
+      (s, dir) => {
+        val base = t(s, dir, "documents").select(col("doc_id"))
+        def fam(m: Int, c: Int) =
+          struct((col("doc_id") % 53).as("s"),
+            ((col("doc_id") * m + c) % 53).as("t"))
+        val edges = base.select(explode(array(
+            fam(7, 11), fam(5, 1))).as("e"))
+          .select(col("e.s").as("s"), col("e.t").as("t"))
+        val seeds = s.range(2).select((col("id") * 7).as("seed"))
+        Graph.bfsFrom(edges, "s", "t", seeds, "seed", maxHops = 3)
+          .orderBy("id")
+      },
+      Some("""WITH RECURSIVE e AS (SELECT DISTINCT src, dst FROM (
+             |    SELECT doc_id % 53 AS src, (doc_id * 7 + 11) % 53
+             |      AS dst FROM documents
+             |    UNION ALL
+             |    SELECT doc_id % 53, (doc_id * 5 + 1) % 53
+             |      FROM documents) u
+             |  WHERE src <> dst),
+             |r(id, hops) AS (
+             |  SELECT CAST(unnest([0, 7]) AS BIGINT) AS id, 0 AS hops
+             |  UNION ALL
+             |  SELECT e.dst, r.hops + 1 FROM r JOIN e ON e.src = r.id
+             |  WHERE r.hops < 3)
+             |SELECT id, CAST(min(hops) AS BIGINT) AS hops
+             |FROM r GROUP BY id ORDER BY id""".stripMargin)),
+
     // ----- X6 Count-Min sketch: frequency estimates, cell-exact -------------
     // Builds a deliberately TIGHT 4×16 grid over the document token
     // stream (the ~31-term vocabulary forces real cell collisions) with

@@ -345,6 +345,56 @@ object Graph {
       .filter(col("n_groups") >= minSupport)
   }
 
+  /** Multi-source BFS over the DIRECTED edge set: minimum hop count
+    * from any seed, up to `maxHops` — the seed-expansion primitive a
+    * curation pipeline runs as a SET operation ("everything within 2
+    * links of known spam", benchmark-contamination closure, crawl
+    * frontier scheduling). The DataFrame twin of the Catalyst
+    * `WITH RECURSIVE` surface (q165): recursive SQL re-derives every
+    * path and multiplies rows through cycles, while this form carries
+    * only the FRONTIER (vertices first reached at the previous hop)
+    * into each sweep — on a cyclic link graph that is the difference
+    * between |V| work per hop and exponential blowup.
+    *
+    * Scale shape: [[pagerank]]'s — distinct directed non-loop edges
+    * materialize once, each hop is one frontier join + one
+    * min-aggregation, distances localCheckpoint per hop (iterative
+    * lineage). Integer hops; deterministic.
+    *
+    * Output: `(id, hops)` for every vertex reached within `maxHops`
+    * (seeds at 0) — vertices never reached are absent, the caller
+    * left-antis or left-joins as policy dictates. */
+  def bfsFrom(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 32,
+      s"Graph.bfsFrom: maxHops must be in [1, 32], got $maxHops")
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = seeds
+      .select(col(seedCol).as("id")).filter(col("id").isNotNull)
+      .distinct()
+      .withColumn("hops", lit(0L))
+      .localCheckpoint(true)
+    for (h <- 1 to maxHops) {
+      val frontier = dist.filter(col("hops") === (h - 1L))
+        .select(col("id").as("__fid"))
+      val reached = e.join(frontier, col("src") === col("__fid"))
+        .select(col("dst").as("id"))
+        .distinct()
+        .withColumn("hops", lit(h.toLong))
+      dist = dist.unionAll(reached)
+        .groupBy("id").agg(min(col("hops")).as("hops"))
+        .localCheckpoint(true)
+    }
+    e.unpersist()
+    dist
+  }
+
   /** HITS hubs & authorities (Kleinberg 1999) in the UNNORMALIZED
     * integer form — the crawl-side complement to [[pagerank]]: a good
     * hub links to many good authorities, a good authority is linked

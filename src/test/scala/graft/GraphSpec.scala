@@ -212,6 +212,30 @@ class GraphSpec extends TestBase {
       rt.isNullAt(rt.fieldIndex("assortativity")), rt.toString)
   }
 
+  test("bfsFrom: min hops win on a chain, cycles terminate, multiple " +
+      "seeds expand together, unreached vertices stay absent") {
+    import spark.implicits._
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("s", "d")
+    def seeds(ids: Long*) = ids.toDF("seed")
+    val got = Graph.bfsFrom(chain, "s", "d", seeds(1L), "seed", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L), got.toString)
+    // two seeds: 4 reaches 5 at hop 1; 3 still found from 1 at hop 2
+    val multi = Graph.bfsFrom(chain, "s", "d", seeds(1L, 4L), "seed", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(multi == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 0L,
+      5L -> 1L), multi.toString)
+    // a 2-cycle terminates and keeps the first-visit hop
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("s", "d")
+    val gc = Graph.bfsFrom(cyc, "s", "d", seeds(1L), "seed", 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gc == Map(1L -> 0L, 2L -> 1L), gc.toString)
+    assert(intercept[IllegalArgumentException] {
+      Graph.bfsFrom(chain, "s", "d", seeds(1L), "seed", 0)
+    }.getMessage.contains("maxHops"))
+  }
+
   test("hits: hand-unrolled integer sweeps, self-loops and dup edges " +
       "normalize away, sweep bounds enforced") {
     import spark.implicits._
