@@ -6522,6 +6522,38 @@ object OpsQueries {
              |SELECT id, CAST(min(hops) AS BIGINT) AS hops
              |FROM r GROUP BY id ORDER BY id""".stripMargin)),
 
+    // ----- mixed-script homoglyph audit -----------------------------------------
+    // Plants Cyrillic 'а' (U+0430) into every 13th doc's text — the
+    // classic confusable-spoofing signature — and pins per-doc token /
+    // mixed-token counts; both engines plant identically, so the
+    // regex-class probes must agree token-for-token.
+    "q263_script_mix" -> Entry(
+      (s, dir) => {
+        val planted = t(s, dir, "documents")
+          .filter(col("text").isNotNull && col("doc_id") < 400)
+          .select(col("doc_id"),
+            when(col("doc_id") % 13 === 0,
+              translate(col("text"), "a", "а"))
+              .otherwise(col("text")).as("text"))
+        TextAnalysis.scriptMixAudit(planted, "doc_id", "text")
+          .orderBy("id")
+      },
+      Some("""WITH p AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0
+             |    THEN replace(text, 'a', 'а') ELSE text END AS text
+             |  FROM documents WHERE text IS NOT NULL AND doc_id < 400),
+             |t AS (SELECT doc_id,
+             |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+             |      x -> x <> '') AS tk FROM p),
+             |m AS (SELECT doc_id, tk,
+             |    list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')
+             |      AND regexp_matches(x, '[Ѐ-ӿͰ-Ͽ]')) AS mx FROM t)
+             |SELECT doc_id AS id, CAST(len(tk) AS BIGINT) AS n_tokens,
+             |  CAST(len(mx) AS BIGINT) AS mixed_tokens,
+             |  CASE WHEN len(tk) > 0 THEN
+             |    round(CAST(len(mx) AS DOUBLE)
+             |      / CAST(len(tk) AS DOUBLE), 6) END AS mixed_ratio
+             |FROM m ORDER BY id""".stripMargin)),
+
     // ----- X6 Count-Min sketch: frequency estimates, cell-exact -------------
     // Builds a deliberately TIGHT 4×16 grid over the document token
     // stream (the ~31-term vocabulary forces real cell collisions) with

@@ -888,4 +888,33 @@ object TextAnalysis {
         col("syllables"),
         when(col("words") > 0, round(flesch, 6)).as("flesch"))
   }
+
+  /** Mixed-script (homoglyph) audit — the confusable-spoofing gate a
+    * crawl pipeline runs on tokens and URLs: a single token mixing
+    * Latin with Cyrillic or Greek letters is the classic phishing /
+    * SEO-spam signature ("pаypal" with U+0430), and it also breaks
+    * every downstream exact-match dedup key. Per row: token count,
+    * tokens mixing Latin+Cyrillic or Latin+Greek, and the ratio —
+    * gate on `mixed_ratio > 0` for ASCII-expected corpora. Detection
+    * is two character-class regex probes per token (a token "mixes"
+    * when BOTH classes match); [[normalize]]'s NFC runs upstream so
+    * composition variants can't hide a script. Pure per-row
+    * projection — zero shuffles, codegen'd regexes.
+    *
+    * Output: `(id, n_tokens, mixed_tokens, mixed_ratio)` (round 6;
+    * ratio null for token-less rows). */
+  def scriptMixAudit(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val toks = filter(tokens(col(textCol)), t => t =!= "")
+    def mixes(t: Column): Column =
+      t.rlike("[A-Za-z]") && t.rlike("[Ѐ-ӿͰ-Ͽ]")
+    val mixed = size(filter(toks, t => mixes(t)))
+    val n = size(toks)
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), n.as("n_tokens"),
+        mixed.cast("long").as("mixed_tokens"),
+        when(n > 0, round(mixed.cast("double") / n.cast("double"), 6))
+          .as("mixed_ratio"))
+      .withColumn("n_tokens", col("n_tokens").cast("long"))
+  }
 }

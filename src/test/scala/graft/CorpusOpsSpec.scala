@@ -2449,6 +2449,28 @@ class CorpusOpsSpec extends TestBase {
       rm.getAs[Double]("chi2") == 0.0, rm.toString)
   }
 
+  test("scriptMixAudit: Cyrillic and Greek homoglyphs flag, pure " +
+      "single-script tokens never do, empty text reports null ratio") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "pаypal is fine"),        // 'а' = U+0430: 1 of 3 mixed
+      (2L, "plain ascii text"),       // clean
+      (3L, "все на кириллице"),       // pure Cyrillic: no Latin, clean
+      (4L, "mixΣd token"),            // Greek sigma inside Latin
+      (5L, "   "))                    // no tokens
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .scriptMixAudit(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got(1L) == ((3L, 1L, Some(0.333333))), got(1L).toString)
+    assert(got(2L) == ((3L, 0L, Some(0.0))))
+    assert(got(3L) == ((3L, 0L, Some(0.0))))
+    assert(got(4L) == ((2L, 1L, Some(0.5))))
+    assert(got(5L) == ((0L, 0L, None)), got(5L).toString)
+  }
+
   test("hhi: hand-computed concentration, balanced keys floor at 1/k " +
       "(norm 0), single key peaks at 1 (norm null), empty all null") {
     import spark.implicits._
