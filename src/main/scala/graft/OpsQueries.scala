@@ -6554,6 +6554,71 @@ object OpsQueries {
              |      / CAST(len(tk) AS DOUBLE), 6) END AS mixed_ratio
              |FROM m ORDER BY id""".stripMargin)),
 
+    // ----- F1-optimal decision threshold ----------------------------------------
+    // Sweeps every observed n_chars value as a >= threshold against a
+    // noisily-correlated label — integer cumulative TP/FP over the
+    // descending order, quantized-F1 argmax with the highest-threshold
+    // tie-break; the oracle windows the same integer cumulatives.
+    "q264_best_threshold" -> Entry(
+      (s, dir) => Metrics.bestThreshold(
+        t(s, dir, "documents").filter(col("n_chars").isNotNull),
+        col("n_chars"),
+        col("n_chars") + col("doc_id") % 97 > 250),
+      Some("""WITH b AS (SELECT CAST(n_chars AS DOUBLE) AS v,
+             |    CASE WHEN n_chars + doc_id % 97 > 250 THEN 1 ELSE 0
+             |      END AS y
+             |  FROM documents WHERE n_chars IS NOT NULL),
+             |c AS (SELECT v, CAST(SUM(y) AS BIGINT) AS p,
+             |    CAST(SUM(1 - y) AS BIGINT) AS q FROM b GROUP BY v),
+             |r AS (SELECT v, SUM(p) OVER w AS tp, SUM(q) OVER w AS fp
+             |  FROM c WINDOW w AS (ORDER BY v DESC)),
+             |t AS (SELECT CAST(SUM(p) AS BIGINT) AS pt,
+             |    CAST(SUM(q) AS BIGINT) AS nt FROM c),
+             |cand AS (SELECT v, tp, fp, pt - tp AS fn, nt - fp AS tn,
+             |    pt, CAST(floor(CAST(2.0 AS DOUBLE) * CAST(tp AS DOUBLE)
+             |      / CAST(2 * tp + fp + (pt - tp) AS DOUBLE)
+             |      * CAST(1e12 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             |      AS BIGINT) AS f1q
+             |  FROM r, t),
+             |m AS (SELECT MAX(f1q) AS m FROM cand),
+             |pick AS (SELECT MAX(v) AS bv FROM cand, m WHERE f1q = m.m)
+             |SELECT v AS threshold, CAST(tp AS BIGINT) AS tp,
+             |  CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+             |  CAST(tn AS BIGINT) AS tn,
+             |  round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6)
+             |    AS precision,
+             |  round(CAST(tp AS DOUBLE) / CAST(pt AS DOUBLE), 6)
+             |    AS recall,
+             |  round(CAST(2.0 AS DOUBLE) * CAST(tp AS DOUBLE)
+             |    / CAST(2 * tp + fp + fn AS DOUBLE), 6) AS f1
+             |FROM cand, pick WHERE v = pick.bv""".stripMargin)),
+
+    // ----- leakage-free K-fold assignment ----------------------------------------
+    // q219's GroupShuffleSplit generalized to 5 cross-validation
+    // folds: near-dup groups draw the fold, so no candidate pair
+    // crosses a fold boundary; the oracle replays closure + md5 % 5.
+    "q265_kfold" -> Entry(
+      (s, dir) => Pipelines.kFoldSplit(nearDupDocs(s, dir),
+          "doc_id", "text", folds = 5)
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE $NearDupDocsSql,
+              |$MinhashPairsSql,
+              |e AS (SELECT doc_a AS eu, doc_b AS ev FROM pairs
+              |  UNION SELECT doc_b, doc_a FROM pairs),
+              |reach(id, r) AS (
+              |  SELECT eu, eu FROM e
+              |  UNION
+              |  SELECT reach.id, e.ev FROM reach JOIN e ON e.eu = reach.r),
+              |comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+              |g AS (SELECT d.doc_id,
+              |    CAST(COALESCE(comp.comp, d.doc_id) AS BIGINT) AS "group"
+              |  FROM docs d LEFT JOIN comp ON comp.id = d.doc_id)
+              |SELECT doc_id, "group",
+              |  CAST(CAST(('0x' || substr(md5('kfold|' ||
+              |      "group"::VARCHAR), 1, 8)) AS UBIGINT) % 5 AS BIGINT)
+              |    AS fold
+              |FROM g ORDER BY doc_id""".stripMargin)),
+
     // ----- X6 Count-Min sketch: frequency estimates, cell-exact -------------
     // Builds a deliberately TIGHT 4×16 grid over the document token
     // stream (the ~31-term vocabulary forces real cell collisions) with

@@ -754,4 +754,69 @@ object Metrics {
     when(size(cw) === 0 || size(rw) === 0, lit(0))
       .otherwise(element_at(fin, -1))
   }
+
+  /** F1-optimal decision threshold — "where do I actually CUT?" after
+    * [[auc]] says the scores rank well and [[calibrationReport]] says
+    * the probabilities mean something: sweep EVERY observed score as a
+    * candidate `predict positive when score ≥ t` threshold and return
+    * the one maximizing F1, with the full confusion row at that point.
+    * The quality-classifier gating decision
+    * ([[graft.operators.Pipelines]] curation) made from exact counts
+    * instead of a hand-picked 0.5.
+    *
+    * Exactness: per-threshold TP/FP are INTEGER cumulative counts
+    * over the score-DESCENDING order (two audited
+    * [[graft.operators.Rank.globalRunningSum]] passes over the
+    * checkpointed per-score count table — the [[graft.operators
+    * .Profiles.ksTest]] lineage-pinning pattern); F1 per candidate is
+    * one fixed-order double expression QUANTIZED to a 1e-12 long, and
+    * the argmax picks (max quantized F1, then HIGHEST threshold — the
+    * conservative tie-break), so the winner is engine-exact. No
+    * positive labels raises by name (F1 undefined, not zero).
+    *
+    * Output one row: `(threshold, tp, fp, fn, tn, precision, recall,
+    * f1)` (floats round 6). */
+  def bestThreshold(df: DataFrame, score: Column, label: Column)
+      : DataFrame = {
+    val base = df
+      .filter(score.isNotNull && label.isNotNull &&
+        !isnan(score.cast("double")))
+      .select(score.cast("double").as("__v"),
+        when(label.cast("boolean"), 1L).otherwise(0L).as("__y"))
+    val counts = base.groupBy("__v")
+      .agg(sum(col("__y")).as("__p"), sum(lit(1L) - col("__y")).as("__q"))
+      .localCheckpoint(true)
+    val o1 = Seq(col("__v").desc, col("__p").asc, col("__q").asc)
+    val ra = Rank.globalRunningSum(counts, o1, "__p", "__tp")
+      .localCheckpoint(true)
+    val run = Rank.globalRunningSum(ra, o1 :+ col("__tp").asc,
+      "__q", "__fp")
+    val tot = counts.agg(sum("__p").as("__pt"), sum("__q").as("__nt"))
+      .select(when(col("__pt").isNull || col("__pt") === 0L,
+        raise_error(lit("bestThreshold: no positive labels — F1 is " +
+          "undefined, not zero; check the label expression")))
+        .otherwise(col("__pt")).as("__pt"),
+        coalesce(col("__nt"), lit(0L)).as("__nt"))
+    val cand = run.crossJoin(broadcast(tot))
+      .select(col("__v"), col("__tp"), col("__fp"),
+        (col("__pt") - col("__tp")).as("__fn"),
+        (col("__nt") - col("__fp")).as("__tn"), col("__pt"))
+      .withColumn("__f1q", floor(
+        lit(2.0) * col("__tp").cast("double") /
+          (lit(2L) * col("__tp") + col("__fp") + col("__fn"))
+            .cast("double") * lit(1e12) + lit(0.5)))
+    val best = cand.agg(max(col("__f1q")).as("__m"))
+    val pick = cand.join(broadcast(best), col("__f1q") === col("__m"))
+      .agg(max(col("__v")).as("__bv"))
+    cand.join(broadcast(pick), col("__v") === col("__bv"))
+      .select(col("__v").as("threshold"), col("__tp").as("tp"),
+        col("__fp").as("fp"), col("__fn").as("fn"), col("__tn").as("tn"),
+        round(col("__tp").cast("double") /
+          (col("__tp") + col("__fp")).cast("double"), 6).as("precision"),
+        round(col("__tp").cast("double") / col("__pt").cast("double"), 6)
+          .as("recall"),
+        round(lit(2.0) * col("__tp").cast("double") /
+          (lit(2L) * col("__tp") + col("__fp") + col("__fn"))
+            .cast("double"), 6).as("f1"))
+  }
 }

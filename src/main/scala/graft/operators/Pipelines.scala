@@ -279,6 +279,33 @@ object Pipelines {
         when(draw < evalBp, lit("eval")).otherwise(lit("train")))
   }
 
+  /** Leakage-free K-FOLD assignment — [[leakageFreeSplit]] generalized
+    * from a two-way draw to cross-validation folds: near-dup GROUPS
+    * (the LSH-candidate transitive closure), not documents, draw the
+    * fold, so no candidate pair ever crosses a fold boundary and
+    * "held-out" can never mean "seen near-verbatim". The deterministic
+    * md5 draw makes folds reproducible across runs and engines.
+    * Same scale shape as the split (banding one-pass, component
+    * iteration candidate-sized, assignment a pure projection).
+    * Output: `(idCol, group, fold)` with fold in [0, folds). */
+  def kFoldSplit(df: DataFrame, idCol: String, textCol: String,
+      folds: Int, salt: String = "kfold", k: Int = 8,
+      rowsPerBand: Int = 2, shingleN: Int = 3): DataFrame = {
+    require(folds >= 2 && folds <= 1000,
+      s"kFoldSplit: folds must be in [2, 1000], got $folds")
+    val pairs = Dedup.minhashCandidates(df, idCol, textCol, k,
+      rowsPerBand, shingleN)
+    val comp = Connected.components(pairs, "doc_a", "doc_b")
+      .select(col("id").as("__cid"), col("comp").as("__comp"))
+    df.select(col(idCol))
+      .join(comp, col(idCol) === col("__cid"), "left")
+      .select(col(idCol),
+        coalesce(col("__comp"), col(idCol).cast("long")).as("group"))
+      .withColumn("fold",
+        TextAnalysis.md5Head(concat(lit(salt), lit("|"),
+          col("group").cast("string"))) % folds)
+  }
+
   def denoisingMixture(df: DataFrame, idCol: String, textCol: String,
       weights: Seq[Int] = Seq(2, 1, 1), salt: String = "ul2")
       : DataFrame = {

@@ -119,6 +119,37 @@ class LinkageSpec extends TestBase {
     }.getMessage.contains("evalBp"))
   }
 
+  test("kFoldSplit: no candidate pair crosses a fold boundary, folds " +
+      "stay in range and spread, assignment is deterministic") {
+    import spark.implicits._
+    val docs = (0L until 40L).map { i =>
+      val f = i / 4
+      (i, (0 to 8).map(j => s"w${f}t$j").mkString(" ") + s" v${i % 2}")
+    }.toDF("doc_id", "text")
+    val asg = Pipelines.kFoldSplit(docs, "doc_id", "text", folds = 3)
+    val rows = asg.as[(Long, Long, Long)].collect().toSeq
+    assert(rows.size == 40)
+    assert(rows.forall(r => r._3 >= 0 && r._3 < 3), rows.toString)
+    // 10 groups over 3 folds: at least 2 folds occupied
+    assert(rows.map(_._3).distinct.size >= 2)
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text",
+      k = 8, rowsPerBand = 2, shingleN = 3)
+    val fo = asg.select(col("doc_id"), col("fold"))
+    val leaked = pairs
+      .join(fo.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("fold", "fa"), "doc_a")
+      .join(fo.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("fold", "fb"), "doc_b")
+      .filter(col("fa") =!= col("fb")).count()
+    assert(leaked == 0L, s"$leaked candidate pairs cross folds")
+    val again = Pipelines.kFoldSplit(docs, "doc_id", "text", folds = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(again.sortBy(_._1) == rows.sortBy(_._1))
+    assert(intercept[IllegalArgumentException] {
+      Pipelines.kFoldSplit(docs, "doc_id", "text", folds = 1)
+    }.getMessage.contains("folds"))
+  }
+
   test("luhnValid + withCardAudit: ISO test PANs validate, off-by-one " +
       "check digits fail, length range gates candidates, digit-free " +
       "text is clean") {

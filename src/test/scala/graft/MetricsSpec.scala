@@ -455,4 +455,33 @@ class MetricsSpec extends TestBase {
       Metrics.conformalThreshold(tiny, "score", "id", 0.0)
     }.getMessage.contains("alpha"))
   }
+
+  test("bestThreshold: hand-swept F1 argmax, equal-F1 ties break to " +
+      "the HIGHEST threshold, no positives raises by name") {
+    import spark.implicits._
+    // t=0.6 wins: TP3 FP1 FN0 -> F1 6/7
+    val d = Seq((0.9, true), (0.8, true), (0.7, false), (0.6, true),
+      (0.5, false)).toDF("s", "y").repartition(3)
+    val r = Metrics.bestThreshold(d, col("s"), col("y")).collect().head
+    assert(r.getAs[Double]("threshold") == 0.6 &&
+      r.getAs[Long]("tp") == 3 && r.getAs[Long]("fp") == 1 &&
+      r.getAs[Long]("fn") == 0 && r.getAs[Long]("tn") == 1 &&
+      r.getAs[Double]("precision") == 0.75 &&
+      r.getAs[Double]("recall") == 1.0 &&
+      r.getAs[Double]("f1") == 0.857143, r.toString)
+    // F1(t=5) = 2/(2+0+1) and F1(t=2) = 4/(4+2+0): both exactly 2/3
+    // -> the higher threshold wins the tie
+    val tie = Seq((5.0, true), (4.0, false), (3.0, false), (2.0, true),
+      (1.0, false)).toDF("s", "y")
+    val rt = Metrics.bestThreshold(tie, col("s"), col("y"))
+      .collect().head
+    assert(rt.getAs[Double]("threshold") == 5.0 &&
+      rt.getAs[Long]("tp") == 1 && rt.getAs[Long]("fp") == 0,
+      rt.toString)
+    val ex = intercept[Exception] {
+      Metrics.bestThreshold(
+        Seq((1.0, false)).toDF("s", "y"), col("s"), col("y")).collect()
+    }
+    assert(ex.getMessage.contains("bestThreshold"), ex.getMessage)
+  }
 }
