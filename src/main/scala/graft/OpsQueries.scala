@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.operators.{AsOfJoin, Connected, Decontaminate, Dedup, EntityResolution, Dsir, Embeddings, FooterStats, Funnel, Graph, Metrics, Multimodal, Pipelines, Profiles, Quantize, QualityFilter, RangeJoin, Rank, Sampling, Sketches, Similarity, TextAnalysis, Valuation, Vocab}
+import graft.operators.{AsOfJoin, Connected, Decontaminate, Dedup, EntityResolution, Dsir, Embeddings, FooterStats, Funnel, Graph, Metrics, Multimodal, Pipelines, Profiles, Quantize, QualityFilter, RangeJoin, Rank, Sampling, Sketches, Similarity, TextAnalysis, Urls, Valuation, Vocab}
 
 /** Catalog entries for the LLM-data-pipeline operators (dedup, similarity
   * search, text analysis, multimodal) over the `documents` / `embeddings`
@@ -6618,6 +6618,81 @@ object OpsQueries {
               |      "group"::VARCHAR), 1, 8)) AS UBIGINT) % 5 AS BIGINT)
               |    AS fold
               |FROM g ORDER BY doc_id""".stripMargin)),
+
+    // ----- per-key AUC (sliced discrimination) ----------------------------------
+    // q182's exact midrank algebra per LANGUAGE — the slice eval that
+    // catches "coin-flips on one language" before the global number
+    // averages it away. Ranks ride the per-key cumulative over the
+    // (key, distinct score) aggregated table — integer end-to-end.
+    "q266_auc_by_key" -> Entry(
+      (s, dir) => Metrics.aucByKey(
+        t(s, dir, "documents").filter(col("n_chars").isNotNull),
+        col("lang"), col("n_chars"),
+        col("n_chars") + col("doc_id") % 97 > 250)
+        .orderBy("key"),
+      Some("""WITH b AS (SELECT CAST(lang AS VARCHAR) AS key,
+             |    CAST(n_chars AS DOUBLE) AS s,
+             |    CASE WHEN n_chars + doc_id % 97 > 250 THEN 1 ELSE 0
+             |      END AS y
+             |  FROM documents WHERE n_chars IS NOT NULL),
+             |g AS (SELECT key, s, COUNT(*) AS n,
+             |    CAST(SUM(y) AS BIGINT) AS np FROM b GROUP BY key, s),
+             |o AS (SELECT key, n, np, SUM(n) OVER (PARTITION BY key
+             |    ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND
+             |    CURRENT ROW) AS cum FROM g),
+             |a AS (SELECT key, SUM(np * (2 * cum - n + 1)) AS sum2,
+             |    SUM(np) AS p, SUM(n) AS tot FROM o GROUP BY key)
+             |SELECT key, CAST(p AS BIGINT) AS n_pos,
+             |  CAST(tot - p AS BIGINT) AS n_neg,
+             |  CASE WHEN p > 0 AND tot - p > 0 THEN
+             |    round(CAST(sum2 - p * (p + 1) AS DOUBLE) /
+             |      CAST(2 * p * (tot - p) AS DOUBLE), 6) END AS auc
+             |FROM a ORDER BY key""".stripMargin)),
+
+    // ----- URL harvest from text -------------------------------------------------
+    // Plants outlinks into every 11th doc (both engines plant the same
+    // bytes) and pins the exploded (id, url, domain) rows — the
+    // outlink-graph feed for pagerank/per-domain caps.
+    "q267_extract_urls" -> Entry(
+      (s, dir) => {
+        val planted = t(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            when(col("doc_id") % 11 === 0,
+              concat(col("text"), lit(" see https://ex"),
+                col("doc_id") % 7, lit(".com/p/"), col("doc_id"),
+                lit(" and http://www.ref"), col("doc_id") % 3,
+                lit(".org/x?utm_source=t")))
+              .otherwise(col("text")).as("text"))
+        Urls.extractUrls(planted, "doc_id", "text")
+          .orderBy("doc_id", "url")
+      },
+      Some("""WITH p AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0
+             |    THEN text || ' see https://ex' || (doc_id % 7)
+             |      || '.com/p/' || doc_id || ' and http://www.ref'
+             |      || (doc_id % 3) || '.org/x?utm_source=t'
+             |    ELSE text END AS text
+             |  FROM documents WHERE text IS NOT NULL),
+             |u AS (SELECT doc_id, unnest(regexp_extract_all(text,
+             |    'https?://[^\s]+')) AS url FROM p),
+             |h AS (SELECT doc_id, url,
+             |    lower(regexp_extract(regexp_extract(url,
+             |      '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)', 2),
+             |      '([^@]*)$', 1)) AS auth,
+             |    lower(regexp_extract(url,
+             |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch
+             |  FROM u),
+             |d AS (SELECT doc_id, url,
+             |    CASE WHEN sch = 'http' THEN regexp_replace(auth,
+             |        ':80$', '')
+             |      WHEN sch = 'https' THEN regexp_replace(auth,
+             |        ':443$', '')
+             |      ELSE auth END AS host
+             |  FROM h)
+             |SELECT doc_id, url,
+             |  CASE WHEN host <> '' THEN
+             |    regexp_replace(host, '^www\.', '') END AS domain
+             |FROM d ORDER BY doc_id, url""".stripMargin)),
 
     // ----- X6 Count-Min sketch: frequency estimates, cell-exact -------------
     // Builds a deliberately TIGHT 4×16 grid over the document token

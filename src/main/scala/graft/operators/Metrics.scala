@@ -61,6 +61,63 @@ object Metrics {
           .as("n_neg"))
   }
 
+  /** Per-key tie-corrected AUC — [[auc]] sliced by language / source /
+    * shard: the eval that catches "ranks brilliantly on English,
+    * coin-flips on Thai" before a global number averages it away.
+    * Same exact midrank algebra as [[auc]]
+    * (`(Σ 2·midrank_pos − P(P+1)) / (2·P·N)` per key, integer/decimal
+    * until one final division), but ranks come from a per-key
+    * cumulative over the (key, DISTINCT score) AGGREGATED table:
+    * bounded by distinct scores per key, not rows per key (the q186
+    * bounded-domain argument — quality scores are rounded/bucketed in
+    * practice). A key whose distinct-score domain exceeds
+    * `maxKeyScores` raises loudly BEFORE the window buffers it (the
+    * rankNormalize guard posture): truly continuous scores on a
+    * dominant key belong on the global [[auc]] or a quantized score.
+    *
+    * Output one row per key: `(key, n_pos, n_neg, auc)` — auc null
+    * when the key lacks positives or negatives (degenerate, loud). */
+  def aucByKey(df: DataFrame, key: Column, score: Column, label: Column,
+      maxKeyScores: Long = 10000000L): DataFrame = {
+    require(maxKeyScores > 0L, s"aucByKey: maxKeyScores must be > 0")
+    val staged = df
+      .filter(score.isNotNull && label.isNotNull &&
+        !isnan(score.cast("double")))
+      .select(key.cast("string").as("key"),
+        score.cast("double").as("__s"),
+        when(label.cast("boolean"), 1L).otherwise(0L).as("__y"))
+    val g = staged.groupBy(col("key"), col("__s"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__np"))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key"))
+    val w = wk.orderBy(col("__s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val cum = g
+      .withColumn("__dom", count(lit(1)).over(wk))
+      .withColumn("__n", when(col("__dom") > maxKeyScores, raise_error(
+        concat(lit("aucByKey: key '"), col("key"),
+          lit(s"' has more than $maxKeyScores distinct scores — " +
+            "quantize the score or use the global auc")))
+        ).otherwise(col("__n")))
+      .withColumn("__hi", sum(col("__n")).over(w))
+      .withColumn("__lo", col("__hi") - col("__n") + 1L)
+    cum.groupBy(col("key"))
+      .agg(
+        sum((col("__np") * (col("__lo") + col("__hi")))
+          .cast("decimal(38,0)")).as("__sum2"),
+        sum(col("__np")).cast("decimal(38,0)").as("__p"),
+        sum(col("__n")).cast("decimal(38,0)").as("__t"))
+      .select(col("key"),
+        coalesce(col("__p").cast("long"), lit(0L)).as("n_pos"),
+        coalesce((col("__t") - col("__p")).cast("long"), lit(0L))
+          .as("n_neg"),
+        when(col("__p") > 0 && col("__t") - col("__p") > 0, round(
+          (col("__sum2") - col("__p") * (col("__p") + 1)).cast("double") /
+            (lit(2).cast("decimal(38,0)") * col("__p") *
+              (col("__t") - col("__p"))).cast("double"), 6)).as("auc"))
+  }
+
   /** Calibration report: bucket predictions by confidence
     * (`⌊score·bins⌋`, clamped into the last bucket at score = 1) and
     * put each bucket's mean confidence next to its observed positive

@@ -76,4 +76,25 @@ object Urls {
   def withCanonicalUrl(df: DataFrame, urlCol: String): DataFrame =
     df.withColumn("url_canonical", canonicalizeUrl(col(urlCol)))
       .withColumn("url_domain", domainOf(col(urlCol)))
+
+  /** Harvest http(s) URLs OUT of free text — the outlink-graph /
+    * citation extractor that feeds [[graft.operators.Graph.pagerank]]
+    * (page → outlink edges) and per-domain reference counts, run
+    * BEFORE any canonicalization: one exploded row per occurrence (a
+    * page linking twice votes twice — dedupe downstream as policy,
+    * not here) with the [[domainOf]] grouping key alongside. The match
+    * is the crawl-practical `https?://` + non-whitespace run —
+    * trailing punctuation stays attached (documented; stripping it
+    * needs language-specific heuristics that belong in a cleanup
+    * pass, and both engines must agree byte-for-byte anyway). Pure
+    * scan projection + generator, zero shuffles.
+    *
+    * Output: `(idCol, url, domain)`, rows only where a URL matched. */
+  def extractUrls(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        explode(regexp_extract_all(col(textCol),
+          lit("https?://[^\\s]+"), lit(0))).as("url"))
+      .withColumn("domain", domainOf(col("url")))
 }

@@ -456,6 +456,30 @@ class MetricsSpec extends TestBase {
     }.getMessage.contains("alpha"))
   }
 
+  test("aucByKey: perfect / inverted / tied keys score 1, 0, 0.5; " +
+      "degenerate keys report null; the distinct-score guard raises") {
+    import spark.implicits._
+    val d = Seq(
+      ("A", 1.0, false), ("A", 2.0, true), ("A", 3.0, true),  // AUC 1
+      ("B", 1.0, true), ("B", 2.0, false),                    // AUC 0
+      ("C", 1.0, false), ("C", 1.0, true),                    // tie: 0.5
+      ("D", 1.0, true), ("D", 2.0, true))                     // no negs
+      .toDF("k", "s", "y").repartition(3)
+    val got = Metrics.aucByKey(d, col("k"), col("s"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got("A") == ((2L, 1L, Some(1.0))), got("A").toString)
+    assert(got("B") == ((1L, 1L, Some(0.0))))
+    assert(got("C") == ((1L, 1L, Some(0.5))))
+    assert(got("D") == ((2L, 0L, None)))
+    val ex = intercept[Exception] {
+      Metrics.aucByKey(d, col("k"), col("s"), col("y"),
+        maxKeyScores = 1L).collect()
+    }
+    assert(ex.getMessage.contains("distinct scores"), ex.getMessage)
+  }
+
   test("bestThreshold: hand-swept F1 argmax, equal-F1 ties break to " +
       "the HIGHEST threshold, no positives raises by name") {
     import spark.implicits._

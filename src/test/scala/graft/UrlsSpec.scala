@@ -105,4 +105,25 @@ class UrlsSpec extends TestBase {
       out.select(col("id"), col("url_canonical").as("text")), "id", "text")
     assert(deduped.count() == 2)
   }
+
+  test("extractUrls: every occurrence yields a row with its domain, " +
+      "url-free and null texts yield none, repeats vote twice") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "visit https://www.Ex.com/page and http://sub.org/x ok"),
+      (2L, "no links here"),
+      (3L, null.asInstanceOf[String]),
+      (4L, "twice https://a.io/1 twice https://a.io/1"))
+      .toDF("id", "text")
+    val got = Urls.extractUrls(docs, "id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.length == 4, got.mkString(";"))
+    val byId = got.groupBy(_._1)
+    assert(byId(1L).map(_._3).toSet == Set("ex.com", "sub.org"))
+    assert(byId(1L).map(_._2).toSet ==
+      Set("https://www.Ex.com/page", "http://sub.org/x"))
+    assert(byId(4L).length == 2 &&
+      byId(4L).forall(_._3 == "a.io"), byId(4L).mkString(";"))
+    assert(!byId.contains(2L) && !byId.contains(3L))
+  }
 }
