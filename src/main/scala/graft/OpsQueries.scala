@@ -6694,6 +6694,59 @@ object OpsQueries {
              |    regexp_replace(host, '^www\.', '') END AS domain
              |FROM d ORDER BY doc_id, url""".stripMargin)),
 
+    // ----- confusable folding ------------------------------------------------------
+    // q263's cleanup companion: fold the planted Cyrillic 'а' back
+    // onto Latin and pin (changed?, folded prefix) per doc. The base
+    // corpus is ASCII and the plant is the single homoglyph, so the
+    // oracle's one-char translate replays the full 42-char fold map
+    // exactly on this fixture.
+    "q268_fold_confusables" -> Entry(
+      (s, dir) => {
+        val planted = t(s, dir, "documents")
+          .filter(col("text").isNotNull && col("doc_id") < 400)
+          .select(col("doc_id"),
+            when(col("doc_id") % 13 === 0,
+              translate(col("text"), "a", "а"))
+              .otherwise(col("text")).as("text"))
+        val folded = TextAnalysis.foldConfusables(col("text"))
+        planted.select(col("doc_id"),
+            (folded =!= col("text")).as("changed"),
+            substring(folded, 1, 24).as("folded_prefix"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0
+             |    THEN replace(text, 'a', 'а') ELSE text END AS text
+             |  FROM documents WHERE text IS NOT NULL AND doc_id < 400)
+             |SELECT doc_id,
+             |  translate(text, 'а', 'a') <> text AS changed,
+             |  substring(translate(text, 'а', 'a'), 1, 24)
+             |    AS folded_prefix
+             |FROM p ORDER BY doc_id""".stripMargin)),
+
+    // ----- empirical-Bayes shrunk rates ---------------------------------------------
+    // Per-source "long document" rates pulled toward the global rate
+    // by 50 pseudo-counts — integer (n, k) per key, p0 and the shrunk
+    // point as fixed-order double expressions.
+    "q269_shrunk_rates" -> Entry(
+      (s, dir) => Profiles.shrunkRates(
+        t(s, dir, "documents"), "source", col("n_chars") > 250,
+        priorStrength = 50.0)
+        .orderBy("key"),
+      Some("""WITH b AS (SELECT CAST(source AS VARCHAR) AS key,
+             |    CASE WHEN COALESCE(n_chars > 250, FALSE) THEN 1
+             |      ELSE 0 END AS y FROM documents),
+             |p AS (SELECT key, COUNT(*) AS n,
+             |    CAST(SUM(y) AS BIGINT) AS k FROM b GROUP BY 1),
+             |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tn,
+             |    CAST(SUM(k) AS BIGINT) AS tk FROM p)
+             |SELECT key, CAST(n AS BIGINT) AS n, k,
+             |  round(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+             |  round((CAST(k AS DOUBLE) + CAST(50.0 AS DOUBLE)
+             |      * (CAST(tk AS DOUBLE) / CAST(tn AS DOUBLE)))
+             |    / (CAST(n AS DOUBLE) + CAST(50.0 AS DOUBLE)), 6)
+             |    AS shrunk_rate
+             |FROM p, t ORDER BY key""".stripMargin)),
+
     // ----- X6 Count-Min sketch: frequency estimates, cell-exact -------------
     // Builds a deliberately TIGHT 4×16 grid over the document token
     // stream (the ~31-term vocabulary forces real cell collisions) with

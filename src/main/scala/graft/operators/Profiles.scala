@@ -572,6 +572,41 @@ object Profiles {
         .as("hhi_norm"))
   }
 
+  /** Empirical-Bayes shrunk per-key success rates — the ranking
+    * companion to [[proportionBounds]]: where Wilson reports an
+    * interval, beta-binomial shrinkage reports a POINT estimate
+    * pulled toward the global rate by `priorStrength` pseudo-counts
+    * (`shrunk = (k + m·p₀)/(n + m)`, Morris 1983 parametric EB) — a
+    * 2/2 domain stops outranking a 9 500/10 000 one, and mixture
+    * recipes get one stable number per key instead of interval
+    * gymnastics. Null `cond` counts as failure (the
+    * [[proportionBounds]] convention: an unmeasurable success is not
+    * a success).
+    *
+    * Exactness: per-key (n, k) are integers; p₀ and the shrunk rate
+    * are fixed-order double expressions of integer aggregates
+    * (round 6). One keyed aggregation + a broadcast 1-row total.
+    * Output per key: `(key, n, k, rate, shrunk_rate)`. */
+  def shrunkRates(df: DataFrame, keyCol: String, cond: Column,
+      priorStrength: Double = 100.0): DataFrame = {
+    require(priorStrength > 0.0,
+      s"shrunkRates: priorStrength must be > 0, got $priorStrength")
+    val base = df.select(col(keyCol).cast("string").as("key"),
+      when(coalesce(cond.cast("boolean"), lit(false)), 1L)
+        .otherwise(0L).as("__y"))
+    val per = base.groupBy("key")
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("k"))
+    val tot = per.agg(sum(col("n")).as("__tn"), sum(col("k")).as("__tk"))
+    val p0 = col("__tk").cast("double") / col("__tn").cast("double")
+    val m = lit(priorStrength)
+    per.crossJoin(broadcast(tot))
+      .select(col("key"), col("n"), col("k"),
+        round(col("k").cast("double") / col("n").cast("double"), 6)
+          .as("rate"),
+        round((col("k").cast("double") + m * p0) /
+          (col("n").cast("double") + m), 6).as("shrunk_rate"))
+  }
+
   /** Vocabulary-richness report (the hapax/type-token battery of
     * classical corpus linguistics — Baayen 2001) — [[zipfFit]]'s
     * integer sibling: `types`, `tokens`, `hapax` (frequency-1 terms),

@@ -903,6 +903,20 @@ object TextAnalysis {
     *
     * Output: `(id, n_tokens, mixed_tokens, mixed_ratio)` (round 6;
     * ratio null for token-less rows). */
+  /** Fold the common Cyrillic/Greek homoglyphs onto their Latin
+    * lookalikes — the cleanup companion to [[scriptMixAudit]]: run it
+    * on the DEDUP KEY (never the published text — folding is lossy
+    * and wrong for genuine Cyrillic/Greek prose) so "pаypal" and
+    * "paypal" collapse to one key. Covers the confusables an actual
+    * spam corpus contains (the UTS #39 core set for these two
+    * scripts): Cyrillic а е о р с у х ѕ і ј ԁ ѡ + uppercase
+    * А В Е З К М Н О Р С Т У Х, Greek ο ν Α Β Ε Ζ Η Ι Κ Μ Ν Ο Ρ Τ
+    * Υ Χ. One codegen'd `translate` — pure projection. */
+  def foldConfusables(text: Column): Column =
+    translate(text,
+      "аеорсухѕіјԁѡАВЕЗКМНОРСТУХοενΑΒΕΖΗΙΚΜΝΟΡΤΥΧ",
+      "aeopcyxsijdwABE3KMHOPCTYXoevABEZHIKMNOPTYX")
+
   def scriptMixAudit(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     val toks = filter(tokens(col(textCol)), t => t =!= "")

@@ -2471,6 +2471,57 @@ class CorpusOpsSpec extends TestBase {
     assert(got(5L) == ((0L, 0L, None)), got(5L).toString)
   }
 
+  test("foldConfusables: homoglyph spoofs collapse onto their Latin " +
+      "key, genuine Latin is untouched, the fold pairs with the audit") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "pаypal.com"),   // Cyrillic а
+      (2L, "paypal.com"),   // genuine
+      (3L, "mixΝu"))        // Greek capital Nu -> N
+      .toDF("id", "t")
+    val folded = docs
+      .select(col("id"), TextAnalysis.foldConfusables(col("t")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(folded(1L) == "paypal.com" && folded(2L) == "paypal.com" &&
+      folded(3L) == "mixNu", folded.toString)
+    // the folded key collapses the spoof pair the audit flagged
+    assert(folded(1L) == folded(2L))
+  }
+
+  test("shrunkRates: small perfect keys shrink BELOW large strong " +
+      "ones, null cond is failure, hand-checked arithmetic, guards") {
+    import spark.implicits._
+    import graft.operators.Profiles
+    // global: 12/22; A = 2/2 raw 1.0, B = 10/20 raw 0.5; m = 2
+    val d = (Seq.fill(2)(("A", true)) ++ Seq.fill(10)(("B", true)) ++
+      Seq.fill(10)(("B", false))).toDF("k", "y")
+    val got = Profiles.shrunkRates(d, "k", col("y"), priorStrength = 2.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val p0 = 12.0 / 22.0
+    assert(got("A") == ((2L, 2L, 1.0,
+      BigDecimal((2.0 + 2.0 * p0) / 4.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)),
+      got("A").toString)
+    assert(got("B")._4 == BigDecimal((10.0 + 2.0 * p0) / 22.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // A (2/2) no longer at 1.0; with a strong prior it approaches p0
+    val strong = Profiles.shrunkRates(d, "k", col("y"), 1e6)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(math.abs(strong("A") - strong("B")) < 0.001, strong.toString)
+    // null cond = failure
+    val withNull = Seq(("A", Some(true)), ("A", None))
+      .toDF("k", "y")
+    val rn = Profiles.shrunkRates(withNull, "k", col("y"), 1.0)
+      .collect().head
+    assert(rn.getAs[Long]("n") == 2 && rn.getAs[Long]("k") == 1)
+    assert(intercept[IllegalArgumentException] {
+      Profiles.shrunkRates(d, "k", col("y"), 0.0)
+    }.getMessage.contains("priorStrength"))
+  }
+
   test("hhi: hand-computed concentration, balanced keys floor at 1/k " +
       "(norm 0), single key peaks at 1 (norm null), empty all null") {
     import spark.implicits._
