@@ -6747,6 +6747,41 @@ object OpsQueries {
              |    AS shrunk_rate
              |FROM p, t ORDER BY key""".stripMargin)),
 
+    // ----- cross-source quantile normalization -----------------------------------
+    // Each doc's length mapped onto the POOLED length distribution at
+    // its within-source percentile — the batch-effect corrector. The
+    // normalized value is a rank-keyed JOIN result (nothing to round);
+    // pct is the integer ratio percent_rank evaluates.
+    "q270_quantile_normalize" -> Entry(
+      (s, dir) => Profiles.quantileNormalize(
+        t(s, dir, "documents"), "source", "doc_id", "n_chars")
+        .orderBy("id"),
+      Some("""WITH s AS (SELECT CAST(source AS VARCHAR) AS k, doc_id,
+             |    CAST(n_chars AS DOUBLE) AS v FROM documents
+             |  WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL),
+             |p AS (SELECT k, doc_id, v, percent_rank() OVER (
+             |    PARTITION BY k ORDER BY v, doc_id) AS pct FROM s),
+             |n AS (SELECT COUNT(*) AS nn FROM s),
+             |g AS (SELECT v AS pv,
+             |    ROW_NUMBER() OVER (ORDER BY v, doc_id) AS r FROM s),
+             |t AS (SELECT doc_id AS id, k AS key, v AS value, pct,
+             |    CAST(floor(pct * CAST(nn - 1 AS DOUBLE)
+             |      + CAST(0.5 AS DOUBLE)) AS BIGINT) + 1 AS tr
+             |  FROM p, n)
+             |SELECT id, key, value, pct, g.pv AS normalized
+             |FROM t JOIN g ON g.r = t.tr ORDER BY id""".stripMargin)),
+
+    // ----- DEFLATE compression-ratio quality signal --------------------------------
+    // No SQL oracle exists for zlib — rows-only at the driver, with
+    // the contracts spec-pinned (determinism across partitionings,
+    // repetition < prose < noise ordering, null/empty handling).
+    "q271_compression_ratio" -> Entry(
+      (s, dir) => TextAnalysis.withCompressionRatio(
+        t(s, dir, "documents").filter(col("doc_id") < 400),
+        "doc_id", "text")
+        .orderBy("id"),
+      None),
+
     // ----- X6 Count-Min sketch: frequency estimates, cell-exact -------------
     // Builds a deliberately TIGHT 4×16 grid over the document token
     // stream (the ~31-term vocabulary forces real cell collisions) with

@@ -572,6 +572,48 @@ object Profiles {
         .as("hhi_norm"))
   }
 
+  /** Cross-source QUANTILE NORMALIZATION — the batch-effect corrector
+    * for scores that mean different things per source (classifier
+    * calibrated on web text, run on code; length distributions that
+    * differ by crawler): each row's value maps to the POOLED
+    * distribution's value at the row's within-key percentile, so
+    * "top 10% of its own source" means the same number everywhere
+    * (the genomics quantile-normalization move, applied to mixture
+    * scores). Per-key percentiles ride the exact balanced
+    * [[graft.operators.Rank.perKeyPercentRank]] (no per-key window
+    * cliff); the pooled lookup is `value at global rank
+    * 1 + ⌊pct·(N−1) + 0.5⌋` via [[graft.operators.Rank.globalRank]]
+    * and one rank-keyed join.
+    *
+    * Exactness: pct is the integer ratio (rank−1)/(n−1); the target
+    * rank is one deterministic floor; the normalized value is a JOIN
+    * result, not arithmetic — nothing to round. Input localCheckpoints
+    * (the perKeyPercentRank three-scan contract + the pooled scan).
+    *
+    * Output: `(id, key, value, pct, normalized)`. */
+  def quantileNormalize(df: DataFrame, keyCol: String, idCol: String,
+      valueCol: String): DataFrame = {
+    val staged = df.select(col(keyCol).cast("string").as("__k"),
+        col(idCol).as("__id"), col(valueCol).cast("double").as("__v"))
+      .filter(col("__id").isNotNull && col("__v").isNotNull &&
+        !isnan(col("__v")))
+      .localCheckpoint(true)
+    val pct = Rank.perKeyPercentRank(staged, col("__k"), col("__id"),
+      col("__v"), out = "__pct")
+    val tot = staged.agg(count(lit(1)).as("__N"))
+    val pooled = Rank.globalRank(
+      staged.select(col("__v").as("__pv"), col("__id").as("__poolid")),
+      Seq(col("__pv").asc, col("__poolid").asc), outCol = "__r")
+      .select(col("__r"), col("__pv"))
+    pct.crossJoin(broadcast(tot))
+      .withColumn("__tr", floor(col("__pct") *
+        (col("__N") - 1L).cast("double") + lit(0.5)).cast("long") + 1L)
+      .join(pooled, col("__tr") === col("__r"))
+      .select(col("__id").as("id"), col("__k").as("key"),
+        col("__v").as("value"), col("__pct").as("pct"),
+        col("__pv").as("normalized"))
+  }
+
   /** Empirical-Bayes shrunk per-key success rates — the ranking
     * companion to [[proportionBounds]]: where Wilson reports an
     * interval, beta-binomial shrinkage reports a POINT estimate

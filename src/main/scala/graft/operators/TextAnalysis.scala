@@ -903,6 +903,60 @@ object TextAnalysis {
     *
     * Output: `(id, n_tokens, mixed_tokens, mixed_ratio)` (round 6;
     * ratio null for token-less rows). */
+  /** DEFLATE compression ratio per document — the parameter-free
+    * quality/repetition signal real curation stacks run next to the
+    * Gopher rules (boilerplate, template floods, and degenerate
+    * repetition compress far below natural prose; random noise and
+    * encrypted blobs compress above it): `compression_ratio` =
+    * deflated bytes / UTF-8 bytes at zlib level 6, plus the raw
+    * `utf8_bytes`. Gate on BOTH tails (ratio < ~0.2 is repetition,
+    * > ~1.0 is noise).
+    *
+    * This is the repo's one per-row native-codec operator outside
+    * [[graft.operators.Multimodal]] and follows the same boundary
+    * rules: `mapPartitions` with ONE reused `Deflater` per partition
+    * (allocating per row thrashes native memory), null text → null
+    * metrics, empty text → ratio null (0/0 has no meaning). JVM zlib
+    * is deterministic for fixed input+level, so results are stable
+    * across partitionings and runs — but there is no SQL oracle for
+    * deflate, so the catalog entry is rows-only and the spec carries
+    * the contracts (the Bloom/summarizeApprox precedent).
+    *
+    * Output: `(id, utf8_bytes, compression_ratio)` (ratio round 6);
+    * `idCol` must be castable to long. */
+  def withCompressionRatio(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val out = df
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](8192)
+        it.map { case (id, text) =>
+          if (text == null) (id, None: Option[Long], None: Option[Double])
+          else {
+            val bytes = text.getBytes(
+              java.nio.charset.StandardCharsets.UTF_8)
+            if (bytes.isEmpty) (id, Some(0L), None: Option[Double])
+            else {
+              deflater.reset()
+              deflater.setInput(bytes)
+              deflater.finish()
+              var n = 0L
+              while (!deflater.finished()) n += deflater.deflate(buf)
+              (id, Some(bytes.length.toLong),
+                Some(n.toDouble / bytes.length))
+            }
+          }
+        }
+      }
+      .toDF("id", "utf8_bytes", "compression_ratio")
+    out.withColumn("compression_ratio",
+      round(col("compression_ratio"), 6))
+  }
+
   /** Fold the common Cyrillic/Greek homoglyphs onto their Latin
     * lookalikes — the cleanup companion to [[scriptMixAudit]]: run it
     * on the DEDUP KEY (never the published text — folding is lossy

@@ -2471,6 +2471,50 @@ class CorpusOpsSpec extends TestBase {
     assert(got(5L) == ((0L, 0L, None)), got(5L).toString)
   }
 
+  test("quantileNormalize: hand-checked pooled mapping, a shifted " +
+      "source lands on the pooled scale, pct is the exact ratio") {
+    import spark.implicits._
+    import graft.operators.Profiles
+    // A = {10, 20, 30}, B = {1010, 1020, 1030}: same shape, shifted.
+    // Pooled sorted: 10,20,30,1010,1020,1030 (N=6). B's median (pct
+    // 0.5) maps to pooled rank 1+floor(0.5*5+0.5)=4 -> 1010; both
+    // sources' min (pct 0) map to pooled min 10.
+    val d = Seq(("A", 1L, 10.0), ("A", 2L, 20.0), ("A", 3L, 30.0),
+      ("B", 4L, 1010.0), ("B", 5L, 1020.0), ("B", 6L, 1030.0))
+      .toDF("k", "id", "v")
+    val got = Profiles.quantileNormalize(d, "k", "id", "v")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(3), r.getDouble(4))).toMap
+    assert(got(1L) == ((0.0, 10.0)) && got(4L) == ((0.0, 10.0)),
+      got.toString)
+    assert(got(2L) == ((0.5, 1010.0)) && got(5L) == ((0.5, 1010.0)))
+    assert(got(3L) == ((1.0, 1030.0)) && got(6L) == ((1.0, 1030.0)))
+  }
+
+  test("withCompressionRatio: repetition < prose < noise, " +
+      "deterministic across partitionings, null and empty contracts") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val rep = "spam " * 200
+    val prose = (1 to 100).map(i => s"w${i * 37 % 91}x$i").mkString(" ")
+    val rng = new scala.util.Random(42)
+    val noise = (1 to 500).map(_ => rng.nextPrintableChar()).mkString
+    val d = Seq((1L, rep), (2L, prose), (3L, noise), (4L, null),
+      (5L, "")).toDF("doc_id", "text")
+    def run(parts: Int) = TextAnalysis
+      .withCompressionRatio(d.repartition(parts), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val got = run(3)
+    assert(got(1L)._2.get < got(2L)._2.get &&
+      got(2L)._2.get < got(3L)._2.get, got.toString)
+    assert(got(1L)._2.get < 0.1 && got(3L)._2.get > 0.5)
+    assert(got(1L)._1.get == 1000L)
+    assert(got(4L) == ((None, None)) && got(5L) == ((Some(0L), None)))
+    assert(run(1) == got, "partitioning changed deflate output")
+  }
+
   test("foldConfusables: homoglyph spoofs collapse onto their Latin " +
       "key, genuine Latin is untouched, the fold pairs with the audit") {
     import spark.implicits._
