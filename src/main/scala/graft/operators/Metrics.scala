@@ -854,6 +854,9 @@ object Metrics {
           "undefined, not zero; check the label expression")))
         .otherwise(col("__pt")).as("__pt"),
         coalesce(col("__nt"), lit(0L)).as("__nt"))
+    // cand is consumed THREE times (max, tie-break pick, final row) —
+    // checkpoint it or each consumer replays the cumulative lineage
+    // (pin-measured 28 exchanges without; ≤8 with)
     val cand = run.crossJoin(broadcast(tot))
       .select(col("__v"), col("__tp"), col("__fp"),
         (col("__pt") - col("__tp")).as("__fn"),
@@ -862,6 +865,7 @@ object Metrics {
         lit(2.0) * col("__tp").cast("double") /
           (lit(2L) * col("__tp") + col("__fp") + col("__fn"))
             .cast("double") * lit(1e12) + lit(0.5)))
+      .localCheckpoint(true)
     val best = cand.agg(max(col("__f1q")).as("__m"))
     val pick = cand.join(broadcast(best), col("__f1q") === col("__m"))
       .agg(max(col("__v")).as("__bv"))

@@ -946,4 +946,74 @@ class ScaleSpec extends TestBase {
     assert(exW <= 6, s"wasserstein1 final-plan exchange budget:\n$pw1")
     assert(!pw1.contains("CartesianProduct"), pw1)
   }
+
+  test("round-12e scale posture: bestThreshold pins its cumulative " +
+      "stages; aucByKey windows only by key; quantileNormalize joins " +
+      "the pooled ranks with no cartesian; bfsFrom hops are frontier " +
+      "joins; extractUrls is a pure generator projection") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWin}
+    def exec(df: org.apache.spark.sql.DataFrame): String = {
+      df.write.format("noop").mode("overwrite").save()
+      df.queryExecution.executedPlan.toString
+    }
+    def corpusWindows(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case w: LWin if w.partitionSpec.isEmpty &&
+            !w.orderSpec.flatMap(_.references).forall(
+              _.name.startsWith("__pid")) => w
+      }
+    def hashEx(p: String): Int = p.linesIterator.count(l =>
+      l.contains("Exchange ") && !l.contains("ReusedExchange"))
+
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+    // bestThreshold: checkpointed cumulatives (the wasserstein1
+    // pin) — the final plan is folds + broadcasts over the pinned
+    // domain table, no corpus window, no cartesian
+    val bt = graft.operators.Metrics.bestThreshold(docs,
+      col("n_chars"), col("n_chars") + col("doc_id") % 97 > 250)
+    val pbt = exec(bt)
+    assert(corpusWindows(bt).isEmpty, s"corpus window:\n$pbt")
+    assert(!pbt.contains("CartesianProduct"), pbt)
+    assert(hashEx(pbt) <= 8, s"bestThreshold exchange budget:\n$pbt")
+
+    // aucByKey: every window PARTITIONS BY key; one keyed aggregation
+    // chain, no joins at all
+    val ak = graft.operators.Metrics.aucByKey(docs, col("lang"),
+      col("n_chars"), col("n_chars") + col("doc_id") % 97 > 250)
+    val pak = exec(ak)
+    assert(corpusWindows(ak).isEmpty, s"corpus window in aucByKey:\n$pak")
+    assert(!pak.contains("Join"), s"aucByKey must not join:\n$pak")
+
+    // quantileNormalize: the pooled lookup is a rank-keyed equi-join
+    // (checkpointed inputs bound the plan); no cartesian, and the only
+    // unpartitioned windows are the globalRank __pid offset passes
+    val qn = graft.operators.Profiles.quantileNormalize(docs,
+      "source", "doc_id", "n_chars")
+    val pqn = exec(qn)
+    assert(corpusWindows(qn).isEmpty, s"corpus window:\n$pqn")
+    assert(!pqn.contains("CartesianProduct"), pqn)
+
+    // bfsFrom: each hop is one frontier equi-join + one min-agg over
+    // the checkpointed previous distances — the executed plan shows
+    // one hop's shape only
+    import spark.implicits._
+    val edges = docs.select((col("doc_id") % 53).as("s"),
+      ((col("doc_id") * 7 + 11) % 53).as("d"))
+    val bf = graft.operators.Graph.bfsFrom(edges, "s", "d",
+      Seq(0L).toDF("seed"), "seed", maxHops = 2)
+    val pbf = exec(bf)
+    assert(!pbf.contains("Window") && !pbf.contains("CartesianProduct"),
+      pbf)
+    assert(hashEx(pbf) <= 3, s"bfsFrom hop exchange budget:\n$pbf")
+
+    // extractUrls: generator + projection only — zero exchanges, no
+    // window, no join
+    val eu = graft.operators.Urls.extractUrls(
+      docs.select(col("doc_id"), concat(col("text"),
+        lit(" https://x.org/p")).as("text")), "doc_id", "text")
+    val peu = exec(eu)
+    assert(!peu.contains("Exchange") && !peu.contains("Join") &&
+      !peu.contains("Window"), s"extractUrls must be a pure scan:\n$peu")
+  }
 }
