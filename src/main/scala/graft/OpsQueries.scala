@@ -6782,6 +6782,30 @@ object OpsQueries {
         .orderBy("id"),
       None),
 
+    // ----- per-key categorical entropy ----------------------------------------------
+    // Language diversity per source in nats — per-category terms
+    // quantized to 1e-12 longs (the ln convention), association-order
+    // exact.
+    "q272_key_entropy" -> Entry(
+      (s, dir) => Profiles.categoricalEntropy(
+        t(s, dir, "documents"), "source", "lang")
+        .orderBy("key"),
+      Some("""WITH cells AS (SELECT CAST(source AS VARCHAR) AS key,
+             |    CAST(lang AS VARCHAR) AS c, COUNT(*) AS cn
+             |  FROM documents GROUP BY 1, 2),
+             |t AS (SELECT key, CAST(SUM(cn) AS BIGINT) AS n,
+             |    CAST(COUNT(*) AS BIGINT) AS k FROM cells GROUP BY 1),
+             |q AS (SELECT cells.key, t.n, t.k,
+             |    CAST(floor(CAST(cn AS DOUBLE) / CAST(n AS DOUBLE)
+             |      * ln(CAST(n AS DOUBLE) / CAST(cn AS DOUBLE))
+             |      * CAST(1e12 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             |      AS BIGINT) AS tq
+             |  FROM cells JOIN t USING (key))
+             |SELECT key, MAX(n) AS n, MAX(k) AS n_cats,
+             |  round(CAST(SUM(tq) AS DOUBLE) / CAST(1e12 AS DOUBLE), 6)
+             |    AS entropy
+             |FROM q GROUP BY key ORDER BY key""".stripMargin)),
+
     // ----- X6 Count-Min sketch: frequency estimates, cell-exact -------------
     // Builds a deliberately TIGHT 4×16 grid over the document token
     // stream (the ~31-term vocabulary forces real cell collisions) with

@@ -231,7 +231,26 @@ object Soak {
           corpus(n).select((col("doc_id") % users).as("u"),
             (col("doc_id") * 1000000L).as("ts"), col("doc_id").as("eid")),
           "u", "ts", "eid", gapNanos = 50000000L)
-      }))
+      }),
+      // round-12d additions: bestThreshold (checkpointed descending
+      // cumulatives over the score domain), aucByKey (per-key window
+      // over the (key, distinct score) table — 'en' holds half the
+      // corpus but the score domain stays bounded), quantileNormalize
+      // (exact per-key percent rank + pooled rank join — the
+      // heaviest composition here, two rank decompositions and a
+      // corpus-sized equi-join)
+      "best_threshold" -> ((n: Long) =>
+        graft.operators.Metrics.bestThreshold(
+          shaped(n).select(col("doc_id"), col("score")),
+          col("score"), col("doc_id") % 3 === 0)),
+      "auc_by_key" -> ((n: Long) =>
+        graft.operators.Metrics.aucByKey(
+          shaped(n).select(col("lang"), col("doc_id"), col("score")),
+          col("lang"), col("score"), col("doc_id") % 3 === 0)),
+      "quantile_normalize" -> ((n: Long) =>
+        graft.operators.Profiles.quantileNormalize(
+          shaped(n).select(col("lang"), col("doc_id"), col("score")),
+          "lang", "doc_id", "score")))
 
     /** Non-reused exchange count of the EXECUTED (final adaptive)
       * plan — the plan-drift fingerprint. */

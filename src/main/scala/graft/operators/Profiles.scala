@@ -572,6 +572,41 @@ object Profiles {
         .as("hhi_norm"))
   }
 
+  /** Per-key Shannon entropy of a categorical column — the diversity
+    * number next to [[keySkew]]/[[giniConcentration]]: "how mixed are
+    * this source's languages / this shard's labels?" in nats, 0 = one
+    * category, ln(k) = uniform over k. A collapsing entropy on
+    * (source → lang) is a feed going monolingual; a spiking one is a
+    * mislabeled merge. NULL categories COUNT as a category (a
+    * drifting null rate is signal — the [[chiSquaredDrift]]
+    * convention).
+    *
+    * Exactness: each category's `(c/n)·ln(n/c)` term is one
+    * fixed-order double expression QUANTIZED to a 1e-12 long (the
+    * [[graft.operators.Graph.coOccurrence]] ln convention), so the
+    * per-key sum is association-order-exact. One cell aggregation +
+    * a key-total join (|keys|-sized, AQE-planned) + one keyed fold.
+    * Output per key: `(key, n, n_cats, entropy)` (round 6). */
+  def categoricalEntropy(df: DataFrame, keyCol: String, catCol: String)
+      : DataFrame = {
+    val cells = df
+      .select(col(keyCol).cast("string").as("key"),
+        col(catCol).cast("string").as("__c"))
+      .groupBy("key", "__c").agg(count(lit(1)).as("__cn"))
+    val totals = cells.groupBy("key")
+      .agg(sum(col("__cn")).as("__n"), count(lit(1)).as("__k"))
+    val term = floor(
+      col("__cn").cast("double") / col("__n").cast("double") *
+        log(col("__n").cast("double") / col("__cn").cast("double")) *
+        lit(1e12) + lit(0.5))
+    cells.join(totals, Seq("key"))
+      .select(col("key"), col("__n"), col("__k"), term.as("__t"))
+      .groupBy(col("key"))
+      .agg(max(col("__n")).as("n"), max(col("__k")).as("n_cats"),
+        round(sum(col("__t")).cast("double") / lit(1e12), 6)
+          .as("entropy"))
+  }
+
   /** Cross-source QUANTILE NORMALIZATION — the batch-effect corrector
     * for scores that mean different things per source (classifier
     * calibrated on web text, run on code; length distributions that

@@ -2471,6 +2471,27 @@ class CorpusOpsSpec extends TestBase {
     assert(got(5L) == ((0L, 0L, None)), got(5L).toString)
   }
 
+  test("categoricalEntropy: uniform keys hit ln(k), single-category " +
+      "keys hit 0, nulls count as a category") {
+    import spark.implicits._
+    import graft.operators.Profiles
+    val d = Seq(("U", "a"), ("U", "b"), ("U", "c"), ("U", "d"),
+      ("M", "x"), ("M", "x"),
+      ("N", "y"), ("N", null))
+      .toDF("k", "c")
+    val got = Profiles.categoricalEntropy(d, "k", "c")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got("U") == ((4L, 4L,
+      BigDecimal(math.log(4.0)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)), got("U").toString)
+    assert(got("M") == ((2L, 1L, 0.0)))
+    // null is a real category: 2 cats at 50/50 -> ln 2
+    assert(got("N") == ((2L, 2L,
+      BigDecimal(math.log(2.0)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)), got("N").toString)
+  }
+
   test("quantileNormalize: hand-checked pooled mapping, a shifted " +
       "source lands on the pooled scale, pct is the exact ratio") {
     import spark.implicits._
