@@ -6806,6 +6806,106 @@ object OpsQueries {
              |    AS entropy
              |FROM q GROUP BY key ORDER BY key""".stripMargin)),
 
+    // ----- code-vs-prose heuristic score ------------------------------------------
+    // Plants code-shaped suffixes into every 9th doc and pins all four
+    // raw ratios + the fixed-weight score; every expression replays
+    // 1:1 (regexp_replace needs the explicit 'g' flag in DuckDB).
+    "q273_code_score" -> Entry(
+      (s, dir) => {
+        val planted = t(s, dir, "documents")
+          .filter(col("text").isNotNull && col("doc_id") < 400)
+          .select(col("doc_id"),
+            when(col("doc_id") % 9 === 0,
+              concat(col("text"),
+                lit("\nif (x == 1) {\n  return y;\n}\n\tvar z = 2;")))
+              .otherwise(col("text")).as("text"))
+        TextAnalysis.codeScore(planted, "doc_id", "text").orderBy("id")
+      },
+      Some("""WITH p AS (SELECT doc_id, CASE WHEN doc_id % 9 = 0
+             |    THEN text || chr(10) || 'if (x == 1) {' || chr(10)
+             |      || '  return y;' || chr(10) || '}' || chr(10)
+             |      || chr(9) || 'var z = 2;'
+             |    ELSE text END AS text
+             |  FROM documents WHERE text IS NOT NULL AND doc_id < 400),
+             |m AS (SELECT doc_id, length(text) AS chars,
+             |    length(text) - length(regexp_replace(text,
+             |      '[{}\[\]();=<>]', '', 'g')) AS sym,
+             |    list_filter(string_split(text, chr(10)),
+             |      l -> l <> '') AS lines,
+             |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+             |      w -> w <> '') AS toks
+             |  FROM p),
+             |r AS (SELECT doc_id, chars, sym,
+             |    len(lines) AS nl,
+             |    len(list_filter(lines,
+             |      l -> regexp_matches(l, '^(  |\t)'))) AS ind,
+             |    len(list_filter(lines,
+             |      l -> regexp_matches(l, ';\s*$'))) AS smi,
+             |    len(toks) AS nt,
+             |    len(list_filter(toks, w -> list_contains(
+             |      ['def', 'return', 'import', 'class', 'void',
+             |       'function', 'var', 'const', 'if', 'else', 'for',
+             |       'while'], w))) AS kw
+             |  FROM m),
+             |x AS (SELECT doc_id,
+             |    CASE WHEN chars > 0 THEN CAST(sym AS DOUBLE)
+             |      / CAST(chars AS DOUBLE) ELSE CAST(0.0 AS DOUBLE)
+             |      END AS sr,
+             |    CASE WHEN nl > 0 THEN CAST(ind AS DOUBLE)
+             |      / CAST(nl AS DOUBLE) ELSE CAST(0.0 AS DOUBLE)
+             |      END AS ir,
+             |    CASE WHEN nl > 0 THEN CAST(smi AS DOUBLE)
+             |      / CAST(nl AS DOUBLE) ELSE CAST(0.0 AS DOUBLE)
+             |      END AS mr,
+             |    CASE WHEN nt > 0 THEN CAST(kw AS DOUBLE)
+             |      / CAST(nt AS DOUBLE) ELSE CAST(0.0 AS DOUBLE)
+             |      END AS kr,
+             |    chars
+             |  FROM r)
+             |SELECT doc_id AS id, round(sr, 6) AS symbol_ratio,
+             |  round(ir, 6) AS indent_ratio, round(mr, 6) AS semi_ratio,
+             |  round(kr, 6) AS kw_ratio,
+             |  CASE WHEN chars > 0 THEN round(LEAST(
+             |    CAST(1.0 AS DOUBLE),
+             |    CAST(3.0 AS DOUBLE) * sr + CAST(0.25 AS DOUBLE) * ir
+             |      + CAST(0.25 AS DOUBLE) * mr
+             |      + CAST(1.5 AS DOUBLE) * kr), 6) END AS code_score
+             |FROM x ORDER BY id""".stripMargin)),
+
+    // ----- cross-snapshot vocabulary drift ------------------------------------------
+    // Top-20 term tables of the even- and odd-id halves full-outer
+    // joined into new/lost/common rows — the term-level drift view.
+    "q274_vocab_drift" -> Entry(
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        Vocab.vocabDrift(
+          d.filter(col("doc_id") % 2 === 0),
+          d.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", k = 20)
+          .orderBy("term")
+      },
+      Some(s"""WITH ea AS (SELECT t AS term, COUNT(*) AS cnt
+              |  FROM (SELECT doc_id, unnest($TOKS) AS t FROM documents
+              |    WHERE doc_id % 2 = 0)
+              |  GROUP BY 1 ORDER BY cnt DESC, term LIMIT 20),
+              |ra AS (SELECT term, CAST(cnt AS BIGINT) AS cnt_a,
+              |  CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term)
+              |    AS BIGINT) AS rank_a FROM ea),
+              |eb AS (SELECT t AS term, COUNT(*) AS cnt
+              |  FROM (SELECT doc_id, unnest($TOKS) AS t FROM documents
+              |    WHERE doc_id % 2 = 1)
+              |  GROUP BY 1 ORDER BY cnt DESC, term LIMIT 20),
+              |rb AS (SELECT term, CAST(cnt AS BIGINT) AS cnt_b,
+              |  CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term)
+              |    AS BIGINT) AS rank_b FROM eb)
+              |SELECT COALESCE(ra.term, rb.term) AS term,
+              |  CASE WHEN cnt_a IS NULL THEN 'new'
+              |       WHEN cnt_b IS NULL THEN 'lost'
+              |       ELSE 'common' END AS status,
+              |  cnt_a, cnt_b, rank_a, rank_b
+              |FROM ra FULL JOIN rb ON rb.term = ra.term
+              |ORDER BY term""".stripMargin)),
+
     // ----- X6 Count-Min sketch: frequency estimates, cell-exact -------------
     // Builds a deliberately TIGHT 4×16 grid over the document token
     // stream (the ~31-term vocabulary forces real cell collisions) with

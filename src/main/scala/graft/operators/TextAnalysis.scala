@@ -903,6 +903,55 @@ object TextAnalysis {
     *
     * Output: `(id, n_tokens, mixed_tokens, mixed_ratio)` (round 6;
     * ratio null for token-less rows). */
+  /** Heuristic code-vs-prose score — the mixture-balance detector a
+    * pretraining pipeline runs when "how much of this crawl is source
+    * code?" decides sampling rates (StarCoder/The-Stack-style corpus
+    * accounting without a trained classifier): four replayable
+    * signals — code-symbol character ratio (`{}[]();=<>`), indented-
+    * line ratio, semicolon-terminated-line ratio, code-keyword token
+    * ratio — combined by a FIXED documented weighting into [0, 1].
+    * Thresholds are the caller's (≥ 0.5 is solidly code-shaped on
+    * real corpora); the four raw ratios ride along so downstream can
+    * re-weight without re-scanning. Pure per-row projection of
+    * codegen'd regex/array builtins; every expression has a 1:1
+    * DuckDB replay.
+    *
+    * Output: `(id, symbol_ratio, indent_ratio, semi_ratio, kw_ratio,
+    * code_score)` (each round 6; null text rows are dropped, empty
+    * text scores null). */
+  def codeScore(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val t = col(textCol)
+    val chars = length(t)
+    val sym = chars -
+      length(regexp_replace(t, "[{}\\[\\]();=<>]", ""))
+    val lines = filter(split(t, "\n"), l => l =!= "")
+    val nLines = size(lines)
+    val indented = size(filter(lines, l => l.rlike("^(  |\\t)")))
+    val semi = size(filter(lines, l => l.rlike(";\\s*$")))
+    val toks = filter(tokens(t), w => w =!= "")
+    val nToks = size(toks)
+    val kws = Seq("def", "return", "import", "class", "void",
+      "function", "var", "const", "if", "else", "for", "while")
+    val kw = size(filter(toks, w => w.isInCollection(kws)))
+    def ratio(n: Column, d: Column): Column =
+      when(d > 0, n.cast("double") / d.cast("double")).otherwise(lit(0.0))
+    val symR = ratio(sym, chars)
+    val indR = ratio(indented, nLines)
+    val semR = ratio(semi, nLines)
+    val kwR = ratio(kw, nToks)
+    val score = least(lit(1.0),
+      lit(3.0) * symR + lit(0.25) * indR + lit(0.25) * semR +
+        lit(1.5) * kwR)
+    df.filter(t.isNotNull)
+      .select(col(idCol).as("id"),
+        round(symR, 6).as("symbol_ratio"),
+        round(indR, 6).as("indent_ratio"),
+        round(semR, 6).as("semi_ratio"),
+        round(kwR, 6).as("kw_ratio"),
+        when(chars > 0, round(score, 6)).as("code_score"))
+  }
+
   /** DEFLATE compression ratio per document — the parameter-free
     * quality/repetition signal real curation stacks run next to the
     * Gopher rules (boilerplate, template floods, and degenerate

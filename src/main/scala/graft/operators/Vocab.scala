@@ -767,4 +767,42 @@ object Vocab {
       .select(col("term"), col("df"), col("d1"),
         round(col("__miq").cast("double") / lit(1e9), 6).as("mi"))
   }
+
+  /** Cross-snapshot vocabulary drift — the term-level view of what
+    * [[graft.operators.Profiles.psi]]/KS see only as a number: the two
+    * snapshots' top-`k` term tables full-outer-joined into `new` /
+    * `lost` / `common` rows with both counts and both ranks, so "the
+    * crawl started saying 'casino'" is one grep away. Ranks break
+    * ties on the term (total order, engine-replayable).
+    *
+    * Scale: each side is one map-combined term count into a
+    * TakeOrdered top-k heap (no corpus sort); the row_number windows
+    * run on the ALREADY-LIMITED k-row frames (bounded — the `__`
+    * staging marks the guard exemption) and the final join touches
+    * ≤ 2k rows. Output: `(term, status, cnt_a, cnt_b, rank_a,
+    * rank_b)` — absent-side counts/ranks null. */
+  def vocabDrift(a: DataFrame, b: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"vocabDrift: k must be >= 1, got $k")
+    def top(df: DataFrame, cnt: String, rk: String): DataFrame = {
+      val capped = vocabulary(df, idCol, textCol, minDf = 1)
+        .select(col("term"), col("tf_total").as("__cnt"))
+        .orderBy(col("__cnt").desc, col("term").asc)
+        .limit(k)
+        .withColumn("__term", col("term"))
+      // k-row frame: the __-staged order marks the bounded-window
+      // guard exemption (the FooterStats convention)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("__cnt").desc, col("__term").asc)
+      capped.withColumn(rk, row_number().over(w).cast("long"))
+        .withColumnRenamed("__cnt", cnt).drop("__term")
+    }
+    top(a, "cnt_a", "rank_a")
+      .join(top(b, "cnt_b", "rank_b"), Seq("term"), "full_outer")
+      .select(col("term"),
+        when(col("cnt_a").isNull, lit("new"))
+          .when(col("cnt_b").isNull, lit("lost"))
+          .otherwise(lit("common")).as("status"),
+        col("cnt_a"), col("cnt_b"), col("rank_a"), col("rank_b"))
+  }
 }

@@ -2471,6 +2471,52 @@ class CorpusOpsSpec extends TestBase {
     assert(got(5L) == ((0L, 0L, None)), got(5L).toString)
   }
 
+  test("codeScore: hand-counted ratios on a code snippet, prose " +
+      "scores near zero, the score clamps at 1, empty text null") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val d = Seq(
+      (1L, "if (x) {\n  y = 1;\n}"),
+      (2L, "just some plain words here"),
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.codeScore(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val c = got(1L)
+    assert(c.getAs[Double]("symbol_ratio") ==
+      BigDecimal(6.0 / 19.0).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble, c.toString)
+    assert(c.getAs[Double]("indent_ratio") == 0.333333 &&
+      c.getAs[Double]("semi_ratio") == 0.333333, c.toString)
+    assert(c.getAs[Double]("kw_ratio") ==
+      BigDecimal(1.0 / 7.0).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(c.getAs[Double]("code_score") == 1.0, c.toString)
+    val p = got(2L)
+    assert(p.getAs[Double]("symbol_ratio") == 0.0 &&
+      p.getAs[Double]("code_score") == 0.0, p.toString)
+    assert(got(3L).isNullAt(got(3L).fieldIndex("code_score")))
+  }
+
+  test("vocabDrift: new/lost/common statuses with both counts and " +
+      "ranks, k caps each side") {
+    import spark.implicits._
+    import graft.operators.Vocab
+    val a = Seq((1L, "x x y")).toDF("doc_id", "text")
+    val b = Seq((2L, "x z z")).toDF("doc_id", "text")
+    val got = Vocab.vocabDrift(a, b, "doc_id", "text", k = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), Option(r.get(2)), Option(r.get(3)),
+          Option(r.get(4)), Option(r.get(5)))).toMap
+    assert(got("x") == (("common", Some(2L), Some(1L), Some(1L),
+      Some(2L))), got.toString)
+    assert(got("y") == (("lost", Some(1L), None, Some(2L), None)))
+    assert(got("z") == (("new", None, Some(2L), None, Some(1L))))
+    // k = 1 keeps only each side's top term
+    val k1 = Vocab.vocabDrift(a, b, "doc_id", "text", k = 1)
+      .collect().map(_.getString(0)).toSet
+    assert(k1 == Set("x", "z"))
+  }
+
   test("categoricalEntropy: uniform keys hit ln(k), single-category " +
       "keys hit 0, nulls count as a category") {
     import spark.implicits._
