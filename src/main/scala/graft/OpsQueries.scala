@@ -6906,6 +6906,54 @@ object OpsQueries {
               |FROM ra FULL JOIN rb ON rb.term = ra.term
               |ORDER BY term""".stripMargin)),
 
+    // ----- Kaplan-Meier survival ------------------------------------------------
+    // Censoring-aware retention over a thinned per-user event stream
+    // (event_id % 29 keeps durations varied and ~half the users
+    // error-free = censored). Integer at-risk/event counts, ln terms
+    // quantized to 1e-12 longs, log-space output (exp diverges 1 ulp
+    // across engines — the q234 measurement).
+    "q275_kaplan_meier" -> Entry(
+      (s, dir) => {
+        val perUser = Queries.events(s, dir)
+          .filter(col("event_id") % 29 === 0 &&
+            col("user_id").isNotNull && col("ts").isNotNull)
+          .groupBy("user_id")
+          .agg(expr("(max(ts) - min(ts)) div 86400000000000")
+            .as("dur_days"),
+            (max(when(col("event_type") === "error", 1L)
+              .otherwise(0L)) === 1L).as("errored"))
+        Funnel.kaplanMeier(perUser, "dur_days", "errored").orderBy("t")
+      },
+      Some("""WITH u AS (SELECT user_id,
+             |    (MAX(epoch_us(ts) * 1000) - MIN(epoch_us(ts) * 1000))
+             |      // 86400000000000 AS t,
+             |    MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             |      AS e
+             |  FROM events WHERE event_id % 29 = 0
+             |    AND user_id IS NOT NULL AND ts IS NOT NULL
+             |  GROUP BY user_id),
+             |c AS (SELECT t, COUNT(*) AS m, CAST(SUM(e) AS BIGINT) AS d
+             |  FROM u GROUP BY t),
+             |r AS (SELECT t, m, d, SUM(m) OVER (ORDER BY t) AS cum
+             |  FROM c),
+             |nn AS (SELECT CAST(SUM(m) AS BIGINT) AS N FROM c),
+             |st AS (SELECT t, m, d, N - (cum - m) AS nr,
+             |    CASE WHEN d < N - (cum - m) THEN CAST(floor(
+             |      ln(CAST((N - (cum - m)) - d AS DOUBLE)
+             |        / CAST(N - (cum - m) AS DOUBLE))
+             |      * CAST(1e12 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             |      AS BIGINT) ELSE 0 END AS lnq,
+             |    CASE WHEN d = N - (cum - m) THEN 1 ELSE 0 END AS zf
+             |  FROM r, nn),
+             |f AS (SELECT t, nr, d, m - d AS cens,
+             |    SUM(lnq) OVER (ORDER BY t) AS lncum,
+             |    SUM(zf) OVER (ORDER BY t) AS zcum FROM st)
+             |SELECT t, CAST(nr AS BIGINT) AS n_at_risk,
+             |  d AS d_events, CAST(cens AS BIGINT) AS censored,
+             |  CASE WHEN zcum = 0 THEN round(CAST(lncum AS DOUBLE)
+             |    / CAST(1e12 AS DOUBLE), 6) END AS log_survival
+             |FROM f ORDER BY t""".stripMargin)),
+
     // ----- X6 Count-Min sketch: frequency estimates, cell-exact -------------
     // Builds a deliberately TIGHT 4×16 grid over the document token
     // stream (the ~31-term vocabulary forces real cell collisions) with

@@ -162,6 +162,69 @@ object Funnel {
         count(lit(1)).as("n_events"))
   }
 
+  /** Kaplan–Meier survival estimate (Kaplan & Meier 1958) — retention
+    * with CENSORING done right: [[retentionCohorts]] counts who came
+    * back, but users still active at the observation cutoff are not
+    * churned, and dropping them biases survival down. Input is one
+    * row per subject: `durationCol` (time observed, any integer
+    * unit) and `eventCol` (true = the event fired at that time;
+    * false = censored — observation simply ended). Output one row per
+    * distinct duration: `n_at_risk`, `d_events`, `censored`, and
+    * `log_survival = Σ_{u ≤ t} ln(1 − d(u)/n(u))` — the log of the
+    * product-limit estimator. Reported in LOG space deliberately:
+    * `exp` diverges by 1 ulp across engines on ~0.2% of inputs (the
+    * q234 measurement), while the quantized-ln sum is
+    * association-order-exact; callers exp() locally for display.
+    * Once some time has d = n (everyone at risk fails), survival IS
+    * zero and `log_survival` is null from that point on (−∞ has no
+    * finite log).
+    *
+    * Exactness + scale: per-duration counts (one corpus aggregation,
+    * checkpointed), then three audited [[graft.operators.Rank
+    * .globalRunningSum]] passes over the distinct-duration table
+    * (cumulative observations → n_at_risk; cumulative quantized ln
+    * terms → log survival; cumulative zero-survival flags), each
+    * checkpointed — the [[graft.operators.Profiles.wasserstein1]]
+    * lineage-pinning pattern. ln terms quantize at 1e-12 (the
+    * coOccurrence convention). */
+  def kaplanMeier(df: DataFrame, durationCol: String, eventCol: String)
+      : DataFrame = {
+    val base = df
+      .select(col(durationCol).cast("long").as("__t"),
+        when(col(eventCol).cast("boolean"), 1L).otherwise(0L).as("__e"))
+      .filter(col("__t").isNotNull && col("__t") >= 0L)
+    val counts = base.groupBy("__t")
+      .agg(count(lit(1)).as("__m"), sum(col("__e")).as("__d"))
+      .localCheckpoint(true)
+    val o1 = Seq(col("__t").asc, col("__m").asc, col("__d").asc)
+    val run1 = Rank.globalRunningSum(counts, o1, "__m", "__cum")
+      .localCheckpoint(true)
+    val tot = counts.agg(sum(col("__m")).as("__N"))
+    val staged = run1.crossJoin(broadcast(tot))
+      .withColumn("__n", col("__N") - (col("__cum") - col("__m")))
+      .withColumn("__lnq", when(col("__d") < col("__n"), floor(
+        log((col("__n") - col("__d")).cast("double") /
+          col("__n").cast("double")) * lit(1e12) + lit(0.5)))
+        .otherwise(lit(0L)))
+      .withColumn("__zf",
+        when(col("__d") === col("__n"), 1L).otherwise(0L))
+      .select(col("__t"), col("__m"), col("__d"), col("__cum"),
+        col("__n"), col("__lnq"), col("__zf"))
+      .localCheckpoint(true)
+    val o2 = Seq(col("__t").asc, col("__m").asc, col("__d").asc,
+      col("__cum").asc, col("__n").asc, col("__lnq").asc,
+      col("__zf").asc)
+    val run2 = Rank.globalRunningSum(staged, o2, "__lnq", "__lncum")
+      .localCheckpoint(true)
+    val run3 = Rank.globalRunningSum(run2, o2 :+ col("__lncum").asc,
+      "__zf", "__zcum")
+    run3.select(col("__t").as("t"), col("__n").as("n_at_risk"),
+      col("__d").as("d_events"), (col("__m") - col("__d")).as("censored"),
+      when(col("__zcum") === 0L,
+        round(col("__lncum").cast("double") / lit(1e12), 6))
+        .as("log_survival"))
+  }
+
   /** First-order Markov transition matrix over per-user event-type
     * sequences — "what follows what" (behavior modeling, anomaly
     * baselines, synthetic-trace generation): for each observed

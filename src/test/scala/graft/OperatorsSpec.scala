@@ -1807,6 +1807,35 @@ class OperatorsSpec extends TestBase {
       ("b", "c") -> ((1L, 0.5))), got.toString)
   }
 
+  test("kaplanMeier: textbook hand-worked estimate with censoring, " +
+      "censored subjects leave the risk set without an event, " +
+      "d = n zeroes survival from that time on") {
+    // classic worked example: times 1(event) 2(censor) 3(event)
+    // 4(event) 5(censor): S(1)=4/5, S(3)=(4/5)(2/3), S(4)=(4/5)(2/3)(1/2)
+    val d = Seq((1L, true), (2L, false), (3L, true), (4L, true),
+      (5L, false)).toDF("dur", "ev")
+    val got = graft.operators.Funnel.kaplanMeier(d, "dur", "ev")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    def ln6(x: Double) = BigDecimal(
+      math.floor(math.log(x) * 1e12 + 0.5) / 1e12)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((5L, 1L, 0L, Some(ln6(4.0 / 5.0)))),
+      got(1L).toString)
+    assert(got(2L)._1 == 4L && got(2L)._2 == 0L && got(2L)._3 == 1L)
+    assert(got(2L)._4 == got(1L)._4, "a censor-only time moves nothing")
+    val s3 = math.floor(math.log(4.0 / 5.0) * 1e12 + 0.5) +
+      math.floor(math.log(2.0 / 3.0) * 1e12 + 0.5)
+    assert(got(3L)._4.get == BigDecimal(s3 / 1e12)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // everyone remaining fails at t: survival is zero afterwards
+    val z = Seq((1L, true), (2L, true), (2L, true)).toDF("dur", "ev")
+    val gz = graft.operators.Funnel.kaplanMeier(z, "dur", "ev")
+      .collect().map(r => r.getLong(0) -> r.isNullAt(4)).toMap
+    assert(gz == Map(1L -> false, 2L -> true), gz.toString)
+  }
+
   test("retentionCohorts: hand-checked offsets, distinct days count " +
       "once, no joins, integral period division (event analytics)") {
     val ev = Seq(
