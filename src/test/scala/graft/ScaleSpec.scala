@@ -1016,4 +1016,73 @@ class ScaleSpec extends TestBase {
     assert(!peu.contains("Exchange") && !peu.contains("Join") &&
       !peu.contains("Window"), s"extractUrls must be a pure scan:\n$peu")
   }
+
+  test("round-12f scale posture: kaplanMeier pins its three cumulative " +
+      "stages; categoricalEntropy and shrunkRates are aggregation+join " +
+      "shapes; codeScore and foldConfusables are pure projections; " +
+      "vocabDrift windows only the k-row tops") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWin}
+    def exec(df: org.apache.spark.sql.DataFrame): String = {
+      df.write.format("noop").mode("overwrite").save()
+      df.queryExecution.executedPlan.toString
+    }
+    def corpusWindows(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case w: LWin if w.partitionSpec.isEmpty &&
+            !w.orderSpec.flatMap(_.references).forall(
+              _.name.startsWith("__")) => w
+      }
+    def hashEx(p: String): Int = p.linesIterator.count(l =>
+      l.contains("Exchange ") && !l.contains("ReusedExchange"))
+
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+    // kaplanMeier: checkpoint-pinned cumulative stages — the final
+    // plan is one running-sum pass over the pinned duration table
+    val km = graft.operators.Funnel.kaplanMeier(
+      docs.select((col("n_chars") % 40).as("dur"),
+        (col("doc_id") % 3 === 0).as("ev")), "dur", "ev")
+    val pkm = exec(km)
+    assert(corpusWindows(km).isEmpty, s"corpus window:\n$pkm")
+    // 6 = the final (un-checkpointed) running sum's two branches over
+    // the pinned duration table: 2 range + offsets fold + pid hash +
+    // broadcast-back; more means a checkpoint stopped pinning
+    assert(hashEx(pkm) <= 6, s"kaplanMeier final-plan budget:\n$pkm")
+
+    // categoricalEntropy: two keyed aggregations + one |keys|-sized
+    // join — no window, no cartesian
+    val ce = graft.operators.Profiles.categoricalEntropy(
+      docs, "source", "lang")
+    val pce = exec(ce)
+    assert(!pce.contains("Window") && !pce.contains("CartesianProduct"),
+      pce)
+
+    // shrunkRates: one keyed aggregation + a broadcast 1-row total
+    val sr = graft.operators.Profiles.shrunkRates(
+      docs, "source", col("n_chars") > 250)
+    val psr = exec(sr)
+    assert(!psr.contains("Window") && !psr.contains("CartesianProduct") &&
+      !psr.contains("SortMergeJoin"), psr)
+
+    // codeScore / foldConfusables: pure scan projections
+    val cs = graft.operators.TextAnalysis.codeScore(
+      docs, "doc_id", "text")
+    val pcs = exec(cs)
+    assert(!pcs.contains("Exchange") && !pcs.contains("Join") &&
+      !pcs.contains("Window"), s"codeScore must be a pure scan:\n$pcs")
+    val fc = docs.select(graft.operators.TextAnalysis
+      .foldConfusables(col("text")).as("f"))
+    val pfc = exec(fc)
+    assert(!pfc.contains("Exchange"), pfc)
+
+    // vocabDrift: TakeOrdered top-k per side, windows only on the
+    // already-limited k rows (the __-staged exemption), join <= 2k
+    val vd = graft.operators.Vocab.vocabDrift(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", 20)
+    val pvd = exec(vd)
+    assert(pvd.contains("TakeOrderedAndProject"),
+      s"vocabDrift tops must plan TakeOrdered heaps:\n$pvd")
+    assert(corpusWindows(vd).isEmpty, pvd)
+  }
 }
