@@ -6954,6 +6954,77 @@ object OpsQueries {
              |    / CAST(1e12 AS DOUBLE), 6) END AS log_survival
              |FROM f ORDER BY t""".stripMargin)),
 
+    // ----- log-rank survival comparison ------------------------------------------
+    // q275's A/B companion: even- vs odd-id users' error-survival
+    // curves; per-time hypergeometric E/V terms quantized to 1e-9
+    // longs, one χ² expression at the end.
+    "q276_logrank" -> Entry(
+      (s, dir) => {
+        val perUser = Queries.events(s, dir)
+          .filter(col("event_id") % 29 === 0 &&
+            col("user_id").isNotNull && col("ts").isNotNull)
+          .groupBy("user_id")
+          .agg(expr("(max(ts) - min(ts)) div 86400000000000")
+            .as("dur_days"),
+            (max(when(col("event_type") === "error", 1L)
+              .otherwise(0L)) === 1L).as("errored"))
+          .withColumn("grp", col("user_id") % 2 === 0)
+        Funnel.logrank(perUser, "dur_days", "errored", "grp")
+      },
+      Some("""WITH u AS (SELECT user_id,
+             |    (MAX(epoch_us(ts) * 1000) - MIN(epoch_us(ts) * 1000))
+             |      // 86400000000000 AS t,
+             |    MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             |      AS e,
+             |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS g
+             |  FROM events WHERE event_id % 29 = 0
+             |    AND user_id IS NOT NULL AND ts IS NOT NULL
+             |  GROUP BY user_id),
+             |c AS (SELECT t, CAST(SUM(g) AS BIGINT) AS m1,
+             |    CAST(SUM(1 - g) AS BIGINT) AS m2,
+             |    CAST(SUM(e * g) AS BIGINT) AS d1,
+             |    CAST(SUM(e * (1 - g)) AS BIGINT) AS d2
+             |  FROM u GROUP BY t),
+             |r AS (SELECT t, m1, m2, d1, d2,
+             |    SUM(m1) OVER (ORDER BY t) AS c1,
+             |    SUM(m2) OVER (ORDER BY t) AS c2 FROM c),
+             |tt AS (SELECT CAST(SUM(m1) AS BIGINT) AS na,
+             |    CAST(SUM(m2) AS BIGINT) AS nb FROM c),
+             |st AS (SELECT d1, d2, na, nb,
+             |    na - (c1 - m1) AS n1, nb - (c2 - m2) AS n2
+             |  FROM r, tt),
+             |q AS (SELECT d1, na, nb,
+             |    CASE WHEN n1 + n2 > 1 AND d1 + d2 > 0 THEN
+             |      CAST(floor(CAST(d1 + d2 AS DOUBLE)
+             |        * CAST(n1 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)
+             |        * CAST(1e9 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             |        AS BIGINT) ELSE 0 END AS e1q,
+             |    CASE WHEN n1 + n2 > 1 AND d1 + d2 > 0 THEN
+             |      CAST(floor(CAST(d1 + d2 AS DOUBLE)
+             |        * (CAST(n1 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+             |        * (CAST(n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+             |        * (CAST(n1 + n2 AS DOUBLE)
+             |          - CAST(d1 + d2 AS DOUBLE))
+             |        / (CAST(n1 + n2 AS DOUBLE) - CAST(1.0 AS DOUBLE))
+             |        * CAST(1e9 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             |        AS BIGINT) ELSE 0 END AS vq
+             |  FROM st),
+             |f AS (SELECT MAX(na) AS n_a, MAX(nb) AS n_b,
+             |    CAST(SUM(d1) AS BIGINT) AS observed_a,
+             |    CAST(SUM(e1q) AS BIGINT) AS se1,
+             |    CAST(SUM(vq) AS BIGINT) AS sv FROM q)
+             |SELECT n_a, n_b, observed_a,
+             |  round(CAST(se1 AS DOUBLE) / CAST(1e9 AS DOUBLE), 6)
+             |    AS expected_a,
+             |  CASE WHEN sv > 0 THEN round(
+             |    (CAST(observed_a AS DOUBLE)
+             |      - CAST(se1 AS DOUBLE) / CAST(1e9 AS DOUBLE))
+             |    * (CAST(observed_a AS DOUBLE)
+             |      - CAST(se1 AS DOUBLE) / CAST(1e9 AS DOUBLE))
+             |    / (CAST(sv AS DOUBLE) / CAST(1e9 AS DOUBLE)), 6)
+             |  END AS chi2
+             |FROM f""".stripMargin)),
+
     // ----- X6 Count-Min sketch: frequency estimates, cell-exact -------------
     // Builds a deliberately TIGHT 4×16 grid over the document token
     // stream (the ~31-term vocabulary forces real cell collisions) with

@@ -225,6 +225,81 @@ object Funnel {
         .as("log_survival"))
   }
 
+  /** Log-rank test (Mantel 1966) — [[kaplanMeier]]'s comparison
+    * companion: "do the two groups' survival curves differ?" as one
+    * χ² statistic (1 df; ≳3.84 is the usual p<0.05 line — the CDF
+    * lookup is the caller's table, not an engine op). At each pooled
+    * event time, group 1's observed events are compared with the
+    * hypergeometric expectation `E₁ = d·n₁/n` and variance
+    * `V = d·(n₁/n)·(n₂/n)·(n−d)/(n−1)`;
+    * `χ² = (Σ(d₁−E₁))² / ΣV`. The A/B-retention significance test
+    * with censoring handled correctly — a [[retentionCohorts]] diff
+    * can't say this.
+    *
+    * Exactness + scale: the per-time (m₁, d₁, m₂, d₂) table comes
+    * from ONE pooled aggregation (checkpointed); the two at-risk
+    * cumulatives are chained checkpointed [[graft.operators.Rank
+    * .globalRunningSum]] passes (the [[kaplanMeier]] pattern); each
+    * time's E₁ and V are fixed-order double expressions QUANTIZED to
+    * 1e-9 longs, so the sums are association-order-exact. Times with
+    * n ≤ 1 or d = 0 contribute 0 (V's n−1 denominator never fires).
+    * χ² is null when ΣV = 0 (no informative event times).
+    *
+    * Output one row: `(n_a, n_b, observed_a, expected_a, chi2)`. */
+  def logrank(df: DataFrame, durationCol: String, eventCol: String,
+      groupCol: String): DataFrame = {
+    val base = df
+      .select(col(durationCol).cast("long").as("__t"),
+        when(col(eventCol).cast("boolean"), 1L).otherwise(0L).as("__e"),
+        when(col(groupCol).cast("boolean"), 1L).otherwise(0L).as("__g"))
+      .filter(col("__t").isNotNull && col("__t") >= 0L)
+    val counts = base.groupBy("__t")
+      .agg(sum(col("__g")).as("__m1"),
+        sum(lit(1L) - col("__g")).as("__m2"),
+        sum(col("__e") * col("__g")).as("__d1"),
+        sum(col("__e") * (lit(1L) - col("__g"))).as("__d2"))
+      .localCheckpoint(true)
+    val o1 = Seq(col("__t").asc, col("__m1").asc, col("__m2").asc,
+      col("__d1").asc, col("__d2").asc)
+    val run1 = Rank.globalRunningSum(counts, o1, "__m1", "__c1")
+      .localCheckpoint(true)
+    val run2 = Rank.globalRunningSum(run1, o1 :+ col("__c1").asc,
+      "__m2", "__c2")
+    val tot = counts.agg(sum(col("__m1")).as("__N1"),
+      sum(col("__m2")).as("__N2"))
+    val staged = run2.crossJoin(broadcast(tot))
+      .withColumn("__n1", col("__N1") - (col("__c1") - col("__m1")))
+      .withColumn("__n2", col("__N2") - (col("__c2") - col("__m2")))
+      .withColumn("__n", col("__n1") + col("__n2"))
+      .withColumn("__d", col("__d1") + col("__d2"))
+    val n1d = col("__n1").cast("double")
+    val n2d = col("__n2").cast("double")
+    val nd = col("__n").cast("double")
+    val dd = col("__d").cast("double")
+    val informative = col("__n") > 1L && col("__d") > 0L
+    val e1q = when(informative,
+      floor(dd * n1d / nd * lit(1e9) + lit(0.5))).otherwise(lit(0L))
+    val vq = when(informative,
+      floor(dd * (n1d / nd) * (n2d / nd) *
+        (nd - dd) / (nd - lit(1.0)) * lit(1e9) + lit(0.5)))
+      .otherwise(lit(0L))
+    staged
+      .select(col("__N1"), col("__N2"), col("__d1"),
+        e1q.as("__e1q"), vq.as("__vq"))
+      .agg(max(col("__N1")).as("n_a"), max(col("__N2")).as("n_b"),
+        sum(col("__d1")).as("observed_a"),
+        sum(col("__e1q")).as("__se1"), sum(col("__vq")).as("__sv"))
+      .select(col("n_a"), col("n_b"), col("observed_a"),
+        round(col("__se1").cast("double") / lit(1e9), 6)
+          .as("expected_a"),
+        when(col("__sv") > 0L, round(
+          (col("observed_a").cast("double") -
+            col("__se1").cast("double") / lit(1e9)) *
+          (col("observed_a").cast("double") -
+            col("__se1").cast("double") / lit(1e9)) /
+          (col("__sv").cast("double") / lit(1e9)), 6)).as("chi2"))
+  }
+
   /** First-order Markov transition matrix over per-user event-type
     * sequences — "what follows what" (behavior modeling, anomaly
     * baselines, synthetic-trace generation): for each observed

@@ -1836,6 +1836,36 @@ class OperatorsSpec extends TestBase {
     assert(gz == Map(1L -> false, 2L -> true), gz.toString)
   }
 
+  test("logrank: hand-worked hypergeometric expectation and variance, " +
+      "censor-only and single-at-risk times contribute nothing, " +
+      "identical groups score ~0") {
+    // A: (1, event), (3, censor); B: (2, event), (4, event).
+    // t=1: n1=2 n2=2 d=1 -> E1=.5, V=.25 ; t=2: n1=1 n2=2 d=1 ->
+    // E1=1/3, V=2/9 ; t=3 censor-only skipped; t=4 n=1 skipped.
+    val d = Seq((1L, true, true), (3L, false, true),
+      (2L, true, false), (4L, true, false)).toDF("dur", "ev", "g")
+    val r = graft.operators.Funnel.logrank(d, "dur", "ev", "g")
+      .collect().head
+    def q9(x: Double) = math.floor(x * 1e9 + 0.5)
+    val se1 = q9(0.5) + q9(1.0 / 3.0)
+    val sv = q9(0.25) + q9(2.0 / 9.0)
+    assert(r.getAs[Long]("n_a") == 2 && r.getAs[Long]("n_b") == 2 &&
+      r.getAs[Long]("observed_a") == 1, r.toString)
+    assert(r.getAs[Double]("expected_a") ==
+      BigDecimal(se1 / 1e9).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble, r.toString)
+    val x = 1.0 - se1 / 1e9
+    assert(r.getAs[Double]("chi2") ==
+      BigDecimal(x * x / (sv / 1e9)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble, r.toString)
+    // two identical groups: observed == expected, chi2 == 0
+    val same = Seq((1L, true, true), (1L, true, false),
+      (2L, false, true), (2L, false, false)).toDF("dur", "ev", "g")
+    val rs = graft.operators.Funnel.logrank(same, "dur", "ev", "g")
+      .collect().head
+    assert(rs.getAs[Double]("chi2") == 0.0, rs.toString)
+  }
+
   test("retentionCohorts: hand-checked offsets, distinct days count " +
       "once, no joins, integral period division (event analytics)") {
     val ev = Seq(
