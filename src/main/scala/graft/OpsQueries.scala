@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.operators.{AsOfJoin, Connected, Decontaminate, Dedup, EntityResolution, Dsir, Embeddings, FooterStats, Funnel, Graph, Metrics, Multimodal, Pipelines, Profiles, Quantize, QualityFilter, RangeJoin, Rank, Sampling, Sketches, Similarity, TextAnalysis, Urls, Valuation, Vocab}
+import graft.operators.{AsOfJoin, Checks, Connected, Decontaminate, Dedup, EntityResolution, Dsir, Embeddings, FooterStats, Funnel, Graph, Metrics, Multimodal, Pipelines, Profiles, Quantize, QualityFilter, RangeJoin, Rank, Sampling, Sketches, Similarity, TextAnalysis, Urls, Valuation, Vocab}
 
 /** Catalog entries for the LLM-data-pipeline operators (dedup, similarity
   * search, text analysis, multimodal) over the `documents` / `embeddings`
@@ -7024,6 +7024,94 @@ object OpsQueries {
              |    / (CAST(sv AS DOUBLE) / CAST(1e9 AS DOUBLE)), 6)
              |  END AS chi2
              |FROM f""".stripMargin)),
+
+    // ----- per-key PSI drift -----------------------------------------------------
+    // Per-language length drift, even vs odd halves with the odd
+    // half's zh long-docs removed — zh spikes, the others sit near 0.
+    // Per-(key, bin) terms quantized to 1e-12 longs; one-sided keys
+    // report null psi with counts, never eps-floored fake drift.
+    "q277_psi_by_key" -> Entry(
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        Profiles.psiByKey(
+          d.filter(col("doc_id") % 2 === 0),
+          d.filter(col("doc_id") % 2 === 1 &&
+            !(col("lang") === "zh" && col("n_chars") > 200)),
+          "lang", "n_chars", lo = 0.0, hi = 500.0, bins = 10)
+          .orderBy("key")
+      },
+      Some("""WITH pa AS (SELECT CAST(lang AS VARCHAR) AS key,
+             |    LEAST(GREATEST(floor((CAST(n_chars AS DOUBLE)
+             |      - CAST(0.0 AS DOUBLE)) / CAST(50.0 AS DOUBLE)),
+             |      CAST(0.0 AS DOUBLE)), CAST(9.0 AS DOUBLE)) AS b
+             |  FROM documents
+             |  WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL),
+             |pb AS (SELECT CAST(lang AS VARCHAR) AS key,
+             |    LEAST(GREATEST(floor((CAST(n_chars AS DOUBLE)
+             |      - CAST(0.0 AS DOUBLE)) / CAST(50.0 AS DOUBLE)),
+             |      CAST(0.0 AS DOUBLE)), CAST(9.0 AS DOUBLE)) AS b
+             |  FROM documents
+             |  WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL
+             |    AND NOT (lang = 'zh' AND n_chars > 200)),
+             |ca AS (SELECT key, CAST(b AS BIGINT) AS bin, COUNT(*) AS na
+             |  FROM pa GROUP BY 1, 2),
+             |cb AS (SELECT key, CAST(b AS BIGINT) AS bin, COUNT(*) AS nb
+             |  FROM pb GROUP BY 1, 2),
+             |ks AS (SELECT DISTINCT key FROM (SELECT key FROM ca
+             |  UNION ALL SELECT key FROM cb)),
+             |sp AS (SELECT ks.key, g.bin FROM ks,
+             |  (SELECT unnest(generate_series(0, 9)) AS bin) g),
+             |cl AS (SELECT sp.key, sp.bin,
+             |    COALESCE(ca.na, 0) AS na, COALESCE(cb.nb, 0) AS nb
+             |  FROM sp LEFT JOIN ca ON ca.key = sp.key
+             |    AND ca.bin = sp.bin
+             |  LEFT JOIN cb ON cb.key = sp.key AND cb.bin = sp.bin),
+             |tt AS (SELECT key, CAST(SUM(na) AS BIGINT) AS ta,
+             |    CAST(SUM(nb) AS BIGINT) AS tb FROM cl GROUP BY 1),
+             |q AS (SELECT cl.key, tt.ta, tt.tb,
+             |    CASE WHEN ta > 0 AND tb > 0 THEN CAST(floor(
+             |      (GREATEST(CAST(na AS DOUBLE) / CAST(ta AS DOUBLE),
+             |          CAST(0.000001 AS DOUBLE))
+             |        - GREATEST(CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE),
+             |          CAST(0.000001 AS DOUBLE)))
+             |      * ln(GREATEST(CAST(na AS DOUBLE) / CAST(ta AS DOUBLE),
+             |          CAST(0.000001 AS DOUBLE))
+             |        / GREATEST(CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE),
+             |          CAST(0.000001 AS DOUBLE)))
+             |      * CAST(1e12 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             |      AS BIGINT) ELSE 0 END AS tq
+             |  FROM cl JOIN tt USING (key))
+             |SELECT key, MAX(ta) AS n_a, MAX(tb) AS n_b,
+             |  CASE WHEN MAX(ta) > 0 AND MAX(tb) > 0 THEN
+             |    round(CAST(SUM(tq) AS DOUBLE) / CAST(1e12 AS DOUBLE), 6)
+             |  END AS psi
+             |FROM q GROUP BY key ORDER BY key""".stripMargin)),
+
+    // ----- per-key freshness audit -------------------------------------------------
+    // Event-type feed freshness against a pinned 'now' (2024-02-01)
+    // with error events cut after Jan 16 — the silently-stopped feed
+    // the content checks cannot see. Integer nanos end-to-end.
+    "q278_freshness" -> Entry(
+      (s, dir) => Checks.freshness(
+        Queries.events(s, dir)
+          .filter(!(col("event_type") === "error" &&
+            col("ts") > 1705363200000000000L)),
+        "event_type", "ts",
+        nowNanos = 1706745600000000000L,
+        staleAfterNanos = 432000000000000L)
+        .orderBy("key"),
+      Some("""WITH e AS (SELECT event_type,
+             |    epoch_us(ts) * 1000 AS tsn FROM events
+             |  WHERE ts IS NOT NULL
+             |    AND NOT (event_type = 'error'
+             |      AND epoch_us(ts) * 1000 > 1705363200000000000))
+             |SELECT CAST(event_type AS VARCHAR) AS key,
+             |  CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(MAX(tsn) AS BIGINT) AS last_ts,
+             |  CAST(1706745600000000000 - MAX(tsn) AS BIGINT) AS lag,
+             |  1706745600000000000 - MAX(tsn) > 432000000000000
+             |    AS stale
+             |FROM e GROUP BY 1 ORDER BY key""".stripMargin)),
 
     // ----- X6 Count-Min sketch: frequency estimates, cell-exact -------------
     // Builds a deliberately TIGHT 4×16 grid over the document token

@@ -516,4 +516,28 @@ object Checks {
           .as("deviation"))
       .orderBy("digit")
   }
+
+  /** Per-key freshness audit — the ingest-health check every
+    * continuously-fed table needs: when did each key (source, feed,
+    * shard) LAST produce a row, how far behind `nowNanos` is it, and
+    * is it past the staleness budget? A feed that silently stopped is
+    * invisible to every content check in this file — only its absence
+    * of new timestamps says so. `nowNanos` is an EXPLICIT argument,
+    * never wall-clock-inside-the-plan: audits must replay bit-for-bit
+    * (and a plan that embeds `now()` re-evaluates it per partition
+    * attempt). Integer nanos end-to-end; one map-combined aggregation.
+    *
+    * Output per key: `(key, n, last_ts, lag, stale)`. */
+  def freshness(df: DataFrame, keyCol: String, tsCol: String,
+      nowNanos: Long, staleAfterNanos: Long): DataFrame = {
+    require(staleAfterNanos > 0L,
+      s"Checks.freshness: staleAfterNanos must be > 0")
+    df.filter(col(tsCol).isNotNull)
+      .groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("n"),
+        max(col(tsCol).cast("long")).as("last_ts"))
+      .select(col("key"), col("n"), col("last_ts"),
+        (lit(nowNanos) - col("last_ts")).as("lag"),
+        (lit(nowNanos) - col("last_ts") > staleAfterNanos).as("stale"))
+  }
 }

@@ -607,6 +607,67 @@ object Profiles {
           .as("entropy"))
   }
 
+  /** Per-key PSI — [[psi]] sliced by language / source / shard, the
+    * form a multilingual mix actually monitors (global PSI averages a
+    * collapsing Thai distribution into noise): same CALLER-pinned
+    * `[lo, hi)` ruler and clamped binning as [[histogram]], same
+    * ε-floored shares, but one ROW PER KEY with the summed index.
+    * Keys present in only ONE snapshot report a null `psi` with the
+    * counts still populated (their shares are undefined; the ε floor
+    * would silently read "key appeared" as "maximal drift" — report
+    * the appearance through n_a/n_b instead, loudly).
+    *
+    * Exactness: per-(key, bin) terms are fixed-order double
+    * expressions QUANTIZED to 1e-12 longs before the per-key sum
+    * (unlike [[psi]], which emits per-bin rows and lets the caller
+    * sum, this folds in-engine and must be association-order-exact).
+    * Null values drop (as in [[histogram]]). Plan: one (key, bin)
+    * aggregation per side, a keys×bins literal spine join, per-key
+    * totals broadcast back, one keyed fold. */
+  def psiByKey(a: DataFrame, b: DataFrame, keyCol: String,
+      colName: String, lo: Double, hi: Double, bins: Int,
+      eps: Double = 1e-6): DataFrame = {
+    require(bins >= 1, s"psiByKey: bins must be >= 1, got $bins")
+    require(hi > lo, s"psiByKey: need hi > lo, got [$lo, $hi)")
+    require(eps > 0 && eps < 1, s"psiByKey: eps must be in (0, 1)")
+    val width = (hi - lo) / bins
+    def binned(df: DataFrame, cnt: String): DataFrame = {
+      val x = col(colName).cast("double")
+      val bin = least(greatest(floor((x - lo) / width), lit(0.0)),
+        lit((bins - 1).toDouble)).cast("long")
+      df.filter(x.isNotNull && !isnan(x))
+        .select(col(keyCol).cast("string").as("key"), bin.as("__bin"))
+        .groupBy("key", "__bin").agg(count(lit(1)).as(cnt))
+    }
+    val ha = binned(a, "__na")
+    val hb = binned(b, "__nb")
+    val keys = ha.select("key").unionAll(hb.select("key")).distinct()
+    val spine = keys.crossJoin(
+      broadcast(a.sparkSession.range(bins).select(col("id").as("__bin"))))
+    val cells = spine
+      .join(ha, Seq("key", "__bin"), "left")
+      .join(hb, Seq("key", "__bin"), "left")
+      .select(col("key"), col("__bin"),
+        coalesce(col("__na"), lit(0L)).as("__na"),
+        coalesce(col("__nb"), lit(0L)).as("__nb"))
+    val totals = cells.groupBy("key")
+      .agg(sum("__na").as("__ta"), sum("__nb").as("__tb"))
+    def share(n: Column, tot: Column): Column =
+      greatest(n.cast("double") / tot.cast("double"), lit(eps))
+    val sa = share(col("__na"), col("__ta"))
+    val sb = share(col("__nb"), col("__tb"))
+    val termq = when(col("__ta") > 0L && col("__tb") > 0L,
+      floor((sa - sb) * log(sa / sb) * lit(1e12) + lit(0.5)))
+      .otherwise(lit(0L))
+    cells.join(totals, Seq("key"))
+      .select(col("key"), col("__ta"), col("__tb"), termq.as("__t"))
+      .groupBy("key")
+      .agg(max(col("__ta")).as("n_a"), max(col("__tb")).as("n_b"),
+        when(max(col("__ta")) > 0L && max(col("__tb")) > 0L,
+          round(sum(col("__t")).cast("double") / lit(1e12), 6))
+          .as("psi"))
+  }
+
   /** Cross-source QUANTILE NORMALIZATION — the batch-effect corrector
     * for scores that mean different things per source (classifier
     * calibrated on web text, run on code; length distributions that

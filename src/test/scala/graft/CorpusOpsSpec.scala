@@ -2517,6 +2517,45 @@ class CorpusOpsSpec extends TestBase {
     assert(k1 == Set("x", "z"))
   }
 
+  test("psiByKey: identical keys score 0, a shifted key spikes, " +
+      "one-sided keys report null psi with counts intact") {
+    import spark.implicits._
+    import graft.operators.Profiles
+    val a = Seq(("S", 5.0), ("S", 15.0), ("S", 5.0), ("S", 15.0),
+      ("D", 5.0), ("D", 5.0), ("D", 15.0), ("D", 15.0),
+      ("A", 5.0)).toDF("k", "v")
+    val b = Seq(("S", 5.0), ("S", 15.0), ("S", 5.0), ("S", 15.0),
+      ("D", 5.0), ("D", 5.0), ("D", 5.0), ("D", 5.0),
+      ("B", 5.0)).toDF("k", "v")
+    val got = Profiles.psiByKey(a, b, "k", "v",
+      lo = 0.0, hi = 20.0, bins = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got("S")._3 == Some(0.0), got("S").toString)
+    assert(got("D")._3.get > 0.5, got("D").toString)
+    assert(got("A") == ((1L, 0L, None)), got("A").toString)
+    assert(got("B") == ((0L, 1L, None)), got("B").toString)
+  }
+
+  test("freshness: a silently-stopped key flags stale, live keys " +
+      "don't, the lag arithmetic is exact") {
+    import spark.implicits._
+    import graft.operators.Checks
+    val ev = Seq(("live", 95L), ("live", 99L), ("dead", 40L),
+      ("dead", 50L)).toDF("feed", "t")
+    val got = Checks.freshness(ev, "feed", "t",
+      nowNanos = 100L, staleAfterNanos = 20L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toMap
+    assert(got("live") == ((2L, 99L, 1L, false)), got.toString)
+    assert(got("dead") == ((2L, 50L, 50L, true)))
+    assert(intercept[IllegalArgumentException] {
+      Checks.freshness(ev, "feed", "t", 100L, 0L)
+    }.getMessage.contains("staleAfter"))
+  }
+
   test("categoricalEntropy: uniform keys hit ln(k), single-category " +
       "keys hit 0, nulls count as a category") {
     import spark.implicits._
