@@ -7113,6 +7113,55 @@ object OpsQueries {
              |    AS stale
              |FROM e GROUP BY 1 ORDER BY key""".stripMargin)),
 
+    // ----- per-key odds ratios ----------------------------------------------------
+    // Even- vs odd-id docs' long-document odds per language, log-space
+    // Wald CIs; Haldane +0.5 on all four cells when any is zero. The
+    // 1.96 literal is DECIMAL in DuckDB — CAST it.
+    "q279_odds_ratios" -> Entry(
+      (s, dir) => Metrics.oddsRatios(
+        t(s, dir, "documents").filter(col("n_chars").isNotNull),
+        "lang", col("doc_id") % 2 === 0, col("n_chars") > 250)
+        .orderBy("key"),
+      Some("""WITH b AS (SELECT CAST(lang AS VARCHAR) AS key,
+             |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS g,
+             |    CASE WHEN n_chars > 250 THEN 1 ELSE 0 END AS y
+             |  FROM documents WHERE n_chars IS NOT NULL),
+             |c AS (SELECT key,
+             |    CAST(SUM(g * y) AS BIGINT) AS g1_pos,
+             |    CAST(SUM(g * (1 - y)) AS BIGINT) AS g1_neg,
+             |    CAST(SUM((1 - g) * y) AS BIGINT) AS g0_pos,
+             |    CAST(SUM((1 - g) * (1 - y)) AS BIGINT) AS g0_neg
+             |  FROM b GROUP BY 1),
+             |x AS (SELECT key, g1_pos, g1_neg, g0_pos, g0_neg,
+             |    CASE WHEN g1_pos = 0 OR g1_neg = 0 OR g0_pos = 0
+             |        OR g0_neg = 0
+             |      THEN CAST(g1_pos AS DOUBLE) + CAST(0.5 AS DOUBLE)
+             |      ELSE CAST(g1_pos AS DOUBLE) END AS a,
+             |    CASE WHEN g1_pos = 0 OR g1_neg = 0 OR g0_pos = 0
+             |        OR g0_neg = 0
+             |      THEN CAST(g1_neg AS DOUBLE) + CAST(0.5 AS DOUBLE)
+             |      ELSE CAST(g1_neg AS DOUBLE) END AS bb,
+             |    CASE WHEN g1_pos = 0 OR g1_neg = 0 OR g0_pos = 0
+             |        OR g0_neg = 0
+             |      THEN CAST(g0_pos AS DOUBLE) + CAST(0.5 AS DOUBLE)
+             |      ELSE CAST(g0_pos AS DOUBLE) END AS cc,
+             |    CASE WHEN g1_pos = 0 OR g1_neg = 0 OR g0_pos = 0
+             |        OR g0_neg = 0
+             |      THEN CAST(g0_neg AS DOUBLE) + CAST(0.5 AS DOUBLE)
+             |      ELSE CAST(g0_neg AS DOUBLE) END AS dd
+             |  FROM c),
+             |f AS (SELECT key, g1_pos, g1_neg, g0_pos, g0_neg,
+             |    ln(a * dd / (bb * cc)) AS lo,
+             |    sqrt(CAST(1.0 AS DOUBLE) / a + CAST(1.0 AS DOUBLE) / bb
+             |      + CAST(1.0 AS DOUBLE) / cc
+             |      + CAST(1.0 AS DOUBLE) / dd) AS se
+             |  FROM x)
+             |SELECT key, g1_pos, g1_neg, g0_pos, g0_neg,
+             |  round(lo, 6) AS log_or, round(se, 6) AS se,
+             |  round(lo - CAST(1.96 AS DOUBLE) * se, 6) AS lo95,
+             |  round(lo + CAST(1.96 AS DOUBLE) * se, 6) AS hi95
+             |FROM f ORDER BY key""".stripMargin)),
+
     // ----- X6 Count-Min sketch: frequency estimates, cell-exact -------------
     // Builds a deliberately TIGHT 4×16 grid over the document token
     // stream (the ~31-term vocabulary forces real cell collisions) with

@@ -61,6 +61,49 @@ object Metrics {
           .as("n_neg"))
   }
 
+  /** Per-key odds ratios with Wald confidence bounds — the A/B
+    * outcome readout ("does the new filter change the flag rate, per
+    * language?") as one row per key: the 2×2 (group × outcome) cells
+    * and the LOG odds ratio `ln(a·d / (b·c))` with its standard error
+    * `sqrt(1/a + 1/b + 1/c + 1/d)` and the ±1.96·se bounds. LOG space
+    * throughout — `exp` diverges by 1 ulp across engines (the q234
+    * measurement) and a CI that contains 0 in log space is exactly a
+    * CI containing 1 in ratio space. Zero cells take the
+    * Haldane–Anscombe +0.5 on ALL FOUR cells (the standard finite
+    * correction; raw integer cells ride along untouched).
+    *
+    * Exactness: one conditional-sum aggregation per key; every float
+    * is a single fixed-order expression of the integer cells
+    * (round 6). Output: `(key, g1_pos, g1_neg, g0_pos, g0_neg,
+    * log_or, se, lo95, hi95)`. */
+  def oddsRatios(df: DataFrame, keyCol: String, groupCol: Column,
+      outcomeCol: Column): DataFrame = {
+    val base = df
+      .filter(groupCol.isNotNull && outcomeCol.isNotNull)
+      .select(col(keyCol).cast("string").as("key"),
+        when(groupCol.cast("boolean"), 1L).otherwise(0L).as("__g"),
+        when(outcomeCol.cast("boolean"), 1L).otherwise(0L).as("__y"))
+    val cells = base.groupBy("key").agg(
+      sum(col("__g") * col("__y")).as("g1_pos"),
+      sum(col("__g") * (lit(1L) - col("__y"))).as("g1_neg"),
+      sum((lit(1L) - col("__g")) * col("__y")).as("g0_pos"),
+      sum((lit(1L) - col("__g")) * (lit(1L) - col("__y"))).as("g0_neg"))
+    val any0 = col("g1_pos") === 0L || col("g1_neg") === 0L ||
+      col("g0_pos") === 0L || col("g0_neg") === 0L
+    def cell(c: Column): Column =
+      when(any0, c.cast("double") + lit(0.5)).otherwise(c.cast("double"))
+    val (a, b, c0, d0) = (cell(col("g1_pos")), cell(col("g1_neg")),
+      cell(col("g0_pos")), cell(col("g0_neg")))
+    val logOr = log(a * d0 / (b * c0))
+    val se = sqrt(lit(1.0) / a + lit(1.0) / b + lit(1.0) / c0 +
+      lit(1.0) / d0)
+    cells.select(col("key"), col("g1_pos"), col("g1_neg"),
+      col("g0_pos"), col("g0_neg"),
+      round(logOr, 6).as("log_or"), round(se, 6).as("se"),
+      round(logOr - lit(1.96) * se, 6).as("lo95"),
+      round(logOr + lit(1.96) * se, 6).as("hi95"))
+  }
+
   /** Per-key tie-corrected AUC — [[auc]] sliced by language / source /
     * shard: the eval that catches "ranks brilliantly on English,
     * coin-flips on Thai" before a global number averages it away.

@@ -456,6 +456,37 @@ class MetricsSpec extends TestBase {
     }.getMessage.contains("alpha"))
   }
 
+  test("oddsRatios: hand-computed 2x2, the null effect sits at " +
+      "log-OR 0 with a CI straddling it, zero cells take Haldane +0.5") {
+    import spark.implicits._
+    // key E: a=2 b=1 c=1 d=2 -> OR 4, log 1.386294; balanced key N:
+    // a=b=c=d=2 -> log 0; key Z has a zero cell -> corrected cells
+    val rows =
+      Seq.fill(2)(("E", true, true)) ++ Seq(("E", true, false)) ++
+      Seq(("E", false, true)) ++ Seq.fill(2)(("E", false, false)) ++
+      (for (g <- Seq(true, false); y <- Seq(true, false);
+            _ <- 1 to 2) yield ("N", g, y)) ++
+      Seq(("Z", true, true), ("Z", false, true), ("Z", false, false))
+    val d = rows.toDF("k", "g", "y")
+    val got = Metrics.oddsRatios(d, "k", col("g"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val e = got("E")
+    assert(e.getAs[Long]("g1_pos") == 2 && e.getAs[Long]("g0_neg") == 2)
+    assert(e.getAs[Double]("log_or") ==
+      BigDecimal(math.log(4.0)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble, e.toString)
+    val n = got("N")
+    assert(n.getAs[Double]("log_or") == 0.0 &&
+      n.getAs[Double]("lo95") < 0.0 && n.getAs[Double]("hi95") > 0.0,
+      n.toString)
+    val z = got("Z")
+    // cells (1,0,1,1) -> corrected (1.5,.5,1.5,1.5): OR = 3
+    assert(z.getAs[Long]("g1_neg") == 0)
+    assert(z.getAs[Double]("log_or") ==
+      BigDecimal(math.log(1.5 * 1.5 / (0.5 * 1.5))).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble, z.toString)
+  }
+
   test("aucByKey: perfect / inverted / tied keys score 1, 0, 0.5; " +
       "degenerate keys report null; the distinct-score guard raises") {
     import spark.implicits._
