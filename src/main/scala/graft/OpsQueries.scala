@@ -7162,6 +7162,35 @@ object OpsQueries {
              |  round(lo + CAST(1.96 AS DOUBLE) * se, 6) AS hi95
              |FROM f ORDER BY key""".stripMargin)),
 
+    // ----- pairwise source vocabulary similarity -----------------------------------
+    // Top-15 vocab Jaccard between every source pair — the dedup
+    // triage matrix; per-key top-k via the map-side WindowGroupLimit,
+    // integer set arithmetic.
+    "q280_source_similarity" -> Entry(
+      (s, dir) => Vocab.sourceSimilarity(
+        t(s, dir, "documents"), "source", "doc_id", "text", k = 15)
+        .orderBy("key_a", "key_b"),
+      Some(s"""WITH c AS (SELECT CAST(source AS VARCHAR) AS k, t AS term,
+              |    COUNT(*) AS cnt
+              |  FROM (SELECT source, unnest($TOKS) AS t FROM documents
+              |    WHERE text IS NOT NULL)
+              |  WHERE t <> '' GROUP BY 1, 2),
+              |r AS (SELECT k, term, ROW_NUMBER() OVER (PARTITION BY k
+              |    ORDER BY cnt DESC, term) AS rn FROM c),
+              |tp AS (SELECT k, term FROM r WHERE rn <= 15),
+              |sz AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n
+              |  FROM tp GROUP BY 1),
+              |sh AS (SELECT a.k AS key_a, b.k AS key_b,
+              |    CAST(COUNT(*) AS BIGINT) AS shared
+              |  FROM tp a JOIN tp b ON a.term = b.term AND a.k < b.k
+              |  GROUP BY 1, 2)
+              |SELECT key_a, key_b, sa.n AS n_a, sb.n AS n_b, shared,
+              |  round(CAST(shared AS DOUBLE)
+              |    / CAST(sa.n + sb.n - shared AS DOUBLE), 6) AS jaccard
+              |FROM sh JOIN sz sa ON sa.k = key_a
+              |  JOIN sz sb ON sb.k = key_b
+              |ORDER BY key_a, key_b""".stripMargin)),
+
     // ----- X6 Count-Min sketch: frequency estimates, cell-exact -------------
     // Builds a deliberately TIGHT 4×16 grid over the document token
     // stream (the ~31-term vocabulary forces real cell collisions) with

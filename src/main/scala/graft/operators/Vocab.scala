@@ -768,6 +768,58 @@ object Vocab {
         round(col("__miq").cast("double") / lit(1e9), 6).as("mi"))
   }
 
+  /** Pairwise SOURCE similarity by top-k vocabulary Jaccard — the
+    * corpus-dedup triage matrix ("which feeds are the same site
+    * syndicated twice?") that decides where to point the expensive
+    * near-dup pipelines first: per source the top-`k` terms by
+    * frequency, then every source pair's `|∩| / |∪|` over those term
+    * sets. Cheap by construction — the pair join runs on ≤ k rows per
+    * source, never on documents.
+    *
+    * Scale: one (key, term) count aggregation; the per-key top-k rides
+    * a key-partitioned `row_number` that Spark plans as a map-side
+    * WindowGroupLimit (the [[graft.operators.Sampling.perKeyCap]]
+    * precedent — each task keeps k rows per key before the exchange);
+    * the pair join is term-keyed over the k-per-source survivors.
+    * Integer set sizes, one exact division (round 6).
+    *
+    * Output: `(key_a, key_b, n_a, n_b, shared, jaccard)` with
+    * `key_a < key_b`; pairs sharing nothing are absent (their Jaccard
+    * is 0 and the all-pairs spine is the caller's cross join). */
+  def sourceSimilarity(df: DataFrame, keyCol: String, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"sourceSimilarity: k must be >= 1, got $k")
+    val counts = df
+      .filter(col(textCol).isNotNull)
+      .select(col(keyCol).cast("string").as("__k"),
+        explode(TextAnalysis.tokens(col(textCol))).as("__term"))
+      .filter(col("__term") =!= "")
+      .groupBy("__k", "__term").agg(count(lit(1)).as("__cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__k"))
+      .orderBy(col("__cnt").desc, col("__term").asc)
+    val tops = counts
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("__k"), col("__term"))
+    val sizes = tops.groupBy(col("__k")).agg(count(lit(1)).as("__n"))
+    val shared = tops.as("a")
+      .join(tops.as("b"), col("a.__term") === col("b.__term") &&
+        col("a.__k") < col("b.__k"))
+      .groupBy(col("a.__k").as("key_a"), col("b.__k").as("key_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("__k").as("key_a"), col("__n").as("n_a")),
+        "key_a")
+      .join(sizes.select(col("__k").as("key_b"), col("__n").as("n_b")),
+        "key_b")
+      .select(col("key_a"), col("key_b"), col("n_a"), col("n_b"),
+        col("shared"),
+        round(col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
   /** Cross-snapshot vocabulary drift — the term-level view of what
     * [[graft.operators.Profiles.psi]]/KS see only as a number: the two
     * snapshots' top-`k` term tables full-outer-joined into `new` /

@@ -2497,6 +2497,28 @@ class CorpusOpsSpec extends TestBase {
     assert(got(3L).isNullAt(got(3L).fieldIndex("code_score")))
   }
 
+  test("sourceSimilarity: identical vocabularies score 1, disjoint " +
+      "pairs are absent, partial overlap is exact set arithmetic") {
+    import spark.implicits._
+    import graft.operators.Vocab
+    val d = Seq(
+      ("A", 1L, "x y z"), ("B", 2L, "x y z"),   // identical
+      ("C", 3L, "x y q"),                       // 2 of 4 with A
+      ("D", 4L, "p r s")).toDF("src", "id", "t")
+    val got = Vocab.sourceSimilarity(d, "src", "id", "t", k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(4), r.getDouble(5))).toMap
+    assert(got(("A", "B")) == ((3L, 1.0)), got.toString)
+    // A={x,y,z}, C={x,y,q}: shared 2, union 4
+    assert(got(("A", "C")) == ((2L, 0.5)))
+    assert(!got.contains(("A", "D")) && !got.contains(("C", "D")))
+    // k = 1 keeps only each source's top term (all counts tie, so the
+    // term tiebreak wins: A,B -> "x" but C -> "q") — only A-B pairs
+    val k1 = Vocab.sourceSimilarity(d, "src", "id", "t", k = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(k1 == Set(("A", "B")), k1.toString)
+  }
+
   test("vocabDrift: new/lost/common statuses with both counts and " +
       "ranks, k caps each side") {
     import spark.implicits._
