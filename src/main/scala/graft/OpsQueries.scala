@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.operators.Checkpoints.PinOps
 import graft.operators.{AsOfJoin, Checks, Connected, Decontaminate, Dedup, EntityResolution, Dsir, Embeddings, FooterStats, Funnel, Graph, Metrics, Multimodal, Pipelines, Profiles, Quantize, QualityFilter, RangeJoin, Rank, Sampling, Sketches, Similarity, TextAnalysis, Urls, Valuation, Vocab}
 
 /** Catalog entries for the LLM-data-pipeline operators (dedup, similarity
@@ -1634,8 +1635,8 @@ object OpsQueries {
              |SELECT query_id, corpus_id, score, rnk FROM r2
              |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)),
 
-    // Partition-parallel decode pipeline (deterministic stubbed codec).
-    // The stub's outputs are pure byte arithmetic over encode(text), so the
+    // Codec-free byte-profile triage pass (deterministic byte arithmetic).
+    // The profile outputs are pure byte arithmetic over encode(text), so the
     // oracle replays them in SQL: byte i of the payload is read out of the
     // hex rendering ('0x' || substr(hex(blob), 2i-1, 2)), widths/heights
     // are modular arithmetic on the byte count.
@@ -1645,7 +1646,7 @@ object OpsQueries {
         val media = Multimodal
           .withPayload(t(s, dir, "documents"), "doc_id", "text")
           .as[Multimodal.MediaRecord]
-        Multimodal.decodeStub(media).toDF().orderBy("doc_id")
+        Multimodal.byteProfile(media).toDF().orderBy("doc_id")
       },
       Some("""WITH b AS (SELECT doc_id,
              |  CASE WHEN length(text) % 2 = 0 THEN 'image' ELSE 'audio' END
@@ -4665,7 +4666,7 @@ object OpsQueries {
         val scored = Vocab.bigramLogProb(
             d.select(col("doc_id"), col("text")), "doc_id", "text")
           .join(d.select(col("doc_id"), col("lang")), "doc_id")
-          .localCheckpoint()
+          .pinned
         Rank.perKeyPercentRank(scored, col("lang"), col("doc_id"),
             col("logprob"))
           .withColumn("bucket",
@@ -6772,15 +6773,37 @@ object OpsQueries {
              |FROM t JOIN g ON g.r = t.tr ORDER BY id""".stripMargin)),
 
     // ----- DEFLATE compression-ratio quality signal --------------------------------
-    // No SQL oracle exists for zlib — rows-only at the driver, with
-    // the contracts spec-pinned (determinism across partitionings,
-    // repetition < prose < noise ordering, null/empty handling).
+    // zlib is not SQL-expressible, so the oracle reads PINNED deflate
+    // lengths from a committed fixture (fixtures/deflate_lengths
+    // .parquet: md5(text) -> level-6 deflated bytes for every doc_id <
+    // 400 text at sf0.001/0.01/0.1, generated once through
+    // java.util.zip.Deflater — the engine's own codec; JVM zlib is
+    // deterministic for fixed input+level) and recomputes the ratio
+    // independently from octet_length. Content-addressed join: SF- and
+    // id-layout-agnostic, and a fixture miss surfaces as a null-vs-
+    // value hash FAIL, never a silent pass. The behavioral contracts
+    // (partitioning determinism, repetition < prose < noise ordering,
+    // null/empty handling) stay spec-pinned.
     "q271_compression_ratio" -> Entry(
       (s, dir) => TextAnalysis.withCompressionRatio(
         t(s, dir, "documents").filter(col("doc_id") < 400),
         "doc_id", "text")
         .orderBy("id"),
-      None),
+      Some("""WITH f AS (SELECT h, deflated FROM read_parquet(
+             |    '/root/repo/fixtures/deflate_lengths.parquet')),
+             |d AS (SELECT CAST(doc_id AS BIGINT) AS id, text
+             |  FROM documents WHERE doc_id < 400)
+             |SELECT d.id,
+             |  CASE WHEN d.text IS NULL THEN NULL
+             |    ELSE CAST(octet_length(encode(d.text)) AS BIGINT) END
+             |    AS utf8_bytes,
+             |  CASE WHEN d.text IS NULL OR octet_length(encode(d.text)) = 0
+             |    THEN NULL
+             |    ELSE round(CAST(f.deflated AS DOUBLE)
+             |      / CAST(octet_length(encode(d.text)) AS DOUBLE), 6) END
+             |    AS compression_ratio
+             |FROM d LEFT JOIN f ON f.h = md5(d.text)
+             |ORDER BY id""".stripMargin)),
 
     // ----- per-key categorical entropy ----------------------------------------------
     // Language diversity per source in nats — per-category terms
@@ -6994,7 +7017,7 @@ object OpsQueries {
              |    na - (c1 - m1) AS n1, nb - (c2 - m2) AS n2
              |  FROM r, tt),
              |q AS (SELECT d1, na, nb,
-             |    CASE WHEN n1 + n2 > 1 AND d1 + d2 > 0 THEN
+             |    CASE WHEN d1 + d2 > 0 THEN
              |      CAST(floor(CAST(d1 + d2 AS DOUBLE)
              |        * CAST(n1 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)
              |        * CAST(1e9 AS DOUBLE) + CAST(0.5 AS DOUBLE))
@@ -7568,7 +7591,7 @@ object OpsQueries {
              |SELECT CAST(p.i - 1 AS INT) AS i, CAST(p.j - 1 AS INT) AS j,
              |  round((CAST(SUM(xy) AS DOUBLE) / 1e12)
              |    / CAST(COUNT(*) AS DOUBLE)
-             |    - ANY_VALUE(mi.mu) * ANY_VALUE(mj.mu), 6) AS cov
+             |    - ANY_VALUE(mi.mu) * ANY_VALUE(mj.mu), 6) + 0 AS cov
              |FROM p JOIN m mi ON mi.d = p.i JOIN m mj ON mj.d = p.j
              |GROUP BY 1, 2 ORDER BY i, j""".stripMargin)),
 
@@ -9004,7 +9027,7 @@ object OpsQueries {
           array_join(transform(TextAnalysis.tokens(col("text")),
             (w, i) => when((i + 1) % 7 === 0, lit("xxx")).otherwise(w)),
             " ").as("cand"))
-          .localCheckpoint()
+          .pinned
         Metrics.bleu(pairs, "doc_id", "cand", "ref")
       },
       Some(s"""WITH t0 AS (SELECT doc_id, $TOKS AS rw FROM documents),

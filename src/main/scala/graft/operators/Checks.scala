@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Checkpoints.PinOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -498,7 +499,7 @@ object Checks {
     val counts = df.filter(v.isNotNull && v > 0)
       .select(digit.as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n"))
-      .localCheckpoint(true)
+      .pinned
     val tot = counts.agg(coalesce(sum(col("n")),
       raise_error(lit("Checks.benford: no positive values in column '" +
         colName + "' — the digit distribution is undefined"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Checkpoints.PinOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -49,10 +50,10 @@ object Connected {
       .union(edges.select(col(bCol).cast("long").as("u"),
         col(aCol).cast("long").as("v")))
       .distinct()
-      .localCheckpoint(true)
+      .pinned
     var labels = sym.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
-      .localCheckpoint(true)
+      .pinned
     var round = 0
     var converged = false
     while (!converged && round < maxIter) {
@@ -63,7 +64,7 @@ object Connected {
       // ...and keeps the min of own + received
       val next = labels.union(received)
         .groupBy("id").agg(min("comp").as("comp"))
-        .localCheckpoint(true)
+        .pinned
       val improved = next.join(
         labels.select(col("id"), col("comp").as("prev")), "id")
         .filter(col("comp") < col("prev"))
@@ -107,8 +108,8 @@ object Connected {
       .distinct()
     val nodes = canon.select(col("u").as("id"))
       .union(canon.select(col("v").as("id"))).distinct()
-      .localCheckpoint(true)
-    var e = canon.localCheckpoint(true)
+      .pinned
+    var e = canon.pinned
     var round = 0
     var converged = false
     while (!converged && round < maxIter) {
@@ -132,7 +133,7 @@ object Connected {
         .select(greatest(col("v"), col("m")).as("u"),
           least(col("v"), col("m")).as("v"))
         .distinct()
-        .localCheckpoint(true)
+        .pinned
       converged = small.exceptAll(e).isEmpty && e.exceptAll(small).isEmpty
       e = small
       round += 1

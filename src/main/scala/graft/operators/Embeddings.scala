@@ -167,9 +167,9 @@ object Embeddings {
     * long, so any association order yields the same bits and the
     * round-6 output replays exactly on any engine. The 5e-13 per-term
     * quantization is 6 orders below the published resolution; long
-    * capacity holds to ~10⁷ unit-scale rows per cell (far above any
-    * per-aggregation count here). Rows with null/short/NaN vectors are
-    * excluded.
+    * capacity holds to ~10⁷ unit-scale rows per cell and is ENFORCED —
+    * a per-cell `n·max|term|` bound raises past capacity instead of
+    * wrapping silently. Rows with null/short/NaN vectors are excluded.
     *
     * Scale shape: the (i, j) pair fan-out explodes UNDER a (i, j)-keyed
     * aggregation that partial-combines map-side, so the exchange ships
@@ -206,7 +206,8 @@ object Embeddings {
                 element_at(col("__v"), j + 1) * lit(1e12) + lit(0.5))
                 .as("xy")))))).as("__c"))
       .groupBy(col("__c.i").as("i"), col("__c.j").as("j"))
-      .agg(count(lit(1)).as("__n"), sum(col("__c.xy")).as("__sxy"))
+      .agg(count(lit(1)).as("__n"), sum(col("__c.xy")).as("__sxy"),
+        max(abs(col("__c.xy"))).as("__mx"))
     val means = clean
       .select(posexplode(col("__v")).as(Seq("__d", "__x")))
       .groupBy("__d")
@@ -218,10 +219,24 @@ object Embeddings {
         col("__mu").as("__mi"))), "i")
       .join(broadcast(means.select(col("__d").as("j"),
         col("__mu").as("__mj"))), "j")
-      .select(col("i"), col("j"), round(
-        (col("__sxy").cast("double") / lit(1e12)) /
-          col("__n").cast("double") -
-          col("__mi") * col("__mj"), 6).as("cov"))
+      .select(col("i"), col("j"),
+        // ENFORCED capacity: n·max|term| must fit a long or the
+        // quantized cell sum can wrap silently (wrong covariances with
+        // no signal on a large corpus). Σ|term| ≤ n·max|term| bounds
+        // |Σterm|, so this conservative check never false-negatives;
+        // unit-scale rows trip it around ~9·10⁶ rows — past that,
+        // raise and tell the caller the remedy.
+        when(col("__n") > lit(Long.MaxValue) /
+            greatest(col("__mx"), lit(1L)),
+          raise_error(concat(lit("Embeddings.covarianceMatrix: " +
+            "quantized 1e-12 cell sum would exceed long capacity (n="),
+            col("__n"), lit(", max|term|="), col("__mx"),
+            lit(") — reduce rows per call or center/scale the " +
+              "vectors first"))).cast("double"))
+        .otherwise(round(
+          (col("__sxy").cast("double") / lit(1e12)) /
+            col("__n").cast("double") -
+            col("__mi") * col("__mj"), 6)).as("cov"))
   }
 
   /** PCA: top-`k` principal axes of `vecCol` from the EXACT

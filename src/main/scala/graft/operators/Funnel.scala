@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Checkpoints.PinOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -195,10 +196,10 @@ object Funnel {
       .filter(col("__t").isNotNull && col("__t") >= 0L)
     val counts = base.groupBy("__t")
       .agg(count(lit(1)).as("__m"), sum(col("__e")).as("__d"))
-      .localCheckpoint(true)
+      .pinned
     val o1 = Seq(col("__t").asc, col("__m").asc, col("__d").asc)
     val run1 = Rank.globalRunningSum(counts, o1, "__m", "__cum")
-      .localCheckpoint(true)
+      .pinned
     val tot = counts.agg(sum(col("__m")).as("__N"))
     val staged = run1.crossJoin(broadcast(tot))
       .withColumn("__n", col("__N") - (col("__cum") - col("__m")))
@@ -210,12 +211,12 @@ object Funnel {
         when(col("__d") === col("__n"), 1L).otherwise(0L))
       .select(col("__t"), col("__m"), col("__d"), col("__cum"),
         col("__n"), col("__lnq"), col("__zf"))
-      .localCheckpoint(true)
+      .pinned
     val o2 = Seq(col("__t").asc, col("__m").asc, col("__d").asc,
       col("__cum").asc, col("__n").asc, col("__lnq").asc,
       col("__zf").asc)
     val run2 = Rank.globalRunningSum(staged, o2, "__lnq", "__lncum")
-      .localCheckpoint(true)
+      .pinned
     val run3 = Rank.globalRunningSum(run2, o2 :+ col("__lncum").asc,
       "__zf", "__zcum")
     run3.select(col("__t").as("t"), col("__n").as("n_at_risk"),
@@ -242,7 +243,9 @@ object Funnel {
     * .globalRunningSum]] passes (the [[kaplanMeier]] pattern); each
     * time's E₁ and V are fixed-order double expressions QUANTIZED to
     * 1e-9 longs, so the sums are association-order-exact. Times with
-    * n ≤ 1 or d = 0 contribute 0 (V's n−1 denominator never fires).
+    * d = 0 contribute 0; V additionally needs n > 1 (its n−1
+    * denominator), while E₁ is summed at EVERY event time so it stays
+    * paired with the d₁ that observed_a counts (at n = 1, E₁ = d₁).
     * χ² is null when ΣV = 0 (no informative event times).
     *
     * Output one row: `(n_a, n_b, observed_a, expected_a, chi2)`. */
@@ -258,11 +261,11 @@ object Funnel {
         sum(lit(1L) - col("__g")).as("__m2"),
         sum(col("__e") * col("__g")).as("__d1"),
         sum(col("__e") * (lit(1L) - col("__g"))).as("__d2"))
-      .localCheckpoint(true)
+      .pinned
     val o1 = Seq(col("__t").asc, col("__m1").asc, col("__m2").asc,
       col("__d1").asc, col("__d2").asc)
     val run1 = Rank.globalRunningSum(counts, o1, "__m1", "__c1")
-      .localCheckpoint(true)
+      .pinned
     val run2 = Rank.globalRunningSum(run1, o1 :+ col("__c1").asc,
       "__m2", "__c2")
     val tot = counts.agg(sum(col("__m1")).as("__N1"),
@@ -276,10 +279,15 @@ object Funnel {
     val n2d = col("__n2").cast("double")
     val nd = col("__n").cast("double")
     val dd = col("__d").cast("double")
-    val informative = col("__n") > 1L && col("__d") > 0L
-    val e1q = when(informative,
+    // E₁ = d·n₁/n is well-defined at every event time (n ≥ 1 whenever
+    // d > 0) and MUST be summed wherever observed_a sums d₁, or O and
+    // E come unpaired: at an n = 1 event time E₁ = d₁ exactly, so
+    // guarding E₁ behind n > 1 while still counting the event inflates
+    // χ² (e.g. A=(1,ev),(2,ev) vs B=(1,ev) → 2 instead of 0.5). Only
+    // the variance term carries the n > 1 guard — its n−1 denominator.
+    val e1q = when(col("__d") > 0L,
       floor(dd * n1d / nd * lit(1e9) + lit(0.5))).otherwise(lit(0L))
-    val vq = when(informative,
+    val vq = when(col("__n") > 1L && col("__d") > 0L,
       floor(dd * (n1d / nd) * (n2d / nd) *
         (nd - dd) / (nd - lit(1.0)) * lit(1e9) + lit(0.5)))
       .otherwise(lit(0L))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Checkpoints.PinOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -76,7 +77,7 @@ object Graph {
         .select(col("id"),
           (lit((1.0 - damping) / n) +
             lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))
-        .localCheckpoint(true) // cut iterative lineage, stay distributed
+        .pinned // cut iterative lineage, stay distributed
     }
     e.unpersist()
     verts.unpersist()
@@ -128,6 +129,17 @@ object Graph {
       .select(col(srcCol).as("a"), col(dstCol).as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull &&
         col("a") =!= col("b"))
+    // the argmax tie-break below negates the label; on a non-numeric
+    // id that unary minus silently casts string->double and every
+    // label comes back null — raise loudly instead of emitting garbage
+    dir.schema.fields.foreach { f =>
+      require(f.dataType.isInstanceOf[
+          org.apache.spark.sql.types.NumericType],
+        s"Graph.labelPropagation: vertex ids must be numeric, got " +
+          s"${f.dataType.simpleString} for '${if (f.name == "a") srcCol
+            else dstCol}' — map string ids to a dense numeric id " +
+          "first (e.g. xxhash64 or a dictionary join)")
+    }
     val adj = dir.union(dir.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .repartition(col("b"))
@@ -146,7 +158,7 @@ object Graph {
         .agg(max(struct(col("__c"), (-col("__l")).as("__neg")))
           .as("__top"))
         .select(col("id"), (-col("__top.__neg")).as("label"))
-        .localCheckpoint(true)
+        .pinned
     }
     adj.unpersist()
     verts.unpersist()
@@ -192,7 +204,7 @@ object Graph {
           col("a") === col("__ka"), "left_semi")
         .join(keep.select(col("id").as("__kb")),
           col("b") === col("__kb"), "left_semi")
-        .localCheckpoint(true)
+        .pinned
       adj.unpersist()
       adj = pruned.persist(StorageLevel.MEMORY_AND_DISK)
     }
@@ -379,7 +391,7 @@ object Graph {
       .select(col(seedCol).as("id")).filter(col("id").isNotNull)
       .distinct()
       .withColumn("hops", lit(0L))
-      .localCheckpoint(true)
+      .pinned
     for (h <- 1 to maxHops) {
       val frontier = dist.filter(col("hops") === (h - 1L))
         .select(col("id").as("__fid"))
@@ -389,7 +401,7 @@ object Graph {
         .withColumn("hops", lit(h.toLong))
       dist = dist.unionAll(reached)
         .groupBy("id").agg(min(col("hops")).as("hops"))
-        .localCheckpoint(true)
+        .pinned
     }
     e.unpersist()
     dist
@@ -456,7 +468,7 @@ object Graph {
         .join(newAuth, Seq("id"))
         .select(col("id"), coalesce(col("__h"), lit(0L)).as("hub"),
           col("auth"))
-        .localCheckpoint(true)
+        .pinned
     }
     e.unpersist()
     verts.unpersist()

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Checkpoints.PinOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -375,9 +376,9 @@ object Metrics {
         col("m"))
       .union(sym.select(col("j").as("item"), col("i").as("opp"),
         col("m")))
-      .localCheckpoint(true)
+      .pinned
     var pi = edges.select("item").distinct()
-      .withColumn("pi", lit(1.0)).localCheckpoint(true)
+      .withColumn("pi", lit(1.0)).pinned
     for (_ <- 1 to sweeps) {
       val d = edges.join(pi, "item")
         .join(pi.select(col("item").as("opp"), col("pi").as("pi_o")),
@@ -391,7 +392,7 @@ object Metrics {
             .as("pi_raw"))
       pi = upd.crossJoin(broadcast(upd.agg(sum("pi_raw").as("__t"))))
         .select(col("item"), (col("pi_raw") / col("__t")).as("pi"))
-        .localCheckpoint(true)
+        .pinned
     }
     pi.select(col("item"), round(col("pi"), 6).as("score"))
       .orderBy(col("score").desc, col("item"))
@@ -885,10 +886,10 @@ object Metrics {
         when(label.cast("boolean"), 1L).otherwise(0L).as("__y"))
     val counts = base.groupBy("__v")
       .agg(sum(col("__y")).as("__p"), sum(lit(1L) - col("__y")).as("__q"))
-      .localCheckpoint(true)
+      .pinned
     val o1 = Seq(col("__v").desc, col("__p").asc, col("__q").asc)
     val ra = Rank.globalRunningSum(counts, o1, "__p", "__tp")
-      .localCheckpoint(true)
+      .pinned
     val run = Rank.globalRunningSum(ra, o1 :+ col("__tp").asc,
       "__q", "__fp")
     val tot = counts.agg(sum("__p").as("__pt"), sum("__q").as("__nt"))
@@ -908,7 +909,7 @@ object Metrics {
         lit(2.0) * col("__tp").cast("double") /
           (lit(2L) * col("__tp") + col("__fp") + col("__fn"))
             .cast("double") * lit(1e12) + lit(0.5)))
-      .localCheckpoint(true)
+      .pinned
     val best = cand.agg(max(col("__f1q")).as("__m"))
     val pick = cand.join(broadcast(best), col("__f1q") === col("__m"))
       .agg(max(col("__v")).as("__bv"))

@@ -13,20 +13,24 @@ import org.apache.spark.sql.types._
   * §B.2.2 SOF) bytes with a pure-JVM marker scan — no codec dependency.
   * PIXEL decode is real too: [[decodeImagePixels]]/[[decodeImages]]
   * fully decompress PNG/JPEG/GIF/BMP through `javax.imageio` (in the
-  * JDK), and [[encodePng]] is a genuine zlib+CRC PNG writer. Only the
-  * exotic-codec paths ([[decodeStub]], [[resizeStub]],
-  * [[frameSampleStub]]) remain clearly-marked deterministic fakes
-  * (video/audio codec libraries are not in this environment); the
-  * plumbing around them — schema, encoders, partition-batched
-  * execution, feature columns — is the real production shape: swap the
-  * fake for a codec call and nothing else changes.
+  * JDK), and [[encodePng]] is a genuine zlib+CRC PNG writer. Below the
+  * codec layer sit three codec-FREE byte-level operators —
+  * [[byteProfile]], [[resampleBytes]], [[frameSampleStub]] — the cheap
+  * pre-decode triage pass (size/kind/byte-mean gating, fixed-stride
+  * chunking) a 100 TB media sweep runs BEFORE paying for real decode;
+  * they are deterministic pure byte arithmetic, oracle-replayable, and
+  * share the exact typed-`mapPartitions` shape a codec call drops into
+  * (one decoder instance per partition — [[decodeImages]] is that same
+  * shape with `javax.imageio` in the loop). `frameSampleStub` keeps its
+  * STUB marker: a real demuxer walks the container's sample table
+  * ([[parseMp4SampleTable]]) rather than assuming fixed-size frames.
   */
 object Multimodal {
 
   /** Typed media row: payload + sidecar metadata, the X4 column model. */
   case class MediaRecord(doc_id: Long, payload: Array[Byte], kind: String)
 
-  /** Decoded features produced by the (stubbed) decoder. */
+  /** Byte-level payload features from [[byteProfile]]. */
   case class MediaFeatures(doc_id: Long, kind: String, n_bytes: Long,
       width: Int, height: Int, mean_byte: Double)
 
@@ -39,10 +43,12 @@ object Multimodal {
       when(length(col(textCol)) % 2 === 0, "image").otherwise("audio")
         .as("kind"))
 
-  /** STUB — deterministic fake decode. A real implementation would hand
-    * `payload` to an image/audio codec here; this fake derives "decoded"
-    * properties purely from the bytes so tests are reproducible. */
-  private def fakeDecode(payload: Array[Byte]): (Int, Int, Double) = {
+  /** Deterministic byte statistics: nominal (width, height) from the
+    * byte count (a stable hash-bucket pair, NOT pixel dimensions — use
+    * [[parseImageHeader]] for those) and the payload's mean byte value
+    * (the flat-payload / constant-filler tell). Pure byte arithmetic —
+    * no codec, replayable in SQL. */
+  private def byteStats(payload: Array[Byte]): (Int, Int, Double) = {
     val n = payload.length
     val width = 16 + (n % 64)
     val height = 16 + ((n / 64) % 64)
@@ -51,16 +57,19 @@ object Multimodal {
     (width, height, mean)
   }
 
-  /** Partition-parallel decode: one decoder instance per partition, rows
-    * streamed through it in batches — the production shape for codec
-    * feature extraction over binary columns. */
-  def decodeStub(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+  /** Codec-free payload profile — the pre-decode triage pass: size,
+    * kind, [[byteStats]] per payload, partition-parallel over the
+    * binary column. At media-corpus scale this is the cheap first
+    * sweep that gates which payloads earn a real decode
+    * ([[decodeImages]] — same typed-`mapPartitions` shape with
+    * `javax.imageio` in the loop). */
+  def byteProfile(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     implicit val enc: org.apache.spark.sql.Encoder[MediaFeatures] =
       Encoders.product[MediaFeatures]
     media.mapPartitions { rows =>
-      // per-partition setup would init the codec once here
+      // per-partition setup: a real codec initializes once here
       rows.map { r =>
-        val (w, h, mean) = fakeDecode(r.payload)
+        val (w, h, mean) = byteStats(r.payload)
         MediaFeatures(r.doc_id, r.kind, r.payload.length.toLong, w, h, mean)
       }
     }
@@ -69,11 +78,12 @@ object Multimodal {
   /** One sampled frame of a media payload. */
   case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 
-  /** STUB — "resize" a payload to exactly `outBytes` bytes by nearest-
-    * neighbor index mapping (the 1-D analog of image resampling). A real
-    * implementation decodes, resamples pixels, re-encodes; the byte
-    * arithmetic here keeps the schema/partitioning/batching identical. */
-  def resizeStub(media: Dataset[MediaRecord], outBytes: Int)
+  /** Nearest-neighbor byte resample to exactly `outBytes` bytes — the
+    * 1-D resampling primitive (fixed-width payload normalization for
+    * hashing/bucketing). This operates on RAW bytes by design; resizing
+    * decoded IMAGES is [[resizeBmp]]'s job (decode → pixel resample →
+    * re-encode). */
+  def resampleBytes(media: Dataset[MediaRecord], outBytes: Int)
       : Dataset[MediaRecord] = {
     implicit val enc: org.apache.spark.sql.Encoder[MediaRecord] =
       Encoders.product[MediaRecord]
@@ -206,7 +216,7 @@ object Multimodal {
 
   /** Partition-parallel REAL header decode over binary payloads: one
     * [[ImageHeader]] row per media row, nulls for malformed bytes. The
-    * same mapPartitions shape as [[decodeStub]] but the parse is the
+    * same mapPartitions shape as [[byteProfile]] but the parse is the
     * genuine article — this is the operator a crawl-ingest pipeline
     * runs to size-filter images before paying for pixel decode. */
   def decodeImageHeaders(media: Dataset[MediaRecord]): Dataset[ImageHeader] = {
@@ -625,7 +635,7 @@ object Multimodal {
         col("pts_units"))
   }
 
-  /** REAL raster resize for the uncompressed format ([[resizeStub]]
+  /** REAL raster resize for the uncompressed format ([[resampleBytes]]
     * remains the shape for codec-backed formats): nearest-neighbor
     * scaling of a 24-bit BMP, pure byte arithmetic — parse the
     * BITMAPINFOHEADER, sample source pixels at `(x·w/w2, y·h/h2)`,

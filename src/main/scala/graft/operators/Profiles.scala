@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Checkpoints.PinOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -693,7 +694,7 @@ object Profiles {
         col(idCol).as("__id"), col(valueCol).cast("double").as("__v"))
       .filter(col("__id").isNotNull && col("__v").isNotNull &&
         !isnan(col("__v")))
-      .localCheckpoint(true)
+      .pinned
     val pct = Rank.perKeyPercentRank(staged, col("__k"), col("__id"),
       col("__v"), out = "__pct")
     val tot = staged.agg(count(lit(1)).as("__N"))
@@ -912,10 +913,10 @@ object Profiles {
       .unionAll(vb.select(col("__v"), lit(0L).as("__ca"), lit(1L).as("__cb")))
       .groupBy("__v")
       .agg(sum("__ca").as("__ca"), sum("__cb").as("__cb"))
-      .localCheckpoint(true)
+      .pinned
     val ordered = Seq(col("__v").asc, col("__ca").asc, col("__cb").asc)
     val runA = Rank.globalRunningSum(counts, ordered, "__ca", "__ra")
-      .localCheckpoint(true)
+      .pinned
     val run = Rank.globalRunningSum(runA,
       ordered :+ col("__ra").asc, "__cb", "__rb")
     val totals = counts.agg(sum("__ca").as("__na"), sum("__cb").as("__nb"))
@@ -972,17 +973,17 @@ object Profiles {
       .groupBy("__v")
       .agg(sum("__ca").as("__ca"), sum("__cb").as("__cb"))
       .withColumn("__one", lit(1L))
-      .localCheckpoint(true)
+      .pinned
     val o1 = Seq(col("__v").asc, col("__ca").asc, col("__cb").asc,
       col("__one").asc)
     val runA = Rank.globalRunningSum(counts, o1, "__ca", "__ra")
-      .localCheckpoint(true)
+      .pinned
     val runB = Rank.globalRunningSum(runA, o1 :+ col("__ra").asc,
       "__cb", "__rb")
-      .localCheckpoint(true)
+      .pinned
     val run = Rank.globalRunningSum(runB,
       o1 ++ Seq(col("__ra").asc, col("__rb").asc), "__one", "__i")
-      .localCheckpoint(true)
+      .pinned
     val totals = counts.agg(sum("__ca").as("__na"), sum("__cb").as("__nb"))
     def tot(c: Column, side: String): Column =
       when(c.isNull || c === 0L, raise_error(lit(

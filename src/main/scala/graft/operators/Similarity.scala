@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Checkpoints.PinOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -221,11 +222,11 @@ object Similarity {
     val fwd = fwdRun
       .select(col("query_id").as("x_id"), col("corpus_id").as("y_id"),
         col("score"))
-      .localCheckpoint()
+      .pinned
     val bwd = bwdRun
       .select(col("corpus_id").as("x_id"), col("query_id").as("y_id"),
         col("score"))
-      .localCheckpoint()
+      .pinned
     def avgSide(pairs: DataFrame, side: String, out: String) = pairs
       .groupBy(col(side))
       .agg(((sum(round(col("score") * lit(1e6)).cast("long"))
@@ -1066,6 +1067,13 @@ object Similarity {
       : DataFrame = {
     val c = centroids.select(col(centIdCol).as("__cid"),
       col(centVecCol).as("__cv"), norm(col(centVecCol)).as("__cn"))
+    // the per-row top-2 sort negates the centroid id as a tie-break;
+    // a non-numeric id would cast string->double and surface as null
+    // clusters — raise loudly instead
+    require(c.schema("__cid").dataType.isInstanceOf[
+        org.apache.spark.sql.types.NumericType],
+      s"Similarity.clusterQuality: centroid ids must be numeric, got " +
+        s"${c.schema("__cid").dataType.simpleString} for '$centIdCol'")
     val scored = df
       .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .select(col(idCol).as("__id"), col(vecCol).as("__v"),

@@ -967,9 +967,11 @@ object TextAnalysis {
     * (allocating per row thrashes native memory), null text → null
     * metrics, empty text → ratio null (0/0 has no meaning). JVM zlib
     * is deterministic for fixed input+level, so results are stable
-    * across partitionings and runs — but there is no SQL oracle for
-    * deflate, so the catalog entry is rows-only and the spec carries
-    * the contracts (the Bloom/summarizeApprox precedent).
+    * across partitionings and runs; deflate itself is not
+    * SQL-expressible, so the catalog oracle recomputes the ratio from
+    * PINNED per-text deflate lengths (`fixtures/deflate_lengths
+    * .parquet`, md5-keyed, generated through this same `Deflater`
+    * path) and the spec carries the behavioral contracts.
     *
     * Output: `(id, utf8_bytes, compression_ratio)` (ratio round 6);
     * `idCol` must be castable to long. */

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Checkpoints, Graph}
+
+/** [[graft.operators.Checkpoints]] — the conf-gated durability switch:
+  * default pins stay executor-local (no checkpoint-dir traffic); setting
+  * `graft.checkpoint.dir` reroutes the SAME call sites to reliable
+  * `checkpoint()` files that survive executor loss, with identical
+  * results. */
+class CheckpointsSpec extends TestBase {
+
+  private val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 3L))
+
+  test("default path: localCheckpoint — results correct, no reliable " +
+      "checkpoint dir is ever installed or written") {
+    import spark.implicits._
+    assert(spark.conf.getOption(Checkpoints.ConfKey).isEmpty)
+    val before = spark.sparkContext.getCheckpointDir
+    val r = Graph.pagerank(edges.toDF("s", "d"), "s", "d", iterations = 2)
+    assert(r.count() == 4)
+    assert(spark.sparkContext.getCheckpointDir == before,
+      "default pin must not install a checkpoint dir")
+  }
+
+  test("graft.checkpoint.dir reroutes pins to RELIABLE checkpoints: " +
+      "same results bit-for-bit, checkpoint files on disk") {
+    import spark.implicits._
+    val e = edges.toDF("s", "d")
+    val local = Graph.pagerank(e, "s", "d", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val dir = tmpDir()
+    // fresh-session shape: this suite may run after others, so the
+    // context-level checkpoint dir could already exist; remember it
+    val prevDir = spark.sparkContext.getCheckpointDir
+    spark.conf.set(Checkpoints.ConfKey, dir.toString)
+    try {
+      val reliable = Graph.pagerank(e, "s", "d", iterations = 3)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(reliable == local,
+        "durability must not change values:\n" +
+          s"local    $local\nreliable $reliable")
+      // reliable checkpoints are real files under the conf'd dir
+      // (unless a caller-installed dir already won — not the case here)
+      if (prevDir.isEmpty) {
+        def walk(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+          val s = java.nio.file.Files.walk(p)
+          try scala.jdk.CollectionConverters
+            .IteratorHasAsScala(s.iterator).asScala.toSeq
+          finally s.close()
+        }
+        assert(walk(dir).exists(p =>
+          p.getFileName.toString.startsWith("rdd-")),
+          s"no rdd-* checkpoint data under $dir")
+      }
+    } finally spark.conf.unset(Checkpoints.ConfKey)
+  }
+
+  test("pin is eager on both paths (the barrier the stage pins rely on)") {
+    import spark.implicits._
+    val df = Seq(1L, 2L, 3L).toDF("x").filter(col("x") > 1L)
+    val pinnedLocal = Checkpoints.pin(df)
+    assert(pinnedLocal.count() == 2L)
+    // pinned plans scan the materialized blocks (LogicalRDD), not the
+    // original lineage — that truncation is the whole point of pin()
+    val plan = pinnedLocal.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LogicalRDD"), plan)
+  }
+}

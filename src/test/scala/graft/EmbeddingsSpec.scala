@@ -183,6 +183,29 @@ class EmbeddingsSpec extends TestBase {
     assert(Embeddings.covarianceMatrix(dirty, "vec", 4).count() == 10L)
   }
 
+  test("covarianceMatrix: quantized long capacity is ENFORCED — " +
+      "n·max|term| past Long.MaxValue raises instead of wrapping") {
+    import spark.implicits._
+    // |x·y|·1e12 ≈ 9e18 per term: one row fits a long, two rows'
+    // worth of sum capacity does not — the guard must raise, not
+    // return a silently-wrapped covariance
+    val big = Seq((1L, Seq(3000.0f, 3000.0f)),
+      (2L, Seq(3000.0f, 3000.0f))).toDF("id", "vec")
+    val e = intercept[Exception] {
+      Embeddings.covarianceMatrix(big, "vec", dim = 2).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(m => m.contains("long capacity")
+        || m.toLowerCase.contains("overflow")), msgs(e).mkString(" | "))
+    // well under capacity: same data scaled down is fine
+    val ok = Seq((1L, Seq(0.3f, 0.3f)), (2L, Seq(0.3f, 0.3f)))
+      .toDF("id", "vec")
+    assert(Embeddings.covarianceMatrix(ok, "vec", dim = 2)
+      .collect().forall(r => r.getDouble(2) == 0.0))
+  }
+
   test("guards: column clashes raise") {
     import spark.implicits._
     val d = Seq((1L, Seq(1.0f))).toDF("id", "vec")

@@ -181,6 +181,13 @@ class GraphSpec extends TestBase {
     assert(intercept[IllegalArgumentException] {
       Graph.labelPropagation(pair, "s", "d", sweeps = 0)
     }.getMessage.contains("sweeps"))
+    // non-numeric vertex ids must raise loudly — the argmax tie-break
+    // negates the label, and string→double casting would otherwise
+    // return silent null labels for every vertex
+    val strEdges = Seq(("a", "b"), ("b", "c")).toDF("s", "d")
+    assert(intercept[IllegalArgumentException] {
+      Graph.labelPropagation(strEdges, "s", "d", sweeps = 1)
+    }.getMessage.contains("numeric"))
   }
 
   test("kCore: the pendant peels off a triangle at k=2, k=3 empties " +

@@ -1029,11 +1029,11 @@ class OperatorsSpec extends TestBase {
     assert(row.getString(2).length == 32)
   }
 
-  test("multimodal payload + stubbed decode pipeline shape (X4)") {
+  test("multimodal payload + byte-profile triage pipeline shape (X4)") {
     val media = Multimodal.withPayload(docs, "doc_id", "text")
     assert(media.schema("payload").dataType ==
       org.apache.spark.sql.types.BinaryType)
-    val feats = Multimodal.decodeStub(media.as[Multimodal.MediaRecord])
+    val feats = Multimodal.byteProfile(media.as[Multimodal.MediaRecord])
       .collect().map(f => f.doc_id -> f).toMap
     assert(feats.size == 5)
     assert(feats(5L).n_bytes == "unrelated short text".length)
@@ -1864,6 +1864,25 @@ class OperatorsSpec extends TestBase {
     val rs = graft.operators.Funnel.logrank(same, "dur", "ev", "g")
       .collect().head
     assert(rs.getAs[Double]("chi2") == 0.0, rs.toString)
+    // sole last at-risk subject in GROUP A with an event: E1 at that
+    // n = 1 time is d1 exactly and must stay in the sum (O and E
+    // paired), or chi2 inflates 0.5 -> 2. A=(1,ev),(2,ev); B=(1,ev):
+    // t=1: n=3 n1=2 d=2 -> E1=4/3 V=2/9; t=2: n=1 n1=1 d=1 -> E1=1
+    // V skipped (n-1 denominator). O=2, E=7/3, chi2=(1/9)/(2/9)=0.5.
+    val tail = Seq((1L, true, true), (2L, true, true),
+      (1L, true, false)).toDF("dur", "ev", "g")
+    val rt = graft.operators.Funnel.logrank(tail, "dur", "ev", "g")
+      .collect().head
+    val te1 = q9(4.0 / 3.0) + q9(1.0)
+    val tv = q9(2.0 / 9.0)
+    assert(rt.getAs[Long]("observed_a") == 2, rt.toString)
+    assert(rt.getAs[Double]("expected_a") ==
+      BigDecimal(te1 / 1e9).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble, rt.toString)
+    val tx = 2.0 - te1 / 1e9
+    assert(rt.getAs[Double]("chi2") ==
+      BigDecimal(tx * tx / (tv / 1e9)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble, rt.toString)
   }
 
   test("retentionCohorts: hand-checked offsets, distinct days count " +
@@ -2094,11 +2113,11 @@ class OperatorsSpec extends TestBase {
     assert(out.forall(_.getString(1) == "en"))
   }
 
-  test("multimodal resize + frame-sample plumbing (X4)") {
+  test("multimodal byte-resample + frame-sample plumbing (X4)") {
     val media = Multimodal.withPayload(docs, "doc_id", "text")
       .as[Multimodal.MediaRecord]
     // resize: every payload lands at exactly 8 bytes, nearest-neighbor
-    val resized = Multimodal.resizeStub(media, 8).collect()
+    val resized = Multimodal.resampleBytes(media, 8).collect()
     assert(resized.forall(_.payload.length == 8))
     val orig = media.collect().map(r => r.doc_id -> r.payload).toMap
     resized.foreach { r =>
@@ -2203,5 +2222,13 @@ class OperatorsSpec extends TestBase {
     }
     assert(e.getMessage.contains("clusterQuality") ||
       e.getCause != null, e.getMessage)
+    // non-numeric centroid ids must raise loudly — the top-2 sort
+    // negates the id; string→double would yield silent null clusters
+    val strCents = Seq(("a", Seq(1.0f, 0.0f)), ("b", Seq(0.0f, 1.0f)))
+      .toDF("cid", "cv")
+    assert(intercept[IllegalArgumentException] {
+      graft.operators.Similarity.clusterQuality(pts, "id", "vec",
+        strCents, "cid", "cv")
+    }.getMessage.contains("numeric"))
   }
 }

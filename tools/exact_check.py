@@ -9,7 +9,7 @@ exact hash over round-6-rendered values, so tolerance passes locally can
 still hash-mismatch at the driver (the r11 q184/q200/q211 lesson) — run
 THIS at both sf0.01 and sf0.1 before claiming green.
 """
-import json, sys, glob, os
+import json, sys, glob, os, math
 import duckdb
 import pandas as pd
 import numpy as np
@@ -44,12 +44,38 @@ def cmp_cell(a, b):
         try:
             fa, fb = float(a), float(b)
             if np.isnan(fa) and np.isnan(fb): return True
-            return fa == fb  # EXACT — no tolerance
+            if fa != fb: return False  # EXACT — no tolerance
+            # The driver hashes RENDERED values, and -0.0 renders as
+            # "-0.0" while +0.0 renders as "0.0" — IEEE fa == fb is TRUE
+            # for that pair, so value equality alone is blind to the
+            # exact divergence class that failed q184 at the r12 driver
+            # gate. Require matching zero sign too.
+            if fa == 0.0 and math.copysign(1.0, fa) != math.copysign(1.0, fb):
+                return False
+            return True
         except (TypeError, ValueError):
             return False
     return a == b
 
+def selftest():
+    # Planted signed-zero divergence: the gate MUST flag -0.0 vs 0.0
+    # (the r12 q184 driver-hash failure mode) while still passing
+    # genuinely-equal cells.
+    assert cmp_cell(0.0, 0.0)
+    assert cmp_cell(-0.0, -0.0)
+    assert not cmp_cell(-0.0, 0.0), "gate blind to signed zero"
+    assert not cmp_cell(0.0, -0.0), "gate blind to signed zero"
+    assert cmp_cell(float("nan"), float("nan"))
+    assert cmp_cell(None, None)
+    assert not cmp_cell(1.0, 1.0000000001)
+    assert cmp_cell(np.float64(-0.0), -0.0)
+    assert not cmp_cell(np.float64(-0.0), np.float64(0.0))
+    print("selftest OK (signed-zero divergence is caught)")
+    sys.exit(0)
+
 def main():
+    if len(sys.argv) >= 2 and sys.argv[1] == "--selftest":
+        selftest()
     if len(sys.argv) < 3:
         print(__doc__); sys.exit(2)
     outdir, sfdir = sys.argv[1], sys.argv[2]
