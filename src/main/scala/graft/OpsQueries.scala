@@ -7563,7 +7563,12 @@ object OpsQueries {
     // ORDER-INDEPENDENT scaled-long sums (floor(x·1e12 + 0.5) per term;
     // floor is IEEE-exact, so any summation order on any engine yields
     // the same bits — round-6 hash parity is structural, not
-    // tolerance), the one-corpus-pass statistic Embeddings.pca
+    // tolerance). The oracle's final round(...) gets '+ 0': DuckDB's
+    // round preserves the sign of zero while Spark's BigDecimal round
+    // cannot, so a tiny-negative cell would render -0.0 vs 0.0 and
+    // hash-diverge despite value equality (the r12 driver-gate fail;
+    // -0.0 + 0 = +0.0 in IEEE, non-zeros unchanged). The one-corpus-
+    // pass statistic Embeddings.pca
     // eigendecomposes driver-side. The (i, j) fan-out explodes UNDER a
     // map-combined aggregation: the exchange ships D(D+1)/2 cells per
     // task, never corpus rows.

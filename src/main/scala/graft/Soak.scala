@@ -250,7 +250,26 @@ object Soak {
       "quantile_normalize" -> ((n: Long) =>
         graft.operators.Profiles.quantileNormalize(
           shaped(n).select(col("lang"), col("doc_id"), col("score")),
-          "lang", "doc_id", "score")))
+          "lang", "doc_id", "score")),
+      // round-13 additions: freshness (ONE map-combined aggregation —
+      // the whole audit), odds ratios (per-key 2×2 conditional-sum
+      // cells), source-similarity (per-key top-k via the map-side
+      // WindowGroupLimit + a k-bounded pair join; the dominant 'en'
+      // key from shaped() stresses the top-k cut)
+      "freshness" -> ((n: Long) =>
+        graft.operators.Checks.freshness(
+          shaped(n).select(col("lang"),
+            (col("doc_id") * 1000000L).as("ts")),
+          "lang", "ts", nowNanos = n * 1000000L + 1000L,
+          staleAfterNanos = n * 500000L)),
+      "odds_ratios" -> ((n: Long) =>
+        graft.operators.Metrics.oddsRatios(
+          shaped(n).select(col("lang"), col("doc_id"), col("score")),
+          "lang", col("doc_id") % 2 === 0, col("score") > 7000.0)),
+      "source_similarity" -> ((n: Long) =>
+        graft.operators.Vocab.sourceSimilarity(
+          corpus(n).select(col("source"), col("doc_id"), col("text")),
+          "source", "doc_id", "text", k = 15)))
 
     /** Non-reused exchange count of the EXECUTED (final adaptive)
       * plan — the plan-drift fingerprint. */

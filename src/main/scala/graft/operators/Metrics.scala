@@ -486,41 +486,59 @@ object Metrics {
     * cross-engine hash parity on SHORT candidates accept libm-vs-JVM
     * exp drift below round-6, which is ~1 ulp).
     *
-    * Scale: pairs explode to (pair, n-gram, n) rows — the tokenize
-    * fan-out every X5 operator rides; everything aggregates
-    * map-combined to 4 + 1 rows. No windows, no driver loops. */
+    * Scale: tokenization runs ONCE into a pinned (id, tokens, tokens)
+    * table (eval sets are bounded by contract — the pin is token-array
+    * sized, and it cuts both the 9 redundant tokenize passes and the
+    * 8× cold Janino compile of the tokenizer forest); the per-n gram
+    * explodes then scan the pinned arrays and aggregate map-combined
+    * to 4 + 1 rows. No windows, no driver loops. */
   def bleu(pairs: DataFrame, idCol: String, candCol: String,
       refCol: String, maxN: Int = 4): DataFrame = {
     require(maxN >= 1 && maxN <= 4, s"bleu: maxN must be in [1,4]")
+    // Tokenize ONCE into a pinned (id, cand_tokens, ref_tokens) table:
+    // the 2·maxN + 1 consumers below then scan materialized arrays
+    // instead of each re-running the regex tokenizer over the raw text
+    // (9 tokenize passes → 2) AND each cold plan compiles without the
+    // tokenizer expression forest inlined (the 8.6–10.1 s cold vs 5 s
+    // warm head was Janino re-compiling it 8×). Eval pairs are
+    // eval-set-sized by contract, so materializing their token arrays
+    // is the cheap side of the trade.
+    val toks = Checkpoints.pin(pairs.select(col(idCol).as("__id"),
+      TextAnalysis.tokens(col(candCol)).as("__cw"),
+      TextAnalysis.tokens(col(refCol)).as("__rw")))
     // per-n scans, NOT a fused (pair, n, gram) single explode: the
     // fused form was MEASURED 2.8× slower at sf0.1 (5.0 → 14.0 s warm)
-    // — the struct-generator explode re-evaluates the tokenize/slice
+    // — the struct-generator explode re-evaluates the gram/slice
     // expression forest per flattened branch, the same interpreted-HOF
     // cost that sank the all-n distinct-n form; eight small
     // map-combined aggregations win over one big one here
-    def grams(c: Column, n: Int): Column = {
-      val w = TextAnalysis.tokens(c)
+    def grams(w: Column, n: Int): Column =
       when(size(w) >= n, transform(sequence(lit(1), size(w) - (n - 1)),
         i => array_join(slice(w, i, lit(n)), " "))).otherwise(
         array(Seq.empty[Column]: _*).cast("array<string>"))
-    }
     // one row per (pair, n, gram) with candidate + reference counts —
-    // clip = min of the two; totals sum per n
+    // clip = min of the two; totals sum per n. Both sides ride ONE
+    // tagged explode per n (cand grams tagged 1, ref grams 0) into a
+    // single (id, gram) aggregation: ref-only grams contribute 0 to
+    // both clip (min(0, rn)) and tot (cn = 0), so the fold equals the
+    // old cand⋈ref left join while planning one exchange instead of
+    // two plus a shuffle join per n.
     val perN = (1 to maxN).map { n =>
-      val cg = pairs.select(col(idCol).as("__id"),
-          explode(grams(col(candCol), n)).as("g"))
-        .groupBy("__id", "g").agg(count(lit(1)).as("cn"))
-      val rg = pairs.select(col(idCol).as("__id"),
-          explode(grams(col(refCol), n)).as("g"))
-        .groupBy("__id", "g").agg(count(lit(1)).as("rn"))
-      cg.join(rg, Seq("__id", "g"), "left")
-        .agg(sum(least(col("cn"), coalesce(col("rn"), lit(0L))))
-          .as("clip"), sum("cn").as("tot"))
+      toks.select(col("__id"), explode(concat(
+          transform(grams(col("__cw"), n),
+            g => struct(g.as("g"), lit(1L).as("c"))),
+          transform(grams(col("__rw"), n),
+            g => struct(g.as("g"), lit(0L).as("c"))))).as("e"))
+        .groupBy(col("__id"), col("e.g").as("g"))
+        .agg(sum(col("e.c")).as("cn"),
+          sum(lit(1L) - col("e.c")).as("rn"))
+        .agg(sum(least(col("cn"), col("rn"))).as("clip"),
+          sum("cn").as("tot"))
         .select(lit(n).as("n"), col("clip"), col("tot"))
     }.reduce(_ unionByName _)
-    val lens = pairs.agg(
-      sum(size(TextAnalysis.tokens(col(candCol)))).as("c_len"),
-      sum(size(TextAnalysis.tokens(col(refCol)))).as("r_len"))
+    val lens = toks.agg(
+      sum(size(col("__cw"))).as("c_len"),
+      sum(size(col("__rw"))).as("r_len"))
     val ps = perN.groupBy().pivot("n", 1 to maxN).agg(
       first(when(col("tot") > 0,
         col("clip").cast("double") / col("tot").cast("double"))))

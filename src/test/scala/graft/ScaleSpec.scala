@@ -1085,4 +1085,54 @@ class ScaleSpec extends TestBase {
       s"vocabDrift tops must plan TakeOrdered heaps:\n$pvd")
     assert(corpusWindows(vd).isEmpty, pvd)
   }
+
+  test("round-13 scale posture: freshness is ONE map-combined " +
+      "aggregation; oddsRatios is one keyed 2x2 cell aggregation; " +
+      "sourceSimilarity cuts per-key tops map-side (WindowGroupLimit) " +
+      "and joins only the k-bounded survivors") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWin}
+    def exec(df: org.apache.spark.sql.DataFrame): String = {
+      df.write.format("noop").mode("overwrite").save()
+      df.queryExecution.executedPlan.toString
+    }
+    def corpusWindows(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case w: LWin if w.partitionSpec.isEmpty => w
+      }
+    def hashEx(p: String): Int = p.linesIterator.count(l =>
+      l.contains("Exchange ") && !l.contains("ReusedExchange"))
+
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+    // freshness: the entire audit is one keyed aggregation — no
+    // window, no join, exactly one exchange
+    val fr = graft.operators.Checks.freshness(
+      docs.select(col("source"), (col("doc_id") * 1000000L).as("ts")),
+      "source", "ts", nowNanos = 1L << 60, staleAfterNanos = 1000000L)
+    val pfr = exec(fr)
+    assert(!pfr.contains("Window") && !pfr.contains("Join"), pfr)
+    assert(hashEx(pfr) <= 1, s"freshness must be one aggregation:\n$pfr")
+
+    // oddsRatios: one conditional-sum aggregation per key; the CI math
+    // is a fixed-order projection of the four integer cells
+    val or = graft.operators.Metrics.oddsRatios(
+      docs.filter(col("n_chars").isNotNull),
+      "lang", col("doc_id") % 2 === 0, col("n_chars") > 250)
+    val por = exec(or)
+    assert(!por.contains("Window") && !por.contains("Join"), por)
+    assert(hashEx(por) <= 1, s"oddsRatios must be one aggregation:\n$por")
+
+    // sourceSimilarity: the per-key top-k must plan the map-side
+    // WindowGroupLimit (each task keeps k rows per key BEFORE the
+    // exchange — the per-key-window cliff killer), the pair join runs
+    // over k-bounded tops only, and nothing goes cartesian
+    val ss = graft.operators.Vocab.sourceSimilarity(
+      docs, "source", "doc_id", "text", k = 15)
+    val pss = exec(ss)
+    assert(pss.contains("WindowGroupLimit"),
+      s"sourceSimilarity top-k must cut map-side:\n$pss")
+    assert(!pss.contains("CartesianProduct"), pss)
+    assert(corpusWindows(ss).isEmpty,
+      s"unpartitioned window in sourceSimilarity:\n$pss")
+  }
 }
