@@ -281,8 +281,14 @@ object Soak {
         l.contains("Exchange ") && !l.contains("ReusedExchange"))
     }
 
+    // builder-side iteration aid (mirrors Verify's SPARK_GRAFT_ONLY):
+    // soak just the named ops, e.g. when pushing one family to 5M+
+    val only = sys.env.get("SPARK_GRAFT_SOAK_OPS")
+      .map(_.split(",").map(_.trim).toSet)
     var drifted = false
-    val parts = ops.map { case (name, build) =>
+    val parts = ops
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, build) =>
       val eSmall = exchanges(build(smallRows))
       System.gc()
       val t0 = System.nanoTime()
