@@ -5692,7 +5692,7 @@ object OpsQueries {
            |    DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS shapley_q,
            |  round(CAST(CAST(SUM(term) OVER (PARTITION BY query_id
            |    ORDER BY rank DESC ROWS UNBOUNDED PRECEDING) AS BIGINT)
-           |    AS DOUBLE) / 1e12, 6) AS shapley
+           |    AS DOUBLE) / 1e12, 6) + 0 AS shapley
            |FROM tm ORDER BY query_id, rank""".stripMargin
       }),
 
