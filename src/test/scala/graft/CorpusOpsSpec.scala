@@ -2643,6 +2643,48 @@ class CorpusOpsSpec extends TestBase {
     assert(run(1) == got, "partitioning changed deflate output")
   }
 
+  test("q271 deflate fixture stays in sync: every doc_id<400 text at " +
+      "the gate scales resolves by md5 and the pinned length equals " +
+      "this JVM's Deflater-6 output") {
+    // fixtures/deflate_lengths.parquet IS q271's oracle input — if the
+    // testdata regenerates or the JDK's zlib changes, this catches it
+    // at sbt-test time instead of as a driver hash fail
+    val fixture = spark.read
+      .parquet("/root/repo/fixtures/deflate_lengths.parquet")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val deflater = new java.util.zip.Deflater(6)
+    val buf = new Array[Byte](1 << 16)
+    def deflatedLen(text: String): Long = {
+      val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      deflater.reset(); deflater.setInput(bytes); deflater.finish()
+      var n = 0L
+      while (!deflater.finished()) n += deflater.deflate(buf)
+      n
+    }
+    def md5hex(text: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+    var checked = 0
+    for (sfDir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") < 400 && col("text").isNotNull &&
+          col("text") =!= "")
+        .select("text").distinct().collect().map(_.getString(0))
+      texts.foreach { t =>
+        val h = md5hex(t)
+        assert(fixture.contains(h),
+          s"text missing from deflate fixture (md5 $h) — regenerate " +
+            "fixtures/deflate_lengths.parquet")
+        assert(fixture(h) == deflatedLen(t),
+          s"pinned deflate length ${fixture(h)} != this JVM's " +
+            s"${deflatedLen(t)} for md5 $h — zlib changed; regenerate")
+        checked += 1
+      }
+    }
+    assert(checked >= 700, s"only $checked texts checked")
+  }
+
   test("foldConfusables: homoglyph spoofs collapse onto their Latin " +
       "key, genuine Latin is untouched, the fold pairs with the audit") {
     import spark.implicits._
