@@ -57,6 +57,25 @@ class CheckpointsSpec extends TestBase {
     } finally spark.conf.unset(Checkpoints.ConfKey)
   }
 
+  test("reliable path drives a chained-cumulative operator end-to-end " +
+      "(ksTest — one of the verdict-named pin families) with " +
+      "identical results") {
+    import spark.implicits._
+    val a = (1 to 200).map(i => (i.toLong, (i % 37).toDouble))
+      .toDF("id", "v")
+    val b = (1 to 200).map(i => (i.toLong, (i % 23).toDouble))
+      .toDF("id", "v")
+    val local = graft.operators.Profiles.ksTest(a, b, "v")
+      .collect().map(_.toSeq).toSeq
+    spark.conf.set(Checkpoints.ConfKey, tmpDir().toString)
+    try {
+      val reliable = graft.operators.Profiles.ksTest(a, b, "v")
+        .collect().map(_.toSeq).toSeq
+      assert(reliable == local,
+        s"ksTest diverged on the reliable path:\n$local\n$reliable")
+    } finally spark.conf.unset(Checkpoints.ConfKey)
+  }
+
   test("pin is eager on both paths (the barrier the stage pins rely on)") {
     import spark.implicits._
     val df = Seq(1L, 2L, 3L).toDF("x").filter(col("x") > 1L)
