@@ -619,24 +619,30 @@ object Metrics {
       refCol: String, maxN: Int = 6, beta: Double = 2.0): DataFrame = {
     require(maxN >= 1, s"chrF: maxN must be >= 1, got $maxN")
     require(beta > 0, s"chrF: beta must be > 0, got $beta")
-    def grams(c: Column, n: Int): Column = {
-      val s = regexp_replace(c, "\\s+", "")
+    // strip whitespace ONCE into a pinned table ([[bleu]]'s shape: the
+    // 2·maxN consumers scan materialized strings instead of each
+    // re-running the regex, and cold plans compile without it inlined)
+    val stripped = Checkpoints.pin(pairs.select(col(idCol).as("__id"),
+      regexp_replace(col(candCol), "\\s+", "").as("__cs"),
+      regexp_replace(col(refCol), "\\s+", "").as("__rs")))
+    def grams(s: Column, n: Int): Column =
       when(length(s) >= n, transform(sequence(lit(1), length(s) - (n - 1)),
         i => s.substr(i, lit(n)))).otherwise(
         array(Seq.empty[Column]: _*).cast("array<string>"))
-    }
+    // both sides ride ONE tagged explode per n into a single (id, gram)
+    // aggregation — the tag-sum pair (cn, rn) over the key union IS the
+    // old cand⋈ref FULL join's coalesced cells, at half the exchanges
     val perN = (1 to maxN).map { n =>
-      val cg = pairs.select(col(idCol).as("__id"),
-          explode(grams(col(candCol), n)).as("g"))
-        .groupBy("__id", "g").agg(count(lit(1)).as("cn"))
-      val rg = pairs.select(col(idCol).as("__id"),
-          explode(grams(col(refCol), n)).as("g"))
-        .groupBy("__id", "g").agg(count(lit(1)).as("rn"))
-      cg.join(rg, Seq("__id", "g"), "full")
-        .agg(sum(least(coalesce(col("cn"), lit(0L)),
-            coalesce(col("rn"), lit(0L)))).as("m"),
-          sum(coalesce(col("cn"), lit(0L))).as("ct"),
-          sum(coalesce(col("rn"), lit(0L))).as("rt"))
+      stripped.select(col("__id"), explode(concat(
+          transform(grams(col("__cs"), n),
+            g => struct(g.as("g"), lit(1L).as("c"))),
+          transform(grams(col("__rs"), n),
+            g => struct(g.as("g"), lit(0L).as("c"))))).as("e"))
+        .groupBy(col("__id"), col("e.g").as("g"))
+        .agg(sum(col("e.c")).as("cn"),
+          sum(lit(1L) - col("e.c")).as("rn"))
+        .agg(sum(least(col("cn"), col("rn"))).as("m"),
+          sum("cn").as("ct"), sum("rn").as("rt"))
         .select(lit(n).as("n"), col("m"), col("ct"), col("rt"))
     }.reduce(_ unionByName _)
     val wide = perN.groupBy().pivot("n", 1 to maxN).agg(

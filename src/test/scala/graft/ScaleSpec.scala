@@ -1134,5 +1134,28 @@ class ScaleSpec extends TestBase {
     assert(!pss.contains("CartesianProduct"), pss)
     assert(corpusWindows(ss).isEmpty,
       s"unpartitioned window in sourceSimilarity:\n$pss")
+
+    // bleu / chrF (round-13 rework): the pinned token/stripped table
+    // feeds ONE tagged explode + ONE keyed aggregation per n — the
+    // old two-aggregations-plus-shuffle-join-per-n shape is gone.
+    // Measured budgets: bleu 10 exchanges + only the broadcast lens
+    // join; chrF 12 exchanges, zero joins.
+    val evalPairs = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text").as("cand"),
+        reverse(col("text")).as("ref"))
+    val bl = graft.operators.Metrics.bleu(evalPairs, "doc_id",
+      "cand", "ref")
+    val pbl = exec(bl)
+    assert(hashEx(pbl) <= 10, s"bleu exchange budget blown:\n$pbl")
+    assert(!pbl.contains("SortMergeJoin") &&
+      !pbl.contains("ShuffledHashJoin"),
+      s"bleu must not shuffle-join gram tables:\n$pbl")
+    val cf = graft.operators.Metrics.chrF(evalPairs, "doc_id",
+      "cand", "ref")
+    val pcf = exec(cf)
+    assert(hashEx(pcf) <= 12, s"chrF exchange budget blown:\n$pcf")
+    assert(!pcf.contains("SortMergeJoin") &&
+      !pcf.contains("ShuffledHashJoin") && !pcf.contains("Join"),
+      s"chrF must not join at all:\n$pcf")
   }
 }
