@@ -42,6 +42,10 @@ object Soak {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // soak the RELIABLE checkpoint path (graft.checkpoint.dir) when
+    // asked — quantifies the durability trade at scale
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR").foreach(d =>
+      spark.conf.set(graft.operators.Checkpoints.ConfKey, d))
     spark.range(16).repartition(4).count() // scheduler warm-up
 
     def corpus(n: Long): DataFrame =
