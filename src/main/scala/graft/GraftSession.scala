@@ -24,7 +24,17 @@ object GraftSession {
     "spark.sql.files.maxPartitionBytes" -> (128L * 1024 * 1024).toString,
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.parquet.filterPushdown" -> "true",
-    "spark.sql.parquet.aggregatePushdown" -> "true")
+    "spark.sql.parquet.aggregatePushdown" -> "true",
+    // reliable-checkpoint GC backstop (a SparkContext-construction
+    // conf, so it must ride the builder): when graft.checkpoint.dir
+    // switches Checkpoints.pin to durable checkpoint(), this lets the
+    // ContextCleaner reclaim a pin's rdd-N files once the pinned
+    // Dataset is driver-GC'd. Iterative sweeps don't wait for GC —
+    // they delete superseded generations deterministically through
+    // Checkpoints.Chain — but one-shot stage pins (ksTest,
+    // bestThreshold, kaplanMeier) rely on this to keep a long-running
+    // job's checkpoint dir from growing one directory per query.
+    "spark.cleaner.referenceTracking.cleanCheckpoints" -> "true")
 
   def builder(master: String = "local[32]", appName: String = "graft",
       shufflePartitions: Int = 32): SparkSession.Builder = {

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
 
 /** Lineage pinning with a cluster-durable escape hatch.
   *
@@ -22,10 +23,34 @@ import org.apache.spark.sql.DataFrame
   * (any Hadoop-visible URI — HDFS/S3A/local). The first reliable pin
   * installs the directory as the SparkContext checkpoint dir (unless
   * the caller already set one, which wins); every pinned stage then
-  * survives executor loss at the cost of one write+read of the pinned
-  * data per stage. Both paths are EAGER, so the barrier semantics the
-  * operators rely on (checkpoint-before-reuse, exchange dedup) are
-  * identical — only durability and speed differ. */
+  * survives executor loss. Both paths are EAGER, so the barrier
+  * semantics the operators rely on (checkpoint-before-reuse, exchange
+  * dedup) are identical — only durability and speed differ.
+  *
+  * ==Reliable-path cost==
+  * `Dataset.checkpoint(eager = true)` runs TWO jobs over the pinned
+  * plan: the eager materialization, then the checkpoint-write job the
+  * scheduler appends — i.e. compute-twice + write + read-back, not
+  * "one write + read". [[pin]] neutralizes the second compute by
+  * persisting the stage (MEMORY_AND_DISK) around the checkpoint call
+  * when the caller hasn't already cached it: compute #1 fills the
+  * cache, the write job re-reads blocks instead of re-running the
+  * stage, and the transient cache is dropped before returning.
+  *
+  * ==Reliable-path file lifecycle==
+  * Every reliable pin writes a permanent `rdd-N` directory under the
+  * checkpoint dir; Spark never deletes one on its own unless
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (a
+  * SparkContext-construction conf — [[graft.GraftSession]] sets it, so
+  * sessions built there reclaim a pin's files once the pinned Dataset
+  * is garbage-collected on the driver). That GC hook is asynchronous
+  * and reference-driven, which is the wrong tool for ITERATIVE sweeps:
+  * a 50-iteration pagerank holds every superseded generation's files
+  * until the driver happens to collect, multiplying steady-state
+  * footprint by iteration count. Iterative operators therefore pin
+  * through a [[Chain]], which deletes a generation's files
+  * DETERMINISTICALLY as soon as it is provably dead (two generations
+  * behind the newest pin — see [[Chain]] for why not one). */
 object Checkpoints {
 
   /** Session conf key: set to a durable directory URI to make every
@@ -44,12 +69,77 @@ object Checkpoints {
         // respect a caller-installed checkpoint dir; install ours once
         // (setCheckpointDir mints a fresh UUID subdir per call)
         if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
-        df.checkpoint(eager = true)
+        // transient cache so the checkpoint-write job reads blocks
+        // instead of recomputing the stage (see scaladoc); skipped when
+        // the caller cached the frame — unpersisting here would clobber
+        // their cache registration
+        val weCache = df.storageLevel == StorageLevel.NONE
+        if (weCache) df.persist(StorageLevel.MEMORY_AND_DISK)
+        try df.checkpoint(eager = true)
+        finally { if (weCache) df.unpersist(blocking = false) }
       case None => df.localCheckpoint(eager = true)
     }
   }
 
-  /** `df.pinned` sugar for [[pin]] at the 48 operator call sites. */
+  /** The `rdd-N` checkpoint directory backing a [[pin]] result —
+    * `Some` only on the reliable path (local checkpoints keep blocks,
+    * not files). The pinned Dataset's plan is a single `LogicalRDD`
+    * over the checkpointed rows. */
+  private[graft] def checkpointFileOf(df: DataFrame): Option[String] =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.flatMap(_.getCheckpointFile)
+
+  /** Generation-tracked pinning for ITERATIVE sweeps (pagerank, label
+    * propagation, k-core peeling, BFS frontiers, hash-min/star
+    * components): each `chain.pin` supersedes earlier ones, so their
+    * reliable-checkpoint files are garbage — but not instantly. The
+    * step that PRODUCES generation N reads generation N−1, and several
+    * loops also probe N−1 AFTER N materializes (the convergence check
+    * in Connected.components joins `next` against the previous
+    * labels), so the youngest TWO generations stay live and everything
+    * older is deleted as soon as a new pin lands. Net steady-state
+    * footprint: ≤ 2 generations per chain instead of one per
+    * iteration.
+    *
+    * On the default local-checkpoint path this is a plain [[pin]]
+    * passthrough (superseded block sets are reclaimed by the
+    * driver-GC-driven ContextCleaner, and they die with the job
+    * anyway). Not thread-safe — one Chain per sweep loop, which is
+    * how the operators use it. */
+  final class Chain {
+    private var kept: List[(DataFrame, String)] = Nil // newest first
+
+    def pin(df: DataFrame): DataFrame = {
+      val out = Checkpoints.pin(df)
+      checkpointFileOf(out).foreach { f =>
+        kept = (out -> f) :: kept
+        val (live, dead) = kept.splitAt(2)
+        dead.foreach { case (_, path) => delete(df, path) }
+        kept = live
+      }
+      out
+    }
+
+    /** Reclaim every tracked generation except the newest (the one
+      * backing the sweep's returned result). Call after the loop. */
+    def release(): Unit = {
+      kept.drop(1).foreach { case (df, path) => delete(df, path) }
+      kept = kept.take(1)
+    }
+
+    private def delete(df: DataFrame, path: String): Unit =
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(
+          df.sparkSession.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      } catch { case scala.util.control.NonFatal(_) => () }
+      // best-effort: a failed delete degrades to the pre-Chain
+      // accumulate-until-cleaner behavior, never to a failed job
+  }
+
+  /** `df.pinned` sugar for [[pin]] at the operator call sites. */
   implicit class PinOps(private val df: DataFrame) extends AnyVal {
     def pinned: DataFrame = pin(df)
   }

@@ -51,9 +51,12 @@ object Connected {
         col(aCol).cast("long").as("v")))
       .distinct()
       .pinned
-    var labels = sym.select(col("u").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
-      .pinned
+    // chained generations: the convergence probe reads the PREVIOUS
+    // labels after the new pin lands, which is exactly the
+    // two-generation liveness the Chain retains
+    val ckpt = new Checkpoints.Chain
+    var labels = ckpt.pin(sym.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("comp")))
     var round = 0
     var converged = false
     while (!converged && round < maxIter) {
@@ -62,9 +65,8 @@ object Connected {
         .join(labels, "id")
         .select(col("u").as("id"), col("comp"))
       // ...and keeps the min of own + received
-      val next = labels.union(received)
-        .groupBy("id").agg(min("comp").as("comp"))
-        .pinned
+      val next = ckpt.pin(labels.union(received)
+        .groupBy("id").agg(min("comp").as("comp")))
       val improved = next.join(
         labels.select(col("id"), col("comp").as("prev")), "id")
         .filter(col("comp") < col("prev"))
@@ -75,6 +77,7 @@ object Connected {
     if (!converged)
       throw new IllegalStateException(
         s"connected components did not converge in $maxIter rounds")
+    ckpt.release()
     labels
   }
 
@@ -109,7 +112,8 @@ object Connected {
     val nodes = canon.select(col("u").as("id"))
       .union(canon.select(col("v").as("id"))).distinct()
       .pinned
-    var e = canon.pinned
+    val ckpt = new Checkpoints.Chain
+    var e = ckpt.pin(canon)
     var round = 0
     var converged = false
     while (!converged && round < maxIter) {
@@ -133,14 +137,15 @@ object Connected {
         .select(greatest(col("v"), col("m")).as("u"),
           least(col("v"), col("m")).as("v"))
         .distinct()
-        .pinned
-      converged = small.exceptAll(e).isEmpty && e.exceptAll(small).isEmpty
-      e = small
+      val small2 = ckpt.pin(small)
+      converged = small2.exceptAll(e).isEmpty && e.exceptAll(small2).isEmpty
+      e = small2
       round += 1
     }
     if (!converged)
       throw new IllegalStateException(
         s"star connected components did not converge in $maxIter rounds")
+    ckpt.release()
     // stars: every non-center node has exactly one (u → center) edge
     val lab = e.groupBy("u").agg(min("v").as("comp"))
       .select(col("u").as("id"), col("comp"))

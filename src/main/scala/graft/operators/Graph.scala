@@ -62,6 +62,7 @@ object Graph {
     val deg = e.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("__deg"))
     var ranks = verts.withColumn("rank", lit(1.0 / n))
+    val ckpt = new Checkpoints.Chain // reclaims superseded sweep files
     for (_ <- 1 to iterations) {
       // per-source emission rate, staged under fresh names so the
       // edge join condition can never be self-lineage-ambiguous
@@ -72,13 +73,14 @@ object Graph {
       val contribs = e.join(rates, col("src") === col("__rid"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("__rate")).as("__in"))
-      ranks = verts
+      ranks = ckpt.pin(verts
         .join(contribs, Seq("id"), "left")
         .select(col("id"),
           (lit((1.0 - damping) / n) +
-            lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))
-        .pinned // cut iterative lineage, stay distributed
+            lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank")))
+        // cut iterative lineage, stay distributed
     }
+    ckpt.release()
     e.unpersist()
     verts.unpersist()
     ranks
@@ -147,6 +149,7 @@ object Graph {
     val verts = adj.select(col("a").as("id")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = verts.withColumn("label", col("id"))
+    val ckpt = new Checkpoints.Chain
     for (_ <- 1 to sweeps) {
       val nbr = adj.join(labels.select(col("id").as("__nid"),
           col("label").as("__nl")), col("b") === col("__nid"))
@@ -154,12 +157,12 @@ object Graph {
         .agg(count(lit(1)).as("__c"))
       // argmax: most frequent neighbor label, ties to the smallest —
       // max(struct(count, -label)) keeps it one aggregation, no window
-      labels = nbr.groupBy("id")
+      labels = ckpt.pin(nbr.groupBy("id")
         .agg(max(struct(col("__c"), (-col("__l")).as("__neg")))
           .as("__top"))
-        .select(col("id"), (-col("__top.__neg")).as("label"))
-        .pinned
+        .select(col("id"), (-col("__top.__neg")).as("label")))
     }
+    ckpt.release()
     adj.unpersist()
     verts.unpersist()
     labels
@@ -194,20 +197,21 @@ object Graph {
     var adj = dir.union(dir.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val ckpt = new Checkpoints.Chain
     for (_ <- 1 to sweeps) {
       val keep = adj.groupBy(col("a").as("id"))
         .agg(count(lit(1)).as("__d"))
         .filter(col("__d") >= k)
         .select("id")
-      val pruned = adj
+      val pruned = ckpt.pin(adj
         .join(keep.select(col("id").as("__ka")),
           col("a") === col("__ka"), "left_semi")
         .join(keep.select(col("id").as("__kb")),
-          col("b") === col("__kb"), "left_semi")
-        .pinned
+          col("b") === col("__kb"), "left_semi"))
       adj.unpersist()
       adj = pruned.persist(StorageLevel.MEMORY_AND_DISK)
     }
+    ckpt.release()
     val out = adj.groupBy(col("a").as("id"))
       .agg(count(lit(1)).cast("long").as("degree"))
     out
@@ -387,11 +391,11 @@ object Graph {
       .distinct()
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var dist = seeds
+    val ckpt = new Checkpoints.Chain
+    var dist = ckpt.pin(seeds
       .select(col(seedCol).as("id")).filter(col("id").isNotNull)
       .distinct()
-      .withColumn("hops", lit(0L))
-      .pinned
+      .withColumn("hops", lit(0L)))
     for (h <- 1 to maxHops) {
       val frontier = dist.filter(col("hops") === (h - 1L))
         .select(col("id").as("__fid"))
@@ -399,10 +403,10 @@ object Graph {
         .select(col("dst").as("id"))
         .distinct()
         .withColumn("hops", lit(h.toLong))
-      dist = dist.unionAll(reached)
-        .groupBy("id").agg(min(col("hops")).as("hops"))
-        .pinned
+      dist = ckpt.pin(dist.unionAll(reached)
+        .groupBy("id").agg(min(col("hops")).as("hops")))
     }
+    ckpt.release()
     e.unpersist()
     dist
   }
@@ -449,6 +453,7 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var scores = verts
       .withColumn("hub", lit(1L)).withColumn("auth", lit(1L))
+    val ckpt = new Checkpoints.Chain
     for (_ <- 1 to sweeps) {
       val auth = e
         .join(scores.select(col("id").as("__sid"), col("hub")),
@@ -463,13 +468,13 @@ object Graph {
           col("dst") === col("__aid"))
         .groupBy(col("src").as("id"))
         .agg(sum(col("auth")).as("__h"))
-      scores = verts
+      scores = ckpt.pin(verts
         .join(hub, Seq("id"), "left")
         .join(newAuth, Seq("id"))
         .select(col("id"), coalesce(col("__h"), lit(0L)).as("hub"),
-          col("auth"))
-        .pinned
+          col("auth")))
     }
+    ckpt.release()
     e.unpersist()
     verts.unpersist()
     scores

@@ -76,6 +76,61 @@ class CheckpointsSpec extends TestBase {
     } finally spark.conf.unset(Checkpoints.ConfKey)
   }
 
+  private def rddDirs(cp: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(cp)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty[String]
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("rdd-")).toSet
+  }
+
+  test("Chain reclaims superseded reliable generations: at most two " +
+      "live during a sweep, the previous one still READABLE after the " +
+      "new pin (the convergence-probe contract), one after release") {
+    spark.conf.set(Checkpoints.ConfKey, tmpDir().toString)
+    try {
+      // force the context checkpoint-dir install, then baseline count
+      Checkpoints.pin(spark.range(2).toDF("x"))
+      val cp = spark.sparkContext.getCheckpointDir.get
+      val base = rddDirs(cp)
+      val chain = new Checkpoints.Chain
+      var df = chain.pin(spark.range(10).toDF("x"))
+      val liveCounts = (1 to 5).map { _ =>
+        val nxt = chain.pin(df.withColumn("x", col("x") + 1L))
+        // generation N-1 outlives the pin of generation N — iterative
+        // loops probe it for convergence AFTER the new pin lands
+        assert(df.count() == 10L,
+          "previous generation deleted too early")
+        df = nxt
+        (rddDirs(cp) -- base).size
+      }
+      assert(liveCounts.forall(_ <= 2), s"live per step: $liveCounts")
+      assert(liveCounts.last == 2, s"live per step: $liveCounts")
+      chain.release()
+      assert((rddDirs(cp) -- base).size == 1,
+        "release must keep exactly the newest generation")
+      // ...and that survivor backs the returned frame
+      assert(df.agg(sum(col("x"))).collect().head.getLong(0) == 95L)
+    } finally spark.conf.unset(Checkpoints.ConfKey)
+  }
+
+  test("an iterative operator's reliable footprint is ONE generation " +
+      "at exit, not one per sweep (pagerank, 5 iterations)") {
+    import spark.implicits._
+    spark.conf.set(Checkpoints.ConfKey, tmpDir().toString)
+    try {
+      Checkpoints.pin(spark.range(2).toDF("x")) // install dir
+      val cp = spark.sparkContext.getCheckpointDir.get
+      val base = rddDirs(cp)
+      val r = Graph.pagerank(edges.toDF("s", "d"), "s", "d",
+        iterations = 5)
+      assert(r.count() == 4) // readable AFTER the chain released
+      assert((rddDirs(cp) -- base).size == 1,
+        s"expected 1 surviving generation, got " +
+          s"${(rddDirs(cp) -- base).size}")
+    } finally spark.conf.unset(Checkpoints.ConfKey)
+  }
+
   test("pin is eager on both paths (the barrier the stage pins rely on)") {
     import spark.implicits._
     val df = Seq(1L, 2L, 3L).toDF("x").filter(col("x") > 1L)
