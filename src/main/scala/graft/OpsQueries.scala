@@ -8674,12 +8674,15 @@ object OpsQueries {
         val w = Window.partitionBy("query_id").orderBy(
           md5(concat(lit("run|"), col("query_id"), lit("|"),
             col("corpus_id"))), col("corpus_id"))
-        val run = q.crossJoin(pool)
+        // the query set is 1% of the corpus by construction — the
+        // explicit broadcast declares the bounded side (and is the
+        // CartesianProductGuard's sanctioned shape)
+        val run = broadcast(q).crossJoin(pool)
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 10)
         val judged = docs.filter(col("doc_id") % 15 === 0)
           .select(col("doc_id").as("corpus_id"))
-        val relevance = q.crossJoin(judged)
+        val relevance = broadcast(q).crossJoin(judged)
           .select(col("query_id"), col("corpus_id"),
             ((expr("query_id div 100") + expr("corpus_id div 15")) % 4)
               .cast("double").as("rel"))
@@ -8949,11 +8952,12 @@ object OpsQueries {
         val w = Window.partitionBy("query_id").orderBy(
           md5(concat(lit("run|"), col("query_id"), lit("|"),
             col("corpus_id"))), col("corpus_id"))
-        val run = q.crossJoin(pool)
+        val run = broadcast(q).crossJoin(pool)
           .withColumn("rank", row_number().over(w).cast("long"))
           .filter(col("rank") <= 10)
-        val relevance = q.crossJoin(docs.filter(col("doc_id") % 15 === 0)
-          .select(col("doc_id").as("corpus_id")))
+        val relevance = broadcast(q)
+          .crossJoin(docs.filter(col("doc_id") % 15 === 0)
+            .select(col("doc_id").as("corpus_id")))
         Metrics.mrr(run, relevance, k = 10)
       },
       Some("""WITH q AS (SELECT doc_id AS query_id FROM documents

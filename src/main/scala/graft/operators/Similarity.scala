@@ -924,8 +924,12 @@ object Similarity {
         "acknowledge, or use nearDupPairsLsh for a full corpus")
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"),
       norm(col(vecCol)).as("na"))
+    // __cartesian_optin: the assumeSmall acknowledgment, made visible
+    // to the analysis-time CartesianProductGuard (the one sanctioned
+    // all-pairs shape passes `fail` mode; unacknowledged cartesians
+    // still trip it) — projected away right after the join
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
-      norm(col(vecCol)).as("nb"))
+      norm(col(vecCol)).as("nb"), lit(true).as("__cartesian_optin"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)

