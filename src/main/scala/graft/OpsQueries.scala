@@ -6789,8 +6789,12 @@ object OpsQueries {
         t(s, dir, "documents").filter(col("doc_id") < 400),
         "doc_id", "text")
         .orderBy("id"),
-      Some("""WITH f AS (SELECT h, deflated FROM read_parquet(
-             |    '/root/repo/fixtures/deflate_lengths.parquet')),
+      // fixture path resolved from the working directory at SQL-dump
+      // time (Verify runs from the repo root) — no hardcoded repo
+      // location; tools/GenDeflateFixture regenerates the file
+      Some(s"""WITH f AS (SELECT h, deflated FROM read_parquet(
+             |    '${new java.io.File("fixtures/deflate_lengths.parquet")
+                    .getAbsolutePath}')),
              |d AS (SELECT CAST(doc_id AS BIGINT) AS id, text
              |  FROM documents WHERE doc_id < 400)
              |SELECT d.id,

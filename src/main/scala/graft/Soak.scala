@@ -286,9 +286,20 @@ object Soak {
     }
 
     // builder-side iteration aid (mirrors Verify's SPARK_GRAFT_ONLY):
-    // soak just the named ops, e.g. when pushing one family to 5M+
+    // soak just the named ops, e.g. when pushing one family to 5M+.
+    // Blank entries are dropped and an all-blank value is treated as
+    // unset (a bare SPARK_GRAFT_SOAK_OPS= would otherwise yield
+    // Set("") and silently soak NOTHING); unknown names fail loudly.
     val only = sys.env.get("SPARK_GRAFT_SOAK_OPS")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    only.foreach { names =>
+      val unknown = names -- ops.map(_._1).toSet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_SOAK_OPS names unknown ops: " +
+          s"${unknown.toSeq.sorted.mkString(", ")} — valid: " +
+          ops.map(_._1).sorted.mkString(", "))
+    }
     var drifted = false
     val parts = ops
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -225,9 +225,20 @@ object Embeddings {
         // no signal on a large corpus). Σ|term| ≤ n·max|term| bounds
         // |Σterm|, so this conservative check never false-negatives;
         // unit-scale rows trip it around ~9·10⁶ rows — past that,
-        // raise and tell the caller the remedy.
-        when(col("__n") > lit(Long.MaxValue) /
-            greatest(col("__mx"), lit(1L)),
+        // raise and tell the caller the remedy. Two-part check:
+        //  - a SINGLE term at/past 2⁶² means the floor(x·1e12 + 0.5)
+        //    quantization itself saturated or is about to (|x·y| ≳
+        //    4.6·10⁶ — double→long conversion clamps at Long.MaxValue,
+        //    which the n-scaled bound cannot see when n is small);
+        //  - the n·max|term| bound compares against 9.2·10¹⁸, kept
+        //    0.25% BELOW 2⁶³ so the IEEE-double division (whose
+        //    nearest-representable rounding of Long.MaxValue is
+        //    exactly 2⁶³) can never overshoot the true long capacity
+        //    at the margin.
+        when(col("__mx") >= lit(4611686018427387904L) ||
+            col("__n").cast("double") >
+              lit(9.2e18) / greatest(col("__mx"), lit(1L))
+                .cast("double"),
           raise_error(concat(lit("Embeddings.covarianceMatrix: " +
             "quantized 1e-12 cell sum would exceed long capacity (n="),
             col("__n"), lit(", max|term|="), col("__mx"),

@@ -2666,7 +2666,11 @@ class CorpusOpsSpec extends TestBase {
         .digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         .map("%02x".format(_)).mkString
     var checked = 0
-    for (sfDir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+    // all THREE gate scales: the closing exact_check runs at sf0.1 too,
+    // so a regenerated sf0.1 documents.parquet must fail HERE, not as
+    // a driver hash FAIL (the bounded doc_id<400 slice keeps this cheap)
+    for (sfDir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
       val texts = spark.read.parquet(s"$sfDir/documents.parquet")
         .filter(col("doc_id") < 400 && col("text").isNotNull &&
           col("text") =!= "")
@@ -2682,7 +2686,7 @@ class CorpusOpsSpec extends TestBase {
         checked += 1
       }
     }
-    assert(checked >= 700, s"only $checked texts checked")
+    assert(checked >= 1100, s"only $checked texts checked")
   }
 
   test("foldConfusables: homoglyph spoofs collapse onto their Latin " +

@@ -204,6 +204,16 @@ class EmbeddingsSpec extends TestBase {
       .toDF("id", "vec")
     assert(Embeddings.covarianceMatrix(ok, "vec", dim = 2)
       .collect().forall(r => r.getDouble(2) == 0.0))
+    // n = 1 with ONE saturating term: the n-scaled bound alone cannot
+    // see per-term floor() saturation (n = 1 ≤ MaxValue/term for any
+    // term), so the per-term 2^62 ceiling must raise instead of
+    // returning a clamped covariance
+    val single = Seq((1L, Seq(3000.0f, 3000.0f))).toDF("id", "vec")
+    val e1 = intercept[Exception] {
+      Embeddings.covarianceMatrix(single, "vec", dim = 2).collect()
+    }
+    assert(msgs(e1).exists(_.contains("long capacity")),
+      msgs(e1).mkString(" | "))
   }
 
   test("guards: column clashes raise") {
