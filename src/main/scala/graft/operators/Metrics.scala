@@ -493,19 +493,37 @@ object Metrics {
     * explodes then scan the pinned arrays and aggregate map-combined
     * to 4 + 1 rows. No windows, no driver loops. */
   def bleu(pairs: DataFrame, idCol: String, candCol: String,
-      refCol: String, maxN: Int = 4): DataFrame = {
+      refCol: String, maxN: Int = 4): DataFrame =
+    // Tokenize ONCE into the pinned (id, cand_tokens, ref_tokens)
+    // table [[bleuTokens]] scans: the 2·maxN + 1 consumers read
+    // materialized arrays instead of each re-running the regex
+    // tokenizer over the raw text (9 tokenize passes → 2) AND each
+    // cold plan compiles without the tokenizer expression forest
+    // inlined (the 8.6–10.1 s cold vs 5 s warm head was Janino
+    // re-compiling it 8×). Eval pairs are eval-set-sized by contract,
+    // so materializing their token arrays is the cheap side of the
+    // trade.
+    bleuTokens(pairs.select(col(idCol).as("__bt_id"),
+      TextAnalysis.tokens(col(candCol)).as("__bt_c"),
+      TextAnalysis.tokens(col(refCol)).as("__bt_r")),
+      "__bt_id", "__bt_c", "__bt_r", maxN)
+
+  /** [[bleu]]'s tokens-in core: identical metric over pairs whose
+    * candidate/reference are ALREADY token arrays (whitespace-free
+    * strings — [[TextAnalysis.tokens]] output, or any upstream
+    * tokenizer). Callers that materialize tokens anyway (synthetic
+    * eval runs transforming reference tokens, pre-tokenized eval sets)
+    * skip the text round-trip entirely: the text façade costs one
+    * extra scan + pin of the pair set to tokenize, which at the
+    * measured sf0.1 gate was most of bleu's 9.8 s cold head (two pins
+    * + three tokenize passes → one pin, zero re-tokenizes). */
+  def bleuTokens(pairs: DataFrame, idCol: String, candToksCol: String,
+      refToksCol: String, maxN: Int = 4): DataFrame = {
     require(maxN >= 1 && maxN <= 4, s"bleu: maxN must be in [1,4]")
-    // Tokenize ONCE into a pinned (id, cand_tokens, ref_tokens) table:
-    // the 2·maxN + 1 consumers below then scan materialized arrays
-    // instead of each re-running the regex tokenizer over the raw text
-    // (9 tokenize passes → 2) AND each cold plan compiles without the
-    // tokenizer expression forest inlined (the 8.6–10.1 s cold vs 5 s
-    // warm head was Janino re-compiling it 8×). Eval pairs are
-    // eval-set-sized by contract, so materializing their token arrays
-    // is the cheap side of the trade.
+    // pin ONCE: every per-n consumer scans the materialized arrays
     val toks = Checkpoints.pin(pairs.select(col(idCol).as("__id"),
-      TextAnalysis.tokens(col(candCol)).as("__cw"),
-      TextAnalysis.tokens(col(refCol)).as("__rw")))
+      col(candToksCol).cast("array<string>").as("__cw"),
+      col(refToksCol).cast("array<string>").as("__rw")))
     // per-n scans, NOT a fused (pair, n, gram) single explode: the
     // fused form was MEASURED 2.8× slower at sf0.1 (5.0 → 14.0 s warm)
     // — the struct-generator explode re-evaluates the gram/slice
@@ -616,15 +634,32 @@ object Metrics {
     * everything aggregates map-combined down to maxN partials and one
     * summary row. No windows, no driver loops. */
   def chrF(pairs: DataFrame, idCol: String, candCol: String,
-      refCol: String, maxN: Int = 6, beta: Double = 2.0): DataFrame = {
+      refCol: String, maxN: Int = 6, beta: Double = 2.0): DataFrame =
+    // strip whitespace ONCE into the pinned table [[chrFStripped]]
+    // scans ([[bleu]]'s shape: the 2·maxN consumers read materialized
+    // strings instead of each re-running the regex, and cold plans
+    // compile without it inlined)
+    chrFStripped(pairs.select(col(idCol).as("__cf_id"),
+      regexp_replace(col(candCol), "\\s+", "").as("__cf_c"),
+      regexp_replace(col(refCol), "\\s+", "").as("__cf_r")),
+      "__cf_id", "__cf_c", "__cf_r", maxN, beta)
+
+  /** [[chrF]]'s stripped-in core: identical metric over pairs whose
+    * candidate/reference strings are ALREADY whitespace-free (the
+    * chrF convention — e.g. token arrays rejoined with an empty
+    * separator). The caller asserts the no-whitespace contract:
+    * residual whitespace would be counted as ordinary characters.
+    * Callers that build the strings from materialized tokens skip the
+    * strip-regex scan + the second pin the text façade pays (the
+    * [[bleuTokens]] cold-head economics). */
+  def chrFStripped(pairs: DataFrame, idCol: String,
+      candStrippedCol: String, refStrippedCol: String,
+      maxN: Int = 6, beta: Double = 2.0): DataFrame = {
     require(maxN >= 1, s"chrF: maxN must be >= 1, got $maxN")
     require(beta > 0, s"chrF: beta must be > 0, got $beta")
-    // strip whitespace ONCE into a pinned table ([[bleu]]'s shape: the
-    // 2·maxN consumers scan materialized strings instead of each
-    // re-running the regex, and cold plans compile without it inlined)
     val stripped = Checkpoints.pin(pairs.select(col(idCol).as("__id"),
-      regexp_replace(col(candCol), "\\s+", "").as("__cs"),
-      regexp_replace(col(refCol), "\\s+", "").as("__rs")))
+      col(candStrippedCol).cast("string").as("__cs"),
+      col(refStrippedCol).cast("string").as("__rs")))
     def grams(s: Column, n: Int): Column =
       when(length(s) >= n, transform(sequence(lit(1), length(s) - (n - 1)),
         i => s.substr(i, lit(n)))).otherwise(

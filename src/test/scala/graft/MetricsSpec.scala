@@ -302,6 +302,38 @@ class MetricsSpec extends TestBase {
     assert(r4.getAs[Double]("p1") == 0.5, r4)
   }
 
+  test("bleuTokens == bleu and chrFStripped == chrF: the tokens-in/" +
+      "stripped-in cores are bit-identical to their text façades " +
+      "(the cold-head fast path must not change a single value)") {
+    import spark.implicits._
+    import graft.operators.{Metrics, TextAnalysis}
+    val pairs = Seq(
+      (1L, "the the the cat", "the cat sat down"),
+      (2L, "A quick Brown fox", "a quick brown fox jumps"),
+      (3L, "", "nonempty ref here"),
+      (4L, "lone", "lone"))
+      .toDF("id", "cand", "ref")
+    val viaText = Metrics.bleu(pairs, "id", "cand", "ref")
+      .collect().map(_.toSeq).toSeq
+    val toks = pairs.select(col("id"),
+      TextAnalysis.tokens(col("cand")).as("ct"),
+      TextAnalysis.tokens(col("ref")).as("rt"))
+    val viaTokens = Metrics.bleuTokens(toks, "id", "ct", "rt")
+      .collect().map(_.toSeq).toSeq
+    assert(viaText == viaTokens, s"\n$viaText\n$viaTokens")
+    val viaTextC = Metrics.chrF(pairs, "id", "cand", "ref", maxN = 3)
+      .collect().map(_.toSeq).toSeq
+    // whitespace-free inputs (the documented chrFStripped contract);
+    // built with the pure strip — NOT via tokens(), which also
+    // lowercases and would legitimately change char-gram counts
+    val strippedIn = pairs.select(col("id"),
+      regexp_replace(col("cand"), "\\s+", "").as("cs"),
+      regexp_replace(col("ref"), "\\s+", "").as("rs"))
+    val viaStripped = Metrics.chrFStripped(strippedIn, "id", "cs", "rs",
+      maxN = 3).collect().map(_.toSeq).toSeq
+    assert(viaTextC == viaStripped, s"\n$viaTextC\n$viaStripped")
+  }
+
   test("rougeL + LcsLength: hand-checked LCS cases, native == HOF twin " +
       "on 200 random pairs, empty/null contracts, F1 null when no " +
       "overlap") {
