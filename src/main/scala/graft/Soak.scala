@@ -315,8 +315,18 @@ object Soak {
       s""""$name":{"secs":$secs,"exchanges":$eBig,""" +
         s""""exchanges_small":$eSmall,"drift":$drift}"""
     }
+    // steady-state checkpoint footprint on the reliable path: with the
+    // Chain lifecycle this should be bounded (≤2 generations per live
+    // chain + released finals awaiting driver GC), not one rdd-* dir
+    // per sweep per op — the number that used to grow unboundedly
+    val ckptBytes = spark.sparkContext.getCheckpointDir.map { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    }
+    val ckptJson = ckptBytes.map(b => s""","ckpt_bytes":$b""").getOrElse("")
     println(s"""{"rows":$rows,"small_rows":$smallRows,"cpus":$cpus,""" +
-      s""""ops":{${parts.mkString(",")}},"drift":$drifted}""")
+      s""""ops":{${parts.mkString(",")}},"drift":$drifted$ckptJson}""")
     spark.stop()
     if (drifted) sys.exit(1)
   }

@@ -377,8 +377,12 @@ object Metrics {
       .union(sym.select(col("j").as("item"), col("i").as("opp"),
         col("m")))
       .pinned
-    var pi = edges.select("item").distinct()
-      .withColumn("pi", lit(1.0)).pinned
+    // per-sweep generations ride a Chain: superseded reliable
+    // checkpoints are reclaimed two pins behind (the MM update reads
+    // only the previous generation)
+    val ckpt = new Checkpoints.Chain
+    var pi = ckpt.pin(edges.select("item").distinct()
+      .withColumn("pi", lit(1.0)))
     for (_ <- 1 to sweeps) {
       val d = edges.join(pi, "item")
         .join(pi.select(col("item").as("opp"), col("pi").as("pi_o")),
@@ -390,10 +394,11 @@ object Metrics {
         .select(col("item"),
           (coalesce(col("w"), lit(0L)).cast("double") / col("d"))
             .as("pi_raw"))
-      pi = upd.crossJoin(broadcast(upd.agg(sum("pi_raw").as("__t"))))
-        .select(col("item"), (col("pi_raw") / col("__t")).as("pi"))
-        .pinned
+      pi = ckpt.pin(
+        upd.crossJoin(broadcast(upd.agg(sum("pi_raw").as("__t"))))
+          .select(col("item"), (col("pi_raw") / col("__t")).as("pi")))
     }
+    ckpt.release()
     pi.select(col("item"), round(col("pi"), 6).as("score"))
       .orderBy(col("score").desc, col("item"))
   }
