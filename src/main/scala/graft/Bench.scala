@@ -23,6 +23,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // durability drill (mirrors Soak/Verify): route every pin to
+    // reliable checkpoint() to measure the durable path's bench cost
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR").foreach(d =>
+      spark.conf.set(graft.operators.Checkpoints.ConfKey, d))
     // absorb one-time session/scheduler init so it isn't billed to
     // whichever query happens to run first
     spark.range(16).repartition(4).count()

@@ -30,6 +30,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // durability drill (mirrors Soak): SPARK_GRAFT_CHECKPOINT_DIR
+    // reroutes every Checkpoints.pin to reliable checkpoint() so the
+    // FULL catalog's correctness can be gated on the durable path
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR").foreach(d =>
+      spark.conf.set(graft.operators.Checkpoints.ConfKey, d))
     new java.io.File(outDir).mkdirs()
     // builder-side iteration aid: SPARK_GRAFT_ONLY=q110_x,q123_y dumps
     // just those entries; unset (the driver) dumps the full catalog
