@@ -158,19 +158,34 @@ object Bench {
       java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
-  /** (box-wide busy jiffies, this JVM's utime+stime jiffies) — or
-    * (-1, -1) when /proc is unavailable. Both counters tick at
-    * USER_HZ (100 on every mainstream Linux). */
-  private def cpuSnap(): (Long, Long) =
+  /** (busy jiffies box-wide, this JVM's utime+stime jiffies, cpu-line
+    * count) — or (-1, -1, 0) when /proc is unavailable. Both counters
+    * tick at USER_HZ (100 on every mainstream Linux). Busy sums
+    * user+nice+system+irq+softirq+steal — guest/guest_nice are
+    * ALREADY folded into user/nice on Linux and would double-count.
+    * The cpu count comes from the same /proc/stat view as the busy
+    * jiffies (per-cpu lines), so capacity and usage stay consistent
+    * whether /proc is host-wide or lxcfs-masked to a container slice
+    * (Runtime.availableProcessors honors cgroup quotas while a raw
+    * /proc/stat does not — mixing them inflates the share by
+    * hostCPUs/quota). */
+  private def cpuSnap(): (Long, Long, Int) =
     try {
-      val stat = java.nio.file.Files.readString(
-        java.nio.file.Paths.get("/proc/stat"))
-        .linesIterator.next().trim.split("\\s+").drop(1).map(_.toLong)
-      val busy = stat.sum - stat(3) - stat(4) // minus idle + iowait
+      val lines = java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/stat")).linesIterator.toSeq
+      val agg = lines.head.trim.split("\\s+").drop(1).map(_.toLong)
+      val busy = agg(0) + agg(1) + agg(2) + // user + nice + system
+        (if (agg.length > 7) agg(5) + agg(6) + agg(7) else 0L) // +irq+softirq+steal
+      val nCpus = lines.count(l =>
+        l.startsWith("cpu") && l.length > 3 && l(3).isDigit)
+      // parse AFTER the comm field's closing ')' — comm may contain
+      // spaces, which would silently misalign a naive split
       val self = java.nio.file.Files.readString(
-        java.nio.file.Paths.get("/proc/self/stat")).split(" ")
-      (busy, self(13).toLong + self(14).toLong) // utime + stime
-    } catch { case _: Throwable => (-1L, -1L) }
+        java.nio.file.Paths.get("/proc/self/stat"))
+      val rest = self.substring(self.lastIndexOf(')') + 2).split(" ")
+      // rest(0) is field 3 (state); utime/stime are fields 14/15
+      (busy, rest(11).toLong + rest(12).toLong, math.max(nCpus, 1))
+    } catch { case _: Throwable => (-1L, -1L, 0) }
 
   /** Fraction of the BOX's CPU capacity consumed by processes OTHER
     * than this JVM between two [[cpuSnap]]s — the direct ambient-
@@ -178,12 +193,11 @@ object Bench {
     * bench's own parallelism with external tenants and lags by up to
     * a minute). 0 when /proc is unavailable or the window is too
     * short for jiffy resolution. */
-  private def externalCpuShare(before: (Long, Long), after: (Long, Long),
-      wallSecs: Double): Double = {
+  private def externalCpuShare(before: (Long, Long, Int),
+      after: (Long, Long, Int), wallSecs: Double): Double = {
     if (before._1 < 0 || after._1 < 0 || wallSecs < 0.05) 0.0
     else {
-      val capacity =
-        Runtime.getRuntime.availableProcessors() * 100.0 * wallSecs
+      val capacity = after._3 * 100.0 * wallSecs
       val external = (after._1 - before._1) - (after._2 - before._2)
       math.max(0.0, external / math.max(capacity, 1.0))
     }

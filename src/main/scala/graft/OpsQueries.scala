@@ -20,6 +20,25 @@ import graft.operators.{AsOfJoin, Checks, Connected, Decontaminate, Dedup, Entit
 object OpsQueries {
   import Queries.{t, events, Entry}
 
+  /** Absolute path of a committed fixture, resolved at SQL-dump time:
+    * the working directory if the file is there, else the nearest
+    * ancestor holding it (covers launchers whose cwd is a subdir or a
+    * wrapper dir above the repo root), else cwd-relative as-is — in
+    * which case the DuckDB replay fails LOUDLY with a missing-file
+    * error and the CorpusOpsSpec fixture-sync test names the remedy. */
+  private def fixturePath(name: String): String = {
+    val rel = java.nio.file.Paths.get("fixtures", name)
+    var d = java.nio.file.Paths.get("").toAbsolutePath
+    var found: Option[java.nio.file.Path] = None
+    var hops = 0
+    while (found.isEmpty && d != null && hops < 8) {
+      val cand = d.resolve(rel)
+      if (java.nio.file.Files.exists(cand)) found = Some(cand)
+      d = d.getParent; hops += 1
+    }
+    found.getOrElse(rel.toAbsolutePath).toString
+  }
+
   // Shared SQL fragments (DuckDB side).
   private val TOKS = """regexp_split_to_array(trim(text), '\s+')"""
   private def stopIn(words: Seq[String]) =
@@ -6794,12 +6813,11 @@ object OpsQueries {
         t(s, dir, "documents").filter(col("doc_id") < 400),
         "doc_id", "text")
         .orderBy("id"),
-      // fixture path resolved from the working directory at SQL-dump
-      // time (Verify runs from the repo root) — no hardcoded repo
-      // location; tools/GenDeflateFixture regenerates the file
+      // fixture path resolved at SQL-dump time (cwd or nearest
+      // ancestor holding fixtures/) — no hardcoded repo location;
+      // graft.GenDeflateFixture regenerates the file
       Some(s"""WITH f AS (SELECT h, deflated FROM read_parquet(
-             |    '${new java.io.File("fixtures/deflate_lengths.parquet")
-                    .getAbsolutePath}')),
+             |    '${fixturePath("deflate_lengths.parquet")}')),
              |d AS (SELECT CAST(doc_id AS BIGINT) AS id, text
              |  FROM documents WHERE doc_id < 400)
              |SELECT d.id,

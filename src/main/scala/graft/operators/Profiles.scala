@@ -1006,7 +1006,7 @@ object Profiles {
     totals
       .select(tot(col("__na"), "a").as("n_a"),
         tot(col("__nb"), "b").as("n_b"))
-      .crossJoin(w1)
+      .crossJoin(broadcast(w1))
   }
 
   /** Cramér's V association between two categorical columns (Cramér

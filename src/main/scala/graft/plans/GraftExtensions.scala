@@ -71,22 +71,44 @@ private[plans] trait GuardMode extends Logging {
   * carve-out: an INNER join with no condition sitting at the PLAN
   * ROOT is skipped, because `Dataset.join(right, usingColumns)`
   * internally analyzes exactly that throwaway shape to disambiguate
-  * the using columns (Spark's own artifact — flagging it would fail
-  * every `join(df, Seq("id"))` in existence). A real condition-less
-  * inner join is still caught the moment anything is built on top of
-  * it (a select, a write, an aggregate — all re-run the check with
-  * the join no longer at the root); `CROSS JOIN` is flagged at any
-  * position including the root. */
+  * the using columns (Spark's own artifact, byte-identical to a user's
+  * bare `a.join(b)` plan — flagging it would fail every
+  * `join(df, Seq("id"))` in existence). A real condition-less inner
+  * join is caught the moment anything is built on top of it (a
+  * select, a write, an aggregate — all re-run the check with the join
+  * no longer at the root). KNOWN ESCAPE: `a.join(b).collect()` — a
+  * bare inner join consumed directly, with nothing composed above it
+  * — executes the root plan unflagged; `a.crossJoin(b).collect()`
+  * does NOT escape (Cross is flagged at any position including the
+  * root), so the declared-cartesian API surface stays covered. */
 class CartesianProductGuard(val session: SparkSession)
     extends (LogicalPlan => Unit) with GuardMode {
 
   val confKey = "spark.graft.guard.cartesianProduct"
 
-  private def acknowledged(side: LogicalPlan): Boolean =
-    side.exists {
-      case ResolvedHint(_, hints) => hints.strategy.contains(BROADCAST)
-      case p => p.output.exists(_.name == "__cartesian_optin")
+  /** The acknowledgment must sit AT the join side (unwrapping only
+    * no-op unary nodes the DataFrame API inserts above a broadcast()
+    * call) — a subtree-wide search would let any unrelated broadcast
+    * join deep in the side's lineage silently sanction a corpus-scale
+    * cartesian above it. */
+  private def acknowledged(side: LogicalPlan): Boolean = {
+    @annotation.tailrec
+    def unwrap(p: LogicalPlan): LogicalPlan = p match {
+      case a: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+        unwrap(a.child)
+      case pr: org.apache.spark.sql.catalyst.plans.logical.Project
+          // only column-preserving renames/reorders — a computing
+          // projection is real work above the hint and keeps it scoped
+          if pr.projectList.forall(_.isInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.Attribute]) =>
+        unwrap(pr.child)
+      case other => other
     }
+    (unwrap(side) match {
+      case ResolvedHint(_, hints) => hints.strategy.contains(BROADCAST)
+      case _ => false
+    }) || side.output.exists(_.name == "__cartesian_optin")
+  }
 
   override def apply(plan: LogicalPlan): Unit = withMode(plan) { p =>
     p.collectFirst {
