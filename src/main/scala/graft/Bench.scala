@@ -169,7 +169,7 @@ object Bench {
     * (Runtime.availableProcessors honors cgroup quotas while a raw
     * /proc/stat does not — mixing them inflates the share by
     * hostCPUs/quota). */
-  private def cpuSnap(): (Long, Long, Int) =
+  private[graft] def cpuSnap(): (Long, Long, Int) =
     try {
       val lines = java.nio.file.Files.readString(
         java.nio.file.Paths.get("/proc/stat")).linesIterator.toSeq
@@ -193,7 +193,7 @@ object Bench {
     * bench's own parallelism with external tenants and lags by up to
     * a minute). 0 when /proc is unavailable or the window is too
     * short for jiffy resolution. */
-  private def externalCpuShare(before: (Long, Long, Int),
+  private[graft] def externalCpuShare(before: (Long, Long, Int),
       after: (Long, Long, Int), wallSecs: Double): Double = {
     if (before._1 < 0 || after._1 < 0 || wallSecs < 0.05) 0.0
     else {

@@ -166,6 +166,24 @@ class ExtensionsSpec extends TestBase {
     }
   }
 
+  test("cartesian guard: a broadcast hint buried DEEP in a side's " +
+      "lineage does NOT acknowledge a cartesian above it — the " +
+      "round-14 wasserstein regression shape") {
+    withGuards("fail") { s2 =>
+      val big = s2.range(100).toDF("x")
+      // one-row frame whose LINEAGE contains a broadcast join, but
+      // which is not itself hinted at its root: before the scoping
+      // fix this deep ResolvedHint silently sanctioned the cartesian
+      val derived = s2.range(10).toDF("y")
+        .crossJoin(broadcast(s2.range(3).agg(count(lit(1)).as("n"))))
+        .agg(sum(col("y")).as("s"))
+      val e = intercept[Exception] { big.crossJoin(derived) }
+      assert(e.getMessage.contains("Cartesian product"), e.getMessage)
+      // hinting the SAME frame at its root passes
+      assert(big.crossJoin(broadcast(derived)).count() == 100L)
+    }
+  }
+
   test("unboundedFollowing guard: fail rejects the shrinking frame, " +
       "admits whole-partition and running frames, and names the " +
       "reverse-order fix") {
