@@ -25,10 +25,21 @@ object Verify {
     // GraftSession carries the engine's scale posture (AQE, skew-join,
     // UTC, nanos-as-long) — Verify runs the same session the library
     // recommends, not bare defaults.
-    val spark = GraftSession
+    val b0 = GraftSession
       .builder(s"local[$cpus]", "graft-verify", cpus.toInt)
       .config("spark.ui.enabled", "false")
+    // guard drill: SPARK_GRAFT_GUARDS=fail (or warn) installs the
+    // GraftExtensions guard rules and runs the FULL catalog under them
+    // — both the analysis-time checks and the executed-plan
+    // CartesianExecGuard fire, because Verify executes every entry
+    val guards = sys.env.get("SPARK_GRAFT_GUARDS").filter(_.nonEmpty)
+    val spark = guards
+      .fold(b0)(_ => b0.withExtensions(new graft.plans.GraftExtensions()))
       .getOrCreate()
+    guards.foreach { m =>
+      Seq("unpartitionedWindow", "cartesianProduct", "unboundedFollowing")
+        .foreach(k => spark.conf.set(s"spark.graft.guard.$k", m))
+    }
     spark.sparkContext.setLogLevel("WARN")
     // durability drill (mirrors Soak): SPARK_GRAFT_CHECKPOINT_DIR
     // reroutes every Checkpoints.pin to reliable checkpoint() so the

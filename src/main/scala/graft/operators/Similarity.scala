@@ -927,9 +927,16 @@ object Similarity {
     // __cartesian_optin: the assumeSmall acknowledgment, made visible
     // to the analysis-time CartesianProductGuard (the one sanctioned
     // all-pairs shape passes `fail` mode; unacknowledged cartesians
-    // still trip it) — projected away right after the join
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
-      norm(col(vecCol)).as("nb"), lit(true).as("__cartesian_optin"))
+    // still trip it) — projected away right after the join. The
+    // broadcast() hint carries the SAME acknowledgment to the
+    // executed-plan CartesianExecGuard (column pruning strips the
+    // unreferenced stamp before planning; Join.hint is structural and
+    // survives), and is the better plan outright for the small-subset
+    // contract: the left side stays in place, the right replicates
+    // once per executor instead of once per partition pair.
+    val b = broadcast(
+      df.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+        norm(col(vecCol)).as("nb"), lit(true).as("__cartesian_optin")))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)

@@ -6,6 +6,9 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.{SpecifiedWindowFrame, UnboundedFollowing, UnboundedPreceding, WindowExpression}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join, LogicalPlan, ResolvedHint, Window}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.{ColumnarRule, SparkPlan}
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 
 /** Session-extension entry point (`SparkSessionExtensions`) — the
   * Catalyst plug-in surface for deployments that want the engine's
@@ -15,14 +18,17 @@ import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join, LogicalPlan
   * `spark.sql.extensions=graft.plans.GraftExtensions`.
   *
   * Currently injected: [[UnpartitionedWindowGuard]],
-  * [[CartesianProductGuard]], [[ShrinkingFollowingFrameGuard]] — each
-  * independently conf-gated (off/warn/fail), all off by default. */
+  * [[CartesianProductGuard]], [[ShrinkingFollowingFrameGuard]]
+  * (analysis-time check rules) and [[CartesianExecGuard]] (the
+  * executed-plan companion) — each conf-gated (off/warn/fail), all
+  * off by default. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectCheckRule(session => new UnpartitionedWindowGuard(session))
     ext.injectCheckRule(session => new CartesianProductGuard(session))
     ext.injectCheckRule(session =>
       new ShrinkingFollowingFrameGuard(session))
+    ext.injectColumnar(session => new CartesianExecGuard(session))
   }
 }
 
@@ -65,22 +71,21 @@ private[plans] trait GuardMode extends Logging {
   *    convention: user data never carries `__`-prefixed names).
   *
   * Scope: this catches the DECLARED cartesian shape at analysis time.
-  * A non-equi join condition that degrades to a nested loop at
-  * planning is a different failure mode (visible in `.explain`, not
-  * in the analyzed plan) and stays out of scope. One deliberate
-  * carve-out: an INNER join with no condition sitting at the PLAN
-  * ROOT is skipped, because `Dataset.join(right, usingColumns)`
-  * internally analyzes exactly that throwaway shape to disambiguate
-  * the using columns (Spark's own artifact, byte-identical to a user's
-  * bare `a.join(b)` plan — flagging it would fail every
-  * `join(df, Seq("id"))` in existence). A real condition-less inner
-  * join is caught the moment anything is built on top of it (a
-  * select, a write, an aggregate — all re-run the check with the join
-  * no longer at the root). KNOWN ESCAPE: `a.join(b).collect()` — a
-  * bare inner join consumed directly, with nothing composed above it
-  * — executes the root plan unflagged; `a.crossJoin(b).collect()`
-  * does NOT escape (Cross is flagged at any position including the
-  * root), so the declared-cartesian API surface stays covered. */
+  * One deliberate carve-out: an INNER join with no condition sitting
+  * at the PLAN ROOT is skipped, because
+  * `Dataset.join(right, usingColumns)` internally analyzes exactly
+  * that throwaway shape to disambiguate the using columns (Spark's
+  * own artifact, byte-identical to a user's bare `a.join(b)` plan —
+  * flagging it would fail every `join(df, Seq("id"))` in existence).
+  * A real condition-less inner join is caught the moment anything is
+  * built on top of it (a select, a write, an aggregate — all re-run
+  * the check with the join no longer at the root). The two shapes the
+  * analyzed plan cannot see — a bare root-position inner join consumed
+  * directly (`a.join(b).collect()`), and a CONDITIONED join whose
+  * non-equi predicate degrades to `CartesianProductExec` /
+  * `BroadcastNestedLoopJoinExec` at planning — are closed by the
+  * executed-plan companion [[CartesianExecGuard]], injected alongside
+  * this rule and gated by the SAME conf key. */
 class CartesianProductGuard(val session: SparkSession)
     extends (LogicalPlan => Unit) with GuardMode {
 
@@ -125,6 +130,91 @@ class CartesianProductGuard(val session: SparkSession)
           s"Plan:\n${j.simpleString(3)}"
     }
   }
+}
+
+/** Executed-plan companion to [[CartesianProductGuard]]: inspects
+  * every physical (sub)plan at execution-preparation time — via the
+  * columnar-rule hook, which Spark applies to the final plan and, under
+  * AQE, to each query stage — and flags the two product shapes the
+  * analysis-time rule cannot see:
+  *
+  *  - `CartesianProductExec` — a shuffle cartesian that reached
+  *    planning, including the bare root-position `a.join(b)` consumed
+  *    directly (never re-analyzed with the join off the root) and a
+  *    non-equi inner join both of whose sides were too big to
+  *    broadcast;
+  *  - `BroadcastNestedLoopJoinExec` without an acknowledgment — the
+  *    planner's fallback for non-equi / condition-less joins. The
+  *    planner picks it for a SIZE-ESTIMATED small side too, but a size
+  *    estimate is not a contract: at 100× the data the same query
+  *    silently crosses the threshold and becomes a shuffle cartesian,
+  *    so the guard requires the explicit `broadcast()` hint (the
+  *    engine's provably-bounded-side idiom) rather than trusting
+  *    planning-time stats.
+  *
+  * Acknowledgments, mirroring the analysis layer:
+  *  - a `broadcast()` hint on either join side — read from the
+  *    physical join's logical link (`Join.hint`, structural state that
+  *    survives optimization and AQE re-planning, unlike the analysis
+  *    layer's `ResolvedHint` wrapper which the optimizer folds away);
+  *  - a `__cartesian_optin` column visible in either physical input —
+  *    note column pruning removes an unreferenced opt-in stamp before
+  *    planning, so library code pairs the stamp with a `broadcast()`
+  *    hint ([[graft.operators.Similarity.nearDupPairs]] under
+  *    `assumeSmall` does both); third-party callers should do the
+  *    same or keep the column referenced through the join.
+  *
+  * Gated by the SAME `spark.graft.guard.cartesianProduct` conf as the
+  * analysis rule (`off` default / `warn` / `fail`) — one posture
+  * switch, two enforcement points. `fail` throws during preparation,
+  * before the first task launches. */
+class CartesianExecGuard(session: SparkSession) extends ColumnarRule
+    with Logging {
+
+  private val confKey = "spark.graft.guard.cartesianProduct"
+
+  private def acknowledged(j: SparkPlan): Boolean = {
+    val optin =
+      j.children.exists(_.output.exists(_.name == "__cartesian_optin"))
+    def hinted = j.logicalLink.exists {
+      case jn: Join =>
+        Seq(jn.hint.leftHint, jn.hint.rightHint).flatten
+          .exists(_.strategy.contains(BROADCAST))
+      case _ => false
+    }
+    optin || hinted
+  }
+
+  override def preColumnarTransitions: Rule[SparkPlan] =
+    new Rule[SparkPlan] {
+      override def apply(plan: SparkPlan): SparkPlan = {
+        val mode =
+          try session.conf.get(confKey, "off")
+          catch { case _: Exception => "off" }
+        if (mode == "warn" || mode == "fail") {
+          plan.foreach {
+            case j @ (_: CartesianProductExec |
+                      _: BroadcastNestedLoopJoinExec)
+                if !acknowledged(j) =>
+              val msg = "Cartesian/nested-loop product in the " +
+                s"EXECUTED plan (${j.nodeName}): every row of one " +
+                "side meets every row of the other at runtime — the " +
+                "shape the analysis-time guard cannot see (a bare " +
+                "root-position inner join consumed directly, or a " +
+                "non-equi condition degrading at planning). " +
+                "broadcast() the provably-small side (the hint is " +
+                "honored here through the join's logical link), or " +
+                "keep a __cartesian_optin column visible in the " +
+                s"join's inputs. Set $confKey=off to allow. Plan:\n" +
+                j.simpleString(3)
+              if (mode == "fail") throw new SparkException(msg)
+              else logWarning(msg)
+            case _ => ()
+          }
+        }
+        plan
+      }
+    }
 }
 
 /** Analysis-time guardrail: a window frame that ends at `UNBOUNDED

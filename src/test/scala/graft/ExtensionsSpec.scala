@@ -184,6 +184,75 @@ class ExtensionsSpec extends TestBase {
     }
   }
 
+  /** Exceptions thrown by the executed-plan guard can surface wrapped
+    * (execution-phase error classes) — search the whole cause chain. */
+  private def chainMessages(e: Throwable): String = {
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+  }
+
+  test("executed-plan guard closes the bare-root escape: a.join(b) " +
+      "consumed directly trips at fail, runs at warn") {
+    withGuards("fail") { s2 =>
+      val a = s2.range(10).toDF("x")
+      val b = s2.range(10).toDF("y")
+      // the analysis carve-out admits the root-position shape; the
+      // physical companion catches it the moment it is executed
+      val e = intercept[Exception] { a.join(b).collect() }
+      assert(chainMessages(e).contains("EXECUTED plan"), chainMessages(e))
+      assert(chainMessages(e).contains("broadcast()"), chainMessages(e))
+    }
+    withGuards("warn") { s2 =>
+      assert(s2.range(10).toDF("x").join(s2.range(10).toDF("y"))
+        .collect().length == 100)
+    }
+  }
+
+  test("executed-plan guard closes the non-equi degradation escape: " +
+      "both BroadcastNestedLoopJoin and CartesianProduct shapes") {
+    withGuards("fail") { s2 =>
+      val a = s2.range(10).toDF("x")
+      val b = s2.range(10).toDF("y")
+      // tiny sides: the planner auto-broadcasts → BNLJ, still flagged
+      // (a size ESTIMATE is not a boundedness contract)
+      val e = intercept[Exception] {
+        a.join(b, col("x") < col("y")).collect()
+      }
+      assert(chainMessages(e).contains("EXECUTED plan"), chainMessages(e))
+      // broadcast disabled → the same query degrades to a shuffle
+      // CartesianProductExec with a post-condition — also flagged
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val e2 = intercept[Exception] {
+          a.join(b, col("x") < col("y")).collect()
+        }
+        assert(chainMessages(e2).contains("EXECUTED plan"),
+          chainMessages(e2))
+        // ... while an explicit broadcast() hint stays honored even
+        // with auto-broadcast off (the hint rides Join.hint through
+        // the logical link, not the size estimate)
+        assert(a.join(broadcast(b), col("x") < col("y")).count() == 45L)
+      } finally s2.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("executed-plan guard honors the engine's acknowledged shapes " +
+      "end-to-end: hinted crossJoin, nearDupPairs under assumeSmall, " +
+      "and keyed joins execute green at fail") {
+    withGuards("fail") { s2 =>
+      import graft.operators.Similarity
+      val a = s2.range(50).toDF("x")
+      assert(a.crossJoin(broadcast(s2.range(5).agg(count(lit(1))
+        .as("n")))).count() == 50L)
+      val vecs = s2.range(6).select(col("id").as("vid"),
+        array(col("id").cast("float"), lit(1.0f)).as("v"))
+      assert(Similarity.nearDupPairs(vecs, "vid", "v",
+        threshold = -1.0, assumeSmall = true).count() == 15L)
+      assert(a.join(a.withColumnRenamed("x", "x2"),
+        col("x") === col("x2")).count() == 50L)
+    }
+  }
+
   test("unboundedFollowing guard: fail rejects the shrinking frame, " +
       "admits whole-partition and running frames, and names the " +
       "reverse-order fix") {
