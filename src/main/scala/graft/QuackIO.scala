@@ -950,6 +950,12 @@ object QuackIO {
         var w = out.write
           .option("header", opts.header.getOrElse(true).toString)
           .option("sep", sep)
+          // Spark's CSV WRITER defaults both to true and silently trims
+          // value whitespace ("a\t" → "a") — DuckDB's COPY preserves
+          // cell bytes exactly, and so must the round-trip law (caught
+          // by RoundTripLawsSpec's trailing-tab draw)
+          .option("ignoreLeadingWhiteSpace", "false")
+          .option("ignoreTrailingWhiteSpace", "false")
           .options(extraCsv)
           .options(opts.extra)
         opts.nullstr.foreach(v => w = w.option("nullValue", v))
