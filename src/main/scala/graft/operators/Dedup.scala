@@ -1025,11 +1025,13 @@ object Dedup {
     * Algorithm: FastSS deletion neighborhoods (Bocek et al. 2007) —
     * any two strings within edit distance d share at least one common
     * variant in their ≤d-deletion neighborhoods, so candidates come
-    * from ONE equi-join on variant strings (lossless blocking: the
-    * pigeonhole never drops a true pair) and each candidate verifies
-    * with the real `levenshtein` (the shared-variant condition is
-    * necessary, not sufficient — "ab"/"ba" share "a" at d=1 but sit at
-    * distance 2). Exact output, relational plan.
+    * from co-grouping on variant strings (lossless blocking: the
+    * pigeonhole never drops a true pair — one groupBy shuffle, pairs
+    * expanded in-task from each bucket's sorted value array) and each
+    * candidate verifies with the real `levenshtein` (the
+    * shared-variant condition is necessary, not sufficient — "ab"/"ba"
+    * share "a" at d=1 but sit at distance 2). Exact output,
+    * relational plan.
     *
     * Scale: the neighborhood fans each distinct value out ~len^d ways
     * (d ≤ 2 enforced — d=3 cubes the fan-out and typo dedup does not
@@ -1040,6 +1042,20 @@ object Dedup {
     * exactness is the point) when a bucket exceeds it: hot buckets mean
     * the values were not typo-grade distinct (e.g. single characters)
     * and need an upstream length floor.
+    *
+    * ==Capacity contract (the 100×-scale caller's budget)==
+    * Work scales with the DISTINCT-VALUE VOCABULARY, not the corpus:
+    * the exact cost is `Σ_variants k·(k−1)/2` candidate verifications,
+    * and collision density k rises as the vocabulary fills its
+    * keyspace, so doubling a vocabulary that already collides heavily
+    * MORE than doubles wall (measured on the synthetic corpus's
+    * 12-char prefixes: ~2× rows → ~2.3× candidates — plan-stable, a
+    * cost curve, not a plan cliff). Budget by candidate count, not
+    * rows: `maxBucket` caps the per-variant term, and a length floor /
+    * longer prefix keeps vocabulary sparse in its keyspace. Corpus
+    * SIZE is irrelevant after the initial dedupe-to-distinct scan —
+    * 100 TB of text with a bounded title/key vocabulary is exactly the
+    * intended deployment.
     *
     * Output: `(a, b, dist)` with `a < b`, dist an int. */
   def editDistanceJoin(df: DataFrame, textCol: String, maxDist: Int,
@@ -1080,25 +1096,37 @@ object Dedup {
     val variants = strs
       .select(col("__s"), explode(neighborhood).as("__var"))
       .distinct()
-    // size-gate on the window count (sort-based, spills — the
-    // lshCandidates precedent), then drop singleton buckets: they can
-    // never pair, so they should not even enter the join's hash tables
-    val guarded = variants
-      .withColumn("__bn",
-        count(lit(1)).over(Window.partitionBy(col("__var"))))
+    // ONE shuffle does the whole bucket stage: group the variant table
+    // by variant, size-gate, and expand each bucket's pairs IN-TASK
+    // from the sorted value array (ascending sort ⇒ a < b for free).
+    // The pre-r15 shape — a window count plus a variant-keyed
+    // self-join — moved the same table through a sort exchange AND a
+    // sort-merge join to produce the identical candidate set; at the
+    // 10M soak point that was ~2× this plan's wall. maxBucket still
+    // FAILS LOUD before any expansion (raise_error, never a silent
+    // drop — exactness is the point): it gates the k·(k−1)/2 pair
+    // blowup, and with it the aggregation buffer (a bucket's value
+    // list is ≤ maxBucket strings — KB-scale at the default — before
+    // the gate trips; the object-hash aggregate falls back to
+    // sort-based spilling under pressure regardless).
+    val buckets = variants
+      .groupBy(col("__var"))
+      .agg(count(lit(1)).as("__bn"), collect_list(col("__s")).as("__ss"))
       .filter(col("__bn") > 1)
       .select(
         when(col("__bn") > maxBucket, raise_error(concat(
           lit("editDistanceJoin: variant bucket exceeds maxBucket=" +
             s"$maxBucket for variant '"), col("__var"),
           lit("' — values are not typo-grade distinct; floor the " +
-            "length or raise maxBucket")))).otherwise(col("__s"))
-          .as("__s"),
-        col("__var"))
-    guarded.as("l")
-      .join(guarded.as("r"),
-        col("l.__var") === col("r.__var") && col("l.__s") < col("r.__s"))
-      .select(col("l.__s").as("a"), col("r.__s").as("b"))
+            "length or raise maxBucket"))))
+          .otherwise(array_sort(col("__ss"))).as("__ss"))
+    val n = size(col("__ss"))
+    buckets
+      .select(explode(flatten(transform(sequence(lit(1), n - 1), i =>
+        transform(sequence(i + 1, n), j =>
+          struct(element_at(col("__ss"), i).as("a"),
+            element_at(col("__ss"), j).as("b")))))).as("__p"))
+      .select(col("__p.a").as("a"), col("__p.b").as("b"))
       .distinct()
       .withColumn("dist", levenshtein(col("a"), col("b")))
       .filter(col("dist") <= maxDist)

@@ -800,7 +800,7 @@ class ScaleSpec extends TestBase {
   test("round-12c scale posture: ksTest range-decomposes both running " +
       "sums; cramersV broadcasts marginals and totals (no cartesian); " +
       "hits and kCore sweeps stay window-free within budget; " +
-      "editDistanceJoin blocks on one variant equi-join; " +
+      "editDistanceJoin blocks on one variant groupBy; " +
       "giniConcentration rides the range-decomposed rank") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWin}
     def exec(df: org.apache.spark.sql.DataFrame): String = {
@@ -863,9 +863,9 @@ class ScaleSpec extends TestBase {
       pkc)
     assert(hashEx(pkc) <= 5, s"kCore sweep exchange budget:\n$pkc")
 
-    // editDistanceJoin: candidates come from ONE variant equi-join over
-    // the deletion neighborhoods — never a cartesian; the only window
-    // is the bucket-size gate PARTITIONED by variant
+    // editDistanceJoin: candidates come from ONE variant groupBy over
+    // the deletion neighborhoods (pairs expand in-task from each
+    // bucket's sorted array) — never a cartesian, never a window
     val phrases = docs.filter(col("text").isNotNull)
       .select(array_join(slice(split(col("text"), " "), 1, 3), " ")
         .as("phrase"))
