@@ -148,7 +148,14 @@ object Bench {
       .map { case (k, _, ext) =>
         s"${jstr(k)}:${math.rint(ext * 1000) / 1000}" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"failed_secs":$failedSecs,"load_start":$loadStart,"load_end":$loadEnd,"load_trace":$traceJson,"suspect":$suspectJson,"suspect_external_cpu_threshold":$suspectThreshold,"sf":"$sfDir","subset":${subset.isDefined}}""")
+    // the RAW per-query external share, not just the over-threshold
+    // suspects: sub-threshold contention correlating with a small
+    // regression is diagnosable from the artifact alone, no replay
+    val extJson = results
+      .map { case (k, _, ext) =>
+        s"${jstr(k)}:${math.rint(ext * 1000) / 1000}" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"failed_secs":$failedSecs,"load_start":$loadStart,"load_end":$loadEnd,"load_trace":$traceJson,"suspect":$suspectJson,"suspect_external_cpu_threshold":$suspectThreshold,"external_cpu":$extJson,"sf":"$sfDir","subset":${subset.isDefined}}""")
     spark.stop()
   }
 
@@ -187,17 +194,34 @@ object Bench {
       (busy, rest(11).toLong + rest(12).toLong, math.max(nCpus, 1))
     } catch { case _: Throwable => (-1L, -1L, 0) }
 
+  /** Jiffies per second for /proc counters. USER_HZ is 100 on every
+    * mainstream Linux, but it IS configurable — a kernel built with a
+    * different tick would mis-scale the external-CPU share and the
+    * `suspect` flag — so ask the C library once (`getconf CLK_TCK`)
+    * and fall back to 100 when the probe is unavailable. */
+  private[graft] lazy val userHz: Double =
+    try {
+      val p = new ProcessBuilder("getconf", "CLK_TCK").start()
+      val out = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.US_ASCII).trim
+      p.waitFor()
+      val v = out.toDouble
+      if (v > 0) v else 100.0
+    } catch { case _: Throwable => 100.0 }
+
   /** Fraction of the BOX's CPU capacity consumed by processes OTHER
     * than this JVM between two [[cpuSnap]]s — the direct ambient-
     * contention signal (the 1-minute load average conflates the
     * bench's own parallelism with external tenants and lags by up to
     * a minute). 0 when /proc is unavailable or the window is too
-    * short for jiffy resolution. */
+    * short for jiffy resolution. `hz` exists for deterministic specs;
+    * production callers take the probed [[userHz]]. */
   private[graft] def externalCpuShare(before: (Long, Long, Int),
-      after: (Long, Long, Int), wallSecs: Double): Double = {
+      after: (Long, Long, Int), wallSecs: Double,
+      hz: Double = userHz): Double = {
     if (before._1 < 0 || after._1 < 0 || wallSecs < 0.05) 0.0
     else {
-      val capacity = after._3 * 100.0 * wallSecs
+      val capacity = after._3 * hz * wallSecs
       val external = (after._1 - before._1) - (after._2 - before._2)
       math.max(0.0, external / math.max(capacity, 1.0))
     }

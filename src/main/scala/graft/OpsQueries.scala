@@ -20,11 +20,14 @@ import graft.operators.{AsOfJoin, Checks, Connected, Decontaminate, Dedup, Entit
 object OpsQueries {
   import Queries.{t, events, Entry}
 
-  /** Absolute path of a committed fixture, resolved at SQL-dump time:
-    * the working directory if the file is there, else the nearest
-    * ancestor holding it (covers launchers whose cwd is a subdir or a
-    * wrapper dir above the repo root), else cwd-relative as-is — in
-    * which case the DuckDB replay fails LOUDLY with a missing-file
+  /** Path of a committed fixture, resolved at SQL-dump time: the
+    * working directory if the file is there, else the nearest ancestor
+    * holding it (covers launchers whose cwd is a subdir or a wrapper
+    * dir above the repo root). When resolution falls through entirely,
+    * emit the bare CWD-RELATIVE `fixtures/<name>` rather than baking
+    * this machine's absolute path into the dumped SQL — a replayer on
+    * another machine whose cwd holds `fixtures/` then resolves it at
+    * REPLAY time; one without it fails LOUDLY with a missing-file
     * error and the CorpusOpsSpec fixture-sync test names the remedy. */
   private def fixturePath(name: String): String = {
     val rel = java.nio.file.Paths.get("fixtures", name)
@@ -36,7 +39,7 @@ object OpsQueries {
       if (java.nio.file.Files.exists(cand)) found = Some(cand)
       d = d.getParent; hops += 1
     }
-    found.getOrElse(rel.toAbsolutePath).toString
+    found.getOrElse(rel).toString
   }
 
   // Shared SQL fragments (DuckDB side).

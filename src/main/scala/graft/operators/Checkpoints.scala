@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.internal.Logging
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.storage.StorageLevel
 
@@ -36,6 +37,11 @@ import org.apache.spark.storage.StorageLevel
   * when the caller hasn't already cached it: compute #1 fills the
   * cache, the write job re-reads blocks instead of re-running the
   * stage, and the transient cache is dropped before returning.
+  * Caveat: the transient persist only helps when [[pin]] runs the
+  * Dataset's FIRST action — a caller that already forced the same
+  * Dataset object computes that earlier action un-cached and the pin
+  * still computes once more to fill the cache (perf-only; results are
+  * identical either way).
   *
   * ==Reliable-path file lifecycle==
   * Every reliable pin writes a permanent `rdd-N` directory under the
@@ -51,7 +57,44 @@ import org.apache.spark.storage.StorageLevel
   * through a [[Chain]], which deletes a generation's files
   * DETERMINISTICALLY as soon as it is provably dead (two generations
   * behind the newest pin — see [[Chain]] for why not one). */
-object Checkpoints {
+object Checkpoints extends Logging {
+
+  /** Count of reclaim attempts that could not delete their target —
+    * observable evidence of a DEGRADED lifecycle (each failure is also
+    * logged): the Chain falls back to accumulate-until-cleaner for
+    * that generation, which the Soak `ckpt_bytes` gate would otherwise
+    * be the only thing to notice. */
+  private[graft] val failedReclaims =
+    new java.util.concurrent.atomic.AtomicLong
+
+  /** Best-effort recursive delete of a superseded checkpoint
+    * generation. Never throws — a failed delete degrades to the
+    * pre-Chain accumulate-until-cleaner behavior, never to a failed
+    * job — but it is NOT silent: failures log a warning and tick
+    * [[failedReclaims]] (a delete that returns false against a
+    * still-existing path counts too; `delete` on an already-gone path
+    * is success, there is nothing left to reclaim). */
+  private[graft] def reclaim(
+      spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.delete(p, true) || !fs.exists(p)) true
+      else {
+        failedReclaims.incrementAndGet()
+        logWarning(s"Checkpoints.Chain: could not reclaim superseded " +
+          s"checkpoint generation $path — lifecycle degrades to " +
+          "accumulate-until-cleaner for this generation")
+        false
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        failedReclaims.incrementAndGet()
+        logWarning(s"Checkpoints.Chain: could not reclaim superseded " +
+          s"checkpoint generation $path — lifecycle degrades to " +
+          "accumulate-until-cleaner for this generation", e)
+        false
+    }
 
   /** Session conf key: set to a durable directory URI to make every
     * [[pin]] a reliable `checkpoint()`; unset (default) pins with
@@ -102,6 +145,15 @@ object Checkpoints {
     * footprint: ≤ 2 generations per chain instead of one per
     * iteration.
     *
+    * CONTRACT (callers): the two-generation window is a LIVENESS
+    * bound, not just a footprint bound — a loop must never re-execute
+    * a frame pinned ≥2 `chain.pin` calls ago (its files are gone on
+    * the reliable path; the default local-checkpoint path would mask
+    * the bug because superseded blocks die lazily). Every current
+    * call site reads at most the previous generation; the
+    * full-catalog durability drill (`SPARK_GRAFT_CHECKPOINT_DIR`
+    * through Verify) is the regression gate for that contract.
+    *
     * On the default local-checkpoint path this is a plain [[pin]]
     * passthrough (superseded block sets are reclaimed by the
     * driver-GC-driven ContextCleaner, and they die with the job
@@ -128,15 +180,11 @@ object Checkpoints {
       kept = kept.take(1)
     }
 
-    private def delete(df: DataFrame, path: String): Unit =
-      try {
-        val p = new org.apache.hadoop.fs.Path(path)
-        p.getFileSystem(
-          df.sparkSession.sparkContext.hadoopConfiguration)
-          .delete(p, true)
-      } catch { case scala.util.control.NonFatal(_) => () }
-      // best-effort: a failed delete degrades to the pre-Chain
-      // accumulate-until-cleaner behavior, never to a failed job
+    private def delete(df: DataFrame, path: String): Unit = {
+      // best-effort (never a failed job), but observable: see reclaim
+      reclaim(df.sparkSession, path)
+      ()
+    }
   }
 
   /** `df.pinned` sugar for [[pin]] at the operator call sites. */

@@ -26,19 +26,40 @@ class BenchHelpersSpec extends TestBase {
       "windows report 0, self-usage subtracts out, capacity uses the " +
       "snapshot's own cpu count") {
     import Bench.externalCpuShare
+    // hz pinned to 100 so the expected shares are box-independent
+    // (production callers take the probed Bench.userHz default)
     // /proc unavailable -> 0, never a crash or a flag
-    assert(externalCpuShare((-1L, -1L, 0), (100L, 10L, 4), 1.0) == 0.0)
-    assert(externalCpuShare((100L, 10L, 4), (-1L, -1L, 0), 1.0) == 0.0)
+    assert(externalCpuShare((-1L, -1L, 0), (100L, 10L, 4), 1.0, 100.0)
+      == 0.0)
+    assert(externalCpuShare((100L, 10L, 4), (-1L, -1L, 0), 1.0, 100.0)
+      == 0.0)
     // window too short for jiffy resolution -> 0
-    assert(externalCpuShare((0L, 0L, 4), (400L, 0L, 4), 0.01) == 0.0)
+    assert(externalCpuShare((0L, 0L, 4), (400L, 0L, 4), 0.01, 100.0)
+      == 0.0)
     // 4 cpus, 1 s window = 400 jiffies capacity; box burned 300, we
     // burned 200 -> external = 100/400 = 0.25
-    assert(externalCpuShare((1000L, 500L, 4), (1300L, 700L, 4), 1.0)
-      == 0.25)
+    assert(externalCpuShare((1000L, 500L, 4), (1300L, 700L, 4), 1.0,
+      100.0) == 0.25)
     // everything external to us: 400/400 = 1.0
-    assert(externalCpuShare((0L, 0L, 4), (400L, 0L, 4), 1.0) == 1.0)
+    assert(externalCpuShare((0L, 0L, 4), (400L, 0L, 4), 1.0, 100.0)
+      == 1.0)
     // self-only load: external clamps at 0 (never negative from
     // rounding skew)
-    assert(externalCpuShare((0L, 0L, 4), (400L, 410L, 4), 1.0) == 0.0)
+    assert(externalCpuShare((0L, 0L, 4), (400L, 410L, 4), 1.0, 100.0)
+      == 0.0)
+    // a non-default tick rescales capacity: 4 cpus at 250 Hz for 1 s
+    // = 1000 jiffies; 250 external -> 0.25
+    assert(externalCpuShare((0L, 0L, 4), (250L, 0L, 4), 1.0, 250.0)
+      == 0.25)
+  }
+
+  test("userHz probes the live kernel tick: positive, sane, and 100 " +
+      "on mainstream kernels (the documented fallback value)") {
+    val hz = Bench.userHz
+    assert(hz > 0 && hz <= 10000, s"implausible USER_HZ: $hz")
+    // this container runs a mainstream kernel — the probe and the
+    // fallback must agree here (a box where they differ is exactly
+    // the box the probe exists for)
+    assert(hz == 100.0, s"getconf CLK_TCK reported $hz")
   }
 }

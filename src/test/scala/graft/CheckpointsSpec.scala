@@ -131,6 +131,28 @@ class CheckpointsSpec extends TestBase {
     } finally spark.conf.unset(Checkpoints.ConfKey)
   }
 
+  test("reclaim failure path: never throws, logs-and-counts instead " +
+      "of silently reverting to unbounded growth; success reclaims " +
+      "and an already-gone path is success") {
+    val before = Checkpoints.failedReclaims.get()
+    // an unresolvable filesystem scheme: getFileSystem throws inside
+    // reclaim — the failure MUST be swallowed (a dead delete can never
+    // fail a job) but MUST be observable (counter + warning log)
+    assert(!Checkpoints.reclaim(spark, "graft-bogus-scheme://x/rdd-1"))
+    assert(Checkpoints.failedReclaims.get() == before + 1,
+      "a failed reclaim must tick the failedReclaims counter")
+    // success path: a real directory is deleted recursively
+    val dir = tmpDir()
+    val gen = dir.resolve("rdd-42")
+    java.nio.file.Files.createDirectories(gen)
+    java.nio.file.Files.writeString(gen.resolve("part-0"), "x")
+    assert(Checkpoints.reclaim(spark, gen.toString))
+    assert(!java.nio.file.Files.exists(gen))
+    // already-gone path: nothing left to reclaim = success, no count
+    assert(Checkpoints.reclaim(spark, gen.toString))
+    assert(Checkpoints.failedReclaims.get() == before + 1)
+  }
+
   test("pin is eager on both paths (the barrier the stage pins rely on)") {
     import spark.implicits._
     val df = Seq(1L, 2L, 3L).toDF("x").filter(col("x") > 1L)
