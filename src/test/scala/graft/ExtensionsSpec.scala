@@ -278,6 +278,36 @@ class ExtensionsSpec extends TestBase {
     }
   }
 
+  test("the join-shape-heavy catalog entries EXECUTE green under the " +
+      "guards at fail — every BroadcastNestedLoopJoin/cartesian the " +
+      "library plans is acknowledged at the PHYSICAL layer too (the " +
+      "full-catalog executed drill runs through Verify under " +
+      "SPARK_GRAFT_GUARDS=fail; this is its in-suite regression pin)") {
+    withGuards("fail") { s2 =>
+      val dir = "/root/testdata/sf0.001"
+      // the entries whose plans carry broadcast nested loops or
+      // acknowledged cartesians (cosine top-k broadcast queries,
+      // optin all-pairs, 1-row cutoff/stat cross joins, KNN valuation)
+      val heavy = Seq("q28_embed_neardup", "q30_cosine_topk",
+        "q238_knn_shapley", "q254_ks_test", "q255_cramers_v",
+        "q261_wasserstein", "q264_best_threshold", "q184_covariance",
+        "q217_margin_mining", "q143_pagerank")
+      val failed = heavy.flatMap { name =>
+        try {
+          SparkEntry.queries(name)(s2, dir)
+            .write.format("noop").mode("overwrite").save()
+          None
+        } catch { case e: Throwable =>
+          Some(s"$name :: ${chainMessages(e).linesIterator
+            .find(_.nonEmpty).getOrElse(e.toString).take(160)}")
+        }
+      }
+      assert(failed.isEmpty,
+        s"${failed.size} entries tripped a fail-mode guard at " +
+          s"EXECUTION:\n${failed.mkString("\n")}")
+    }
+  }
+
   test("the FULL catalog analyzes under ALL THREE guards at fail — " +
       "no library operator plans an unpartitioned corpus window, an " +
       "unacknowledged cartesian, or a shrinking UNBOUNDED FOLLOWING " +
