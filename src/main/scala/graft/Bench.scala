@@ -143,18 +143,17 @@ object Bench {
     // carry its own verdict. Queries NOT flagged ran alone — a
     // regression there is real.
     val suspectThreshold = 0.25
-    val suspectJson = results
-      .filter { case (_, _, ext) => ext > suspectThreshold }
-      .map { case (k, _, ext) =>
-        s"${jstr(k)}:${math.rint(ext * 1000) / 1000}" }
+    // one shared per-query rendering feeds BOTH fields: `external_cpu`
+    // carries the RAW share for every query (sub-threshold contention
+    // correlating with a small regression is diagnosable from the
+    // artifact alone, no replay), `suspect` is its over-threshold
+    // filter — a single rounding/escaping definition can't diverge
+    val extRendered = results.map { case (k, _, ext) =>
+      (ext, s"${jstr(k)}:${math.rint(ext * 1000) / 1000}") }
+    val suspectJson = extRendered
+      .collect { case (ext, kv) if ext > suspectThreshold => kv }
       .mkString("{", ",", "}")
-    // the RAW per-query external share, not just the over-threshold
-    // suspects: sub-threshold contention correlating with a small
-    // regression is diagnosable from the artifact alone, no replay
-    val extJson = results
-      .map { case (k, _, ext) =>
-        s"${jstr(k)}:${math.rint(ext * 1000) / 1000}" }
-      .mkString("{", ",", "}")
+    val extJson = extRendered.map(_._2).mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"failed_secs":$failedSecs,"load_start":$loadStart,"load_end":$loadEnd,"load_trace":$traceJson,"suspect":$suspectJson,"suspect_external_cpu_threshold":$suspectThreshold,"external_cpu":$extJson,"sf":"$sfDir","subset":${subset.isDefined}}""")
     spark.stop()
   }

@@ -1026,9 +1026,10 @@ object Dedup {
     * any two strings within edit distance d share at least one common
     * variant in their ≤d-deletion neighborhoods, so candidates come
     * from co-grouping on variant strings (lossless blocking: the
-    * pigeonhole never drops a true pair — one groupBy shuffle, pairs
-    * expanded in-task from each bucket's sorted value array) and each
-    * candidate verifies with the real `levenshtein` (the
+    * pigeonhole never drops a true pair — ONE exchange carries the
+    * spill-safe size gate, the bucket aggregation, and the streamed
+    * in-task pair expansion over each bucket's sorted value array) and
+    * each candidate verifies with the real `levenshtein` (the
     * shared-variant condition is necessary, not sufficient — "ab"/"ba"
     * share "a" at d=1 but sit at distance 2). Exact output,
     * relational plan.
@@ -1096,37 +1097,43 @@ object Dedup {
     val variants = strs
       .select(col("__s"), explode(neighborhood).as("__var"))
       .distinct()
-    // ONE shuffle does the whole bucket stage: group the variant table
-    // by variant, size-gate, and expand each bucket's pairs IN-TASK
-    // from the sorted value array (ascending sort ⇒ a < b for free).
-    // The pre-r15 shape — a window count plus a variant-keyed
-    // self-join — moved the same table through a sort exchange AND a
-    // sort-merge join to produce the identical candidate set; at the
-    // 10M soak point that was ~2× this plan's wall. maxBucket still
-    // FAILS LOUD before any expansion (raise_error, never a silent
-    // drop — exactness is the point): it gates the k·(k−1)/2 pair
-    // blowup, and with it the aggregation buffer (a bucket's value
-    // list is ≤ maxBucket strings — KB-scale at the default — before
-    // the gate trips; the object-hash aggregate falls back to
-    // sort-based spilling under pressure regardless).
-    val buckets = variants
-      .groupBy(col("__var"))
-      .agg(count(lit(1)).as("__bn"), collect_list(col("__s")).as("__ss"))
+    // ONE exchange does the whole bucket stage. Ordering matters for
+    // ROBUSTNESS, not just speed:
+    //  1. size-gate FIRST, on the window count — WindowExec buffers a
+    //     partition group in a spillable row array, so a degenerate
+    //     mega-bucket spills to disk and then FAILS LOUD (raise_error)
+    //     on its first output row, before any in-memory list of it
+    //     exists anywhere;
+    //  2. only gated buckets (≤ maxBucket values — KB-scale at the
+    //     default) reach collect_list, which groups WITHOUT a second
+    //     exchange (the window's hash partitioning on __var already
+    //     satisfies the aggregation);
+    //  3. pairs STREAM out of two chained generators — per element,
+    //     explode the sorted array's tail slice (ascending sort ⇒
+    //     a < b for free) — so peak per-row allocation stays O(bucket),
+    //     never the O(bucket²) a materialized pair array would be.
+    // The pre-r15 shape moved the variant table through the sort
+    // exchange AND a variant-keyed sort-merge self-join for the same
+    // candidate set; at the 10M soak point that was ~2× this wall.
+    val guarded = variants
+      .withColumn("__bn",
+        count(lit(1)).over(Window.partitionBy(col("__var"))))
       .filter(col("__bn") > 1)
       .select(
         when(col("__bn") > maxBucket, raise_error(concat(
           lit("editDistanceJoin: variant bucket exceeds maxBucket=" +
             s"$maxBucket for variant '"), col("__var"),
           lit("' — values are not typo-grade distinct; floor the " +
-            "length or raise maxBucket"))))
-          .otherwise(array_sort(col("__ss"))).as("__ss"))
-    val n = size(col("__ss"))
-    buckets
-      .select(explode(flatten(transform(sequence(lit(1), n - 1), i =>
-        transform(sequence(i + 1, n), j =>
-          struct(element_at(col("__ss"), i).as("a"),
-            element_at(col("__ss"), j).as("b")))))).as("__p"))
-      .select(col("__p.a").as("a"), col("__p.b").as("b"))
+            "length or raise maxBucket")))).otherwise(col("__s"))
+          .as("__s"),
+        col("__var"))
+    guarded
+      .groupBy(col("__var"))
+      .agg(array_sort(collect_list(col("__s"))).as("__ss"))
+      .select(col("__ss"), posexplode(col("__ss")).as(Seq("__i", "a")))
+      .select(col("a"),
+        explode(slice(col("__ss"), col("__i") + 2, size(col("__ss"))))
+          .as("b"))
       .distinct()
       .withColumn("dist", levenshtein(col("a"), col("b")))
       .filter(col("dist") <= maxDist)

@@ -53,13 +53,21 @@ class BenchHelpersSpec extends TestBase {
       == 0.25)
   }
 
-  test("userHz probes the live kernel tick: positive, sane, and 100 " +
-      "on mainstream kernels (the documented fallback value)") {
+  test("userHz probes the live kernel tick: positive, sane, and " +
+      "agreeing with getconf when getconf is available (never pinned " +
+      "to 100 — a non-100-tick box is exactly what the probe is for)") {
     val hz = Bench.userHz
     assert(hz > 0 && hz <= 10000, s"implausible USER_HZ: $hz")
-    // this container runs a mainstream kernel — the probe and the
-    // fallback must agree here (a box where they differ is exactly
-    // the box the probe exists for)
-    assert(hz == 100.0, s"getconf CLK_TCK reported $hz")
+    // independent probe of the same fact; only compare when it works
+    // (if getconf is absent the production path fell back to 100,
+    // which the range check above already covers)
+    val probed = try {
+      val p = new ProcessBuilder("getconf", "CLK_TCK").start()
+      val out = new String(p.getInputStream.readAllBytes()).trim
+      p.waitFor()
+      Some(out.toDouble)
+    } catch { case _: Throwable => None }
+    probed.foreach(expect =>
+      assert(hz == expect, s"userHz $hz != getconf CLK_TCK $expect"))
   }
 }

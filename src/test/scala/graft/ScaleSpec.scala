@@ -863,9 +863,10 @@ class ScaleSpec extends TestBase {
       pkc)
     assert(hashEx(pkc) <= 5, s"kCore sweep exchange budget:\n$pkc")
 
-    // editDistanceJoin: candidates come from ONE variant groupBy over
-    // the deletion neighborhoods (pairs expand in-task from each
-    // bucket's sorted array) — never a cartesian, never a window
+    // editDistanceJoin: one exchange carries the spill-safe bucket
+    // gate (the only window, PARTITIONED by variant), the bucket
+    // aggregation, and the streamed in-task pair expansion — never a
+    // cartesian, never a self-join
     val phrases = docs.filter(col("text").isNotNull)
       .select(array_join(slice(split(col("text"), " "), 1, 3), " ")
         .as("phrase"))
