@@ -236,6 +236,23 @@ class ExtensionsSpec extends TestBase {
     }
   }
 
+  test("executed-plan guard works with AQE disabled too — the " +
+      "columnar-rule hook fires in both planning modes and the " +
+      "logical-link hint read survives either path") {
+    withGuards("fail") { s2 =>
+      s2.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val a = s2.range(10).toDF("x")
+        val b = s2.range(10).toDF("y")
+        val e = intercept[Exception] { a.join(b).collect() }
+        assert(chainMessages(e).contains("EXECUTED plan"),
+          chainMessages(e))
+        assert(a.crossJoin(broadcast(s2.range(3).agg(count(lit(1))
+          .as("n")))).count() == 10L)
+      } finally s2.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("executed-plan guard honors the engine's acknowledged shapes " +
       "end-to-end: hinted crossJoin, nearDupPairs under assumeSmall, " +
       "and keyed joins execute green at fail") {
