@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// the container's default locale is POSIX (ASCII): the JVM's
+// sun.jnu.encoding then cannot map non-ASCII FILESYSTEM names, which
+// breaks Hive-layout partition directories carrying raw unicode values
+// (RoundTripLawsSpec's partition-value law). C.utf8 ships with the
+// image; production clusters run UTF-8 locales as a matter of course.
+Test / envVars := Map("LANG" -> "C.utf8")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
