@@ -142,18 +142,11 @@ object OpsQueries {
     * plan-wise; when it does trigger, it round-robins raw text that is by
     * construction small (few splits ⇒ few hundred MB). */
   private def fanOut(s: org.apache.spark.sql.SparkSession,
-      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val target = s.sparkContext.defaultParallelism
-    // deliberately probe the RDD's partition count, NOT inputFiles: Spark
-    // splits even a single parquet file into ~defaultParallelism scan
-    // partitions (spark.sql.files.minPartitionNum), so a file-count probe
-    // would bolt a full shuffle of the corpus onto every doc query at
-    // exactly the sizes where the scan is already parallel (measured 2×
-    // on the LSH queries). df.rdd here is a driver-side plan conversion —
-    // no job runs; the repartition fires only when the scan genuinely
-    // yields too few partitions, and no-ops at production split counts.
-    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
-  }
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    // shared logic (r16): operators apply the same discipline at their
+    // own CPU-dense stages — see graft.operators.Fan for the rationale
+    // (RDD-partition probe, not inputFiles; no-op at production splits)
+    graft.operators.Fan.out(df)
 
   /** CPU-dense documents scan (see [[fanOut]]). */
   private def docsFan(s: org.apache.spark.sql.SparkSession, dir: String) =
@@ -397,7 +390,9 @@ object OpsQueries {
     // The corpus has no planted PII, so adversarial strings are appended
     // per row; the md5 over the redacted text verifies every replacement.
     "q44_pii_redact" -> Entry(
-      (s, dir) => t(s, dir, "documents")
+      // docsFan: the PII regex battery is per-row CPU over a
+      // single-task scan (r16 fan-out sweep)
+      (s, dir) => docsFan(s, dir)
         .select(col("doc_id"), concat(col("text"),
           lit(" mail bob.smith+x@corp.example.org or +1 (415) 555-0199" +
             " at 10.0.42.7 ok")).as("__t"))
@@ -2609,8 +2604,9 @@ object OpsQueries {
     // CountInSet probe. Ties at the cutoff break by term on both
     // engines.
     "q102_oov_rate" -> Entry(
+      // docsFan: per-row token fold against the vocab list (r16 fan-out)
       (s, dir) => {
-        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val docs = docsFan(s, dir).select(col("doc_id"), col("text"))
         val vocab = Vocab.topTerms(docs, "doc_id", "text", n = 20)
         Vocab.withOovRate(docs, "text", vocab)
           .select(col("doc_id"), col("n_tokens"), col("n_oov"),
@@ -2689,8 +2685,11 @@ object OpsQueries {
     // verification — the operator's whole point. MD5 minhash arithmetic
     // replays exactly; jaccard is an integer-ratio double.
     "q104_fuzzy_decon" -> Entry(
+      // corpus pinned: fuzzyOverlap re-references it for the id
+      // re-attach, and the planted-copy union otherwise replays per
+      // reference (10 scans → 3 in the r16 plan pair)
       (s, dir) => Decontaminate.fuzzyOverlap(
-          nearDupDocs(s, dir), "doc_id", "text",
+          nearDupDocs(s, dir).pinned, "doc_id", "text",
           docsFan(s, dir).filter(col("doc_id") % 97 === 0),
           "doc_id", "text",
           k = 8, rowsPerBand = 2, shingleN = 3, flagAt = 0.5)
@@ -2742,7 +2741,10 @@ object OpsQueries {
     // genuinely different outcomes in one run. Integer/string
     // arithmetic only.
     "q105_repeated_spans" -> Entry(
-      (s, dir) => Dedup.removeRepeatedSpans(nearDupDocs(s, dir),
+      // corpus pinned: removeRepeatedSpans scans its input three times
+      // (gram frequency, covered-start semi-join, reassembly) — the
+      // planted-copy union replayed per scan (12 scans → 3)
+      (s, dir) => Dedup.removeRepeatedSpans(nearDupDocs(s, dir).pinned,
           "doc_id", "text", n = 10, minDocs = 2)
         .orderBy("doc_id"),
       Some(s"""WITH $NearDupDocsSql,
@@ -3101,17 +3103,13 @@ object OpsQueries {
     // engines derive the same head. Separation is real: target docs'
     // median prob ≈ 0.74 vs rest ≈ 0.23 at sf0.01.
     "q115_quality_classifier" -> Entry(
-      (s, dir) => {
-        val docs = docsFan(s, dir)
-        val model = QualityFilter.trainLda(
-          docs.filter(col("source").isin(QfTargetSources: _*)),
+      // fused fit+score (r16): one pinned feature pass instead of two
+      // trainer-class passes plus a scoring pass — bit-identical head
+      (s, dir) => QualityFilter.trainLdaAndScore(docsFan(s, dir),
           "doc_id", "text",
-          docs.filter(!col("source").isin(QfTargetSources: _*)),
-          "doc_id", "text",
+          posPred = col("source").isin(QfTargetSources: _*),
           numBuckets = 256)
-        QualityFilter.scoreWith(docs, "doc_id", "text", model)
-          .orderBy("doc_id")
-      },
+        .orderBy("doc_id"),
       Some(s"WITH ${qfChainSql(numBuckets = 256)}\n" +
         """SELECT doc_id, n_feats, round(z, 6) AS logit,
           |  round(0.5 * (1 + z / (1 + abs(z))), 6) AS prob
@@ -3124,19 +3122,13 @@ object OpsQueries {
     // keep-list — ids only, no row duplication, no broadcast of a
     // corpus-sized side.
     "q116_classifier_gate" -> Entry(
-      (s, dir) => {
-        val docs = docsFan(s, dir)
-        val model = QualityFilter.trainLda(
-          docs.filter(col("source").isin(QfTargetSources: _*)),
+      // fused fit+gate (r16): one pinned feature pass — see q115
+      (s, dir) => QualityFilter.trainLdaAndGate(docsFan(s, dir),
           "doc_id", "text",
-          docs.filter(!col("source").isin(QfTargetSources: _*)),
-          "doc_id", "text",
-          numBuckets = 256)
-        QualityFilter.classifierGate(docs, "doc_id", "text", model,
-            minProb = 0.5)
-          .select(col("doc_id"), col("source"), col("n_chars"))
-          .orderBy("doc_id")
-      },
+          posPred = col("source").isin(QfTargetSources: _*),
+          numBuckets = 256, minProb = 0.5)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id"),
       Some(s"WITH ${qfChainSql(numBuckets = 256)}\n" +
         """SELECT d.doc_id, d.source, d.n_chars
           |FROM documents d JOIN sc USING (doc_id)
@@ -3804,13 +3796,13 @@ object OpsQueries {
     // positive predicate.
     "q130_trained_langid" -> Entry(
       (s, dir) => {
+        // fused fit+score (r16): the char-gram projection and the md5
+        // feature explode run ONCE (pinned) instead of per trainer
+        // class plus scoring — bit-identical head
         val cg = TextAnalysis.withCharGrams(docsFan(s, dir), "text",
           "cg_text", n = 3)
-        val model = QualityFilter.trainLda(
-          cg.filter(col("lang") === "en"), "doc_id", "cg_text",
-          cg.filter(col("lang") =!= "en"), "doc_id", "cg_text",
-          numBuckets = 256)
-        QualityFilter.scoreWith(cg, "doc_id", "cg_text", model)
+        QualityFilter.trainLdaAndScore(cg, "doc_id", "cg_text",
+            posPred = col("lang") === "en", numBuckets = 256)
           .orderBy("doc_id")
       },
       Some {
@@ -7253,9 +7245,14 @@ object OpsQueries {
     // the collision overcounts hash-match exactly. `overcount >= 0` is
     // the CMS never-undercount guarantee.
     "q175_count_min" -> Entry(
+      // fanned + pinned: the token stream feeds THREE consumers (sketch
+      // build, estimate's distinct, exact truth) — unpinned each replays
+      // the scan+explode; the sketch's depth-way md5 hashing is per-row
+      // CPU over a single-task scan (r16 fan-out sweep)
       (s, dir) => {
-        val toks = t(s, dir, "documents").filter(col("text").isNotNull)
+        val toks = docsFan(s, dir).filter(col("text").isNotNull)
           .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+          .pinned
         val sketch = Sketches.countMinBuild(toks, col("tok"),
           depth = 4, width = 16)
         val est = Sketches.countMinEstimate(sketch, toks.distinct(),
@@ -7603,8 +7600,10 @@ object OpsQueries {
     // map-combined aggregation: the exchange ships D(D+1)/2 cells per
     // task, never corpus rows.
     "q184_covariance" -> Entry(
+      // fanOut: the dim·(dim+1)/2 triangle explode (2080 quantized
+      // products per row) runs inside the scan stage (r16 fan-out)
       (s, dir) => Embeddings.covarianceMatrix(
-          t(s, dir, "embeddings").select(col("embedding")),
+          fanOut(s, t(s, dir, "embeddings").select(col("embedding"))),
           "embedding", dim = 64)
         .orderBy("i", "j"),
       Some("""WITH e AS (SELECT embedding AS v FROM embeddings
@@ -7995,8 +7994,10 @@ object OpsQueries {
     // clean original — the operator must byte-exactly reconstruct what
     // was corrupted, md5-pinned.
     "q196_mojibake" -> Entry(
+      // docsFan: the repair/detection regex battery is per-row CPU over
+      // a single-task scan (r16 fan-out sweep)
       (s, dir) => {
-        val planted = t(s, dir, "documents").select(col("doc_id"),
+        val planted = docsFan(s, dir).select(col("doc_id"),
           when(col("doc_id") % 3 === 1,
             concat(col("text"), lit(" cafÃ©")))
             .when(col("doc_id") % 3 === 2,
@@ -8026,8 +8027,9 @@ object OpsQueries {
     // rather than replaying the regex chain: the operator must erase
     // exactly the noise and nothing else.
     "q197_url_canonical" -> Entry(
+      // docsFan: canonicalization regex chain per row (r16 fan-out sweep)
       (s, dir) => {
-        val planted = t(s, dir, "documents").select(col("doc_id"),
+        val planted = docsFan(s, dir).select(col("doc_id"),
           concat(lit("HTTPS://WWW."), upper(col("source")),
             lit(".Example.COM"),
             when(col("doc_id") % 4 === 0, lit(":443")).otherwise(lit("")),
@@ -8256,7 +8258,8 @@ object OpsQueries {
     // syllables). Pure regex projection; the oracle replays every
     // count 1:1.
     "q203_readability" -> Entry(
-      (s, dir) => t(s, dir, "documents")
+      // docsFan: syllable/sentence regex counting per row (r16 fan-out)
+      (s, dir) => docsFan(s, dir)
         .filter(col("text").isNotNull && trim(col("text")) =!= "")
         .select(col("doc_id"),
           TextAnalysis.fleschKincaid(col("text")).as("fk_grade"))
@@ -9021,8 +9024,9 @@ object OpsQueries {
     // operator must validate exactly the planted valid numbers and
     // nothing else (the corpus itself is digit-free, verified).
     "q221_luhn_cards" -> Entry(
+      // docsFan: digit-run extraction + Luhn fold per row (r16 fan-out)
       (s, dir) => {
-        val planted = t(s, dir, "documents").select(col("doc_id"),
+        val planted = docsFan(s, dir).select(col("doc_id"),
           concat(
             when(col("doc_id") % 3 === 0,
               concat(col("text"), lit(" pay 4111111111111111 now")))
@@ -9155,8 +9159,10 @@ object OpsQueries {
     // fragments its minority languages, and this is the report that
     // shows by how much. Integer sums, two final divisions.
     "q224_fertility" -> Entry(
+      // docsFan: the word-count explode and the per-distinct-word BPE
+      // segmentation fold are CPU-dense (r16 fan-out sweep)
       (s, dir) => {
-        val docs = t(s, dir, "documents")
+        val docs = docsFan(s, dir)
         val merges = Vocab.bpeTrain(docs, "text", numMerges = 10)
         Vocab.fertilityByKey(docs, "lang", "text", merges)
           .withColumnRenamed("key", "lang")
@@ -9429,8 +9435,9 @@ object OpsQueries {
     // nested list_reduce folds (the bpe-chain accumulator trick;
     // list_reduce requires acc type == element type).
     "q229_rouge_l" -> Entry(
+      // docsFan: the LCS DP expression is per-row CPU (r16 fan-out)
       (s, dir) => {
-        val trimmed = t(s, dir, "documents")
+        val trimmed = docsFan(s, dir)
           .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__w"))
           .select(col("doc_id"),
             array_join(slice(col("__w"), 1, 12), " ").as("ref"),
@@ -9702,7 +9709,11 @@ object OpsQueries {
           minTokens = 50, minStopHits = 2)
         .filter(col("gopher_pass"))
         .select(col("doc_id"), col("text"), col("n_tokens"))
-      val deduped = Dedup.exactKeepMinId(gated, "doc_id", "text")
+      // pinned: fuzzyDecontaminate references its corpus three times
+      // (signature pass, id re-attach, final semi join) — unpinned, the
+      // union→gopher-gate→dedup chain replayed per reference (20 corpus
+      // scans / 18 exchanges in the r16 before-plan; pinned it runs once)
+      val deduped = Dedup.exactKeepMinId(gated, "doc_id", "text").pinned
       Decontaminate.fuzzyDecontaminate(deduped, "doc_id", "text",
           bench, "doc_id", "text", flagAt = 0.5)
         .select(col("doc_id"), col("n_tokens"))

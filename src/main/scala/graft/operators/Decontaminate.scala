@@ -240,7 +240,10 @@ object Decontaminate {
       .filter(col("__bv").isNotNull)
       .agg(collect_list(struct(col("__bv").as("v"),
         Similarity.norm(col("__bv")).as("n"))).as("__bench"))
-    corpus.crossJoin(broadcast(b))
+    // Fan.out: the per-row |bench|·dim sweep runs inside the corpus
+    // scan stage; an under-split corpus serializes it on one core
+    // (no-op at production split counts — see Fan)
+    Fan.out(corpus).crossJoin(broadcast(b))
       .withColumn("__cn", Similarity.norm(col(vecCol)))
       .withColumn("max_sim",
         array_max(transform(col("__bench"), bb =>

@@ -370,7 +370,11 @@ object Dedup {
     * engine-arbitrary, fine for order-independent intersect/size. */
   private[operators] def sigWithShingles(df: DataFrame, idCol: String,
       textCol: String, k: Int, shingleN: Int): DataFrame =
-    df.select(col(idCol).as("doc_id"),
+    // Fan.out: tokenize + shingle + k MinHash folds are the CPU-dense
+    // part of every LSH flow and run inside the input's scan stage; an
+    // under-split input serializes them on one core (no-op when the
+    // input is already parallel — see Fan)
+    Fan.out(df).select(col(idCol).as("doc_id"),
         TextAnalysis.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= shingleN)
       .select(col("doc_id"), shingles(col("toks"), shingleN).as("shArr"))
@@ -908,7 +912,14 @@ object Dedup {
       s"minParaTokens must be >= 1, got $minParaTokens")
     require(maxParasPerDoc >= 2,
       s"maxParasPerDoc must be >= 2, got $maxParasPerDoc")
-    val paras = df
+    // pinned: the paragraph table feeds THREE consumers (the candidate
+    // stage, the short-paragraph exempt branch, and the survivor
+    // re-attach), each of which would otherwise replay the corpus scan
+    // and the split/posexplode (measured r16: the q131 entry planned 16
+    // corpus scans; pinned, 3 — one per pipeline stage). At cluster
+    // scale this is the staged-intermediate pattern (durable under
+    // graft.checkpoint.dir); rows identical either way.
+    val paras = Checkpoints.pin(df
       .select(col(idCol).cast("long").as("__did"),
         posexplode(split(col(textCol), "\n{2,}")))
       .withColumnRenamed("pos", "__pos")
@@ -917,14 +928,19 @@ object Dedup {
         col("__did") * maxParasPerDoc + col("__pos") +
           coalesce(assert_true(col("__pos") < maxParasPerDoc,
             lit(s"document exceeds $maxParasPerDoc paragraphs — " +
-              "raise maxParasPerDoc")).cast("long"), lit(0L)))
+              "raise maxParasPerDoc")).cast("long"), lit(0L))))
     val nParaToks = size(filter(TextAnalysis.tokens(col("__para")),
       t => length(t) > 0))
     val candidates = paras
       .filter(nParaToks >= minParaTokens)
       .select(col("__pid"), col("__para"))
     // exact stage: one winner (min pid) per distinct paragraph — the
-    // agg row IS the representative, every other exact copy drops here
+    // agg row IS the representative, every other exact copy drops here.
+    // Deliberately NOT pinned (unlike paras): both consumers re-derive
+    // it from the pinned paragraph table with one cheap map-side-
+    // combined aggregation each, and keeping the aggregation in the
+    // final plan keeps its skew posture (partial_min below the
+    // exchange) visible to the plan pin in ScaleSpec.
     val reps = candidates
       .groupBy(col("__para"))
       .agg(min(col("__pid")).as("__pid"))

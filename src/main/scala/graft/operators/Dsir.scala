@@ -91,14 +91,23 @@ object Dsir {
     * precedent). KB-sized by construction — broadcast it. */
   def importanceModel(raw: DataFrame, rawTextCol: String,
       target: DataFrame, targetTextCol: String, numBuckets: Int = 4096,
-      alpha: Double = 0.5, salt: String = "dsir"): DataFrame = {
+      alpha: Double = 0.5, salt: String = "dsir"): DataFrame =
+    modelFromCounts(
+      hashedCounts(target, targetTextCol, numBuckets, salt)
+        .withColumnRenamed("cnt", "t_cnt"),
+      hashedCounts(raw, rawTextCol, numBuckets, salt)
+        .withColumnRenamed("cnt", "r_cnt"),
+      numBuckets, alpha)
+
+  /** [[importanceModel]]'s core over pre-aggregated per-bucket counts
+    * (`t_cnt` / `r_cnt` tables) — split out so [[importanceWeights]]
+    * can derive the raw side from its per-doc bucket table instead of
+    * paying a second hashed-feature pass over the corpus. */
+  private def modelFromCounts(t: DataFrame, r: DataFrame,
+      numBuckets: Int, alpha: Double): DataFrame = {
     require(alpha > 0, s"alpha must be positive, got $alpha")
-    val spark = raw.sparkSession
+    val spark = t.sparkSession
     val spine = spark.range(numBuckets).select(col("id").as("bucket"))
-    val t = hashedCounts(target, targetTextCol, numBuckets, salt)
-      .withColumnRenamed("cnt", "t_cnt")
-    val r = hashedCounts(raw, rawTextCol, numBuckets, salt)
-      .withColumnRenamed("cnt", "r_cnt")
     val tTot = t.agg(coalesce(sum("t_cnt"), lit(0L)).as("t_tot"))
     val rTot = r.agg(coalesce(sum("r_cnt"), lit(0L)).as("r_tot"))
     spine
@@ -171,15 +180,23 @@ object Dsir {
   def importanceWeights(raw: DataFrame, idCol: String, textCol: String,
       target: DataFrame, targetTextCol: String, numBuckets: Int = 4096,
       alpha: Double = 0.5, salt: String = "dsir"): DataFrame = {
-    val model =
-      importanceModel(raw, textCol, target, targetTextCol, numBuckets,
-        alpha, salt)
-    val docBuckets = raw
+    // ONE hashed-feature pass over the raw corpus: the per-doc bucket
+    // table is pinned and the model's raw side derives from it by a
+    // second (cheap, numBuckets-bounded) aggregation — identical counts
+    // to hashedCounts(raw) by construction (Σ over per-doc counts).
+    // Unpinned, the raw corpus paid the md5 feature explode TWICE
+    // (model fit + scoring; measured r16: q113 planned 10 scans).
+    val docBuckets = Checkpoints.pin(raw
       .select(col(idCol).as("doc_id"),
         explode(featureBuckets(col(textCol), numBuckets, salt))
           .as("bucket"))
       .groupBy("doc_id", "bucket")
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt")))
+    val model = modelFromCounts(
+      hashedCounts(target, targetTextCol, numBuckets, salt)
+        .withColumnRenamed("cnt", "t_cnt"),
+      docBuckets.groupBy("bucket").agg(sum("cnt").as("r_cnt")),
+      numBuckets, alpha)
     docBuckets
       .join(broadcast(model), Seq("bucket"))
       .groupBy("doc_id")

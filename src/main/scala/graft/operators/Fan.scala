@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Input-split fan-out ahead of CPU-dense per-row stages (broadcast
+  * ranking sweeps, hash/regex projections, R-way replicate explodes).
+  *
+  * Spark pipelines a scan with everything up to the next exchange into
+  * ONE stage, so when an input arrives under-split — a single parquet
+  * row group yields exactly one non-empty scan task no matter what
+  * `maxPartitionBytes` says — the whole per-row compute of that stage
+  * serializes on one core. The fix is the round-robin repartition below,
+  * fired ONLY when the scan yields fewer than half the cluster's slots:
+  * at production split counts (thousands of row groups) the probe
+  * no-ops plan-wise, and when it does fire it moves rows that are by
+  * construction small (few splits ⇒ few hundred MB).
+  *
+  * The partition-count probe reads `df.rdd.getNumPartitions` — a
+  * driver-side plan conversion, no job — NOT `inputFiles`: Spark splits
+  * even a single (multi-row-group) file into ~defaultParallelism scan
+  * partitions, and a file-count probe would bolt a full shuffle onto
+  * every query at exactly the sizes where the scan is already parallel.
+  *
+  * Round-robin repartition is RESULT-SAFE here by the library's own
+  * conventions: every cross-row float aggregation routes through
+  * decimal/quantized-long sums (partition-order-independent) and every
+  * ranking breaks ties deterministically, so only the physical row
+  * placement changes. (`sortBeforeRepartition` stays on, so retried
+  * tasks reproduce the same placement.) */
+private[graft] object Fan {
+  def out(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
+  }
+}

@@ -51,14 +51,19 @@ object Pipelines {
       TextAnalysis.withDupNgramRatio(gated, textCol, 2, "__r2")
         .filter(col("__r2") <= mx).drop("__r2")
     }
-    // exact dedup — lowest id per fingerprint survives
-    val deduped = Dedup.exactKeepMinId(kept, idCol, textCol)
-      .select(col(idCol), col(textCol), col("pred"), col("__ntok"))
-    // near-dup removal on the deduped survivors. `deduped` feeds two
-    // consumers (the pair flow and the final anti-join) — the upstream
-    // recomputes rather than materializes, the right call at corpus
-    // scale (it is a scan + one fingerprint shuffle + projections;
-    // caching a 100 TB intermediate is not).
+    // exact dedup — lowest id per fingerprint survives. The result is
+    // PINNED (Checkpoints.pin): `deduped` feeds two consumers (the
+    // near-dup pair flow and the final anti-join), and an unpinned
+    // frame replays the whole gates→tokenize→fingerprint-shuffle chain
+    // per consumer (measured r16: the q79 entry planned 14 corpus
+    // scans; pinned, the chain runs once). At cluster scale the pin is
+    // the staged-intermediate pattern (guide §3.3/§5): executor-local
+    // by default, a durable checkpoint under graft.checkpoint.dir —
+    // one materialization of the gated survivors versus re-running the
+    // gate chain and its fingerprint exchange per downstream pass.
+    val deduped = Checkpoints.pin(
+      Dedup.exactKeepMinId(kept, idCol, textCol)
+        .select(col(idCol), col(textCol), col("pred"), col("__ntok")))
     val pairs = Dedup.verifiedNearDups(
       deduped.select(col(idCol), col(textCol)), idCol, textCol,
       jaccardThreshold)
@@ -113,17 +118,23 @@ object Pipelines {
       .filter(col("gopher_pass"))
       .select(col(idCol), col(sourceCol), col(textCol), col("n_tokens"))
     val cleaned = Dedup.exactKeepMinId(gated, idCol, textCol)
-    val deduped = stagingDir.fold(cleaned) { dir =>
+    // Without a stagingDir the gated+deduped form is PINNED instead of
+    // recomputed: it feeds ~4 downstream passes (trainLda's moment job,
+    // the scoring side and both sides of the gate's semi join), each of
+    // which otherwise replays the Gopher gate and the dedup shuffle
+    // (measured r16: 8 corpus scans → 2 on the catalog entry). The pin
+    // is the in-memory form of the staged table — durable under
+    // graft.checkpoint.dir; rows identical either way.
+    val deduped = stagingDir.fold(Checkpoints.pin(cleaned)) { dir =>
       cleaned.write.mode("overwrite").parquet(dir)
       df.sparkSession.read.parquet(dir)
     }
-    val model = QualityFilter.trainLda(
-      deduped.filter(col(sourceCol).isin(targetSources: _*)),
-      idCol, textCol,
-      deduped.filter(!col(sourceCol).isin(targetSources: _*)),
-      idCol, textCol,
-      numBuckets = numBuckets)
-    QualityFilter.classifierGate(deduped, idCol, textCol, model, minProb)
+    // fused fit+gate (r16): one pinned feature pass over the staged
+    // corpus instead of one per trainer class plus one for scoring —
+    // bit-identical head (spec-pinned in QualityFilter)
+    QualityFilter.trainLdaAndGate(deduped, idCol, textCol,
+      posPred = col(sourceCol).isin(targetSources: _*),
+      numBuckets = numBuckets, minProb = minProb)
   }
 
   /** Materialize a training recipe to disk: per-source epoch repeats

@@ -170,12 +170,26 @@ object QualityFilter {
     // moments, with per-class doc counts riding as the row count at
     // the synthetic bucket −1 (one marker row per contributing doc —
     // see featureRows). No separate corpus count scans.
-    val moments = feats
+    ldaFit(ldaMoments(feats), numBuckets, eps, salt)
+  }
+
+  /** The fit's distributed half: per-(y, bucket) decimal moments over
+    * marker-included labelled feature rows, collected (≤ 2·(buckets+1)
+    * rows). Split out so the fused [[trainLdaAndScore]] path can run it
+    * over a pinned feature table. */
+  private def ldaMoments(
+      feats: DataFrame): Array[org.apache.spark.sql.Row] =
+    feats
       .groupBy("y", "bucket")
       .agg(sum(col("x").cast(Dec)).as("sx"),
         sum((col("x") * col("x")).cast(Dec)).as("sxx"),
         count(lit(1)).as("nr"))
       .collect()
+
+  /** The fit's driver half — moments → [[Model]]; arithmetic identical
+    * to the inline form it was extracted from (r16). */
+  private def ldaFit(moments: Array[org.apache.spark.sql.Row],
+      numBuckets: Int, eps: Double, salt: String): Model = {
     var nPos = 0L
     var nNeg = 0L
     val sxP = Array.fill(numBuckets)(java.math.BigDecimal.ZERO)
@@ -280,13 +294,23 @@ object QualityFilter {
     * (score them as `σ̃(bias)` upstream if needed). The weight table
     * broadcasts; only (doc, bucket) rows shuffle. */
   def scoreWith(df: DataFrame, idCol: String, textCol: String,
-      model: Model): DataFrame = {
-    val spark = df.sparkSession
+      model: Model): DataFrame =
+    scoreRows(
+      docFeatures(df, idCol, textCol, model.numBuckets, model.salt),
+      model)
+
+  /** [[scoreWith]]'s core over precomputed `(doc_id, bucket, cnt, x)`
+    * feature rows. Marker rows (bucket −1) are harmless by
+    * construction: the weight join is INNER over buckets 0..n−1, so
+    * they drop before `n_feats`/`zdec` aggregate — which lets the
+    * fused path feed the SAME pinned table to fit and scoring. */
+  private def scoreRows(featRows: DataFrame, model: Model): DataFrame = {
+    val spark = featRows.sparkSession
     import spark.implicits._
     val wDf = broadcast(
       model.weights.toSeq.zipWithIndex.map { case (w, b) => (b.toLong, w) }
         .toDF("bucket", "w"))
-    docFeatures(df, idCol, textCol, model.numBuckets, model.salt)
+    featRows
       .join(wDf, Seq("bucket"))
       .groupBy("doc_id")
       .agg(sum(col("cnt")).as("n_feats"),
@@ -295,6 +319,69 @@ object QualityFilter {
       .select(col("doc_id"), col("n_feats"),
         round(col("z"), 6).as("logit"),
         round(fastSigmoid(col("z")), 6).as("prob"))
+  }
+
+  /** [[trainLda]] + [[scoreWith]] fused over ONE hashed-feature pass —
+    * the self-training recipe's serving shape (fit a head on a labeled
+    * split of the corpus, score the SAME corpus): the labelled
+    * marker-included feature table is computed once and PINNED
+    * ([[Checkpoints.pin]] — durable under `graft.checkpoint.dir`), the
+    * moment job and the scoring join both read it, and the corpus pays
+    * the md5 feature explode exactly once instead of once per trainer
+    * class plus once for scoring (measured r16: 3 feature passes → 1 on
+    * the q115/q130-family entries, bit-identical outputs — the decimal
+    * moment sums are partition-order-exact, so fitting from the fused
+    * table reproduces [[trainLda]]'s head to the bit; spec-pinned).
+    *
+    * `posPred` labels each row: true → positive class, false →
+    * negative, NULL → excluded from fit AND scores — exactly the
+    * two-filter semantics `trainLda(df.filter(p), …, df.filter(!p), …)`
+    * has, since `filter(!p)` drops null-predicate rows too. Docs with
+    * no features are absent, the [[scoreWith]] convention. */
+  def trainLdaAndScore(df: DataFrame, idCol: String, textCol: String,
+      posPred: Column, numBuckets: Int = 1024, eps: Double = 1e-8,
+      salt: String = "qf"): DataFrame = {
+    require(eps > 0, s"eps must be positive, got $eps")
+    val feats = Checkpoints.pin(
+      labelledOnePass(df, idCol, textCol, posPred, numBuckets, salt))
+    val model = ldaFit(ldaMoments(feats), numBuckets, eps, salt)
+    scoreRows(feats.select(col("doc_id"), col("bucket"), col("cnt"),
+      col("x")), model)
+  }
+
+  /** The gate form of [[trainLdaAndScore]] — [[classifierGate]] with
+    * the fit fused into the same single feature pass: keep the rows of
+    * `df` the self-trained head scores at or above `minProb`. */
+  def trainLdaAndGate(df: DataFrame, idCol: String, textCol: String,
+      posPred: Column, numBuckets: Int = 1024, minProb: Double = 0.5,
+      eps: Double = 1e-8, salt: String = "qf"): DataFrame = {
+    val keep =
+      trainLdaAndScore(df, idCol, textCol, posPred, numBuckets, eps, salt)
+        .filter(col("prob") >= minProb)
+        .select(col("doc_id").as("__keep_id"))
+    df.join(keep, col(idCol) === col("__keep_id"), "left_semi")
+  }
+
+  /** One-pass labelled marker-included feature rows:
+    * `(doc_id, y, bucket, cnt, x)` — [[labelled]]'s output computed
+    * without splitting the corpus into two filtered scans. Rows whose
+    * `posPred` is NULL are excluded (the two-filter semantics). The
+    * label is per-row, so grouping by (doc_id, y, bucket) yields the
+    * same rows as the per-side featureRows ever did. */
+  private def labelledOnePass(df: DataFrame, idCol: String,
+      textCol: String, posPred: Column, numBuckets: Int,
+      salt: String): DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"),
+        when(posPred, 1).otherwise(when(!posPred, 0)).as("y"),
+        Dsir.featureBuckets(col(textCol), numBuckets, salt).as("__fb"))
+      .filter(col("y").isNotNull)
+    base.select(col("doc_id"), col("y"), size(col("__fb")).as("__nf"),
+        explode(when(size(col("__fb")) > 0,
+          concat(array(lit(-1L)), col("__fb")))).as("bucket"))
+      .groupBy("doc_id", "y", "bucket")
+      .agg(count(lit(1)).as("cnt"), max(col("__nf")).as("__nf"))
+      .select(col("doc_id"), col("y"), col("bucket"), col("cnt"),
+        (col("cnt").cast("double") / col("__nf").cast("double")).as("x"))
   }
 
   /** Projection-form scorer: the same `(doc_id, n_feats, logit, prob)`

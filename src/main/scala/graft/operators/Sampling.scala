@@ -624,11 +624,19 @@ object Sampling {
         lit(mult)).as("__est"))
     val u = draw32(concat(lit(salt), col("__rep").cast("string"),
       lit("|"), col("__id").cast("string")))
-    val w = PoissonCum.map(c => when(u >= c, 1L).otherwise(0L))
+    // w reads the draw from its own column (a separate projection —
+    // CollapseProject keeps a non-cheap multi-referenced producer), so
+    // the md5 chain is evaluated ONCE per (row, rep) at the plan level
+    // instead of riding inside all 8 threshold comparisons; Fan.out
+    // spreads the R-way explode's hash work across the cluster when
+    // the scan is under-split (single-task on the one-row-group
+    // fixture; no-op at production split counts).
+    val w = PoissonCum.map(c => when(col("__u") >= c, 1L).otherwise(0L))
       .reduce(_ + _)
-    val means = base
+    val means = Fan.out(base)
       .select(col("__id"), col("__v"),
         explode(sequence(lit(0), lit(replicates - 1))).as("__rep"))
+      .select(col("__rep"), col("__v"), u.as("__u"))
       .select(col("__rep"), col("__v"), w.as("__w"))
       .groupBy("__rep")
       .agg((sum(col("__w") * col("__v")).cast("double") /

@@ -80,7 +80,12 @@ object Similarity {
   private[operators] def scoredPairs(q: DataFrame, c: DataFrame,
       dotFn: (Column, Column) => Column,
       pairKeep: Column = lit(true)): DataFrame =
-    broadcast(q).crossJoin(c)
+    // Fan.out: the |q|·|c| score sweep runs INSIDE the corpus scan
+    // stage (broadcast join, no exchange), so an under-split corpus
+    // serializes every dot product on one core — measured r16: the
+    // single-row-group embeddings fixture ran q217's full scored set
+    // single-task. No-op at production split counts.
+    broadcast(q).crossJoin(Fan.out(c))
       .filter(col("query_id") =!= col("corpus_id") && pairKeep)
       .select(col("query_id"), col("corpus_id"),
         // a length mismatch between the sides would null the dot via

@@ -42,6 +42,45 @@ class QualityFilterSpec extends TestBase {
     assert(kept == (0L until 20L).toSet)
   }
 
+  test("fused trainLdaAndScore ≡ trainLda + scoreWith bit-identically, " +
+      "and the fused gate keeps the same rows (null predicate excluded " +
+      "like the two-filter form)") {
+    val (pos, neg) = classes
+    // a null-source row must be excluded from fit AND score on both
+    // paths (filter(!p) drops null predicates; so does the fused y)
+    val all = pos.withColumn("source", lit("tgt"))
+      .union(neg.withColumn("source", lit("crawl")))
+      .union(Seq((999L, "alpha beta filler the of"))
+        .toDF("doc_id", "text")
+        .withColumn("source", lit(null: String)))
+    val pred = col("source") === "tgt"
+    val model = QualityFilter.trainLda(
+      all.filter(pred), "doc_id", "text",
+      all.filter(!pred), "doc_id", "text", numBuckets = 64)
+    val twoPass = QualityFilter
+      .scoreWith(all.filter(pred.isNotNull), "doc_id", "text", model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).sortBy(_._1)
+    val fused = QualityFilter.trainLdaAndScore(all, "doc_id", "text",
+        posPred = pred, numBuckets = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).sortBy(_._1)
+    assert(fused.toSeq == twoPass.toSeq,
+      "fused fit+score diverged from the two-pass form")
+    assert(!fused.exists(_._1 == 999L),
+      "null-predicate row leaked into the fused scores")
+    val gateTwo = QualityFilter.classifierGate(all, "doc_id", "text",
+      model).select("doc_id").collect().map(_.getLong(0)).toSet
+    val gateFused = QualityFilter.trainLdaAndGate(all, "doc_id", "text",
+        posPred = pred, numBuckets = 64)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the two-pass gate scores the null-source row too (σ̃ of whatever
+    // its features say); the fused gate excludes it from scoring — the
+    // comparison holds on the labelled rows
+    assert(gateFused == (gateTwo - 999L),
+      "fused gate kept a different labelled-row set")
+  }
+
   test("trainLda is deterministic: repartitioned inputs fit the " +
       "bit-identical head") {
     val (pos, neg) = classes
