@@ -64,11 +64,15 @@ object Vocab {
     * task, while aggregation+join stays combinable and AQE-splittable.) */
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
-    val docTerms = df
+    // pinned: docTerms feeds the model aggregation AND the score join —
+    // unpinned, the corpus explode + (doc, term) exchange replay per
+    // consumer (r16; the staged-intermediate pattern, durable under
+    // graft.checkpoint.dir)
+    val docTerms = Checkpoints.pin(df
       .select(col(idCol).as("doc_id"),
         explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt")))
     val unigrams = docTerms.groupBy("term").agg(sum(col("cnt")).as("tf"))
     val total = unigrams.select(sum(col("tf")).cast("double").as("n_total"))
     docTerms
@@ -126,8 +130,11 @@ object Vocab {
           greatest(size(col("__toks")) - 1, lit(0))),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("__p"))
       .select(col("doc_id"), col("__p.w1").as("w1"), col("__p.w2").as("w2"))
-    val docPairs = pairs.groupBy("doc_id", "w1", "w2")
-      .agg(count(lit(1)).as("cnt"))
+    // pinned: docPairs feeds the bigram-model aggregation AND the score
+    // join — unpinned, the corpus pair-explode + (doc, w1, w2) exchange
+    // replay per consumer (r16; unigramLogProb convention)
+    val docPairs = Checkpoints.pin(pairs.groupBy("doc_id", "w1", "w2")
+      .agg(count(lit(1)).as("cnt")))
     val bigrams = docPairs.groupBy("w1", "w2").agg(sum("cnt").as("bf"))
     val starts = bigrams.groupBy("w1").agg(sum("bf").as("wf"))
     val vocabSize = df.select(
@@ -274,13 +281,15 @@ object Vocab {
   def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
       k: Int, idf: (Column, Column) => Column = logIdf): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val docTerms = df
+    // pinned: docTerms feeds the document-frequency aggregation AND the
+    // score join (r16; unigramLogProb convention)
+    val docTerms = Checkpoints.pin(df
       .select(col(idCol).as("doc_id"),
         TextAnalysis.tokens(col(textCol)).as("__toks"))
       .select(col("doc_id"), size(col("__toks")).as("doclen"),
         explode(col("__toks")).as("term"))
       .groupBy("doc_id", "doclen", "term")
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt")))
     val termDf = docTerms.groupBy("term")
       .agg(countDistinct(col("doc_id")).as("df"))
     val nDocs = df.select(
@@ -387,11 +396,19 @@ object Vocab {
     // pays full shuffle-partition task overhead: measured 27 s for 10
     // merges at 32 partitions vs ~4 s at 1). Raise `modelPartitions`
     // for 100M-word vocabularies.
+    // ONE job per merge round (r16): the candidate collect is the only
+    // action — it materializes the current generation's cache as a side
+    // effect, so the eager `count()` the loop used to run per round is
+    // gone (2 jobs/round → 1, and the final generation — consumed by
+    // nothing — is never materialized at all). The superseded
+    // generation stays cached until its CHILD has materialized (the
+    // next round's collect), then unpersists: dropping it earlier would
+    // recompute the whole fold chain from the scan each round.
     var seg = wc.select(col("word"), col("cnt"),
       concat(split(col("word"), ""), array(lit("</w>"))).as("syms"))
       .repartition(modelPartitions)
       .persist()
-    seg.count()
+    var superseded: Option[DataFrame] = None
     val out = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
     var exhausted = false
     while (out.size < numMerges && !exhausted) {
@@ -408,6 +425,9 @@ object Vocab {
         .groupBy("lhs", "rhs").agg(sum("cnt").as("freq"))
         .orderBy(desc("freq"), asc("lhs"), asc("rhs"))
         .limit(4 * want + 8).collect()
+      // seg's cache is materialized now — its parent is provably dead
+      superseded.foreach(_.unpersist(blocking = false))
+      superseded = Some(seg)
       if (cand.isEmpty) exhausted = true
       else {
         // greedy top-M non-conflicting: a pair is rejected if it shares
@@ -429,15 +449,13 @@ object Vocab {
         accepted.foreach { case (lhs, rhs, f) =>
           out += BpeMerge(out.size + 1L, lhs, rhs, f)
         }
-        val next = accepted.foldLeft(seg) { case (s, (lhs, rhs, _)) =>
+        seg = accepted.foldLeft(seg) { case (s, (lhs, rhs, _)) =>
           s.withColumn("syms", applyMerge(col("syms"), lhs, rhs))
         }.persist()
-        next.count()
-        seg.unpersist()
-        seg = next
       }
     }
-    seg.unpersist()
+    superseded.foreach(_.unpersist(blocking = false))
+    seg.unpersist(blocking = false)
     out.toSeq
   }
 
