@@ -21,6 +21,17 @@ object GraftSession {
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    // let the planner pick shuffled-hash join when its size conditions
+    // hold (build side must fit a per-partition hash map — the planner
+    // still falls back to sort-merge otherwise, and AQE's skew-join
+    // handling covers both): skips two sorts per join. Measured r16
+    // (sf0.1, local[32]): uniform win across the join catalog — semi/
+    // anti joins ~2x (q12 1.34→0.65 s, q13 1.22→0.67 s), lateral top-k
+    // 4.2→2.0 s, fact-to-fact 2.2→1.7 s, zero regressions. Scale note:
+    // this is the guide's recommended posture; the size guard is
+    // estimate-based, so pipelines joining two UNSTATABLE huge sides
+    // should set it back to true for that session.
+    "spark.sql.join.preferSortMergeJoin" -> "false",
     "spark.sql.files.maxPartitionBytes" -> (128L * 1024 * 1024).toString,
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.parquet.filterPushdown" -> "true",
