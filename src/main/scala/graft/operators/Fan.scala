@@ -29,6 +29,10 @@ import org.apache.spark.sql.DataFrame
   * tasks reproduce the same placement.) */
 private[graft] object Fan {
   def out(df: DataFrame): DataFrame = {
+    // streaming frames have no .rdd to probe (and micro-batch planning
+    // re-splits per trigger anyway) — stream-composable operators
+    // (semanticOverlap) must pass through untouched
+    if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
   }
