@@ -2014,8 +2014,12 @@ object OpsQueries {
     // (eval set = original docs with doc_id % 97 = 0, 5-gram overlap).
 
     "q79_curation_decon" -> Entry(
+      // corpus pinned: curate references its input twice when a
+      // benchmark is set (gate chain + the gate-independent decon
+      // verdict over the RAW corpus) — unpinned, the planted-copy
+      // union and its tokenize-and-slice replay per reference
       (s, dir) => graft.operators.Pipelines.curate(
-          nearDupDocs(s, dir), "doc_id", "text",
+          nearDupDocs(s, dir).pinned, "doc_id", "text",
           benchmark = Some(docsFan(s, dir)
             .filter(col("doc_id") % 97 === 0).select(col("text"))),
           deconShingleN = 5, deconFlagAt = 0.5)
