@@ -154,7 +154,28 @@ object Bench {
       .collect { case (ext, kv) if ext > suspectThreshold => kv }
       .mkString("{", ",", "}")
     val extJson = extRendered.map(_._2).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"failed_secs":$failedSecs,"load_start":$loadStart,"load_end":$loadEnd,"load_trace":$traceJson,"suspect":$suspectJson,"suspect_external_cpu_threshold":$suspectThreshold,"external_cpu":$extJson,"sf":"$sfDir","subset":${subset.isDefined}}""")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"failed_secs":$failedSecs,"load_start":$loadStart,"load_end":$loadEnd,"load_trace":$traceJson,"suspect":$suspectJson,"suspect_external_cpu_threshold":$suspectThreshold,"external_cpu":$extJson,"sf":"$sfDir","subset":${subset.isDefined}}"""
+    println(fullLine)
+    // compact self-summarizing SECOND line (additions only — the full
+    // per-query line above is byte-for-byte what previous rounds
+    // printed): at catalog size the full line is ~20-30 KB and a
+    // bounded tail capture of this process's stdout cannot hold it
+    // (BENCH_r15/r16 both recorded `parsed: null` with the line
+    // truncated mid-JSON). This line always fits a 2000-char tail.
+    val sortedSecs = results.map(_._2).sorted
+    val median =
+      if (sortedSecs.isEmpty) 0.0
+      else if (sortedSecs.size % 2 == 1) sortedSecs(sortedSecs.size / 2)
+      else (sortedSecs(sortedSecs.size / 2 - 1) +
+        sortedSecs(sortedSecs.size / 2)) / 2.0
+    val nSuspect = extRendered.count(_._1 > suspectThreshold)
+    println(s"""{"metric":"bench_summary","total":$total,"median":$median,"n":${results.size},"n_errors":${errors.size},"n_suspect":$nSuspect,"failed_secs":$failedSecs,"unit":"sec","sf":"$sfDir","cpus":${cpus.toInt},"subset":${subset.isDefined}}""")
+    // and the FULL line to a file when the caller asks for one — a
+    // capture-size-proof channel for the complete per-query map
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").filter(_.nonEmpty).foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+        fullLine + "\n")
+    }
     spark.stop()
   }
 

@@ -64,14 +64,39 @@ object Connected {
       val received = sym.select(col("u"), col("v").as("id"))
         .join(labels, "id")
         .select(col("u").as("id"), col("comp"))
-      // ...and keeps the min of own + received
-      val next = ckpt.pin(labels.union(received)
-        .groupBy("id").agg(min("comp").as("comp")))
-      val improved = next.join(
-        labels.select(col("id"), col("comp").as("prev")), "id")
-        .filter(col("comp") < col("prev"))
-      converged = improved.isEmpty
-      labels = next
+      // ...and keeps the min of own + received. The node's OWN previous
+      // label rides the aggregation as a third column (exactly one
+      // non-null per id, so min() recovers it), which lets the
+      // convergence count ride the pin's materialization job as an
+      // observed metric — the former probe was a full shuffle join of
+      // the two newest generations plus its own driver job per round.
+      val combined = labels
+          .select(col("id"), col("comp"), col("comp").as("own"))
+        .union(received
+          .select(col("id"), col("comp"), lit(null).cast("long").as("own")))
+      val obs = org.apache.spark.sql.Observation()
+      val next = ckpt.pin(combined
+        .groupBy("id").agg(min("comp").as("comp"), min("own").as("own"))
+        .observe(obs, coalesce(sum(when(col("comp") < col("own"), 1L)
+          .otherwise(0L)), lit(0L)).as("improved")))
+      // metrics publish on the SQLExecutionEnd event of the pin's eager
+      // job; the listener bus is asynchronous, so poll briefly. If the
+      // metric never lands (an engine that stops running checkpoints as
+      // tracked executions), fall back to a filter over the PINNED
+      // blocks — a tiny scan of materialized rows, never a recompute.
+      val improved: Long = {
+        var got: Option[Long] = None
+        var waited = 0
+        while (got.isEmpty && waited < 100) {
+          got = org.apache.spark.sql.graftbridge.ObservationBridge
+            .rowOrEmpty(obs).map(_.getLong(0))
+          if (got.isEmpty) { Thread.sleep(20); waited += 1 }
+        }
+        got.getOrElse(
+          next.filter(col("comp") < col("own")).count())
+      }
+      converged = improved == 0L
+      labels = next.select(col("id"), col("comp"))
       round += 1
     }
     if (!converged)

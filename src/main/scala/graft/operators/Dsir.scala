@@ -180,6 +180,9 @@ object Dsir {
   def importanceWeights(raw: DataFrame, idCol: String, textCol: String,
       target: DataFrame, targetTextCol: String, numBuckets: Int = 4096,
       alpha: Double = 0.5, salt: String = "dsir"): DataFrame = {
+    // validate BEFORE the eager pin below: an invalid alpha must fail
+    // fast, not after a full corpus feature-materialization job
+    require(alpha > 0, s"alpha must be positive, got $alpha")
     // ONE hashed-feature pass over the raw corpus: the per-doc bucket
     // table is pinned and the model's raw side derives from it by a
     // second (cheap, numBuckets-bounded) aggregation — identical counts

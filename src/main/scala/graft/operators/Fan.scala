@@ -33,7 +33,29 @@ private[graft] object Fan {
     // re-splits per trigger anyway) — stream-composable operators
     // (semanticOverlap) must pass through untouched
     if (df.isStreaming) return df
+    // the `.rdd` probe is only job-free for EXCHANGE-FREE plans: with
+    // AQE on, Dataset.rdd on a plan containing shuffles materializes
+    // every intermediate query stage eagerly at plan-construction time
+    // (and the returned frame then re-executes them). Scan-shaped
+    // inputs — projections/filters/generates over leaves, unions of
+    // those — are the only frames this operator is FOR (an upstream
+    // exchange already re-splits to the shuffle partition count), so
+    // anything else passes through untouched.
+    if (!scanShaped(df)) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
+  }
+
+  /** True when the optimized plan cannot introduce an exchange: every
+    * node is a leaf (parquet scan, pinned LogicalRDD, local relation)
+    * or a narrow per-row operator over one. Conservative by
+    * construction — an unlisted node type means "not scan-shaped". */
+  private def scanShaped(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    df.queryExecution.optimizedPlan.collectFirst {
+      case n if !(n.isInstanceOf[LeafNode] || n.isInstanceOf[Project] ||
+        n.isInstanceOf[Filter] || n.isInstanceOf[Generate] ||
+        n.isInstanceOf[Union] || n.isInstanceOf[Expand]) => n
+    }.isEmpty
   }
 }

@@ -106,7 +106,17 @@ object Pipelines {
     * OVERWRITES `stagingDir`.
     *
     * Returns the surviving rows of `df`'s gated+deduped form:
-    * (idCol, sourceCol, textCol, n_tokens). */
+    * (idCol, sourceCol, textCol, n_tokens).
+    *
+    * NULL-`sourceCol` semantics (r16 fusion, spec-pinned in
+    * [[QualityFilter]]): rows whose `sourceCol` is null have no defined
+    * class under `isin(targetSources)`, are EXCLUDED from the
+    * classifier fit, and are DROPPED from the output — the fused
+    * `trainLdaAndGate` gate keeps only rows whose posterior clears
+    * `minProb`, and a null-predicate row never gets a posterior. (The
+    * pre-r16 two-step composition scored such rows against the fitted
+    * model and could keep them.) Label your sources, or filter/imputed
+    * null sources upstream if they must be scored. */
   def curateWithClassifier(df: DataFrame, idCol: String, textCol: String,
       sourceCol: String, targetSources: Seq[String],
       minTokens: Long = 50, minStopHits: Int = 2,

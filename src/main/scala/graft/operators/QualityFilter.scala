@@ -351,7 +351,14 @@ object QualityFilter {
 
   /** The gate form of [[trainLdaAndScore]] — [[classifierGate]] with
     * the fit fused into the same single feature pass: keep the rows of
-    * `df` the self-trained head scores at or above `minProb`. */
+    * `df` the self-trained head scores at or above `minProb`.
+    *
+    * NULL-`posPred` rows are excluded from the fit AND from scoring, so
+    * the gate DROPS them (no posterior → never ≥ `minProb`). The
+    * unfused `trainLda` + [[classifierGate]] composition scored every
+    * row against the fitted model and could keep a null-predicate row —
+    * spec-pinned difference (QualityFilterSpec's fused-gate law);
+    * coalesce the predicate upstream if such rows must be scored. */
   def trainLdaAndGate(df: DataFrame, idCol: String, textCol: String,
       posPred: Column, numBuckets: Int = 1024, minProb: Double = 0.5,
       eps: Double = 1e-8, salt: String = "qf"): DataFrame = {

@@ -15,3 +15,14 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Non-blocking read of an [[org.apache.spark.sql.Observation]]'s metric
+  * row. `Observation.get` (the public accessor) blocks with NO timeout,
+  * which is the wrong contract for an iterative driver loop that needs a
+  * bounded-wait probe with a fallback; the non-blocking `getRowOrEmpty`
+  * is `private[sql]`. Same no-behavior bridge pattern as [[ColumnBridge]].
+  */
+object ObservationBridge {
+  def rowOrEmpty(obs: org.apache.spark.sql.Observation)
+      : Option[org.apache.spark.sql.Row] = obs.getRowOrEmpty
+}
