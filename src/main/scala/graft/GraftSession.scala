@@ -33,6 +33,25 @@ object GraftSession {
     // should set it back to true for that session.
     "spark.sql.join.preferSortMergeJoin" -> "false",
     "spark.sql.files.maxPartitionBytes" -> (128L * 1024 * 1024).toString,
+    // Whole-stage-codegen compilation cache (STATIC conf — applies to
+    // the first session of the JVM). The default 100-entry cache
+    // thrashes on a multi-hundred-query driver program (this library's
+    // own catalog: 281 queries × ~5-10 codegen units each), so every
+    // query pays full Janino compilation for fragments an earlier query
+    // already compiled — measured r17 (sf0.1 bench, local[32]): the
+    // catalog-wide cold-codegen floor was the single largest cost at
+    // 8-core ≈ 32-core totals. 2048 entries bounds the cache at roughly
+    // the catalog's distinct-fragment count; scale-independent (a
+    // driver compiling few plans simply never fills it).
+    "spark.sql.codegen.cache.maxEntries" -> "2048",
+    // Drop the per-query codegen-stage ID from generated CLASS NAMES
+    // (it stays in the comments/logs): the ID is part of the compiled
+    // source text, so the same physical fragment at a different stage
+    // position misses the cache. With the ID out of the class name,
+    // structurally identical fragments across queries share one
+    // compiled class. Debug traceability keeps the `codegenStageId=N`
+    // source comment and the per-plan `*(N)` markers.
+    "spark.sql.codegen.useIdInClassName" -> "false",
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.parquet.filterPushdown" -> "true",
     "spark.sql.parquet.aggregatePushdown" -> "true",

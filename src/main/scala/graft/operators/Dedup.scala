@@ -544,17 +544,32 @@ object Dedup {
     * `bits`-bit signature column — text SimHash, image dHash
     * ([[Multimodal.dHashes]]), audio fingerprints: every pair within
     * hamming distance nBands−1 shares an unchanged band, so bucketing
-    * on (band, value) finds all such pairs with no self-join. Same
-    * exchange budget and `maxBucket` spill gate as the text form.
-    * Input: one row per item (`idCol` long, `sigCol` long); output
-    * (doc_a, doc_b, hamming), a < b. */
+    * on (band, value) finds all such pairs with no self-join. Input:
+    * one row per item (`idCol` long, `sigCol` long); output
+    * (doc_a, doc_b, hamming), a < b.
+    *
+    * Skew posture (r17): band VALUES are data-adversarial — one hot
+    * (band, bv) bucket used to serialize its whole quadratic pair
+    * sweep on a single task (and AQE's byte-based coalescing shrank
+    * the whole bucket stage to one task at small shuffle sizes).
+    * The one (band, bv) exchange is now pinned at the session's
+    * shuffle-partition count, and buckets larger than `saltAt` members
+    * are split by a deterministic per-doc salt into
+    * `salts`·(`salts`+1)/2 cells that provably cover every intra-
+    * bucket pair exactly once (spec-pinned equivalence). `maxBucket`
+    * still drops degenerate buckets BEFORE any rows collect. */
   def hammingCandidates(sigs0: DataFrame, idCol: String, sigCol: String,
       maxHamming: Int = 3, bits: Int = 32, nBands: Int = 4,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000, saltAt: Int = 256,
+      salts: Int = 8): DataFrame = {
     require(bits % nBands == 0, "bits must be divisible by nBands")
     require(maxHamming < nBands,
       s"pigeonhole guarantee needs maxHamming < nBands ($maxHamming >= $nBands)")
+    require(saltAt >= 1, s"saltAt must be >= 1, got $saltAt")
+    require(salts >= 2, s"salts must be >= 2, got $salts")
     val w = bits / nBands
+    val spark = sigs0.sparkSession
+    val p = spark.sessionState.conf.numShufflePartitions
     val sigs = sigs0.select(col(idCol).as("doc_id"),
       col(sigCol).as("simhash"))
     val bandCols = (0 until nBands).map { b =>
@@ -567,17 +582,66 @@ object Dedup {
         explode(array(bandCols: _*)).as("e"))
       .select(col("doc_id"), col("simhash"),
         col("e.band").as("band"), col("e.bv").as("bv"))
-    val wb = Window.partitionBy("band", "bv")
-    val gated = bands.withColumn("cnt", count(lit(1)).over(wb))
+    // bucket-size window (LINEAR work — a per-bucket sort + count,
+    // bounded by maxBucket; AQE may size its exchange freely): gates
+    // over-limit buckets BEFORE anything collects them
+    val gated = bands
+      .withColumn("cnt", count(lit(1)).over(
+        Window.partitionBy("band", "bv")))
       .filter(col("cnt") > 1 && col("cnt") <= maxBucket)
-    val buckets = gated.groupBy("band", "bv")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash"))))
-        .as("rows"))
-    buckets
-      .select(explode(flatten(transform(col("rows"), (x, i) =>
-        transform(slice(col("rows"), i + 2, size(col("rows"))),
-          y => struct(x.as("a"), y.as("b")))))).as("p"))
-      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+    // pair structs carry (doc_id, simhash) only; orientation is fixed
+    // at the final projection (hamming is symmetric)
+    def pairStruct(x: Column, y: Column): Column = struct(
+      struct(x.getField("doc_id").as("doc_id"),
+        x.getField("simhash").as("simhash")).as("a"),
+      struct(y.getField("doc_id").as("doc_id"),
+        y.getField("simhash").as("simhash")).as("b"))
+    def triangle(rows: Column): Column =
+      flatten(transform(rows, (x, i) =>
+        transform(slice(rows, i + 2, size(rows)), y => pairStruct(x, y))))
+    // Conditionally SALTED cell split, one branch for every bucket
+    // size. A small bucket (≤ saltAt members) routes whole to its
+    // (0, 0) cell — one row per member, triangle pairs, exactly the
+    // unsalted shape. A HOT bucket's members each take a deterministic
+    // salt s = xxhash64(doc_id) mod `salts` and are routed to every
+    // cell (min(s,t), max(s,t)), t ∈ [0, salts) — an unordered pair
+    // {x, y} lands together in EXACTLY one cell, (min(sx,sy),
+    // max(sx,sy)): the pair set is preserved by construction
+    // (spec-pinned) while one hot bucket's quadratic pair work spreads
+    // over salts·(salts+1)/2 cells. Within a diagonal cell (c, c) both
+    // members share salt c: triangle pairs. Within an off-diagonal
+    // cell (i, j) pairs cross the two salt groups only (same-salt
+    // pairs live in their diagonal cells).
+    val cells = gated
+      .withColumn("s", when(col("cnt") <= saltAt, lit(0)).otherwise(
+        pmod(xxhash64(col("doc_id")), lit(salts.toLong)).cast("int")))
+      .select(col("band"), col("bv"), col("doc_id"), col("simhash"),
+        col("s"), explode(when(col("cnt") <= saltAt, array(lit(0)))
+          .otherwise(array((0 until salts).map(lit): _*))).as("t"))
+      .select(col("band"), col("bv"), col("doc_id"), col("simhash"),
+        col("s"), least(col("s"), col("t")).as("ci"),
+        greatest(col("s"), col("t")).as("cj"))
+    // the cell exchange is pinned at the session's shuffle-partition
+    // count (REPARTITION_BY_NUM): the pair explode downstream is
+    // QUADRATIC in cell size, so AQE's byte-based coalescing — which
+    // sees only the small (doc, band, cell) rows — under-provisions
+    // exactly this stage (measured r16/r17: the whole bucket stage
+    // coalesced onto one task at sf0.1)
+    cells
+      .repartition(p, col("band"), col("bv"), col("ci"), col("cj"))
+      .groupBy("band", "bv", "ci", "cj")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash"),
+        col("s")))).as("rows"))
+      .select(explode(
+        when(col("ci") === col("cj"), triangle(col("rows")))
+          .otherwise(flatten(transform(
+            filter(col("rows"), r => r.getField("s") === col("ci")),
+            x => transform(
+              filter(col("rows"), r => r.getField("s") === col("cj")),
+              y => pairStruct(x, y)))))).as("p"))
+      .select(
+        least(col("p.a.doc_id"), col("p.b.doc_id")).as("doc_a"),
+        greatest(col("p.a.doc_id"), col("p.b.doc_id")).as("doc_b"),
         bit_count(col("p.a.simhash").bitwiseXOR(col("p.b.simhash")))
           .cast("long").as("hamming"))
       // duplicate-id defense (see lshCandidates): never a self-pair

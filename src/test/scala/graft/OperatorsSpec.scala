@@ -2231,4 +2231,55 @@ class OperatorsSpec extends TestBase {
         strCents, "cid", "cv")
     }.getMessage.contains("numeric"))
   }
+
+  test("hammingCandidates: salted hot-bucket split preserves the EXACT " +
+      "pair set — planted hot band (> saltAt), small buckets, duplicate " +
+      "ids, over-maxBucket bucket dropped (r17 skew split)") {
+    import spark.implicits._
+    val nBands = 4; val bits = 32; val wBits = bits / nBands
+    val maxBucket = 100; val maxHamming = 3
+    // group A: 40 docs share band-0 value 0x11 (hot: > saltAt=4),
+    // high bytes spread so most pairs fail the hamming gate but some
+    // pass; group B: 150 docs share band-1 value 0x22 — bucket over
+    // maxBucket, dropped entirely; group C: a near-identical small
+    // cluster; duplicate ids share a signature (never a self-pair)
+    val a = (0 until 40).map(i =>
+      (100L + i, ((i.toLong * 0x01010101L) << 8 & 0xffffff00L) | 0x11L))
+    val b = (0 until 150).map(i =>
+      (1000L + i, ((i.toLong * 0x2030405L) & 0xff0000ffL) | 0x2200L))
+    val c = Seq((5000L, 0x7f3c2a10L), (5001L, 0x7f3c2a11L),
+      (5002L, 0x7f3c2a10L))
+    val dup = Seq((100L, a.head._2)) // duplicate id, same signature
+    val rows = a ++ b ++ c ++ dup
+    // reference: per-(band, value) buckets over DISTINCT (id, sig)
+    // membership, gate 1 < size <= maxBucket, all intra-bucket pairs
+    def bandsOf(s: Long): Seq[(Int, Long)] =
+      (0 until nBands).map(bd => (bd, (s >> (bd * wBits)) & 0xffL))
+    val members = rows.flatMap { case (id, s) =>
+      bandsOf(s).map(bv => (bv, (id, s))) }
+      .groupBy(_._1).map { case (k, v) => (k, v.map(_._2)) }
+    val expected = members.values
+      .filter(ms => ms.size > 1 && ms.size <= maxBucket)
+      .flatMap { ms =>
+        val m = ms.toIndexedSeq
+        for { i <- m.indices; j <- m.indices if i < j } yield (m(i), m(j))
+      }
+      .map { case ((ia, sa), (ib, sb)) =>
+        (math.min(ia, ib), math.max(ia, ib),
+          java.lang.Long.bitCount(sa ^ sb).toLong) }
+      .filter(p => p._1 != p._2 && p._3 <= maxHamming)
+      .toSet
+    assert(expected.nonEmpty, "fixture must produce pairs")
+    // sanity: the hot path IS exercised (band-0 bucket 0x11 has 41
+    // member rows > saltAt = 4) and the over-limit bucket IS dropped
+    assert(members((0, 0x11L)).size > 4)
+    assert(members((1, 0x22L)).size > maxBucket)
+    val got = graft.operators.Dedup.hammingCandidates(
+        rows.toDF("doc_id", "sig"), "doc_id", "sig", maxHamming, bits,
+        nBands, maxBucket, saltAt = 4, salts = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+  }
 }

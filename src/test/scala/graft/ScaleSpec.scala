@@ -177,10 +177,14 @@ class ScaleSpec extends TestBase {
     val p25 = plan(SparkEntry.queries("q25_dedup_minhash")(spark, sf))
     val e25 = "Exchange hashpartitioning".r.findAllIn(p25).length
     assert(e25 <= 2, s"q25 expected <=2 exchanges, got $e25:\n$p25")
-    // q58 simhash banding: bucket window+groupBy (fused, 1) + dedup (1)
+    // q58 simhash banding: bucket window (1) + the r17 salted-cell
+    // exchange — pinned REPARTITION_BY_NUM so the quadratic pair stage
+    // can never be byte-coalesced onto one task (1) + dedup (1)
     val p58 = plan(SparkEntry.queries("q58_simhash_neardup")(spark, sf))
     val e58 = "Exchange hashpartitioning".r.findAllIn(p58).length
-    assert(e58 <= 2, s"q58 expected <=2 exchanges, got $e58:\n$p58")
+    assert(e58 <= 3, s"q58 expected <=3 exchanges, got $e58:\n$p58")
+    assert(p58.contains("REPARTITION_BY_NUM"),
+      s"q58 must pin the salted-cell exchange:\n$p58")
     // q46 char entropy: pure projection + the final orderBy only — no
     // hash exchange at all (the twin needed two)
     val p46 = plan(SparkEntry.queries("q46_char_entropy")(spark, sf))
