@@ -24,13 +24,20 @@ object GraftSession {
     // let the planner pick shuffled-hash join when its size conditions
     // hold (build side must fit a per-partition hash map — the planner
     // still falls back to sort-merge otherwise, and AQE's skew-join
-    // handling covers both): skips two sorts per join. Measured r16
-    // (sf0.1, local[32]): uniform win across the join catalog — semi/
-    // anti joins ~2x (q12 1.34→0.65 s, q13 1.22→0.67 s), lateral top-k
-    // 4.2→2.0 s, fact-to-fact 2.2→1.7 s, zero regressions. Scale note:
-    // this is the guide's recommended posture; the size guard is
-    // estimate-based, so pipelines joining two UNSTATABLE huge sides
-    // should set it back to true for that session.
+    // handling covers both): skips two sorts per join. Evidence (r17,
+    // post-AQE executed plans in plans/r17/*_executed.txt): the switch
+    // DOES engage at runtime — q75/q104/q109 execute ShuffledHashJoin;
+    // q10/q12/q13 broadcast regardless (any speedup there is unrelated
+    // to this conf — r16's per-query attributions retracted); q118
+    // stays SortMergeJoin (sizes exceed the guard). Paired subset A/B
+    // at sf0.1 puts the SHJ-vs-SMJ delta on the flipped queries inside
+    // box noise — the setting is kept as the guide's recommended
+    // posture (§3.1), not on a measured local win. Scale notes: the
+    // size guard is estimate-based, so pipelines joining two
+    // UNSTATABLE huge sides should set it back to true for that
+    // session; pinned frames (Checkpoints.pin) carry their origin
+    // plan's ESTIMATED stats, so a badly under-estimated pinned build
+    // side can hash-build larger than intended — same remedy.
     "spark.sql.join.preferSortMergeJoin" -> "false",
     "spark.sql.files.maxPartitionBytes" -> (128L * 1024 * 1024).toString,
     // Whole-stage-codegen compilation cache (STATIC conf — applies to

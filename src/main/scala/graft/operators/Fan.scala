@@ -43,6 +43,11 @@ private[graft] object Fan {
     // anything else passes through untouched.
     if (!scanShaped(df)) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
+    // caveat: the probe counts SCAN partitions, not non-empty ones — a
+    // single-row-group file that byte-range-splits into >= target/2
+    // partitions still serializes on the one split that holds rows.
+    // Fine for real parquet (row groups bound split usefulness) and for
+    // the library's fixtures; don't reuse against pathological inputs.
     if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
   }
 

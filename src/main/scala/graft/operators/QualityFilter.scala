@@ -244,8 +244,12 @@ object QualityFilter {
     val spark = positive.sparkSession
     import spark.implicits._
 
-    val feats = labelled(positive, posIdCol, posTextCol,
-      negative, negIdCol, negTextCol, numBuckets, salt)
+    // pinned: the gradient loop consumes the labelled feature table
+    // once per iteration — unpinned, the md5 feature explode of BOTH
+    // corpora replays `iters` times (r17; the trainLdaAndScore fusion
+    // precedent)
+    val feats = Checkpoints.pin(labelled(positive, posIdCol, posTextCol,
+      negative, negIdCol, negTextCol, numBuckets, salt))
     val n = countWithFeatures(positive, posTextCol) +
       countWithFeatures(negative, negTextCol)
     require(n > 0, "train: no documents with features on either side")
